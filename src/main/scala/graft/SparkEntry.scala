@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extension set) registers one named query; SQL-expressible ones carry a
+  * DuckDB oracle with hash-stable numerics (see [[graft.core.Num]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val registry: Seq[QueryDef] =
+    rentals.RentalsDemo.queries ++
+      ops.Relational.all ++
+      ops.Events.all ++
+      text.TextAnalysis.all ++
+      text.Dedup.all ++
+      vector.Similarity.all ++
+      multimodal.Multimodal.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)
+    * over the rentals-shaped projection of the star schema.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    rentals.RentalsDemo.pipeline(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-family ops (MinHash/SimHash/
+    * IVF use Spark-internal hash constants) -> driver records a rows-only
+    * check; those are covered by ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch analytics: JSON property extraction, tumbling-window
+  * aggregation (the batch dual of the Structured Streaming job in
+  * [[graft.streaming.Streams]]), and gap-based sessionization.
+  *
+  * Sessionization gap math uses exact integer microseconds (`unix_micros` /
+  * DuckDB `epoch_us`) — the event timestamps carry sub-second precision, and
+  * float-seconds arithmetic would not be oracle-stable.
+  */
+object Events {
+
+  /** JSON extraction (`get_json_object`) + aggregation over `events.props`. */
+  val jsonExtractAgg: QueryDef = QueryDef(
+    "json_extract_agg",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+  }
+
+  /** Tumbling 1-hour window aggregation via the `window()` time-bucketing
+    * function (epoch-aligned, so it equals `date_trunc('hour', ts)`).
+    */
+  val eventsHourly: QueryDef = QueryDef(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.centsToDouble(sum(Num.cents(col("value")))).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity boundary): lag to flag
+    * session starts, running sum to number sessions, then per-session rollup.
+    * One shuffle on `user_id`; both windows and the final group-by reuse that
+    * partitioning (Catalyst plans a single exchange) — the shape that scales.
+    */
+  val sessionizeEvents: QueryDef = QueryDef(
+    "sessionize_events",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM numbered
+      |GROUP BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(
+      prevTs.isNull || (unix_micros(col("ts")) - unix_micros(prevTs)) > 1800000000L,
+      lit(1)).otherwise(lit(0))
+    Tables.events(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn(
+        "session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonExtractAgg, eventsHourly, sessionizeEvents)
+}

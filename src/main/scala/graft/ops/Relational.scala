@@ -1,0 +1,353 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational capability set over the star schema: hash aggregation, rollup,
+  * broadcast/semi/anti/outer joins, window functions, deterministic dedup,
+  * pivot/unpivot (`stack`), set ops, pushdown-friendly scans, top-k.
+  *
+  * The reference exercises only a subset of these (SURVEY.md §2: unpivot R1,
+  * window W1-W3, dedup O1, counts A1-A3); the rest are the capability-parity
+  * demos its category implies (§2.4/§2.5/§2.8). Everything is stock Catalyst —
+  * declared with the DataFrame API so pushdown, pruning, partial aggregation,
+  * broadcast planning and AQE all apply.
+  *
+  * Determinism contract for the DuckDB oracle: see [[graft.core.Num]] —
+  * money aggregates are quantized to integer cents, divisions happen on
+  * identical doubles in identical order, every output column is cast to an
+  * explicit type on both sides.
+  */
+object Relational {
+
+  private val C = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val DISC = "CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
+
+  /** TPC-H Q1-flavor pricing summary: map-side partial aggregation + single
+    * shuffle on the (tiny-cardinality) group keys. At 100 TB this is the
+    * canonical scan-bound query; no other plan shape beats it.
+    */
+  val aggPricingSummary: QueryDef = QueryDef(
+    "agg_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(SUM($C) AS DOUBLE) / 100.0 AS sum_base_price,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS sum_disc_price,
+       |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val qty = round(col("l_quantity")).cast("long")
+    val discPrice = Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).as("sum_qty"),
+        Num.centsToDouble(sum(Num.cents(col("l_extendedprice")))).as("sum_base_price"),
+        Num.centsToDouble(sum(discPrice)).as("sum_disc_price"),
+        Num.ratio(sum(qty), count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Exact distinct counts (A3's exact-distinct contract, scaled to groups).
+    * Expands to Catalyst's two-phase distinct aggregation automatically.
+    */
+  val aggDistinctCounts: QueryDef = QueryDef(
+    "agg_distinct_counts",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** ROLLUP grouping sets (partial aggregation + Expand; one shuffle). */
+  val aggRollup: QueryDef = QueryDef(
+    "agg_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"),
+        col("sum_qty"))
+  }
+
+  /** Fact ⋈ three broadcast dims -> per-region revenue. The dims are tiny at
+    * every SF (region=5, nation=25, supplier grows slowly), so all three joins
+    * are explicit `broadcast()`: zero shuffle until the final group-by.
+    */
+  val joinRegionRevenue: QueryDef = QueryDef(
+    "join_region_revenue",
+    s"""SELECT r.r_name,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY r.r_name""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        Num.centsToDouble(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS): orders from one market segment's customers. */
+  val joinSemiOrders: QueryDef = QueryDef(
+    "join_semi_orders",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val bldg = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    Tables.orders(spark, dir)
+      .join(broadcast(bldg), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Num.centsToDouble(sum(Num.cents(col("o_totalprice")))).as("total_price"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers that never ordered. */
+  val joinAntiCustomers: QueryDef = QueryDef(
+    "join_anti_customers",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Left-outer join with null-preserving aggregates (0 orders kept). */
+  val joinOuterCustomerOrders: QueryDef = QueryDef(
+    "join_outer_customer_orders",
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS total_spent
+      |FROM customer c
+      |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        Num.centsToDouble(coalesce(sum(Num.cents(col("o_totalprice"))), lit(0L))).as("total_spent"))
+  }
+
+  /** Top-k per group via rank over an exact-integer order with a key
+    * tiebreak — fully deterministic, and the standard scale-out top-k (no
+    * global sort; one window per nation partition).
+    */
+  val topkSuppliersPerNation: QueryDef = QueryDef(
+    "topk_suppliers_per_nation",
+    s"""SELECT n_name, s_suppkey, s_name,
+       |       CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT n_name, s_suppkey, s_name, revenue_cents,
+       |         rank() OVER (PARTITION BY n_name ORDER BY revenue_cents DESC, s_suppkey) AS rnk
+       |  FROM (
+       |    SELECT n.n_name, s.s_suppkey, s.s_name,
+       |           CAST(SUM($DISC) AS BIGINT) AS revenue_cents
+       |    FROM lineitem l
+       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |    GROUP BY 1, 2, 3))
+       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue_cents").desc, col("s_suppkey"))
+    rev.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("n_name"), col("s_suppkey"), col("s_name"),
+        Num.centsToDouble(col("revenue_cents")).as("revenue"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Oracle-deterministic dedup (SURVEY.md §7 hard-parts, option (b)):
+    * `row_number over (partition by keys order by <total order>) = 1`. The
+    * faithful arbitrary-survivor `dropDuplicates` lives in
+    * [[graft.rentals.Transforms.deduplicate]]; this is the reproducible form.
+    */
+  val dedupDeterministic: QueryDef = QueryDef(
+    "dedup_deterministic_events",
+    """SELECT user_id, event_type, event_id, ts
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+  }
+
+  /** W1 analog on the star schema: lag-based MoM revenue change per nation.
+    * No rounding in the ratio — every double derives from exact integer cents,
+    * so the result is bit-stable (see Num).
+    */
+  val windowMomNation: QueryDef = QueryDef(
+    "window_mom_nation",
+    s"""WITH monthly AS (
+       |  SELECT n.n_name, strftime(l.l_shipdate, '%Y-%m') AS month,
+       |         CAST(SUM($DISC) AS BIGINT) AS rev_cents
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, month,
+       |       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       |       ((CAST(rev_cents AS DOUBLE) / 100.0 - CAST(prev_cents AS DOUBLE) / 100.0)
+       |         / (CAST(prev_cents AS DOUBLE) / 100.0)) * 100 AS mom_pct
+       |FROM (
+       |  SELECT n_name, month, rev_cents,
+       |         lag(rev_cents) OVER (PARTITION BY n_name ORDER BY month) AS prev_cents
+       |  FROM monthly)""".stripMargin) { (spark, dir) =>
+    val monthly = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    val revD = Num.centsToDouble(col("rev_cents"))
+    val prevD = Num.centsToDouble(lag(col("rev_cents"), 1).over(w))
+    monthly.select(
+      col("n_name"), col("month"),
+      revD.as("revenue"),
+      (((revD - prevD) / prevD) * 100).as("mom_pct"))
+  }
+
+  /** Pivot (wide) then `stack` unpivot (long) — the reference's signature R1
+    * generator, null rows preserved (`jobs/transform.py:73-79`).
+    */
+  val unpivotFlagRevenue: QueryDef = QueryDef(
+    "unpivot_flag_revenue",
+    s"""WITH wide AS (
+       |  SELECT l_suppkey,
+       |    SUM(CASE WHEN l_returnflag = 'A' THEN $C END) AS rev_a,
+       |    SUM(CASE WHEN l_returnflag = 'N' THEN $C END) AS rev_n,
+       |    SUM(CASE WHEN l_returnflag = 'R' THEN $C END) AS rev_r
+       |  FROM lineitem GROUP BY l_suppkey)
+       |SELECT l_suppkey, 'A' AS returnflag, CAST(rev_a AS BIGINT) AS revenue_cents FROM wide
+       |UNION ALL
+       |SELECT l_suppkey, 'N' AS returnflag, CAST(rev_n AS BIGINT) AS revenue_cents FROM wide
+       |UNION ALL
+       |SELECT l_suppkey, 'R' AS returnflag, CAST(rev_r AS BIGINT) AS revenue_cents FROM wide""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(Num.cents(col("l_extendedprice"))))
+      .selectExpr(
+        "l_suppkey",
+        "stack(3, 'A', `A`, 'N', `N`, 'R', `R`) as (returnflag, revenue_cents)")
+  }
+
+  /** Pushdown-friendly scan: the timestamp range + discount predicates and the
+    * 3-column projection must reach the parquet reader (PushedFilters /
+    * ReadSchema) — verified in the plan spec.
+    */
+  val scanFilterProject: QueryDef = QueryDef(
+    "scan_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Num.cents(col("l_extendedprice")).as("price_cents"))
+  }
+
+  /** Set ops: EXCEPT / INTERSECT / UNION all use set (distinct) semantics in
+    * both engines.
+    */
+  val setExceptOrders: QueryDef = QueryDef(
+    "set_except_orders",
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+      |EXCEPT
+      |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_returnflag") === "A").select(col("l_orderkey"))
+      .except(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+  }
+
+  val setIntersectOrders: QueryDef = QueryDef(
+    "set_intersect_orders",
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+      |INTERSECT
+      |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_returnflag") === "A").select(col("l_orderkey"))
+      .intersect(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+  }
+
+  val setUnionNations: QueryDef = QueryDef(
+    "set_union_nations",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+  }
+
+  /** Global deterministic top-n (order by exact cents + key tiebreak). */
+  val sortLimitTopOrders: QueryDef = QueryDef(
+    "sort_limit_top_orders",
+    """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders
+      |ORDER BY price_cents DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    aggPricingSummary, aggDistinctCounts, aggRollup,
+    joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
+    topkSuppliersPerNation, dedupDeterministic, windowMomNation,
+    unpivotFlagRevenue, scanFilterProject,
+    setExceptOrders, setIntersectOrders, setUnionNations, sortLimitTopOrders)
+}

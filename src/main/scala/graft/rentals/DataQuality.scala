@@ -1,0 +1,154 @@
+package graft.rentals
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate, re-designed from `jobs/data_quality.py`.
+  *
+  * Contract (C2-C4 in SURVEY.md §2.12): a check is a named pure predicate over
+  * a DataFrame with a severity; the runner executes *all* checks eagerly,
+  * tallies a summary, and only then throws `DataQualityError` if any
+  * fail-severity check failed (`jobs/data_quality.py:161-225`). Warn-severity
+  * failures never throw (`:156`).
+  */
+sealed trait Severity { def label: String }
+case object Warn extends Severity { val label = "warn" }
+case object Fail extends Severity { val label = "fail" }
+
+/** `jobs/data_quality.py:24-38`. */
+final case class DataQualityCheck(
+    name: String,
+    checkFn: DataFrame => Boolean,
+    severity: Severity,
+    description: String)
+
+final case class CheckResult(
+    name: String,
+    passed: Boolean,
+    severity: Severity,
+    description: String)
+
+final case class DataQualitySummary(
+    total: Int,
+    passed: Int,
+    failed: Int,
+    warnings: Int,
+    details: Seq[CheckResult])
+
+final class DataQualityError(msg: String) extends RuntimeException(msg)
+
+object DataQuality {
+
+  /** Null-fraction gate (`null_percentage_check`, `jobs/data_quality.py:41-66`):
+    * passes when `nulls/total <= threshold`; an empty DataFrame passes
+    * (`:53-54`). Severity: fail.
+    */
+  def nullPercentageCheck(column: String, threshold: Double): DataQualityCheck =
+    DataQualityCheck(
+      name = s"null_percentage_$column",
+      checkFn = { df =>
+        val total = df.count()
+        if (total == 0L) true
+        else {
+          val nulls = df.filter(col(column).isNull).count()
+          nulls.toDouble / total.toDouble <= threshold
+        }
+      },
+      severity = Fail,
+      description = s"Null fraction of `$column` must be <= $threshold")
+
+  /** Minimum-row-count gate (`row_count_check`, `jobs/data_quality.py:69-87`):
+    * passes when `count >= minRows`. Severity: fail.
+    */
+  def rowCountCheck(minRows: Long): DataQualityCheck =
+    DataQualityCheck(
+      name = "row_count",
+      checkFn = _.count() >= minRows,
+      severity = Fail,
+      description = s"Row count must be >= $minRows")
+
+  /** Inclusive-range gate (`range_check`, `jobs/data_quality.py:90-120`):
+    * passes when zero rows fall outside `[min, max]` (bounds inclusive; nulls
+    * pass vacuously — a null comparison is filtered out, `:111`). Severity:
+    * fail.
+    */
+  def rangeCheck(column: String, min: Double, max: Double): DataQualityCheck =
+    DataQualityCheck(
+      name = s"range_$column",
+      checkFn = df => df.filter(col(column) < min || col(column) > max).count() == 0L,
+      severity = Fail,
+      description = s"All `$column` values must lie in [$min, $max]")
+
+  /** Key-uniqueness gate (`uniqueness_check`, `jobs/data_quality.py:123-158`):
+    * passes when `total == distinct(keys)` — *exact* distinct, the DQ contract
+    * is `duplicate_count == 0` (`:151`). Severity: **warn** (`:156`).
+    */
+  def uniquenessCheck(columns: Seq[String]): DataQualityCheck =
+    DataQualityCheck(
+      name = s"uniqueness_${columns.mkString("_")}",
+      checkFn = { df =>
+        val total = df.count()
+        val distinct = df.select(columns.map(col): _*).distinct().count()
+        total == distinct
+      },
+      severity = Warn,
+      description = s"(${columns.mkString(", ")}) must be unique")
+
+  /** The reference pipeline's standard gate set, built from config thresholds
+    * (`dags/rental_pipeline_dag.py:137-142` + `config/pipeline.yaml:18-22`).
+    */
+  def standardChecks(config: PipelineConfig = PipelineConfig()): Seq[DataQualityCheck] = Seq(
+    nullPercentageCheck("median_rent", config.nullPctThreshold),
+    rowCountCheck(config.minRows),
+    rangeCheck("median_rent", config.rentMin, config.rentMax),
+    uniquenessCheck(config.uniqueKeys))
+
+  /** Run-all-then-throw runner (`run_quality_checks`,
+    * `jobs/data_quality.py:161-225`). Every check runs (and logs) even if an
+    * earlier one failed; `DataQualityError` is raised only at the end, naming
+    * the failed fail-severity checks (`:218-223`).
+    *
+    * The input is cached for the duration of the gate: the reference re-scans
+    * its parquet input for every one of up to 6 count jobs
+    * (`jobs/data_quality.py:41-158`) — at 100 TB that is 6 full scans; one
+    * materialization + 6 cheap counts is the same contract, 6x less IO.
+    */
+  def runQualityChecks(
+      df: DataFrame,
+      checks: Seq[DataQualityCheck],
+      cacheInput: Boolean = true): DataQualitySummary = {
+    val summary = summarize(df, checks, cacheInput)
+    if (summary.failed > 0) {
+      val names = summary.details
+        .filter(r => !r.passed && r.severity == Fail)
+        .map(_.name)
+      throw new DataQualityError(
+        s"${summary.failed} DQ check(s) failed: ${names.mkString(", ")}")
+    }
+    summary
+  }
+
+  /** Same evaluation without the terminal throw — for callers that want the
+    * tally (e.g. the `dq_summary` driver query) rather than the gate.
+    */
+  def summarize(
+      df: DataFrame,
+      checks: Seq[DataQualityCheck],
+      cacheInput: Boolean = true): DataQualitySummary = {
+    val target = if (cacheInput) df.persist() else df
+    try {
+      val details = checks.map { c =>
+        val ok = try c.checkFn(target) catch { case _: Exception => false }
+        CheckResult(c.name, ok, c.severity, c.description)
+      }
+      DataQualitySummary(
+        total = details.size,
+        passed = details.count(_.passed),
+        failed = details.count(r => !r.passed && r.severity == Fail),
+        warnings = details.count(r => !r.passed && r.severity == Warn),
+        details = details)
+    } finally {
+      if (cacheInput) target.unpersist()
+    }
+  }
+}

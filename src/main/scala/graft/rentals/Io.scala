@@ -1,0 +1,63 @@
+package graft.rentals
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink layer, re-designed from `jobs/io_utils.py`.
+  *
+  * Config is a plain case class (the reference's `config/pipeline.yaml:1-22`
+  * values; this offline build has no YAML dependency and none is needed — the
+  * contract is the values, not the format).
+  */
+final case class PipelineConfig(
+    nullPctThreshold: Double = 0.1, // config/pipeline.yaml:19
+    minRows: Long = 100, // config/pipeline.yaml:20
+    rentMin: Double = 0.0, // config/pipeline.yaml:21
+    rentMax: Double = 50000.0, // config/pipeline.yaml:21
+    uniqueKeys: Seq[String] = Seq("RegionID", "month"), // config/pipeline.yaml:22
+    partitionKeys: Seq[String] = Seq("StateName", "year")) // config/pipeline.yaml:13
+
+object Io {
+
+  /** Two-pass CSV read (`read_raw_csv`, `jobs/io_utils.py:69-85`):
+    * pass 1 reads only the header to discover column names (a single tiny
+    * task — never a data scan), pass 2 reads with the synthesized explicit
+    * schema. `inferSchema` is deliberately never used: on a 100 TB input it
+    * would cost a full extra pass; this costs one file-open.
+    */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame = {
+    val header = spark.read.option("header", "true").csv(path).columns
+    val schema = Schemas.buildWideSchema(header.toSeq)
+    spark.read.option("header", "true").schema(schema).csv(path)
+  }
+
+  /** Partitioned parquet sink (`write_processed`, `jobs/io_utils.py:88-107`):
+    * derive `year` from `month`, write snappy parquet hive-partitioned by
+    * `(StateName, year)` so downstream geo/time queries get partition pruning
+    * for free.
+    *
+    * Scale note: the reference `coalesce(1)`s to one file per partition —
+    * correct for its ≲1M-row data, catastrophic at 100 TB (single write task).
+    * Here the file-count knob is `maxRecordsPerFile`; `coalesce(1)` is opt-in
+    * for small outputs only.
+    */
+  def writeProcessed(
+      df: DataFrame,
+      path: String,
+      config: PipelineConfig = PipelineConfig(),
+      singleFilePerPartition: Boolean = false,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val withYear = df.withColumn("year", year(col("month")))
+    val sized = if (singleFilePerPartition) withYear.coalesce(1) else withYear
+    sized.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(config.partitionKeys: _*)
+      .parquet(path)
+  }
+
+  /** Processed-parquet scan (`dags/rental_pipeline_dag.py:136`). */
+  def readProcessed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,76 @@
+package graft.rentals
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType}
+
+/** The reference pipeline's semantics (clean -> dedup -> MoM lag -> state
+  * rank, `jobs/transform.py:161-181`) applied to the driver's star schema:
+  * a rentals-shaped long table is derived from
+  * `lineitem ⋈ supplier ⋈ nation` (region = supplier, state = nation,
+  * rent = monthly revenue). This is the flagship `SparkEntry.entry` query.
+  *
+  * Scale shape: the two dim joins are broadcast (suppliers/nations are tiny at
+  * any SF); the only shuffles are the monthly aggregate and the two window
+  * exchanges — the same minimal plan you would want at 100 TB.
+  */
+object RentalsDemo {
+
+  /** lineitem -> canonical long rentals shape
+    * (`RegionID, RegionName, StateName, month, median_rent`).
+    */
+  def rentalsLong(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("s_suppkey").cast(IntegerType).as("RegionID"),
+        col("s_name").as("RegionName"),
+        col("n_name").as("StateName"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(Num.centsToDouble(sum(Num.cents(col("l_extendedprice")))).as("median_rent"))
+  }
+
+  /** Long shape -> full pipeline output (flagship). The wide-input stages
+    * (`enforceSchema`/`unpivotMonthly`) are exercised by the CSV path and unit
+    * tests; the long-input chain here matches the reference's post-unpivot
+    * order exactly.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    rentalsLong(spark, dir)
+      .transform(Transforms.cleanNulls)
+      .transform(Transforms.deduplicate)
+      .transform(Transforms.addMomChange)
+      .transform(Transforms.addStateRank)
+
+  private val longSql: String =
+    s"""SELECT CAST(s.s_suppkey AS INTEGER) AS RegionID,
+       |       s.s_name AS RegionName,
+       |       n.n_name AS StateName,
+       |       CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+       |       ${Num.sqlCentsToDouble(s"SUM(${Num.sqlCents("l.l_extendedprice")})")} AS median_rent
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "rentals_long",
+      longSql) { (spark, dir) => rentalsLong(spark, dir) },
+    QueryDef(
+      "rentals_pipeline",
+      s"""WITH long_shape AS ($longSql),
+         |mom AS (
+         |  SELECT *,
+         |         lag(median_rent) OVER (PARTITION BY RegionID ORDER BY month) AS prev
+         |  FROM long_shape
+         |)
+         |SELECT RegionID, RegionName, StateName, month, median_rent,
+         |       round(((median_rent - prev) / prev) * 100, 2) AS rent_change_mom,
+         |       CAST(rank() OVER (PARTITION BY StateName, month ORDER BY median_rent DESC) AS INTEGER) AS state_rent_rank
+         |FROM mom""".stripMargin) { (spark, dir) => pipeline(spark, dir) })
+}

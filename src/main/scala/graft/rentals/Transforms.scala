@@ -1,0 +1,110 @@
+package graft.rentals
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+
+/** The six pure `DataFrame => DataFrame` transforms of the rental pipeline,
+  * re-designed from `jobs/transform.py` (PySpark) into Scala Spark. Each is a
+  * pure function chained with `Dataset.transform` (`jobs/transform.py:174-181`,
+  * `CLAUDE.md:18`); the whole pipeline stays one lazy Catalyst plan with a
+  * single action at the sink.
+  *
+  * ANSI note: this engine keeps Spark 4's default `spark.sql.ansi.enabled=true`
+  * (fail-fast beats silent corruption at 100 TB), so parse/divide use the
+  * `try_`/null-guard forms to preserve the reference's null-on-bad-input
+  * semantics exactly.
+  */
+object Transforms {
+
+  /** Projecting cast-select (`enforce_schema`, `jobs/transform.py:37-56`):
+    * keep `RegionID, RegionName, StateName` + every date-named column; drop
+    * `SizeRank`, `RegionType`, and anything unknown; cast defensively (the
+    * transform layer accepts an all-string input). Early manual projection is
+    * also the right 100 TB behavior: the parquet/CSV scan then reads only the
+    * needed columns.
+    */
+  def enforceSchema(df: DataFrame): DataFrame = {
+    val dateCols = df.columns.filter(Schemas.isDateCol)
+    val fixed = Seq(
+      col("RegionID").cast(IntegerType),
+      col("RegionName").cast(StringType),
+      col("StateName").cast(StringType))
+    val measures = dateCols.map(c => col(s"`$c`").cast(DoubleType))
+    df.select(fixed ++ measures: _*)
+  }
+
+  /** Wide->long unpivot (`unpivot_monthly`, `jobs/transform.py:59-88`).
+    *
+    * Uses the same `stack(n, 'c', `c`, ...)` Catalyst generator as the
+    * reference (`jobs/transform.py:73-79`) — `stack` emits one row per
+    * (region, date-column) *including null measures*; null-cleaning is a
+    * separate, later op. Month strings parse with
+    * `coalesce(try_to_date(c,'yyyy-MM-dd'), try_to_date(c,'yyyy-MM'))`
+    * (`jobs/transform.py:82-86`; `yyyy-MM` yields first-of-month). `stack` is
+    * a narrow generator — no shuffle; output rows = regions × month-columns.
+    */
+  def unpivotMonthly(df: DataFrame): DataFrame = {
+    val idCols = Seq("RegionID", "RegionName", "StateName")
+    val dateCols = df.columns.filterNot(idCols.contains).filter(Schemas.isDateCol)
+    require(dateCols.nonEmpty, "no date-named measure columns to unpivot")
+    val stackArgs = dateCols.map(c => s"'$c', `$c`").mkString(", ")
+    val stackExpr = s"stack(${dateCols.length}, $stackArgs) as (month_str, median_rent)"
+    df.selectExpr(idCols :+ stackExpr: _*)
+      .withColumn(
+        "month",
+        coalesce(
+          try_to_date(col("month_str"), "yyyy-MM-dd"),
+          try_to_date(col("month_str"), "yyyy-MM")))
+      .drop("month_str")
+      .select("RegionID", "RegionName", "StateName", "month", "median_rent")
+  }
+
+  /** Null-measure filter (`clean_nulls`, `jobs/transform.py:91-104`). */
+  def cleanNulls(df: DataFrame): DataFrame =
+    df.filter(col("median_rent").isNotNull)
+
+  /** Key-subset dedup (`deduplicate`, `jobs/transform.py:107-119`):
+    * `dropDuplicates(RegionID, month)` — arbitrary survivor per key, exactly
+    * like the reference (its fixtures only ever duplicate identical rows, so
+    * the ambiguity is unobservable). For an oracle-deterministic dedup see
+    * `graft.ops.Relational` (row_number over a total order).
+    */
+  def deduplicate(df: DataFrame): DataFrame =
+    df.dropDuplicates(Seq("RegionID", "month"))
+
+  /** Month-over-month % change (`add_mom_change`, `jobs/transform.py:122-140`):
+    * `lag(median_rent) over (partition by RegionID order by month)`, then
+    * `round(((cur - prev) / prev) * 100, 2)`; first month per region -> null.
+    * The null-guard on `prev == 0` reproduces non-ANSI divide-by-zero -> null.
+    */
+  def addMomChange(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("RegionID").orderBy("month")
+    val prev = lag(col("median_rent"), 1).over(w)
+    val safePrev = when(prev === 0.0, lit(null).cast(DoubleType)).otherwise(prev)
+    df.withColumn(
+      "rent_change_mom",
+      round(((col("median_rent") - safePrev) / safePrev) * 100, 2))
+  }
+
+  /** Per-(state, month) rent rank (`add_state_rank`, `jobs/transform.py:143-158`):
+    * highest rent = 1; ties share rank with gaps (`rank`, not `dense_rank`).
+    */
+  def addStateRank(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("StateName", "month").orderBy(col("median_rent").desc)
+    df.withColumn("state_rent_rank", rank().over(w))
+  }
+
+  /** Full chain in the reference's fixed order (`run_pipeline`,
+    * `jobs/transform.py:161-181`). Order is semantic: nulls are removed before
+    * `lag` (so MoM skips null months) and dedup runs before both windows.
+    */
+  def runPipeline(df: DataFrame): DataFrame =
+    df.transform(enforceSchema)
+      .transform(unpivotMonthly)
+      .transform(cleanNulls)
+      .transform(deduplicate)
+      .transform(addMomChange)
+      .transform(addStateRank)
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: file-source stream over the events table,
+  * watermarked tumbling-window aggregation, and custom per-key state via
+  * `mapGroupsWithState` (running per-user counters).
+  *
+  * The reference is batch-only (SURVEY.md §2.10) — this is the category's
+  * streaming extension. The batch dual of `hourlyCounts` is
+  * `graft.ops.Events.eventsHourly`, which the driver oracle-checks; the
+  * streaming jobs are asserted by ScalaTest with `Trigger.AvailableNow` /
+  * memory sinks.
+  */
+object Streams {
+
+  /** File streams need an explicit schema (no inference mid-stream). The
+    * driver's parquet carries TIMESTAMP(NANOS) — read as nano longs and
+    * converted (see [[graft.core.Tables]]).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (file source; at scale this would
+    * be a Kafka/queue source — the transform graph below is source-agnostic).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling 1-hour aggregation — the streaming form of the
+    * oracle-checked batch query `events_hourly`. Late events beyond 2 hours
+    * are dropped; state is bounded by the watermark.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  final case class UserRunningState(nEvents: Long, totalValueCents: Long)
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value_cents: Long)
+
+  /** Custom streaming state: per-user running event count + exact cents total
+    * via `mapGroupsWithState` (processing-time timeout-free accumulation).
+    */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserSnapshot] = {
+    import spark.implicits._
+    events
+      .select(
+        col("user_id"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunningState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0L))
+          val (n, cents) = rows.foldLeft((prev.nEvents, prev.totalValueCents)) {
+            case ((cn, cc), (_, rowCents)) => (cn + 1L, cc + rowCents)
+          }
+          state.update(UserRunningState(n, cents))
+          UserSnapshot(userId, n, cents)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over the currently-available
+    * data (AvailableNow) into an in-memory table; returns the result. Used by
+    * tests and demos — production would use a durable sink + real trigger.
+    */
+  def runAvailableNowToMemory(
+      spark: SparkSession,
+      streamed: DataFrame,
+      queryName: String,
+      outputMode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

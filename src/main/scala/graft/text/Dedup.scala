@@ -1,0 +1,179 @@
+package graft.text
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the dedup half of a
+  * training-data pipeline:
+  *
+  *  - exact dedup: group-by full content (hash-groupBy; one shuffle on the
+  *    content hash);
+  *  - n-gram Jaccard: shingle arrays + `array_intersect`/`array_union`;
+  *  - MinHash + LSH: shingle -> k minhashes -> banded bucket-join, candidate
+  *    pairs verified with exact Jaccard. This is the 100 TB path: candidate
+  *    generation shuffles only (band_id, band_key) — never the O(n²) pair
+  *    space;
+  *  - SimHash: 64-bit signature from per-token hashes, near-dup candidates via
+  *    16-bit chunk blocking (Hamming ≤ 3 guarantees two equal chunks by
+  *    pigeonhole over 4 chunks).
+  *
+  * MinHash/SimHash use Spark's codegen'd `xxhash64` as the hash family; its
+  * constants are engine-internal, so those two are registered without a DuckDB
+  * oracle (rows-only driver check) and are instead covered by ScalaTest
+  * (planted near-duplicates must pair up; disjoint docs must not).
+  */
+object Dedup {
+
+  /** Exact dedup via full-content group-by; emits the canonical survivor
+    * (min doc_id) + multiplicity + content hash.
+    */
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact_text",
+    """SELECT sha256(text) AS text_hash,
+      |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents
+      |GROUP BY text""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(sha2(col("text"), 256).as("text_hash"), col("keep_id"), col("n_copies"))
+  }
+
+  /** Word-bigram shingle set of `text` (distinct), as a SQL expression. */
+  private def shinglesSpark(textCol: String): String =
+    s"""CASE WHEN size(split($textCol, ' ')) >= 2
+       |THEN array_distinct(transform(
+       |       sequence(1, size(split($textCol, ' ')) - 1),
+       |       i -> concat(element_at(split($textCol, ' '), i), ' ',
+       |                   element_at(split($textCol, ' '), i + 1))))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  private def shinglesSql(textCol: String): String =
+    s"""CASE WHEN len(string_split($textCol, ' ')) >= 2
+       |THEN list_distinct(list_transform(
+       |       range(1, len(string_split($textCol, ' '))),
+       |       i -> string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i + 1]))
+       |ELSE [] END""".stripMargin
+
+  /** n-gram (word-bigram) Jaccard similarity between consecutive documents —
+    * a deterministic, oracle-checkable exercise of the shingle/Jaccard
+    * machinery (the scale path for *candidate generation* is the LSH query
+    * below; Jaccard verification itself is this same expression).
+    */
+  val ngramJaccardConsecutive: QueryDef = QueryDef(
+    "ngram_jaccard_consecutive",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS s
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_id, b.doc_id AS next_doc_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_common,
+       |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS INTEGER) AS n_union,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0""".stripMargin) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("next_doc_id"),
+        size(array_intersect(col("a.s"), col("b.s"))).as("n_common"),
+        size(array_union(col("a.s"), col("b.s"))).as("n_union"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))).cast("double")).as("jaccard"))
+      .filter(size(array_union(col("a.s"), col("b.s"))) > 0)
+  }
+
+  private val NumHashes = 16
+  private val BandSize = 4 // 4 bands x 4 rows
+
+  /** doc_id + shingle array + minhash signature array (length [[NumHashes]]).
+    * minhash_i = min over shingles of xxhash64(i, shingle).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
+      .filter(size(col("s")) > 0)
+    val sig = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(s, x -> xxhash64(${i}L, x)))")
+    }
+    sh.withColumn("sig", array(sig: _*))
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature, shuffle on
+    * (band, band-key), emit within-bucket pairs, verify with exact Jaccard,
+    * keep pairs >= 0.5. Candidate generation is linear in documents (no
+    * cross join anywhere); the only quadratic term is within a bucket, which
+    * LSH keeps tiny by construction.
+    */
+  val minhashLsh: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (spark, dir) =>
+    val sig = minhashSignatures(spark, dir)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      struct(
+        lit(b).as("band"),
+        expr(s"slice(sig, ${b * BandSize + 1}, $BandSize)").as("key"))
+    }
+    val bucketed = sig
+      .select(col("doc_id"), col("s"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("s"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the space-tokenized `textCol`: per-token xxhash64,
+    * each of the 64 bits votes +1/-1, sign of the tally is the signature bit.
+    */
+  def simhashExpr(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), b ->
+       |    CASE WHEN aggregate(split($textCol, ' '), 0L,
+       |           (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L THEN 1L ELSE -1L END) > 0L
+       |    THEN shiftleft(1L, b) ELSE 0L END),
+       |  0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /** SimHash near-dup candidates: block on any equal 16-bit chunk (pigeonhole:
+    * Hamming ≤ 3 over 4 chunks ⇒ some chunk equal), then verify Hamming ≤ 3.
+    */
+  val simhashNearDup: QueryDef = QueryDef.noOracle("dedup_simhash") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .withColumn("sh", simhashExpr("text"))
+    val chunked = docs.select(
+      col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sh, c * 16) & 65535L AS key))")).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup)
+}

@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the text half of a
+  * large-scale training-data pipeline: token counting, quality scoring,
+  * n-gram language-ID heuristic, and document fingerprinting (rolling hash +
+  * SHA-256 content hash).
+  *
+  * Everything is built from codegen'd Catalyst expressions (`split`,
+  * higher-order `transform`/`filter`/`aggregate`) — no UDFs, so the whole
+  * stage stays inside WholeStageCodegen and scales as a pure narrow map over
+  * document partitions (zero shuffles).
+  */
+object TextAnalysis {
+
+  /** Tokens = single-space split (the corpus is space-joined words; the same
+    * split is used on the DuckDB side, keeping token arity oracle-exact).
+    */
+  private val toks = "split(text, ' ')"
+  private val toksSql = "string_split(text, ' ')"
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Token counting + quality-score signals: length, token count, distinct
+    * tokens, type/token ratio, stopword ratio, average token length.
+    */
+  val textStats: QueryDef = QueryDef(
+    "text_stats",
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens,
+       |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS type_token_ratio,
+       |  CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE)
+       |    / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+       |  CAST(length(text) - (len($toksSql) - 1) AS DOUBLE)
+       |    / CAST(len($toksSql) AS DOUBLE) AS avg_token_len
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "length(text) AS n_chars",
+      s"size($toks) AS n_tokens",
+      s"size(array_distinct($toks)) AS n_distinct_tokens",
+      s"CAST(size(array_distinct($toks)) AS DOUBLE) / CAST(size($toks) AS DOUBLE) AS type_token_ratio",
+      s"CAST(size(filter($toks, t -> array_contains($stopArr, t))) AS DOUBLE) / CAST(size($toks) AS DOUBLE) AS stopword_ratio",
+      s"CAST(length(text) - (size($toks) - 1) AS DOUBLE) / CAST(size($toks) AS DOUBLE) AS avg_token_len")
+  }
+
+  /** Language-ID heuristic: count stopword hits per language profile, pick the
+    * max with a deterministic alphabetical tiebreak (`greatest` + first-match
+    * CASE, identical in both engines). A real corpus would use char-n-gram
+    * profiles; the mechanism (profile scores -> argmax, pure narrow map) is
+    * identical.
+    */
+  val langGuess: QueryDef = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "und", "nicht", "das"),
+      "en" -> Seq("the", "a", "and", "is", "of"),
+      "es" -> Seq("el", "la", "los", "que", "de"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("shi", "de", "le", "bu", "wo"))
+    def scoreSpark(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      s"size(filter(split(text, ' '), t -> array_contains($arr, t)))"
+    }
+    def scoreSql(words: Seq[String]) = {
+      val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($l, t))) AS INTEGER)"
+    }
+    val langs = profiles.map(_._1)
+    val caseExpr = (sel: String => String) =>
+      "CASE " + langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ") + " END"
+    QueryDef(
+      "lang_guess",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    ${profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n    ")}
+         |  FROM documents),
+         |m AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM scored)
+         |SELECT doc_id, lang_actual,
+         |  ${caseExpr(identity)} AS lang_guess,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM m""".stripMargin) { (spark, dir) =>
+      val scored = Tables.documents(spark, dir).selectExpr(
+        Seq("doc_id", "lang AS lang_actual") ++
+          profiles.map { case (l, ws) => s"${scoreSpark(ws)} AS s_$l" }: _*)
+      scored
+        .withColumn("m", greatest(langs.map(l => col(s"s_$l")): _*))
+        .selectExpr(
+          Seq("doc_id", "lang_actual", s"${caseExpr(identity)} AS lang_guess") ++
+            langs.map(l => s"s_$l"): _*)
+    }
+  }
+
+  /** Document fingerprinting: (a) a polynomial rolling hash over character
+    * codes folded with exact modular integer arithmetic (bit-identical in any
+    * engine — the hash constants are public math, not engine internals), and
+    * (b) SHA-256 of the content (Spark `sha2` == DuckDB `sha256`, both
+    * lowercase hex).
+    */
+  val textFingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS poly_hash,
+      |  sha256(text) AS sha_hex
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      """aggregate(
+        |  transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |  CAST(0 AS BIGINT),
+        |  (h, c) -> (h * 31 + c) % 1000000007) AS poly_hash""".stripMargin,
+      "sha2(text, 256) AS sha_hex")
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, langGuess, textFingerprint)
+}

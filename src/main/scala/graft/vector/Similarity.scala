@@ -1,0 +1,160 @@
+package graft.vector
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  * Numeric design for the oracle: embeddings are quantized to integer
+  * milli-units (`floor(double(x) * 1000)`), so dot products and squared norms
+  * are exact 64-bit integers — associative, partitioning-independent, and
+  * identical in any engine. Only the final cosine (one division, two sqrts on
+  * identical doubles) is floating point, and those ops are IEEE-exact.
+  *
+  * Scale shapes:
+  *  - brute-force top-k: broadcast the (small) query set against the candidate
+  *    table — a narrow map + per-partition top-k; no shuffle of the big side.
+  *  - IVF: coarse-quantize candidates into cells (here: the `label` column as
+  *    the cell id, centroids computed exactly), probe the nearest cells only —
+  *    the candidate scan drops by ~cells/probes; this is the 100 TB path.
+  */
+object Similarity {
+
+  /** Quantized embedding + exact integer squared norm. */
+  private val qvec = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+  private def dotSpark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** embeddings -> (vec_id, label, q: array<bigint>, norm2: bigint). */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "label",
+      s"$qvec AS q",
+      s"${dotSpark(qvec, qvec)} AS norm2")
+
+  /** Brute-force cosine top-10 for a fixed small query set (vec_id < 5),
+    * excluding self. Exact integer dot/norms; deterministic rank tiebreak on
+    * candidate id.
+    */
+  val knnBrute: QueryDef = QueryDef(
+    "knn_brute_cosine",
+    s"""WITH q AS (
+       |  SELECT vec_id, $qvecSql AS q,
+       |         ${dotSql(qvecSql, qvecSql)} AS norm2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |         CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
+       |  FROM (SELECT * FROM q WHERE vec_id < 5 AND norm2 > 0) a
+       |  CROSS JOIN (SELECT * FROM q WHERE norm2 > 0) b
+       |  WHERE b.vec_id <> a.vec_id)
+       |SELECT query_id, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT query_id, cand_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
+    val q = quantized(spark, dir).filter(col("norm2") > 0)
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+    val cands = q.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
+    val scored = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("cos_sim",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Embedding-cosine near-dup scan between consecutive vectors (exact,
+    * oracle-checked; the LSH/IVF candidate generation for all-pairs near-dup
+    * at scale is demonstrated by `ann_ivf_probe` below and Dedup's LSH).
+    */
+  val cosineConsecutive: QueryDef = QueryDef(
+    "embedding_cosine_consecutive",
+    s"""WITH q AS (
+       |  SELECT vec_id, $qvecSql AS q,
+       |         ${dotSql(qvecSql, qvecSql)} AS norm2
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_id, b.vec_id AS next_vec_id,
+       |       CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |         / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
+       |FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+       |WHERE a.norm2 > 0 AND b.norm2 > 0""".stripMargin) { (spark, dir) =>
+    val q = quantized(spark, dir).filter(col("norm2") > 0)
+    val a = q.select(col("vec_id"), col("q").as("qa"), col("norm2").as("na"))
+    val b = q.select(col("vec_id").as("next_vec_id"), col("q").as("qb"), col("norm2").as("nb"))
+    a.join(b, col("next_vec_id") === col("vec_id") + 1)
+      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .select(
+        col("vec_id"), col("next_vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos_sim"))
+  }
+
+  /** IVF-style ANN: cells = `label`; exact integer centroids per cell; each
+    * query probes its 2 nearest cells and ranks only those candidates.
+    * Spark-only (no oracle): the structure — centroid build, cell probe,
+    * pruned scan — is the point; ScalaTest asserts recall vs brute force.
+    */
+  val annIvfProbe: QueryDef = QueryDef.noOracle("ann_ivf_probe") { (spark, dir) =>
+    val q = quantized(spark, dir).filter(col("norm2") > 0)
+
+    // Exact per-cell centroids: posexplode to (cell, dim) and sum — fully
+    // associative partial aggregation, no whole-vector collect on the way.
+    val cents = q
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, s, n))), " +
+          "e -> CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE))").as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+
+    // Probe: 2 nearest centroids per query by cosine against the centroid.
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qa, centroid, (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("cnorm",
+        expr("sqrt(aggregate(transform(centroid, x -> x * x), 0.0D, (acc, v) -> acc + v))"))
+      .withColumn("ccos", col("cdot") / (sqrt(col("na").cast("double")) * col("cnorm")))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = probed
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= 2)
+      .select(col("query_id"), col("qa"), col("na"), col("cell"))
+
+    // Pruned candidate scan: only vectors in the probed cells.
+    val cands = q.select(col("vec_id").as("cand_id"), col("label").as("cell"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    val scored = cands.join(broadcast(cells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("cos_sim",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("cos_sim"), col("rnk").cast("int").as("rnk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(knnBrute, cosineConsecutive, annIvfProbe)
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Dev-only pre-flight for the driver's correctness gate (NOT part of the
+engine): run Verify's parquet dumps against the DuckDB oracle SQL and compare
+row-for-row after sorting columns by name and rows by value.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    def key(r):
+        return tuple("\0NULL" if v is None else repr(v) for v in r)
+    return sorted(rows, key=key)
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # bitwise-exact contract
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            my_cols = [d[0] for d in mine.description]
+            my_rows = mine.fetchall()
+            oracle_rel = con.execute(sql)
+            or_cols = [d[0] for d in oracle_rel.description]
+            or_rows = oracle_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            failures += 1
+            continue
+        if sorted(my_cols) != sorted(or_cols):
+            print(f"FAIL {name}: columns {sorted(my_cols)} != {sorted(or_cols)}")
+            failures += 1
+            continue
+        my_ix = [my_cols.index(c) for c in sorted(my_cols)]
+        or_ix = [or_cols.index(c) for c in sorted(or_cols)]
+        mine_sorted = canon([[r[i] for i in my_ix] for r in my_rows])
+        orac_sorted = canon([[r[i] for i in or_ix] for r in or_rows])
+        if len(mine_sorted) != len(orac_sorted):
+            print(f"FAIL {name}: rowcount {len(mine_sorted)} != {len(orac_sorted)}")
+            failures += 1
+            continue
+        bad = None
+        for i, (mr, orr) in enumerate(zip(mine_sorted, orac_sorted)):
+            if not all(values_equal(a, b) for a, b in zip(mr, orr)):
+                bad = (i, mr, orr)
+                break
+        if bad:
+            i, mr, orr = bad
+            print(f"FAIL {name}: row {i}\n  cols:   {sorted(my_cols)}\n  mine:   {mr}\n  oracle: {orr}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(mine_sorted)} rows")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
