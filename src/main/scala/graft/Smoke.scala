@@ -21,9 +21,18 @@ object Smoke {
     val entry = SparkEntry.entry(spark)
     println(s"[smoke] entry rows = ${entry.count()}")
     entry.show(5, truncate = false)
+    if (names.contains("streaming")) {
+      val streamed = streaming.Streams.hourlyCounts(
+        streaming.Streams.readEventsStream(spark, sfDir))
+      val out = streaming.Streams.runAvailableNowToMemory(
+        spark, streamed, "smoke_hourly",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      println(s"[smoke] streaming hourly rows = ${out.count()}")
+      out.show(5, truncate = false)
+    }
     val targets =
       if (names == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
-      else names
+      else names.filterNot(_ == "streaming")
     targets.foreach { n =>
       try {
         val t0 = System.nanoTime()

@@ -36,7 +36,9 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
-      .parquet(s"$dir/events.parquet")
+      // a glob (not a bare file path) so the stream source resolves its
+      // basePath to the directory — FileStreamSource rejects file basePaths
+      .parquet(s"$dir/events.parquet*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

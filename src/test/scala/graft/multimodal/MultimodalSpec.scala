@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media table carries binary payload + typed metadata") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val first = media.head()
+    assert(first.payload.nonEmpty)
+    assert(first.meta.nBytes === first.payload.length.toLong)
+    assert(first.meta.mime === "application/octet-stream")
+  }
+
+  test("decode stub is deterministic and batch extraction covers every record") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val n = media.count()
+    val feats = Multimodal.extractFeatures(media, batchSize = 64)
+    assert(feats.count() === n)
+    val f1 = feats.orderBy("doc_id").head()
+    val f2 = Multimodal.extractFeatures(media, batchSize = 7).orderBy("doc_id").head()
+    assert(f1 === f2) // batch size must not change results
+    assert(f1.width >= 64 && f1.width < 128)
+    assert(f1.brightness > 0.0)
+  }
+
+  test("decode stub golden value on a known payload") {
+    val r = MediaRecord(42L, "abc".getBytes("UTF-8"), MediaMeta("application/octet-stream", 3L))
+    val f = Multimodal.decodeStub(r)
+    assert(f.doc_id === 42L)
+    assert(f.width === 64 + 3)
+    assert(f.n_frames === 1 + 3 % 4)
+    assert(f.brightness === (97 + 98 + 99).toDouble / 3.0)
+  }
+
+  test("frame sampling emits every k-th offset") {
+    val media = Multimodal.mediaTable(spark, sf).limit(5)
+    val frames = Multimodal.sampleFrames(media, everyK = 100)
+    val one = frames.filter(col("doc_id") === media.head().doc_id)
+      .orderBy("frame_idx").collect()
+    assert(one.nonEmpty)
+    assert(one.head.getAs[Long]("frame_offset") === 0L)
+    if (one.length > 1) assert(one(1).getAs[Long]("frame_offset") === 100L)
+  }
+}

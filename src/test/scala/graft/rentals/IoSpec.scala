@@ -1,0 +1,60 @@
+package graft.rentals
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Two-pass CSV read + partitioned parquet write (`jobs/io_utils.py`). */
+class IoSpec extends SparkSpec {
+
+  private val csv =
+    """RegionID,SizeRank,RegionName,RegionType,StateName,2024-01,2024-02,2024-03
+      |102001,1,New York,msa,NY,3450.0,3475.0,3520.0
+      |394913,2,San Francisco,msa,CA,3150.0,3200.0,
+      |""".stripMargin
+
+  test("readRawCsv synthesizes the schema: fixed types + date cols as double, no inference") {
+    withTempDir { dir =>
+      val f = new java.io.File(dir, "raw.csv")
+      java.nio.file.Files.writeString(f.toPath, csv)
+      val df = Io.readRawCsv(spark, f.getAbsolutePath)
+      val types = df.schema.map(x => x.name -> x.dataType).toMap
+      assert(types("RegionID") === IntegerType)
+      assert(types("SizeRank") === IntegerType)
+      assert(types("RegionName") === StringType)
+      assert(types("2024-01") === DoubleType)
+      assert(df.count() === 2)
+      // unknown columns would fall back to StringType
+      assert(Schemas.typeFor("mystery_col") === StringType)
+    }
+  }
+
+  test("writeProcessed partitions by (StateName, year) and derives year") {
+    withTempDir { dir =>
+      val out = new java.io.File(dir, "processed").getAbsolutePath
+      val long = mkDf(Fixtures.longSchema, Fixtures.longRows).transform(Transforms.cleanNulls)
+      Io.writeProcessed(long, out, singleFilePerPartition = true)
+      val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("StateName=")).sorted
+      assert(dirs.toSeq === Seq("StateName=CA", "StateName=NY", "StateName=TX"))
+      val back = Io.readProcessed(spark, out)
+      assert(back.count() === long.count())
+      assert(back.columns.contains("year"))
+      assert(back.select("year").distinct().collect().map(_.get(0)).toSet === Set(2024))
+    }
+  }
+
+  test("full CSV -> pipeline -> partitioned parquet -> DQ gate round trip") {
+    withTempDir { dir =>
+      val f = new java.io.File(dir, "raw.csv")
+      java.nio.file.Files.writeString(f.toPath, csv)
+      val out = new java.io.File(dir, "processed").getAbsolutePath
+      val processed = Io.readRawCsv(spark, f.getAbsolutePath).transform(Transforms.runPipeline)
+      Io.writeProcessed(processed, out)
+      val back = Io.readProcessed(spark, out)
+      assert(back.count() === 5) // 6 cells - 1 null
+      val summary = DataQuality.runQualityChecks(
+        back, DataQuality.standardChecks(PipelineConfig(minRows = 1)))
+      assert(summary.failed === 0)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming jobs run to completion over the file source with
+  * AvailableNow and must agree with their batch duals.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts equal the batch tumbling-window aggregation") {
+    val streamed = Streams.hourlyCounts(Streams.readEventsStream(spark, sf))
+    val result = Streams.runAvailableNowToMemory(
+      spark, streamed, "hourly_test", OutputMode.Append())
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+    // Append mode emits only windows below the watermark; every emitted row
+    // must match the batch result exactly, and most windows must have closed.
+    val b = batch.collect().map(_.toString).toSet
+    val s = result.collect().map(_.toString).toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b))
+    assert(s.size >= (b.size * 3) / 4)
+  }
+
+  test("mapGroupsWithState running totals converge to the batch per-user totals") {
+    val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
+    val result = Streams.runAvailableNowToMemory(
+      spark, snapshots.toDF(), "running_totals_test", OutputMode.Update())
+    // last snapshot per user = final running state
+    val finals = result.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("total_value_cents").as("cents"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(coalesce(round(col("value") * 100).cast("long"), lit(0L))).as("cents"))
+    val f = finals.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f === b)
+  }
+}

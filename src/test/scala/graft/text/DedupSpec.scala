@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family over planted corpora: exact dups must collapse, near-dups
+  * must pair up under MinHash-LSH and SimHash, disjoint docs must not.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Write a documents.parquet into a temp dir shaped like the driver data. */
+  private def docsDir(docs: Seq[(Long, String)])(f: String => Unit): Unit =
+    withTempDir { dir =>
+      import spark.implicits._
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("test"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir.getAbsolutePath)
+    }
+
+  private val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and the birds sing in the tall green trees above the quiet garden"
+  private val nearDup = base.replace("quiet garden", "silent yard") // small edit
+  private val disjoint = "completely different words about spark shuffle partitions and broadcast joins in distributed query engines running on large clusters"
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    docsDir(Seq(1L -> base, 2L -> base, 3L -> disjoint)) { dir =>
+      val out = Dedup.dedupExact.fn(spark, dir).collect()
+      val byCopies = out.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+      assert(byCopies === Map(1L -> 2L, 3L -> 1L))
+    }
+  }
+
+  test("minhash LSH pairs near-duplicates, not disjoint docs") {
+    docsDir(Seq(1L -> base, 2L -> nearDup, 3L -> disjoint)) { dir =>
+      val pairs = Dedup.minhashLsh.fn(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L)))
+    }
+  }
+
+  test("simhash pairs near-duplicates within hamming 3, not disjoint docs") {
+    // SimHash at hamming<=3 is a near-identical detector: one token edited in
+    // a ~400-token doc (its real operating envelope); short noisy edits
+    // belong to MinHash/Jaccard above.
+    val longBase = (0 until 400).map(i => s"w${(i * 17) % 97}").mkString(" ")
+    val longNear = longBase.replaceFirst("w33 ", "edited ")
+    val longOther = (0 until 400).map(i => s"v${(i * 23) % 89}").mkString(" ")
+    docsDir(Seq(1L -> longBase, 2L -> longNear, 3L -> longOther)) { dir =>
+      val pairs = Dedup.simhashNearDup.fn(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L)))
+    }
+  }
+
+  test("ngram jaccard: identical texts = 1.0, near-dups high, disjoint = 0") {
+    docsDir(Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> disjoint)) { dir =>
+      val rows = Dedup.ngramJaccardConsecutive.fn(spark, dir)
+        .select("doc_id", "jaccard").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(1L) === 1.0) // 1 vs 2: identical
+      assert(rows(2L) > 0.8 && rows(2L) < 1.0) // 2 vs 3: near dup
+      assert(rows(3L) === 0.0) // 3 vs 4: disjoint
+    }
+  }
+
+  test("minhash signature is stable and has the configured width") {
+    docsDir(Seq(1L -> base)) { dir =>
+      val sig1 = Dedup.minhashSignatures(spark, dir).select("sig").head().getSeq[Long](0)
+      val sig2 = Dedup.minhashSignatures(spark, dir).select("sig").head().getSeq[Long](0)
+      assert(sig1.length === 16)
+      assert(sig1 === sig2) // deterministic
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search: identical vectors rank first with cosine 1.0; the IVF
+  * probe recalls brute-force results when cells are well separated.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** Deterministic synthetic embeddings: two well-separated clusters around
+    * axis directions, labels = cluster; vec 0 and vec 100 identical.
+    */
+  private def embDir(f: String => Unit): Unit =
+    withTempDir { dir =>
+      import spark.implicits._
+      val dim = 8
+      // (i*13 + d*5) % 41 is injective in i for i < 40, so every vector is
+      // distinct — except vec 100, a deliberate exact copy of vec 0.
+      def vec(i: Int): Array[Float] = {
+        val cluster = i % 2
+        Array.tabulate(dim) { d =>
+          (if (d == cluster) 1.0f else 0.05f) + 0.01f * ((i * 13 + d * 5) % 41)
+        }
+      }
+      val rows: Seq[(Long, Array[Float], Int)] =
+        (0 until 40).map(i => (i.toLong, vec(i), i % 2)) :+ ((100L, vec(0), 0))
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      f(dir.getAbsolutePath)
+    }
+
+  test("brute-force knn: the identical vector is the top neighbor with cos 1.0") {
+    embDir { dir =>
+      val top = Similarity.knnBrute.fn(spark, dir)
+        .filter(col("query_id") === 0 && col("rnk") === 1)
+        .select("cand_id", "cos_sim").head()
+      assert(top.getLong(0) === 100L)
+      assert(top.getDouble(1) === 1.0)
+    }
+  }
+
+  test("knn returns exactly k deterministic neighbors per query") {
+    embDir { dir =>
+      val out = Similarity.knnBrute.fn(spark, dir).collect()
+      val byQuery = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+      assert(byQuery.values.toSet === Set(10))
+      val again = Similarity.knnBrute.fn(spark, dir).collect()
+      assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("IVF probe recalls the brute-force top-10 on separated clusters") {
+    embDir { dir =>
+      def topSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "cand_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val brute = topSet(Similarity.knnBrute.fn(spark, dir))
+      val ivf = topSet(Similarity.annIvfProbe.fn(spark, dir))
+      // probing 2 of 2 cells => IVF must equal brute force here
+      assert(ivf === brute)
+    }
+  }
+
+  test("cosine of consecutive planted dims is exact and symmetric-ish sane") {
+    embDir { dir =>
+      val sims = Similarity.cosineConsecutive.fn(spark, dir)
+        .select("cos_sim").collect().map(_.getDouble(0))
+      assert(sims.nonEmpty)
+      assert(sims.forall(s => s >= -1.0 && s <= 1.000000001))
+    }
+  }
+}
