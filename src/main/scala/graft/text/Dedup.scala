@@ -42,13 +42,18 @@ object Dedup {
       .select(sha2(col("text"), 256).as("text_hash"), col("keep_id"), col("n_copies"))
   }
 
-  /** Word-bigram shingle set of `text` (distinct), as a SQL expression. */
+  /** Word-bigram shingle set of `text` (distinct), as a SQL expression.
+    * `zip_with(tokens, tokens[1:], concat)` — the naive
+    * `transform(sequence(...), i -> element_at(split(...), i))` form
+    * re-evaluates `split` *per element* (O(tokens²) per row); this form
+    * evaluates it a constant number of times.
+    */
   private def shinglesSpark(textCol: String): String =
     s"""CASE WHEN size(split($textCol, ' ')) >= 2
-       |THEN array_distinct(transform(
-       |       sequence(1, size(split($textCol, ' ')) - 1),
-       |       i -> concat(element_at(split($textCol, ' '), i), ' ',
-       |                   element_at(split($textCol, ' '), i + 1))))
+       |THEN array_distinct(zip_with(
+       |       slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
+       |       slice(split($textCol, ' '), 2, size(split($textCol, ' ')) - 1),
+       |       (a, b) -> concat(a, ' ', b)))
        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
 
   private def shinglesSql(textCol: String): String =
@@ -84,10 +89,9 @@ object Dedup {
         col("a.doc_id").as("doc_id"),
         col("b.doc_id").as("next_doc_id"),
         size(array_intersect(col("a.s"), col("b.s"))).as("n_common"),
-        size(array_union(col("a.s"), col("b.s"))).as("n_union"),
-        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
-          size(array_union(col("a.s"), col("b.s"))).cast("double")).as("jaccard"))
-      .filter(size(array_union(col("a.s"), col("b.s"))) > 0)
+        size(array_union(col("a.s"), col("b.s"))).as("n_union"))
+      .filter(col("n_union") > 0)
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
   }
 
   private val NumHashes = 16
@@ -114,48 +118,66 @@ object Dedup {
     */
   val minhashLsh: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (spark, dir) =>
     val sig = minhashSignatures(spark, dir)
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      struct(
-        lit(b).as("band"),
-        expr(s"slice(sig, ${b * BandSize + 1}, $BandSize)").as("key"))
+    // Band keys are a single 64-bit hash of the band's minhash slice — the
+    // bucket shuffle carries (doc_id, band, key) only, never the shingle
+    // arrays (at 100 TB the arrays dominate the row size; shuffling them
+    // with every band would multiply shuffle IO by bands x array-size).
+    val bandKeys = (0 until NumHashes / BandSize).map { b =>
+      val slots = (0 until BandSize)
+        .map(j => s"element_at(sig, ${b * BandSize + j + 1})").mkString(", ")
+      struct(lit(b).as("band"), expr(s"xxhash64($b, $slots)").as("key"))
     }
-    val bucketed = sig
-      .select(col("doc_id"), col("s"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("s"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    val pairs = a.join(b,
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    pairs
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+    // Verify candidates with exact Jaccard: join the (candidate-count-sized)
+    // pair set back to the shingle arrays.
+    val sh = sig.select(col("doc_id"), col("s"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of the space-tokenized `textCol`: per-token xxhash64,
-    * each of the 64 bits votes +1/-1, sign of the tally is the signature bit.
+  /** 64-bit SimHash per document: per-token xxhash64, each of the 64 bits
+    * votes +1/-1, sign of the tally is the signature bit.
+    *
+    * Computed as explode -> hash-once-per-token -> 64 partial-aggregated bit
+    * sums (one shuffle on doc_id). The closed-form nested-lambda version
+    * re-tokenizes and re-hashes per bit (64x the work per row); this shape
+    * does each token hash exactly once and lets Catalyst partial-aggregate
+    * the votes map-side.
     */
-  def simhashExpr(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    CASE WHEN aggregate(split($textCol, ' '), 0L,
-       |           (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L THEN 1L ELSE -1L END) > 0L
-       |    THEN shiftleft(1L, b) ELSE 0L END),
-       |  0L, (acc, x) -> acc + x)""".stripMargin)
+  def simhashTable(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val voted = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), sh.as("sh"))
+  }
 
   /** SimHash near-dup candidates: block on any equal 16-bit chunk (pigeonhole:
     * Hamming ≤ 3 over 4 chunks ⇒ some chunk equal), then verify Hamming ≤ 3.
     */
   val simhashNearDup: QueryDef = QueryDef.noOracle("dedup_simhash") { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-      .withColumn("sh", simhashExpr("text"))
+    val docs = simhashTable(Tables.documents(spark, dir))
     val chunked = docs.select(
       col("doc_id"), col("sh"),
       explode(expr(
