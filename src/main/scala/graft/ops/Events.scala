@@ -89,5 +89,41 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
-  val all: Seq[QueryDef] = Seq(jsonExtractAgg, eventsHourly, sessionizeEvents)
+  /** Built-in `session_window` (gap-merge sessionization as a native grouping
+    * construct; same 30-min gap as `sessionize_events`). The oracle derives
+    * identical sessions with the lag/cumsum formulation — a cross-check that
+    * Spark's session merge and the manual window algebra agree exactly.
+    * session end = max(ts) + gap by definition.
+    */
+  val sessionWindowAgg: QueryDef = QueryDef(
+    "session_window_agg",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM numbered
+      |GROUP BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg)
 }

@@ -344,8 +344,83 @@ object Relational {
       .limit(20)
   }
 
+  /** CUBE grouping sets (rollup's full-lattice sibling). */
+  val aggCube: QueryDef = QueryDef(
+    "agg_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"),
+        col("sum_qty"))
+  }
+
+  /** The full analytic-window surface over monthly nation revenue: lead,
+    * ntile, percent_rank, cume_dist, first/last value, sliding-frame moving
+    * average, running total. One shuffle on n_name; every frame reuses that
+    * partitioning. All inputs are exact integer cents -> bit-stable.
+    */
+  val windowFrames: QueryDef = QueryDef(
+    "window_frames",
+    s"""WITH monthly AS (
+       |  SELECT n.n_name, strftime(l.l_shipdate, '%Y-%m') AS month,
+       |         CAST(SUM($DISC) AS BIGINT) AS rev_cents
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, month,
+       |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(lead(rev_cents) OVER w AS DOUBLE) / 100.0 AS lead_revenue,
+       |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       |  percent_rank() OVER w AS pct_rank,
+       |  cume_dist() OVER w AS cume,
+       |  CAST(first_value(rev_cents) OVER w AS DOUBLE) / 100.0 AS first_revenue,
+       |  CAST(last_value(rev_cents) OVER (PARTITION BY n_name ORDER BY month
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) / 100.0 AS last_revenue,
+       |  (CAST(sum(rev_cents) OVER (PARTITION BY n_name ORDER BY month
+       |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0)
+       |    / CAST(count(rev_cents) OVER (PARTITION BY n_name ORDER BY month
+       |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_3,
+       |  CAST(sum(rev_cents) OVER (PARTITION BY n_name ORDER BY month
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+       |FROM monthly
+       |WINDOW w AS (PARTITION BY n_name ORDER BY month)""".stripMargin) { (spark, dir) =>
+    val monthly = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.select(
+      col("n_name"), col("month"),
+      Num.centsToDouble(col("rev_cents")).as("revenue"),
+      Num.centsToDouble(lead(col("rev_cents"), 1).over(w)).as("lead_revenue"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      Num.centsToDouble(first(col("rev_cents")).over(w)).as("first_revenue"),
+      Num.centsToDouble(last(col("rev_cents")).over(wFull)).as("last_revenue"),
+      (Num.centsToDouble(sum(col("rev_cents")).over(wMov)) /
+        count(col("rev_cents")).over(wMov).cast("double")).as("moving_avg_3"),
+      sum(col("rev_cents")).over(wRun).as("running_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    aggPricingSummary, aggDistinctCounts, aggRollup,
+    aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject,

@@ -57,10 +57,83 @@ object RentalsDemo {
        |JOIN nation n ON s.s_nationkey = n.n_nationkey
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Fixed scratch path for the CSV round-trip query: Verify writes it, the
+    * DuckDB oracle reads the same files (overwritten per run, any SF).
+    */
+  val zoriCsvPath = "/tmp/graft_zori_raw"
+  val processedParquetPath = "/tmp/graft_processed_parquet"
+
+  /** The reference's full source surface, oracle-checked end-to-end:
+    * long -> pivot to the wide raw shape (plus the droppable
+    * SizeRank/RegionType) -> **CSV with header** -> two-pass schema-discovery
+    * read (S1-S3) -> `runPipeline` (enforce_schema -> stack unpivot -> clean
+    * -> dedup -> MoM -> rank). The oracle re-reads the same CSV with DuckDB
+    * and re-derives everything in SQL (UNPIVOT skips nulls = stack + later
+    * clean_nulls).
+    */
+  def csvPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val wide = rentalsLong(spark, dir)
+      .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
+      .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
+      .pivot("month_str")
+      .agg(first(col("median_rent")))
+      .withColumn("SizeRank", col("RegionID"))
+      .withColumn("RegionType", lit("msa"))
+    wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
+    Io.readRawCsv(spark, zoriCsvPath).transform(Transforms.runPipeline)
+  }
+
+  /** Partitioned parquet sink + scan round trip (S4/S5): write the long shape
+    * hive-partitioned by (StateName, year), read it back, aggregate. The
+    * oracle recomputes from the base tables — so the round trip must be
+    * lossless, including the partition-column year derivation.
+    */
+  def partitionedWriteReadback(spark: SparkSession, dir: String): DataFrame = {
+    Io.writeProcessed(rentalsLong(spark, dir), processedParquetPath)
+    Io.readProcessed(spark, processedParquetPath)
+      .groupBy(col("StateName"), col("year"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Num.centsToDouble(sum(Num.cents(col("median_rent")))).as("total_rent"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "rentals_long",
       longSql) { (spark, dir) => rentalsLong(spark, dir) },
+    QueryDef(
+      "zori_csv_pipeline",
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$zoriCsvPath/*.csv', header=true, all_varchar=true)
+         |),
+         |unp AS (
+         |  SELECT RegionID, RegionName, StateName, month_str, median_rent
+         |  FROM raw UNPIVOT (median_rent FOR month_str IN
+         |    (COLUMNS(* EXCLUDE (RegionID, SizeRank, RegionName, RegionType, StateName))))
+         |),
+         |longf AS (
+         |  SELECT CAST(RegionID AS INTEGER) AS RegionID, RegionName, StateName,
+         |         CAST(strptime(month_str || '-01', '%Y-%m-%d') AS DATE) AS month,
+         |         CAST(median_rent AS DOUBLE) AS median_rent
+         |  FROM unp
+         |),
+         |lagd AS (
+         |  SELECT *, lag(median_rent) OVER (PARTITION BY RegionID ORDER BY month) AS prev
+         |  FROM longf
+         |)
+         |SELECT RegionID, RegionName, StateName, month, median_rent,
+         |       round(((median_rent - prev) / prev) * 100, 2) AS rent_change_mom,
+         |       CAST(rank() OVER (PARTITION BY StateName, month ORDER BY median_rent DESC) AS INTEGER) AS state_rent_rank
+         |FROM lagd""".stripMargin) { (spark, dir) => csvPipeline(spark, dir) },
+    QueryDef(
+      "partitioned_write_readback",
+      s"""WITH long_shape AS ($longSql)
+         |SELECT StateName,
+         |       CAST(EXTRACT(year FROM month) AS INTEGER) AS year,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CAST(round(median_rent * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_rent
+         |FROM long_shape
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) => partitionedWriteReadback(spark, dir) },
     QueryDef(
       "rentals_pipeline",
       s"""WITH long_shape AS ($longSql),

@@ -121,5 +121,88 @@ object TextAnalysis {
       "sha2(text, 256) AS sha_hex")
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, langGuess, textFingerprint)
+  /** BPE-ish regex tokenization: letter runs / digit runs / single symbols —
+    * the pre-tokenizer shape BPE vocabularies are trained over (whitespace
+    * handled by exclusion). Identical regex in both engines (basic character
+    * classes only, portable between Java regex and RE2).
+    */
+  val textTokensRegex: QueryDef = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    QueryDef(
+      "text_tokens_regex",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(regexp_extract_all(lower(text), '$pat'),
+         |       t -> regexp_matches(t, '^[a-z]+$$'))) AS INTEGER) AS n_word,
+         |  CAST(len(list_filter(regexp_extract_all(lower(text), '$pat'),
+         |       t -> regexp_matches(t, '^[0-9]+$$'))) AS INTEGER) AS n_num,
+         |  CAST(len(list_filter(regexp_extract_all(lower(text), '$pat'),
+         |       t -> NOT regexp_matches(t, '^[a-z0-9]+$$'))) AS INTEGER) AS n_punct,
+         |  CAST(len(list_filter(regexp_extract_all(lower(text), '$pat'),
+         |       t -> NOT regexp_matches(t, '^[a-z0-9]+$$'))) AS DOUBLE)
+         |    / CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS punct_ratio
+         |FROM documents
+         |WHERE len(regexp_extract_all(lower(text), '$pat')) > 0""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .selectExpr(
+          "doc_id",
+          s"regexp_extract_all(lower(text), '$pat', 0) AS toks")
+        .filter(size(col("toks")) > 0)
+        .selectExpr(
+          "doc_id",
+          "size(toks) AS n_tokens",
+          "size(filter(toks, t -> t RLIKE '^[a-z]+$')) AS n_word",
+          "size(filter(toks, t -> t RLIKE '^[0-9]+$')) AS n_num",
+          "size(filter(toks, t -> NOT (t RLIKE '^[a-z0-9]+$'))) AS n_punct",
+          "CAST(size(filter(toks, t -> NOT (t RLIKE '^[a-z0-9]+$'))) AS DOUBLE) / size(toks) AS punct_ratio")
+    }
+  }
+
+  /** Character-trigram language-ID (the classic n-gram profile method):
+    * trigram set of the document vs a static per-language trigram profile,
+    * overlap ratio as the score, argmax with deterministic tiebreak.
+    */
+  val langNgram: QueryDef = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "ie ", "und", "ein", "sch", "ich"),
+      "en" -> Seq("the", "he ", "ing", "and", "ion", " th"),
+      "es" -> Seq("de ", "os ", "la ", "que", "ión", "ent"),
+      "fr" -> Seq("es ", "le ", "de ", "ent", "ou ", "une"),
+      "zh" -> Seq("shi", "de ", "le ", "zh ", "ng ", "wo "))
+    val langs = profiles.map(_._1)
+    def arrLit(ws: Seq[String], open: String, close: String) =
+      ws.map(w => s"'${w.replace("'", "''")}'").mkString(open, ", ", close)
+    val triSpark = "CASE WHEN length(text) >= 3 THEN array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    val triSql = "CASE WHEN length(text) >= 3 THEN list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) ELSE [] END"
+    val caseExpr = "CASE " + langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ") + " END"
+    QueryDef(
+      "lang_ngram",
+      s"""WITH tri AS (
+         |  SELECT doc_id, lang AS lang_actual, $triSql AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang_actual,
+         |    ${profiles.map { case (l, ws) =>
+                 s"CAST(len(list_filter(t, g -> list_contains(${arrLit(ws, "[", "]")}, g))) AS INTEGER) AS s_$l"
+               }.mkString(",\n    ")}
+         |  FROM tri),
+         |m AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM scored)
+         |SELECT doc_id, lang_actual, $caseExpr AS lang_guess,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM m""".stripMargin) { (spark, dir) =>
+      val tri = Tables.documents(spark, dir)
+        .selectExpr("doc_id", "lang AS lang_actual", s"$triSpark AS t")
+      val scored = tri.selectExpr(
+        Seq("doc_id", "lang_actual") ++
+          profiles.map { case (l, ws) =>
+            s"size(filter(t, g -> array_contains(${arrLit(ws, "array(", ")")}, g))) AS s_$l"
+          }: _*)
+      scored
+        .withColumn("m", greatest(langs.map(l => col(s"s_$l")): _*))
+        .selectExpr(
+          Seq("doc_id", "lang_actual", s"$caseExpr AS lang_guess") ++
+            langs.map(l => s"s_$l"): _*)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, langGuess, textFingerprint, textTokensRegex, langNgram)
 }

@@ -156,5 +156,38 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("cand_id"), col("cos_sim"), col("rnk").cast("int").as("rnk"))
   }
 
-  val all: Seq[QueryDef] = Seq(knnBrute, cosineConsecutive, annIvfProbe)
+  /** Embedding near-dup at scale: random-hyperplane LSH. Each of 16 pseudo-
+    * hyperplanes is a deterministic ±1 vector (sign of `xxhash64(plane, dim)`),
+    * so a signature bit is the sign of an exact integer dot product. Vectors
+    * sharing the full 16-bit signature bucket together; buckets join on the
+    * signature (linear shuffle — never O(n²) pairs), then candidates are
+    * verified with exact cosine ≥ 0.95.
+    *
+    * Cosine-similar vectors agree on a hyperplane bit with probability
+    * 1 - θ/π, so true near-dups (θ≈0) collide on all 16 bits with high
+    * probability while random pairs collide with ~2^-16.
+    */
+  val embeddingLshNearDup: QueryDef = QueryDef.noOracle("dedup_embedding_lsh") { (spark, dir) =>
+    val q = quantized(spark, dir).filter(col("norm2") > 0)
+    val sigBit =
+      """transform(sequence(0, 15), j ->
+        |  CASE WHEN aggregate(
+        |         zip_with(q, sequence(0, size(q) - 1),
+        |                  (x, d) -> x * (CASE WHEN (xxhash64(j, d) & 1L) = 1L THEN 1L ELSE -1L END)),
+        |         0L, (acc, v) -> acc + v) > 0L
+        |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+    val signed = q.withColumn("sig", expr(s"aggregate($sigBit, 0L, (acc, x) -> acc + x)"))
+    val a = signed.select(col("vec_id").as("vec_a"), col("sig"), col("q").as("qa"), col("norm2").as("na"))
+    val b = signed.select(col("vec_id").as("vec_b"), col("sig"), col("q").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("cos_sim",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(knnBrute, cosineConsecutive, annIvfProbe, embeddingLshNearDup)
 }

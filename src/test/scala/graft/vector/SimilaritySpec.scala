@@ -62,6 +62,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH pairs the planted identical vector, few false buckets") {
+    embDir { dir =>
+      val pairs = Similarity.embeddingLshNearDup.fn(spark, dir)
+        .select("vec_a", "vec_b", "cos_sim").collect()
+      val planted = pairs.filter(r => r.getLong(0) === 0L && r.getLong(1) === 100L)
+      assert(planted.length === 1)
+      assert(planted.head.getDouble(2) === 1.0)
+    }
+  }
+
   test("cosine of consecutive planted dims is exact and symmetric-ish sane") {
     embDir { dir =>
       val sims = Similarity.cosineConsecutive.fn(spark, dir)
