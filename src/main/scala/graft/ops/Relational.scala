@@ -419,8 +419,88 @@ object Relational {
       sum(col("rev_cents")).over(wRun).as("running_cents"))
   }
 
+  /** Top-k per group via the typed [[graft.functions.TopKAggregator]]: an
+    * O(k) buffer per group with map-side partial merge — the shuffle carries
+    * k rows per group, not the whole group (the window formulation sorts
+    * every group in full). Same deterministic order as the row_number
+    * oracle.
+    */
+  val topkAggregatorSuppliers: QueryDef = QueryDef(
+    "topk_aggregator_suppliers",
+    s"""SELECT n_name, s_suppkey, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT n_name, s_suppkey, revenue_cents,
+       |         row_number() OVER (PARTITION BY n_name ORDER BY revenue_cents DESC, s_suppkey) AS rnk
+       |  FROM (
+       |    SELECT n.n_name, s.s_suppkey,
+       |           CAST(SUM($DISC) AS BIGINT) AS revenue_cents
+       |    FROM lineitem l
+       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |    GROUP BY 1, 2))
+       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+    val topk = new graft.functions.TopKAggregator(3).toColumn
+    rev.select(col("n_name"), col("revenue_cents"), col("s_suppkey"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))(graft.functions.TopKAggregator.scoredIdEncoder)
+      .agg(topk.name("top"))
+      .toDF("n_name", "top")
+      .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        col("n_name"),
+        col("e.id").as("s_suppkey"),
+        col("e.score").as("revenue_cents"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Skew-resistant two-stage aggregation: salt the (few, heavy) group keys
+    * with a deterministic row attribute, partially aggregate per
+    * (key, salt), then merge per key. At 100 TB this is how a handful of hot
+    * keys stops capping parallelism at #keys; the result is provably
+    * identical to the direct group-by (integer sums are associative), which
+    * is exactly what the oracle asserts.
+    */
+  val aggSaltedTwoStage: QueryDef = QueryDef(
+    "agg_salted_two_stage",
+    s"""SELECT l_returnflag,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val salted = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+      .agg(
+        sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("c"),
+        count(lit(1)).as("n"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(
+        Num.centsToDouble(sum(col("c"))).as("revenue"),
+        sum(col("n")).as("n_rows"))
+  }
+
+  /** HLL sketch distinct (approx_count_distinct) next to the exact count —
+    * the constant-memory path for distinct cardinality at 100 TB. No DuckDB
+    * oracle (different sketch); ScalaTest bounds the relative error.
+    */
+  val aggApproxDistinct: QueryDef = QueryDef.noOracle("agg_approx_distinct") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames,
+    topkAggregatorSuppliers, aggSaltedTwoStage, aggApproxDistinct,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject,

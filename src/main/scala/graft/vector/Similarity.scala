@@ -1,6 +1,7 @@
 package graft.vector
 
 import graft.core.{QueryDef, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,11 +34,11 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
 
   /** embeddings -> (vec_id, label, q: array<bigint>, norm2: bigint). */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).selectExpr(
-      "vec_id", "label",
-      s"$qvec AS q",
-      s"${dotSpark(qvec, qvec)} AS norm2")
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val withQ = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", s"$qvec AS q")
+    withQ.withColumn("norm2", VectorFunctions.longDot(col("q"), col("q")))
+  }
 
   /** Brute-force cosine top-10 for a fixed small query set (vec_id < 5),
     * excluding self. Exact integer dot/norms; deterministic rank tiebreak on
@@ -67,7 +68,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
     val cands = q.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
     val scored = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
       .withColumn("cos_sim",
         col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -97,7 +98,7 @@ object Similarity {
     val a = q.select(col("vec_id"), col("q").as("qa"), col("norm2").as("na"))
     val b = q.select(col("vec_id").as("next_vec_id"), col("q").as("qb"), col("norm2").as("nb"))
     a.join(b, col("next_vec_id") === col("vec_id") + 1)
-      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
       .select(
         col("vec_id"), col("next_vec_id"),
         (col("dot").cast("double") /
@@ -145,7 +146,7 @@ object Similarity {
       col("q").as("qb"), col("norm2").as("nb"))
     val scored = cands.join(broadcast(cells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
       .withColumn("cos_sim",
         col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -181,7 +182,7 @@ object Similarity {
     val b = signed.select(col("vec_id").as("vec_b"), col("sig"), col("q").as("qb"), col("norm2").as("nb"))
     a.join(b, Seq("sig"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(dotSpark("qa", "qb")))
+      .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
       .withColumn("cos_sim",
         col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

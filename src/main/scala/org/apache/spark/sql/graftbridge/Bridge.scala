@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Catalyst Expression bridge. `ExpressionUtils` is
+  * `private[sql]` in Spark 4's ColumnNode API, so the (two-line) bridge lives
+  * in an `org.apache.spark.sql` subpackage — the standard extension-library
+  * technique for exposing custom codegen'd expressions as `Column`s.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("longDot equals the HOF aggregate(zip_with) formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 9L), Seq(2L, 100L, -3L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.longDot(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.map(_.getLong(0)).toSeq === Seq(32L, -41L, 0L)) // -14 + 0 - 27
+  }
+
+  test("longDot is null-safe") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+    val out = df.select(VectorFunctions.longDot(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("hamming64 equals bit_count(xor)") {
+    import spark.implicits._
+    val df = Seq((0xF0F0L, 0x0F0FL), (123456789L, 123456789L), (-1L, 0L)).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.hamming64(col("a"), col("b")).as("native"),
+      bit_count(col("a").bitwiseXOR(col("b"))).cast("long").as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.map(_.getLong(0)).toSeq === Seq(16L, 0L, 64L))
+  }
+
+  test("longDot participates in whole-stage codegen (no fallback)") {
+    // a non-constant source (so nothing constant-folds) and codegen-friendly
+    // array construction (a HOF like transform would fall back and take the
+    // whole projection out of codegen with it)
+    val df = spark.range(100)
+      .selectExpr("array(id, id + 1L, id + 2L) AS a", "array(2L, 3L, 4L) AS b")
+      .select(VectorFunctions.longDot(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators print with a "*(stage)" prefix
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), plan)
+    // force execution through the codegen path; id=0 -> 0*2 + 1*3 + 2*4 = 11
+    assert(df.orderBy("d").head().getLong(0) === 11L)
+  }
+}
