@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(p).size
+      val nSort = "Sort ".r.findAllIn(p).size
+      val nCodegen = "\\*\\(".r.findAllIn(p).size
+      println(s"=== $n exchanges=$nEx sorts=$nSort codegenOps=$nCodegen")
+      println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Window") || l.contains("Join") || l.contains("Scan parquet") && l.length < 400).map(_.take(200)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
