@@ -18,7 +18,9 @@ object SparkEntry {
       text.TextAnalysis.all ++
       text.Dedup.all ++
       vector.Similarity.all ++
-      multimodal.Multimodal.all
+      multimodal.Multimodal.all ++
+      sources.Roundtrips.all :+
+      streaming.Streams.streamingHourly
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -125,5 +125,57 @@ object Events {
         col("n_events"))
   }
 
-  val all: Seq[QueryDef] = Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg)
+  /** As-of (backward) join — an operator Spark lacks natively, composed per
+    * the preference order (a): tag both streams, union, and carry the last
+    * right-side value forward with `last(..., ignoreNulls) over (rows
+    * unbounded preceding..current)`; one shuffle on the key, no range
+    * explosion. Each 'click' gets the value of the user's most recent
+    * 'purchase' at-or-before it. The oracle uses DuckDB's *native* ASOF JOIN
+    * — two independent mechanisms, same semantics.
+    *
+    * The right side is pre-deduped to one row per (user_id, ts) (max
+    * event_id) so at-or-before is unambiguous in both engines.
+    */
+  val asofJoin: QueryDef = QueryDef(
+    "asof_join_purchase",
+    """WITH purchases AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events e
+      |  WHERE event_type = 'purchase'
+      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
+      |                    WHERE e2.event_type = 'purchase'
+      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
+      |clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS last_purchase_cents
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val wDedup = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("ts"),
+        Num.cents(col("value")).as("purchase_cents"),
+        lit(1).as("is_right"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("is_right"))
+    val unioned = purchases
+      .select(col("user_id"), col("ts"), col("is_right"),
+        lit(null).cast("bigint").as("event_id"), col("purchase_cents"))
+      .unionByName(clicks.select(col("user_id"), col("ts"), col("is_right"),
+        col("event_id"), lit(null).cast("bigint").as("purchase_cents")))
+    // at equal ts the purchase (is_right=1) sorts first => "at or before"
+    val wCarry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_purchase_cents", last(col("purchase_cents"), ignoreNulls = true).over(wCarry))
+      .filter(col("is_right") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_cents"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin)
 }

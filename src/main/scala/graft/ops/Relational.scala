@@ -196,6 +196,36 @@ object Relational {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Range (band) join: fact rows land in value intervals from a tiny
+    * broadcast dimension — planned as a broadcast nested-loop with the range
+    * predicate, so the fact side never shuffles.
+    */
+  val rangeJoinBands: QueryDef = QueryDef(
+    "range_join_bands",
+    """WITH bands(lo, hi, band) AS (
+      |  VALUES (0, 10000000, 'low'),
+      |         (10000000, 30000000, 'mid'),
+      |         (30000000, 9223372036854775807, 'high')),
+      |o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT band,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_price
+      |FROM o JOIN bands ON o.cents >= lo AND o.cents < hi
+      |GROUP BY band""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bands = Seq(
+      (0L, 10000000L, "low"),
+      (10000000L, 30000000L, "mid"),
+      (30000000L, Long.MaxValue, "high")).toDF("lo", "hi", "band")
+    Tables.orders(spark, dir)
+      .select(Num.cents(col("o_totalprice")).as("cents"))
+      .join(broadcast(bands), col("cents") >= col("lo") && col("cents") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Num.centsToDouble(sum(col("cents"))).as("total_price"))
+  }
+
   /** Oracle-deterministic dedup (SURVEY.md §7 hard-parts, option (b)):
     * `row_number over (partition by keys order by <total order>) = 1`. The
     * faithful arbitrary-survivor `dropDuplicates` lives in
@@ -502,7 +532,7 @@ object Relational {
     aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames,
     topkAggregatorSuppliers, aggSaltedTwoStage, aggApproxDistinct,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
-    topkSuppliersPerNation, dedupDeterministic, windowMomNation,
+    rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject,
     setExceptOrders, setIntersectOrders, setUnionNations, sortLimitTopOrders)
 }

@@ -135,6 +135,45 @@ object RentalsDemo {
          |FROM long_shape
          |GROUP BY 1, 2""".stripMargin) { (spark, dir) => partitionedWriteReadback(spark, dir) },
     QueryDef(
+      "dq_summary",
+      s"""WITH long_shape AS ($longSql),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS total,
+         |         CAST(count(*) FILTER (WHERE median_rent IS NULL) AS BIGINT) AS nulls,
+         |         CAST(count(*) FILTER (WHERE median_rent < 0 OR median_rent > 50000000) AS BIGINT) AS out_of_range,
+         |         CAST(count(DISTINCT (RegionID, month)) AS BIGINT) AS distinct_keys
+         |  FROM long_shape)
+         |SELECT c.check_name, c.severity,
+         |       CASE c.check_name
+         |         WHEN 'null_percentage_median_rent' THEN
+         |           (total = 0 OR CAST(nulls AS DOUBLE) / CAST(total AS DOUBLE) <= 0.1)
+         |         WHEN 'row_count' THEN total >= 100
+         |         WHEN 'range_median_rent' THEN out_of_range = 0
+         |         WHEN 'uniqueness_RegionID_month' THEN total = distinct_keys
+         |       END AS passed
+         |FROM stats,
+         |     (VALUES ('null_percentage_median_rent', 'fail'),
+         |             ('row_count', 'fail'),
+         |             ('range_median_rent', 'fail'),
+         |             ('uniqueness_RegionID_month', 'warn')) AS c(check_name, severity)""".stripMargin) {
+      (spark, dir) =>
+        // The real DQ framework (C2-C4) evaluates each check over the long
+        // shape; the oracle recomputes the same predicates in SQL. The rent
+        // range bound is scaled up because `median_rent` here is monthly
+        // revenue, not a literal rent.
+        import spark.implicits._
+        val long = rentalsLong(spark, dir)
+        val checks = Seq(
+          DataQuality.nullPercentageCheck("median_rent", 0.1),
+          DataQuality.rowCountCheck(100),
+          DataQuality.rangeCheck("median_rent", 0.0, 50000000.0),
+          DataQuality.uniquenessCheck(Seq("RegionID", "month")))
+        val summary = DataQuality.summarize(long, checks)
+        summary.details
+          .map(r => (r.name, r.severity.label, r.passed))
+          .toDF("check_name", "severity", "passed")
+    },
+    QueryDef(
       "rentals_pipeline",
       s"""WITH long_shape AS ($longSql),
          |mom AS (

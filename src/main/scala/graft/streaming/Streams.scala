@@ -78,6 +78,28 @@ object Streams {
       }
   }
 
+  /** Structured Streaming inside the driver correctness gate: the hourly
+    * aggregation in Complete output mode over an AvailableNow run of the
+    * whole events file — the memory sink then holds exactly the batch
+    * result, which the DuckDB oracle recomputes relationally. (The
+    * watermarked Append variant lives in `hourlyCounts` and is asserted by
+    * ScalaTest; Complete mode is the form whose final table is
+    * batch-equivalent by construction.)
+    */
+  val streamingHourly: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_hourly_complete",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val streamed = readEventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+    val table = s"graft_streaming_hourly_${System.nanoTime()}"
+    runAvailableNowToMemory(spark, streamed, table, OutputMode.Complete())
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (AvailableNow) into an in-memory table; returns the result. Used by
     * tests and demos — production would use a durable sink + real trigger.
