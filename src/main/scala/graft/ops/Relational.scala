@@ -196,6 +196,77 @@ object Relational {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Exact interpolated percentiles over integer cents. Spark `percentile`
+    * and DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
+    * definition, and on exact integer input the interpolation arithmetic is
+    * bit-identical (verified empirically: identical IEEE bit patterns across
+    * engines). approx_percentile (t-digest) is the constant-memory sketch
+    * path — different sketch families per engine, so it lives in the
+    * rows-only query below.
+    */
+  val aggPercentiles: QueryDef = QueryDef(
+    "agg_percentiles",
+    s"""SELECT l_returnflag,
+       |  quantile_cont($C, 0.25) AS p25,
+       |  quantile_cont($C, 0.50) AS p50,
+       |  quantile_cont($C, 0.75) AS p75,
+       |  quantile_cont($C, 0.95) AS p95
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile($cents, 0.25)").as("p25"),
+        expr(s"percentile($cents, 0.50)").as("p50"),
+        expr(s"percentile($cents, 0.75)").as("p75"),
+        expr(s"percentile($cents, 0.95)").as("p95"))
+  }
+
+  /** Exact variance via integer moments: quantize to whole dollars, carry
+    * (n, sum, sum-of-squares) as exact decimal sums, assemble the sample
+    * variance in a fixed-order double expression. Unlike streaming variance
+    * (Welford), the aggregation itself is associative integer math —
+    * deterministic under any partitioning, hence oracle-checkable.
+    */
+  val aggVarianceExact: QueryDef = QueryDef(
+    "agg_variance_exact",
+    """SELECT l_returnflag,
+      |  (CAST(SUM(CAST(d * d AS DECIMAL(38, 0))) AS DOUBLE)
+      |    - (CAST(SUM(CAST(d AS DECIMAL(38, 0))) AS DOUBLE)
+      |       * CAST(SUM(CAST(d AS DECIMAL(38, 0))) AS DOUBLE)) / CAST(count(*) AS DOUBLE))
+      |    / (CAST(count(*) AS DOUBLE) - 1.0) AS var_samp_dollars,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT l_returnflag, CAST(round(l_extendedprice) AS BIGINT) AS d FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), round(col("l_extendedprice")).cast("long").as("d"))
+    d.groupBy(col("l_returnflag"))
+      .agg(
+        sum(expr("CAST(d * d AS DECIMAL(38, 0))")).as("ssq"),
+        sum(expr("CAST(d AS DECIMAL(38, 0))")).as("s"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        ((col("ssq").cast("double") -
+          (col("s").cast("double") * col("s").cast("double")) / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0))).as("var_samp_dollars"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** t-digest approximate percentile (constant memory at any scale) next to
+    * the exact value — rows-only (sketch families differ across engines);
+    * ScalaTest bounds the error.
+    */
+  val aggApproxPercentile: QueryDef = QueryDef.noOracle("agg_approx_percentile") { (spark, dir) =>
+    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile($cents, 0.5, 1000)").as("approx_p50"),
+        expr(s"percentile($cents, 0.5)").as("exact_p50"))
+  }
+
   /** Range (band) join: fact rows land in value intervals from a tiny
     * broadcast dimension — planned as a broadcast nested-loop with the range
     * predicate, so the fact side never shuffles.
@@ -531,6 +602,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames,
     topkAggregatorSuppliers, aggSaltedTwoStage, aggApproxDistinct,
+    aggPercentiles, aggVarianceExact, aggApproxPercentile,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject,

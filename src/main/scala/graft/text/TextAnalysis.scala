@@ -204,5 +204,33 @@ object TextAnalysis {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, langGuess, textFingerprint, textTokensRegex, langNgram)
+  /** Composite document quality score — the filter signal a training-data
+    * pipeline thresholds on: length adequacy, lexical diversity, stopword
+    * plausibility, combined with fixed weights. Every term derives from
+    * exact integer counts in a fixed-order double expression (bit-stable).
+    */
+  val docQualityScore: QueryDef = QueryDef(
+    "doc_quality_score",
+    s"""SELECT doc_id,
+       |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
+       |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE))
+       |  + 0.3 * least(1.0,
+       |      (CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE)
+       |        / CAST(len($toksSql) AS DOUBLE)) * 5.0) AS quality_score
+       |FROM documents
+       |WHERE len($toksSql) > 0""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$toks AS t")
+      .filter(size(col("t")) > 0)
+      .selectExpr(
+        "doc_id",
+        s"""0.4 * least(1.0D, CAST(size(t) AS DOUBLE) / 100.0D)
+           | + 0.3D * (CAST(size(array_distinct(t)) AS DOUBLE) / CAST(size(t) AS DOUBLE))
+           | + 0.3D * least(1.0D,
+           |     (CAST(size(filter(t, x -> array_contains($stopArr, x))) AS DOUBLE)
+           |       / CAST(size(t) AS DOUBLE)) * 5.0D) AS quality_score""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(textStats, langGuess, textFingerprint, textTokensRegex, langNgram, docQualityScore)
 }

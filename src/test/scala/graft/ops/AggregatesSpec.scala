@@ -53,6 +53,14 @@ class AggregatesSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("approx_percentile within 2% of exact") {
+    Relational.aggApproxPercentile.fn(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_p50").toDouble
+      val exact = r.getAs[Double]("exact_p50")
+      assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     Relational.aggApproxDistinct.fn(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble

@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSpec
 import graft.rentals.RentalsDemo
 import graft.vector.Similarity
+import org.apache.spark.sql.functions._
 
 /** Physical-plan shape assertions — the 100 TB contract: pushdown reaches the
   * scan, dimension joins broadcast, no accidental cartesian products, window
@@ -41,6 +42,32 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.knnBrute.fn(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
     assert(p.contains("Broadcast"), p)
+  }
+
+  test("partition pruning: StateName filter reaches PartitionFilters on the partitioned sink") {
+    graft.rentals.RentalsDemo.partitionedWriteReadback(spark, sf).count() // materialize the sink
+    val scan = spark.read.parquet(RentalsDemo.processedParquetPath)
+      .filter(col("StateName") === "NATION_12")
+    val p = scan.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("StateName"), s"partition filter not pushed:\n$p")
+    assert(!p.contains("Filter (StateName"), s"partition predicate left as a row filter:\n$p")
+  }
+
+  test("salted equi-join equals the plain join") {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 3.0), ("error", 0.0))
+      .toDF("etype", "weight")
+    val salted = Skew.saltedEquiJoin(events, dim, col("event_type"), col("etype"), saltFactor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("weight")).as("w"))
+    val plain = events.join(dim, col("event_type") === col("etype"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("weight")).as("w"))
+    assert(
+      salted.collect().map(_.toString).sorted.toSeq ===
+        plain.collect().map(_.toString).sorted.toSeq)
   }
 
   test("rentals pipeline: exactly the two window exchanges + one aggregate exchange") {

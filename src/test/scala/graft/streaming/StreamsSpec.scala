@@ -29,6 +29,19 @@ class StreamsSpec extends SparkSpec {
     assert(s.size >= (b.size * 3) / 4)
   }
 
+  test("streaming exact dedup (dropDuplicates on event_id) equals batch distinct") {
+    val deduped = Streams.readEventsStream(spark, sf)
+      .dropDuplicates("event_id")
+      .groupBy()
+      .count()
+    val result = Streams.runAvailableNowToMemory(
+      spark, deduped, "stream_dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val streamCount = result.orderBy(org.apache.spark.sql.functions.col("count").desc).head().getLong(0)
+    val batchCount = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(streamCount === batchCount)
+  }
+
   test("mapGroupsWithState running totals converge to the batch per-user totals") {
     val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
     val result = Streams.runAvailableNowToMemory(
