@@ -73,6 +73,27 @@ object Multimodal {
     }
   }
 
+  /** STUB resize kernel: a real implementation would decode, rescale with a
+    * codec, and re-encode; this deterministic fake downsamples the raw bytes
+    * by striding (keeping the batched-per-partition shape identical to the
+    * real thing). Output payload length == ceil(n / stride).
+    */
+  def resizeStub(r: MediaRecord, stride: Int): MediaRecord = {
+    require(stride > 0)
+    val resized = r.payload.indices.collect { case i if i % stride == 0 => r.payload(i) }.toArray
+    r.copy(
+      payload = resized,
+      meta = r.meta.copy(nBytes = resized.length.toLong))
+  }
+
+  /** Batched per-partition resize (same mapPartitions shape as decode). */
+  def resize(media: Dataset[MediaRecord], stride: Int = 4, batchSize: Int = 256): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(resizeStub(_, stride)))
+    }
+  }
+
   /** Frame sampling: pick every k-th "frame" offset from a payload —
     * demonstrated as a generator (posexplode over a computed offset array),
     * staying codegen-friendly.

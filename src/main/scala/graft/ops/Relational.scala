@@ -422,6 +422,47 @@ object Relational {
       .intersect(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
   }
 
+  /** Full-outer join: supplier/customer account balance per nation — both
+    * null sides retained.
+    */
+  val joinFullOuterBalances: QueryDef = QueryDef(
+    "join_full_outer_balances",
+    """WITH s AS (SELECT s_nationkey AS nk,
+      |             CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS supp_cents
+      |           FROM supplier GROUP BY 1),
+      |c AS (SELECT c_nationkey AS nk,
+      |        CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cust_cents
+      |      FROM customer GROUP BY 1)
+      |SELECT coalesce(s.nk, c.nk) AS nationkey,
+      |       CAST(coalesce(s.supp_cents, 0) AS BIGINT) AS supp_cents,
+      |       CAST(coalesce(c.cust_cents, 0) AS BIGINT) AS cust_cents
+      |FROM s FULL OUTER JOIN c ON s.nk = c.nk""".stripMargin) { (spark, dir) =>
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(sum(Num.cents(col("s_acctbal"))).as("supp_cents"))
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("cnk"))
+      .agg(sum(Num.cents(col("c_acctbal"))).as("cust_cents"))
+    s.join(c, col("snk") === col("cnk"), "full_outer")
+      .select(
+        coalesce(col("snk"), col("cnk")).as("nationkey"),
+        coalesce(col("supp_cents"), lit(0L)).as("supp_cents"),
+        coalesce(col("cust_cents"), lit(0L)).as("cust_cents"))
+  }
+
+  /** Multiset (ALL) set-op semantics: duplicates preserved per multiplicity
+    * arithmetic, unlike the distinct-set EXCEPT above.
+    */
+  val setExceptAll: QueryDef = QueryDef(
+    "set_except_all_suppkeys",
+    """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+      |EXCEPT ALL
+      |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+      .exceptAll(l.filter(col("l_returnflag") === "R").select(col("l_suppkey")))
+  }
+
   val setUnionNations: QueryDef = QueryDef(
     "set_union_nations",
     """SELECT c_nationkey AS nationkey FROM customer
@@ -605,6 +646,7 @@ object Relational {
     aggPercentiles, aggVarianceExact, aggApproxPercentile,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
-    unpivotFlagRevenue, scanFilterProject,
-    setExceptOrders, setIntersectOrders, setUnionNations, sortLimitTopOrders)
+    unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
+    setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
+    sortLimitTopOrders)
 }

@@ -78,6 +78,32 @@ object Streams {
       }
   }
 
+  final case class TypeCounts(counts: Map[String, Long])
+  final case class TypeCountRow(user_id: Long, event_type: String, n: Long)
+
+  /** Multi-row stateful emission via `flatMapGroupsWithState`: per-user
+    * per-event-type running counts — each trigger emits one row per event
+    * type seen so far (the API's distinguishing feature vs mapGroups: 0..n
+    * output rows per group per batch).
+    */
+  def userTypeCounts(spark: SparkSession, events: DataFrame): Dataset[TypeCountRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TypeCounts, TypeCountRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[TypeCounts]) =>
+          val prev = state.getOption.getOrElse(TypeCounts(Map.empty))
+          val next = rows.foldLeft(prev.counts) { case (m, (_, t)) =>
+            m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          state.update(TypeCounts(next))
+          next.iterator.map { case (t, n) => TypeCountRow(userId, t, n) }
+      }
+  }
+
   /** Structured Streaming inside the driver correctness gate: the hourly
     * aggregation in Complete output mode over an AvailableNow run of the
     * whole events file — the memory sink then holds exactly the batch

@@ -36,6 +36,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f.brightness === (97 + 98 + 99).toDouble / 3.0)
   }
 
+  test("resize stub strides the payload and updates metadata") {
+    val r = MediaRecord(7L, "abcdefghij".getBytes("UTF-8"), MediaMeta("application/octet-stream", 10L))
+    val resized = Multimodal.resizeStub(r, stride = 4)
+    assert(resized.payload.toSeq === Seq('a'.toByte, 'e'.toByte, 'i'.toByte))
+    assert(resized.meta.nBytes === 3L)
+    // batched dataset form preserves counts and determinism
+    val media = Multimodal.mediaTable(spark, sf).limit(20)
+    val a = Multimodal.resize(media, stride = 4, batchSize = 3).collect().sortBy(_.doc_id)
+    val b = Multimodal.resize(media, stride = 4, batchSize = 256).collect().sortBy(_.doc_id)
+    assert(a.length === 20)
+    assert(a.map(_.meta.nBytes).toSeq === b.map(_.meta.nBytes).toSeq)
+  }
+
   test("frame sampling emits every k-th offset") {
     val media = Multimodal.mediaTable(spark, sf).limit(5)
     val frames = Multimodal.sampleFrames(media, everyK = 100)

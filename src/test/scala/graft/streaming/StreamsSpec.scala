@@ -42,6 +42,21 @@ class StreamsSpec extends SparkSpec {
     assert(streamCount === batchCount)
   }
 
+  test("flatMapGroupsWithState per-user type counts converge to batch group-by") {
+    val snapshots = Streams.userTypeCounts(spark, Streams.readEventsStream(spark, sf))
+    val result = Streams.runAvailableNowToMemory(
+      spark, snapshots.toDF(), "type_counts_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val finals = result.groupBy("user_id", "event_type")
+      .agg(max("n").as("n"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = finals.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(f === b)
+  }
+
   test("mapGroupsWithState running totals converge to the batch per-user totals") {
     val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
     val result = Streams.runAvailableNowToMemory(
