@@ -57,11 +57,12 @@ object RentalsDemo {
        |JOIN nation n ON s.s_nationkey = n.n_nationkey
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
-  /** Fixed scratch path for the CSV round-trip query: Verify writes it, the
-    * DuckDB oracle reads the same files (overwritten per run, any SF).
+  /** Fixed scratch paths for sink round-trip queries: Verify writes them,
+    * the DuckDB oracle reads the same files (overwritten per run, any SF).
+    * Kept under the repo's gitignored target/ dir.
     */
-  val zoriCsvPath = "/tmp/graft_zori_raw"
-  val processedParquetPath = "/tmp/graft_processed_parquet"
+  val zoriCsvPath: String = Scratch.dir("graft_zori_raw")
+  val processedParquetPath: String = Scratch.dir("graft_processed_parquet")
 
   /** The reference's full source surface, oracle-checked end-to-end:
     * long -> pivot to the wide raw shape (plus the droppable

@@ -30,13 +30,13 @@ object Roundtrips {
         countDistinct(col("month")).as("n_months"))
 
   val orcRoundtrip: QueryDef = QueryDef("orc_roundtrip", roundtripOracle) { (spark, dir) =>
-    val path = "/tmp/graft_orc_roundtrip"
+    val path = graft.rentals.Scratch.dir("graft_orc_roundtrip")
     monthlySupplierRevenue(spark, dir).write.mode("overwrite").orc(path)
     readback(spark.read.orc(path))
   }
 
   val jsonlRoundtrip: QueryDef = QueryDef("jsonl_roundtrip", roundtripOracle) { (spark, dir) =>
-    val path = "/tmp/graft_jsonl_roundtrip"
+    val path = graft.rentals.Scratch.dir("graft_jsonl_roundtrip")
     monthlySupplierRevenue(spark, dir).write.mode("overwrite").json(path)
     // JSON streams/files always get an explicit schema — no inference pass
     val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
