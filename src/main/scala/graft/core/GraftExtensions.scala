@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions", name, usage)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.EliminateRedundantDedup)
     e.injectFunction((
       FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(array<bigint>, array<bigint>) - exact integer dot product"),

@@ -48,7 +48,14 @@ object Io {
       singleFilePerPartition: Boolean = false,
       maxRecordsPerFile: Long = 5000000L): Unit = {
     val withYear = df.withColumn("year", year(col("month")))
-    val sized = if (singleFilePerPartition) withYear.coalesce(1) else withYear
+    // Cluster rows by the hive partition keys before the partitioned write:
+    // otherwise every upstream task writes a file into every partition dir
+    // (tasks x partitions tiny files — the small-files problem). One shuffle
+    // buys one file per partition per key-group; maxRecordsPerFile still
+    // splits genuinely large partitions.
+    val sized =
+      if (singleFilePerPartition) withYear.coalesce(1)
+      else withYear.repartition(config.partitionKeys.map(col): _*)
     sized.write
       .mode(SaveMode.Overwrite)
       .option("compression", "snappy")

@@ -98,9 +98,12 @@ object TextAnalysis {
 
   /** Document fingerprinting: (a) a polynomial rolling hash over character
     * codes folded with exact modular integer arithmetic (bit-identical in any
-    * engine — the hash constants are public math, not engine internals), and
-    * (b) SHA-256 of the content (Spark `sha2` == DuckDB `sha256`, both
-    * lowercase hex).
+    * engine — the hash constants are public math, not engine internals),
+    * computed by the codegen'd [[graft.functions.PolyHash]] expression (a
+    * tight per-string loop; the composable
+    * `aggregate(transform(sequence(...)))` form allocates an index array and
+    * an interpreted lambda call per character), and (b) SHA-256 of the
+    * content (Spark `sha2` == DuckDB `sha256`, both lowercase hex).
     */
   val textFingerprint: QueryDef = QueryDef(
     "text_fingerprint",
@@ -112,13 +115,10 @@ object TextAnalysis {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS poly_hash,
       |  sha256(text) AS sha_hex
       |FROM documents""".stripMargin) { (spark, dir) =>
-    Tables.documents(spark, dir).selectExpr(
-      "doc_id",
-      """aggregate(
-        |  transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-        |  CAST(0 AS BIGINT),
-        |  (h, c) -> (h * 31 + c) % 1000000007) AS poly_hash""".stripMargin,
-      "sha2(text, 256) AS sha_hex")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.PolyHash.polyHash(col("text")).as("poly_hash"),
+      sha2(col("text"), 256).as("sha_hex"))
   }
 
   /** BPE-ish regex tokenization: letter runs / digit runs / single symbols —

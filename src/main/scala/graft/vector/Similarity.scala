@@ -168,16 +168,30 @@ object Similarity {
     * 1 - θ/π, so true near-dups (θ≈0) collide on all 16 bits with high
     * probability while random pairs collide with ~2^-16.
     */
+  /** splitmix64 — public-domain mix function; seeds the deterministic ±1
+    * hyperplane matrix (row-invariant, so it's built once on the driver and
+    * embedded as literal arrays — the per-row work is 16 codegen'd integer
+    * dot products, not interpreted per-element lambdas).
+    */
+  private def splitmix64(seed: Long): Long = {
+    var x = seed + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   val embeddingLshNearDup: QueryDef = QueryDef.noOracle("dedup_embedding_lsh") { (spark, dir) =>
     val q = quantized(spark, dir).filter(col("norm2") > 0)
-    val sigBit =
-      """transform(sequence(0, 15), j ->
-        |  CASE WHEN aggregate(
-        |         zip_with(q, sequence(0, size(q) - 1),
-        |                  (x, d) -> x * (CASE WHEN (xxhash64(j, d) & 1L) = 1L THEN 1L ELSE -1L END)),
-        |         0L, (acc, v) -> acc + v) > 0L
-        |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
-    val signed = q.withColumn("sig", expr(s"aggregate($sigBit, 0L, (acc, x) -> acc + x)"))
+    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
+    def sign(j: Int, d: Int): Long =
+      if ((splitmix64(j.toLong * 131071L + d) & 1L) == 1L) 1L else -1L
+    val sig = (0 until 16)
+      .map { j =>
+        val plane = typedLit((0 until dim).map(d => sign(j, d)))
+        when(VectorFunctions.longDot(col("q"), plane) > 0L, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    val signed = q.withColumn("sig", sig)
     val a = signed.select(col("vec_id").as("vec_a"), col("sig"), col("q").as("qa"), col("norm2").as("na"))
     val b = signed.select(col("vec_id").as("vec_b"), col("sig"), col("q").as("qb"), col("norm2").as("nb"))
     a.join(b, Seq("sig"))

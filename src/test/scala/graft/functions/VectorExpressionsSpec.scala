@@ -37,6 +37,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(16L, 0L, 64L))
   }
 
+  test("polyHash equals the HOF fold and handles unicode code points") {
+    import spark.implicits._
+    val df = Seq("abc", "", "hello world", "café", "a😀b").toDF("text")
+    val out = df.select(
+      graft.functions.PolyHash.polyHash(col("text")).as("native"),
+      expr(
+        """aggregate(
+          |  transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT),
+          |  (h, c) -> (h * 31 + c) % 1000000007) AS hof""".stripMargin))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // golden: "abc" -> ((97*31)+98)*31+99 = 96354
+    assert(out.head.getLong(0) === ((97L * 31 + 98) * 31 + 99))
+  }
+
   test("longDot participates in whole-stage codegen (no fallback)") {
     // a non-constant source (so nothing constant-folds) and codegen-friendly
     // array construction (a HOF like transform would fall back and take the
