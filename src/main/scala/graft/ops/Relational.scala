@@ -473,6 +473,60 @@ object Relational {
       .distinct()
   }
 
+  /** TPC-H Q3-flavor composite: selective dim filter -> two fact joins ->
+    * hash agg -> deterministic global top-n. The canonical
+    * filter-join-agg-sort pipeline in one plan.
+    */
+  val tpchQ3Style: QueryDef = QueryDef(
+    "tpch_q3_style",
+    s"""SELECT o.o_orderkey,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS revenue,
+       |  o.o_orderdate, o.o_orderpriority
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+       |ORDER BY revenue DESC, o.o_orderkey
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Num.centsToDouble(
+        sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** The SQL surface with a correlated scalar subquery (decorrelated by
+    * Catalyst into a join): orders more than twice their customer's average.
+    * Runs through `spark.sql` over temp views — same SQL text the oracle
+    * executes. Averages come from exact integer cents, so the threshold
+    * comparison is deterministic.
+    */
+  val sqlCorrelatedSubquery: QueryDef = {
+    val sql =
+      """SELECT o.o_orderkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders o
+        |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > (
+        |  SELECT 2.0 * (CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |                 / CAST(count(*) AS DOUBLE))
+        |  FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+    QueryDef("sql_correlated_subquery", sql) { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+  }
+
   /** Global deterministic top-n (order by exact cents + key tiebreak). */
   val sortLimitTopOrders: QueryDef = QueryDef(
     "sort_limit_top_orders",
@@ -647,6 +701,7 @@ object Relational {
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
+    tpchQ3Style, sqlCorrelatedSubquery,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }

@@ -29,6 +29,35 @@ class StreamsSpec extends SparkSpec {
     assert(s.size >= (b.size * 3) / 4)
   }
 
+  test("stream-stream interval join matches the batch interval join (modulo watermark tail)") {
+    import org.apache.spark.sql.functions.expr
+    val clicks = Streams.readEventsStream(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = Streams.readEventsStream(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      expr("c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"))
+    val result = Streams.runAvailableNowToMemory(
+      spark, joined, "ss_join_test", org.apache.spark.sql.streaming.OutputMode.Append())
+
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = bc.join(bp, expr("c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"))
+
+    val s = result.select("c_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.select("c_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s.subsetOf(b))
+    assert(b.nonEmpty && s.size >= (b.size * 3) / 4, s"stream ${s.size} vs batch ${b.size}")
+  }
+
   test("streaming exact dedup (dropDuplicates on event_id) equals batch distinct") {
     val deduped = Streams.readEventsStream(spark, sf)
       .dropDuplicates("event_id")
