@@ -527,6 +527,78 @@ object Relational {
     }
   }
 
+  /** Column profiling: per-column counts/nulls/min/max/distinct — the
+    * data-quality reconnaissance pass a pipeline runs before ingesting an
+    * unknown 100 TB table (single scan, all metrics partial-aggregated).
+    */
+  val profileLineitem: QueryDef = QueryDef(
+    "profile_lineitem",
+    s"""SELECT
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(l_orderkey) AS BIGINT) AS orderkey_nonnull,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orderkey_distinct,
+       |  CAST(min(l_orderkey) AS BIGINT) AS orderkey_min,
+       |  CAST(max(l_orderkey) AS BIGINT) AS orderkey_max,
+       |  CAST(min($C) AS BIGINT) AS price_cents_min,
+       |  CAST(max($C) AS BIGINT) AS price_cents_max,
+       |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS returnflag_distinct,
+       |  min(l_shipdate) AS shipdate_min,
+       |  max(l_shipdate) AS shipdate_max
+       |FROM lineitem""".stripMargin) { (spark, dir) =>
+    val cents = Num.cents(col("l_extendedprice"))
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("orderkey_nonnull"),
+      countDistinct(col("l_orderkey")).as("orderkey_distinct"),
+      min(col("l_orderkey")).as("orderkey_min"),
+      max(col("l_orderkey")).as("orderkey_max"),
+      min(cents).as("price_cents_min"),
+      max(cents).as("price_cents_max"),
+      countDistinct(col("l_returnflag")).as("returnflag_distinct"),
+      min(col("l_shipdate")).as("shipdate_min"),
+      max(col("l_shipdate")).as("shipdate_max"))
+  }
+
+  /** Deterministic ~1% sample via Knuth's multiplicative hash on the row
+    * key — plain modular integer arithmetic, so (unlike engine-internal
+    * hash functions or `TABLESAMPLE`) the *same rows* are selected by any
+    * engine: reproducible sampling you can oracle-check, re-run, and share
+    * across systems.
+    */
+  val deterministicSample: QueryDef = QueryDef(
+    "deterministic_sample",
+    """SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
+      |FROM lineitem
+      |WHERE ((l_orderkey * 2654435761 + l_linenumber) % 4294967296) < 42949672""".stripMargin) {
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L) < lit(42949672L))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(Num.cents(col("l_extendedprice"))).as("sampled_cents"))
+  }
+
+  /** Fixed-width histogram: Spark's `width_bucket` vs the equivalent
+    * integer-arithmetic bucketing in the oracle (DuckDB 1.0 has no
+    * width_bucket) — exact-cents input keeps the boundary math unambiguous.
+    */
+  val histogramPrices: QueryDef = QueryDef(
+    "histogram_prices",
+    s"""SELECT CAST(CASE WHEN c < 0 THEN 0
+       |                 WHEN c >= 12000000 THEN 25
+       |                 ELSE (c * 24) // 12000000 + 1 END AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT $C AS c FROM lineitem)
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(width_bucket(Num.cents(col("l_extendedprice")), lit(0), lit(12000000), lit(24)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Global deterministic top-n (order by exact cents + key tiebreak). */
   val sortLimitTopOrders: QueryDef = QueryDef(
     "sort_limit_top_orders",
@@ -702,6 +774,7 @@ object Relational {
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, sqlCorrelatedSubquery,
+    profileLineitem, deterministicSample, histogramPrices,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }
