@@ -131,5 +131,33 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir)).toDF()
   }
 
-  val all: Seq[QueryDef] = Seq(mediaPlumbing, mediaFeatures)
+  /** Multimodal record assembly: text document ⋈ its embedding vector ⋈ the
+    * binary payload + typed metadata — the joined (text, vector, media)
+    * row shape a multimodal training pipeline feeds downstream. Oracle
+    * checks the join and the per-modality derived columns.
+    */
+  val multimodalJoin: QueryDef = QueryDef(
+    "multimodal_join",
+    """SELECT d.doc_id, d.lang, e.label,
+      |  CAST(octet_length(CAST(d.text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  CAST(len(e.embedding) AS INTEGER) AS dim,
+      |  CAST(list_sum(list_transform(
+      |         list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)),
+      |         v -> v * v)) AS BIGINT) AS q_norm2
+      |FROM documents d
+      |JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "label",
+      "CAST(size(embedding) AS INT) AS dim",
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q")
+    docs.join(emb, col("vec_id") === col("doc_id"))
+      .select(
+        col("doc_id"), col("lang"), col("label"),
+        octet_length(col("text")).as("n_bytes"),
+        col("dim"),
+        graft.functions.VectorFunctions.longDot(col("q"), col("q")).as("q_norm2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mediaPlumbing, mediaFeatures, multimodalJoin)
 }

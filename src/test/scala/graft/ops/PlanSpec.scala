@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
         plain.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("binned range join equals the naive range join and plans a hash join, not BNLJ") {
+    import spark.implicits._
+    val intervals = Seq(
+      (0L, 10000000L, "low"),
+      (10000000L, 30000000L, "mid"),
+      (30000000L, 2000000000L, "high")).toDF("lo", "hi", "band")
+    val fact = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), graft.core.Num.cents(col("o_totalprice")).as("cents"))
+    val naive = fact.join(intervals, col("cents") >= col("lo") && col("cents") < col("hi"))
+      .select("o_orderkey", "band")
+    val binned = RangeJoin.binned(fact, intervals, col("cents"), col("lo"), col("hi"), 1000000L)
+      .select("o_orderkey", "band")
+    assert(
+      binned.collect().map(_.toString).sorted.toSeq ===
+        naive.collect().map(_.toString).sorted.toSeq)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"still a nested-loop join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("rentals pipeline: exactly the two window exchanges + one aggregate exchange") {
     val p = plan(RentalsDemo.pipeline(spark, sf))
     // dedup collapses into the aggregate's partitioning; windows add two more
