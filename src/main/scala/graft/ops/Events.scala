@@ -176,6 +176,31 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_cents"))
   }
 
+  /** MapType surface: parse the JSON props into `map<string,bigint>`,
+    * explode to (key, value) rows, aggregate per key. (The corpus's props
+    * happen to carry a single key; the operator is key-generic.)
+    */
+  val jsonMapExplode: QueryDef = QueryDef(
+    "json_map_explode",
+    """SELECT k.key AS prop_key,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract_string(e.props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS total
+      |FROM events e,
+      |     (SELECT DISTINCT key FROM
+      |        (SELECT UNNEST(json_keys(props)) AS key FROM events)) k
+      |WHERE json_extract_string(e.props, '$.' || k.key) IS NOT NULL
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(explode(from_json(
+        col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))).as(Seq("prop_key", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("prop_key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin)
+    Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin, jsonMapExplode)
 }

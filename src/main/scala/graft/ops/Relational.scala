@@ -599,6 +599,24 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Nested output types through the gate: per-flag sorted array of the
+    * distinct suppliers (deterministic: sorted, distinct) — array columns
+    * hash-compare like scalars once ordering is pinned.
+    */
+  val arrayAggSorted: QueryDef = QueryDef(
+    "array_agg_sorted",
+    """SELECT l_returnflag,
+      |  list(DISTINCT l_suppkey ORDER BY l_suppkey) AS suppliers,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_sort(collect_set(col("l_suppkey"))).as("suppliers"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+  }
+
   /** Global deterministic top-n (order by exact cents + key tiebreak). */
   val sortLimitTopOrders: QueryDef = QueryDef(
     "sort_limit_top_orders",
@@ -774,7 +792,7 @@ object Relational {
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, sqlCorrelatedSubquery,
-    profileLineitem, deterministicSample, histogramPrices,
+    profileLineitem, deterministicSample, histogramPrices, arrayAggSorted,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }
