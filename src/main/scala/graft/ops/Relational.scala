@@ -214,13 +214,17 @@ object Relational {
        |FROM lineitem
        |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    // one percentile aggregate with an array of ps = one value buffer per
+    // group (four scalar aggregates would buffer the column four times)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr(s"percentile($cents, 0.25)").as("p25"),
-        expr(s"percentile($cents, 0.50)").as("p50"),
-        expr(s"percentile($cents, 0.75)").as("p75"),
-        expr(s"percentile($cents, 0.95)").as("p95"))
+      .agg(expr(s"percentile($cents, array(0.25D, 0.50D, 0.75D, 0.95D))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        col("ps").getItem(0).as("p25"),
+        col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75"),
+        col("ps").getItem(3).as("p95"))
   }
 
   /** Exact variance via integer moments: quantize to whole dollars, carry
