@@ -201,6 +201,72 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
   }
 
-  val all: Seq[QueryDef] =
-    Seq(jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin, jsonMapExplode)
+  /** Cohort retention: users grouped by first-activity month, counted per
+    * months-since-cohort offset. Offsets are integer date-part arithmetic —
+    * identical in any engine.
+    */
+  val cohortRetention: QueryDef = QueryDef(
+    "cohort_retention",
+    """WITH activity AS (
+      |  SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS m
+      |  FROM events GROUP BY 1, 2),
+      |cohorts AS (
+      |  SELECT user_id, min(m) AS cohort_month FROM activity GROUP BY 1)
+      |SELECT c.cohort_month,
+      |  CAST((EXTRACT(year FROM a.m) - EXTRACT(year FROM c.cohort_month)) * 12
+      |       + (EXTRACT(month FROM a.m) - EXTRACT(month FROM c.cohort_month)) AS INTEGER) AS offset_months,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("month", col("ts")).cast("date").as("m"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("m")).as("cohort_month"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(
+        col("cohort_month"),
+        ((year(col("m")) - year(col("cohort_month"))) * 12 +
+          (month(col("m")) - month(col("cohort_month")))).cast("int").as("offset_months"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered funnel: signup -> first later click -> first later purchase,
+    * per user; output is the per-stage user count (strictly ordered by
+    * timestamp, not mere event presence).
+    */
+  val funnelStages: QueryDef = QueryDef(
+    "funnel_stages",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+      |       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+      |       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after""".stripMargin) {
+    (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").as("e")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
+    jsonMapExplode, cohortRetention, funnelStages)
 }

@@ -98,10 +98,49 @@ object RentalsDemo {
         Num.centsToDouble(sum(Num.cents(col("median_rent")))).as("total_rent"))
   }
 
+  /** Calendar densification (gap filling): generate every month between each
+    * region's first and last activity, left-join actual data, report
+    * coverage. The generate-explode-join shape is the standard time-series
+    * densifier; the summary keeps the gate output compact.
+    */
+  def monthDensify(spark: SparkSession, dir: String): DataFrame = {
+    val long = rentalsLong(spark, dir)
+    val bounds = long.groupBy(col("RegionID"))
+      .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+    val calendar = bounds
+      .select(col("RegionID"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+    calendar.join(long.select(col("RegionID"), col("month"), col("median_rent")),
+        Seq("RegionID", "month"), "left")
+      .groupBy(col("RegionID"))
+      .agg(
+        count(lit(1)).as("n_months_total"),
+        count(col("median_rent")).as("n_months_present"),
+        (count(lit(1)) - count(col("median_rent"))).cast("long").as("n_months_missing"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "rentals_long",
       longSql) { (spark, dir) => rentalsLong(spark, dir) },
+    QueryDef(
+      "month_densify",
+      s"""WITH long_shape AS ($longSql),
+         |bounds AS (
+         |  SELECT RegionID, min(month) AS mn, max(month) AS mx
+         |  FROM long_shape GROUP BY 1),
+         |calendar AS (
+         |  SELECT RegionID,
+         |         CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+         |                                     INTERVAL 1 MONTH)) AS DATE) AS month
+         |  FROM bounds)
+         |SELECT c.RegionID,
+         |  CAST(count(*) AS BIGINT) AS n_months_total,
+         |  CAST(count(l.median_rent) AS BIGINT) AS n_months_present,
+         |  CAST(count(*) - count(l.median_rent) AS BIGINT) AS n_months_missing
+         |FROM calendar c
+         |LEFT JOIN long_shape l ON l.RegionID = c.RegionID AND l.month = c.month
+         |GROUP BY 1""".stripMargin) { (spark, dir) => monthDensify(spark, dir) },
     QueryDef(
       "zori_csv_pipeline",
       s"""WITH raw AS (
