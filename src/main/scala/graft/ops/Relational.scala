@@ -603,6 +603,23 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS (the general grouping-lattice form rollup/cube
+    * specialize) through the SQL surface — the same SQL text runs in both
+    * engines.
+    */
+  val aggGroupingSets: QueryDef = {
+    val sql =
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+    QueryDef("agg_grouping_sets", sql) { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(sql)
+    }
+  }
+
   /** Nested output types through the gate: per-flag sorted array of the
     * distinct suppliers (deterministic: sorted, distinct) — array columns
     * hash-compare like scalars once ordering is pinned.
@@ -797,6 +814,7 @@ object Relational {
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, sqlCorrelatedSubquery,
     profileLineitem, deterministicSample, histogramPrices, arrayAggSorted,
+    aggGroupingSets,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }

@@ -170,32 +170,30 @@ object TextAnalysis {
       "fr" -> Seq("es ", "le ", "de ", "ent", "ou ", "une"),
       "zh" -> Seq("shi", "de ", "le ", "zh ", "ng ", "wo "))
     val langs = profiles.map(_._1)
-    def arrLit(ws: Seq[String], open: String, close: String) =
-      ws.map(w => s"'${w.replace("'", "''")}'").mkString(open, ", ", close)
-    val triSpark = "CASE WHEN length(text) >= 3 THEN array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) ELSE CAST(array() AS ARRAY<STRING>) END"
-    val triSql = "CASE WHEN length(text) >= 3 THEN list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) ELSE [] END"
+    def esc(w: String) = w.replace("'", "''")
+    // |trigrams(text) ∩ profile| == the number of profile trigrams the text
+    // contains — membership tests replace materializing the trigram set
+    // (30 codegen'd `contains` calls per row vs an interpreted per-position
+    // array build).
+    def scoreSpark(ws: Seq[String]) =
+      ws.map(w => s"(CASE WHEN contains(text, '${esc(w)}') THEN 1 ELSE 0 END)").mkString(" + ")
+    def scoreSql(ws: Seq[String]) =
+      ws.map(w => s"(CASE WHEN strpos(text, '${esc(w)}') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
     val caseExpr = "CASE " + langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ") + " END"
     QueryDef(
       "lang_ngram",
-      s"""WITH tri AS (
-         |  SELECT doc_id, lang AS lang_actual, $triSql AS t FROM documents),
-         |scored AS (
-         |  SELECT doc_id, lang_actual,
-         |    ${profiles.map { case (l, ws) =>
-                 s"CAST(len(list_filter(t, g -> list_contains(${arrLit(ws, "[", "]")}, g))) AS INTEGER) AS s_$l"
-               }.mkString(",\n    ")}
-         |  FROM tri),
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    ${profiles.map { case (l, ws) => s"CAST(${scoreSql(ws)} AS INTEGER) AS s_$l" }
+                .mkString(",\n    ")}
+         |  FROM documents),
          |m AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM scored)
          |SELECT doc_id, lang_actual, $caseExpr AS lang_guess,
          |  ${langs.map(l => s"s_$l").mkString(", ")}
          |FROM m""".stripMargin) { (spark, dir) =>
-      val tri = Tables.documents(spark, dir)
-        .selectExpr("doc_id", "lang AS lang_actual", s"$triSpark AS t")
-      val scored = tri.selectExpr(
-        Seq("doc_id", "lang_actual") ++
-          profiles.map { case (l, ws) =>
-            s"size(filter(t, g -> array_contains(${arrLit(ws, "array(", ")")}, g))) AS s_$l"
-          }: _*)
+      val scored = Tables.documents(spark, dir).selectExpr(
+        Seq("doc_id", "lang AS lang_actual") ++
+          profiles.map { case (l, ws) => s"CAST(${scoreSpark(ws)} AS INT) AS s_$l" }: _*)
       scored
         .withColumn("m", greatest(langs.map(l => col(s"s_$l")): _*))
         .selectExpr(
