@@ -250,20 +250,21 @@ object Events {
       |       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
       |       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after""".stripMargin) {
     (spark, dir) =>
-      val ev = Tables.events(spark, dir)
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val s2 = ev.filter(col("event_type") === "click").as("e")
-        .join(s1, Seq("user_id"))
-        .filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val s3 = ev.filter(col("event_type") === "purchase")
-        .join(s2, Seq("user_id"))
-        .filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      s1.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      // One shuffle on user_id: each stage's first-reach time is a windowed
+      // conditional min over the previous stage's column (same partitioning,
+      // so the three window projections share a single exchange). The
+      // staged-join formulation re-shuffles events three times.
+      val w = Window.partitionBy(col("user_id"))
+      val staged = Tables.events(spark, dir)
+        .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      staged.agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_click_after"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_after"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -104,19 +104,24 @@ object RentalsDemo {
     * densifier; the summary keeps the gate output compact.
     */
   def monthDensify(spark: SparkSession, dir: String): DataFrame = {
-    val long = rentalsLong(spark, dir)
-    val bounds = long.groupBy(col("RegionID"))
-      .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
-    val calendar = bounds
-      .select(col("RegionID"),
+    // One aggregate gathers each region's present-month set + bounds; the
+    // generated calendar then checks membership locally — no second scan of
+    // the long shape and no re-shuffled join (explode is narrow and the
+    // final group-by reuses the RegionID partitioning).
+    val grouped = rentalsLong(spark, dir)
+      .groupBy(col("RegionID"))
+      .agg(
+        collect_set(col("month")).as("months"),
+        min(col("month")).as("mn"),
+        max(col("month")).as("mx"))
+    grouped
+      .select(col("RegionID"), col("months"),
         explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
-    calendar.join(long.select(col("RegionID"), col("month"), col("median_rent")),
-        Seq("RegionID", "month"), "left")
       .groupBy(col("RegionID"))
       .agg(
         count(lit(1)).as("n_months_total"),
-        count(col("median_rent")).as("n_months_present"),
-        (count(lit(1)) - count(col("median_rent"))).cast("long").as("n_months_missing"))
+        sum(when(array_contains(col("months"), col("month")), 1L).otherwise(0L)).as("n_months_present"),
+        sum(when(array_contains(col("months"), col("month")), 0L).otherwise(1L)).as("n_months_missing"))
   }
 
   val queries: Seq[QueryDef] = Seq(
