@@ -43,6 +43,37 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("cents quantization matches BigDecimal HALF_UP for 2-decimal money (property)") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.chooseNum(0L, 5000000L) // cents
+    checkProp(Prop.forAll(Gen.listOfN(20, gen)) { cs =>
+      val doubles = cs.map(c => c.toDouble / 100.0)
+      import spark.implicits._
+      val out = doubles.toDF("x").select(graft.core.Num.cents(col("x"))).collect().map(_.getLong(0))
+      out.toList == cs
+    })
+  }
+
+  test("poly_hash equals a pure-Scala reference fold for random ASCII strings (property)") {
+    import org.apache.spark.sql.functions._
+    val genStr = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    checkProp(Prop.forAll(Gen.listOfN(10, genStr)) { ss =>
+      import spark.implicits._
+      val out = ss.toDF("text")
+        .select(graft.functions.PolyHash.polyHash(col("text"))).collect().map(_.getLong(0))
+      val ref = ss.map(_.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
+      out.toList == ref
+    })
+  }
+
+  test("empty wide frame flows through the full pipeline to an empty output") {
+    val out = mkDf(Fixtures.wideSchema, Nil).transform(Transforms.runPipeline)
+    assert(out.count() === 0)
+    assert(out.columns.toSet === Set(
+      "RegionID", "RegionName", "StateName", "month", "median_rent",
+      "rent_change_mom", "state_rent_rank"))
+  }
+
   test("clean ∘ dedup is idempotent and order-insensitive on the fixture") {
     val df = mkDf(Fixtures.longSchema, Fixtures.longRows)
     val once = Transforms.deduplicate(Transforms.cleanNulls(df))

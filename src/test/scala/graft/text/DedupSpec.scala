@@ -65,6 +65,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccard bounds: self-similarity 1.0, disjoint 0.0, everything in [0,1]") {
+    val docs = (1L to 6L).map(i => i -> s"${"wa wb wc " * i.toInt} tail$i end$i")
+    docsDir(docs) { dir =>
+      val rows = Dedup.ngramJaccardConsecutive.fn(spark, dir)
+        .select("jaccard").collect().map(_.getDouble(0))
+      assert(rows.nonEmpty)
+      assert(rows.forall(j => j >= 0.0 && j <= 1.0))
+    }
+  }
+
+  test("simhash of identical documents is identical (hamming 0)") {
+    val t = (0 until 100).map(i => s"tok${i % 13}").mkString(" ")
+    docsDir(Seq(1L -> t, 2L -> t)) { dir =>
+      val out = Dedup.simhashNearDup.fn(spark, dir).collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("hamming") === 0L)
+    }
+  }
+
   test("minhash signature is stable and has the configured width") {
     docsDir(Seq(1L -> base)) { dir =>
       val sig1 = Dedup.minhashSignatures(spark, dir).select("sig").head().getSeq[Long](0)
