@@ -267,7 +267,25 @@ object Events {
         countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_after"))
   }
 
+  /** SCD2-style history: each (user, event) becomes a validity interval
+    * `[ts, next ts)` via `lead`, the open current row marked null — the
+    * slowly-changing-dimension shape a changelog compacts into.
+    */
+  val scd2History: QueryDef = QueryDef(
+    "scd2_history",
+    """SELECT user_id, event_type, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+      |FROM events""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
-    jsonMapExplode, cohortRetention, funnelStages)
+    jsonMapExplode, cohortRetention, funnelStages, scd2History)
 }
