@@ -73,10 +73,19 @@ object RentalsDemo {
     * clean_nulls).
     */
   def csvPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val wide = rentalsLong(spark, dir)
+    val long = rentalsLong(spark, dir)
+    // explicit pivot values from the (2-value) bounds collect — pivot
+    // without values would run an extra distinct-collect job over the data
+    val Array(bounds) = long.agg(min(col("month")), max(col("month"))).collect()
+    val (mn, mx) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+    val months = Iterator.iterate(mn.withDayOfMonth(1))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(mx))
+      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      .toSeq
+    val wide = long
       .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
       .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
-      .pivot("month_str")
+      .pivot("month_str", months)
       .agg(first(col("median_rent")))
       .withColumn("SizeRank", col("RegionID"))
       .withColumn("RegionType", lit("msa"))
