@@ -107,4 +107,22 @@ object Transforms {
       .transform(deduplicate)
       .transform(addMomChange)
       .transform(addStateRank)
+
+  /** Pipeline with in-flight observability: `Dataset.observe` records
+    * unpivot arity and null-drop counts *inside the single action* — the DQ
+    * gate's row-count/null metrics at zero additional scans (vs the
+    * reference's one `.count()` job per check). Read the metrics from the
+    * completed query via `QueryExecutionListener` or
+    * `df.queryExecution.observedMetrics`.
+    */
+  def runPipelineObserved(df: DataFrame): DataFrame =
+    df.transform(enforceSchema)
+      .transform(unpivotMonthly)
+      .observe("unpivoted",
+        count(lit(1)).as("n_rows"),
+        count(col("median_rent")).as("n_nonnull_rent"))
+      .transform(cleanNulls)
+      .transform(deduplicate)
+      .transform(addMomChange)
+      .transform(addStateRank)
 }

@@ -126,6 +126,25 @@ object Streams {
     runAvailableNowToMemory(spark, streamed, table, OutputMode.Complete())
   }
 
+  /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
+    * normal batch writer (idempotent by batchId) — the pattern for sinks
+    * without a native streaming writer (JDBC, upserts, partitioned parquet
+    * with custom layout).
+    */
+  def runForeachBatchParquet(
+      spark: SparkSession,
+      streamed: DataFrame,
+      outDir: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (AvailableNow) into an in-memory table; returns the result. Used by
     * tests and demos — production would use a durable sink + real trigger.

@@ -75,6 +75,18 @@ class TransformsSpec extends SparkSpec {
     assert(out === Map("A" -> 1, "B" -> 1, "C" -> 3))
   }
 
+  test("observed pipeline exposes arity + null metrics inside the single action") {
+    val out = wide.transform(Transforms.runPipelineObserved)
+    // collect() executes *this* QueryExecution (count() would plan a new
+    // one, leaving these observed metrics empty)
+    assert(out.collect().length === 5)
+    val metrics = out.queryExecution.observedMetrics.get("unpivoted")
+    assert(metrics.nonEmpty, "no observed metrics recorded")
+    val m = metrics.get
+    assert(m.getAs[Long]("n_rows") === 6L) // 2 regions x 3 months, nulls kept
+    assert(m.getAs[Long]("n_nonnull_rent") === 5L) // one engineered null
+  }
+
   test("full pipeline e2e: columns, no nulls, key uniqueness, first-month MoM null (test_transform.py:130-154)") {
     val out = wide.transform(Transforms.runPipeline)
     assert(out.columns.toSet === Set(

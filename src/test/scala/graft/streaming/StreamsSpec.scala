@@ -58,6 +58,17 @@ class StreamsSpec extends SparkSpec {
     assert(b.nonEmpty && s.size >= (b.size * 3) / 4, s"stream ${s.size} vs batch ${b.size}")
   }
 
+  test("foreachBatch parquet sink captures every source row exactly once") {
+    withTempDir { dir =>
+      val streamed = Streams.readEventsStream(spark, sf)
+        .select("event_id", "user_id", "event_type")
+      Streams.runForeachBatchParquet(spark, streamed, dir.getAbsolutePath)
+      val written = spark.read.parquet(s"${dir.getAbsolutePath}/batch_*")
+      assert(written.count() === Tables.events(spark, sf).count())
+      assert(written.select("event_id").distinct().count() === written.count())
+    }
+  }
+
   test("streaming exact dedup (dropDuplicates on event_id) equals batch distinct") {
     val deduped = Streams.readEventsStream(spark, sf)
       .dropDuplicates("event_id")
