@@ -15,6 +15,7 @@ object SparkEntry {
     rentals.RentalsDemo.queries ++
       ops.Relational.all ++
       ops.Events.all ++
+      ops.Sketches.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
       vector.Similarity.all ++

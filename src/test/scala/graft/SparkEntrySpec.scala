@@ -17,7 +17,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(rowsOnly === Set(
       "dedup_minhash_lsh", "dedup_simhash", "ann_ivf_probe",
       "dedup_embedding_lsh", "multimodal_features",
-      "agg_approx_distinct", "agg_approx_percentile"), rowsOnly)
+      "agg_approx_distinct", "agg_approx_percentile",
+      "cms_supplier_freq"), rowsOnly)
   }
 
   test("entry smoke: >0 rows on sf0.001 (t1 contract)") {
