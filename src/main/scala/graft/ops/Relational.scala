@@ -603,6 +603,27 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Quantity-weighted average price — ratio of two exact sums (weighted
+    * aggregation without floating accumulation). The product sum runs in
+    * decimal(38,0): qty*cents per row fits a long, but the *sum* would
+    * overflow int64 around 1e19 — i.e. exactly at the 100 TB row counts this
+    * engine targets.
+    */
+  val aggWeightedAvg: QueryDef = QueryDef(
+    "agg_weighted_avg",
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT) * $C AS DECIMAL(38, 0))) AS DOUBLE)
+       |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val qty = round(col("l_quantity")).cast("long")
+    val weighted = (qty * Num.cents(col("l_extendedprice"))).cast("decimal(38,0)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(weighted).cast("double") /
+        sum(qty).cast("double") / lit(100.0)).as("wavg_price"))
+  }
+
   /** Explicit GROUPING SETS (the general grouping-lattice form rollup/cube
     * specialize) through the SQL surface — the same SQL text runs in both
     * engines.
@@ -814,7 +835,7 @@ object Relational {
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, sqlCorrelatedSubquery,
     profileLineitem, deterministicSample, histogramPrices, arrayAggSorted,
-    aggGroupingSets,
+    aggGroupingSets, aggWeightedAvg,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }

@@ -72,7 +72,7 @@ object TextAnalysis {
       s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($l, t))) AS INTEGER)"
     }
     val langs = profiles.map(_._1)
-    val caseExpr = (sel: String => String) =>
+    val caseExpr =
       "CASE " + langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ") + " END"
     QueryDef(
       "lang_guess",
@@ -82,7 +82,7 @@ object TextAnalysis {
          |  FROM documents),
          |m AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM scored)
          |SELECT doc_id, lang_actual,
-         |  ${caseExpr(identity)} AS lang_guess,
+         |  $caseExpr AS lang_guess,
          |  ${langs.map(l => s"s_$l").mkString(", ")}
          |FROM m""".stripMargin) { (spark, dir) =>
       val scored = Tables.documents(spark, dir).selectExpr(
@@ -91,7 +91,7 @@ object TextAnalysis {
       scored
         .withColumn("m", greatest(langs.map(l => col(s"s_$l")): _*))
         .selectExpr(
-          Seq("doc_id", "lang_actual", s"${caseExpr(identity)} AS lang_guess") ++
+          Seq("doc_id", "lang_actual", s"$caseExpr AS lang_guess") ++
             langs.map(l => s"s_$l"): _*)
     }
   }
