@@ -128,6 +128,42 @@ object DataQuality {
     summary
   }
 
+  /** Fused single-pass evaluation of the standard gate (SURVEY.md §4's
+    * sanctioned internal optimization): one aggregate computes every
+    * predicate's inputs — total, nulls, out-of-range, distinct keys — so the
+    * whole gate costs one scan + one shuffle (for the exact distinct)
+    * instead of up to 6 count jobs. The per-check result contract (names,
+    * severities, pass booleans) is identical to [[summarize]] with
+    * [[standardChecks]]; DataQualitySpec asserts the equivalence.
+    */
+  def summarizeFused(df: DataFrame, config: PipelineConfig = PipelineConfig()): DataQualitySummary = {
+    val rentCol = "median_rent"
+    val row = df.agg(
+      count(lit(1)).as("total"),
+      count(when(col(rentCol).isNull, 1)).as("nulls"),
+      count(when(col(rentCol) < config.rentMin || col(rentCol) > config.rentMax, 1)).as("oob"),
+      count_distinct(struct(config.uniqueKeys.map(col): _*)).as("distinct_keys"))
+      .head()
+    val total = row.getAs[Long]("total")
+    val nulls = row.getAs[Long]("nulls")
+    val oob = row.getAs[Long]("oob")
+    val distinctKeys = row.getAs[Long]("distinct_keys")
+    val checks = standardChecks(config)
+    val passed: Map[String, Boolean] = Map(
+      s"null_percentage_$rentCol" ->
+        (total == 0L || nulls.toDouble / total.toDouble <= config.nullPctThreshold),
+      "row_count" -> (total >= config.minRows),
+      s"range_$rentCol" -> (oob == 0L),
+      s"uniqueness_${config.uniqueKeys.mkString("_")}" -> (total == distinctKeys))
+    val details = checks.map(c => CheckResult(c.name, passed(c.name), c.severity, c.description))
+    DataQualitySummary(
+      total = details.size,
+      passed = details.count(_.passed),
+      failed = details.count(r => !r.passed && r.severity == Fail),
+      warnings = details.count(r => !r.passed && r.severity == Warn),
+      details = details)
+  }
+
   /** Same evaluation without the terminal throw — for callers that want the
     * tally (e.g. the `dq_summary` driver query) rather than the gate.
     */

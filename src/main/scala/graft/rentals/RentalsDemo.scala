@@ -211,18 +211,15 @@ object RentalsDemo {
          |             ('range_median_rent', 'fail'),
          |             ('uniqueness_RegionID_month', 'warn')) AS c(check_name, severity)""".stripMargin) {
       (spark, dir) =>
-        // The real DQ framework (C2-C4) evaluates each check over the long
-        // shape; the oracle recomputes the same predicates in SQL. The rent
-        // range bound is scaled up because `median_rent` here is monthly
-        // revenue, not a literal rent.
+        // The real DQ framework (C2-C4) evaluated through the fused
+        // single-pass path (one scan instead of 6 count jobs; equivalence
+        // with the per-check runner is spec-asserted). The rent range bound
+        // is scaled up because `median_rent` here is monthly revenue, not a
+        // literal rent; the oracle recomputes the same predicates in SQL.
         import spark.implicits._
-        val long = rentalsLong(spark, dir)
-        val checks = Seq(
-          DataQuality.nullPercentageCheck("median_rent", 0.1),
-          DataQuality.rowCountCheck(100),
-          DataQuality.rangeCheck("median_rent", 0.0, 50000000.0),
-          DataQuality.uniquenessCheck(Seq("RegionID", "month")))
-        val summary = DataQuality.summarize(long, checks)
+        val summary = DataQuality.summarizeFused(
+          rentalsLong(spark, dir),
+          PipelineConfig(rentMax = 50000000.0))
         summary.details
           .map(r => (r.name, r.severity.label, r.passed))
           .toDF("check_name", "severity", "passed")

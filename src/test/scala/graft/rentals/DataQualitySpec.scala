@@ -87,6 +87,20 @@ class DataQualitySpec extends SparkSpec {
     assert(summary.total === 2 && summary.passed === 1 && summary.failed === 1)
   }
 
+  test("fused single-pass evaluation equals the per-check runner on all gate shapes") {
+    val configs = Seq(
+      PipelineConfig(minRows = 10), // healthy
+      PipelineConfig(minRows = 1000), // row_count fails
+      PipelineConfig(minRows = 10, rentMax = 2100.0), // range fails
+      PipelineConfig(minRows = 10, nullPctThreshold = 0.01)) // null pct fails
+    val raw = mkDf(Fixtures.longSchema, Fixtures.longRows) // has nulls + a dup
+    configs.foreach { cfg =>
+      val perCheck = DataQuality.summarize(raw, DataQuality.standardChecks(cfg))
+      val fused = DataQuality.summarizeFused(raw, cfg)
+      assert(fused === perCheck, s"mismatch for $cfg")
+    }
+  }
+
   test("standard gate passes on the healthy pipeline output") {
     val healthy = mkDf(Fixtures.longSchema, Fixtures.longRows)
       .transform(Transforms.cleanNulls)
