@@ -1,0 +1,50 @@
+package graft.rentals
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed view of the canonical long shape (`SURVEY.md §1`: optional
+  * `Dataset[ZoriRow]` for the processed model). Field names/types mirror
+  * `Schemas.longSchema`; the typed facade gives compile-time field checks to
+  * downstream Scala consumers while every transform still runs on the same
+  * Catalyst plan (case-class `Encoder`s are schema projections, not a
+  * different execution path).
+  */
+final case class ZoriRow(
+    RegionID: Int,
+    RegionName: String,
+    StateName: String,
+    month: Date,
+    median_rent: Option[Double])
+
+object Typed {
+
+  /** Long-shape DataFrame -> typed Dataset. */
+  def asZori(df: DataFrame): Dataset[ZoriRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[ZoriRow]
+  }
+
+  /** Typed equivalents of the cleaning stages — same semantics as
+    * [[Transforms.cleanNulls]]/[[Transforms.deduplicate]], expressed against
+    * the typed fields (filters/keys checked at compile time).
+    */
+  def cleanNulls(ds: Dataset[ZoriRow]): Dataset[ZoriRow] =
+    ds.filter(_.median_rent.isDefined)
+
+  def deduplicate(ds: Dataset[ZoriRow]): Dataset[ZoriRow] =
+    ds.dropDuplicates("RegionID", "month")
+
+  /** Typed aggregation example: mean rent per state via groupByKey. */
+  def meanRentByState(spark: SparkSession, ds: Dataset[ZoriRow]): DataFrame = {
+    import spark.implicits._
+    ds.flatMap(r => r.median_rent.map(v => (r.StateName, v)))
+      .groupByKey(_._1)
+      .agg(
+        org.apache.spark.sql.expressions.scalalang.typed.avg[(String, Double)](_._2).name("mean_rent"),
+        org.apache.spark.sql.expressions.scalalang.typed.count[(String, Double)](_._1).name("n"))
+      .toDF("StateName", "mean_rent", "n")
+  }
+}
