@@ -64,6 +64,36 @@ object Io {
       .parquet(path)
   }
 
+  /** Incremental refresh: overwrite only the hive partitions present in
+    * `df`, leaving all other partitions untouched (dynamic partition
+    * overwrite). This is the production form of the reference's weekly
+    * batch (`dags/rental_pipeline_dag.py:52` `@weekly`): a new period
+    * replaces its own `(StateName, year)` directories instead of rewriting
+    * the whole dataset.
+    */
+  def overwritePartitions(
+      df: DataFrame,
+      path: String,
+      config: PipelineConfig = PipelineConfig()): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.withColumn("year", year(col("month")))
+        .repartition(config.partitionKeys.map(col): _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy(config.partitionKeys: _*)
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Processed-parquet scan (`dags/rental_pipeline_dag.py:136`). */
   def readProcessed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -43,6 +43,30 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    withTempDir { dir =>
+      val out = new java.io.File(dir, "incr").getAbsolutePath
+      val all = mkDf(Fixtures.longSchema, Fixtures.longRows).transform(Transforms.cleanNulls)
+      Io.writeProcessed(all, out)
+      val before = Io.readProcessed(spark, out)
+      val nyBefore = before.filter(col("StateName") === "NY").count()
+      val caBefore = before.filter(col("StateName") === "CA").count()
+      assert(nyBefore > 0 && caBefore > 0)
+
+      // refresh delivers ONLY California, with a sentinel rent
+      val caRefresh = all.filter(col("StateName") === "CA")
+        .withColumn("median_rent", lit(9999.0))
+      Io.overwritePartitions(caRefresh, out)
+
+      val after = Io.readProcessed(spark, out)
+      // NY untouched, CA fully replaced by the refresh
+      assert(after.filter(col("StateName") === "NY").count() === nyBefore)
+      val ca = after.filter(col("StateName") === "CA")
+      assert(ca.count() === caRefresh.count())
+      assert(ca.filter(col("median_rent") =!= 9999.0).count() === 0)
+    }
+  }
+
   test("full CSV -> pipeline -> partitioned parquet -> DQ gate round trip") {
     withTempDir { dir =>
       val f = new java.io.File(dir, "raw.csv")
