@@ -67,6 +67,38 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unifies old and new file schemas") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val p = dir.getAbsolutePath
+      Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$p/part=old")
+      Seq((2L, "b", 3.5)).toDF("id", "v1", "v2").write.parquet(s"$p/part=new")
+      val merged = spark.read.option("mergeSchema", "true").parquet(p)
+      assert(merged.columns.toSet === Set("id", "v1", "v2", "part"))
+      val old = merged.filter(col("part") === "old").head()
+      assert(old.isNullAt(merged.columns.indexOf("v2"))) // evolved column null for old files
+      assert(merged.count() === 2)
+    }
+  }
+
+  test("permissive CSV: short/long rows fill or drop fields without failing the read") {
+    withTempDir { dir =>
+      val f = new java.io.File(dir, "malformed.csv")
+      java.nio.file.Files.writeString(f.toPath,
+        """RegionID,SizeRank,RegionName,RegionType,StateName,2024-01
+          |102001,1,New York,msa,NY,3450.0
+          |394913,2,San Francisco
+          |394514,3,Austin,msa,TX,2100.0,EXTRA
+          |""".stripMargin)
+      val df = Io.readRawCsv(spark, f.getAbsolutePath)
+      assert(df.count() === 3) // nothing throws; short row null-padded, long row truncated
+      val sf = df.filter(col("RegionID") === 394913).head()
+      assert(sf.isNullAt(df.columns.indexOf("StateName")))
+      val atx = df.filter(col("RegionID") === 394514).head()
+      assert(atx.getAs[Double]("2024-01") === 2100.0)
+    }
+  }
+
   test("full CSV -> pipeline -> partitioned parquet -> DQ gate round trip") {
     withTempDir { dir =>
       val f = new java.io.File(dir, "raw.csv")
