@@ -826,8 +826,43 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
   }
 
+  /** Value-RANGE window frame (vs the ROWS frames in `window_frames`): a
+    * centered ±1-month revenue sum over a numeric month index — rows enter
+    * the frame by *value distance*, so gaps in the series are handled
+    * correctly (a missing month simply contributes nothing, where a ROWS
+    * frame would wrongly pull in a farther month).
+    */
+  val windowRangeFrame: QueryDef = QueryDef(
+    "window_range_frame",
+    s"""WITH monthly AS (
+       |  SELECT n.n_name,
+       |         CAST((EXTRACT(year FROM l.l_shipdate) - 1995) * 12
+       |              + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS month_idx,
+       |         CAST(SUM($DISC) AS BIGINT) AS rev_cents
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, month_idx,
+       |  CAST(SUM(rev_cents) OVER (PARTITION BY n_name ORDER BY month_idx
+       |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS centered_3mo_cents
+       |FROM monthly""".stripMargin) { (spark, dir) =>
+    val monthly = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")))
+          .cast("long").as("month_idx"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month_idx")).rangeBetween(-1, 1)
+    monthly.select(
+      col("n_name"), col("month_idx"),
+      sum(col("rev_cents")).over(w).as("centered_3mo_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames,
+    aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames, windowRangeFrame,
     topkAggregatorSuppliers, aggSaltedTwoStage, aggApproxDistinct,
     aggPercentiles, aggVarianceExact, aggApproxPercentile,
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,

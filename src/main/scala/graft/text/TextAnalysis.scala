@@ -229,6 +229,25 @@ object TextAnalysis {
            |       / CAST(size(t) AS DOUBLE)) * 5.0D) AS quality_score""".stripMargin)
   }
 
-  val all: Seq[QueryDef] =
-    Seq(textStats, langGuess, textFingerprint, textTokensRegex, langNgram, docQualityScore)
+  /** Text normalization — the cleaning stage before dedup/tokenization:
+    * lowercase, digit-masking, whitespace collapse, trim. (DuckDB's
+    * regexp_replace needs the explicit 'g' flag for replace-all; Spark
+    * replaces globally by default.)
+    */
+  val textNormalize: QueryDef = QueryDef(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+      |                      ' +', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+      |                                  ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_text"), length(norm).as("norm_len"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
+    docQualityScore, textNormalize)
 }
