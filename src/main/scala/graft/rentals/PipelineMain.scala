@@ -1,0 +1,46 @@
+package graft.rentals
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the full rental pipeline run — the reference's
+  * `spark-submit jobs/transform.py` stage (`jobs/transform.py:184-211` +
+  * DQ stage `dags/rental_pipeline_dag.py:105-147`): read raw CSV, run the
+  * six-transform chain, write partitioned parquet, then run the DQ gate over
+  * the written output (each stage boundary is a path, per the reference's
+  * XCom-passes-paths contract).
+  *
+  * Usage: runMain graft.rentals.PipelineMain <rawCsvPath> <outPath>
+  *          [--local] [--single-file]
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length == 2, "usage: PipelineMain <rawCsvPath> <outPath> [--local] [--single-file]")
+    val Array(rawPath, outPath) = positional
+    val local = args.contains("--local") || sys.env.get("ENV").contains("local")
+    val singleFile = args.contains("--single-file")
+
+    val spark = SparkSession.builder()
+      .appName("rental-pipeline")
+      .master(if (local) s"local[${Runtime.getRuntime.availableProcessors()}]" else "local[*]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.core.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val config = PipelineConfig()
+      val processed = Io.readRawCsv(spark, rawPath).transform(Transforms.runPipeline)
+      Io.writeProcessed(processed, outPath, config, singleFilePerPartition = singleFile)
+      // DQ gate over the *written* output (fresh scan, like the DAG's DQ task)
+      val summary = DataQuality.runQualityChecks(
+        Io.readProcessed(spark, outPath),
+        DataQuality.standardChecks(config))
+      println(s"[pipeline] DQ: ${summary.passed}/${summary.total} passed, " +
+        s"${summary.warnings} warning(s); output at $outPath")
+    } finally {
+      spark.stop()
+    }
+  }
+}
