@@ -8,10 +8,28 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` sink — unlike `count()`,
   * which lets Catalyst prune away every computed column, noop forces the full
   * result to be produced, so the numbers measure real operator throughput.
-  * A warmup query runs first so the first measured entry isn't charged for
-  * JVM/codegen warmup.
+  *
+  * The harness that invokes this keeps only the final ~2000 characters of
+  * output, so the printed line must stay small: it carries the total plus a
+  * fixed headline subset, with the full per-query map written to
+  * `BENCH_DETAIL.json` alongside the build.
   */
 object Bench {
+
+  /** One representative per operator family (kept short so the summary JSON
+    * line — the only thing the harness retains — fits its 2000-char window).
+    */
+  private val headline = Seq(
+    "rentals_pipeline", "zori_csv_pipeline", "partitioned_write_readback",
+    "scan_filter_project", "join_region_revenue", "tpch_q3_style",
+    "asof_join_purchase", "agg_pricing_summary", "agg_percentiles",
+    "topk_suppliers_per_nation", "window_frames", "sessionize_events",
+    "streaming_hourly_complete", "dedup_exact_text", "dedup_minhash_lsh",
+    "knn_brute_cosine", "ann_ivf_probe", "text_stats", "json_extract_agg",
+    "multimodal_join")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,10 +59,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), timeOne(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+    val byName = results.toMap
+
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detailJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    val qs = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + fmt(byName(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

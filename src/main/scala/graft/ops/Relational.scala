@@ -258,17 +258,31 @@ object Relational {
         col("n").cast("long").as("n"))
   }
 
-  /** t-digest approximate percentile (constant memory at any scale) next to
-    * the exact value — rows-only (sketch families differ across engines);
-    * ScalaTest bounds the error.
+  /** Approximate percentile (constant memory at any scale) next to the exact
+    * value. The sketch itself isn't cross-engine reproducible, so the oracle
+    * checks its contract instead: exact p50 (DuckDB `quantile_cont`) plus a
+    * boolean asserting the estimate lands within 2% of it — fixed sketch over
+    * fixed data, so the flag is deterministic. ScalaTest bounds the error
+    * in-process as well.
     */
-  val aggApproxPercentile: QueryDef = QueryDef.noOracle("agg_approx_percentile") { (spark, dir) =>
+  val aggApproxPercentile: QueryDef = QueryDef(
+    "agg_approx_percentile",
+    s"""SELECT l_returnflag,
+       |  quantile_cont($C, 0.50) AS exact_p50,
+       |  TRUE AS approx_within_2pct
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr(s"approx_percentile($cents, 0.5, 1000)").as("approx_p50"),
         expr(s"percentile($cents, 0.5)").as("exact_p50"))
+      .select(
+        col("l_returnflag"),
+        col("exact_p50"),
+        (abs(col("approx_p50").cast("double") - col("exact_p50")) <=
+          lit(0.02) * col("exact_p50")).as("approx_within_2pct"))
   }
 
   /** Range (band) join: fact rows land in value intervals from a tiny
@@ -641,21 +655,23 @@ object Relational {
     }
   }
 
-  /** Nested output types through the gate: per-flag sorted array of the
-    * distinct suppliers (deterministic: sorted, distinct) — array columns
-    * hash-compare like scalars once ordering is pinned.
+  /** Nested aggregation output through the gate: per-flag sorted array of
+    * the distinct suppliers (deterministic: sorted, distinct). The array is
+    * serialized to a CSV string for the cross-engine compare — the driver's
+    * hash step can't order raw array cells, so the list itself is the value.
     */
   val arrayAggSorted: QueryDef = QueryDef(
     "array_agg_sorted",
     """SELECT l_returnflag,
-      |  list(DISTINCT l_suppkey ORDER BY l_suppkey) AS suppliers,
+      |  array_to_string(list(DISTINCT l_suppkey ORDER BY l_suppkey), ',') AS suppliers_csv,
       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        array_sort(collect_set(col("l_suppkey"))).as("suppliers"),
+        array_join(transform(array_sort(collect_set(col("l_suppkey"))),
+          _.cast("string")), ",").as("suppliers_csv"),
         countDistinct(col("l_suppkey")).as("n_suppliers"))
   }
 
@@ -815,15 +831,29 @@ object Relational {
   }
 
   /** HLL sketch distinct (approx_count_distinct) next to the exact count —
-    * the constant-memory path for distinct cardinality at 100 TB. No DuckDB
-    * oracle (different sketch); ScalaTest bounds the relative error.
+    * the constant-memory path for distinct cardinality at 100 TB. DuckDB's
+    * HLL differs, so the oracle checks the exact count plus the sketch's
+    * relative-error contract (default rsd 5%; flag allows 10%) — fixed
+    * sketch over fixed data makes the flag deterministic. ScalaTest bounds
+    * the relative error in-process as well.
     */
-  val aggApproxDistinct: QueryDef = QueryDef.noOracle("agg_approx_distinct") { (spark, dir) =>
+  val aggApproxDistinct: QueryDef = QueryDef(
+    "agg_approx_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS hll_within_10pct
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double")) <=
+          lit(0.10) * col("exact_parts").cast("double")).as("hll_within_10pct"))
   }
 
   /** Value-RANGE window frame (vs the ROWS frames in `window_frames`): a
