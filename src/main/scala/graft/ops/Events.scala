@@ -285,7 +285,48 @@ object Events {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** The same as-of semantics through the engine's *native* operator
+    * ([[graft.plans.AsofJoinNative]]: custom logical plan + strategy +
+    * streaming sorted-merge exec) — three independent mechanisms now answer
+    * this query identically: the composed window form above, this physical
+    * operator, and DuckDB's built-in ASOF JOIN as the oracle.
+    */
+  val asofJoinNative: QueryDef = QueryDef(
+    "asof_join_native",
+    """WITH purchases AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events e
+      |  WHERE event_type = 'purchase'
+      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
+      |                    WHERE e2.event_type = 'purchase'
+      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
+      |clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS last_purchase_cents
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    // Same-(user, ts) dedup via lead over a user_id-only window: the row is
+    // the survivor (max event_id) iff the next row in (ts, event_id) order
+    // has a different ts. Partitioning by user_id alone lets this window,
+    // its sort, and the as-of join itself share ONE exchange — the
+    // (user_id, ts)-partitioned row_number form would force a second.
+    val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
+      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        Num.cents(col("value")).as("purchase_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsofJoinNative.asof(
+      clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("purchase_cents").as("last_purchase_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
-    jsonMapExplode, cohortRetention, funnelStages, scd2History)
+    asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History)
 }

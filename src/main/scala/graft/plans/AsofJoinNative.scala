@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native backward as-of join — the whole-operator custom-Catalyst tier
+  * (logical node + planner strategy + physical operator, registered through
+  * `SparkSessionExtensions`), used where composing built-ins can't give the
+  * right *physical shape*:
+  *
+  * The composable form (tag + union + `last(_, ignoreNulls)` carry-forward
+  * window, see `ops.Events.asofJoin`) is semantically right but pays for
+  * generality: the union widens both inputs to a common schema, and
+  * `WindowExec` buffers each partition's rows in an (spillable) window frame
+  * it doesn't actually need for a running `last`.
+  *
+  * This operator instead *declares* its needs to the planner — children
+  * co-clustered on the join keys (`ClusteredDistribution`) and sorted by
+  * (keys, time) (`requiredChildOrdering`) — and then streams the per-key
+  * merge with O(1) state: one retained right row per key. Catalyst's
+  * `EnsureRequirements` inserts the minimal exchanges/sorts exactly as it
+  * does for a sort-merge join, AQE still re-plans partition counts at
+  * runtime, and already-partitioned inputs (bucketed tables) join with no
+  * shuffle at all — the properties that matter when the left side is 100 TB.
+  *
+  * Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`):
+  * each left row pairs with the latest right row of the same key whose time
+  * is at-or-before the left time; unmatched left rows keep nulls. Right rows
+  * with null time never match; a null left time matches nothing. Ties on
+  * right time keep the row latest in (key, time) sort order.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical [[AsofJoin]] into [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = InternalRow.fromSeq(Seq.fill[Any](rightWidth)(null))
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // rHead: the next not-yet-consumed right row. Sorter iterators reuse
+        // their row buffer only on next(), so holding the reference between
+        // output rows (without copy) is safe; lastRight outlives further
+        // next() calls and therefore must be copied.
+        private var rHead: InternalRow = _
+        private var lastRight: InternalRow = _
+        private var lastRightKey: InternalRow = _
+        // lastLeftTime: detect retrograde left timestamps cheaply? not needed
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          if (lastRight != null && keyOrd.compare(lastRightKey, lKey) != 0) {
+            lastRight = null
+            lastRightKey = null
+          }
+          val lTimeRow = lTimeProj(lRow).copy()
+          if (!lTimeRow.isNullAt(0)) {
+            var scan = true
+            while (scan) {
+              if (rHead == null) {
+                if (rIter.hasNext) rHead = rIter.next() else scan = false
+              }
+              if (rHead != null) {
+                val rKey = rKeyProj(rHead)
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) {
+                  rHead = null // right group entirely before any remaining left key
+                } else if (c > 0) {
+                  scan = false // right is ahead; keep for a later left key
+                } else {
+                  val rTimeRow = rTimeProj(rHead)
+                  if (rTimeRow.isNullAt(0)) {
+                    rHead = null // null right time never matches
+                  } else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                    lastRight = rHead.copy()
+                    lastRightKey = rKey.copy()
+                    rHead = null
+                  } else {
+                    scan = false // right row is in the future for this left row
+                  }
+                }
+              }
+            }
+          }
+          val r = if (lastRight == null || lTimeRow.isNullAt(0)) nullRight else lastRight
+          resultProj(joined(lRow, r))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level builder for the native as-of join. */
+object AsofJoinNative {
+
+  /** Backward as-of left join: every `left` row + the latest `right` row with
+    * the same key and `right.timeCol <= left.timeCol`. Right columns are
+    * re-aliased fresh, so self-joins (both sides derived from one scan) are
+    * unambiguous; pre-rename right columns if names would collide.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String,
+      rightTimeCol: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    // Fresh exprIds on the right side: both inputs often derive from the
+    // same scan, and a custom node gets no DeduplicateRelations help.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases: Seq[NamedExpression] =
+      rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+    val lk = keys.map { case (l, _) => resolve(lPlan, l) }
+    val rk = keys.map { case (_, r) => resolve(rPlan, r) }
+    Bridge.ofRows(left.sparkSession,
+      AsofJoin(lPlan, rPlan, lk, rk,
+        resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+  }
+}

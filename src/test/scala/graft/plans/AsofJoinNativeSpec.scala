@@ -1,0 +1,103 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ops.Events
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native asof: each click gets the latest purchase at-or-before it") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val events = Seq(
+        (1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0, "{}"),
+        (2L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.0, "{}"),
+        (3L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0, "{}"),
+        (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 7.0, "{}"),
+        (5L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"), // equal ts -> 7.0
+        (6L, ts("2024-01-01 12:00:00"), 2L, "click", 0.0, "{}") // other user, no purchase
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      val out = Events.asofJoinNative.fn(spark, dir.getAbsolutePath)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(out === Map(
+        1L -> None,
+        3L -> Some(500L),
+        5L -> Some(700L),
+        6L -> None))
+    }
+  }
+
+  test("native asof: null left time matches nothing; null right time never matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00"))),
+      (2L, Option.empty[Timestamp])
+    ).toDF("id", "t")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00")), "ok"),
+      (1L, Option.empty[Timestamp], "nullts"),
+      (2L, Option(ts("2024-01-01 09:00:00")), "neverLeft")
+    ).toDF("rid", "rt", "tag").withColumn("key", lit(1L))
+    val l2 = left.withColumn("key", lit(1L))
+    val out = AsofJoinNative.asof(l2, right.filter(col("rid") === col("key")),
+      Seq("key" -> "key"), "t", "rt")
+      .select(col("id"), col("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(1L -> Some("ok"), 2L -> None))
+  }
+
+  test("native asof matches the composed window form on the real events table") {
+    val sf = "/root/testdata/sf0.01"
+    val native = Events.asofJoinNative.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    val composed = Events.asofJoin.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    assert(native.nonEmpty)
+    assert(native === composed)
+  }
+
+  test("physical plan: AsofJoinExec with one hash exchange per side, no window/union") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Events.asofJoinNative.fn(spark, sf)
+    df.write.mode("overwrite").format("noop").save() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan
+    val asofs = collect(plan) { case e: AsofJoinExec => e }
+    assert(asofs.nonEmpty, plan.toString)
+    val shuffles = collect(plan) { case s: ShuffleExchangeExec => s }
+    // one exchange per input, shared with the purchase-side dedup window
+    assert(shuffles.size == 2, plan.toString)
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // only the purchase-side dedup window; the asof itself adds none
+    assert(windows.size <= 1, plan.toString)
+  }
+
+  test("native asof streams grouped duplicates and unsorted partition counts correctly") {
+    import spark.implicits._
+    // many keys x many times, values chosen so expected answer is computable
+    val left = (1 to 50).flatMap(k => (1 to 20).map(t => (k.toLong, t.toLong * 10)))
+      .toDF("k", "t").repartition(7)
+    val right = (1 to 50).flatMap(k => (1 to 15).map(t => (k.toLong, t.toLong * 13, k * 1000L + t)))
+      .toDF("rk", "rt", "payload").repartition(5)
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("k"), col("t"), col("payload"))
+      .collect()
+    assert(out.length === 50 * 20)
+    out.foreach { r =>
+      val (k, t) = (r.getLong(0), r.getLong(1))
+      val expected = (1 to 15).map(_ * 13L).filter(_ <= t).lastOption.map(rt => k * 1000L + rt / 13)
+      assert(Option(r.get(2)) === expected, s"k=$k t=$t")
+    }
+  }
+}
