@@ -97,6 +97,30 @@ class StreamsSpec extends SparkSpec {
     assert(f === b)
   }
 
+  test("watermarked aggregation on the RocksDB state store (off-heap scale state backend)") {
+    // HDFS-backed state lives on the executor heap — at 100 TB of keyed
+    // state that's the first thing to fall over. RocksDB keeps state off
+    // heap with incremental checkpoints; results must be identical.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = Streams.hourlyCounts(Streams.readEventsStream(spark, sf))
+      val result = Streams.runAvailableNowToMemory(
+        spark, streamed, "hourly_rocksdb_test", OutputMode.Append())
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+      val b = batch.collect().map(_.toString).toSet
+      val s = result.collect().map(_.toString).toSet
+      assert(s.nonEmpty)
+      assert(s.subsetOf(b))
+      assert(s.size >= (b.size * 3) / 4)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("mapGroupsWithState running totals converge to the batch per-user totals") {
     val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
     val result = Streams.runAvailableNowToMemory(
