@@ -123,11 +123,24 @@ object Multimodal {
   }
 
   /** Feature extraction end-to-end (binary -> batched stub decode ->
-    * features). The decode stub is deterministic, so this is oracle-checkable
-    * in principle, but the byte-fold lives in Scala — registered rows-only;
-    * ScalaTest pins exact values on known inputs.
+    * features). The decode stub is deterministic arithmetic over the payload
+    * bytes, so the oracle recomputes it in SQL (the corpus is ASCII, so byte
+    * values are `ord` of chars); ScalaTest additionally pins exact values on
+    * known inputs. A real codec kernel would stay rows-only.
     */
-  val mediaFeatures: QueryDef = QueryDef.noOracle("multimodal_features") { (spark, dir) =>
+  val mediaFeatures: QueryDef = QueryDef(
+    "multimodal_features",
+    """SELECT doc_id,
+      |  CAST(64 + (n % 64) AS INTEGER) AS width,
+      |  CAST(64 + ((n // 64) % 64) AS INTEGER) AS height,
+      |  CAST(1 + (n % 4) AS INTEGER) AS n_frames,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE) END AS brightness
+      |FROM (
+      |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+      |         list_sum(list_transform(range(1, length(text) + 1),
+      |                                 i -> ord(text[i]))) AS bsum
+      |  FROM documents)""".stripMargin) { (spark, dir) =>
     extractFeatures(mediaTable(spark, dir)).toDF()
   }
 

@@ -16,7 +16,7 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = qs.keySet -- os.keySet
     assert(rowsOnly === Set(
       "dedup_minhash_lsh", "dedup_simhash", "ann_ivf_probe",
-      "dedup_embedding_lsh", "multimodal_features"), rowsOnly)
+      "dedup_embedding_lsh"), rowsOnly)
   }
 
   test("entry smoke: >0 rows on sf0.001 (t1 contract)") {
