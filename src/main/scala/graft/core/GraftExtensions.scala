@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(bigint, bigint) - popcount of xor"),
       (args: Seq[Expression]) => HammingDistance64(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(array<string>, k) - k-wide MinHash signature, one pass"),
+      (args: Seq[Expression]) => graft.functions.MinHashSignature(
+        args(0), args(1).eval().asInstanceOf[Number].intValue())))
   }
 }

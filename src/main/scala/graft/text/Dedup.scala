@@ -97,18 +97,17 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
-  /** doc_id + shingle array + minhash signature array (length [[NumHashes]]).
-    * minhash_i = min over shingles of xxhash64(i, shingle).
+  /** doc_id + shingle array + minhash signature array (length [[NumHashes]]):
+    * one codegen'd pass over the shingles via
+    * [[graft.functions.MinHashSignature]] (double-hashing family), replacing
+    * k interpreted `array_min(transform(...))` walks.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
       .filter(size(col("s")) > 0)
-    val sig = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(s, x -> xxhash64(${i}L, x)))")
-    }
-    sh.withColumn("sig", array(sig: _*))
-  }
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhashSigs(col("s"), NumHashes))
 
   /** MinHash+LSH near-dup pairs: band the signature, shuffle on
     * (band, band-key), emit within-bucket pairs, verify with exact Jaccard,
