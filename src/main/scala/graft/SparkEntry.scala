@@ -16,6 +16,7 @@ object SparkEntry {
       ops.Relational.all ++
       ops.Events.all ++
       ops.Sketches.all ++
+      ops.Layout.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
       vector.Similarity.all ++

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.{Num, Tables}
+import graft.functions.ZOrder2
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zorder2 equals a naive bit-by-bit interleave") {
+    val rnd = new scala.util.Random(7)
+    def naive(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        if (2 * i + 1 < 64) z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    for (_ <- 1 to 500) {
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = rnd.nextLong() & 0x7FFFFFFFL
+      assert(ZOrder2.compute(x, y) === naive(x, y), s"x=$x y=$y")
+    }
+    assert(ZOrder2.compute(0L, 0L) === 0L)
+    assert(ZOrder2.compute(1L, 0L) === 1L)
+    assert(ZOrder2.compute(0L, 1L) === 2L)
+  }
+
+  test("expression evaluates identically through codegen and matches compute()") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i * 2654435761L & 0xFFFFFFFFL, i % 64))
+    val df = rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder2.zorder2(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === ZOrder2.compute(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** Per-file (min, max) of a column after writing `path`. */
+  private def fileRanges(df: DataFrame, c: String): Map[String, (Double, Double)] =
+    df.groupBy(input_file_name().as("f"))
+      .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("z-ordered layout skips files on BOTH dimensions; single sort only on its own") {
+    withTempDir { dir =>
+      val li = Tables.lineitem(spark, sf)
+        .select(
+          Num.cents(col("l_extendedprice")).as("cents"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      val nFiles = 16
+
+      Layout.writeZOrdered(li, "cents", "qty", s"$dir/zordered", nFiles)
+      val z = spark.read.parquet(s"$dir/zordered")
+
+      li.repartitionByRange(nFiles, col("cents"))
+        .sortWithinPartitions(col("cents"))
+        .write.mode("overwrite").parquet(s"$dir/centssorted")
+      val s = spark.read.parquet(s"$dir/centssorted")
+
+      def overlapping(ranges: Map[String, (Double, Double)], lo: Double, hi: Double) =
+        ranges.count { case (_, (flo, fhi)) => fhi >= lo && flo <= hi }
+
+      // narrow box on each dimension (bottom ~sixth of each range)
+      val zCents = fileRanges(z, "cents")
+      val zQty = fileRanges(z, "qty")
+      val sCents = fileRanges(s, "cents")
+      val sQty = fileRanges(s, "qty")
+      assert(zCents.size === nFiles)
+
+      val centsHi = 800000.0 // bottom ~1/16 of [~90k, ~11.5M]
+      val qtyHi = 4.0 // bottom ~1/16 of [1, 50]
+
+      val zSkipCents = overlapping(zCents, 0, centsHi)
+      val zSkipQty = overlapping(zQty, 1, qtyHi)
+      val sSkipCents = overlapping(sCents, 0, centsHi)
+      val sSkipQty = overlapping(sQty, 1, qtyHi)
+
+      // z-order prunes meaningfully on BOTH columns (the curve wanders, so
+      // a slab touches more files than its volume share — but far from all)
+      assert(zSkipCents <= nFiles / 2, s"z cents overlap $zSkipCents of $nFiles")
+      assert(zSkipQty <= nFiles / 2, s"z qty overlap $zSkipQty of $nFiles")
+      // the cents-sorted layout prunes cents at least as well...
+      assert(sSkipCents <= 2, s"sorted cents overlap $sSkipCents")
+      // ...but is blind on qty: (almost) every file spans the qty box
+      assert(sSkipQty >= nFiles - 1, s"sorted qty overlap $sSkipQty")
+    }
+  }
+}
