@@ -73,23 +73,29 @@ object RentalsDemo {
     * clean_nulls).
     */
   def csvPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val long = rentalsLong(spark, dir)
-    // explicit pivot values from the (2-value) bounds collect — pivot
-    // without values would run an extra distinct-collect job over the data
-    val Array(bounds) = long.agg(min(col("month")), max(col("month"))).collect()
-    val (mn, mx) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
-    val months = Iterator.iterate(mn.withDayOfMonth(1))(_.plusMonths(1))
-      .takeWhile(!_.isAfter(mx))
-      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
-      .toSeq
-    val wide = long
-      .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
-      .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
-      .pivot("month_str", months)
-      .agg(first(col("median_rent")))
-      .withColumn("SizeRank", col("RegionID"))
-      .withColumn("RegionType", lit("msa"))
-    wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
+    // Persist the (regions x months)-sized aggregate across its two uses —
+    // the bounds collect and the pivot would otherwise each re-run the
+    // lineitem join+agg. (Persisting the small AGGREGATE, never the base
+    // table, is the scale-safe form of this.)
+    val long = rentalsLong(spark, dir).persist()
+    try {
+      // explicit pivot values from the (2-value) bounds collect — pivot
+      // without values would run an extra distinct-collect job over the data
+      val Array(bounds) = long.agg(min(col("month")), max(col("month"))).collect()
+      val (mn, mx) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+      val months = Iterator.iterate(mn.withDayOfMonth(1))(_.plusMonths(1))
+        .takeWhile(!_.isAfter(mx))
+        .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+        .toSeq
+      val wide = long
+        .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
+        .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
+        .pivot("month_str", months)
+        .agg(first(col("median_rent")))
+        .withColumn("SizeRank", col("RegionID"))
+        .withColumn("RegionType", lit("msa"))
+      wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
+    } finally long.unpersist()
     Io.readRawCsv(spark, zoriCsvPath).transform(Transforms.runPipeline)
   }
 
