@@ -96,4 +96,41 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanHelper => H}
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      // enough partitions that the median is a tail partition, not the hot one
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key (~100k rows) + a long tail: the classic skewed fact side
+      // incompressible payload: shuffle sizes (the skew detector's input)
+      // are post-compression bytes, so a constant string would vanish
+      val big = ((1 to 100000).map(_ => 0L) ++ (1L to 100L).flatMap(k => Seq.fill(100)(k)))
+        .toDF("k").withColumn("payload", md5(monotonically_increasing_id().cast("string")))
+      val small = (0L to 100L).toDF("k2").withColumn("tag", col("k2") * 10)
+      val joined = big.join(small, col("k") === col("k2"))
+      // drive THIS dataset's own QueryExecution (write()/count() would build
+      // a fresh one and leave joined's adaptive plan un-finalized)
+      assert(joined.queryExecution.toRdd.count() === 100000L + 100 * 100)
+      val helper = new H {}
+      val smjs = helper.collect(joined.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.isSkewJoin
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.isSkewJoin
+      }
+      assert(smjs.contains(true),
+        s"no skew-split join in:\n${joined.queryExecution.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

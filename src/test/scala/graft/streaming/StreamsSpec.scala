@@ -97,6 +97,27 @@ class StreamsSpec extends SparkSpec {
     assert(f === b)
   }
 
+  test("streaming session windows (session_window + watermark) agree with the batch dual") {
+    val streamed = Streams.readEventsStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    val result = Streams.runAvailableNowToMemory(
+      spark, streamed, "session_stream_test", OutputMode.Append())
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    val b = batch.collect().map(_.toString).toSet
+    val s = result.collect().map(_.toString).toSet
+    // Append emits only sessions closed below the watermark; all emitted
+    // sessions must match the batch result, and most must have closed.
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b))
+    assert(s.size >= (b.size * 3) / 4)
+  }
+
   test("watermarked aggregation on the RocksDB state store (off-heap scale state backend)") {
     // HDFS-backed state lives on the executor heap — at 100 TB of keyed
     // state that's the first thing to fall over. RocksDB keeps state off
