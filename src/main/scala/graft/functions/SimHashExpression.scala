@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash of a token array in one pass, entirely inside the row —
+  * each token's xxhash64 votes ±1 on every bit, the sign of the tally is the
+  * signature bit.
+  *
+  * The composable form (explode tokens → hash → groupBy(doc) with 64
+  * conditional sums) pays a generator, a shuffle on doc_id, and 64 aggregate
+  * buffers per group. Per-row token arrays make the whole computation local:
+  * this expression folds the votes in a 64-int stack array with zero shuffle
+  * — at 100 TB that converts SimHash signatures from an aggregation stage
+  * into a free map-side column.
+  *
+  * Hash family: `XXH64.hashUTF8String(token, 42)` — the same bytes-and-seed
+  * as Spark's built-in `xxhash64(token)` — so signatures are bit-identical
+  * to the explode/aggregate formulation (spec-asserted).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Token multiplicity counts (every occurrence votes); null tokens skip.
+    * Ties (vote sum 0) resolve to bit 0, matching `sum > 0` semantics.
+    */
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+}

@@ -152,25 +152,16 @@ object Dedup {
   /** 64-bit SimHash per document: per-token xxhash64, each of the 64 bits
     * votes +1/-1, sign of the tally is the signature bit.
     *
-    * Computed as explode -> hash-once-per-token -> 64 partial-aggregated bit
-    * sums (one shuffle on doc_id). The closed-form nested-lambda version
-    * re-tokenizes and re-hashes per bit (64x the work per row); this shape
-    * does each token hash exactly once and lets Catalyst partial-aggregate
-    * the votes map-side.
+    * Computed per row by the codegen'd [[graft.functions.SimHash64]]
+    * expression — the token array never leaves the row, so there is no
+    * generator, no shuffle, and no 64-buffer aggregation (the previous
+    * explode → groupBy(doc_id) formulation paid all three; signatures are
+    * bit-identical, DedupSpec asserts the equivalence).
     */
-  def simhashTable(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
-    }
-    val voted = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select(col("doc_id"), sh.as("sh"))
-  }
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"))
 
   /** SimHash near-dup candidates: block on any equal 16-bit chunk (pigeonhole:
     * Hamming ≤ 3 over 4 chunks ⇒ some chunk equal), then verify Hamming ≤ 3.

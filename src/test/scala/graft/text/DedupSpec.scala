@@ -25,6 +25,27 @@ class DedupSpec extends SparkSpec {
   private val nearDup = base.replace("quiet garden", "silent yard") // small edit
   private val disjoint = "completely different words about spark shuffle partitions and broadcast joins in distributed query engines running on large clusters"
 
+  test("simhash64 expression is bit-identical to the explode/aggregate formulation") {
+    import spark.implicits._
+    val docs = Seq(1L -> base, 2L -> nearDup, 3L -> disjoint, 4L -> "one", 5L -> base)
+      .toDF("doc_id", "text")
+    val viaExpr = Dedup.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val voted = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val viaAgg = voted.select(col("doc_id"), sh.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("exact dedup collapses identical texts to min doc_id") {
     docsDir(Seq(1L -> base, 2L -> base, 3L -> disjoint)) { dir =>
       val out = Dedup.dedupExact.fn(spark, dir).collect()
