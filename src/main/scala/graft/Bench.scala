@@ -25,8 +25,8 @@ object Bench {
     "asof_join_purchase", "agg_pricing_summary", "agg_percentiles",
     "topk_suppliers_per_nation", "window_frames", "sessionize_events",
     "streaming_hourly_complete", "dedup_exact_text", "dedup_minhash_lsh",
-    "knn_brute_cosine", "ann_ivf_probe", "text_stats", "json_extract_agg",
-    "multimodal_join")
+    "dedup_simhash", "knn_brute_cosine", "ann_ivf_probe", "text_stats",
+    "json_extract_agg", "multimodal_join", "asof_join_native", "zorder_hist")
 
   private def fmt(v: Double): String = f"$v%.3f"
 
