@@ -247,7 +247,34 @@ object TextAnalysis {
       .select(col("doc_id"), norm.as("norm_text"), length(norm).as("norm_len"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) keyed on a multiplicative
+    * hash of doc_id — the split a training-data pipeline must be able to
+    * reproduce byte-for-byte on any engine, any partitioning, any rerun
+    * (random()-based splits can't be audited or resumed). Per-split counts
+    * plus an order-free membership checksum oracle-check the *assignment*,
+    * not just the sizes.
+    */
+  val datasetSplit: QueryDef = QueryDef(
+    "dataset_split",
+    """SELECT CASE WHEN h < 3435973837 THEN 'train'
+      |            WHEN h < 3865470566 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    Tables.documents(spark, dir)
+      .withColumn("h", h)
+      .withColumn("split",
+        when(col("h") < lit(3435973837L), "train") // floor(0.8 * 2^32)
+          .when(col("h") < lit(3865470566L), "val") // floor(0.9 * 2^32)
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
-    docQualityScore, textNormalize)
+    docQualityScore, textNormalize, datasetSplit)
 }
