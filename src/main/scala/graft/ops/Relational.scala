@@ -523,6 +523,40 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5-flavor composite: six-table join (two big facts + four
+    * broadcast dims) with the local-supplier predicate (customer and
+    * supplier share a nation) and a region filter — the widest join fan in
+    * the suite. The two fact joins shuffle on the fact keys; every
+    * dimension broadcasts.
+    */
+  val tpchQ5Style: QueryDef = QueryDef(
+    "tpch_q5_style",
+    s"""SELECT n.n_name,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE c.c_nationkey = s.s_nationkey
+       |  AND r.r_name = 'ASIA'
+       |GROUP BY n.n_name""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("c_nationkey") === col("s_nationkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        Num.centsToDouble(
+          sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** The SQL surface with a correlated scalar subquery (decorrelated by
     * Catalyst into a join): orders more than twice their customer's average.
     * Runs through `spark.sql` over temp views — same SQL text the oracle
@@ -898,7 +932,7 @@ object Relational {
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
-    tpchQ3Style, sqlCorrelatedSubquery,
+    tpchQ3Style, tpchQ5Style, sqlCorrelatedSubquery,
     profileLineitem, deterministicSample, histogramPrices, arrayAggSorted,
     aggGroupingSets, aggWeightedAvg,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,

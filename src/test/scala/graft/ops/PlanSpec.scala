@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$p")
   }
 
+  test("self-join on an aggregate reuses the shuffle (ReusedExchange, single scan cost)") {
+    val monthly = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(graft.core.Num.cents(col("l_extendedprice"))).as("cents"))
+    val joined = monthly.as("a").join(
+      monthly.as("b"), col("a.l_returnflag") === col("b.l_returnflag"))
+    assert(joined.queryExecution.toRdd.count() > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"identical aggregate subplans were both executed:\n$p")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanHelper => H}
     import spark.implicits._
