@@ -145,6 +145,46 @@ object Streams {
     q.awaitTermination()
   }
 
+  final case class BucketState(docs: List[Long])
+  final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-dup candidate generation: documents arrive
+    * as a stream, signatures and band keys are computed row-locally (the
+    * codegen'd `minhash_sigs` expression), and per-bucket state holds only
+    * the doc_ids already seen in that (band, key) bucket. Each arriving doc
+    * pairs against its bucket's history and is appended — so candidates
+    * stream out incrementally, and state is linear in corpus size (bands x
+    * docs ids), never O(n²).
+    *
+    * This is the incremental form of [[graft.text.Dedup.minhashLsh]]: run
+    * over the same corpus it emits exactly the batch candidate set
+    * (spec-asserted). Verification (exact Jaccard on the candidate pairs)
+    * stays a batch join downstream, as in the batch query.
+    */
+  def streamingLshCandidates(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
+    import spark.implicits._
+    val buckets = graft.text.Dedup.bandBuckets(graft.text.Dedup.signaturesOf(docs))
+    buckets
+      .select(col("doc_id"), col("band"), col("key"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val arrived = rows.map(_._1).toList.sorted
+          val pairs = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+          var history = seen
+          arrived.foreach { d =>
+            history.foreach { h =>
+              if (h != d) pairs += CandidatePair(math.min(h, d), math.max(h, d), bucket._1)
+            }
+            history = d :: history
+          }
+          state.update(BucketState(history))
+          pairs.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (AvailableNow) into an in-memory table; returns the result. Used by
     * tests and demos — production would use a durable sink + real trigger.

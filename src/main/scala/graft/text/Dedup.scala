@@ -103,7 +103,14 @@ object Dedup {
     * k interpreted `array_min(transform(...))` walks.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    signaturesOf(Tables.documents(spark, dir))
+
+  /** Same signature derivation over any (doc_id, text) frame — batch or
+    * streaming (all expressions here are row-local, so the streaming planner
+    * accepts them unchanged).
+    */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
       .filter(size(col("s")) > 0)
       .withColumn("sig",
@@ -115,20 +122,27 @@ object Dedup {
     * cross join anywhere); the only quadratic term is within a bucket, which
     * LSH keeps tiny by construction.
     */
-  val minhashLsh: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (spark, dir) =>
-    val sig = minhashSignatures(spark, dir)
-    // Band keys are a single 64-bit hash of the band's minhash slice — the
-    // bucket shuffle carries (doc_id, band, key) only, never the shingle
-    // arrays (at 100 TB the arrays dominate the row size; shuffling them
-    // with every band would multiply shuffle IO by bands x array-size).
+  /** (doc_id, band, key) bucket rows from a signature frame. Band keys are a
+    * single 64-bit hash of the band's minhash slice — the bucket shuffle
+    * carries (doc_id, band, key) only, never the shingle arrays (at 100 TB
+    * the arrays dominate the row size; shuffling them with every band would
+    * multiply shuffle IO by bands x array-size). Shared by the batch LSH
+    * query and the streaming stateful variant.
+    */
+  def bandBuckets(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until NumHashes / BandSize).map { b =>
       val slots = (0 until BandSize)
         .map(j => s"element_at(sig, ${b * BandSize + j + 1})").mkString(", ")
       struct(lit(b).as("band"), expr(s"xxhash64($b, $slots)").as("key"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  val minhashLsh: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (spark, dir) =>
+    val sig = minhashSignatures(spark, dir)
+    val buckets = bandBuckets(sig)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&

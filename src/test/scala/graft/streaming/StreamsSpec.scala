@@ -142,6 +142,51 @@ class StreamsSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("streaming LSH candidate generation emits exactly the batch candidate set") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and the birds sing in the tall green trees above the quiet garden"
+      val docs = Seq(
+        1L -> base,
+        2L -> base.replace("quiet garden", "silent yard"), // near-dup of 1
+        3L -> "completely different words about spark shuffle partitions and broadcast joins in distributed query engines running on large clusters",
+        4L -> base, // exact dup of 1 (arrives in batch 2)
+        5L -> "another unrelated essay on columnar storage formats page indexes bloom filters and predicate pushdown for analytic scans")
+      // two files -> two micro-batches (maxFilesPerTrigger=1): pairs must
+      // form across the batch boundary through the bucket state
+      docs.take(3).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f1.parquet")
+      docs.drop(3).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f2.parquet")
+
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val streamDocs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/stream/*.parquet")
+      val streamed = Streams.streamingLshCandidates(spark, streamDocs).toDF()
+      val result = Streams.runAvailableNowToMemory(
+        spark, streamed, "lsh_stream_test", OutputMode.Append())
+      val streamPairs = result.select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val batchDocs = docs.toDF("doc_id", "text")
+      val buckets = graft.text.Dedup.bandBuckets(graft.text.Dedup.signaturesOf(batchDocs))
+      val batchPairs = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(streamPairs === batchPairs)
+      assert(streamPairs.contains((1L, 4L))) // exact dup pair spans the batch boundary
+      assert(streamPairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) }) // near-dup pair
+      assert(!streamPairs.exists { case (a, b) => a == 3L || b == 3L }) // disjoint doc stays alone
+    }
+  }
+
   test("mapGroupsWithState running totals converge to the batch per-user totals") {
     val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
     val result = Streams.runAvailableNowToMemory(
