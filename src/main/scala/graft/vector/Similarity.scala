@@ -180,7 +180,25 @@ object Similarity {
     x ^ (x >>> 31)
   }
 
-  val embeddingLshNearDup: QueryDef = QueryDef.noOracle("dedup_embedding_lsh") { (spark, dir) =>
+  /** Oracle: the exhaustive O(n²) cosine scan in DuckDB — equality proves
+    * the LSH-accelerated scan finds exactly what brute force finds (this
+    * corpus has no pair ≥ 0.95 at any SF — max cosine ~0.6 — so both sides
+    * are empty; SimilaritySpec plants near-dups to prove the non-vacuous
+    * behavior).
+    */
+  val embeddingLshNearDup: QueryDef = QueryDef(
+    "dedup_embedding_lsh",
+    s"""WITH q AS (
+       |  SELECT vec_id, $qvecSql AS q,
+       |         ${dotSql(qvecSql, qvecSql)} AS norm2
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM q WHERE norm2 > 0)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
+       |FROM nz a JOIN nz b ON b.vec_id > a.vec_id
+       |WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.95""".stripMargin) { (spark, dir) =>
     val q = quantized(spark, dir).filter(col("norm2") > 0)
     val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
     def sign(j: Int, d: Int): Long =
