@@ -107,10 +107,52 @@ object Similarity {
 
   /** IVF-style ANN: cells = `label`; exact integer centroids per cell; each
     * query probes its 2 nearest cells and ranks only those candidates.
-    * Spark-only (no oracle): the structure — centroid build, cell probe,
-    * pruned scan — is the point; ScalaTest asserts recall vs brute force.
+    * ScalaTest asserts recall vs brute force.
+    *
+    * Oracle: the entire IVF structure is deterministic arithmetic — integer
+    * centroid sums, double division, and left-to-right IEEE folds both
+    * engines perform in array order — so DuckDB replays centroid build,
+    * probe, and pruned ranking bit-for-bit.
     */
-  val annIvfProbe: QueryDef = QueryDef.noOracle("ann_ivf_probe") { (spark, dir) =>
+  val annIvfProbe: QueryDef = QueryDef(
+    "ann_ivf_probe",
+    s"""WITH q0 AS (
+       |  SELECT vec_id, label, $qvecSql AS q,
+       |         ${dotSql(qvecSql, qvecSql)} AS norm2
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
+       |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
+       |pos AS (
+       |  SELECT label, p, CAST(SUM(q[p]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM nz, dims
+       |  GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT label AS cell,
+       |         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY p) AS centroid
+       |  FROM pos GROUP BY 1),
+       |queries AS (SELECT vec_id AS query_id, q AS qa, norm2 AS na FROM nz WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT query_id, qa, na, c.cell,
+       |    list_sum(list_transform(range(1, len(qa) + 1),
+       |                            i -> CAST(qa[i] AS DOUBLE) * c.centroid[i])) AS cdot,
+       |    sqrt(list_sum(list_transform(c.centroid, x -> x * x))) AS cnorm
+       |  FROM queries, cents c),
+       |cells AS (
+       |  SELECT query_id, qa, na, cell FROM (
+       |    SELECT *, cdot / (sqrt(CAST(na AS DOUBLE)) * cnorm) AS ccos,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) AS prb
+       |    FROM probed)
+       |  WHERE prb <= 2),
+       |scored AS (
+       |  SELECT c.query_id, c.cell, d.vec_id AS cand_id,
+       |    CAST(${dotSql("c.qa", "d.q")} AS DOUBLE)
+       |      / (sqrt(CAST(c.na AS DOUBLE)) * sqrt(CAST(d.norm2 AS DOUBLE))) AS cos_sim
+       |  FROM cells c JOIN nz d ON d.label = c.cell
+       |  WHERE d.vec_id <> c.query_id)
+       |SELECT query_id, cell, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
     val q = quantized(spark, dir).filter(col("norm2") > 0)
 
     // Exact per-cell centroids: posexplode to (cell, dim) and sum — fully
