@@ -109,6 +109,32 @@ class PlanSpec extends SparkSpec {
       s"identical aggregate subplans were both executed:\n$p")
   }
 
+  test("runtime bloom filter from a selective dim join prunes the fact scan side") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // broadcast would use DPP instead
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // selective filter on the small side of a shuffle join: the optimizer
+      // should inject bloom_filter_might_contain on the fact side so most
+      // fact rows drop before the exchange
+      val supplier = graft.core.Tables.supplier(spark, sf).filter(col("s_suppkey") <= 3)
+      val li = graft.core.Tables.lineitem(spark, sf)
+      val joined = li.join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanHelper => H}
     import spark.implicits._
