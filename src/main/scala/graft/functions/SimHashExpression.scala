@@ -18,20 +18,27 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * — at 100 TB that converts SimHash signatures from an aggregation stage
   * into a free map-side column.
   *
-  * Hash family: `XXH64.hashUTF8String(token, 42)` — the same bytes-and-seed
-  * as Spark's built-in `xxhash64(token)` — so signatures are bit-identical
-  * to the explode/aggregate formulation (spec-asserted).
+  * Two hash families, chosen per call:
+  *  - default: `XXH64.hashUTF8String(token, 42)` — the same bytes-and-seed
+  *    as Spark's built-in `xxhash64(token)`, so signatures are bit-identical
+  *    to the explode/aggregate formulation (spec-asserted); fastest, but
+  *    engine-internal, so not oracle-reproducible.
+  *  - portable: two polynomial code-point folds combined into a 60-bit hash
+  *    (`p31 * 2^30 + p131`, both mod primes < 2^30) — exactly replayable in
+  *    any engine with arithmetic (the DuckDB oracle uses
+  *    `list_reduce(list_prepend(0, ...))`), making the SimHash query
+  *    value-checkable cross-engine. Bits 60..63 are always 0.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (portable) "simhash64p" else "simhash64"
 
   override def nullSafeEval(v: Any): Any =
-    SimHash64.compute(v.asInstanceOf[ArrayData])
+    SimHash64.compute(v.asInstanceOf[ArrayData], portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -39,17 +46,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  // largest primes below 2^30 — keep p * mult + cp inside int64
+  final val Mod1 = 1073741789L
+  final val Mod2 = 1073741783L
+
+  /** 60-bit portable token hash: two polynomial folds over code points. */
+  def portableHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var p1 = 0L
+    var p2 = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      p1 = (p1 * 31L + cp) % Mod1
+      p2 = (p2 * 131L + cp) % Mod2
+      i += Character.charCount(cp)
+    }
+    p1 * 1073741824L + p2 // p1 << 30 | p2
+  }
+
   /** Static entry point shared by interpreted eval and generated code.
     * Token multiplicity counts (every occurrence votes); null tokens skip.
     * Ties (vote sum 0) resolve to bit 0, matching `sum > 0` semantics.
     */
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData, portable: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val s = arr.getUTF8String(i)
+        val h = if (portable) portableHash(s) else XXH64.hashUTF8String(s, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -67,5 +95,6 @@ object SimHash64 {
     sig
   }
 
-  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def simhash64(c: Column, portable: Boolean = false): Column =
+    Bridge.column(SimHash64(Bridge.expression(c), portable))
 }

@@ -191,20 +191,54 @@ object Dedup {
     * explode → groupBy(doc_id) formulation paid all three; signatures are
     * bit-identical, DedupSpec asserts the equivalence).
     */
-  def simhashTable(docs: DataFrame): DataFrame =
+  def simhashTable(docs: DataFrame, portable: Boolean = false): DataFrame =
     docs.select(
       col("doc_id"),
-      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"))
+      graft.functions.SimHash64.simhash64(split(col("text"), " "), portable).as("sh"))
 
-  /** SimHash near-dup candidates: block on any equal 16-bit chunk (pigeonhole:
-    * Hamming ≤ 3 over 4 chunks ⇒ some chunk equal), then verify Hamming ≤ 3.
+  /** SimHash near-dup candidates: block on any equal 15-bit chunk
+    * (pigeonhole: Hamming ≤ 3 over 4 chunks ⇒ some chunk equal), then
+    * verify Hamming ≤ 3.
+    *
+    * Uses the *portable* 60-bit hash family of
+    * [[graft.functions.SimHash64]], so the DuckDB oracle rebuilds the exact
+    * signatures from polynomial code-point folds and answers the exhaustive
+    * O(n²) Hamming question. Equality here is STRUCTURAL, not corpus luck:
+    * chunk blocking can never miss a Hamming ≤ 3 pair, so LSH output ==
+    * exhaustive output on any data.
     */
-  val simhashNearDup: QueryDef = QueryDef.noOracle("dedup_simhash") { (spark, dir) =>
-    val docs = simhashTable(Tables.documents(spark, dir))
+  val simhashNearDup: QueryDef = QueryDef(
+    "dedup_simhash",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok) + 1), i -> CAST(ord(tok[i]) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1073741789) * 1073741824
+      |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok) + 1), i -> CAST(ord(tok[i]) AS BIGINT))),
+      |      (a, c) -> (a * 131 + c) % 1073741783) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin) { (spark, dir) =>
+    val docs = simhashTable(Tables.documents(spark, dir), portable = true)
     val chunked = docs.select(
       col("doc_id"), col("sh"),
       explode(expr(
-        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sh, c * 16) & 65535L AS key))")).as("ck"))
+        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sh, c * 15) & 32767L AS key))")).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val a = chunked.as("a")
     val b = chunked.as("b")
@@ -214,7 +248,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
   }

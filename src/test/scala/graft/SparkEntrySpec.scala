@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(qs.keySet.forall(_.matches("[a-z0-9_]+")), qs.keySet.filterNot(_.matches("[a-z0-9_]+")))
     // rows-only queries are a deliberate, documented set (hash-family ops)
     val rowsOnly = qs.keySet -- os.keySet
-    assert(rowsOnly === Set("dedup_simhash"), rowsOnly)
+    assert(rowsOnly === Set.empty[String], rowsOnly)
   }
 
   test("entry smoke: >0 rows on sf0.001 (t1 contract)") {
