@@ -46,24 +46,57 @@ case class SimHash64(child: Expression, portable: Boolean = false) extends Unary
 
 object SimHash64 {
 
-  // largest primes below 2^30 — keep p * mult + cp inside int64
+  // largest primes below 2^30 — keep p * mult + cp (and p * p in the mixing
+  // rounds) inside int64
   final val Mod1 = 1073741789L
   final val Mod2 = 1073741783L
 
-  /** 60-bit portable token hash: two polynomial folds over code points. */
+  /** Two quadratic mixing rounds: a plain polynomial fold is linear in the
+    * code points (bit 0 is the parity of their sum), which makes SimHash
+    * votes correlate heavily across vocabulary-sharing documents. x² mod p
+    * is nonlinear in the bits, stays under 2^60 (overflow-safe in ANY
+    * engine's int64 — the portability constraint), and restores per-bit
+    * balance.
+    */
+  def mix(x: Long, p: Long): Long = {
+    val y = (x * x + 987654321L) % p
+    (y * y + 123456789L) % p
+  }
+
+  /** 60-bit portable token hash: two polynomial folds over code points.
+    * ASCII bytes fold directly off the UTF8String buffer (no String
+    * allocation — the common case for this corpus); a multi-byte lead byte
+    * falls back to code-point decoding so the result always equals the
+    * fold over Unicode code points (what the oracle's `ord()` sees).
+    */
   def portableHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes()
     var p1 = 0L
     var p2 = 0L
     var i = 0
-    val n = str.length
     while (i < n) {
-      val cp = str.codePointAt(i)
-      p1 = (p1 * 31L + cp) % Mod1
-      p2 = (p2 * 131L + cp) % Mod2
-      i += Character.charCount(cp)
+      val b = s.getByte(i)
+      if (b >= 0) { // single-byte code point
+        p1 = (p1 * 31L + b) % Mod1
+        p2 = (p2 * 131L + b) % Mod2
+        i += 1
+      } else {
+        // rare multi-byte path: redo the whole token via String code points
+        val str = s.toString
+        p1 = 0L
+        p2 = 0L
+        var j = 0
+        val m = str.length
+        while (j < m) {
+          val cp = str.codePointAt(j)
+          p1 = (p1 * 31L + cp) % Mod1
+          p2 = (p2 * 131L + cp) % Mod2
+          j += Character.charCount(cp)
+        }
+        i = n
+      }
     }
-    p1 * 1073741824L + p2 // p1 << 30 | p2
+    mix(p1, Mod1) * 1073741824L + mix(p2, Mod2) // mixed p1 << 30 | mixed p2
   }
 
   /** Static entry point shared by interpreted eval and generated code.

@@ -212,15 +212,25 @@ object Dedup {
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |  FROM documents),
-      |th AS (
+      |folds AS (
       |  SELECT doc_id,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(range(1, length(tok) + 1), i -> CAST(ord(tok[i]) AS BIGINT))),
-      |      (a, c) -> (a * 31 + c) % 1073741789) * 1073741824
-      |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      (a, c) -> (a * 31 + c) % 1073741789) AS p1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(range(1, length(tok) + 1), i -> CAST(ord(tok[i]) AS BIGINT))),
-      |      (a, c) -> (a * 131 + c) % 1073741783) AS h
+      |      (a, c) -> (a * 131 + c) % 1073741783) AS p2
       |  FROM toks),
+      |mix1 AS (
+      |  SELECT doc_id,
+      |    (p1 * p1 + 987654321) % 1073741789 AS y1,
+      |    (p2 * p2 + 987654321) % 1073741783 AS y2
+      |  FROM folds),
+      |th AS (
+      |  SELECT doc_id,
+      |    ((y1 * y1 + 123456789) % 1073741789) * 1073741824
+      |    + ((y2 * y2 + 123456789) % 1073741783) AS h
+      |  FROM mix1),
       |bits AS (
       |  SELECT doc_id, b.b AS b,
       |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
