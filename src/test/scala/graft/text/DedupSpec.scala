@@ -46,6 +46,29 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr === viaAgg)
   }
 
+  test("portable token hash: byte fast path equals the code-point fold on any string") {
+    import graft.functions.SimHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(str: String): Long = { // pure code-point fold + mixing
+      var p1 = 0L; var p2 = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        p1 = (p1 * 31L + cp) % SimHash64.Mod1
+        p2 = (p2 * 131L + cp) % SimHash64.Mod2
+        i += Character.charCount(cp)
+      }
+      SimHash64.mix(p1, SimHash64.Mod1) * 1073741824L + SimHash64.mix(p2, SimHash64.Mod2)
+    }
+    val cases = Seq(
+      "", "a", "hello", "ascii then ünïcode", "ünïcode first", "汉字漢字",
+      "mixed 汉 ascii 字 tail", "emoji 😀 pair", "é́")
+    val rnd = new scala.util.Random(11)
+    val fuzz = (1 to 200).map(_ => rnd.nextString(rnd.nextInt(24)))
+    (cases ++ fuzz).foreach { s =>
+      assert(SimHash64.portableHash(UTF8String.fromString(s)) === reference(s), s"for ${s.toList}")
+    }
+  }
+
   test("exact dedup collapses identical texts to min doc_id") {
     docsDir(Seq(1L -> base, 2L -> base, 3L -> disjoint)) { dir =>
       val out = Dedup.dedupExact.fn(spark, dir).collect()
