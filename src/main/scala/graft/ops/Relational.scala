@@ -634,6 +634,39 @@ object Relational {
           sum(Num.cents(col("l_extendedprice"))).as("sampled_cents"))
   }
 
+  /** Stratified deterministic sampling: per-stratum rates (rebalancing a
+    * skewed class mix — the training-data form of sampling) with the same
+    * multiplicative-hash row selection as `deterministic_sample`, so any
+    * engine draws the identical rows. Output proves both the rate and the
+    * exact membership (cents checksum) per stratum.
+    */
+  val sampleStratified: QueryDef = QueryDef(
+    "sample_stratified",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         (l_orderkey * 2654435761 + l_linenumber) % 4294967296 AS h
+      |  FROM lineitem)
+      |WHERE h < CASE l_returnflag
+      |          WHEN 'A' THEN 858993459
+      |          WHEN 'R' THEN 429496729
+      |          ELSE 42949672 END
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    // rates: A 20%, R 10%, N 1% of 2^32
+    val h = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L)
+    val threshold = when(col("l_returnflag") === "A", lit(858993459L))
+      .when(col("l_returnflag") === "R", lit(429496729L))
+      .otherwise(lit(42949672L))
+    Tables.lineitem(spark, dir)
+      .filter(h < threshold)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(Num.cents(col("l_extendedprice"))).as("sampled_cents"))
+  }
+
   /** Fixed-width histogram: Spark's `width_bucket` vs the equivalent
     * integer-arithmetic bucketing in the oracle (DuckDB 1.0 has no
     * width_bucket) — exact-cents input keeps the boundary math unambiguous.
@@ -933,7 +966,7 @@ object Relational {
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, tpchQ5Style, sqlCorrelatedSubquery,
-    profileLineitem, deterministicSample, histogramPrices, arrayAggSorted,
+    profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
     aggGroupingSets, aggWeightedAvg,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
