@@ -326,7 +326,41 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts"), col("purchase_cents").as("last_purchase_cents"))
   }
 
+  /** Incremental upsert (latest-wins merge): a stored snapshot (events
+    * before the cutoff) merged with an incoming batch (events at/after it),
+    * keeping each user's latest state — the weekly-refresh production
+    * pattern. The engine takes the two-source union+window merge path; the
+    * oracle computes the same snapshot directly from the full table, so the
+    * match proves the incremental path converges to the from-scratch
+    * answer.
+    */
+  val upsertLatestSnapshot: QueryDef = QueryDef(
+    "upsert_latest_snapshot",
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |       event_type AS last_type
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val snapshot = ev.filter(col("ts") < cutoff) // the stored state
+    val batch = ev.filter(col("ts") >= cutoff) // the incoming increment
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    snapshot.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
-    asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History)
+    asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History,
+    upsertLatestSnapshot)
 }
