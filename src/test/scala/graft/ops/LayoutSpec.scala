@@ -46,6 +46,17 @@ class LayoutSpec extends SparkSpec {
       .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
 
+  test("writeZOrdered handles a constant column (degenerate range) without dividing by zero") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val df = (1L to 100L).map(i => (i, 7L)).toDF("x", "c")
+      Layout.writeZOrdered(df, "x", "c", s"$dir/const", 4)
+      val back = spark.read.parquet(s"$dir/const")
+      assert(back.count() === 100)
+      assert(back.select(countDistinct(col("c"))).head().getLong(0) === 1)
+    }
+  }
+
   test("z-ordered layout skips files on BOTH dimensions; single sort only on its own") {
     withTempDir { dir =>
       val li = Tables.lineitem(spark, sf)

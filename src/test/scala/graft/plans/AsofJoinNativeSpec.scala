@@ -83,6 +83,15 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.size <= 1, plan.toString)
   }
 
+  test("native asof with an empty right side keeps every left row with nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val right = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "payload")
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(3)))
+  }
+
   test("native asof streams grouped duplicates and unsorted partition counts correctly") {
     import spark.implicits._
     // many keys x many times, values chosen so expected answer is computable
