@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Layout.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
+      text.Corpus.all ++
       vector.Similarity.all ++
       multimodal.Multimodal.all ++
       sources.Roundtrips.all :+

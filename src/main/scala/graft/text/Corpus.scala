@@ -1,0 +1,272 @@
+package graft.text
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators over `documents` — the cluster/statistics half of a
+  * training-data pipeline (the pairwise half lives in [[Dedup]]):
+  *
+  *  - duplicate-cluster formation: connected components over the near-dup
+  *    pair graph (every real dedup pipeline needs this step — pairwise output
+  *    alone can't answer "keep one doc per duplicate group" when dups chain
+  *    a~b~c);
+  *  - corpus vocabulary (term + document frequency, deterministic top-k);
+  *  - per-document distinctive terms via tf-idf with a *rational* idf
+  *    (`tf·N/df`: one integer product + one IEEE division, bit-identical in
+  *    any engine — `ln` is transcendental and implementation-defined, so it
+  *    could never hash-match a foreign oracle);
+  *  - repetition/quality signals (Gopher-style duplicate-token and
+  *    duplicate-trigram ratios), all row-local — zero shuffles;
+  *  - deterministic sequence packing: concatenate the ordered token stream
+  *    and cut every `budget` tokens (the standard pre-training packing step),
+  *    computed with the scalable two-pass prefix-sum pattern instead of one
+  *    global-window sort.
+  */
+object Corpus {
+
+  /** Connected components by min-label propagation (Pregel-style hash-to-min):
+    * every node starts labeled with itself; each round a node takes the min of
+    * its own and its neighbors' labels; fixpoint = per-component min doc_id.
+    *
+    * Rounds = eccentricity of each component's min node — near-dup clusters
+    * are near-cliques, so 1–2 rounds in practice; worst case O(diameter)
+    * (the large-star/small-star variant would bound it at O(log n) rounds at
+    * the cost of re-materializing edges — unnecessary for dedup graphs).
+    * Each round is one shuffle on node id; `localCheckpoint` truncates the
+    * growing lineage so plan size stays constant per round.
+    *
+    * Input: (doc_a, doc_b) undirected pair rows. Output: (doc_id, cluster_id).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("lbl").as("prev")), "doc_id")
+        .filter(col("lbl") < col("prev"))
+        .count()
+      labels = next
+    }
+    labels.withColumnRenamed("lbl", "cluster_id")
+  }
+
+  /** Duplicate clusters over the MinHash-LSH verified near-dup pairs
+    * (Jaccard >= 0.5; [[Dedup.lshVerifiedPairs]]). cluster_id = min doc_id of
+    * the component (the canonical survivor). The oracle rebuilds the same
+    * edge set exhaustively and closes it with a recursive CTE, so the hash
+    * match proves both the LSH recall AND the component labeling.
+    */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
+       |  FROM documents),
+       |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT c.doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) s
+       |  ON s.cluster_id = c.cluster_id""".stripMargin) { (spark, dir) =>
+    val comp = connectedComponents(
+      Dedup.lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Corpus vocabulary: term frequency + document frequency, top 20 by tf
+    * with an alphabetical tiebreak (deterministic top-k set). Classic
+    * vocabulary-building step; partial (map-side) aggregation makes the
+    * token-explode shuffle carry one row per distinct (partition, token),
+    * not one per token occurrence.
+    */
+  val vocabTopk: QueryDef = QueryDef(
+    "vocab_topk",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok
+      |ORDER BY tf DESC, tok
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** Per-document top-3 distinctive terms by tf-idf with rational idf
+    * `score = (tf * N) / df` (see object doc for why not `ln`). The df table
+    * is vocabulary-sized — broadcast; the single shuffle is the per-(doc,term)
+    * tf aggregation.
+    */
+  val tfidfTopTerms: QueryDef = QueryDef(
+    "tfidf_top_terms",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  private val trigramsSpark =
+    """CASE WHEN size(toks) >= 3
+      |THEN zip_with(
+      |       zip_with(slice(toks, 1, size(toks) - 2), slice(toks, 2, size(toks) - 2),
+      |         (a, b) -> concat(a, ' ', b)),
+      |       slice(toks, 3, size(toks) - 2),
+      |       (ab, c) -> concat(ab, ' ', c))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  private val trigramsSql =
+    """CASE WHEN len(toks) >= 3
+      |THEN list_transform(range(1, len(toks) - 1),
+      |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |ELSE [] END""".stripMargin
+
+  /** Gopher-style repetition signals per document: duplicate-token ratio,
+    * top-token share (most frequent token's fraction of all tokens), and
+    * duplicate-trigram ratio. Every expression is row-local higher-order
+    * array code — the whole query is a narrow codegen'd map over document
+    * partitions, so it scales with zero shuffles.
+    */
+  val docRepetition: QueryDef = QueryDef(
+    "doc_repetition",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, toks, $trigramsSql AS tris FROM t)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_ratio,
+       |  CAST(list_max(list_transform(list_distinct(toks),
+       |         d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+       |    / len(toks) AS top_token_share,
+       |  CASE WHEN len(tris) > 0
+       |    THEN CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris)
+       |    ELSE NULL END AS dup_trigram_ratio
+       |FROM g""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks", s"$trigramsSpark AS tris")
+      .selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "CAST(size(toks) - size(array_distinct(toks)) AS DOUBLE) / size(toks) AS dup_token_ratio",
+        """CAST(array_max(transform(array_distinct(toks),
+          |       d -> size(filter(toks, x -> x = d)))) AS DOUBLE)
+          |  / size(toks) AS top_token_share""".stripMargin,
+        """CASE WHEN size(tris) > 0
+          |  THEN CAST(size(tris) - size(array_distinct(tris)) AS DOUBLE) / size(tris)
+          |  ELSE NULL END AS dup_trigram_ratio""".stripMargin)
+  }
+
+  private val PackBudget = 256
+  private val PackShard = 64L
+
+  /** Deterministic sequence packing: documents ordered by doc_id form one
+    * token stream, cut into fixed `PackBudget`-token chunks; each doc reports
+    * the chunk range it lands in (docs may span chunks — the standard
+    * concat-and-chunk pre-training packing).
+    *
+    * Scale path: a single global cumsum window would serialize on one
+    * partition. Instead: (1) per-shard token totals (tiny aggregate), (2)
+    * prefix offsets over the shard totals (window over #shards rows), (3)
+    * broadcast the offsets back and cumsum *within* each shard in parallel.
+    * Same two-pass trick DuckDB/Trino use for large window frames; the oracle
+    * states the plain global-window spec it must equal.
+    */
+  val packSequences: QueryDef = QueryDef(
+    "pack_sequences",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, n,
+       |        sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+       |      FROM t)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(e - n AS BIGINT) AS start_off,
+       |  CAST((e - n) // $PackBudget AS BIGINT) AS chunk_first,
+       |  CAST((e - 1) // $PackBudget AS BIGINT) AS chunk_last,
+       |  CAST((e - 1) // $PackBudget - (e - n) // $PackBudget + 1 AS BIGINT) AS n_chunks
+       |FROM c""".stripMargin) { (spark, dir) =>
+    packed(Tables.documents(spark, dir))
+  }
+
+  /** The sharded two-pass packing over any (doc_id, text) frame. */
+  def packed(docs: DataFrame): DataFrame = {
+    val t = docs.selectExpr(
+      "doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      s"doc_id div $PackShard AS shard")
+    val wOff = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val shardOff = t.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("shard"), col("off"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(shardOff), "shard")
+      .withColumn("end_off", col("off") + sum(col("n_tokens")).over(wIn))
+      .selectExpr(
+        "doc_id",
+        "n_tokens",
+        "end_off - n_tokens AS start_off",
+        s"(end_off - n_tokens) div $PackBudget AS chunk_first",
+        s"(end_off - 1) div $PackBudget AS chunk_last",
+        s"(end_off - 1) div $PackBudget - (end_off - n_tokens) div $PackBudget + 1 AS n_chunks")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, packSequences)
+}

@@ -48,7 +48,7 @@ object Dedup {
     * re-evaluates `split` *per element* (O(tokens²) per row); this form
     * evaluates it a constant number of times.
     */
-  private def shinglesSpark(textCol: String): String =
+  private[text] def shinglesSpark(textCol: String): String =
     s"""CASE WHEN size(split($textCol, ' ')) >= 2
        |THEN array_distinct(zip_with(
        |       slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
@@ -56,7 +56,7 @@ object Dedup {
        |       (a, b) -> concat(a, ' ', b)))
        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
 
-  private def shinglesSql(textCol: String): String =
+  private[text] def shinglesSql(textCol: String): String =
     s"""CASE WHEN len(string_split($textCol, ' ')) >= 2
        |THEN list_distinct(list_transform(
        |       range(1, len(string_split($textCol, ' '))),
@@ -160,6 +160,15 @@ object Dedup {
        |FROM nz a JOIN nz b ON b.doc_id > a.doc_id
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |    / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
+    lshVerifiedPairs(spark, dir)
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard >= 0.5 — columns
+    * (doc_a, doc_b, jaccard), doc_a < doc_b. The near-dup *edge set* consumed
+    * both by the pair query above and by the cluster-formation step
+    * ([[Corpus.dedupClusters]]).
+    */
+  def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val buckets = bandBuckets(sig)
     val cand = buckets.as("a")
