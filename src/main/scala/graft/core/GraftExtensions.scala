@@ -30,7 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(array<string>, k) - k-wide MinHash signature, one pass"),
-      (args: Seq[Expression]) => graft.functions.MinHashSignature(
-        args(0), args(1).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        // the signature width shapes the output schema, so it must be a
+        // compile-time constant — reject columns/NULL with an analysis error
+        // instead of an opaque NPE from eval()
+        import org.apache.spark.sql.graftbridge.Bridge
+        if (args.length != 2)
+          Bridge.analysisError(s"minhash_sigs expects 2 arguments, got ${args.length}")
+        if (!args(1).foldable)
+          Bridge.analysisError("minhash_sigs: the width argument must be a literal, not a column")
+        args(1).eval() match {
+          case n: Number => graft.functions.MinHashSignature(args(0), n.intValue())
+          case other => Bridge.analysisError(
+            s"minhash_sigs: the width argument must be a non-null integer literal, got $other")
+        }
+      }))
   }
 }

@@ -615,7 +615,10 @@ object Relational {
     * key — plain modular integer arithmetic, so (unlike engine-internal
     * hash functions or `TABLESAMPLE`) the *same rows* are selected by any
     * engine: reproducible sampling you can oracle-check, re-run, and share
-    * across systems.
+    * across systems. The key is masked to 31 bits before the multiply so
+    * the product peaks at 2^31·2654435761 ≈ 5.7e18 < int64 max — the
+    * arithmetic stays exact (no silent wrap, no ANSI overflow error) at any
+    * key magnitude, including 100 TB-scale surrogate keys.
     */
   val deterministicSample: QueryDef = QueryDef(
     "deterministic_sample",
@@ -623,11 +626,11 @@ object Relational {
       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
       |FROM lineitem
-      |WHERE ((l_orderkey * 2654435761 + l_linenumber) % 4294967296) < 42949672""".stripMargin) {
+      |WHERE (((l_orderkey & 2147483647) * 2654435761 + l_linenumber) % 4294967296) < 42949672""".stripMargin) {
     (spark, dir) =>
       Tables.lineitem(spark, dir)
         .filter(
-          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L) < lit(42949672L))
+          (col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L) < lit(42949672L))
         .agg(
           count(lit(1)).as("n_sampled"),
           countDistinct(col("l_orderkey")).as("n_orders"),
@@ -647,15 +650,16 @@ object Relational {
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
       |FROM (
       |  SELECT l_returnflag, l_extendedprice,
-      |         (l_orderkey * 2654435761 + l_linenumber) % 4294967296 AS h
+      |         ((l_orderkey & 2147483647) * 2654435761 + l_linenumber) % 4294967296 AS h
       |  FROM lineitem)
       |WHERE h < CASE l_returnflag
       |          WHEN 'A' THEN 858993459
       |          WHEN 'R' THEN 429496729
       |          ELSE 42949672 END
       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
-    // rates: A 20%, R 10%, N 1% of 2^32
-    val h = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L)
+    // rates: A 20%, R 10%, N 1% of 2^32; 31-bit key mask keeps the product
+    // inside int64 at any key magnitude (see deterministicSample)
+    val h = (col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L)
     val threshold = when(col("l_returnflag") === "A", lit(858993459L))
       .when(col("l_returnflag") === "R", lit(429496729L))
       .otherwise(lit(42949672L))

@@ -25,9 +25,15 @@ object Skew {
       smallKey: Column,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 1)
+    // Content-derived salt (hash of the whole row), not
+    // monotonically_increasing_id(): the result set is identical either way,
+    // but a content salt is stable under task retry / input re-split, so a
+    // recomputed partition shuffles every row to the same reducer as the
+    // first attempt. Fully identical rows share a salt — harmless, since
+    // salting only needs to spread a hot KEY's rows, which differ elsewhere.
     val salted = big.withColumn(
       "__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

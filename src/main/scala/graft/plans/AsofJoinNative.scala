@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, Expression, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -31,9 +32,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`):
   * each left row pairs with the latest right row of the same key whose time
-  * is at-or-before the left time; unmatched left rows keep nulls. Right rows
-  * with null time never match; a null left time matches nothing. Ties on
-  * right time keep the row latest in (key, time) sort order.
+  * is at-or-before the left time; unmatched left rows keep nulls. Null keys
+  * follow SQL equality — a left row with any null key gets nulls, a right
+  * row with any null key never matches. Right rows with null time never
+  * match; a null left time matches nothing. Ties on right time keep the row
+  * latest in (key, time) sort order.
   */
 case class AsofJoin(
     left: LogicalPlan,
@@ -69,6 +72,15 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression)
   extends BinaryExecNode {
+
+  // The merge compares right-side rows under orderings built from LEFT-side
+  // types; a type mismatch would read garbage field bytes and silently
+  // return wrong results. The builder widens both sides to a common type —
+  // this guards direct construction of the node.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"asof join key types must match: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof join time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -114,6 +126,9 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
+          // SQL equality: a null key matches nothing — emit nulls without
+          // touching the scan (null keys sort first, so no right row is lost)
+          if (lKey.anyNull) return resultProj(joined(lRow, nullRight))
           if (lastRight != null && keyOrd.compare(lastRightKey, lKey) != 0) {
             lastRight = null
             lastRightKey = null
@@ -127,21 +142,25 @@ case class AsofJoinExec(
               }
               if (rHead != null) {
                 val rKey = rKeyProj(rHead)
-                val c = keyOrd.compare(rKey, lKey)
-                if (c < 0) {
-                  rHead = null // right group entirely before any remaining left key
-                } else if (c > 0) {
-                  scan = false // right is ahead; keep for a later left key
+                if (rKey.anyNull) {
+                  rHead = null // null right keys never join (SQL equality)
                 } else {
-                  val rTimeRow = rTimeProj(rHead)
-                  if (rTimeRow.isNullAt(0)) {
-                    rHead = null // null right time never matches
-                  } else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
-                    lastRight = rHead.copy()
-                    lastRightKey = rKey.copy()
-                    rHead = null
+                  val c = keyOrd.compare(rKey, lKey)
+                  if (c < 0) {
+                    rHead = null // right group entirely before any remaining left key
+                  } else if (c > 0) {
+                    scan = false // right is ahead; keep for a later left key
                   } else {
-                    scan = false // right row is in the future for this left row
+                    val rTimeRow = rTimeProj(rHead)
+                    if (rTimeRow.isNullAt(0)) {
+                      rHead = null // null right time never matches
+                    } else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                      lastRight = rHead.copy()
+                      lastRightKey = rKey.copy()
+                      rHead = null
+                    } else {
+                      scan = false // right row is in the future for this left row
+                    }
                   }
                 }
               }
@@ -186,10 +205,25 @@ object AsofJoinNative {
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
 
-    val lk = keys.map { case (l, _) => resolve(lPlan, l) }
-    val rk = keys.map { case (_, r) => resolve(rPlan, r) }
-    Bridge.ofRows(left.sparkSession,
-      AsofJoin(lPlan, rPlan, lk, rk,
-        resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+    // Widen each key/time pair to a tight common type — the physical merge
+    // compares right rows under left-typed orderings, so mismatched types
+    // (e.g. int key vs long key) would otherwise read garbage bytes.
+    def aligned(l: Expression, r: Expression, what: String): (Expression, Expression) =
+      if (l.dataType == r.dataType) (l, r)
+      else TypeCoercion.findTightestCommonType(l.dataType, r.dataType) match {
+        case Some(t) =>
+          (if (l.dataType == t) l else Cast(l, t),
+            if (r.dataType == t) r else Cast(r, t))
+        case None => throw new IllegalArgumentException(
+          s"asof join: incompatible $what types ${l.dataType} vs ${r.dataType}")
+      }
+
+    val (lk, rk) = keys.map { case (l, r) =>
+      aligned(resolve(lPlan, l), resolve(rPlan, r), s"key ($l = $r)")
+    }.unzip
+    val (lt, rt) =
+      aligned(resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol),
+        s"time ($leftTimeCol >= $rightTimeCol)")
+    Bridge.ofRows(left.sparkSession, AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -65,14 +65,33 @@ object Transforms {
   def cleanNulls(df: DataFrame): DataFrame =
     df.filter(col("median_rent").isNotNull)
 
-  /** Key-subset dedup (`deduplicate`, `jobs/transform.py:107-119`):
-    * `dropDuplicates(RegionID, month)` — arbitrary survivor per key, exactly
-    * like the reference (its fixtures only ever duplicate identical rows, so
-    * the ambiguity is unobservable). For an oracle-deterministic dedup see
-    * `graft.ops.Relational` (row_number over a total order).
+  /** Key-subset dedup (`deduplicate`, `jobs/transform.py:107-119`): one
+    * surviving row per `(RegionID, month)`, exactly like the reference's
+    * `dropDuplicates` (its fixtures only ever duplicate identical rows, so
+    * survivor choice is unobservable there; here the survivor is the
+    * deterministic minimum under the full-row sort — strictly stronger).
+    *
+    * Formulated as a window-internal duplicate filter rather than a
+    * `Deduplicate` node on purpose: `dropDuplicates(RegionID, month)` forces
+    * its own hash exchange on `(RegionID, month)` immediately before
+    * [[addMomChange]] re-partitions on `RegionID` alone. Partitioning the
+    * dedup window by `RegionID` and ordering by `(month, …tiebreaks)` makes
+    * equal-key rows adjacent inside the exact exchange+sort the lag window
+    * needs anyway — the whole clean→dedup→MoM chain rides ONE `RegionID`
+    * exchange (6 → 5 exchanges on the flagship plan).
+    *
+    * Null months compare null-safely (`<=>`), matching `dropDuplicates`'
+    * nulls-are-equal key semantics; the `row_number = 1` guard keeps the
+    * partition's first row, whose `lag` is null.
     */
-  def deduplicate(df: DataFrame): DataFrame =
-    df.dropDuplicates(Seq("RegionID", "month"))
+  def deduplicate(df: DataFrame): DataFrame = {
+    val tiebreaks = df.columns.filterNot(Set("RegionID", "month")).sorted.map(col)
+    val w = Window.partitionBy("RegionID").orderBy(col("month") +: tiebreaks.toSeq: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__prev_month", lag(col("month"), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev_month") <=> col("month")))
+      .drop("__rn", "__prev_month")
+  }
 
   /** Month-over-month % change (`add_mom_change`, `jobs/transform.py:122-140`):
     * `lag(median_rent) over (partition by RegionID order by month)`, then

@@ -214,7 +214,7 @@ object Corpus {
   }
 
   private val PackBudget = 256
-  private val PackShard = 64L
+  private val MaxPackShards = 4096L
 
   /** Deterministic sequence packing: documents ordered by doc_id form one
     * token stream, cut into fixed `PackBudget`-token chunks; each doc reports
@@ -226,7 +226,10 @@ object Corpus {
     * prefix offsets over the shard totals (window over #shards rows), (3)
     * broadcast the offsets back and cumsum *within* each shard in parallel.
     * Same two-pass trick DuckDB/Trino use for large window frames; the oracle
-    * states the plain global-window spec it must equal.
+    * states the plain global-window spec it must equal. The shard COUNT is
+    * bounded (<= `MaxPackShards`), not the shard size — a fixed-size shard
+    * would give only a constant-factor reduction and the offset window would
+    * still grow linearly with the corpus.
     */
   val packSequences: QueryDef = QueryDef(
     "pack_sequences",
@@ -244,13 +247,31 @@ object Corpus {
     packed(Tables.documents(spark, dir))
   }
 
-  /** The sharded two-pass packing over any (doc_id, text) frame. */
+  /** The sharded two-pass packing over any (doc_id, text) frame.
+    *
+    * Shard function: `(doc_id - min_id) div width` with `width` sized from
+    * the id span so there are at most [[MaxPackShards]] shards — monotone in
+    * doc_id (so shard-major + within-shard order == global doc_id order) and
+    * bounded regardless of corpus size: the unpartitioned offset window below
+    * never sees more than ~4096 rows whether the corpus is 10^5 or 10^10
+    * docs. Costs one min/max bounds lookup (column-stats cheap) up front.
+    */
   def packed(docs: DataFrame): DataFrame = {
+    val b = docs.agg(
+      min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+    val (minId, span) =
+      if (b.isNullAt(0)) (0L, 1L) else (b.getLong(0), b.getLong(1) - b.getLong(0) + 1L)
+    val width = math.max(1L, (span + MaxPackShards - 1L) / MaxPackShards)
     val t = docs.selectExpr(
       "doc_id",
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
-      s"doc_id div $PackShard AS shard")
-    val wOff = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+      s"(doc_id - $minId) div $width AS shard")
+    // single-partition prefix sum over the (bounded, <= MaxPackShards) shard
+    // totals: the explicit constant partition key declares "all rows, one
+    // partition" as the intended plan — WindowExec's No-Partition warning
+    // assumes unbounded input, which the shard bound above rules out
+    val wOff = Window.partitionBy(lit(0))
+      .orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
     val shardOff = t.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
       .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
       .select(col("shard"), col("off"))

@@ -261,9 +261,11 @@ object TextAnalysis {
       |            ELSE 'test' END AS split,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-      |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+      |FROM (SELECT doc_id, ((doc_id & 2147483647) * 2654435761) % 4294967296 AS h FROM documents)
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    // 31-bit mask before the multiply: product <= 2^31 * 2654435761 < 2^63,
+    // so the hash is exact int64 arithmetic at any doc_id magnitude
+    val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
     Tables.documents(spark, dir)
       .withColumn("h", h)
       .withColumn("split",

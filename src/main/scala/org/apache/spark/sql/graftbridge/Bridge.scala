@@ -17,4 +17,11 @@ object Bridge {
   /** DataFrame from a hand-built logical plan (for custom operators). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Clean analysis-time failure for SQL function builders (the string
+    * constructor of AnalysisException is `private[sql]` in Spark 4).
+    */
+  def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
 }

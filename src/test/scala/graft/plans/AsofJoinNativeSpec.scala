@@ -83,6 +83,44 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.size <= 1, plan.toString)
   }
 
+  test("native asof widens mismatched key/time types instead of comparing raw bytes") {
+    import spark.implicits._
+    // int keys + int times on the left, long on the right — without the
+    // builder's Cast alignment the long ordering would read garbage
+    val left = Seq((1, 10), (1, 30), (2, 25)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 20L, "b"), (2L, 40L, "late")).toDF("rk", "rt", "tag")
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("k"), col("t"), col("tag"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> Option(r.getString(2))).toMap
+    assert(out === Map((1, 10) -> Some("a"), (1, 30) -> Some("b"), (2, 25) -> None))
+  }
+
+  test("native asof rejects keys with no common type") {
+    import spark.implicits._
+    val left = Seq(("x", 1L)).toDF("k", "t")
+    val right = Seq((java.sql.Date.valueOf("2024-01-01"), 1L, "v")).toDF("rk", "rt", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("native asof null keys follow SQL equality: never match on either side") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 10L, "has-key"),
+      (Option.empty[Long], 10L, "null-key")
+    ).toDF("k", "t", "side")
+    val right = Seq(
+      (Option(1L), 5L, "match"),
+      (Option.empty[Long], 1L, "null-right") // would sort first; must be skipped
+    ).toDF("rk", "rt", "tag")
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("side"), col("tag"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out === Map("has-key" -> Some("match"), "null-key" -> None))
+  }
+
   test("native asof with an empty right side keeps every left row with nulls") {
     import spark.implicits._
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
