@@ -23,7 +23,8 @@ object SparkEntry {
       vector.Similarity.all ++
       multimodal.Multimodal.all ++
       sources.Roundtrips.all :+
-      streaming.Streams.streamingHourly
+      streaming.Streams.streamingHourly :+
+      streaming.Streams.streamingHourlyAppend
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

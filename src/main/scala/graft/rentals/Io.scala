@@ -17,6 +17,83 @@ final case class PipelineConfig(
     uniqueKeys: Seq[String] = Seq("RegionID", "month"), // config/pipeline.yaml:22
     partitionKeys: Seq[String] = Seq("StateName", "year")) // config/pipeline.yaml:13
 
+object PipelineConfig {
+
+  /** Load thresholds from a config file (closes S8: the reference is
+    * config-driven via `load_config`, `jobs/io_utils.py:56-66`, over
+    * `config/pipeline.yaml`). This offline build has no YAML dependency, so
+    * the loader parses the *subset* the reference file actually uses —
+    * two-level `section:` / `  key: value` scalars, inline `[a, b]` lists,
+    * and block `- item` lists, with `#` comments — which keeps a threshold
+    * change an edit + rerun, not a recompile. Unknown keys are ignored;
+    * missing keys keep the case-class defaults (the reference values).
+    */
+  def fromFile(path: String): PipelineConfig =
+    fromString(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromString(text: String): PipelineConfig = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def splitList(s: String): Seq[String] =
+      s.trim.stripPrefix("[").stripSuffix("]").split(",").map(unquote).filter(_.nonEmpty).toSeq
+
+    // section -> key -> either scalar (Left) or list (Right)
+    val sections = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Either[String, Seq[String]]]]
+    var section = ""
+    var listKey: Option[String] = None
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#')
+      val trimmed = line.trim
+      if (trimmed.nonEmpty) {
+        val indented = line.head == ' ' || line.head == '\t'
+        if (!indented && trimmed.endsWith(":")) {
+          section = trimmed.dropRight(1)
+          listKey = None
+        } else if (trimmed.startsWith("- ") || trimmed == "-") {
+          listKey.foreach { k =>
+            val m = sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+            val prev = m.get(k).collect { case Right(xs) => xs }.getOrElse(Seq.empty)
+            m(k) = Right(prev :+ unquote(trimmed.stripPrefix("-")))
+          }
+        } else if (trimmed.contains(":")) {
+          val (k, v) = trimmed.splitAt(trimmed.indexOf(':'))
+          val value = v.drop(1).trim
+          val m = sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+          if (value.isEmpty) { // block list follows
+            listKey = Some(k.trim)
+            m(k.trim) = Right(Seq.empty)
+          } else {
+            listKey = None
+            if (value.startsWith("[")) m(k.trim) = Right(splitList(value))
+            else m(k.trim) = Left(unquote(value))
+          }
+        }
+      }
+    }
+
+    def scalar(sec: String, key: String): Option[String] =
+      sections.get(sec).flatMap(_.get(key)).collect { case Left(v) => v }
+    def list(sec: String, key: String): Option[Seq[String]] =
+      sections.get(sec).flatMap(_.get(key)).collect { case Right(v) => v }
+
+    val d = PipelineConfig()
+    val range = list("dq_thresholds", "rent_range").filter(_.length == 2)
+    PipelineConfig(
+      nullPctThreshold = scalar("dq_thresholds", "null_pct").map(_.toDouble).getOrElse(d.nullPctThreshold),
+      minRows = scalar("dq_thresholds", "min_rows").map(_.toLong).getOrElse(d.minRows),
+      rentMin = range.map(_.head.toDouble).getOrElse(d.rentMin),
+      rentMax = range.map(_.last.toDouble).getOrElse(d.rentMax),
+      uniqueKeys = list("dq_thresholds", "uniqueness_keys").getOrElse(d.uniqueKeys),
+      partitionKeys = list("partitioning", "partition_keys").getOrElse(d.partitionKeys))
+  }
+}
+
 object Io {
 
   /** Two-pass CSV read (`read_raw_csv`, `jobs/io_utils.py:69-85`):

@@ -10,15 +10,17 @@ import org.apache.spark.sql.SparkSession
   * XCom-passes-paths contract).
   *
   * Usage: runMain graft.rentals.PipelineMain <rawCsvPath> <outPath>
-  *          [--local] [--single-file]
+  *          [--local] [--single-file] [--config=<path>]
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length == 2, "usage: PipelineMain <rawCsvPath> <outPath> [--local] [--single-file]")
+    require(positional.length == 2,
+      "usage: PipelineMain <rawCsvPath> <outPath> [--local] [--single-file] [--config=<path>]")
     val Array(rawPath, outPath) = positional
     val local = args.contains("--local") || sys.env.get("ENV").contains("local")
     val singleFile = args.contains("--single-file")
+    val configPath = args.collectFirst { case a if a.startsWith("--config=") => a.stripPrefix("--config=") }
 
     val spark = SparkSession.builder()
       .appName("rental-pipeline")
@@ -30,7 +32,7 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val config = PipelineConfig()
+      val config = configPath.map(PipelineConfig.fromFile).getOrElse(PipelineConfig())
       val processed = Io.readRawCsv(spark, rawPath).transform(Transforms.runPipeline)
       Io.writeProcessed(processed, outPath, config, singleFilePerPartition = singleFile)
       // DQ gate over the *written* output (fresh scan, like the DAG's DQ task)

@@ -126,6 +126,33 @@ object Streams {
     runAvailableNowToMemory(spark, streamed, table, OutputMode.Complete())
   }
 
+  /** The production-shaped streaming path inside the correctness gate:
+    * [[hourlyCounts]] — Append output mode with a 2-hour watermark — run
+    * AvailableNow over the events file. Append emits a window exactly once,
+    * when the watermark passes its end, so state AND sink stay bounded by
+    * the watermark (unlike Complete mode, which re-emits and retains the
+    * full result every trigger — fine as a batch-equivalence device, wrong
+    * as a production shape). The final no-data micro-batch advances the
+    * watermark to max(ts) - 2h and flushes every closed window.
+    *
+    * Closed windows are a deterministic function of the data (watermark =
+    * max event time - delay), so the DuckDB oracle reproduces the emitted
+    * set relationally with a cutoff predicate: windows whose end is
+    * at-or-before the final watermark.
+    */
+  val streamingHourlyAppend: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_hourly_append",
+    """WITH cutoff AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+      |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events, cutoff
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val streamed = hourlyCounts(readEventsStream(spark, dir))
+    val table = s"graft_streaming_append_${System.nanoTime()}"
+    runAvailableNowToMemory(spark, streamed, table, OutputMode.Append())
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

