@@ -39,7 +39,14 @@ object Corpus {
     *
     * Input: (doc_a, doc_b) undirected pair rows. Output: (doc_id, cluster_id).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsInstrumented(pairs)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to reach the fixpoint — the quantity that governs cost at scale (one
+    * shuffle per round), asserted by the long-chain stress spec.
+    */
+  def connectedComponentsInstrumented(pairs: DataFrame): (DataFrame, Int) = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -48,6 +55,7 @@ object Corpus {
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = edges
         .join(labels, edges("src") === labels("doc_id"))
@@ -62,8 +70,9 @@ object Corpus {
         .filter(col("lbl") < col("prev"))
         .count()
       labels = next
+      rounds += 1
     }
-    labels.withColumnRenamed("lbl", "cluster_id")
+    (labels.withColumnRenamed("lbl", "cluster_id"), rounds)
   }
 
   /** Duplicate clusters over the MinHash-LSH verified near-dup pairs

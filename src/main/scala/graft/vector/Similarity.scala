@@ -199,20 +199,26 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("cand_id"), col("cos_sim"), col("rnk").cast("int").as("rnk"))
   }
 
-  /** Embedding near-dup at scale: random-hyperplane LSH. Each of 16 pseudo-
-    * hyperplanes is a deterministic ±1 vector (sign of `xxhash64(plane, dim)`),
-    * so a signature bit is the sign of an exact integer dot product. Vectors
-    * sharing the full 16-bit signature bucket together; buckets join on the
-    * signature (linear shuffle — never O(n²) pairs), then candidates are
-    * verified with exact cosine ≥ 0.95.
+  /** Embedding near-dup at scale: banded random-hyperplane LSH
+    * (4 bands × 8 hyperplanes). Each pseudo-hyperplane is a deterministic
+    * ±1 vector (sign of splitmix64(plane, dim)), so a signature bit is the
+    * sign of an exact integer dot product. Vectors sharing any band's 8-bit
+    * signature become candidates; candidate generation shuffles only
+    * `(vec_id, band, key)` rows (linear — never O(n²) pairs), and
+    * candidates are verified with the exact integer-cosine.
     *
-    * Cosine-similar vectors agree on a hyperplane bit with probability
-    * 1 - θ/π, so true near-dups (θ≈0) collide on all 16 bits with high
-    * probability while random pairs collide with ~2^-16.
+    * A hyperplane bit agrees with probability p = 1 − θ/π, so a pair
+    * collides in ≥1 band with probability 1 − (1 − p^8)^4 — the banded OR
+    * keeps recall high well below θ≈0 (p.e. ~0.9 at cos 0.9, ~0.97 at cos
+    * 0.95) where the previous single 16-bit signature (p^16) had already
+    * collapsed. Random pairs still land together at only ~4·2^-8.
     */
+  private val LshBands = 4
+  private val LshRowsPerBand = 8
+
   /** splitmix64 — public-domain mix function; seeds the deterministic ±1
     * hyperplane matrix (row-invariant, so it's built once on the driver and
-    * embedded as literal arrays — the per-row work is 16 codegen'd integer
+    * embedded as literal arrays — the per-row work is 32 codegen'd integer
     * dot products, not interpreted per-element lambdas).
     */
   private def splitmix64(seed: Long): Long = {
@@ -220,6 +226,25 @@ object Similarity {
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
+  }
+
+  /** (vec_id, band, key) band-signature rows for a quantized frame
+    * (columns `vec_id`, `q`): `key` is the 8-bit sign pattern of the band's
+    * hyperplanes. Exposed for the streaming/spec reuse.
+    */
+  def hyperplaneBandKeys(quantized: DataFrame, dim: Int): DataFrame = {
+    def sign(j: Int, d: Int): Long =
+      if ((splitmix64(j.toLong * 131071L + d) & 1L) == 1L) 1L else -1L
+    val bandSigs = (0 until LshBands).map { b =>
+      (0 until LshRowsPerBand).map { r =>
+        val j = b * LshRowsPerBand + r
+        val plane = typedLit((0 until dim).map(d => sign(j, d)))
+        when(VectorFunctions.longDot(col("q"), plane) > 0L, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    quantized
+      .withColumn("__bands", array(bandSigs: _*))
+      .select(col("vec_id"), posexplode(col("__bands")).as(Seq("band", "key")))
   }
 
   /** Oracle: the exhaustive O(n²) cosine scan in DuckDB — equality proves
@@ -241,26 +266,30 @@ object Similarity {
        |FROM nz a JOIN nz b ON b.vec_id > a.vec_id
        |WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.95""".stripMargin) { (spark, dir) =>
-    val q = quantized(spark, dir).filter(col("norm2") > 0)
-    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
-    def sign(j: Int, d: Int): Long =
-      if ((splitmix64(j.toLong * 131071L + d) & 1L) == 1L) 1L else -1L
-    val sig = (0 until 16)
-      .map { j =>
-        val plane = typedLit((0 until dim).map(d => sign(j, d)))
-        when(VectorFunctions.longDot(col("q"), plane) > 0L, lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
-    val signed = q.withColumn("sig", sig)
-    val a = signed.select(col("vec_id").as("vec_a"), col("sig"), col("q").as("qa"), col("norm2").as("na"))
-    val b = signed.select(col("vec_id").as("vec_b"), col("sig"), col("q").as("qb"), col("norm2").as("nb"))
-    a.join(b, Seq("sig"))
-      .filter(col("vec_a") < col("vec_b"))
+    lshNearDupPairs(quantized(spark, dir).filter(col("norm2") > 0), 0.95)
+  }
+
+  /** Banded-LSH near-dup scan over a quantized frame
+    * (`vec_id, q, norm2`): candidates from any shared band key, exact
+    * integer-cosine verify at `threshold`. The band self-join carries only
+    * ids and keys; vectors rejoin once for the (distinct) candidate pairs.
+    */
+  def lshNearDupPairs(q: DataFrame, threshold: Double): DataFrame = {
+    val dim = q.select(size(col("q"))).head().getInt(0)
+    val keys = hyperplaneBandKeys(q, dim)
+    val candidates = keys.as("a")
+      .join(keys.as("b"), Seq("band", "key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // a pair may collide in several bands
+    val va = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
+    val vb = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
+    candidates.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
       .withColumn("cos_sim",
         col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .filter(col("cos_sim") >= 0.95)
+      .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 

@@ -1,0 +1,41 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Corpus operators: connected-components convergence beyond the near-clique
+  * dup graphs the pipeline usually sees.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("connected components: long chain converges in O(diameter) rounds with one component") {
+    import spark.implicits._
+    // path graph 0-1-2-...-11: diameter 11, worst case for hash-to-min
+    // (min-label moves exactly one hop per round — no shortcutting)
+    val n = 12
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Corpus.connectedComponentsInstrumented(pairs)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    assert(out.values.toSet === Set(0L), s"one component labeled by its min: $out")
+    // label 0 reaches node k at round k; one extra round detects fixpoint.
+    // This documents the O(diameter) bound — near-clique dup graphs finish
+    // in 2-3 rounds, a pathological chain in d+1.
+    assert(rounds === n, s"expected diameter+1 = $n rounds, got $rounds")
+  }
+
+  test("connected components: disjoint chains get independent min labels") {
+    import spark.implicits._
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), // component 0
+      (10L, 11L), (11L, 12L), // component 10
+      (20L, 21L) // component 20
+    ).toDF("doc_a", "doc_b")
+    val (labels, _) = Corpus.connectedComponentsInstrumented(pairs)
+    val byCluster = labels.collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byCluster === Map(
+      0L -> Set(0L, 1L, 2L, 3L),
+      10L -> Set(10L, 11L, 12L),
+      20L -> Set(20L, 21L)))
+  }
+}
