@@ -199,6 +199,158 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("cand_id"), col("cos_sim"), col("rnk").cast("int").as("rnk"))
   }
 
+  // ---- k-means IVF -------------------------------------------------------
+
+  private val KmeansK = 8
+  private val KmeansIters = 2
+  private val KmeansProbes = 2
+
+  /** Nearest-centroid assignment against driver-held centroid literals:
+    * exact integer squared-Euclidean distance, ties to the smaller cell id
+    * (`array_min` over (dist, cell) structs orders lexicographically). With
+    * literal centroids the whole assignment is one codegen'd row-local
+    * expression — the vector table never shuffles to be assigned.
+    */
+  private def assignExpr(cents: Seq[(Long, Array[Long])]) = {
+    val dists = cents.map { case (cell, c) =>
+      struct(
+        aggregate(
+          zip_with(col("q"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"),
+        lit(cell).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  /** Lloyd's k-means over a quantized frame (`vec_id, q, norm2`), built for
+    * bit-exact cross-engine replay: seeds are the `k` lowest vec_ids,
+    * centroids are element-wise floor(sum/count) (exact: integer sums,
+    * double-exact division, floor), distance is exact integer squared
+    * Euclidean, ties to the smaller cell. Centroids live on the driver
+    * (k×dim longs — bounded model state, the same shape MLlib's KMeans
+    * broadcasts); each iteration is one scan + one k×dim aggregate.
+    * Returns the assigned frame (+ `cell`) and the final centroids.
+    */
+  def kmeansCells(q: DataFrame, k: Int, iters: Int): (DataFrame, Seq[(Long, Array[Long])]) = {
+    val seedRows = q.select(col("vec_id"), col("q")).orderBy(col("vec_id")).limit(k).collect()
+    if (seedRows.isEmpty) return (q.withColumn("cell", lit(0L)), Seq.empty)
+    var cents: Seq[(Long, Array[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Long](1).toArray)
+    }
+    for (_ <- 1 to iters) {
+      val stats = q.withColumn("cell", assignExpr(cents))
+        .select(col("cell"), posexplode(col("q")).as(Seq("p", "v")))
+        .groupBy(col("cell"), col("p"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // k x dim rows — bounded model state
+      cents = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cell, rows) =>
+        val arr = rows.sortBy(_.getInt(1))
+          .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toArray
+        (cell, arr)
+      }
+    }
+    (q.withColumn("cell", assignExpr(cents)), cents)
+  }
+
+  /** IVF with LEARNED cells: k-means (seeded, 2 Lloyd iterations, exact
+    * integer arithmetic throughout — see [[kmeansCells]]) instead of the
+    * `label` column as the coarse quantizer; each query probes its
+    * [[KmeansProbes]] nearest centroids by the same integer distance and
+    * ranks only those cells' candidates by exact cosine. The DuckDB oracle
+    * replays seeding, both Lloyd iterations, probing, and ranking
+    * bit-for-bit, so the hash match proves the whole learned structure.
+    */
+  val annIvfKmeans: QueryDef = {
+    val distSql =
+      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    def assign(from: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, norm2, cell FROM (
+         |    SELECT vec_id, q, norm2, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
+         |                 ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    QueryDef(
+      "ann_ivf_kmeans",
+      s"""WITH q0 AS (
+         |  SELECT vec_id, $qvecSql AS q,
+         |         ${dotSql(qvecSql, qvecSql)} AS norm2
+         |  FROM embeddings),
+         |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
+         |${assign("nz", "c0", "a1")},
+         |${update("a1", "c1")},
+         |${assign("nz", "c1", "a2")},
+         |${update("a2", "c2")},
+         |${assign("nz", "c2", "a3")},
+         |queries AS (SELECT vec_id AS query_id, q AS qa, norm2 AS na FROM nz WHERE vec_id < 5),
+         |probed AS (
+         |  SELECT query_id, qa, na, c.cell, ${dist("qa", "c.cent")} AS dist
+         |  FROM queries, c2 c),
+         |cells AS (
+         |  SELECT query_id, qa, na, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS prb
+         |    FROM probed)
+         |  WHERE prb <= $KmeansProbes),
+         |scored AS (
+         |  SELECT c.query_id, c.cell, d.vec_id AS cand_id,
+         |    CAST(${dotSql("c.qa", "d.q")} AS DOUBLE)
+         |      / (sqrt(CAST(c.na AS DOUBLE)) * sqrt(CAST(d.norm2 AS DOUBLE))) AS cos_sim
+         |  FROM cells c JOIN a3 d ON d.cell = c.cell
+         |  WHERE d.vec_id <> c.query_id)
+         |SELECT query_id, cell, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
+      val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+      val (assigned, cents) = kmeansCells(q, KmeansK, KmeansIters)
+      if (cents.isEmpty) {
+        assigned.select(
+          col("vec_id").as("query_id"), col("cell"), col("vec_id").as("cand_id"),
+          lit(0.0).as("cos_sim"), lit(0).as("rnk")).limit(0)
+      } else {
+        // probe: the KmeansProbes nearest final centroids per query, by the
+        // same exact integer distance — slice of the sorted (dist, cell) array
+        val distStructs = cents.map { case (cell, c) =>
+          struct(
+            aggregate(
+              zip_with(col("qa"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v).as("dist"),
+            lit(cell).as("cell"))
+        }
+        val queries = q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+          .withColumn("cell",
+            explode(slice(sort_array(array(distStructs: _*)), 1, KmeansProbes).getField("cell")))
+        val cands = assigned.select(
+          col("vec_id").as("cand_id"), col("cell"), col("q").as("qb"), col("norm2").as("nb"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+        cands.join(broadcast(queries), Seq("cell"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
+          .withColumn("cos_sim",
+            col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("cell"), col("cand_id"), col("cos_sim"),
+            col("rnk").cast("int").as("rnk"))
+      }
+    }
+  }
+
   /** Embedding near-dup at scale: banded random-hyperplane LSH
     * (4 bands × 8 hyperplanes). Each pseudo-hyperplane is a deterministic
     * ±1 vector (sign of splitmix64(plane, dim)), so a signature bit is the
@@ -293,5 +445,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
-  val all: Seq[QueryDef] = Seq(knnBrute, cosineConsecutive, annIvfProbe, embeddingLshNearDup)
+  val all: Seq[QueryDef] =
+    Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup)
 }

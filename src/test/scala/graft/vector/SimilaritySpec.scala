@@ -72,6 +72,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF: learned cells, deterministic assignment, high recall vs brute force") {
+    embDir { dir =>
+      val out = Similarity.annIvfKmeans.fn(spark, dir).collect()
+      // identical planted vector shares query 0's cell => probed first, cos 1.0
+      val top0 = out.filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rnk") == 1).head
+      assert(top0.getAs[Long]("cand_id") === 100L)
+      assert(top0.getAs[Double]("cos_sim") === 1.0)
+      // recall vs the exhaustive scan, probing 2 of 8 learned cells
+      def topSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.groupBy(_.getAs[Long]("query_id")).view
+          .mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+      val brute = topSet(Similarity.knnBrute.fn(spark, dir).collect())
+      val ivf = topSet(out)
+      val recall = ivf.map { case (q, s) =>
+        s.intersect(brute(q)).size.toDouble / brute(q).size
+      }.sum / ivf.size
+      assert(recall >= 0.7, s"mean recall $recall")
+      // learned structure is exactly reproducible
+      val again = Similarity.annIvfKmeans.fn(spark, dir).collect()
+      assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("banded LSH recall: planted cos~0.9 near-dup pairs are found, verified exactly") {
     import spark.implicits._
     val dim = 16
