@@ -53,19 +53,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Two passes, min per query: pass 1 doubles as JIT/codegen warmup, and
-    // the min damps transient host contention (this box runs other tooling
-    // on a timer). Steady-state throughput is what a cluster would see.
+    // Three consecutive runs per query, median reported: back-to-back runs
+    // see the same host conditions, so a contention spike inflates all
+    // three (visible in the recorded spread) instead of silently inflating
+    // one pass — and the median still absorbs run-1 JIT/codegen warmup.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), timeOne(n)))
+    val runsByName = names.map(n => n -> Seq.fill(3)(timeOne(n)))
+    val results = runsByName.map { case (n, rs) => n -> rs.sorted.apply(1) }
     val total = results.map(_._2).sum
     val byName = results.toMap
 
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val detail = runsByName.map { case (k, rs) =>
+      val sortedRs = rs.sorted
+      "\"" + k + "\":{\"med\":" + fmt(sortedRs(1)) + ",\"min\":" + fmt(sortedRs.head) +
+        ",\"max\":" + fmt(sortedRs.last) +
+        ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()

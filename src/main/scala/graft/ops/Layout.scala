@@ -60,24 +60,40 @@ object Layout {
   }
 
   /** Write `df` as `nFiles` parquet files clustered by the Z-order of two
-    * numeric columns. Coordinates are min-max normalized to 16 bits first —
-    * interleaving raw values would let the wider-ranged column dominate the
-    * high bits and the narrow column would never cluster. (Production-scale
-    * variant: normalize by approxQuantile bins instead of global min/max to
-    * resist outliers; same layout machinery.)
+    * numeric columns. Coordinates are rank-normalized through approxQuantile
+    * bin boundaries (256 bins) rather than global min/max: with min/max a
+    * single outlier compresses the real mass of the data into a couple of
+    * cells and the curve stops clustering that dimension; quantile bins give
+    * every bin ~equal row mass regardless of the value distribution.
+    *
+    * Null coordinates land in bin 0 (sort lowest, documented); an empty
+    * input (or all-null coordinates) writes the frame unclustered — there is
+    * nothing to rank.
     */
   def writeZOrdered(
-      df: DataFrame, xCol: String, yCol: String, path: String, nFiles: Int): Unit = {
-    val b = df.agg(
-      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
-      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
-    val (xmin, xmax, ymin, ymax) =
-      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
-    def norm(c: String, lo: Double, hi: Double) =
-      if (hi == lo) lit(0L)
-      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
-        .cast("long")
-    val z = ZOrder2.zorder2(norm(xCol, xmin, xmax), norm(yCol, ymin, ymax))
+      df: DataFrame, xCol: String, yCol: String, path: String, nFiles: Int,
+      bins: Int = 256): Unit = {
+    require(bins > 1 && bins <= 65536, s"bins must be in (1, 65536], got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val Seq(xq, yq) = Seq(xCol, yCol).map { c =>
+      df.filter(col(c).isNotNull).stat.approxQuantile(c, probs, 0.001)
+    }
+    if (xq.isEmpty || yq.isEmpty) {
+      // empty frame or a coordinate with no non-null values: no rank order
+      // to cluster by — plain write instead of an NPE
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    // bin = number of boundaries at-or-below the value (0..bins-1), scaled
+    // to the 16-bit grid; a null condition falls through to 0 per boundary,
+    // so null coordinates deterministically land in bin 0
+    def binOf(c: String, bounds: Array[Double]) = {
+      val scale = 65536L / bins
+      aggregate(
+        typedLit(bounds.toSeq), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)) * lit(scale)
+    }
+    val z = ZOrder2.zorder2(binOf(xCol, xq), binOf(yCol, yq))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -57,6 +57,51 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered still clusters when one extreme outlier would flatten min/max bins") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      // uniform mass in [0,1000]^2 plus one extreme x outlier: min/max
+      // normalization would put every regular row in x-bin 0 and cluster
+      // nothing; quantile bins ignore the outlier's leverage
+      val rows = (1 to 4000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)) :+
+        ((1000000000000L, 500L))
+      val df = rows.toDF("x", "y")
+      val nFiles = 8
+      Layout.writeZOrdered(df, "x", "y", s"$dir/outlier", nFiles)
+      val back = spark.read.parquet(s"$dir/outlier")
+      assert(back.count() === 4001)
+      val xRanges = fileRanges(back, "x")
+      val yRanges = fileRanges(back, "y")
+      def overlapping(ranges: Map[String, (Double, Double)], lo: Double, hi: Double) =
+        ranges.count { case (_, (flo, fhi)) => fhi >= lo && flo <= hi }
+      // a bottom-eighth box on either dimension touches well under half the files
+      assert(overlapping(xRanges, 0, 125) <= nFiles / 2,
+        s"x overlap ${overlapping(xRanges, 0, 125)} of $nFiles: $xRanges")
+      assert(overlapping(yRanges, 0, 125) <= nFiles / 2,
+        s"y overlap ${overlapping(yRanges, 0, 125)} of $nFiles: $yRanges")
+    }
+  }
+
+  test("writeZOrdered: empty input and null coordinates write without failing") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+      Layout.writeZOrdered(empty, "x", "y", s"$dir/empty", 2)
+      assert(spark.read.parquet(s"$dir/empty").count() === 0)
+
+      val withNulls = Seq((Some(1L), Some(2L)), (None, Some(5L)), (Some(9L), None))
+        .map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+        .toDF("x", "y")
+      Layout.writeZOrdered(withNulls, "x", "y", s"$dir/nulls", 2)
+      assert(spark.read.parquet(s"$dir/nulls").count() === 3)
+
+      val allNull = Seq((null: java.lang.Long, java.lang.Long.valueOf(4L))).toDF("x", "y")
+      Layout.writeZOrdered(allNull, "x", "y", s"$dir/allnull", 2)
+      assert(spark.read.parquet(s"$dir/allnull").count() === 1)
+    }
+  }
+
   test("z-ordered layout skips files on BOTH dimensions; single sort only on its own") {
     withTempDir { dir =>
       val li = Tables.lineitem(spark, sf)
