@@ -17,6 +17,19 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Isolated session for the gate's streaming runs. Streaming state is
+    * partitioned by `spark.sql.shuffle.partitions` *at query start*, and
+    * every trigger commits every state store — so the right partition count
+    * follows the STATE size (thousands of window keys here), not the batch
+    * shuffle default. A child session scopes that setting (and the memory
+    * sink's temp view) to the one query without touching the caller's conf.
+    */
+  private def gateSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** File streams need an explicit schema (no inference mid-stream). The
     * driver's parquet carries TIMESTAMP(NANOS) — read as nano longs and
     * converted (see [[graft.core.Tables]]).
@@ -118,12 +131,13 @@ object Streams {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM events
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val streamed = readEventsStream(spark, dir)
+    val sess = gateSession(spark)
+    val streamed = readEventsStream(sess, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
     val table = s"graft_streaming_hourly_${System.nanoTime()}"
-    runAvailableNowToMemory(spark, streamed, table, OutputMode.Complete())
+    runAvailableNowToMemory(sess, streamed, table, OutputMode.Complete())
   }
 
   /** The production-shaped streaming path inside the correctness gate:
@@ -148,9 +162,10 @@ object Streams {
       |FROM events, cutoff
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val streamed = hourlyCounts(readEventsStream(spark, dir))
+    val sess = gateSession(spark)
+    val streamed = hourlyCounts(readEventsStream(sess, dir))
     val table = s"graft_streaming_append_${System.nanoTime()}"
-    runAvailableNowToMemory(spark, streamed, table, OutputMode.Append())
+    runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
   }
 
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
