@@ -75,6 +75,76 @@ object Corpus {
     (labels.withColumnRenamed("lbl", "cluster_id"), rounds)
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * — the O(log n)-rounds alternative to hash-to-min's O(diameter), from
+    * the public MapReduce-CC literature (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Reach for this when
+    * components may be long paths (link graphs, session stitching); for
+    * near-clique dup graphs hash-to-min's 2-3 rounds is already optimal.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum of
+    * its neighborhood (incl. itself); small-star: every node and its
+    * smaller neighbors re-attach to the minimum among them. Both preserve
+    * connectivity and strictly shrink tree height; alternating them
+    * converges to a star forest rooted at each component's min node.
+    * Each round re-materializes edges (2 aggregates + 2 joins) — the price
+    * for the exponentially better round bound.
+    *
+    * Input/output contract matches [[connectedComponents]]; also returns
+    * the round count.
+    */
+  def connectedComponentsStar(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = dir.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+      val centers = mins.select(col("u").as("a"), col("m").as("b"))
+      moved.union(centers).distinct()
+    }
+
+    // order-free edge-set fingerprint for the convergence check: count +
+    // xor of row hashes (xor can't overflow under ANSI, unlike sum)
+    def signature(e: DataFrame) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"), least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      rounds += 1
+    }
+    // star forest: every remaining edge is (child, root); isolated input
+    // nodes (self-pair-only rows were filtered) label themselves
+    val labels = nodes
+      .join(edges.select(col("a").as("doc_id"), col("b").as("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
   /** Duplicate clusters over the MinHash-LSH verified near-dup pairs
     * (Jaccard >= 0.5; [[Dedup.lshVerifiedPairs]]). cluster_id = min doc_id of
     * the component (the canonical survivor). The oracle rebuilds the same

@@ -75,10 +75,14 @@ class LayoutSpec extends SparkSpec {
       val yRanges = fileRanges(back, "y")
       def overlapping(ranges: Map[String, (Double, Double)], lo: Double, hi: Double) =
         ranges.count { case (_, (flo, fhi)) => fhi >= lo && flo <= hi }
-      // a bottom-eighth box on either dimension touches well under half the files
-      assert(overlapping(xRanges, 0, 125) <= nFiles / 2,
+      // a bottom-eighth box on either dimension skips files on BOTH
+      // dimensions (min/max normalization would leave x fully unclustered:
+      // every regular row in x-bin 0, all 8 files overlapping any x box).
+      // Threshold has one file of slack: repartitionByRange samples its
+      // boundaries, so file splits wobble run to run.
+      assert(overlapping(xRanges, 0, 125) <= nFiles / 2 + 1,
         s"x overlap ${overlapping(xRanges, 0, 125)} of $nFiles: $xRanges")
-      assert(overlapping(yRanges, 0, 125) <= nFiles / 2,
+      assert(overlapping(yRanges, 0, 125) <= nFiles / 2 + 1,
         s"y overlap ${overlapping(yRanges, 0, 125)} of $nFiles: $yRanges")
     }
   }

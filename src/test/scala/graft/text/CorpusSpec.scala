@@ -23,6 +23,35 @@ class CorpusSpec extends SparkSpec {
     assert(rounds === n, s"expected diameter+1 = $n rounds, got $rounds")
   }
 
+  test("star-contraction CC: same labels as hash-to-min in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    val n = 32 // diameter 31: hash-to-min would need 32 rounds
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Corpus.connectedComponentsStar(pairs)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    assert(out.values.toSet === Set(0L))
+    assert(rounds <= 8, s"star contraction should be ~log2($n)+c rounds, got $rounds")
+  }
+
+  test("star-contraction CC agrees with hash-to-min on a random multi-component graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // ~3 loose components over 60 nodes, random extra edges inside each
+    val pairs = (0 until 3).flatMap { c =>
+      val ids = (0 until 20).map(i => (c * 100 + i).toLong)
+      val chain = ids.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+      val extra = (1 to 10).map(_ => (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+      chain ++ extra
+    }.filter { case (a, b) => a != b }
+    val df = pairs.toDF("doc_a", "doc_b")
+    val star = Corpus.connectedComponentsStar(df)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2m = Corpus.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === h2m)
+  }
+
   test("connected components: disjoint chains get independent min labels") {
     import spark.implicits._
     val pairs = Seq(
