@@ -16,6 +16,9 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extensions as Verify/Bench — the native asof strategy and SQL
+      // function registrations are part of the engine under test
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val entry = SparkEntry.entry(spark)
