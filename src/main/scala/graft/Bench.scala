@@ -53,12 +53,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Three consecutive runs per query, median reported: back-to-back runs
-    // see the same host conditions, so a contention spike inflates all
-    // three (visible in the recorded spread) instead of silently inflating
-    // one pass — and the median still absorbs run-1 JIT/codegen warmup.
+    // Three INTERLEAVED passes (A,B,C,...,A,B,C,...), median per query: a
+    // host-contention window minutes long lands on different queries in
+    // different passes, so the median rejects it — consecutive same-query
+    // runs would all sit inside the window and the median would keep the
+    // inflated value (observed: one query's three back-to-back runs read
+    // 5s/27s/32s under a contention burst that isolation can't reproduce).
+    // Pass 1 doubles as JIT/codegen warmup; the recorded per-query spread
+    // makes any residual interference visible instead of silent.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val runsByName = names.map(n => n -> Seq.fill(3)(timeOne(n)))
+    val passes = (1 to 3).map(_ => names.map(n => n -> timeOne(n)).toMap)
+    val runsByName = names.map(n => n -> passes.map(_(n)))
     val results = runsByName.map { case (n, rs) => n -> rs.sorted.apply(1) }
     val total = results.map(_._2).sum
     val byName = results.toMap
