@@ -369,6 +369,66 @@ object Corpus {
         s"(end_off - 1) div $PackBudget - (end_off - n_tokens) div $PackBudget + 1 AS n_chunks")
   }
 
+  /** Train/test decontamination report over any (doc_id, text) frame with a
+    * `split` column: for each test document, how many of its word-bigram
+    * shingles also appear in ANY training document. Scale shape: the join
+    * shuffles only (shingle) keys, the train side is distinct-reduced first,
+    * and nothing is ever pairwise — at 100 TB the string shingles would be
+    * compressed to 64-bit hashes before the shuffle (here they stay strings
+    * so the DuckDB oracle replays byte-for-byte).
+    */
+  def decontaminationReport(docs: DataFrame): DataFrame = {
+    val sh = docs.selectExpr("doc_id", "split", s"${Dedup.shinglesSpark("text")} AS s")
+    val trainGrams = sh.filter(col("split") === "train")
+      .select(explode(col("s")).as("g")).distinct()
+    val test = sh.filter(col("split") === "test")
+    val hits = test.select(col("doc_id"), explode(col("s")).as("g"))
+      .join(trainGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingle arrays are distinct per doc
+    test.select(col("doc_id"), size(col("s")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** Decontamination on the deterministic 80/10/10 split (same
+    * multiplicative hash as `dataset_split`): every test document scored
+    * for n-gram overlap against the train split — the standard
+    * "is my eval set leaked into training data" check.
+    */
+  val decontaminateSplit: QueryDef = QueryDef(
+    "decontaminate_split",
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         ((doc_id & 2147483647) * 2654435761) % 4294967296 AS h,
+       |         ${Dedup.shinglesSql("text")} AS s
+       |  FROM documents),
+       |tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE h < 3435973837),
+       |te AS (SELECT doc_id, s FROM sh WHERE h >= 3865470566),
+       |hits AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM te) t
+       |  JOIN tr ON tr.g = t.g
+       |  GROUP BY 1)
+       |SELECT te.doc_id,
+       |  CAST(len(te.s) AS BIGINT) AS n_shingles,
+       |  coalesce(h.n_shared, 0) AS n_shared,
+       |  coalesce(h.n_shared, 0) > 0 AS contaminated
+       |FROM te LEFT JOIN hits h ON h.doc_id = te.doc_id""".stripMargin) { (spark, dir) =>
+    val hash = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(hash < lit(3435973837L), "train")
+          .when(hash < lit(3865470566L), "val")
+          .otherwise("test"))
+    decontaminationReport(docs)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, packSequences)
+    Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, packSequences,
+      decontaminateSplit)
 }

@@ -52,6 +52,23 @@ class CorpusSpec extends SparkSpec {
     assert(star === h2m)
   }
 
+  test("decontamination: planted train/test overlap is flagged, clean test docs are not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "completely different training material here", "train"),
+      (3L, "the quick brown fox appears again today", "test"), // shares shingles with 1
+      (4L, "nothing in common with anything else whatsoever", "test"),
+      (5L, "irrelevant validation text", "val")
+    ).toDF("doc_id", "text", "split")
+    val out = Corpus.decontaminationReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(3L, 4L)) // only test docs are scored
+    assert(out(3L)._2, "doc 3 shares 'the quick'/'quick brown' with train doc 1")
+    assert(out(3L)._1 >= 2L)
+    assert(out(4L) === ((0L, false)))
+  }
+
   test("connected components: disjoint chains get independent min labels") {
     import spark.implicits._
     val pairs = Seq(
