@@ -229,6 +229,61 @@ object TextAnalysis {
            |       / CAST(size(t) AS DOUBLE)) * 5.0D) AS quality_score""".stripMargin)
   }
 
+  /** The corpus filter funnel — the keep/drop accounting every training-data
+    * pipeline reports: each document lands in its FIRST failing filter
+    * (exact-dup non-survivor → too-short → low-quality) or `kept`, with doc
+    * and token totals per bucket. One window (exact-dup survivor) + one
+    * aggregate; the quality threshold reuses the bit-stable score formula of
+    * `doc_quality_score`, so the double comparison is cross-engine exact.
+    */
+  val corpusFilterFunnel: QueryDef = {
+    def qualitySql(t: String) =
+      s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 100.0)
+         |  + 0.3 * (CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE))
+         |  + 0.3 * least(1.0,
+         |      (CAST(len(list_filter($t, x -> list_contains($stopList, x))) AS DOUBLE)
+         |        / CAST(len($t) AS DOUBLE)) * 5.0)""".stripMargin
+    def qualitySpark(t: String) =
+      s"""0.4D * least(1.0D, CAST(size($t) AS DOUBLE) / 100.0D)
+         | + 0.3D * (CAST(size(array_distinct($t)) AS DOUBLE) / CAST(size($t) AS DOUBLE))
+         | + 0.3D * least(1.0D,
+         |     (CAST(size(filter($t, x -> array_contains($stopArr, x))) AS DOUBLE)
+         |       / CAST(size($t) AS DOUBLE)) * 5.0D)""".stripMargin
+    QueryDef(
+      "corpus_filter_funnel",
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS t,
+         |         min(doc_id) OVER (PARTITION BY text) AS keep_id
+         |  FROM documents),
+         |r AS (
+         |  SELECT t,
+         |    CASE WHEN doc_id <> keep_id THEN 'dup'
+         |         WHEN len(t) < 10 THEN 'too_short'
+         |         WHEN ${qualitySql("t")} < 0.5 THEN 'low_quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM d)
+         |SELECT reason,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("text"))
+      Tables.documents(spark, dir)
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .selectExpr("doc_id", "keep_id", s"$toks AS t")
+        .selectExpr(
+          "t",
+          s"""CASE WHEN doc_id <> keep_id THEN 'dup'
+             |     WHEN size(t) < 10 THEN 'too_short'
+             |     WHEN ${qualitySpark("t")} < 0.5D THEN 'low_quality'
+             |     ELSE 'kept' END AS reason""".stripMargin)
+        .groupBy(col("reason"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("t")).cast("long")).as("n_tokens"))
+    }
+  }
+
   /** Text normalization — the cleaning stage before dedup/tokenization:
     * lowercase, digit-masking, whitespace collapse, trim. (DuckDB's
     * regexp_replace needs the explicit 'g' flag for replace-all; Spark
@@ -278,5 +333,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
-    docQualityScore, textNormalize, datasetSplit)
+    docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit)
 }
