@@ -428,7 +428,55 @@ object Corpus {
     decontaminationReport(docs)
   }
 
+  /** Corpus mixture rebalancing: deterministically downsample every source
+    * to the token budget of the SMALLEST source (equal-token mixing — the
+    * static form of training-data reweighting). Per-source rate =
+    * min_source_tokens / source_tokens; membership = the same engine-free
+    * multiplicative hash as `dataset_split`, so the exact sampled set is
+    * reproducible anywhere. Two tiny aggregates (per-source totals,
+    * global min) broadcast back over one scan — no per-row shuffle.
+    */
+  val corpusMixtureSample: QueryDef = QueryDef(
+    "corpus_mixture_sample",
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+      |m AS (SELECT min(tot) AS mn FROM s),
+      |acc AS (
+      |  SELECT t.source, t.n
+      |  FROM t JOIN s USING (source) CROSS JOIN m
+      |  WHERE CAST(((t.doc_id & 2147483647) * 2654435761) % 4294967296 AS DOUBLE)
+      |        < CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) * 4294967296.0)
+      |SELECT s.source,
+      |  s.tot AS n_tokens_total,
+      |  CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) AS target_rate,
+      |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_sampled,
+      |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_sampled
+      |FROM s CROSS JOIN m
+      |LEFT JOIN (SELECT source, count(*) AS n_docs, SUM(n) AS n_tokens
+      |           FROM acc GROUP BY 1) a ON a.source = s.source""".stripMargin) { (spark, dir) =>
+    val t = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val s = t.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    val m = s.agg(min(col("tot")).as("mn"))
+    val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    val acc = t.join(broadcast(s), "source").crossJoin(broadcast(m))
+      .filter(h.cast("double") < col("mn").cast("double") / col("tot").cast("double") * lit(4294967296.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    s.crossJoin(broadcast(m))
+      .join(acc, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("tot").as("n_tokens_total"),
+        (col("mn").cast("double") / col("tot").cast("double")).as("target_rate"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs_sampled"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens_sampled"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, packSequences,
-      decontaminateSplit)
+      decontaminateSplit, corpusMixtureSample)
 }
