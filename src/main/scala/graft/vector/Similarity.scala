@@ -427,7 +427,8 @@ object Similarity {
     * ids and keys; vectors rejoin once for the (distinct) candidate pairs.
     */
   def lshNearDupPairs(q: DataFrame, threshold: Double): DataFrame = {
-    val dim = q.select(size(col("q"))).head().getInt(0)
+    // empty input: any dim builds a valid (empty-result) plan — head() would throw
+    val dim = q.select(size(col("q"))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
     val keys = hyperplaneBandKeys(q, dim)
     val candidates = keys.as("a")
       .join(keys.as("b"), Seq("band", "key"))

@@ -138,6 +138,12 @@ class SimilaritySpec extends SparkSpec {
     assert(found.subsetOf(exact))
   }
 
+  test("banded LSH on an empty frame returns an empty result, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Long], Long)].toDF("vec_id", "q", "norm2")
+    assert(Similarity.lshNearDupPairs(empty, 0.9).count() === 0)
+  }
+
   test("cosine of consecutive planted dims is exact and symmetric-ish sane") {
     embDir { dir =>
       val sims = Similarity.cosineConsecutive.fn(spark, dir)
