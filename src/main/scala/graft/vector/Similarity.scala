@@ -232,24 +232,33 @@ object Similarity {
     * Returns the assigned frame (+ `cell`) and the final centroids.
     */
   def kmeansCells(q: DataFrame, k: Int, iters: Int): (DataFrame, Seq[(Long, Array[Long])]) = {
-    val seedRows = q.select(col("vec_id"), col("q")).orderBy(col("vec_id")).limit(k).collect()
-    if (seedRows.isEmpty) return (q.withColumn("cell", lit(0L)), Seq.empty)
-    var cents: Seq[(Long, Array[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
-      (i.toLong, r.getSeq[Long](1).toArray)
-    }
-    for (_ <- 1 to iters) {
-      val stats = q.withColumn("cell", assignExpr(cents))
-        .select(col("cell"), posexplode(col("q")).as(Seq("p", "v")))
-        .groupBy(col("cell"), col("p"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect() // k x dim rows — bounded model state
-      cents = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cell, rows) =>
-        val arr = rows.sortBy(_.getInt(1))
-          .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toArray
-        (cell, arr)
+    // persist across the Lloyd iterations — the standard iterative-ML
+    // pattern (each iteration re-reads the training set; without the cache
+    // every pass re-scans and re-quantizes the source)
+    val cached = q.persist()
+    try {
+      val seedRows =
+        cached.select(col("vec_id"), col("q")).orderBy(col("vec_id")).limit(k).collect()
+      if (seedRows.isEmpty) return (q.withColumn("cell", lit(0L)), Seq.empty)
+      var cents: Seq[(Long, Array[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).toArray)
       }
-    }
-    (q.withColumn("cell", assignExpr(cents)), cents)
+      for (_ <- 1 to iters) {
+        val stats = cached.withColumn("cell", assignExpr(cents))
+          .select(col("cell"), posexplode(col("q")).as(Seq("p", "v")))
+          .groupBy(col("cell"), col("p"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect() // k x dim rows — bounded model state
+        cents = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cell, rows) =>
+          val arr = rows.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toArray
+          (cell, arr)
+        }
+      }
+      // final assignment on the UNcached frame: the returned plan must not
+      // depend on a block this method is about to release
+      (q.withColumn("cell", assignExpr(cents)), cents)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** IVF with LEARNED cells: k-means (seeded, 2 Lloyd iterations, exact
