@@ -433,8 +433,13 @@ object Corpus {
     * static form of training-data reweighting). Per-source rate =
     * min_source_tokens / source_tokens; membership = the same engine-free
     * multiplicative hash as `dataset_split`, so the exact sampled set is
-    * reproducible anywhere. Two tiny aggregates (per-source totals,
-    * global min) broadcast back over one scan — no per-row shuffle.
+    * reproducible anywhere. The per-source totals are bounded model state
+    * (one row per source — the same shape as k-means centroids): computed
+    * once, rates derived on the driver, and the acceptance threshold
+    * applied as a literal-map lookup — one aggregate to learn the totals,
+    * one filtered aggregate to sample, zero re-derived subplans (the naive
+    * all-relational form re-planned the totals per consumer: 11 exchanges
+    * vs 3).
     */
   val corpusMixtureSample: QueryDef = QueryDef(
     "corpus_mixture_sample",
@@ -456,24 +461,36 @@ object Corpus {
       |FROM s CROSS JOIN m
       |LEFT JOIN (SELECT source, count(*) AS n_docs, SUM(n) AS n_tokens
       |           FROM acc GROUP BY 1) a ON a.source = s.source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
     val t = Tables.documents(spark, dir).select(
       col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n"))
-    val s = t.groupBy(col("source")).agg(sum(col("n")).as("tot"))
-    val m = s.agg(min(col("tot")).as("mn"))
-    val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
-    val acc = t.join(broadcast(s), "source").crossJoin(broadcast(m))
-      .filter(h.cast("double") < col("mn").cast("double") / col("tot").cast("double") * lit(4294967296.0))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-    s.crossJoin(broadcast(m))
-      .join(acc, Seq("source"), "left")
-      .select(
-        col("source"),
-        col("tot").as("n_tokens_total"),
-        (col("mn").cast("double") / col("tot").cast("double")).as("target_rate"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs_sampled"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens_sampled"))
+    val totals = t.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty) {
+      Seq.empty[(String, Long, Double, Long, Long)]
+        .toDF("source", "n_tokens_total", "target_rate", "n_docs_sampled", "n_tokens_sampled")
+    } else {
+      val mn = totals.values.min
+      // same IEEE sequence as the oracle: (mn / tot) evaluated first, then
+      // scaled to the hash range
+      val thresholds =
+        totals.map { case (src, tot) => src -> mn.toDouble / tot.toDouble * 4294967296.0 }
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+      val acc = t.filter(h.cast("double") < element_at(typedLit(thresholds), col("source")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      totals.toSeq.toDF("source", "n_tokens_total")
+        .join(acc, Seq("source"), "left")
+        .select(
+          col("source"),
+          col("n_tokens_total"),
+          element_at(typedLit(totals.map { case (src, tot) =>
+            src -> mn.toDouble / tot.toDouble
+          }), col("source")).as("target_rate"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs_sampled"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens_sampled"))
+    }
   }
 
   val all: Seq[QueryDef] =

@@ -44,6 +44,26 @@ class TransformsSpec extends SparkSpec {
     assert(out.select("RegionID", "month").distinct().count() === 18)
   }
 
+  test("deduplicate survivor is deterministic when duplicate keys carry different values") {
+    import spark.implicits._
+    // same (RegionID, month) key, three different rents: the survivor must
+    // be the minimum under the full-row sort (dropDuplicates' arbitrary
+    // survivor would make reruns unstable); repartition(5) proves the
+    // choice is partitioning-independent
+    val df = Seq(
+      (1, "r", "CA", java.sql.Date.valueOf("2024-01-01"), 3000.0),
+      (1, "r", "CA", java.sql.Date.valueOf("2024-01-01"), 1000.0),
+      (1, "r", "CA", java.sql.Date.valueOf("2024-01-01"), 2000.0),
+      (1, "r", "CA", java.sql.Date.valueOf("2024-02-01"), 500.0)
+    ).toDF("RegionID", "RegionName", "StateName", "month", "median_rent")
+      .repartition(5)
+    (1 to 3).foreach { _ =>
+      val out = Transforms.deduplicate(df).orderBy("month")
+        .select("median_rent").collect().map(_.getDouble(0)).toSeq
+      assert(out === Seq(1000.0, 500.0))
+    }
+  }
+
   test("MoM golden values: 2000 -> 2100 -> 2079 gives null, 5.0, -1.0 (test_transform.py:90-108)") {
     val out = Transforms.addMomChange(mkDf(Fixtures.longSchema, Fixtures.momRows))
       .orderBy("month")
