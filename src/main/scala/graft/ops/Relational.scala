@@ -709,6 +709,55 @@ object Relational {
         sum(qty).cast("double") / lit(100.0)).as("wavg_price"))
   }
 
+  /** Pearson correlation from exact integer moments — the bivariate
+    * extension of `agg_variance_exact`'s pattern: the five sums
+    * (Σx, Σy, Σx², Σy², Σxy) accumulate as exact integers (decimal(38,0)
+    * where a 64-bit sum could overflow at 100 TB row counts), so they are
+    * associative and partitioning-independent; only the final closed-form
+    * expression converts to double, in identical order in both engines.
+    * `corr()` built-ins stream floating intermediates and can't hash-match
+    * across engines — this form does.
+    */
+  val aggCorrExact: QueryDef = QueryDef(
+    "agg_corr_exact",
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+       |    SUM(CAST($C AS HUGEINT)) AS sy,
+       |    SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+       |    SUM(CAST($C AS HUGEINT) * CAST($C AS HUGEINT)) AS syy,
+       |    SUM(CAST(round(l_quantity) AS BIGINT) * CAST($C AS HUGEINT)) AS sxy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    AS corr_qty_price
+       |FROM m""".stripMargin) { (spark, dir) =>
+    val qty = round(col("l_quantity")).cast("long")
+    val cents = Num.cents(col("l_extendedprice"))
+    val dec = "decimal(38,0)"
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qty).as("sx"),
+        sum(cents.cast(dec)).as("sy"),
+        sum((qty * qty).cast(dec)).as("sxx"),
+        sum((cents.cast(dec) * cents.cast(dec))).as("syy"),
+        sum((qty * cents).cast(dec)).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_qty_price"))
+  }
+
   /** Explicit GROUPING SETS (the general grouping-lattice form rollup/cube
     * specialize) through the SQL surface — the same SQL text runs in both
     * engines.
@@ -971,7 +1020,7 @@ object Relational {
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, tpchQ5Style, sqlCorrelatedSubquery,
     profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
-    aggGroupingSets, aggWeightedAvg,
+    aggGroupingSets, aggWeightedAvg, aggCorrExact,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }
