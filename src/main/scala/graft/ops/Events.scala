@@ -359,8 +359,34 @@ object Events {
         col("ts").as("last_ts"), col("event_type").as("last_type"))
   }
 
+  /** Per-user event-type transition counts (the first-order Markov view of
+    * user journeys): each consecutive (event, next-event) pair within a
+    * user's timeline, counted corpus-wide. One exchange: the `lead` window
+    * partitions on `user_id` and the final pair count is a partial-first
+    * aggregate; the deterministic (ts, event_id) order makes ties
+    * oracle-stable.
+    */
+  val eventTransitions: QueryDef = QueryDef(
+    "event_transitions",
+    """SELECT event_type AS from_type, next_type AS to_type,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History,
-    upsertLatestSnapshot)
+    upsertLatestSnapshot, eventTransitions)
 }

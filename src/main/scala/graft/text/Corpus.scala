@@ -292,6 +292,41 @@ object Corpus {
           |  ELSE NULL END AS dup_trigram_ratio""".stripMargin)
   }
 
+  /** Lexical diversity via the Simpson index `1 − Σc_i²/n²` (probability two
+    * sampled tokens differ). Chosen over Shannon entropy deliberately:
+    * entropy needs `ln`, whose last-bit rounding is libm-implementation-
+    * defined, so it could never hash-match a foreign engine — Simpson is
+    * exact integer sums plus one IEEE division (the same reasoning as
+    * tf-idf's rational idf). Row-local, zero shuffles.
+    */
+  val docTokenDiversity: QueryDef = QueryDef(
+    "doc_token_diversity",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_tokens,
+      |        CAST(list_sum(list_transform(list_distinct(toks),
+      |               d -> len(list_filter(toks, x -> x = d))
+      |                    * len(list_filter(toks, x -> x = d)))) AS BIGINT) AS sum_sq
+      |      FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, n_tokens, sum_sq,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+      |    AS simpson_diversity
+      |FROM c""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .filter(size(col("toks")) > 0)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        """CAST(aggregate(transform(array_distinct(toks),
+          |       d -> size(filter(toks, x -> x = d)) * size(filter(toks, x -> x = d))),
+          |     0, (acc, v) -> acc + v) AS BIGINT) AS sum_sq""".stripMargin)
+      .selectExpr(
+        "doc_id", "n_tokens", "sum_sq",
+        """1.0D - CAST(sum_sq AS DOUBLE)
+          |  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson_diversity""".stripMargin)
+  }
+
   private val PackBudget = 256
   private val MaxPackShards = 4096L
 
@@ -494,6 +529,6 @@ object Corpus {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, packSequences,
-      decontaminateSplit, corpusMixtureSample)
+    Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
+      packSequences, decontaminateSplit, corpusMixtureSample)
 }

@@ -52,6 +52,37 @@ class CorpusSpec extends SparkSpec {
     assert(star === h2m)
   }
 
+  test("sharded packing equals the naive single global cumsum on random sparse ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // sparse, shuffled doc_ids (gaps + a huge id) exercise the bounded
+    // shard-width derivation; random token counts exercise chunk spans
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val id = i.toLong * 37 + rnd.nextInt(17)
+      (id, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    } :+ ((5_000_000L, "lone far doc"))
+    val docs = rows.toMap.toSeq.toDF("doc_id", "text").repartition(7)
+    val sharded = Corpus.packed(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val wNaive = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("e", sum(col("n")).over(wNaive))
+      .selectExpr(
+        "doc_id", "n",
+        "e - n AS start_off",
+        "(e - n) div 256 AS chunk_first",
+        "(e - 1) div 256 AS chunk_last",
+        "(e - 1) div 256 - (e - n) div 256 + 1 AS n_chunks")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(sharded === naive)
+  }
+
   test("decontamination: planted train/test overlap is flagged, clean test docs are not") {
     import spark.implicits._
     val docs = Seq(
