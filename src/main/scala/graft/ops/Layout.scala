@@ -75,9 +75,11 @@ object Layout {
       bins: Int = 256): Unit = {
     require(bins > 1 && bins <= 65536, s"bins must be in (1, 65536], got $bins")
     val probs = (1 until bins).map(_.toDouble / bins).toArray
-    val Seq(xq, yq) = Seq(xCol, yCol).map { c =>
-      df.filter(col(c).isNotNull).stat.approxQuantile(c, probs, 0.001)
-    }
+    // one pass computes both columns' boundaries (multi-column
+    // approxQuantile already ignores nulls/NaNs) — the input is scanned
+    // once here and once by the write, not three times
+    val Array(xq, yq) =
+      df.stat.approxQuantile(Array(xCol, yCol), probs, 0.001)
     if (xq.isEmpty || yq.isEmpty) {
       // empty frame or a coordinate with no non-null values: no rank order
       // to cluster by — plain write instead of an NPE

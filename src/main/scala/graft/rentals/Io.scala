@@ -43,12 +43,29 @@ object PipelineConfig {
     def splitList(s: String): Seq[String] =
       s.trim.stripPrefix("[").stripSuffix("]").split(",").map(unquote).filter(_.nonEmpty).toSeq
 
+    // strip a trailing comment, but never inside a quoted span — a '#'
+    // inside "..."/'...' is value content
+    def stripComment(line: String): String = {
+      var quote: Char = 0
+      val out = new StringBuilder
+      var done = false
+      line.foreach { c =>
+        if (!done) {
+          if (quote != 0) { if (c == quote) quote = 0; out += c }
+          else if (c == '"' || c == '\'') { quote = c; out += c }
+          else if (c == '#') done = true
+          else out += c
+        }
+      }
+      out.toString
+    }
+
     // section -> key -> either scalar (Left) or list (Right)
     val sections = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Either[String, Seq[String]]]]
     var section = ""
     var listKey: Option[String] = None
     text.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#')
+      val line = stripComment(raw)
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         val indented = line.head == ' ' || line.head == '\t'
@@ -57,11 +74,17 @@ object PipelineConfig {
           listKey = None
         } else if (trimmed.startsWith("- ") || trimmed == "-") {
           listKey.foreach { k =>
-            val m = sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
-            val prev = m.get(k).collect { case Right(xs) => xs }.getOrElse(Seq.empty)
-            m(k) = Right(prev :+ unquote(trimmed.stripPrefix("-")))
+            val item = unquote(trimmed.stripPrefix("-"))
+            if (item.nonEmpty) { // a bare '-' carries no value
+              val m = sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+              val prev = m.get(k).collect { case Right(xs) => xs }.getOrElse(Seq.empty)
+              m(k) = Right(prev :+ item)
+            }
           }
         } else if (trimmed.contains(":")) {
+          // a non-indented key:value line is TOP-LEVEL — it must not be
+          // attributed to whatever section happened to precede it
+          if (!indented) { section = ""; listKey = None }
           val (k, v) = trimmed.splitAt(trimmed.indexOf(':'))
           val value = v.drop(1).trim
           val m = sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)

@@ -34,8 +34,23 @@ object Typed {
   def cleanNulls(ds: Dataset[ZoriRow]): Dataset[ZoriRow] =
     ds.filter(_.median_rent.isDefined)
 
-  def deduplicate(ds: Dataset[ZoriRow]): Dataset[ZoriRow] =
-    ds.dropDuplicates("RegionID", "month")
+  def deduplicate(ds: Dataset[ZoriRow]): Dataset[ZoriRow] = {
+    // Same deterministic-survivor semantics as [[Transforms.deduplicate]]:
+    // the minimum under the name-sorted tiebreak order (RegionName,
+    // StateName, median_rent) with nulls first, per (RegionID, month).
+    // groupByKey + reduceGroups keeps the facades byte-identical on ANY
+    // input, not just on fixtures whose duplicates are full-row copies.
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val optDouble: Ordering[Option[Double]] =
+      Ordering.Option(Ordering.Double.TotalOrdering)
+    val rowOrd: Ordering[ZoriRow] =
+      Ordering.by((r: ZoriRow) =>
+        (Option(r.RegionName), Option(r.StateName), r.median_rent))
+    ds.groupByKey(r => (r.RegionID, Option(r.month).map(_.toString)))
+      .reduceGroups((a: ZoriRow, b: ZoriRow) => rowOrd.min(a, b))
+      .map(_._2)
+  }
 
   /** Typed aggregation example: mean rent per state via groupByKey. */
   def meanRentByState(spark: SparkSession, ds: Dataset[ZoriRow]): DataFrame = {

@@ -318,9 +318,13 @@ object Corpus {
       .selectExpr(
         "doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
-        """CAST(aggregate(transform(array_distinct(toks),
-          |       d -> size(filter(toks, x -> x = d)) * size(filter(toks, x -> x = d))),
-          |     0, (acc, v) -> acc + v) AS BIGINT) AS sum_sq""".stripMargin)
+        // counts cast to BIGINT before squaring and a 0L seed: a token with
+        // >=46341 occurrences would overflow the 32-bit product (ANSI error)
+        // where the oracle's BIGINT arithmetic is exact
+        """aggregate(transform(array_distinct(toks),
+          |    d -> CAST(size(filter(toks, x -> x = d)) AS BIGINT)
+          |         * CAST(size(filter(toks, x -> x = d)) AS BIGINT)),
+          |  0L, (acc, v) -> acc + v) AS sum_sq""".stripMargin)
       .selectExpr(
         "doc_id", "n_tokens", "sum_sq",
         """1.0D - CAST(sum_sq AS DOUBLE)

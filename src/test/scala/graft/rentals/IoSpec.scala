@@ -66,6 +66,23 @@ class IoSpec extends SparkSpec {
     assert(PipelineConfig.fromString("spark:\n  app_name: \"x\"\n") === PipelineConfig())
   }
 
+  test("config loader: top-level scalars don't leak into the previous section; quoted '#' survives") {
+    // min_rows at top level must NOT become dq_thresholds.min_rows
+    val cfg = PipelineConfig.fromString(
+      """dq_thresholds:
+        |  null_pct: 0.2
+        |min_rows: 9
+        |""".stripMargin)
+    assert(cfg.nullPctThreshold === 0.2)
+    assert(cfg.minRows === PipelineConfig().minRows)
+    // '#' inside a quoted list item is content, not a comment
+    val cfg2 = PipelineConfig.fromString(
+      """partitioning:
+        |  partition_keys: ["a#b", year]  # real comment
+        |""".stripMargin)
+    assert(cfg2.partitionKeys === Seq("a#b", "year"))
+  }
+
   test("writeProcessed partitions by (StateName, year) and derives year") {
     withTempDir { dir =>
       val out = new java.io.File(dir, "processed").getAbsolutePath
