@@ -40,7 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (!args(1).foldable)
           Bridge.analysisError("minhash_sigs: the width argument must be a literal, not a column")
         args(1).eval() match {
-          case n: Number => graft.functions.MinHashSignature(args(0), n.intValue())
+          // integral literal types only: a fractional width (8.9) silently
+          // truncating to 8 would contradict this guard's purpose
+          case n: java.lang.Integer => graft.functions.MinHashSignature(args(0), n.intValue())
+          case n: java.lang.Long => graft.functions.MinHashSignature(args(0), n.intValue())
+          case n: java.lang.Short => graft.functions.MinHashSignature(args(0), n.intValue())
+          case n: java.lang.Byte => graft.functions.MinHashSignature(args(0), n.intValue())
           case other => Bridge.analysisError(
             s"minhash_sigs: the width argument must be a non-null integer literal, got $other")
         }

@@ -30,4 +30,25 @@ object Num {
   /** SQL fragments for the DuckDB side of the same patterns. */
   def sqlCents(expr: String): String = s"CAST(round(($expr) * 100) AS BIGINT)"
   def sqlCentsToDouble(expr: String): String = s"CAST($expr AS DOUBLE) / 100.0"
+
+  /** The engine-free multiplicative split/sample hash (Knuth constant,
+    * 31-bit key mask so the product stays exact int64 at ANY key
+    * magnitude): h in [0, 2^32). EVERY membership decision that must agree
+    * across queries and engines (dataset_split, decontaminate_split,
+    * corpus_mixture_sample, deterministic/stratified sampling) derives from
+    * this ONE definition — the train/test split and the decontamination
+    * check are only meaningful because they share it structurally.
+    */
+  def splitHash(key: Column): Column =
+    (key.bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+
+  /** Same hash with an additive sub-key (row-level sampling). */
+  def splitHash(key: Column, subKey: Column): Column =
+    (key.bitwiseAND(lit(2147483647L)) * lit(2654435761L) + subKey) % lit(4294967296L)
+
+  def sqlSplitHash(expr: String): String =
+    s"(($expr & 2147483647) * 2654435761) % 4294967296"
+
+  def sqlSplitHash(expr: String, subExpr: String): String =
+    s"(($expr & 2147483647) * 2654435761 + $subExpr) % 4294967296"
 }

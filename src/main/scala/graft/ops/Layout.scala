@@ -87,13 +87,16 @@ object Layout {
       return
     }
     // bin = number of boundaries at-or-below the value (0..bins-1), scaled
-    // to the 16-bit grid; a null condition falls through to 0 per boundary,
-    // so null coordinates deterministically land in bin 0
+    // to the 16-bit grid; a null comparison falls through to 0 per
+    // boundary, so null coordinates deterministically land in bin 0. The
+    // chained when-sum stays inside whole-stage codegen (an `aggregate`
+    // lambda over a literal array is CodegenFallback and would re-evaluate
+    // the cast per element, interpreted).
     def binOf(c: String, bounds: Array[Double]) = {
       val scale = 65536L / bins
-      aggregate(
-        typedLit(bounds.toSeq), lit(0L),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)) * lit(scale)
+      val v = col(c).cast("double")
+      bounds.map(b => when(v >= lit(b), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _) * lit(scale)
     }
     val z = ZOrder2.zorder2(binOf(xCol, xq), binOf(yCol, yq))
     df.withColumn("__z", z)

@@ -622,15 +622,14 @@ object Relational {
     */
   val deterministicSample: QueryDef = QueryDef(
     "deterministic_sample",
-    """SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_sampled,
       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
       |FROM lineitem
-      |WHERE (((l_orderkey & 2147483647) * 2654435761 + l_linenumber) % 4294967296) < 42949672""".stripMargin) {
+      |WHERE (${Num.sqlSplitHash("l_orderkey", "l_linenumber")}) < 42949672""".stripMargin) {
     (spark, dir) =>
       Tables.lineitem(spark, dir)
-        .filter(
-          (col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L) < lit(42949672L))
+        .filter(Num.splitHash(col("l_orderkey"), col("l_linenumber")) < lit(42949672L))
         .agg(
           count(lit(1)).as("n_sampled"),
           countDistinct(col("l_orderkey")).as("n_orders"),
@@ -645,21 +644,20 @@ object Relational {
     */
   val sampleStratified: QueryDef = QueryDef(
     "sample_stratified",
-    """SELECT l_returnflag,
+    s"""SELECT l_returnflag,
       |  CAST(count(*) AS BIGINT) AS n_sampled,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
       |FROM (
       |  SELECT l_returnflag, l_extendedprice,
-      |         ((l_orderkey & 2147483647) * 2654435761 + l_linenumber) % 4294967296 AS h
+      |         ${Num.sqlSplitHash("l_orderkey", "l_linenumber")} AS h
       |  FROM lineitem)
       |WHERE h < CASE l_returnflag
       |          WHEN 'A' THEN 858993459
       |          WHEN 'R' THEN 429496729
       |          ELSE 42949672 END
       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
-    // rates: A 20%, R 10%, N 1% of 2^32; 31-bit key mask keeps the product
-    // inside int64 at any key magnitude (see deterministicSample)
-    val h = (col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L)
+    // rates: A 20%, R 10%, N 1% of 2^32
+    val h = Num.splitHash(col("l_orderkey"), col("l_linenumber"))
     val threshold = when(col("l_returnflag") === "A", lit(858993459L))
       .when(col("l_returnflag") === "R", lit(429496729L))
       .otherwise(lit(42949672L))

@@ -34,19 +34,43 @@ object Typed {
   def cleanNulls(ds: Dataset[ZoriRow]): Dataset[ZoriRow] =
     ds.filter(_.median_rent.isDefined)
 
+  /** Spark's string sort order: unsigned UTF-8 byte comparison (UTF8String),
+    * which differs from Scala's UTF-16 code-unit `Ordering[String]` for
+    * supplementary-plane characters.
+    */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   def deduplicate(ds: Dataset[ZoriRow]): Dataset[ZoriRow] = {
     // Same deterministic-survivor semantics as [[Transforms.deduplicate]]:
     // the minimum under the name-sorted tiebreak order (RegionName,
     // StateName, median_rent) with nulls first, per (RegionID, month).
-    // groupByKey + reduceGroups keeps the facades byte-identical on ANY
-    // input, not just on fixtures whose duplicates are full-row copies.
+    // Ordering details match Spark's sort exactly: strings compare as
+    // unsigned UTF-8 bytes (not UTF-16 code units) and -0.0 == 0.0 (Spark
+    // normalizes signed zero before sorting). groupByKey + reduceGroups
+    // keeps the facades identical on ANY input, not just on fixtures whose
+    // duplicates are full-row copies.
     val spark = ds.sparkSession
     import spark.implicits._
+    implicit val optStr: Ordering[Option[String]] = Ordering.Option(utf8Order)
     implicit val optDouble: Ordering[Option[Double]] =
       Ordering.Option(Ordering.Double.TotalOrdering)
     val rowOrd: Ordering[ZoriRow] =
       Ordering.by((r: ZoriRow) =>
-        (Option(r.RegionName), Option(r.StateName), r.median_rent))
+        (Option(r.RegionName), Option(r.StateName),
+          r.median_rent.map(v => if (v == 0.0) 0.0 else v)))
     ds.groupByKey(r => (r.RegionID, Option(r.month).map(_.toString)))
       .reduceGroups((a: ZoriRow, b: ZoriRow) => rowOrd.min(a, b))
       .map(_._2)

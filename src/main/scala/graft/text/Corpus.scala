@@ -315,15 +315,27 @@ object Corpus {
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .filter(size(col("toks")) > 0)
+      // sum_sq = sum of squared run lengths over the SORTED token array:
+      // O(n log n) instead of the naive filter-per-distinct-token
+      // O(distinct · n) (a single 50k-token doc would cost ~10⁹ comparisons
+      // and straggle). `ends` holds the 1-based positions where a run of
+      // equal tokens finishes; run length = end - previous end. The value
+      // is algorithm-independent (an exact integer), so the oracle keeps
+      // its straightforward per-distinct form. Counts go through BIGINT
+      // before squaring — a token with >=46341 occurrences would overflow
+      // the 32-bit product (ANSI error) where BIGINT is exact.
+      .selectExpr("doc_id", "size(toks) AS n", "array_sort(toks) AS sorted")
+      .selectExpr(
+        "doc_id", "n",
+        """filter(sequence(1, n),
+          |  i -> i = n OR NOT (element_at(sorted, i) <=> try_element_at(sorted, i + 1)))
+          |  AS ends""".stripMargin)
       .selectExpr(
         "doc_id",
-        "CAST(size(toks) AS BIGINT) AS n_tokens",
-        // counts cast to BIGINT before squaring and a 0L seed: a token with
-        // >=46341 occurrences would overflow the 32-bit product (ANSI error)
-        // where the oracle's BIGINT arithmetic is exact
-        """aggregate(transform(array_distinct(toks),
-          |    d -> CAST(size(filter(toks, x -> x = d)) AS BIGINT)
-          |         * CAST(size(filter(toks, x -> x = d)) AS BIGINT)),
+        "CAST(n AS BIGINT) AS n_tokens",
+        """aggregate(
+          |  zip_with(ends, concat(array(0), slice(ends, 1, size(ends) - 1)),
+          |    (e, s) -> CAST(e - s AS BIGINT) * CAST(e - s AS BIGINT)),
           |  0L, (acc, v) -> acc + v) AS sum_sq""".stripMargin)
       .selectExpr(
         "doc_id", "n_tokens", "sum_sq",
@@ -443,7 +455,7 @@ object Corpus {
     "decontaminate_split",
     s"""WITH sh AS (
        |  SELECT doc_id,
-       |         ((doc_id & 2147483647) * 2654435761) % 4294967296 AS h,
+       |         ${graft.core.Num.sqlSplitHash("doc_id")} AS h,
        |         ${Dedup.shinglesSql("text")} AS s
        |  FROM documents),
        |tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE h < 3435973837),
@@ -458,7 +470,7 @@ object Corpus {
        |  coalesce(h.n_shared, 0) AS n_shared,
        |  coalesce(h.n_shared, 0) > 0 AS contaminated
        |FROM te LEFT JOIN hits h ON h.doc_id = te.doc_id""".stripMargin) { (spark, dir) =>
-    val hash = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    val hash = graft.core.Num.splitHash(col("doc_id"))
     val docs = Tables.documents(spark, dir)
       .withColumn("split",
         when(hash < lit(3435973837L), "train")
@@ -482,28 +494,33 @@ object Corpus {
     */
   val corpusMixtureSample: QueryDef = QueryDef(
     "corpus_mixture_sample",
-    """WITH t AS (
-      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-      |  FROM documents),
-      |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY 1),
-      |m AS (SELECT min(tot) AS mn FROM s),
-      |acc AS (
-      |  SELECT t.source, t.n
-      |  FROM t JOIN s USING (source) CROSS JOIN m
-      |  WHERE CAST(((t.doc_id & 2147483647) * 2654435761) % 4294967296 AS DOUBLE)
-      |        < CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) * 4294967296.0)
-      |SELECT s.source,
-      |  s.tot AS n_tokens_total,
-      |  CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) AS target_rate,
-      |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_sampled,
-      |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_sampled
-      |FROM s CROSS JOIN m
-      |LEFT JOIN (SELECT source, count(*) AS n_docs, SUM(n) AS n_tokens
-      |           FROM acc GROUP BY 1) a ON a.source = s.source""".stripMargin) { (spark, dir) =>
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n
+       |  FROM documents),
+       |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+       |m AS (SELECT min(tot) AS mn FROM s),
+       |acc AS (
+       |  SELECT t.source, t.n
+       |  FROM t JOIN s USING (source) CROSS JOIN m
+       |  WHERE CAST(${graft.core.Num.sqlSplitHash("t.doc_id")} AS DOUBLE)
+       |        < CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) * 4294967296.0)
+       |SELECT s.source,
+       |  s.tot AS n_tokens_total,
+       |  CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) AS target_rate,
+       |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_sampled,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_sampled
+       |FROM s CROSS JOIN m
+       |LEFT JOIN (SELECT source, count(*) AS n_docs, SUM(n) AS n_tokens
+       |           FROM acc GROUP BY 1) a ON a.source = s.source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // NULL-safe contract matching the oracle's GROUP BY: a null source is a
+    // real group (represented by a sentinel in the driver-side map — Spark
+    // literal maps reject null keys), null text counts 0 tokens.
+    val NullSrc = " <null-source>"
     val t = Tables.documents(spark, dir).select(
-      col("source"), col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n"))
+      coalesce(col("source"), lit(NullSrc)).as("source"), col("doc_id"),
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n"))
     val totals = t.groupBy(col("source")).agg(sum(col("n")).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (totals.isEmpty) {
@@ -515,14 +532,14 @@ object Corpus {
       // scaled to the hash range
       val thresholds =
         totals.map { case (src, tot) => src -> mn.toDouble / tot.toDouble * 4294967296.0 }
-      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+      val h = graft.core.Num.splitHash(col("doc_id"))
       val acc = t.filter(h.cast("double") < element_at(typedLit(thresholds), col("source")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       totals.toSeq.toDF("source", "n_tokens_total")
         .join(acc, Seq("source"), "left")
         .select(
-          col("source"),
+          when(col("source") === NullSrc, lit(null)).otherwise(col("source")).as("source"),
           col("n_tokens_total"),
           element_at(typedLit(totals.map { case (src, tot) =>
             src -> mn.toDouble / tot.toDouble

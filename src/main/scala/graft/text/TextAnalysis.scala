@@ -25,6 +25,26 @@ object TextAnalysis {
   private val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** THE quality-score formula (length adequacy + lexical diversity +
+    * stopword plausibility, fixed weights) over a token-array expression —
+    * one definition per engine, shared by `doc_quality_score` and the
+    * filter funnel so the funnel's threshold provably applies the same
+    * bit-stable value the score query emits.
+    */
+  private def qualitySql(t: String) =
+    s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 100.0)
+       |  + 0.3 * (CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE))
+       |  + 0.3 * least(1.0,
+       |      (CAST(len(list_filter($t, x -> list_contains($stopList, x))) AS DOUBLE)
+       |        / CAST(len($t) AS DOUBLE)) * 5.0)""".stripMargin
+
+  private def qualitySpark(t: String) =
+    s"""0.4D * least(1.0D, CAST(size($t) AS DOUBLE) / 100.0D)
+       | + 0.3D * (CAST(size(array_distinct($t)) AS DOUBLE) / CAST(size($t) AS DOUBLE))
+       | + 0.3D * least(1.0D,
+       |     (CAST(size(filter($t, x -> array_contains($stopArr, x))) AS DOUBLE)
+       |       / CAST(size($t) AS DOUBLE)) * 5.0D)""".stripMargin
+
   /** Token counting + quality-score signals: length, token count, distinct
     * tokens, type/token ratio, stopword ratio, average token length.
     */
@@ -210,23 +230,13 @@ object TextAnalysis {
   val docQualityScore: QueryDef = QueryDef(
     "doc_quality_score",
     s"""SELECT doc_id,
-       |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 100.0)
-       |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE))
-       |  + 0.3 * least(1.0,
-       |      (CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS DOUBLE)
-       |        / CAST(len($toksSql) AS DOUBLE)) * 5.0) AS quality_score
+       |  ${qualitySql(toksSql)} AS quality_score
        |FROM documents
        |WHERE len($toksSql) > 0""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .selectExpr("doc_id", s"$toks AS t")
       .filter(size(col("t")) > 0)
-      .selectExpr(
-        "doc_id",
-        s"""0.4 * least(1.0D, CAST(size(t) AS DOUBLE) / 100.0D)
-           | + 0.3D * (CAST(size(array_distinct(t)) AS DOUBLE) / CAST(size(t) AS DOUBLE))
-           | + 0.3D * least(1.0D,
-           |     (CAST(size(filter(t, x -> array_contains($stopArr, x))) AS DOUBLE)
-           |       / CAST(size(t) AS DOUBLE)) * 5.0D) AS quality_score""".stripMargin)
+      .selectExpr("doc_id", s"${qualitySpark("t")} AS quality_score")
   }
 
   /** The corpus filter funnel — the keep/drop accounting every training-data
@@ -237,18 +247,6 @@ object TextAnalysis {
     * `doc_quality_score`, so the double comparison is cross-engine exact.
     */
   val corpusFilterFunnel: QueryDef = {
-    def qualitySql(t: String) =
-      s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 100.0)
-         |  + 0.3 * (CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE))
-         |  + 0.3 * least(1.0,
-         |      (CAST(len(list_filter($t, x -> list_contains($stopList, x))) AS DOUBLE)
-         |        / CAST(len($t) AS DOUBLE)) * 5.0)""".stripMargin
-    def qualitySpark(t: String) =
-      s"""0.4D * least(1.0D, CAST(size($t) AS DOUBLE) / 100.0D)
-         | + 0.3D * (CAST(size(array_distinct($t)) AS DOUBLE) / CAST(size($t) AS DOUBLE))
-         | + 0.3D * least(1.0D,
-         |     (CAST(size(filter($t, x -> array_contains($stopArr, x))) AS DOUBLE)
-         |       / CAST(size($t) AS DOUBLE)) * 5.0D)""".stripMargin
     QueryDef(
       "corpus_filter_funnel",
       s"""WITH d AS (
@@ -311,16 +309,14 @@ object TextAnalysis {
     */
   val datasetSplit: QueryDef = QueryDef(
     "dataset_split",
-    """SELECT CASE WHEN h < 3435973837 THEN 'train'
+    s"""SELECT CASE WHEN h < 3435973837 THEN 'train'
       |            WHEN h < 3865470566 THEN 'val'
       |            ELSE 'test' END AS split,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-      |FROM (SELECT doc_id, ((doc_id & 2147483647) * 2654435761) % 4294967296 AS h FROM documents)
+      |FROM (SELECT doc_id, ${Num.sqlSplitHash("doc_id")} AS h FROM documents)
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    // 31-bit mask before the multiply: product <= 2^31 * 2654435761 < 2^63,
-    // so the hash is exact int64 arithmetic at any doc_id magnitude
-    val h = (col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    val h = Num.splitHash(col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("h", h)
       .withColumn("split",

@@ -390,15 +390,24 @@ object Similarity {
   }
 
   /** (vec_id, band, key) band-signature rows for a quantized frame
-    * (columns `vec_id`, `q`): `key` is the 8-bit sign pattern of the band's
+    * (columns `vec_id`, `q`): `key` is the band's sign pattern over its
     * hyperplanes. Exposed for the streaming/spec reuse.
+    *
+    * Sizing: random vectors share a b-bit band key with probability ~2^-b,
+    * so expected candidate pairs are ~bands · n²/2^(b+1) — subquadratic
+    * only while 2^b ≳ n. The (4 × 8) default is tuned for the gate corpora
+    * (n ≤ ~10⁴); at larger n, widen `rowsPerBand` toward ~log₂(n)+4 bits
+    * (and add bands to keep recall) — the recall/cost trade is the standard
+    * hyperplane-LSH tuning knob, not a fixed property of the operator.
     */
-  def hyperplaneBandKeys(quantized: DataFrame, dim: Int): DataFrame = {
+  def hyperplaneBandKeys(
+      quantized: DataFrame, dim: Int,
+      bands: Int = LshBands, rowsPerBand: Int = LshRowsPerBand): DataFrame = {
     def sign(j: Int, d: Int): Long =
       if ((splitmix64(j.toLong * 131071L + d) & 1L) == 1L) 1L else -1L
-    val bandSigs = (0 until LshBands).map { b =>
-      (0 until LshRowsPerBand).map { r =>
-        val j = b * LshRowsPerBand + r
+    val bandSigs = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
         val plane = typedLit((0 until dim).map(d => sign(j, d)))
         when(VectorFunctions.longDot(col("q"), plane) > 0L, lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -434,11 +443,15 @@ object Similarity {
     * (`vec_id, q, norm2`): candidates from any shared band key, exact
     * integer-cosine verify at `threshold`. The band self-join carries only
     * ids and keys; vectors rejoin once for the (distinct) candidate pairs.
+    * Candidate VOLUME follows the band sizing (see [[hyperplaneBandKeys]]):
+    * widen `rowsPerBand` with corpus size to stay subquadratic.
     */
-  def lshNearDupPairs(q: DataFrame, threshold: Double): DataFrame = {
+  def lshNearDupPairs(
+      q: DataFrame, threshold: Double,
+      bands: Int = LshBands, rowsPerBand: Int = LshRowsPerBand): DataFrame = {
     // empty input: any dim builds a valid (empty-result) plan — head() would throw
     val dim = q.select(size(col("q"))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
-    val keys = hyperplaneBandKeys(q, dim)
+    val keys = hyperplaneBandKeys(q, dim, bands, rowsPerBand)
     val candidates = keys.as("a")
       .join(keys.as("b"), Seq("band", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
