@@ -66,6 +66,25 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("splitHash: in [0, 2^32), negative-key safe, equals the pure-Scala reference (property)") {
+    import spark.implicits._
+    def reference(key: Long, sub: Long): Long =
+      ((key & 2147483647L) * 2654435761L + sub) % 4294967296L
+    val genKey = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val genSub = Gen.chooseNum(0L, 7L)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(genKey, genSub))) { pairs =>
+      val out = pairs.toDF("k", "s")
+        .select(graft.core.Num.splitHash(col("k"), col("s")).as("h"),
+          graft.core.Num.splitHash(col("k")).as("h0"), col("k"), col("s"))
+        .collect()
+      out.forall { r =>
+        val (h, h0, k, s) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        h == reference(k, s) && h0 == reference(k, 0L) &&
+          h >= 0L && h < 4294967296L && h0 >= 0L && h0 < 4294967296L
+      }
+    })
+  }
+
   test("empty wide frame flows through the full pipeline to an empty output") {
     val out = mkDf(Fixtures.wideSchema, Nil).transform(Transforms.runPipeline)
     assert(out.count() === 0)
