@@ -359,6 +359,30 @@ object Events {
         col("ts").as("last_ts"), col("event_type").as("last_type"))
   }
 
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly duration/slide = 2 windows. Spark's `window()`
+    * with a slide plans this as a generate(2 rows)+aggregate, no shuffle
+    * beyond the group-by; the oracle derives the same two epoch-aligned
+    * window starts per event (`time_bucket` and one slide back) and unions
+    * them — two independent constructions of the same window algebra.
+    */
+  val eventsHopping: QueryDef = QueryDef(
+    "events_hopping",
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT b30 AS win_start, event_type FROM b
+      |  UNION ALL
+      |  SELECT b30 - INTERVAL 30 MINUTE AS win_start, event_type FROM b)
+      |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM w GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+  }
+
   /** Per-user event-type transition counts (the first-order Markov view of
     * user journeys): each consecutive (event, next-event) pair within a
     * user's timeline, counted corpus-wide. One exchange: the `lead` window
@@ -388,5 +412,5 @@ object Events {
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History,
-    upsertLatestSnapshot, eventTransitions)
+    upsertLatestSnapshot, eventTransitions, eventsHopping)
 }
