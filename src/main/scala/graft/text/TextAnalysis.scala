@@ -327,7 +327,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
   }
 
+  /** Single-scan profile of the documents table (the text-side counterpart
+    * of `profile_lineitem`): row counts, distinct sources/langs, token and
+    * length extremes, null accounting — the first query run against any new
+    * corpus drop.
+    */
+  val profileDocuments: QueryDef = QueryDef(
+    "profile_documents",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(text) AS BIGINT) AS text_nonnull,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(min(doc_id) AS BIGINT) AS doc_id_min,
+       |  CAST(max(doc_id) AS BIGINT) AS doc_id_max,
+       |  CAST(SUM(coalesce(len($toksSql), 0)) AS BIGINT) AS total_tokens,
+       |  CAST(min(length(text)) AS INTEGER) AS min_chars,
+       |  CAST(max(length(text)) AS INTEGER) AS max_chars
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      count(col("text")).as("text_nonnull"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      min(col("doc_id")).as("doc_id_min"),
+      max(col("doc_id")).as("doc_id_max"),
+      sum(coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))).as("total_tokens"),
+      min(length(col("text"))).as("min_chars"),
+      max(length(col("text"))).as("max_chars"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
-    docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit)
+    docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit,
+    profileDocuments)
 }
