@@ -73,29 +73,32 @@ object RentalsDemo {
     * clean_nulls).
     */
   def csvPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // Persist the (regions x months)-sized aggregate across its two uses —
-    // the bounds collect and the pivot would otherwise each re-run the
-    // lineitem join+agg. (Persisting the small AGGREGATE, never the base
-    // table, is the scale-safe form of this.)
-    val long = rentalsLong(spark, dir).persist()
-    try {
-      // explicit pivot values from the (2-value) bounds collect — pivot
-      // without values would run an extra distinct-collect job over the data
-      val Array(bounds) = long.agg(min(col("month")), max(col("month"))).collect()
-      val (mn, mx) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
-      val months = Iterator.iterate(mn.withDayOfMonth(1))(_.plusMonths(1))
-        .takeWhile(!_.isAfter(mx))
-        .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
-        .toSeq
-      val wide = long
-        .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
-        .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
-        .pivot("month_str", months)
-        .agg(first(col("median_rent")))
-        .withColumn("SizeRank", col("RegionID"))
-        .withColumn("RegionType", lit("msa"))
-      wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
-    } finally long.unpersist()
+    // Explicit pivot values keep the pivot to ONE job (pivot without values
+    // runs an extra distinct-collect over the data). The month bounds come
+    // from a column-pruned scan of lineitem alone — `month` is
+    // date_trunc(month, l_shipdate), which is monotone, so
+    // min/max(l_shipdate) bound it without running the join+agg. That makes
+    // this a 2-job pipeline (tiny bounds scan + pivot/write) with the heavy
+    // join+agg materialized exactly once — no persist needed, which also
+    // frees the executor-memory it pinned.
+    val Array(bounds) = Tables.lineitem(spark, dir)
+      .agg(
+        date_trunc("month", min(col("l_shipdate"))).cast(DateType),
+        date_trunc("month", max(col("l_shipdate"))).cast(DateType))
+      .collect()
+    val (mn, mx) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+    val months = Iterator.iterate(mn.withDayOfMonth(1))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(mx))
+      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      .toSeq
+    val wide = rentalsLong(spark, dir)
+      .withColumn("month_str", date_format(col("month"), "yyyy-MM"))
+      .groupBy(col("RegionID"), col("RegionName"), col("StateName"))
+      .pivot("month_str", months)
+      .agg(first(col("median_rent")))
+      .withColumn("SizeRank", col("RegionID"))
+      .withColumn("RegionType", lit("msa"))
+    wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
     Io.readRawCsv(spark, zoriCsvPath).transform(Transforms.runPipeline)
   }
 
