@@ -549,7 +549,115 @@ object Corpus {
     }
   }
 
+  /** Unigram-LM commonality score — the cheap "perplexity-proxy" quality
+    * signal: how corpus-typical a document's tokens are. Per document,
+    * `weight_sum = Σ_t tf_doc(t) · tf_corpus(t)` (exact BIGINT — integer sums
+    * are order-independent, so the value is bit-identical in any engine,
+    * unlike a float log-prob sum), normalized to
+    * `commonality = weight_sum / (n_tokens · corpus_tokens)` — the
+    * probability a random token of the doc equals an independently drawn
+    * corpus token. Low = rare/unusual content, high = boilerplate.
+    *
+    * Scale shape: one (doc, token) tf aggregate, one token-level corpus-tf
+    * aggregate (vocabulary-sized → broadcast back), one per-doc rollup that
+    * reuses the (doc, token) partitioning. A real 100 TB run would cap the
+    * broadcast with a top-K vocabulary + OOV bucket; the mechanism is
+    * identical. tf·ctf stays within int64 up to ~10^13 corpus tokens per
+    * 10^5-token doc.
+    */
+  val tokenCommonality: QueryDef = QueryDef(
+    "token_commonality",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY 1, 2),
+      |ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM ctf)
+      |SELECT tf.doc_id,
+      |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(tf.tf * c.ctf) AS BIGINT) AS weight_sum,
+      |  CAST(SUM(tf.tf * c.ctf) AS DOUBLE)
+      |    / (CAST(SUM(tf.tf) AS DOUBLE) * CAST(t.total AS DOUBLE)) AS commonality
+      |FROM tf JOIN ctf c ON c.tok = tf.tok CROSS JOIN tot t
+      |GROUP BY tf.doc_id, t.total""".stripMargin) { (spark, dir) =>
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    tf.join(broadcast(ctf), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("ctf")).as("weight_sum"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"), col("n_tokens"), col("weight_sum"),
+        (col("weight_sum").cast("double")
+          / (col("n_tokens").cast("double") * col("total").cast("double"))).as("commonality"))
+  }
+
+  /** Keep-best dedup consolidation — the step that turns near-dup clusters
+    * into a training set: every document labeled with its duplicate cluster
+    * (singletons cluster with themselves), the highest-quality member kept
+    * (quality ties broken by min doc_id). Composes the LSH pair graph,
+    * connected components, and the bit-stable quality score; the oracle
+    * replays all three exhaustively, so the hash match proves the survivor
+    * choice end to end.
+    */
+  val dedupKeepBest: QueryDef = QueryDef(
+    "dedup_keep_best",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
+       |  FROM documents),
+       |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, ${TextAnalysis.qualitySql("t")} AS quality
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |lab AS (
+       |  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.quality
+       |  FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                               ORDER BY quality DESC, doc_id) AS rn
+       |  FROM lab)
+       |SELECT doc_id, cluster_id, quality, rn = 1 AS kept FROM rk""".stripMargin) {
+    (spark, dir) =>
+      val comp = connectedComponents(
+        Dedup.lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      val scored = Tables.documents(spark, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .filter(size(col("t")) > 0)
+        .selectExpr("doc_id", s"${TextAnalysis.qualitySpark("t")} AS quality")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .join(comp, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("quality"))
+        .withColumn("kept", row_number().over(w) === 1)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
-      packSequences, decontaminateSplit, corpusMixtureSample)
+      packSequences, decontaminateSplit, corpusMixtureSample, tokenCommonality,
+      dedupKeepBest)
 }

@@ -31,14 +31,14 @@ object TextAnalysis {
     * filter funnel so the funnel's threshold provably applies the same
     * bit-stable value the score query emits.
     */
-  private def qualitySql(t: String) =
+  private[text] def qualitySql(t: String) =
     s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 100.0)
        |  + 0.3 * (CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE))
        |  + 0.3 * least(1.0,
        |      (CAST(len(list_filter($t, x -> list_contains($stopList, x))) AS DOUBLE)
        |        / CAST(len($t) AS DOUBLE)) * 5.0)""".stripMargin
 
-  private def qualitySpark(t: String) =
+  private[text] def qualitySpark(t: String) =
     s"""0.4D * least(1.0D, CAST(size($t) AS DOUBLE) / 100.0D)
        | + 0.3D * (CAST(size(array_distinct($t)) AS DOUBLE) / CAST(size($t) AS DOUBLE))
        | + 0.3D * least(1.0D,
@@ -356,8 +356,100 @@ object TextAnalysis {
       max(length(col("text"))).as("max_chars"))
   }
 
+  /** PII redaction — the scrubbing stage a training-data pipeline runs before
+    * anything else: detect + mask emails, phone numbers, and IPv4 addresses.
+    * The synthetic corpus carries no PII, so the query first splices
+    * deterministic doc_id-derived PII spans into a derived column (same
+    * expression in both engines) and then redacts them — the detector runs
+    * against realistic, varied positives instead of vacuous zeros.
+    *
+    * The patterns use only portable regex constructs (character classes,
+    * bounded repeats; `[.]` instead of an escaped dot) so Java regex (Spark)
+    * and RE2 (DuckDB) agree byte-for-byte. Row-local, zero shuffles.
+    */
+  val piiRedact: QueryDef = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val phonePat = "[0-9]{3}[ -][0-9]{3}-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    // single line: embedding a multi-line fragment whose lines start with
+    // '||' into an outer stripMargin template would re-strip them to '|'
+    def enrich(cast: String) =
+      s"text || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS $cast)" +
+        s" || '@example.com' ELSE '' END" +
+        s" || CASE WHEN doc_id % 3 = 0 THEN ' call 202 555-'" +
+        s" || lpad(CAST(doc_id % 10000 AS $cast), 4, '0') ELSE '' END" +
+        s" || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS $cast)" +
+        s" || '.' || CAST(doc_id % 250 AS $cast) ELSE '' END"
+    QueryDef(
+      "pii_redact",
+      s"""WITH e AS (SELECT doc_id, ${enrich("VARCHAR")} AS x FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(x, '$emailPat')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(x, '$phonePat')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(x, '$emailPat', '<EMAIL>', 'g'), '$ipPat')) AS INTEGER) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(x,
+         |    '$emailPat', '<EMAIL>', 'g'),
+         |    '$phonePat', '<PHONE>', 'g'),
+         |    '$ipPat', '<IP>', 'g') AS redacted
+         |FROM e""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", s"${enrich("STRING")} AS x")
+        .selectExpr(
+          "doc_id",
+          s"CAST(size(regexp_extract_all(x, '$emailPat', 0)) AS INT) AS n_emails",
+          s"CAST(size(regexp_extract_all(x, '$phonePat', 0)) AS INT) AS n_phones",
+          // IP count runs on the email-redacted form: the email local/domain
+          // parts can contain digit.digit runs that would double-count
+          s"""CAST(size(regexp_extract_all(
+             |  regexp_replace(x, '$emailPat', '<EMAIL>'), '$ipPat', 0)) AS INT) AS n_ips""".stripMargin,
+          s"""regexp_replace(regexp_replace(regexp_replace(x,
+             |  '$emailPat', '<EMAIL>'),
+             |  '$phonePat', '<PHONE>'),
+             |  '$ipPat', '<IP>') AS redacted""".stripMargin)
+    }
+  }
+
+  /** Overlapping token-window chunking (windows of 64, stride 48 — 16-token
+    * overlap): the RAG/embedding preprocessing step that turns documents into
+    * model-sized passages. One generator (`posexplode` of the stride
+    * positions) per row — narrow, shuffle-free, and the chunk count per doc
+    * is `ceil(n/stride)` regardless of corpus size.
+    */
+  val docChunks: QueryDef = {
+    val win = 64
+    val stride = 48
+    QueryDef(
+      "doc_chunks",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t, len($toksSql) AS n
+         |  FROM documents WHERE len($toksSql) > 0)
+         |SELECT doc_id,
+         |  CAST(n AS INTEGER) AS n_tokens,
+         |  CAST(s // $stride AS INTEGER) AS chunk_idx,
+         |  CAST(s AS INTEGER) AS start_tok,
+         |  CAST(least($win, n - s) AS INTEGER) AS chunk_tokens,
+         |  array_to_string(list_slice(t, s + 1, s + least($win, n - s)), ' ') AS chunk_text
+         |FROM (SELECT doc_id, t, n, unnest(range(0, n, $stride)) AS s FROM t)""".stripMargin) {
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", s"$toks AS t")
+          .filter(size(col("t")) > 0)
+          .selectExpr(
+            "doc_id", "t", "size(t) AS n",
+            s"posexplode(sequence(0, size(t) - 1, $stride)) AS (chunk_idx, start_tok)")
+          .selectExpr(
+            "doc_id",
+            "CAST(n AS INT) AS n_tokens",
+            "CAST(chunk_idx AS INT) AS chunk_idx",
+            "CAST(start_tok AS INT) AS start_tok",
+            s"CAST(least($win, n - start_tok) AS INT) AS chunk_tokens",
+            s"array_join(slice(t, start_tok + 1, least($win, n - start_tok)), ' ') AS chunk_text")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
     docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit,
-    profileDocuments)
+    profileDocuments, piiRedact, docChunks)
 }
