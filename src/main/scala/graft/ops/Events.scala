@@ -326,6 +326,85 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts"), col("purchase_cents").as("last_purchase_cents"))
   }
 
+  /** Forward as-of through the native operator: each click paired with the
+    * user's EARLIEST purchase at-or-after it (the "time to next conversion"
+    * join). Same physical shape as the backward form — one exchange per
+    * side, streaming merge with one retained right row — with the scan
+    * direction flipped; DuckDB's native forward ASOF (`l.ts <= r.ts`) is
+    * the oracle.
+    */
+  val asofJoinForward: QueryDef = QueryDef(
+    "asof_join_forward",
+    """WITH purchases AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events e
+      |  WHERE event_type = 'purchase'
+      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
+      |                    WHERE e2.event_type = 'purchase'
+      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
+      |clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS next_purchase_cents
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
+      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        Num.cents(col("value")).as("purchase_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsofJoinNative.asof(
+      clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts",
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_cents").as("next_purchase_cents"))
+  }
+
+  /** Backward as-of with a 1-hour tolerance: the purchase must be at-or-
+    * before the click AND within the last hour, else nulls (pandas
+    * `merge_asof(tolerance=...)`). The oracle composes plain ASOF with a
+    * window gate — sound because the latest-at-or-before row is the ONLY
+    * possible within-window match (any other candidate is even earlier).
+    */
+  val asofJoinTolerance: QueryDef = QueryDef(
+    "asof_join_tolerance",
+    """WITH purchases AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events e
+      |  WHERE event_type = 'purchase'
+      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
+      |                    WHERE e2.event_type = 'purchase'
+      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
+      |clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+      |       THEN p.purchase_cents END AS recent_purchase_cents
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
+      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        Num.cents(col("value")).as("purchase_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsofJoinNative.asof(
+      clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts",
+      tolerance = Some(3600L * 1000000L)) // 1 hour in timestamp micros
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_cents").as("recent_purchase_cents"))
+  }
+
   /** Incremental upsert (latest-wins merge): a stored snapshot (events
     * before the cutoff) merged with an incoming batch (events at/after it),
     * keeping each user's latest state — the weekly-refresh production
@@ -411,6 +490,7 @@ object Events {
 
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
-    asofJoinNative, jsonMapExplode, cohortRetention, funnelStages, scd2History,
+    asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
+    cohortRetention, funnelStages, scd2History,
     upsertLatestSnapshot, eventTransitions, eventsHopping)
 }

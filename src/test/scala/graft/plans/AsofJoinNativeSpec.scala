@@ -130,6 +130,93 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.forall(_.isNullAt(3)))
   }
 
+  test("forward asof: each left row gets the earliest right at-or-after; ties match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "other"))
+      .toDF("k", "t", "who")
+    val right = Seq((1L, 20L, "at20"), (1L, 30L, "at30"), (1L, 9L, "dead"))
+      .toDF("rk", "rt", "tag")
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt",
+      direction = "forward")
+      .select(col("who"), col("tag"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // t=10 -> earliest >= 10 is 20; t=20 -> equal matches; t=35 -> none left
+    assert(out === Map(
+      "a" -> Some("at20"), "b" -> Some("at20"), "c" -> None, "other" -> None))
+  }
+
+  test("forward asof null semantics: null keys/times match nothing, null right skipped") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(10L), "ok"),
+      (Option.empty[Long], Option(10L), "null-key"),
+      (Option(1L), Option.empty[Long], "null-time")
+    ).toDF("k", "t", "side")
+    val right = Seq(
+      (Option.empty[Long], Option(1L), "null-rk"),
+      (Option(1L), Option.empty[Long], "null-rt"),
+      (Option(1L), Option(50L), "match")
+    ).toDF("rk", "rt", "tag")
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt",
+      direction = "forward")
+      .select(col("side"), col("tag"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out === Map("ok" -> Some("match"), "null-key" -> None, "null-time" -> None))
+  }
+
+  test("forward asof brute-force equivalence on a grid with duplicate left times") {
+    import spark.implicits._
+    val left = (1 to 30).flatMap(k => (1 to 20).map(t => (k.toLong, t.toLong * 10)))
+      .toDF("k", "t").repartition(7)
+    val right = (1 to 30).flatMap(k => (1 to 15).map(t => (k.toLong, t.toLong * 13, k * 1000L + t)))
+      .toDF("rk", "rt", "payload").repartition(5)
+    val out = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt",
+      direction = "forward")
+      .select(col("k"), col("t"), col("payload"))
+      .collect()
+    assert(out.length === 30 * 20)
+    out.foreach { r =>
+      val (k, t) = (r.getLong(0), r.getLong(1))
+      val expected = (1 to 15).map(_ * 13L).filter(_ >= t).headOption.map(rt => k * 1000L + rt / 13)
+      assert(Option(r.get(2)) === expected, s"k=$k t=$t")
+    }
+  }
+
+  test("tolerance gates both directions without disturbing the match choice") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2")).toDF("k", "t", "who")
+    val right = Seq((1L, 95L, "r95"), (1L, 230L, "r230")).toDF("rk", "rt", "tag")
+    // backward, tol 10: l1 matches r95 (gap 5); l2's latest-before is r95 (gap 105) -> null
+    val back = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt",
+      tolerance = Some(10L))
+      .select(col("who"), col("tag"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(back === Map("l1" -> Some("r95"), "l2" -> None))
+    // forward, tol 40: l1's earliest-after is r230 (gap 130) -> null; l2 matches (gap 30)
+    val fwdOut = AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt",
+      direction = "forward", tolerance = Some(40L))
+      .select(col("who"), col("tag"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fwdOut === Map("l1" -> None, "l2" -> Some("r230")))
+  }
+
+  test("asof builder rejects bad directions, negative tolerance, non-integral time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "v")).toDF("rk", "rt", "tag")
+    assert(intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt", direction = "nearest")
+    }.getMessage.contains("direction"))
+    assert(intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(left, right, Seq("k" -> "rk"), "t", "rt", tolerance = Some(-1L))
+    }.getMessage.contains("non-negative"))
+    val dleft = Seq((1L, 1.5)).toDF("k", "t")
+    val dright = Seq((1L, 1.0, "v")).toDF("rk", "rt", "tag")
+    assert(intercept[IllegalArgumentException] {
+      AsofJoinNative.asof(dleft, dright, Seq("k" -> "rk"), "t", "rt", tolerance = Some(1L))
+    }.getMessage.contains("integer-comparable"))
+  }
+
   test("native asof streams grouped duplicates and unsorted partition counts correctly") {
     import spark.implicits._
     // many keys x many times, values chosen so expected answer is computable
