@@ -16,6 +16,7 @@ object SparkEntry {
       ops.Relational.all ++
       ops.Events.all ++
       ops.Sketches.all ++
+      ops.RuntimeFilter.all ++
       ops.Layout.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
@@ -24,7 +25,8 @@ object SparkEntry {
       multimodal.Multimodal.all ++
       sources.Roundtrips.all :+
       streaming.Streams.streamingHourly :+
-      streaming.Streams.streamingHourlyAppend
+      streaming.Streams.streamingHourlyAppend :+
+      streaming.Streams.streamingDedupExact
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -168,6 +168,32 @@ object Streams {
     runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
   }
 
+  /** Streaming exact dedup via `dropDuplicatesWithinWatermark` — the
+    * at-least-once delivery repair every streaming ingest needs: duplicate
+    * event_ids arriving within the watermark window are dropped, and the
+    * dedup state (one entry per key) expires with the watermark, so state
+    * is bounded by delivery skew, not stream length. The gate runs it over
+    * a deliberately DOUBLED stream (the same file source unioned with
+    * itself — a deterministic at-least-once simulation): every event
+    * arrives at least twice, the output must be the original row set, which
+    * is exactly what the DuckDB oracle states relationally. Copies are
+    * byte-identical, so the surviving row is deterministic regardless of
+    * arrival order.
+    */
+  val streamingDedupExact: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_dedup_exact",
+    "SELECT event_id, ts, user_id, event_type FROM events") { (spark, dir) =>
+    val sess = gateSession(spark)
+    val doubled = readEventsStream(sess, dir)
+      .unionByName(readEventsStream(sess, dir))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val deduped = doubled
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val table = s"graft_streaming_dedup_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, deduped, table, OutputMode.Append())
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

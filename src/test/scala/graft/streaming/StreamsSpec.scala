@@ -29,6 +29,26 @@ class StreamsSpec extends SparkSpec {
     assert(s.size >= (b.size * 3) / 4)
   }
 
+  test("streaming dedup: doubled stream (and planted source dups) collapse to one row per id") {
+    withTempDir { dir =>
+      import spark.implicits._
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      Seq(
+        (1L, t("2024-01-01 08:30:00"), 1L, "click", 0.0, "{}"),
+        (1L, t("2024-01-01 08:30:00"), 1L, "click", 0.0, "{}"), // source-side dup
+        (2L, t("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+        (3L, t("2024-01-01 10:30:00"), 1L, "purchase", 5.0, "{}")
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("unix_micros(ts) * 1000")) // nanos like testdata
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // the gate query doubles the stream itself, so ids arrive 2-4 times
+      val rows = Streams.streamingDedupExact.fn(spark, dir.getAbsolutePath)
+        .collect().map(_.toString).toSeq
+      assert(rows.length === 3, s"one row per event_id: $rows")
+      assert(rows.distinct.length === 3)
+    }
+  }
+
   test("append-mode emission boundary: window closes exactly when watermark reaches its end") {
     // max ts = 12:00:00 with a 2h watermark puts the final watermark at
     // exactly 10:00:00 — the boundary of the [09:00,10:00) window. This
