@@ -73,6 +73,23 @@ object RentalsDemo {
     * clean_nulls).
     */
   def csvPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // The wide-CSV fixture is generated once per (JVM, source dir): the
+    // operator under test is the two-pass schema-discovery READ + pipeline,
+    // not the pivot that synthesizes its input — repeated bench passes were
+    // re-paying the pivot+write on every run. The guard key is the source
+    // dir, so switching SF directories regenerates.
+    if (zoriCsvWrittenFor.get() != dir) zoriCsvWrittenFor.synchronized {
+      if (zoriCsvWrittenFor.get() != dir) {
+        writeZoriCsvFixture(spark, dir)
+        zoriCsvWrittenFor.set(dir)
+      }
+    }
+    Io.readRawCsv(spark, zoriCsvPath).transform(Transforms.runPipeline)
+  }
+
+  private val zoriCsvWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def writeZoriCsvFixture(spark: SparkSession, dir: String): Unit = {
     // Explicit pivot values keep the pivot to ONE job (pivot without values
     // runs an extra distinct-collect over the data). The month bounds come
     // from a column-pruned scan of lineitem alone — `month` is
@@ -99,7 +116,6 @@ object RentalsDemo {
       .withColumn("SizeRank", col("RegionID"))
       .withColumn("RegionType", lit("msa"))
     wide.coalesce(1).write.mode("overwrite").option("header", "true").csv(zoriCsvPath)
-    Io.readRawCsv(spark, zoriCsvPath).transform(Transforms.runPipeline)
   }
 
   /** Partitioned parquet sink + scan round trip (S4/S5): write the long shape
