@@ -18,6 +18,7 @@ object SparkEntry {
       ops.Sketches.all ++
       ops.RuntimeFilter.all ++
       ops.Layout.all ++
+      ops.Ranking.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
       text.Corpus.all ++
@@ -26,7 +27,8 @@ object SparkEntry {
       sources.Roundtrips.all :+
       streaming.Streams.streamingHourly :+
       streaming.Streams.streamingHourlyAppend :+
-      streaming.Streams.streamingDedupExact
+      streaming.Streams.streamingDedupExact :+
+      streaming.Streams.streamStreamJoin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

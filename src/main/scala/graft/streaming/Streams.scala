@@ -194,6 +194,51 @@ object Streams {
     runAvailableNowToMemory(sess, deduped, table, OutputMode.Append())
   }
 
+  /** Stream-stream interval join inside the gate: clicks joined to the same
+    * user's purchases within the following 30 minutes — both sides
+    * watermarked AND the join condition time-bounded in both directions,
+    * which is exactly what lets Spark expire buffered state (a click older
+    * than watermark + 30 min can never match a future purchase, and is
+    * dropped). That bounded-state shape is the 100 TB story; an un-bounded
+    * stream-stream join would buffer both streams forever.
+    *
+    * An INNER join's emitted set is complete once all data is processed
+    * (the watermark only bounds state, it gates no output), so over an
+    * AvailableNow run the result is the batch interval join — which is
+    * precisely what the oracle states.
+    */
+  val streamStreamJoin: graft.core.QueryDef = graft.core.QueryDef(
+    "stream_stream_join",
+    """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+      |  CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+      |FROM events c
+      |JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin) {
+    (spark, dir) =>
+      val sess = gateSession(spark)
+      val clicks = readEventsStream(sess, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = readEventsStream(sess, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"),
+          graft.core.Num.cents(col("value")).as("purchase_cents"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(
+        purchases,
+        col("p_user_id") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
+      val table = s"graft_stream_stream_join_${System.nanoTime()}"
+      runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

@@ -656,8 +656,64 @@ object Corpus {
         .withColumn("kept", row_number().over(w) === 1)
   }
 
+  /** Term co-occurrence mining over a bounded vocabulary: which of the top
+    * 50 corpus terms appear together in a document, counted over all docs —
+    * the classic PMI/embedding-prior statistic. The vocabulary bound is
+    * what makes this scale: per-doc pairs come from at most 50 vocab terms
+    * (≤ 1225 row-local pairs regardless of doc length), so there is no
+    * token-level self-join anywhere — one shuffle to re-group tokens per
+    * doc, local pair expansion, then a map-side-combined pair count. The
+    * oracle states it as the exhaustive token self-join.
+    */
+  val termCooccurrence: QueryDef = QueryDef(
+    "term_cooccurrence",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM tok GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+      |ft AS (SELECT doc_id, tok FROM tok WHERE tok IN (SELECT tok FROM vocab)),
+      |pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b
+      |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok)
+      |SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM pairs GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+      cooccurrence(Tables.documents(spark, dir), vocabSize = 50, topK = 20)
+  }
+
+  /** Vocab-bounded co-occurrence over any (doc_id, text) frame: count the
+    * documents in which each pair of top-`vocabSize` tokens (by document
+    * frequency, alphabetical tiebreak) appears together; top `topK` pairs.
+    */
+  def cooccurrence(docs: DataFrame, vocabSize: Int, topK: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // document frequency ranks the vocabulary; (df desc, tok) is a total
+    // order, so the top-N SET is deterministic
+    val vocab = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"))
+    tok.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("vt"))
+      // row-local pair expansion over the sorted per-doc vocab terms:
+      // x (0-based index i) pairs with every later element, so tok_a <
+      // tok_b by construction
+      .select(explode(expr(
+        """flatten(transform(vt, (x, i) ->
+          |  transform(slice(vt, i + 2, size(vt)),
+          |    y -> named_struct('tok_a', x, 'tok_b', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
       packSequences, decontaminateSplit, corpusMixtureSample, tokenCommonality,
-      dedupKeepBest)
+      dedupKeepBest, termCooccurrence)
 }

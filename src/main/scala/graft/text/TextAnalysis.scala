@@ -448,8 +448,37 @@ object TextAnalysis {
     }
   }
 
+  /** Per-group quantile gating — "keep only documents above their
+    * language's 75th size percentile", the relative-threshold cousin of the
+    * fixed-threshold funnel. The thresholds are one tiny row per group
+    * (exact interpolated percentile over the BIGINT size column — the same
+    * arithmetic in both engines, cf. `agg_percentiles`), broadcast back and
+    * compared row-locally: no window over the corpus, no second shuffle of
+    * the big side. Strictly-above keeps the predicate unambiguous at the
+    * interpolated boundary.
+    */
+  val qualityQuantileFilter: QueryDef = QueryDef(
+    "quality_quantile_filter",
+    """WITH th AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.75) AS p75
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, th.p75,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE d.n_chars > th.p75) AS BIGINT) AS n_kept
+      |FROM documents d JOIN th ON th.lang = d.lang
+      |GROUP BY d.lang, th.p75""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val th = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.75D)").as("p75"))
+    docs.join(broadcast(th), "lang")
+      .groupBy(col("lang"), col("p75"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") > col("p75"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
     docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit,
-    profileDocuments, piiRedact, docChunks)
+    profileDocuments, piiRedact, docChunks, qualityQuantileFilter)
 }

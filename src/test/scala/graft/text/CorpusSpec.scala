@@ -115,4 +115,22 @@ class CorpusSpec extends SparkSpec {
       10L -> Set(10L, 11L, 12L),
       20L -> Set(20L, 21L)))
   }
+
+  test("co-occurrence: hand-computed pair counts, vocab bound excludes rare terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"), // distinct {cat, dog}
+      (2L, "cat dog bird"),
+      (3L, "cat bird"),
+      (4L, "dog zebra"), // zebra: df=1, below the vocab cut
+      (5L, "cat dog")
+    ).toDF("doc_id", "text")
+    // df: cat=4 dog=4 bird=2 zebra=1 -> vocab(3) = {cat, dog, bird}
+    val got = Corpus.cooccurrence(docs, vocabSize = 3, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("cat", "dog", 3L), // docs 1, 2, 5
+      ("bird", "cat", 2L), // docs 2, 3
+      ("bird", "dog", 1L))) // doc 2; zebra pairs absent entirely
+  }
 }
