@@ -10,8 +10,16 @@ object Explain {
       .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_EXEC=1: run the query first so AQE finalizes the plan —
+    // runtime effects (ReusedExchange, coalesced partitions, skew splits)
+    // only appear in the executed adaptive plan, not the initial one.
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")
     args.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      // collect() (not a noop write) so the action drives THIS
+      // QueryExecution's AdaptiveSparkPlanExec — a write wraps the plan in
+      // its own QueryExecution and the one printed below would stay initial
+      if (exec) { df.collect(): Unit }
       val p = df.queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(p).size
       val nSort = "Sort ".r.findAllIn(p).size

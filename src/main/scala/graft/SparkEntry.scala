@@ -28,7 +28,8 @@ object SparkEntry {
       streaming.Streams.streamingHourly :+
       streaming.Streams.streamingHourlyAppend :+
       streaming.Streams.streamingDedupExact :+
-      streaming.Streams.streamStreamJoin
+      streaming.Streams.streamStreamJoin :+
+      streaming.Streams.streamingUserTotals
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -488,9 +488,64 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group z-score outlier counting — the data-cleaning gate every
+    * ingest needs ("how many events sit 3σ from their type's mean?").
+    * Group moments come from exact integer-cents sums (DECIMAL(38,0)
+    * accumulators, the `agg_variance_exact` pattern) so mean/std are the
+    * same IEEE doubles in any engine (sqrt is correctly-rounded per
+    * IEEE-754, hence bit-stable); the tiny per-type stats broadcast back
+    * and the 3σ test is a row-local comparison — no window over the fact
+    * table, two scans of it (stats + test) sharing one exchange shape.
+    */
+  val outlierZscore: QueryDef = QueryDef(
+    "outlier_zscore",
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS mean_cents,
+      |    sqrt((CAST(SUM(CAST(cents * cents AS DECIMAL(38, 0))) AS DOUBLE)
+      |        - (CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE)
+      |           * CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE))
+      |          / CAST(count(*) AS DOUBLE))
+      |       / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_cents
+      |  FROM c GROUP BY event_type)
+      |SELECT c.event_type, st.n_events, st.mean_cents, st.std_cents,
+      |  CAST(count(*) FILTER (
+      |    WHERE abs(CAST(c.cents AS DOUBLE) - st.mean_cents)
+      |          > 3.0 * st.std_cents) AS BIGINT) AS n_outliers
+      |FROM c JOIN st ON st.event_type = c.event_type
+      |GROUP BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
+    val c = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), Num.cents(col("value")).as("cents"))
+    val st = c.groupBy(col("event_type"))
+      .agg(
+        sum(expr("CAST(cents * cents AS DECIMAL(38, 0))")).as("ssq"),
+        sum(expr("CAST(cents AS DECIMAL(38, 0))")).as("s"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"), col("n_events"),
+        (col("s").cast("double") / col("n_events").cast("double")).as("mean_cents"),
+        sqrt(
+          (col("ssq").cast("double") -
+            (col("s").cast("double") * col("s").cast("double"))
+              / col("n_events").cast("double"))
+            / (col("n_events").cast("double") - lit(1.0))).as("std_cents"))
+    c.join(broadcast(st), "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("mean_cents"), col("std_cents"))
+      .agg(
+        sum(
+          when(abs(col("cents").cast("double") - col("mean_cents"))
+            > lit(3.0) * col("std_cents"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
-    upsertLatestSnapshot, eventTransitions, eventsHopping)
+    upsertLatestSnapshot, eventTransitions, eventsHopping, outlierZscore)
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -192,6 +193,33 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
     val table = s"graft_streaming_dedup_${System.nanoTime()}"
     runAvailableNowToMemory(sess, deduped, table, OutputMode.Append())
+  }
+
+  /** Custom streaming state inside the gate: [[userRunningTotals]]
+    * (`mapGroupsWithState` running per-user counters) run AvailableNow,
+    * Update mode. The memory sink accumulates one snapshot per (user,
+    * batch-with-that-user's-rows); the latest snapshot per user — picked by
+    * the strictly-increasing event count, the standard "upsert view of an
+    * update stream" read — is the per-user total the DuckDB oracle states
+    * relationally. Single-batch here, but the latest-snapshot read keeps
+    * the contract correct under any micro-batch split.
+    */
+  val streamingUserTotals: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_user_totals",
+    """SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS total_value_cents
+      |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val snapshots = userRunningTotals(sess, readEventsStream(sess, dir)).toDF()
+    val table = s"graft_streaming_user_totals_${System.nanoTime()}"
+    val emitted = runAvailableNowToMemory(sess, snapshots, table, OutputMode.Update())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    emitted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("total_value_cents"))
   }
 
   /** Stream-stream interval join inside the gate: clicks joined to the same
