@@ -14,6 +14,7 @@ object SparkEntry {
   private val registry: Seq[QueryDef] =
     rentals.RentalsDemo.queries ++
       ops.Relational.all ++
+      ops.Analytics.all ++
       ops.Events.all ++
       ops.Sketches.all ++
       ops.RuntimeFilter.all ++

@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution analytics: the ranking-distribution window functions
+  * (`ntile` / `percent_rank` / `cume_dist`), higher statistical moments from
+  * exact integer sums, wide pivots, null-safe joins and LOCF gap filling —
+  * the remaining "every analyst uses these weekly" surface around the core
+  * aggregates (reference scope: the summary statistics family of
+  * jobs/transform.py:120-181, extended per the category-parity mandate).
+  *
+  * Scale notes are per-query; the common thread is that every window here is
+  * PARTITIONED (no global single-partition window — the distributed global
+  * rank lives in [[Ranking]]), and every aggregate carries exact integer /
+  * decimal sums so results are bit-stable under any partitioning.
+  */
+object Analytics {
+
+  /** Quartile bucket + relative rank position of every order within its
+    * priority class. One partitioned window (5 priority classes spread over
+    * the cluster; at 100 TB the partition count is the parallelism bound, so
+    * a skewed single class would need the [[Ranking]] range-partition trick
+    * — with ~uniform classes the plain window is the right plan). The
+    * `(cents, o_orderkey)` sort key is a total order, which is what makes
+    * ntile/percent_rank/cume_dist all deterministic.
+    */
+  val windowNtileCume: QueryDef = QueryDef(
+    "window_ntile_cume",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)""".stripMargin) {
+    (spark, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          Num.cents(col("o_totalprice")).as("cents"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+  }
+
+  /** Exact skewness / excess kurtosis per return flag, extending
+    * `agg_variance_exact`'s integer-moment pattern to the 3rd and 4th
+    * moments: quantize to whole dollars, carry (n, Σd, Σd², Σd³, Σd⁴) as
+    * exact decimal sums (d ≤ ~1.1e5 so d⁴ ≤ ~1.5e20 — far inside
+    * DECIMAL(38)/int128), then assemble the standardized moments in ONE
+    * fixed-order double expression shared verbatim with the oracle. The
+    * denominator is written `m2 * sqrt(m2)` (and `m2 * m2`), never
+    * `pow(x, 1.5)` — sqrt is IEEE-correctly-rounded in every engine, pow is
+    * not. Aggregation is associative integer math: one partial-agg exchange,
+    * bit-stable at any scale.
+    */
+  val aggSkewKurtExact: QueryDef = {
+    // Shared double-assembly fragments (identical text → identical IEEE op
+    // order on both engines). n/s1..s4 are exact integers already cast to
+    // double.
+    val mean = "(s1 / n)"
+    val v = s"(s2 / n - $mean * $mean)"
+    val skew = s"(s3 / n - 3.0 * $mean * (s2 / n) + 2.0 * $mean * $mean * $mean) / ($v * sqrt($v))"
+    val kurt = s"(s4 / n - 4.0 * $mean * (s3 / n) + 6.0 * $mean * $mean * (s2 / n) " +
+      s"- 3.0 * ($mean * $mean) * ($mean * $mean)) / ($v * $v) - 3.0"
+    QueryDef(
+      "agg_skew_kurt_exact",
+      s"""WITH d AS (SELECT l_returnflag, CAST(round(l_extendedprice) AS BIGINT) AS d
+         |           FROM lineitem),
+         |m AS (SELECT l_returnflag,
+         |        CAST(count(*) AS DOUBLE) AS n,
+         |        CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS s1,
+         |        CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s2,
+         |        CAST(SUM(CAST(d AS HUGEINT) * d * d) AS DOUBLE) AS s3,
+         |        CAST(SUM(CAST(d AS HUGEINT) * d * d * d) AS DOUBLE) AS s4
+         |      FROM d GROUP BY 1)
+         |SELECT l_returnflag, $skew AS skewness_pop, $kurt AS kurtosis_excess
+         |FROM m""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), round(col("l_extendedprice")).cast("long").as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(expr("CAST(d AS DECIMAL(38, 0))")).cast("double").as("s1"),
+          sum(expr("CAST(d AS DECIMAL(38, 0)) * d")).cast("double").as("s2"),
+          sum(expr("CAST(d AS DECIMAL(38, 0)) * d * d")).cast("double").as("s3"),
+          sum(expr("CAST(d AS DECIMAL(38, 0)) * d * d * d")).cast("double").as("s4"))
+        .select(
+          col("l_returnflag"),
+          expr(skew).as("skewness_pop"),
+          expr(kurt).as("kurtosis_excess"))
+    }
+  }
+
+  /** Wide pivot: revenue per ship-year spread across return-flag columns —
+    * `groupBy(yr).pivot(flag, explicitValues)`. Passing the value list is
+    * what keeps this scale-safe: without it Spark runs an extra distinct
+    * job over the fact table just to learn the column set. Physically one
+    * partial-aggregated exchange (pivot compiles to conditional aggregates,
+    * exactly the oracle's CASE form — same plan shape as a plain group-by).
+    */
+  val pivotReturnflagRevenue: QueryDef = QueryDef(
+    "pivot_returnflag_revenue",
+    """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_r
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(
+        year(col("l_shipdate")).as("yr"),
+        col("l_returnflag"),
+        Num.cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("yr"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("c")))
+      .select(
+        col("yr"),
+        Num.centsToDouble(col("A")).as("rev_a"),
+        Num.centsToDouble(col("N")).as("rev_n"),
+        Num.centsToDouble(col("R")).as("rev_r"))
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): suppliers and
+    * customers bucketed by a nation hash where one residue class per side is
+    * deliberately NULLed — under plain `=` those rows silently vanish; under
+    * null-safe equality NULL is a join key like any other. Spark plans this
+    * as a regular hash join (the null bucket hashes to one key — if nulls
+    * were a large fraction at 100 TB that one key is a skew hotspot, the
+    * documented trade; salt or filter-and-union in that regime). Aggregated
+    * to pair counts per key so the many-to-many blowup stays summarized.
+    */
+  val joinNullSafe: QueryDef = QueryDef(
+    "join_null_safe",
+    """WITH l AS (SELECT CASE WHEN s_nationkey % 7 = 3 THEN NULL
+      |                      ELSE s_nationkey % 7 END AS k
+      |           FROM supplier),
+      |r AS (SELECT CASE WHEN c_nationkey % 7 = 5 THEN NULL
+      |                  ELSE c_nationkey % 7 END AS k
+      |      FROM customer)
+      |SELECT l.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val l = Tables.supplier(spark, dir)
+      .select(when(col("s_nationkey") % 7 === 3, lit(null))
+        .otherwise(col("s_nationkey") % 7).as("k"))
+    val r = Tables.customer(spark, dir)
+      .select(when(col("c_nationkey") % 7 === 5, lit(null))
+        .otherwise(col("c_nationkey") % 7).as("k").as("rk"))
+    l.join(r, col("k") <=> col("rk"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** LOCF (last-observation-carried-forward) gap fill: customer-bucket
+    * monthly order totals densified onto the full calendar, missing months
+    * filled with the latest preceding value — the standard time-series
+    * repair before any trend model. Three bounded stages: one partial-agg
+    * exchange to (bucket, month); a broadcast of the 1-row global month
+    * bounds onto the distinct buckets (calendar generation is narrow — an
+    * explode, no shuffle); and a per-bucket window for the fill. Every
+    * stage is partitioned by bucket — nothing global, so the shape holds at
+    * any scale.
+    */
+  val tsLocfFill: QueryDef = QueryDef(
+    "ts_locf_fill",
+    """WITH series AS (
+      |  SELECT o_custkey % 50 AS bucket,
+      |         date_trunc('month', o_orderdate) AS month,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |bounds AS (SELECT min(month) AS mn, max(month) AS mx FROM series),
+      |cal AS (
+      |  SELECT b.bucket, UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+      |  FROM (SELECT DISTINCT bucket FROM series) b, bounds)
+      |SELECT cal.bucket, cal.month,
+      |  CAST(last_value(s.c IGNORE NULLS) OVER (
+      |         PARTITION BY cal.bucket ORDER BY cal.month
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+      |    AS filled_total,
+      |  s.c IS NOT NULL AS was_present
+      |FROM cal LEFT JOIN series s ON s.bucket = cal.bucket AND s.month = cal.month""".stripMargin) {
+    (spark, dir) =>
+      val series = Tables.orders(spark, dir)
+        .select(
+          (col("o_custkey") % 50).as("bucket"),
+          date_trunc("month", col("o_orderdate")).as("month"),
+          Num.cents(col("o_totalprice")).as("cc"))
+        .groupBy(col("bucket"), col("month"))
+        .agg(sum(col("cc")).as("c"))
+      val bounds = series.agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+      val cal = series.select(col("bucket")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("bucket"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(series, Seq("bucket", "month"), "left")
+        .select(
+          col("bucket"), col("month"),
+          Num.centsToDouble(last(col("c"), ignoreNulls = true).over(w)).as("filled_total"),
+          col("c").isNotNull.as("was_present"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill)
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Analytics]] — each query's defining property re-checked independently
+  * of the DuckDB oracle (the oracle proves cross-engine equality; these
+  * prove the math means what the scaladoc says). Runs on the sf0.001
+  * testdata like the queries themselves.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("window_ntile_cume: quartiles balanced within 1, ranks in range") {
+    val df = Analytics.windowNtileCume.fn(spark, dir).cache()
+    val byGroup = df.groupBy("o_orderpriority", "quartile").count()
+      .groupBy("o_orderpriority")
+      .agg(max("count").as("mx"), min("count").as("mn"), countDistinct("quartile").as("nq"))
+      .collect()
+    byGroup.foreach { r =>
+      assert(r.getAs[Long]("nq") === 4L)
+      assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") <= 1L)
+    }
+    val bounds = df.agg(
+      min("pct_rank"), max("pct_rank"), min("cum_dist"), max("cum_dist"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(bounds._1 === 0.0 && bounds._2 === 1.0)
+    assert(bounds._3 > 0.0 && bounds._4 === 1.0)
+    df.unpersist()
+  }
+
+  test("agg_skew_kurt_exact matches a direct Scala computation") {
+    val got = Analytics.aggSkewKurtExact.fn(spark, dir)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val ds = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), round(col("l_extendedprice")).cast("long").as("d"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    ds.foreach { case (flag, rows) =>
+      val xs = rows.map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      val c2 = xs.map(x => (x - m) * (x - m)).sum / n
+      val c3 = xs.map(x => math.pow(x - m, 3)).sum / n
+      val c4 = xs.map(x => math.pow(x - m, 4)).sum / n
+      val (skew, kurt) = got(flag)
+      assert(math.abs(skew - c3 / (c2 * math.sqrt(c2))) < 1e-6, s"skew $flag")
+      assert(math.abs(kurt - (c4 / (c2 * c2) - 3.0)) < 1e-6, s"kurt $flag")
+    }
+  }
+
+  test("pivot_returnflag_revenue equals the conditional-aggregate form") {
+    val got = Analytics.pivotReturnflagRevenue.fn(spark, dir)
+    val expect = graft.core.Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("yr"), col("l_returnflag"),
+        graft.core.Num.cents(col("l_extendedprice")).as("c"))
+      .groupBy("yr")
+      .agg(
+        graft.core.Num.centsToDouble(
+          sum(when(col("l_returnflag") === "A", col("c")))).as("rev_a"),
+        graft.core.Num.centsToDouble(
+          sum(when(col("l_returnflag") === "N", col("c")))).as("rev_n"),
+        graft.core.Num.centsToDouble(
+          sum(when(col("l_returnflag") === "R", col("c")))).as("rev_r"))
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+  }
+
+  test("join_null_safe: NULL keys pair up exactly (and plain = drops them)") {
+    val nullSupp = graft.core.Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") % 7 === 3).count()
+    val nullCust = graft.core.Tables.customer(spark, dir)
+      .filter(col("c_nationkey") % 7 === 5).count()
+    val got = Analytics.joinNullSafe.fn(spark, dir).cache()
+    val nullPairs = got.filter(col("k").isNull).select("n_pairs").as[Long].collect()
+    if (nullSupp * nullCust > 0) assert(nullPairs.toSeq === Seq(nullSupp * nullCust))
+    else assert(nullPairs.isEmpty)
+    // residues 3 (left-nulled) and 5 (right-nulled) can never appear as keys
+    assert(got.filter(col("k").isin(3, 5)).count() === 0)
+    got.unpersist()
+  }
+
+  test("ts_locf_fill: present rows keep their value, gaps carry the last one forward") {
+    val got = Analytics.tsLocfFill.fn(spark, dir).cache()
+    val series = graft.core.Tables.orders(spark, dir)
+      .select((col("o_custkey") % 50).as("bucket"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        graft.core.Num.cents(col("o_totalprice")).as("cc"))
+      .groupBy("bucket", "month")
+      .agg(graft.core.Num.centsToDouble(sum(col("cc"))).as("own_total"))
+    // a present month's filled value is its own total
+    val present = got.filter(col("was_present"))
+      .join(series, Seq("bucket", "month"))
+    assert(present.filter(col("filled_total") =!= col("own_total")).count() === 0)
+    // after each bucket's first present month every fill is non-null; rows
+    // are bucket x full calendar (same month span for every bucket)
+    val firstPresent = got.filter(col("was_present"))
+      .groupBy("bucket").agg(min("month").as("fm"))
+    val afterFirst = got.join(firstPresent, "bucket").filter(col("month") >= col("fm"))
+    assert(afterFirst.filter(col("filled_total").isNull).count() === 0)
+    val spans = got.groupBy("bucket").count().select("count").distinct().count()
+    assert(spans === 1L)
+    got.unpersist()
+  }
+}
