@@ -477,8 +477,42 @@ object TextAnalysis {
         sum(when(col("n_chars") > col("p75"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Edit distance between consecutive documents' normalized 32-char
+    * prefixes — the fuzzy-match primitive (title reconciliation, OCR-noise
+    * pairing) over an already-candidate-paired stream. Levenshtein is
+    * O(len²) per pair, which is exactly why the engine only ever runs it on
+    * CANDIDATE pairs (here the consecutive-id join; in the dedup family the
+    * LSH bucket join) — never all-pairs. The prefix is lowercased and
+    * stripped to `[a-z ]` so both engines compare identical ASCII, and
+    * capped at 32 chars to bound the DP table.
+    */
+  val levenshteinConsecutive: QueryDef = QueryDef(
+    "levenshtein_consecutive",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 32) AS pfx
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_id, b.doc_id AS next_doc_id,
+      |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev,
+      |  1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+      |      / CAST(greatest(length(a.pfx), length(b.pfx), 1) AS DOUBLE) AS sim
+      |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""".stripMargin) { (spark, dir) =>
+    val p = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "substring(regexp_replace(lower(text), '[^a-z ]', ''), 1, 32) AS pfx")
+    val a = p.select(col("doc_id"), col("pfx").as("pa"))
+    val b = p.select(col("doc_id").as("next_doc_id"), col("pfx").as("pb"))
+    a.join(b, col("next_doc_id") === col("doc_id") + 1)
+      .select(
+        col("doc_id"), col("next_doc_id"),
+        levenshtein(col("pa"), col("pb")).cast("int").as("lev"),
+        (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+          greatest(length(col("pa")), length(col("pb")), lit(1)).cast("double")).as("sim"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langGuess, textFingerprint, textTokensRegex, langNgram,
     docQualityScore, corpusFilterFunnel, textNormalize, datasetSplit,
-    profileDocuments, piiRedact, docChunks, qualityQuantileFilter)
+    profileDocuments, piiRedact, docChunks, qualityQuantileFilter,
+    levenshteinConsecutive)
 }

@@ -468,6 +468,54 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Symmetric int8 quantization (max-abs scale per vector) with exact
+    * round-trip error accounting — the storage/bandwidth step every
+    * 100 TB embedding corpus goes through before ANN serving. Entirely
+    * row-local (no shuffle, whole-stage codegen over array lambdas); the
+    * arithmetic is engine-portable because every element passes through
+    * the same fixed op chain (double widen → *127/scale → floor(x+0.5),
+    * never round(), whose half-even vs half-away tie rule differs across
+    * engines). `q_sum`/`n_saturated` summarize the quantized vector
+    * order-independently; `max_abs_err` bounds dequantization loss and is
+    * structurally ≤ scale/254 + float-widening noise.
+    */
+  val embeddingQuantizeInt8: QueryDef = QueryDef(
+    "embedding_quantize_int8",
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+      |           AS qscale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, embedding, qscale,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qscale + 0.5) AS BIGINT)) AS q
+      |  FROM s WHERE qscale > 0)
+      |SELECT vec_id, qscale,
+      |  CAST(len(q) AS INTEGER) AS n_dims,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(q, v -> v = 127 OR v = -127)) AS INTEGER) AS n_saturated,
+      |  list_aggregate(list_transform(range(1, len(q) + 1),
+      |    i -> abs(CAST(q[i] AS DOUBLE) * qscale / 127.0 - CAST(embedding[i] AS DOUBLE))),
+      |    'max') AS max_abs_err
+      |FROM qq""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale")
+      .filter(col("qscale") > 0)
+      .selectExpr("vec_id", "embedding", "qscale",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qscale + 0.5) AS BIGINT)) AS q")
+      .selectExpr(
+        "vec_id", "qscale",
+        "CAST(size(q) AS INTEGER) AS n_dims",
+        "aggregate(q, 0L, (acc, v) -> acc + v) AS q_sum",
+        "CAST(size(filter(q, v -> v = 127 OR v = -127)) AS INTEGER) AS n_saturated",
+        """array_max(transform(sequence(1, size(q)),
+          |  i -> abs(CAST(element_at(q, i) AS DOUBLE) * qscale / 127.0
+          |           - CAST(element_at(embedding, i) AS DOUBLE)))) AS max_abs_err""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup)
+    Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup,
+      embeddingQuantizeInt8)
 }

@@ -90,4 +90,19 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("levenshtein_consecutive: known edit distances on normalized prefixes") {
+    // after lower+strip: "kitten" vs "sitting" = 3; "abc def!" vs "abc def?"
+    // normalize to the same string = 0; non-letters never count
+    docsDir(Seq(1L -> "Kitten", 2L -> "Sitting", 3L -> "abc def!", 4L -> "abc def?")) { dir =>
+      val out = TextAnalysis.levenshteinConsecutive.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3)))).toMap
+      assert(out(1L)._1 === 3)
+      assert(out(3L)._1 === 0)
+      assert(out(3L)._2 === 1.0)
+      out.values.foreach { case (lev, sim) =>
+        assert(lev >= 0 && sim >= 0.0 && sim <= 1.0)
+      }
+    }
+  }
 }

@@ -152,4 +152,24 @@ class SimilaritySpec extends SparkSpec {
       assert(sims.forall(s => s >= -1.0 && s <= 1.000000001))
     }
   }
+
+  test("embedding_quantize_int8: saturation at the max element, bounded round-trip error") {
+    embDir { dir =>
+      val rows = Similarity.embeddingQuantizeInt8.fn(spark, dir).collect()
+      assert(rows.length === 41)
+      rows.foreach { r =>
+        val qscale = r.getAs[Double]("qscale")
+        val nDims = r.getAs[Int]("n_dims")
+        val qSum = r.getAs[Long]("q_sum")
+        val nSat = r.getAs[Int]("n_saturated")
+        val err = r.getAs[Double]("max_abs_err")
+        // the max-abs element maps to exactly +-127 -> always >= 1 saturated
+        assert(nSat >= 1 && nSat <= nDims)
+        assert(math.abs(qSum) <= 127L * nDims)
+        // worst-case quantization step is qscale/254; allow float-widening slack
+        assert(err >= 0.0 && err <= qscale / 254.0 + qscale * 1e-6,
+          s"err $err vs bound ${qscale / 254.0}")
+      }
+    }
+  }
 }
