@@ -23,6 +23,7 @@ object SparkEntry {
       text.TextAnalysis.all ++
       text.Dedup.all ++
       text.Corpus.all ++
+      text.LanguageModel.all ++
       vector.Similarity.all ++
       multimodal.Multimodal.all ++
       sources.Roundtrips.all :+
@@ -30,7 +31,8 @@ object SparkEntry {
       streaming.Streams.streamingHourlyAppend :+
       streaming.Streams.streamingDedupExact :+
       streaming.Streams.streamStreamJoin :+
-      streaming.Streams.streamingUserTotals
+      streaming.Streams.streamingUserTotals :+
+      streaming.Streams.streamingSessionWindows
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

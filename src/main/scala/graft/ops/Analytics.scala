@@ -210,6 +210,59 @@ object Analytics {
           col("c").isNotNull.as("was_present"))
   }
 
+  /** Finite-window exponentially weighted moving average (decay 1/2 over the
+    * last 7 observations) of each customer-bucket's monthly order totals —
+    * the trend smoother behind every "7-day EWMA" dashboard metric. The
+    * windowed-lag formulation keeps it bit-stable where a recursive EWMA
+    * never could be: weights are powers of two (lag k gets 2^(6-k)), the
+    * numerator and denominator are exact integer sums over the ≤ 7 present
+    * lags, and the result is two fixed-order IEEE divisions on identical
+    * inputs in both engines. One partial-agg exchange plus one per-bucket
+    * window — same bounded shape as `ts_locf_fill`, holds at any scale.
+    */
+  val rollingEwma: QueryDef = {
+    val sqlW = "PARTITION BY bucket ORDER BY month"
+    val sqlNum = (0 to 6)
+      .map(k => s"COALESCE(lag(c, $k) OVER ($sqlW), 0) * ${1L << (6 - k)}")
+      .mkString(" + ")
+    val sqlDen = (0 to 6)
+      .map(k => s"CASE WHEN lag(c, $k) OVER ($sqlW) IS NULL THEN 0 ELSE ${1L << (6 - k)} END")
+      .mkString(" + ")
+    QueryDef(
+      "rolling_ewma",
+      s"""WITH series AS (
+         |  SELECT o_custkey % 50 AS bucket,
+         |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT bucket, month,
+         |  CAST($sqlNum AS DOUBLE) / CAST($sqlDen AS DOUBLE) / 100.0 AS ewma,
+         |  CAST(${(0 to 6).map(k => s"CASE WHEN lag(c, $k) OVER ($sqlW) IS NULL THEN 0 ELSE 1 END").mkString(" + ")}
+         |       AS INTEGER) AS n_window
+         |FROM series""".stripMargin) { (spark, dir) =>
+      val series = Tables.orders(spark, dir)
+        .select(
+          (col("o_custkey") % 50).as("bucket"),
+          date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
+            .as("month"),
+          Num.cents(col("o_totalprice")).as("cc"))
+        .groupBy(col("bucket"), col("month"))
+        .agg(sum(col("cc")).as("c"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("month"))
+      val lagged = (0 to 6).map(k => lag(col("c"), k).over(w))
+      val num = (0 to 6).map(k => coalesce(lagged(k), lit(0L)) * lit(1L << (6 - k))).reduce(_ + _)
+      val den = (0 to 6)
+        .map(k => when(lagged(k).isNull, lit(0L)).otherwise(lit(1L << (6 - k))))
+        .reduce(_ + _)
+      val nw = (0 to 6).map(k => when(lagged(k).isNull, lit(0)).otherwise(lit(1))).reduce(_ + _)
+      series.select(
+        col("bucket"), col("month"),
+        (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"),
+        nw.cast("int").as("n_window"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill)
+    windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
+    rollingEwma)
 }

@@ -43,5 +43,52 @@ object Roundtrips {
     readback(spark.read.schema(schema).json(path))
   }
 
-  val all: Seq[QueryDef] = Seq(orcRoundtrip, jsonlRoundtrip)
+  /** Schema evolution across dataset generations: a v1 parquet written with
+    * the old schema `(l_suppkey, month, rev_cents)` and a v2 written after a
+    * column was added (`n_items`) are read back as ONE dataset via parquet
+    * schema merging (`mergeSchema` — Spark's footer-union read), with v1
+    * rows surfacing NULL for the new column. The aggregate proves both
+    * generations' values survive and the null-fill lands only on v1 rows.
+    * The oracle recomputes from the base table with the same parity split,
+    * so the round trip (write two generations, merged read) must be
+    * lossless. At scale, mergeSchema costs one footer read per file —
+    * the data pages are untouched; eligible filters still push down because
+    * the merged schema is a superset of every file's.
+    */
+  val schemaDriftMerge: QueryDef = QueryDef(
+    "schema_drift_merge",
+    """WITH base AS (
+      |  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents,
+      |    CAST(count(*) AS BIGINT) AS n_items
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(CASE WHEN l_suppkey % 2 = 1 THEN n_items END) AS BIGINT) AS n_items_v2,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE l_suppkey % 2 = 0) AS BIGINT) AS n_rows_v1
+      |FROM base GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"),
+        count(lit(1)).as("n_items"))
+    val v1Path = graft.rentals.Scratch.dir("graft_schema_drift_v1")
+    val v2Path = graft.rentals.Scratch.dir("graft_schema_drift_v2")
+    base.filter(col("l_suppkey") % 2 === 0)
+      .select(col("l_suppkey"), col("month"), col("rev_cents"))
+      .write.mode("overwrite").parquet(v1Path)
+    base.filter(col("l_suppkey") % 2 === 1)
+      .write.mode("overwrite").parquet(v2Path)
+    spark.read.option("mergeSchema", "true").parquet(v1Path, v2Path)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("rev_cents")).as("rev_cents"),
+        sum(col("n_items")).as("n_items_v2"),
+        count(lit(1)).as("n_rows"),
+        count(when(col("n_items").isNull, 1)).as("n_rows_v1"))
+  }
+
+  val all: Seq[QueryDef] = Seq(orcRoundtrip, jsonlRoundtrip, schemaDriftMerge)
 }

@@ -267,6 +267,57 @@ object Streams {
       runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
   }
 
+  /** Streaming session windows inside the gate: per-user 30-minute-gap
+    * sessions via `session_window`, Append mode with a 2-hour watermark, run
+    * AvailableNow. Session state merges adjacent events server-side and a
+    * session is emitted exactly once — when the watermark passes its end
+    * (last event + gap) — so state is bounded by the watermark horizon, not
+    * the stream length: the production sessionization shape. AvailableNow
+    * processes every row before the final no-data batch advances the
+    * watermark to max(ts) − 2 h, so sessions are complete and the emitted
+    * set is exactly the closed ones, which the oracle states relationally:
+    * the batch lag/cumsum sessionization (same SQL as `session_window_agg`)
+    * filtered to sessions ending at-or-before the final watermark.
+    */
+  val streamingSessionWindows: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_session_windows",
+    """WITH cutoff AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id,
+      |    min(ts) AS session_start,
+      |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM numbered
+      |  GROUP BY user_id, session_seq)
+      |SELECT s.user_id, s.session_start, s.session_end, s.n_events
+      |FROM sessions s, cutoff c
+      |WHERE s.session_end <= c.wm""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val streamed = readEventsStream(sess, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+    val table = s"graft_streaming_sessions_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

@@ -1,0 +1,145 @@
+package graft.text
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Language-model-adjacent corpus structures: the inverted index (search /
+  * retrieval over the training corpus), bigram statistics with add-one
+  * smoothing (the classic count-based LM and the basis of corpus-quality
+  * perplexity filters), and fixed-length sliding token windows (the
+  * next-token-prediction example generator that complements
+  * [[Corpus]]'s concat-and-chunk `pack_sequences`).
+  *
+  * Everything row-local is a codegen'd higher-order-function expression
+  * (`transform`/`sequence`/`slice` over the token array) — no UDFs; the only
+  * shuffles are the term- or bigram-keyed aggregates, which all benefit from
+  * map-side partial aggregation because their key spaces (vocabulary,
+  * vocabulary²-observed) are tiny relative to token occurrences.
+  */
+object LanguageModel {
+
+  /** Inverted index over the corpus: for each term, its document frequency
+    * and the first 10 postings (doc_ids ascending — the deterministic
+    * prefix; a real index would keep the full sorted list per term, sharded
+    * by term). Gate output is the 20 highest-df terms.
+    *
+    * Scale shape: one shuffle keyed by term. `array_distinct` before the
+    * explode makes the shuffled row count one per (doc, distinct term) —
+    * df aggregation never sees repeated in-doc occurrences. The posting-list
+    * `collect_list` is the one non-partial aggregate; capping the emitted
+    * prefix bounds the output row width, and at 100 TB the same plan holds
+    * because postings are grouped per term across the cluster (the worst
+    * case is a stopword term's full posting list in one task — the standard
+    * mitigation, also used here, is to only materialize a bounded prefix or
+    * to range-shard hot terms).
+    */
+  val invertedIndex: QueryDef = QueryDef(
+    "inverted_index",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents)
+      |SELECT term,
+      |  CAST(count(*) AS BIGINT) AS df,
+      |  (list_sort(list(doc_id)))[1:10] AS postings
+      |FROM toks
+      |GROUP BY term
+      |ORDER BY df DESC, term
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  /** Bigram language model with add-one smoothing: the 20 most frequent
+    * bigrams with their raw count, context count (occurrences of w1 as a
+    * bigram head), vocabulary size, and the smoothed conditional probability
+    * `p = (c + 1) / (ctx + V)`.
+    *
+    * The context counts are derived FROM the bigram table (a second
+    * aggregate over vocabulary²-observed rows, broadcast back) — not from a
+    * second corpus scan; the vocabulary size is one distinct-count over
+    * exploded tokens. All counts are exact integers, and the probability is
+    * a single integer-ratio division, so the result is bit-stable under any
+    * partitioning. At 100 TB: bigram extraction is row-local; both
+    * aggregates are map-side combined (bigram key space saturates at the
+    * observed-vocabulary², orders of magnitude below token occurrences).
+    */
+  val bigramLm: QueryDef = QueryDef(
+    "bigram_lm",
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM c2 GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+      |SELECT c2.w1, c2.w2, c2.n, ctx.ctx_n, v.vocab,
+      |  CAST(c2.n + 1 AS DOUBLE) / CAST(ctx.ctx_n + v.vocab AS DOUBLE) AS p_smoothed
+      |FROM c2 JOIN ctx ON ctx.w1 = c2.w1 CROSS JOIN v
+      |ORDER BY c2.n DESC, c2.w1, c2.w2
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2) // sequence(1, 0, 1) is an error in Spark
+      .select(expr(
+        """explode(transform(sequence(1, size(tk) - 1, 1),
+          |  i -> struct(element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))) AS bg""".stripMargin))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bigrams
+      .join(broadcast(contexts), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("w1"), col("w2"), col("n"), col("ctx_n"), col("vocab"),
+        ((col("n") + lit(1)).cast("double")
+          / (col("ctx_n") + col("vocab")).cast("double")).as("p_smoothed"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Sliding-window next-token training examples: length-8 input windows at
+    * stride 4, each labeled with the following token. Documents shorter than
+    * 9 tokens yield no examples. Pure row-local expansion (`sequence` +
+    * `slice` inside one codegen'd projection — zero shuffles, embarrassingly
+    * parallel at any corpus size); contrast with `pack_sequences`, which
+    * needs cross-document offsets. The windows-per-document ratio is
+    * (len-8)/4, so output volume scales linearly with corpus tokens.
+    */
+  val slidingTokenWindows: QueryDef = QueryDef(
+    "sliding_token_windows",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |SELECT doc_id,
+      |  CAST(s AS BIGINT) AS win_start,
+      |  tk[s:s + 7] AS input_tokens,
+      |  tk[s + 8] AS target_token
+      |FROM t, UNNEST(range(1, len(tk) - 7, 4)) AS u(s)
+      |WHERE len(tk) >= 9""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 9)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(tk) - 8, 4),
+            |  s -> struct(CAST(s AS BIGINT) AS win_start,
+            |              slice(tk, s, 8) AS input_tokens,
+            |              element_at(tk, s + 8) AS target_token))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.win_start"), col("w.input_tokens"), col("w.target_token"))
+  }
+
+  val all: Seq[QueryDef] = Seq(invertedIndex, bigramLm, slidingTokenWindows)
+}

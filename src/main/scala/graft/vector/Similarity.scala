@@ -515,7 +515,45 @@ object Similarity {
           |           - CAST(element_at(embedding, i) AS DOUBLE)))) AS max_abs_err""".stripMargin)
   }
 
+  /** Exact Gram matrix of the embedding corpus (upper triangle): for every
+    * dimension pair i ≤ j, the integer sum of q_i·q_j over all vectors plus
+    * its per-vector mean — the Σ xxᵀ statistic behind PCA / whitening /
+    * covariance-based drift monitors. The outer product is expanded
+    * ROW-LOCALLY (d(d+1)/2 = 2080 structs per vector for d = 64, one
+    * codegen'd `transform` nest — no self-join anywhere), and the one
+    * shuffle is a map-side-combined aggregate whose key space is the fixed
+    * 2080 dimension pairs — so reduce-side work is constant in corpus size,
+    * the textbook 100 TB shape for moment accumulation. Products stay exact
+    * int64 far past 10^10 vectors (|q| ≤ ~10^3 ⇒ |p| ≤ 10^6 per row).
+    */
+  val embeddingGramMatrix: QueryDef = QueryDef(
+    "embedding_gram_matrix",
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM q),
+       |pr AS (
+       |  SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j, q[i] * q[j] AS p
+       |  FROM q, UNNEST(range(1, len(q) + 1)) AS u(i), UNNEST(range(i, len(q) + 1)) AS v(j))
+       |SELECT dim_i, dim_j, n.n_vecs, CAST(SUM(p) AS BIGINT) AS gram,
+       |       CAST(SUM(p) AS DOUBLE) / CAST(n.n_vecs AS DOUBLE) AS gram_mean
+       |FROM pr CROSS JOIN n
+       |GROUP BY dim_i, dim_j, n.n_vecs""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir).selectExpr("vec_id", s"$qvec AS q")
+    val n = q.agg(count(lit(1)).as("n_vecs"))
+    q.select(explode(expr(
+        """flatten(transform(sequence(1, size(q), 1),
+          |  i -> transform(sequence(i, size(q), 1),
+          |    j -> struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+          |                element_at(q, i) * element_at(q, j) AS p))))""".stripMargin)).as("c"))
+      .select(col("c.dim_i"), col("c.dim_j"), col("c.p"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("p")).as("gram"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("dim_i"), col("dim_j"), col("n_vecs"), col("gram"),
+        (col("gram").cast("double") / col("n_vecs").cast("double")).as("gram_mean"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup,
-      embeddingQuantizeInt8)
+      embeddingQuantizeInt8, embeddingGramMatrix)
 }

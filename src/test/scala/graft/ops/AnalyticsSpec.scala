@@ -103,4 +103,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(spans === 1L)
     got.unpersist()
   }
+
+  test("rolling_ewma matches a direct Scala computation per bucket") {
+    val got = Analytics.rollingEwma.fn(spark, dir)
+      .as[(Long, java.sql.Date, Double, Int)].collect()
+      .map(r => (r._1, r._2.toString) -> (r._3, r._4)).toMap
+    val series = graft.core.Tables.orders(spark, dir)
+      .select((col("o_custkey") % 50).as("bucket"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        graft.core.Num.cents(col("o_totalprice")).as("cc"))
+      .groupBy("bucket", "month").agg(sum("cc").as("c"))
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) => b -> rows.sortBy(_._2.toString) }
+    series.foreach { case (bucket, rows) =>
+      rows.zipWithIndex.foreach { case ((_, month, _), i) =>
+        val lags = (0 to 6).flatMap(k => if (i - k >= 0) Some(k -> rows(i - k)._3) else None)
+        val num = lags.map { case (k, c) => c * (1L << (6 - k)) }.sum
+        val den = lags.map { case (k, _) => 1L << (6 - k) }.sum
+        val expected = num.toDouble / den.toDouble / 100.0
+        val (ewma, nw) = got((bucket, month.toString))
+        assert(nw === lags.length, s"bucket $bucket month $month window size")
+        assert(math.abs(ewma - expected) < 1e-9, s"bucket $bucket month $month")
+      }
+    }
+  }
 }

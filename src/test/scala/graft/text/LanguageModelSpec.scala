@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[LanguageModel]] — defining properties checked independently of the
+  * DuckDB oracle, on the sf0.001 testdata like the queries themselves.
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("inverted_index: postings are a sorted ≤10-prefix and df counts each doc once") {
+    val rows = LanguageModel.invertedIndex.fn(spark, dir)
+      .as[(String, Long, Seq[Long])].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (term, df, postings) =>
+      assert(postings.length <= 10, s"$term postings capped at 10")
+      assert(postings === postings.sorted, s"$term postings ascending")
+      assert(postings.distinct.length === postings.length, s"$term postings distinct")
+      assert(df >= postings.length.toLong, s"$term df covers the prefix")
+      // df = number of documents whose distinct-token set contains the term
+      val expected = graft.core.Tables.documents(spark, dir)
+        .filter(array_contains(array_distinct(split(col("text"), " ")), term))
+        .count()
+      assert(df === expected, s"$term df")
+    }
+  }
+
+  test("bigram_lm: smoothed probabilities are valid and context counts aggregate the bigrams") {
+    val rows = LanguageModel.bigramLm.fn(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.length === 20)
+    val vocab = rows.head._5
+    rows.foreach { case (_, _, n, ctx, v, p) =>
+      assert(v === vocab, "single corpus-wide vocabulary size")
+      assert(n >= 1 && ctx >= n, "context count dominates any one bigram")
+      assert(p > 0.0 && p <= 1.0, "smoothed probability in (0, 1]")
+      assert(math.abs(p - (n + 1).toDouble / (ctx + v).toDouble) < 1e-15, "add-one formula")
+    }
+    // counts descend (the deterministic top-k ordering)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted(Ordering[Long].reverse).toSeq)
+  }
+
+  test("sliding_token_windows: stride-4 starts, 8-token inputs, target is the 9th token") {
+    val df = LanguageModel.slidingTokenWindows.fn(spark, dir).cache()
+    val bad = df.filter(
+      size(col("input_tokens")) =!= 8 ||
+        (col("win_start") - 1) % 4 =!= 0 ||
+        col("win_start") < 1).count()
+    assert(bad === 0L)
+    // re-derive one document's windows exactly
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 9)
+      .as[(Long, Seq[String])].head(3)
+    docs.foreach { case (docId, tk) =>
+      val got = df.filter(col("doc_id") === docId)
+        .orderBy(col("win_start"))
+        .as[(Long, Long, Seq[String], String)].collect()
+      val expected = (1 to (tk.length - 8) by 4).map { s =>
+        (s.toLong, tk.slice(s - 1, s + 7), tk(s + 7))
+      }
+      assert(got.map(r => (r._2, r._3, r._4)).toSeq === expected, s"doc $docId")
+    }
+    df.unpersist()
+  }
+}

@@ -172,4 +172,25 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("embedding_gram_matrix: upper triangle only, diagonal = sum of squared norms components") {
+    embDir { dir =>
+      val rows = Similarity.embeddingGramMatrix.fn(spark, dir).collect()
+      val d = 8
+      assert(rows.length === d * (d + 1) / 2)
+      val byPair = rows.map(r => (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j")) ->
+        (r.getAs[Long]("gram"), r.getAs[Long]("n_vecs"), r.getAs[Double]("gram_mean"))).toMap
+      byPair.foreach { case ((i, j), (g, n, mean)) =>
+        assert(i <= j, "upper triangle")
+        assert(n === 41L)
+        assert(math.abs(mean - g.toDouble / n.toDouble) < 1e-12)
+        if (i == j) assert(g >= 0L, s"diagonal $i non-negative")
+      }
+      // cross-check one cell against a direct computation over the quantized frame
+      val q = Similarity.quantized(spark, dir)
+        .select("q").collect().map(_.getSeq[Long](0))
+      val direct = q.map(v => v(0) * v(1)).sum
+      assert(byPair((1, 2))._1 === direct)
+    }
+  }
 }
