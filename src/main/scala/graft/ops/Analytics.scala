@@ -262,7 +262,56 @@ object Analytics {
     }
   }
 
+  /** Robust outlier detection via MAD (median absolute deviation): per
+    * return flag, the median price, the MAD, and how many rows deviate more
+    * than 3 MADs — the robust alternative to `outlier_zscore` (a single
+    * fat-tailed cluster can inflate σ and mask outliers; the median/MAD
+    * can't be dragged by them). Inherently multi-pass: medians, then
+    * deviations, then the MAD, then the count — each pass a per-group
+    * aggregate with the tiny (3-row) group stats broadcast back, so the
+    * fact table is never windowed or shuffled on a row key; at 100 TB the
+    * repeated fact scans are the price of exactness and would share one
+    * persisted projection.
+    *
+    * Bit-stability: cents are exact integers, medians interpolate at
+    * worst to .5 (exact in double), deviations are half-integer-valued
+    * doubles, the MAD quarter-integer — every quantity dyadic-rational,
+    * so `percentile`/`quantile_cont` agree bitwise across engines.
+    */
+  val madOutliers: QueryDef = QueryDef(
+    "mad_outliers",
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS m FROM c GROUP BY 1),
+      |dev AS (
+      |  SELECT c.l_returnflag, abs(CAST(c.cents AS DOUBLE) - med.m) AS d, med.m
+      |  FROM c JOIN med USING (l_returnflag)),
+      |mad AS (SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.l_returnflag,
+      |  dev.m / 100.0 AS median_price,
+      |  mad.mad / 100.0 AS mad_price,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE dev.d > 3.0 * mad.mad) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (l_returnflag)
+      |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    val c = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), Num.cents(col("l_extendedprice")).as("cents"))
+    val med = c.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cents, 0.5D)").as("m"))
+    val dev = c.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), abs(col("cents").cast("double") - col("m")).as("d"), col("m"))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(d, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"), (col("m") / lit(100.0)).as("median_price"),
+        (col("mad") / lit(100.0)).as("mad_price"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
-    rollingEwma)
+    rollingEwma, madOutliers)
 }

@@ -488,6 +488,44 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** First-order Markov transition PROBABILITIES — `event_transitions`
+    * normalized into the row-stochastic matrix P(to | from) that journey
+    * models and next-action predictors consume. The row totals come from a
+    * second aggregate over the (|types|², here ≤ 25-row) transition table
+    * itself — never a rescan of the fact table — broadcast back for a
+    * row-local exact-integer ratio. The matrix side is constant-size at any
+    * event volume; only the windowed pair extraction scales with data, and
+    * it shuffles once on user_id.
+    */
+  val markovTransitions: QueryDef = QueryDef(
+    "markov_transitions",
+    """WITH t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT event_type,
+      |           lead(event_type) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS next_type
+      |    FROM events)
+      |  WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n, tot.row_total,
+      |  CAST(t.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+      |FROM t JOIN tot ON tot.from_type = t.from_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    t.join(broadcast(tot), "from_type")
+      .select(
+        col("from_type"), col("to_type"), col("n"), col("row_total"),
+        Num.ratio(col("n"), col("row_total")).as("p"))
+  }
+
   /** Per-group z-score outlier counting — the data-cleaning gate every
     * ingest needs ("how many events sit 3σ from their type's mean?").
     * Group moments come from exact integer-cents sums (DECIMAL(38,0)
@@ -547,5 +585,5 @@ object Events {
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
-    upsertLatestSnapshot, eventTransitions, eventsHopping, outlierZscore)
+    upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore)
 }

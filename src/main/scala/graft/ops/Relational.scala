@@ -557,6 +557,57 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** TPC-H Q8-style national market share: of all revenue sold into the
+    * AMERICA customer market, the fraction supplied by NATION_1, per order
+    * year — the conditional-aggregate ratio over a six-table join
+    * (cf. TPC-H Q8's two-nation-role shape: nation joins BOTH through
+    * customer→region for the market filter AND through supplier for the
+    * share predicate). Numerator and denominator are exact integer-cents
+    * sums accumulated in ONE pass (a conditional aggregate, not two
+    * queries); the share is a single integer-ratio division. Plan shape:
+    * the only shuffle partner is lineitem ⋈ orders (the two fact tables);
+    * every dimension broadcasts, and the year group-by is the one
+    * aggregation exchange — Q5's scale story with a second nation role
+    * added.
+    */
+  val tpchQ8Style: QueryDef = QueryDef(
+    "tpch_q8_style",
+    s"""SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' THEN $DISC ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM($DISC) AS DOUBLE) AS mkt_share,
+       |  CAST(SUM($DISC) AS DOUBLE) / 100.0 AS total_revenue,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |JOIN region r ON cn.n_regionkey = r.r_regionkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |WHERE r.r_name = 'AMERICA'
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val disc = Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val custNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, dir)), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .filter(col("r_name") === "AMERICA")
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        Num.ratio(
+          sum(when(col("sn_name") === "NATION_1", disc).otherwise(lit(0L))),
+          sum(disc)).as("mkt_share"),
+        Num.centsToDouble(sum(disc)).as("total_revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** The SQL surface with a correlated scalar subquery (decorrelated by
     * Catalyst into a join): orders more than twice their customer's average.
     * Runs through `spark.sql` over temp views — same SQL text the oracle
@@ -1016,7 +1067,7 @@ object Relational {
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
-    tpchQ3Style, tpchQ5Style, sqlCorrelatedSubquery,
+    tpchQ3Style, tpchQ5Style, tpchQ8Style, sqlCorrelatedSubquery,
     profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
     aggGroupingSets, aggWeightedAvg, aggCorrExact,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,

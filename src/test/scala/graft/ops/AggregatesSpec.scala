@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -68,6 +69,37 @@ class AggregatesSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("exact_parts") > 0)
       assert(r.getAs[Boolean]("hll_within_10pct"), r.toString)
+    }
+  }
+
+  test("markov_transitions: rows are a stochastic matrix over event_transitions") {
+    val dir = "/root/testdata/sf0.001"
+    val probs = Events.markovTransitions.fn(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+    val counts = Events.eventTransitions.fn(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(probs.map(r => (r._1, r._2)).toSet === counts.keySet)
+    probs.groupBy(_._1).foreach { case (from, rows) =>
+      val total = rows.head._4
+      assert(rows.forall(_._4 == total), s"$from single row_total")
+      assert(rows.map(_._3).sum === total, s"$from total aggregates its row")
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12, s"$from probabilities sum to 1")
+      rows.foreach { r => assert(r._5 === r._3.toDouble / total.toDouble) }
+    }
+  }
+
+  test("tpch_q8_style: market share in (0,1), revenue consistent with the unconditional join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.tpchQ8Style.fn(spark, dir)
+      .as[(Int, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val years = graft.core.Tables.orders(spark, dir)
+      .select(year(col("o_orderdate"))).as[Int].collect()
+    got.foreach { case (yr, share, total, n) =>
+      assert(yr >= years.min && yr <= years.max)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(total > 0.0 && n > 0L)
     }
   }
 }

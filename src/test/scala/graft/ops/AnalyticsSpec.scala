@@ -127,4 +127,29 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("mad_outliers matches a direct Scala median/MAD computation") {
+    val got = Analytics.madOutliers.fn(spark, dir)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val byFlag = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), graft.core.Num.cents(col("l_extendedprice")).as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    byFlag.foreach { case (flag, rows) =>
+      val xs = rows.map(_._2.toDouble)
+      val med = medianOf(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = medianOf(devs)
+      val nOut = devs.count(_ > 3.0 * mad)
+      val (gMed, gMad, gN, gOut) = got(flag)
+      assert(gMed === med / 100.0, s"$flag median")
+      assert(gMad === mad / 100.0, s"$flag mad")
+      assert(gN === xs.length.toLong && gOut === nOut.toLong, s"$flag counts")
+    }
+  }
 }
