@@ -240,12 +240,17 @@ object Analytics {
          |  CAST(${(0 to 6).map(k => s"CASE WHEN lag(c, $k) OVER ($sqlW) IS NULL THEN 0 ELSE 1 END").mkString(" + ")}
          |       AS INTEGER) AS n_window
          |FROM series""".stripMargin) { (spark, dir) =>
+      // One exchange, not two: hash-partitioning on bucket alone satisfies
+      // the (bucket, month) grouping's clustering AND the window's
+      // partitioning, so the aggregate and the lag window share the same
+      // shuffle instead of exchanging once each.
       val series = Tables.orders(spark, dir)
         .select(
           (col("o_custkey") % 50).as("bucket"),
           date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
             .as("month"),
           Num.cents(col("o_totalprice")).as("cc"))
+        .repartition(col("bucket"))
         .groupBy(col("bucket"), col("month"))
         .agg(sum(col("cc")).as("c"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("month"))
