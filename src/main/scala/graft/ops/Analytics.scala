@@ -316,7 +316,85 @@ object Analytics {
         count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
   }
 
+  /** Incremental aggregate maintenance — reaggregation algebra: the stored
+    * per-bucket (sum, count) state from the historical partition (orders
+    * before 1997) is MERGED with a delta partial aggregate (1997+) instead
+    * of recomputing from scratch, and the merged result must equal the
+    * full-recompute oracle. Sum-of-sums / sum-of-counts is the exact
+    * associative merge every incremental-view / streaming-state system
+    * relies on; exact integer cents make it bit-stable. At 100 TB this is
+    * the difference between touching the delta and touching the table: the
+    * stored state is aggregate-sized (one row per bucket), and the only
+    * full-width scan is the day's delta.
+    */
+  val incrementalAggMerge: QueryDef = QueryDef(
+    "incremental_agg_merge",
+    """SELECT o_custkey % 50 AS bucket,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_cents
+      |FROM orders
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val statePath = graft.rentals.Scratch.dir("graft_incr_agg_state")
+    def partialAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy((col("o_custkey") % 50).as("bucket"))
+      .agg(
+        sum(Num.cents(col("o_totalprice"))).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+    val orders = Tables.orders(spark, dir)
+    // historical state, persisted once (aggregate-sized, not fact-sized)
+    partialAgg(orders.filter(year(col("o_orderdate")) < 1997))
+      .write.mode("overwrite").parquet(statePath)
+    // merge = union of state and the delta's partial aggregate, re-summed
+    spark.read.parquet(statePath)
+      .unionByName(partialAgg(orders.filter(year(col("o_orderdate")) >= 1997)))
+      .groupBy(col("bucket"))
+      .agg(sum(col("total_cents")).as("total_cents"), sum(col("n_orders")).as("n_orders"))
+      .select(
+        col("bucket"), col("total_cents"), col("n_orders"),
+        Num.ratio(col("total_cents"), col("n_orders")).as("avg_cents"))
+  }
+
+  /** Quantile binning (decile discretizer) — the feature-engineering step
+    * that turns a skewed numeric column into 10 equal-population ordinal
+    * bins. One percentile aggregate produces the 9 interior boundaries
+    * (a 1-row broadcast); bin assignment is then a row-local count of
+    * boundaries strictly below the value, so the fact table never shuffles
+    * for the assignment — only for the final per-bin rollup, whose key
+    * space is fixed at 10. Values exactly ON a boundary take the lower bin
+    * in both engines (strict `>` both sides). Integer-cents inputs keep
+    * the interpolated boundaries bit-identical cross-engine (the
+    * `agg_percentiles` contract).
+    */
+  val quantileBinning: QueryDef = QueryDef(
+    "quantile_binning",
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (
+      |  SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM c)
+      |SELECT CAST(1 + len(list_filter(b.bs, x -> CAST(c.cents AS DOUBLE) > x)) AS INTEGER) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(c.cents) AS BIGINT) AS min_cents,
+      |  CAST(max(c.cents) AS BIGINT) AS max_cents
+      |FROM c CROSS JOIN b
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val c = Tables.orders(spark, dir).select(Num.cents(col("o_totalprice")).as("cents"))
+    val bounds = c.agg(expr(
+      "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").as("bs"))
+    c.crossJoin(broadcast(bounds))
+      .select(
+        (lit(1) + size(expr("filter(bs, x -> CAST(cents AS DOUBLE) > x)"))).cast("int").as("bin"),
+        col("cents"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
-    rollingEwma, madOutliers)
+    rollingEwma, madOutliers, incrementalAggMerge, quantileBinning)
 }

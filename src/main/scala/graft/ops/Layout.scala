@@ -106,5 +106,51 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  val all: Seq[QueryDef] = Seq(zorderHist)
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * dataset needs (streaming ingest and partitioned writes both fragment;
+    * at 100 TB a file-per-trigger table turns scans into metadata storms
+    * and loses min-max pruning). The gate writes a deliberately fragmented
+    * copy of the supplier-month rollup (48 shards of a few hundred rows),
+    * then compacts by RANGE-repartitioning on the filter column into 4
+    * files — bin-packing AND re-clustering in one pass, so each compacted
+    * file covers a disjoint suppkey range and per-file min-max statistics
+    * prune again. The oracle recomputes the readback aggregate from the
+    * base table, proving the rewrite is content-lossless; the file-count
+    * drop and the per-file disjointness are spec-asserted (file counts are
+    * not SQL-expressible).
+    */
+  val compactSmallFiles: QueryDef = QueryDef(
+    "compact_small_files",
+    """SELECT l_suppkey,
+      |  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_months
+      |FROM lineitem
+      |GROUP BY l_suppkey""".stripMargin) { (spark, dir) =>
+    val (_, compactedPath) = compactFixture(spark, dir)
+    spark.read.parquet(compactedPath)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("rev_cents")).as("rev_cents"),
+        countDistinct(col("month")).as("n_months"))
+  }
+
+  /** Writes the fragmented copy and its compaction; returns both paths so
+    * the spec can count files. Kept separate from the QueryDef so the gate
+    * and the spec drive the identical rewrite.
+    */
+  def compactFixture(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val fragmented = graft.rentals.Scratch.dir("graft_compact_fragmented")
+    val compacted = graft.rentals.Scratch.dir("graft_compact_done")
+    val rollup = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(graft.core.Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev_cents"))
+    rollup.repartition(48).write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented)
+      .repartitionByRange(4, col("l_suppkey"))
+      .write.mode("overwrite").parquet(compacted)
+    (fragmented, compacted)
+  }
+
+  val all: Seq[QueryDef] = Seq(zorderHist, compactSmallFiles)
 }

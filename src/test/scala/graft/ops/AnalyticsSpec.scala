@@ -152,4 +152,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(gN === xs.length.toLong && gOut === nOut.toLong, s"$flag counts")
     }
   }
+
+  test("incremental_agg_merge equals the from-scratch aggregate") {
+    val got = Analytics.incrementalAggMerge.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val full = graft.core.Tables.orders(spark, dir)
+      .groupBy((col("o_custkey") % 50).as("bucket"))
+      .agg(sum(graft.core.Num.cents(col("o_totalprice"))).as("t"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(full.length === got.size)
+    full.foreach { case (b, t, n) =>
+      val (gt, gn, gavg) = got(b)
+      assert(gt === t && gn === n, s"bucket $b")
+      assert(gavg === t.toDouble / n.toDouble, s"bucket $b avg")
+    }
+  }
+
+  test("quantile_binning: 10 contiguous equal-population bins ordered by value range") {
+    val rows = Analytics.quantileBinning.fn(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val total = rows.map(_._2).sum
+    // deciles: every bin within 2% of total/10 (ties on boundaries shift a few rows)
+    rows.foreach { case (bin, n, mn, mx) =>
+      assert(mn <= mx)
+      assert(math.abs(n - total / 10.0) <= total * 0.02, s"bin $bin population $n")
+    }
+    // value ranges do not overlap across consecutive bins
+    rows.sliding(2).foreach { case Array((_, _, _, mxPrev), (_, _, mnNext, _)) =>
+      assert(mxPrev <= mnNext)
+    }
+  }
 }

@@ -150,4 +150,26 @@ class LayoutSpec extends SparkSpec {
       assert(sSkipQty >= nFiles - 1, s"sorted qty overlap $sSkipQty")
     }
   }
+
+  test("compact_small_files: 48 fragments become 4 range-disjoint files with identical content") {
+    val dir = "/root/testdata/sf0.001"
+    val (fragmented, compacted) = Layout.compactFixture(spark, dir)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented).length === 48)
+    val files = parquetFiles(compacted)
+    assert(files.length === 4)
+    // content identical under the rewrite
+    val a = spark.read.parquet(fragmented).orderBy("l_suppkey", "month").collect()
+    val b = spark.read.parquet(compacted).orderBy("l_suppkey", "month").collect()
+    assert(a.toSeq === b.toSeq)
+    // range clustering: per-file suppkey intervals are pairwise disjoint
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("l_suppkey"),
+          org.apache.spark.sql.functions.max("l_suppkey")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+  }
 }
