@@ -28,6 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming64", "hamming64(bigint, bigint) - popcount of xor"),
       (args: Seq[Expression]) => HammingDistance64(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(string) - portable polynomial rolling hash mod 1e9+7"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        if (args.length != 1)
+          Bridge.analysisError(s"poly_hash expects 1 argument, got ${args.length}")
+        graft.functions.PolyHash(args(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(array<string>, k) - k-wide MinHash signature, one pass"),
       (args: Seq[Expression]) => {

@@ -394,7 +394,69 @@ object Analytics {
         max(col("cents")).as("max_cents"))
   }
 
+  /** Trailing 7-observation rolling MEDIAN per bucket — the robust smoother
+    * next to [[rollingEwma]]'s weighted mean (one delayed spike drags a mean
+    * for 7 rows; the median ignores it). `percentile` as a WINDOW aggregate
+    * over a ROWS frame: the frame holds ≤ 7 integer-cents values, so the
+    * interpolated median is dyadic-rational and bit-identical to DuckDB's
+    * windowed `quantile_cont`. Same single-exchange shape as the EWMA (the
+    * explicit bucket repartition serves aggregate and window alike).
+    */
+  val rollingMedian: QueryDef = QueryDef(
+    "rolling_median",
+    """WITH series AS (
+      |  SELECT o_custkey % 50 AS bucket,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT bucket, month,
+      |  quantile_cont(c, 0.5) OVER (PARTITION BY bucket ORDER BY month
+      |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
+      |    AS rolling_median
+      |FROM series""".stripMargin) { (spark, dir) =>
+    val series = Tables.orders(spark, dir)
+      .select(
+        (col("o_custkey") % 50).as("bucket"),
+        date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
+          .as("month"),
+        Num.cents(col("o_totalprice")).as("cc"))
+      .repartition(col("bucket"))
+      .groupBy(col("bucket"), col("month"))
+      .agg(sum(col("cc")).as("c"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("month")).rowsBetween(-6, 0)
+    series.select(
+      col("bucket"), col("month"),
+      (expr("percentile(c, 0.5D)").over(w) / lit(100.0)).as("rolling_median"))
+  }
+
+  /** Several DISTINCT aggregates with different keys in one query — the
+    * shape Catalyst plans with an Expand (one row replica per distinct
+    * group, NULL-padded), turning N distinct columns into one aggregation
+    * tree instead of N self-joined queries. Worth pinning because the naive
+    * alternative (N separate scans + join) is the 100 TB anti-pattern;
+    * Expand costs one shuffle carrying n_distinct_cols × rows but scans the
+    * fact table once.
+    */
+  val aggMultiDistinct: QueryDef = QueryDef(
+    "agg_multi_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(Num.cents(col("l_extendedprice"))).as("rev_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
-    rollingEwma, madOutliers, incrementalAggMerge, quantileBinning)
+    rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
+    aggMultiDistinct)
 }

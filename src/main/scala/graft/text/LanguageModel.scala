@@ -141,5 +141,46 @@ object LanguageModel {
       .select(col("doc_id"), col("w.win_start"), col("w.input_tokens"), col("w.target_token"))
   }
 
-  val all: Seq[QueryDef] = Seq(invertedIndex, bigramLm, slidingTokenWindows)
+  /** The hashing trick: every token mapped into a fixed 256-bucket feature
+    * space via the portable polynomial hash, with per-document bucket
+    * counts — the fixed-width sparse featurization (CountVectorizer without
+    * a vocabulary pass) that keeps feature extraction single-pass at any
+    * corpus size. ZERO shuffles: the histogram is built row-locally with
+    * higher-order functions over the token array (O(distinct·tokens) per
+    * row, bounded by the 256-bucket space), so the stage is a pure codegen'd
+    * map — the scale ceiling is I/O, not the operator. The oracle replays
+    * the identical hash fold per token in SQL, proving the featurization
+    * engine-independent (same property that makes train/serve skew
+    * impossible for this featurizer).
+    */
+  val featureHashing: QueryDef = QueryDef(
+    "feature_hashing",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(tk, t -> CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) % 256 AS INTEGER)) AS bs
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(bs)) AS INTEGER) AS n_features,
+      |  list_sort(list_distinct(bs)) AS buckets,
+      |  list_transform(list_sort(list_distinct(bs)),
+      |                 b -> CAST(len(list_filter(bs, x -> x = b)) AS BIGINT)) AS counts
+      |FROM h""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .selectExpr(
+        "doc_id",
+        "transform(tk, t -> CAST(poly_hash(t) % 256 AS INT)) AS bs")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(array_distinct(bs)) AS INT) AS n_features",
+        "array_sort(array_distinct(bs)) AS buckets",
+        """transform(array_sort(array_distinct(bs)),
+          |  b -> CAST(size(filter(bs, x -> x = b)) AS BIGINT)) AS counts""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing)
 }

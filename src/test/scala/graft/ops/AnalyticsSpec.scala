@@ -183,4 +183,42 @@ class AnalyticsSpec extends SparkSpec {
       assert(mxPrev <= mnNext)
     }
   }
+
+  test("rolling_median matches a direct trailing-window computation") {
+    val got = Analytics.rollingMedian.fn(spark, dir)
+      .as[(Long, java.sql.Date, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> r._3).toMap
+    val series = graft.core.Tables.orders(spark, dir)
+      .select((col("o_custkey") % 50).as("bucket"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        graft.core.Num.cents(col("o_totalprice")).as("cc"))
+      .groupBy("bucket", "month").agg(sum("cc").as("c"))
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) => b -> rows.sortBy(_._2.toString) }
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    series.foreach { case (bucket, rows) =>
+      rows.zipWithIndex.foreach { case ((_, month, _), i) =>
+        val window = rows.slice(math.max(0, i - 6), i + 1).map(_._3.toDouble)
+        val expected = medianOf(window) / 100.0
+        assert(got((bucket, month.toString)) === expected, s"bucket $bucket month $month")
+      }
+    }
+  }
+
+  test("agg_multi_distinct equals per-column distinct counts") {
+    val got = Analytics.aggMultiDistinct.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val li = graft.core.Tables.lineitem(spark, dir)
+    got.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val (_, ns, np, no, rev) = got(flag)
+      assert(ns === sub.select("l_suppkey").distinct().count())
+      assert(np === sub.select("l_partkey").distinct().count())
+      assert(no === sub.select("l_orderkey").distinct().count())
+      assert(rev === sub.agg(sum(graft.core.Num.cents(col("l_extendedprice")))).head().getLong(0))
+    }
+  }
 }

@@ -66,4 +66,28 @@ class LanguageModelSpec extends SparkSpec {
     }
     df.unpersist()
   }
+
+  test("feature_hashing: counts reconstruct token totals; sql poly_hash matches the Column API") {
+    val df = LanguageModel.featureHashing.fn(spark, dir).cache()
+    // per-doc sum of bucket counts == token count; buckets sorted distinct in [0, 256)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val joined = df.join(docs, "doc_id")
+    val badTotals = joined
+      .filter(expr("aggregate(counts, 0L, (a, x) -> a + x)") =!= col("n_tok").cast("long"))
+      .count()
+    assert(badTotals === 0L)
+    val badBuckets = df.filter(
+      expr("sort_array(array_distinct(buckets))") =!= col("buckets") ||
+        expr("exists(buckets, b -> b < 0 OR b >= 256)")).count()
+    assert(badBuckets === 0L)
+    df.unpersist()
+    // the SQL-registered poly_hash is the same expression as the Column API
+    val mismatch = graft.core.Tables.documents(spark, dir)
+      .select(
+        graft.functions.PolyHash.polyHash(col("text")).as("a"),
+        expr("poly_hash(text)").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0L)
+  }
 }
