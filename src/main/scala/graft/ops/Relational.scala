@@ -608,6 +608,110 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Snapshot reconciliation (table diff): classify every key across two
+    * dataset versions as added / removed / changed / unchanged, with the
+    * exact net value delta per class — the audit every incremental pipeline
+    * runs before publishing ("what did today's load actually do?"). The two
+    * snapshots are derived deterministically from orders (yesterday drops
+    * keys ≡ 0 mod 7; today drops ≡ 0 mod 5 and bumps values on ≡ 0 mod 3),
+    * so the oracle replays the derivation and the classification must match
+    * bit-for-bit. One full-outer sort-merge join on the key — the diff
+    * never materializes more than the two snapshots, and the class rollup
+    * is a 4-key aggregate. At 100 TB both sides shuffle once on the key;
+    * with bucketed snapshots even that exchange disappears.
+    */
+  val snapshotDiff: QueryDef = QueryDef(
+    "snapshot_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS v
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT
+      |  CASE WHEN a.k IS NULL THEN 'added'
+      |       WHEN b.k IS NULL THEN 'removed'
+      |       WHEN a.v <> b.v THEN 'changed'
+      |       ELSE 'unchanged' END AS class,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(COALESCE(b.v, 0) - COALESCE(a.v, 0)) AS BIGINT) AS net_delta_cents
+      |FROM a FULL OUTER JOIN b ON b.k = a.k
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val cents = Num.cents(col("o_totalprice"))
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("ak"), cents.as("av"))
+    val b = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(
+        col("o_orderkey").as("bk"),
+        (cents + when(col("o_orderkey") % 3 === 0, lit(100L)).otherwise(lit(0L))).as("bv"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(
+        when(col("ak").isNull, "added")
+          .when(col("bk").isNull, "removed")
+          .when(col("av") =!= col("bv"), "changed")
+          .otherwise("unchanged").as("class"),
+        (coalesce(col("bv"), lit(0L)) - coalesce(col("av"), lit(0L))).as("delta"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), sum(col("delta")).as("net_delta_cents"))
+  }
+
+  /** Referential-integrity audit: orphan counts for three FK relations in
+    * one result — the DQ dimension the null/range checks can't see. The
+    * parent side of the first relation is deliberately sampled (orders
+    * keys ≡ 0 mod 97 removed) so the check provably FINDS orphans rather
+    * than vacuously passing; the other two relations are intact. Each
+    * relation is a LEFT ANTI join — child-side scan + one join, parent side
+    * broadcast when small; counts are exact. At scale anti joins shuffle
+    * only on the FK — the cheapest possible shape for an integrity sweep.
+    */
+  val dqReferential: QueryDef = QueryDef(
+    "dq_referential",
+    """SELECT 'lineitem->orders_sampled' AS relation,
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+      |  CAST((SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey
+      |                            AND o.o_orderkey % 97 <> 0)) AS BIGINT) AS n_orphans
+      |UNION ALL
+      |SELECT 'lineitem->supplier',
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+      |  CAST((SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |                          WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'customer->nation',
+      |  CAST((SELECT count(*) FROM customer) AS BIGINT),
+      |  CAST((SELECT count(*) FROM customer c
+      |        WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                          WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val sampledOrders = Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 97 =!= 0).select(col("o_orderkey"))
+      def audit(name: String, child: org.apache.spark.sql.DataFrame, childKey: String,
+                parent: org.apache.spark.sql.DataFrame, parentKey: String,
+                broadcastParent: Boolean) = {
+        val p = if (broadcastParent) broadcast(parent) else parent
+        val orphans = child.join(p, col(childKey) === col(parentKey), "left_anti").count()
+        (name, child.count(), orphans)
+      }
+      Seq(
+        audit("lineitem->orders_sampled", li, "l_orderkey", sampledOrders, "o_orderkey",
+          broadcastParent = false),
+        audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(spark, dir).select(col("s_suppkey")), "s_suppkey",
+          broadcastParent = true),
+        audit("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+          Tables.nation(spark, dir).select(col("n_nationkey")), "n_nationkey",
+          broadcastParent = true))
+        .toDF("relation", "n_child", "n_orphans")
+  }
+
   /** The SQL surface with a correlated scalar subquery (decorrelated by
     * Catalyst into a join): orders more than twice their customer's average.
     * Runs through `spark.sql` over temp views — same SQL text the oracle
@@ -1067,7 +1171,7 @@ object Relational {
     joinRegionRevenue, joinSemiOrders, joinAntiCustomers, joinOuterCustomerOrders,
     rangeJoinBands, topkSuppliersPerNation, dedupDeterministic, windowMomNation,
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
-    tpchQ3Style, tpchQ5Style, tpchQ8Style, sqlCorrelatedSubquery,
+    tpchQ3Style, tpchQ5Style, tpchQ8Style, sqlCorrelatedSubquery, snapshotDiff, dqReferential,
     profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
     aggGroupingSets, aggWeightedAvg, aggCorrExact,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,

@@ -318,6 +318,31 @@ object Streams {
     runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
   }
 
+  /** `flatMapGroupsWithState` inside the gate: [[userTypeCounts]] — the
+    * multi-row-emission state API (0..n output rows per group per batch; a
+    * per-user map of per-type counters here) run AvailableNow in Update
+    * mode. Every batch that touches a user re-emits that user's full
+    * per-type count map with strictly-increasing counts, so the latest
+    * snapshot per (user, type) — max n — is the per-pair total the DuckDB
+    * oracle states relationally. The upsert-read logic is the same as
+    * `streaming_user_totals`; what this adds to the gate is the multi-row
+    * state-emission API itself.
+    */
+  val streamingTypeCounts: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_type_counts",
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val snapshots = userTypeCounts(sess, readEventsStream(sess, dir)).toDF()
+    val table = s"graft_streaming_type_counts_${System.nanoTime()}"
+    val emitted = runAvailableNowToMemory(sess, snapshots, table, OutputMode.Update())
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("n").desc)
+    emitted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"), col("n"))
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

@@ -102,4 +102,34 @@ class AggregatesSpec extends SparkSpec {
       assert(total > 0.0 && n > 0L)
     }
   }
+
+  test("snapshot_diff: classes partition the key union and match the modular derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.snapshotDiff.fn(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val keys = graft.core.Tables.orders(spark, dir)
+      .select("o_orderkey").as[Long].collect()
+    val inA = keys.filter(_ % 7 != 0).toSet
+    val inB = keys.filter(_ % 5 != 0).toSet
+    assert(got("added")._1 === (inB -- inA).size.toLong)
+    assert(got("removed")._1 === (inA -- inB).size.toLong)
+    val both = inA intersect inB
+    assert(got("changed")._1 === both.count(_ % 3 == 0).toLong)
+    assert(got("unchanged")._1 === both.count(_ % 3 != 0).toLong)
+    // value bumps are +100 cents each on changed keys; added/removed deltas nonzero
+    assert(got("changed")._2 === 100L * got("changed")._1)
+    assert(got("unchanged")._2 === 0L)
+  }
+
+  test("dq_referential: the sampled relation finds orphans, intact relations are clean") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.dqReferential.fn(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (_, orphans) = got("lineitem->orders_sampled")
+    assert(orphans > 0L, "sampling the parent must surface orphans")
+    assert(got("lineitem->supplier")._2 === 0L)
+    assert(got("customer->nation")._2 === 0L)
+    // orphan counts never exceed the child row count
+    got.values.foreach { case (n, o) => assert(o <= n) }
+  }
 }
