@@ -182,5 +182,70 @@ object LanguageModel {
           |  b -> CAST(size(filter(bs, x -> x = b)) AS BIGINT)) AS counts""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing)
+  /** LM-based document scoring: every document's mean smoothed bigram
+    * probability under the corpus-trained bigram model — the count-based
+    * stand-in for perplexity filtering (log-space perplexity is libm-defined
+    * and NOT bit-stable across engines; the probability mean is). Summation
+    * order is pinned by folding each document's probabilities in bigram
+    * POSITION order inside a row-local `aggregate` (an unordered SUM of
+    * doubles would be partitioning-dependent), so the score is
+    * deterministic under any cluster layout. Two aggregate shuffles build
+    * the model from the same bigram stream being scored (no second corpus
+    * scan per model table); the scoring join is (w1, w2)-keyed and the
+    * final rollup doc-keyed. Self-scoring here; scoring corpus B under
+    * model A is the same plan with two inputs.
+    */
+  val docLmScore: QueryDef = QueryDef(
+    "doc_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM c2 GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |scored AS (
+      |  SELECT bg.doc_id, bg.pos,
+      |    CAST(c2.n + 1 AS DOUBLE) / CAST(ctx.ctx_n + v.vocab AS DOUBLE) AS p
+      |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |          JOIN ctx ON ctx.w1 = bg.w1 CROSS JOIN v)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
+      |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1, 1),
+          |  i -> struct(CAST(i AS INT) AS pos,
+          |              element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val ctx = c2.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(broadcast(ctx), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"), col("pos"),
+        ((col("n") + lit(1)).cast("double")
+          / (col("ctx_n") + col("vocab")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("p"))).as("ps"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        (expr("aggregate(transform(array_sort(ps), x -> x.p), 0D, (a, x) -> a + x)")
+          / col("n_bigrams")).as("mean_p"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore)
 }

@@ -90,4 +90,30 @@ class LanguageModelSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(mismatch === 0L)
   }
+
+  test("doc_lm_score: probabilities average the smoothed model in position order") {
+    import org.apache.spark.sql.functions.explode
+    val got = LanguageModel.docLmScore.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // rebuild the model and one doc's score directly in Scala
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .as[(Long, Seq[String])].collect()
+    val allBigrams = docs.flatMap { case (_, tk) => tk.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = allBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val vocab = docs.flatMap(_._2).distinct.length.toLong
+    docs.filter(_._2.length >= 2).take(5).foreach { case (docId, tk) =>
+      val ps = tk.sliding(2).filter(_.length == 2).map { w =>
+        (c2((w(0), w(1))) + 1).toDouble / (ctx(w(0)) + vocab).toDouble
+      }.toSeq
+      val mean = ps.foldLeft(0.0)(_ + _) / ps.length
+      val (n, gm) = got(docId)
+      assert(n === ps.length.toLong, s"doc $docId n_bigrams")
+      assert(gm === mean, s"doc $docId mean_p")
+    }
+    // scores are valid probabilities
+    got.values.foreach { case (_, p) => assert(p > 0.0 && p <= 1.0) }
+  }
 }
