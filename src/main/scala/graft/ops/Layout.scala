@@ -152,5 +152,50 @@ object Layout {
     (fragmented, compacted)
   }
 
-  val all: Seq[QueryDef] = Seq(zorderHist, compactSmallFiles)
+  /** Targeted deletion rewrite — the data-removal (right-to-be-forgotten /
+    * opt-out) maintenance pass every training-data pipeline needs: given a
+    * KEY LIST of users to erase (here: user_id ≡ 0 mod 13, standing in for
+    * a removal-request table), anti-join the events table against it,
+    * rewrite, and read the result back. The deletion is key-list-driven
+    * (LEFT ANTI against a broadcast removal set — the list is request-sized,
+    * never fact-sized), not a predicate filter, because real removal
+    * requests arrive as keys. The oracle recomputes the post-delete
+    * aggregate from the base table, so the rewrite must have removed
+    * exactly the listed users and nothing else; the spec additionally
+    * proves zero listed keys survive in the written files.
+    */
+  val targetedDeleteRewrite: QueryDef = QueryDef(
+    "targeted_delete_rewrite",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS total_cents
+      |FROM events
+      |WHERE user_id % 13 <> 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(deleteRewriteFixture(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(coalesce(graft.core.Num.cents(col("value")), lit(0L))).as("total_cents"))
+  }
+
+  /** Performs the key-list anti-join delete + rewrite; returns the output
+    * path (shared by the gate query and the no-survivors spec).
+    */
+  def deleteRewriteFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = graft.rentals.Scratch.dir("graft_delete_rewrite")
+    val events = Tables.events(spark, dir)
+    val removalRequests = events
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 13 === 0)
+      .withColumnRenamed("user_id", "erase_id")
+    events
+      .join(broadcast(removalRequests), col("user_id") === col("erase_id"), "left_anti")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  val all: Seq[QueryDef] = Seq(zorderHist, compactSmallFiles, targetedDeleteRewrite)
 }

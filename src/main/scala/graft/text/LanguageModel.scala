@@ -246,6 +246,45 @@ object LanguageModel {
           / col("n_bigrams")).as("mean_p"))
   }
 
+  /** BPE merge-step statistics: frequency-weighted adjacent-character-pair
+    * counts — the exact quantity byte-pair-encoding tokenizer training
+    * maximizes at each merge. The critical scale trick is REAL BPE's own:
+    * pair expansion runs over the DISTINCT-WORD table weighted by word
+    * frequency, not over corpus tokens — one token-keyed aggregate shrinks
+    * the data to vocabulary size, the per-word expansion is row-local, and
+    * the pair rollup's key space is bounded by alphabet² (map-side combine
+    * saturates). Gate output: the 20 highest-count pairs (the first merge
+    * candidates), deterministic via the (n desc, a, b) total order.
+    */
+  val bpePairCounts: QueryDef = QueryDef(
+    "bpe_pair_counts",
+    """WITH wf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS wf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |pairs AS (
+      |  SELECT substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b, wf
+      |  FROM wf, UNNEST(range(1, length(tok))) AS u(i))
+      |SELECT a, b, CAST(SUM(wf) AS BIGINT) AS n
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, a, b
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("wf"))
+      .filter(length(col("tok")) >= 2) // sequence(1, 0, 1) is an error in Spark
+      .select(col("wf"), explode(expr(
+        """transform(sequence(1, length(tok) - 1, 1),
+          |  i -> struct(substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore)
+    Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore,
+      bpePairCounts)
 }

@@ -172,4 +172,14 @@ class LayoutSpec extends SparkSpec {
     }.sortBy(_._1)
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
   }
+
+  test("targeted_delete_rewrite: zero listed users survive; everyone else untouched") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Layout.deleteRewriteFixture(spark, dir)
+    val rewritten = spark.read.parquet(out)
+    assert(rewritten.filter(col("user_id") % 13 === 0).count() === 0L)
+    val expected = graft.core.Tables.events(spark, dir)
+      .filter(col("user_id") % 13 =!= 0).count()
+    assert(rewritten.count() === expected)
+  }
 }

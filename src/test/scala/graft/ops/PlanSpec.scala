@@ -171,4 +171,39 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("feature_hashing plans with zero exchanges (pure row-local featurization)") {
+    val p = plan(graft.text.LanguageModel.featureHashing.fn(spark, sf))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+  }
+
+  test("sliding_token_windows plans with zero exchanges") {
+    val p = plan(graft.text.LanguageModel.slidingTokenWindows.fn(spark, sf))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("rolling_ewma and rolling_median share one bucket exchange between aggregate and window") {
+    Seq(Analytics.rollingEwma, Analytics.rollingMedian).foreach { q =>
+      val p = plan(q.fn(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges === 1, s"${q.name}: expected the single shared bucket exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("agg_multi_distinct plans one Expand-based scan, not self-joined subqueries") {
+    val p = plan(Analytics.aggMultiDistinct.fn(spark, sf))
+    assert(p.contains("Expand"), s"expected Expand in:\n$p")
+    assert(!p.contains("Join"), s"multi-distinct must not self-join:\n$p")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size === 1, s"single scan expected:\n$p")
+  }
+
+  test("embedding_gram_matrix: fixed dimension-pair key space, no self-join") {
+    val p = plan(graft.vector.Similarity.embeddingGramMatrix.fn(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only non-broadcast exchange is the (dim_i, dim_j) aggregate
+    val dataExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges === 1, s"expected one pair-keyed exchange:\n$p")
+  }
 }

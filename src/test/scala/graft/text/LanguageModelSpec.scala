@@ -116,4 +116,21 @@ class LanguageModelSpec extends SparkSpec {
     // scores are valid probabilities
     got.values.foreach { case (_, p) => assert(p > 0.0 && p <= 1.0) }
   }
+
+  test("bpe_pair_counts matches a direct frequency-weighted pair count") {
+    val got = LanguageModel.bpePairCounts.fn(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(got.length === 20)
+    val words = graft.core.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .as[String].collect()
+    val direct = words
+      .flatMap(w => w.sliding(2).filter(_.length == 2).map(p => (p.substring(0, 1), p.substring(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (a, b, n) => assert(n === direct((a, b)), s"pair ($a,$b)") }
+    // descending and complete: the 20th count bounds everything not shown
+    val floor = got.last._3
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted(Ordering[Long].reverse).toSeq)
+    assert(direct.values.count(_ > floor) <= 20)
+  }
 }
