@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{Num, QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,32 @@ object Analytics {
     * inputs in both engines. One partial-agg exchange plus one per-bucket
     * window — same bounded shape as `ts_locf_fill`, holds at any scale.
     */
+  /** Shared monthly per-bucket series for the rolling-window queries
+    * (`rolling_ewma` / `rolling_median`) — ONE definition per engine so the
+    * pair can't drift, and the single-exchange contract lives in one place:
+    * hash-partitioning on bucket alone satisfies the (bucket, month)
+    * grouping's clustering AND the downstream window's partitioning, so the
+    * aggregate and the window share one shuffle (PlanSpec asserts it for
+    * both queries).
+    */
+  private val monthlySeriesSql =
+    """series AS (
+      |  SELECT o_custkey % 50 AS bucket,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  private def monthlyBucketSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        (col("o_custkey") % 50).as("bucket"),
+        date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
+          .as("month"),
+        Num.cents(col("o_totalprice")).as("cc"))
+      .repartition(col("bucket"))
+      .groupBy(col("bucket"), col("month"))
+      .agg(sum(col("cc")).as("c"))
+
   val rollingEwma: QueryDef = {
     val sqlW = "PARTITION BY bucket ORDER BY month"
     val sqlNum = (0 to 6)
@@ -230,29 +256,13 @@ object Analytics {
       .mkString(" + ")
     QueryDef(
       "rolling_ewma",
-      s"""WITH series AS (
-         |  SELECT o_custkey % 50 AS bucket,
-         |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
-         |  FROM orders GROUP BY 1, 2)
+      s"""WITH $monthlySeriesSql
          |SELECT bucket, month,
          |  CAST($sqlNum AS DOUBLE) / CAST($sqlDen AS DOUBLE) / 100.0 AS ewma,
          |  CAST(${(0 to 6).map(k => s"CASE WHEN lag(c, $k) OVER ($sqlW) IS NULL THEN 0 ELSE 1 END").mkString(" + ")}
          |       AS INTEGER) AS n_window
          |FROM series""".stripMargin) { (spark, dir) =>
-      // One exchange, not two: hash-partitioning on bucket alone satisfies
-      // the (bucket, month) grouping's clustering AND the window's
-      // partitioning, so the aggregate and the lag window share the same
-      // shuffle instead of exchanging once each.
-      val series = Tables.orders(spark, dir)
-        .select(
-          (col("o_custkey") % 50).as("bucket"),
-          date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
-            .as("month"),
-          Num.cents(col("o_totalprice")).as("cc"))
-        .repartition(col("bucket"))
-        .groupBy(col("bucket"), col("month"))
-        .agg(sum(col("cc")).as("c"))
+      val series = monthlyBucketSeries(spark, dir)
       val w = Window.partitionBy(col("bucket")).orderBy(col("month"))
       val lagged = (0 to 6).map(k => lag(col("c"), k).over(w))
       val num = (0 to 6).map(k => coalesce(lagged(k), lit(0L)) * lit(1L << (6 - k))).reduce(_ + _)
@@ -404,25 +414,13 @@ object Analytics {
     */
   val rollingMedian: QueryDef = QueryDef(
     "rolling_median",
-    """WITH series AS (
-      |  SELECT o_custkey % 50 AS bucket,
-      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
-      |  FROM orders GROUP BY 1, 2)
-      |SELECT bucket, month,
-      |  quantile_cont(c, 0.5) OVER (PARTITION BY bucket ORDER BY month
-      |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
-      |    AS rolling_median
-      |FROM series""".stripMargin) { (spark, dir) =>
-    val series = Tables.orders(spark, dir)
-      .select(
-        (col("o_custkey") % 50).as("bucket"),
-        date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.DateType)
-          .as("month"),
-        Num.cents(col("o_totalprice")).as("cc"))
-      .repartition(col("bucket"))
-      .groupBy(col("bucket"), col("month"))
-      .agg(sum(col("cc")).as("c"))
+    s"""WITH $monthlySeriesSql
+       |SELECT bucket, month,
+       |  quantile_cont(c, 0.5) OVER (PARTITION BY bucket ORDER BY month
+       |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
+       |    AS rolling_median
+       |FROM series""".stripMargin) { (spark, dir) =>
+    val series = monthlyBucketSeries(spark, dir)
     val w = Window.partitionBy(col("bucket")).orderBy(col("month")).rowsBetween(-6, 0)
     series.select(
       col("bucket"), col("month"),

@@ -691,24 +691,29 @@ object Relational {
     (spark, dir) =>
       import spark.implicits._
       val li = Tables.lineitem(spark, dir)
+      // one count job per distinct child table — lineitem is the child of
+      // two relations and must not be scanned-and-counted twice for it
+      val liCount = li.count()
       val sampledOrders = Tables.orders(spark, dir)
         .filter(col("o_orderkey") % 97 =!= 0).select(col("o_orderkey"))
-      def audit(name: String, child: org.apache.spark.sql.DataFrame, childKey: String,
-                parent: org.apache.spark.sql.DataFrame, parentKey: String,
-                broadcastParent: Boolean) = {
+      def orphanCount(child: org.apache.spark.sql.DataFrame, childKey: String,
+                      parent: org.apache.spark.sql.DataFrame, parentKey: String,
+                      broadcastParent: Boolean): Long = {
         val p = if (broadcastParent) broadcast(parent) else parent
-        val orphans = child.join(p, col(childKey) === col(parentKey), "left_anti").count()
-        (name, child.count(), orphans)
+        child.join(p, col(childKey) === col(parentKey), "left_anti").count()
       }
+      val customer = Tables.customer(spark, dir)
       Seq(
-        audit("lineitem->orders_sampled", li, "l_orderkey", sampledOrders, "o_orderkey",
-          broadcastParent = false),
-        audit("lineitem->supplier", li, "l_suppkey",
-          Tables.supplier(spark, dir).select(col("s_suppkey")), "s_suppkey",
-          broadcastParent = true),
-        audit("customer->nation", Tables.customer(spark, dir), "c_nationkey",
-          Tables.nation(spark, dir).select(col("n_nationkey")), "n_nationkey",
-          broadcastParent = true))
+        ("lineitem->orders_sampled", liCount,
+          orphanCount(li, "l_orderkey", sampledOrders, "o_orderkey", broadcastParent = false)),
+        ("lineitem->supplier", liCount,
+          orphanCount(li, "l_suppkey",
+            Tables.supplier(spark, dir).select(col("s_suppkey")), "s_suppkey",
+            broadcastParent = true)),
+        ("customer->nation", customer.count(),
+          orphanCount(customer, "c_nationkey",
+            Tables.nation(spark, dir).select(col("n_nationkey")), "n_nationkey",
+            broadcastParent = true)))
         .toDF("relation", "n_child", "n_orphans")
   }
 

@@ -69,44 +69,63 @@ object LanguageModel {
     * aggregates are map-side combined (bigram key space saturates at the
     * observed-vocabulary², orders of magnitude below token occurrences).
     */
-  val bigramLm: QueryDef = QueryDef(
-    "bigram_lm",
-    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+  /** Shared bigram-model building blocks — `bigram_lm` states the model,
+    * `doc_lm_score` applies it, and sharing ONE definition per engine (the
+    * CTE chain, the positioned bigram stream, the smoothing formula) is what
+    * keeps the two queries provably in lockstep: an edit to tokenization or
+    * the smoothing constant reaches both or neither.
+    */
+  private val modelSqlCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |bg AS (
-      |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i] AS w1, tk[i + 1] AS w2
       |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
       |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM c2 GROUP BY 1),
       |v AS (
       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
-      |SELECT c2.w1, c2.w2, c2.n, ctx.ctx_n, v.vocab,
-      |  CAST(c2.n + 1 AS DOUBLE) / CAST(ctx.ctx_n + v.vocab AS DOUBLE) AS p_smoothed
-      |FROM c2 JOIN ctx ON ctx.w1 = c2.w1 CROSS JOIN v
-      |ORDER BY c2.n DESC, c2.w1, c2.w2
-      |LIMIT 20""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    val bigrams = docs
-      .select(split(col("text"), " ").as("tk"))
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))""".stripMargin
+
+  private val smoothedSql = "CAST(c2.n + 1 AS DOUBLE) / CAST(ctx.ctx_n + v.vocab AS DOUBLE)"
+
+  /** (doc_id, pos, w1, w2) positioned bigram stream (row-local expansion). */
+  private def bigramsWithPos(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2) // sequence(1, 0, 1) is an error in Spark
-      .select(expr(
-        """explode(transform(sequence(1, size(tk) - 1, 1),
-          |  i -> struct(element_at(tk, i) AS w1,
-          |              element_at(tk, i + 1) AS w2))) AS bg""".stripMargin))
-      .select(col("bg.w1"), col("bg.w2"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1, 1),
+          |  i -> struct(CAST(i AS INT) AS pos,
+          |              element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+
+  private def vocabOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+
+  private val smoothedP =
+    ((col("n") + lit(1)).cast("double") / (col("ctx_n") + col("vocab")).cast("double"))
+
+  val bigramLm: QueryDef = QueryDef(
+    "bigram_lm",
+    s"""WITH $modelSqlCtes
+       |SELECT c2.w1, c2.w2, c2.n, ctx.ctx_n, v.vocab,
+       |  $smoothedSql AS p_smoothed
+       |FROM c2 JOIN ctx ON ctx.w1 = c2.w1 CROSS JOIN v
+       |ORDER BY c2.n DESC, c2.w1, c2.w2
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val bigrams = bigramsWithPos(spark, dir)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .agg(countDistinct(col("tok")).as("vocab"))
     bigrams
       .join(broadcast(contexts), "w1")
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(vocabOf(spark, dir)))
       .select(
         col("w1"), col("w2"), col("n"), col("ctx_n"), col("vocab"),
-        ((col("n") + lit(1)).cast("double")
-          / (col("ctx_n") + col("vocab")).cast("double")).as("p_smoothed"))
+        smoothedP.as("p_smoothed"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(20)
   }
@@ -197,45 +216,23 @@ object LanguageModel {
     */
   val docLmScore: QueryDef = QueryDef(
     "doc_lm_score",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |bg AS (
-      |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i] AS w1, tk[i + 1] AS w2
-      |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
-      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
-      |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM c2 GROUP BY 1),
-      |v AS (
-      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
-      |scored AS (
-      |  SELECT bg.doc_id, bg.pos,
-      |    CAST(c2.n + 1 AS DOUBLE) / CAST(ctx.ctx_n + v.vocab AS DOUBLE) AS p
-      |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
-      |          JOIN ctx ON ctx.w1 = bg.w1 CROSS JOIN v)
-      |SELECT doc_id,
-      |  CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
-      |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
-    val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(tk) - 1, 1),
-          |  i -> struct(CAST(i AS INT) AS pos,
-          |              element_at(tk, i) AS w1,
-          |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    s"""WITH $modelSqlCtes,
+       |scored AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    $smoothedSql AS p
+       |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+       |          JOIN ctx ON ctx.w1 = bg.w1 CROSS JOIN v)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
+       |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val bg = bigramsWithPos(spark, dir)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val ctx = c2.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .agg(countDistinct(col("tok")).as("vocab"))
     bg.join(c2, Seq("w1", "w2"))
       .join(broadcast(ctx), "w1")
-      .crossJoin(broadcast(vocab))
-      .select(
-        col("doc_id"), col("pos"),
-        ((col("n") + lit(1)).cast("double")
-          / (col("ctx_n") + col("vocab")).cast("double")).as("p"))
+      .crossJoin(broadcast(vocabOf(spark, dir)))
+      .select(col("doc_id"), col("pos"), smoothedP.as("p"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

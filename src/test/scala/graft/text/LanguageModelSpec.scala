@@ -15,16 +15,17 @@ class LanguageModelSpec extends SparkSpec {
     val rows = LanguageModel.invertedIndex.fn(spark, dir)
       .as[(String, Long, Seq[Long])].collect()
     assert(rows.length === 20)
+    // one aggregate recomputes every term's df (not a scan per term)
+    val expectedDf = graft.core.Tables.documents(spark, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
     rows.foreach { case (term, df, postings) =>
       assert(postings.length <= 10, s"$term postings capped at 10")
       assert(postings === postings.sorted, s"$term postings ascending")
       assert(postings.distinct.length === postings.length, s"$term postings distinct")
       assert(df >= postings.length.toLong, s"$term df covers the prefix")
-      // df = number of documents whose distinct-token set contains the term
-      val expected = graft.core.Tables.documents(spark, dir)
-        .filter(array_contains(array_distinct(split(col("text"), " ")), term))
-        .count()
-      assert(df === expected, s"$term df")
+      assert(df === expectedDf(term), s"$term df")
     }
   }
 
