@@ -33,7 +33,8 @@ object SparkEntry {
       streaming.Streams.streamStreamJoin :+
       streaming.Streams.streamingUserTotals :+
       streaming.Streams.streamingSessionWindows :+
-      streaming.Streams.streamingTypeCounts
+      streaming.Streams.streamingTypeCounts :+
+      streaming.Streams.streamingHoppingAppend
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -526,6 +526,52 @@ object Events {
         Num.ratio(col("n"), col("row_total")).as("p"))
   }
 
+  /** Chi-square contingency cells: observed vs expected counts for
+    * event_type × user-cohort, with each cell's χ² contribution — the
+    * independence test behind cohort-behavior analysis, emitted PER CELL
+    * because the total χ² is a sum of doubles whose order an engine is free
+    * to choose (per-cell values are fixed-order arithmetic on exact integer
+    * counts, hence bit-stable; a consumer folds them in any order it
+    * documents). Three aggregates over the |types|×|cohorts| contingency
+    * table itself — the fact table is scanned once for the cell counts and
+    * the margins derive from those (broadcast back, constant-size at any
+    * event volume).
+    */
+  val contingencyCells: QueryDef = QueryDef(
+    "contingency_cells",
+    """WITH cells AS (
+      |  SELECT event_type, user_id % 4 AS cohort, CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+      |ct AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      |SELECT c.event_type, c.cohort, c.o,
+      |  CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tot.n AS DOUBLE) AS expected,
+      |  (CAST(c.o AS DOUBLE) - CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |    * (CAST(c.o AS DOUBLE) - CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |    / (CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS chi2_cell
+      |FROM cells c
+      |JOIN rt ON rt.event_type = c.event_type
+      |JOIN ct ON ct.cohort = c.cohort
+      |CROSS JOIN tot""".stripMargin) { (spark, dir) =>
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (col("user_id") % 4).as("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val rowTotals = cells.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
+    val colTotals = cells.groupBy(col("cohort")).agg(sum(col("o")).as("col_n"))
+    val total = cells.agg(sum(col("o")).as("n"))
+    val expected = (col("row_n") * col("col_n")).cast("double") / col("n").cast("double")
+    cells
+      .join(broadcast(rowTotals), "event_type")
+      .join(broadcast(colTotals), "cohort")
+      .crossJoin(broadcast(total))
+      .select(
+        col("event_type"), col("cohort"), col("o"),
+        expected.as("expected"),
+        ((col("o").cast("double") - expected) * (col("o").cast("double") - expected) / expected)
+          .as("chi2_cell"))
+  }
+
   /** Per-group z-score outlier counting — the data-cleaning gate every
     * ingest needs ("how many events sit 3σ from their type's mean?").
     * Group moments come from exact integer-cents sums (DECIMAL(38,0)
@@ -585,5 +631,6 @@ object Events {
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
-    upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore)
+    upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore,
+    contingencyCells)
 }

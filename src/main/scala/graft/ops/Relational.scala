@@ -916,6 +916,72 @@ object Relational {
           .as("corr_qty_price"))
   }
 
+  /** Full pairwise Pearson correlation matrix over the four lineitem
+    * numerics — `agg_corr_exact`'s integer-moment mechanism generalized:
+    * ONE scan accumulates every first and second cross moment as exact
+    * wide-integer sums (4 + 4 + 6 = 14 accumulators in a single aggregate —
+    * not six self-joined corr() queries), and the six correlations assemble
+    * from the one-row moment table with the shared closed form. Both the
+    * SQL and the Spark side are GENERATED from the same column list, so
+    * adding a metric extends the matrix in one place. The reduce state is
+    * constant-size regardless of row count — the canonical 100 TB shape for
+    * moment statistics.
+    */
+  val corrMatrix: QueryDef = {
+    // (name, exact-integer SQL quantizer) — basis points for the two
+    // sub-unit rates so every value is an integer
+    val cols = Seq(
+      "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+      "price_c" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "disc_bp" -> "CAST(round(l_discount * 10000) AS BIGINT)",
+      "tax_bp" -> "CAST(round(l_tax * 10000) AS BIGINT)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    def corrSql(a: String, b: String) =
+      s"""(CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""".stripMargin
+    val momentSql =
+      cols.map { case (n, q) => s"SUM(CAST($q AS HUGEINT)) AS s_$n" } ++
+        (for { i <- cols.indices; j <- cols.indices if i <= j }
+          yield s"SUM(CAST(${cols(i)._2} AS HUGEINT) * CAST(${cols(j)._2} AS HUGEINT)) AS s_${cols(i)._1}_${cols(j)._1}")
+    val pairSelects = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n,\n${corrSql(a, b)} AS r\nFROM m"
+    }
+    QueryDef(
+      "corr_matrix",
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${momentSql.mkString(",\n  ")}
+         |  FROM lineitem)
+         |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin) { (spark, dir) =>
+      val dec = "decimal(38,0)"
+      val q: Map[String, org.apache.spark.sql.Column] = Map(
+        "qty" -> round(col("l_quantity")).cast("long"),
+        "price_c" -> Num.cents(col("l_extendedprice")),
+        "disc_bp" -> round(col("l_discount") * 10000).cast("long"),
+        "tax_bp" -> round(col("l_tax") * 10000).cast("long"))
+      val firsts = cols.map { case (n, _) => sum(q(n).cast(dec)).as(s"s_$n") }
+      val seconds = for { i <- cols.indices; j <- cols.indices if i <= j } yield {
+        val (a, b) = (cols(i)._1, cols(j)._1)
+        sum((q(a).cast(dec) * q(b).cast(dec))).as(s"s_${a}_$b")
+      }
+      val m = Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n"), (firsts ++ seconds): _*)
+      def d(c: String) = col(c).cast("double")
+      val rows = pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+          ((d("n") * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b"))
+            / (sqrt(d("n") * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a"))
+              * sqrt(d("n") * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")))).as("r"))
+      }
+      m.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.r"))
+    }
+  }
+
   /** Explicit GROUPING SETS (the general grouping-lattice form rollup/cube
     * specialize) through the SQL surface — the same SQL text runs in both
     * engines.
@@ -1178,7 +1244,7 @@ object Relational {
     unpivotFlagRevenue, scanFilterProject, joinFullOuterBalances,
     tpchQ3Style, tpchQ5Style, tpchQ8Style, sqlCorrelatedSubquery, snapshotDiff, dqReferential,
     profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
-    aggGroupingSets, aggWeightedAvg, aggCorrExact,
+    aggGroupingSets, aggWeightedAvg, aggCorrExact, corrMatrix,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
     sortLimitTopOrders)
 }

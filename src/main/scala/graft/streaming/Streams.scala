@@ -343,6 +343,40 @@ object Streams {
       .select(col("user_id"), col("event_type"), col("n"))
   }
 
+  /** Streaming hopping (sliding) windows inside the gate: 1-hour windows
+    * every 30 minutes per event type, Append mode with a 2-hour watermark —
+    * the streaming dual of the batch `events_hopping`. Each event lives in
+    * exactly two overlapping windows, and Append emits a window once, when
+    * the watermark passes its end, so the emitted set is the batch hopping
+    * aggregation restricted to closed windows — which the oracle states with
+    * the same bucket-union algebra as the batch query plus the cutoff
+    * predicate. State is bounded by (watermark span / slide) × |types| keys
+    * regardless of stream length.
+    */
+  val streamingHoppingAppend: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_hopping_append",
+    """WITH cutoff AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+      |b AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT b30 AS win_start, event_type FROM b
+      |  UNION ALL
+      |  SELECT b30 - INTERVAL 30 MINUTE AS win_start, event_type FROM b)
+      |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM w, cutoff
+      |WHERE win_start + INTERVAL 1 HOUR <= wm
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val streamed = readEventsStream(sess, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+    val table = s"graft_streaming_hopping_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
+  }
+
   /** Production-sink idiom: `foreachBatch` gives each micro-batch to a
     * normal batch writer (idempotent by batchId) — the pattern for sinks
     * without a native streaming writer (JDBC, upserts, partitioned parquet

@@ -133,4 +133,36 @@ class AggregatesSpec extends SparkSpec {
     // orphan counts never exceed the child row count
     got.values.foreach { case (n, o) => assert(o <= n) }
   }
+
+  test("corr_matrix: six pairs, r in [-1,1], close to Spark's streaming corr()") {
+    val got = Relational.corrMatrix.fn(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length === 6)
+    assert(got.map(r => Set(r._1, r._2)).distinct.length === 6)
+    val li = graft.core.Tables.lineitem(spark, sf).select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      graft.core.Num.cents(col("l_extendedprice")).as("price_c"),
+      round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+      round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+    got.foreach { case (a, b, n, r) =>
+      assert(n > 0L && r >= -1.0 && r <= 1.0, s"($a,$b)")
+      val ref = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(r - ref) < 1e-9, s"($a,$b): $r vs corr() $ref")
+    }
+  }
+
+  test("contingency_cells: expected margins reproduce observed totals; chi2 formula per cell") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Events.contingencyCells.fn(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val total = rows.map(_._3).sum
+    // expected counts sum back to the observed total (within fp slack)
+    assert(math.abs(rows.map(_._4).sum - total.toDouble) < 1e-6)
+    rows.foreach { case (t, c, o, e, chi2) =>
+      val rowN = rows.filter(_._1 == t).map(_._3).sum
+      val colN = rows.filter(_._2 == c).map(_._3).sum
+      assert(e === rowN.toDouble * colN.toDouble / total.toDouble, s"cell ($t,$c) expected")
+      assert(chi2 === (o - e) * (o - e) / e, s"cell ($t,$c) chi2")
+    }
+  }
 }
