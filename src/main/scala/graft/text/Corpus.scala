@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -712,8 +712,50 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Pairwise vocabulary overlap between sources — exact Jaccard over each
+    * source's distinct-token set, for every source pair. The comparative
+    * corpus statistic behind mixture design ("how redundant are these two
+    * crawls?") and the set-similarity dual of the per-document near-dup
+    * family. Scale shape: the (source, token) distinct table is
+    * vocabulary-sized per source; the intersection join is TOKEN-keyed (one
+    * shuffle, each token meeting only its |sources|² co-occurrences — never
+    * a document-level pairwise comparison), and the Jaccard assembles from
+    * broadcast per-source sizes as an exact integer ratio.
+    */
+  val sourceVocabOverlap: QueryDef = QueryDef(
+    "source_vocab_overlap",
+    """WITH st AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b""".stripMargin) { (spark, dir) =>
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(
+        col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        Num.ratio(col("n_common"), col("n_a") + col("n_b") - col("n_common")).as("jaccard"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
       packSequences, decontaminateSplit, corpusMixtureSample, tokenCommonality,
-      dedupKeepBest, termCooccurrence)
+      dedupKeepBest, termCooccurrence, sourceVocabOverlap)
 }

@@ -133,4 +133,29 @@ class CorpusSpec extends SparkSpec {
       ("bird", "cat", 2L), // docs 2, 3
       ("bird", "dog", 1L))) // doc 2; zebra pairs absent entirely
   }
+
+  test("source_vocab_overlap: jaccard bounds, symmetry of the pair set, exact on one pair") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Corpus.sourceVocabOverlap.fn(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, common, na, nb, j) =>
+      assert(a < b, "each unordered pair appears once, ordered lexically")
+      assert(common <= math.min(na, nb))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j === common.toDouble / (na + nb - common).toDouble)
+    }
+    // exact recomputation for the first pair
+    val (a, b, common, na, nb, _) = rows.head
+    def vocab(src: String) = graft.core.Tables.documents(spark, dir)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (va, vb) = (vocab(a), vocab(b))
+    assert(na === va.size.toLong && nb === vb.size.toLong)
+    assert(common === (va intersect vb).size.toLong)
+  }
 }
