@@ -554,9 +554,14 @@ object Events {
       |JOIN rt ON rt.event_type = c.event_type
       |JOIN ct ON ct.cohort = c.cohort
       |CROSS JOIN tot""".stripMargin) { (spark, dir) =>
+    // The cell table is referenced four times (margins, total, output);
+    // Spark re-executes each DataFrame reference, so without pinning it the
+    // fact table would be scanned four times. localCheckpoint materializes
+    // the constant-size (|types|·|cohorts|-row) table once — one fact scan.
     val cells = Tables.events(spark, dir)
       .groupBy(col("event_type"), (col("user_id") % 4).as("cohort"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowTotals = cells.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
     val colTotals = cells.groupBy(col("cohort")).agg(sum(col("o")).as("col_n"))
     val total = cells.agg(sum(col("o")).as("n"))

@@ -737,14 +737,28 @@ object Corpus {
       |FROM inter i
       |JOIN sizes sa ON sa.source = i.src_a
       |JOIN sizes sb ON sb.source = i.src_b""".stripMargin) { (spark, dir) =>
-    val st = Tables.documents(spark, dir)
+    // ONE corpus scan: group the (source, token) distinct table by token
+    // into per-token source sets (vocabulary-sized), pin it with an eager
+    // localCheckpoint, and derive BOTH the per-source sizes and the
+    // intersection counts from that — the naive sizes + self-join form
+    // re-executes the corpus scan three times.
+    val tokSources = Tables.documents(spark, dir)
       .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .distinct()
-    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = st.select(col("source").as("src_a"), col("tok"))
-      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint()
+    val sizes = tokSources
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // row-local pair expansion over each token's sorted source set (the
+    // term_cooccurrence pattern): src_a < src_b by construction
+    val inter = tokSources
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> named_struct('src_a', x, 'src_b', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
