@@ -514,11 +514,14 @@ object Events {
       |  CAST(t.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
       |FROM t JOIN tot ON tot.from_type = t.from_type""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // t feeds both the totals and the output join; pin the ≤|types|²-row
+    // matrix so the windowed pair extraction over the fact table runs once
     val t = Tables.events(spark, dir)
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
     t.join(broadcast(tot), "from_type")
       .select(

@@ -116,9 +116,13 @@ object LanguageModel {
        |FROM c2 JOIN ctx ON ctx.w1 = c2.w1 CROSS JOIN v
        |ORDER BY c2.n DESC, c2.w1, c2.w2
        |LIMIT 20""".stripMargin) { (spark, dir) =>
+    // the count table feeds both the context rollup and the output join —
+    // pin it (observed-vocabulary² rows, the model itself) so the corpus
+    // bigram extraction runs once
     val bigrams = bigramsWithPos(spark, dir)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     bigrams
       .join(broadcast(contexts), "w1")
@@ -227,7 +231,9 @@ object LanguageModel {
        |  list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
        |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
     val bg = bigramsWithPos(spark, dir)
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // pin the model (c2 feeds ctx AND the scoring join): one model-building
+    // corpus pass + one scoring pass — not four
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")).localCheckpoint()
     val ctx = c2.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     bg.join(c2, Seq("w1", "w2"))
       .join(broadcast(ctx), "w1")
