@@ -529,6 +529,28 @@ object Events {
         Num.ratio(col("n"), col("row_total")).as("p"))
   }
 
+  /** Hourly active users — the DISTINCT aggregate inside time buckets
+    * (`events_hourly` counts events per type; this deduplicates the actor).
+    * Catalyst plans count(DISTINCT) with the two-phase Expand/partial form,
+    * so the per-hour user sets never concentrate on one node: the shuffle
+    * key is (hour, user) in the partial phase, then (hour) — the standard
+    * scalable DAU/HAU shape (an exact distinct; the approximate dual at
+    * extreme cardinality is `agg_approx_distinct`'s HLL).
+    */
+  val eventsHourlyUsers: QueryDef = QueryDef(
+    "events_hourly_users",
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Chi-square contingency cells: observed vs expected counts for
     * event_type × user-cohort, with each cell's χ² contribution — the
     * independence test behind cohort-behavior analysis, emitted PER CELL
@@ -640,5 +662,5 @@ object Events {
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
     upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore,
-    contingencyCells)
+    contingencyCells, eventsHourlyUsers)
 }
