@@ -284,9 +284,11 @@ object Analytics {
     * can't be dragged by them). Inherently multi-pass: medians, then
     * deviations, then the MAD, then the count — each pass a per-group
     * aggregate with the tiny (3-row) group stats broadcast back, so the
-    * fact table is never windowed or shuffled on a row key; at 100 TB the
-    * repeated fact scans are the price of exactness and would share one
-    * persisted projection.
+    * fact table is never windowed or shuffled on a row key. The three
+    * passes share ONE fact scan: the 2-column (flag, cents) projection is
+    * pinned with `localCheckpoint`, so the parquet read happens once and
+    * the med/MAD/rollup passes replay the pinned projection — at 100 TB
+    * that's a narrow columnar spill instead of three full-table reads.
     *
     * Bit-stability: cents are exact integers, medians interpolate at
     * worst to .5 (exact in double), deviations are half-integer-valued
@@ -312,6 +314,7 @@ object Analytics {
       |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
     val c = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), Num.cents(col("l_extendedprice")).as("cents"))
+      .localCheckpoint()
     val med = c.groupBy(col("l_returnflag"))
       .agg(expr("percentile(cents, 0.5D)").as("m"))
     val dev = c.join(broadcast(med), "l_returnflag")

@@ -192,7 +192,10 @@ object Layout {
       .filter(col("user_id") % 13 === 0)
       .withColumnRenamed("user_id", "erase_id")
     events
-      .join(broadcast(removalRequests), col("user_id") === col("erase_id"), "left_anti")
+      // no pinned broadcast: the removal list grows with the user base, so
+      // the size-based planner/AQE decides (broadcast while it fits, shuffled
+      // anti-join once it doesn't)
+      .join(removalRequests, col("user_id") === col("erase_id"), "left_anti")
       .write.mode("overwrite").parquet(out)
     out
   }

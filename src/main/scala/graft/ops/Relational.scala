@@ -90,9 +90,11 @@ object Relational {
         col("sum_qty"))
   }
 
-  /** Fact ⋈ three broadcast dims -> per-region revenue. The dims are tiny at
-    * every SF (region=5, nation=25, supplier grows slowly), so all three joins
-    * are explicit `broadcast()`: zero shuffle until the final group-by.
+  /** Fact ⋈ three dims -> per-region revenue. nation (25) and region (5) are
+    * constant-size at every SF, so those two hints are pinned; supplier GROWS
+    * with SF, so its join carries no hint — the size-based planner (and AQE at
+    * runtime) picks broadcast while supplier is small and falls back to a
+    * shuffled join when it isn't, instead of OOMing on a pinned hint at 100 TB.
     */
   val joinRegionRevenue: QueryDef = QueryDef(
     "join_region_revenue",
@@ -105,7 +107,7 @@ object Relational {
        |JOIN region r ON n.n_regionkey = r.r_regionkey
        |GROUP BY r.r_name""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -125,7 +127,7 @@ object Relational {
       |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
     val bldg = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     Tables.orders(spark, dir)
-      .join(broadcast(bldg), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(bldg, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -183,7 +185,7 @@ object Relational {
        |    GROUP BY 1, 2, 3))
        |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
       .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
@@ -357,7 +359,7 @@ object Relational {
        |         lag(rev_cents) OVER (PARTITION BY n_name ORDER BY month) AS prev_cents
        |  FROM monthly)""".stripMargin) { (spark, dir) =>
     val monthly = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
@@ -523,11 +525,14 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-flavor composite: six-table join (two big facts + four
-    * broadcast dims) with the local-supplier predicate (customer and
-    * supplier share a nation) and a region filter — the widest join fan in
-    * the suite. The two fact joins shuffle on the fact keys; every
-    * dimension broadcasts.
+  /** TPC-H Q5-flavor composite: six-table join (two big facts + four dims)
+    * with the local-supplier predicate (customer and supplier share a
+    * nation) and a region filter — the widest join fan in the suite. The two
+    * fact joins shuffle on the fact keys. Broadcast hints are pinned ONLY on
+    * the constant-size dims (nation=25, region=5); customer and supplier
+    * grow linearly with SF (~15 B customers at 100 TB), so their joins are
+    * left to the size-based planner/AQE — broadcast at bench scale, shuffled
+    * at cluster scale, never a pinned OOM.
     */
   val tpchQ5Style: QueryDef = QueryDef(
     "tpch_q5_style",
@@ -545,8 +550,8 @@ object Relational {
        |GROUP BY n.n_name""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("c_nationkey") === col("s_nationkey") && col("r_name") === "ASIA")
@@ -565,10 +570,11 @@ object Relational {
     * share predicate). Numerator and denominator are exact integer-cents
     * sums accumulated in ONE pass (a conditional aggregate, not two
     * queries); the share is a single integer-ratio division. Plan shape:
-    * the only shuffle partner is lineitem ⋈ orders (the two fact tables);
-    * every dimension broadcasts, and the year group-by is the one
-    * aggregation exchange — Q5's scale story with a second nation role
-    * added.
+    * lineitem ⋈ orders shuffles on the fact keys; the constant-size nation
+    * roles and region are pinned broadcasts, while customer and supplier
+    * (linear in SF) are left to the size-based planner/AQE — Q5's scale
+    * story with a second nation role added. The year group-by is the one
+    * aggregation exchange.
     */
   val tpchQ8Style: QueryDef = QueryDef(
     "tpch_q8_style",
@@ -593,10 +599,10 @@ object Relational {
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
       .join(broadcast(Tables.region(spark, dir)), col("cn_region") === col("r_regionkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
       .filter(col("r_name") === "AMERICA")
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
@@ -1085,7 +1091,7 @@ object Relational {
        |FROM monthly
        |WINDOW w AS (PARTITION BY n_name ORDER BY month)""".stripMargin) { (spark, dir) =>
     val monthly = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
@@ -1130,7 +1136,7 @@ object Relational {
        |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"))
       .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
@@ -1222,7 +1228,7 @@ object Relational {
        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS centered_3mo_cents
        |FROM monthly""".stripMargin) { (spark, dir) =>
     val monthly = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(
         col("n_name"),

@@ -50,6 +50,13 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
+      // single-batch contract: the append-mode oracles state the emitted set
+      // relationally as "windows closed by the final watermark", which holds
+      // only if AvailableNow delivers the whole directory in ONE batch — an
+      // intermediate watermark after a partial batch could drop late rows.
+      // The default maxFilesPerTrigger (1000) would split larger corpora, so
+      // pin it far above any testdata file count.
+      .option("maxFilesPerTrigger", 1000000)
       // a glob (not a bare file path) so the stream source resolves its
       // basePath to the directory — FileStreamSource rejects file basePaths
       .parquet(s"$dir/events.parquet*")

@@ -176,7 +176,7 @@ object Corpus {
        |JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) s
        |  ON s.cluster_id = c.cluster_id""".stripMargin) { (spark, dir) =>
     val comp = connectedComponents(
-      Dedup.lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      Dedup.lshVerifiedPairsPinned(spark, dir).select(col("doc_a"), col("doc_b")))
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -517,7 +517,7 @@ object Corpus {
     // NULL-safe contract matching the oracle's GROUP BY: a null source is a
     // real group (represented by a sentinel in the driver-side map — Spark
     // literal maps reject null keys), null text counts 0 tokens.
-    val NullSrc = " <null-source>"
+    val NullSrc = "\u0000<null-source>"
     val t = Tables.documents(spark, dir).select(
       coalesce(col("source"), lit(NullSrc)).as("source"), col("doc_id"),
       coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n"))
@@ -640,7 +640,7 @@ object Corpus {
        |SELECT doc_id, cluster_id, quality, rn = 1 AS kept FROM rk""".stripMargin) {
     (spark, dir) =>
       val comp = connectedComponents(
-        Dedup.lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+        Dedup.lshVerifiedPairsPinned(spark, dir).select(col("doc_a"), col("doc_b")))
       val scored = Tables.documents(spark, dir)
         .selectExpr("doc_id", "split(text, ' ') AS t")
         .filter(size(col("t")) > 0)

@@ -31,7 +31,9 @@ object LanguageModel {
     * because postings are grouped per term across the cluster (the worst
     * case is a stopword term's full posting list in one task — the standard
     * mitigation, also used here, is to only materialize a bounded prefix or
-    * to range-shard hot terms).
+    * to range-shard hot terms). The posting prefix crosses the gate as a CSV
+    * string (the `array_agg_sorted` pattern — the harness can't sort raw
+    * array cells).
     */
   val invertedIndex: QueryDef = QueryDef(
     "inverted_index",
@@ -40,7 +42,7 @@ object LanguageModel {
       |  FROM documents)
       |SELECT term,
       |  CAST(count(*) AS BIGINT) AS df,
-      |  (list_sort(list(doc_id)))[1:10] AS postings
+      |  array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings_csv
       |FROM toks
       |GROUP BY term
       |ORDER BY df DESC, term
@@ -50,7 +52,8 @@ object LanguageModel {
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings"))
+        array_join(transform(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+          _.cast("string")), ",").as("postings_csv"))
       .orderBy(col("df").desc, col("term"))
       .limit(20)
   }
@@ -90,7 +93,10 @@ object LanguageModel {
 
   /** (doc_id, pos, w1, w2) positioned bigram stream (row-local expansion). */
   private def bigramsWithPos(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(spark, dir)
+    bigramsOf(Tables.documents(spark, dir))
+
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2) // sequence(1, 0, 1) is an error in Spark
       .select(col("doc_id"), explode(expr(
@@ -140,14 +146,16 @@ object LanguageModel {
     * `slice` inside one codegen'd projection — zero shuffles, embarrassingly
     * parallel at any corpus size); contrast with `pack_sequences`, which
     * needs cross-document offsets. The windows-per-document ratio is
-    * (len-8)/4, so output volume scales linearly with corpus tokens.
+    * (len-8)/4, so output volume scales linearly with corpus tokens. The
+    * window itself crosses the gate space-joined (tokens are space-split, so
+    * the join is lossless and round-trippable).
     */
   val slidingTokenWindows: QueryDef = QueryDef(
     "sliding_token_windows",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
       |SELECT doc_id,
       |  CAST(s AS BIGINT) AS win_start,
-      |  tk[s:s + 7] AS input_tokens,
+      |  array_to_string(tk[s:s + 7], ' ') AS input_text,
       |  tk[s + 8] AS target_token
       |FROM t, UNNEST(range(1, len(tk) - 7, 4)) AS u(s)
       |WHERE len(tk) >= 9""".stripMargin) { (spark, dir) =>
@@ -159,9 +167,9 @@ object LanguageModel {
         explode(expr(
           """transform(sequence(1, size(tk) - 8, 4),
             |  s -> struct(CAST(s AS BIGINT) AS win_start,
-            |              slice(tk, s, 8) AS input_tokens,
+            |              array_join(slice(tk, s, 8), ' ') AS input_text,
             |              element_at(tk, s + 8) AS target_token))""".stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.win_start"), col("w.input_tokens"), col("w.target_token"))
+      .select(col("doc_id"), col("w.win_start"), col("w.input_text"), col("w.target_token"))
   }
 
   /** The hashing trick: every token mapped into a fixed 256-bucket feature
@@ -174,7 +182,8 @@ object LanguageModel {
     * map — the scale ceiling is I/O, not the operator. The oracle replays
     * the identical hash fold per token in SQL, proving the featurization
     * engine-independent (same property that makes train/serve skew
-    * impossible for this featurizer).
+    * impossible for this featurizer). The sparse vector crosses the gate as
+    * two parallel CSV strings (sorted buckets; counts in bucket order).
     */
   val featureHashing: QueryDef = QueryDef(
     "feature_hashing",
@@ -188,9 +197,9 @@ object LanguageModel {
       |  FROM t)
       |SELECT doc_id,
       |  CAST(len(list_distinct(bs)) AS INTEGER) AS n_features,
-      |  list_sort(list_distinct(bs)) AS buckets,
-      |  list_transform(list_sort(list_distinct(bs)),
-      |                 b -> CAST(len(list_filter(bs, x -> x = b)) AS BIGINT)) AS counts
+      |  array_to_string(list_sort(list_distinct(bs)), ',') AS buckets_csv,
+      |  array_to_string(list_transform(list_sort(list_distinct(bs)),
+      |                  b -> CAST(len(list_filter(bs, x -> x = b)) AS BIGINT)), ',') AS counts_csv
       |FROM h""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -200,9 +209,9 @@ object LanguageModel {
       .selectExpr(
         "doc_id",
         "CAST(size(array_distinct(bs)) AS INT) AS n_features",
-        "array_sort(array_distinct(bs)) AS buckets",
-        """transform(array_sort(array_distinct(bs)),
-          |  b -> CAST(size(filter(bs, x -> x = b)) AS BIGINT)) AS counts""".stripMargin)
+        "array_join(transform(array_sort(array_distinct(bs)), x -> CAST(x AS STRING)), ',') AS buckets_csv",
+        """array_join(transform(array_sort(array_distinct(bs)),
+          |  b -> CAST(size(filter(bs, x -> x = b)) AS STRING)), ',') AS counts_csv""".stripMargin)
   }
 
   /** LM-based document scoring: every document's mean smoothed bigram
@@ -249,6 +258,81 @@ object LanguageModel {
           / col("n_bigrams")).as("mean_p"))
   }
 
+  /** Cross-dataset LM scoring — train on one corpus partition, score
+    * ANOTHER: the bigram model is fit on the even-numbered sources and every
+    * odd-source document is scored under it (the held-out-perplexity shape
+    * every data-quality pipeline runs: "score candidate corpus B under the
+    * reference model A"). Same plan as [[docLmScore]] with two inputs — the
+    * model table is built once (pinned, vocabulary²-bounded), and scoring is
+    * a LEFT join so out-of-model bigrams surface as coverage (`n_scored` of
+    * `n_bigrams`) instead of silently dropping rows; `mean_p` averages only
+    * in-model bigrams, folded in position order for bit-stability, and is
+    * NULL when nothing matched. At 100 TB: one scan of each corpus side, a
+    * (w1, w2)-keyed join against the model, one doc-keyed rollup.
+    */
+  val docLmScoreCross: QueryDef = {
+    def whereSrc(parity: Int) =
+      s" WHERE TRY_CAST(substring(source, 4) AS INTEGER) % 2 = $parity"
+    QueryDef(
+      "doc_lm_score_cross",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM documents${whereSrc(0)}),
+         |bg AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM c2 GROUP BY 1),
+         |v AS (
+         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM documents${whereSrc(0)})),
+         |st AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |       FROM documents${whereSrc(1)}),
+         |sbg AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM st, UNNEST(range(1, len(tk))) AS u(i)),
+         |scored AS (
+         |  SELECT sbg.doc_id, sbg.pos, $smoothedSql AS p
+         |  FROM sbg LEFT JOIN c2 ON c2.w1 = sbg.w1 AND c2.w2 = sbg.w2
+         |           LEFT JOIN ctx ON ctx.w1 = sbg.w1 CROSS JOIN v)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(count(p) AS BIGINT) AS n_scored,
+         |  CASE WHEN count(p) > 0
+         |       THEN list_reduce(list(p ORDER BY pos) FILTER (WHERE p IS NOT NULL),
+         |                        (a, x) -> a + x) / count(p)
+         |  END AS mean_p
+         |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val srcParity = expr("TRY_CAST(substring(source, 4) AS INT) % 2")
+      val docs = Tables.documents(spark, dir)
+      val trainDocs = docs.filter(srcParity === 0)
+      val scoreDocs = docs.filter(srcParity === 1)
+      // pin the model: c2 feeds both ctx and the scoring join, and nothing
+      // downstream may re-scan the training corpus
+      val c2 = bigramsOf(trainDocs)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")).localCheckpoint()
+      val ctx = c2.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
+      val vocab = trainDocs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+      bigramsOf(scoreDocs)
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(broadcast(ctx), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("pos"), smoothedP.as("p"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          count(col("p")).as("n_scored"),
+          collect_list(when(col("p").isNotNull, struct(col("pos"), col("p")))).as("ps"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_scored"),
+          when(col("n_scored") > 0,
+            expr("aggregate(transform(array_sort(ps), x -> x.p), 0D, (a, x) -> a + x)")
+              / col("n_scored")).as("mean_p"))
+    }
+  }
+
   /** BPE merge-step statistics: frequency-weighted adjacent-character-pair
     * counts — the exact quantity byte-pair-encoding tokenizer training
     * maximizes at each merge. The critical scale trick is REAL BPE's own:
@@ -289,5 +373,5 @@ object LanguageModel {
 
   val all: Seq[QueryDef] =
     Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore,
-      bpePairCounts)
+      docLmScoreCross, bpePairCounts)
 }

@@ -21,6 +21,22 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no gate query emits a top-level array/map column (driver comparator contract)") {
+    // The driver's pandas-based comparator sorts rows with sort_values, which
+    // throws on array/map cells (round 4: feature_hashing, inverted_index,
+    // sliding_token_windows all erred this way). Nested collections must be
+    // CSV-serialized on both engine and oracle sides before the gate.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("every oracle SQL references only base tables or self-written scratch") {
     val allowed = graft.core.Tables.names.toSet
     SparkEntry.oracleSql.foreach { case (name, sql) =>

@@ -13,7 +13,8 @@ class LanguageModelSpec extends SparkSpec {
 
   test("inverted_index: postings are a sorted ≤10-prefix and df counts each doc once") {
     val rows = LanguageModel.invertedIndex.fn(spark, dir)
-      .as[(String, Long, Seq[Long])].collect()
+      .as[(String, Long, String)].collect()
+      .map { case (term, df, csv) => (term, df, csv.split(',').map(_.toLong).toSeq) }
     assert(rows.length === 20)
     // one aggregate recomputes every term's df (not a scan per term)
     val expectedDf = graft.core.Tables.documents(spark, dir)
@@ -47,7 +48,7 @@ class LanguageModelSpec extends SparkSpec {
   test("sliding_token_windows: stride-4 starts, 8-token inputs, target is the 9th token") {
     val df = LanguageModel.slidingTokenWindows.fn(spark, dir).cache()
     val bad = df.filter(
-      size(col("input_tokens")) =!= 8 ||
+      size(split(col("input_text"), " ")) =!= 8 ||
         (col("win_start") - 1) % 4 =!= 0 ||
         col("win_start") < 1).count()
     assert(bad === 0L)
@@ -59,9 +60,9 @@ class LanguageModelSpec extends SparkSpec {
     docs.foreach { case (docId, tk) =>
       val got = df.filter(col("doc_id") === docId)
         .orderBy(col("win_start"))
-        .as[(Long, Long, Seq[String], String)].collect()
+        .as[(Long, Long, String, String)].collect()
       val expected = (1 to (tk.length - 8) by 4).map { s =>
-        (s.toLong, tk.slice(s - 1, s + 7), tk(s + 7))
+        (s.toLong, tk.slice(s - 1, s + 7).mkString(" "), tk(s + 7))
       }
       assert(got.map(r => (r._2, r._3, r._4)).toSeq === expected, s"doc $docId")
     }
@@ -69,7 +70,10 @@ class LanguageModelSpec extends SparkSpec {
   }
 
   test("feature_hashing: counts reconstruct token totals; sql poly_hash matches the Column API") {
-    val df = LanguageModel.featureHashing.fn(spark, dir).cache()
+    val df = LanguageModel.featureHashing.fn(spark, dir)
+      .withColumn("buckets", expr("transform(split(buckets_csv, ','), x -> CAST(x AS INT))"))
+      .withColumn("counts", expr("transform(split(counts_csv, ','), x -> CAST(x AS BIGINT))"))
+      .cache()
     // per-doc sum of bucket counts == token count; buckets sorted distinct in [0, 256)
     val docs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
@@ -116,6 +120,43 @@ class LanguageModelSpec extends SparkSpec {
     }
     // scores are valid probabilities
     got.values.foreach { case (_, p) => assert(p > 0.0 && p <= 1.0) }
+  }
+
+  test("doc_lm_score_cross: scores only odd sources under the even-source model, with coverage") {
+    val rows = LanguageModel.docLmScoreCross.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // scored docs are exactly the odd-source docs with >= 2 tokens
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .as[(Long, String, Seq[String])].collect()
+    val expectedIds = docs.collect {
+      case (id, src, tk) if src.drop(3).toInt % 2 == 1 && tk.length >= 2 => id
+    }.toSet
+    assert(rows.map(_._1).toSet === expectedIds)
+    rows.foreach { case (id, nBg, nScored, meanP) =>
+      assert(nScored <= nBg, s"doc $id coverage bounded")
+      assert(meanP.isDefined === (nScored > 0), s"doc $id mean_p null iff uncovered")
+      meanP.foreach(p => assert(p > 0.0 && p <= 1.0, s"doc $id probability range"))
+    }
+    // replay one scored doc's mean under a model built directly in Scala
+    val trainBg = docs.filter(_._2.drop(3).toInt % 2 == 0)
+      .flatMap(_._3.sliding(2).filter(_.length == 2)).map(p => (p(0), p(1)))
+    val c2 = trainBg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = trainBg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val vocab = docs.filter(_._2.drop(3).toInt % 2 == 0).flatMap(_._3).distinct.length.toLong
+    val got = rows.map(r => r._1 -> r).toMap
+    docs.filter(d => expectedIds.contains(d._1)).take(5).foreach { case (id, _, tk) =>
+      val ps = tk.sliding(2).filter(_.length == 2).flatMap { w =>
+        c2.get((w(0), w(1))).map(n => (n + 1).toDouble / (ctx(w(0)) + vocab).toDouble)
+      }.toSeq
+      val (_, nBg, nScored, meanP) = got(id)
+      assert(nBg === tk.length - 1L, s"doc $id n_bigrams")
+      assert(nScored === ps.length.toLong, s"doc $id n_scored")
+      if (ps.nonEmpty) assert(meanP.get === ps.foldLeft(0.0)(_ + _) / ps.length, s"doc $id mean_p")
+      else assert(meanP.isEmpty, s"doc $id mean_p empty")
+    }
   }
 
   test("bpe_pair_counts matches a direct frequency-weighted pair count") {

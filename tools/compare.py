@@ -10,6 +10,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -19,6 +20,22 @@ def canon(rows):
     def key(r):
         return tuple("\0NULL" if v is None else repr(v) for v in r)
     return sorted(rows, key=key)
+
+
+def driver_sortable(cols, rows):
+    """Reproduce the driver's pandas canonicalization: sort_values over every
+    column. Array/map cells (numpy arrays, lists, dicts) make this throw
+    exactly like the driver's gate does — this pre-flight must fail wherever
+    the gate would (round-4 lesson: repr()-sorting passed three queries the
+    driver then errored on)."""
+    for r in rows:
+        for v in r:
+            if isinstance(v, (list, tuple, dict, set, bytearray)) or \
+                    (type(v).__module__ == "numpy" and getattr(v, "ndim", 0)):
+                raise TypeError(f"unhashable cell of type {type(v).__name__}: "
+                                "driver's pandas sort_values cannot order it")
+    df = pd.DataFrame(rows, columns=cols)
+    df.sort_values(by=list(df.columns), inplace=True, kind="mergesort")
 
 
 def values_equal(a, b):
@@ -53,6 +70,13 @@ def main(sf_dir, out_dir):
             continue
         if sorted(my_cols) != sorted(or_cols):
             print(f"FAIL {name}: columns {sorted(my_cols)} != {sorted(or_cols)}")
+            failures += 1
+            continue
+        try:
+            driver_sortable(my_cols, my_rows)
+            driver_sortable(or_cols, or_rows)
+        except Exception as e:
+            print(f"FAIL {name}: driver comparator would err: {type(e).__name__}: {e}")
             failures += 1
             continue
         my_ix = [my_cols.index(c) for c in sorted(my_cols)]
