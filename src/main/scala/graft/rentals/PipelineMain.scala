@@ -33,14 +33,23 @@ object PipelineMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val config = configPath.map(PipelineConfig.fromFile).getOrElse(PipelineConfig())
-      val processed = Io.readRawCsv(spark, rawPath).transform(Transforms.runPipeline)
-      Io.writeProcessed(processed, outPath, config, singleFilePerPartition = singleFile)
+      // the reference DAG's execution policy: each stage retried once after
+      // a delay, failures logged via callback, stage boundaries are paths —
+      // a retried stage re-reads from storage and overwrites idempotently
+      val runner = new Orchestration.StageRunner("rental_market_etl")
+      val processedPath = runner.run("run_transforms") {
+        val processed = Io.readRawCsv(spark, rawPath).transform(Transforms.runPipeline)
+        Io.writeProcessed(processed, outPath, config, singleFilePerPartition = singleFile)
+        outPath
+      }
       // DQ gate over the *written* output (fresh scan, like the DAG's DQ task)
-      val summary = DataQuality.runQualityChecks(
-        Io.readProcessed(spark, outPath),
-        DataQuality.standardChecks(config))
+      val summary = runner.run("run_dq_checks") {
+        DataQuality.runQualityChecks(
+          Io.readProcessed(spark, processedPath),
+          DataQuality.standardChecks(config))
+      }
       println(s"[pipeline] DQ: ${summary.passed}/${summary.total} passed, " +
-        s"${summary.warnings} warning(s); output at $outPath")
+        s"${summary.warnings} warning(s); output at $processedPath")
     } finally {
       spark.stop()
     }

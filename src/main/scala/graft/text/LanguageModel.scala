@@ -239,6 +239,15 @@ object LanguageModel {
        |  CAST(count(*) AS BIGINT) AS n_bigrams,
        |  list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
        |FROM scored GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    selfScores(spark, dir)
+  }
+
+  /** The self-scoring plan shared by [[docLmScore]] and
+    * [[lmScoreHistogram]]: (doc_id, n_bigrams, mean_p) for every document
+    * with ≥ 2 tokens, scored under the model trained on the whole corpus.
+    */
+  private def selfScores(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val bg = bigramsWithPos(spark, dir)
     // pin the model (c2 feeds ctx AND the scoring join): one model-building
     // corpus pass + one scoring pass — not four
@@ -256,6 +265,46 @@ object LanguageModel {
         col("doc_id"), col("n_bigrams"),
         (expr("aggregate(transform(array_sort(ps), x -> x.p), 0D, (a, x) -> a + x)")
           / col("n_bigrams")).as("mean_p"))
+  }
+
+  /** Per-source LM-score distribution: every document's mean smoothed
+    * bigram probability bucketed into twentieths (`floor(mean_p · 20)` —
+    * row-local and exact on doubles, unlike a quantile cut whose
+    * interpolation is not cross-engine bit-stable on arbitrary doubles),
+    * counted per (source, bucket) with the exact min/max score per cell —
+    * the "which sources does the model consider low-quality" diagnostic
+    * that drives mixture reweighting. Composes the pinned-model scoring
+    * plan with one doc-keyed join to recover the source column and a
+    * (source × ≤21)-bounded rollup; min/max are order-independent on
+    * doubles, so every output cell is deterministic under any
+    * partitioning.
+    */
+  val lmScoreHistogram: QueryDef = QueryDef(
+    "lm_score_histogram",
+    s"""WITH $modelSqlCtes,
+       |scored AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    $smoothedSql AS p
+       |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+       |          JOIN ctx ON ctx.w1 = bg.w1 CROSS JOIN v),
+       |docscore AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*) AS mean_p
+       |  FROM scored GROUP BY doc_id)
+       |SELECT dd.source,
+       |  CAST(floor(ds.mean_p * 20) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(ds.mean_p) AS min_p,
+       |  max(ds.mean_p) AS max_p
+       |FROM docscore ds JOIN documents dd ON dd.doc_id = ds.doc_id
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    selfScores(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), floor(col("mean_p") * 20).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("mean_p")).as("min_p"),
+        max(col("mean_p")).as("max_p"))
   }
 
   /** Cross-dataset LM scoring — train on one corpus partition, score
@@ -373,5 +422,5 @@ object LanguageModel {
 
   val all: Seq[QueryDef] =
     Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore,
-      docLmScoreCross, bpePairCounts)
+      docLmScoreCross, lmScoreHistogram, bpePairCounts)
 }

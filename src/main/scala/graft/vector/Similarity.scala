@@ -553,7 +553,61 @@ object Similarity {
         (col("gram").cast("double") / col("n_vecs").cast("double")).as("gram_mean"))
   }
 
+  /** Pairwise cosine between per-label centroid sums — the inter-cluster
+    * similarity matrix every embedding-space monitor computes (are two data
+    * sources/clusters collapsing onto each other?). The centroid SUM (not
+    * the mean) is used for the cosine because cosine is scale-invariant:
+    * `cos(Σa/n, Σb/m) = cos(Σa, Σb)`, and integer component sums stay
+    * exact under any partitioning (a mean would be a double whose summation
+    * order matters). Plan: one `posexplode` pass → a (label × dim)-keyed
+    * map-side-combined aggregate (bounded at #labels·64 rows — the model
+    * table), pinned; norms and the pairwise dot both derive from the pinned
+    * table, the dot via a pos-keyed self-join whose inputs are model-sized.
+    * At 100 TB the fact scan happens once and everything downstream is
+    * constant-size. Component sums stay exact int64 to ~10^13 vectors per
+    * label (|q| ≤ 10^3).
+    */
+  val labelCentroidCosine: QueryDef = QueryDef(
+    "label_centroid_cosine",
+    s"""WITH q AS (SELECT label, $qvecSql AS q FROM embeddings),
+       |e AS (
+       |  SELECT label, CAST(i AS INTEGER) AS pos, CAST(SUM(q[i]) AS BIGINT) AS s
+       |  FROM q, UNNEST(range(1, len(q) + 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |n AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS norm2 FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT a.label AS label_a, b.label AS label_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+       |  FROM e a JOIN e b ON b.pos = a.pos AND b.label > a.label
+       |  GROUP BY 1, 2)
+       |SELECT d.label_a, d.label_b, d.dot,
+       |  CAST(d.dot AS DOUBLE)
+       |    / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+       |FROM d JOIN n na ON na.label = d.label_a
+       |       JOIN n nb ON nb.label = d.label_b
+       |WHERE na.norm2 > 0 AND nb.norm2 > 0""".stripMargin) { (spark, dir) =>
+    // pin the (label, pos, s) component-sum table: it feeds the norm rollup
+    // AND both sides of the pairwise-dot self-join — one corpus scan total
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("label", s"$qvec AS q")
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+      .localCheckpoint()
+    val norms = e.groupBy(col("label")).agg(sum(col("s") * col("s")).as("norm2"))
+    e.as("a")
+      .join(e.as("b"), col("b.pos") === col("a.pos") && col("b.label") > col("a.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("norm2").as("na"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("norm2").as("nb"))), "label_b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(
+        col("label_a"), col("label_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos_sim"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup,
-      embeddingQuantizeInt8, embeddingGramMatrix)
+      embeddingQuantizeInt8, embeddingGramMatrix, labelCentroidCosine)
 }

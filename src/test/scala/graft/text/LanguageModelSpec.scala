@@ -159,6 +159,27 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("lm_score_histogram: cells partition the scored docs and agree with doc_lm_score") {
+    val hist = LanguageModel.lmScoreHistogram.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // rebuild the histogram from doc_lm_score + the source column
+    val scores = LanguageModel.docLmScore.fn(spark, dir)
+      .join(graft.core.Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("mean_p"))
+      .as[(String, Double)].collect()
+    val direct = scores.groupBy { case (src, p) => (src, math.floor(p * 20).toLong) }
+      .view.mapValues(vs => (vs.length.toLong, vs.map(_._2).min, vs.map(_._2).max)).toMap
+    assert(hist === direct)
+    // min/max sit inside their bucket and cells cover every scored doc once
+    hist.foreach { case ((src, b), (_, lo, hi)) =>
+      assert(math.floor(lo * 20).toLong === b, s"($src,$b) min in bucket")
+      assert(math.floor(hi * 20).toLong === b, s"($src,$b) max in bucket")
+      assert(lo <= hi)
+    }
+    assert(hist.values.map(_._1).sum === scores.length.toLong)
+  }
+
   test("bpe_pair_counts matches a direct frequency-weighted pair count") {
     val got = LanguageModel.bpePairCounts.fn(spark, dir)
       .as[(String, String, Long)].collect()

@@ -193,4 +193,25 @@ class SimilaritySpec extends SparkSpec {
       assert(byPair((1, 2))._1 === direct)
     }
   }
+  test("label_centroid_cosine: matches a direct centroid computation, upper triangle, |cos| <= 1") {
+    embDir { dir =>
+      val rows = Similarity.labelCentroidCosine.fn(spark, dir).collect()
+        .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+          (r.getAs[Long]("dot"), r.getAs[Double]("cos_sim"))).toMap
+      // two labels -> exactly one pair, a < b
+      assert(rows.keySet === Set((0, 1)))
+      rows.values.foreach { case (_, c) => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12) }
+      // direct recomputation from the quantized frame
+      val q = Similarity.quantized(spark, dir)
+        .select("label", "q").collect()
+        .map(r => r.getAs[Int]("label") -> r.getSeq[Long](1))
+      val cent = q.groupBy(_._1).view.mapValues(vs =>
+        vs.map(_._2.toIndexedSeq).toSeq.transpose.map(_.sum)).toMap
+      val dot = cent(0).zip(cent(1)).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(cent(0).map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(cent(1).map(x => x * x).sum.toDouble)
+      assert(rows((0, 1))._1 === dot)
+      assert(rows((0, 1))._2 === dot.toDouble / (na * nb))
+    }
+  }
 }
