@@ -768,8 +768,92 @@ object Corpus {
         Num.ratio(col("n_common"), col("n_a") + col("n_b") - col("n_common")).as("jaccard"))
   }
 
+  /** Cross-source near-duplicate audit: how many verified near-dup pairs
+    * (exact Jaccard ≥ 0.5 over 3-shingles, via MinHash-LSH candidates) link
+    * documents from DIFFERENT sources — the inter-source contamination
+    * matrix that tells a mixture designer which feeds overlap. The pair's
+    * source endpoints are canonicalized (`least`/`greatest`) so each
+    * unordered source pair is one row; output is bounded by #sources².
+    * Engine side this is the FOURTH consumer of the pinned LSH edge table
+    * ([[Dedup.lshVerifiedPairsPinned]]) — no new signature/band/verify
+    * work, just two doc-keyed joins to label pair endpoints and a
+    * map-side-combined rollup. The oracle rebuilds the edge set
+    * exhaustively (O(n²) in DuckDB only), so the hash match again proves
+    * realized recall, now under the source-pair rollup.
+    */
+  val crossSourceNeardup: QueryDef = QueryDef(
+    "cross_source_neardup",
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, ${Dedup.shinglesSql("text")} AS s
+       |  FROM documents),
+       |nz AS (SELECT doc_id, source, s FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5)
+       |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(*) FILTER (WHERE sa <> sb) AS BIGINT) AS n_cross
+       |FROM pairs
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    Dedup.lshVerifiedPairsPinned(spark, dir)
+      .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("sa") =!= col("sb"), 1)).as("n_cross"))
+  }
+
+  /** Token-budget corpus selection: per source, keep the highest-quality
+    * documents whose RUNNING token total stays within a fixed budget (600
+    * tokens here) — the data-selection step that builds a fixed-size
+    * training mix from ranked candidates ("fill each source's quota best
+    * first"). Quality ties break on doc_id, so the per-source ranking is a
+    * total order and the inclusive running sum (exact integer token
+    * counts) is engine-independent. Plan: ONE shuffle on source, one
+    * per-source sort inside the window — no self-join, no global sort. At
+    * 100 TB the unit of work is a source partition; for a pathologically
+    * hot source the same selection can run as the two-pass
+    * quantile-threshold approximation (`quality_quantile_filter`) — the
+    * exact-prefix form here is the per-group-tractable case.
+    */
+  val corpusBudgetSelect: QueryDef = QueryDef(
+    "corpus_budget_select",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+       |    ${TextAnalysis.qualitySql("tk")} AS quality
+       |  FROM t WHERE len(tk) > 0),
+       |c AS (
+       |  SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM s)
+       |SELECT doc_id, source, n_tok, quality, cum_tokens
+       |FROM c WHERE cum_tokens <= 600""".stripMargin) { (spark, dir) =>
+    val s = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tk")
+      .filter(size(col("tk")) > 0)
+      .selectExpr(
+        "doc_id", "source", "CAST(size(tk) AS BIGINT) AS n_tok",
+        s"${TextAnalysis.qualitySpark("tk")} AS quality")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .filter(col("cum_tokens") <= 600)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("quality"), col("cum_tokens"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
       packSequences, decontaminateSplit, corpusMixtureSample, tokenCommonality,
-      dedupKeepBest, termCooccurrence, sourceVocabOverlap)
+      dedupKeepBest, termCooccurrence, sourceVocabOverlap, crossSourceNeardup,
+      corpusBudgetSelect)
 }

@@ -158,4 +158,59 @@ class CorpusSpec extends SparkSpec {
     assert(na === va.size.toLong && nb === vb.size.toLong)
     assert(common === (va intersect vb).size.toLong)
   }
+
+  test("cross_source_neardup: rollup agrees with the pinned pair table joined to sources") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.crossSourceNeardup.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), (n, cross)) =>
+      assert(a <= b, "canonical source pair")
+      assert(cross <= n)
+      assert(if (a == b) cross == 0L else cross == n, "cross counts exactly the a!=b pairs")
+    }
+    // direct recomputation from the same pinned edge table
+    val srcOf = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = Dedup.lshVerifiedPairsPinned(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+      .map { case (x, y) => if (x <= y) (x, y) else (y, x) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === direct)
+  }
+
+  test("corpus_budget_select: per-source quality-desc prefix, exact running sums, maximal") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.corpusBudgetSelect.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // replay the selection directly: same quality expression, Scala-side scan
+    val ranked = graft.core.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tk")
+      .filter(size(col("tk")) > 0)
+      .selectExpr("doc_id", "source", "CAST(size(tk) AS BIGINT) AS n_tok",
+        s"${TextAnalysis.qualitySpark("tk")} AS quality")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._2)
+    val expected = ranked.toSeq.flatMap { case (_, docs) =>
+      val ordered = docs.sortBy(d => (-d._4, d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= 600L)
+        .map { case ((id, src, n, q), c) => (id, src, n, q, c) }
+    }.toSet
+    assert(got.toSet === expected)
+    // maximality: for each source either everything is kept or the next doc overflows
+    ranked.foreach { case (src, docs) =>
+      val keptTokens = got.filter(_._2 == src).map(_._3).sum
+      val ordered = docs.sortBy(d => (-d._4, d._1))
+      val nKept = got.count(_._2 == src)
+      if (nKept < ordered.length)
+        assert(keptTokens + ordered(nKept)._3 > 600L, s"$src selection is maximal")
+    }
+  }
 }
