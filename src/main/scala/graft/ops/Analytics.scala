@@ -456,8 +456,45 @@ object Analytics {
         sum(Num.cents(col("l_extendedprice"))).as("rev_cents"))
   }
 
+  /** Join-key skew profile — the diagnostic that decides the shuffle
+    * strategy BEFORE a 100-TB join: per-key row counts for a join key
+    * (l_suppkey here), reduced to key count, max/mean load, exact p50/p99
+    * of the per-key load, and the skew factor (max / mean). A skew factor
+    * near 1 says hash-partitioning balances; a large one says the top key
+    * dominates a task and the join needs salting
+    * ([[graft.ops.Skew.saltedEquiJoin]]) or AQE skew splitting. Two-level
+    * aggregate: the per-key count is the one fact-table shuffle
+    * (map-side combined), the stats pass runs over the keys-sized count
+    * table. Counts are exact integers, so the quantile interpolation is
+    * dyadic-rational and the mean an integer ratio — bit-stable.
+    */
+  val joinKeySkewProfile: QueryDef = QueryDef(
+    "join_key_skew_profile",
+    """WITH c AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(max(n) AS BIGINT) AS max_n,
+      |  CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n,
+      |  quantile_cont(n, 0.5) AS p50_n,
+      |  quantile_cont(n, 0.99) AS p99_n,
+      |  CAST(max(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |    AS skew_factor
+      |FROM c""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("mean_n"),
+        expr("percentile(n, 0.5D)").as("p50_n"),
+        expr("percentile(n, 0.99D)").as("p99_n"),
+        (max(col("n")).cast("double") /
+          (sum(col("n")).cast("double") / count(lit(1)).cast("double"))).as("skew_factor"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
-    aggMultiDistinct)
+    aggMultiDistinct, joinKeySkewProfile)
 }

@@ -111,6 +111,30 @@ object LanguageModel {
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
 
+  /** The whole-corpus bigram model — the (w1, w2, n) count table and the
+    * 1-row vocabulary size — materialized ONCE per (session, corpus) and
+    * shared by every consumer (`bigram_lm`, `doc_lm_score`,
+    * `lm_score_histogram`): the model is trained once, then fanned out to
+    * statement/scoring/reporting, exactly as a production LM-filter stage
+    * would run. Both tables are model-sized (observed-vocabulary² and 1
+    * row), so the pin is cheap; the saving is the model-building corpus
+    * scan per consumer.
+    */
+  private def pinnedModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    modelCache.getOrElseUpdate((spark, dir), {
+      val c2 = bigramsWithPos(spark, dir)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val v = vocabOf(spark, dir).localCheckpoint()
+      (c2, v)
+    })
+
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
   private val smoothedP =
     ((col("n") + lit(1)).cast("double") / (col("ctx_n") + col("vocab")).cast("double"))
 
@@ -122,17 +146,14 @@ object LanguageModel {
        |FROM c2 JOIN ctx ON ctx.w1 = c2.w1 CROSS JOIN v
        |ORDER BY c2.n DESC, c2.w1, c2.w2
        |LIMIT 20""".stripMargin) { (spark, dir) =>
-    // the count table feeds both the context rollup and the output join —
-    // pin it (observed-vocabulary² rows, the model itself) so the corpus
-    // bigram extraction runs once
-    val bigrams = bigramsWithPos(spark, dir)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // the pinned count table feeds both the context rollup and the output
+    // join — the corpus bigram extraction ran once, shared with the
+    // scoring/reporting consumers
+    val (bigrams, vocab) = pinnedModel(spark, dir)
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     bigrams
       .join(broadcast(contexts), "w1")
-      .crossJoin(broadcast(vocabOf(spark, dir)))
+      .crossJoin(broadcast(vocab))
       .select(
         col("w1"), col("w2"), col("n"), col("ctx_n"), col("vocab"),
         smoothedP.as("p_smoothed"))
@@ -245,17 +266,30 @@ object LanguageModel {
   /** The self-scoring plan shared by [[docLmScore]] and
     * [[lmScoreHistogram]]: (doc_id, n_bigrams, mean_p) for every document
     * with ≥ 2 tokens, scored under the model trained on the whole corpus.
+    * Pinned per (session, corpus): the corpus is scored ONCE and the score
+    * table (3 narrow columns, one row per document) fans out to the
+    * per-doc report and the per-source histogram — the score-then-consume
+    * shape of a real quality-filter stage. Unlike the constant-size model
+    * pins, this one is corpus-row-sized; it is still the right trade
+    * because every consumer would otherwise repeat the full scoring join.
     */
   private def selfScores(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    scoresCache.getOrElseUpdate((spark, dir), selfScoresPlan(spark, dir).localCheckpoint())
+
+  private val scoresCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def selfScoresPlan(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val bg = bigramsWithPos(spark, dir)
-    // pin the model (c2 feeds ctx AND the scoring join): one model-building
-    // corpus pass + one scoring pass — not four
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")).localCheckpoint()
+    // the pinned model (c2 feeds ctx AND the scoring join): one
+    // model-building corpus pass shared across consumers + one scoring pass
+    val (c2, vocab) = pinnedModel(spark, dir)
     val ctx = c2.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     bg.join(c2, Seq("w1", "w2"))
       .join(broadcast(ctx), "w1")
-      .crossJoin(broadcast(vocabOf(spark, dir)))
+      .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("pos"), smoothedP.as("p"))
       .groupBy(col("doc_id"))
       .agg(

@@ -221,4 +221,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(rev === sub.agg(sum(graft.core.Num.cents(col("l_extendedprice")))).head().getLong(0))
     }
   }
+
+  test("join_key_skew_profile: stats agree with a direct per-key count scan") {
+    val r = Analytics.joinKeySkewProfile.fn(spark, dir).collect().head
+    val counts = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey").count()
+      .collect().map(_.getLong(1)).sorted
+    assert(r.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(r.getAs[Long]("max_n") === counts.max)
+    val mean = counts.sum.toDouble / counts.length
+    assert(r.getAs[Double]("mean_n") === mean)
+    assert(r.getAs[Double]("skew_factor") === counts.max.toDouble / mean)
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+    // p50/p99 bracket the distribution and sit inside [min, max]
+    val p50 = r.getAs[Double]("p50_n"); val p99 = r.getAs[Double]("p99_n")
+    assert(p50 <= p99 && p50 >= counts.min.toDouble && p99 <= counts.max.toDouble)
+  }
 }
