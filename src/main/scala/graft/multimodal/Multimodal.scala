@@ -172,5 +172,30 @@ object Multimodal {
         graft.functions.VectorFunctions.longDot(col("q"), col("q")).as("q_norm2"))
   }
 
-  val all: Seq[QueryDef] = Seq(mediaPlumbing, mediaFeatures, multimodalJoin)
+  /** Frame sampling through the gate: every 100th byte offset of each
+    * payload as a (doc_id, frame_idx, frame_offset) row — the video-style
+    * "sample every k-th frame" generator whose output feeds per-frame
+    * decode at 100 TB. Pure row-local expansion (`posexplode` over a
+    * computed `sequence` — zero shuffles, output volume = Σ ceil(bytes/k));
+    * the oracle replays the offset arithmetic with `range`, so the gate
+    * proves the generator's indexing, not just its row count.
+    */
+  val frameSample: QueryDef = QueryDef(
+    "multimodal_frame_sample",
+    """SELECT doc_id,
+      |  CAST(o // 100 AS INTEGER) AS frame_idx,
+      |  CAST(o AS BIGINT) AS frame_offset,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |FROM documents,
+      |  UNNEST(range(0, CAST(greatest(octet_length(CAST(text AS BLOB)), 1) AS BIGINT), 100))
+      |    AS u(o)""".stripMargin) { (spark, dir) =>
+    sampleFrames(mediaTable(spark, dir), everyK = 100)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        col("frame_offset").cast("long").as("frame_offset"),
+        col("n_bytes"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mediaPlumbing, mediaFeatures, multimodalJoin, frameSample)
 }
