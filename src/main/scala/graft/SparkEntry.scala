@@ -34,7 +34,8 @@ object SparkEntry {
       streaming.Streams.streamingUserTotals :+
       streaming.Streams.streamingSessionWindows :+
       streaming.Streams.streamingTypeCounts :+
-      streaming.Streams.streamingHoppingAppend
+      streaming.Streams.streamingHoppingAppend :+
+      streaming.Streams.streamingIncrementalSink
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

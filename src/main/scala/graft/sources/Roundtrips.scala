@@ -90,5 +90,21 @@ object Roundtrips {
         count(when(col("n_items").isNull, 1)).as("n_rows_v1"))
   }
 
-  val all: Seq[QueryDef] = Seq(orcRoundtrip, jsonlRoundtrip, schemaDriftMerge)
+  /** CSV sink/scan round trip — the reference's own interchange format
+    * exercised as an OUTPUT too (its ingest side is the two-pass
+    * header-then-typed-schema scan, `rentals.Io.readRawCsv`). Values
+    * travel as integer cents and the read back is explicit-schema (no
+    * inference pass over the data — at 100 TB an inference scan would
+    * double the read), so the trip is lossless by construction and the
+    * oracle recomputes from the base table.
+    */
+  val csvRoundtrip: QueryDef = QueryDef("csv_roundtrip", roundtripOracle) { (spark, dir) =>
+    val path = graft.rentals.Scratch.dir("graft_csv_roundtrip")
+    monthlySupplierRevenue(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
+    readback(spark.read.schema(schema).option("header", "true").csv(path))
+  }
+
+  val all: Seq[QueryDef] = Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge)
 }

@@ -443,6 +443,58 @@ object Streams {
       }
   }
 
+  /** Exactly-once incremental processing into a DURABLE (parquet) sink
+    * across source generations — the property that makes a streaming
+    * pipeline restartable at 100 TB: the file source's checkpointed offset
+    * log decides what is new, so a restarted job processes ONLY files that
+    * arrived since the last commit and a restart with nothing new appends
+    * nothing. The gate runs three checkpointed AvailableNow executions over
+    * a growing input directory (generation 1: even event_ids; generation 2:
+    * the odd rest; generation 3: nothing new) and returns the sink's final
+    * contents, which must equal every event EXACTLY once — any reprocessing
+    * would surface as duplicate rows and break the oracle's hash. The
+    * transform is stateless (projection), so emission equals input and the
+    * proof isolates offset tracking itself. Memory-sink queries elsewhere
+    * cover the stateful/watermark semantics; this one covers the sink +
+    * checkpoint contract.
+    */
+  val streamingIncrementalSink: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_incremental_sink",
+    "SELECT event_id, ts, user_id, event_type FROM events") { (spark, dir) =>
+    val sess = gateSession(spark)
+    val base = graft.rentals.Scratch.dir(s"graft_incr_sink_${System.nanoTime()}")
+    val events = graft.core.Tables.events(sess, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    events.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(s"$base/in")
+    runIncrementalSinkPhase(sess, base)
+    // generation 2 lands as NEW files in the same directory; the
+    // checkpointed offset log limits the restarted run to exactly them
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$base/in")
+    runIncrementalSinkPhase(sess, base)
+    // restart with nothing new: a committed-offset no-op
+    runIncrementalSinkPhase(sess, base)
+    sess.read.parquet(s"$base/out")
+  }
+
+  /** One checkpointed AvailableNow run of the stateless projection stream
+    * `base/in` → parquet `base/out` (checkpoint at `base/ckpt`); returns the
+    * sink row count after the run (consumed by the restart spec).
+    */
+  def runIncrementalSinkPhase(sess: SparkSession, base: String): Long = {
+    val q = sess.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      .parquet(s"$base/in")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.read.parquet(s"$base/out").count()
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (AvailableNow) into an in-memory table; returns the result. Used by
     * tests and demos — production would use a durable sink + real trigger.

@@ -252,4 +252,30 @@ class StreamsSpec extends SparkSpec {
     val b = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(f === b)
   }
+
+  test("incremental parquet sink: each restart processes only new files; idle restart is a no-op") {
+    val base = graft.rentals.Scratch.dir(s"graft_incr_sink_spec_${System.nanoTime()}")
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val nEven = events.filter(col("event_id") % 2 === 0).count()
+    val nAll = events.count()
+
+    events.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(s"$base/in")
+    val afterGen1 = Streams.runIncrementalSinkPhase(spark, base)
+    assert(afterGen1 === nEven, "first run sinks exactly generation 1")
+
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$base/in")
+    val afterGen2 = Streams.runIncrementalSinkPhase(spark, base)
+    assert(afterGen2 === nAll, "restart processes only the new files, no reprocessing")
+
+    val afterIdle = Streams.runIncrementalSinkPhase(spark, base)
+    assert(afterIdle === nAll, "idle restart appends nothing")
+
+    // content equality, not just counts: every event exactly once
+    val sunk = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = events
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    assert(sunk.sorted === expected.sorted)
+  }
 }
