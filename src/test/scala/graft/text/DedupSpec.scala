@@ -136,4 +136,37 @@ class DedupSpec extends SparkSpec {
       assert(sig1 === sig2) // deterministic
     }
   }
+
+  test("fuzzy_join_blocked: every corrupted name recovers its original; dist bounded by 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.fuzzyJoinBlocked.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c, m, d) =>
+      assert(d >= 0 && d <= 1)
+      assert(levenshteinRef(c, m) === d, s"dist($c, $m)")
+    }
+    // recall: each part's corrupted form must match its own original name
+    // (deletion distance is exactly 1) — the pigeonhole blocking may not
+    // lose it
+    val parts = graft.core.Tables.part(spark, dir)
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val matched = rows.map(r => (r._1, r._3)).toSet
+    parts.foreach { case (key, name) =>
+      assert(matched.contains((key, name)), s"part $key lost its own original '$name'")
+    }
+  }
+
+  /** Reference Levenshtein (full DP) to pin the engine's distance. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
