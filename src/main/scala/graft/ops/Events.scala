@@ -53,9 +53,11 @@ object Events {
     * One shuffle on `user_id`; both windows and the final group-by reuse that
     * partitioning (Catalyst plans a single exchange) — the shape that scales.
     */
-  val sessionizeEvents: QueryDef = QueryDef(
-    "sessionize_events",
-    """WITH flagged AS (
+  /** The gap-sessionization CTE chain, shared by the sessionize oracle and
+    * the sweep-line concurrency oracle so both state the SAME sessions.
+    */
+  private val sessionsSqlCtes =
+    """flagged AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
@@ -66,12 +68,78 @@ object Events {
       |  SELECT user_id, ts,
       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      |  FROM flagged)
-      |SELECT user_id, session_seq,
-      |  min(ts) AS session_start, max(ts) AS session_end,
-      |  CAST(count(*) AS BIGINT) AS n_events
-      |FROM numbered
-      |GROUP BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_seq,
+      |    min(ts) AS session_start, max(ts) AS session_end,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM numbered
+      |  GROUP BY user_id, session_seq)""".stripMargin
+
+  val sessionizeEvents: QueryDef = QueryDef(
+    "sessionize_events",
+    s"""WITH $sessionsSqlCtes
+       |SELECT user_id, session_seq, session_start, session_end, n_events
+       |FROM sessions""".stripMargin) { (spark, dir) =>
+    sessionsOf(spark, dir)
+  }
+
+  /** Peak concurrency via a distributed sweep line: how many gap-sessions
+    * are simultaneously open at the busiest instant (sessions closed-
+    * interval [start, end]; at equal timestamps starts are processed before
+    * ends, and the remaining tie order is pinned by (user_id, session_seq),
+    * so the running sum is a total-order fold — engine-independent). The
+    * boundary stream (+1 at start, −1 at end) goes through
+    * [[Ranking.globalRunningSumBy]]: range-partitioned on the sweep order,
+    * per-partition local prefix sums, broadcast offsets over ≤#partitions
+    * totals — NO single-partition window anywhere, the sweep scales with
+    * the session count. The cum table is pinned (one derivation) and the
+    * peak/earliest-instant/total rollups read the pinned table.
+    */
+  val peakConcurrency: QueryDef = QueryDef(
+    "peak_concurrency",
+    s"""WITH $sessionsSqlCtes,
+       |b AS (
+       |  SELECT session_start AS ts, 0 AS bound, 1 AS delta, user_id, session_seq
+       |  FROM sessions
+       |  UNION ALL
+       |  SELECT session_end, 1, -1, user_id, session_seq FROM sessions),
+       |c AS (
+       |  SELECT ts, CAST(SUM(delta) OVER (ORDER BY ts, bound, user_id, session_seq
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM b),
+       |p AS (SELECT max(cum) AS peak_concurrency FROM c)
+       |SELECT p.peak_concurrency,
+       |  (SELECT min(ts) FROM c WHERE cum = p.peak_concurrency) AS peak_ts,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions
+       |FROM p""".stripMargin) { (spark, dir) =>
+    val sessions = sessionsOf(spark, dir)
+    val b = sessions
+      .select(col("session_start").as("ts"), lit(0).as("bound"), lit(1L).as("delta"),
+        col("user_id"), col("session_seq"))
+      .unionByName(sessions
+        .select(col("session_end").as("ts"), lit(1).as("bound"), lit(-1L).as("delta"),
+          col("user_id"), col("session_seq")))
+    val cum = Ranking
+      .globalRunningSumBy(b, Seq("ts", "bound", "user_id", "session_seq"), "delta", "cum")
+      .select(col("ts"), col("cum"))
+      .localCheckpoint()
+    val stats = cum.agg(
+      max(col("cum")).as("peak_concurrency"),
+      (count(lit(1)) / 2).cast("long").as("n_sessions"))
+    cum.crossJoin(broadcast(stats))
+      .filter(col("cum") === col("peak_concurrency"))
+      .groupBy(col("peak_concurrency"), col("n_sessions"))
+      .agg(min(col("ts")).as("peak_ts"))
+      .select(col("peak_concurrency"), col("peak_ts"), col("n_sessions"))
+  }
+
+  /** The gap-sessionized (user_id, session_seq, session_start, session_end,
+    * n_events) frame — shared by [[sessionizeEvents]] and the sweep-line
+    * [[peakConcurrency]].
+    */
+  private def sessionsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     val isNew = when(
@@ -662,5 +730,5 @@ object Events {
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
     upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore,
-    contingencyCells, eventsHourlyUsers)
+    contingencyCells, eventsHourlyUsers, peakConcurrency)
 }

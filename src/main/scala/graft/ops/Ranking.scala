@@ -56,6 +56,38 @@ object Ranking {
       .drop("__mono", "__part", "__local")
   }
 
+  /** Global running (inclusive prefix) sum of `valueCol` under the total
+    * order `sortCols`, without a single-partition window — the distributed
+    * sweep-line primitive (running balances, concurrency counting, water-
+    * filling). Same plan shape as [[globalRankBy]]: range-partition on the
+    * sort key, per-partition local prefix sums in one window, and a
+    * broadcast prefix-sum of the ≤#partitions per-partition TOTALS as the
+    * cross-partition offset; the totals side re-reads the same range
+    * exchange (ReusedExchange), so the data shuffles once.
+    */
+  def globalRunningSumBy(
+      df: DataFrame, sortCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__part", shiftright(col("__mono"), 33))
+    val wLocal = Window.partitionBy(col("__part"))
+      .orderBy(col("__mono"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(pmod(col("__part"), lit(1L)))
+      .orderBy(col("__part")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__part"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__part"), col("__off"))
+    sorted
+      .withColumn("__localsum", sum(col(valueCol)).over(wLocal))
+      .join(broadcast(offsets), "__part")
+      .withColumn(outCol, col("__off") + col("__localsum"))
+      .drop("__mono", "__part", "__localsum")
+  }
+
   /** Global rank of every document by size — the "order the whole corpus"
     * primitive behind curriculum ordering and deterministic training-data
     * shuffles. The oracle states the single-window spec this must equal.

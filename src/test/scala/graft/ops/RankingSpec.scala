@@ -51,4 +51,37 @@ class RankingSpec extends SparkSpec {
       .orderBy("rank").select("id").as[Long].collect()
     assert(got.toSeq === Seq(2L, 1L))
   }
+
+  test("globalRunningSumBy equals a single-window running sum on a signed stream") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, if (i % 3 == 0) -1L else 1L))
+    val df = rows.toDF("pos", "delta").repartition(7)
+    val got = Ranking.globalRunningSumBy(df, Seq("pos"), "delta", "cum")
+      .orderBy("pos").select("pos", "cum").as[(Long, Long)].collect()
+    var acc = 0L
+    val expected = rows.sortBy(_._1).map { case (p, d) => acc += d; (p, acc) }
+    assert(got.toSeq === expected)
+  }
+
+  test("peak_concurrency matches a direct sweep over the sessionized intervals") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Events.peakConcurrency.fn(spark, dir).collect().head
+    val sessions = Events.sessionizeEvents.fn(spark, dir)
+      .select("user_id", "session_seq", "session_start", "session_end")
+      .collect()
+      .map(x => (x.getTimestamp(2), x.getTimestamp(3), x.getLong(0), x.getLong(1)))
+    // direct sweep: starts before ends at equal instants, ties by (user, seq)
+    val boundaries = sessions.flatMap { case (s, e, u, q) =>
+      Seq((s, 0, 1L, u, q), (e, 1, -1L, u, q))
+    }.sortBy(b => (b._1.getTime / 1000, b._1.getNanos, b._2, b._4, b._5))
+    var acc = 0L; var peak = 0L; var peakTs: java.sql.Timestamp = null
+    boundaries.foreach { b =>
+      acc += b._3
+      if (acc > peak) { peak = acc; peakTs = b._1 }
+    }
+    assert(r.getAs[Long]("peak_concurrency") === peak)
+    assert(r.getAs[java.sql.Timestamp]("peak_ts") === peakTs)
+    assert(r.getAs[Long]("n_sessions") === sessions.length.toLong)
+    assert(acc === 0L, "sweep returns to zero")
+  }
 }
