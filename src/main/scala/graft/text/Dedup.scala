@@ -356,6 +356,74 @@ object Dedup {
           levenshtein(col("c_name"), col("matched_name")).cast("int").as("dist"))
   }
 
+  /** Span-level exact dedup (the substring-granularity pass of a
+    * training-data pipeline, after the document-level passes above): find
+    * every window of [[SpanW]] consecutive tokens that also occurs in at
+    * least one OTHER document, and report per-document how much of the text
+    * is made of such cross-document spans. Whole-doc dedup misses boilerplate
+    * (shared headers, license blocks, templated paragraphs) that repeats
+    * inside otherwise-distinct documents; this query is the standard remedy
+    * (cf. the suffix-array dedup of "Deduplicating Training Data Makes
+    * Language Models Better" — here with fixed-width windows, which is the
+    * shuffle-friendly distributed formulation).
+    *
+    * Plan shape (the 100 TB story): span explosion is row-local (O(tokens)
+    * spans per doc, each materialized once from a pinned token array — never
+    * the O(tokens·W) re-split form). The position rows then shuffle ONCE on
+    * the span string (`repartition(span)` ahead of the (span, doc_id)
+    * aggregate lets the span-partitioned dup-marking window reuse the SAME
+    * exchange — HashPartitioning(span) satisfies both), and the per-doc
+    * rollup is the only other exchange. One corpus scan, no join against a
+    * dup-span table at all — the join formulation either broadcasts that
+    * table (OOM when boilerplate is heavy at scale) or re-shuffles the spans.
+    * At larger W you would shuffle a 128-bit span hash instead of the text
+    * (sha256 keeps it engine-independent); at W = 8 over word tokens the
+    * string is already hash-sized, so the plain string keeps the oracle
+    * simple.
+    */
+  private val SpanW = 8
+
+  val spanDedup: QueryDef = QueryDef(
+    "dedup_span_exact",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, array_to_string(t[u.i : u.i + ${SpanW - 1}], ' ') AS span
+       |  FROM toks, UNNEST(range(1, len(t) - ${SpanW - 2})) AS u(i)
+       |  WHERE len(t) >= $SpanW),
+       |dup AS (
+       |  SELECT span FROM spans GROUP BY span
+       |  HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT s.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM spans s LEFT JOIN dup d USING (span)
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SpanW)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(t) - ${SpanW - 1}), i -> array_join(slice(t, i, $SpanW), ' '))"))
+          .as("span"))
+    val pairs = spans
+      .repartition(col("span"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+    val nDocs = count(lit(1)).over(Window.partitionBy(col("span")))
+    pairs
+      .withColumn("n_docs", nDocs)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_pos")).as("n_spans"),
+        sum(when(col("n_docs") >= 2, col("n_pos")).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked)
+    Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked,
+      spanDedup)
 }

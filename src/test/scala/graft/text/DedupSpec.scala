@@ -158,6 +158,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span dedup counts cross-doc duplicated windows, ignores within-doc repeats") {
+    // doc 1 and doc 2 share the 10-token `base` prefix (boilerplate); doc 3
+    // is disjoint; doc 4 repeats ITS OWN 8-token phrase twice but shares it
+    // with no other doc — its spans must not count as duplicated.
+    val tenTok = base.split(" ").take(10).mkString(" ")            // 10 tokens -> 3 spans of 8
+    val selfRep = "alpha beta gamma delta epsilon zeta eta theta"  // exactly 8 tokens
+    docsDir(Seq(
+      1L -> (tenTok + " unique tail one"),
+      2L -> (tenTok + " other ending words two"),
+      3L -> disjoint,
+      4L -> (selfRep + " " + selfRep))) { dir =>
+      val out = Dedup.spanDedup.fn(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans")))).toMap
+      // 13-token doc -> 6 spans; the 3 spans inside the shared 10-token
+      // prefix are the cross-doc duplicated ones.
+      assert(out(1L) === ((6L, 3L)))
+      assert(out(2L) === ((7L, 3L)))
+      assert(out(3L)._2 === 0L)
+      // 16 tokens -> 9 spans (the 8-token phrase occurs at positions 1 AND
+      // 9 — same doc twice), all from a phrase no OTHER doc has.
+      assert(out(4L) === ((9L, 0L)))
+    }
+  }
+
   /** Reference Levenshtein (full DP) to pin the engine's distance. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
