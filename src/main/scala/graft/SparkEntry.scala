@@ -20,6 +20,7 @@ object SparkEntry {
       ops.RuntimeFilter.all ++
       ops.Layout.all ++
       ops.Ranking.all ++
+      ops.Graph.all ++
       text.TextAnalysis.all ++
       text.Dedup.all ++
       text.Corpus.all ++

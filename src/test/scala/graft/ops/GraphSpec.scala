@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[Graph.triangleStats]] — the degree-oriented neighborhood-intersection
+  * count must equal the combinatorial truth on graphs with known triangle
+  * structure, including hubs where the naive (unoriented) wedge count would
+  * explode.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val r = Graph.triangleStats(edges.toDF("u", "v")).collect().head
+    (r.getAs[Long]("n_vertices"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+  }
+
+  test("K4 has 4 triangles; adding a pendant edge adds none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (v, e, _, t) = stats(k4)
+    assert((v, e, t) === ((4L, 6L, 4L)))
+    val (v2, e2, _, t2) = stats(k4 :+ (4L, 5L))
+    assert((v2, e2, t2) === ((5L, 7L, 4L)))
+  }
+
+  test("triangle-free bipartite star-of-stars counts zero") {
+    // hub 0 connected to 1..20, each of 1..20 connected to 100+i: no cycles
+    val edges = (1L to 20L).map(i => (0L, i)) ++ (1L to 20L).map(i => (i, 100L + i))
+    val (v, e, w, t) = stats(edges)
+    assert((v, e, t) === ((41L, 40L, 0L)))
+    // orientation caps the hub: every oriented out-degree is small, so the
+    // wedge bound stays linear-ish even though the hub's naive wedge count
+    // would be C(20,2) = 190
+    assert(w < 190L)
+  }
+
+  test("hub fan with closing rim matches a brute-force count") {
+    // wheel graph: hub 0 to rim 1..12, rim cycle 1-2-...-12-1 -> 12 triangles
+    val rim = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val edges = (1L to 12L).map(i => (0L, i)) ++ rim
+    val (v, e, _, t) = stats(edges)
+    assert((v, e, t) === ((13L, 24L, 12L)))
+  }
+}
