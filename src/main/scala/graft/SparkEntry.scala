@@ -32,6 +32,7 @@ object SparkEntry {
       streaming.Streams.streamingHourlyAppend :+
       streaming.Streams.streamingDedupExact :+
       streaming.Streams.streamStreamJoin :+
+      streaming.Streams.streamStaticJoin :+
       streaming.Streams.streamingUserTotals :+
       streaming.Streams.streamingSessionWindows :+
       streaming.Streams.streamingTypeCounts :+

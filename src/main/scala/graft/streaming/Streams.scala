@@ -274,6 +274,41 @@ object Streams {
       runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
   }
 
+  /** Stream-static enrichment join inside the gate: the streamed purchase
+    * events join a STATIC per-user profile (historical click counts,
+    * batch-aggregated from the same store) on user_id. This is the standard
+    * "enrich the stream with a dimension/feature table" shape: the static
+    * side is planned per micro-batch (broadcast while it is small, shuffled
+    * hash join at scale — the stream never blocks on it), and the join is
+    * STATELESS — no watermark, no state store, each arriving row emits at
+    * most once, so Append mode is exact under any micro-batch split and the
+    * oracle is the plain relational join.
+    */
+  val streamStaticJoin: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_static_join",
+    """SELECT p.event_id, p.user_id,
+      |  CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+      |  c.n_clicks
+      |FROM events p
+      |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+      |      FROM events WHERE event_type = 'click' GROUP BY 1) c
+      |  ON c.user_id = p.user_id
+      |WHERE p.event_type = 'purchase'""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val clickProfile = graft.core.Tables.events(sess, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val purchases = readEventsStream(sess, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+    val enriched = purchases.join(clickProfile, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_cents"), col("n_clicks"))
+    val table = s"graft_stream_static_join_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, enriched, table, OutputMode.Append())
+  }
+
   /** Streaming session windows inside the gate: per-user 30-minute-gap
     * sessions via `session_window`, Append mode with a 2-hour watermark, run
     * AvailableNow. Session state merges adjacent events server-side and a

@@ -107,6 +107,19 @@ class StreamsSpec extends SparkSpec {
     assert(b.nonEmpty && s.size >= (b.size * 3) / 4, s"stream ${s.size} vs batch ${b.size}")
   }
 
+  test("stream-static join equals the batch join exactly (stateless, no watermark tail)") {
+    val q = Streams.streamStaticJoin.fn(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val profile = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(profile, Seq("user_id"))
+      .select(col("event_id"), col("n_clicks"))
+    val s = q.select("event_id", "n_clicks").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.nonEmpty && s === b)
+  }
+
   test("foreachBatch parquet sink captures every source row exactly once") {
     withTempDir { dir =>
       val streamed = Streams.readEventsStream(spark, sf)
