@@ -2,6 +2,7 @@ package graft.rentals
 
 import graft.core.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, IntegerType}
 
@@ -158,10 +159,78 @@ object RentalsDemo {
         sum(when(array_contains(col("months"), col("month")), 0L).otherwise(1L)).as("n_months_missing"))
   }
 
+  /** LOCF (last-observation-carried-forward) gap fill: densify each region's
+    * month calendar, then impute every missing month with the most recent
+    * observed value — the standard time-series repair ahead of joins or
+    * models that need a value per period. Values are imputed as exact
+    * integer cents so the filled-series total is engine-independent.
+    *
+    * One exchange total: the per-region gather (month→cents map + bounds)
+    * hash-partitions on RegionID; the calendar explode is narrow, the
+    * carry-forward window (`last(obs) ignoreNulls` over ROWS UNBOUNDED
+    * PRECEDING) and the final rollup both reuse that partitioning. Leading
+    * months are never null by construction (the calendar starts at each
+    * region's first observation).
+    */
+  def locfFill(spark: SparkSession, dir: String): DataFrame =
+    locfFillOf(rentalsLong(spark, dir))
+
+  /** [[locfFill]] over any (RegionID, month, median_rent) long frame. */
+  def locfFillOf(long: DataFrame): DataFrame = {
+    val grouped = long
+      .groupBy(col("RegionID"))
+      .agg(
+        map_from_entries(collect_list(struct(col("month"), Num.cents(col("median_rent")))))
+          .as("obs_map"),
+        min(col("month")).as("mn"),
+        max(col("month")).as("mx"))
+    val dense = grouped
+      .select(col("RegionID"), col("obs_map"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+      .withColumn("obs", element_at(col("obs_map"), col("month")))
+    val wFill = Window.partitionBy(col("RegionID")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(wFill))
+      .groupBy(col("RegionID"))
+      .agg(
+        count(lit(1)).as("n_months_total"),
+        sum(when(col("obs").isNull, 1L).otherwise(0L)).as("n_filled"),
+        sum(col("filled")).as("filled_total_cents"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "rentals_long",
       longSql) { (spark, dir) => rentalsLong(spark, dir) },
+    QueryDef(
+      "locf_fill",
+      s"""WITH long_shape AS ($longSql),
+         |cents AS (
+         |  SELECT RegionID, month, ${Num.sqlCents("median_rent")} AS c
+         |  FROM long_shape),
+         |bounds AS (
+         |  SELECT RegionID, min(month) AS mn, max(month) AS mx
+         |  FROM cents GROUP BY 1),
+         |calendar AS (
+         |  SELECT RegionID,
+         |         CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+         |                                     INTERVAL 1 MONTH)) AS DATE) AS month
+         |  FROM bounds),
+         |joined AS (
+         |  SELECT cal.RegionID, cal.month, c.c AS obs
+         |  FROM calendar cal
+         |  LEFT JOIN cents c ON c.RegionID = cal.RegionID AND c.month = cal.month),
+         |f AS (
+         |  SELECT RegionID, obs,
+         |    last_value(obs IGNORE NULLS) OVER (PARTITION BY RegionID ORDER BY month
+         |                                       ROWS UNBOUNDED PRECEDING) AS filled
+         |  FROM joined)
+         |SELECT RegionID,
+         |  CAST(count(*) AS BIGINT) AS n_months_total,
+         |  CAST(sum(CASE WHEN obs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(sum(filled) AS BIGINT) AS filled_total_cents
+         |FROM f GROUP BY 1""".stripMargin) { (spark, dir) => locfFill(spark, dir) },
     QueryDef(
       "month_densify",
       s"""WITH long_shape AS ($longSql),

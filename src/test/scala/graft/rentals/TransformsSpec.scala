@@ -119,4 +119,21 @@ class TransformsSpec extends SparkSpec {
     val firsts = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     assert(firsts.filter(col("rent_change_mom").isNotNull).count() === 0)
   }
+
+  test("LOCF gap fill: missing months carry the last observation forward, exact cents") {
+    import spark.implicits._
+    // region 1: Jan=10.00, gap Feb+Mar, Apr=20.00 -> filled total
+    // = 1000 + 1000 + 1000 + 2000; region 2: no gaps
+    val long = Seq(
+      (1, "2024-01-01", 10.0), (1, "2024-04-01", 20.0),
+      (2, "2024-06-01", 5.0), (2, "2024-07-01", 7.0))
+      .toDF("RegionID", "month_str", "median_rent")
+      .select(col("RegionID"), to_date(col("month_str")).as("month"), col("median_rent"))
+    val out = RentalsDemo.locfFillOf(long).collect()
+      .map(r => r.getAs[Int]("RegionID") ->
+        ((r.getAs[Long]("n_months_total"), r.getAs[Long]("n_filled"),
+          r.getAs[Long]("filled_total_cents")))).toMap
+    assert(out(1) === ((4L, 2L, 5000L)))
+    assert(out(2) === ((2L, 0L, 1200L)))
+  }
 }
