@@ -851,9 +851,73 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tok"), col("quality"), col("cum_tokens"))
   }
 
+  /** Leakage-safe (group-aware) train/val/test split: a document's split is
+    * decided by its near-dup CLUSTER representative, not its own id — so two
+    * near-duplicates can never land on opposite sides of the train/test
+    * boundary (the eval-contamination vector a per-doc split leaves open;
+    * `dataset_split` is the per-doc baseline, `decontaminate_split` removes
+    * known eval docs, and this closes the remaining hole). Singleton docs
+    * group as themselves. Assignment hashes the group key through the ONE
+    * engine-free multiplicative hash (`Num.splitHash`), so the split is
+    * reproducible on any engine/partitioning; being a pure function of the
+    * group, it is leakage-free BY CONSTRUCTION, and the per-split
+    * n_groups/checksum columns hash-verify the realized assignment. Fifth
+    * consumer of the pinned LSH edge table — cluster labels derive once per
+    * session; the docs-side join is one doc_id-keyed exchange against the
+    * (tiny) clustered-docs label table.
+    */
+  val datasetSplitGrouped: QueryDef = QueryDef(
+    "dataset_split_grouped",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
+       |  FROM documents),
+       |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |g AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT CASE WHEN h < 3435973837 THEN 'train'
+       |            WHEN h < 3865470566 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM (SELECT doc_id, grp, ${Num.sqlSplitHash("grp")} AS h FROM g)
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val comp = connectedComponents(
+      Dedup.lshVerifiedPairsPinned(spark, dir).select(col("doc_a"), col("doc_b")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("h", Num.splitHash(col("grp")))
+      .withColumn("split",
+        when(col("h") < lit(3435973837L), "train") // floor(0.8 * 2^32)
+          .when(col("h") < lit(3865470566L), "val") // floor(0.9 * 2^32)
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("grp")).as("n_groups"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupClusters, vocabTopk, tfidfTopTerms, docRepetition, docTokenDiversity,
       packSequences, decontaminateSplit, corpusMixtureSample, tokenCommonality,
       dedupKeepBest, termCooccurrence, sourceVocabOverlap, crossSourceNeardup,
-      corpusBudgetSelect)
+      corpusBudgetSelect, datasetSplitGrouped)
 }

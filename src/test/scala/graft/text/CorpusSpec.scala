@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Corpus operators: connected-components convergence beyond the near-clique
   * dup graphs the pipeline usually sees.
@@ -212,5 +213,38 @@ class CorpusSpec extends SparkSpec {
       if (nKept < ordered.length)
         assert(keptTokens + ordered(nKept)._3 > 600L, s"$src selection is maximal")
     }
+  }
+
+  test("grouped split: near-dup pairs never straddle splits; rollup matches recompute") {
+    import graft.core.{Num, Tables}
+    val dir = "/root/testdata/sf0.001"
+    // doc-level assignment recomputed exactly as the query defines it
+    val comp = Corpus.connectedComponents(
+      Dedup.lshVerifiedPairsPinned(spark, dir).select(col("doc_a"), col("doc_b")))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("h", Num.splitHash(col("grp")))
+      .withColumn("split",
+        when(col("h") < lit(3435973837L), "train")
+          .when(col("h") < lit(3865470566L), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every verified near-dup pair lands on ONE side
+    val pairs = Dedup.lshVerifiedPairsPinned(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "testdata must contain planted near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(perDoc(a) === perDoc(b), s"pair ($a,$b) straddles the split boundary")
+    }
+    // the query's rollup equals the per-doc recomputation
+    val got = Corpus.datasetSplitGrouped.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val expected = perDoc.toSeq.groupBy(_._2)
+      .map { case (s, xs) => s -> ((xs.size.toLong, xs.map(_._1).sum)) }
+    assert(got === expected)
+    assert(perDoc.size === 500)
   }
 }
