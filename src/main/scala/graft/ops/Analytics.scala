@@ -493,8 +493,163 @@ object Analytics {
           (sum(col("n")).cast("double") / count(lit(1)).cast("double"))).as("skew_factor"))
   }
 
+  /** Market-basket association rules over order baskets (basket = order,
+    * item = part): every co-purchased pair with support >= 2, with exact
+    * support counts and bit-stable confidence/lift (single IEEE divisions of
+    * exact int64 products — [[graft.core.Num]] discipline).
+    *
+    * Scale shape: the per-order item dedup and the pair self-join share ONE
+    * order-keyed exchange (the co-purchase pattern of [[Graph]]); pair
+    * support is a map-side-combined rollup on the pair key; per-item basket
+    * counts are an item-keyed rollup joined back to the (already much
+    * smaller, support-filtered) rule table. The basket count is a 1-row
+    * aggregate broadcast into the projection. No all-pairs work ever
+    * happens outside a shared order: candidate pairs are generated only
+    * within baskets — at 100 TB the pair table is bounded by
+    * sum over orders of C(items_per_order, 2), not by |parts|^2.
+    */
+  val basketRules: QueryDef = QueryDef(
+    "basket_rules",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n_baskets AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM items),
+      |item_n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_uv
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pairs.u, pairs.v, pairs.n_uv,
+      |  iu.n AS n_u, iv.n AS n_v, nb.nb AS n_baskets,
+      |  CAST(pairs.n_uv AS DOUBLE) / CAST(iu.n AS DOUBLE) AS conf_u_v,
+      |  CAST(pairs.n_uv AS DOUBLE) / CAST(iv.n AS DOUBLE) AS conf_v_u,
+      |  CAST(pairs.n_uv * nb.nb AS DOUBLE) / CAST(iu.n * iv.n AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN item_n iu ON iu.p = pairs.u
+      |JOIN item_n iv ON iv.p = pairs.v
+      |CROSS JOIN n_baskets nb""".stripMargin) { (spark, dir) =>
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
+      .localCheckpoint()
+    val nBaskets = items.agg(countDistinct(col("o")).as("nb"))
+    val itemN = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_uv"))
+      .filter(col("n_uv") >= 2)
+    pairs
+      .join(itemN.select(col("p").as("u"), col("n").as("n_u")), Seq("u"))
+      .join(itemN.select(col("p").as("v"), col("n").as("n_v")), Seq("v"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("u"), col("v"), col("n_uv"), col("n_u"), col("n_v"),
+        col("nb").as("n_baskets"),
+        (col("n_uv").cast("double") / col("n_u").cast("double")).as("conf_u_v"),
+        (col("n_uv").cast("double") / col("n_v").cast("double")).as("conf_v_u"),
+        ((col("n_uv") * col("nb")).cast("double") /
+          (col("n_u") * col("n_v")).cast("double")).as("lift"))
+  }
+
+  /** Pareto frontier (skyline) of parts under (minimize retail price,
+    * maximize size): a part is ON the skyline iff no other part is at most
+    * its price AND at least its size with one strict. The textbook
+    * formulation is the O(n^2) NOT EXISTS self-join (which IS the oracle);
+    * the engine derives the same set with domain-bounded work:
+    *
+    *   dominated(q)  <=>  maxsize(price < q.price) >= q.size
+    *                   OR maxsize(price = q.price) >  q.size
+    *
+    * Per-price max sizes are one map-side-combined rollup whose cardinality
+    * is the PRICE DOMAIN (10k distinct cents here), not the table; the
+    * strict-prefix max over that tiny table is a range-frame window (single
+    * partition over a domain-bounded input — the global_rank_ranged
+    * precedent); both maxima broadcast-join back and the verdict is
+    * row-local. At 100 TB: one rollup + one broadcast join, zero all-pairs
+    * work, versus the oracle's quadratic loop.
+    */
+  val skylinePareto: QueryDef = QueryDef(
+    "skyline_pareto",
+    s"""WITH pts AS (
+      |  SELECT p_partkey, ${graft.core.Num.sqlCents("p_retailprice")} AS price_cents,
+      |         CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT q.p_partkey, q.price_cents, q.size
+      |FROM pts q
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts p
+      |  WHERE p.price_cents <= q.price_cents AND p.size >= q.size
+      |    AND (p.price_cents < q.price_cents OR p.size > q.size))""".stripMargin) {
+    (spark, dir) =>
+      val pts = Tables.part(spark, dir).select(
+        col("p_partkey"),
+        graft.core.Num.cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      skyline2D(pts, minimize = "price_cents", maximize = "size")
+  }
+
+  /** 2-D skyline of `pts`: the rows not dominated under (minimize `minimize`
+    * column, maximize `maximize` column). Domain-bounded plan: one rollup on
+    * the minimized value, a strict-prefix range-frame window over that
+    * (domain-sized) table, one broadcast join back, row-local verdict.
+    */
+  def skyline2D(pts: DataFrame, minimize: String, maximize: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = pts.groupBy(col(minimize)).agg(max(col(maximize)).as("gmax"))
+    val w = Window.orderBy(col(minimize))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bounds = perX.select(
+      col(minimize),
+      col("gmax"),
+      max(col("gmax")).over(w).as("prefmax"))
+    pts.join(broadcast(bounds), Seq(minimize))
+      .filter(!(coalesce(col("prefmax") >= col(maximize), lit(false)) ||
+        col("gmax") > col(maximize)))
+      .select(pts.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Free pipeline telemetry via `Observation`: input row count, null-drop
+    * count, exact revenue cents, and the post-filter output count are all
+    * collected on the SAME single scan that produces the output — the
+    * accumulator mechanism Spark exposes for production monitoring, the
+    * 100 TB answer to "instrument the pipeline without a second pass". The
+    * query returns the metrics row itself; the oracle recomputes the same
+    * four aggregates relationally.
+    */
+  val pipelineObserve: QueryDef = QueryDef(
+    "pipeline_observe",
+    s"""SELECT
+      |  CAST(count(*) AS BIGINT) AS n_input,
+      |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_qty,
+      |  CAST(sum(${graft.core.Num.sqlCents("l_extendedprice")}) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_output
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    val obs = new org.apache.spark.sql.Observation()
+    val staged = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .observe(
+        obs,
+        count(lit(1)).as("n_input"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+        sum(graft.core.Num.cents(col("l_extendedprice"))).as("revenue_cents"))
+      .filter(col("l_quantity") >= 25)
+    val nOutput = staged.count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((
+      m("n_input").asInstanceOf[Long],
+      m("n_null_qty").asInstanceOf[Long],
+      m("revenue_cents").asInstanceOf[Long],
+      nOutput))
+      .toDF("n_input", "n_null_qty", "revenue_cents", "n_output")
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
-    aggMultiDistinct, joinKeySkewProfile)
+    aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve)
 }

@@ -43,6 +43,28 @@ object Graph {
       .distinct()
   }
 
+  /** Session-pinned co-purchase edge table: derived once per (session, dir)
+    * and `localCheckpoint`ed so every graph query (triangles, degrees,
+    * PageRank) reads the edge-sized checkpoint instead of re-running the
+    * fact-table self-join — the same amortization the dedup family gets from
+    * `Dedup.lshVerifiedPairsPinned`. Edge-sized ≪ fact-sized, so the pin is
+    * cheap; at 100 TB this is "materialize the graph once, analyze it many
+    * times", which is how any production graph stage is run.
+    */
+  def copurchaseEdgesPinned(spark: SparkSession, dir: String): DataFrame =
+    pinnedEdges.getOrElseUpdate((spark, dir), copurchaseEdges(spark, dir).localCheckpoint())
+
+  private val pinnedEdges =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Shared oracle prelude: the distinct co-purchase edge set as SQL. */
+  private val edgesCte: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
   /** Exact triangle count (plus the vertex/edge/wedge sizes that tell the
     * scale story). Pipeline: edges → degrees → degree-orientation → per-edge
     * out-neighborhood intersection. A triangle {u,v,w} with orientation
@@ -90,7 +112,7 @@ object Graph {
       |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
       |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
       |  (SELECT n FROM tri) AS n_triangles""".stripMargin) { (spark, dir) =>
-    triangleStats(copurchaseEdges(spark, dir))
+    triangleStats(copurchaseEdgesPinned(spark, dir))
   }
 
   /** (n_vertices, n_edges, n_wedges, n_triangles) of an undirected simple
@@ -129,5 +151,100 @@ object Graph {
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
-  val all: Seq[QueryDef] = Seq(triangleCount)
+  /** Degree distribution of the co-purchase graph: degree -> how many
+    * vertices carry it. Vertex degrees are one map-side-combined rollup over
+    * the pinned edge table (each edge contributes to two vertices via a
+    * stacked projection, not a join), and the histogram is a second rollup
+    * over the vertex-sized degree table. Two small exchanges, zero fact-table
+    * work beyond the shared pinned edge derivation — the first thing anyone
+    * asks of a 100 TB graph ("is it power-law? where do the hubs start?")
+    * answered without touching the fact table again.
+    */
+  val degreeHist: QueryDef = QueryDef(
+    "graph_degree_hist",
+    s"""$edgesCte,
+      |deg AS (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+      |  GROUP BY 1)
+      |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_vertices
+      |FROM deg GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val edges = copurchaseEdgesPinned(spark, dir)
+    edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+  }
+
+  /** PageRank over the co-purchase graph in EXACT integer token arithmetic,
+    * bit-identical in any engine: every vertex starts with 1,000,000 tokens;
+    * each round a vertex banks floor(15%) of fresh mass and receives
+    * `(t*85 div 100) div deg(u)` from each neighbor u (`div` = truncating
+    * integer division — Spark's `div` and DuckDB's `//` agree on
+    * non-negatives). Three rounds, then the top 100 hubs by (tokens desc,
+    * part id) — a deterministic result no floating-point PageRank can
+    * promise across engines.
+    *
+    * Scale shape: the undirected adjacency (src, dst, dsrc) is pinned ONCE
+    * with degrees pre-joined and hash-partitioned by src; each round's rank
+    * table comes out of `groupBy(dst)` hash-partitioned by vertex, so the
+    * round's join (adj.src = rank.x) aligns two pre-partitioned sides with
+    * ZERO new exchange — the only shuffle per iteration is the contribution
+    * rollup itself, the classic one-shuffle-per-round PageRank plan
+    * (GraphX/Pregel does exactly this with its routing tables). Rank state
+    * is vertex-sized; nothing driver-side; 30 rounds at 100 TB is 30
+    * shuffles of contribution rows, each map-side combined.
+    */
+  val pageRank: QueryDef = QueryDef(
+    "graph_pagerank",
+    s"""$edgesCte,
+      |und AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v AS src, u AS dst FROM edges),
+      |deg AS (SELECT src AS x, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+      |adj AS (SELECT und.src, und.dst, deg.d AS dsrc FROM und JOIN deg ON deg.x = und.src),
+      |r0 AS (SELECT x, CAST(1000000 AS BIGINT) AS t FROM deg),
+      |r1 AS (
+      |  SELECT adj.dst AS x, 150000 + sum((r0.t * 85 // 100) // adj.dsrc) AS t
+      |  FROM adj JOIN r0 ON r0.x = adj.src GROUP BY 1),
+      |r2 AS (
+      |  SELECT adj.dst AS x, 150000 + sum((r1.t * 85 // 100) // adj.dsrc) AS t
+      |  FROM adj JOIN r1 ON r1.x = adj.src GROUP BY 1),
+      |r3 AS (
+      |  SELECT adj.dst AS x, 150000 + sum((r2.t * 85 // 100) // adj.dsrc) AS t
+      |  FROM adj JOIN r2 ON r2.x = adj.src GROUP BY 1)
+      |SELECT x AS part, CAST(t AS BIGINT) AS tokens
+      |FROM r3 ORDER BY t DESC, x LIMIT 100""".stripMargin) { (spark, dir) =>
+    pageRankTokens(copurchaseEdgesPinned(spark, dir), rounds = 3)
+      .orderBy(col("t").desc, col("x"))
+      .limit(100)
+      .select(col("x").as("part"), col("t").cast("long").as("tokens"))
+  }
+
+  /** Integer-token PageRank over an undirected simple graph given as
+    * distinct (u, v) edges, u < v: returns (x, t) — every vertex with its
+    * token count after `rounds` rounds of
+    * `t'(v) = 150000 + Σ_{u ~ v} (t(u) * 85 div 100) div deg(u)`,
+    * starting from t = 1,000,000. All arithmetic is int64; the recurrence
+    * is engine-independent.
+    */
+  def pageRankTokens(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+    val adj = und
+      .join(deg.withColumnRenamed("x", "src"), Seq("src"))
+      .withColumnRenamed("d", "dsrc")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val r0 = deg.select(col("x"), lit(1000000L).as("t"))
+    (1 to rounds).foldLeft(r0) { (rank, _) =>
+      adj.join(rank, adj("src") === rank("x"))
+        .select(col("dst"), expr("(t * 85 div 100) div dsrc").as("c"))
+        .groupBy(col("dst").as("x"))
+        .agg((sum(col("c")) + lit(150000L)).as("t"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank)
 }

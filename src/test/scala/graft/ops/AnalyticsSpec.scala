@@ -237,4 +237,68 @@ class AnalyticsSpec extends SparkSpec {
     val p50 = r.getAs[Double]("p50_n"); val p99 = r.getAs[Double]("p99_n")
     assert(p50 <= p99 && p50 >= counts.min.toDouble && p99 <= counts.max.toDouble)
   }
+
+  test("skyline2D: matches the O(n^2) domination definition on seeded points") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 200L).map(i => (i, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      // duplicates + exact ties on each axis
+      Seq((201L, 5L, 5L), (202L, 5L, 5L), (203L, 0L, 0L), (204L, 0L, 29L))
+    val df = pts.toDF("id", "x", "y")
+    val got = Analytics.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, qx, qy) =>
+      !pts.exists { case (_, px, py) =>
+        px <= qx && py >= qy && (px < qx || py > qy)
+      }
+    }.map(_._1).toSet
+    assert(got === want)
+    assert(want.contains(204L)) // (0, 29) dominates everything dominatable
+  }
+
+  test("skyline2D: duplicate points both survive; dominated duplicates both drop") {
+    val df = Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 2L, 9L), (4L, 2L, 9L), (5L, 2L, 10L))
+      .toDF("id", "x", "y")
+    val got = Analytics.skyline2D(df, "x", "y").select("id").as[Long].collect().toSet
+    // (1,10) twins are undominated twins; (2,9) twins are dominated by (1,10)
+    // and by (2,10); (2,10) is dominated by (1,10) on x with equal y
+    assert(got === Set(1L, 2L))
+  }
+
+  test("basket_rules: counts and ratios agree with a brute-force basket scan") {
+    val rows = Analytics.basketRules.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val baskets = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nb = baskets.size.toLong
+    val itemN = baskets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (u, v) = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      val nUv = baskets.values.count(b => b.contains(u) && b.contains(v)).toLong
+      assert(u < v)
+      assert(r.getAs[Long]("n_uv") === nUv && nUv >= 2L)
+      assert(r.getAs[Long]("n_u") === itemN(u))
+      assert(r.getAs[Long]("n_v") === itemN(v))
+      assert(r.getAs[Long]("n_baskets") === nb)
+      assert(r.getAs[Double]("conf_u_v") === nUv.toDouble / itemN(u).toDouble)
+      assert(r.getAs[Double]("lift") ===
+        (nUv * nb).toDouble / (itemN(u) * itemN(v)).toDouble)
+    }
+    // completeness: every pair with support >= 2 is present
+    val allPairs = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    assert(rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet === allPairs)
+  }
+
+  test("pipeline_observe: metrics equal a direct recount, on one scan") {
+    val r = Analytics.pipelineObserve.fn(spark, dir).collect().head
+    val li = graft.core.Tables.lineitem(spark, dir)
+    assert(r.getAs[Long]("n_input") === li.count())
+    assert(r.getAs[Long]("n_output") === li.filter(col("l_quantity") >= 25).count())
+    val cents = li.agg(sum(graft.core.Num.cents(col("l_extendedprice"))))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("revenue_cents") === cents)
+  }
 }

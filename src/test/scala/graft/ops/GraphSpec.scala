@@ -43,4 +43,41 @@ class GraphSpec extends SparkSpec {
     val (v, e, _, t) = stats(edges)
     assert((v, e, t) === ((13L, 24L, 12L)))
   }
+
+  /** Single-threaded reference of the integer-token recurrence. */
+  private def pageRankRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    var t = deg.map { case (x, _) => x -> 1000000L }
+    (1 to rounds).foreach { _ =>
+      t = t.keys.map { x =>
+        x -> (150000L + nbrs(x).map(u => (t(u) * 85L / 100L) / deg(u)).sum)
+      }.toMap
+    }
+    t
+  }
+
+  private def pageRankGot(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.pageRankTokens(edges.toDF("u", "v"), rounds)
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Long]("t")).toMap
+
+  test("pageRankTokens: regular graphs are a fixed point at 1,000,000") {
+    // K3 is 2-regular: every vertex sends 2x425000 and keeps 150000
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(pageRankGot(k3, 3).values.toSet === Set(1000000L))
+  }
+
+  test("pageRankTokens: matches the single-threaded recurrence on a hub graph") {
+    val rnd = new scala.util.Random(7)
+    // star of 20 + random chords: irregular degrees exercise the flooring
+    val star = (1L to 20L).map(i => (0L, i))
+    val chords = Seq.fill(15)((rnd.nextInt(20) + 1L, rnd.nextInt(20) + 1L))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edges = (star ++ chords).distinct
+    for (rounds <- Seq(1, 3)) {
+      assert(pageRankGot(edges, rounds) === pageRankRef(edges, rounds))
+    }
+  }
 }
