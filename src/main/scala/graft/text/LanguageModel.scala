@@ -454,7 +454,177 @@ object LanguageModel {
       .limit(20)
   }
 
+  /** Oracle CTEs for one BPE training round over w{r-1}(wid, wf, toks):
+    * adjacent-pair counts, the argmax pair (count desc, pair asc), then
+    * GREEDY LEFT-TO-RIGHT merge application stated relationally — the only
+    * subtlety is a run of overlapping candidate positions (a == b over a
+    * token run, e.g. merging (a,a) into 'aaaa' must give [aa,aa]): greedy
+    * takes every other candidate of each maximal consecutive-position run,
+    * so candidates are grouped into runs (i - row_number is constant on a
+    * run) and odd row_numbers within the run are the taken merges. A
+    * position is consumed if the previous position was taken; survivors
+    * rebuild the word with `list(.. ORDER BY i)`.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val (prev, p, t, w) = (s"w${r - 1}", s"p$r", s"t$r", s"w$r")
+    s"""$p AS (
+       |  SELECT wid, wf, i, toks[i] AS ta, toks[i + 1] AS tb
+       |  FROM $prev, UNNEST(range(1, len(toks))) AS u(i)),
+       |$t AS (
+       |  SELECT ta AS a, tb AS b, CAST(sum(wf) AS BIGINT) AS n
+       |  FROM $p GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+       |taken$r AS (
+       |  SELECT wid, i FROM (
+       |    SELECT wid, i,
+       |           row_number() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
+       |    FROM (
+       |      SELECT c.wid, c.i,
+       |             c.i - row_number() OVER (PARTITION BY c.wid ORDER BY c.i) AS grp
+       |      FROM $p c, $t
+       |      WHERE c.ta = $t.a AND c.tb = $t.b))
+       |  WHERE rn % 2 = 1),
+       |$w AS (
+       |  SELECT pos.wid, min(pos.wf) AS wf,
+       |         list(CASE WHEN tk.i IS NOT NULL
+       |                   THEN (SELECT a || b FROM $t) ELSE pos.t END
+       |              ORDER BY pos.i)
+       |           FILTER (WHERE cn.i IS NULL) AS toks
+       |  FROM (SELECT wid, wf, i, toks[i] AS t
+       |        FROM $prev, UNNEST(range(1, len(toks) + 1)) AS u(i)) pos
+       |  LEFT JOIN taken$r tk ON tk.wid = pos.wid AND tk.i = pos.i
+       |  LEFT JOIN taken$r cn ON cn.wid = pos.wid AND cn.i = pos.i - 1
+       |  GROUP BY pos.wid)""".stripMargin
+  }
+
+  /** Three rounds of actual BPE tokenizer TRAINING: repeatedly find the
+    * most frequent adjacent token pair (count desc, then pair asc — a total
+    * order) and merge it everywhere, greedily left-to-right (runs merge
+    * pairwise: (a,a) over 'aaaa' -> [aa,aa] — LanguageModelSpec pins this
+    * against a reference trainer). Returns the merge table (round, a, b,
+    * n) — the artifact a BPE trainer ships.
+    *
+    * The engine iterates on the DISTINCT-WORD table (vocabulary-sized, the
+    * real-world BPE trick — corpus token occurrences only weight the
+    * counts), pinned per round with `localCheckpoint` so each round's pair
+    * scan reads the previous round's merged vocabulary, never the corpus.
+    * Words are token ARRAYS; a merge round is ONE codegen'd row-local
+    * `aggregate` fold per word (state = built array + held token — greedy
+    * non-overlap needs exactly that one-token lookbehind), so merge
+    * application never shuffles anything. Per round the driver holds ONE
+    * row (the argmax pair — the k-means-centroid precedent); at 100 TB the
+    * corpus is scanned once for word frequencies and never again, and each
+    * round is a vocabulary-sized scan + one map-side-combined pair rollup.
+    */
+  val bpeMergeRounds: QueryDef = QueryDef(
+    "bpe_merge_rounds",
+    s"""WITH wf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |w0 AS (SELECT tok AS wid, wf, string_split_regex(tok, '') AS toks FROM wf),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}
+       |SELECT CAST(round AS INTEGER) AS round, a, b, n FROM (
+       |  SELECT 1 AS round, a, b, n FROM t1
+       |  UNION ALL SELECT 2, a, b, n FROM t2
+       |  UNION ALL SELECT 3, a, b, n FROM t3)""".stripMargin) { (spark, dir) =>
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("wf"))
+    val merges = bpeMerges(wordFreq, rounds = 3)
+    import spark.implicits._
+    merges.toDF("round", "a", "b", "n")
+  }
+
+  /** BPE training loop over a (tok, wf) word-frequency table: `rounds`
+    * iterations of argmax-pair (count desc, pair asc) + greedy merge-all.
+    * Returns the merge table rows (round, a, b, pair count).
+    *
+    * Merge application is a row-local `aggregate` fold per word: the
+    * accumulator carries (out array, held token); `held == a && t == b`
+    * emits the merged token and clears the hold (so a merged token is never
+    * reused as a left side — greedy non-overlap), anything else flushes the
+    * hold and holds the current token. Corpus tokens are [a-z0-9]+, so the
+    * pair literals interpolate into the lambda safely.
+    */
+  def bpeMerges(
+      wordFreq: org.apache.spark.sql.DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var words = wordFreq
+      .select(split(col("tok"), "").as("toks"), col("wf"))
+      .localCheckpoint()
+    (1 to rounds).map { round =>
+      val top = words
+        .filter(size(col("toks")) >= 2) // sequence(1, 0, 1) is an error in Spark
+        .select(col("wf"), explode(expr(
+          """transform(sequence(1, size(toks) - 1, 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect().head
+      val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+      words = words
+        .withColumn("toks", expr(
+          s"""aggregate(
+             |  toks,
+             |  named_struct('out', CAST(array() AS ARRAY<STRING>),
+             |               'held', CAST(NULL AS STRING)),
+             |  (acc, t) -> IF(acc.held = '$a' AND t = '$b',
+             |    named_struct('out', concat(acc.out, array('$a$b')),
+             |                 'held', CAST(NULL AS STRING)),
+             |    named_struct(
+             |      'out',
+             |      IF(acc.held IS NULL, acc.out, concat(acc.out, array(acc.held))),
+             |      'held', t)),
+             |  acc -> IF(acc.held IS NULL, acc.out,
+             |            concat(acc.out, array(acc.held))))""".stripMargin))
+        .localCheckpoint()
+      (round, a, b, top.getAs[Long]("n"))
+    }
+  }
+
+  /** EXACT heavy hitters (tokens above 1% of the corpus token stream)
+    * computed with bounded state: a mergeable Misra-Gries sketch pass
+    * ([[graft.functions.MisraGriesAggregator]], 200 counters — candidates
+    * are guaranteed to cover everything above N/201) followed by an exact
+    * recount restricted to the ≤200 candidates. The final filter
+    * `100·n > N` is exact, so the answer is deterministic even though the
+    * sketch's surviving key set is merge-order-dependent.
+    *
+    * The 100 TB story is the whole point: a naive `groupBy(token) HAVING`
+    * shuffles the full vocabulary; this plan's first pass carries 200
+    * counters per partition into one merge, and the recount's exchange
+    * only ever sees rows matching candidate keys.
+    */
+  val heavyHittersTokens: QueryDef = QueryDef(
+    "heavy_hitters_tokens",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n, (SELECT total FROM n) AS total
+      |FROM t GROUP BY tok
+      |HAVING 100 * count(*) > (SELECT total FROM n)""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(200), Encoders.STRING)
+    val sketch = toks
+      .agg(mg(col("tok")).as("cands"), count(lit(1)).as("total"))
+      .collect().head
+    val cands = sketch.getSeq[String](sketch.fieldIndex("cands"))
+    val total = sketch.getAs[Long]("total")
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(lit(100L) * col("n") > lit(total))
+      .withColumn("total", lit(total))
+  }
+
   val all: Seq[QueryDef] =
     Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore,
-      docLmScoreCross, lmScoreHistogram, bpePairCounts)
+      docLmScoreCross, lmScoreHistogram, bpePairCounts, bpeMergeRounds,
+      heavyHittersTokens)
 }

@@ -196,4 +196,61 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === got.map(_._3).sorted(Ordering[Long].reverse).toSeq)
     assert(direct.values.count(_ > floor) <= 20)
   }
+
+  /** Single-threaded reference BPE trainer: argmax pair (count desc, pair
+    * asc), greedy left-to-right merge application per word.
+    */
+  private def bpeRef(
+      wordFreq: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (toks, f) =>
+        toks.indices.dropRight(1).foreach(i => counts((toks(i), toks(i + 1))) += f)
+      }
+      val ((a, b), n) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+      vocab = vocab.map { case (toks, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, a, b, n)
+    }
+  }
+
+  test("bpeMerges matches the reference trainer, including overlapping runs") {
+    // 'aaaa' forces the overlap question: merge (a,a) greedily l2r -> aa|aa
+    val wf = Seq(("aaaa", 10L), ("aab", 6L), ("abab", 4L), ("ba", 3L), ("b", 9L))
+    val df = wf.toDF("tok", "wf")
+    val got = LanguageModel.bpeMerges(df, rounds = 4)
+    assert(got === bpeRef(wf, rounds = 4))
+    // round 1 must be (a,a): 3*10 + 6 + 0... aaaa has 3 adjacent (a,a) pairs
+    assert(got.head._2 === "a" && got.head._3 === "a")
+  }
+
+  test("bpeMerges on a seeded random vocabulary tracks the reference") {
+    val rnd = new scala.util.Random(11)
+    val wf = (1 to 120).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString, 1L + rnd.nextInt(20))
+    }.distinct.groupBy(_._1).view.mapValues(_.head._2).toSeq
+    assert(LanguageModel.bpeMerges(wf.toDF("tok", "wf"), 5) === bpeRef(wf, 5))
+  }
+
+  test("heavy_hitters_tokens equals the full groupBy HAVING answer") {
+    val got = LanguageModel.heavyHittersTokens.fn(spark, dir)
+      .select("tok", "n", "total").as[(String, Long, Long)].collect().toSet
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok")).as[String].collect()
+    val total = toks.length.toLong
+    val want = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, n) => 100L * n > total }
+      .map { case (t, n) => (t, n, total) }.toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
