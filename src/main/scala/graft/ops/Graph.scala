@@ -246,5 +246,50 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank)
+  /** Connected components of the co-purchase BACKBONE (edges kept only when
+    * the pair shares >= 2 orders — the support filter that turns the
+    * near-complete co-purchase graph into meaningful product communities):
+    * one row per component, labeled by its minimum part id, with its size.
+    *
+    * The engine runs the O(log n)-round large-star/small-star contraction
+    * already powering dedup_clusters ([[graft.text.Corpus
+    * .connectedComponentsStar]], cited there to the Kiveris et al. "CC in
+    * MapReduce" lineage); the oracle answers the same question by brute
+    * transitive closure (recursive CTE — quadratic in component size,
+    * fine at gate scale, hopeless at 100 TB; the contraction IS the scale
+    * path, one edge-sized shuffle pair per round).
+    */
+  val components: QueryDef = QueryDef(
+    "graph_components",
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT a.p AS u, b.p AS v
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v AS src, u AS dst FROM edges),
+      |reach AS (
+      |  SELECT src AS x, src AS y FROM und
+      |  UNION
+      |  SELECT r.x, e.dst FROM reach r JOIN und e ON e.src = r.y),
+      |lbl AS (SELECT x, min(y) AS l FROM reach GROUP BY 1)
+      |SELECT l AS component, CAST(count(*) AS BIGINT) AS size
+      |FROM lbl GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
+    val backbone = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("doc_a"), col("b.p").as("doc_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) = graft.text.Corpus.connectedComponentsStar(backbone)
+    labels.groupBy(col("cluster_id").as("component")).agg(count(lit(1)).as("size"))
+  }
+
+  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank, components)
 }

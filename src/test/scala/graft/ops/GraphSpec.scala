@@ -68,6 +68,31 @@ class GraphSpec extends SparkSpec {
     assert(pageRankGot(k3, 3).values.toSet === Set(1000000L))
   }
 
+  test("graph_components equals a union-find over the support-2 backbone") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Graph.components.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
+    // brute force: collect backbone edges, union-find, min-label components
+    val items = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val pairCounts = items.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).sorted.distinct.combinations(2))
+      .map(p => (p(0), p(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val want = parent.keys.toSeq.groupBy(find).map { case (r, m) => r -> m.size.toLong }
+    assert(got === want)
+  }
+
   test("pageRankTokens: matches the single-threaded recurrence on a hub graph") {
     val rnd = new scala.util.Random(7)
     // star of 20 + random chords: irregular degrees exercise the flooring
