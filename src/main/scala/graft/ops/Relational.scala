@@ -1241,6 +1241,48 @@ object Relational {
       sum(col("rev_cents")).over(w).as("centered_3mo_cents"))
   }
 
+  /** Typed `KeyValueGroupedDataset.cogroup` — the Dataset API's "both
+    * groups of one key in one function call" surface (the batch sibling of
+    * the streaming `mapGroupsWithState` family): per order, reconcile the
+    * order header's total against the sum of its line items, emitting the
+    * item count and the exact-cents discrepancy. Arbitrary Scala runs per
+    * key, but the PLAN is still the co-partitioned pair: one exchange +
+    * sort per side, then a single streamed CoGroup pass — per-key state is
+    * one group's rows, never a whole partition. The oracle states the same
+    * reconciliation as a LEFT JOIN + GROUP BY.
+    *
+    * (TPC-H data reconciles to sum(extendedprice) exactly, headers with no
+    * items keep n_items = 0 — both facts the oracle would catch if the
+    * cogroup dropped or double-counted a side.)
+    */
+  val cogroupOrderTotals: QueryDef = QueryDef(
+    "cogroup_order_totals",
+    s"""SELECT o.o_orderkey,
+       |  ${Num.sqlCents("o.o_totalprice")} AS total_cents,
+       |  CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+       |  CAST(coalesce(sum(${Num.sqlCents("l.l_extendedprice")}), 0) AS BIGINT)
+       |    AS sum_item_cents
+       |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("cents"))
+      .as[(Long, Long)]
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_extendedprice")).as("cents"))
+      .as[(Long, Long)]
+    ords.groupByKey(_._1).cogroup(items.groupByKey(_._1)) { (k, os, ls) =>
+      val headers = os.toSeq
+      if (headers.isEmpty) Iterator.empty // item rows without a header: no output
+      else {
+        var n = 0L
+        var sum = 0L
+        ls.foreach { l => n += 1L; sum += l._2 }
+        Iterator((k, headers.head._2, n, sum))
+      }
+    }.toDF("o_orderkey", "total_cents", "n_items", "sum_item_cents")
+  }
+
   val all: Seq[QueryDef] = Seq(
     aggPricingSummary, aggDistinctCounts, aggRollup, aggCube, windowFrames, windowRangeFrame,
     topkAggregatorSuppliers, aggSaltedTwoStage, aggApproxDistinct,
@@ -1252,5 +1294,5 @@ object Relational {
     profileLineitem, deterministicSample, sampleStratified, histogramPrices, arrayAggSorted,
     aggGroupingSets, aggWeightedAvg, aggCorrExact, corrMatrix,
     setExceptOrders, setIntersectOrders, setUnionNations, setExceptAll,
-    sortLimitTopOrders)
+    sortLimitTopOrders, cogroupOrderTotals)
 }

@@ -423,7 +423,81 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Containment (quote / subset) join: all ORDERED pairs (a, b) with
+    * containment |sh(a) ∩ sh(b)| / |sh(a)| >= 0.8 over distinct word-bigram
+    * shingles — the asymmetric near-dup question Jaccard-based LSH
+    * structurally misses (a short doc quoted inside a long one has high
+    * containment but low Jaccard, so no MinHash band agrees).
+    *
+    * Engine plan is PREFIX FILTERING (the PPJoin family — Xiao et al.,
+    * WWW'08): containment >= 0.8 means b misses at most floor(|sh(a)|/5)
+    * of a's shingles, so ANY (floor(|sh(a)|/5)+1)-subset of sh(a) must hit
+    * b — the candidate join only explodes that prefix of each probe doc,
+    * taken in ascending global document frequency so the joined posting
+    * lists are the rarest (smallest) available. The pigeonhole makes the
+    * candidate set provably COMPLETE for any prefix choice; df-ordering is
+    * purely the bucket-size optimization. Verification is one row-local
+    * `array_intersect` per candidate, and the >= 0.8 test is exact integer
+    * arithmetic (5·inter >= 4·|sh(a)|). The oracle answers exhaustively
+    * (O(n²) — gate-scale ground truth, turning the hash match into a
+    * realized-recall proof like dedup_embedding_lsh's).
+    *
+    * At 100 TB: df rollup + one shingle-keyed candidate exchange whose
+    * volume is Σ_docs (|prefix| · df(shingle)) — bounded by construction
+    * because prefixes prefer rare shingles — plus doc-keyed joins back to
+    * shingle arrays. No all-pairs work anywhere in the engine path.
+    */
+  val containmentJoin: QueryDef = QueryDef(
+    "dedup_containment",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+       |f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(a.s) AS BIGINT) AS na,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE)
+       |    AS containment
+       |FROM f a, f b
+       |WHERE a.doc_id != b.doc_id
+       |  AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)""".stripMargin) {
+    (spark, dir) =>
+      val sh = Tables.documents(spark, dir)
+        .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
+        .filter(size(col("s")) >= 1)
+        .localCheckpoint() // feeds df rollup, prefix build, index, and both verify sides
+      containmentPairs(sh)
+  }
+
+  /** Prefix-filtered containment >= 0.8 over (doc_id, s: array<string>)
+    * rows; see [[containmentJoin]].
+    */
+  def containmentPairs(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
+    val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ranked"))
+      .select(col("doc_id").as("a"), explode(expr(
+        // rarest floor(|s|/5)+1 shingles: any 0.8-containing doc must share one
+        "slice(array_sort(ranked), 1, CAST(size(ranked) div 5 AS INT) + 1)")).as("p"))
+      .select(col("a"), col("p.sh").as("sh"))
+    val candidates = prefix
+      .join(ex.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .select(
+        col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"))
+      .filter(lit(5) * col("inter") >= lit(4) * col("na"))
+      .withColumn("containment", graft.core.Num.ratio(col("inter"), col("na")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked,
-      spanDedup)
+      spanDedup, containmentJoin)
 }

@@ -165,4 +165,22 @@ class AggregatesSpec extends SparkSpec {
       assert(chi2 === (o - e) * (o - e) / e, s"cell ($t,$c) chi2")
     }
   }
+
+  test("cogroup_order_totals equals the join+group formulation, covers all orders") {
+    val got = Relational.cogroupOrderTotals.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), graft.core.Num.cents(col("o_totalprice")).as("total_cents"))
+      .join(
+        graft.core.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o_orderkey"),
+            graft.core.Num.cents(col("l_extendedprice")).as("c")),
+        Seq("o_orderkey"), "left")
+      .groupBy("o_orderkey", "total_cents")
+      .agg(count(col("c")).as("n_items"),
+        coalesce(sum(col("c")), lit(0L)).as("sum_item_cents"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size === graft.core.Tables.orders(spark, sf).count().toInt)
+  }
 }

@@ -183,6 +183,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: complete vs brute force; catches the quote LSH misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocabWords = (0 until 60).map(i => s"w$i")
+    // 30 random docs + a planted quote: doc 100's text appears inside doc
+    // 101's much longer text (high containment 100->101, low Jaccard)
+    val short = Seq.fill(12)(vocabWords(rnd.nextInt(60))).mkString(" ")
+    val long = (Seq.fill(40)(vocabWords(rnd.nextInt(60))) ++ short.split(" ") ++
+      Seq.fill(40)(vocabWords(rnd.nextInt(60)))).mkString(" ")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(30))(vocabWords(rnd.nextInt(60))).mkString(" "))) ++
+      Seq((100L, short), (101L, long))
+    val sh = docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${Dedup.shinglesSpark("text")} AS s")
+      .filter(size(col("s")) >= 1)
+    val got = Dedup.containmentPairs(sh)
+      .select("a", "b", "inter", "na").as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over the same shingle sets
+    val sets = sh.select("doc_id", "s").as[(Long, Seq[String])].collect()
+      .map { case (id, s) => id -> s.toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size.toLong
+      if 5 * inter >= 4 * sa.size.toLong
+    } yield (a, b, inter, sa.size.toLong)).toSet
+    assert(got === want)
+    // the planted quote is found in the contained direction...
+    assert(got.exists { case (a, b, _, _) => a == 100L && b == 101L })
+    // ...and it is exactly the case Jaccard misses: similarity is low
+    val (s100, s101) = (sets(100L), sets(101L))
+    val jac = (s100 & s101).size.toDouble / (s100 | s101).size.toDouble
+    assert(jac < 0.3, s"quote pair should be low-Jaccard, got $jac")
+  }
+
   /** Reference Levenshtein (full DP) to pin the engine's distance. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
