@@ -648,8 +648,67 @@ object Analytics {
       .toDF("n_input", "n_null_qty", "revenue_cents", "n_output")
   }
 
+  /** Per-nation revenue trend by EXACT least squares: monthly revenue in
+    * integer cents, month index x offset to 1995-01 (keeps every moment
+    * sum inside int64), and the closed-form OLS solution computed from
+    * exact integer moment sums —
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept analogous — so
+    * the ONLY floating-point operations are the two final divisions of
+    * identical int64 values (bit-stable in any engine, unlike the
+    * accumulate-doubles `regr_slope`).
+    *
+    * Scale shape: the fact table folds to (nation × month) moment sums in
+    * one map-side-combined aggregate; the OLS fold is a second rollup over
+    * that calendar-bounded table. Nothing downstream of the first
+    * aggregate depends on data size.
+    */
+  val trendByNation: QueryDef = QueryDef(
+    "trend_by_nation",
+    s"""WITH monthly AS (
+       |  SELECT n.n_name,
+       |         CAST((year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1
+       |              AS BIGINT) AS x,
+       |         CAST(SUM(${Num.sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
+       |              AS BIGINT) AS y
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+       |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM monthly GROUP BY 1)
+       |SELECT n_name, n AS n_months,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    AS slope_cents,
+       |  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    AS intercept_cents
+       |FROM m WHERE n * sxx - sx * sx != 0""".stripMargin) { (spark, dir) =>
+    val monthly = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    val m = monthly.groupBy(col("n_name")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.filter(den =!= 0)
+      .select(
+        col("n_name"), col("n").as("n_months"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double")).as("slope_cents"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          den.cast("double")).as("intercept_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
-    aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve)
+    aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve,
+    trendByNation)
 }

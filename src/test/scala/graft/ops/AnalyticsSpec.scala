@@ -292,6 +292,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet === allPairs)
   }
 
+  test("trend_by_nation: OLS matches a direct least-squares fit per nation") {
+    val rows = Analytics.trendByNation.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val monthly = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.core.Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(graft.core.Num.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    rows.foreach { r =>
+      val pts = monthly(r.getAs[String]("n_name"))
+      val n = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+      val den = (n * sxx - sx * sx).toDouble
+      assert(r.getAs[Long]("n_months") === n)
+      val slope = r.getAs[Double]("slope_cents")
+      assert(slope === (n * sxy - sx * sy).toDouble / den)
+      assert(r.getAs[Double]("intercept_cents") === (sy * sxx - sx * sxy).toDouble / den)
+      // sanity: the fitted line's residual sum is orthogonal to x (normal
+      // equations hold within double rounding)
+      val intercept = r.getAs[Double]("intercept_cents")
+      val resDotX = pts.map(p => (p._2.toDouble - slope * p._1 - intercept) * p._1).sum
+      val scale = pts.map(p => math.abs(p._2.toDouble * p._1)).sum
+      assert(math.abs(resDotX) / scale < 1e-9)
+    }
+  }
+
   test("pipeline_observe: metrics equal a direct recount, on one scan") {
     val r = Analytics.pipelineObserve.fn(spark, dir).collect().head
     val li = graft.core.Tables.lineitem(spark, dir)
