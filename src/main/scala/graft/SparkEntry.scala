@@ -37,7 +37,8 @@ object SparkEntry {
       streaming.Streams.streamingSessionWindows :+
       streaming.Streams.streamingTypeCounts :+
       streaming.Streams.streamingHoppingAppend :+
-      streaming.Streams.streamingIncrementalSink
+      streaming.Streams.streamingIncrementalSink :+
+      streaming.Streams.streamingTwsTypeStats
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

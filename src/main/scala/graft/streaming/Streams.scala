@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: file-source stream over the events table,
@@ -547,5 +547,87 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  final case class TwsTypeRow(
+      user_id: Long, event_type: String, n: Long, cents: Long, user_n: Long)
+
+  /** Per-user per-event-type running stats on the Spark 4 arbitrary-state
+    * API v2 (`transformWithState`): a `MapState` keyed by event type holds
+    * (count, exact cents), a `ValueState` holds the user's running event
+    * total — two independently-evolvable typed state variables per key,
+    * which is precisely what the v2 API adds over the single-blob
+    * `GroupState` of `mapGroupsWithState`. Each batch emits the FULL
+    * per-type snapshot (MapState iterator), so the "latest snapshot" read
+    * below stays correct under any micro-batch split. RocksDB-backed state
+    * (the provider the API requires — and the one that spills; at 100 TB
+    * per-key state lives off-heap and checkpoint deltas ship to the
+    * checkpoint location incrementally).
+    */
+  class TypeStatsProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), TwsTypeRow] {
+    import org.apache.spark.sql.Encoders
+    @transient private var perType: MapState[String, (Long, Long)] = _
+    @transient private var userN: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perType = getHandle.getMapState[String, (Long, Long)](
+        "perType", Encoders.STRING, Encoders.product[(Long, Long)], TTLConfig.NONE)
+      userN = getHandle.getValueState[Long]("userN", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[TwsTypeRow] = {
+      var n = if (userN.exists()) userN.get() else 0L
+      rows.foreach { case (_, t, c) =>
+        val (pn, pc) = if (perType.containsKey(t)) perType.getValue(t) else (0L, 0L)
+        perType.updateValue(t, (pn + 1L, pc + c))
+        n += 1L
+      }
+      userN.update(n)
+      perType.iterator().map { case (t, (tn, tc)) => TwsTypeRow(key, t, tn, tc, n) }
+    }
+  }
+
+  /** [[TypeStatsProcessor]] inside the driver gate: AvailableNow over the
+    * events file, Update mode to a memory sink, then the latest snapshot
+    * per (user, type) — the row carrying the highest user_n, which strictly
+    * increases on every batch containing the user's rows. The oracle states
+    * the same per-(user, type) counts/cents with the per-user total as a
+    * window sum over the grouped result.
+    */
+  val streamingTwsTypeStats: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_tws_type_stats",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
+      |FROM e GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    sess.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import sess.implicits._
+    val snapshots = readEventsStream(sess, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeStatsProcessor, TimeMode.None(), OutputMode.Update())
+    val table = s"graft_streaming_tws_${System.nanoTime()}"
+    val emitted = runAvailableNowToMemory(sess, snapshots.toDF(), table, OutputMode.Update())
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("user_n").desc)
+    emitted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"), col("n"), col("cents"), col("user_n"))
   }
 }

@@ -266,6 +266,52 @@ class StreamsSpec extends SparkSpec {
     assert(f === b)
   }
 
+  test("transformWithState: MapState+ValueState survive across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(
+        new Streams.TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val q = out.toDF().writeStream
+      .format("memory").queryName("tws_spec").outputMode("update").start()
+    // batch 1: user 1 clicks twice (30c, 70c), user 2 views once (10c)
+    ms.addData((1L, "click", 30L), (1L, "click", 70L), (2L, "view", 10L))
+    q.processAllAvailable()
+    val b1 = sess.table("tws_spec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(b1.toSet === Set((1L, "click", 2L, 100L, 2L), (2L, "view", 1L, 10L, 1L)))
+    // batch 2: user 1 views once -> MapState gains a key, ValueState (user_n)
+    // carries the prior total; the click row re-emits the FULL snapshot
+    ms.addData((1L, "view", 5L))
+    q.processAllAvailable()
+    val b2 = sess.table("tws_spec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .diff(b1)
+    assert(b2.toSet === Set((1L, "click", 2L, 100L, 3L), (1L, "view", 1L, 5L, 3L)))
+    q.stop()
+    // and the gate query's latest-snapshot read equals the batch answer
+    val gate = Streams.streamingTwsTypeStats.fn(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(round(col("value") * 100).cast("long"), lit(0L))).as("cents"))
+      .withColumn("user_n",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(gate === batch)
+  }
+
   test("incremental parquet sink: each restart processes only new files; idle restart is a no-op") {
     val base = graft.rentals.Scratch.dir(s"graft_incr_sink_spec_${System.nanoTime()}")
     val events = Tables.events(spark, sf)
