@@ -82,6 +82,64 @@ case class HammingDistance64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED-ASCENDING int arrays by two-pointer
+  * merge — the verification kernel of the containment join.
+  *
+  * `array_intersect` builds a per-row hash set (allocation + hashing per
+  * element, outside whole-stage codegen's primitive path); on pre-sorted
+  * dictionary ids the merge walk is branch-cheap, allocation-free, and
+  * codegen'd. CALLER CONTRACT: both arrays sorted ascending and duplicate-
+  * free (dictionary-encoded sets are), else the count is meaningless.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getInt(i)
+      val yj = y.getInt(j)
+      if (xi == yj) { acc += 1L; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val acc = ctx.freshName("acc")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $xi = $a.getInt($i); int $yj = $b.getInt($j);
+         |  if ($xi == $yj) { $acc++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Exact integer dot product of two array<bigint> columns (codegen'd). */
   def longDot(a: Column, b: Column): Column =
@@ -92,4 +150,9 @@ object VectorFunctions {
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(
       HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** |a ∩ b| of two sorted duplicate-free array<int> columns (codegen'd). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(
+      SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

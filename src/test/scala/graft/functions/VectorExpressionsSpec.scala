@@ -66,4 +66,28 @@ class VectorExpressionsSpec extends SparkSpec {
     // force execution through the codegen path; id=0 -> 0*2 + 1*3 + 2*4 = 11
     assert(df.orderBy("d").head().getLong(0) === 11L)
   }
+
+  test("sortedIntersectCount equals array_intersect size on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(1 + rnd.nextInt(60))(rnd.nextInt(100)).distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(60))(rnd.nextInt(100)).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Int], Seq(1, 2, 3))) :+ ((Seq(5), Seq(5)))
+    val df = rows.toDF("a", "b").select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("got"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() === 0L)
+    // codegen'd: on a non-foldable source the projection compiles into a
+    // whole-stage span (the literal rows above constant-fold away)
+    val ranged = spark.range(3).select(
+      VectorFunctions.sortedIntersectCount(
+        sequence(col("id").cast("int"), lit(5)),
+        sequence(lit(2), lit(9))).as("d"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), plan)
+    // [id..5] ∩ [2..9] = {2,3,4,5} for id in 0..2
+    assert(ranged.collect().map(_.getLong(0)).toSeq === Seq(4L, 4L, 4L))
+  }
 }
