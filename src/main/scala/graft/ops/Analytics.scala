@@ -706,9 +706,85 @@ object Analytics {
           den.cast("double")).as("intercept_cents"))
   }
 
+  /** Per-language source-mix diversity as GINI IMPURITY, 1 − Σ p_s² — the
+    * rational cousin of entropy (whose ln is libm-defined and therefore
+    * banned from the oracle contract): exact integer counts, one final
+    * division (N² − Σ n_s²) / N². The mixture-collapse monitor for a
+    * multi-source corpus — impurity 0 means a language is fed by one
+    * source. Two tiny rollups ((lang × source), then lang); nothing scales
+    * past the group-count table.
+    */
+  val sourceGiniDiversity: QueryDef = QueryDef(
+    "source_gini_diversity",
+    """WITH c AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(n) * sum(n) - sum(n * n) AS DOUBLE)
+      |    / CAST(sum(n) * sum(n) AS DOUBLE) AS gini
+      |FROM c GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        ((sum(col("n")) * sum(col("n")) - sum(col("n") * col("n"))).cast("double") /
+          (sum(col("n")) * sum(col("n"))).cast("double")).as("gini"))
+  }
+
+  /** Forecast-evaluation harness in exact arithmetic: score the naive
+    * forecast (next month = this month) per nation with MAE over the
+    * monthly revenue series — |Δ| sums stay integer cents, the mean is one
+    * division. The lag rides one nation-keyed window; everything after the
+    * monthly rollup is calendar-bounded. The shape generalizes: any
+    * forecast expressible as a window over the series (seasonal-naive,
+    * moving average) backtests on the same plan.
+    */
+  val backtestNaiveMae: QueryDef = QueryDef(
+    "backtest_naive_mae",
+    s"""WITH monthly AS (
+       |  SELECT n.n_name, strftime(l.l_shipdate, '%Y-%m') AS month,
+       |         CAST(SUM(${Num.sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
+       |              AS BIGINT) AS y
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT n_name, y,
+       |         lag(y) OVER (PARTITION BY n_name ORDER BY month) AS yhat
+       |  FROM monthly)
+       |SELECT n_name,
+       |  CAST(count(yhat) AS BIGINT) AS n_evals,
+       |  CAST(sum(abs(y - yhat)) AS BIGINT) AS total_abs_err_cents,
+       |  CAST(sum(abs(y - yhat)) AS DOUBLE) / CAST(count(yhat) AS DOUBLE)
+       |    AS mae_cents
+       |FROM scored WHERE yhat IS NOT NULL
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val monthly = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    monthly
+      .withColumn("yhat", lag(col("y"), 1).over(w))
+      .filter(col("yhat").isNotNull)
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_evals"),
+        sum(abs(col("y") - col("yhat"))).as("total_abs_err_cents"),
+        (sum(abs(col("y") - col("yhat"))).cast("double") /
+          count(lit(1)).cast("double")).as("mae_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
     aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve,
-    trendByNation)
+    trendByNation, sourceGiniDiversity, backtestNaiveMae)
 }

@@ -291,5 +291,60 @@ object Graph {
     labels.groupBy(col("cluster_id").as("component")).agg(count(lit(1)).as("size"))
   }
 
-  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank, components)
+  /** Oracle CTEs for one BFS round: frontier r = neighbors of frontier r-1
+    * not yet visited; visited accumulates (x, dist).
+    */
+  private def bfsRoundSql(r: Int): String = {
+    val (pf, pv, f, v) = (s"f${r - 1}", s"v${r - 1}", s"f$r", s"v$r")
+    s"""$f AS (
+       |  SELECT DISTINCT e.dst AS x FROM und e
+       |  JOIN $pf ON e.src = $pf.x
+       |  WHERE e.dst NOT IN (SELECT x FROM $pv)),
+       |$v AS (SELECT x, dist FROM $pv UNION ALL SELECT x, $r AS dist FROM $f)""".stripMargin
+  }
+
+  /** BFS hop-distance distribution from the HUB (max-degree vertex, ties to
+    * the smallest part id) of the co-purchase graph, 6 rounds: how much of
+    * the graph is reachable in k hops — the "small-world radius" question.
+    * Level-synchronous frontier expansion: each round is one edge join +
+    * one anti-join against the visited set, both keyed on the vertex —
+    * exactly Pregel's iteration shape, data-bounded at any scale (the
+    * frontier never exceeds the vertex set; 6 rounds = 6 bounded shuffle
+    * groups). The driver holds ONE row (the hub — argmax precedent). The
+    * oracle unrolls the same six frontiers relationally.
+    */
+  val bfsHops: QueryDef = QueryDef(
+    "graph_bfs_hops",
+    s"""$edgesCte,
+       |und AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |deg AS (SELECT src AS x, count(*) AS d FROM und GROUP BY 1),
+       |hub AS (SELECT x FROM deg ORDER BY d DESC, x LIMIT 1),
+       |f0 AS (SELECT x FROM hub),
+       |v0 AS (SELECT x, 0 AS dist FROM hub),
+       |${(1 to 6).map(bfsRoundSql).mkString(",\n")}
+       |SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_vertices
+       |FROM v6 GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val edges = copurchaseEdgesPinned(spark, dir)
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val hub = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("x")).limit(1)
+      .collect().head.getAs[Long]("x")
+    var visited = spark.range(1).select(lit(hub).as("x"), lit(0).as("dist"))
+      .localCheckpoint()
+    for (r <- 1 to 6) {
+      val frontier = und
+        .join(visited.filter(col("dist") === r - 1), und("src") === visited("x"))
+        .select(col("dst").as("x")).distinct()
+        .join(visited.select(col("x")), Seq("x"), "left_anti")
+        .withColumn("dist", lit(r))
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited.groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
+  }
+
+  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank, components, bfsHops)
 }

@@ -324,6 +324,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("source_gini_diversity: gini equals 1 - sum(p^2); bounds hold") {
+    val rows = Analytics.sourceGiniDiversity.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val counts = graft.core.Tables.documents(spark, dir)
+      .groupBy("lang", "source").count().as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    rows.foreach { r =>
+      val ns = counts(r.getAs[String]("lang"))
+      val n = ns.sum
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_sources") === ns.size.toLong)
+      val gini = r.getAs[Double]("gini")
+      assert(gini === (n * n - ns.map(x => x * x).sum).toDouble / (n * n).toDouble)
+      // 0 <= gini <= 1 - 1/k for k sources
+      assert(gini >= 0.0 && gini <= 1.0 - 1.0 / ns.size)
+    }
+  }
+
+  test("backtest_naive_mae: per-nation MAE equals a direct series walk") {
+    val rows = Analytics.backtestNaiveMae.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val series = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.core.Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(graft.core.Num.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    rows.foreach { r =>
+      val ys = series(r.getAs[String]("n_name"))
+      val errs = ys.sliding(2).filter(_.length == 2)
+        .map(w => math.abs(w(1) - w(0))).toSeq
+      assert(r.getAs[Long]("n_evals") === errs.size.toLong)
+      assert(r.getAs[Long]("total_abs_err_cents") === errs.sum)
+      assert(r.getAs[Double]("mae_cents") === errs.sum.toDouble / errs.size)
+    }
+  }
+
   test("pipeline_observe: metrics equal a direct recount, on one scan") {
     val r = Analytics.pipelineObserve.fn(spark, dir).collect().head
     val li = graft.core.Tables.lineitem(spark, dir)

@@ -93,6 +93,31 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("graph_bfs_hops equals a single-threaded BFS from the same hub") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Graph.bfsHops.fn(spark, dir).collect()
+      .map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_vertices")).toMap
+    // rebuild the graph + hub and run textbook BFS
+    val items = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val edges = items.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val nbrs = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hub = nbrs.toSeq.map { case (x, n) => (x, n.size) }
+      .sortBy { case (x, d) => (-d, x) }.head._1
+    var dist = Map(hub -> 0)
+    var frontier = Set(hub)
+    for (r <- 1 to 6) {
+      frontier = frontier.flatMap(nbrs(_)).diff(dist.keySet)
+      dist = dist ++ frontier.map(_ -> r)
+    }
+    val want = dist.values.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    assert(got === want)
+    assert(got(0) === 1L)
+  }
+
   test("pageRankTokens: matches the single-threaded recurrence on a hub graph") {
     val rnd = new scala.util.Random(7)
     // star of 20 + random chords: irregular degrees exercise the flooring
