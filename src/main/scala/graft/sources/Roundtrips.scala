@@ -106,5 +106,42 @@ object Roundtrips {
     readback(spark.read.schema(schema).option("header", "true").csv(path))
   }
 
-  val all: Seq[QueryDef] = Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge)
+  /** The custom DataSource V2 connector ([[SeqSource]]) through the oracle
+    * gate: a 1M-row deterministic sequence table read with an id-range
+    * predicate the source absorbs at PLANNING time (the scan generates
+    * 500k rows, not 1M — RoundtripsSpec asserts the narrowed range in the
+    * plan) plus a residual `bucket` predicate Spark evaluates, then a
+    * 10-group rollup. The oracle replays the row derivation from
+    * `range()` — the source's arithmetic is pure integer hashing, so the
+    * gate proves the connector's generation, pushdown, pruning, and
+    * partitioning produce exactly the declared relation.
+    */
+  val dsv2SeqPushdown: QueryDef = QueryDef(
+    "dsv2_seq_pushdown",
+    s"""WITH t AS (
+       |  SELECT id, CAST(id % 32 AS INTEGER) AS bucket,
+       |         ${graft.sources.SeqSource.valueSql("id")} AS value
+       |  FROM range(0, 1000000) r(id))
+       |SELECT CAST(value // 100 AS INTEGER) AS value_band,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(id) AS BIGINT) AS sum_id,
+       |  CAST(sum(value) AS BIGINT) AS sum_value
+       |FROM t
+       |WHERE id >= 250000 AND id < 750000 AND bucket = 7
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.read
+      .format("graft.sources.SeqSource")
+      .option("rows", "1000000")
+      .option("slices", "8")
+      .load()
+      .filter(col("id") >= 250000L && col("id") < 750000L && col("bucket") === 7)
+      .groupBy(expr("CAST(value div 100 AS INT)").as("value_band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("value")).as("sum_value"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown)
 }

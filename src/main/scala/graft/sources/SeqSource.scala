@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A complete DataSource V2 connector: the deterministic sequence table
+  * `graft.sources.SeqSource` — rows (id, bucket, value) derived purely from
+  * the row number:
+  *
+  *   bucket = id % 32
+  *   value  = ((id * 2654435761) & 0x7fffffff) % 1000   (Knuth hash, exact int64)
+  *
+  * The point is not the data (an oracle can replay it from `range()`), it
+  * is the CONNECTOR SURFACE a Spark-native engine must be able to host:
+  *
+  *  - `TableProvider` / `Table` / `ScanBuilder` / `Batch` — the full V2
+  *    read path, registered by class name via `spark.read.format(...)`.
+  *  - `SupportsPushDownFilters`: id-range predicates are ACCEPTED and
+  *    narrow the generated range at PLANNING time (the scan never produces
+  *    the pruned rows — the V2 analogue of parquet row-group pruning /
+  *    partition pruning); other predicates are returned as residuals for
+  *    Spark to evaluate.
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes only the
+  *    requested columns (column pruning reaching the source).
+  *  - `planInputPartitions`: the narrowed range splits into `slices`
+  *    contiguous partitions — source-side parallelism under the engine's
+  *    control, the thing a 100 TB custom source must get right.
+  *
+  * `Scan.description` prints the effective range + pushed filters, so the
+  * pruning is assertable from the physical plan (RoundtripsSpec does).
+  */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SeqSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SeqSource {
+  val schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("bucket", IntegerType, nullable = false)
+    .add("value", IntegerType, nullable = false)
+
+  /** The row derivation — shared by the reader and the spec. */
+  def bucketOf(id: Long): Int = (id % 32L).toInt
+  def valueOf(id: Long): Int = (((id * 2654435761L) & 0x7fffffffL) % 1000L).toInt
+
+  /** SQL replay of the same derivation (DuckDB + Spark dialect-neutral). */
+  def valueSql(idExpr: String): String =
+    s"CAST(((($idExpr) * 2654435761) & 2147483647) % 1000 AS INTEGER)"
+}
+
+final class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq($rows)"
+  override def schema(): StructType = SeqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, slices)
+}
+
+final class SeqScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = SeqSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = ours
+    residual // Spark evaluates everything we did not take
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = SeqScan(lo, math.max(lo, hi), slices, required, accepted)
+}
+
+final case class SeqRange(start: Long, end: Long) extends InputPartition
+
+final case class SeqScan(
+    lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSeqScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(slices.toLong, math.max(1L, hi - lo)).toInt)
+    val span = hi - lo
+    (0 until n).map { i =>
+      SeqRange(lo + span * i / n, lo + span * (i + 1) / n)
+    }.filter(r => r.end > r.start).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column codes resolved once (0=id, 1=bucket, 2=value), not per row
+    val colCodes: Array[Int] = required.fieldNames.map {
+      case "id" => 0
+      case "bucket" => 1
+      case "value" => 2
+    }
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val SeqRange(start, end) = partition
+        new PartitionReader[InternalRow] {
+          private var cur = start - 1
+          override def next(): Boolean = { cur += 1; cur < end }
+          override def get(): InternalRow = {
+            val vals = new Array[Any](colCodes.length)
+            var i = 0
+            while (i < colCodes.length) {
+              vals(i) = colCodes(i) match {
+                case 0 => cur
+                case 1 => SeqSource.bucketOf(cur)
+                case 2 => SeqSource.valueOf(cur)
+              }
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}

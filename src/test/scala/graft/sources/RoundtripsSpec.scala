@@ -31,4 +31,46 @@ class RoundtripsSpec extends SparkSpec {
     assert(mismatch === 0L)
     got.unpersist()
   }
+
+  private def seq(rows: Long, slices: Int = 8) =
+    spark.read.format("graft.sources.SeqSource")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("DSv2 SeqSource: id-range pushdown narrows the scan at planning time") {
+    val df = seq(1000L).filter(col("id") >= 300L && col("id") < 500L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the source absorbed the range: the scan declares [300,500), and the
+    // id predicates appear as pushed
+    assert(plan.contains("range=[300,500)"), plan)
+    assert(plan.contains("pushed=[") && plan.contains("GreaterThanOrEqual(id,300)"), plan)
+    assert(df.count() === 200L)
+    // residual predicates are NOT absorbed: bucket filter stays in the plan
+    val res = seq(1000L).filter(col("bucket") === 3)
+    val rplan = res.queryExecution.executedPlan.toString
+    assert(rplan.contains("range=[0,1000)"), rplan)
+    assert(res.count() === seq(1000L).collect().count(_.getAs[Int]("bucket") == 3).toLong)
+  }
+
+  test("DSv2 SeqSource: column pruning reaches the reader; derivation is exact") {
+    val df = seq(64L).select("value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=value"), plan)
+    // values equal the shared derivation (reader and spec call the same fn)
+    val got = seq(64L).select("id", "bucket", "value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    got.foreach { case (id, b, v) =>
+      assert(b === graft.sources.SeqSource.bucketOf(id))
+      assert(v === graft.sources.SeqSource.valueOf(id))
+    }
+    assert(got.map(_._1).toSeq === (0L until 64L))
+  }
+
+  test("DSv2 SeqSource: partition planning honors slices and covers the range") {
+    val df = seq(1000L, slices = 5)
+    assert(df.rdd.getNumPartitions === 5)
+    assert(df.count() === 1000L)
+    assert(df.agg(sum(col("id"))).head().getLong(0) === (0L until 1000L).sum)
+    // degenerate: more slices than rows collapses to row-count partitions
+    assert(seq(3L, slices = 8).count() === 3L)
+  }
 }
