@@ -142,6 +142,32 @@ object Roundtrips {
         sum(col("value")).as("sum_value"))
   }
 
+  /** Complete AGGREGATE pushdown through the V2 connector: count/min/max
+    * over a filter-narrowed id range are answered by the scan itself in
+    * closed form — the executed plan contains NO aggregate exec
+    * (RoundtripsSpec asserts both that and the residual-filter case that
+    * correctly blocks the pushdown). The oracle computes the same
+    * aggregates from `range()` the honest way.
+    */
+  val dsv2SeqAggPushdown: QueryDef = QueryDef(
+    "dsv2_seq_agg_pushdown",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(id) AS BIGINT) AS min_id,
+      |  CAST(max(id) AS BIGINT) AS max_id
+      |FROM range(0, 1000000) r(id)
+      |WHERE id >= 123456 AND id < 654321""".stripMargin) { (spark, dir) =>
+    spark.read
+      .format("graft.sources.SeqSource")
+      .option("rows", "1000000")
+      .load()
+      .filter(col("id") >= 123456L && col("id") < 654321L)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown)
+    Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown,
+      dsv2SeqAggPushdown)
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,12 +75,14 @@ final class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 final class SeqScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
+  private var pushedAgg: Option[Array[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -105,7 +109,75 @@ final class SeqScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = SeqScan(lo, math.max(lo, hi), slices, required, accepted)
+  // Aggregate pushdown: COUNT(*) / MIN(id) / MAX(id) over the (already
+  // filter-narrowed) range have CLOSED FORMS — the scan answers them with
+  // one row and zero generated data. Complete pushdown, so Spark plans no
+  // aggregate exec at all (only reached when every filter was absorbed,
+  // which the engine enforces).
+  private def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => idRef(m.column)
+      case m: Max => idRef(m.column)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!supported(agg)) false
+    else {
+      pushedAgg = Some(agg.aggregateExpressions)
+      true
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(fns) => SeqAggScan(lo, math.max(lo, hi), fns, accepted)
+    case None => SeqScan(lo, math.max(lo, hi), slices, required, accepted)
+  }
+}
+
+/** Completely-pushed aggregate over the narrowed range: one row, computed
+  * in closed form (count = hi-lo; min/max = range ends, null when empty).
+  */
+final case class SeqAggScan(lo: Long, hi: Long, fns: Array[AggregateFunc], pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    fns.zipWithIndex.foldLeft(new StructType()) {
+      case (s, (_: CountStar, i)) => s.add(s"agg_$i", LongType, nullable = false)
+      case (s, (_, i)) => s.add(s"agg_$i", LongType, nullable = true)
+    }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSeqScan AGG-PUSHED range=[$lo,$hi) aggs=[${fns.mkString(", ")}] " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = Array(SeqRange(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = fns.map {
+      case _: CountStar => hi - lo
+      case _: Min => if (hi > lo) lo else null
+      case _: Max => if (hi > lo) hi - 1 else null
+      case _ => null
+    }
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 final case class SeqRange(start: Long, end: Long) extends InputPartition

@@ -65,6 +65,23 @@ class RoundtripsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === (0L until 64L))
   }
 
+  test("DSv2 SeqSource: complete aggregate pushdown answers count/min/max in closed form") {
+    val df = seq(100000L)
+      .filter(col("id") >= 1000L && col("id") < 60000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHED"), plan)
+    assert(!plan.contains("HashAggregate"), plan) // no aggregate exec at all
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((59000L, 1000L, 59999L)))
+    // residual filters block the pushdown; the plain aggregate still agrees
+    val blocked = seq(1000L).filter(col("bucket") === 3)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(!blocked.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    val b = blocked.head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) === ((32L, 3L, 995L)))
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
