@@ -527,17 +527,10 @@ object Analytics {
       |JOIN item_n iu ON iu.p = pairs.u
       |JOIN item_n iv ON iv.p = pairs.v
       |CROSS JOIN n_baskets nb""".stripMargin) { (spark, dir) =>
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .repartition(col("o"))
-      .distinct()
-      .localCheckpoint()
+    val items = Graph.basketItemsPinned(spark, dir)
     val nBaskets = items.agg(countDistinct(col("o")).as("nb"))
     val itemN = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("n_uv"))
+    val pairs = Graph.pairSupportPinned(spark, dir)
       .filter(col("n_uv") >= 2)
     pairs
       .join(itemN.select(col("p").as("u"), col("n").as("n_u")), Seq("u"))

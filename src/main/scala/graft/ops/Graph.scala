@@ -32,27 +32,53 @@ object Graph {
     * order-keyed exchange (HashPartitioning(o) satisfies the (o, p)
     * clustering, and the self-join reuses the same child plan).
     */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .repartition(col("o"))
-      .distinct()
-    items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-  }
+  /** Session-pinned distinct (order, part) item table — the ONE fact-table
+    * projection every basket/graph query starts from, `repartition(o)`ed so
+    * the per-order dedup and the pair self-join share its order-keyed
+    * exchange. Pinned once per (session, dir): basket rules, co-purchase
+    * edges, backbone components, and the pair-support table all read this
+    * checkpoint instead of re-scanning the fact table.
+    */
+  def basketItemsPinned(spark: SparkSession, dir: String): DataFrame =
+    pinnedItems.getOrElseUpdate((spark, dir),
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o"))
+        .distinct()
+        .localCheckpoint())
 
-  /** Session-pinned co-purchase edge table: derived once per (session, dir)
-    * and `localCheckpoint`ed so every graph query (triangles, degrees,
-    * PageRank) reads the edge-sized checkpoint instead of re-running the
-    * fact-table self-join — the same amortization the dedup family gets from
-    * `Dedup.lshVerifiedPairsPinned`. Edge-sized ≪ fact-sized, so the pin is
-    * cheap; at 100 TB this is "materialize the graph once, analyze it many
-    * times", which is how any production graph stage is run.
+  private val pinnedItems =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-pinned co-purchase pair SUPPORT table (u < v, n = number of
+    * shared orders): the one pair-keyed rollup behind basket_rules (all
+    * supports), graph_components (support >= 2 backbone), and the distinct
+    * edge set. Pair-sized ≪ fact-sized.
+    */
+  def pairSupportPinned(spark: SparkSession, dir: String): DataFrame =
+    pinnedSupport.getOrElseUpdate((spark, dir), {
+      val items = basketItemsPinned(spark, dir)
+      items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("n_uv"))
+        .localCheckpoint()
+    })
+
+  private val pinnedSupport =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-pinned co-purchase edge table (the support table's key set):
+    * every graph query (triangles, degrees, PageRank, BFS) reads the
+    * edge-sized checkpoint instead of re-running the fact-table self-join —
+    * the same amortization the dedup family gets from
+    * `Dedup.lshVerifiedPairsPinned`. At 100 TB this is "materialize the
+    * graph once, analyze it many times", which is how any production graph
+    * stage is run.
     */
   def copurchaseEdgesPinned(spark: SparkSession, dir: String): DataFrame =
-    pinnedEdges.getOrElseUpdate((spark, dir), copurchaseEdges(spark, dir).localCheckpoint())
+    pinnedEdges.getOrElseUpdate((spark, dir),
+      pairSupportPinned(spark, dir).select(col("u"), col("v")).localCheckpoint())
 
   private val pinnedEdges =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -277,16 +303,9 @@ object Graph {
       |lbl AS (SELECT x, min(y) AS l FROM reach GROUP BY 1)
       |SELECT l AS component, CAST(count(*) AS BIGINT) AS size
       |FROM lbl GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .repartition(col("o"))
-      .distinct()
-    val backbone = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("doc_a"), col("b.p").as("doc_b"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("doc_a"), col("doc_b"))
+    val backbone = pairSupportPinned(spark, dir)
+      .filter(col("n_uv") >= 2)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
     val (labels, _) = graft.text.Corpus.connectedComponentsStar(backbone)
     labels.groupBy(col("cluster_id").as("component")).agg(count(lit(1)).as("size"))
   }

@@ -167,7 +167,35 @@ object Roundtrips {
         max(col("id")).as("max_id"))
   }
 
+  /** The STREAMING read path of the custom V2 connector through the gate:
+    * `readStream` over [[SeqSource]] (MicroBatchStream — row-position
+    * offsets, the same partition planning and row derivation as the batch
+    * scan), AvailableNow into a Complete-mode memory sink. The streamed
+    * aggregate must equal the batch relation bit-for-bit, which the
+    * `range()` oracle asserts — one table, both engines' read paths.
+    */
+  val dsv2SeqStream: QueryDef = QueryDef(
+    "dsv2_seq_stream",
+    """SELECT CAST(id % 32 AS INTEGER) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM range(0, 100000) r(id)
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    val streamed = sess.readStream
+      .format("graft.sources.SeqSource")
+      .option("rows", "100000")
+      .option("slices", "8")
+      .load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+    val table = s"graft_dsv2_stream_${System.nanoTime()}"
+    graft.streaming.Streams.runAvailableNowToMemory(
+      sess, streamed, table, org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown,
-      dsv2SeqAggPushdown)
+      dsv2SeqAggPushdown, dsv2SeqStream)
 }

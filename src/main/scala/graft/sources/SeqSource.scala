@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,9 +70,41 @@ final class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, slices)
+}
+
+/** Streaming offset = how many sequence rows have been emitted. */
+final case class SeqOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The STREAMING read path of the same table: a `MicroBatchStream` whose
+  * offsets are plain row positions — `batchRows` per trigger (or
+  * everything at once under AvailableNow, where Spark's wrapper drives to
+  * `latestOffset`). Each batch's [start, end) range splits into the same
+  * contiguous partitions as the batch scan, and rows derive from the same
+  * arithmetic, so a streaming run is bit-identical to the batch relation —
+  * which is exactly what the oracle gate asserts.
+  */
+final class SeqMicroBatchStream(rows: Long, slices: Int) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def latestOffset(): Offset = SeqOffset(rows)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].pos
+    val hi = math.min(end.asInstanceOf[SeqOffset].pos, rows)
+    SeqScan(lo, math.max(lo, hi), slices, SeqSource.schema, Array.empty)
+      .planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqScan(0L, rows, slices, SeqSource.schema, Array.empty).createReaderFactory()
 }
 
 final class SeqScanBuilder(rows: Long, slices: Int)
@@ -188,6 +221,8 @@ final case class SeqScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(hi, slices)
   override def description(): String =
     s"GraftSeqScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")} " +
       s"pushed=[${pushed.mkString(", ")}]"

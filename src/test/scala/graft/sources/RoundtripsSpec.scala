@@ -82,6 +82,18 @@ class RoundtripsSpec extends SparkSpec {
     assert((b.getLong(0), b.getLong(1), b.getLong(2)) === ((32L, 3L, 995L)))
   }
 
+  test("DSv2 SeqSource: streaming read emits exactly the batch relation") {
+    val streamed = spark.readStream.format("graft.sources.SeqSource")
+      .option("rows", "5000").option("slices", "4").load()
+    val table = s"seq_stream_spec_${System.nanoTime()}"
+    val got = graft.streaming.Streams.runAvailableNowToMemory(
+      spark, streamed, table, org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val want = seq(5000L).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+    assert(got.length === 5000)
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
