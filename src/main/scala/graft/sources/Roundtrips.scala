@@ -195,7 +195,27 @@ object Roundtrips {
       sess, streamed, table, org.apache.spark.sql.streaming.OutputMode.Complete())
   }
 
+  /** The connector as a SQL-addressable CATALOG table: with
+    * `spark.sql.catalog.graft = SeqCatalog`, plain SQL over
+    * `graft.seq_<rows>` plans through the same V2 scan (pushdown intact —
+    * RoundtripsSpec asserts the narrowed range in the SQL path's plan).
+    */
+  val dsv2SeqCatalogSql: QueryDef = QueryDef(
+    "dsv2_seq_catalog_sql",
+    s"""SELECT CAST(id % 32 AS INTEGER) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(${graft.sources.SeqSource.valueSql("id")}) AS BIGINT) AS sum_value
+       |FROM range(0, 500000) r(id)
+       |WHERE id >= 100000
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    spark.sql(
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value
+        |FROM graft.seq_500000 WHERE id >= 100000 GROUP BY bucket""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown,
-      dsv2SeqAggPushdown, dsv2SeqStream)
+      dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql)
 }

@@ -267,3 +267,46 @@ final case class SeqScan(
     }
   }
 }
+
+/** SQL-addressable catalog for the sequence connector: with
+  * `spark.sql.catalog.graft = graft.sources.SeqCatalog`, any identifier
+  * `graft.seq_<rows>` resolves to a [[SeqTable]] — plain SQL
+  * (`SELECT ... FROM graft.seq_1000000 WHERE id < k`) flows through the
+  * SAME V2 scan, so planning-time filter absorption, column pruning and
+  * aggregate pushdown all apply to SQL users too. Read-only: DDL
+  * operations are rejected.
+  */
+class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
+  import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+
+  private var catalogName: String = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private val Pattern = "seq_([0-9]+)".r
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "seq_1000"))
+
+  override def loadTable(ident: Identifier): CTable = ident.name() match {
+    case Pattern(n) => new SeqTable(n.toLong, 8)
+    case _ => throw new NoSuchTableException(ident.asInstanceOf[Identifier])
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Pattern.matches(ident.name())
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): CTable =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def alterTable(ident: Identifier, changes: TableChange*): CTable =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+}

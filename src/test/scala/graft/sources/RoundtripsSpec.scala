@@ -94,6 +94,18 @@ class RoundtripsSpec extends SparkSpec {
     assert(got.length === 5000)
   }
 
+  test("DSv2 SeqCatalog: SQL identifiers resolve to the connector with pushdown intact") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val df = spark.sql(
+      "SELECT bucket, count(*) AS n FROM graft.seq_10000 WHERE id >= 2000 AND id < 6000 GROUP BY bucket")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[2000,6000)"), plan) // pushdown through the SQL path
+    assert(df.collect().map(_.getLong(1)).sum === 4000L)
+    // unknown identifiers are a clean analysis error, not a crash
+    val err = intercept[Exception](spark.sql("SELECT * FROM graft.nope").collect())
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
