@@ -529,13 +529,34 @@ object LanguageModel {
        |  SELECT 1 AS round, a, b, n FROM t1
        |  UNION ALL SELECT 2, a, b, n FROM t2
        |  UNION ALL SELECT 3, a, b, n FROM t3)""".stripMargin) { (spark, dir) =>
-    val wordFreq = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("wf"))
-    val merges = bpeMerges(wordFreq, rounds = 3)
     import spark.implicits._
-    merges.toDF("round", "a", "b", "n")
+    trainedPinned(spark, dir)._1.toDF("round", "a", "b", "n")
+  }
+
+  /** The APPLY side of the trained tokenizer: the tokens-per-word
+    * distribution of the merged vocabulary, weighted by corpus word
+    * frequency — how much the 3 learned merges compress the corpus. Shares
+    * the pinned training run with [[bpeMergeRounds]]; the rollup is over
+    * the vocabulary-sized final word table. The oracle re-derives the same
+    * distribution from its own w3 (round-3 vocabulary) CTE.
+    */
+  val bpeApplyVocab: QueryDef = QueryDef(
+    "bpe_apply_vocab",
+    s"""WITH wf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |w0 AS (SELECT tok AS wid, wf, string_split_regex(tok, '') AS toks FROM wf),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}
+       |SELECT CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wf) AS BIGINT) AS total_freq
+       |FROM w3 GROUP BY 1""".stripMargin) { (spark, dir) =>
+    trainedPinned(spark, dir)._2
+      .groupBy(size(col("toks")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wf")).as("total_freq"))
   }
 
   /** BPE training loop over a (tok, wf) word-frequency table: `rounds`
@@ -551,11 +572,20 @@ object LanguageModel {
     */
   def bpeMerges(
       wordFreq: org.apache.spark.sql.DataFrame,
-      rounds: Int): Seq[(Int, String, String, Long)] = {
+      rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeTrain(wordFreq, rounds)._1
+
+  /** BPE training returning BOTH artifacts: the merge table and the final
+    * merged vocabulary (toks array + word frequency) — the thing a trained
+    * tokenizer applies. See [[bpeMerges]].
+    */
+  def bpeTrain(
+      wordFreq: org.apache.spark.sql.DataFrame,
+      rounds: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var words = wordFreq
       .select(split(col("tok"), "").as("toks"), col("wf"))
       .localCheckpoint()
-    (1 to rounds).map { round =>
+    val merges = (1 to rounds).map { round =>
       val top = words
         .filter(size(col("toks")) >= 2) // sequence(1, 0, 1) is an error in Spark
         .select(col("wf"), explode(expr(
@@ -585,7 +615,26 @@ object LanguageModel {
         .localCheckpoint()
       (round, a, b, top.getAs[Long]("n"))
     }
+    (merges, words)
   }
+
+  /** One training run per (session, dir), shared by the merge-table and
+    * apply-side queries.
+    */
+  private def trainedPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    trainCache.getOrElseUpdate((spark, dir), {
+      val wordFreq = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("wf"))
+      bpeTrain(wordFreq, rounds = 3)
+    })
+
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
   /** EXACT heavy hitters (tokens above 1% of the corpus token stream)
     * computed with bounded state: a mergeable Misra-Gries sketch pass
@@ -625,6 +674,6 @@ object LanguageModel {
 
   val all: Seq[QueryDef] =
     Seq(invertedIndex, bigramLm, slidingTokenWindows, featureHashing, docLmScore,
-      docLmScoreCross, lmScoreHistogram, bpePairCounts, bpeMergeRounds,
+      docLmScoreCross, lmScoreHistogram, bpePairCounts, bpeMergeRounds, bpeApplyVocab,
       heavyHittersTokens)
 }

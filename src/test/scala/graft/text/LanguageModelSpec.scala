@@ -242,6 +242,23 @@ class LanguageModelSpec extends SparkSpec {
     assert(LanguageModel.bpeMerges(wf.toDF("tok", "wf"), 5) === bpeRef(wf, 5))
   }
 
+  test("bpe_apply_vocab: distribution partitions the vocabulary; freq is conserved") {
+    val hist = LanguageModel.bpeApplyVocab.fn(spark, dir).collect()
+      .map(r => (r.getAs[Int]("n_tokens"), r.getAs[Long]("n_words"), r.getAs[Long]("total_freq")))
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok")).as[String].collect()
+    // every corpus token occurrence lands in exactly one histogram cell
+    assert(hist.map(_._3).sum === toks.length.toLong)
+    assert(hist.map(_._2).sum === toks.distinct.length.toLong)
+    // merges only shorten: no word has more tokens than characters
+    val maxChars = toks.distinct.map(_.length).max
+    assert(hist.map(_._1).max <= maxChars)
+    // 3 merges happened: some word is shorter than its character count
+    val charHist = toks.distinct.groupBy(_.length).view
+      .mapValues(_.size.toLong).toMap
+    assert(hist.map { case (k, v, _) => (k, v) }.toMap !== charHist)
+  }
+
   test("heavy_hitters_tokens equals the full groupBy HAVING answer") {
     val got = LanguageModel.heavyHittersTokens.fn(spark, dir)
       .select("tok", "n", "total").as[(String, Long, Long)].collect().toSet
