@@ -38,7 +38,8 @@ object SparkEntry {
       streaming.Streams.streamingTypeCounts :+
       streaming.Streams.streamingHoppingAppend :+
       streaming.Streams.streamingIncrementalSink :+
-      streaming.Streams.streamingTwsTypeStats
+      streaming.Streams.streamingTwsTypeStats :+
+      streaming.Streams.streamStreamLeftJoin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -549,6 +549,68 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER interval join — the subtle half of streaming
+    * joins: matched rows emit like the inner join, but a NULL-extended row
+    * for an unmatched click may only emit once the watermark PROVES no
+    * future purchase can match (click_ts + 30 min below the global
+    * watermark = min of both streams' max event time minus the delay) —
+    * emission happens at state eviction. Over an AvailableNow run the
+    * emitted set is therefore the batch left join RESTRICTED to clicks
+    * whose match window the final watermark closed — which is exactly what
+    * the oracle states relationally (matched ∪ watermark-closed unmatched).
+    * The bounded-state story is the inner join's: both sides watermarked,
+    * the condition time-bounds both directions, state expires.
+    */
+  val streamStreamLeftJoin: graft.core.QueryDef = graft.core.QueryDef(
+    "stream_stream_left_join",
+    """WITH c AS (
+      |  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user_id, ts AS purchase_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+      |m AS (
+      |  SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_cents
+      |  FROM c JOIN p ON p.p_user_id = c.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+      |un AS (
+      |  SELECT c.user_id, c.click_ts FROM c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.p_user_id = c.user_id
+      |      AND p.purchase_ts >= c.click_ts
+      |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+      |    AND c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+      |SELECT user_id, click_ts, purchase_ts, purchase_cents FROM m
+      |UNION ALL
+      |SELECT user_id, click_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
+      |FROM un""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val clicks = readEventsStream(sess, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEventsStream(sess, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      col("p_user_id") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
+    val table = s"graft_stream_stream_left_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
+  }
+
   final case class TwsTypeRow(
       user_id: Long, event_type: String, n: Long, cents: Long, user_n: Long)
 

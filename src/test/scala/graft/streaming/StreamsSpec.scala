@@ -266,6 +266,44 @@ class StreamsSpec extends SparkSpec {
     assert(f === b)
   }
 
+  test("stream-stream LEFT OUTER join: nulls appear iff the watermark closed the window") {
+    import java.sql.Timestamp
+    val got = Streams.streamStreamLeftJoin.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // batch dual
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+    val joined = clicks.join(
+      purchases,
+      col("p_user_id") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val wm = new Timestamp(math.min(
+      clicks.agg(max("click_ts")).head().getTimestamp(0).getTime,
+      purchases.agg(max("purchase_ts")).head().getTimestamp(0).getTime) - 3600L * 1000L)
+    val want = joined
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
+      .collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.filter { case (_, clickTs, purchase, _) =>
+      // matched rows always emit; null rows only once the 30-min window
+      // closed strictly below the final watermark
+      purchase.isDefined || clickTs.getTime + 30L * 60 * 1000 < wm.getTime
+    }.toSet
+    assert(got === want)
+    // the watermark tail is real: some unmatched clicks were withheld
+    val allNulls = joined.filter(col("purchase_ts").isNull).count()
+    val emittedNulls = got.count(_._3.isEmpty).toLong
+    assert(emittedNulls > 0L && emittedNulls < allNulls)
+  }
+
   test("transformWithState: MapState+ValueState survive across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sess = spark.newSession()
