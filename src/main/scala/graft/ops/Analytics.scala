@@ -775,9 +775,60 @@ object Analytics {
           count(lit(1)).cast("double")).as("mae_cents"))
   }
 
+  /** EXACT k-th smallest (lower median) by DISTRIBUTED BINARY SEARCH on the
+    * value domain — the selection algorithm that replaces a global sort at
+    * scale: ~log2(domain) rounds, each ONE map-side-combined conditional
+    * count over a pinned single-column projection; the driver holds two
+    * longs (the bracket). A sort-based median shuffles the whole column;
+    * this shuffles nothing, ever — 35 counting scans of a 100 TB column
+    * beat one global sort of it, and the scans are each
+    * predicate-pushdown-friendly. Also reports n and the bracket-proof
+    * counts (how many values < and <= the answer), which certify
+    * correctness in the output itself: cnt_lt < k <= cnt_le.
+    */
+  val medianBinarySearch: QueryDef = QueryDef(
+    "median_binary_search",
+    s"""WITH v AS (
+       |  SELECT ${Num.sqlCents("l_extendedprice")} AS x FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |k AS (SELECT CAST((n + 1) // 2 AS BIGINT) AS k FROM n),
+       |med AS (
+       |  SELECT x AS median_cents FROM v
+       |  ORDER BY x LIMIT 1 OFFSET (SELECT k - 1 FROM k))
+       |SELECT (SELECT n FROM n) AS n, (SELECT k FROM k) AS k,
+       |  (SELECT median_cents FROM med) AS median_cents,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM v
+       |   WHERE x < (SELECT median_cents FROM med)) AS cnt_lt,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM v
+       |   WHERE x <= (SELECT median_cents FROM med)) AS cnt_le""".stripMargin) {
+    (spark, dir) =>
+      val v = Tables.lineitem(spark, dir)
+        .select(Num.cents(col("l_extendedprice")).as("x"))
+        .localCheckpoint() // one narrow column pinned for the counting rounds
+      val stats = v.agg(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().head
+      val (n, mn, mx) = (stats.getAs[Long]("n"), stats.getAs[Long]("mn"), stats.getAs[Long]("mx"))
+      val k = (n + 1) / 2 // lower median = k-th smallest
+      var lo = mn // invariant: answer in [lo, hi]
+      var hi = mx
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        val cntLe = v.filter(col("x") <= mid).count()
+        if (cntLe >= k) hi = mid else lo = mid + 1
+      }
+      val median = lo
+      val proof = v.agg(
+        sum(when(col("x") < median, 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("x") <= median, 1L).otherwise(0L)).as("cnt_le"))
+        .collect().head
+      import spark.implicits._
+      Seq((n, k, median, proof.getAs[Long]("cnt_lt"), proof.getAs[Long]("cnt_le")))
+        .toDF("n", "k", "median_cents", "cnt_lt", "cnt_le")
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
     aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve,
-    trendByNation, sourceGiniDiversity, backtestNaiveMae)
+    trendByNation, sourceGiniDiversity, backtestNaiveMae, medianBinarySearch)
 }

@@ -363,6 +363,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("median_binary_search: selection equals the sorted k-th; proof counts bracket k") {
+    val r = Analytics.medianBinarySearch.fn(spark, dir).collect().head
+    val xs = graft.core.Tables.lineitem(spark, dir)
+      .select(graft.core.Num.cents(col("l_extendedprice")).as("x"))
+      .as[Long].collect().sorted
+    val k = (xs.length + 1) / 2
+    assert(r.getAs[Long]("n") === xs.length.toLong)
+    assert(r.getAs[Long]("k") === k.toLong)
+    assert(r.getAs[Long]("median_cents") === xs(k - 1))
+    // certificate: cnt_lt < k <= cnt_le
+    assert(r.getAs[Long]("cnt_lt") < k.toLong && k.toLong <= r.getAs[Long]("cnt_le"))
+  }
+
   test("pipeline_observe: metrics equal a direct recount, on one scan") {
     val r = Analytics.pipelineObserve.fn(spark, dir).collect().head
     val li = graft.core.Tables.lineitem(spark, dir)
