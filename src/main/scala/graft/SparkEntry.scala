@@ -39,7 +39,8 @@ object SparkEntry {
       streaming.Streams.streamingHoppingAppend :+
       streaming.Streams.streamingIncrementalSink :+
       streaming.Streams.streamingTwsTypeStats :+
-      streaming.Streams.streamStreamLeftJoin
+      streaming.Streams.streamStreamLeftJoin :+
+      streaming.Streams.streamStreamFullJoin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

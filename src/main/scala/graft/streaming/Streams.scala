@@ -611,6 +611,75 @@ object Streams {
     runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
   }
 
+  /** Stream-stream FULL OUTER interval join: both directions of
+    * [[streamStreamLeftJoin]]'s eviction logic at once. A click's null row
+    * emits when the watermark strictly passes click_ts + 30 min (its last
+    * possible match); a purchase's null row emits when the watermark
+    * strictly passes purchase_ts itself (every matching click precedes the
+    * purchase, so nothing can match it once the click-side watermark is
+    * beyond its timestamp). The oracle states all three legs relationally.
+    */
+  val streamStreamFullJoin: graft.core.QueryDef = graft.core.QueryDef(
+    "stream_stream_full_join",
+    """WITH c AS (
+      |  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user_id, ts AS purchase_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+      |m AS (
+      |  SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_cents
+      |  FROM c JOIN p ON p.p_user_id = c.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+      |uc AS (
+      |  SELECT c.user_id, c.click_ts FROM c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.p_user_id = c.user_id
+      |      AND p.purchase_ts >= c.click_ts
+      |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+      |    AND c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)),
+      |up AS (
+      |  SELECT p.p_user_id, p.purchase_ts, p.purchase_cents FROM p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM c WHERE p.p_user_id = c.user_id
+      |      AND p.purchase_ts >= c.click_ts
+      |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+      |    AND p.purchase_ts < (SELECT w FROM wm))
+      |SELECT user_id, click_ts, purchase_ts, purchase_cents FROM m
+      |UNION ALL
+      |SELECT user_id, click_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT) FROM uc
+      |UNION ALL
+      |SELECT p_user_id, CAST(NULL AS TIMESTAMP), purchase_ts, purchase_cents
+      |FROM up""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val clicks = readEventsStream(sess, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEventsStream(sess, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      col("p_user_id") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_cents"))
+    val table = s"graft_stream_stream_full_${System.nanoTime()}"
+    runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
+  }
+
   final case class TwsTypeRow(
       user_id: Long, event_type: String, n: Long, cents: Long, user_n: Long)
 

@@ -304,6 +304,34 @@ class StreamsSpec extends SparkSpec {
     assert(emittedNulls > 0L && emittedNulls < allNulls)
   }
 
+  test("stream-stream FULL OUTER join: both null legs watermark-gated, matched leg complete") {
+    val rows = Streams.streamStreamFullJoin.fn(spark, sf).collect()
+    val matched = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val nullPurch = rows.filter(r => !r.isNullAt(1) && r.isNullAt(2)) // unmatched clicks
+    val nullClick = rows.filter(r => r.isNullAt(1) && !r.isNullAt(2)) // unmatched purchases
+    assert(matched.nonEmpty && nullPurch.nonEmpty && nullClick.nonEmpty)
+    // matched leg equals the left join's matched leg (same inner core)
+    val leftMatched = Streams.streamStreamLeftJoin.fn(spark, sf).collect()
+      .filter(r => !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(matched.map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet === leftMatched)
+    // every user in a null leg has no qualifying partner for that row: spot
+    // the invariant on the unmatched-purchase leg (all clicks of that user
+    // are outside [purchase_ts - 30min, purchase_ts])
+    val clicksByUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    nullClick.foreach { r =>
+      val (u, pts) = (r.getLong(0), r.getTimestamp(2).getTime)
+      val partners = clicksByUser.getOrElse(u, Seq.empty[Long])
+        .filter(ct => ct <= pts && pts <= ct + 30L * 60 * 1000)
+      assert(partners.isEmpty, s"user $u purchase at $pts has a qualifying click")
+    }
+  }
+
   test("transformWithState: MapState+ValueState survive across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sess = spark.newSession()
