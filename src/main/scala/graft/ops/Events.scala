@@ -725,10 +725,66 @@ object Events {
             > lit(3.0) * col("std_cents"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Session-scoped PATH MINING: every 3-step event-type journey that
+    * occurs inside one 30-minute-gap session, with its frequency — the
+    * sequence-pattern step past [[eventTransitions]]' first-order pairs
+    * (PrefixSpan's length-3 specialization, enumerable exactly because
+    * consecutive-step journeys per session are linear in events, not
+    * combinatorial). ONE user-keyed exchange carries everything: the gap
+    * flags, the running session number, and the two leads all run on
+    * windows whose partition keys start with user_id (HashPartitioning
+    * (user) satisfies the (user, session) clustering — the second window
+    * adds only a local sort), and the trigram rollup is map-side combined
+    * over a type³-bounded key space.
+    */
+  val journeyTrigrams: QueryDef = QueryDef(
+    "journey_trigrams",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged),
+      |steps AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER s AS t2,
+      |    lead(event_type, 2) OVER s AS t3
+      |  FROM numbered
+      |  WINDOW s AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM steps WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(
+      prevTs.isNull || (unix_micros(col("ts")) - unix_micros(prevTs)) > 1800000000L,
+      lit(1)).otherwise(lit(0))
+    val s = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn(
+        "session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(s).as("t2"),
+        lead(col("event_type"), 2).over(s).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     jsonExtractAgg, eventsHourly, sessionizeEvents, sessionWindowAgg, asofJoin,
     asofJoinNative, asofJoinForward, asofJoinTolerance, jsonMapExplode,
     cohortRetention, funnelStages, scd2History,
     upsertLatestSnapshot, eventTransitions, markovTransitions, eventsHopping, outlierZscore,
-    contingencyCells, eventsHourlyUsers, peakConcurrency)
+    contingencyCells, eventsHourlyUsers, peakConcurrency, journeyTrigrams)
 }

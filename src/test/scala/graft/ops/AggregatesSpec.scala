@@ -166,6 +166,31 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("journey_trigrams equals a single-threaded session walk") {
+    val got = Events.journeyTrigrams.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Long]("n")).toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val want = scala.collection.mutable.Map[(String, String, String), Long]().withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // split on >30min gaps, then count consecutive type triples
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          if (acc.isEmpty || e._2 - acc.last.last._2 > 1800L * 1000) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.foreach { s =>
+        s.sliding(3).filter(_.size == 3).foreach { w =>
+          want((w(0)._4, w(1)._4, w(2)._4)) += 1L
+        }
+      }
+    }
+    assert(got === want.toMap)
+    assert(got.values.sum > 0L)
+  }
+
   test("cogroup_order_totals equals the join+group formulation, covers all orders") {
     val got = Relational.cogroupOrderTotals.fn(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSet
