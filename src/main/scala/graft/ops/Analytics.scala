@@ -775,13 +775,12 @@ object Analytics {
           count(lit(1)).cast("double")).as("mae_cents"))
   }
 
-  /** EXACT k-th smallest (lower median) by DISTRIBUTED BINARY SEARCH on the
-    * value domain — the selection algorithm that replaces a global sort at
-    * scale: ~log2(domain) rounds, each ONE map-side-combined conditional
-    * count over a pinned single-column projection; the driver holds two
-    * longs (the bracket). A sort-based median shuffles the whole column;
-    * this shuffles nothing, ever — 35 counting scans of a 100 TB column
-    * beat one global sort of it, and the scans are each
+  /** EXACT k-th smallest (lower median) by DISTRIBUTED SEARCH on the value
+    * domain — the selection algorithm that replaces a global sort at scale:
+    * log4096(domain) rounds (2 for a cents-scale domain), each ONE
+    * map-side-combined histogram over the surviving bracket; the driver
+    * holds ≤4096 bucket counts. A sort-based median shuffles the whole
+    * column; this shuffles nothing, ever, and each scan is
     * predicate-pushdown-friendly. Also reports n and the bracket-proof
     * counts (how many values < and <= the answer), which certify
     * correctness in the output itself: cnt_lt < k <= cnt_le.
@@ -809,12 +808,28 @@ object Analytics {
         .collect().head
       val (n, mn, mx) = (stats.getAs[Long]("n"), stats.getAs[Long]("mn"), stats.getAs[Long]("mx"))
       val k = (n + 1) / 2 // lower median = k-th smallest
-      var lo = mn // invariant: answer in [lo, hi]
+      // 4096-ary search (histogram refine): each round ONE map-side-combined
+      // bucket count over the surviving range, then the bracket narrows by
+      // 4096× — a cents-scale domain resolves in 2 rounds instead of the
+      // ~35 a binary search of single conditional counts would take (each
+      // round is a full scan; scans, not comparisons, are the scale cost).
+      var lo = mn // invariant: the k'-th smallest of x in [lo, hi] is the answer
       var hi = mx
+      var kRemaining = k
       while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        val cntLe = v.filter(col("x") <= mid).count()
-        if (cntLe >= k) hi = mid else lo = mid + 1
+        val width = math.max(1L, (hi - lo) / 4096L + 1L)
+        val buckets = v.filter(col("x") >= lo && col("x") <= hi)
+          .groupBy(expr(s"(x - $lo) div $width").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("c"))
+          .sortBy(_._1)
+        var acc = 0L
+        val (bkt, inBucket) = buckets.collectFirst {
+          case (b, c) if { acc += c; acc >= kRemaining } => (b, kRemaining - (acc - c))
+        }.get
+        kRemaining = inBucket
+        lo = lo + bkt * width
+        hi = math.min(hi, lo + width - 1)
       }
       val median = lo
       val proof = v.agg(
