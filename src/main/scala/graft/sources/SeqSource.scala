@@ -217,7 +217,30 @@ final case class SeqRange(start: Long, end: Long) extends InputPartition
 
 final case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // Runtime filtering — the V2 analogue of dynamic partition pruning:
+  // after a join's build side materializes, Spark pushes the id key set
+  // here at EXECUTION time and the bracket narrows BEFORE partition
+  // planning, so the probe side never generates rows outside the build
+  // side's key span. Narrowing to [min, max] of the set is sound because
+  // Spark re-applies the join predicate on the produced rows.
+  private var rtLo: Long = lo
+  private var rtHi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", vs) if vs.nonEmpty =>
+      val ids = vs.collect { case v: Long => v }
+      if (ids.nonEmpty) {
+        rtLo = math.max(rtLo, ids.min)
+        rtHi = math.min(rtHi, ids.max + 1)
+      }
+    case _ => () // other runtime filter shapes: over-generation is safe
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -228,10 +251,11 @@ final case class SeqScan(
       s"pushed=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(slices.toLong, math.max(1L, hi - lo)).toInt)
-    val span = hi - lo
+    val (l, h) = (rtLo, math.max(rtLo, rtHi))
+    val n = math.max(1, math.min(slices.toLong, math.max(1L, h - l)).toInt)
+    val span = h - l
     (0 until n).map { i =>
-      SeqRange(lo + span * i / n, lo + span * (i + 1) / n)
+      SeqRange(l + span * i / n, l + span * (i + 1) / n)
     }.filter(r => r.end > r.start).toArray
   }
 

@@ -106,6 +106,38 @@ class RoundtripsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("DSv2 SeqSource: runtime filtering narrows the scan from the join's build side") {
+    // a tiny FILTERED build side whose keys span [100000, 100009] — DPP
+    // only fires when the build side carries a selective predicate; the
+    // probe scan should receive the id set at runtime and generate only
+    // that bracket
+    val dim = spark.range(0, 1000000)
+      .filter(col("id") >= 100000L && col("id") < 100010L)
+    val probe = seq(10000000L, slices = 4)
+    val joined = probe.join(dim.hint("broadcast"), Seq("id"))
+    val rows = joined.collect()
+    assert(rows.length === 10)
+    // the scan reports id as runtime-filterable; the executed plan carries
+    // the dynamic filter on the BatchScan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") || plan.contains("dynamicpruning"), plan)
+    // and it actually narrowed generation: the scan produced only the
+    // bracket's rows, not the 10M-row table (AQE hides the final plan
+    // behind AdaptiveSparkPlanExec — unwrap to read the scan's metric)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val scanRows = scans(joined.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    assert(scanRows.nonEmpty && scanRows.forall(_ <= 20L),
+      s"scan generated $scanRows rows; runtime narrowing did not engage")
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
