@@ -461,11 +461,7 @@ object Dedup {
        |WHERE a.doc_id != b.doc_id
        |  AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)""".stripMargin) {
     (spark, dir) =>
-      val sh = Tables.documents(spark, dir)
-        .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
-        .filter(size(col("s")) >= 1)
-        .localCheckpoint() // feeds df rollup, prefix build, index, and both verify sides
-      containmentPairs(sh)
+      containmentPairsFromIds(docShingleIdsPinned(spark, dir))
   }
 
   /** Prefix-filtered containment >= 0.8 over (doc_id, s: array<string>)
@@ -487,18 +483,44 @@ object Dedup {
     * pair dedup. Results are identical to the string form: the encoding is
     * bijective.
     */
-  def containmentPairs(sh: DataFrame): DataFrame = {
+  def containmentPairs(sh: DataFrame): DataFrame =
+    containmentPairsFromIds(shingleIds(sh))
+
+  /** Dictionary-encode (doc_id, s: array<string>) rows to (doc_id,
+    * ids: sorted array<int> in global (df, shingle) order, n) — the shared
+    * representation both set-similarity joins verify on.
+    */
+  def shingleIds(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
     val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val dict = df.select(
       col("sh"),
       row_number().over(Window.orderBy(col("df"), col("sh"))).as("sid"))
-    val sids = ex.join(dict, "sh")
+    ex.join(dict, "sh")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sid"))).as("ids"))
       .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
-      .localCheckpoint() // feeds prefix, index, and both verify sides
+  }
+
+  /** Session-pinned dictionary-id table of the documents corpus — derived
+    * once, checkpointed, shared by the containment and exact-Jaccard joins
+    * (prefixes, indexes, and verify sides all read it).
+    */
+  def docShingleIdsPinned(spark: SparkSession, dir: String): DataFrame =
+    pinnedSids.getOrElseUpdate((spark, dir),
+      shingleIds(
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
+          .filter(size(col("s")) >= 1))
+        .localCheckpoint())
+
+  private val pinnedSids =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Prefix-filtered containment >= 0.8 over dictionary-id rows. */
+  def containmentPairsFromIds(sidsIn: DataFrame): DataFrame = {
+    val sids = sidsIn
     val prefix = sids.select(
       col("doc_id").as("a"), col("n").as("na"),
       // rarest floor(|s|/5)+1 shingle ids: any 0.8-containing doc must share one
@@ -533,7 +555,69 @@ object Dedup {
       .withColumn("containment", graft.core.Num.ratio(col("inter"), col("na")))
   }
 
+  /** EXACT Jaccard >= 0.8 similarity SELF-JOIN by all-pairs prefix
+    * filtering (Bayardo et al., WWW'07; the PPJoin family) — the
+    * deterministic-recall counterpart of [[minhashLsh]]: where MinHash
+    * banding finds near-dups with probabilistic recall (and the oracle
+    * certifies what it realized), this join PROVABLY finds every
+    * qualifying pair. J(A,B) >= t forces the (df, shingle)-ordered
+    * prefixes of length |·|/5+1 to intersect, so candidates come from a
+    * PREFIX-to-PREFIX join (quadratically smaller than prefix-to-all —
+    * the reason all-pairs beats inverted-index probing), plus the length
+    * filter 4|A| <= 5|B| ∧ 4|B| <= 5|A|. Verification is the codegen'd
+    * merge walk with the threshold in exact integers:
+    * 9·inter >= 4·(|A|+|B|). Shares the session-pinned dictionary-id
+    * table with [[containmentJoin]].
+    */
+  val jaccardExact: QueryDef = QueryDef(
+    "dedup_jaccard_exact",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+       |f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    AS jaccard
+       |FROM f a, f b
+       |WHERE a.doc_id < b.doc_id
+       |  AND 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))""".stripMargin) {
+    (spark, dir) =>
+      jaccardPairsFromIds(docShingleIdsPinned(spark, dir))
+  }
+
+  /** All-pairs exact Jaccard >= 0.8 over dictionary-id rows; see
+    * [[jaccardExact]].
+    */
+  def jaccardPairsFromIds(sids: DataFrame): DataFrame = {
+    def prefixOf(side: String) = sids.select(
+      col("doc_id").as(side), col("n").as(s"n$side"),
+      // (1-t)|x|+1 = |x|/5+1 rarest ids: two 0.8-similar sets' prefixes meet
+      explode(expr("slice(ids, 1, CAST(n div 5 AS INT) + 1)")).as("sid"))
+    val candidates = prefixOf("a")
+      .join(prefixOf("b"), "sid")
+      .filter(
+        col("a") < col("b") &&
+          lit(4) * col("na") <= lit(5) * col("nb") &&
+          lit(4) * col("nb") <= lit(5) * col("na"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candidates
+      .join(sids.select(col("doc_id").as("a"), col("ids").as("ia")), "a")
+      .join(sids.select(col("doc_id").as("b"), col("ids").as("ib")), "b")
+      .select(
+        col("a"), col("b"),
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("ia"), col("ib")).as("inter"),
+        size(col("ia")).cast("long").as("na"),
+        size(col("ib")).cast("long").as("nb"))
+      .filter(lit(9) * col("inter") >= lit(4) * (col("na") + col("nb")))
+      .withColumn("jaccard",
+        graft.core.Num.ratio(col("inter"), col("na") + col("nb") - col("inter")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked,
-      spanDedup, containmentJoin)
+      spanDedup, containmentJoin, jaccardExact)
 }

@@ -217,6 +217,36 @@ class DedupSpec extends SparkSpec {
     assert(jac < 0.3, s"quote pair should be low-Jaccard, got $jac")
   }
 
+  test("jaccardPairsFromIds: complete vs brute force on seeded docs with planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocabWords = (0 until 50).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocabWords(rnd.nextInt(50))).mkString(" ")
+    val base = doc(40)
+    // planted: identical pair + one-word-substituted near-dup
+    val nearDup = {
+      val t = base.split(" "); t(5) = "zz"; t.mkString(" ")
+    }
+    val docs = (1L to 25L).map(i => (i, doc(8 + rnd.nextInt(40)))) ++
+      Seq((100L, base), (101L, base), (102L, nearDup))
+    val sh = docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${Dedup.shinglesSpark("text")} AS s")
+      .filter(size(col("s")) >= 1)
+    val got = Dedup.jaccardPairsFromIds(Dedup.shingleIds(sh))
+      .select("a", "b", "inter").as[(Long, Long, Long)].collect().toSet
+    val sets = sh.select("doc_id", "s").as[(Long, Seq[String])].collect()
+      .map { case (id, s) => id -> s.toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      if 9 * inter >= 4 * (sa.size.toLong + sb.size.toLong)
+    } yield (a, b, inter)).toSet
+    assert(got === want)
+    assert(got.exists { case (a, b, _) => a == 100L && b == 101L }) // identical pair
+    assert(got.exists { case (a, b, _) => Set(a, b).subsetOf(Set(100L, 101L, 102L)) &&
+      (a, b) != ((100L, 101L)) }) // the substituted near-dup pairs too
+  }
+
   /** Reference Levenshtein (full DP) to pin the engine's distance. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
