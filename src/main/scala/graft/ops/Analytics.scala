@@ -841,9 +841,46 @@ object Analytics {
         .toDF("n", "k", "median_cents", "cnt_lt", "cnt_le")
   }
 
+  /** Market concentration per nation: the Herfindahl–Hirschman index over
+    * supplier revenue shares, HHI = Σ rᵢ² / (Σ rᵢ)² — 1/n for a perfectly
+    * even market, 1.0 for a monopoly. The squares accumulate in exact
+    * DECIMAL(38) (the [[aggSkewKurtExact]] pattern — int64 would overflow
+    * rᵢ² past ~sf1), and both final squarings/divisions run on
+    * identically-derived doubles, so the index is bit-stable. Two
+    * rollups: fact → (nation × supplier) revenue, then the
+    * supplier-bounded concentration fold.
+    */
+  val marketConcentrationHhi: QueryDef = QueryDef(
+    "market_concentration_hhi",
+    s"""WITH r AS (
+       |  SELECT n.n_name, l.l_suppkey,
+       |         CAST(SUM(${Num.sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
+       |              AS BIGINT) AS rev
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name,
+       |  CAST(count(*) AS BIGINT) AS n_suppliers,
+       |  CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) /
+       |    (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS hhi
+       |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg(sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        (sum(expr("CAST(rev AS DECIMAL(38, 0)) * rev")).cast("double") /
+          (sum(col("rev")).cast("double") * sum(col("rev")).cast("double"))).as("hhi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowNtileCume, aggSkewKurtExact, pivotReturnflagRevenue, joinNullSafe, tsLocfFill,
     rollingEwma, madOutliers, incrementalAggMerge, quantileBinning, rollingMedian,
     aggMultiDistinct, joinKeySkewProfile, basketRules, skylinePareto, pipelineObserve,
-    trendByNation, sourceGiniDiversity, backtestNaiveMae, medianBinarySearch)
+    trendByNation, sourceGiniDiversity, backtestNaiveMae, medianBinarySearch,
+    marketConcentrationHhi)
 }

@@ -376,6 +376,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("cnt_lt") < k.toLong && k.toLong <= r.getAs[Long]("cnt_le"))
   }
 
+  test("market_concentration_hhi: index equals a direct share computation; bounds hold") {
+    val rows = Analytics.marketConcentrationHhi.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val revs = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.core.Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg(sum(graft.core.Num.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    rows.foreach { r =>
+      val rs = revs(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n_suppliers") === rs.size.toLong)
+      val hhi = r.getAs[Double]("hhi")
+      val num = rs.map(x => BigInt(x) * BigInt(x)).sum
+      val den = rs.sum.toDouble * rs.sum.toDouble
+      assert(hhi === num.toDouble / den)
+      // 1/n (even market) <= HHI <= 1 (monopoly)
+      assert(hhi >= 1.0 / rs.size - 1e-12 && hhi <= 1.0)
+    }
+  }
+
   test("pipeline_observe: metrics equal a direct recount, on one scan") {
     val r = Analytics.pipelineObserve.fn(spark, dir).collect().head
     val li = graft.core.Tables.lineitem(spark, dir)
