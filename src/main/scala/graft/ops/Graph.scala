@@ -365,5 +365,62 @@ object Graph {
     visited.groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
   }
 
-  val all: Seq[QueryDef] = Seq(triangleCount, degreeHist, pageRank, components, bfsHops)
+  /** Degree ASSORTATIVITY of the co-purchase graph: the Pearson
+    * correlation between the degrees at the two ends of an edge (Newman
+    * 2002) — positive for hub-links-hub networks, negative for
+    * hub-links-leaf. Every moment sum (Σx, Σy, Σxy, Σx², Σy² over both
+    * orientations of each edge) is an exact int64; the assembly uses one
+    * sqrt, which IEEE 754 defines exactly — so the coefficient is
+    * bit-stable cross-engine (the [[graft.core.Num]] discipline extended
+    * to a correlation). Reads the pinned edge table; degrees are one
+    * rollup, the moments another.
+    */
+  val assortativity: QueryDef = {
+    // shared double-assembly fragment: identical text -> identical IEEE ops
+    val r = "(n * sxy - sx * sy) / " +
+      "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    QueryDef(
+      "graph_assortativity",
+      s"""$edgesCte,
+         |deg AS (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+         |  GROUP BY 1),
+         |ends AS (
+         |  SELECT du.d AS x, dv.d AS y FROM edges e
+         |  JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+         |  UNION ALL
+         |  SELECT dv.d, du.d FROM edges e
+         |  JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+         |m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM ends)
+         |SELECT CAST(n AS BIGINT) AS n_endpoints, $r AS assortativity
+         |FROM m""".stripMargin) { (spark, dir) =>
+      val edges = copurchaseEdgesPinned(spark, dir)
+      val deg = edges.select(col("u").as("x"))
+        .unionByName(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      val ends = withDeg.select(col("du").as("x"), col("dv").as("y"))
+        .unionByName(withDeg.select(col("dv").as("x"), col("du").as("y")))
+      ends.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(
+          col("n").cast("long").as("n_endpoints"),
+          expr(r).as("assortativity"))
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(triangleCount, degreeHist, pageRank, components, bfsHops, assortativity)
 }

@@ -118,6 +118,29 @@ class GraphSpec extends SparkSpec {
     assert(got(0) === 1L)
   }
 
+  test("graph_assortativity: matches a direct Pearson over edge-end degrees; r in [-1,1]") {
+    val r = Graph.assortativity.fn(spark, "/root/testdata/sf0.001").collect().head
+    val items = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val edges = items.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet.toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pts = edges.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(r.getAs[Long]("n_endpoints") === pts.size.toLong)
+    assert(r.getAs[Double]("assortativity") === want)
+    assert(math.abs(want) <= 1.0)
+  }
+
   test("pageRankTokens: matches the single-threaded recurrence on a hub graph") {
     val rnd = new scala.util.Random(7)
     // star of 20 + random chords: irregular degrees exercise the flooring
