@@ -617,7 +617,80 @@ object Dedup {
         graft.core.Num.ratio(col("inter"), col("na") + col("nb") - col("inter")))
   }
 
+  /** The corpus dedup REPORT: one accounting row composing the dedup
+    * family — total docs, how many are redundant exact copies (non-
+    * survivors of text groups), how many exact-Jaccard >= 0.8 near-dup
+    * pairs and containment >= 0.8 quote pairs exist, and how many docs are
+    * CLEAN (not an exact copy, not an endpoint of either pair relation).
+    * This is the decision artifact a dedup stage ships to the pipeline
+    * owner before anything is dropped.
+    *
+    * Engine cost is near zero beyond its parts: the pair relations read
+    * the session-pinned dictionary-id table (already derived for their own
+    * queries), the exact groups are one text rollup, and the clean count
+    * is two anti-joins against pair-endpoint sets. The oracle recomputes
+    * all four legs relationally (the pair legs exhaustively — gate-scale
+    * ground truth).
+    */
+  val dedupReport: QueryDef = QueryDef(
+    "corpus_dedup_report",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS s FROM documents),
+       |f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1),
+       |jp AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b FROM f a, f b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))),
+       |cp AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b FROM f a, f b
+       |  WHERE a.doc_id != b.doc_id
+       |    AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)),
+       |exact_extra AS (
+       |  SELECT CAST(sum(cnt - 1) AS BIGINT) AS n
+       |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)),
+       |paired AS (
+       |  SELECT a AS d FROM jp UNION SELECT b FROM jp
+       |  UNION SELECT a FROM cp UNION SELECT b FROM cp),
+       |dup_text_docs AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |  (SELECT n FROM exact_extra) AS n_exact_redundant,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_neardup_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_containment_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |   WHERE doc_id NOT IN (SELECT d FROM paired)
+       |     AND doc_id NOT IN (SELECT doc_id FROM dup_text_docs)) AS n_clean""".stripMargin) {
+    (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val sids = docShingleIdsPinned(spark, dir)
+      val jp = jaccardPairsFromIds(sids).select(col("a"), col("b"))
+      val cp = containmentPairsFromIds(sids).select(col("a"), col("b"))
+      val nDocs = docs.agg(count(lit(1)).as("v"))
+      val nExactRedundant = docs.groupBy(col("text"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") - 1).as("v"))
+      val nJp = jp.agg(count(lit(1)).as("v"))
+      val nCp = cp.agg(count(lit(1)).as("v"))
+      val paired = jp.select(col("a").as("d")).unionByName(jp.select(col("b").as("d")))
+        .unionByName(cp.select(col("a").as("d"))).unionByName(cp.select(col("b").as("d")))
+        .distinct()
+      val dupTextDocs = docs.groupBy(col("text")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("text"))
+        .join(docs, "text").select(col("doc_id"))
+      val nClean = docs.select(col("doc_id"))
+        .join(paired, col("doc_id") === col("d"), "left_anti")
+        .join(dupTextDocs, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      nDocs.select(col("v").as("n_docs"))
+        .crossJoin(nExactRedundant.select(col("v").cast("long").as("n_exact_redundant")))
+        .crossJoin(nJp.select(col("v").as("n_neardup_pairs")))
+        .crossJoin(nCp.select(col("v").as("n_containment_pairs")))
+        .crossJoin(nClean.select(col("v").as("n_clean")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked,
-      spanDedup, containmentJoin, jaccardExact)
+      spanDedup, containmentJoin, jaccardExact, dedupReport)
 }

@@ -247,6 +247,26 @@ class DedupSpec extends SparkSpec {
       (a, b) != ((100L, 101L)) }) // the substituted near-dup pairs too
   }
 
+  test("corpus_dedup_report: legs are mutually consistent on the test corpus") {
+    val r = Dedup.dedupReport.fn(spark, "/root/testdata/sf0.001").collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    val nExact = r.getAs[Long]("n_exact_redundant")
+    val nClean = r.getAs[Long]("n_clean")
+    assert(nDocs === 500L)
+    // every exact-dup pair is also a Jaccard-1.0 near-dup pair, so the near
+    // -dup relation is at least as large as the pairs inside text groups
+    assert(r.getAs[Long]("n_neardup_pairs") >= nExact)
+    // containment counts ordered pairs; identical docs contain each other
+    // both ways, so it at least doubles the exact-redundancy evidence
+    assert(r.getAs[Long]("n_containment_pairs") >= 2L * nExact)
+    // clean + flagged-by-something never exceeds the corpus; the near-dup
+    // leg actually flagged docs (this corpus has no exact text copies, so
+    // the pair relations are what bite)
+    assert(nClean < nDocs && nClean > 0L)
+    assert(r.getAs[Long]("n_neardup_pairs") > 0L)
+    assert(r.getAs[Long]("n_containment_pairs") > 0L)
+  }
+
   /** Reference Levenshtein (full DP) to pin the engine's distance. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
