@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped derive-once cache of pinned (checkpointed) derivations.
+  *
+  * A real pipeline derives its shared intermediates (near-dup edge tables,
+  * dictionary encodings, trained models) ONCE per corpus and fans them out
+  * to every consumer; this object is that contract for the query registry.
+  * Each entry is keyed by (session, corpus dir, name); DataFrame entries
+  * ([[table]]) are materialized with an eager `localCheckpoint()`, so
+  * consumers replay cached blocks instead of re-running the derivation and
+  * the lineage is cut (iterative callers stay planner-cheap). [[value]]
+  * pins arbitrary derivations (model tuples, driver-side merge lists) whose
+  * internals may checkpoint their own tables.
+  *
+  * Unlike ad-hoc per-object `TrieMap`s, entries are EVICTABLE: every
+  * cached-RDD id created during a derivation is recorded at pin time (diff
+  * of `getPersistentRDDs` around the derivation, under this object's lock),
+  * so [[clear]] can unpersist the actual block-manager storage for a
+  * session — a long-lived embedding process can pin per (session, corpus)
+  * without leaking storage forever. [[pinnedKeys]] reports which tables a
+  * session already paid for, which the bench harness uses to annotate
+  * per-query timings (a family member that reads a pinned table measures
+  * incremental cost only; the first consumer paid the derivation).
+  */
+object Pinned {
+
+  private final case class Entry(v: Any, rddIds: Seq[Int])
+
+  private val entries = TrieMap.empty[(SparkSession, String, String), Entry]
+
+  /** The pinned value `name` for (spark, dir), deriving it on first request.
+    * The derivation's own `localCheckpoint()` blocks are recorded so
+    * [[clear]] can free them.
+    */
+  def value[A](spark: SparkSession, dir: String, name: String)(
+      derive: => A): A = synchronized {
+    entries.getOrElseUpdate((spark, dir, name), {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val v = derive
+      val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
+      Entry(v, ids)
+    }).v.asInstanceOf[A]
+  }
+
+  /** The pinned table `name` for (spark, dir), deriving + eagerly
+    * checkpointing it on first request and replaying the cached blocks
+    * afterwards.
+    */
+  def table(spark: SparkSession, dir: String, name: String)(
+      derive: => DataFrame): DataFrame =
+    value(spark, dir, name)(derive.localCheckpoint()) // eager: blocks exist on return
+
+  /** Names of derivations already pinned for (spark, dir), sorted. */
+  def pinnedKeys(spark: SparkSession, dir: String): Seq[String] =
+    entries.keys.collect { case (s, d, k) if (s eq spark) && d == dir => k }.toSeq.sorted
+
+  /** Evict every derivation pinned under `spark`: drop the references and
+    * unpersist their checkpoint blocks from the block manager.
+    */
+  def clear(spark: SparkSession): Unit = synchronized {
+    entries.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      entries.remove(k).foreach { e =>
+        val live = spark.sparkContext.getPersistentRDDs
+        e.rddIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      }
+    }
+  }
+}

@@ -200,10 +200,7 @@ object Dedup {
     * candidate-pair-sized, orders of magnitude below the corpus.
     */
   def lshVerifiedPairsPinned(spark: SparkSession, dir: String): DataFrame =
-    pinnedPairs.getOrElseUpdate((spark, dir), lshVerifiedPairs(spark, dir).localCheckpoint())
-
-  private val pinnedPairs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.Pinned.table(spark, dir, "lsh_verified_pairs")(lshVerifiedPairs(spark, dir))
 
   /** 64-bit SimHash per document: per-token xxhash64, each of the 64 bits
     * votes +1/-1, sign of the tally is the signature bit.
@@ -461,7 +458,7 @@ object Dedup {
        |WHERE a.doc_id != b.doc_id
        |  AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)""".stripMargin) {
     (spark, dir) =>
-      containmentPairsFromIds(docShingleIdsPinned(spark, dir))
+      containmentPairsPinned(spark, dir)
   }
 
   /** Prefix-filtered containment >= 0.8 over (doc_id, s: array<string>)
@@ -475,10 +472,11 @@ object Dedup {
     * intersects int arrays instead of string arrays (the string hashing
     * dominated the original plan: 10M candidate verifications × ~50-string
     * hash sets — observed 37 s at sf0.1, ~6× this form); (3) candidate and
-    * index rows ship 8-byte ids. The id assignment here is one window over
-    * the vocabulary-sized df table; at 100 TB you assign ids with the
-    * range-partitioned global rank (`Ranking.globalRankRanged`'s no-single-
-    * partition machinery) — same semantics, no bottleneck. A size filter
+    * index rows ship 8-byte ids. Id assignment runs over the vocabulary-
+    * sized df table through [[graft.ops.Ranking.globalRankBy]] — the
+    * range-partitioned global rank, so the dictionary derivation has NO
+    * single-partition stage and survives a vocabulary that grows with the
+    * corpus. A size filter
     * (containment 0.8 forces 5·|B| >= 4·|A|) prunes candidates before the
     * pair dedup. Results are identical to the string form: the encoding is
     * bijective.
@@ -489,14 +487,22 @@ object Dedup {
   /** Dictionary-encode (doc_id, s: array<string>) rows to (doc_id,
     * ids: sorted array<int> in global (df, shingle) order, n) — the shared
     * representation both set-similarity joins verify on.
+    *
+    * The id is the range-partitioned global rank of the shingle under the
+    * total order (df, shingle) ([[graft.ops.Ranking.globalRankBy]]): the
+    * same dense 1..V numbering a bare `row_number() OVER (ORDER BY df, sh)`
+    * would produce, but with the vocabulary range-exchanged across
+    * partitions instead of serialized through one window task — the
+    * derivation scales with the corpus vocabulary. Ids stay `int`: the
+    * verify kernel ([[graft.functions.VectorFunctions.sortedIntersectCount]])
+    * walks int arrays, and a >2^31 SHINGLE VOCABULARY would first break
+    * the arrays themselves, not this cast.
     */
   def shingleIds(sh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
     val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val dict = df.select(
-      col("sh"),
-      row_number().over(Window.orderBy(col("df"), col("sh"))).as("sid"))
+    val dict = graft.ops.Ranking.globalRankBy(df, Seq("df", "sh"), "sid")
+      .select(col("sh"), col("sid").cast("int").as("sid"))
     ex.join(dict, "sh")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sid"))).as("ids"))
@@ -508,15 +514,27 @@ object Dedup {
     * (prefixes, indexes, and verify sides all read it).
     */
   def docShingleIdsPinned(spark: SparkSession, dir: String): DataFrame =
-    pinnedSids.getOrElseUpdate((spark, dir),
+    graft.core.Pinned.table(spark, dir, "shingle_ids")(
       shingleIds(
         Tables.documents(spark, dir)
           .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
-          .filter(size(col("s")) >= 1))
-        .localCheckpoint())
+          .filter(size(col("s")) >= 1)))
 
-  private val pinnedSids =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Session-pinned containment >= 0.8 pair table over the pinned
+    * dictionary ids — derived once, shared by [[containmentJoin]] and the
+    * corpus dedup report (which consumes it twice: pair count + endpoint
+    * union). Pair-sized, orders of magnitude below the corpus.
+    */
+  def containmentPairsPinned(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pinned.table(spark, dir, "containment_pairs")(
+      containmentPairsFromIds(docShingleIdsPinned(spark, dir)))
+
+  /** Session-pinned exact-Jaccard >= 0.8 pair table; same sharing contract
+    * as [[containmentPairsPinned]].
+    */
+  def jaccardPairsPinned(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pinned.table(spark, dir, "jaccard_pairs")(
+      jaccardPairsFromIds(docShingleIdsPinned(spark, dir)))
 
   /** Prefix-filtered containment >= 0.8 over dictionary-id rows. */
   def containmentPairsFromIds(sidsIn: DataFrame): DataFrame = {
@@ -584,7 +602,7 @@ object Dedup {
        |WHERE a.doc_id < b.doc_id
        |  AND 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))""".stripMargin) {
     (spark, dir) =>
-      jaccardPairsFromIds(docShingleIdsPinned(spark, dir))
+      jaccardPairsPinned(spark, dir)
   }
 
   /** All-pairs exact Jaccard >= 0.8 over dictionary-id rows; see
@@ -625,9 +643,11 @@ object Dedup {
     * This is the decision artifact a dedup stage ships to the pipeline
     * owner before anything is dropped.
     *
-    * Engine cost is near zero beyond its parts: the pair relations read
-    * the session-pinned dictionary-id table (already derived for their own
-    * queries), the exact groups are one text rollup, and the clean count
+    * Engine cost is near zero beyond its parts: BOTH pair relations are
+    * session-pinned tables ([[jaccardPairsPinned]] /
+    * [[containmentPairsPinned]] — each consumed twice here, count leg +
+    * endpoint union, so pinning is what keeps the report from re-deriving
+    * the joins), the exact groups are one text rollup, and the clean count
     * is two anti-joins against pair-endpoint sets. The oracle recomputes
     * all four legs relationally (the pair legs exhaustively — gate-scale
     * ground truth).
@@ -664,9 +684,8 @@ object Dedup {
        |     AND doc_id NOT IN (SELECT doc_id FROM dup_text_docs)) AS n_clean""".stripMargin) {
     (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val sids = docShingleIdsPinned(spark, dir)
-      val jp = jaccardPairsFromIds(sids).select(col("a"), col("b"))
-      val cp = containmentPairsFromIds(sids).select(col("a"), col("b"))
+      val jp = jaccardPairsPinned(spark, dir).select(col("a"), col("b"))
+      val cp = containmentPairsPinned(spark, dir).select(col("a"), col("b"))
       val nDocs = docs.agg(count(lit(1)).as("v"))
       val nExactRedundant = docs.groupBy(col("text"))
         .agg(count(lit(1)).as("cnt"))

@@ -123,17 +123,13 @@ object LanguageModel {
   private def pinnedModel(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    modelCache.getOrElseUpdate((spark, dir), {
+    graft.core.Pinned.value(spark, dir, "bigram_model") {
       val c2 = bigramsWithPos(spark, dir)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
         .localCheckpoint()
       val v = vocabOf(spark, dir).localCheckpoint()
       (c2, v)
-    })
-
-  private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    }
 
   private val smoothedP =
     ((col("n") + lit(1)).cast("double") / (col("ctx_n") + col("vocab")).cast("double"))
@@ -275,10 +271,7 @@ object LanguageModel {
     */
   private def selfScores(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    scoresCache.getOrElseUpdate((spark, dir), selfScoresPlan(spark, dir).localCheckpoint())
-
-  private val scoresCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+    graft.core.Pinned.table(spark, dir, "lm_self_scores")(selfScoresPlan(spark, dir))
 
   private def selfScoresPlan(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -624,17 +617,13 @@ object LanguageModel {
   private def trainedPinned(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
-    trainCache.getOrElseUpdate((spark, dir), {
+    graft.core.Pinned.value(spark, dir, "bpe_training") {
       val wordFreq = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("wf"))
       bpeTrain(wordFreq, rounds = 3)
-    })
-
-  private val trainCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]
+    }
 
   /** EXACT heavy hitters (tokens above 1% of the corpus token stream)
     * computed with bounded state: a mergeable Misra-Gries sketch pass

@@ -247,6 +247,28 @@ class DedupSpec extends SparkSpec {
       (a, b) != ((100L, 101L)) }) // the substituted near-dup pairs too
   }
 
+  test("shingleIds: dictionary derivation has no single-partition exchange") {
+    import spark.implicits._
+    // spark.range-derived input so nothing constant-folds away (literal
+    // local DataFrames fold; see PlanSpec conventions)
+    val sh = spark.range(200)
+      .selectExpr("id AS doc_id",
+        "transform(sequence(0, cast(id % 7 AS int)), i -> concat('w', (id + i) % 40)) AS s")
+      .filter(size(col("s")) >= 1)
+    val ids = Dedup.shingleIds(sh)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"dictionary-id derivation must range-partition, got:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected a range exchange in:\n$plan")
+    // and the ids are still the dense global (df, sh) rank: 1..V, bijective
+    val dict = sh.select(explode(col("s")).as("sh")).groupBy("sh").count()
+    val v = dict.count()
+    val seen = ids.select(explode(col("ids")).as("sid")).distinct()
+      .as[Int].collect().sorted
+    assert(seen.head >= 1 && seen.last <= v)
+  }
+
   test("corpus_dedup_report: legs are mutually consistent on the test corpus") {
     val r = Dedup.dedupReport.fn(spark, "/root/testdata/sf0.001").collect().head
     val nDocs = r.getAs[Long]("n_docs")
