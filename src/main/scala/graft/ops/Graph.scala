@@ -350,17 +350,23 @@ object Graph {
     val hub = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("x")).limit(1)
       .collect().head.getAs[Long]("x")
-    var visited = spark.range(1).select(lit(hub).as("x"), lit(0).as("dist"))
+    val f0 = spark.range(1).select(lit(hub).as("x"), lit(0).as("dist"))
       .localCheckpoint()
+    // frontiers(r) is round r's NEW vertices, each its own small checkpoint;
+    // the visited anti-join side is the union of those cached blocks.
+    var frontiers = Vector(f0)
     for (r <- 1 to 6) {
+      val visited = frontiers.reduce(_ unionByName _).select(col("x"))
       val frontier = und
-        .join(visited.filter(col("dist") === r - 1), und("src") === visited("x"))
+        .join(frontiers.last, und("src") === frontiers.last("x"))
         .select(col("dst").as("x")).distinct()
-        .join(visited.select(col("x")), Seq("x"), "left_anti")
+        .join(visited, Seq("x"), "left_anti")
         .withColumn("dist", lit(r))
-      visited = visited.unionByName(frontier).localCheckpoint()
+        .localCheckpoint()
+      frontiers = frontiers :+ frontier
     }
-    visited.groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
+    frontiers.reduce(_ unionByName _)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
   }
 
   /** Degree ASSORTATIVITY of the co-purchase graph: the Pearson
