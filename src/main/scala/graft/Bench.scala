@@ -46,11 +46,35 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // A crashed query must NOT contaminate the totals: its time-to-throw
+    // (often milliseconds) would silently stand in for its real cost
+    // (round-6 lesson: three crashed queries hid at ~0.06 s each inside a
+    // 171 s total). Failures are recorded per query and excluded from
+    // total/n_queries; BENCH_DETAIL carries the error message.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Pinned-family annotation: which shared pinned derivations each query
+    // reads, and whether one of ITS timed runs paid the one-time derivation
+    // (the first consumer's median embeds the cold cost; family siblings
+    // measure incremental cost only — BENCH_DETAIL makes that visible
+    // instead of letting cold and warm medians masquerade as comparable).
+    val pinnedFamilies = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+    val paysDerivation = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOne(name: String): Double = {
+      graft.core.Pinned.drainTouched() // discard accesses from outside timed runs
       val t0 = System.nanoTime()
       try run(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+        failed.getOrElseUpdate(name, msg)
+        System.err.println(s"[bench] $name failed: $msg")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val touches = graft.core.Pinned.drainTouched()
+      if (touches.nonEmpty) {
+        pinnedFamilies(name) = pinnedFamilies.getOrElse(name, Set.empty) ++ touches.map(_._1)
+        if (touches.exists(_._2)) paysDerivation += name
+      }
+      dt
     }
 
     // Three INTERLEAVED passes (A,B,C,...,A,B,C,...), median per query: a
@@ -72,19 +96,43 @@ object Bench {
     val heavy = names.sortBy(n => -medOf(runsByName(n))).take(10)
     for (_ <- 1 to 2)
       heavy.foreach(n => runsByName = runsByName.updated(n, runsByName(n) :+ timeOne(n)))
-    val results = names.map(n => n -> medOf(runsByName(n)))
+    // Spread control: a query whose observed min-to-max spread still exceeds
+    // 3x after the passes above was hit by host contention (or pays a
+    // one-time derivation in run 1) — two more interleaved passes let the
+    // median reject up to three contaminated runs. Bounded to the widest 15
+    // non-trivial queries so ambient noise on millisecond queries can't
+    // trigger a full re-run of the suite.
+    def spreadOf(rs: Seq[Double]): Double = rs.max / math.max(rs.min, 1e-9)
+    val wide = names
+      .filter(n => medOf(runsByName(n)) > 0.5 && spreadOf(runsByName(n)) > 3.0)
+      .sortBy(n => -medOf(runsByName(n))).take(15)
+    for (_ <- 1 to 2)
+      wide.foreach(n => runsByName = runsByName.updated(n, runsByName(n) :+ timeOne(n)))
+    val allResults = names.map(n => n -> medOf(runsByName(n)))
+    val results = allResults.filterNot { case (n, _) => failed.contains(n) }
     val total = results.map(_._2).sum
     val byName = results.toMap
 
-    val detail = results.map { case (k, _) =>
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val detail = allResults.map { case (k, _) =>
       val rs = runsByName(k)
       val sortedRs = rs.sorted
+      val err = failed.get(k).map(m => ",\"err\":" + jsonStr(m)).getOrElse("")
+      val pinned = pinnedFamilies.get(k).filter(_.nonEmpty).map(fams =>
+        ",\"pinned_family\":[" + fams.toSeq.sorted.map(jsonStr).mkString(",") + "]" +
+          ",\"pays_derivation\":" + paysDerivation.contains(k)).getOrElse("")
       "\"" + k + "\":{\"med\":" + fmt(medOf(rs)) + ",\"min\":" + fmt(sortedRs.head) +
         ",\"max\":" + fmt(sortedRs.last) +
-        ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
+        ",\"runs\":[" + rs.map(fmt).mkString(",") + "]" + err + pinned + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3_or_5","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3_to_7","n_queries":${results.size},"n_failed":${failed.size},"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
@@ -93,7 +141,7 @@ object Bench {
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Sketches.all ++
       ops.RuntimeFilter.all ++
       ops.Layout.all ++
+      ops.Physical.all ++
       ops.Ranking.all ++
       ops.Graph.all ++
       text.TextAnalysis.all ++

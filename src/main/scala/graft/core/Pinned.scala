@@ -31,12 +31,30 @@ object Pinned {
 
   private val entries = TrieMap.empty[(SparkSession, String, String), Entry]
 
+  // Access log for the bench harness: every `value`/`table` call records
+  // (name, derivedNow) since the last drain, so a timed query run can be
+  // annotated with the pinned families it reads and whether IT paid the
+  // one-time derivation (first-consumer cost vs incremental cost — without
+  // this marker the per-query medians under-state cold cost).
+  private val touched = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+
+  /** Drain the pinned-access log: (name, thisWindowDerivedIt), in first-touch
+    * order, accumulated since the previous drain.
+    */
+  def drainTouched(): Seq[(String, Boolean)] = synchronized {
+    val out = touched.toSeq
+    touched.clear()
+    out
+  }
+
   /** The pinned value `name` for (spark, dir), deriving it on first request.
     * The derivation's own `localCheckpoint()` blocks are recorded so
     * [[clear]] can free them.
     */
   def value[A](spark: SparkSession, dir: String, name: String)(
       derive: => A): A = synchronized {
+    val hit = entries.contains((spark, dir, name))
+    touched(name) = touched.getOrElse(name, false) || !hit
     entries.getOrElseUpdate((spark, dir, name), {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val v = derive

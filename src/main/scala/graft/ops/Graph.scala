@@ -321,14 +321,20 @@ object Graph {
     * groups). The driver holds ONE row (the hub — argmax precedent). The
     * oracle unrolls the same six frontiers relationally.
     *
-    * Latency shape: only the NEW frontier is materialized each round
-    * (frontier-sized — a fraction of the vertex set), never the
-    * accumulated visited table; the visited side of the anti-join is a
-    * union of the already-cached frontier checkpoints, so each round's job
-    * replays cached blocks instead of re-checkpointing a monotonically
-    * growing table. 6 sequential jobs are inherent to BFS; this keeps each
-    * one minimal (the round-4 form checkpointed visited every round and
-    * ran ~50% slower at gate scale for identical output).
+    * Latency shape: only the NEW frontier is checkpointed each round, and
+    * while the id sets stay broadcast-sized (≤[[bfsBroadcastIds]] 8-byte
+    * ids) BOTH per-round joins run broadcast-side — the frontier broadcasts
+    * into the edge expansion and the visited set broadcasts into the
+    * anti-join — so a round shuffles only the frontier-sized `distinct`,
+    * never the edge table (the round-6 form sort-merge-joined the cached
+    * edge table every round and re-unioned ALL prior frontier checkpoints
+    * into each anti-join; this form replaced both). Past the broadcast
+    * guard the joins fall back to shuffles and visited is re-materialized
+    * every other round, bounding lineage fan-in at 2 — the 100 TB path.
+    * An empty frontier short-circuits remaining rounds (they are provably
+    * empty). All intermediate checkpoint blocks are unpersisted before
+    * returning — the 3-row result is itself checkpointed first, so the
+    * caller holds data, not lineage over freed blocks.
     */
   val bfsHops: QueryDef = QueryDef(
     "graph_bfs_hops",
@@ -343,31 +349,65 @@ object Graph {
        |${(1 to 6).map(bfsRoundSql).mkString(",\n")}
        |SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_vertices
        |FROM v6 GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val edges = copurchaseEdgesPinned(spark, dir)
-    val und = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+    val edges = copurchaseEdgesPinned(spark, dir) // pinned blocks: NOT ours to free
+    val sc = spark.sparkContext
+    // Every intermediate checkpoint's cached-RDD ids, recorded at creation
+    // (the Pinned idiom) so they can be unpersisted once the result is
+    // materialized. The gate runs queries sequentially; a concurrent session
+    // interleaving its own persists here would at worst be unpersisted early
+    // and recompute from lineage.
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      out
+    }
+    val und = ckpt(edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst"))))
     val hub = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("x")).limit(1)
       .collect().head.getAs[Long]("x")
-    val f0 = spark.range(1).select(lit(hub).as("x"), lit(0).as("dist"))
-      .localCheckpoint()
-    // frontiers(r) is round r's NEW vertices, each its own small checkpoint;
-    // the visited anti-join side is the union of those cached blocks.
-    var frontiers = Vector(f0)
-    for (r <- 1 to 6) {
-      val visited = frontiers.reduce(_ unionByName _).select(col("x"))
-      val frontier = und
-        .join(frontiers.last, und("src") === frontiers.last("x"))
-        .select(col("dst").as("x")).distinct()
-        .join(visited, Seq("x"), "left_anti")
-        .withColumn("dist", lit(r))
-        .localCheckpoint()
-      frontiers = frontiers :+ frontier
+    var frontier = ckpt(spark.range(1).select(lit(hub).as("x")))
+    var frontierN = 1L
+    var visited = frontier
+    var visitedN = 1L
+    var levels = Vector(frontier.withColumn("dist", lit(0)))
+    var r = 1
+    while (r <= 6 && frontierN > 0L) {
+      val expanded =
+        if (frontierN <= bfsBroadcastIds)
+          und.join(broadcast(frontier), und("src") === frontier("x"))
+        else und.join(frontier, und("src") === frontier("x"))
+      val dedup = expanded.select(col("dst").as("x")).distinct()
+      val next = ckpt(
+        if (visitedN <= bfsBroadcastIds)
+          // small regime: broadcast anti-join, and fold the distinct's
+          // shuffle partitions down — a frontier of thousands of ids does
+          // not need 32 reducer tasks per round
+          dedup.coalesce(8).join(broadcast(visited), Seq("x"), "left_anti")
+        else dedup.join(visited, Seq("x"), "left_anti"))
+      frontierN = next.count() // cached blocks — milliseconds; drives the guards + short-circuit
+      frontier = next
+      visited = visited.unionByName(next)
+      visitedN += frontierN
+      // past the broadcast guard the anti-join SCANS visited: re-materialize
+      // it every other round so lineage fan-in stays ≤2 cached tables
+      if (visitedN > bfsBroadcastIds && r % 2 == 0 && r < 6) visited = ckpt(visited)
+      levels = levels :+ next.withColumn("dist", lit(r))
+      r += 1
     }
-    frontiers.reduce(_ unionByName _)
+    val result = levels.reduce(_ unionByName _)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
+      .localCheckpoint() // ≤7 rows; materialize BEFORE freeing what it reads
+    tracked.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    result
   }
+
+  /** Broadcast guard for the BFS id sets: 4M 8-byte ids ≈ 32 MB hashed —
+    * comfortably executor-resident; beyond it the joins revert to shuffles.
+    */
+  private val bfsBroadcastIds = 4000000L
 
   /** Degree ASSORTATIVITY of the co-purchase graph: the Pearson
     * correlation between the degrees at the two ends of an edge (Newman

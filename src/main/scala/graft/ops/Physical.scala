@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.core.{Pinned, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout join strategies, gated end-to-end: bucketed co-located
+  * joins (pay the shuffle once at write time) and AQE skew-splitting (spread
+  * a pathological key at runtime). Both capabilities existed as specs
+  * (BucketingSpec, PlanSpec); these QueryDefs put a driver-oracle-checked
+  * query behind each so the CAPABILITY — not just the plan shape — is graded
+  * every round.
+  */
+object Physical {
+
+  /** Bucket count for the co-located join fixture. At 100 TB this is sized
+    * to (table size / target file size); what matters for the zero-exchange
+    * plan is only that both sides agree.
+    */
+  val BucketCount = 8
+
+  private val ordersTable = "graft_orders_bucketed"
+  private val customerTable = "graft_customer_bucketed"
+
+  /** Write orders + customer bucketed AND sorted by custkey (once per
+    * session+dir — the bench's repeat passes and every later consumer reuse
+    * the tables via the catalog). This is the "pay the shuffle at write
+    * time" half of the contract: both tables hash-partition rows into
+    * [[BucketCount]] buckets on the join key at write, so every later join
+    * on that key lines buckets up file-to-file with NO exchange (and with
+    * `sortBy`, no sort) on either side — at 100 TB the difference between a
+    * nightly full-shuffle and a metadata-only merge join.
+    */
+  def bucketedFixture(spark: SparkSession, dir: String): Unit =
+    Pinned.value(spark, dir, "bucketed_orders_customer") {
+      val base = graft.rentals.Scratch.dir("graft_bucketed")
+      Tables.orders(spark, dir).write
+        .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordersTable)
+      Tables.customer(spark, dir).write
+        .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").mode("overwrite").saveAsTable(customerTable)
+      ()
+    }
+
+  /** The co-located join itself, built against the bucketed catalog tables.
+    * Runs in a child session with auto-broadcast disabled so the bucketed
+    * layout — not a broadcast — is what eliminates the exchanges (the plan
+    * spec asserts zero exchanges below the join; at real scale customer
+    * would not broadcast anyway).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    bucketedFixture(spark, dir)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.table(ordersTable)
+      .join(sess.table(customerTable), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(graft.core.Num.cents(col("o_totalprice"))).as("total_cents"))
+  }
+
+  /** Orders×customer revenue by market segment over the BUCKETED tables —
+    * the co-located-join capability as an oracle-checked gate row. The
+    * oracle recomputes from the base tables, proving the bucketed rewrite
+    * is content-lossless; the zero-exchange plan shape is spec-asserted
+    * (exchange counts are not SQL-expressible).
+    */
+  val joinBucketedColocated: QueryDef = QueryDef(
+    "join_bucketed_colocated",
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin) { (spark, dir) => bucketedJoin(spark, dir) }
+
+  /** AQE skew-join conf set: thresholds scaled DOWN to gate-scale shuffle
+    * sizes (the detector compares post-compression partition bytes; the
+    * defaults target multi-GB partitions) — the mechanism under test is
+    * identical at any scale.
+    */
+  val skewConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+    "spark.sql.shuffle.partitions" -> "16",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** The skewed fact-dim join: every fourth orderkey is collapsed onto ONE
+    * hot key (a quarter of the fact table lands in a single join partition —
+    * the classic pathological-key shape: a null-ish default, a bot user, a
+    * catch-all category), joined to the DISTINCT key dimension and rolled up
+    * by a derived tag. Key-preserving (the dim side is distinct), so the
+    * join multiplies nothing and the oracle states it relationally.
+    */
+  def skewedRevenueByTag(sess: SparkSession, dir: String): DataFrame = {
+    val hotKey = when(col("l_orderkey") % 4 === 0, lit(0L))
+      .otherwise(col("l_orderkey")).cast("long")
+    // AQE splits a skewed reduce partition along MAP-output boundaries, so
+    // the split granularity is the mapper count. The gate testdata is one
+    // single-row-group parquet file = ONE map task = nothing to split along;
+    // a 100 TB table is thousands of files/row groups and has the mapper
+    // fan-out naturally. The round-robin repartition stands in for that
+    // multi-file layout (and is itself the usual first move when a source
+    // arrives as one fat file).
+    val big = Tables.lineitem(sess, dir)
+      .select(hotKey.as("k"), graft.core.Num.cents(col("l_extendedprice")).as("cents"))
+      .repartition(8)
+    // The dimension is MATERIALIZED (as a real pipeline's dim table would
+    // already be): AQE's skew rule only matches a join whose inputs are
+    // direct shuffle reads — a distinct's final aggregate between the sort
+    // and the shuffle stage hides the skew from it.
+    val dim = big.select(col("k").as("k2")).distinct()
+      .withColumn("tag", col("k2") % 97)
+      .localCheckpoint()
+    big.join(dim, col("k") === col("k2"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+  }
+
+  /** The skew-split capability as an oracle-checked gate row: the query runs
+    * in a child session with the AQE skew thresholds scaled to gate-size
+    * shuffles, so the hot partition (25% of the fact table on one key) is
+    * SPLIT across tasks at runtime instead of serializing on one straggler.
+    * Correctness is the oracle's (split partitions must merge losslessly);
+    * the `isSkewJoin` plan marker is spec-asserted on the same builder.
+    */
+  val joinSkewAqeSplit: QueryDef = QueryDef(
+    "join_skew_aqe_split",
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT k AS k2 FROM big),
+      |tagged AS (SELECT k2, k2 % 97 AS tag FROM dim)
+      |SELECT tag,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      |FROM big JOIN tagged ON tagged.k2 = big.k
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val sess = spark.newSession()
+    skewConfs.foreach { case (k, v) => sess.conf.set(k, v) }
+    skewedRevenueByTag(sess, dir)
+  }
+
+  val all: Seq[QueryDef] = Seq(joinBucketedColocated, joinSkewAqeSplit)
+}

@@ -215,7 +215,42 @@ object Roundtrips {
         |FROM graft.seq_500000 WHERE id >= 100000 GROUP BY bucket""".stripMargin)
   }
 
+  /** The V2 WRITE path through the gate: a [[MemTable]] created in the
+    * `graft` catalog receives TWO `writeTo(...).append()` batches (the
+    * per-type aggregates of the even- and odd-user halves of the events
+    * table — each append runs the full task-commit/driver-commit protocol)
+    * and the read back must merge to exactly the full-table aggregate,
+    * which the oracle recomputes from the base table. Proves create →
+    * append → append → scan is lossless and append accumulates rather than
+    * replaces (the truncate leg is spec-asserted alongside the commit
+    * protocol in RoundtripsSpec).
+    */
+  val dsv2MemWriteRoundtrip: QueryDef = QueryDef(
+    "dsv2_mem_write_roundtrip",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_events_agg"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (event_type STRING, n BIGINT, cents BIGINT)")
+    val events = Tables.events(spark, dir)
+      .select(
+        col("event_type"), col("user_id"),
+        coalesce(Num.cents(col("value")), lit(0L)).as("cents"))
+    def half(parity: Int) = events
+      .filter(col("user_id") % 2 === parity)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    half(0).writeTo(tbl).append()
+    half(1).writeTo(tbl).append()
+    spark.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown,
-      dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql)
+      dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql, dsv2MemWriteRoundtrip)
 }

@@ -292,13 +292,19 @@ final case class SeqScan(
   }
 }
 
-/** SQL-addressable catalog for the sequence connector: with
-  * `spark.sql.catalog.graft = graft.sources.SeqCatalog`, any identifier
-  * `graft.seq_<rows>` resolves to a [[SeqTable]] — plain SQL
-  * (`SELECT ... FROM graft.seq_1000000 WHERE id < k`) flows through the
-  * SAME V2 scan, so planning-time filter absorption, column pruning and
-  * aggregate pushdown all apply to SQL users too. Read-only: DDL
-  * operations are rejected.
+/** SQL-addressable catalog for the V2 connector pair: with
+  * `spark.sql.catalog.graft = graft.sources.SeqCatalog`,
+  *
+  *  - any identifier `graft.seq_<rows>` resolves to a read-only
+  *    [[SeqTable]] — plain SQL (`SELECT ... FROM graft.seq_1000000 WHERE
+  *    id < k`) flows through the SAME V2 scan, so planning-time filter
+  *    absorption, column pruning and aggregate pushdown all apply to SQL
+  *    users too;
+  *  - any other identifier is a WRITABLE [[MemTable]]: `CREATE TABLE` /
+  *    `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo(...).append()` run
+  *    Spark's full batch commit protocol against it (see [[MemTables]]) and
+  *    `DROP TABLE` removes it. The `seq_<n>` namespace stays reserved
+  *    (creation rejected) so the generated tables cannot be shadowed.
   */
 class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
@@ -311,26 +317,39 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
 
   private val Pattern = "seq_([0-9]+)".r
 
+  private def memKey(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "seq_1000"))
 
   override def loadTable(ident: Identifier): CTable = ident.name() match {
     case Pattern(n) => new SeqTable(n.toLong, 8)
-    case _ => throw new NoSuchTableException(ident.asInstanceOf[Identifier])
+    case _ =>
+      MemTables.get(memKey(ident))
+        .map(st => new MemTable(memKey(ident), st.schema))
+        .getOrElse(throw new NoSuchTableException(ident.asInstanceOf[Identifier]))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Pattern.matches(ident.name())
+    Pattern.matches(ident.name()) || MemTables.get(memKey(ident)).isDefined
 
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): CTable =
-    throw new UnsupportedOperationException("read-only catalog")
+      properties: util.Map[String, String]): CTable = {
+    if (Pattern.matches(ident.name()))
+      throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("mem tables are unpartitioned")
+    MemTables.create(memKey(ident), schema)
+    new MemTable(memKey(ident), schema)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): CTable =
-    throw new UnsupportedOperationException("read-only catalog")
-  override def dropTable(ident: Identifier): Boolean = false
+    throw new UnsupportedOperationException("ALTER is not supported")
+  override def dropTable(ident: Identifier): Boolean =
+    !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("RENAME is not supported")
 }

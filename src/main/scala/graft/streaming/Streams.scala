@@ -31,25 +31,22 @@ object Streams {
     s
   }
 
-  /** File streams need an explicit schema (no inference mid-stream). The
-    * driver's parquet carries TIMESTAMP(NANOS) — read as nano longs and
-    * converted (see [[graft.core.Tables]]).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of the events parquet (file source; at scale this would
     * be a Kafka/queue source — the transform graph below is source-agnostic).
+    *
+    * File streams need an explicit schema (no inference mid-stream), and that
+    * schema must match whatever physical timestamp encoding the upstream
+    * writer chose THIS generation — so it is probed from the batch footers
+    * (`Tables.rawSchema`, a footer-only read) rather than hardcoded, and the
+    * `ts` column goes through the same observed-type-guarded conversion as
+    * the batch loader (`Tables.normalizeTs`). One ingest choke point: an
+    * upstream encoding change is absorbed in [[graft.core.Tables]] and the
+    * stream follows automatically.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(graft.core.Tables.rawSchema(spark, dir, "events"))
       // single-batch contract: the append-mode oracles state the emitted set
       // relationally as "windows closed by the final watermark", which holds
       // only if AvailableNow delivers the whole directory in ONE batch — an
@@ -60,7 +57,7 @@ object Streams {
       // a glob (not a bare file path) so the stream source resolves its
       // basePath to the directory — FileStreamSource rejects file basePaths
       .parquet(s"$dir/events.parquet*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.core.Tables.normalizeTs(raw, graft.core.Tables.tsColsOf("events"))
   }
 
   /** Watermarked tumbling 1-hour aggregation — the streaming form of the

@@ -138,6 +138,53 @@ class RoundtripsSpec extends SparkSpec {
       s"scan generated $scanRows rows; runtime narrowing did not engage")
   }
 
+  test("DSv2 MemTable write path: create, append, overwrite, drop run the commit protocol") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_write_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)")
+    import spark.implicits._
+    // two appends accumulate (each runs task-commit -> driver-commit)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(tbl).append()
+    Seq((3L, "c")).toDF("k", "v").writeTo(tbl).append()
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // INSERT OVERWRITE truncates atomically in the same publish
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (9, 'z')")
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((9L, "z")))
+    // SQL INSERT INTO appends
+    spark.sql(s"INSERT INTO $tbl VALUES (10, 'y')")
+    assert(spark.table(tbl).count() === 2L)
+    // read parallelism mirrors the committed write batches
+    assert(spark.table(tbl).rdd.getNumPartitions >= 1)
+    spark.sql(s"DROP TABLE $tbl")
+    val err = intercept[Exception](spark.table(tbl).collect())
+    assert(err.getMessage.toLowerCase.contains("mem_write_spec"))
+  }
+
+  test("DSv2 MemTable: uncommitted task output is never published") {
+    // simulate a failed task attempt: its DataWriter buffers rows but the
+    // driver never commits its message — the table must stay empty
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
+    graft.sources.MemTables.create("spec_abort", schema)
+    try {
+      val writer = new graft.sources.MemWriterFactory().createWriter(0, 0L)
+      writer.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+      writer.abort() // task failed: message discarded, nothing committed
+      assert(graft.sources.MemTables.get("spec_abort").get.batches.isEmpty)
+      // a second attempt commits; only ITS message is published
+      val retry = new graft.sources.MemWriterFactory().createWriter(0, 1L)
+      retry.write(org.apache.spark.sql.catalyst.InternalRow(2L))
+      val msg = retry.commit()
+      new graft.sources.MemBatchWrite("spec_abort", truncate = false)
+        .commit(Array(msg))
+      val batches = graft.sources.MemTables.get("spec_abort").get.batches
+      assert(batches.map(_.length).sum === 1)
+      assert(batches.head.head.getLong(0) === 2L)
+    } finally graft.sources.MemTables.drop("spec_abort")
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
