@@ -41,7 +41,8 @@ object SparkEntry {
       streaming.Streams.streamingIncrementalSink :+
       streaming.Streams.streamingTwsTypeStats :+
       streaming.Streams.streamStreamLeftJoin :+
-      streaming.Streams.streamStreamFullJoin
+      streaming.Streams.streamStreamFullJoin :+
+      streaming.Streams.streamingAsofEnrich
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

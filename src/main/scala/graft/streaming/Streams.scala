@@ -43,10 +43,16 @@ object Streams {
     * upstream encoding change is absorbed in [[graft.core.Tables]] and the
     * stream follows automatically.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "events")
+
+  /** Streaming read of ANY driver table's parquet through the same ingest
+    * choke point as the batch loader.
+    */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
-      .schema(graft.core.Tables.rawSchema(spark, dir, "events"))
+      .schema(graft.core.Tables.rawSchema(spark, dir, name))
       // single-batch contract: the append-mode oracles state the emitted set
       // relationally as "windows closed by the final watermark", which holds
       // only if AvailableNow delivers the whole directory in ONE batch — an
@@ -56,8 +62,8 @@ object Streams {
       .option("maxFilesPerTrigger", 1000000)
       // a glob (not a bare file path) so the stream source resolves its
       // basePath to the directory — FileStreamSource rejects file basePaths
-      .parquet(s"$dir/events.parquet*")
-    graft.core.Tables.normalizeTs(raw, graft.core.Tables.tsColsOf("events"))
+      .parquet(s"$dir/$name.parquet*")
+    graft.core.Tables.normalizeTs(raw, graft.core.Tables.tsColsOf(name))
   }
 
   /** Watermarked tumbling 1-hour aggregation — the streaming form of the
@@ -675,6 +681,57 @@ object Streams {
         col("click_ts"), col("purchase_ts"), col("purchase_cents"))
     val table = s"graft_stream_stream_full_${System.nanoTime()}"
     runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
+  }
+
+  /** Stream-static AS-OF enrichment — the one join shape the stream-stream /
+    * stream-static matrix above does not cover: every streamed purchase is
+    * attributed to the SAME USER'S LATEST click at-or-before it (classic
+    * last-touch attribution against a versioned dimension). An as-of match
+    * is an argmax, not a join predicate, so it cannot be a stateless
+    * stream-static join condition; the production pattern is `foreachBatch`
+    * — each micro-batch is a plain DataFrame, enriched with the NATIVE
+    * batch as-of operator ([[graft.plans.AsofJoinNative]], sorted-merge
+    * physical plan) and written to a durable sink idempotently by batchId.
+    * Stateless transform ⇒ exactly-once per batch under any micro-batch
+    * split; unmatched purchases null-extend (as-of LEFT semantics), which
+    * is exactly the oracle's correlated-max statement.
+    */
+  val streamingAsofEnrich: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_asof_enrich",
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts AS purchase_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_cents,
+      |  (SELECT max(c.click_ts) FROM c
+      |   WHERE c.user_id = p.user_id AND c.click_ts <= p.purchase_ts) AS last_click_ts
+      |FROM p""".stripMargin) { (spark, dir) =>
+    val sess = gateSession(spark)
+    val clicks = graft.core.Tables.events(sess, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val purchases = readEventsStream(sess, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+    val out = graft.rentals.Scratch.dir(s"graft_stream_asof_${System.nanoTime()}")
+    val q = purchases.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.plans.AsofJoinNative.asof(
+          batch.toDF(), clicks,
+          Seq("user_id" -> "c_user_id"), "purchase_ts", "click_ts")
+          .select(
+            col("event_id"), col("user_id"), col("purchase_ts"),
+            col("purchase_cents"), col("click_ts").as("last_click_ts"))
+          .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.read.parquet(s"$out/batch_*")
   }
 
   final case class TwsTypeRow(

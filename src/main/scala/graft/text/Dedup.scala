@@ -148,8 +148,11 @@ object Dedup {
     * makes a miss at J ≥ 0.8 a ≤1e-2 event per pair, and the fixed seed
     * makes the outcome deterministic).
     */
-  val minhashLsh: QueryDef = QueryDef(
-    "dedup_minhash_lsh",
+  /** The exhaustive O(n²) near-dup oracle, shared by the batch LSH query and
+    * its streaming-ingest sibling: both must equal it exactly, so each hash
+    * match is a realized-recall proof for its candidate generator.
+    */
+  private val exhaustiveNearDupSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id, ${shinglesSql("text")} AS s
        |  FROM documents),
@@ -159,8 +162,45 @@ object Dedup {
        |    / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
        |FROM nz a JOIN nz b ON b.doc_id > a.doc_id
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5""".stripMargin) { (spark, dir) =>
+       |    / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5""".stripMargin
+
+  val minhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh", exhaustiveNearDupSql) { (spark, dir) =>
     lshVerifiedPairsPinned(spark, dir)
+  }
+
+  /** The STREAMING ingest form of the near-dup pipeline through the gate:
+    * documents arrive as a stream, signatures/band keys are computed
+    * row-locally in-flight, per-bucket state pairs each arrival against its
+    * bucket history ([[graft.streaming.Streams.streamingLshCandidates]] —
+    * candidates stream out incrementally, state linear in corpus size), and
+    * the exact-Jaccard verification runs as the batch stage downstream of
+    * the candidate stream — precisely how a continuous-ingest corpus keeps
+    * its near-dup edge set current. Run over the same corpus it must emit
+    * the batch pipeline's verified pair set, so the SAME exhaustive oracle
+    * grades it (hash match = the incremental generator lost no pair).
+    */
+  val streamingLshIngest: QueryDef = QueryDef(
+    "streaming_lsh_ingest", exhaustiveNearDupSql) { (spark, dir) =>
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.streaming.Streams.readTableStream(sess, dir, "documents")
+    val cands = graft.streaming.Streams.streamingLshCandidates(sess, docs).toDF()
+    val table = s"graft_streaming_lsh_${System.nanoTime()}"
+    val emitted = graft.streaming.Streams
+      .runAvailableNowToMemory(sess, cands, table,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in several bands
+    val sh = minhashSignatures(sess, dir).select(col("doc_id"), col("s"))
+    emitted
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** LSH candidate pairs verified with exact Jaccard >= 0.5 — columns
@@ -710,6 +750,6 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, simhashNearDup, fuzzyJoinBlocked,
-      spanDedup, containmentJoin, jaccardExact, dedupReport)
+    Seq(dedupExact, ngramJaccardConsecutive, minhashLsh, streamingLshIngest, simhashNearDup,
+      fuzzyJoinBlocked, spanDedup, containmentJoin, jaccardExact, dedupReport)
 }
