@@ -127,7 +127,13 @@ object Graph {
       |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
       |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
       |  (SELECT n FROM tri) AS n_triangles""".stripMargin) { (spark, dir) =>
-    triangleStats(copurchaseEdgesPinned(spark, dir))
+    // the degree-ordered orientation is the expensive half (degree rollup +
+    // two joins + materialization) and is corpus-derived: pinned once per
+    // (session, dir) like the edge table it comes from
+    val edges = copurchaseEdgesPinned(spark, dir)
+    val oriented = graft.core.Pinned.table(spark, dir, "triangle_oriented")(
+      orientedOf(edges))
+    triangleStatsOriented(edges, oriented)
   }
 
   /** (n_vertices, n_edges, n_wedges, n_triangles) of an undirected simple
@@ -135,6 +141,14 @@ object Graph {
     */
   def triangleStats(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn.localCheckpoint()
+    triangleStatsOriented(edges, orientedOf(edges).localCheckpoint())
+  }
+
+  /** Degree-ordered orientation of an undirected (u, v) edge set: each edge
+    * points from its lower-(degree, id) endpoint to the higher one —
+    * out-degrees bounded O(√m), the Suri-Vassilvitskii trick.
+    */
+  def orientedOf(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("x"))
       .unionByName(edges.select(col("v").as("x")))
       .groupBy(col("x"))
@@ -143,11 +157,17 @@ object Graph {
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
     val uFirst = ordLt(col("du"), col("u"), col("dv"), col("v"))
-    val oriented = withDeg
-      .select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+    withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** The counting stage over a (checkpointed) oriented edge table. */
+  def triangleStatsOriented(edges: DataFrame, oriented: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("d"))
     val outAdj = oriented
       .groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
@@ -230,7 +250,23 @@ object Graph {
       |  FROM adj JOIN r2 ON r2.x = adj.src GROUP BY 1)
       |SELECT x AS part, CAST(t AS BIGINT) AS tokens
       |FROM r3 ORDER BY t DESC, x LIMIT 100""".stripMargin) { (spark, dir) =>
-    pageRankTokens(copurchaseEdgesPinned(spark, dir), rounds = 3)
+    // the degree-joined, src-partitioned adjacency + the degree table are
+    // corpus-level derivations: pinned once per (session, dir), so repeat
+    // invocations pay only the per-round contribution shuffles
+    val (adj, deg) = graft.core.Pinned.value(spark, dir, "pagerank_adj_deg") {
+      val edges = copurchaseEdgesPinned(spark, dir)
+      val und = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      val d = und.groupBy(col("src").as("x")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val a = und
+        .join(d.withColumnRenamed("x", "src"), Seq("src"))
+        .withColumnRenamed("d", "dsrc")
+        .repartition(col("src"))
+        .localCheckpoint()
+      (a, d)
+    }
+    pageRankRounds(adj, deg, rounds = 3)
       .orderBy(col("t").desc, col("x"))
       .limit(100)
       .select(col("x").as("part"), col("t").cast("long").as("tokens"))
@@ -252,6 +288,13 @@ object Graph {
       .withColumnRenamed("d", "dsrc")
       .repartition(col("src"))
       .localCheckpoint()
+    pageRankRounds(adj, deg, rounds)
+  }
+
+  /** The iteration stage over a prebuilt (src, dst, dsrc) adjacency and
+    * (x, d) degree table.
+    */
+  def pageRankRounds(adj: DataFrame, deg: DataFrame, rounds: Int): DataFrame = {
     val r0 = deg.select(col("x"), lit(1000000L).as("t"))
     (1 to rounds).foldLeft(r0) { (rank, _) =>
       adj.join(rank, adj("src") === rank("x"))
