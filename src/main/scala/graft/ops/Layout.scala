@@ -200,5 +200,49 @@ object Layout {
     out
   }
 
-  val all: Seq[QueryDef] = Seq(zorderHist, compactSmallFiles, targetedDeleteRewrite)
+  /** Dynamic partition overwrite — the incremental-refresh maintenance pass:
+    * a recomputed period replaces ONLY its own hive partitions, leaving the
+    * rest of the dataset untouched (at 100 TB, rewriting the whole table for
+    * one partition's refresh is the difference between minutes and a day).
+    * The gate writes the full per-(event_type, day) rollup partitioned by
+    * event_type, then "refreshes" the click partition from a RESTRICTED
+    * recomputation (second half of the month only) under
+    * `partitionOverwriteMode=dynamic`. The oracle states the expected final
+    * state — full-month rows for every other type, second-half rows for
+    * clicks — so a static overwrite (which would drop the other types) or a
+    * plain append (which would duplicate clicks) both fail the hash.
+    */
+  val dynamicPartitionRefresh: QueryDef = QueryDef(
+    "dynamic_partition_refresh",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n FROM d WHERE event_type <> 'click'
+      |UNION ALL
+      |SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |WHERE event_type = 'click' AND date_part('day', ts) >= 16
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val out = graft.rentals.Scratch.dir("graft_dyn_partition_refresh")
+    val events = Tables.events(sess, dir)
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // generation 1: full refresh (all partitions written)
+    rollup(events).write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    // generation 2: ONE period's recomputation — dynamic mode replaces only
+    // the partitions present in this frame (the click directory)
+    rollup(events.filter(col("event_type") === "click" && dayofmonth(col("ts")) >= 16))
+      .write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    sess.read.parquet(out).select(col("event_type"), col("day"), col("n"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(zorderHist, compactSmallFiles, targetedDeleteRewrite, dynamicPartitionRefresh)
 }

@@ -111,7 +111,9 @@ object Physical {
     // The dimension is MATERIALIZED (as a real pipeline's dim table would
     // already be): AQE's skew rule only matches a join whose inputs are
     // direct shuffle reads — a distinct's final aggregate between the sort
-    // and the shuffle stage hides the skew from it.
+    // and the shuffle stage hides the skew from it. The checkpoint blocks
+    // are dim-sized (distinct keys, not fact rows) and consumed lazily by
+    // the returned plan, so they stay until session teardown reclaims them.
     val dim = big.select(col("k").as("k2")).distinct()
       .withColumn("tag", col("k2") % 97)
       .localCheckpoint()
