@@ -42,7 +42,8 @@ object SparkEntry {
       streaming.Streams.streamingTwsTypeStats :+
       streaming.Streams.streamStreamLeftJoin :+
       streaming.Streams.streamStreamFullJoin :+
-      streaming.Streams.streamingAsofEnrich
+      streaming.Streams.streamingAsofEnrich :+
+      streaming.Streams.streamingStatefulRestart
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline (clean -> dedup -> MoM lag -> state rank)

@@ -514,6 +514,69 @@ object Streams {
     sess.read.parquet(s"$base/out")
   }
 
+  /** STATE-STORE recovery across restarts — the stateful complement of
+    * [[streamingIncrementalSink]] (which proves offset recovery over a
+    * stateless transform): an hourly aggregation runs
+    * checkpointed over generation 1 (even event_ids), the directory then
+    * grows by generation 2 (the odd rest), and a RESTARTED run with the
+    * SAME checkpoint must produce the full-month aggregate — which it can
+    * only do if the first run's aggregation state was durably checkpointed
+    * and reloaded, because the restarted run's offset log excludes
+    * generation 1's files. Complete mode re-emits the entire recovered
+    * state, so the final memory table equals the batch aggregate over ALL
+    * events — exactly what the oracle states. A state-recovery failure
+    * yields generation-2-only counts and breaks the hash. At 100 TB this
+    * property is what makes a stateful pipeline restartable: state lives
+    * in the checkpoint (HDFS/S3-backed there), not in the executors.
+    */
+  val streamingStatefulRestart: graft.core.QueryDef = graft.core.QueryDef(
+    "streaming_stateful_restart",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    statefulRestartPhases(gateSession(spark), dir)._2
+  }
+
+  /** Runs the two checkpointed generations of the stateful-restart scenario;
+    * returns (generation-1 result, post-restart result). Shared by the gate
+    * query (which returns the final table) and the spec (which additionally
+    * asserts generation 1 held ONLY the even half — distinguishing true
+    * state recovery from an offset-log failure that silently re-reads
+    * everything, which would also produce full counts).
+    */
+  def statefulRestartPhases(
+      sess: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = graft.rentals.Scratch.dir(s"graft_stateful_restart_${System.nanoTime()}")
+    val events = graft.core.Tables.events(sess, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    def runPhase(table: String): DataFrame = {
+      val streamed = sess.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1000000)
+        .parquet(s"$base/in")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sess.table(table)
+    }
+    events.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(s"$base/in")
+    val g1 = runPhase(s"graft_stateful_restart_g1_${System.nanoTime()}")
+    // generation 2 lands as NEW files; the restarted query reads ONLY them,
+    // so full-month counts require the recovered aggregation state
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$base/in")
+    (g1, runPhase(s"graft_stateful_restart_g2_${System.nanoTime()}"))
+  }
+
   /** One checkpointed AvailableNow run of the stateless projection stream
     * `base/in` → parquet `base/out` (checkpoint at `base/ckpt`); returns the
     * sink row count after the run (consumed by the restart spec).

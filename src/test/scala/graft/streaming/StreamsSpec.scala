@@ -145,6 +145,25 @@ class StreamsSpec extends SparkSpec {
     // clicked before purchasing (allowed either way, equality above decides)
   }
 
+  test("stateful restart: generation 1 aggregates the even half; the restart recovers state to full counts") {
+    val (g1, g2) = Streams.statefulRestartPhases(spark, sf)
+    val events = Tables.events(spark, sf)
+    val nEven = events.filter(col("event_id") % 2 === 0).count()
+    val nAll = events.count()
+    // phase 1 emitted exactly the even half — proving phase 2's full total
+    // comes from RECOVERED STATE, not from silently re-reading generation 1
+    assert(g1.agg(sum(col("n_events"))).head().getLong(0) === nEven)
+    assert(g2.agg(sum(col("n_events"))).head().getLong(0) === nAll)
+    // and the recovered aggregate equals the batch hourly rollup row-for-row
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+    assert(
+      g2.collect().map(_.toString).sorted.toSeq ===
+        batch.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("foreachBatch parquet sink captures every source row exactly once") {
     withTempDir { dir =>
       val streamed = Streams.readEventsStream(spark, sf)
