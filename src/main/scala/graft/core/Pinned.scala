@@ -75,6 +75,27 @@ object Pinned {
   def pinnedKeys(spark: SparkSession, dir: String): Seq[String] =
     entries.keys.collect { case (s, d, k) if (s eq spark) && d == dir => k }.toSeq.sorted
 
+  /** Run `body` and also return the ids of persistent RDDs it created (the
+    * same diff-of-`getPersistentRDDs` bookkeeping [[value]] uses) — for
+    * query-scoped checkpoints that should be freed once their consumer
+    * materializes, via [[unpersistRdds]]. Sequential-gate accuracy: a
+    * concurrent session persisting during `body` would at worst be
+    * unpersisted early and recompute from lineage.
+    */
+  def withTrackedRdds[A](spark: SparkSession)(body: => A): (A, Seq[Int]) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val v = body
+    (v, (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted)
+  }
+
+  /** Unpersist the given cached-RDD ids (non-blocking; missing ids are
+    * already gone and skipped).
+    */
+  def unpersistRdds(spark: SparkSession, ids: Seq[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Evict every derivation pinned under `spark`: drop the references and
     * unpersist their checkpoint blocks from the block manager.
     */

@@ -162,12 +162,12 @@ object Graph {
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
   }
 
-  /** The counting stage over a (checkpointed) oriented edge table. */
+  /** The counting stage over a (checkpointed) oriented edge table. The
+    * vertex count comes from the oriented table itself (its endpoint set is
+    * the vertex set — an edge list has no isolated vertices), so this stage
+    * never repeats the degree rollup `orientedOf` already paid.
+    */
   def triangleStatsOriented(edges: DataFrame, oriented: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("x"))
-      .unionByName(edges.select(col("v").as("x")))
-      .groupBy(col("x"))
-      .agg(count(lit(1)).as("d"))
     val outAdj = oriented
       .groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
@@ -179,9 +179,12 @@ object Graph {
     val nWedges = oriented
       .groupBy(col("src")).agg(count(lit(1)).as("out"))
       .agg(sum(shiftright(col("out") * (col("out") - 1), 1)).as("n_wedges"))
+    val nVerts = oriented.select(col("src").as("x"))
+      .unionByName(oriented.select(col("dst").as("x")))
+      .agg(countDistinct(col("x")).as("n_vertices"))
     val sizes = edges
       .agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(nVerts)
     sizes.crossJoin(nWedges).crossJoin(nTri)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
@@ -407,60 +410,53 @@ object Graph {
         .collect().head.getAs[Long]("x")
       (u, h)
     }
-    val sc = spark.sparkContext
-    // Every per-invocation checkpoint's cached-RDD ids, recorded at creation
-    // (the Pinned idiom) so they can be unpersisted once the result is
-    // materialized. The gate runs queries sequentially; a concurrent session
-    // interleaving its own persists here would at worst be unpersisted early
-    // and recompute from lineage.
-    val tracked = scala.collection.mutable.ArrayBuffer.empty[Int]
-    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      tracked ++= (sc.getPersistentRDDs.keySet -- before)
-      out
+    // Per-invocation checkpoints are tracked (Pinned.withTrackedRdds) so
+    // they can be unpersisted once the result materializes.
+    val (agg, tracked) = graft.core.Pinned.withTrackedRdds(spark) {
+      var frontier = spark.range(1).select(lit(hub).as("x")).localCheckpoint()
+      var frontierN = 1L
+      var visited = frontier
+      var visitedN = 1L
+      var levels = Vector(frontier.withColumn("dist", lit(0)))
+      var r = 1
+      while (r <= 6 && frontierN > 0L) {
+        val expanded =
+          if (frontierN <= bfsBroadcastIds)
+            und.join(broadcast(frontier), und("src") === frontier("x"))
+          else und.join(frontier, und("src") === frontier("x"))
+        val next = (
+          if (visitedN <= bfsBroadcastIds) {
+            // small regime: broadcast ANTI-JOIN FIRST (map-side, no shuffle),
+            // so in the saturating rounds — where most expanded edges point
+            // back into visited — the distinct shuffles only the surviving
+            // sliver, not the whole neighborhood; then fold its shuffle
+            // partitions down (a frontier of thousands of ids does not need
+            // 32 reducer tasks per round)
+            expanded.select(col("dst").as("x"))
+              .join(broadcast(visited), Seq("x"), "left_anti")
+              .distinct().coalesce(8)
+          } else
+            // big regime: dedup before the shuffled anti-join so the shuffle
+            // carries distinct ids, not raw edge fan-in
+            expanded.select(col("dst").as("x")).distinct()
+              .join(visited, Seq("x"), "left_anti")
+        ).localCheckpoint()
+        frontierN = next.count() // cached blocks — milliseconds; drives the guards + short-circuit
+        frontier = next
+        visited = visited.unionByName(next)
+        visitedN += frontierN
+        // past the broadcast guard the anti-join SCANS visited: re-materialize
+        // it every other round so lineage fan-in stays ≤2 cached tables
+        if (visitedN > bfsBroadcastIds && r % 2 == 0 && r < 6)
+          visited = visited.localCheckpoint()
+        levels = levels :+ next.withColumn("dist", lit(r))
+        r += 1
+      }
+      levels.reduce(_ unionByName _)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
     }
-    var frontier = ckpt(spark.range(1).select(lit(hub).as("x")))
-    var frontierN = 1L
-    var visited = frontier
-    var visitedN = 1L
-    var levels = Vector(frontier.withColumn("dist", lit(0)))
-    var r = 1
-    while (r <= 6 && frontierN > 0L) {
-      val expanded =
-        if (frontierN <= bfsBroadcastIds)
-          und.join(broadcast(frontier), und("src") === frontier("x"))
-        else und.join(frontier, und("src") === frontier("x"))
-      val next = ckpt(
-        if (visitedN <= bfsBroadcastIds) {
-          // small regime: broadcast ANTI-JOIN FIRST (map-side, no shuffle),
-          // so in the saturating rounds — where most expanded edges point
-          // back into visited — the distinct shuffles only the surviving
-          // sliver, not the whole neighborhood; then fold its shuffle
-          // partitions down (a frontier of thousands of ids does not need
-          // 32 reducer tasks per round)
-          expanded.select(col("dst").as("x"))
-            .join(broadcast(visited), Seq("x"), "left_anti")
-            .distinct().coalesce(8)
-        } else
-          // big regime: dedup before the shuffled anti-join so the shuffle
-          // carries distinct ids, not raw edge fan-in
-          expanded.select(col("dst").as("x")).distinct()
-            .join(visited, Seq("x"), "left_anti"))
-      frontierN = next.count() // cached blocks — milliseconds; drives the guards + short-circuit
-      frontier = next
-      visited = visited.unionByName(next)
-      visitedN += frontierN
-      // past the broadcast guard the anti-join SCANS visited: re-materialize
-      // it every other round so lineage fan-in stays ≤2 cached tables
-      if (visitedN > bfsBroadcastIds && r % 2 == 0 && r < 6) visited = ckpt(visited)
-      levels = levels :+ next.withColumn("dist", lit(r))
-      r += 1
-    }
-    val result = levels.reduce(_ unionByName _)
-      .groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
-      .localCheckpoint() // ≤7 rows; materialize BEFORE freeing what it reads
-    tracked.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val result = agg.localCheckpoint() // ≤7 rows; materialize BEFORE freeing what it reads
+    graft.core.Pinned.unpersistRdds(spark, tracked)
     result
   }
 

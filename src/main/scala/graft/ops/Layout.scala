@@ -220,10 +220,16 @@ object Layout {
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, day, n FROM d WHERE event_type <> 'click'
       |UNION ALL
+      |-- dynamic overwrite replaces NO partitions when the refresh frame is
+      |-- empty, so the stale full-month click rows survive in that case —
+      |-- the oracle states exactly that semantics
       |SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM events
-      |WHERE event_type = 'click' AND date_part('day', ts) >= 16
+      |WHERE event_type = 'click'
+      |  AND (date_part('day', ts) >= 16
+      |       OR NOT EXISTS (SELECT 1 FROM events
+      |                      WHERE event_type = 'click' AND date_part('day', ts) >= 16))
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     val sess = spark.newSession()
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -19,8 +19,14 @@ object Physical {
     */
   val BucketCount = 8
 
-  private val ordersTable = "graft_orders_bucketed"
-  private val customerTable = "graft_customer_bucketed"
+  /** Catalog table names + scratch paths are keyed by the corpus dir: the
+    * catalog and scratch namespace are JVM-global while the pin is per
+    * (session, dir), so un-keyed names would let a second corpus silently
+    * clobber the first one's bucketed tables behind a still-valid pin.
+    */
+  private def dirKey(dir: String): String = (dir.hashCode & 0x7fffffff).toString
+  private def ordersTable(dir: String): String = s"graft_orders_bucketed_${dirKey(dir)}"
+  private def customerTable(dir: String): String = s"graft_customer_bucketed_${dirKey(dir)}"
 
   /** Write orders + customer bucketed AND sorted by custkey (once per
     * session+dir — the bench's repeat passes and every later consumer reuse
@@ -33,13 +39,13 @@ object Physical {
     */
   def bucketedFixture(spark: SparkSession, dir: String): Unit =
     Pinned.value(spark, dir, "bucketed_orders_customer") {
-      val base = graft.rentals.Scratch.dir("graft_bucketed")
+      val base = graft.rentals.Scratch.dir(s"graft_bucketed_${dirKey(dir)}")
       Tables.orders(spark, dir).write
         .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordersTable)
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordersTable(dir))
       Tables.customer(spark, dir).write
         .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer").mode("overwrite").saveAsTable(customerTable)
+        .option("path", s"$base/customer").mode("overwrite").saveAsTable(customerTable(dir))
       ()
     }
 
@@ -53,8 +59,8 @@ object Physical {
     bucketedFixture(spark, dir)
     val sess = spark.newSession()
     sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sess.table(ordersTable)
-      .join(sess.table(customerTable), col("o_custkey") === col("c_custkey"))
+    sess.table(ordersTable(dir))
+      .join(sess.table(customerTable(dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -111,9 +117,9 @@ object Physical {
     // The dimension is MATERIALIZED (as a real pipeline's dim table would
     // already be): AQE's skew rule only matches a join whose inputs are
     // direct shuffle reads — a distinct's final aggregate between the sort
-    // and the shuffle stage hides the skew from it. The checkpoint blocks
-    // are dim-sized (distinct keys, not fact rows) and consumed lazily by
-    // the returned plan, so they stay until session teardown reclaims them.
+    // and the shuffle stage hides the skew from it. The gate query evicts
+    // these dim-sized blocks after its result materializes (sessions share
+    // one block manager, so nothing else would reclaim them).
     val dim = big.select(col("k").as("k2")).distinct()
       .withColumn("tag", col("k2") % 97)
       .localCheckpoint()
@@ -144,7 +150,15 @@ object Physical {
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
     val sess = spark.newSession()
     skewConfs.foreach { case (k, v) => sess.conf.set(k, v) }
-    skewedRevenueByTag(sess, dir)
+    // materialize the ≤97-row result, then evict the dim checkpoint blocks
+    // the builder created (repeat bench passes would otherwise accumulate
+    // one dim-sized cached table per invocation in the shared block manager)
+    val (df, tracked) = Pinned.withTrackedRdds(sess) {
+      skewedRevenueByTag(sess, dir)
+    }
+    val result = df.localCheckpoint()
+    Pinned.unpersistRdds(sess, tracked)
+    result
   }
 
   val all: Seq[QueryDef] = Seq(joinBucketedColocated, joinSkewAqeSplit)

@@ -91,10 +91,17 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
 
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot at planning: a concurrent commit lands in the NEXT query
-    val batches = MemTables.get(key)
+    val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-      .batches
-    batches.map(rows => MemPartition(rows): InputPartition).toArray
+    // this scan's schema was bound at loadTable time; if the table was
+    // dropped and recreated with a different layout since, decoding the new
+    // rows under the old schema would silently read garbage bytes — fail
+    // loudly instead
+    if (st.schema != tableSchema)
+      throw new IllegalStateException(
+        s"mem table $key was recreated with a different schema " +
+          s"(scan bound ${tableSchema.simpleString}, table now ${st.schema.simpleString})")
+    st.batches.map(rows => MemPartition(rows): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
