@@ -54,8 +54,19 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify records every crashed query here (round-6 lesson: a crash used
+    # to be a silently-missing row); surface each as an explicit FAIL with
+    # the recorded engine-side exception, which beats the reader's IO error.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            print(f"FAIL {name}: engine crashed: {errors[name]}")
+            failures += 1
+            continue
         try:
             mine = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
