@@ -127,13 +127,16 @@ object Graph {
       |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
       |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
       |  (SELECT n FROM tri) AS n_triangles""".stripMargin) { (spark, dir) =>
-    // the degree-ordered orientation is the expensive half (degree rollup +
-    // two joins + materialization) and is corpus-derived: pinned once per
-    // (session, dir) like the edge table it comes from
+    // the degree-ordered orientation AND its out-adjacency rollup are both
+    // corpus-derived (degree rollup + two joins + a collect_list over the
+    // edge table): pinned once per (session, dir) like the edge table they
+    // come from, so repeat runs pay only the wedge-intersection joins
     val edges = copurchaseEdgesPinned(spark, dir)
     val oriented = graft.core.Pinned.table(spark, dir, "triangle_oriented")(
       orientedOf(edges))
-    triangleStatsOriented(edges, oriented)
+    val outAdj = graft.core.Pinned.table(spark, dir, "triangle_out_adj")(
+      oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs")))
+    triangleStatsFrom(edges, oriented, outAdj)
   }
 
   /** (n_vertices, n_edges, n_wedges, n_triangles) of an undirected simple
@@ -167,10 +170,15 @@ object Graph {
     * the vertex set — an edge list has no isolated vertices), so this stage
     * never repeats the degree rollup `orientedOf` already paid.
     */
-  def triangleStatsOriented(edges: DataFrame, oriented: DataFrame): DataFrame = {
-    val outAdj = oriented
-      .groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+  def triangleStatsOriented(edges: DataFrame, oriented: DataFrame): DataFrame =
+    triangleStatsFrom(edges, oriented,
+      oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs")))
+
+  /** Same, with the out-adjacency list table supplied by the caller (the
+    * gate pins it: it is as corpus-level as the orientation it aggregates).
+    */
+  def triangleStatsFrom(
+      edges: DataFrame, oriented: DataFrame, outAdj: DataFrame): DataFrame = {
     val nTri = oriented
       .join(outAdj.select(col("src"), col("nbrs").as("src_nbrs")), Seq("src"))
       .join(outAdj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")), Seq("dst"))
