@@ -161,5 +161,39 @@ object Physical {
     result
   }
 
-  val all: Seq[QueryDef] = Seq(joinBucketedColocated, joinSkewAqeSplit)
+  /** The EXPLICIT salting fallback as an oracle-checked row — for the skew
+    * AQE cannot fix (a small side too big to broadcast, or an engine
+    * without runtime re-planning): the fact side spreads each hot key over
+    * content-derived salt sub-keys, the dim side replicates once per salt,
+    * and the join key becomes (key, salt) — hot-key rows land on
+    * `saltFactor` reducers instead of one. Result-identity with the plain
+    * join is the whole contract, which is exactly what the oracle states
+    * (the same hot-key collapse as `join_skew_aqe_split`, joined plainly).
+    */
+  val joinSaltedHotKey: QueryDef = QueryDef(
+    "join_salted_hot_key",
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT k AS k2 FROM big),
+      |tagged AS (SELECT k2, k2 % 97 AS tag FROM dim)
+      |SELECT tag,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      |FROM big JOIN tagged ON tagged.k2 = big.k
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val hotKey = when(col("l_orderkey") % 4 === 0, lit(0L))
+      .otherwise(col("l_orderkey")).cast("long")
+    val big = Tables.lineitem(spark, dir)
+      .select(hotKey.as("k"), graft.core.Num.cents(col("l_extendedprice")).as("cents"))
+    val dim = big.select(col("k").as("k2")).distinct()
+      .withColumn("tag", col("k2") % 97)
+    Skew.saltedEquiJoin(big, dim, col("k"), col("k2"), saltFactor = 8)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(joinBucketedColocated, joinSkewAqeSplit, joinSaltedHotKey)
 }
