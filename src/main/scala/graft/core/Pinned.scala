@@ -75,17 +75,31 @@ object Pinned {
   def pinnedKeys(spark: SparkSession, dir: String): Seq[String] =
     entries.keys.collect { case (s, d, k) if (s eq spark) && d == dir => k }.toSeq.sorted
 
+  /** Ids of every cached RDD currently OWNED by a pinned entry (recorded at
+    * pin time). Excluded from [[withTrackedRdds]]'s result: evicting them
+    * would break the still-valid pins.
+    */
+  private def pinnedRddIds: Set[Int] = synchronized {
+    entries.values.flatMap(_.rddIds).toSet
+  }
+
   /** Run `body` and also return the ids of persistent RDDs it created (the
     * same diff-of-`getPersistentRDDs` bookkeeping [[value]] uses) — for
     * query-scoped checkpoints that should be freed once their consumer
-    * materializes, via [[unpersistRdds]]. Sequential-gate accuracy: a
-    * concurrent session persisting during `body` would at worst be
-    * unpersisted early and recompute from lineage.
+    * materializes, via [[unpersistRdds]]. Ids that a `Pinned` entry recorded
+    * (a derivation pinned INSIDE `body`) are excluded — those blocks belong
+    * to the pin's lifetime. NOTE the eviction is destructive, not advisory:
+    * `localCheckpoint` truncates lineage, so an evicted block CANNOT
+    * recompute — callers must only unpersist after the consumer of the
+    * tracked checkpoints has fully materialized, and the gate's sequential
+    * execution is what guarantees no other query's blocks land in the diff
+    * window.
     */
   def withTrackedRdds[A](spark: SparkSession)(body: => A): (A, Seq[Int]) = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val v = body
-    (v, (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted)
+    val created = spark.sparkContext.getPersistentRDDs.keySet -- before
+    (v, (created -- pinnedRddIds).toSeq.sorted)
   }
 
   /** Unpersist the given cached-RDD ids (non-blocking; missing ids are

@@ -22,9 +22,15 @@ object Physical {
   /** Catalog table names + scratch paths are keyed by the corpus dir: the
     * catalog and scratch namespace are JVM-global while the pin is per
     * (session, dir), so un-keyed names would let a second corpus silently
-    * clobber the first one's bucketed tables behind a still-valid pin.
+    * clobber the first one's bucketed tables behind a still-valid pin. A
+    * SHA-256 prefix, not `String.hashCode` — 31-bit collisions between path
+    * strings are constructible, and a collision here reproduces exactly the
+    * cross-corpus clobbering the key exists to prevent.
     */
-  private def dirKey(dir: String): String = (dir.hashCode & 0x7fffffff).toString
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
   private def ordersTable(dir: String): String = s"graft_orders_bucketed_${dirKey(dir)}"
   private def customerTable(dir: String): String = s"graft_customer_bucketed_${dirKey(dir)}"
 
@@ -94,16 +100,42 @@ object Physical {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
     "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
 
-  /** The skewed fact-dim join: every fourth orderkey is collapsed onto ONE
-    * hot key (a quarter of the fact table lands in a single join partition —
-    * the classic pathological-key shape: a null-ish default, a bot user, a
-    * catch-all category), joined to the DISTINCT key dimension and rolled up
-    * by a derived tag. Key-preserving (the dim side is distinct), so the
-    * join multiplies nothing and the oracle states it relationally.
+  /** The shared hot-key scenario both skew gates run: every fourth orderkey
+    * collapsed onto ONE hot key (a quarter of the fact table on a single
+    * join key — the classic pathological shape: a null-ish default, a bot
+    * user, a catch-all category), joined to the DISTINCT key dimension and
+    * rolled up by a derived tag. Key-preserving (the dim side is distinct),
+    * so the join multiplies nothing and ONE oracle states it relationally
+    * for both gates — a tweak to the collapse or the tag formula lands in
+    * exactly one place.
     */
-  def skewedRevenueByTag(sess: SparkSession, dir: String): DataFrame = {
+  private val hotKeyOracleSql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT k AS k2 FROM big),
+      |tagged AS (SELECT k2, k2 % 97 AS tag FROM dim)
+      |SELECT tag,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      |FROM big JOIN tagged ON tagged.k2 = big.k
+      |GROUP BY 1""".stripMargin
+
+  /** The hot-key fact projection: (k, cents) with the %4 collapse. */
+  private def hotKeyFact(sess: SparkSession, dir: String): DataFrame = {
     val hotKey = when(col("l_orderkey") % 4 === 0, lit(0L))
       .otherwise(col("l_orderkey")).cast("long")
+    Tables.lineitem(sess, dir)
+      .select(hotKey.as("k"), graft.core.Num.cents(col("l_extendedprice")).as("cents"))
+  }
+
+  /** The distinct-key dimension with its derived tag. */
+  private def hotKeyDim(big: DataFrame): DataFrame =
+    big.select(col("k").as("k2")).distinct().withColumn("tag", col("k2") % 97)
+
+  /** The AQE form of the scenario. */
+  def skewedRevenueByTag(sess: SparkSession, dir: String): DataFrame = {
     // AQE splits a skewed reduce partition along MAP-output boundaries, so
     // the split granularity is the mapper count. The gate testdata is one
     // single-row-group parquet file = ONE map task = nothing to split along;
@@ -111,18 +143,14 @@ object Physical {
     // fan-out naturally. The round-robin repartition stands in for that
     // multi-file layout (and is itself the usual first move when a source
     // arrives as one fat file).
-    val big = Tables.lineitem(sess, dir)
-      .select(hotKey.as("k"), graft.core.Num.cents(col("l_extendedprice")).as("cents"))
-      .repartition(8)
+    val big = hotKeyFact(sess, dir).repartition(8)
     // The dimension is MATERIALIZED (as a real pipeline's dim table would
     // already be): AQE's skew rule only matches a join whose inputs are
     // direct shuffle reads — a distinct's final aggregate between the sort
     // and the shuffle stage hides the skew from it. The gate query evicts
     // these dim-sized blocks after its result materializes (sessions share
     // one block manager, so nothing else would reclaim them).
-    val dim = big.select(col("k").as("k2")).distinct()
-      .withColumn("tag", col("k2") % 97)
-      .localCheckpoint()
+    val dim = hotKeyDim(big).localCheckpoint()
     big.join(dim, col("k") === col("k2"))
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
@@ -136,18 +164,7 @@ object Physical {
     * the `isSkewJoin` plan marker is spec-asserted on the same builder.
     */
   val joinSkewAqeSplit: QueryDef = QueryDef(
-    "join_skew_aqe_split",
-    """WITH big AS (
-      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
-      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-      |  FROM lineitem),
-      |dim AS (SELECT DISTINCT k AS k2 FROM big),
-      |tagged AS (SELECT k2, k2 % 97 AS tag FROM dim)
-      |SELECT tag,
-      |  CAST(count(*) AS BIGINT) AS n_items,
-      |  CAST(sum(cents) AS BIGINT) AS rev_cents
-      |FROM big JOIN tagged ON tagged.k2 = big.k
-      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    "join_skew_aqe_split", hotKeyOracleSql) { (spark, dir) =>
     val sess = spark.newSession()
     skewConfs.foreach { case (k, v) => sess.conf.set(k, v) }
     // materialize the ≤97-row result, then evict the dim checkpoint blocks
@@ -171,25 +188,15 @@ object Physical {
     * (the same hot-key collapse as `join_skew_aqe_split`, joined plainly).
     */
   val joinSaltedHotKey: QueryDef = QueryDef(
-    "join_salted_hot_key",
-    """WITH big AS (
-      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
-      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-      |  FROM lineitem),
-      |dim AS (SELECT DISTINCT k AS k2 FROM big),
-      |tagged AS (SELECT k2, k2 % 97 AS tag FROM dim)
-      |SELECT tag,
-      |  CAST(count(*) AS BIGINT) AS n_items,
-      |  CAST(sum(cents) AS BIGINT) AS rev_cents
-      |FROM big JOIN tagged ON tagged.k2 = big.k
-      |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val hotKey = when(col("l_orderkey") % 4 === 0, lit(0L))
-      .otherwise(col("l_orderkey")).cast("long")
-    val big = Tables.lineitem(spark, dir)
-      .select(hotKey.as("k"), graft.core.Num.cents(col("l_extendedprice")).as("cents"))
-    val dim = big.select(col("k").as("k2")).distinct()
-      .withColumn("tag", col("k2") % 97)
-    Skew.saltedEquiJoin(big, dim, col("k"), col("k2"), saltFactor = 8)
+    "join_salted_hot_key", hotKeyOracleSql) { (spark, dir) =>
+    // child session with auto-broadcast OFF, like the sibling gates: a
+    // broadcast of the replicated dim would skip the (key, salt) shuffle
+    // the salting exists to spread — the capability would be graded while
+    // executing the plan it was built to avoid
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val big = hotKeyFact(sess, dir)
+    Skew.saltedEquiJoin(big, hotKeyDim(big), col("k"), col("k2"), saltFactor = 8)
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
   }

@@ -94,10 +94,13 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
     // this scan's schema was bound at loadTable time; if the table was
-    // dropped and recreated with a different layout since, decoding the new
+    // dropped and recreated with a different LAYOUT since, decoding the new
     // rows under the old schema would silently read garbage bytes — fail
-    // loudly instead
-    if (st.schema != tableSchema)
+    // loudly instead. Layout = field names + dataTypes (the InternalRow
+    // decode contract); nullability/metadata differences decode identically
+    // and must not false-positive.
+    def layout(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (layout(st.schema) != layout(tableSchema))
       throw new IllegalStateException(
         s"mem table $key was recreated with a different schema " +
           s"(scan bound ${tableSchema.simpleString}, table now ${st.schema.simpleString})")

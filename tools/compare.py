@@ -109,7 +109,13 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"PASS {name}: {len(mine_sorted)} rows")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
+    # crashes recorded for queries WITHOUT an oracle entry (rows-only checks)
+    # must fail the pre-flight too — they have no row above to go red
+    for name in sorted(set(errors) - set(oracle)):
+        print(f"FAIL {name} (no oracle): engine crashed: {errors[name]}")
+        failures += 1
+    print(f"\n{len(oracle) + len(set(errors) - set(oracle)) - failures}"
+          f"/{len(oracle) + len(set(errors) - set(oracle))} oracle queries match")
     return 1 if failures else 0
 
 
