@@ -106,6 +106,22 @@ object Roundtrips {
     readback(spark.read.schema(schema).option("header", "true").csv(path))
   }
 
+  /** XML sink/scan round trip (Spark 4's built-in `xml` source — the
+    * enterprise-interchange format the ORC/JSONL/CSV trio doesn't cover).
+    * Explicit read schema as everywhere (no inference pass), `rowTag`
+    * chosen per record; values travel as integer cents so the trip is
+    * lossless and the oracle recomputes from the base table.
+    */
+  val xmlRoundtrip: QueryDef = QueryDef("xml_roundtrip", roundtripOracle) { (spark, dir) =>
+    val path = graft.rentals.Scratch.dir("graft_xml_roundtrip")
+    monthlySupplierRevenue(spark, dir)
+      .write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", "row")
+      .format("xml").save(path)
+    val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
+    readback(spark.read.schema(schema).option("rowTag", "row").format("xml").load(path))
+  }
+
   /** The custom DataSource V2 connector ([[SeqSource]]) through the oracle
     * gate: a 1M-row deterministic sequence table read with an id-range
     * predicate the source absorbs at PLANNING time (the scan generates
@@ -251,6 +267,7 @@ object Roundtrips {
   }
 
   val all: Seq[QueryDef] =
-    Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, schemaDriftMerge, dsv2SeqPushdown,
-      dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql, dsv2MemWriteRoundtrip)
+    Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
+      dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
+      dsv2MemWriteRoundtrip)
 }
