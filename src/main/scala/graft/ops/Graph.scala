@@ -420,6 +420,7 @@ object Graph {
     }
     // Per-invocation checkpoints are tracked (Pinned.withTrackedRdds) so
     // they can be unpersisted once the result materializes.
+    val guard = bfsBroadcastIds(spark)
     val (agg, tracked) = graft.core.Pinned.withTrackedRdds(spark) {
       var frontier = spark.range(1).select(lit(hub).as("x")).localCheckpoint()
       var frontierN = 1L
@@ -428,34 +429,15 @@ object Graph {
       var levels = Vector(frontier.withColumn("dist", lit(0)))
       var r = 1
       while (r <= 6 && frontierN > 0L) {
-        val expanded =
-          if (frontierN <= bfsBroadcastIds)
-            und.join(broadcast(frontier), und("src") === frontier("x"))
-          else und.join(frontier, und("src") === frontier("x"))
-        val next = (
-          if (visitedN <= bfsBroadcastIds) {
-            // small regime: broadcast ANTI-JOIN FIRST (map-side, no shuffle),
-            // so in the saturating rounds — where most expanded edges point
-            // back into visited — the distinct shuffles only the surviving
-            // sliver, not the whole neighborhood; then fold its shuffle
-            // partitions down (a frontier of thousands of ids does not need
-            // 32 reducer tasks per round)
-            expanded.select(col("dst").as("x"))
-              .join(broadcast(visited), Seq("x"), "left_anti")
-              .distinct().coalesce(8)
-          } else
-            // big regime: dedup before the shuffled anti-join so the shuffle
-            // carries distinct ids, not raw edge fan-in
-            expanded.select(col("dst").as("x")).distinct()
-              .join(visited, Seq("x"), "left_anti")
-        ).localCheckpoint()
+        val next = bfsExpandStep(und, frontier, frontierN, visited, visitedN, guard)
+          .localCheckpoint()
         frontierN = next.count() // cached blocks — milliseconds; drives the guards + short-circuit
         frontier = next
         visited = visited.unionByName(next)
         visitedN += frontierN
         // past the broadcast guard the anti-join SCANS visited: re-materialize
         // it every other round so lineage fan-in stays ≤2 cached tables
-        if (visitedN > bfsBroadcastIds && r % 2 == 0 && r < 6)
+        if (visitedN > guard && r % 2 == 0 && r < 6)
           visited = visited.localCheckpoint()
         levels = levels :+ next.withColumn("dist", lit(r))
         r += 1
@@ -468,10 +450,51 @@ object Graph {
     result
   }
 
+  /** One BFS expansion round: join the frontier into the undirected edge
+    * table, drop already-visited ids, distinct the remainder. Two regimes,
+    * switched per-side on the observed id-set sizes:
+    *
+    *  - small (ids ≤ `guard`): BOTH joins run broadcast-side — the frontier
+    *    broadcasts into the edge expansion, and the visited set broadcasts
+    *    into an anti-join placed BEFORE the distinct (map-side, no shuffle),
+    *    so in the saturating rounds — where most expanded edges point back
+    *    into visited — the distinct shuffles only the surviving sliver, not
+    *    the whole neighborhood; its shuffle partitions are then folded down
+    *    (a frontier of thousands of ids does not need 32 reducer tasks).
+    *  - big (past the guard): the joins revert to shuffles, and the dedup
+    *    runs BEFORE the shuffled anti-join so the anti-join shuffle carries
+    *    distinct ids, not raw edge fan-in — the 100 TB path.
+    *
+    * Package-private (and `guard` explicit) so GraphSpec can pin the guard
+    * to 0 and prove the shuffled regime: same results as the broadcast
+    * regime, no broadcast operator in the plan.
+    */
+  private[ops] def bfsExpandStep(und: DataFrame, frontier: DataFrame,
+      frontierN: Long, visited: DataFrame, visitedN: Long,
+      guard: Long): DataFrame = {
+    val expanded =
+      if (frontierN <= guard)
+        und.join(broadcast(frontier), und("src") === frontier("x"))
+      else und.join(frontier, und("src") === frontier("x"))
+    if (visitedN <= guard)
+      expanded.select(col("dst").as("x"))
+        .join(broadcast(visited), Seq("x"), "left_anti")
+        .distinct().coalesce(8)
+    else
+      expanded.select(col("dst").as("x")).distinct()
+        .join(visited, Seq("x"), "left_anti")
+  }
+
   /** Broadcast guard for the BFS id sets: 4M 8-byte ids ≈ 32 MB hashed —
     * comfortably executor-resident; beyond it the joins revert to shuffles.
+    * Overridable via the conf key `spark.graft.bfs.broadcastIds` so specs
+    * (and operators at unusual cluster shapes) can force either regime —
+    * GraphSpec pins it to 1 to run every round down the shuffled 100 TB
+    * fallback path and assert equality with the broadcast path.
     */
-  private val bfsBroadcastIds = 4000000L
+  private[ops] def bfsBroadcastIds(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bfs.broadcastIds")
+      .map(_.toLong).getOrElse(4000000L)
 
   /** Degree ASSORTATIVITY of the co-purchase graph: the Pearson
     * correlation between the degrees at the two ends of an edge (Newman

@@ -118,6 +118,46 @@ class GraphSpec extends SparkSpec {
     assert(got(0) === 1L)
   }
 
+  test("bfsExpandStep: guard pins the regime — broadcast plan under it, shuffle-only past it") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val frontier = Seq(1L).toDF("x")
+    val visited = Seq(1L).toDF("x")
+    // small regime: both joins carry the explicit broadcast hint
+    val small = Graph.bfsExpandStep(und, frontier, 1L, visited, 1L, guard = Long.MaxValue)
+    assert(small.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    // big regime: with auto-broadcast off, neither join may broadcast — the
+    // shuffled 100 TB fallback plan (sort-merge / shuffled-hash only)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = Graph.bfsExpandStep(und, frontier, 1L, visited, 1L, guard = 0L)
+      val plan = big.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Broadcast"), s"shuffled regime must not broadcast:\n$plan")
+      assert(plan.contains("Join"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("graph_bfs_hops: shuffled fallback regime (guard=1) equals the broadcast path") {
+    val dir = "/root/testdata/sf0.001"
+    val viaBroadcast = Graph.bfsHops.fn(spark, dir).collect()
+      .map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_vertices")).toMap
+    val priorThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // pin the guard to 1 (only the size-1 seed frontier qualifies) and turn
+      // off auto-broadcast, so rounds 1..6 all run the shuffled-join +
+      // visited-rematerialization path — the code a >4M-vertex frontier hits
+      spark.conf.set("spark.graft.bfs.broadcastIds", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = Graph.bfsHops.fn(spark, dir).collect()
+        .map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_vertices")).toMap
+      assert(viaShuffle === viaBroadcast)
+    } finally {
+      spark.conf.unset("spark.graft.bfs.broadcastIds")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
+    }
+  }
+
   test("graph_assortativity: matches a direct Pearson over edge-end degrees; r in [-1,1]") {
     val r = Graph.assortativity.fn(spark, "/root/testdata/sf0.001").collect().head
     val items = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
