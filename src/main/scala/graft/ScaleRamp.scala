@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ramp evidence tool (dev-side, not part of the gate): synthesizes a
+  * K× copy of a testdata directory and times a fixed set of heavy-family
+  * queries at 1× and K×, printing per-query growth factors. This converts
+  * the docstrings' 100 TB scaling CLAIMS (bounded shuffles, linear growth)
+  * into measured exponents — a query whose cost grows ≫K under a K× ramp
+  * has a plan problem no sf0.1 benchmark can see.
+  *
+  * Synthesis model — "more data, same catalog", which is what real scale-up
+  * looks like (a 100 TB corpus has more transactions/documents/events, not
+  * proportionally more nations or parts):
+  *
+  *  - DIMENSION tables (region/nation/customer/supplier/part/embeddings)
+  *    are copied unchanged, keys intact — referential joins stay closed;
+  *  - FACT tables are replicated K× with replica-offset surrogate keys
+  *    (orderkey/event_id/doc_id) so uniqueness invariants hold; foreign
+  *    keys into dimensions are left unchanged (each replica re-uses the
+  *    catalog, densifying the co-purchase graph exactly like real volume);
+  *  - `documents.text` gets a per-WORD replica tag (`w` → `w~r`): within a
+  *    replica every pairwise shingle relationship is preserved EXACTLY
+  *    (both docs transform identically), while across replicas the shingle
+  *    sets are disjoint — so the near-dup pair population grows K×, not
+  *    K²× (an unsalted copy would make every doc a near-dup of its K
+  *    siblings and quadratically explode the TRUE answer, measuring the
+  *    data's growth rather than the operator's);
+  *  - `events.ts` shifts by r seconds per replica to keep (user_id, ts)
+  *    collisions from collapsing in dedup-ish paths.
+  *
+  * Usage: ScaleRamp <baseDir> <rampDir> <K> — then timings print as one
+  * JSON line per query: {"q":name,"base":s,"ramp":s,"factor":f}.
+  * Three runs per (query, dir), median reported: run 1 pays any pinned
+  * derivation, the median lands on warm runs at both scales, so factors
+  * compare steady-state cost.
+  */
+object ScaleRamp {
+
+  /** The ramp set: every family whose docstrings make 100 TB claims. */
+  val rampQueries: Seq[String] = Seq(
+    "agg_pricing_summary", // linear baseline: scan + group-by
+    "join_region_revenue",
+    "sort_limit_top_orders", // global top-k: must not global-sort
+    "window_mom_nation",
+    "topk_suppliers_per_nation",
+    "sessionize_events",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "graph_components",
+    "graph_bfs_hops",
+    "stream_stream_join")
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(0, k).select(col("id").cast("int").as("__rep")))
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // dimensions: verbatim
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach(t => write(spark.read.parquet(s"$baseDir/$t.parquet"), t))
+
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val events = spark.read.parquet(s"$baseDir/events.parquet")
+    val documents = spark.read.parquet(s"$baseDir/documents.parquet")
+
+    val oOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val eOff = events.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val dOff = documents.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
+    write(
+      reps(orders)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * oOff)
+        .drop("__rep"),
+      "orders")
+    write(
+      reps(lineitem)
+        .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * oOff)
+        .drop("__rep"),
+      "lineitem")
+    write(
+      reps(events)
+        .withColumn("event_id", col("event_id") + col("__rep") * eOff)
+        .withColumn("ts", col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, __rep)"))
+        .drop("__rep"),
+      "events")
+    write(
+      reps(documents)
+        .withColumn("doc_id", col("doc_id") + col("__rep") * dOff)
+        .withColumn("text",
+          expr("array_join(transform(split(text, ' '), w -> concat(w, '~', __rep)), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__rep"),
+      "documents")
+  }
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val rampDir = if (args.length > 1) args(1) else "/tmp/graft_ramp"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.core.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$rampDir/documents.parquet").exists()) {
+      System.err.println(s"[ramp] synthesizing ${k}x of $baseDir into $rampDir")
+      synthesize(spark, baseDir, rampDir, k)
+    }
+
+    def timeOne(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def med(name: String, dir: String): Double = {
+      val rs = (1 to 3).map(_ => timeOne(name, dir)).sorted
+      rs(1)
+    }
+
+    rampQueries.foreach { q =>
+      try {
+        val base = med(q, baseDir)
+        val ramp = med(q, rampDir)
+        println(s"""{"q":"$q","base":${fmt(base)},"ramp":${fmt(ramp)},"factor":${fmt(ramp / math.max(base, 1e-9))}}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"q":"$q","err":"${e.getClass.getName}"}""")
+          System.err.println(s"[ramp] $q failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

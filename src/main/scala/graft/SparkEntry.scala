@@ -57,9 +57,10 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-family ops (MinHash/SimHash/
-    * IVF use Spark-internal hash constants) -> driver records a rows-only
-    * check; those are covered by ScalaTest instead.
+    * the same parquet tables. EVERY registered query carries an oracle —
+    * the hash-family ops (MinHash/SimHash/IVF) use portable polynomial
+    * hash constants restatable in SQL, so even those are full hash-match
+    * rows, not rows-only checks.
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -53,9 +53,60 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    // A SPARK_GRAFT_ONLY subset run must not erase failure records of
+    // queries it did not touch (reusing outDir would otherwise blank the
+    // full run's errors.json): carry forward prior entries for unselected
+    // queries, replace only what this run executed.
+    val errPath = Paths.get(s"$outDir/errors.json")
+    val carried: Map[String, String] =
+      if (only.isDefined && Files.exists(errPath))
+        parseStringMap(Files.readString(errPath)).filter(kv => !selected(kv._1))
+      else Map.empty
+    val errJson = (carried ++ errors).map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    Files.writeString(errPath, errJson)
     spark.stop()
+  }
+
+  /** Minimal parser for the flat string→string JSON objects this file
+    * writes (errors.json): enough to round-trip our own `q()` escaping; not
+    * a general JSON parser.
+    */
+  private[graft] def parseStringMap(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def readString(): String = {
+      require(s(i) == '"', s"expected quote at $i"); i += 1
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n'  => sb += '\n'
+            case 'r'  => sb += '\r'
+            case 't'  => sb += '\t'
+            case 'u'  => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c    => sb += c
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    skipWs(); require(s(i) == '{', "expected object"); i += 1
+    skipWs()
+    while (i < s.length && s(i) != '}') {
+      val k = readString()
+      skipWs(); require(s(i) == ':', s"expected colon at $i"); i += 1; skipWs()
+      val v = readString()
+      out(k) = v
+      skipWs()
+      if (i < s.length && s(i) == ',') { i += 1; skipWs() }
+    }
+    out.toMap
   }
 }

@@ -96,11 +96,32 @@ object Pinned {
     * window.
     */
   def withTrackedRdds[A](spark: SparkSession)(body: => A): (A, Seq[Int]) = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val v = body
-    val created = spark.sparkContext.getPersistentRDDs.keySet -- before
-    (v, (created -- pinnedRddIds).toSeq.sorted)
+    // The diff-of-getPersistentRDDs bookkeeping is only sound while NO
+    // other query persists RDDs on the same context inside the window —
+    // true today because the gate runs queries sequentially and sbt forks
+    // tests serially. A future parallel runner would silently land foreign
+    // ids in the diff and this eviction would destroy a sibling query's
+    // localCheckpoint blocks (no recompute path). Make that assumption a
+    // loud failure instead: overlapping trackers on one context throw.
+    val n = activeTrackers.computeIfAbsent(spark.sparkContext, _ => new java.util.concurrent.atomic.AtomicInteger)
+    if (n.incrementAndGet() > 1) {
+      n.decrementAndGet()
+      throw new IllegalStateException(
+        "Pinned.withTrackedRdds: concurrent tracker detected on the same " +
+          "SparkContext — the diff-based RDD tracking assumes sequential " +
+          "query execution; a parallel runner needs per-query tagging " +
+          "(localProperties) before this eviction is safe")
+    }
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val v = body
+      val created = spark.sparkContext.getPersistentRDDs.keySet -- before
+      (v, (created -- pinnedRddIds).toSeq.sorted)
+    } finally n.decrementAndGet()
   }
+
+  private val activeTrackers =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicInteger]
 
   /** Unpersist the given cached-RDD ids (non-blocking; missing ids are
     * already gone and skipped).

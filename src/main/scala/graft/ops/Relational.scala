@@ -203,8 +203,8 @@ object Relational {
     * definition, and on exact integer input the interpolation arithmetic is
     * bit-identical (verified empirically: identical IEEE bit patterns across
     * engines). approx_percentile (t-digest) is the constant-memory sketch
-    * path — different sketch families per engine, so it lives in the
-    * rows-only query below.
+    * path — different sketch families per engine, so its query below states
+    * an oracle on sketch-independent invariants rather than exact quantiles.
     */
   val aggPercentiles: QueryDef = QueryDef(
     "agg_percentiles",

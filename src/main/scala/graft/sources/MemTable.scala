@@ -31,35 +31,68 @@ import scala.collection.concurrent.TrieMap
   *  - reads snapshot the committed batches at planning time and carry rows
   *    in the `InputPartition`s (serializable — executor-correct, not a
   *    shared-JVM shortcut), one partition per committed task preserving the
-  *    write parallelism.
+  *    write parallelism;
+  *  - SCHEMA EVOLUTION (`ALTER TABLE ... ADD/DROP COLUMNS`) follows the
+  *    table-format contract (Iceberg-style): an alter rewrites METADATA
+  *    only — every committed batch stays tagged with the schema it was
+  *    written under, and scans project each batch into the scan-bound
+  *    schema by NAME at read time (missing column → null, dropped column →
+  *    skipped). No data rewrite, which is the only viable alter at 100 TB.
+  *    Rename/type-change are rejected: name-based projection cannot track
+  *    them without per-field ids, and claiming them would read garbage.
   */
 object MemTables {
 
-  /** Committed contents of one table: schema + committed task batches. */
-  final class State(val schema: StructType) {
+  /** One committed write batch: the rows plus the schema they were encoded
+    * under (the InternalRow decode contract for those rows, forever).
+    */
+  final case class TaggedBatch(schema: StructType, rows: Array[InternalRow])
+
+  /** Committed contents of one table: current (evolvable) schema +
+    * committed task batches, each tagged with its write-time schema.
+    */
+  final class State(initialSchema: StructType) {
+    @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; replaced wholesale on truncate
-    @volatile var batches: Vector[Array[InternalRow]] = Vector.empty
+    @volatile var batches: Vector[TaggedBatch] = Vector.empty
   }
 
   private val tables = TrieMap.empty[String, State]
 
-  def create(key: String, schema: StructType): Unit =
-    tables.putIfAbsent(key, new State(schema)) match {
-      case Some(_) =>
-        throw new IllegalStateException(s"mem table $key already exists")
-      case None => ()
-    }
+  /** Register a new table; false if the key is already taken (the catalog
+    * maps that to Spark's TableAlreadyExistsException so that
+    * `CREATE TABLE IF NOT EXISTS` is a no-op, not a crash).
+    */
+  def create(key: String, schema: StructType): Boolean =
+    tables.putIfAbsent(key, new State(schema)).isEmpty
 
   def get(key: String): Option[State] = tables.get(key)
 
   def drop(key: String): Boolean = tables.remove(key).isDefined
 
-  /** Atomic publish of one write's committed task batches. */
-  def commit(key: String, truncate: Boolean, batches: Seq[Array[InternalRow]]): Unit = {
+  /** Metadata-only schema swap (ALTER TABLE): committed batches are left
+    * untouched and keep their write-time schema tags.
+    */
+  def alterSchema(key: String, newSchema: StructType): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-alter"))
+    st.synchronized { st.schema = newSchema }
+  }
+
+  /** Atomic publish of one write's committed task batches, tagged with the
+    * schema the write was bound to (NOT the table's current schema — a
+    * concurrent alter must not retag in-flight rows it never migrated).
+    */
+  def commit(
+      key: String,
+      truncate: Boolean,
+      writeSchema: StructType,
+      batches: Seq[Array[InternalRow]]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
-      st.batches = (if (truncate) Vector.empty else st.batches) ++ batches
+      st.batches = (if (truncate) Vector.empty else st.batches) ++
+        batches.map(TaggedBatch(writeSchema, _))
     }
   }
 }
@@ -81,7 +114,7 @@ final class MemTable(key: String, tableSchema: StructType)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(key)
+    new MemWriteBuilder(key, info.schema())
 }
 
 final class MemScan(key: String, tableSchema: StructType) extends Scan with Batch {
@@ -93,28 +126,55 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
     // snapshot at planning: a concurrent commit lands in the NEXT query
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    // this scan's schema was bound at loadTable time; if the table was
-    // dropped and recreated with a different LAYOUT since, decoding the new
-    // rows under the old schema would silently read garbage bytes — fail
-    // loudly instead. Layout = field names + dataTypes (the InternalRow
-    // decode contract); nullability/metadata differences decode identically
-    // and must not false-positive.
-    def layout(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    if (layout(st.schema) != layout(tableSchema))
-      throw new IllegalStateException(
-        s"mem table $key was recreated with a different schema " +
-          s"(scan bound ${tableSchema.simpleString}, table now ${st.schema.simpleString})")
-    st.batches.map(rows => MemPartition(rows): InputPartition).toArray
+    // Every batch is read through a by-NAME projection into the scan-bound
+    // schema (schema evolution: columns added after a batch was written
+    // read as null; columns dropped are skipped). A same-name field whose
+    // dataType differs is NOT projectable — decoding those bytes under the
+    // scan's type would read garbage (the drop+recreate hazard) — so fail
+    // loudly at PLANNING time, before any executor touches a row.
+    st.batches.foreach { b =>
+      tableSchema.fields.foreach { f =>
+        val i = b.schema.fieldNames.indexOf(f.name)
+        if (i >= 0 && b.schema.fields(i).dataType != f.dataType)
+          throw new IllegalStateException(
+            s"mem table $key: column ${f.name} was written as " +
+              s"${b.schema.fields(i).dataType.simpleString} but the scan is bound to " +
+              s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
+      }
+    }
+    st.batches.map(b => MemPartition(b.schema, b.rows): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
+      val target = tableSchema // serialized with the factory
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val rows = partition.asInstanceOf[MemPartition].rows
+        val p = partition.asInstanceOf[MemPartition]
+        val rows = p.rows
+        val sameLayout =
+          p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            target.fields.map(f => (f.name, f.dataType)).toSeq
+        // by-name source ordinal per target field; -1 = not present (null)
+        val srcIdx = target.fields.map(f => p.batchSchema.fieldNames.indexOf(f.name))
+        val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
+          if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
+        }
         new PartitionReader[InternalRow] {
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = rows(i)
+          override def get(): InternalRow =
+            if (sameLayout) rows(i)
+            else {
+              val r = rows(i)
+              val vals = new Array[Any](target.length)
+              var j = 0
+              while (j < target.length) {
+                val s = srcIdx(j)
+                vals(j) = if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+                j += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+            }
           override def close(): Unit = ()
         }
       }
@@ -122,26 +182,29 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
 }
 
 /** Rows travel inside the partition — serializable, so the read path is
-  * correct on a real cluster, not just local mode.
+  * correct on a real cluster, not just local mode — along with the schema
+  * they were written under (the decode contract for the projection).
   */
-final case class MemPartition(rows: Array[InternalRow]) extends InputPartition
+final case class MemPartition(batchSchema: StructType, rows: Array[InternalRow])
+    extends InputPartition
 
-final class MemWriteBuilder(key: String)
+final class MemWriteBuilder(key: String, writeSchema: StructType)
     extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit)
+    override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
   }
 }
 
-final class MemBatchWrite(key: String, truncate: Boolean) extends BatchWrite {
+final class MemBatchWrite(key: String, truncate: Boolean, writeSchema: StructType)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    MemTables.commit(key, truncate,
+    MemTables.commit(key, truncate, writeSchema,
       messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -266,8 +266,60 @@ object Roundtrips {
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
   }
 
+  /** SQL DDL schema EVOLUTION through the `graft` catalog — the
+    * `schema_drift_merge` semantics behind `ALTER TABLE`: create a
+    * two-column per-nation aggregate, append generation 1, `ADD COLUMNS
+    * (cents BIGINT)`, append generation 2 WITH the new column, `DROP
+    * COLUMN n_rows`, and read back. Generation-1 rows must surface
+    * `cents` as NULL (written before the column existed) and the dropped
+    * column must vanish from both generations — all metadata-only (no
+    * batch is rewritten; scans project by name, see [[MemTables]]). The
+    * oracle restates the surviving columns per generation from the base
+    * table, with gen-1 cents literally NULL.
+    */
+  val dsv2AlterEvolution: QueryDef = QueryDef(
+    "dsv2_alter_evolution",
+    """WITH c AS (
+      |  SELECT n.n_name AS nation, count(*) AS n_cust
+      |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1)
+      |SELECT 1 AS gen, nation, CAST(n_cust AS BIGINT) AS n_cust,
+      |       CAST(NULL AS BIGINT) AS cents
+      |FROM c
+      |UNION ALL
+      |SELECT 2 AS gen, n.n_name AS nation,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 2""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_nation_evolution"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT, n_rows BIGINT)")
+    // IF NOT EXISTS against the existing table must be a no-op, not a crash
+    // (TableAlreadyExistsException contract) — exercised inline in the gate
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl (gen INT, nation STRING)")
+    val perNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(Num.cents(col("c_acctbal"))).as("cents"))
+    perNation
+      .select(lit(1).as("gen"), col("nation"), col("n_cust"), col("n_cust").as("n_rows"))
+      .writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (cents BIGINT)")
+    perNation
+      .select(lit(2).as("gen"), col("nation"), col("n_cust"),
+        col("n_cust").as("n_rows"), col("cents"))
+      .writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN n_rows")
+    spark.table(tbl).select(col("gen"), col("nation"), col("n_cust"), col("cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
-      dsv2MemWriteRoundtrip)
+      dsv2MemWriteRoundtrip, dsv2AlterEvolution)
 }

@@ -308,7 +308,7 @@ final case class SeqScan(
   */
 class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
-  import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -343,11 +343,53 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("mem tables are unpartitioned")
-    MemTables.create(memKey(ident), schema)
+    // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
+    // exception type — anything else surfaces as a crash
+    if (!MemTables.create(memKey(ident), schema))
+      throw new TableAlreadyExistsException(ident)
     new MemTable(memKey(ident), schema)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): CTable =
-    throw new UnsupportedOperationException("ALTER is not supported")
+
+  /** Schema evolution for mem tables: ADD COLUMNS (top-level, appended,
+    * nullable) and DROP COLUMN are metadata-only swaps — committed batches
+    * keep their write-time schema and scans project by name (see
+    * [[MemTables]]). Rename and type-change are rejected: the by-name
+    * projection has no field ids to track a rename through, and retyping
+    * bytes in place would decode garbage.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): CTable = {
+    if (Pattern.matches(ident.name()))
+      throw new UnsupportedOperationException("seq_<n> tables are generated, not alterable")
+    val key = memKey(ident)
+    val st = MemTables.get(key)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(st.schema) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"mem tables only evolve top-level columns, got ${add.fieldNames().mkString(".")}")
+          val name = add.fieldNames().head
+          if (schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"column $name already exists in $key")
+          // always nullable: rows written before this alter read it as null
+          schema.add(name, add.dataType(), nullable = true)
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"mem tables only evolve top-level columns, got ${del.fieldNames().mkString(".")}")
+          val name = del.fieldNames().head
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"column $name does not exist in $key")
+          StructType(schema.fields.filterNot(_.name == name))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"mem tables support ADD/DROP COLUMNS only, got ${other.getClass.getSimpleName}")
+      }
+    }
+    MemTables.alterSchema(key, newSchema)
+    new MemTable(key, newSchema)
+  }
   override def dropTable(ident: Identifier): Boolean =
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =

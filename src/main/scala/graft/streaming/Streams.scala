@@ -441,43 +441,104 @@ object Streams {
     q.awaitTermination()
   }
 
-  final case class BucketState(docs: List[Long])
+  /** Bucket history with per-element arrival stamps: (doc_id, arrival
+    * processing-time ms). The stamps are what makes the retention horizon
+    * enforceable per element, not just per bucket.
+    */
+  final case class BucketState(docs: List[(Long, Long)])
   final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Default near-dup retention horizon for [[streamingLshCandidates]]: a
+    * continuous-ingest corpus typically only needs to pair a new document
+    * against recent history (dedup-at-ingest), and an UNBOUNDED bucket
+    * history grows linearly in corpus size — the state store itself becomes
+    * O(corpus) and OOMs at 100 TB. 24 h comfortably covers any single gate
+    * or spec run (nothing expires mid-run, so run over a static corpus the
+    * output still equals the batch candidate set) while bounding steady-
+    * state memory to one day of ingest.
+    */
+  val lshDefaultRetention: java.time.Duration = java.time.Duration.ofHours(24)
 
   /** Streaming MinHash-LSH near-dup candidate generation: documents arrive
     * as a stream, signatures and band keys are computed row-locally (the
     * codegen'd `minhash_sigs` expression), and per-bucket state holds only
-    * the doc_ids already seen in that (band, key) bucket. Each arriving doc
-    * pairs against its bucket's history and is appended — so candidates
-    * stream out incrementally, and state is linear in corpus size (bands x
-    * docs ids), never O(n²).
+    * the doc_ids seen in that (band, key) bucket WITHIN the retention
+    * horizon. Each arriving doc pairs against its bucket's surviving
+    * history and is appended — candidates stream out incrementally, and
+    * state is bounded by one horizon of ingest, never O(corpus) and never
+    * O(n²). Every doc is stamped with its INGEST time (`current_timestamp`
+    * — the micro-batch timestamp, replay-deterministic) and the query
+    * watermarks on that stamp; eviction is then two-layer:
+    *
+    *  - PER ELEMENT: every stored doc_id carries its ingest stamp; on each
+    *    bucket invocation, entries older than the horizon (relative to the
+    *    batch's own stamp) are dropped before pairing, so a hot bucket's
+    *    state is bounded by one horizon of its own ingest;
+    *  - PER BUCKET: `EventTimeTimeout` + `setTimeoutTimestamp(newest +
+    *    horizon)` removes a bucket's entire state blob once the watermark
+    *    passes its newest element's expiry (cold buckets don't linger as
+    *    expired blobs — without this the KEYSPACE itself would grow with
+    *    the corpus).
+    *
+    * Implementation notes on the two rejected alternatives:
+    * `transformWithState` ListState+TTL has these semantics built in but
+    * mandates the RocksDB provider, whose per-partition snapshot lifecycle
+    * costs seconds per micro-batch (measured here to dominate gate
+    * wall-clock); `ProcessingTimeTimeout` cannot be used with
+    * `Trigger.AvailableNow` at all — `shouldRunAnotherBatch` is
+    * unconditionally true under it, so the trigger never terminates
+    * (observed as a live-locked spec). Event-time timeout reschedules only
+    * while the watermark advances, so the run terminates.
     *
     * This is the incremental form of [[graft.text.Dedup.minhashLsh]]: run
-    * over the same corpus it emits exactly the batch candidate set
-    * (spec-asserted). Verification (exact Jaccard on the candidate pairs)
-    * stays a batch join downstream, as in the batch query.
+    * over the same corpus inside one horizon it emits exactly the batch
+    * candidate set (spec-asserted), and docs past the horizon stop pairing
+    * (spec-asserted via a 1 s TTL across a checkpoint restart).
+    * Verification (exact Jaccard on the candidate pairs) stays a batch
+    * join downstream, as in the batch query.
     */
-  def streamingLshCandidates(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
+  def streamingLshCandidates(
+      spark: SparkSession,
+      docs: DataFrame,
+      retention: java.time.Duration = lshDefaultRetention): Dataset[CandidatePair] = {
     import spark.implicits._
-    val buckets = graft.text.Dedup.bandBuckets(graft.text.Dedup.signaturesOf(docs))
+    val retentionMs = retention.toMillis
+    val stamped = docs
+      .withColumn("__ingest_ts", current_timestamp())
+      .withWatermark("__ingest_ts", "0 seconds")
+    val buckets = graft.text.Dedup.bandBuckets(
+      graft.text.Dedup.signaturesOf(stamped, carry = Seq("__ingest_ts")),
+      carry = Seq("__ingest_ts"))
     buckets
-      .select(col("doc_id"), col("band"), col("key"))
-      .as[(Long, Int, Long)]
-      .groupByKey { case (_, band, key) => (band, key) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (bucket: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val arrived = rows.map(_._1).toList.sorted
-          val pairs = scala.collection.mutable.ListBuffer.empty[CandidatePair]
-          var history = seen
-          arrived.foreach { d =>
-            history.foreach { h =>
-              if (h != d) pairs += CandidatePair(math.min(h, d), math.max(h, d), bucket._1)
+      // keep the watermarked column itself (not a derivation of it) so the
+      // event-time attribute reaches the stateful operator
+      .select(col("doc_id"), col("band"), col("key"), col("__ingest_ts"))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, band, key, _) => (band, key) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: (Int, Long), rows: Iterator[(Long, Int, Long, java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed newest-element expiry: the whole blob is dead
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivedRows = rows.map(r => (r._1, r._4.getTime)).toList
+            val nowMs = arrivedRows.map(_._2).max
+            val live = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter { case (_, seenAt) => nowMs - seenAt < retentionMs }
+            val pairs = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+            var history = live
+            arrivedRows.sortBy(_._1).foreach { case (d, ts) =>
+              history.foreach { case (h, _) =>
+                if (h != d) pairs += CandidatePair(math.min(h, d), math.max(h, d), bucket._1)
+              }
+              history = (d, ts) :: history
             }
-            history = d :: history
+            state.update(BucketState(history))
+            state.setTimeoutTimestamp(nowMs + retentionMs)
+            pairs.iterator
           }
-          state.update(BucketState(history))
-          pairs.iterator
       }
   }
 

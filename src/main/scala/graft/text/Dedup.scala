@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    16-bit chunk blocking (Hamming ≤ 3 guarantees two equal chunks by
   *    pigeonhole over 4 chunks).
   *
-  * MinHash/SimHash use Spark's codegen'd `xxhash64` as the hash family; its
-  * constants are engine-internal, so those two are registered without a DuckDB
-  * oracle (rows-only driver check) and are instead covered by ScalaTest
-  * (planted near-duplicates must pair up; disjoint docs must not).
+  * MinHash/SimHash use a portable polynomial hash family (restatable in
+  * ANSI SQL), so both carry FULL DuckDB oracles like every other registered
+  * query — the near-dup oracles are the exhaustive O(n²) answer, making each
+  * hash match a realized-recall proof. ScalaTest additionally pins the
+  * planted-near-duplicate behavior (dups must pair; disjoint docs must not).
   */
 object Dedup {
 
@@ -109,9 +110,9 @@ object Dedup {
     * streaming (all expressions here are row-local, so the streaming planner
     * accepts them unchanged).
     */
-  def signaturesOf(docs: DataFrame): DataFrame =
+  def signaturesOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
-      .selectExpr("doc_id", s"${shinglesSpark("text")} AS s")
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq(s"${shinglesSpark("text")} AS s"): _*)
       .filter(size(col("s")) > 0)
       .withColumn("sig",
         graft.functions.MinHashSignature.minhashSigs(col("s"), NumHashes))
@@ -129,15 +130,16 @@ object Dedup {
     * multiply shuffle IO by bands x array-size). Shared by the batch LSH
     * query and the streaming stateful variant.
     */
-  def bandBuckets(sig: DataFrame): DataFrame = {
+  def bandBuckets(sig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandKeys = (0 until NumHashes / BandSize).map { b =>
       val slots = (0 until BandSize)
         .map(j => s"element_at(sig, ${b * BandSize + j + 1})").mkString(", ")
       struct(lit(b).as("band"), expr(s"xxhash64($b, $slots)").as("key"))
     }
+    val keep = col("doc_id") +: carry.map(col)
     sig
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(keep :+ explode(array(bandKeys: _*)).as("bk"): _*)
+      .select(keep ++ Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
   }
 
   /** The oracle is the *exhaustive* answer — every pair with exact Jaccard

@@ -12,7 +12,8 @@ class SparkEntrySpec extends SparkSpec {
     val os = SparkEntry.oracleSql
     assert(os.keySet.subsetOf(qs.keySet), os.keySet -- qs.keySet)
     assert(qs.keySet.forall(_.matches("[a-z0-9_]+")), qs.keySet.filterNot(_.matches("[a-z0-9_]+")))
-    // rows-only queries are a deliberate, documented set (hash-family ops)
+    // every registered query must carry a DuckDB oracle — the portable
+    // hash family (round 2) removed the last excuse for a rows-only check
     val rowsOnly = qs.keySet -- os.keySet
     assert(rowsOnly === Set.empty[String], rowsOnly)
   }

@@ -70,4 +70,27 @@ class TestdataSchemaSpec extends SparkSpec {
       "DRIVER TESTDATA SCHEMA DRIFTED — audit consumers of the changed " +
         "columns, then update TestdataSchemaSpec:\n" + diffs.mkString("\n"))
   }
+
+  test("normalized timestamp columns land in a plausible instant range (unit sentinel)") {
+    // tsNormalizeExpr assumes an observed int64 ts column is NANOSECONDS
+    // (div 1000 → micros). If the driver ever regenerates with epoch-micros
+    // or -millis int64, the engine-visible schema is IDENTICAL — the drift
+    // sentinel above cannot see it — but every instant is scaled 1000x.
+    // Pin the UNIT by bounds: all normalized instants must fall in
+    // [1990, 2035). A micros-as-nanos misread lands in 1970; a
+    // nanos-as-micros misread lands thousands of years out — both trip loudly.
+    import org.apache.spark.sql.functions.{col, max, min, year}
+    val lo = 1990
+    val hi = 2035
+    val bad = Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate", "events" -> "ts")
+      .flatMap { case (t, c) =>
+        val r = Tables.load(spark, sf, t)
+          .agg(year(min(col(c))).as("lo"), year(max(col(c))).as("hi"))
+          .head()
+        if (r.getInt(0) >= lo && r.getInt(1) < hi) Nil
+        else Seq(s"$t.$c spans years [${r.getInt(0)}, ${r.getInt(1)}] — " +
+          "physical timestamp UNIT likely drifted (see Tables.tsNormalizeExpr)")
+      }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }

@@ -163,6 +163,43 @@ class RoundtripsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("mem_write_spec"))
   }
 
+  test("DSv2 MemTable: ALTER TABLE evolves metadata only; old batches project by name") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_evolve_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)")
+    // IF NOT EXISTS over an existing table: no-op, NOT a crash — requires
+    // the catalog to throw Spark's TableAlreadyExistsException
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl (other INT)")
+    assert(spark.table(tbl).schema.fieldNames.toSeq === Seq("k", "v"))
+    // ... while a bare CREATE on the existing table still fails loudly
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE $tbl (other INT)")
+    }
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)")
+    Seq((2L, "b", 20L)).toDF("k", "v", "n").writeTo(tbl).append()
+    // pre-alter rows surface the added column as NULL (no rewrite happened:
+    // batch 1 still carries its 2-field write schema)
+    assert(spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq === Seq((1L, "a", -1L), (2L, "b", 20L)))
+    val batches = graft.sources.MemTables.get("mem_evolve_spec").get.batches
+    assert(batches.map(_.schema.fieldNames.length).sorted.toSeq === Seq(2, 3),
+      "alter must NOT retag committed batches")
+    // DROP COLUMN removes it from every generation's projection
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    assert(spark.table(tbl).schema.fieldNames.toSeq === Seq("k", "n"))
+    assert(spark.table(tbl).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq === Seq((1L, -1L), (2L, 20L)))
+    // rename and retype are rejected — by-name projection cannot track them
+    intercept[Exception](spark.sql(s"ALTER TABLE $tbl RENAME COLUMN n TO m"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $tbl ALTER COLUMN n TYPE INT"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
@@ -177,11 +214,11 @@ class RoundtripsSpec extends SparkSpec {
       val retry = new graft.sources.MemWriterFactory().createWriter(0, 1L)
       retry.write(org.apache.spark.sql.catalyst.InternalRow(2L))
       val msg = retry.commit()
-      new graft.sources.MemBatchWrite("spec_abort", truncate = false)
+      new graft.sources.MemBatchWrite("spec_abort", truncate = false, schema)
         .commit(Array(msg))
       val batches = graft.sources.MemTables.get("spec_abort").get.batches
-      assert(batches.map(_.length).sum === 1)
-      assert(batches.head.head.getLong(0) === 2L)
+      assert(batches.map(_.rows.length).sum === 1)
+      assert(batches.head.rows.head.getLong(0) === 2L)
     } finally graft.sources.MemTables.drop("spec_abort")
   }
 

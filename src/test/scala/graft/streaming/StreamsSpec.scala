@@ -293,6 +293,61 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH bucket state expires past the retention horizon") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and the birds sing in the tall green trees above the quiet garden"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+
+      def writeGen(docs: Seq[(Long, String)], file: String): Unit =
+        docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/$file.parquet")
+
+      // foreachBatch parquet sink: unlike the memory sink it supports
+      // checkpoint RECOVERY, which the cross-run TTL assertion needs
+      def run(cp: String, out: String, retention: java.time.Duration): Set[(Long, Long)] = {
+        val streamDocs = spark.readStream.schema(schema).parquet(s"$dir/in/*.parquet")
+        val streamed = Streams.streamingLshCandidates(spark, streamDocs, retention).toDF()
+        val q = streamed.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"$dir/$cp")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              batch.write.mode("overwrite").parquet(s"$dir/$out/batch_$batchId")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(s"$dir/$out/batch_*").select("doc_a", "doc_b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+
+      val shortTtl = java.time.Duration.ofSeconds(1)
+      // generation 1: two near-dups — pair within the horizon
+      writeGen(Seq(1L -> base, 2L -> base.replace("quiet garden", "silent yard")), "g1")
+      val gen1 = run("cp_ttl", "out_ttl", shortTtl)
+      assert(gen1.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
+
+      Thread.sleep(2500) // let generation-1 bucket elements expire
+
+      // generation 2: doc 11 is an EXACT copy of doc 1 (guaranteed shared
+      // buckets if unexpired) and 12 a near-dup of 11
+      writeGen(Seq(11L -> base, 12L -> base.replace("lazy dog", "bored dog")), "g2")
+      val gen2 = run("cp_ttl", "out_ttl", shortTtl) -- gen1
+      // in-horizon pair (same batch) is unaffected by the TTL ...
+      assert(gen2.exists { case (a, b) => Set(a, b) == Set(11L, 12L) })
+      // ... while the expired generation-1 history no longer pairs
+      assert(!gen2.exists { case (a, b) => a <= 2L || b <= 2L })
+
+      // control: LONG retention over the same corpus from a fresh checkpoint
+      // proves the cross-generation pairs are LSH-reachable — their absence
+      // above is eviction, not bucketing
+      val ctrl = run("cp_ctrl", "out_ctrl", Streams.lshDefaultRetention)
+      assert(ctrl.contains((1L, 11L))) // exact-dup pair across the generations
+    }
+  }
+
   test("mapGroupsWithState running totals converge to the batch per-user totals") {
     val snapshots = Streams.userRunningTotals(spark, Streams.readEventsStream(spark, sf))
     val result = Streams.runAvailableNowToMemory(
@@ -446,5 +501,57 @@ class StreamsSpec extends SparkSpec {
     val expected = events
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
     assert(sunk.sorted === expected.sorted)
+  }
+
+  test("mid-batch crash before sink commit: restart neither loses nor duplicates rows") {
+    // Extends the incremental-sink idempotence story to CRASH-consistency:
+    // the clean-restart specs above stop between batches; here the sink
+    // CRASHES inside a batch, after part of the batch's output is already
+    // durable but before the batch commits. The checkpoint must treat the
+    // batch as uncommitted, redeliver it on restart, and the
+    // overwrite-by-batchId discipline must replace the torn partial write —
+    // exactly-once contents, not at-least-once.
+    val base = graft.rentals.Scratch.dir(s"graft_crash_sink_${System.nanoTime()}")
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+    def runOnce(): Option[Throwable] = {
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(s"$base/in").schema)
+        .parquet(s"$base/in/*.parquet")
+      val q = streamed.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (crashArmed.getAndSet(false)) {
+              // torn write: half the batch lands durably, then the "process"
+              // dies before the batch can commit
+              batch.filter(col("event_id") % 2 === 0)
+                .write.mode("overwrite").parquet(s"$base/out/batch_$batchId")
+              throw new RuntimeException("injected crash before sink commit")
+            }
+            batch.write.mode("overwrite").parquet(s"$base/out/batch_$batchId")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => spark.streams.resetTerminated(); Some(e) }
+    }
+
+    val firstErr = runOnce()
+    assert(firstErr.isDefined, "the injected crash must surface as a query failure")
+    // the torn partial IS on disk — precisely the state a naive append sink
+    // would double-count after restart
+    val torn = spark.read.parquet(s"$base/out/batch_*").count()
+    assert(torn > 0 && torn < events.count(), "partial output visible before restart")
+
+    assert(runOnce().isEmpty, "restart completes cleanly")
+    val sunk = spark.read.parquet(s"$base/out/batch_*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = events.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(sunk.sorted === expected.sorted, "every event exactly once after crash + restart")
   }
 }

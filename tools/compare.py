@@ -109,13 +109,19 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"PASS {name}: {len(mine_sorted)} rows")
-    # crashes recorded for queries WITHOUT an oracle entry (rows-only checks)
-    # must fail the pre-flight too — they have no row above to go red
-    for name in sorted(set(errors) - set(oracle)):
+    # crashes recorded for queries WITHOUT an oracle entry must fail the
+    # pre-flight too — they have no row above to go red — but they are
+    # engine crashes, not oracle mismatches, so report them under their own
+    # count instead of silently inflating the oracle denominator
+    extra_crashes = sorted(set(errors) - set(oracle))
+    for name in extra_crashes:
         print(f"FAIL {name} (no oracle): engine crashed: {errors[name]}")
         failures += 1
-    print(f"\n{len(oracle) + len(set(errors) - set(oracle)) - failures}"
-          f"/{len(oracle) + len(set(errors) - set(oracle))} oracle queries match")
+    oracle_failures = failures - len(extra_crashes)
+    summary = f"\n{len(oracle) - oracle_failures}/{len(oracle)} oracle queries match"
+    if extra_crashes:
+        summary += f" (plus {len(extra_crashes)} engine crashes outside the oracle set)"
+    print(summary)
     return 1 if failures else 0
 
 
