@@ -127,16 +127,25 @@ object ScaleRamp {
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def med(name: String, dir: String): Double = {
-      val rs = (1 to 3).map(_ => timeOne(name, dir)).sorted
-      rs(1)
-    }
 
+    // Three INTERLEAVED (base, ramp) rounds per query. Run 1 at each scale
+    // pays any session-pinned derivation, so the COLD factor compares the
+    // full derivation cost across scales and the WARM factor (median of
+    // runs 2-3) compares steady-state incremental cost — pinned-family
+    // queries would otherwise report the near-free checkpoint read and hide
+    // the cost that actually scales.
     rampQueries.foreach { q =>
       try {
-        val base = med(q, baseDir)
-        val ramp = med(q, rampDir)
-        println(s"""{"q":"$q","base":${fmt(base)},"ramp":${fmt(ramp)},"factor":${fmt(ramp / math.max(base, 1e-9))}}""")
+        val pairs = (1 to 3).map(_ => (timeOne(q, baseDir), timeOne(q, rampDir)))
+        val (bs, rs) = (pairs.map(_._1), pairs.map(_._2))
+        def warm(xs: Seq[Double]): Double = xs.drop(1).sorted.apply(0)
+        val (bCold, rCold) = (bs.head, rs.head)
+        val (bWarm, rWarm) = (warm(bs), warm(rs))
+        println(
+          s"""{"q":"$q","base_cold":${fmt(bCold)},"ramp_cold":${fmt(rCold)},""" +
+            s""""cold_factor":${fmt(rCold / math.max(bCold, 1e-9))},""" +
+            s""""base_warm":${fmt(bWarm)},"ramp_warm":${fmt(rWarm)},""" +
+            s""""warm_factor":${fmt(rWarm / math.max(bWarm, 1e-9))}}""")
       } catch {
         case e: Throwable =>
           println(s"""{"q":"$q","err":"${e.getClass.getName}"}""")
