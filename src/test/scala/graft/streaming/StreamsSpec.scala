@@ -306,6 +306,7 @@ class StreamsSpec extends SparkSpec {
 
       // foreachBatch parquet sink: unlike the memory sink it supports
       // checkpoint RECOVERY, which the cross-run TTL assertion needs
+      var lastStateRows = -1L
       def run(cp: String, out: String, retention: java.time.Duration): Set[(Long, Long)] = {
         val streamDocs = spark.readStream.schema(schema).parquet(s"$dir/in/*.parquet")
         val streamed = Streams.streamingLshCandidates(spark, streamDocs, retention).toDF()
@@ -319,6 +320,8 @@ class StreamsSpec extends SparkSpec {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        lastStateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
         spark.read.parquet(s"$dir/$out/batch_*").select("doc_a", "doc_b").distinct()
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
@@ -339,6 +342,23 @@ class StreamsSpec extends SparkSpec {
       assert(gen2.exists { case (a, b) => Set(a, b) == Set(11L, 12L) })
       // ... while the expired generation-1 history no longer pairs
       assert(!gen2.exists { case (a, b) => a <= 2L || b <= 2L })
+
+      val stateAfterGen2 = lastStateRows
+
+      // STATE-SIZE proof, not just pair-absence: after another horizon
+      // passes, a third generation's batch advances the watermark past every
+      // gen-1/gen-2 bucket's timeout — their blobs must be REMOVED from the
+      // store, leaving only the lone gen-3 doc's buckets (≤ one bucket per
+      // band). Without eviction the store would hold every bucket ever
+      // touched and this count would grow monotonically.
+      Thread.sleep(2500)
+      writeGen(Seq(21L -> "an entirely different closing paragraph about columnar engines and shuffle topology"), "g3")
+      run("cp_ttl", "out_ttl", shortTtl)
+      assert(lastStateRows >= 0, "state metrics must be reported")
+      assert(lastStateRows < stateAfterGen2,
+        s"expired buckets must be removed from the store ($lastStateRows vs $stateAfterGen2)")
+      assert(lastStateRows <= 4, // 4 LSH bands; one in-horizon doc ⇒ ≤ 1 bucket per band
+        s"state must be bounded by the in-horizon docs' buckets, got $lastStateRows")
 
       // control: LONG retention over the same corpus from a fresh checkpoint
       // proves the cross-generation pairs are LSH-reachable — their absence
