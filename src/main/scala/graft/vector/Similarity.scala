@@ -607,7 +607,154 @@ object Similarity {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos_sim"))
   }
 
+  private val PqM = 4 // subspaces
+  private val PqSub = 16 // dims per subspace (d = 64)
+  private val PqK = 8 // codes per subspace
+  private val PqIters = 2
+
+  /** Product quantization with asymmetric distance (PQ-ADC) — the FAISS-
+    * style FINE quantizer complementing the IVF coarse quantizer: each
+    * 64-dim vector splits into [[PqM]] subspaces, a per-subspace k-means
+    * ([[kmeansCells]] — same seeded, integer-exact Lloyd machinery as
+    * `ann_ivf_kmeans`) learns [[PqK]] centroids, and every corpus vector
+    * compresses to M codes (here 4 bytes vs 256 bytes raw — the 64×
+    * memory reduction that makes billion-vector indexes fit in RAM).
+    * Queries stay EXACT (asymmetric): approx distance = Σ_m
+    * d²(query_slice_m, centroid[code_m]), computed per candidate from M
+    * literal-map lookups — no full-vector arithmetic against the corpus.
+    *
+    * 100 TB shape: codes are computed in ONE corpus scan against
+    * driver-held centroids (M×K×sub longs — bounded model state,
+    * broadcast like MLlib model coefficients; at scale the training pass
+    * runs on a sample, the encode pass stays one linear scan) and the ADC
+    * scan joins a BROADCAST query batch against the codes table — shuffle
+    * only the per-query top-k. The DuckDB oracle replays seeding, both
+    * Lloyd iterations per subspace, code assignment, and the ADC ranking
+    * bit-for-bit (all-integer arithmetic), so the hash match proves the
+    * entire learned structure, not just the output shape.
+    */
+  val annPqAdc: QueryDef = {
+    val distSql =
+      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    def assign(from: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT vec_id, q, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val subCtes = (0 until PqM).map { m =>
+      val off = m * PqSub + 1
+      s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
+         |c${m}0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM s$m ORDER BY vec_id LIMIT $PqK)),
+         |${assign(s"s$m", s"c${m}0", s"a${m}1")},
+         |${update(s"a${m}1", s"c${m}1")},
+         |${assign(s"s$m", s"c${m}1", s"a${m}2")},
+         |${update(s"a${m}2", s"c${m}2")},
+         |code$m AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM s$m z, c${m}2 c))
+         |  WHERE rn = 1),
+         |qs$m AS (SELECT query_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM queries),
+         |part$m AS (
+         |  SELECT qs.query_id, k.vec_id AS cand_id, ${dist("qs.q", "c.cent")} AS d
+         |  FROM qs$m qs, code$m k JOIN c${m}2 c ON c.cell = k.cell
+         |  WHERE k.vec_id <> qs.query_id)""".stripMargin
+    }
+    val partsUnion = (0 until PqM)
+      .map(m => s"SELECT * FROM part$m").mkString("\n  UNION ALL ")
+    QueryDef(
+      "ann_pq_adc",
+      s"""WITH q0 AS (
+         |  SELECT vec_id, $qvecSql AS q,
+         |         ${dotSql(qvecSql, qvecSql)} AS norm2
+         |  FROM embeddings),
+         |nz AS (SELECT vec_id, q FROM q0 WHERE norm2 > 0),
+         |dims AS (SELECT unnest(range(1, ${PqSub + 1})) AS p),
+         |queries AS (SELECT vec_id AS query_id, q FROM nz WHERE vec_id < 5),
+         |${subCtes.mkString(",\n")},
+         |parts AS (
+         |  $partsUnion),
+         |total AS (
+         |  SELECT query_id, cand_id, CAST(SUM(d) AS BIGINT) AS approx_dist
+         |  FROM parts GROUP BY 1, 2)
+         |SELECT query_id, cand_id, approx_dist, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rnk
+         |      FROM total)
+         |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
+      val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
+      val cached = base.persist()
+      try {
+        // train: per-subspace Lloyd over the slice (driver-held centroids)
+        val centsPerSub: Seq[Seq[(Long, Array[Long])]] = (0 until PqM).map { m =>
+          val sub = cached.select(
+            col("vec_id"), expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q"))
+          kmeansCells(sub, PqK, PqIters)._2
+        }
+        if (centsPerSub.exists(_.isEmpty)) {
+          cached.select(
+            col("vec_id").as("query_id"), col("vec_id").as("cand_id"),
+            lit(0L).as("approx_dist"), lit(0).as("rnk")).limit(0)
+        } else {
+          // encode: ONE scan, M argmins against literal centroids
+          def subSlice(m: Int) = expr(s"slice(q, ${m * PqSub + 1}, $PqSub)")
+          def subDist(vec: org.apache.spark.sql.Column, cent: Array[Long]) =
+            aggregate(
+              zip_with(vec, typedLit(cent.toSeq), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v)
+          val codeCols = (0 until PqM).map { m =>
+            val dists = centsPerSub(m).map { case (cell, c) =>
+              struct(subDist(subSlice(m), c).as("dist"), lit(cell).as("cell"))
+            }
+            array_min(array(dists: _*)).getField("cell").as(s"c$m")
+          }
+          val codes = cached.select(col("vec_id") +: codeCols: _*)
+          val queries = cached.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("q").as("qa"))
+          // ADC: broadcast the query batch; per-(m, code) centroid via a
+          // literal map so a vanished cell can never silently read nulls
+          val centMaps = (0 until PqM).map(m =>
+            typedLit(centsPerSub(m).map { case (cell, c) => cell -> c.toSeq }.toMap))
+          val adcDist = (0 until PqM).map { m =>
+            aggregate(
+              zip_with(
+                expr(s"slice(qa, ${m * PqSub + 1}, $PqSub)"),
+                element_at(centMaps(m), col(s"c$m")),
+                (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v)
+          }.reduce(_ + _)
+          val scored = codes
+            .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+            .withColumn("approx_dist", adcDist)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("approx_dist"), col("vec_id"))
+          scored
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10)
+            .select(
+              col("query_id"), col("vec_id").as("cand_id"),
+              col("approx_dist"), col("rnk"))
+        }
+      } finally cached.unpersist(blocking = false)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, embeddingLshNearDup,
-      embeddingQuantizeInt8, embeddingGramMatrix, labelCentroidCosine)
+    Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
+      embeddingLshNearDup, embeddingQuantizeInt8, embeddingGramMatrix,
+      labelCentroidCosine)
 }
