@@ -753,8 +753,170 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the composed FAISS-style index: the COARSE quantizer
+    * (full-vector k-means, as `ann_ivf_kmeans`) prunes the candidate scan
+    * to the probed cells' inverted lists, and the FINE quantizer (the
+    * per-subspace PQ codebooks of [[annPqAdc]]) ranks those candidates by
+    * asymmetric distance from their 4-byte codes — candidate metric cost
+    * is M table lookups instead of a 64-dim dot product, and candidate
+    * VOLUME is cells/probes-pruned. This is the memory/compute shape that
+    * serves billion-vector corpora: inverted lists of codes, centroids
+    * broadcast, one linear encode scan, per-query work bounded by probed
+    * lists. (Classic refinement not modeled here: encoding RESIDUALS
+    * v − coarse_centroid tightens the codebooks; the raw-vector PQ keeps
+    * the oracle replay tractable and the structure identical.)
+    *
+    * Both learned structures and the composed ranking replay bit-for-bit
+    * in the DuckDB oracle (exact integer arithmetic throughout).
+    */
+  val annIvfPq: QueryDef = {
+    val distSql =
+      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    def assign(from: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT vec_id, q, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(from: String, dims: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, $dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    def seeds(from: String, k: Int, out: String) =
+      s"""$out AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM $from ORDER BY vec_id LIMIT $k))""".stripMargin
+    val pqCtes = (0 until PqM).map { m =>
+      val off = m * PqSub + 1
+      s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
+         |${seeds(s"s$m", PqK, s"c${m}0")},
+         |${assign(s"s$m", s"c${m}0", s"a${m}1")},
+         |${update(s"a${m}1", "dims", s"c${m}1")},
+         |${assign(s"s$m", s"c${m}1", s"a${m}2")},
+         |${update(s"a${m}2", "dims", s"c${m}2")},
+         |code$m AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM s$m z, c${m}2 c))
+         |  WHERE rn = 1),
+         |part$m AS (
+         |  SELECT c.query_id, c.cand_id, c.cell,
+         |         ${dist(s"list_slice(c.qa, $off, ${off + PqSub - 1})", "ct.cent")} AS d
+         |  FROM cand c JOIN code$m k ON k.vec_id = c.cand_id
+         |              JOIN c${m}2 ct ON ct.cell = k.cell)""".stripMargin
+    }
+    val partsUnion = (0 until PqM)
+      .map(m => s"SELECT * FROM part$m").mkString("\n  UNION ALL ")
+    QueryDef(
+      "ann_ivf_pq",
+      s"""WITH q0 AS (
+         |  SELECT vec_id, $qvecSql AS q,
+         |         ${dotSql(qvecSql, qvecSql)} AS norm2
+         |  FROM embeddings),
+         |nz AS (SELECT vec_id, q FROM q0 WHERE norm2 > 0),
+         |dims AS (SELECT unnest(range(1, ${PqSub + 1})) AS p),
+         |dims64 AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
+         |${seeds("nz", KmeansK, "k0")},
+         |${assign("nz", "k0", "ka1")},
+         |${update("ka1", "dims64", "kc1")},
+         |${assign("nz", "kc1", "ka2")},
+         |${update("ka2", "dims64", "kc2")},
+         |${assign("nz", "kc2", "ka3")},
+         |queries AS (SELECT vec_id AS query_id, q FROM nz WHERE vec_id < 5),
+         |probed AS (
+         |  SELECT query_id, q, c.cell, ${dist("q", "c.cent")} AS dist
+         |  FROM queries, kc2 c),
+         |pcells AS (
+         |  SELECT query_id, q, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS prb
+         |    FROM probed)
+         |  WHERE prb <= $KmeansProbes),
+         |cand AS (
+         |  SELECT p.query_id, p.q AS qa, a.vec_id AS cand_id, a.cell
+         |  FROM pcells p JOIN ka3 a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |${pqCtes.mkString(",\n")},
+         |parts AS (
+         |  $partsUnion),
+         |total AS (
+         |  SELECT query_id, cand_id, cell, CAST(SUM(d) AS BIGINT) AS approx_dist
+         |  FROM parts GROUP BY 1, 2, 3)
+         |SELECT query_id, cell, cand_id, approx_dist, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rnk
+         |      FROM total)
+         |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
+      val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
+      val cached = base.persist()
+      try {
+        val coarseCents = kmeansCells(cached, KmeansK, KmeansIters)._2
+        val centsPerSub: Seq[Seq[(Long, Array[Long])]] = (0 until PqM).map { m =>
+          val sub = cached.select(
+            col("vec_id"), expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q"))
+          kmeansCells(sub, PqK, PqIters)._2
+        }
+        if (coarseCents.isEmpty || centsPerSub.exists(_.isEmpty)) {
+          cached.select(
+            col("vec_id").as("query_id"), col("vec_id").as("cell"),
+            col("vec_id").as("cand_id"), lit(0L).as("approx_dist"),
+            lit(0).as("rnk")).limit(0)
+        } else {
+          // index build: ONE scan emits coarse cell + M fine codes per vector
+          def subDist(vec: org.apache.spark.sql.Column, cent: Array[Long]) =
+            aggregate(
+              zip_with(vec, typedLit(cent.toSeq), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v)
+          val codeCols = (0 until PqM).map { m =>
+            val dists = centsPerSub(m).map { case (cell, c) =>
+              struct(
+                subDist(expr(s"slice(q, ${m * PqSub + 1}, $PqSub)"), c).as("dist"),
+                lit(cell).as("cell"))
+            }
+            array_min(array(dists: _*)).getField("cell").as(s"c$m")
+          }
+          val indexed = cached.select(
+            col("vec_id") +: assignExpr(coarseCents).as("cell") +: codeCols: _*)
+          // probe: KmeansProbes nearest coarse centroids, exact integer dist
+          val distStructs = coarseCents.map { case (cell, c) =>
+            struct(subDist(col("qa"), c).as("dist"), lit(cell).as("cell"))
+          }
+          val queries = cached.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("q").as("qa"))
+            .withColumn("cell",
+              explode(slice(sort_array(array(distStructs: _*)), 1, KmeansProbes).getField("cell")))
+          val centMaps = (0 until PqM).map(m =>
+            typedLit(centsPerSub(m).map { case (cell, c) => cell -> c.toSeq }.toMap))
+          val adcDist = (0 until PqM).map { m =>
+            aggregate(
+              zip_with(
+                expr(s"slice(qa, ${m * PqSub + 1}, $PqSub)"),
+                element_at(centMaps(m), col(s"c$m")),
+                (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v)
+          }.reduce(_ + _)
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("approx_dist"), col("vec_id"))
+          indexed.join(broadcast(queries), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .withColumn("approx_dist", adcDist)
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10)
+            .select(
+              col("query_id"), col("cell"), col("vec_id").as("cand_id"),
+              col("approx_dist"), col("rnk").cast("int").as("rnk"))
+        }
+      } finally cached.unpersist(blocking = false)
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
-      embeddingLshNearDup, embeddingQuantizeInt8, embeddingGramMatrix,
+      annIvfPq, embeddingLshNearDup, embeddingQuantizeInt8, embeddingGramMatrix,
       labelCentroidCosine)
 }

@@ -164,6 +164,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF-PQ: composed index agrees with the standalone fine quantizer and prunes by cell") {
+    val dir = "/root/testdata/sf0.001"
+    val ivfpq = Similarity.annIvfPq.fn(spark, dir).collect()
+    assert(ivfpq.nonEmpty)
+    // ≤ 10 ranked rows per query; probed cells per query bounded by the
+    // probe budget (coarse pruning actually engaged)
+    val byQuery = ivfpq.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 10, s"query $q")
+      assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 2, s"query $q probes >2 cells")
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rows.length))
+    }
+    // SAME corpus + seeds ⇒ identical PQ codebooks in both queries: any
+    // (query, cand) pair the standalone ADC also ranked must carry the
+    // IDENTICAL approx distance — the composition changed candidate
+    // pruning, not the metric
+    val adc = Similarity.annPqAdc.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) -> r.getAs[Long]("approx_dist"))
+      .toMap
+    val shared = ivfpq.flatMap { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      adc.get(k).map(d => (k, r.getAs[Long]("approx_dist"), d))
+    }
+    assert(shared.nonEmpty, "some candidates must overlap between the two indexes")
+    shared.foreach { case (k, a, b) => assert(a === b, s"pair $k metric drifted") }
+    // deterministic replay of the whole composed structure
+    val again = Similarity.annIvfPq.fn(spark, dir).collect()
+    assert(ivfpq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("banded LSH recall: planted cos~0.9 near-dup pairs are found, verified exactly") {
     import spark.implicits._
     val dim = 16
