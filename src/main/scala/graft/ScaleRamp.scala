@@ -53,7 +53,9 @@ object ScaleRamp {
     "graph_pagerank",
     "graph_components",
     "graph_bfs_hops",
-    "stream_stream_join")
+    "stream_stream_join",
+    "knn_brute_cosine",
+    "ann_ivf_pq")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =
@@ -63,8 +65,20 @@ object ScaleRamp {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // dimensions: verbatim
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(spark.read.parquet(s"$baseDir/$t.parquet"), t))
+
+    // embeddings: a fact for the ANN family — replicate with vec_id offsets
+    // (vectors unchanged: each gains K-1 exact copies, which changes the
+    // top-k ANSWERS but not the per-candidate COST the ramp measures; the
+    // fixed query batch vec_id < 5 stays 5 queries at every scale)
+    val embeddings = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val vOff = embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    write(
+      reps(embeddings)
+        .withColumn("vec_id", col("vec_id") + col("__rep") * vOff)
+        .drop("__rep"),
+      "embeddings")
 
     val orders = spark.read.parquet(s"$baseDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *    16-bit chunk blocking (Hamming ≤ 3 guarantees two equal chunks by
   *    pigeonhole over 4 chunks).
   *
-  * MinHash/SimHash use a portable polynomial hash family (restatable in
-  * ANSI SQL), so both carry FULL DuckDB oracles like every other registered
-  * query — the near-dup oracles are the exhaustive O(n²) answer, making each
-  * hash match a realized-recall proof. ScalaTest additionally pins the
+  * MinHash/SimHash carry FULL DuckDB oracles like every other registered
+  * query — not by restating the hash functions (MinHash's signature loop
+  * uses xxhash64; SimHash uses a portable polynomial family) but because
+  * each near-dup oracle states the EXHAUSTIVE O(n²) answer, which is
+  * hash-independent: a hash match is therefore a realized-recall proof for
+  * the candidate generator. ScalaTest additionally pins the
   * planted-near-duplicate behavior (dups must pair; disjoint docs must not).
   */
 object Dedup {
