@@ -612,6 +612,35 @@ object Similarity {
   private val PqK = 8 // codes per subspace
   private val PqIters = 2
 
+  /** Session-pinned per-subspace PQ codebooks for a corpus — trained ONCE
+    * per (session, dir) and shared by `ann_pq_adc` and `ann_ivf_pq`
+    * (identical derivation ⇒ identical codebooks, which the IVF-PQ spec
+    * asserts as metric identity on shared pairs). Re-training per
+    * invocation re-scanned the corpus 2×M times; codebooks are the
+    * canonical derive-once model state ([[graft.core.Pinned]] contract).
+    */
+  private def pqCodebooksPinned(
+      spark: SparkSession, dir: String): Seq[Seq[(Long, Array[Long])]] =
+    graft.core.Pinned.value(spark, dir, "pq_codebooks") {
+      val cached = quantized(spark, dir).filter(col("norm2") > 0)
+        .select("vec_id", "q").persist()
+      try (0 until PqM).map { m =>
+        kmeansCells(
+          cached.select(
+            col("vec_id"), expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q")),
+          PqK, PqIters)._2
+      } finally cached.unpersist(blocking = false)
+    }
+
+  /** Session-pinned coarse (full-vector) centroids for `ann_ivf_pq`. */
+  private def ivfPqCoarsePinned(
+      spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    graft.core.Pinned.value(spark, dir, "ivf_pq_coarse") {
+      kmeansCells(
+        quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q"),
+        KmeansK, KmeansIters)._2
+    }
+
   /** Product quantization with asymmetric distance (PQ-ADC) — the FAISS-
     * style FINE quantizer complementing the IVF coarse quantizer: each
     * 64-dim vector splits into [[PqM]] subspaces, a per-subspace k-means
@@ -696,16 +725,10 @@ object Similarity {
          |      FROM total)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
       val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
-      val cached = base.persist()
-      try {
-        // train: per-subspace Lloyd over the slice (driver-held centroids)
-        val centsPerSub: Seq[Seq[(Long, Array[Long])]] = (0 until PqM).map { m =>
-          val sub = cached.select(
-            col("vec_id"), expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q"))
-          kmeansCells(sub, PqK, PqIters)._2
-        }
+      locally {
+        val centsPerSub = pqCodebooksPinned(spark, dir)
         if (centsPerSub.exists(_.isEmpty)) {
-          cached.select(
+          base.select(
             col("vec_id").as("query_id"), col("vec_id").as("cand_id"),
             lit(0L).as("approx_dist"), lit(0).as("rnk")).limit(0)
         } else {
@@ -721,8 +744,8 @@ object Similarity {
             }
             array_min(array(dists: _*)).getField("cell").as(s"c$m")
           }
-          val codes = cached.select(col("vec_id") +: codeCols: _*)
-          val queries = cached.filter(col("vec_id") < 5)
+          val codes = base.select(col("vec_id") +: codeCols: _*)
+          val queries = base.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("q").as("qa"))
           // ADC: broadcast the query batch; per-(m, code) centroid via a
           // literal map so a vanished cell can never silently read nulls
@@ -749,7 +772,7 @@ object Similarity {
               col("query_id"), col("vec_id").as("cand_id"),
               col("approx_dist"), col("rnk"))
         }
-      } finally cached.unpersist(blocking = false)
+      }
     }
   }
 
@@ -853,16 +876,11 @@ object Similarity {
          |      FROM total)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
       val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
-      val cached = base.persist()
-      try {
-        val coarseCents = kmeansCells(cached, KmeansK, KmeansIters)._2
-        val centsPerSub: Seq[Seq[(Long, Array[Long])]] = (0 until PqM).map { m =>
-          val sub = cached.select(
-            col("vec_id"), expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q"))
-          kmeansCells(sub, PqK, PqIters)._2
-        }
+      locally {
+        val coarseCents = ivfPqCoarsePinned(spark, dir)
+        val centsPerSub = pqCodebooksPinned(spark, dir)
         if (coarseCents.isEmpty || centsPerSub.exists(_.isEmpty)) {
-          cached.select(
+          base.select(
             col("vec_id").as("query_id"), col("vec_id").as("cell"),
             col("vec_id").as("cand_id"), lit(0L).as("approx_dist"),
             lit(0).as("rnk")).limit(0)
@@ -880,13 +898,13 @@ object Similarity {
             }
             array_min(array(dists: _*)).getField("cell").as(s"c$m")
           }
-          val indexed = cached.select(
+          val indexed = base.select(
             col("vec_id") +: assignExpr(coarseCents).as("cell") +: codeCols: _*)
           // probe: KmeansProbes nearest coarse centroids, exact integer dist
           val distStructs = coarseCents.map { case (cell, c) =>
             struct(subDist(col("qa"), c).as("dist"), lit(cell).as("cell"))
           }
-          val queries = cached.filter(col("vec_id") < 5)
+          val queries = base.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("q").as("qa"))
             .withColumn("cell",
               explode(slice(sort_array(array(distStructs: _*)), 1, KmeansProbes).getField("cell")))
@@ -911,7 +929,7 @@ object Similarity {
               col("query_id"), col("cell"), col("vec_id").as("cand_id"),
               col("approx_dist"), col("rnk").cast("int").as("rnk"))
         }
-      } finally cached.unpersist(blocking = false)
+      }
     }
   }
 
