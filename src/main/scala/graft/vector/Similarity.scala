@@ -933,8 +933,98 @@ object Similarity {
     }
   }
 
+  /** Model-apply AT INGEST: embeddings arrive as a stream and are encoded
+    * to their PQ codes row-locally against the session's pinned codebooks
+    * (trained offline on the batch corpus — the standard train-offline /
+    * apply-in-flight split). The encode is a STATELESS streaming map: M
+    * argmins over literal centroids per row, no state store, no shuffle —
+    * the shape that keeps a vector index current under continuous ingest
+    * at any rate (each micro-batch costs one linear pass). Run over the
+    * same corpus it must emit exactly the batch encoder's code table,
+    * which the oracle replays from the raw embeddings (training included).
+    */
+  val streamingPqEncode: QueryDef = {
+    val distSql =
+      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    def assign(from: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT vec_id, q, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val trainCtes = (0 until PqM).map { m =>
+      val off = m * PqSub + 1
+      s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
+         |c${m}0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM s$m ORDER BY vec_id LIMIT $PqK)),
+         |${assign(s"s$m", s"c${m}0", s"a${m}1")},
+         |${update(s"a${m}1", s"c${m}1")},
+         |${assign(s"s$m", s"c${m}1", s"a${m}2")},
+         |${update(s"a${m}2", s"c${m}2")},
+         |code$m AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM s$m z, c${m}2 c))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    QueryDef(
+      "streaming_pq_encode",
+      s"""WITH q0 AS (
+         |  SELECT vec_id, $qvecSql AS q,
+         |         ${dotSql(qvecSql, qvecSql)} AS norm2
+         |  FROM embeddings),
+         |nz AS (SELECT vec_id, q FROM q0 WHERE norm2 > 0),
+         |dims AS (SELECT unnest(range(1, ${PqSub + 1})) AS p),
+         |${trainCtes.mkString(",\n")}
+         |SELECT nz.vec_id,
+         |  code0.cell AS c0, code1.cell AS c1, code2.cell AS c2, code3.cell AS c3
+         |FROM nz
+         |JOIN code0 ON code0.vec_id = nz.vec_id
+         |JOIN code1 ON code1.vec_id = nz.vec_id
+         |JOIN code2 ON code2.vec_id = nz.vec_id
+         |JOIN code3 ON code3.vec_id = nz.vec_id""".stripMargin) { (spark, dir) =>
+      // model trained (or fetched) on the BATCH session's pinned registry
+      val centsPerSub = pqCodebooksPinned(spark, dir)
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.Streams.readTableStream(sess, dir, "embeddings")
+      def subDist(vec: org.apache.spark.sql.Column, cent: Array[Long]) =
+        aggregate(
+          zip_with(vec, typedLit(cent.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      val codeCols = (0 until PqM).map { m =>
+        val dists = centsPerSub(m).map { case (cell, c) =>
+          struct(
+            subDist(expr(s"slice(q, ${m * PqSub + 1}, $PqSub)"), c).as("dist"),
+            lit(cell).as("cell"))
+        }
+        array_min(array(dists: _*)).getField("cell").as(s"c$m")
+      }
+      val codes = stream
+        .selectExpr("vec_id", s"$qvec AS q")
+        .withColumn("norm2", VectorFunctions.longDot(col("q"), col("q")))
+        .filter(col("norm2") > 0)
+        .select(col("vec_id") +: codeCols: _*)
+      val table = s"graft_streaming_pq_${System.nanoTime()}"
+      graft.streaming.Streams.runAvailableNowToMemory(
+        sess, codes, table, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
-      annIvfPq, embeddingLshNearDup, embeddingQuantizeInt8, embeddingGramMatrix,
-      labelCentroidCosine)
+      annIvfPq, streamingPqEncode, embeddingLshNearDup, embeddingQuantizeInt8,
+      embeddingGramMatrix, labelCentroidCosine)
 }
