@@ -92,6 +92,19 @@ object Bench {
     // 5s/27s/32s under a contention burst that isolation can't reproduce).
     // Pass 1 doubles as JIT/codegen warmup; the recorded per-query spread
     // makes any residual interference visible instead of silent.
+    // HOST CALIBRATION: a fixed synthetic CPU-bound job (no IO, no data
+    // dependence) timed before the suite — round-over-round totals have
+    // been observed to inflate ~1.3-1.5x uniformly across untouched
+    // queries purely from host speed, so the record carries its own
+    // yardstick: compare total/calib across rounds, not raw totals.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = (1 to 3).map(_ => calibrate()).sorted.apply(1)
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // successful run times only; thrown runs are counted in errsByName
     var runsByName: Map[String, Seq[Double]] = names.map(n => n -> Seq.empty[Double]).toMap
@@ -166,7 +179,7 @@ object Bench {
         ",\"runs\":[" + rs.map(fmt).mkString(",") + "]" + err + flaky + pinned + spreadNote + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3_to_8","n_queries":${results.size},"n_failed":${failed.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3_to_8","n_queries":${results.size},"n_failed":${failed.size},"calib_sec":${fmt(calib)},"queries":$detail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()
@@ -175,7 +188,7 @@ object Bench {
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"calib_sec":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
