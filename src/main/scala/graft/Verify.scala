@@ -58,9 +58,13 @@ object Verify {
     // full run's errors.json): carry forward prior entries for unselected
     // queries, replace only what this run executed.
     val errPath = Paths.get(s"$outDir/errors.json")
+    // Try: a truncated or hand-edited errors.json must degrade to carrying
+    // nothing forward, not abort the subset run before any output is written
     val carried: Map[String, String] =
       if (only.isDefined && Files.exists(errPath))
-        parseStringMap(Files.readString(errPath)).filter(kv => !selected(kv._1))
+        scala.util.Try(parseStringMap(Files.readString(errPath)))
+          .getOrElse(Map.empty)
+          .filter(kv => !selected(kv._1))
       else Map.empty
     val errJson = (carried ++ errors).map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
@@ -77,11 +81,12 @@ object Verify {
     var i = 0
     def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     def readString(): String = {
-      require(s(i) == '"', s"expected quote at $i"); i += 1
+      require(i < s.length && s(i) == '"', s"expected quote at $i"); i += 1
       val sb = new StringBuilder
-      while (s(i) != '"') {
+      while (i < s.length && s(i) != '"') {
         if (s(i) == '\\') {
           i += 1
+          require(i < s.length, s"truncated escape at $i")
           s(i) match {
             case '"'  => sb += '"'
             case '\\' => sb += '\\'
@@ -94,14 +99,15 @@ object Verify {
         } else sb += s(i)
         i += 1
       }
+      require(i < s.length, "truncated string (missing closing quote)")
       i += 1
       sb.toString
     }
-    skipWs(); require(s(i) == '{', "expected object"); i += 1
+    skipWs(); require(i < s.length && s(i) == '{', "expected object"); i += 1
     skipWs()
     while (i < s.length && s(i) != '}') {
       val k = readString()
-      skipWs(); require(s(i) == ':', s"expected colon at $i"); i += 1; skipWs()
+      skipWs(); require(i < s.length && s(i) == ':', s"expected colon at $i"); i += 1; skipWs()
       val v = readString()
       out(k) = v
       skipWs()

@@ -44,9 +44,13 @@ import scala.collection.concurrent.TrieMap
 object MemTables {
 
   /** One committed write batch: the rows plus the schema they were encoded
-    * under (the InternalRow decode contract for those rows, forever).
+    * under (the InternalRow decode contract for those rows, forever), plus
+    * the table's alter-version at commit time — the tombstone clock that
+    * keeps a DROP COLUMN + re-ADD of the same name from resurrecting
+    * pre-drop values (Iceberg resolves this with field ids; a name-based
+    * projection needs the version tag instead).
     */
-  final case class TaggedBatch(schema: StructType, rows: Array[InternalRow])
+  final case class TaggedBatch(schema: StructType, version: Long, rows: Array[InternalRow])
 
   /** Committed contents of one table: current (evolvable) schema +
     * committed task batches, each tagged with its write-time schema.
@@ -55,6 +59,13 @@ object MemTables {
     @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; replaced wholesale on truncate
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
+    // monotone alter counter; bumped once per ALTER TABLE
+    @volatile var version: Long = 0L
+    // column name -> version at which it was (last) dropped. A batch whose
+    // writeVersion <= droppedAt(name) predates that drop, so its same-name
+    // field must NOT satisfy a later re-added column (it reads NULL) — the
+    // re-added column is a NEW field that merely reuses the name.
+    @volatile var droppedAt: Map[String, Long] = Map.empty
   }
 
   private val tables = TrieMap.empty[String, State]
@@ -71,12 +82,21 @@ object MemTables {
   def drop(key: String): Boolean = tables.remove(key).isDefined
 
   /** Metadata-only schema swap (ALTER TABLE): committed batches are left
-    * untouched and keep their write-time schema tags.
+    * untouched and keep their write-time schema tags. Columns present in
+    * the old schema but absent from the new one are tombstoned at the new
+    * version, so a later re-ADD of the same name starts a fresh field
+    * (pre-drop batches read NULL for it) instead of resurrecting old data.
     */
   def alterSchema(key: String, newSchema: StructType): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-alter"))
-    st.synchronized { st.schema = newSchema }
+    st.synchronized {
+      st.version += 1
+      val dropped = st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet
+      if (dropped.nonEmpty)
+        st.droppedAt = st.droppedAt ++ dropped.map(_ -> st.version)
+      st.schema = newSchema
+    }
   }
 
   /** Atomic publish of one write's committed task batches, tagged with the
@@ -92,7 +112,7 @@ object MemTables {
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
       st.batches = (if (truncate) Vector.empty else st.batches) ++
-        batches.map(TaggedBatch(writeSchema, _))
+        batches.map(TaggedBatch(writeSchema, st.version, _))
     }
   }
 }
@@ -126,23 +146,32 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
     // snapshot at planning: a concurrent commit lands in the NEXT query
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    val droppedAt = st.droppedAt
     // Every batch is read through a by-NAME projection into the scan-bound
     // schema (schema evolution: columns added after a batch was written
-    // read as null; columns dropped are skipped). A same-name field whose
-    // dataType differs is NOT projectable — decoding those bytes under the
-    // scan's type would read garbage (the drop+recreate hazard) — so fail
-    // loudly at PLANNING time, before any executor touches a row.
+    // read as null; columns dropped are skipped). A batch field whose name
+    // was DROPPED after the batch was committed is hidden from the
+    // projection: a column re-ADDed under that name is a new field, and
+    // pre-drop batches must surface NULL for it, not their stale bytes. A
+    // surviving same-name field whose dataType differs is NOT projectable —
+    // decoding those bytes under the scan's type would read garbage (the
+    // drop+recreate hazard) — so fail loudly at PLANNING time, before any
+    // executor touches a row.
+    def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
+      b.schema.fieldNames.iterator
+        .filter(n => droppedAt.get(n).exists(_ >= b.version)).toSet
     st.batches.foreach { b =>
+      val hidden = hiddenIn(b)
       tableSchema.fields.foreach { f =>
         val i = b.schema.fieldNames.indexOf(f.name)
-        if (i >= 0 && b.schema.fields(i).dataType != f.dataType)
+        if (i >= 0 && !hidden.contains(f.name) && b.schema.fields(i).dataType != f.dataType)
           throw new IllegalStateException(
             s"mem table $key: column ${f.name} was written as " +
               s"${b.schema.fields(i).dataType.simpleString} but the scan is bound to " +
               s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
       }
     }
-    st.batches.map(b => MemPartition(b.schema, b.rows): InputPartition).toArray
+    st.batches.map(b => MemPartition(b.schema, hiddenIn(b), b.rows): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -151,11 +180,14 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
         val rows = p.rows
-        val sameLayout =
+        val sameLayout = p.hidden.isEmpty &&
           p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
             target.fields.map(f => (f.name, f.dataType)).toSeq
-        // by-name source ordinal per target field; -1 = not present (null)
-        val srcIdx = target.fields.map(f => p.batchSchema.fieldNames.indexOf(f.name))
+        // by-name source ordinal per target field; -1 = not present (null);
+        // tombstone-hidden fields (dropped after this batch was written,
+        // possibly re-added since) are unmatchable — they read as null
+        val srcIdx = target.fields.map(f =>
+          if (p.hidden.contains(f.name)) -1 else p.batchSchema.fieldNames.indexOf(f.name))
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
         }
@@ -183,9 +215,12 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
 
 /** Rows travel inside the partition — serializable, so the read path is
   * correct on a real cluster, not just local mode — along with the schema
-  * they were written under (the decode contract for the projection).
+  * they were written under (the decode contract for the projection) and the
+  * names tombstoned out of this batch (dropped after it was written; they
+  * must not satisfy a later re-added column of the same name).
   */
-final case class MemPartition(batchSchema: StructType, rows: Array[InternalRow])
+final case class MemPartition(
+    batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow])
     extends InputPartition
 
 final class MemWriteBuilder(key: String, writeSchema: StructType)

@@ -318,8 +318,52 @@ object Roundtrips {
     spark.table(tbl).select(col("gen"), col("nation"), col("n_cust"), col("cents"))
   }
 
+  /** DROP COLUMN followed by re-ADD of the SAME name — the tombstone case:
+    * the re-added column is a NEW field that reuses the name, so rows
+    * written before the drop must read NULL for it (never their stale
+    * pre-drop values), while rows appended after the re-add carry the new
+    * values. [[MemTables]] implements this with per-batch alter-version
+    * tags plus a dropped-name tombstone map — the name-based equivalent of
+    * Iceberg field ids; metadata-only, no batch rewrite. Gen 1 writes
+    * `score = n_cust * 7`, the drop+re-add discards that field, gen 2
+    * writes `score = cents`; the oracle asserts gen-1 score IS NULL.
+    */
+  val dsv2DropReadd: QueryDef = QueryDef(
+    "dsv2_drop_readd",
+    """WITH c AS (
+      |  SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1)
+      |SELECT 1 AS gen, nation, n_cust, CAST(NULL AS BIGINT) AS score FROM c
+      |UNION ALL
+      |SELECT 2 AS gen, nation, n_cust, cents AS score FROM c""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_nation_drop_readd"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT, score BIGINT)")
+    val perNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(Num.cents(col("c_acctbal"))).as("cents"))
+    perNation
+      .select(lit(1).as("gen"), col("nation"), col("n_cust"),
+        (col("n_cust") * 7).as("score"))
+      .writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (score BIGINT)")
+    perNation
+      .select(lit(2).as("gen"), col("nation"), col("n_cust"),
+        col("cents").as("score"))
+      .writeTo(tbl).append()
+    spark.table(tbl)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
-      dsv2MemWriteRoundtrip, dsv2AlterEvolution)
+      dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd)
 }

@@ -353,9 +353,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
   /** Schema evolution for mem tables: ADD COLUMNS (top-level, appended,
     * nullable) and DROP COLUMN are metadata-only swaps — committed batches
     * keep their write-time schema and scans project by name (see
-    * [[MemTables]]). Rename and type-change are rejected: the by-name
-    * projection has no field ids to track a rename through, and retyping
-    * bytes in place would decode garbage.
+    * [[MemTables]]). A DROP tombstones the name at the table's alter
+    * version, so re-ADDing it later creates a NEW field: pre-drop batches
+    * read NULL for it instead of resurrecting their stale values (the
+    * name-based equivalent of Iceberg's field-id semantics). Rename and
+    * type-change are rejected: the by-name projection has no field ids to
+    * track a rename through, and retyping bytes in place would decode
+    * garbage.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): CTable = {
     if (Pattern.matches(ident.name()))

@@ -99,6 +99,11 @@ object Dedup {
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
+  /** Bands in the LSH banding scheme — public so state-size bounds in specs
+    * derive from the scheme (≤ one bucket per band per in-horizon doc)
+    * instead of hard-coding the current 16/4 split.
+    */
+  val NumBands: Int = NumHashes / BandSize
 
   /** doc_id + shingle array + minhash signature array (length [[NumHashes]]):
     * one codegen'd pass over the shingles via

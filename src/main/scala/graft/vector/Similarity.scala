@@ -997,6 +997,14 @@ object Similarity {
          |JOIN code3 ON code3.vec_id = nz.vec_id""".stripMargin) { (spark, dir) =>
       // model trained (or fetched) on the BATCH session's pinned registry
       val centsPerSub = pqCodebooksPinned(spark, dir)
+      // same degenerate-corpus guard as ann_pq_adc / ann_ivf_pq: with no
+      // nonzero vectors every subspace codebook is empty and array() of
+      // zero struct columns would fail analysis — return the empty frame
+      if (centsPerSub.exists(_.isEmpty)) {
+        quantized(spark, dir).select(
+          col("vec_id"), lit(0L).as("c0"), lit(0L).as("c1"),
+          lit(0L).as("c2"), lit(0L).as("c3")).limit(0)
+      } else {
       val sess = spark.newSession()
       sess.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = graft.streaming.Streams.readTableStream(sess, dir, "embeddings")
@@ -1020,6 +1028,7 @@ object Similarity {
       val table = s"graft_streaming_pq_${System.nanoTime()}"
       graft.streaming.Streams.runAvailableNowToMemory(
         sess, codes, table, org.apache.spark.sql.streaming.OutputMode.Append())
+      }
     }
   }
 

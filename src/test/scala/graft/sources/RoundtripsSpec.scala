@@ -200,6 +200,34 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: DROP then re-ADD of a name does not resurrect pre-drop values") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_tombstone_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 100L)).toDF("k", "v").writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (v BIGINT)")
+    Seq((2L, 200L)).toDF("k", "v").writeTo(tbl).append()
+    // the re-added v is a NEW field: the pre-drop batch's same-name, same-
+    // type values must read NULL, not surface stale 100L (Iceberg field-id
+    // semantics via per-batch version tags + the tombstone map)
+    assert(spark.table(tbl).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq === Seq((1L, -1L), (2L, 200L)))
+    // re-add under a DIFFERENT type: the pre-drop batch's bytes must not be
+    // decoded as the new type either — tombstoned fields skip the planning
+    // type check and read NULL
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (v STRING)")
+    Seq((3L, "s3")).toDF("k", "v").writeTo(tbl).append()
+    assert(spark.table(tbl).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+      .sorted.toSeq === Seq((1L, "-"), (2L, "-"), (3L, "s3")))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty

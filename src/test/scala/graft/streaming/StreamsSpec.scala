@@ -326,13 +326,17 @@ class StreamsSpec extends SparkSpec {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
 
+      // 1 s TTL with 5 s inter-generation gaps: the 5x margin keeps a slow
+      // generation run on a loaded host from pushing its own batch
+      // timestamp past the horizon (flaky-eviction hazard with a 2.5 s gap)
       val shortTtl = java.time.Duration.ofSeconds(1)
+      val gapMs = 5000L
       // generation 1: two near-dups — pair within the horizon
       writeGen(Seq(1L -> base, 2L -> base.replace("quiet garden", "silent yard")), "g1")
       val gen1 = run("cp_ttl", "out_ttl", shortTtl)
       assert(gen1.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
 
-      Thread.sleep(2500) // let generation-1 bucket elements expire
+      Thread.sleep(gapMs) // let generation-1 bucket elements expire
 
       // generation 2: doc 11 is an EXACT copy of doc 1 (guaranteed shared
       // buckets if unexpired) and 12 a near-dup of 11
@@ -351,13 +355,15 @@ class StreamsSpec extends SparkSpec {
       // store, leaving only the lone gen-3 doc's buckets (≤ one bucket per
       // band). Without eviction the store would hold every bucket ever
       // touched and this count would grow monotonically.
-      Thread.sleep(2500)
+      Thread.sleep(gapMs)
       writeGen(Seq(21L -> "an entirely different closing paragraph about columnar engines and shuffle topology"), "g3")
       run("cp_ttl", "out_ttl", shortTtl)
       assert(lastStateRows >= 0, "state metrics must be reported")
       assert(lastStateRows < stateAfterGen2,
         s"expired buckets must be removed from the store ($lastStateRows vs $stateAfterGen2)")
-      assert(lastStateRows <= 4, // 4 LSH bands; one in-horizon doc ⇒ ≤ 1 bucket per band
+      // one in-horizon doc ⇒ ≤ 1 bucket per LSH band (bound derived from
+      // the banding scheme, not a literal)
+      assert(lastStateRows <= graft.text.Dedup.NumBands,
         s"state must be bounded by the in-horizon docs' buckets, got $lastStateRows")
 
       // control: LONG retention over the same corpus from a fresh checkpoint
