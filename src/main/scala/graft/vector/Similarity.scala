@@ -620,10 +620,18 @@ object Similarity {
     * canonical derive-once model state ([[graft.core.Pinned]] contract).
     */
   private def pqCodebooksPinned(
-      spark: SparkSession, dir: String): Seq[Seq[(Long, Array[Long])]] =
-    graft.core.Pinned.value(spark, dir, "pq_codebooks") {
-      val cached = quantized(spark, dir).filter(col("norm2") > 0)
-        .select("vec_id", "q").persist()
+      spark: SparkSession, dir: String,
+      sampled: Boolean = false): Seq[Seq[(Long, Array[Long])]] =
+    graft.core.Pinned.value(
+      spark, dir, if (sampled) "pq_codebooks_sample" else "pq_codebooks") {
+      // sampled = the 100 TB training regime: Lloyd iterations scan only
+      // the deterministic [[PqSampleSql]] quarter of the corpus (k-means
+      // codebooks converge on a sample; FAISS trains on ~1% at scale),
+      // while the encode pass — the part that must see every row — stays
+      // one full linear scan. `ann_pq_train_sample` pins this regime.
+      val base = quantized(spark, dir).filter(col("norm2") > 0)
+      val train = if (sampled) base.filter(col("vec_id") % PqSampleMod === 0) else base
+      val cached = train.select("vec_id", "q").persist()
       try (0 until PqM).map { m =>
         kmeansCells(
           cached.select(
@@ -631,6 +639,11 @@ object Similarity {
           PqK, PqIters)._2
       } finally cached.unpersist(blocking = false)
     }
+
+  /** Deterministic training-sample predicate for `ann_pq_train_sample`
+    * (restated verbatim in its oracle): every [[PqSampleMod]]-th vector.
+    */
+  private val PqSampleMod = 4
 
   /** Session-pinned coarse (full-vector) centroids for `ann_ivf_pq`. */
   private def ivfPqCoarsePinned(
@@ -654,15 +667,19 @@ object Similarity {
     *
     * 100 TB shape: codes are computed in ONE corpus scan against
     * driver-held centroids (M×K×sub longs — bounded model state,
-    * broadcast like MLlib model coefficients; at scale the training pass
-    * runs on a sample, the encode pass stays one linear scan) and the ADC
-    * scan joins a BROADCAST query batch against the codes table — shuffle
-    * only the per-query top-k. The DuckDB oracle replays seeding, both
-    * Lloyd iterations per subspace, code assignment, and the ADC ranking
-    * bit-for-bit (all-integer arithmetic), so the hash match proves the
-    * entire learned structure, not just the output shape.
+    * broadcast like MLlib model coefficients) and the ADC scan joins a
+    * BROADCAST query batch against the codes table — shuffle only the
+    * per-query top-k. At scale the training pass runs on a SAMPLE while
+    * the encode pass stays one full linear scan — that regime is pinned
+    * as its own gate query `ann_pq_train_sample` (`sampled = true`:
+    * Lloyd iterations see only the deterministic [[PqSampleMod]]-modulus
+    * quarter of the corpus, the oracle replays the same predicate). The
+    * DuckDB oracle replays seeding, both Lloyd iterations per subspace,
+    * code assignment, and the ADC ranking bit-for-bit (all-integer
+    * arithmetic), so the hash match proves the entire learned structure,
+    * not just the output shape.
     */
-  val annPqAdc: QueryDef = {
+  private def pqAdcQueryDef(name: String, sampled: Boolean): QueryDef = {
     val distSql =
       "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
     def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
@@ -682,13 +699,21 @@ object Similarity {
          |  GROUP BY 1)""".stripMargin
     val subCtes = (0 until PqM).map { m =>
       val off = m * PqSub + 1
-      s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
+      // sampled: the Lloyd passes (seed, a1, a2) train on t$m — the
+      // deterministic modulus sample — while code assignment scans ALL of
+      // s$m; unsampled: t$m IS s$m and the CTE is omitted
+      val trainSrc = if (sampled) s"t$m" else s"s$m"
+      val trainCte =
+        if (sampled)
+          s"\nt$m AS (SELECT vec_id, q FROM s$m WHERE vec_id % $PqSampleMod = 0),"
+        else ""
+      s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),$trainCte
          |c${m}0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM s$m ORDER BY vec_id LIMIT $PqK)),
-         |${assign(s"s$m", s"c${m}0", s"a${m}1")},
+         |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $PqK)),
+         |${assign(trainSrc, s"c${m}0", s"a${m}1")},
          |${update(s"a${m}1", s"c${m}1")},
-         |${assign(s"s$m", s"c${m}1", s"a${m}2")},
+         |${assign(trainSrc, s"c${m}1", s"a${m}2")},
          |${update(s"a${m}2", s"c${m}2")},
          |code$m AS (
          |  SELECT vec_id, cell FROM (
@@ -706,7 +731,7 @@ object Similarity {
     val partsUnion = (0 until PqM)
       .map(m => s"SELECT * FROM part$m").mkString("\n  UNION ALL ")
     QueryDef(
-      "ann_pq_adc",
+      name,
       s"""WITH q0 AS (
          |  SELECT vec_id, $qvecSql AS q,
          |         ${dotSql(qvecSql, qvecSql)} AS norm2
@@ -726,7 +751,7 @@ object Similarity {
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
       val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
       locally {
-        val centsPerSub = pqCodebooksPinned(spark, dir)
+        val centsPerSub = pqCodebooksPinned(spark, dir, sampled)
         if (centsPerSub.exists(_.isEmpty)) {
           base.select(
             col("vec_id").as("query_id"), col("vec_id").as("cand_id"),
@@ -775,6 +800,16 @@ object Similarity {
       }
     }
   }
+
+  val annPqAdc: QueryDef = pqAdcQueryDef("ann_pq_adc", sampled = false)
+
+  /** The 100 TB PQ training regime as a gate row: codebooks trained on the
+    * deterministic [[PqSampleMod]]-modulus quarter of the corpus, the full
+    * corpus encoded and ADC-ranked against them; the oracle replays the
+    * sample predicate, so the hash match proves sampled training end to
+    * end (see [[pqAdcQueryDef]]).
+    */
+  val annPqTrainSample: QueryDef = pqAdcQueryDef("ann_pq_train_sample", sampled = true)
 
   /** IVF-PQ — the composed FAISS-style index: the COARSE quantizer
     * (full-vector k-means, as `ann_ivf_kmeans`) prunes the candidate scan
@@ -1034,6 +1069,6 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
-      annIvfPq, streamingPqEncode, embeddingLshNearDup, embeddingQuantizeInt8,
-      embeddingGramMatrix, labelCentroidCosine)
+      annPqTrainSample, annIvfPq, streamingPqEncode, embeddingLshNearDup,
+      embeddingQuantizeInt8, embeddingGramMatrix, labelCentroidCosine)
 }

@@ -164,6 +164,52 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("PQ sampled training: different codebooks than full training, same recall regime") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Similarity.annPqAdc.fn(spark, dir).collect()
+    val samp = Similarity.annPqTrainSample.fn(spark, dir).collect()
+    assert(samp.nonEmpty)
+    // both run the same ADC ranking shape: 10 candidates per query
+    def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val f = byQuery(full); val s = byQuery(samp)
+    assert(s.keySet === f.keySet)
+    assert(s.values.forall(_.size == 10))
+    // the sampled Lloyd passes saw only a quarter of the corpus, so the
+    // learned structure must actually DIFFER from full training — if the
+    // approx distances were identical the query would be vacuous
+    val fullDists = full.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) -> r.getAs[Long]("approx_dist")).toMap
+    val sampDists = samp.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) -> r.getAs[Long]("approx_dist")).toMap
+    val shared = fullDists.keySet.intersect(sampDists.keySet)
+    assert(shared.exists(k => fullDists(k) != sampDists(k)) ||
+      fullDists.keySet != sampDists.keySet,
+      "sampled training produced bit-identical codebooks — sample predicate is not being applied")
+    // ...but training on a quarter must still beat random against the
+    // EXACT L2 top-10 (on unstructured noise two PQ codebooks rank almost
+    // independently of each other, so set-overlap between them is not a
+    // meaningful bar — distance to ground truth is)
+    val qd = Similarity.quantized(spark, dir)
+      .filter(col("norm2") > 0).select(col("vec_id"), col("q"))
+    val queries = qd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val exact = qd.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qa"), col("q"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10).collect()
+    val e = exact.groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recall = s.map { case (q, cs) => cs.intersect(e(q)).size.toDouble / e(q).size }.sum / s.size
+    assert(recall >= 0.04, s"sampled-training recall vs exact L2 fell to random ($recall)")
+    // deterministic replay (the pinned codebooks are keyed per regime)
+    val again = Similarity.annPqTrainSample.fn(spark, dir).collect()
+    assert(samp.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("IVF-PQ: composed index agrees with the standalone fine quantizer and prunes by cell") {
     val dir = "/root/testdata/sf0.001"
     val ivfpq = Similarity.annIvfPq.fn(spark, dir).collect()
