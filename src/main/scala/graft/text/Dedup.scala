@@ -193,6 +193,17 @@ object Dedup {
     "streaming_lsh_ingest", exhaustiveNearDupSql) { (spark, dir) =>
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
+    // Injectable state-store provider (`spark.graft.lsh.stateProvider` on
+    // the calling session: "hdfs" default | "rocksdb"). At real scale
+    // RocksDB is the right provider — state no longer bounded by executor
+    // heap — while the HDFS-backed default here is a measured GATE-SCALE
+    // optimization only (RocksDB's per-partition snapshot lifecycle costs
+    // seconds per micro-batch at this corpus size). StreamsSpec runs the
+    // candidate generator under BOTH providers and asserts identical
+    // output, so the choice is performance-only, never a semantic fork.
+    if (spark.conf.get("spark.graft.lsh.stateProvider", "hdfs") == "rocksdb")
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val docs = graft.streaming.Streams.readTableStream(sess, dir, "documents")
     val cands = graft.streaming.Streams.streamingLshCandidates(sess, docs).toDF()
     val table = s"graft_streaming_lsh_${System.nanoTime()}"

@@ -293,6 +293,66 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH: RocksDB provider emits the identical candidate set (HDFS default is perf-only)") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and the birds sing in the tall green trees above the quiet garden"
+      val docs = Seq(
+        1L -> base,
+        2L -> base.replace("quiet garden", "silent yard"),
+        3L -> "completely different words about spark shuffle partitions and broadcast joins in distributed query engines running on large clusters",
+        4L -> base,
+        5L -> "another unrelated essay on columnar storage formats page indexes bloom filters and predicate pushdown for analytic scans")
+      docs.take(3).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f1.parquet")
+      docs.drop(3).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/stream/f2.parquet")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+
+      // run the SAME multi-batch ingest under each provider; collect both
+      // the emitted pairs and the state operator's custom metrics (which
+      // prove which provider actually served the run)
+      def runWith(rocks: Boolean): (Set[(Long, Long, Int)], Set[String]) = {
+        val sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", "4")
+        if (rocks)
+          sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val streamDocs = sess.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/stream/*.parquet")
+        val name = s"lsh_provider_${if (rocks) "rocks" else "hdfs"}"
+        val q = Streams.streamingLshCandidates(sess, streamDocs).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val metricKeys = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
+          .map(_.customMetrics.keySet().toArray.map(_.toString).toSet)
+          .getOrElse(Set.empty)
+        val pairs = sess.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        (pairs, metricKeys)
+      }
+
+      val (hdfsPairs, hdfsMetrics) = runWith(rocks = false)
+      val (rocksPairs, rocksMetrics) = runWith(rocks = true)
+      // the provider swap is performance-only: bit-identical candidate sets
+      assert(hdfsPairs.nonEmpty)
+      assert(rocksPairs === hdfsPairs)
+      // and each run really used its provider (RocksDB exposes rocksdb*
+      // custom metrics; the HDFS-backed provider exposes none of them)
+      assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"RocksDB run reported no rocksdb metrics: $rocksMetrics")
+      assert(!hdfsMetrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"HDFS run unexpectedly reported rocksdb metrics: $hdfsMetrics")
+    }
+  }
+
   test("streaming LSH bucket state expires past the retention horizon") {
     withTempDir { dir =>
       import org.apache.spark.sql.types._
