@@ -55,7 +55,14 @@ object ScaleRamp {
     "graph_bfs_hops",
     "stream_stream_join",
     "knn_brute_cosine",
-    "ann_ivf_pq")
+    "ann_ivf_pq",
+    // streaming family: wall-time AND state-store rows at both scales —
+    // streaming_lsh_ingest's state must grow with the horizon's ingest
+    // (≈K× here: a static corpus all lands inside one horizon) and never
+    // faster; streaming_pq_encode must report ZERO state rows at every
+    // scale (encode-at-ingest is row-local, the claim its docstring makes)
+    "streaming_lsh_ingest",
+    "streaming_pq_encode")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =
@@ -121,6 +128,9 @@ object ScaleRamp {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val rampDir = if (args.length > 1) args(1) else "/tmp/graft_ramp"
     val k = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated subset of rampQueries to run
+    val subset = if (args.length > 3)
+      Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -136,10 +146,14 @@ object ScaleRamp {
       synthesize(spark, baseDir, rampDir, k)
     }
 
-    def timeOne(name: String, dir: String): Double = {
+    // returns (seconds, state-store rows) — state rows are -1 for batch
+    // queries (no stream ran), harvested from the final progress of any
+    // AvailableNow execution the query drove
+    def timeOne(name: String, dir: String): (Double, Long) = {
+      graft.streaming.Streams.lastStateRowsTotal.set(-1L)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, graft.streaming.Streams.lastStateRowsTotal.get)
     }
 
     // Three INTERLEAVED (base, ramp) rounds per query. Run 1 at each scale
@@ -148,18 +162,26 @@ object ScaleRamp {
     // runs 2-3) compares steady-state incremental cost — pinned-family
     // queries would otherwise report the near-free checkpoint read and hide
     // the cost that actually scales.
-    rampQueries.foreach { q =>
+    rampQueries.filter(q => subset.forall(_.contains(q))).foreach { q =>
       try {
         val pairs = (1 to 3).map(_ => (timeOne(q, baseDir), timeOne(q, rampDir)))
-        val (bs, rs) = (pairs.map(_._1), pairs.map(_._2))
+        val (bs, rs) = (pairs.map(_._1._1), pairs.map(_._2._1))
         def warm(xs: Seq[Double]): Double = xs.drop(1).sorted.apply(0)
         val (bCold, rCold) = (bs.head, rs.head)
         val (bWarm, rWarm) = (warm(bs), warm(rs))
+        // state rows from the last run at each scale (identical across
+        // runs for a deterministic AvailableNow ingest); -1 = batch query
+        val (bState, rState) = (pairs.last._1._2, pairs.last._2._2)
+        val stateJson =
+          if (bState >= 0 || rState >= 0)
+            s""","base_state_rows":$bState,"ramp_state_rows":$rState""" +
+              s""","state_factor":${fmt(rState.toDouble / math.max(bState.toDouble, 1.0))}"""
+          else ""
         println(
           s"""{"q":"$q","base_cold":${fmt(bCold)},"ramp_cold":${fmt(rCold)},""" +
             s""""cold_factor":${fmt(rCold / math.max(bCold, 1e-9))},""" +
             s""""base_warm":${fmt(bWarm)},"ramp_warm":${fmt(rWarm)},""" +
-            s""""warm_factor":${fmt(rWarm / math.max(bWarm, 1e-9))}}""")
+            s""""warm_factor":${fmt(rWarm / math.max(bWarm, 1e-9))}$stateJson}""")
       } catch {
         case e: Throwable =>
           println(s"""{"q":"$q","err":"${e.getClass.getName}"}""")

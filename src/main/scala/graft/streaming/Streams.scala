@@ -661,6 +661,15 @@ object Streams {
     * data (AvailableNow) into an in-memory table; returns the result. Used by
     * tests and demos — production would use a durable sink + real trigger.
     */
+  /** State-store telemetry from the most recent [[runAvailableNowToMemory]]
+    * run: total `numRowsTotal` across state operators in the final
+    * progress, -1 when none ran. Read by the scale ramp to measure how
+    * streaming state grows with data volume (stateless queries like
+    * `streaming_pq_encode` must report 0; stateful ones must grow with the
+    * horizon's ingest).
+    */
+  val lastStateRowsTotal = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def runAvailableNowToMemory(
       spark: SparkSession,
       streamed: DataFrame,
@@ -673,6 +682,9 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastStateRowsTotal.set(
+      Option(q.lastProgress)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L))
     spark.table(queryName)
   }
 
