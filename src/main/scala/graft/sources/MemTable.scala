@@ -50,22 +50,46 @@ object MemTables {
     * pre-drop values (Iceberg resolves this with field ids; a name-based
     * projection needs the version tag instead).
     */
-  final case class TaggedBatch(schema: StructType, version: Long, rows: Array[InternalRow])
+  final case class TaggedBatch(
+      schema: StructType, version: Long, rows: Array[InternalRow],
+      removedAt: Long = Long.MaxValue)
+
+  /** One point of the table's metadata timeline, written on create and on
+    * every ALTER: the schema in force from `version` onward and the
+    * tombstone map as of that version — what a `VERSION AS OF` read binds
+    * to.
+    */
+  final case class SchemaAt(version: Long, schema: StructType, droppedAt: Map[String, Long])
 
   /** Committed contents of one table: current (evolvable) schema +
     * committed task batches, each tagged with its write-time schema.
+    *
+    * VERSION CLOCK: `version` increments on every COMMIT and every ALTER,
+    * giving each table state a snapshot id. Nothing is ever physically
+    * deleted before DROP TABLE: truncate (INSERT OVERWRITE) marks the live
+    * batches `removedAt = version` instead of discarding them, and alters
+    * append to `history` — so `VERSION AS OF v` reads are exact replays
+    * (batches with `version <= v < removedAt`, metadata from the newest
+    * history entry `<= v`). This is the Iceberg/Delta snapshot model:
+    * commits create snapshots, old snapshots stay readable until expired
+    * (no expiry here — gate-sized tables; a real table format ages
+    * snapshots out by retention, which only ever DELETES timeline, never
+    * changes the read semantics).
     */
   final class State(initialSchema: StructType) {
     @volatile var schema: StructType = initialSchema
-    // committed batches, append-ordered; replaced wholesale on truncate
+    // committed batches, append-ordered; truncate soft-deletes via removedAt
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
-    // monotone alter counter; bumped once per ALTER TABLE
+    // monotone snapshot counter; bumped once per commit AND per alter
     @volatile var version: Long = 0L
     // column name -> version at which it was (last) dropped. A batch whose
     // writeVersion <= droppedAt(name) predates that drop, so its same-name
     // field must NOT satisfy a later re-added column (it reads NULL) — the
     // re-added column is a NEW field that merely reuses the name.
     @volatile var droppedAt: Map[String, Long] = Map.empty
+    // metadata timeline, append-only, seeded with the create-time schema
+    @volatile var history: Vector[SchemaAt] =
+      Vector(SchemaAt(0L, initialSchema, Map.empty))
   }
 
   private val tables = TrieMap.empty[String, State]
@@ -96,6 +120,7 @@ object MemTables {
       if (dropped.nonEmpty)
         st.droppedAt = st.droppedAt ++ dropped.map(_ -> st.version)
       st.schema = newSchema
+      st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt)
     }
   }
 
@@ -111,42 +136,65 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
-      st.batches = (if (truncate) Vector.empty else st.batches) ++
-        batches.map(TaggedBatch(writeSchema, st.version, _))
+      st.version += 1
+      // truncate is a SOFT delete: the replaced batches stay readable
+      // through VERSION AS OF reads older than this commit
+      val prior =
+        if (truncate)
+          st.batches.map(b =>
+            if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
+        else st.batches
+      st.batches = prior ++ batches.map(TaggedBatch(writeSchema, st.version, _))
     }
   }
 }
 
-final class MemTable(key: String, tableSchema: StructType)
+/** `asOf`: a pinned snapshot version for `VERSION AS OF` reads (None =
+  * current). A pinned table is read-only — writing "into the past" has no
+  * defined snapshot semantics in any table format.
+  */
+final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = key
+  override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new MemScan(key, tableSchema)
+      override def build(): Scan = new MemScan(key, tableSchema, asOf)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (asOf.isDefined)
+      throw new UnsupportedOperationException(
+        s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
     new MemWriteBuilder(key, info.schema())
+  }
 }
 
-final class MemScan(key: String, tableSchema: StructType) extends Scan with Batch {
+final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftMemScan $key"
+  override def description(): String =
+    s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot at planning: a concurrent commit lands in the NEXT query
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    val droppedAt = st.droppedAt
+    // metadata as of the pinned snapshot (tombstones must not "see the
+    // future": a drop AFTER version v is invisible to an AS OF v read)
+    val droppedAt = asOf match {
+      case Some(v) => st.history.filter(_.version <= v).last.droppedAt
+      case None => st.droppedAt
+    }
     // Every batch is read through a by-NAME projection into the scan-bound
     // schema (schema evolution: columns added after a batch was written
     // read as null; columns dropped are skipped). A batch field whose name
@@ -160,7 +208,14 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
     def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
       b.schema.fieldNames.iterator
         .filter(n => droppedAt.get(n).exists(_ >= b.version)).toSet
-    st.batches.foreach { b =>
+    // snapshot visibility: a batch exists in AS OF v iff committed at or
+    // before v and not truncated at or before v; a current read sees the
+    // never-removed batches
+    val visible = asOf match {
+      case Some(v) => st.batches.filter(b => b.version <= v && b.removedAt > v)
+      case None => st.batches.filter(_.removedAt == Long.MaxValue)
+    }
+    visible.foreach { b =>
       val hidden = hiddenIn(b)
       tableSchema.fields.foreach { f =>
         val i = b.schema.fieldNames.indexOf(f.name)
@@ -171,7 +226,7 @@ final class MemScan(key: String, tableSchema: StructType) extends Scan with Batc
               s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
       }
     }
-    st.batches.map(b => MemPartition(b.schema, hiddenIn(b), b.rows): InputPartition).toArray
+    visible.map(b => MemPartition(b.schema, hiddenIn(b), b.rows): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

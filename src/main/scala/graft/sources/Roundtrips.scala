@@ -362,8 +362,66 @@ object Roundtrips {
     spark.table(tbl)
   }
 
+  /** TIME TRAVEL (`VERSION AS OF`) through the DSv2 catalog — the
+    * lakehouse snapshot-read surface: every commit and alter bumps the
+    * table's version; truncate (INSERT OVERWRITE) soft-deletes, so old
+    * snapshots stay exact replays. The sequence here is create (v0) →
+    * append gen 1 (v1) → ALTER ADD COLUMNS cents (v2) → append gen 2 (v3)
+    * → INSERT OVERWRITE gen 3 (v4); the query reads AS OF 1 (pre-alter
+    * SCHEMA — no cents column exists to select), AS OF 3 (both
+    * generations, gen-1 cents NULL), and current (the overwrite only).
+    * The oracle restates all three snapshots from the base tables — a
+    * wrong visibility rule (overwrite leaking into AS OF 3, gen 2 leaking
+    * into AS OF 1, stale rows in current) breaks the hash.
+    */
+  val dsv2TimeTravel: QueryDef = QueryDef(
+    "dsv2_time_travel",
+    """WITH c AS (
+      |  SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1)
+      |SELECT 1 AS snap, 1 AS gen, nation, n_cust, CAST(NULL AS BIGINT) AS cents FROM c
+      |UNION ALL
+      |SELECT 3 AS snap, 1 AS gen, nation, n_cust, CAST(NULL AS BIGINT) AS cents FROM c
+      |UNION ALL
+      |SELECT 3 AS snap, 2 AS gen, nation, n_cust, cents FROM c
+      |UNION ALL
+      |SELECT 4 AS snap, 3 AS gen, nation, n_cust, cents * 2 AS cents FROM c""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_nation_time_travel"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT)") // v0
+    val perNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(Num.cents(col("c_acctbal"))).as("cents"))
+    perNation
+      .select(lit(1).as("gen"), col("nation"), col("n_cust"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (cents BIGINT)") // v2
+    perNation
+      .select(lit(2).as("gen"), col("nation"), col("n_cust"), col("cents"))
+      .writeTo(tbl).append() // v3
+    perNation
+      .select(lit(3).as("gen"), col("nation"), col("n_cust"),
+        (col("cents") * 2).as("cents"))
+      .createOrReplaceTempView("tt_overwrite_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM tt_overwrite_src") // v4
+    spark.sql(
+      s"""SELECT 1 AS snap, gen, nation, n_cust, CAST(NULL AS BIGINT) AS cents
+         |FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 3 AS snap, gen, nation, n_cust, cents FROM $tbl VERSION AS OF 3
+         |UNION ALL
+         |SELECT 4 AS snap, gen, nation, n_cust, cents FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
-      dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd)
+      dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel)
 }

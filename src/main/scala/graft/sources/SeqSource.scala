@@ -331,6 +331,31 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
         .getOrElse(throw new NoSuchTableException(ident.asInstanceOf[Identifier]))
   }
 
+  /** Time travel (`VERSION AS OF v`): resolve a mem table to a read-only
+    * pinned snapshot — batches with `version <= v < removedAt`, metadata
+    * from the newest timeline entry `<= v` (see [[MemTables.State]]).
+    * Versions are the table's own commit/alter counter, so they are
+    * deterministic per DDL/DML sequence.
+    */
+  override def loadTable(ident: Identifier, version: String): CTable = {
+    if (Pattern.matches(ident.name()))
+      throw new UnsupportedOperationException(
+        "seq_<n> tables are generated and have no version history")
+    val key = memKey(ident)
+    val st = MemTables.get(key)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"mem table versions are numeric commit/alter ids, got '$version'")
+    }
+    if (v < 0 || v > st.version)
+      throw new IllegalArgumentException(
+        s"version $v does not exist for mem table $key (current: ${st.version})")
+    val schemaAt = st.history.filter(_.version <= v).last.schema
+    new MemTable(key, schemaAt, asOf = Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     Pattern.matches(ident.name()) || MemTables.get(memKey(ident)).isDefined
 

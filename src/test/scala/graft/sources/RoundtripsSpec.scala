@@ -228,6 +228,46 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: VERSION AS OF pins snapshots across append, alter, and overwrite") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_tt_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)") // v0
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)") // v2
+    Seq((2L, "b", 20L)).toDF("k", "v", "n").writeTo(tbl).append() // v3
+    Seq((9L, "z", 90L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("tt_spec_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM tt_spec_src") // v4
+
+    // v0: the empty created table
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 0").count() === 0)
+    // v1: pre-alter SCHEMA (no n column) and only the first append
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(v1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+    // v3: both generations, gen-1 n is NULL; the later overwrite invisible
+    val v3 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    assert(v3.toSeq === Seq((1L, -1L), (2L, 20L)))
+    // current: the overwrite only (soft-deleted batches stay invisible)
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // snapshots are read-only; nonexistent / non-numeric versions fail loudly
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $tbl VERSION AS OF 1 VALUES (3, 'c', 1)")
+    }
+    intercept[Exception](spark.sql(s"SELECT * FROM $tbl VERSION AS OF 99").collect())
+    intercept[Exception](spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'x'").collect())
+    // a DROPPED column is still readable at pre-drop versions (timeline
+    // metadata, not current tombstones, binds the snapshot)
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN n") // v5
+    assert(spark.sql(s"SELECT n FROM $tbl VERSION AS OF 3").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq === Seq(-1L, 20L))
+    assert(!spark.table(tbl).schema.fieldNames.contains("n"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
