@@ -420,8 +420,70 @@ object Roundtrips {
          |SELECT 4 AS snap, gen, nation, n_cust, cents FROM $tbl""".stripMargin)
   }
 
+  /** The CATALOG-NATIVE form of `snapshot_diff`: instead of two derived
+    * frames standing in for table generations, the generations ARE table
+    * versions — snapshot A is appended (v1), snapshot B replaces it via
+    * INSERT OVERWRITE (v2), and the diff full-outer-joins `VERSION AS OF
+    * 1` against the current table. Same added/removed/changed/unchanged
+    * classification and exact-cents net delta as `snapshot_diff`, same
+    * oracle restated from `orders` — so the hash match proves the time-
+    * travel read returns exactly the pre-overwrite generation. This is the
+    * shape a lakehouse incremental audit takes: diff two snapshot ids of
+    * ONE table, no side copies. At scale both snapshot scans shuffle once
+    * on the key (the snapshots share no physical layout guarantee after an
+    * overwrite).
+    */
+  val snapshotDiffCatalog: QueryDef = QueryDef(
+    "snapshot_diff_catalog",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS v
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT
+      |  CASE WHEN a.k IS NULL THEN 'added'
+      |       WHEN b.k IS NULL THEN 'removed'
+      |       WHEN a.v <> b.v THEN 'changed'
+      |       ELSE 'unchanged' END AS class,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(COALESCE(b.v, 0) - COALESCE(a.v, 0)) AS BIGINT) AS net_delta_cents
+      |FROM a FULL OUTER JOIN b ON b.k = a.k
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_snapshots"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val cents = Num.cents(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), cents.as("v"))
+      .writeTo(tbl).append() // v1: snapshot A
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(
+        col("o_orderkey").as("k"),
+        (cents + when(col("o_orderkey") % 3 === 0, lit(100L)).otherwise(lit(0L))).as("v"))
+      .createOrReplaceTempView("snapshot_b_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM snapshot_b_src") // v2: snapshot B
+    spark.sql(
+      s"""SELECT
+         |  CASE WHEN a.k IS NULL THEN 'added'
+         |       WHEN b.k IS NULL THEN 'removed'
+         |       WHEN a.v <> b.v THEN 'changed'
+         |       ELSE 'unchanged' END AS class,
+         |  count(*) AS n,
+         |  SUM(COALESCE(b.v, 0L) - COALESCE(a.v, 0L)) AS net_delta_cents
+         |FROM (SELECT * FROM $tbl VERSION AS OF 1) a
+         |FULL OUTER JOIN $tbl b ON b.k = a.k
+         |GROUP BY 1""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
-      dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel)
+      dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
+      snapshotDiffCatalog)
 }
