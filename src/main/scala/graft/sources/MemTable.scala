@@ -313,3 +313,156 @@ final class MemWriterFactory extends DataWriterFactory {
       override def close(): Unit = ()
     }
 }
+
+/** CHANGE-FEED (CDC) read over a mem table's version log — the
+  * lakehouse incremental-consumption surface (Delta CDF / Iceberg
+  * incremental read): instead of a snapshot, return the ROW-LEVEL change
+  * events of a half-open version window `(from, to]` — `insert` events
+  * from batches committed in the window, `delete` events from batches
+  * truncated (INSERT OVERWRITE) in it — with `_change_type` and
+  * `_commit_version` columns appended. This is what makes a downstream
+  * pipeline INCREMENTAL at 100 TB: it consumes each window's delta (sized
+  * by the change rate) instead of re-diffing two full snapshots (sized by
+  * the table). Data columns bind to the schema as of `to`, with the same
+  * by-name + tombstone projection as snapshot reads, so evolution
+  * mid-window behaves exactly like a snapshot read at `to`.
+  *
+  * Surfaced as a separate `TableProvider` (`spark.read.format(...)
+  * .option("table", …).option("from", v).option("to", v).load()`) rather
+  * than options on the catalog identifier because the changes relation has
+  * a DIFFERENT schema than the table — the analyzer binds a catalog
+  * relation's columns from `Table.schema()` before scan options are seen,
+  * so appended change columns would be unresolvable there.
+  */
+class MemChangesSource extends org.apache.spark.sql.connector.catalog.TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemChangesSource.boundsAndSchema(options)._4
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table = {
+    val (key, from, to, full) =
+      MemChangesSource.boundsAndSchema(new CaseInsensitiveStringMap(properties))
+    new MemChangesTable(key, from, to, full)
+  }
+}
+
+object MemChangesSource {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  /** Validate options and bind (key, from, to, schema-as-of-`to` + change
+    * columns). Fails loudly on a missing/unknown table, a missing bound,
+    * an inverted window, or a `to` beyond the table's current version.
+    */
+  private[sources] def boundsAndSchema(
+      options: CaseInsensitiveStringMap): (String, Long, Long, StructType) = {
+    def req(k: String): String = {
+      val v = options.get(k)
+      if (v == null) throw new IllegalArgumentException(
+        s"change-feed read requires option '$k' (have: table, from, to)")
+      v
+    }
+    val key = req("table")
+    val st = MemTables.get(key).getOrElse(
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val from = req("from").toLong
+    val to = req("to").toLong
+    if (from > to)
+      throw new IllegalArgumentException(s"empty change window: from=$from > to=$to")
+    if (from < 0 || to > st.version)
+      throw new IllegalArgumentException(
+        s"change window ($from, $to] outside table history [0, ${st.version}]")
+    val dataSchema = st.history.filter(_.version <= to).last.schema
+    val full = dataSchema
+      .add(ChangeType, org.apache.spark.sql.types.StringType, nullable = false)
+      .add(CommitVersion, org.apache.spark.sql.types.LongType, nullable = false)
+    (key, from, to, full)
+  }
+}
+
+final class MemChangesTable(key: String, from: Long, to: Long, fullSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"$key changes ($from, $to]"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MemChangesScan(key, from, to, fullSchema)
+    }
+}
+
+final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = fullSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftMemChangesScan $key ($from, $to]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = MemTables.get(key)
+      .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    // tombstones as of `to`: data columns project exactly like a snapshot
+    // read at the window's end
+    val droppedAt = st.history.filter(_.version <= to).last.droppedAt
+    def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
+      b.schema.fieldNames.iterator
+        .filter(n => droppedAt.get(n).exists(_ >= b.version)).toSet
+    val inserts = st.batches
+      .filter(b => b.version > from && b.version <= to)
+      .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))
+    // a batch both committed AND truncated inside the window emits BOTH
+    // events (the honest change log — consumers fold by _commit_version)
+    val deletes = st.batches
+      .filter(b => b.removedAt > from && b.removedAt <= to)
+      .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, b.removedAt))
+    (inserts ++ deletes).map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      val target = fullSchema // serialized with the factory; last 2 = change cols
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[MemChangesPartition]
+        val rows = p.rows
+        val nData = target.length - 2
+        val srcIdx = (0 until nData).map { j =>
+          val f = target.fields(j)
+          if (p.hidden.contains(f.name)) -1 else p.batchSchema.fieldNames.indexOf(f.name)
+        }.toArray
+        val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
+          if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
+        }
+        val changeType = org.apache.spark.unsafe.types.UTF8String
+          .fromString(if (p.insert) "insert" else "delete")
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val r = rows(i)
+            val vals = new Array[Any](target.length)
+            var j = 0
+            while (j < nData) {
+              val s = srcIdx(j)
+              vals(j) = if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+              j += 1
+            }
+            vals(nData) = changeType
+            vals(nData + 1) = p.commitVersion
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** One change event batch: the committed rows plus which event (insert at
+  * commit / delete at truncate) and the version the event happened at.
+  */
+final case class MemChangesPartition(
+    batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow],
+    insert: Boolean, commitVersion: Long)
+    extends InputPartition

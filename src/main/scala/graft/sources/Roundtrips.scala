@@ -481,9 +481,53 @@ object Roundtrips {
          |GROUP BY 1""".stripMargin)
   }
 
+  /** CHANGE-FEED (CDC) read — the INCREMENTAL complement of
+    * `snapshot_diff_catalog`: rather than diffing two snapshots (cost =
+    * table size), a downstream consumer reads the row-level change log of
+    * a version window (cost = change rate) — `insert` events from commits,
+    * `delete` events from the truncating overwrite, `_change_type` /
+    * `_commit_version` appended (see [[MemChangesSource]]). Sequence:
+    * append snapshot A (v1), INSERT OVERWRITE snapshot B (v2); the feed
+    * over (0, 2] must contain A as inserts@1, A as deletes@2, and B as
+    * inserts@2 — the oracle restates all three event sets from `orders`,
+    * so a wrong event rule (missed deletes, overwrite leaking as update,
+    * events outside the window) breaks the hash.
+    */
+  val dsv2CdcRead: QueryDef = QueryDef(
+    "dsv2_cdc_read",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |a AS (SELECT k, v FROM base WHERE k % 7 <> 0),
+      |b AS (SELECT k, v + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS v
+      |      FROM base WHERE k % 5 <> 0)
+      |SELECT k, v, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM a
+      |UNION ALL
+      |SELECT k, v, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM b
+      |UNION ALL
+      |SELECT k, v, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM a""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 7 =!= 0).writeTo(tbl).append() // v1: snapshot A
+    base.filter(col("k") % 5 =!= 0)
+      .select(col("k"),
+        (col("v") + when(col("k") % 3 === 0, lit(100L)).otherwise(lit(0L))).as("v"))
+      .createOrReplaceTempView("cdc_overwrite_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM cdc_overwrite_src") // v2: snapshot B
+    spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_cdc")
+      .option("from", "0").option("to", "2")
+      .load()
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
-      snapshotDiffCatalog)
+      snapshotDiffCatalog, dsv2CdcRead)
 }

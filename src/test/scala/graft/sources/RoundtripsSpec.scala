@@ -268,6 +268,65 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: change-feed windows emit exactly the commit/truncate events") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cdc_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)") // v0
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").writeTo(tbl).append() // v1
+    Seq((2L, "b")).toDF("k", "v").writeTo(tbl).append() // v2
+    Seq((9L, "z")).toDF("k", "v").createOrReplaceTempView("cdc_spec_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM cdc_spec_src") // v3
+
+    def feed(from: Long, to: Long) =
+      spark.read.format("graft.sources.MemChangesSource")
+        .option("table", "mem_cdc_spec")
+        .option("from", from.toString).option("to", to.toString)
+        .load().collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq
+
+    // half-open windows: (0,1] sees only the first append; (1,3] sees the
+    // second append, its truncation, the first append's truncation, and
+    // the overwrite's insert — never the v1 insert itself
+    assert(feed(0, 1) === Seq((1L, "insert", 1L)))
+    assert(feed(1, 3) === Seq(
+      (1L, "delete", 3L), (2L, "delete", 3L), (2L, "insert", 2L), (9L, "insert", 3L)))
+    // a batch committed AND truncated inside the window emits BOTH events
+    assert(feed(0, 3).count(_ == ((2L, "insert", 2L))) === 1)
+    assert(feed(0, 3).count(_ == ((2L, "delete", 3L))) === 1)
+    // empty window at a version boundary: no events
+    assert(feed(2, 2).isEmpty)
+    // bad windows / missing options fail loudly
+    intercept[Exception](feed(3, 1))
+    intercept[Exception](feed(0, 99))
+    intercept[Exception] {
+      spark.read.format("graft.sources.MemChangesSource")
+        .option("table", "mem_cdc_spec").option("from", "0").load().collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft.sources.MemChangesSource")
+        .option("table", "no_such_table")
+        .option("from", "0").option("to", "1").load().collect()
+    }
+    // schema evolution mid-window: data columns bind to the schema AS OF
+    // `to`, so a column added after an event's batch reads NULL on it
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)") // v4
+    Seq((10L, "y", 7L)).toDF("k", "v", "n").writeTo(tbl).append() // v5
+    val evolved = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_cdc_spec")
+      .option("from", "2").option("to", "5")
+      .load()
+    assert(evolved.schema.fieldNames.toSeq ===
+      Seq("k", "v", "n", "_change_type", "_commit_version"))
+    val byKey = evolved.collect()
+      .map(r => (r.getLong(0), r.getString(3)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byKey((9L, "insert")) === -1L) // pre-alter batch: n is NULL
+    assert(byKey((10L, "insert")) === 7L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
