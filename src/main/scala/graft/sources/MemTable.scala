@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -354,22 +355,25 @@ object MemChangesSource {
   val CommitVersion = "_commit_version"
 
   /** Validate options and bind (key, from, to, schema-as-of-`to` + change
-    * columns). Fails loudly on a missing/unknown table, a missing bound,
-    * an inverted window, or a `to` beyond the table's current version.
+    * columns). `to` is optional and defaults to the table's CURRENT
+    * version — the natural bound for "everything so far" batch reads and
+    * the starting schema for streaming consumption. Fails loudly on a
+    * missing/unknown table, a missing `from`, an inverted window, or a
+    * `to` beyond the table's current version.
     */
   private[sources] def boundsAndSchema(
       options: CaseInsensitiveStringMap): (String, Long, Long, StructType) = {
     def req(k: String): String = {
       val v = options.get(k)
       if (v == null) throw new IllegalArgumentException(
-        s"change-feed read requires option '$k' (have: table, from, to)")
+        s"change-feed read requires option '$k' (have: table, from[, to])")
       v
     }
     val key = req("table")
     val st = MemTables.get(key).getOrElse(
       throw new IllegalArgumentException(s"mem table $key does not exist"))
     val from = req("from").toLong
-    val to = req("to").toLong
+    val to = Option(options.get("to")).map(_.toLong).getOrElse(st.version)
     if (from > to)
       throw new IllegalArgumentException(s"empty change window: from=$from > to=$to")
     if (from < 0 || to > st.version)
@@ -381,27 +385,12 @@ object MemChangesSource {
       .add(CommitVersion, org.apache.spark.sql.types.LongType, nullable = false)
     (key, from, to, full)
   }
-}
 
-final class MemChangesTable(key: String, from: Long, to: Long, fullSchema: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = s"$key changes ($from, $to]"
-  override def schema(): StructType = fullSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new MemChangesScan(key, from, to, fullSchema)
-    }
-}
-
-final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: StructType)
-    extends Scan with Batch {
-  override def readSchema(): StructType = fullSchema
-  override def toBatch: Batch = this
-  override def description(): String = s"GraftMemChangesScan $key ($from, $to]"
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Change-event partitions of the half-open window `(from, to]` — shared
+    * by the batch scan and the micro-batch stream (each streaming trigger
+    * is exactly a batch read of its offset window).
+    */
+  private[sources] def partitionsIn(key: String, from: Long, to: Long): Array[InputPartition] = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
     // tombstones as of `to`: data columns project exactly like a snapshot
@@ -421,7 +410,11 @@ final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: Struct
     (inserts ++ deletes).map(p => p: InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  /** Reader over [[MemChangesPartition]]s: by-name projection of the data
+    * columns into `fullSchema` (minus the 2 change columns), then the
+    * event-constant `_change_type` / `_commit_version`.
+    */
+  private[sources] def readerFactory(fullSchema: StructType): PartitionReaderFactory =
     new PartitionReaderFactory {
       val target = fullSchema // serialized with the factory; last 2 = change cols
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -457,6 +450,83 @@ final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: Struct
         }
       }
     }
+}
+
+final class MemChangesTable(key: String, from: Long, to: Long, fullSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"$key changes ($from, $to]"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MemChangesScan(key, from, to, fullSchema)
+    }
+}
+
+final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = fullSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftMemChangesScan $key ($from, $to]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    MemChangesSource.partitionsIn(key, from, to)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemChangesSource.readerFactory(fullSchema)
+
+  /** STREAMING consumption of the change feed — the table's version clock
+    * IS the streaming offset: each trigger reads the change events of its
+    * `(startVersion, endVersion]` window, so a checkpointed query consumes
+    * every commit/truncate event EXACTLY once across restarts (offsets are
+    * versions in the checkpoint log) and each micro-batch costs the
+    * window's change volume, never the table. The read schema is fixed at
+    * stream start (the schema as of the bound `to`/current) — columns
+    * added by later alters project by name and stay invisible until the
+    * stream restarts, the standard streaming fixed-schema contract.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MemChangesMicroBatchStream(key, from, fullSchema)
+}
+
+/** Implements [[SupportsTriggerAvailableNow]] natively (rather than
+  * leaning on Spark's single-batch fallback wrapper): `prepare` pins the
+  * run's target version, so commits racing an AvailableNow run land in the
+  * NEXT run instead of extending this one — the bounded-run contract a
+  * backfill needs.
+  */
+final class MemChangesMicroBatchStream(key: String, from: Long, fullSchema: StructType)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  private def current: Long = MemTables.get(key)
+    .getOrElse(throw new IllegalStateException(s"mem table $key dropped")).version
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    MemVersionOffset(availableNowTarget.getOrElse(current))
+  override def reportLatestOffset(): Offset = MemVersionOffset(current)
+  override def initialOffset(): Offset = MemVersionOffset(from)
+  // admission-control sources are driven via latestOffset(start, limit)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("driven via latestOffset(start, limit)")
+  override def deserializeOffset(json: String): Offset = MemVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    MemChangesSource.partitionsIn(
+      key,
+      start.asInstanceOf[MemVersionOffset].v,
+      end.asInstanceOf[MemVersionOffset].v)
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemChangesSource.readerFactory(fullSchema)
+}
+
+final case class MemVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
 }
 
 /** One change event batch: the committed rows plus which event (insert at

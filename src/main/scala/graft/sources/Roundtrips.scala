@@ -525,9 +525,53 @@ object Roundtrips {
       .load()
   }
 
+  /** STREAMING consumption of the change feed: the table's version clock
+    * is the streaming OFFSET, so `readStream` over [[MemChangesSource]]
+    * delivers each commit/truncate event exactly once (offsets land in the
+    * checkpoint log like any source) and each micro-batch costs its window's
+    * change volume. Run AvailableNow over the same append+overwrite
+    * sequence as `dsv2_cdc_read`, the emitted stream must equal the batch
+    * feed over (0, current] — graded by the SAME oracle, so the hash match
+    * proves offset-windowed planning loses and duplicates nothing.
+    */
+  val dsv2CdcStream: QueryDef = QueryDef(
+    "dsv2_cdc_stream",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |a AS (SELECT k, v FROM base WHERE k % 7 <> 0),
+      |b AS (SELECT k, v + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS v
+      |      FROM base WHERE k % 5 <> 0)
+      |SELECT k, v, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM a
+      |UNION ALL
+      |SELECT k, v, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM b
+      |UNION ALL
+      |SELECT k, v, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM a""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_cdc_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 7 =!= 0).writeTo(tbl).append() // v1
+    base.filter(col("k") % 5 =!= 0)
+      .select(col("k"),
+        (col("v") + when(col("k") % 3 === 0, lit(100L)).otherwise(lit(0L))).as("v"))
+      .createOrReplaceTempView("cdc_stream_overwrite_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM cdc_stream_overwrite_src") // v2
+    val feed = spark.readStream.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_cdc_stream")
+      .option("from", "0")
+      .load()
+    graft.streaming.Streams.runAvailableNowToMemory(
+      spark, feed, s"graft_cdc_stream_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
-      snapshotDiffCatalog, dsv2CdcRead)
+      snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream)
 }

@@ -300,9 +300,13 @@ class RoundtripsSpec extends SparkSpec {
     // bad windows / missing options fail loudly
     intercept[Exception](feed(3, 1))
     intercept[Exception](feed(0, 99))
+    // `to` is optional (defaults to the current version = 3): all five
+    // events — inserts@1,@2, both deletes@3, the overwrite's insert@3
+    assert(spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_cdc_spec").option("from", "0").load().count() === 5)
     intercept[Exception] {
       spark.read.format("graft.sources.MemChangesSource")
-        .option("table", "mem_cdc_spec").option("from", "0").load().collect()
+        .option("table", "mem_cdc_spec").option("to", "1").load().collect()
     }
     intercept[Exception] {
       spark.read.format("graft.sources.MemChangesSource")
@@ -324,6 +328,48 @@ class RoundtripsSpec extends SparkSpec {
         (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(byKey((9L, "insert")) === -1L) // pre-alter batch: n is NULL
     assert(byKey((10L, "insert")) === 7L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: streaming change feed consumes each version window exactly once across restarts") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cdc_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)") // v0
+    import spark.implicits._
+    withTempDir { dir =>
+      def runFeed(): Seq[(Long, String, Long)] = {
+        val q = spark.readStream.format("graft.sources.MemChangesSource")
+          .option("table", "mem_cdc_stream_spec").option("from", "0")
+          .load()
+          .writeStream
+          .option("checkpointLocation", s"$dir/cp")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              batch.write.mode("overwrite").parquet(s"$dir/out/batch_$batchId")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(s"$dir/out/batch_*")
+          .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq.sorted
+      }
+      Seq((1L, "a")).toDF("k", "v").writeTo(tbl).append() // v1
+      assert(runFeed() === Seq((1L, "insert", 1L)))
+      // new commits between runs: the checkpointed version offset resumes
+      // at v1, so run 2 emits ONLY the new window's events — v1's insert
+      // is not re-delivered (exactly-once across restarts)
+      Seq((2L, "b")).toDF("k", "v").writeTo(tbl).append() // v2
+      Seq((9L, "z")).toDF("k", "v").createOrReplaceTempView("cdc_stream_spec_src")
+      spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM cdc_stream_spec_src") // v3
+      assert(runFeed() === Seq(
+        (1L, "delete", 3L), (1L, "insert", 1L), // insert from run 1's files
+        (2L, "delete", 3L), (2L, "insert", 2L), (9L, "insert", 3L)))
+      // idle restart: nothing new, nothing re-emitted
+      assert(runFeed() === Seq(
+        (1L, "delete", 3L), (1L, "insert", 1L),
+        (2L, "delete", 3L), (2L, "insert", 2L), (9L, "insert", 3L)))
+    }
     spark.sql(s"DROP TABLE $tbl")
   }
 
