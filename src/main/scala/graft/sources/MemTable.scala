@@ -91,6 +91,16 @@ object MemTables {
     // metadata timeline, append-only, seeded with the create-time schema
     @volatile var history: Vector[SchemaAt] =
       Vector(SchemaAt(0L, initialSchema, Map.empty))
+    // version -> wall-clock micros, for TIMESTAMP AS OF resolution; stamps
+    // are forced strictly monotone so two commits inside one clock tick
+    // still resolve unambiguously (newest version at-or-before the ask)
+    @volatile var versionTimes: Vector[(Long, Long)] =
+      Vector((0L, System.currentTimeMillis() * 1000L))
+    private[sources] def stamp(): Unit = {
+      val now = System.currentTimeMillis() * 1000L
+      val ts = math.max(now, versionTimes.last._2 + 1L)
+      versionTimes = versionTimes :+ (version, ts)
+    }
   }
 
   private val tables = TrieMap.empty[String, State]
@@ -122,6 +132,7 @@ object MemTables {
         st.droppedAt = st.droppedAt ++ dropped.map(_ -> st.version)
       st.schema = newSchema
       st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt)
+      st.stamp()
     }
   }
 
@@ -146,6 +157,7 @@ object MemTables {
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
       st.batches = prior ++ batches.map(TaggedBatch(writeSchema, st.version, _))
+      st.stamp()
     }
   }
 }

@@ -356,6 +356,30 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
     new MemTable(key, schemaAt, asOf = Some(v))
   }
 
+  /** Time travel by wall clock (`TIMESTAMP AS OF t`, micros): resolve to
+    * the newest version whose commit/alter stamp is at or before `t` —
+    * the Iceberg/Delta timestamp-resolution rule — then pin that snapshot
+    * exactly like `VERSION AS OF`. Asking before the table's creation is
+    * an error (there is no state to read), asking after the newest stamp
+    * reads the current version.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): CTable = {
+    if (Pattern.matches(ident.name()))
+      throw new UnsupportedOperationException(
+        "seq_<n> tables are generated and have no version history")
+    val key = memKey(ident)
+    val st = MemTables.get(key)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val at = st.versionTimes.filter(_._2 <= timestampMicros)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $timestampMicros predates mem table $key " +
+          s"(created at ${st.versionTimes.head._2})")
+    val v = at.last._1
+    val schemaAt = st.history.filter(_.version <= v).last.schema
+    new MemTable(key, schemaAt, asOf = Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     Pattern.matches(ident.name()) || MemTables.get(memKey(ident)).isDefined
 

@@ -373,6 +373,37 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: TIMESTAMP AS OF resolves to the newest version at or before the instant") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_ts_travel_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)") // v0
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("k").writeTo(tbl).append() // v1
+    Thread.sleep(5) // stamps are millis-resolution; separate the instants
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Seq(Tuple1(2L)).toDF("k").writeTo(tbl).append() // v2
+    val afterV2 = System.currentTimeMillis()
+
+    def asOf(ms: Long): Seq[Long] =
+      spark.sql(s"SELECT k FROM $tbl TIMESTAMP AS OF timestamp_millis($ms)")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // between v1 and v2: only the first append is visible
+    assert(asOf(afterV1) === Seq(1L))
+    // at-or-after v2: both; far future: still the newest version
+    assert(asOf(afterV2) === Seq(1L, 2L))
+    assert(asOf(afterV2 + 3600L * 1000L) === Seq(1L, 2L))
+    // before creation: no state existed — loud error, not an empty read
+    intercept[Exception](asOf(afterV1 - 3600L * 1000L))
+    // timestamp pins are read-only snapshots like version pins
+    intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $tbl TIMESTAMP AS OF timestamp_millis($afterV2) VALUES (3)")
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
