@@ -45,15 +45,23 @@ import scala.collection.concurrent.TrieMap
 object MemTables {
 
   /** One committed write batch: the rows plus the schema they were encoded
-    * under (the InternalRow decode contract for those rows, forever), plus
-    * the table's alter-version at commit time — the tombstone clock that
-    * keeps a DROP COLUMN + re-ADD of the same name from resurrecting
-    * pre-drop values (Iceberg resolves this with field ids; a name-based
-    * projection needs the version tag instead).
+    * under (the InternalRow decode contract for those rows, forever) and
+    * two version tags with distinct roles:
+    *
+    *  - `version` — when the batch became VISIBLE (snapshot/CDC clock:
+    *    a batch exists in `AS OF v` iff `version <= v < removedAt`);
+    *  - `writeVersion` — when its rows' bytes were WRITTEN (tombstone
+    *    clock: a field whose name was dropped at-or-after `writeVersion`
+    *    must not satisfy a later re-added column — the name-based
+    *    equivalent of Iceberg field ids).
+    *
+    * They coincide for ordinary commits and diverge for DELETE rewrites,
+    * where a survivor batch becomes visible at the delete's version but
+    * still carries bytes written under the original batch's schema era.
     */
   final case class TaggedBatch(
-      schema: StructType, version: Long, rows: Array[InternalRow],
-      removedAt: Long = Long.MaxValue)
+      schema: StructType, version: Long, writeVersion: Long,
+      rows: Array[InternalRow], removedAt: Long = Long.MaxValue)
 
   /** One point of the table's metadata timeline, written on create and on
     * every ALTER: the schema in force from `version` onward and the
@@ -156,7 +164,109 @@ object MemTables {
           st.batches.map(b =>
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
-      st.batches = prior ++ batches.map(TaggedBatch(writeSchema, st.version, _))
+      st.batches = prior ++
+        batches.map(TaggedBatch(writeSchema, st.version, st.version, _))
+      st.stamp()
+    }
+  }
+
+  import org.apache.spark.sql.sources._
+
+  /** Which `DELETE FROM ... WHERE` conditions this table can serve: the
+    * standard comparison/membership/null/boolean filters over top-level
+    * columns of the current schema. Anything else makes Spark fail the
+    * DELETE loudly at planning — never a silent partial delete.
+    */
+  def supportedDeleteFilter(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, _) => schema.fieldNames.contains(c)
+    case GreaterThan(c, _) => schema.fieldNames.contains(c)
+    case GreaterThanOrEqual(c, _) => schema.fieldNames.contains(c)
+    case LessThan(c, _) => schema.fieldNames.contains(c)
+    case LessThanOrEqual(c, _) => schema.fieldNames.contains(c)
+    case In(c, _) => schema.fieldNames.contains(c)
+    case IsNull(c) => schema.fieldNames.contains(c)
+    case IsNotNull(c) => schema.fieldNames.contains(c)
+    case And(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+    case Or(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+    case Not(c) => supportedDeleteFilter(c, schema)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** Three-way SQL comparison between a row's internal value and a filter
+    * literal; None = incomparable (null or unsupported pairing), which
+    * makes the enclosing predicate false (SQL NULL semantics: a row whose
+    * compared value is NULL never matches the DELETE condition).
+    */
+  private def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, lit) match {
+    case (null, _) | (_, null) => None
+    case (a: java.lang.Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
+    case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: java.lang.Short, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: java.lang.Byte, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: java.lang.Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue))
+    case (a: java.lang.Float, b: Number) => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    case (a: org.apache.spark.unsafe.types.UTF8String, b: String) => Some(a.toString.compareTo(b))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  /** Row-level DELETE as a versioned GROUP REWRITE — the copy-on-write
+    * shape every table format without deletion vectors uses: each batch
+    * containing matches is soft-removed at the delete's version and its
+    * SURVIVORS re-committed as a new batch visible from that version
+    * (`writeVersion` preserved — the bytes' schema era doesn't change).
+    * Untouched batches are left alone, so delete cost is proportional to
+    * the batches containing matches, not the table. Time travel before the
+    * delete still sees every row; the change feed reports the rewrite as
+    * remove-batch + re-insert-survivors (the honest file-level log a
+    * group-based rewrite produces — row-level delete events would require
+    * diffing, which is the CDC consumer's fold).
+    */
+  def deleteWhere(key: String, filters: Array[Filter]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-delete"))
+    st.synchronized {
+      val droppedAt = st.droppedAt
+      def valueOf(b: TaggedBatch, r: InternalRow, col: String): Any = {
+        val i = b.schema.fieldNames.indexOf(col)
+        // missing column (pre-alter batch) and tombstoned fields read NULL,
+        // exactly as scans project them
+        if (i < 0 || droppedAt.get(col).exists(_ >= b.writeVersion)) null
+        else if (r.isNullAt(i)) null
+        else r.get(i, b.schema.fields(i).dataType)
+      }
+      def eval(f: Filter, b: TaggedBatch, r: InternalRow): Boolean = f match {
+        case EqualTo(c, v) => cmp(valueOf(b, r, c), v).contains(0)
+        case GreaterThan(c, v) => cmp(valueOf(b, r, c), v).exists(_ > 0)
+        case GreaterThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).exists(_ >= 0)
+        case LessThan(c, v) => cmp(valueOf(b, r, c), v).exists(_ < 0)
+        case LessThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).exists(_ <= 0)
+        case In(c, vs) => vs.exists(v => cmp(valueOf(b, r, c), v).contains(0))
+        case IsNull(c) => valueOf(b, r, c) == null
+        case IsNotNull(c) => valueOf(b, r, c) != null
+        case And(l, rr) => eval(l, b, r) && eval(rr, b, r)
+        case Or(l, rr) => eval(l, b, r) || eval(rr, b, r)
+        case Not(inner) => !eval(inner, b, r)
+        case AlwaysTrue() => true
+        case AlwaysFalse() => false
+        case other => throw new UnsupportedOperationException(
+          s"unsupported DELETE filter: $other")
+      }
+      st.version += 1
+      st.batches = st.batches.flatMap { b =>
+        if (b.removedAt != Long.MaxValue) Vector(b) // already historical
+        else {
+          val matches = b.rows.exists(r => filters.forall(f => eval(f, b, r)))
+          if (!matches) Vector(b)
+          else {
+            val keep = b.rows.filterNot(r => filters.forall(f => eval(f, b, r)))
+            val removed = b.copy(removedAt = st.version)
+            if (keep.isEmpty) Vector(removed)
+            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep))
+          }
+        }
+      }
       st.stamp()
     }
   }
@@ -167,7 +277,18 @@ object MemTables {
   * defined snapshot semantics in any table format.
   */
 final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(MemTables.supportedDeleteFilter(_, tableSchema))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (asOf.isDefined)
+      throw new UnsupportedOperationException(
+        s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MemTables.deleteWhere(key, filters)
+  }
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
@@ -220,7 +341,7 @@ final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = N
     // executor touches a row.
     def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
       b.schema.fieldNames.iterator
-        .filter(n => droppedAt.get(n).exists(_ >= b.version)).toSet
+        .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
     // snapshot visibility: a batch exists in AS OF v iff committed at or
     // before v and not truncated at or before v; a current read sees the
     // never-removed batches
@@ -410,7 +531,7 @@ object MemChangesSource {
     val droppedAt = st.history.filter(_.version <= to).last.droppedAt
     def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
       b.schema.fieldNames.iterator
-        .filter(n => droppedAt.get(n).exists(_ >= b.version)).toSet
+        .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
     val inserts = st.batches
       .filter(b => b.version > from && b.version <= to)
       .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))

@@ -569,9 +569,48 @@ object Roundtrips {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Row-level `DELETE FROM ... WHERE` through the connector
+    * (`SupportsDelete`), implemented as a VERSIONED GROUP REWRITE — the
+    * copy-on-write shape of every table format without deletion vectors:
+    * batches containing matches are soft-removed at the delete's version
+    * and their survivors re-committed (see [[MemTables.deleteWhere]]), so
+    * time travel before the delete still sees every row. The query
+    * aggregates the pre-delete snapshot (`VERSION AS OF 1`) and the
+    * current table; a wrong rewrite (survivors lost, matches surviving,
+    * history mutated) breaks either row's hash against the oracle's
+    * restatement from `orders`.
+    */
+  val dsv2DeleteWhere: QueryDef = QueryDef(
+    "dsv2_delete_where",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT 1 AS snap, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS total
+      |FROM base
+      |UNION ALL
+      |SELECT 2 AS snap, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS total
+      |FROM base WHERE NOT (v < 10000000 OR k IN (11, 22, 33))""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_delete"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    // v2: the rewrite — matches leave, survivors stay, history untouched
+    // (condition limited to source-translatable filters: range OR IN-list;
+    // an untranslatable condition fails the DELETE loudly at planning)
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000 OR k IN (11, 22, 33)")
+    spark.sql(
+      s"""SELECT 1 AS snap, count(*) AS n, SUM(v) AS total FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2 AS snap, count(*) AS n, SUM(v) AS total FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
-      snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream)
+      snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere)
 }

@@ -404,6 +404,43 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: DELETE WHERE is a versioned group rewrite with SQL null semantics") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_delete_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    // two committed batches (coalesce(1): one task batch per append, so
+    // the rewrite granularity below is deterministic); v is NULL for k=3
+    // (null never matches a comparison, so it must SURVIVE a v<25 delete)
+    Seq((1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(30L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    Seq((3L, null.asInstanceOf[java.lang.Long]), (4L, java.lang.Long.valueOf(20L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append() // v2
+    Seq((5L, java.lang.Long.valueOf(99L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append() // v3: no matches
+    spark.sql(s"DELETE FROM $tbl WHERE v < 25") // v4: rewrites batches 1+2
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 5L))
+    // pre-delete snapshot intact (copy-on-write, not in-place)
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 3").count() === 5)
+    // the change feed reports the rewrite: matched batches removed and
+    // their survivors re-inserted at the delete's version — while the
+    // UNTOUCHED batch (k=5) is NOT rewritten (minimal copy-on-write:
+    // delete cost tracks the batches containing matches, not the table)
+    val events = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_delete_spec").option("from", "3").load()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(events === Seq(
+      (1L, "delete", 4L), (2L, "delete", 4L), (2L, "insert", 4L),
+      (3L, "delete", 4L), (3L, "insert", 4L), (4L, "delete", 4L)))
+    // delete-everything path: matched batches removed with no survivors
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (2, 3, 5)") // v5
+    assert(spark.table(tbl).count() === 0)
+    // untranslatable conditions fail loudly, never silently partial-delete
+    intercept[Exception](spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
