@@ -104,6 +104,11 @@ object MemTables {
     // still resolve unambiguously (newest version at-or-before the ask)
     @volatile var versionTimes: Vector[(Long, Long)] =
       Vector((0L, System.currentTimeMillis() * 1000L))
+    // per-streaming-query committed-epoch ledger: commit(epochId) must be
+    // IDEMPOTENT (post-restart re-commit of the last epoch is Spark's
+    // documented at-least-once behavior; the ledger makes table contents
+    // exactly-once)
+    @volatile var committedEpochs: Map[String, Set[Long]] = Map.empty
     private[sources] def stamp(): Unit = {
       val now = System.currentTimeMillis() * 1000L
       val ts = math.max(now, versionTimes.last._2 + 1L)
@@ -167,6 +172,37 @@ object MemTables {
       st.batches = prior ++
         batches.map(TaggedBatch(writeSchema, st.version, st.version, _))
       st.stamp()
+    }
+  }
+
+  /** Streaming-epoch publish: identical to [[commit]], except idempotent
+    * per (queryId, epochId) — a re-commit of an already-committed epoch
+    * (Spark's post-restart at-least-once re-delivery) is a no-op, so the
+    * table's contents stay exactly-once.
+    */
+  def commitEpoch(
+      key: String,
+      queryId: String,
+      epochId: Long,
+      truncate: Boolean,
+      writeSchema: StructType,
+      batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-write"))
+    st.synchronized {
+      val done = st.committedEpochs.getOrElse(queryId, Set.empty)
+      if (!done.contains(epochId)) {
+        st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
+        st.version += 1
+        val prior =
+          if (truncate)
+            st.batches.map(b =>
+              if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
+          else st.batches
+        st.batches = prior ++
+          batches.map(TaggedBatch(writeSchema, st.version, st.version, _))
+        st.stamp()
+      }
     }
   }
 
@@ -297,6 +333,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -308,7 +345,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
-    new MemWriteBuilder(key, info.schema())
+    new MemWriteBuilder(key, info.schema(), info.queryId())
   }
 }
 
@@ -412,13 +449,45 @@ final case class MemPartition(
     batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow])
     extends InputPartition
 
-final class MemWriteBuilder(key: String, writeSchema: StructType)
+final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)
     extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
   }
+}
+
+/** STREAMING sink half of the connector (`df.writeStream.toTable(...)`):
+  * per-epoch task batches ride the same buffer-in-commit-message protocol
+  * as the batch write, and the driver-side `commit(epochId, messages)` is
+  * IDEMPOTENT per (queryId, epochId) — after a failure Spark re-runs the
+  * last epoch from the checkpoint and re-commits it, and the dedup ledger
+  * turns that at-least-once delivery into exactly-once table contents
+  * (the contract every transactional streaming sink implements; Append
+  * appends per epoch, Complete truncate-replaces in the same atomic
+  * publish). One version per committed epoch, so the change feed and time
+  * travel see each micro-batch as a commit like any other.
+  */
+final class MemStreamingWrite(
+    key: String, queryId: String, truncate: Boolean, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new MemStreamingWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema,
+      messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class MemStreamingWriterFactory
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory().createWriter(partitionId, taskId)
 }
 
 final class MemBatchWrite(key: String, truncate: Boolean, writeSchema: StructType)

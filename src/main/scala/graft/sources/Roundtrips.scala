@@ -608,9 +608,47 @@ object Roundtrips {
          |SELECT 2 AS snap, count(*) AS n, SUM(v) AS total FROM $tbl""".stripMargin)
   }
 
+  /** STREAMING WRITE into the connector (`writeStream.toTable` →
+    * `StreamingWrite`): each micro-batch's task buffers ride the same
+    * commit-message protocol as batch writes and the driver publish is
+    * idempotent per (queryId, epochId) — the transactional-sink contract
+    * that turns Spark's post-restart epoch re-delivery into exactly-once
+    * table contents ([[MemTables.commitEpoch]]; the spec drives the replay
+    * directly). The gate streams the events table through a stateless
+    * projection into a mem table and aggregates the readback; any row
+    * duplicated or lost by the sink protocol breaks the oracle's hash.
+    */
+  val dsv2StreamingSink: QueryDef = QueryDef(
+    "dsv2_streaming_sink",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_events_stream_sink"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (event_type STRING, cents BIGINT)")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val cp = java.nio.file.Files.createTempDirectory("graft_sink_cp").toString
+    val q = graft.streaming.Streams.readTableStream(sess, dir, "events")
+      .select(
+        col("event_type"),
+        coalesce(Num.cents(col("value")), lit(0L)).as("cents"))
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(tbl)
+    q.awaitTermination()
+    spark.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
-      snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere)
+      snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
+      dsv2StreamingSink)
 }

@@ -441,6 +441,41 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: streaming-epoch commit is idempotent per (queryId, epochId)") {
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
+    graft.sources.MemTables.create("spec_epoch", schema)
+    try {
+      def row(v: Long) = org.apache.spark.sql.catalyst.InternalRow(v)
+      def count() = graft.sources.MemTables.get("spec_epoch").get
+        .batches.filter(_.removedAt == Long.MaxValue).map(_.rows.length).sum
+      val w = new graft.sources.MemStreamingWrite(
+        "spec_epoch", "query-1", truncate = false, schema)
+      def msg(v: Long) = {
+        val dw = new graft.sources.MemStreamingWriterFactory().createWriter(0, 0L, 0L)
+        dw.write(row(v)); dw.commit()
+      }
+      w.commit(0L, Array(msg(1L)))
+      assert(count() === 1)
+      // post-restart re-delivery of the SAME epoch: a no-op, not a dup
+      w.commit(0L, Array(msg(1L)))
+      assert(count() === 1)
+      // the next epoch appends
+      w.commit(1L, Array(msg(2L)))
+      assert(count() === 2)
+      // a DIFFERENT query's epoch 0 is its own ledger entry
+      new graft.sources.MemStreamingWrite("spec_epoch", "query-2", truncate = false, schema)
+        .commit(0L, Array(msg(3L)))
+      assert(count() === 3)
+      // Complete mode: each epoch truncate-replaces atomically, same dedup
+      val c = new graft.sources.MemStreamingWrite(
+        "spec_epoch", "query-3", truncate = true, schema)
+      c.commit(0L, Array(msg(9L)))
+      assert(count() === 1)
+      c.commit(0L, Array(msg(9L)))
+      assert(count() === 1)
+    } finally graft.sources.MemTables.drop("spec_epoch")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
