@@ -116,6 +116,18 @@ object MemTables {
     }
   }
 
+  /** Name of the metadata column every mem table exposes: the version of
+    * the committed batch each row belongs to (`SELECT _batch_version, *`).
+    * It is the lineage handle — which commit produced this row — and the
+    * anchor the group-based row-level operations (UPDATE / MERGE) require:
+    * Spark's rewrite only routes replacement rows through the
+    * metadata-aware write task (which strips the internal
+    * `__row_operation` marker) when the operation declares a metadata
+    * attribute, so this column is what makes copy-on-write DML planable
+    * against the connector at all.
+    */
+  val BatchVersion = "_batch_version"
+
   private val tables = TrieMap.empty[String, State]
 
   /** Register a new table; false if the key is already taken (the catalog
@@ -314,7 +326,64 @@ object MemTables {
   */
 final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_batch_version`: the commit each row belongs to (see
+    * [[MemTables.BatchVersion]]).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = MemTables.BatchVersion
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "version of the committed batch this row belongs to"
+    })
+
+  /** UPDATE / MERGE INTO support — the GROUP-BASED (copy-on-write) row-level
+    * operation: Spark's rewrite rules read the affected data through the
+    * operation's scan, compute the replacement rows (carried-over +
+    * updated + inserted), and write them back through the operation's
+    * write, which REPLACES what the scan read. With the whole table as one
+    * group (no group-filter pushdown here), that is one atomic
+    * truncate+write commit — a single new version, so time travel keeps
+    * the pre-merge state and the change feed reports the rewrite honestly.
+    * This is the same shape Iceberg's copy-on-write MERGE takes with one
+    * affected file group; the delta-based (merge-on-read) variant trades
+    * write cost for read cost and is deliberately not modeled.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf.isDefined)
+      throw new UnsupportedOperationException(
+        s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new MemScanBuilder(key, tableSchema, None)
+      override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder = {
+        // replacement semantics: the written rows REPLACE the scanned
+        // group (= the table) in one atomic versioned publish
+        val b = new MemWriteBuilder(key, lw.schema(), lw.queryId())
+        b.truncate()
+        b
+      }
+      // Declaring the metadata attribute routes the rewrite through
+      // Spark's metadata-aware write task, which is the ONLY task that
+      // strips the internal __row_operation marker before handing rows to
+      // the writer (the plain task writes raw query rows) — without it the
+      // replacement rows would arrive one column wide of the write schema.
+      override def requiredMetadataAttributes():
+          Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(MemTables.BatchVersion))
+    }
+  }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     asOf.isEmpty && filters.forall(MemTables.supportedDeleteFilter(_, tableSchema))
@@ -337,9 +406,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new MemScan(key, tableSchema, asOf)
-    }
+    new MemScanBuilder(key, tableSchema, asOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.isDefined)
@@ -349,9 +416,30 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   }
 }
 
-final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = None)
+/** Column-pruning scan builder: the required schema Spark pushes down may
+  * drop data columns and may include the [[MemTables.BatchVersion]]
+  * metadata column — both served by [[MemScan]]'s by-name projection.
+  */
+final class MemScanBuilder(key: String, tableSchema: StructType, asOf: Option[Long])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+  override def build(): Scan = new MemScan(key, tableSchema, asOf, required)
+}
+
+/** `readSchema` may be a PRUNED projection of the table schema and may
+  * include the [[MemTables.BatchVersion]] metadata column (served per
+  * partition from the batch's visibility version — the lineage handle the
+  * row-level operations anchor their group rewrite on).
+  */
+final class MemScan(
+    key: String, tableSchema: StructType, asOf: Option[Long] = None,
+    readSchemaOpt: Option[StructType] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = tableSchema
+  private val boundSchema = readSchemaOpt.getOrElse(tableSchema)
+  override def readSchema(): StructType = boundSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}"
@@ -388,7 +476,7 @@ final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = N
     }
     visible.foreach { b =>
       val hidden = hiddenIn(b)
-      tableSchema.fields.foreach { f =>
+      boundSchema.fields.filterNot(_.name == MemTables.BatchVersion).foreach { f =>
         val i = b.schema.fieldNames.indexOf(f.name)
         if (i >= 0 && !hidden.contains(f.name) && b.schema.fields(i).dataType != f.dataType)
           throw new IllegalStateException(
@@ -397,23 +485,28 @@ final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = N
               s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
       }
     }
-    visible.map(b => MemPartition(b.schema, hiddenIn(b), b.rows): InputPartition).toArray
+    visible.map(b => MemPartition(b.schema, b.version, hiddenIn(b), b.rows): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      val target = tableSchema // serialized with the factory
+      val target = boundSchema // serialized with the factory
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
         val rows = p.rows
-        val sameLayout = p.hidden.isEmpty &&
+        val hasMeta = target.fieldNames.contains(MemTables.BatchVersion)
+        val sameLayout = p.hidden.isEmpty && !hasMeta &&
           p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
             target.fields.map(f => (f.name, f.dataType)).toSeq
         // by-name source ordinal per target field; -1 = not present (null);
+        // -2 = the _batch_version metadata column (partition constant);
         // tombstone-hidden fields (dropped after this batch was written,
         // possibly re-added since) are unmatchable — they read as null
         val srcIdx = target.fields.map(f =>
-          if (p.hidden.contains(f.name)) -1 else p.batchSchema.fieldNames.indexOf(f.name))
+          if (f.name == MemTables.BatchVersion) -2
+          else if (p.hidden.contains(f.name)) -1
+          else p.batchSchema.fieldNames.indexOf(f.name))
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
         }
@@ -428,7 +521,9 @@ final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = N
               var j = 0
               while (j < target.length) {
                 val s = srcIdx(j)
-                vals(j) = if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+                vals(j) =
+                  if (s == -2) p.version
+                  else if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
                 j += 1
               }
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -446,7 +541,8 @@ final class MemScan(key: String, tableSchema: StructType, asOf: Option[Long] = N
   * must not satisfy a later re-added column of the same name).
   */
 final case class MemPartition(
-    batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow])
+    batchSchema: StructType, version: Long, hidden: Set[String],
+    rows: Array[InternalRow])
     extends InputPartition
 
 final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)

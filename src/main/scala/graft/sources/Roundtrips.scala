@@ -645,10 +645,76 @@ object Roundtrips {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
   }
 
+  /** SQL `UPDATE` through the connector — Spark's group-based row-level
+    * rewrite (`SupportsRowLevelOperations`): the whole affected group is
+    * read, updated rows substituted, and the replacement written back in
+    * ONE atomic versioned truncate+commit (copy-on-write; see
+    * [[MemTable.newRowLevelOperationBuilder]]). The condition here
+    * (modulo) is deliberately NOT a translatable source filter, proving
+    * arbitrary predicates plan through the rewrite. Both the pre-update
+    * snapshot and the updated rows are hash-checked.
+    */
+  val dsv2UpdateWhere: QueryDef = QueryDef(
+    "dsv2_update_where",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT 1 AS snap, k, v FROM base
+      |UNION ALL
+      |SELECT 2 AS snap, k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_update"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0") // v2 (group rewrite)
+    spark.sql(
+      s"""SELECT 1 AS snap, k, v FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2 AS snap, k, v FROM $tbl""".stripMargin)
+  }
+
+  /** SQL `MERGE INTO` (upsert) through the connector — matched target rows
+    * take the source's value, unmatched source rows insert, unmatched
+    * target rows carry over; one atomic copy-on-write version. The oracle
+    * restates the upsert relationally (full outer join of the two
+    * snapshots), so a wrong carry/update/insert split breaks the hash.
+    */
+  val dsv2MergeUpsert: QueryDef = QueryDef(
+    "dsv2_merge_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |t AS (SELECT k, v FROM base WHERE k % 7 <> 0),
+      |s AS (SELECT k, v + 100 AS v FROM base WHERE k % 5 <> 0)
+      |SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v
+      |FROM t FULL OUTER JOIN s ON s.k = t.k""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_merge"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 7 =!= 0).writeTo(tbl).append() // v1: target
+    base.filter(col("k") % 5 =!= 0)
+      .select(col("k"), (col("v") + 100L).as("v"))
+      .createOrReplaceTempView("merge_upsert_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_upsert_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // v2
+    spark.table(tbl)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
-      dsv2StreamingSink)
+      dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert)
 }

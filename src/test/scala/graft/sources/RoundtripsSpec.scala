@@ -436,8 +436,15 @@ class RoundtripsSpec extends SparkSpec {
     // delete-everything path: matched batches removed with no survivors
     spark.sql(s"DELETE FROM $tbl WHERE k IN (2, 3, 5)") // v5
     assert(spark.table(tbl).count() === 0)
-    // untranslatable conditions fail loudly, never silently partial-delete
-    intercept[Exception](spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0"))
+    // a condition beyond translatable source filters (k % 2 = 0) falls
+    // back to the ROW-LEVEL-OPERATION group rewrite instead of failing —
+    // SupportsDelete serves the metadata-only fast path, the rewrite
+    // serves everything else
+    Seq((10L, java.lang.Long.valueOf(1L)), (11L, java.lang.Long.valueOf(1L)),
+      (12L, java.lang.Long.valueOf(1L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(11L))
     spark.sql(s"DROP TABLE $tbl")
   }
 
@@ -474,6 +481,41 @@ class RoundtripsSpec extends SparkSpec {
       c.commit(0L, Array(msg(9L)))
       assert(count() === 1)
     } finally graft.sources.MemTables.drop("spec_epoch")
+  }
+
+  test("DSv2 MemTable: UPDATE and MERGE INTO run as group-based copy-on-write rewrites") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_rlo_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k >= 2") // v2
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 21L), (3L, 31L)))
+    Seq((2L, 200L), (9L, 900L)).toDF("k", "v").createOrReplaceTempView("rlo_spec_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rlo_spec_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // v3
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 200L), (3L, 31L), (9L, 900L)))
+    // MERGE with a DELETE action
+    Seq(Tuple1(3L)).toDF("k").createOrReplaceTempView("rlo_spec_del")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rlo_spec_del s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin) // v4
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 9L))
+    // copy-on-write: every pre-DML state is still an exact snapshot
+    assert(spark.sql(s"SELECT v FROM $tbl VERSION AS OF 1 WHERE k = 2").head.getLong(0) === 20L)
+    assert(spark.sql(s"SELECT v FROM $tbl VERSION AS OF 2 WHERE k = 2").head.getLong(0) === 21L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 3").head.getLong(0) === 4L)
+    // the _batch_version metadata column is user-selectable and tracks the
+    // rewrite: after the merge every current row belongs to the v3+ commits
+    val vers = spark.sql(s"SELECT _batch_version FROM $tbl")
+      .collect().map(_.getLong(0)).toSet
+    assert(vers.forall(_ >= 4L), s"expected post-rewrite batch versions, got $vers")
+    spark.sql(s"DROP TABLE $tbl")
   }
 
   test("DSv2 MemTable: uncommitted task output is never published") {
