@@ -24,10 +24,13 @@ object Streams {
     * follows the STATE size (thousands of window keys here), not the batch
     * shuffle default. A child session scopes that setting (and the memory
     * sink's temp view) to the one query without touching the caller's conf.
+    * 4 measured ~10% faster than 8 at gate scale (every trigger commits
+    * every store, so fewer stores = less per-batch commit IO); at real
+    * scale this knob follows state volume upward.
     */
   private def gateSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     s
   }
 
