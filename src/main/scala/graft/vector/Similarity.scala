@@ -439,6 +439,87 @@ object Similarity {
     lshNearDupPairs(quantized(spark, dir).filter(col("norm2") > 0), 0.95)
   }
 
+  /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding corpus with k-means, then prune near-identical
+    * pairs WITHIN each cluster only — the curation technique that removes
+    * semantically redundant training documents where exact/MinHash dedup
+    * sees different strings. The quadratic term is bounded by cluster
+    * size: candidate volume is Σ|cell|², never |corpus|² (at 100 TB, k
+    * scales with the corpus so cells stay constant-sized; assignment is
+    * one scan against broadcast centroids — the k-means-IVF shape). The
+    * deliberate recall trade (a cross-cluster near-dup pair is NOT
+    * examined) is part of the technique, and the oracle states the SAME
+    * semantics: it replays the seeded integer Lloyd training bit-for-bit
+    * (the `ann_ivf_kmeans` machinery — coarse centroids shared with the
+    * IVF-PQ family via the pinned registry) and filters pairs within the
+    * replayed cells, so the hash match proves the learned clustering AND
+    * the within-cluster prune set.
+    */
+  val semanticDedup: QueryDef = {
+    val distSql =
+      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    def assign(from: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, norm2, cell FROM (
+         |    SELECT vec_id, q, norm2, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
+         |                 ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    QueryDef(
+      "semantic_dedup",
+      s"""WITH q0 AS (
+         |  SELECT vec_id, $qvecSql AS q,
+         |         ${dotSql(qvecSql, qvecSql)} AS norm2
+         |  FROM embeddings),
+         |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
+         |${assign("nz", "c0", "a1")},
+         |${update("a1", "c1")},
+         |${assign("nz", "c1", "a2")},
+         |${update("a2", "c2")},
+         |${assign("nz", "c2", "a3")}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+         |  CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
+         |FROM a3 a JOIN a3 b ON b.cell = a.cell AND b.vec_id > a.vec_id
+         |WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.9""".stripMargin) { (spark, dir) =>
+      val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+      val cents = ivfPqCoarsePinned(spark, dir)
+      if (cents.isEmpty) {
+        q.select(
+          col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          lit(0L).as("cell"), lit(0.0).as("cos_sim")).limit(0)
+      } else {
+        val assigned = q.withColumn("cell", assignExpr(cents))
+        val a = assigned.select(
+          col("vec_id").as("vec_a"), col("cell"), col("q").as("qa"), col("norm2").as("na"))
+        val b = assigned.select(
+          col("vec_id").as("vec_b"), col("cell"), col("q").as("qb"), col("norm2").as("nb"))
+        a.join(b, Seq("cell"))
+          .filter(col("vec_b") > col("vec_a"))
+          .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
+          .withColumn("cos_sim",
+            col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .filter(col("cos_sim") >= 0.9)
+          .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+      }
+    }
+  }
+
   /** Banded-LSH near-dup scan over a quantized frame
     * (`vec_id, q, norm2`): candidates from any shared band key, exact
     * integer-cosine verify at `threshold`. The band self-join carries only
@@ -1070,5 +1151,6 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
       annPqTrainSample, annIvfPq, streamingPqEncode, embeddingLshNearDup,
-      embeddingQuantizeInt8, embeddingGramMatrix, labelCentroidCosine)
+      semanticDedup, embeddingQuantizeInt8, embeddingGramMatrix,
+      labelCentroidCosine)
 }
