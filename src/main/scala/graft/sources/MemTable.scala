@@ -222,29 +222,49 @@ object MemTables {
 
   /** Which `DELETE FROM ... WHERE` conditions this table can serve: the
     * standard comparison/membership/null/boolean filters over top-level
-    * columns of the current schema. Anything else makes Spark fail the
-    * DELETE loudly at planning — never a silent partial delete.
+    * columns of the current schema whose type [[cmp]] can actually
+    * compare. Declining here is not a failure: the table also implements
+    * `SupportsRowLevelOperations`, so Spark falls back to the group-based
+    * rewrite (arbitrary Catalyst predicates, any type) — the contract is
+    * merely that the metadata-only fast path never ACCEPTS a condition it
+    * would then evaluate wrongly (a date/decimal comparison [[cmp]] maps
+    * to unknown would otherwise be a silent no-op delete).
     */
-  def supportedDeleteFilter(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(c, _) => schema.fieldNames.contains(c)
-    case GreaterThan(c, _) => schema.fieldNames.contains(c)
-    case GreaterThanOrEqual(c, _) => schema.fieldNames.contains(c)
-    case LessThan(c, _) => schema.fieldNames.contains(c)
-    case LessThanOrEqual(c, _) => schema.fieldNames.contains(c)
-    case In(c, _) => schema.fieldNames.contains(c)
-    case IsNull(c) => schema.fieldNames.contains(c)
-    case IsNotNull(c) => schema.fieldNames.contains(c)
-    case And(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
-    case Or(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
-    case Not(c) => supportedDeleteFilter(c, schema)
-    case AlwaysTrue() | AlwaysFalse() => true
-    case _ => false
+  def supportedDeleteFilter(f: Filter, schema: StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    // a column is comparable iff cmp handles its internal representation
+    def comparable(c: String): Boolean =
+      schema.fields.find(_.name == c).exists(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case DoubleType | FloatType => true
+        case StringType | BooleanType => true
+        case _ => false // dates, timestamps, decimals, binary, nested: rewrite path
+      })
+    // null-ness tests never compare values — any top-level column works
+    def present(c: String): Boolean = schema.fieldNames.contains(c)
+    f match {
+      case EqualTo(c, _) => comparable(c)
+      case GreaterThan(c, _) => comparable(c)
+      case GreaterThanOrEqual(c, _) => comparable(c)
+      case LessThan(c, _) => comparable(c)
+      case LessThanOrEqual(c, _) => comparable(c)
+      case In(c, _) => comparable(c)
+      case IsNull(c) => present(c)
+      case IsNotNull(c) => present(c)
+      case And(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+      case Or(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+      case Not(c) => supportedDeleteFilter(c, schema)
+      case AlwaysTrue() | AlwaysFalse() => true
+      case _ => false
+    }
   }
 
   /** Three-way SQL comparison between a row's internal value and a filter
-    * literal; None = incomparable (null or unsupported pairing), which
-    * makes the enclosing predicate false (SQL NULL semantics: a row whose
-    * compared value is NULL never matches the DELETE condition).
+    * literal; None = incomparable (a NULL operand), which makes the
+    * enclosing predicate UNKNOWN — propagated by Kleene logic in `eval`
+    * below, never collapsed to false before negation. Type pairings cmp
+    * does not handle never reach it: [[supportedDeleteFilter]] rejects
+    * them at planning and Spark falls back to the row-level rewrite.
     */
   private def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, lit) match {
     case (null, _) | (_, null) => None
@@ -284,31 +304,52 @@ object MemTables {
         else if (r.isNullAt(i)) null
         else r.get(i, b.schema.fields(i).dataType)
       }
-      def eval(f: Filter, b: TaggedBatch, r: InternalRow): Boolean = f match {
-        case EqualTo(c, v) => cmp(valueOf(b, r, c), v).contains(0)
-        case GreaterThan(c, v) => cmp(valueOf(b, r, c), v).exists(_ > 0)
-        case GreaterThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).exists(_ >= 0)
-        case LessThan(c, v) => cmp(valueOf(b, r, c), v).exists(_ < 0)
-        case LessThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).exists(_ <= 0)
-        case In(c, vs) => vs.exists(v => cmp(valueOf(b, r, c), v).contains(0))
-        case IsNull(c) => valueOf(b, r, c) == null
-        case IsNotNull(c) => valueOf(b, r, c) != null
-        case And(l, rr) => eval(l, b, r) && eval(rr, b, r)
-        case Or(l, rr) => eval(l, b, r) || eval(rr, b, r)
-        case Not(inner) => !eval(inner, b, r)
-        case AlwaysTrue() => true
-        case AlwaysFalse() => false
+      // SQL THREE-VALUED logic: None = unknown (a NULL operand). A row is
+      // deleted only when the conjunction is DEFINITIVELY true — under
+      // two-valued eval, `Not(v = 5)` over a NULL v would wrongly read
+      // true (inner false → negated true) and delete rows SQL must keep
+      // (`v <> 5`, `v NOT IN (...)` are unknown on NULL, not true).
+      def eval(f: Filter, b: TaggedBatch, r: InternalRow): Option[Boolean] = f match {
+        case EqualTo(c, v) => cmp(valueOf(b, r, c), v).map(_ == 0)
+        case GreaterThan(c, v) => cmp(valueOf(b, r, c), v).map(_ > 0)
+        case GreaterThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).map(_ >= 0)
+        case LessThan(c, v) => cmp(valueOf(b, r, c), v).map(_ < 0)
+        case LessThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).map(_ <= 0)
+        case In(c, vs) =>
+          // true if any element matches; unknown if none match but any
+          // comparison was unknown (x IN (1, NULL) is unknown, not false)
+          val cs = vs.toSeq.map(v => cmp(valueOf(b, r, c), v))
+          if (cs.exists(_.contains(0))) Some(true)
+          else if (cs.exists(_.isEmpty)) None
+          else Some(false)
+        case IsNull(c) => Some(valueOf(b, r, c) == null)
+        case IsNotNull(c) => Some(valueOf(b, r, c) != null)
+        case And(l, rr) => (eval(l, b, r), eval(rr, b, r)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+        case Or(l, rr) => (eval(l, b, r), eval(rr, b, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+        case Not(inner) => eval(inner, b, r).map(!_) // NOT unknown = unknown
+        case AlwaysTrue() => Some(true)
+        case AlwaysFalse() => Some(false)
         case other => throw new UnsupportedOperationException(
           s"unsupported DELETE filter: $other")
       }
+      def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
+        filters.forall(f => eval(f, b, r).contains(true))
       st.version += 1
       st.batches = st.batches.flatMap { b =>
         if (b.removedAt != Long.MaxValue) Vector(b) // already historical
         else {
-          val matches = b.rows.exists(r => filters.forall(f => eval(f, b, r)))
+          val matches = b.rows.exists(r => matchesAll(b, r))
           if (!matches) Vector(b)
           else {
-            val keep = b.rows.filterNot(r => filters.forall(f => eval(f, b, r)))
+            val keep = b.rows.filterNot(r => matchesAll(b, r))
             val removed = b.copy(removedAt = st.version)
             if (keep.isEmpty) Vector(removed)
             else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep))

@@ -448,6 +448,55 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: DELETE negation keeps NULL rows (three-valued logic)") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_delete_3vl_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(7L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append()
+    // v <> 5 is UNKNOWN on NULL, not true: the k=2 row must SURVIVE —
+    // two-valued eval of Not(EqualTo) would wrongly delete it
+    spark.sql(s"DELETE FROM $tbl WHERE v <> 5")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // v NOT IN (5, 99) is likewise unknown on NULL: k=2 survives again
+    spark.sql(s"DELETE FROM $tbl WHERE v NOT IN (5, 99)")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // ... while IS NULL still targets it directly
+    spark.sql(s"DELETE FROM $tbl WHERE v IS NULL")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: DELETE on a non-comparable column type takes the rewrite path") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_delete_types_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, m DECIMAL(10,2))")
+    spark.sql(
+      s"""INSERT INTO $tbl VALUES
+         |(1, DATE'2024-01-01', 10.50), (2, DATE'2024-06-01', 20.00),
+         |(3, DATE'2025-01-01', 30.25)""".stripMargin)
+    // the metadata-only fast path must DECLINE date/decimal comparisons
+    // (its evaluator cannot compare them — accepting would silently match
+    // nothing); Spark then falls back to the group-based rewrite, which
+    // evaluates the predicate with full Catalyst semantics
+    val st = graft.sources.MemTables.get("mem_delete_types_spec").get
+    assert(!graft.sources.MemTables.supportedDeleteFilter(
+      org.apache.spark.sql.sources.LessThan("d", java.sql.Date.valueOf("2024-07-01")),
+      st.schema))
+    assert(!graft.sources.MemTables.supportedDeleteFilter(
+      org.apache.spark.sql.sources.EqualTo("m", new java.math.BigDecimal("10.50")),
+      st.schema))
+    spark.sql(s"DELETE FROM $tbl WHERE d < DATE'2024-07-01'")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    spark.sql(s"DELETE FROM $tbl WHERE m > 30")
+    assert(spark.table(tbl).count() === 0L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: streaming-epoch commit is idempotent per (queryId, epochId)") {
     val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
     graft.sources.MemTables.create("spec_epoch", schema)
