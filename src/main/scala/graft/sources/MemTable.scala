@@ -161,6 +161,49 @@ object MemTables {
     }
   }
 
+  /** Atomic publish of a row-level (UPDATE / MERGE / rewrite-DELETE)
+    * operation's replacement rows: soft-remove the REPLACED live batches —
+    * exactly the ones the operation's scan read (`versions`; None = the
+    * scan was not runtime-group-filtered and read every live batch) — and
+    * commit the replacements, all under one new version. This is what
+    * makes copy-on-write DML cost proportional to the batches CONTAINING
+    * matches instead of the table: at 100 TB an UPDATE touching one
+    * partition's files must not rewrite the other 99.999%.
+    *
+    * OPTIMISTIC CONCURRENCY: `expectedVersion` is the table version the
+    * operation's scan planned against. A commit that landed in between
+    * would be silently erased by publishing the rewrite (lost update), so
+    * — like Iceberg/Delta validation — the publish REJECTS when the
+    * version has advanced; the caller's recourse is to re-run the DML
+    * against the new state.
+    */
+  def replaceBatches(
+      key: String,
+      versions: Option[Set[Long]],
+      expectedVersion: Option[Long],
+      writeSchema: StructType,
+      batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-rewrite"))
+    st.synchronized {
+      expectedVersion.foreach { v =>
+        if (st.version != v)
+          throw new IllegalStateException(
+            s"mem table $key: concurrent commit detected — the row-level rewrite " +
+              s"scanned version $v but the table is now at version ${st.version}; " +
+              "publishing would erase the interleaved commit (lost update). Re-run the DML.")
+      }
+      st.version += 1
+      st.batches = st.batches.map { b =>
+        if (b.removedAt == Long.MaxValue && versions.forall(_.contains(b.version)))
+          b.copy(removedAt = st.version)
+        else b
+      } ++ batches.filter(_.nonEmpty)
+        .map(TaggedBatch(writeSchema, st.version, st.version, _))
+      st.stamp()
+    }
+  }
+
   /** Atomic publish of one write's committed task batches, tagged with the
     * schema the write was bound to (NOT the table's current schema — a
     * concurrent alter must not retag in-flight rows it never migrated).
@@ -388,13 +431,23 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     * operation: Spark's rewrite rules read the affected data through the
     * operation's scan, compute the replacement rows (carried-over +
     * updated + inserted), and write them back through the operation's
-    * write, which REPLACES what the scan read. With the whole table as one
-    * group (no group-filter pushdown here), that is one atomic
-    * truncate+write commit — a single new version, so time travel keeps
-    * the pre-merge state and the change feed reports the rewrite honestly.
-    * This is the same shape Iceberg's copy-on-write MERGE takes with one
-    * affected file group; the delta-based (merge-on-read) variant trades
-    * write cost for read cost and is deliberately not modeled.
+    * write, which REPLACES what the scan read.
+    *
+    * The group granularity is the COMMITTED BATCH (`_batch_version`), and
+    * the scan advertises that column as runtime-filterable
+    * (`SupportsRuntimeV2Filtering`), so Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` rule plans a dynamic-pruning
+    * subquery — `SELECT _batch_version FROM t WHERE <condition>` — and the
+    * rewrite scans ONLY the batches containing matches. The write then
+    * replaces exactly the scanned batches ([[MemTables.replaceBatches]]):
+    * untouched batches survive by reference, so DML cost tracks the
+    * matched groups, not the table — Iceberg's copy-on-write MERGE with
+    * file-group granularity, expressed over commit batches. One atomic
+    * version per DML keeps time travel and the change feed honest; a
+    * concurrent commit between scan and publish is rejected (optimistic
+    * concurrency), never silently erased. The delta-based (merge-on-read)
+    * variant trades write cost for read cost and is deliberately not
+    * modeled.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
@@ -403,17 +456,16 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      // scan ↔ write coordination for THIS operation instance: which batch
+      // versions the runtime group filter narrowed the scan to, and the
+      // table version the scan planned against (conflict detection)
+      private val state = new MemRowLevelState
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new MemScanBuilder(key, tableSchema, None)
-      override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder = {
-        // replacement semantics: the written rows REPLACE the scanned
-        // group (= the table) in one atomic versioned publish
-        val b = new MemWriteBuilder(key, lw.schema(), lw.queryId())
-        b.truncate()
-        b
-      }
+        new MemScanBuilder(key, tableSchema, None, Some(state))
+      override def newWriteBuilder(lw: LogicalWriteInfo): WriteBuilder =
+        new MemRowLevelWriteBuilder(key, lw.schema(), state)
       // Declaring the metadata attribute routes the rewrite through
       // Spark's metadata-aware write task, which is the ONLY task that
       // strips the internal __row_operation marker before handing rows to
@@ -457,17 +509,32 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   }
 }
 
+/** Scan ↔ write coordination of one row-level operation (UPDATE / MERGE /
+  * rewrite-DELETE): the batch versions the runtime group filter narrowed
+  * the scan to (None = unfiltered, the whole-table group), and the table
+  * version the scan last planned against (the optimistic-concurrency
+  * check [[MemTables.replaceBatches]] validates at publish). Both sides
+  * live on the driver — `filter` / `planInputPartitions` / `commit` are
+  * all driver calls — so a plain shared holder is the correct channel.
+  */
+final class MemRowLevelState {
+  @volatile var groupVersions: Option[Set[Long]] = None
+  @volatile var scannedVersion: Option[Long] = None
+}
+
 /** Column-pruning scan builder: the required schema Spark pushes down may
   * drop data columns and may include the [[MemTables.BatchVersion]]
   * metadata column — both served by [[MemScan]]'s by-name projection.
   */
-final class MemScanBuilder(key: String, tableSchema: StructType, asOf: Option[Long])
+final class MemScanBuilder(
+    key: String, tableSchema: StructType, asOf: Option[Long],
+    rowLevel: Option[MemRowLevelState] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var required: Option[StructType] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
-  override def build(): Scan = new MemScan(key, tableSchema, asOf, required)
+  override def build(): Scan = new MemScan(key, tableSchema, asOf, required, rowLevel)
 }
 
 /** `readSchema` may be a PRUNED projection of the table schema and may
@@ -477,18 +544,46 @@ final class MemScanBuilder(key: String, tableSchema: StructType, asOf: Option[Lo
   */
 final class MemScan(
     key: String, tableSchema: StructType, asOf: Option[Long] = None,
-    readSchemaOpt: Option[StructType] = None)
-    extends Scan with Batch {
+    readSchemaOpt: Option[StructType] = None,
+    rowLevel: Option[MemRowLevelState] = None)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val boundSchema = readSchemaOpt.getOrElse(tableSchema)
   override def readSchema(): StructType = boundSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}"
 
+  /** Runtime group filtering (row-level operations only): `_batch_version`
+    * is the group id, and Spark's group-filter rule feeds the versions of
+    * batches containing condition matches back via [[filter]] before
+    * partitions are planned — so the rewrite reads (and therefore
+    * replaces) only the affected batches. Plain scans advertise nothing.
+    */
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rowLevel.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(MemTables.BatchVersion))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    rowLevel.foreach { state =>
+      val sets = predicates.flatMap(MemScan.versionSetOf)
+      // record ONLY a fully-parsed restriction: the scan narrows by it
+      // below and the write replaces exactly the same set — an unparsed
+      // predicate shape leaves both sides at whole-table, never skewed
+      if (sets.nonEmpty) state.groupVersions = Some(sets.reduce(_ intersect _))
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot at planning: a concurrent commit lands in the NEXT query
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    // row-level ops: remember the version the rewrite planned against so
+    // the publish can reject an interleaved commit (lost-update guard)
+    rowLevel.foreach(_.scannedVersion = Some(st.version))
     // metadata as of the pinned snapshot (tombstones must not "see the
     // future": a drop AFTER version v is invisible to an AS OF v read)
     val droppedAt = asOf match {
@@ -511,9 +606,15 @@ final class MemScan(
     // snapshot visibility: a batch exists in AS OF v iff committed at or
     // before v and not truncated at or before v; a current read sees the
     // never-removed batches
-    val visible = asOf match {
+    val live = asOf match {
       case Some(v) => st.batches.filter(b => b.version <= v && b.removedAt > v)
       case None => st.batches.filter(_.removedAt == Long.MaxValue)
+    }
+    // row-level rewrite narrowed by the runtime group filter: scan only
+    // the batches whose versions contain condition matches
+    val visible = rowLevel.flatMap(_.groupVersions) match {
+      case Some(vs) => live.filter(b => vs.contains(b.version))
+      case None => live
     }
     visible.foreach { b =>
       val hidden = hiddenIn(b)
@@ -573,6 +674,65 @@ final class MemScan(
         }
       }
     }
+}
+
+object MemScan {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** Parse one runtime-filter predicate into the batch-version set it
+    * admits: `_batch_version IN (v1, …)` (the shape the dynamic-pruning
+    * subquery produces; an empty IN = no groups matched) or the
+    * single-value `=` form. Anything else → None (unparsed, so the scan
+    * stays whole-table rather than guessing).
+    */
+  private[sources] def versionSetOf(p: V2Predicate): Option[Set[Long]] = {
+    def isVersionRef(e: V2Expression): Boolean = e match {
+      case f: NamedReference =>
+        f.fieldNames.length == 1 && f.fieldNames.head == MemTables.BatchVersion
+      case _ => false
+    }
+    def litLong(e: V2Expression): Option[Long] = e match {
+      case l: Literal[_] => l.value match {
+        case x: java.lang.Long => Some(x.longValue)
+        case x: java.lang.Integer => Some(x.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    val kids = p.children()
+    p.name match {
+      case "IN" if kids.nonEmpty && isVersionRef(kids.head) =>
+        val vs = kids.tail.map(litLong)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if kids.length == 2 && isVersionRef(kids.head) =>
+        litLong(kids(1)).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
+/** Write half of a row-level operation: plain task-buffered commit
+  * messages (same [[MemWriterFactory]] protocol as any batch write), but
+  * the driver publish goes through [[MemTables.replaceBatches]] — replace
+  * exactly the batch versions the operation's scan read (whole table only
+  * when the runtime group filter never fired), rejecting a concurrently
+  * advanced table version instead of erasing the interleaved commit.
+  */
+final class MemRowLevelWriteBuilder(
+    key: String, writeSchema: StructType, state: MemRowLevelState)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new MemWriterFactory
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        MemTables.replaceBatches(
+          key, state.groupVersions, state.scannedVersion, writeSchema,
+          messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
 }
 
 /** Rows travel inside the partition — serializable, so the read path is

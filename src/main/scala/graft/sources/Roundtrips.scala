@@ -646,13 +646,17 @@ object Roundtrips {
   }
 
   /** SQL `UPDATE` through the connector — Spark's group-based row-level
-    * rewrite (`SupportsRowLevelOperations`): the whole affected group is
-    * read, updated rows substituted, and the replacement written back in
-    * ONE atomic versioned truncate+commit (copy-on-write; see
-    * [[MemTable.newRowLevelOperationBuilder]]). The condition here
-    * (modulo) is deliberately NOT a translatable source filter, proving
-    * arbitrary predicates plan through the rewrite. Both the pre-update
-    * snapshot and the updated rows are hash-checked.
+    * rewrite (`SupportsRowLevelOperations`) at COMMITTED-BATCH group
+    * granularity: the scan advertises `_batch_version` as
+    * runtime-filterable, Spark's group-filter rule finds the batches
+    * containing matches via a dynamic-pruning subquery, and the publish
+    * replaces exactly those batches in one atomic version (copy-on-write
+    * proportional to the matched groups, never the table; see
+    * [[MemTable.newRowLevelOperationBuilder]] — RoundtripsSpec asserts
+    * untouched batches survive by reference). The condition here (modulo)
+    * is deliberately NOT a translatable source filter, proving arbitrary
+    * predicates plan through the rewrite. Both the pre-update snapshot and
+    * the updated rows are hash-checked.
     */
   val dsv2UpdateWhere: QueryDef = QueryDef(
     "dsv2_update_where",
@@ -680,9 +684,11 @@ object Roundtrips {
 
   /** SQL `MERGE INTO` (upsert) through the connector — matched target rows
     * take the source's value, unmatched source rows insert, unmatched
-    * target rows carry over; one atomic copy-on-write version. The oracle
-    * restates the upsert relationally (full outer join of the two
-    * snapshots), so a wrong carry/update/insert split breaks the hash.
+    * target rows carry over; one atomic copy-on-write version, rewriting
+    * only the batches holding matched targets (runtime group filter on
+    * `_batch_version`, as in [[dsv2UpdateWhere]]). The oracle restates the
+    * upsert relationally (full outer join of the two snapshots), so a
+    * wrong carry/update/insert split breaks the hash.
     */
   val dsv2MergeUpsert: QueryDef = QueryDef(
     "dsv2_merge_upsert",

@@ -567,6 +567,86 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: UPDATE/MERGE rewrite only the batches containing matches") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_rlo_prop_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    import spark.implicits._
+    Seq((11L, 10L), (12L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    Seq((21L, 30L), (22L, 40L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v2
+    Seq((31L, 50L), (32L, 60L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v3
+    val st = graft.sources.MemTables.get("mem_rlo_prop_spec").get
+    val before = st.batches.map(b => b.version -> b).toMap
+    assert(before.keySet === Set(1L, 2L, 3L))
+    // UPDATE hits only batch v2's rows: the runtime group filter must
+    // narrow the rewrite scan to that batch and the publish must replace
+    // only it — proportional copy-on-write, not a table-sized rewrite
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 21") // v4
+    val after = st.batches
+    // untouched batches stay REFERENCE-IDENTICAL and live (never copied)
+    assert(after.find(_.version == 1L).get eq before(1L))
+    assert(after.find(_.version == 3L).get eq before(3L))
+    assert(after.filter(b => b.version == 1L || b.version == 3L)
+      .forall(_.removedAt == Long.MaxValue))
+    // the matched batch was soft-removed at the DML version; its
+    // replacement (updated + carried rows) committed at the same version
+    assert(after.find(_.version == 2L).get.removedAt === 4L)
+    val repl = after.filter(b => b.version == 4L && b.removedAt == Long.MaxValue)
+    assert(repl.map(_.rows.length).sum === 2)
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((11L, 10L), (12L, 20L), (21L, 31L), (22L, 40L), (31L, 50L), (32L, 60L)))
+    // the change feed for the DML window carries ONLY affected-batch events
+    val events = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_rlo_prop_spec").option("from", "3").load()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(events === Seq(
+      (21L, "delete", 4L), (21L, "insert", 4L),
+      (22L, "delete", 4L), (22L, "insert", 4L)))
+    // MERGE narrows the same way: source keys land in batches v1 and v4
+    // only, so batch v3 again survives by reference
+    val preMerge = st.batches.find(_.version == 3L).get
+    Seq((11L, 1000L), (99L, 9000L)).toDF("k", "v")
+      .createOrReplaceTempView("rlo_prop_merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rlo_prop_merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // v5
+    assert(st.batches.find(_.version == 3L).get eq preMerge)
+    assert(st.batches.find(_.version == 3L).get.removedAt == Long.MaxValue)
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((11L, 1000L), (12L, 20L), (21L, 31L), (22L, 40L),
+        (31L, 50L), (32L, 60L), (99L, 9000L)))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: row-level publish rejects a concurrently advanced table version") {
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
+    graft.sources.MemTables.create("spec_rlo_conflict", schema)
+    try {
+      def msg(v: Long) = {
+        val dw = new graft.sources.MemWriterFactory().createWriter(0, 0L)
+        dw.write(org.apache.spark.sql.catalyst.InternalRow(v)); dw.commit()
+      }
+      graft.sources.MemTables.commit("spec_rlo_conflict", truncate = false, schema,
+        Seq(Array(org.apache.spark.sql.catalyst.InternalRow(1L)))) // v1
+      // a rewrite that scanned v1 publishes fine when nothing interleaved
+      graft.sources.MemTables.replaceBatches(
+        "spec_rlo_conflict", Some(Set(1L)), Some(1L), schema,
+        Seq(msg(2L).asInstanceOf[graft.sources.MemCommitMessage].rows)) // v2
+      val st = graft.sources.MemTables.get("spec_rlo_conflict").get
+      assert(st.version === 2L)
+      // ... but a publish whose scan predates an interleaved commit is
+      // REJECTED (lost-update guard), leaving the table untouched
+      val err = intercept[IllegalStateException] {
+        graft.sources.MemTables.replaceBatches(
+          "spec_rlo_conflict", Some(Set(2L)), Some(1L), schema, Seq.empty)
+      }
+      assert(err.getMessage.contains("concurrent commit"))
+      assert(st.version === 2L)
+    } finally graft.sources.MemTables.drop("spec_rlo_conflict")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
