@@ -81,9 +81,19 @@ object MemTables {
     * (batches with `version <= v < removedAt`, metadata from the newest
     * history entry `<= v`). This is the Iceberg/Delta snapshot model:
     * commits create snapshots, old snapshots stay readable until expired
-    * (no expiry here — gate-sized tables; a real table format ages
-    * snapshots out by retention, which only ever DELETES timeline, never
-    * changes the read semantics).
+    * via [[MemTables.expireSnapshots]] (retention only ever DELETES
+    * timeline, never changes the read semantics of what remains).
+    *
+    * CONCURRENCY CONTRACT: every mutation (commit / epoch-commit / alter /
+    * delete / row-level publish / expiry) runs under this object's
+    * monitor, so the version log is a SERIALIZABLE history — each
+    * operation owns exactly one version slot and reads bind to a
+    * consistent (version, batches, history) triple. Appends never
+    * conflict (append-only); truncating and row-level writes are
+    * last-committer-wins EXCEPT that a row-level publish validates the
+    * version its scan planned against and REJECTS if another commit
+    * interleaved ([[MemTables.replaceBatches]]) — optimistic concurrency,
+    * a lost update is an error, not a silent outcome.
     */
   final class State(initialSchema: StructType) {
     @volatile var schema: StructType = initialSchema
@@ -109,6 +119,11 @@ object MemTables {
     // documented at-least-once behavior; the ledger makes table contents
     // exactly-once)
     @volatile var committedEpochs: Map[String, Set[Long]] = Map.empty
+    // retention horizon: snapshots strictly BELOW this version are expired
+    // (their exclusively-historical batches physically dropped); reads and
+    // change windows into the expired range fail loudly, never silently
+    // return partial history
+    @volatile var earliestVersion: Long = 0L
     private[sources] def stamp(): Unit = {
       val now = System.currentTimeMillis() * 1000L
       val ts = math.max(now, versionTimes.last._2 + 1L)
@@ -158,6 +173,41 @@ object MemTables {
       st.schema = newSchema
       st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt)
       st.stamp()
+    }
+  }
+
+  /** SNAPSHOT EXPIRY (retention) — the aging-out half of the snapshot
+    * model the timeline docs defer to: drop history strictly BEFORE
+    * `olderThan`, after which `VERSION/TIMESTAMP AS OF` reads and change
+    * windows into the expired range fail loudly. Physically dropped are
+    * exactly the batches invisible at every version >= olderThan
+    * (`removedAt <= olderThan`) — current reads, reads at any retained
+    * version, and change windows from the new horizon onward are
+    * byte-identical to pre-expiry (spec-asserted). Timeline metadata
+    * (history / versionTimes) is compacted to the newest entry at-or-
+    * before the horizon plus everything after, preserving resolution for
+    * every retained version. This is the only operation that DELETES
+    * timeline; it never changes the semantics of what remains — the
+    * Iceberg `expireSnapshots` / Delta `VACUUM` contract. Returns
+    * (expired batch count, new earliest version).
+    */
+  def expireSnapshots(key: String, olderThan: Long): (Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (olderThan < 0 || olderThan > st.version)
+        throw new IllegalArgumentException(
+          s"expire horizon $olderThan outside table history [0, ${st.version}]")
+      val (gone, kept) = st.batches.partition(_.removedAt <= olderThan)
+      st.batches = kept
+      st.earliestVersion = math.max(st.earliestVersion, olderThan)
+      // keep the newest metadata entry at-or-before the horizon (it binds
+      // reads AT the horizon) and every later one
+      val hKeep = st.history.lastIndexWhere(_.version <= olderThan)
+      if (hKeep > 0) st.history = st.history.drop(hKeep)
+      val tKeep = st.versionTimes.lastIndexWhere(_._1 <= olderThan)
+      if (tKeep > 0) st.versionTimes = st.versionTimes.drop(tKeep)
+      (gone.size.toLong, st.earliestVersion)
     }
   }
 
@@ -584,6 +634,14 @@ final class MemScan(
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(st.version))
+    // a snapshot expired between loadTable and scan planning must fail
+    // loudly, not read the partial remains of its batches
+    asOf.foreach { v =>
+      if (v < st.earliestVersion)
+        throw new IllegalStateException(
+          s"mem table $key version $v expired before the scan planned " +
+            s"(earliest retained snapshot: ${st.earliestVersion})")
+    }
     // metadata as of the pinned snapshot (tombstones must not "see the
     // future": a drop AFTER version v is invisible to an AS OF v read)
     val droppedAt = asOf match {
@@ -871,14 +929,25 @@ object MemChangesSource {
     val key = req("table")
     val st = MemTables.get(key).getOrElse(
       throw new IllegalArgumentException(s"mem table $key does not exist"))
+    // one consistent snapshot of the version clock + timeline: an unlocked
+    // double-read could straddle a concurrent commit (version from before
+    // it, history from after) and bind a schema the bound `to` never had
+    val (curVersion, earliest, hist) = st.synchronized {
+      (st.version, st.earliestVersion, st.history)
+    }
     val from = req("from").toLong
-    val to = Option(options.get("to")).map(_.toLong).getOrElse(st.version)
+    val to = Option(options.get("to")).map(_.toLong).getOrElse(curVersion)
     if (from > to)
       throw new IllegalArgumentException(s"empty change window: from=$from > to=$to")
-    if (from < 0 || to > st.version)
+    if (from < 0 || to > curVersion)
       throw new IllegalArgumentException(
-        s"change window ($from, $to] outside table history [0, ${st.version}]")
-    val dataSchema = st.history.filter(_.version <= to).last.schema
+        s"change window ($from, $to] outside table history [0, $curVersion]")
+    if (from < earliest)
+      throw new IllegalArgumentException(
+        s"change window ($from, $to] reaches into expired history of $key " +
+          s"(earliest retained snapshot: $earliest) — " +
+          "events before the retention horizon are gone")
+    val dataSchema = hist.filter(_.version <= to).last.schema
     val full = dataSchema
       .add(ChangeType, org.apache.spark.sql.types.StringType, nullable = false)
       .add(CommitVersion, org.apache.spark.sql.types.LongType, nullable = false)

@@ -717,10 +717,101 @@ object Roundtrips {
     spark.table(tbl)
   }
 
+  /** CDC over a DML window — the change-event shape of row-level
+    * operations, hash-pinned: append evens (v1), append odds (v2), then an
+    * UPDATE whose condition only matches ODD keys (v3) and a DELETE whose
+    * matches span both batches (v4). The rewrites log batch-level
+    * remove + reinsert-survivor events, so the feed over (0,4] must show
+    * v3 touching ONLY the odd batch — the even batch contributes no v3
+    * events, which is the runtime group filter's proportionality made
+    * oracle-checkable: a silently degraded whole-table rewrite would emit
+    * extra even-batch events and break the hash. The DELETE (fast path,
+    * batch-granular) then emits both batches' removals plus per-batch
+    * survivors. The oracle restates all six event sets from `orders`.
+    */
+  val dsv2CdcDml: QueryDef = QueryDef(
+    "dsv2_cdc_dml",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |evens AS (SELECT k, v FROM base WHERE k % 2 = 0),
+      |odds AS (SELECT k, v FROM base WHERE k % 2 = 1),
+      |odds2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v FROM odds),
+      |cur AS (SELECT k, v FROM evens UNION ALL SELECT k, v FROM odds2)
+      |SELECT k, v, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM evens
+      |UNION ALL SELECT k, v, 'insert', CAST(2 AS BIGINT) FROM odds
+      |UNION ALL SELECT k, v, 'delete', CAST(3 AS BIGINT) FROM odds
+      |UNION ALL SELECT k, v, 'insert', CAST(3 AS BIGINT) FROM odds2
+      |UNION ALL SELECT k, v, 'delete', CAST(4 AS BIGINT) FROM cur
+      |UNION ALL SELECT k, v, 'insert', CAST(4 AS BIGINT) FROM cur WHERE v >= 10000000""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_cdc_dml"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    // one task batch per append: the DML events below are batch-granular,
+    // so the batch layout must be deterministic for the oracle to restate
+    base.filter(col("k") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1
+    base.filter(col("k") % 2 === 1).coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0 AND k % 2 = 1") // v3
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v4
+    spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_cdc_dml")
+      .option("from", "0").option("to", "4")
+      .load()
+  }
+
+  /** The COMPLETE `MERGE INTO` clause surface in one statement —
+    * conditioned matched-DELETE, matched-UPDATE, not-matched-INSERT, and
+    * both NOT MATCHED BY SOURCE actions (conditioned UPDATE and DELETE):
+    * with a by-source clause present every target row is potentially
+    * affected, so Spark correctly plans the whole-table group rewrite (no
+    * group filter) and the published table must equal the five-way clause
+    * split, which the oracle restates as a single full-outer-join CASE.
+    */
+  val dsv2MergeFull: QueryDef = QueryDef(
+    "dsv2_merge_full",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |t AS (SELECT k, v FROM base WHERE k % 7 <> 0),
+      |s AS (SELECT k, v + 100 AS v FROM base WHERE k % 5 <> 0),
+      |j AS (SELECT t.k AS tk, t.v AS tv, s.k AS sk, s.v AS sv
+      |      FROM t FULL OUTER JOIN s ON s.k = t.k)
+      |SELECT COALESCE(tk, sk) AS k,
+      |  CASE WHEN tk IS NULL THEN sv
+      |       WHEN sk IS NULL THEN CASE WHEN tk % 4 = 0 THEN tv + 1 ELSE tv END
+      |       ELSE sv END AS v
+      |FROM j
+      |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sk % 9 = 0)
+      |  AND NOT (sk IS NULL AND tk IS NOT NULL AND tk % 4 = 2)""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_merge_full"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 7 =!= 0).writeTo(tbl).append() // v1: target
+    base.filter(col("k") % 5 =!= 0)
+      .select(col("k"), (col("v") + 100L).as("v"))
+      .createOrReplaceTempView("merge_full_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_full_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k % 9 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.k % 4 = 0 THEN UPDATE SET v = v + 1
+         |WHEN NOT MATCHED BY SOURCE AND t.k % 4 = 2 THEN DELETE""".stripMargin) // v2
+    spark.table(tbl)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
-      dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert)
+      dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull)
 }

@@ -306,9 +306,27 @@ final case class SeqScan(
   *    `DROP TABLE` removes it. The `seq_<n>` namespace stays reserved
   *    (creation rejected) so the generated tables cannot be shadowed.
   */
-class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
+class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
   import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+
+  /** Catalog MAINTENANCE procedures (Spark 4 `CALL` support — the surface
+    * Iceberg exposes `expire_snapshots`/`rewrite_data_files` through):
+    * `CALL graft.expire_snapshots('table', olderThan)` ages history out of
+    * a mem table per [[MemTables.expireSnapshots]] and returns a one-row
+    * summary. Procedures are catalog-scoped, so table maintenance DDL
+    * stays in SQL — no driver-side helper calls a 100 TB job can't reach.
+    */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "expire_snapshots" => ExpireSnapshotsProcedure
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other (available: expire_snapshots)")
+    }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "expire_snapshots"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -352,6 +370,10 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
     if (v < 0 || v > st.version)
       throw new IllegalArgumentException(
         s"version $v does not exist for mem table $key (current: ${st.version})")
+    if (v < st.earliestVersion)
+      throw new IllegalArgumentException(
+        s"version $v of mem table $key is expired " +
+          s"(earliest retained snapshot: ${st.earliestVersion})")
     val schemaAt = st.history.filter(_.version <= v).last.schema
     new MemTable(key, schemaAt, asOf = Some(v))
   }
@@ -373,9 +395,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
     val at = st.versionTimes.filter(_._2 <= timestampMicros)
     if (at.isEmpty)
       throw new IllegalArgumentException(
-        s"timestamp $timestampMicros predates mem table $key " +
-          s"(created at ${st.versionTimes.head._2})")
+        s"timestamp $timestampMicros predates mem table $key's retained history " +
+          s"(earliest retained stamp: ${st.versionTimes.head._2})")
     val v = at.last._1
+    if (v < st.earliestVersion)
+      throw new IllegalArgumentException(
+        s"timestamp $timestampMicros resolves to expired version $v of mem table $key " +
+          s"(earliest retained snapshot: ${st.earliestVersion})")
     val schemaAt = st.history.filter(_.version <= v).last.schema
     new MemTable(key, schemaAt, asOf = Some(v))
   }
@@ -447,4 +473,51 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+}
+
+/** `CALL graft.expire_snapshots('<table>', <older_than>)` — the retention
+  * procedure ([[MemTables.expireSnapshots]]): drops timeline strictly
+  * before `older_than`; expired `VERSION/TIMESTAMP AS OF` reads and
+  * change windows then fail loudly while current reads and retained
+  * history stay byte-identical. Bound eagerly (`bind` is identity — both
+  * parameters are scalars with fixed types, Spark coerces arguments);
+  * `call` runs driver-side and returns a one-row `LocalScan` summary
+  * `(expired_batches, earliest_version)`, the Spark-4 procedure result
+  * contract.
+  */
+object ExpireSnapshotsProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.LongType
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop mem-table history strictly before a version; reads into the " +
+      "expired range fail loudly, retained history is unchanged"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+      .comment("mem table key within this catalog").build(),
+    ProcedureParameter.in("older_than", LongType)
+      .comment("expire snapshots strictly below this version").build())
+
+  private val outSchema = new StructType()
+    .add("expired_batches", LongType, nullable = false)
+    .add("earliest_version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val horizon = input.getLong(1)
+    val (gone, earliest) = MemTables.expireSnapshots(key, horizon)
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](gone, earliest)))
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftExpireSnapshots $key < $horizon"
+    }).iterator()
+  }
 }

@@ -401,6 +401,21 @@ class RoundtripsSpec extends SparkSpec {
       spark.sql(
         s"INSERT INTO $tbl TIMESTAMP AS OF timestamp_millis($afterV2) VALUES (3)")
     }
+    // CLOCK-SKEW BOUNDARY: two commits inside one clock tick. stamp()
+    // forces strictly monotone micros (second commit = first + 1µs), so
+    // the instant "between" them still resolves unambiguously to the
+    // newest version at-or-before it. Pin the stamps directly to make the
+    // same-tick collision deterministic rather than racing the clock.
+    val st = graft.sources.MemTables.get("mem_ts_travel_spec").get
+    val base = 1000000L // 1s in µs — an arbitrary pinned epoch
+    st.versionTimes = Vector((0L, base), (1L, base + 1000L), (2L, base + 1001L))
+    def asOfMicros(us: Long): Seq[Long] =
+      spark.sql(s"SELECT k FROM $tbl TIMESTAMP AS OF timestamp_micros($us)")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(asOfMicros(base + 1000L) === Seq(1L)) // exactly v1's stamp: v1
+    assert(asOfMicros(base + 1001L) === Seq(1L, 2L)) // the forced +1µs: v2
+    assert(asOfMicros(base + 999L) === Seq.empty) // just before v1: v0 (empty table)
+    intercept[Exception](asOfMicros(base - 1L)) // predates retained history
     spark.sql(s"DROP TABLE $tbl")
   }
 
@@ -645,6 +660,107 @@ class RoundtripsSpec extends SparkSpec {
       assert(err.getMessage.contains("concurrent commit"))
       assert(st.version === 2L)
     } finally graft.sources.MemTables.drop("spec_rlo_conflict")
+  }
+
+  test("DSv2 MemTable: expire_snapshots ages out history without touching retained reads") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_expire_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)") // v0
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("k").coalesce(1).writeTo(tbl).append() // v1: batch A
+    Seq(Tuple1(2L)).toDF("k").createOrReplaceTempView("expire_spec_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM expire_spec_src") // v2: A removed, B committed
+    Seq(Tuple1(3L)).toDF("k").coalesce(1).writeTo(tbl).append() // v3: batch C
+
+    def rowsAsOf(v: Long) =
+      spark.sql(s"SELECT k FROM $tbl VERSION AS OF $v").collect().map(_.getLong(0)).sorted.toSeq
+    def cdc(from: Long) =
+      spark.read.format("graft.sources.MemChangesSource")
+        .option("table", "mem_expire_spec").option("from", from.toString).load()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val preAsOf2 = rowsAsOf(2L)
+    val preCdc2 = cdc(2L)
+    // expire everything strictly below v2: batch A (removed at v2, so
+    // invisible from v2 onward) is physically dropped — one batch
+    val summary = spark.sql(s"CALL graft.expire_snapshots('mem_expire_spec', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(summary === Seq((1L, 2L)))
+    val st = graft.sources.MemTables.get("mem_expire_spec").get
+    assert(st.earliestVersion === 2L)
+    assert(!st.batches.exists(_.rows.exists(_.getLong(0) == 1L)), "batch A must be gone")
+    // every RETAINED read is byte-identical to pre-expiry
+    assert(rowsAsOf(2L) === preAsOf2)
+    assert(rowsAsOf(3L) === Seq(2L, 3L))
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(cdc(2L) === preCdc2)
+    // reads and windows INTO the expired range fail loudly
+    val e1 = intercept[Exception](rowsAsOf(1L))
+    assert(e1.getMessage.contains("expired"))
+    intercept[Exception](rowsAsOf(0L))
+    val e2 = intercept[Exception](cdc(1L))
+    assert(e2.getMessage.contains("expired"))
+    // a lower horizon later never RESURRECTS history (earliest is monotone)
+    assert(spark.sql(s"CALL graft.expire_snapshots('mem_expire_spec', 1)")
+      .collect().map(_.getLong(1)).toSeq === Seq(2L))
+    // horizons beyond current history and unknown tables fail loudly
+    intercept[Exception](
+      spark.sql(s"CALL graft.expire_snapshots('mem_expire_spec', 99)").collect())
+    intercept[Exception](
+      spark.sql(s"CALL graft.expire_snapshots('nope_no_such', 1)").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: interleaved commits and alters serialize on the version clock") {
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
+    graft.sources.MemTables.create("spec_concurrent", schema)
+    try {
+      val st = graft.sources.MemTables.get("spec_concurrent").get
+      val nWriters = 8
+      val perWriter = 25
+      val nAlters = 4
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val writers = (0 until nWriters).map { w =>
+        Future {
+          (0 until perWriter).foreach { i =>
+            graft.sources.MemTables.commit(
+              "spec_concurrent", truncate = false, schema,
+              Seq(Array(org.apache.spark.sql.catalyst.InternalRow((w * 1000 + i).toLong))))
+          }
+        }
+      }
+      val alterer = Future {
+        (0 until nAlters).foreach { i =>
+          val cur = st.schema
+          graft.sources.MemTables.alterSchema(
+            "spec_concurrent", cur.add(s"extra_$i", "long", nullable = true))
+        }
+      }
+      Await.result(Future.sequence(writers :+ alterer), 60.seconds)
+      // serializable history: every operation owns exactly one version slot
+      val totalOps = nWriters * perWriter + nAlters
+      assert(st.version === totalOps.toLong)
+      // the stamp clock is strictly monotone over exactly the op versions
+      assert(st.versionTimes.map(_._1).toSeq === (0L to totalOps.toLong))
+      assert(st.versionTimes.map(_._2).sliding(2).forall(p => p(0) < p(1)))
+      // each commit produced one batch at a distinct version; no batch
+      // shares a version with an alter (alters are metadata-only slots)
+      val batchVersions = st.batches.map(_.version)
+      assert(batchVersions.size === nWriters * perWriter)
+      assert(batchVersions.distinct.size === batchVersions.size)
+      val alterVersions = st.history.drop(1).map(_.version)
+      assert(alterVersions.size === nAlters)
+      assert((batchVersions.toSet intersect alterVersions.toSet).isEmpty)
+      // no row lost or duplicated, and no batch tagged with a schema it
+      // was never written under (alters must not retag in-flight writes)
+      val rows = st.batches.flatMap(_.rows).map(_.getLong(0)).sorted
+      val want = (for (w <- 0 until nWriters; i <- 0 until perWriter)
+        yield (w * 1000 + i).toLong).sorted
+      assert(rows === want)
+      assert(st.batches.forall(_.schema.fieldNames.head == "k"))
+    } finally graft.sources.MemTables.drop("spec_concurrent")
   }
 
   test("DSv2 MemTable: uncommitted task output is never published") {
