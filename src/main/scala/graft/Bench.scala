@@ -153,16 +153,21 @@ object Bench {
     }
     // CONTENTION-ROBUST committed statistic: when even the median sits >2x
     // above the observed warm floor (min < 0.5 * median), a host-contention
-    // window swallowed a majority of the runs — the floor is the honest
-    // estimate of the query's cost, so commit the MIN and stamp the choice
-    // machine-readably ("stat":"min"). Otherwise commit the median. This
-    // bounds every committed stat to <= 2x its observed min (the round-8
-    // case: scan_filter_project committed 0.829 s with a 0.246 s floor).
+    // window swallowed a majority of the runs and the floor region is the
+    // honest estimate of the query's cost. Guard rails against
+    // UNDER-reporting a legitimately bimodal query (GC / compaction /
+    // first-touch page cache produce a real slow mode, not contention):
+    // switch away from the median only with a 5+ run sample (small samples
+    // stay median), and commit the LOWER QUARTILE rather than the single
+    // fastest run, so one lucky outlier can't set the stat. Stamped
+    // machine-readably ("stat_kind":"lower_quartile").
     def statOf(rs: Seq[Double]): (Double, String) = {
       if (rs.isEmpty) (0.0, "median")
       else {
         val med = medOf(rs)
-        if (rs.size >= 3 && rs.min < 0.5 * med) (rs.min, "min") else (med, "median")
+        if (rs.size >= 5 && rs.min < 0.5 * med)
+          (rs.sorted.apply(rs.size / 4), "lower_quartile")
+        else (med, "median")
       }
     }
     val allResults = names.map(n => n -> statOf(runsByName(n))._1)

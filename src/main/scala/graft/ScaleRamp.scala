@@ -150,10 +150,10 @@ object ScaleRamp {
     // queries (no stream ran), harvested from the final progress of any
     // AvailableNow execution the query drove
     def timeOne(name: String, dir: String): (Double, Long) = {
-      graft.streaming.Streams.lastStateRowsTotal.set(-1L)
+      graft.streaming.Streams.resetLastStateRows()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-      ((System.nanoTime() - t0) / 1e9, graft.streaming.Streams.lastStateRowsTotal.get)
+      ((System.nanoTime() - t0) / 1e9, graft.streaming.Streams.lastStateRowsTotal)
     }
 
     // Three INTERLEAVED (base, ramp) rounds per query. Run 1 at each scale

@@ -665,13 +665,19 @@ object Streams {
     * tests and demos — production would use a durable sink + real trigger.
     */
   /** State-store telemetry from the most recent [[runAvailableNowToMemory]]
-    * run: total `numRowsTotal` across state operators in the final
-    * progress, -1 when none ran. Read by the scale ramp to measure how
-    * streaming state grows with data volume (stateless queries like
-    * `streaming_pq_encode` must report 0; stateful ones must grow with the
-    * horizon's ingest).
+    * run ON THIS THREAD: total `numRowsTotal` across state operators in
+    * the final progress, -1 when none ran. Read by the scale ramp to
+    * measure how streaming state grows with data volume (stateless queries
+    * like `streaming_pq_encode` must report 0; stateful ones must grow
+    * with the horizon's ingest). Thread-local because the driver runs the
+    * query synchronously on the harvesting thread — a process-global would
+    * let two concurrent streaming queries in one JVM cross-harvest each
+    * other's counts.
     */
-  val lastStateRowsTotal = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val lastStateRowsLocal: ThreadLocal[Long] =
+    ThreadLocal.withInitial(() => -1L)
+  def resetLastStateRows(): Unit = lastStateRowsLocal.set(-1L)
+  def lastStateRowsTotal: Long = lastStateRowsLocal.get()
 
   def runAvailableNowToMemory(
       spark: SparkSession,
@@ -685,7 +691,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastStateRowsTotal.set(
+    lastStateRowsLocal.set(
       Option(q.lastProgress)
         .map(p => p.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L))
     spark.table(queryName)
