@@ -58,10 +58,23 @@ object MemTables {
     * They coincide for ordinary commits and diverge for DELETE rewrites,
     * where a survivor batch becomes visible at the delete's version but
     * still carries bytes written under the original batch's schema era.
+    *
+    * `dv` is the batch's POSITIONAL DELETE VECTOR (merge-on-read tables
+    * only): row position -> version the row was deleted at. A DV delete
+    * never copies rows — the overlay is applied at read time against the
+    * scan's bound version (`dv(pos) <= v` hides the row), so old
+    * snapshots keep seeing the row and the write cost of a DELETE is the
+    * vector, not the batch.
     */
   final case class TaggedBatch(
       schema: StructType, version: Long, writeVersion: Long,
-      rows: Array[InternalRow], removedAt: Long = Long.MaxValue)
+      rows: Array[InternalRow], removedAt: Long = Long.MaxValue,
+      dv: Map[Int, Long] = Map.empty) {
+    /** Positions hidden at snapshot version `v` (current = Long.MaxValue). */
+    def deadAt(v: Long): Set[Int] =
+      if (dv.isEmpty) Set.empty
+      else dv.collect { case (pos, at) if at <= v => pos }.toSet
+  }
 
   /** One point of the table's metadata timeline, written on create and on
     * every ALTER: the schema in force from `version` onward and the
@@ -95,7 +108,17 @@ object MemTables {
     * interleaved ([[MemTables.replaceBatches]]) — optimistic concurrency,
     * a lost update is an error, not a silent outcome.
     */
-  final class State(initialSchema: StructType) {
+  /** DELETE execution mode of a table, the industry design fork:
+    * copy-on-write (default — rewrite matched batches, read path stays a
+    * plain scan) vs merge-on-read (record a positional delete vector,
+    * reads apply the overlay; the write is O(matches), the read pays the
+    * filter). Set at CREATE via `TBLPROPERTIES
+    * ('graft.delete-mode'='merge-on-read')`.
+    */
+  val DeleteModeCow = "copy-on-write"
+  val DeleteModeMor = "merge-on-read"
+
+  final class State(initialSchema: StructType, val deleteMode: String = DeleteModeCow) {
     @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; truncate soft-deletes via removedAt
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
@@ -149,8 +172,13 @@ object MemTables {
     * maps that to Spark's TableAlreadyExistsException so that
     * `CREATE TABLE IF NOT EXISTS` is a no-op, not a crash).
     */
-  def create(key: String, schema: StructType): Boolean =
-    tables.putIfAbsent(key, new State(schema)).isEmpty
+  def create(key: String, schema: StructType,
+      deleteMode: String = DeleteModeCow): Boolean = {
+    if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
+      throw new IllegalArgumentException(
+        s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
+    tables.putIfAbsent(key, new State(schema, deleteMode)).isEmpty
+  }
 
   def get(key: String): Option[State] = tables.get(key)
 
@@ -436,16 +464,34 @@ object MemTables {
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
       st.version += 1
-      st.batches = st.batches.flatMap { b =>
-        if (b.removedAt != Long.MaxValue) Vector(b) // already historical
-        else {
-          val matches = b.rows.exists(r => matchesAll(b, r))
-          if (!matches) Vector(b)
+      if (st.deleteMode == DeleteModeMor) {
+        // MERGE-ON-READ: record matched positions in the batch's delete
+        // vector at this version — no row is copied (the rows array is
+        // shared by reference), old snapshots keep reading the rows, and
+        // the change feed reports row-level deletes at this version. The
+        // read path pays the overlay filter instead.
+        st.batches = st.batches.map { b =>
+          if (b.removedAt != Long.MaxValue) b // already historical
           else {
-            val keep = b.rows.filterNot(r => matchesAll(b, r))
-            val removed = b.copy(removedAt = st.version)
-            if (keep.isEmpty) Vector(removed)
-            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep))
+            val dead = b.rows.zipWithIndex.collect {
+              case (r, i) if !b.dv.contains(i) && matchesAll(b, r) => i
+            }
+            if (dead.isEmpty) b
+            else b.copy(dv = b.dv ++ dead.map(_ -> st.version))
+          }
+        }
+      } else {
+        st.batches = st.batches.flatMap { b =>
+          if (b.removedAt != Long.MaxValue) Vector(b) // already historical
+          else {
+            val matches = b.rows.exists(r => matchesAll(b, r))
+            if (!matches) Vector(b)
+            else {
+              val keep = b.rows.filterNot(r => matchesAll(b, r))
+              val removed = b.copy(removedAt = st.version)
+              if (keep.isEmpty) Vector(removed)
+              else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep))
+            }
           }
         }
       }
@@ -685,7 +731,12 @@ final class MemScan(
               s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
       }
     }
-    visible.map(b => MemPartition(b.schema, b.version, hiddenIn(b), b.rows): InputPartition)
+    // merge-on-read overlay: positions DV-deleted at-or-before the bound
+    // snapshot are computed at planning (driver-side, against the pinned
+    // version) and shipped in the partition for the reader to skip
+    val bound = asOf.getOrElse(Long.MaxValue)
+    visible.map(b =>
+      MemPartition(b.schema, b.version, hiddenIn(b), b.rows, b.deadAt(bound)): InputPartition)
       .toArray
   }
 
@@ -712,7 +763,12 @@ final class MemScan(
         }
         new PartitionReader[InternalRow] {
           private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
+          override def next(): Boolean = {
+            i += 1
+            // merge-on-read: skip DV-deleted positions
+            while (i < rows.length && p.dead.contains(i)) i += 1
+            i < rows.length
+          }
           override def get(): InternalRow =
             if (sameLayout) rows(i)
             else {
@@ -801,7 +857,7 @@ final class MemRowLevelWriteBuilder(
   */
 final case class MemPartition(
     batchSchema: StructType, version: Long, hidden: Set[String],
-    rows: Array[InternalRow])
+    rows: Array[InternalRow], dead: Set[Int] = Set.empty)
     extends InputPartition
 
 final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)
@@ -971,11 +1027,29 @@ object MemChangesSource {
       .filter(b => b.version > from && b.version <= to)
       .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))
     // a batch both committed AND truncated inside the window emits BOTH
-    // events (the honest change log — consumers fold by _commit_version)
+    // events (the honest change log — consumers fold by _commit_version).
+    // Rows already DV-deleted before the batch's removal do NOT re-delete
+    // at removal (they were gone; their own events carry their version).
     val deletes = st.batches
       .filter(b => b.removedAt > from && b.removedAt <= to)
-      .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, b.removedAt))
-    (inserts ++ deletes).map(p => p: InputPartition).toArray
+      .map { b =>
+        val alive =
+          if (b.dv.isEmpty) None
+          else Some(Array.range(0, b.rows.length).filterNot(b.dv.contains))
+        MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, b.removedAt, alive)
+      }
+    // merge-on-read deletes are ROW-level events at the version their DV
+    // entry was recorded — the change feed a DV table produces is finer
+    // than the batch remove+reinsert log of a copy-on-write rewrite
+    val dvDeletes = st.batches.flatMap { b =>
+      b.dv.toSeq
+        .filter { case (_, at) => at > from && at <= to }
+        .groupBy(_._2).toSeq.map { case (at, entries) =>
+          MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, at,
+            Some(entries.map(_._1).sorted.toArray))
+        }
+    }
+    (inserts ++ deletes ++ dvDeletes).map(p => p: InputPartition).toArray
   }
 
   /** Reader over [[MemChangesPartition]]s: by-name projection of the data
@@ -998,11 +1072,14 @@ object MemChangesSource {
         }
         val changeType = org.apache.spark.unsafe.types.UTF8String
           .fromString(if (p.insert) "insert" else "delete")
+        // row selection: DV events and alive-at-removal events carry an
+        // explicit position list; whole-batch events read every row
+        val idx = p.keep.getOrElse(Array.range(0, rows.length))
         new PartitionReader[InternalRow] {
           private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
+          override def next(): Boolean = { i += 1; i < idx.length }
           override def get(): InternalRow = {
-            val r = rows(i)
+            val r = rows(idx(i))
             val vals = new Array[Any](target.length)
             var j = 0
             while (j < nData) {
@@ -1102,5 +1179,5 @@ final case class MemVersionOffset(v: Long) extends Offset {
   */
 final case class MemChangesPartition(
     batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow],
-    insert: Boolean, commitVersion: Long)
+    insert: Boolean, commitVersion: Long, keep: Option[Array[Int]] = None)
     extends InputPartition

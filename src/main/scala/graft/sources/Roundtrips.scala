@@ -808,10 +808,63 @@ object Roundtrips {
     spark.table(tbl)
   }
 
+  /** MERGE-ON-READ deletes (positional DELETE VECTORS) — the other half of
+    * the industry DML design space, selected per table via `TBLPROPERTIES
+    * ('graft.delete-mode'='merge-on-read')`: a DELETE records matched row
+    * positions in the batch's DV at the delete's version instead of
+    * rewriting the batch, scans apply the overlay against the bound
+    * snapshot, and the change feed emits ROW-level delete events (finer
+    * than copy-on-write's batch remove+reinsert — no survivor churn).
+    * Write cost O(matches), read pays the filter — the Iceberg
+    * `write.delete.mode` fork. The query unions a mid-history snapshot,
+    * the current read, and the whole change feed (part-tagged), so one
+    * hash pins the overlay read path, time travel over DVs, and the
+    * row-level event log together; RoundtripsSpec additionally asserts
+    * DV-read ≡ CoW-read on the same DML sequence with zero rows copied.
+    */
+  val dsv2DeleteMor: QueryDef = QueryDef(
+    "dsv2_delete_mor",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |d2 AS (SELECT k, v FROM base WHERE v >= 10000000),
+      |d3 AS (SELECT k, v FROM d2 WHERE v < 30000000)
+      |SELECT 'snap2' AS part, k, v FROM d2
+      |UNION ALL SELECT 'cur', k, v FROM d3
+      |UNION ALL SELECT 'cdc_insert_1', k, v FROM base
+      |UNION ALL SELECT 'cdc_delete_2', k, v FROM base WHERE v < 10000000
+      |UNION ALL SELECT 'cdc_delete_3', k, v FROM d2 WHERE v >= 30000000""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_delete_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v2: DV, no rewrite
+    spark.sql(s"DELETE FROM $tbl WHERE v >= 30000000") // v3: DV again
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_delete_mor")
+      .option("from", "0").option("to", "3")
+      .load()
+      .select(
+        concat_ws("_", lit("cdc"), col(MemChangesSource.ChangeType),
+          col(MemChangesSource.CommitVersion)).as("part"),
+        col("k"), col("v"))
+    spark.sql(
+      s"""SELECT 'snap2' AS part, k, v FROM $tbl VERSION AS OF 2
+         |UNION ALL
+         |SELECT 'cur' AS part, k, v FROM $tbl""".stripMargin)
+      .unionAll(feed)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
-      dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull)
+      dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
+      dsv2DeleteMor)
 }

@@ -418,9 +418,14 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("mem tables are unpartitioned")
+    // DELETE mode is a create-time table property (the Iceberg
+    // write.delete.mode fork): copy-on-write (default) rewrites matched
+    // batches; merge-on-read records positional delete vectors instead
+    val mode = Option(properties.get("graft.delete-mode"))
+      .getOrElse(MemTables.DeleteModeCow)
     // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
     // exception type — anything else surfaces as a crash
-    if (!MemTables.create(memKey(ident), schema))
+    if (!MemTables.create(memKey(ident), schema, mode))
       throw new TableAlreadyExistsException(ident)
     new MemTable(memKey(ident), schema)
   }

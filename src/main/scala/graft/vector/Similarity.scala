@@ -455,68 +455,166 @@ object Similarity {
     * replayed cells, so the hash match proves the learned clustering AND
     * the within-cluster prune set.
     */
-  val semanticDedup: QueryDef = {
-    val distSql =
-      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
-    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+  /** Oracle CTE chain shared by the SemDeDup pair ([[semanticDedup]]) and
+    * prune ([[semanticDedupPrune]]) rows: quantize, drop zero vectors,
+    * replay the seeded 3-round integer Lloyd training bit-for-bit, assign
+    * every vector to its cell (`a3`), and materialize the within-cell
+    * near-dup pairs at 0.9 (`pairs`).
+    */
+  private def semanticDistSql(v: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))) AS BIGINT)"
+  private def semanticAssignSql(from: String, cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, q, norm2, cell FROM (
+       |    SELECT vec_id, q, norm2, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
+       |                 ${semanticDistSql("z.q", "c.cent")} AS dist
+       |          FROM $from z, $cents c))
+       |  WHERE rn = 1)""".stripMargin
+
+  private lazy val semanticOracleCtes: String = {
     def assign(from: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, q, norm2, cell FROM (
-         |    SELECT vec_id, q, norm2, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
-         |                 ${dist("z.q", "c.cent")} AS dist
-         |          FROM $from z, $cents c))
-         |  WHERE rn = 1)""".stripMargin
+      semanticAssignSql(from, cents, out)
     def update(from: String, out: String) =
       s"""$out AS (
          |  SELECT cell, list(v ORDER BY p) AS cent FROM (
          |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
          |    FROM $from, dims GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
-    QueryDef(
-      "semantic_dedup",
-      s"""WITH q0 AS (
-         |  SELECT vec_id, $qvecSql AS q,
-         |         ${dotSql(qvecSql, qvecSql)} AS norm2
-         |  FROM embeddings),
-         |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
-         |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
-         |${assign("nz", "c0", "a1")},
-         |${update("a1", "c1")},
-         |${assign("nz", "c1", "a2")},
-         |${update("a2", "c2")},
-         |${assign("nz", "c2", "a3")}
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
-         |  CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
-         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
-         |FROM a3 a JOIN a3 b ON b.cell = a.cell AND b.vec_id > a.vec_id
-         |WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
-         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.9""".stripMargin) { (spark, dir) =>
-      val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
-      val cents = ivfPqCoarsePinned(spark, dir)
-      if (cents.isEmpty) {
-        q.select(
+    s"""q0 AS (
+       |  SELECT vec_id, $qvecSql AS q,
+       |         ${dotSql(qvecSql, qvecSql)} AS norm2
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
+       |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+       |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
+       |${assign("nz", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("nz", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("nz", "c2", "a3")},
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+       |    CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_sim
+       |  FROM a3 a JOIN a3 b ON b.cell = a.cell AND b.vec_id > a.vec_id
+       |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.9)""".stripMargin
+  }
+
+  /** Engine half of the shared machinery: the cell-assigned frame and the
+    * within-cell near-dup pairs over it. None when the corpus is empty
+    * (no centroids to train — callers emit an empty typed frame).
+    */
+  private def semanticAssignedAndPairs(
+      spark: SparkSession, dir: String): Option[(DataFrame, DataFrame)] = {
+    val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+    val cents = ivfPqCoarsePinned(spark, dir)
+    if (cents.isEmpty) None
+    else {
+      val assigned = q.withColumn("cell", assignExpr(cents))
+      val a = assigned.select(
+        col("vec_id").as("vec_a"), col("cell"), col("q").as("qa"), col("norm2").as("na"))
+      val b = assigned.select(
+        col("vec_id").as("vec_b"), col("cell"), col("q").as("qb"), col("norm2").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("vec_b") > col("vec_a"))
+        .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
+        .withColumn("cos_sim",
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos_sim") >= 0.9)
+        .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+      Some((assigned, pairs))
+    }
+  }
+
+  val semanticDedup: QueryDef = QueryDef(
+    "semantic_dedup",
+    s"""WITH $semanticOracleCtes
+       |SELECT vec_a, vec_b, cell, cos_sim FROM pairs""".stripMargin) { (spark, dir) =>
+    semanticAssignedAndPairs(spark, dir) match {
+      case None =>
+        quantized(spark, dir).select(
           col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
           lit(0L).as("cell"), lit(0.0).as("cos_sim")).limit(0)
-      } else {
-        val assigned = q.withColumn("cell", assignExpr(cents))
-        val a = assigned.select(
-          col("vec_id").as("vec_a"), col("cell"), col("q").as("qa"), col("norm2").as("na"))
-        val b = assigned.select(
-          col("vec_id").as("vec_b"), col("cell"), col("q").as("qb"), col("norm2").as("nb"))
-        a.join(b, Seq("cell"))
-          .filter(col("vec_b") > col("vec_a"))
-          .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
-          .withColumn("cos_sim",
-            col("dot").cast("double") /
-              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-          .filter(col("cos_sim") >= 0.9)
-          .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
-      }
+      case Some((_, pairs)) => pairs
+    }
+  }
+
+  /** OPERATIONAL SemDeDup — the keep/drop decision the pair list feeds
+    * (Abbas et al. 2023 §3: within each cluster keep one representative
+    * of every near-dup neighborhood): a document is DROPPED iff some
+    * LOWER-id document in its cell is ≥ 0.9-similar to it — the
+    * deterministic, non-iterative relational form of the prune (the
+    * id-least member of every neighborhood always survives; a chain
+    * b~a, c~b drops both b and c, the conservative over-prune SemDeDup's
+    * own greedy accepts). Emits one row per clustered document
+    * `(vec_id, cell, kept)`, ready to feed `corpus_filter_funnel`-style
+    * accounting.
+    *
+    * The pruned corpus is the nonzero originals AUGMENTED with a
+    * deterministically jittered copy of every 5th document (id+100000,
+    * ±1 integer jitter per coordinate): the synthetic embeddings carry no
+    * natural near-dups (max pairwise cosine ≈ 0.51 corpus-wide), so
+    * without the fixture every row would be kept and the drop branch
+    * untested — with it, each copy lands in its original's cell at
+    * cosine ≈ 1 and must be dropped while the original survives. The
+    * oracle replays the training, the augmentation, and the keep rule,
+    * so the hash pins the full decision set, drops included. At scale
+    * the drop set is an anti-join on vec_id — no new quadratic term
+    * beyond the Σ|cell|² candidate volume the pair scan already bounds.
+    */
+  val semanticDedupPrune: QueryDef = QueryDef(
+    "semantic_dedup_prune",
+    s"""WITH $semanticOracleCtes,
+       |aug AS (
+       |  SELECT vec_id, q, norm2 FROM nz
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, qj AS q,
+       |         ${dotSql("qj", "qj")} AS norm2
+       |  FROM (
+       |    SELECT vec_id,
+       |      list_transform(range(0, len(q)), i -> q[i + 1] + (vec_id + i) % 3 - 1) AS qj
+       |    FROM nz WHERE vec_id % 5 = 0)),
+       |${semanticAssignSql("aug", "c2", "a3aug")},
+       |pairs_aug AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM a3aug a JOIN a3aug b ON b.cell = a.cell AND b.vec_id > a.vec_id
+       |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.9)
+       |SELECT v.vec_id, v.cell,
+       |       v.vec_id NOT IN (SELECT vec_b FROM pairs_aug) AS kept
+       |FROM a3aug v""".stripMargin) { (spark, dir) =>
+    val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+    val copies = base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        expr("transform(q, (x, i) -> x + (vec_id + i) % 3 - 1)").as("q"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("q"),
+        VectorFunctions.longDot(col("q"), col("q")).as("norm2"))
+    val aug = base.unionAll(copies)
+    val cents = ivfPqCoarsePinned(spark, dir)
+    if (cents.isEmpty) {
+      base.select(col("vec_id"), lit(0L).as("cell"), lit(true).as("kept")).limit(0)
+    } else {
+      val assigned = aug.withColumn("cell", assignExpr(cents))
+      val a = assigned.select(
+        col("vec_id").as("vec_a"), col("cell"), col("q").as("qa"), col("norm2").as("na"))
+      val b = assigned.select(
+        col("vec_id").as("vec_b"), col("cell"), col("q").as("qb"), col("norm2").as("nb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("vec_b") > col("vec_a"))
+        .withColumn("dot", VectorFunctions.longDot(col("qa"), col("qb")))
+        .filter(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= 0.9)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          not(coalesce(col("is_dropped"), lit(false))).as("kept"))
     }
   }
 
@@ -1151,6 +1249,6 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(knnBrute, cosineConsecutive, annIvfProbe, annIvfKmeans, annPqAdc,
       annPqTrainSample, annIvfPq, streamingPqEncode, embeddingLshNearDup,
-      semanticDedup, embeddingQuantizeInt8, embeddingGramMatrix,
-      labelCentroidCosine)
+      semanticDedup, semanticDedupPrune, embeddingQuantizeInt8,
+      embeddingGramMatrix, labelCentroidCosine)
 }
