@@ -65,11 +65,17 @@ object MemTables {
     * scan's bound version (`dv(pos) <= v` hides the row), so old
     * snapshots keep seeing the row and the write cost of a DELETE is the
     * vector, not the batch.
+    *
+    * `batchId` is the batch's UNIQUE identity (monotone per table,
+    * assigned at publish): versions are shared by every task batch of one
+    * commit, so the row id of the delta-based DML path —
+    * `(_batch_id, _batch_pos)` — anchors on it, the mem-table analogue of
+    * Iceberg's `(_file, _pos)`.
     */
   final case class TaggedBatch(
       schema: StructType, version: Long, writeVersion: Long,
       rows: Array[InternalRow], removedAt: Long = Long.MaxValue,
-      dv: Map[Int, Long] = Map.empty) {
+      dv: Map[Int, Long] = Map.empty, batchId: Long = -1L) {
     /** Positions hidden at snapshot version `v` (current = Long.MaxValue). */
     def deadAt(v: Long): Set[Int] =
       if (dv.isEmpty) Set.empty
@@ -147,6 +153,12 @@ object MemTables {
     // change windows into the expired range fail loudly, never silently
     // return partial history
     @volatile var earliestVersion: Long = 0L
+    // monotone batch-identity mint (see TaggedBatch.batchId); only ever
+    // advanced under this object's monitor
+    @volatile private[sources] var nextBatchId: Long = 0L
+    private[sources] def mintBatchId(): Long = {
+      val id = nextBatchId; nextBatchId += 1; id
+    }
     private[sources] def stamp(): Unit = {
       val now = System.currentTimeMillis() * 1000L
       val ts = math.max(now, versionTimes.last._2 + 1L)
@@ -165,6 +177,14 @@ object MemTables {
     * against the connector at all.
     */
   val BatchVersion = "_batch_version"
+
+  /** Metadata columns forming the DELTA row id `(_batch_id, _batch_pos)`:
+    * the batch's unique identity and the row's position within it — the
+    * mem-table analogue of Iceberg's `(_file, _pos)`. `_batch_version` is
+    * NOT part of the id because one commit's task batches share a version.
+    */
+  val BatchId = "_batch_id"
+  val BatchPos = "_batch_pos"
 
   private val tables = TrieMap.empty[String, State]
 
@@ -277,7 +297,66 @@ object MemTables {
           b.copy(removedAt = st.version)
         else b
       } ++ batches.filter(_.nonEmpty)
-        .map(TaggedBatch(writeSchema, st.version, st.version, _))
+        .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
+          batchId = st.mintBatchId()))
+      st.stamp()
+    }
+  }
+
+  /** Atomic publish of a DELTA-BASED row-level operation (`SupportsDelta`
+    * — the true merge-on-read DML path): per-row deletes/updates arrive as
+    * `(_batch_id, _batch_pos)` row ids and become DV entries at the new
+    * version; update replacements and inserts append as new delta batches.
+    * Cost is O(changed rows) — no batch is read back or rewritten, which
+    * is the shape that makes sparse 100 TB UPDATEs affordable (the
+    * copy-on-write path still rewrites whole matched batches and pays
+    * read-time nothing; this path writes the delta and pays the DV filter
+    * at read). Same optimistic-concurrency rule as [[replaceBatches]].
+    * Fails loudly on a row id that resolves to no live batch or to an
+    * already-deleted position — either would mean the scan and publish
+    * disagree about the table state.
+    */
+  def applyDelta(
+      key: String,
+      expectedVersion: Option[Long],
+      writeSchema: StructType,
+      deletes: Seq[(Long, Int)],
+      inserts: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-delta"))
+    st.synchronized {
+      expectedVersion.foreach { v =>
+        if (st.version != v)
+          throw new IllegalStateException(
+            s"mem table $key: concurrent commit detected — the delta rewrite " +
+              s"scanned version $v but the table is now at version ${st.version}; " +
+              "publishing would erase the interleaved commit (lost update). Re-run the DML.")
+      }
+      st.version += 1
+      val byBatch = deletes.groupMap(_._1)(_._2)
+      if (byBatch.nonEmpty) {
+        val known = st.batches.iterator
+          .filter(_.removedAt == Long.MaxValue).map(_.batchId).toSet
+        val missing = byBatch.keySet -- known
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"mem table $key: delta targets unknown/removed batch ids $missing")
+        st.batches = st.batches.map { b =>
+          byBatch.get(b.batchId) match {
+            case Some(poss) if b.removedAt == Long.MaxValue =>
+              val bad = poss.filter(p => p < 0 || p >= b.rows.length || b.dv.contains(p))
+              if (bad.nonEmpty)
+                throw new IllegalStateException(
+                  s"mem table $key: delta deletes invalid/already-deleted positions " +
+                    s"$bad of batch ${b.batchId}")
+              b.copy(dv = b.dv ++ poss.map(_ -> st.version))
+            case _ => b
+          }
+        }
+      }
+      st.batches = st.batches ++ inserts.filter(_.nonEmpty)
+        .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
+          batchId = st.mintBatchId()))
       st.stamp()
     }
   }
@@ -303,7 +382,8 @@ object MemTables {
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
       st.batches = prior ++
-        batches.map(TaggedBatch(writeSchema, st.version, st.version, _))
+        batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
+          batchId = st.mintBatchId()))
       st.stamp()
     }
   }
@@ -333,7 +413,8 @@ object MemTables {
               if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
           else st.batches
         st.batches = prior ++
-          batches.map(TaggedBatch(writeSchema, st.version, st.version, _))
+          batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
+            batchId = st.mintBatchId()))
         st.stamp()
       }
     }
@@ -490,7 +571,8 @@ object MemTables {
               val keep = b.rows.filterNot(r => matchesAll(b, r))
               val removed = b.copy(removedAt = st.version)
               if (keep.isEmpty) Vector(removed)
-              else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep))
+              else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
+                batchId = st.mintBatchId()))
             }
           }
         }
@@ -510,18 +592,26 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** `_batch_version`: the commit each row belongs to (see
-    * [[MemTables.BatchVersion]]).
+  /** Row lineage metadata: `_batch_version` (the commit each row belongs
+    * to — the group id of the copy-on-write rewrite), and the delta row id
+    * `(_batch_id, _batch_pos)` (see [[MemTables.BatchId]]).
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = MemTables.BatchVersion
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "version of the committed batch this row belongs to"
-    })
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def col(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = c
+      }
+    Array(
+      col(MemTables.BatchVersion, org.apache.spark.sql.types.LongType,
+        "version of the committed batch this row belongs to"),
+      col(MemTables.BatchId, org.apache.spark.sql.types.LongType,
+        "unique id of the committed batch this row belongs to"),
+      col(MemTables.BatchPos, org.apache.spark.sql.types.IntegerType,
+        "row position within its committed batch"))
+  }
 
   /** UPDATE / MERGE INTO support — the GROUP-BASED (copy-on-write) row-level
     * operation: Spark's rewrite rules read the affected data through the
@@ -551,7 +641,9 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
-    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+    val mor = MemTables.get(key).exists(_.deleteMode == MemTables.DeleteModeMor)
+    if (mor) { () => new MemDeltaOperation(key, tableSchema, info) }
+    else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // scan ↔ write coordination for THIS operation instance: which batch
       // versions the runtime group filter narrowed the scan to, and the
       // table version the scan planned against (conflict detection)
@@ -613,7 +705,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   * live on the driver — `filter` / `planInputPartitions` / `commit` are
   * all driver calls — so a plain shared holder is the correct channel.
   */
-final class MemRowLevelState {
+final class MemRowLevelState(val groupFilterable: Boolean = true) {
   @volatile var groupVersions: Option[Set[Long]] = None
   @volatile var scannedVersion: Option[Long] = None
 }
@@ -658,7 +750,7 @@ final class MemScan(
     */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rowLevel.isDefined)
+    if (rowLevel.exists(_.groupFilterable))
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(MemTables.BatchVersion))
     else Array.empty
@@ -736,7 +828,8 @@ final class MemScan(
     // version) and shipped in the partition for the reader to skip
     val bound = asOf.getOrElse(Long.MaxValue)
     visible.map(b =>
-      MemPartition(b.schema, b.version, hiddenIn(b), b.rows, b.deadAt(bound)): InputPartition)
+      MemPartition(b.schema, b.version, hiddenIn(b), b.rows,
+        b.deadAt(bound), b.batchId): InputPartition)
       .toArray
   }
 
@@ -746,16 +839,21 @@ final class MemScan(
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
         val rows = p.rows
-        val hasMeta = target.fieldNames.contains(MemTables.BatchVersion)
+        val metaNames =
+          Set(MemTables.BatchVersion, MemTables.BatchId, MemTables.BatchPos)
+        val hasMeta = target.fieldNames.exists(metaNames.contains)
         val sameLayout = p.hidden.isEmpty && !hasMeta &&
           p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
             target.fields.map(f => (f.name, f.dataType)).toSeq
         // by-name source ordinal per target field; -1 = not present (null);
-        // -2 = the _batch_version metadata column (partition constant);
+        // -2/-3/-4 = the _batch_version/_batch_id/_batch_pos metadata
+        // columns (partition constants / the row's array index);
         // tombstone-hidden fields (dropped after this batch was written,
         // possibly re-added since) are unmatchable — they read as null
         val srcIdx = target.fields.map(f =>
           if (f.name == MemTables.BatchVersion) -2
+          else if (f.name == MemTables.BatchId) -3
+          else if (f.name == MemTables.BatchPos) -4
           else if (p.hidden.contains(f.name)) -1
           else p.batchSchema.fieldNames.indexOf(f.name))
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
@@ -779,6 +877,8 @@ final class MemScan(
                 val s = srcIdx(j)
                 vals(j) =
                   if (s == -2) p.version
+                  else if (s == -3) p.batchId
+                  else if (s == -4) i // the row's position within its batch
                   else if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
                 j += 1
               }
@@ -849,6 +949,99 @@ final class MemRowLevelWriteBuilder(
   }
 }
 
+/** DELTA-BASED row-level operation (`SupportsDelta`) — the true
+  * merge-on-read DML path, served on `graft.delete-mode=merge-on-read`
+  * tables: instead of reading whole matched groups and writing them back
+  * (the group-based copy-on-write shape CoW tables keep), Spark's delta
+  * rewrite emits per-row operations — delete/update keyed by the row id
+  * `(_batch_id, _batch_pos)`, plus inserts — and the publish turns them
+  * into DV entries + appended delta batches ([[MemTables.applyDelta]]).
+  * An UPDATE touching 100 rows of a 100 TB table writes 100 DV entries
+  * and 100 replacement rows, full stop; reads pay the DV overlay. This is
+  * Iceberg's `write.update.mode=merge-on-read` with `(_file, _pos)`
+  * deletes, expressed over mem batches. Updates arrive as
+  * `update(meta, id, row)` and split into DV-delete + insert at ONE
+  * version, so the change feed shows row-level delete+insert pairs.
+  */
+final class MemDeltaOperation(
+    key: String, tableSchema: StructType,
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write._
+
+  // no runtime group filter here: the delta path never rewrites groups,
+  // so narrowing the scan buys nothing — only the version-conflict check
+  // rides the holder
+  private val state = new MemRowLevelState(groupFilterable = false)
+
+  override def command(): RowLevelOperation.Command = info.command()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(key, tableSchema, None, Some(state))
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(MemTables.BatchId),
+      org.apache.spark.sql.connector.expressions.Expressions.column(MemTables.BatchPos))
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = Array.empty
+  override def newWriteBuilder(lw: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new MemDeltaBatchWrite(key, lw.schema(), state)
+      }
+    }
+}
+
+/** Driver publish of the buffered per-task delta messages — one atomic
+  * version via [[MemTables.applyDelta]], with the scan-version conflict
+  * check.
+  */
+final class MemDeltaBatchWrite(
+    key: String, writeSchema: StructType, state: MemRowLevelState)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new MemDeltaWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[MemDeltaCommitMessage])
+    MemTables.applyDelta(
+      key, state.scannedVersion, writeSchema,
+      msgs.flatMap(_.deletes).toSeq,
+      msgs.map(_.inserts).toSeq)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** One task's buffered delta: row ids to DV-delete and rows to append
+  * (an update contributes one of each). Rides the same
+  * buffer-in-commit-message protocol as every other write — nothing
+  * becomes visible until the driver's atomic publish.
+  */
+final case class MemDeltaCommitMessage(
+    deletes: Array[(Long, Int)], inserts: Array[InternalRow])
+    extends WriterCommitMessage
+
+final class MemDeltaWriterFactory
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      private val ins = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      // id rows carry the rowId projection in declared order: (_batch_id, _batch_pos)
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += ((id.getLong(0), id.getInt(1)))
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id); insert(row)
+      }
+      override def insert(row: InternalRow): Unit = ins += row.copy()
+      override def commit(): WriterCommitMessage =
+        MemDeltaCommitMessage(dels.toArray, ins.toArray)
+      override def abort(): Unit = { dels.clear(); ins.clear() }
+      override def close(): Unit = ()
+    }
+}
+
 /** Rows travel inside the partition — serializable, so the read path is
   * correct on a real cluster, not just local mode — along with the schema
   * they were written under (the decode contract for the projection) and the
@@ -857,7 +1050,7 @@ final class MemRowLevelWriteBuilder(
   */
 final case class MemPartition(
     batchSchema: StructType, version: Long, hidden: Set[String],
-    rows: Array[InternalRow], dead: Set[Int] = Set.empty)
+    rows: Array[InternalRow], dead: Set[Int] = Set.empty, batchId: Long = -1L)
     extends InputPartition
 
 final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)

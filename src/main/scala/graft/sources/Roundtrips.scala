@@ -860,11 +860,65 @@ object Roundtrips {
       .unionAll(feed)
   }
 
+  /** DELTA-BASED (merge-on-read) UPDATE — `SupportsDelta`, the true
+    * row-level DML path a merge-on-read table serves: the rewrite emits
+    * per-row operations keyed by `(_batch_id, _batch_pos)` and the publish
+    * writes DV entries + delta batches; cost is O(changed rows), no batch
+    * is rewritten. Two chained UPDATEs, the second hitting rows that live
+    * in the FIRST update's delta batch (row ids must resolve into delta
+    * batches, not just originals). The query unions three snapshots with
+    * the change feed; the oracle restates row-level delete+insert pairs
+    * for exactly the MATCHED rows per version — a degraded copy-on-write
+    * rewrite would emit whole-batch events and break the hash, so delta
+    * proportionality is oracle-pinned the same way `dsv2_cdc_dml` pins
+    * the group filter.
+    */
+  val dsv2UpdateMor: QueryDef = QueryDef(
+    "dsv2_update_mor",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |u2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v FROM base),
+      |u3 AS (SELECT k, CASE WHEN k % 6 = 0 THEN v + 1000 ELSE v END AS v FROM u2)
+      |SELECT 'snap1' AS part, k, v FROM base
+      |UNION ALL SELECT 'snap2', k, v FROM u2
+      |UNION ALL SELECT 'cur', k, v FROM u3
+      |UNION ALL SELECT 'cdc_insert_1', k, v FROM base
+      |UNION ALL SELECT 'cdc_delete_2', k, v FROM base WHERE k % 3 = 0
+      |UNION ALL SELECT 'cdc_insert_2', k, v FROM u2 WHERE k % 3 = 0
+      |UNION ALL SELECT 'cdc_delete_3', k, v FROM u2 WHERE k % 6 = 0
+      |UNION ALL SELECT 'cdc_insert_3', k, v FROM u3 WHERE k % 6 = 0""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_update_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0") // v2: delta
+    spark.sql(s"UPDATE $tbl SET v = v + 1000 WHERE k % 6 = 0") // v3: delta over delta
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_update_mor")
+      .option("from", "0").option("to", "3")
+      .load()
+      .select(
+        concat_ws("_", lit("cdc"), col(MemChangesSource.ChangeType),
+          col(MemChangesSource.CommitVersion)).as("part"),
+        col("k"), col("v"))
+    spark.sql(
+      s"""SELECT 'snap1' AS part, k, v FROM $tbl VERSION AS OF 1
+         |UNION ALL SELECT 'snap2' AS part, k, v FROM $tbl VERSION AS OF 2
+         |UNION ALL SELECT 'cur' AS part, k, v FROM $tbl""".stripMargin)
+      .unionAll(feed)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
-      dsv2DeleteMor)
+      dsv2DeleteMor, dsv2UpdateMor)
 }

@@ -828,6 +828,80 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $mor")
   }
 
+  test("DSv2 MemTable: merge-on-read UPDATE/MERGE write row-level deltas, no batch rewrite") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_delta_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v2
+    val st = graft.sources.MemTables.get("mem_delta_spec").get
+    val origBatches = st.batches
+    val origRows = origBatches.map(_.rows)
+    assert(origBatches.map(_.batchId).distinct.size === 2)
+    // UPDATE matches one row per batch — the DELTA path must write two DV
+    // entries + one delta batch of two replacement rows, rewriting NOTHING
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k IN (2, 3)") // v3
+    val (orig, delta) = st.batches.partition(b => origBatches.exists(_.batchId == b.batchId))
+    // original batches: same rows ARRAYS (no copy), live, one DV entry each
+    assert(orig.map(_.rows).zip(origRows).forall { case (a, b) => a eq b })
+    assert(orig.forall(_.removedAt == Long.MaxValue))
+    assert(orig.flatMap(_.dv.toSeq).sorted === Vector((1, 3L), (0, 3L)).sorted)
+    // the replacements landed as delta batches (one per write task)
+    assert(delta.flatMap(_.rows).map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((2L, 21L), (3L, 31L)))
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 21L), (3L, 31L), (4L, 40L)))
+    // time travel across the delta: pre-update snapshot intact
+    assert(spark.sql(s"SELECT v FROM $tbl VERSION AS OF 2 WHERE k = 2").head.getLong(0) === 20L)
+    // re-UPDATE of an updated row targets the DELTA batch via its row id
+    spark.sql(s"UPDATE $tbl SET v = v + 100 WHERE k = 3") // v4
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 21L), (3L, 131L), (4L, 40L)))
+    // MERGE: matched -> DV + insert; unmatched -> insert; one version
+    Seq((4L, 400L), (9L, 900L)).toDF("k", "v").createOrReplaceTempView("delta_spec_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING delta_spec_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // v5
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 10L), (2L, 21L), (3L, 131L), (4L, 400L), (9L, 900L)))
+    // MERGE with a DELETE action: a row-level DV entry, again no rewrite
+    Seq(Tuple1(2L)).toDF("k").createOrReplaceTempView("delta_spec_del")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING delta_spec_del s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin) // v6
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 9L))
+    // the ORIGINAL batches were never copied through any of the above
+    val finalOrig = st.batches.filter(b => origBatches.exists(_.batchId == b.batchId))
+    assert(finalOrig.map(_.rows).zip(origRows).forall { case (a, b) => a eq b })
+    assert(finalOrig.forall(_.removedAt == Long.MaxValue))
+    // the change feed shows ROW-level delete+insert pairs per DML version
+    val ev = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_delta_spec").option("from", "2").option("to", "3").load()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(ev === Seq(
+      (2L, "delete", 3L), (2L, "insert", 3L), (3L, "delete", 3L), (3L, "insert", 3L)))
+    // every row's (_batch_id, _batch_pos) id is unique; version tracks lineage
+    val ids = spark.sql(s"SELECT _batch_id, _batch_pos, _batch_version FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ids.map(t => (t._1, t._2)).distinct.length === ids.length)
+    // a delta publish whose scan predates an interleaved commit is rejected
+    val err = intercept[IllegalStateException] {
+      graft.sources.MemTables.applyDelta(
+        "mem_delta_spec", Some(1L), st.schema, Seq.empty, Seq.empty)
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    // a row id pointing at an unknown batch or a dead position fails loudly
+    intercept[IllegalStateException] {
+      graft.sources.MemTables.applyDelta(
+        "mem_delta_spec", None, st.schema, Seq((9999L, 0)), Seq.empty)
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
