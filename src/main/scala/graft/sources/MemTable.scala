@@ -153,6 +153,11 @@ object MemTables {
     // change windows into the expired range fail loudly, never silently
     // return partial history
     @volatile var earliestVersion: Long = 0L
+    // versions that were COMPACTIONS (physical reorganization, zero
+    // logical change): the change feed skips their remove/re-insert
+    // events — the Iceberg rule that incremental reads ignore `replace`
+    // snapshots
+    @volatile var compactionVersions: Set[Long] = Set.empty
     // monotone batch-identity mint (see TaggedBatch.batchId); only ever
     // advanced under this object's monitor
     @volatile private[sources] var nextBatchId: Long = 0L
@@ -300,6 +305,70 @@ object MemTables {
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
           batchId = st.mintBatchId()))
       st.stamp()
+    }
+  }
+
+  /** TABLE COMPACTION (`CALL graft.compact_table('t')`) — the maintenance
+    * op that keeps merge-on-read sustainable and small commits readable:
+    * fold every live batch's LIVE rows (DV overlays applied, schema
+    * projected by name into the CURRENT schema with tombstones — exactly
+    * the scan's own projection, so the current read is identical by
+    * construction) into one fresh batch at a new version. Old batches
+    * soft-remove at that version, so every pre-compaction snapshot stays
+    * an exact replay. The version is marked a COMPACTION: the change feed
+    * skips its remove/re-insert events (zero logical change — the Iceberg
+    * rule that incremental reads ignore `replace` snapshots). A no-op
+    * call (single batch, no DVs) burns no version. Driver-sized here; at
+    * 100 TB the projection is a distributed rewrite job, but the
+    * metadata protocol (replace-snapshot + CDC invisibility + time
+    * travel) is exactly this. Returns (batches compacted, rows written,
+    * version).
+    */
+  def compact(key: String): (Long, Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      val live = st.batches.filter(_.removedAt == Long.MaxValue)
+      if (live.size <= 1 && !live.exists(_.dv.nonEmpty))
+        return (0L, 0L, st.version)
+      st.version += 1
+      val schema = st.schema
+      val droppedAt = st.droppedAt
+      val projected: Array[InternalRow] = live.iterator.flatMap { b =>
+        val hidden = b.schema.fieldNames.iterator
+          .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
+        val srcIdx = schema.fields.map(f =>
+          if (hidden.contains(f.name)) -1 else b.schema.fieldNames.indexOf(f.name))
+        srcIdx.zipWithIndex.foreach { case (s, j) =>
+          if (s >= 0 && b.schema.fields(s).dataType != schema.fields(j).dataType)
+            throw new IllegalStateException(
+              s"mem table $key: column ${schema.fields(j).name} was written as " +
+                s"${b.schema.fields(s).dataType.simpleString} but the table is bound to " +
+                s"${schema.fields(j).dataType.simpleString} — cannot compact, recreate")
+        }
+        val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
+          if (s >= 0) b.schema.fields(s).dataType else schema.fields(j).dataType
+        }
+        val dead = b.dv.keySet
+        b.rows.iterator.zipWithIndex
+          .filterNot { case (_, i) => dead.contains(i) }
+          .map { case (r, _) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array.tabulate[Any](schema.length) { j =>
+                val s = srcIdx(j)
+                if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+              }): InternalRow
+          }
+      }.toArray
+      val removed = st.batches.map(b =>
+        if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
+      st.batches =
+        if (projected.isEmpty) removed
+        else removed :+ TaggedBatch(schema, st.version, st.version, projected,
+          batchId = st.mintBatchId())
+      st.compactionVersions += st.version
+      st.stamp()
+      (live.size.toLong, projected.length.toLong, st.version)
     }
   }
 
@@ -1216,15 +1285,21 @@ object MemChangesSource {
     def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
       b.schema.fieldNames.iterator
         .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
+    // COMPACTION versions are physical reorganizations with zero logical
+    // change — their batch replacements are invisible to the feed (the
+    // Iceberg replace-snapshot rule); DV delete events are untouched
+    // (those versions were real deletes)
+    val compactions = st.compactionVersions
     val inserts = st.batches
-      .filter(b => b.version > from && b.version <= to)
+      .filter(b => b.version > from && b.version <= to && !compactions.contains(b.version))
       .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))
     // a batch both committed AND truncated inside the window emits BOTH
     // events (the honest change log — consumers fold by _commit_version).
     // Rows already DV-deleted before the batch's removal do NOT re-delete
     // at removal (they were gone; their own events carry their version).
     val deletes = st.batches
-      .filter(b => b.removedAt > from && b.removedAt <= to)
+      .filter(b => b.removedAt > from && b.removedAt <= to &&
+        !compactions.contains(b.removedAt))
       .map { b =>
         val alive =
           if (b.dv.isEmpty) None

@@ -914,11 +914,58 @@ object Roundtrips {
       .unionAll(feed)
   }
 
+  /** TABLE COMPACTION (`CALL graft.compact_table`) through the gate — the
+    * maintenance op that makes merge-on-read sustainable: after two
+    * appends and a DV delete, compaction folds the live rows into one
+    * fresh batch at a version the change feed SKIPS (physical
+    * reorganization, zero logical change — Iceberg's replace-snapshot
+    * rule). The query unions the post-compaction read with the feed over
+    * the WHOLE window including the compaction version: the oracle
+    * restates only the real events (two inserts, the DV deletes), so a
+    * compaction that leaked remove/re-insert events into the feed — or
+    * changed any row — breaks the hash.
+    */
+  val dsv2Compact: QueryDef = QueryDef(
+    "dsv2_compact",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 19 = 0),
+      |evens AS (SELECT k, v FROM base WHERE k % 2 = 0),
+      |odds AS (SELECT k, v FROM base WHERE k % 2 = 1)
+      |SELECT 'cur' AS part, k, v FROM base WHERE v >= 10000000
+      |UNION ALL SELECT 'cdc_insert_1', k, v FROM evens
+      |UNION ALL SELECT 'cdc_insert_2', k, v FROM odds
+      |UNION ALL SELECT 'cdc_delete_3', k, v FROM base WHERE v < 10000000""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 19 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1
+    base.filter(col("k") % 2 === 1).coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v3: DV entries
+    spark.sql(s"CALL graft.compact_table('mem_orders_compact')") // v4: replace snapshot
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_orders_compact")
+      .option("from", "0").option("to", "4")
+      .load()
+      .select(
+        concat_ws("_", lit("cdc"), col(MemChangesSource.ChangeType),
+          col(MemChangesSource.CommitVersion)).as("part"),
+        col("k"), col("v"))
+    spark.table(tbl)
+      .select(lit("cur").as("part"), col("k"), col("v"))
+      .unionAll(feed)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
-      dsv2DeleteMor, dsv2UpdateMor)
+      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact)
 }

@@ -322,11 +322,14 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "compact_table" => CompactTableProcedure
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure $other (available: expire_snapshots)")
+        s"unknown procedure $other (available: expire_snapshots, compact_table)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "expire_snapshots"))
+    Array(
+      Identifier.of(namespace, "expire_snapshots"),
+      Identifier.of(namespace, "compact_table"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -490,6 +493,47 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   * `(expired_batches, earliest_version)`, the Spark-4 procedure result
   * contract.
   */
+/** `CALL graft.compact_table('<table>')` — fold live batches (DV overlays
+  * applied, schemas projected to current) into one fresh batch at a new
+  * CDC-invisible version ([[MemTables.compact]]); a logical no-op that
+  * reclaims merge-on-read read cost and small-commit fragmentation.
+  * Returns `(batches_compacted, rows_written, version)`.
+  */
+object CompactTableProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.LongType
+
+  override def name(): String = "compact_table"
+  override def description(): String =
+    "fold live batches (delete vectors applied) into one batch at a " +
+      "CDC-invisible version; zero logical change"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+      .comment("mem table key within this catalog").build())
+
+  private val outSchema = new StructType()
+    .add("batches_compacted", LongType, nullable = false)
+    .add("rows_written", LongType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val (nBatches, nRows, version) = MemTables.compact(key)
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](nBatches, nRows, version)))
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCompactTable $key"
+    }).iterator()
+  }
+}
+
 object ExpireSnapshotsProcedure
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
     with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {

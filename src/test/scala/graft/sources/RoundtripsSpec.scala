@@ -902,6 +902,62 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: compact_table folds batches + DVs at a CDC-invisible version") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)") // v2
+    Seq((3L, 30L, 300L), (4L, 40L, 400L)).toDF("k", "v", "n")
+      .coalesce(1).writeTo(tbl).append() // v3
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (2, 4)") // v4: DV entries
+    def current() = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq
+    val before = current()
+    assert(before === Seq((1L, 10L, -1L), (3L, 30L, 300L)))
+    val st = graft.sources.MemTables.get("mem_compact_spec").get
+    // compaction: 2 live batches with DVs -> one fresh batch at v5
+    val summary = spark.sql(s"CALL graft.compact_table('mem_compact_spec')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(summary === Seq((2L, 2L, 5L)))
+    // zero logical change: current read identical; pre-compaction
+    // snapshots exact replays; the evolved schema's null-fill survives
+    assert(current() === before)
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 3").count() === 4L)
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 4").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // physically: one live batch, no DVs, projected to the current schema
+    val live = st.batches.filter(_.removedAt == Long.MaxValue)
+    assert(live.size === 1 && live.head.dv.isEmpty)
+    assert(live.head.schema.fieldNames.toSeq === Seq("k", "v", "n"))
+    // the feed SKIPS the compaction's remove/re-insert (zero logical
+    // change) while keeping the REAL events around it: over (3, 5] only
+    // the v4 DV deletes appear
+    val ev = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_compact_spec").option("from", "3").load()
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sorted.toSeq
+    assert(ev === Seq((2L, "delete", 4L), (4L, "delete", 4L)))
+    // post-compaction DML keeps flowing: new events visible after v5
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1") // v6
+    val ev2 = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_compact_spec").option("from", "5").load()
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sorted.toSeq
+    assert(ev2 === Seq((1L, "delete", 6L)))
+    // a second compact with one batch and fresh DVs still folds; a third
+    // with nothing to do is a version-free no-op
+    assert(spark.sql(s"CALL graft.compact_table('mem_compact_spec')")
+      .collect().map(_.getLong(2)).toSeq === Seq(7L))
+    val vBefore = st.version
+    assert(spark.sql(s"CALL graft.compact_table('mem_compact_spec')")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(st.version === vBefore)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
