@@ -62,7 +62,17 @@ object ScaleRamp {
     // faster; streaming_pq_encode must report ZERO state rows at every
     // scale (encode-at-ingest is row-local, the claim its docstring makes)
     "streaming_lsh_ingest",
-    "streaming_pq_encode")
+    "streaming_pq_encode",
+    // lakehouse DML family (round 10): the copy-on-write group filter,
+    // the delta path, and compaction all claim cost proportional to
+    // matches/changes — under a K× fact ramp each DML's match set grows
+    // K×, so warm factors must stay ≈K (a table-cost rewrite would too,
+    // here, since the table is also K× — the ramp's value is catching
+    // superlinear blowups in the rewrite/feed machinery itself)
+    "dsv2_cdc_dml",
+    "dsv2_update_mor",
+    "dsv2_delete_mor",
+    "dsv2_compact")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

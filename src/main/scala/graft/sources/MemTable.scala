@@ -331,9 +331,10 @@ object MemTables {
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
       if (live.size <= 1 && !live.exists(_.dv.nonEmpty))
         return (0L, 0L, st.version)
-      st.version += 1
       val schema = st.schema
       val droppedAt = st.droppedAt
+      // project — and VALIDATE — fully before the version bump: a type
+      // conflict must reject the compaction without burning a version slot
       val projected: Array[InternalRow] = live.iterator.flatMap { b =>
         val hidden = b.schema.fieldNames.iterator
           .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
@@ -360,6 +361,7 @@ object MemTables {
               }): InternalRow
           }
       }.toArray
+      st.version += 1
       val removed = st.batches.map(b =>
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
       st.batches =
@@ -401,29 +403,42 @@ object MemTables {
               s"scanned version $v but the table is now at version ${st.version}; " +
               "publishing would erase the interleaved commit (lost update). Re-run the DML.")
       }
-      st.version += 1
+      // VALIDATE BEFORE the version bump: a rejected publish must not burn
+      // a version slot (every slot owns a versionTimes entry — the
+      // serializable-history invariant the concurrency spec pins)
       val byBatch = deletes.groupMap(_._1)(_._2)
       if (byBatch.nonEmpty) {
-        val known = st.batches.iterator
-          .filter(_.removedAt == Long.MaxValue).map(_.batchId).toSet
-        val missing = byBatch.keySet -- known
+        // duplicate row ids within ONE publish would collapse to a single
+        // DV entry while every replacement row still appends — a silent
+        // row duplication; the scan and publish disagree, so fail loudly
+        val dups = deletes.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+        if (dups.nonEmpty)
+          throw new IllegalStateException(
+            s"mem table $key: delta deletes the same row id(s) twice in one " +
+              s"publish: ${dups.mkString(", ")}")
+        val liveById = st.batches.iterator
+          .filter(_.removedAt == Long.MaxValue).map(b => b.batchId -> b).toMap
+        val missing = byBatch.keySet -- liveById.keySet
         if (missing.nonEmpty)
           throw new IllegalStateException(
             s"mem table $key: delta targets unknown/removed batch ids $missing")
-        st.batches = st.batches.map { b =>
-          byBatch.get(b.batchId) match {
-            case Some(poss) if b.removedAt == Long.MaxValue =>
-              val bad = poss.filter(p => p < 0 || p >= b.rows.length || b.dv.contains(p))
-              if (bad.nonEmpty)
-                throw new IllegalStateException(
-                  s"mem table $key: delta deletes invalid/already-deleted positions " +
-                    s"$bad of batch ${b.batchId}")
-              b.copy(dv = b.dv ++ poss.map(_ -> st.version))
-            case _ => b
-          }
+        byBatch.foreach { case (id, poss) =>
+          val b = liveById(id)
+          val bad = poss.filter(p => p < 0 || p >= b.rows.length || b.dv.contains(p))
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"mem table $key: delta deletes invalid/already-deleted positions " +
+                s"$bad of batch $id")
         }
       }
-      st.batches = st.batches ++ inserts.filter(_.nonEmpty)
+      st.version += 1
+      st.batches = st.batches.map { b =>
+        byBatch.get(b.batchId) match {
+          case Some(poss) if b.removedAt == Long.MaxValue =>
+            b.copy(dv = b.dv ++ poss.map(_ -> st.version))
+          case _ => b
+        }
+      } ++ inserts.filter(_.nonEmpty)
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
           batchId = st.mintBatchId()))
       st.stamp()
@@ -1279,9 +1294,21 @@ object MemChangesSource {
   private[sources] def partitionsIn(key: String, from: Long, to: Long): Array[InputPartition] = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    // one consistent state snapshot — and RE-validate the retention
+    // horizon here, not just at options-bind: the streaming path plans
+    // each micro-batch window long after bind, and an expire_snapshots
+    // interleaved since then must fail the read loudly, never let it
+    // silently emit the surviving fraction of the window's events
+    val (batches, hist, compactions, earliest) = st.synchronized {
+      (st.batches, st.history, st.compactionVersions, st.earliestVersion)
+    }
+    if (from < earliest)
+      throw new IllegalStateException(
+        s"change window ($from, $to] of $key reaches into history expired " +
+          s"since the read was bound (earliest retained snapshot: $earliest)")
     // tombstones as of `to`: data columns project exactly like a snapshot
     // read at the window's end
-    val droppedAt = st.history.filter(_.version <= to).last.droppedAt
+    val droppedAt = hist.filter(_.version <= to).last.droppedAt
     def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
       b.schema.fieldNames.iterator
         .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
@@ -1289,32 +1316,35 @@ object MemChangesSource {
     // change — their batch replacements are invisible to the feed (the
     // Iceberg replace-snapshot rule); DV delete events are untouched
     // (those versions were real deletes)
-    val compactions = st.compactionVersions
-    val inserts = st.batches
+    val inserts = batches
       .filter(b => b.version > from && b.version <= to && !compactions.contains(b.version))
       .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))
     // a batch both committed AND truncated inside the window emits BOTH
     // events (the honest change log — consumers fold by _commit_version).
     // Rows already DV-deleted before the batch's removal do NOT re-delete
     // at removal (they were gone; their own events carry their version).
-    val deletes = st.batches
+    // Row-SELECTED events (alive-at-removal, DV deletes) slice the chosen
+    // rows into the partition — the partition is the serialization unit,
+    // and shipping a large batch's full array to surface a handful of
+    // positions would pay the batch, not the event.
+    val deletes = batches
       .filter(b => b.removedAt > from && b.removedAt <= to &&
         !compactions.contains(b.removedAt))
       .map { b =>
         val alive =
-          if (b.dv.isEmpty) None
-          else Some(Array.range(0, b.rows.length).filterNot(b.dv.contains))
-        MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, b.removedAt, alive)
+          if (b.dv.isEmpty) b.rows
+          else b.rows.indices.filterNot(b.dv.contains).map(b.rows).toArray
+        MemChangesPartition(b.schema, hiddenIn(b), alive, insert = false, b.removedAt)
       }
     // merge-on-read deletes are ROW-level events at the version their DV
     // entry was recorded — the change feed a DV table produces is finer
     // than the batch remove+reinsert log of a copy-on-write rewrite
-    val dvDeletes = st.batches.flatMap { b =>
+    val dvDeletes = batches.flatMap { b =>
       b.dv.toSeq
         .filter { case (_, at) => at > from && at <= to }
         .groupBy(_._2).toSeq.map { case (at, entries) =>
-          MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = false, at,
-            Some(entries.map(_._1).sorted.toArray))
+          MemChangesPartition(b.schema, hiddenIn(b),
+            entries.map(_._1).sorted.map(b.rows).toArray, insert = false, at)
         }
     }
     (inserts ++ deletes ++ dvDeletes).map(p => p: InputPartition).toArray
@@ -1340,14 +1370,11 @@ object MemChangesSource {
         }
         val changeType = org.apache.spark.unsafe.types.UTF8String
           .fromString(if (p.insert) "insert" else "delete")
-        // row selection: DV events and alive-at-removal events carry an
-        // explicit position list; whole-batch events read every row
-        val idx = p.keep.getOrElse(Array.range(0, rows.length))
         new PartitionReader[InternalRow] {
           private var i = -1
-          override def next(): Boolean = { i += 1; i < idx.length }
+          override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow = {
-            val r = rows(idx(i))
+            val r = rows(i)
             val vals = new Array[Any](target.length)
             var j = 0
             while (j < nData) {
@@ -1442,10 +1469,11 @@ final case class MemVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** One change event batch: the committed rows plus which event (insert at
-  * commit / delete at truncate) and the version the event happened at.
+/** One change event: the SELECTED rows (whole batch for commit inserts;
+  * the event's row slice for removal/DV deletes — sliced at planning so a
+  * partition ships only the rows it surfaces).
   */
 final case class MemChangesPartition(
     batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow],
-    insert: Boolean, commitVersion: Long, keep: Option[Array[Int]] = None)
+    insert: Boolean, commitVersion: Long)
     extends InputPartition

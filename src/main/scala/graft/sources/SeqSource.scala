@@ -483,16 +483,6 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     throw new UnsupportedOperationException("RENAME is not supported")
 }
 
-/** `CALL graft.expire_snapshots('<table>', <older_than>)` — the retention
-  * procedure ([[MemTables.expireSnapshots]]): drops timeline strictly
-  * before `older_than`; expired `VERSION/TIMESTAMP AS OF` reads and
-  * change windows then fail loudly while current reads and retained
-  * history stay byte-identical. Bound eagerly (`bind` is identity — both
-  * parameters are scalars with fixed types, Spark coerces arguments);
-  * `call` runs driver-side and returns a one-row `LocalScan` summary
-  * `(expired_batches, earliest_version)`, the Spark-4 procedure result
-  * contract.
-  */
 /** `CALL graft.compact_table('<table>')` — fold live batches (DV overlays
   * applied, schemas projected to current) into one fresh batch at a new
   * CDC-invisible version ([[MemTables.compact]]); a logical no-op that
@@ -534,6 +524,16 @@ object CompactTableProcedure
   }
 }
 
+/** `CALL graft.expire_snapshots('<table>', <older_than>)` — the retention
+  * procedure ([[MemTables.expireSnapshots]]): drops timeline strictly
+  * before `older_than`; expired `VERSION/TIMESTAMP AS OF` reads and
+  * change windows then fail loudly while current reads and retained
+  * history stay byte-identical. Bound eagerly (`bind` is identity — both
+  * parameters are scalars with fixed types, Spark coerces arguments);
+  * `call` runs driver-side and returns a one-row `LocalScan` summary
+  * `(expired_batches, earliest_version)`, the Spark-4 procedure result
+  * contract.
+  */
 object ExpireSnapshotsProcedure
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
     with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {

@@ -708,6 +708,13 @@ class RoundtripsSpec extends SparkSpec {
       spark.sql(s"CALL graft.expire_snapshots('mem_expire_spec', 99)").collect())
     intercept[Exception](
       spark.sql(s"CALL graft.expire_snapshots('nope_no_such', 1)").collect())
+    // a window bound BEFORE an expiry must fail at partition PLANNING too
+    // (the streaming path plans each micro-batch long after bind — an
+    // expiry interleaved since then must not silently shrink the events)
+    val planErr = intercept[IllegalStateException] {
+      graft.sources.MemChangesSource.partitionsIn("mem_expire_spec", 0L, 3L)
+    }
+    assert(planErr.getMessage.contains("expired"))
     spark.sql(s"DROP TABLE $tbl")
   }
 
@@ -894,11 +901,26 @@ class RoundtripsSpec extends SparkSpec {
         "mem_delta_spec", Some(1L), st.schema, Seq.empty, Seq.empty)
     }
     assert(err.getMessage.contains("concurrent commit"))
-    // a row id pointing at an unknown batch or a dead position fails loudly
+    // a row id pointing at an unknown batch or a dead position fails
+    // loudly — and a REJECTED publish must not burn a version slot (the
+    // serializable-history invariant: every slot owns a stamp)
+    val vPre = st.version
     intercept[IllegalStateException] {
       graft.sources.MemTables.applyDelta(
         "mem_delta_spec", None, st.schema, Seq((9999L, 0)), Seq.empty)
     }
+    assert(st.version === vPre)
+    assert(st.versionTimes.last._1 === vPre)
+    // duplicate row ids in one publish would silently duplicate rows
+    // (two inserts, one collapsed DV entry) — rejected instead
+    val liveId = st.batches.filter(_.removedAt == Long.MaxValue).head.batchId
+    val dup = intercept[IllegalStateException] {
+      graft.sources.MemTables.applyDelta(
+        "mem_delta_spec", None, st.schema,
+        Seq((liveId, 0), (liveId, 0)), Seq.empty)
+    }
+    assert(dup.getMessage.contains("twice"))
+    assert(st.version === vPre)
     spark.sql(s"DROP TABLE $tbl")
   }
 
