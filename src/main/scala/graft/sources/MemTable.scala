@@ -158,16 +158,23 @@ object MemTables {
     // events — the Iceberg rule that incremental reads ignore `replace`
     // snapshots
     @volatile var compactionVersions: Set[Long] = Set.empty
+    // version -> operation kind, the provenance half of the timeline
+    // (`CALL graft.table_history` surfaces it): every publish records what
+    // created its slot — append / overwrite / alter / delete /
+    // rewrite (CoW row-level) / delta (MoR row-level) / compact /
+    // stream-append / stream-overwrite. v0 is the create.
+    @volatile var opKinds: Map[Long, String] = Map(0L -> "create")
     // monotone batch-identity mint (see TaggedBatch.batchId); only ever
     // advanced under this object's monitor
     @volatile private[sources] var nextBatchId: Long = 0L
     private[sources] def mintBatchId(): Long = {
       val id = nextBatchId; nextBatchId += 1; id
     }
-    private[sources] def stamp(): Unit = {
+    private[sources] def stamp(kind: String): Unit = {
       val now = System.currentTimeMillis() * 1000L
       val ts = math.max(now, versionTimes.last._2 + 1L)
       versionTimes = versionTimes :+ (version, ts)
+      opKinds = opKinds.updated(version, kind)
     }
   }
 
@@ -225,7 +232,7 @@ object MemTables {
         st.droppedAt = st.droppedAt ++ dropped.map(_ -> st.version)
       st.schema = newSchema
       st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt)
-      st.stamp()
+      st.stamp("alter")
     }
   }
 
@@ -260,6 +267,7 @@ object MemTables {
       if (hKeep > 0) st.history = st.history.drop(hKeep)
       val tKeep = st.versionTimes.lastIndexWhere(_._1 <= olderThan)
       if (tKeep > 0) st.versionTimes = st.versionTimes.drop(tKeep)
+      st.opKinds = st.opKinds.filter(_._1 >= st.versionTimes.head._1)
       (gone.size.toLong, st.earliestVersion)
     }
   }
@@ -304,7 +312,7 @@ object MemTables {
       } ++ batches.filter(_.nonEmpty)
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
           batchId = st.mintBatchId()))
-      st.stamp()
+      st.stamp("rewrite")
     }
   }
 
@@ -369,7 +377,7 @@ object MemTables {
         else removed :+ TaggedBatch(schema, st.version, st.version, projected,
           batchId = st.mintBatchId())
       st.compactionVersions += st.version
-      st.stamp()
+      st.stamp("compact")
       (live.size.toLong, projected.length.toLong, st.version)
     }
   }
@@ -441,7 +449,7 @@ object MemTables {
       } ++ inserts.filter(_.nonEmpty)
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
           batchId = st.mintBatchId()))
-      st.stamp()
+      st.stamp("delta")
     }
   }
 
@@ -468,7 +476,7 @@ object MemTables {
       st.batches = prior ++
         batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
           batchId = st.mintBatchId()))
-      st.stamp()
+      st.stamp(if (truncate) "overwrite" else "append")
     }
   }
 
@@ -499,7 +507,7 @@ object MemTables {
         st.batches = prior ++
           batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
             batchId = st.mintBatchId()))
-        st.stamp()
+        st.stamp(if (truncate) "stream-overwrite" else "stream-append")
       }
     }
   }
@@ -661,7 +669,7 @@ object MemTables {
           }
         }
       }
-      st.stamp()
+      st.stamp("delete")
     }
   }
 }
@@ -762,6 +770,14 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
+  /** Surfaces the DML mode (`SHOW TBLPROPERTIES`): the create-time
+    * delete-mode fork is queryable, not a hidden behavior switch.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    MemTables.get(key).foreach(st => m.put("graft.delete-mode", st.deleteMode))
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(

@@ -961,11 +961,67 @@ object Roundtrips {
       .unionAll(feed)
   }
 
+  /** `CALL graft.table_history` through the gate — the DESCRIBE HISTORY
+    * surface with operation provenance: a seven-step lifecycle (create,
+    * two appends, a delta UPDATE, a DV DELETE, a compaction, an ALTER)
+    * must surface exactly its (version, kind) ledger, and joining each
+    * retained version against a `VERSION AS OF` count proves the ledger's
+    * versions are real snapshot handles, not labels — the compaction row
+    * must show the same count as the version before it (zero logical
+    * change) and the alter must change nothing. The oracle restates kinds
+    * as a VALUES table and every count from `orders`.
+    */
+  val dsv2TableHistory: QueryDef = QueryDef(
+    "dsv2_table_history",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 23 = 0),
+      |u AS (SELECT k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v FROM base),
+      |s AS (SELECT k, v FROM u WHERE v >= 10000000),
+      |c AS (SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'create'),
+      |  (CAST(1 AS BIGINT), 'append'),
+      |  (CAST(2 AS BIGINT), 'append'),
+      |  (CAST(3 AS BIGINT), 'delta'),
+      |  (CAST(4 AS BIGINT), 'delete'),
+      |  (CAST(5 AS BIGINT), 'compact'),
+      |  (CAST(6 AS BIGINT), 'alter')) AS t(version, kind))
+      |SELECT version, kind,
+      |  CAST(CASE version
+      |    WHEN 0 THEN 0
+      |    WHEN 1 THEN (SELECT count(*) FROM base WHERE k % 2 = 0)
+      |    WHEN 2 THEN (SELECT count(*) FROM base)
+      |    WHEN 3 THEN (SELECT count(*) FROM base)
+      |    ELSE (SELECT count(*) FROM s) END AS BIGINT) AS n
+      |FROM c""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_history"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1
+    base.filter(col("k") % 2 === 1).coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0") // v3: delta
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v4: DV delete
+    spark.sql(s"CALL graft.compact_table('mem_orders_history')") // v5
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)") // v6
+    val hist = spark.sql(s"CALL graft.table_history('mem_orders_history')")
+      .select(col("version"), col("kind"))
+    val counts = (0L to 6L).map { v =>
+      spark.sql(s"SELECT CAST($v AS BIGINT) AS version, count(*) AS n " +
+        s"FROM $tbl VERSION AS OF $v")
+    }.reduce(_ unionAll _)
+    hist.join(counts, Seq("version")).select(col("version"), col("kind"), col("n"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
-      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact)
+      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory)
 }

@@ -323,13 +323,16 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     ident.name() match {
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case "compact_table" => CompactTableProcedure
+      case "table_history" => TableHistoryProcedure
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure $other (available: expire_snapshots, compact_table)")
+        s"unknown procedure $other " +
+          "(available: expire_snapshots, compact_table, table_history)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
       Identifier.of(namespace, "expire_snapshots"),
-      Identifier.of(namespace, "compact_table"))
+      Identifier.of(namespace, "compact_table"),
+      Identifier.of(namespace, "table_history"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -481,6 +484,57 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+}
+
+/** `CALL graft.table_history('<table>')` — the DESCRIBE HISTORY surface:
+  * one row per RETAINED version `(version, ts, kind)`, where `kind` is
+  * the operation that created the slot (create / append / overwrite /
+  * alter / delete / rewrite / delta / compact / stream-append /
+  * stream-overwrite — the provenance ledger every publish writes).
+  * Timestamps are the same strictly-monotone stamps `TIMESTAMP AS OF`
+  * resolves against, surfaced as TIMESTAMP. Expired versions are absent —
+  * the history an operator sees IS the history reads can reach.
+  */
+object TableHistoryProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+  override def name(): String = "table_history"
+  override def description(): String =
+    "one row per retained version: (version, ts, kind) — the snapshot " +
+      "timeline with operation provenance"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // reads mutable catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("mem table key within this catalog").build())
+
+  private val outSchema = new StructType()
+    .add("version", LongType, nullable = false)
+    .add("ts", TimestampType, nullable = false)
+    .add("kind", StringType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val st = MemTables.get(key).getOrElse(
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val (times, kinds) = st.synchronized { (st.versionTimes, st.opKinds) }
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        times.map { case (v, tsMicros) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v, tsMicros,
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(kinds.getOrElse(v, "unknown"))))
+            : org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftTableHistory $key"
+    }).iterator()
+  }
 }
 
 /** `CALL graft.compact_table('<table>')` — fold live batches (DV overlays

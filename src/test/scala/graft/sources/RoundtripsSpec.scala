@@ -980,6 +980,52 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: table_history surfaces the provenance ledger; properties expose the DML mode") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_history_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0: create
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    Seq((3L, 30L)).toDF("k", "v").createOrReplaceTempView("hist_spec_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM hist_spec_src") // v2
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)") // v3
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 3") // v4: CoW rewrite
+    spark.sql(s"DELETE FROM $tbl WHERE v > 1000") // v5: fast-path delete
+    def history() = spark.sql(s"CALL graft.table_history('mem_history_spec')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(history() === Seq(
+      (0L, "create"), (1L, "append"), (2L, "overwrite"), (3L, "alter"),
+      (4L, "rewrite"), (5L, "delete")))
+    // timestamps are the TIMESTAMP AS OF stamps: strictly increasing
+    val ts = spark.sql(s"CALL graft.table_history('mem_history_spec')")
+      .collect().map(_.getTimestamp(1).getTime)
+    assert(ts.sliding(2).forall(p => p(0) <= p(1)))
+    // expiry prunes the surfaced history to what reads can still reach
+    spark.sql(s"CALL graft.expire_snapshots('mem_history_spec', 2)")
+    assert(history().map(_._1) === Seq(2L, 3L, 4L, 5L))
+    // the MoR fork writes its own kinds (delta DML, compaction) and is
+    // queryable via table properties
+    val mor = "graft.mem_history_mor_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $mor")
+    spark.sql(s"CREATE TABLE $mor (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(mor).append()
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1).writeTo(mor).append()
+    spark.sql(s"UPDATE $mor SET v = v + 1 WHERE k = 2") // delta
+    spark.sql(s"CALL graft.compact_table('mem_history_mor_spec')")
+    assert(spark.sql(s"CALL graft.table_history('mem_history_mor_spec')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq === Seq(
+      (0L, "create"), (1L, "append"), (2L, "append"), (3L, "delta"), (4L, "compact")))
+    val props = spark.sql(s"SHOW TBLPROPERTIES $mor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("graft.delete-mode") === "merge-on-read")
+    intercept[Exception](
+      spark.sql(s"CALL graft.table_history('nope_no_such')").collect())
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $mor")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
