@@ -164,6 +164,11 @@ object MemTables {
     // rewrite (CoW row-level) / delta (MoR row-level) / compact /
     // stream-append / stream-overwrite. v0 is the create.
     @volatile var opKinds: Map[Long, String] = Map(0L -> "create")
+    // TAGS: named read-only snapshot refs (`VERSION AS OF 'name'`) — the
+    // Iceberg ref model's tag half. A tag PINS its snapshot: expiry
+    // refuses to age out a tagged version (drop the tag first), so a
+    // release tag is a durable replay handle, not a dangling pointer.
+    @volatile var tags: Map[String, Long] = Map.empty
     // monotone batch-identity mint (see TaggedBatch.batchId); only ever
     // advanced under this object's monitor
     @volatile private[sources] var nextBatchId: Long = 0L
@@ -251,6 +256,39 @@ object MemTables {
     * Iceberg `expireSnapshots` / Delta `VACUUM` contract. Returns
     * (expired batch count, new earliest version).
     */
+  /** Create / drop a named snapshot TAG ([[State.tags]]): `create` binds
+    * `tag` to a retained version (fails on duplicates, unretained or
+    * future versions); `drop` removes it. Resolution happens in the
+    * catalog's `VERSION AS OF` path (non-numeric version strings).
+    */
+  def createTag(key: String, tag: String, version: Long): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (tag.isEmpty || tag.forall(_.isDigit))
+        throw new IllegalArgumentException(
+          s"tag name '$tag' is invalid (must be non-empty and non-numeric)")
+      if (st.tags.contains(tag))
+        throw new IllegalArgumentException(
+          s"tag '$tag' already exists on $key at version ${st.tags(tag)} — drop it first")
+      if (version < st.earliestVersion || version > st.version)
+        throw new IllegalArgumentException(
+          s"cannot tag version $version of $key: retained history is " +
+            s"[${st.earliestVersion}, ${st.version}]")
+      st.tags = st.tags.updated(tag, version)
+    }
+  }
+
+  def dropTag(key: String, tag: String): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (!st.tags.contains(tag))
+        throw new IllegalArgumentException(s"tag '$tag' does not exist on $key")
+      st.tags = st.tags - tag
+    }
+  }
+
   def expireSnapshots(key: String, olderThan: Long): (Long, Long) = {
     val st = tables.getOrElse(key,
       throw new IllegalArgumentException(s"mem table $key does not exist"))
@@ -258,6 +296,14 @@ object MemTables {
       if (olderThan < 0 || olderThan > st.version)
         throw new IllegalArgumentException(
           s"expire horizon $olderThan outside table history [0, ${st.version}]")
+      // a TAG pins its snapshot: refuse to expire a tagged version out of
+      // readability — the operator drops the tag first, explicitly
+      val pinned = st.tags.filter(_._2 < olderThan)
+      if (pinned.nonEmpty)
+        throw new IllegalArgumentException(
+          s"expire horizon $olderThan would expire tagged snapshot(s) of $key: " +
+            pinned.map { case (t, v) => s"'$t'@v$v" }.mkString(", ") +
+            " — drop the tag(s) first")
       val (gone, kept) = st.batches.partition(_.removedAt <= olderThan)
       st.batches = kept
       st.earliestVersion = math.max(st.earliestVersion, olderThan)

@@ -1017,11 +1017,48 @@ object Roundtrips {
     hist.join(counts, Seq("version")).select(col("version"), col("kind"), col("n"))
   }
 
+  /** Named snapshot refs (TAGS) through the gate: tag the pre-overwrite
+    * version (`CALL graft.create_tag`), replace the table's contents, and
+    * read both `VERSION AS OF 'prefreeze'` and current — the oracle
+    * restates both generations from `orders`, so a tag that drifted,
+    * resolved to the wrong version, or leaked the overwrite breaks the
+    * hash. The pinning contract (expiry refuses to age out a tagged
+    * snapshot) is spec-asserted in RoundtripsSpec.
+    */
+  val dsv2TagTravel: QueryDef = QueryDef(
+    "dsv2_tag_travel",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 29 = 0)
+      |SELECT 'tagged' AS part, k, v FROM base
+      |UNION ALL
+      |SELECT 'cur', k, v + CASE WHEN k % 4 = 0 THEN 13 ELSE 0 END
+      |FROM base WHERE k % 3 <> 0""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.writeTo(tbl).append() // v1
+    spark.sql(s"CALL graft.create_tag('mem_orders_tag', 'prefreeze', 1)")
+    base.filter(col("k") % 3 =!= 0)
+      .select(col("k"),
+        (col("v") + when(col("k") % 4 === 0, lit(13L)).otherwise(lit(0L))).as("v"))
+      .createOrReplaceTempView("tag_travel_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM tag_travel_src") // v2
+    spark.sql(
+      s"""SELECT 'tagged' AS part, k, v FROM $tbl VERSION AS OF 'prefreeze'
+         |UNION ALL
+         |SELECT 'cur' AS part, k, v FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
-      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory)
+      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel)
 }

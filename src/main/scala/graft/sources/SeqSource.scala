@@ -324,15 +324,19 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case "compact_table" => CompactTableProcedure
       case "table_history" => TableHistoryProcedure
+      case "create_tag" => CreateTagProcedure
+      case "drop_tag" => DropTagProcedure
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure $other " +
-          "(available: expire_snapshots, compact_table, table_history)")
+        s"unknown procedure $other (available: expire_snapshots, " +
+          "compact_table, table_history, create_tag, drop_tag)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
       Identifier.of(namespace, "expire_snapshots"),
       Identifier.of(namespace, "compact_table"),
-      Identifier.of(namespace, "table_history"))
+      Identifier.of(namespace, "table_history"),
+      Identifier.of(namespace, "create_tag"),
+      Identifier.of(namespace, "drop_tag"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -368,10 +372,14 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     val key = memKey(ident)
     val st = MemTables.get(key)
       .getOrElse(throw new NoSuchTableException(ident))
+    // numeric = snapshot id; anything else = a TAG name (named snapshot
+    // ref — `VERSION AS OF 'release1'`), resolved against the tag map
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"mem table versions are numeric commit/alter ids, got '$version'")
+        st.tags.getOrElse(version,
+          throw new IllegalArgumentException(
+            s"'$version' is neither a numeric version nor a tag of $key " +
+              s"(tags: ${if (st.tags.isEmpty) "none" else st.tags.keys.toSeq.sorted.mkString(", ")})"))
     }
     if (v < 0 || v > st.version)
       throw new IllegalArgumentException(
@@ -484,6 +492,80 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+}
+
+/** `CALL graft.create_tag('<table>', '<tag>', <version>)` /
+  * `CALL graft.drop_tag('<table>', '<tag>')` — named snapshot refs
+  * ([[MemTables.createTag]]): a tag binds a name to a retained version,
+  * readable as `VERSION AS OF '<tag>'`, and PINS it against
+  * `expire_snapshots` until dropped. Returns the bound (tag, version).
+  */
+object CreateTagProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "create_tag"
+  override def description(): String =
+    "bind a tag name to a retained snapshot version; readable as " +
+      "VERSION AS OF '<tag>' and pinned against expiry until dropped"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  private val outSchema = new StructType()
+    .add("tag", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val tag = input.getUTF8String(1).toString
+    val version = input.getLong(2)
+    MemTables.createTag(key, tag, version)
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(tag), version)))
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCreateTag $key $tag@v$version"
+    }).iterator()
+  }
+}
+
+object DropTagProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.StringType
+
+  override def name(): String = "drop_tag"
+  override def description(): String = "remove a snapshot tag (unpins it from expiry)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build())
+
+  private val outSchema = new StructType().add("dropped", StringType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val tag = input.getUTF8String(1).toString
+    MemTables.dropTag(key, tag)
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(tag))))
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftDropTag $key $tag"
+    }).iterator()
+  }
 }
 
 /** `CALL graft.table_history('<table>')` — the DESCRIBE HISTORY surface:

@@ -1026,6 +1026,50 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $mor")
   }
 
+  test("DSv2 MemTable: snapshot tags name versions and pin them against expiry") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_tag_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)") // v0
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("k").writeTo(tbl).append() // v1
+    assert(spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'release1', 1)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("release1", 1L)))
+    Seq(Tuple1(2L)).toDF("k").writeTo(tbl).append() // v2
+    Seq(Tuple1(9L)).toDF("k").createOrReplaceTempView("tag_spec_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM tag_spec_src") // v3
+    // the tag reads as a named snapshot, stable across later DML
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 'release1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // tags pin their snapshot: expiry past the tag fails loudly, the tag
+    // still reads; dropping the tag unblocks the expiry
+    val pinErr = intercept[Exception](
+      spark.sql(s"CALL graft.expire_snapshots('mem_tag_spec', 3)").collect())
+    assert(pinErr.getMessage.contains("release1"))
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 'release1'").count() === 1L)
+    spark.sql(s"CALL graft.drop_tag('mem_tag_spec', 'release1')")
+    spark.sql(s"CALL graft.expire_snapshots('mem_tag_spec', 3)")
+    intercept[Exception](
+      spark.sql(s"SELECT k FROM $tbl VERSION AS OF 1").collect())
+    // unknown/duplicate/invalid tags and out-of-history versions fail loudly
+    val unknown = intercept[Exception](
+      spark.sql(s"SELECT k FROM $tbl VERSION AS OF 'nope'").collect())
+    assert(unknown.getMessage.contains("neither a numeric version nor a tag"))
+    spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'current', 3)")
+    intercept[Exception](
+      spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'current', 3)").collect())
+    intercept[Exception](
+      spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'future', 99)").collect())
+    intercept[Exception]( // expired versions are not taggable
+      spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'old', 1)").collect())
+    intercept[Exception]( // numeric names would shadow version ids
+      spark.sql(s"CALL graft.create_tag('mem_tag_spec', '7', 3)").collect())
+    intercept[Exception](
+      spark.sql(s"CALL graft.drop_tag('mem_tag_spec', 'nope')").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: uncommitted task output is never published") {
     // simulate a failed task attempt: its DataWriter buffers rows but the
     // driver never commits its message — the table must stay empty
