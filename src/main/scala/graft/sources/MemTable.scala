@@ -124,7 +124,9 @@ object MemTables {
   val DeleteModeCow = "copy-on-write"
   val DeleteModeMor = "merge-on-read"
 
-  final class State(initialSchema: StructType, val deleteMode: String = DeleteModeCow) {
+  final class State(
+      initialSchema: StructType, val deleteMode: String = DeleteModeCow,
+      val createProps: Map[String, String] = Map.empty) {
     @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; truncate soft-deletes via removedAt
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
@@ -210,11 +212,12 @@ object MemTables {
     * `CREATE TABLE IF NOT EXISTS` is a no-op, not a crash).
     */
   def create(key: String, schema: StructType,
-      deleteMode: String = DeleteModeCow): Boolean = {
+      deleteMode: String = DeleteModeCow,
+      props: Map[String, String] = Map.empty): Boolean = {
     if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
       throw new IllegalArgumentException(
         s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
-    tables.putIfAbsent(key, new State(schema, deleteMode)).isEmpty
+    tables.putIfAbsent(key, new State(schema, deleteMode, props)).isEmpty
   }
 
   def get(key: String): Option[State] = tables.get(key)
@@ -265,9 +268,13 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalArgumentException(s"mem table $key does not exist"))
     st.synchronized {
-      if (tag.isEmpty || tag.forall(_.isDigit))
+      // the resolver treats any Long-parsable string as a version id, so
+      // the SAME predicate must gate names here — isDigit alone would
+      // accept '+3', which Long.parseLong also accepts, leaving a tag
+      // that silently resolves to version 3 instead of its snapshot
+      if (tag.isEmpty || scala.util.Try(tag.toLong).isSuccess)
         throw new IllegalArgumentException(
-          s"tag name '$tag' is invalid (must be non-empty and non-numeric)")
+          s"tag name '$tag' is invalid (must be non-empty and not parse as a version id)")
       if (st.tags.contains(tag))
         throw new IllegalArgumentException(
           s"tag '$tag' already exists on $key at version ${st.tags(tag)} — drop it first")
@@ -816,12 +823,17 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
-  /** Surfaces the DML mode (`SHOW TBLPROPERTIES`): the create-time
-    * delete-mode fork is queryable, not a hidden behavior switch.
+  /** Surfaces the create-time TBLPROPERTIES (`SHOW TBLPROPERTIES`) — the
+    * full map the user supplied, with the delete-mode fork always present
+    * (resolved to its default when unspecified): accepted properties must
+    * echo back, never silently vanish.
     */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
-    MemTables.get(key).foreach(st => m.put("graft.delete-mode", st.deleteMode))
+    MemTables.get(key).foreach { st =>
+      st.createProps.foreach { case (k, v) => m.put(k, v) }
+      m.put("graft.delete-mode", st.deleteMode)
+    }
     m
   }
   override def capabilities(): util.Set[TableCapability] =

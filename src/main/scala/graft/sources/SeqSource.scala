@@ -437,9 +437,12 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     // batches; merge-on-read records positional delete vectors instead
     val mode = Option(properties.get("graft.delete-mode"))
       .getOrElse(MemTables.DeleteModeCow)
+    // keep the FULL user property map so SHOW TBLPROPERTIES echoes what
+    // CREATE accepted (silently dropping a property would misreport)
+    import scala.jdk.CollectionConverters._
     // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
     // exception type — anything else surfaces as a crash
-    if (!MemTables.create(memKey(ident), schema, mode))
+    if (!MemTables.create(memKey(ident), schema, mode, properties.asScala.toMap))
       throw new TableAlreadyExistsException(ident)
     new MemTable(memKey(ident), schema)
   }
@@ -494,6 +497,26 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     throw new UnsupportedOperationException("RENAME is not supported")
 }
 
+/** Shared result scaffold for the catalog's CALL procedures: a LocalScan
+  * over driver-built rows, with String values auto-wrapped to UTF8String —
+  * the hand-packed GenericInternalRow each procedure previously repeated
+  * is exactly where a silent schema/row mismatch would hide.
+  */
+private[sources] object ProcedureResults {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  private def pack(vs: Seq[Any]): InternalRow =
+    new GenericInternalRow(vs.map {
+      case str: String => org.apache.spark.unsafe.types.UTF8String.fromString(str)
+      case other => other
+    }.toArray[Any])
+  def scan(desc: String, schema: StructType, rowVals: Seq[Seq[Any]]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = rowVals.map(pack).toArray
+      override def readSchema(): StructType = schema
+      override def description(): String = desc
+    }).iterator()
+}
+
 /** `CALL graft.create_tag('<table>', '<tag>', <version>)` /
   * `CALL graft.drop_tag('<table>', '<tag>')` — named snapshot refs
   * ([[MemTables.createTag]]): a tag binds a name to a retained version,
@@ -527,13 +550,8 @@ object CreateTagProcedure
     val tag = input.getUTF8String(1).toString
     val version = input.getLong(2)
     MemTables.createTag(key, tag, version)
-    java.util.Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(tag), version)))
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCreateTag $key $tag@v$version"
-    }).iterator()
+    ProcedureResults.scan(s"GraftCreateTag $key $tag@v$version", outSchema,
+      Seq(Seq(tag, version)))
   }
 }
 
@@ -558,13 +576,7 @@ object DropTagProcedure
     val key = input.getUTF8String(0).toString
     val tag = input.getUTF8String(1).toString
     MemTables.dropTag(key, tag)
-    java.util.Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(tag))))
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftDropTag $key $tag"
-    }).iterator()
+    ProcedureResults.scan(s"GraftDropTag $key $tag", outSchema, Seq(Seq(tag)))
   }
 }
 
@@ -604,18 +616,10 @@ object TableHistoryProcedure
     val st = MemTables.get(key).getOrElse(
       throw new IllegalArgumentException(s"mem table $key does not exist"))
     val (times, kinds) = st.synchronized { (st.versionTimes, st.opKinds) }
-    java.util.Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        times.map { case (v, tsMicros) =>
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](v, tsMicros,
-              org.apache.spark.unsafe.types.UTF8String
-                .fromString(kinds.getOrElse(v, "unknown"))))
-            : org.apache.spark.sql.catalyst.InternalRow
-        }.toArray
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftTableHistory $key"
-    }).iterator()
+    ProcedureResults.scan(s"GraftTableHistory $key", outSchema,
+      times.map { case (v, tsMicros) =>
+        Seq[Any](v, tsMicros, kinds.getOrElse(v, "unknown"))
+      })
   }
 }
 
@@ -650,13 +654,8 @@ object CompactTableProcedure
   override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
     val key = input.getUTF8String(0).toString
     val (nBatches, nRows, version) = MemTables.compact(key)
-    java.util.Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](nBatches, nRows, version)))
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCompactTable $key"
-    }).iterator()
+    ProcedureResults.scan(s"GraftCompactTable $key", outSchema,
+      Seq(Seq(nBatches, nRows, version)))
   }
 }
 
@@ -697,12 +696,7 @@ object ExpireSnapshotsProcedure
     val key = input.getUTF8String(0).toString
     val horizon = input.getLong(1)
     val (gone, earliest) = MemTables.expireSnapshots(key, horizon)
-    java.util.Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-        Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](gone, earliest)))
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftExpireSnapshots $key < $horizon"
-    }).iterator()
+    ProcedureResults.scan(s"GraftExpireSnapshots $key < $horizon", outSchema,
+      Seq(Seq(gone, earliest)))
   }
 }

@@ -997,10 +997,15 @@ class RoundtripsSpec extends SparkSpec {
     assert(history() === Seq(
       (0L, "create"), (1L, "append"), (2L, "overwrite"), (3L, "alter"),
       (4L, "rewrite"), (5L, "delete")))
-    // timestamps are the TIMESTAMP AS OF stamps: strictly increasing
+    // timestamps are the TIMESTAMP AS OF stamps: STRICTLY increasing —
+    // compare at microsecond precision (millis truncation would let two
+    // same-tick stamps alias and hide a monotonicity regression)
     val ts = spark.sql(s"CALL graft.table_history('mem_history_spec')")
-      .collect().map(_.getTimestamp(1).getTime)
-    assert(ts.sliding(2).forall(p => p(0) <= p(1)))
+      .collect().map { r =>
+        val t = r.getTimestamp(1).toInstant
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }
+    assert(ts.sliding(2).forall(p => p(0) < p(1)), ts.mkString(","))
     // expiry prunes the surfaced history to what reads can still reach
     spark.sql(s"CALL graft.expire_snapshots('mem_history_spec', 2)")
     assert(history().map(_._1) === Seq(2L, 3L, 4L, 5L))
@@ -1009,7 +1014,7 @@ class RoundtripsSpec extends SparkSpec {
     val mor = "graft.mem_history_mor_spec"
     spark.sql(s"DROP TABLE IF EXISTS $mor")
     spark.sql(s"CREATE TABLE $mor (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read', 'graft.owner'='spec')")
     Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(mor).append()
     Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1).writeTo(mor).append()
     spark.sql(s"UPDATE $mor SET v = v + 1 WHERE k = 2") // delta
@@ -1020,6 +1025,8 @@ class RoundtripsSpec extends SparkSpec {
     val props = spark.sql(s"SHOW TBLPROPERTIES $mor").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props("graft.delete-mode") === "merge-on-read")
+    // user properties accepted at CREATE echo back, never silently vanish
+    assert(props("graft.owner") === "spec")
     intercept[Exception](
       spark.sql(s"CALL graft.table_history('nope_no_such')").collect())
     spark.sql(s"DROP TABLE $tbl")
@@ -1065,6 +1072,8 @@ class RoundtripsSpec extends SparkSpec {
       spark.sql(s"CALL graft.create_tag('mem_tag_spec', 'old', 1)").collect())
     intercept[Exception]( // numeric names would shadow version ids
       spark.sql(s"CALL graft.create_tag('mem_tag_spec', '7', 3)").collect())
+    intercept[Exception]( // ... and so would anything Long.parseLong accepts
+      spark.sql(s"CALL graft.create_tag('mem_tag_spec', '+7', 3)").collect())
     intercept[Exception](
       spark.sql(s"CALL graft.drop_tag('mem_tag_spec', 'nope')").collect())
     spark.sql(s"DROP TABLE $tbl")
