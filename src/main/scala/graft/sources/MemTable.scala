@@ -325,6 +325,72 @@ object MemTables {
     }
   }
 
+  /** ROLLBACK (`CALL graft.rollback_table('t', v)`) — restore the table's
+    * DATA visibility to retained snapshot `toVersion` as a NEW versioned
+    * operation (Iceberg `rollback_to_snapshot` / Delta `RESTORE`): history
+    * is never unwound — every snapshot between the target and the rollback
+    * stays an exact replay, and the rollback owns its own version slot
+    * (kind `rollback`) so the ledger records that it happened. Current
+    * SCHEMA is deliberately untouched (the Iceberg contract: rollback
+    * moves the snapshot pointer, not the metadata evolution) — restored
+    * rows project by name into the current schema like any old batch.
+    *
+    * Mechanics, all metadata-cost except where a DV forces a row copy:
+    *  - live batch not visible at the target → soft-remove at the new
+    *    version (it arrived after the target);
+    *  - batch visible at the target but since removed (or since DV-pruned)
+    *    → re-add a COPY visible from the new version holding exactly the
+    *    rows live at the target. Without a DV the copy SHARES the row
+    *    array (pointer cost); with one it materializes the target's live
+    *    rows and carries NO vector — re-publishing the old DV would make
+    *    the change feed's insert event at the rollback version resurrect
+    *    rows that were already dead at the target;
+    *  - batch visible and identical at both → untouched (no CDC churn).
+    * The change feed therefore shows the rollback as ordinary events at
+    * its own version — removes of the undone commits' rows, inserts of
+    * the restored ones — never a rewound window. A rollback to the
+    * current state is a no-op and burns no version. Returns
+    * (batches removed, batches restored, version).
+    */
+  def rollback(key: String, toVersion: Long): (Long, Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (toVersion < st.earliestVersion || toVersion > st.version)
+        throw new IllegalArgumentException(
+          s"cannot roll back $key to version $toVersion: retained history is " +
+            s"[${st.earliestVersion}, ${st.version}]")
+      val v = st.version + 1
+      def visibleAtTarget(b: TaggedBatch): Boolean =
+        b.version <= toVersion && toVersion < b.removedAt
+      def liveNow(b: TaggedBatch): Boolean = b.removedAt == Long.MaxValue
+      // DV entries recorded after the target are deletes the rollback undoes
+      def dvDrifted(b: TaggedBatch): Boolean = b.dv.exists(_._2 > toVersion)
+      val toRemove = st.batches.filter(b => liveNow(b) &&
+        (!visibleAtTarget(b) || dvDrifted(b)))
+      val toRestore = st.batches.filter(b => visibleAtTarget(b) &&
+        (!liveNow(b) || dvDrifted(b)))
+      if (toRemove.isEmpty && toRestore.isEmpty) (0L, 0L, st.version)
+      else {
+        st.version = v
+        val removeIds = toRemove.map(_.batchId).toSet
+        val restored = toRestore.flatMap { b =>
+          val deadAtTarget = b.deadAt(toVersion)
+          val rows = if (deadAtTarget.isEmpty) b.rows
+            else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
+          if (rows.isEmpty) None
+          else Some(TaggedBatch(b.schema, v, b.writeVersion, rows,
+            batchId = st.mintBatchId()))
+        }
+        st.batches = st.batches.map { b =>
+          if (removeIds.contains(b.batchId)) b.copy(removedAt = v) else b
+        } ++ restored
+        st.stamp("rollback")
+        (toRemove.size.toLong, restored.size.toLong, v)
+      }
+    }
+  }
+
   /** Atomic publish of a row-level (UPDATE / MERGE / rewrite-DELETE)
     * operation's replacement rows: soft-remove the REPLACED live batches —
     * exactly the ones the operation's scan read (`versions`; None = the

@@ -322,6 +322,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "rollback_table" => RollbackTableProcedure
       case "compact_table" => CompactTableProcedure
       case "table_history" => TableHistoryProcedure
       case "create_tag" => CreateTagProcedure
@@ -698,5 +699,46 @@ object ExpireSnapshotsProcedure
     val (gone, earliest) = MemTables.expireSnapshots(key, horizon)
     ProcedureResults.scan(s"GraftExpireSnapshots $key < $horizon", outSchema,
       Seq(Seq(gone, earliest)))
+  }
+}
+
+/** `CALL graft.rollback_table('<table>', <version>)` — restore data
+  * visibility to a retained snapshot as a new versioned operation
+  * ([[MemTables.rollback]]): the Iceberg `rollback_to_snapshot` / Delta
+  * `RESTORE` shape — history is never unwound, the rollback owns its own
+  * ledger slot (kind `rollback`), current schema is untouched, and the
+  * change feed sees ordinary remove/insert events at the rollback
+  * version. Returns `(removed_batches, restored_batches, version)`.
+  */
+object RollbackTableProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.LongType
+
+  override def name(): String = "rollback_table"
+  override def description(): String =
+    "restore a mem table's data to a retained snapshot as a new versioned " +
+      "operation; history and current schema are untouched"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+      .comment("mem table key within this catalog").build(),
+    ProcedureParameter.in("version", LongType)
+      .comment("retained snapshot version to restore").build())
+
+  private val outSchema = new StructType()
+    .add("removed_batches", LongType, nullable = false)
+    .add("restored_batches", LongType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val toVersion = input.getLong(1)
+    val (removed, restored, version) = MemTables.rollback(key, toVersion)
+    ProcedureResults.scan(s"GraftRollbackTable $key -> v$toVersion", outSchema,
+      Seq(Seq(removed, restored, version)))
   }
 }
