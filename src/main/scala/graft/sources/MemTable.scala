@@ -164,7 +164,7 @@ object MemTables {
     // (`CALL graft.table_history` surfaces it): every publish records what
     // created its slot — append / overwrite / alter / delete /
     // rewrite (CoW row-level) / delta (MoR row-level) / compact /
-    // stream-append / stream-overwrite. v0 is the create.
+    // rollback / stream-append / stream-overwrite. v0 is the create.
     @volatile var opKinds: Map[Long, String] = Map(0L -> "create")
     // TAGS: named read-only snapshot refs (`VERSION AS OF 'name'`) — the
     // Iceberg ref model's tag half. A tag PINS its snapshot: expiry
@@ -321,6 +321,11 @@ object MemTables {
       val tKeep = st.versionTimes.lastIndexWhere(_._1 <= olderThan)
       if (tKeep > 0) st.versionTimes = st.versionTimes.drop(tKeep)
       st.opKinds = st.opKinds.filter(_._1 >= st.versionTimes.head._1)
+      // compaction markers for expired versions are unreachable (no
+      // retained change window can straddle them) — prune alongside the
+      // opKinds ledger or the set grows for the table's whole lifetime
+      st.compactionVersions =
+        st.compactionVersions.filter(_ >= st.versionTimes.head._1)
       (gone.size.toLong, st.earliestVersion)
     }
   }
@@ -755,6 +760,19 @@ object MemTables {
       }
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
+      // compute matches BEFORE the version bump: a condition matching zero
+      // rows is a no-op and must not burn a version slot — a phantom
+      // 'delete' ledger entry with no change-feed events would misreport
+      // provenance (mirrors compact()'s no-op path)
+      val deadByBatch: Map[Long, Array[Int]] = st.batches.iterator
+        .filter(_.removedAt == Long.MaxValue)
+        .map { b =>
+          b.batchId -> b.rows.zipWithIndex.collect {
+            case (r, i) if !b.dv.contains(i) && matchesAll(b, r) => i
+          }
+        }
+        .filter(_._2.nonEmpty).toMap
+      if (deadByBatch.isEmpty) return
       st.version += 1
       if (st.deleteMode == DeleteModeMor) {
         // MERGE-ON-READ: record matched positions in the batch's delete
@@ -763,28 +781,23 @@ object MemTables {
         // the change feed reports row-level deletes at this version. The
         // read path pays the overlay filter instead.
         st.batches = st.batches.map { b =>
-          if (b.removedAt != Long.MaxValue) b // already historical
-          else {
-            val dead = b.rows.zipWithIndex.collect {
-              case (r, i) if !b.dv.contains(i) && matchesAll(b, r) => i
-            }
-            if (dead.isEmpty) b
-            else b.copy(dv = b.dv ++ dead.map(_ -> st.version))
+          deadByBatch.get(b.batchId) match {
+            case Some(dead) if b.removedAt == Long.MaxValue =>
+              b.copy(dv = b.dv ++ dead.map(_ -> st.version))
+            case _ => b
           }
         }
       } else {
         st.batches = st.batches.flatMap { b =>
-          if (b.removedAt != Long.MaxValue) Vector(b) // already historical
-          else {
-            val matches = b.rows.exists(r => matchesAll(b, r))
-            if (!matches) Vector(b)
-            else {
-              val keep = b.rows.filterNot(r => matchesAll(b, r))
+          deadByBatch.get(b.batchId) match {
+            case Some(dead) if b.removedAt == Long.MaxValue =>
+              val deadSet = dead.toSet
+              val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
               val removed = b.copy(removedAt = st.version)
               if (keep.isEmpty) Vector(removed)
               else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
                 batchId = st.mintBatchId()))
-            }
+            case _ => Vector(b)
           }
         }
       }
@@ -857,8 +870,10 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // scan ↔ write coordination for THIS operation instance: which batch
       // versions the runtime group filter narrowed the scan to, and the
-      // table version the scan planned against (conflict detection)
+      // table version the scan planned against (conflict detection),
+      // seeded at creation so a never-planned scan still validates
       private val state = new MemRowLevelState
+      state.scannedVersion = MemTables.get(key).map(_.version)
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -931,6 +946,11 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   */
 final class MemRowLevelState(val groupFilterable: Boolean = true) {
   @volatile var groupVersions: Option[Set[Long]] = None
+  // seeded with the table version at OPERATION CREATION, then overwritten
+  // by scan planning: a rewrite whose scan never plans partitions (an
+  // empty-relation / fully-pruned plan) must still carry a conflict-check
+  // version into the publish — a None here would silently skip the
+  // optimistic-concurrency validation entirely
   @volatile var scannedVersion: Option[Long] = None
 }
 
@@ -990,25 +1010,35 @@ final class MemScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // snapshot at planning: a concurrent commit lands in the NEXT query
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    // ONE consistent snapshot under the state's monitor: unsynchronized
+    // field-by-field reads could straddle a concurrent expire_snapshots —
+    // pass the earliest-version check against the pre-expiry clock, then
+    // read batches after expiry dropped them, silently returning a partial
+    // snapshot. Every mutation runs under this monitor (the serializable-
+    // history contract), so the quintuple below is a real table state.
+    val (curVersion, earliestVersion, history, droppedAtCur, allBatches) =
+      st.synchronized {
+        (st.version, st.earliestVersion, st.history, st.droppedAt, st.batches)
+      }
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
-    rowLevel.foreach(_.scannedVersion = Some(st.version))
+    rowLevel.foreach(_.scannedVersion = Some(curVersion))
     // a snapshot expired between loadTable and scan planning must fail
-    // loudly, not read the partial remains of its batches
+    // loudly, not read the partial remains of its batches — validated
+    // against the SAME snapshot the batches below come from
     asOf.foreach { v =>
-      if (v < st.earliestVersion)
+      if (v < earliestVersion)
         throw new IllegalStateException(
           s"mem table $key version $v expired before the scan planned " +
-            s"(earliest retained snapshot: ${st.earliestVersion})")
+            s"(earliest retained snapshot: $earliestVersion)")
     }
     // metadata as of the pinned snapshot (tombstones must not "see the
     // future": a drop AFTER version v is invisible to an AS OF v read)
     val droppedAt = asOf match {
-      case Some(v) => st.history.filter(_.version <= v).last.droppedAt
-      case None => st.droppedAt
+      case Some(v) => history.filter(_.version <= v).last.droppedAt
+      case None => droppedAtCur
     }
     // Every batch is read through a by-NAME projection into the scan-bound
     // schema (schema evolution: columns added after a batch was written
@@ -1027,8 +1057,8 @@ final class MemScan(
     // before v and not truncated at or before v; a current read sees the
     // never-removed batches
     val live = asOf match {
-      case Some(v) => st.batches.filter(b => b.version <= v && b.removedAt > v)
-      case None => st.batches.filter(_.removedAt == Long.MaxValue)
+      case Some(v) => allBatches.filter(b => b.version <= v && b.removedAt > v)
+      case None => allBatches.filter(_.removedAt == Long.MaxValue)
     }
     // row-level rewrite narrowed by the runtime group filter: scan only
     // the batches whose versions contain condition matches
@@ -1196,8 +1226,10 @@ final class MemDeltaOperation(
 
   // no runtime group filter here: the delta path never rewrites groups,
   // so narrowing the scan buys nothing — only the version-conflict check
-  // rides the holder
+  // rides the holder (seeded at creation so a never-planned scan still
+  // validates at publish)
   private val state = new MemRowLevelState(groupFilterable = false)
+  state.scannedVersion = MemTables.get(key).map(_.version)
 
   override def command(): RowLevelOperation.Command = info.command()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -329,11 +329,12 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "drop_tag" => DropTagProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
-          "compact_table, table_history, create_tag, drop_tag)")
+          "rollback_table, compact_table, table_history, create_tag, drop_tag)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
       Identifier.of(namespace, "expire_snapshots"),
+      Identifier.of(namespace, "rollback_table"),
       Identifier.of(namespace, "compact_table"),
       Identifier.of(namespace, "table_history"),
       Identifier.of(namespace, "create_tag"),

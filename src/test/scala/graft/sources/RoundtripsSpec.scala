@@ -991,7 +991,7 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM hist_spec_src") // v2
     spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)") // v3
     spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 3") // v4: CoW rewrite
-    spark.sql(s"DELETE FROM $tbl WHERE v > 1000") // v5: fast-path delete
+    spark.sql(s"DELETE FROM $tbl WHERE v > 30") // v5: fast-path delete
     def history() = spark.sql(s"CALL graft.table_history('mem_history_spec')")
       .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(history() === Seq(
@@ -1077,6 +1077,93 @@ class RoundtripsSpec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"CALL graft.drop_tag('mem_tag_spec', 'nope')").collect())
     spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: rollback_table restores a retained snapshot as a new versioned op") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_rollback_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L).toDF("k").coalesce(1).writeTo(tbl).append() // v1: batch A
+    Seq(5L, 6L).toDF("k").coalesce(1).writeTo(tbl).append() // v2: batch B
+    spark.sql(s"DELETE FROM $tbl WHERE k <= 2") // v3: DV on batch A, no rewrite
+    val st = graft.sources.MemTables.get("mem_rollback_spec").get
+    val batchB = st.batches.find(_.version == 2L).get
+    def rows(sql: String) = spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+
+    // ROLLBACK to v2 undoes the DV drift: batch A (dv entries > target) is
+    // replaced by a restored copy carrying its v2-live rows and NO vector;
+    // batch B is identical at both ends and must survive BY REFERENCE
+    val out = spark.sql(s"CALL graft.rollback_table('mem_rollback_spec', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 1L, 4L))) // 1 removed, 1 restored, new version 4
+    assert(st.batches.find(b => b.version == 2L && b.removedAt == Long.MaxValue)
+      .exists(_ eq batchB), "untouched batch must survive by reference")
+    val restored = st.batches.find(_.version == 4L).get
+    assert(restored.dv.isEmpty, "restored copy must carry no delete vector")
+    assert(rows(s"SELECT k FROM $tbl") === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // history is NEVER unwound: every prior snapshot stays an exact replay
+    assert(rows(s"SELECT k FROM $tbl VERSION AS OF 3") === Seq(3L, 4L, 5L, 6L))
+    assert(rows(s"SELECT k FROM $tbl VERSION AS OF 2") === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // the ledger records the rollback as its own operation kind
+    assert(spark.sql(s"CALL graft.table_history('mem_rollback_spec')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((0L, "create"), (1L, "append"), (2L, "append"),
+        (3L, "delete"), (4L, "rollback")))
+    // the change feed shows the rollback as ORDINARY events at v4: deletes
+    // of batch A's alive-at-removal rows ({3,4} — the DV-dead rows already
+    // carried their own v3 events) and inserts of the restored rows
+    val v4Events = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_rollback_spec").option("from", "3").option("to", "4")
+      .load().collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(v4Events === Seq(
+      ("delete", 3L), ("delete", 4L),
+      ("insert", 1L), ("insert", 2L), ("insert", 3L), ("insert", 4L)))
+
+    // rolling back to the CURRENT state is a no-op and burns no version
+    assert(spark.sql(s"CALL graft.rollback_table('mem_rollback_spec', 4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 0L, 4L)))
+    assert(st.version === 4L)
+
+    // a later-arrived batch is removed when rolling further back: to v1,
+    // batch B and the restored copy leave, original batch A re-restores
+    spark.sql(s"CALL graft.rollback_table('mem_rollback_spec', 1)") // v5
+    assert(rows(s"SELECT k FROM $tbl") === Seq(1L, 2L, 3L, 4L))
+    assert(rows(s"SELECT k FROM $tbl VERSION AS OF 4") === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+
+    // out-of-history and expired targets fail loudly
+    intercept[Exception](
+      spark.sql(s"CALL graft.rollback_table('mem_rollback_spec', 99)").collect())
+    spark.sql(s"CALL graft.expire_snapshots('mem_rollback_spec', 2)")
+    intercept[Exception](
+      spark.sql(s"CALL graft.rollback_table('mem_rollback_spec', 1)").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: a DELETE matching zero rows burns no version slot") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    for ((key, props) <- Seq(
+        ("mem_noop_del_cow", ""),
+        ("mem_noop_del_mor", " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')"))) {
+      val tbl = s"graft.$key"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT)$props") // v0
+      import spark.implicits._
+      Seq(1L, 2L).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+      spark.sql(s"DELETE FROM $tbl WHERE k > 100") // matches nothing: no-op
+      val st = graft.sources.MemTables.get(key).get
+      assert(st.version === 1L, "phantom delete must not bump the version")
+      assert(st.opKinds.get(2L).isEmpty)
+      // a real delete still versions normally afterwards
+      spark.sql(s"DELETE FROM $tbl WHERE k = 1")
+      assert(st.version === 2L)
+      assert(st.opKinds(2L) === "delete")
+      assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(2L))
+      spark.sql(s"DROP TABLE $tbl")
+    }
   }
 
   test("DSv2 MemTable: uncommitted task output is never published") {
