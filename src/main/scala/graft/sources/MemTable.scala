@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.collection.concurrent.TrieMap
@@ -75,11 +76,116 @@ object MemTables {
   final case class TaggedBatch(
       schema: StructType, version: Long, writeVersion: Long,
       rows: Array[InternalRow], removedAt: Long = Long.MaxValue,
-      dv: Map[Int, Long] = Map.empty, batchId: Long = -1L) {
+      dv: Map[Int, Long] = Map.empty, batchId: Long = -1L,
+      stats: Map[String, ColStats] = Map.empty) {
     /** Positions hidden at snapshot version `v` (current = Long.MaxValue). */
     def deadAt(v: Long): Set[Int] =
       if (dv.isEmpty) Set.empty
       else dv.collect { case (pos, at) if at <= v => pos }.toSet
+  }
+
+  /** Per-batch, per-column DATA-SKIPPING bounds (the mem-table analogue of
+    * Iceberg manifest column bounds / parquet row-group stats): min/max of
+    * the column's non-null INTERNAL values plus the null count, computed
+    * once at publish and immutable thereafter. Bounds stay sound as
+    * delete vectors accumulate — deletes can only shrink the true range,
+    * so stale bounds merely skip less, never wrongly. min/max are null
+    * when every row is null. Keyed by the batch's OWN (write-time) schema
+    * names; scans resolve current-schema filter columns through the same
+    * tombstone rules as data projection.
+    */
+  final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long) {
+    def allNull: Boolean = nullCount == rowCount
+  }
+
+  /** Internal-value comparator per supported stats type; None = the type
+    * keeps no bounds (scans treat its columns as un-skippable).
+    */
+  private def statsComparator(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some((a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+      case IntegerType => Some((a, b) =>
+        java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case ShortType => Some((a, b) =>
+        java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short]))
+      case ByteType => Some((a, b) =>
+        java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+      case DoubleType => Some((a, b) =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+      case FloatType => Some((a, b) =>
+        java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]))
+      case StringType => Some((a, b) =>
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+      case BooleanType => Some((a, b) =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      case _ => None
+    }
+  }
+
+  /** Compute the skipping bounds of one batch, one pass over the rows.
+    * Runs at PUBLISH on the driver (where this table's rows materialize
+    * anyway); in a file-backed table the same pass rides each write task
+    * and ships inside its commit message — either way the cost is paid
+    * once per batch at write, never at read.
+    */
+  def statsOf(schema: StructType, rows: Array[InternalRow]): Map[String, ColStats] = {
+    val n = rows.length.toLong
+    schema.fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+      statsComparator(f.dataType).map { cmp =>
+        var mn: Any = null
+        var mx: Any = null
+        var nulls = 0L
+        var j = 0
+        while (j < rows.length) {
+          val r = rows(j)
+          if (r.isNullAt(i)) nulls += 1
+          else {
+            val v = r.get(i, f.dataType)
+            if (mn == null || cmp(v, mn) < 0) mn = v
+            if (mx == null || cmp(v, mx) > 0) mx = v
+          }
+          j += 1
+        }
+        f.name -> ColStats(mn, mx, nulls, n)
+      }
+    }.toMap
+  }
+
+  /** Can any row of a batch with the given column stats satisfy `f`?
+    * Three-valued in spirit: `false` ONLY when the bounds definitively
+    * preclude a match (the batch is skipped); anything uncertain — an
+    * unknown filter shape, a type the stats don't cover, a NOT — returns
+    * `true` (keep the batch). Soundness does not depend on this being
+    * tight: the scan returns every pushed filter as a residual, so Spark
+    * re-evaluates rows regardless — skipping is pure planning-time cost
+    * elision, exactly parquet row-group pruning's contract.
+    */
+  def mayMatch(f: Filter, statsFor: String => Option[ColStats]): Boolean = {
+    def bounds(c: String)(preclude: ColStats => Boolean): Boolean =
+      statsFor(c) match {
+        case Some(s) => !(s.allNull || preclude(s))
+        case None => true // no stats kept: cannot rule anything out
+      }
+    f match {
+      case EqualTo(c, v) => bounds(c)(s =>
+        cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0))
+      case GreaterThan(c, v) => bounds(c)(s => cmp(s.max, v).exists(_ <= 0))
+      case GreaterThanOrEqual(c, v) => bounds(c)(s => cmp(s.max, v).exists(_ < 0))
+      case LessThan(c, v) => bounds(c)(s => cmp(s.min, v).exists(_ >= 0))
+      case LessThanOrEqual(c, v) => bounds(c)(s => cmp(s.min, v).exists(_ > 0))
+      case In(c, vs) =>
+        if (vs.isEmpty) false
+        else vs.exists(v => mayMatch(EqualTo(c, v), statsFor))
+      case IsNull(c) => statsFor(c).forall(_.nullCount > 0)
+      case IsNotNull(c) => statsFor(c).forall(!_.allNull)
+      case And(l, r) => mayMatch(l, statsFor) && mayMatch(r, statsFor)
+      case Or(l, r) => mayMatch(l, statsFor) || mayMatch(r, statsFor)
+      case AlwaysFalse() => false
+      case _ => true // NOT / string predicates / unknown shapes: keep
+    }
   }
 
   /** One point of the table's metadata timeline, written on create and on
@@ -385,7 +491,7 @@ object MemTables {
             else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
           if (rows.isEmpty) None
           else Some(TaggedBatch(b.schema, v, b.writeVersion, rows,
-            batchId = st.mintBatchId()))
+            batchId = st.mintBatchId(), stats = b.stats))
         }
         st.batches = st.batches.map { b =>
           if (removeIds.contains(b.batchId)) b.copy(removedAt = v) else b
@@ -435,7 +541,7 @@ object MemTables {
         else b
       } ++ batches.filter(_.nonEmpty)
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId()))
+          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
       st.stamp("rewrite")
     }
   }
@@ -499,7 +605,7 @@ object MemTables {
       st.batches =
         if (projected.isEmpty) removed
         else removed :+ TaggedBatch(schema, st.version, st.version, projected,
-          batchId = st.mintBatchId())
+          batchId = st.mintBatchId(), stats = statsOf(schema, projected))
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, projected.length.toLong, st.version)
@@ -572,7 +678,7 @@ object MemTables {
         }
       } ++ inserts.filter(_.nonEmpty)
         .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId()))
+          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
       st.stamp("delta")
     }
   }
@@ -599,7 +705,7 @@ object MemTables {
         else st.batches
       st.batches = prior ++
         batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId()))
+          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
       st.stamp(if (truncate) "overwrite" else "append")
     }
   }
@@ -630,7 +736,7 @@ object MemTables {
           else st.batches
         st.batches = prior ++
           batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-            batchId = st.mintBatchId()))
+            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
       }
     }
@@ -796,7 +902,7 @@ object MemTables {
               val removed = b.copy(removedAt = st.version)
               if (keep.isEmpty) Vector(removed)
               else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
-                batchId = st.mintBatchId()))
+                batchId = st.mintBatchId(), stats = b.stats))
             case _ => Vector(b)
           }
         }
@@ -954,19 +1060,34 @@ final class MemRowLevelState(val groupFilterable: Boolean = true) {
   @volatile var scannedVersion: Option[Long] = None
 }
 
-/** Column-pruning scan builder: the required schema Spark pushes down may
-  * drop data columns and may include the [[MemTables.BatchVersion]]
-  * metadata column — both served by [[MemScan]]'s by-name projection.
+/** Column-pruning + filter-pushdown scan builder: the required schema
+  * Spark pushes down may drop data columns and may include the
+  * [[MemTables.BatchVersion]] metadata column — both served by
+  * [[MemScan]]'s by-name projection. Pushed filters drive DATA SKIPPING
+  * (batches whose column bounds preclude any match are never planned —
+  * the Iceberg-manifest / parquet-row-group pruning shape); every filter
+  * is also returned as a residual, so Spark re-evaluates rows and the
+  * skipping can only elide work, never change results. Row-level
+  * operation scans ignore filter pushdown: their proportionality rides
+  * the runtime GROUP filter, and their scan must surface whole groups.
   */
 final class MemScanBuilder(
     key: String, tableSchema: StructType, asOf: Option[Long],
     rowLevel: Option[MemRowLevelState] = None)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: Option[StructType] = None
+  private var skipFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
-  override def build(): Scan = new MemScan(key, tableSchema, asOf, required, rowLevel)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (rowLevel.isEmpty) skipFilters = filters
+    filters // ALL residual: the source only skips, it never filters rows
+  }
+  override def pushedFilters(): Array[Filter] = skipFilters
+  override def build(): Scan =
+    new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters)
 }
 
 /** `readSchema` may be a PRUNED projection of the table schema and may
@@ -977,14 +1098,17 @@ final class MemScanBuilder(
 final class MemScan(
     key: String, tableSchema: StructType, asOf: Option[Long] = None,
     readSchemaOpt: Option[StructType] = None,
-    rowLevel: Option[MemRowLevelState] = None)
+    rowLevel: Option[MemRowLevelState] = None,
+    skipFilters: Array[Filter] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val boundSchema = readSchemaOpt.getOrElse(tableSchema)
   override def readSchema(): StructType = boundSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}"
+    s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}" +
+      (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "")
 
   /** Runtime group filtering (row-level operations only): `_batch_version`
     * is the group id, and Spark's group-filter rule feeds the versions of
@@ -1009,22 +1133,22 @@ final class MemScan(
       if (sets.nonEmpty) state.groupVersions = Some(sets.reduce(_ intersect _))
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Shared by partition planning and statistics estimation: ONE
+    * consistent state snapshot under the table's monitor (unsynchronized
+    * field-by-field reads could straddle a concurrent expire_snapshots —
+    * pass the earliest-version check against the pre-expiry clock, then
+    * read batches after expiry dropped them, silently returning a partial
+    * snapshot), with snapshot visibility, the runtime group filter, and
+    * DATA SKIPPING applied. Returns (table version at selection, tombstone
+    * map bound to the snapshot, selected batches).
+    */
+  private def selectBatches(): (Long, Map[String, Long], Vector[MemTables.TaggedBatch]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    // ONE consistent snapshot under the state's monitor: unsynchronized
-    // field-by-field reads could straddle a concurrent expire_snapshots —
-    // pass the earliest-version check against the pre-expiry clock, then
-    // read batches after expiry dropped them, silently returning a partial
-    // snapshot. Every mutation runs under this monitor (the serializable-
-    // history contract), so the quintuple below is a real table state.
     val (curVersion, earliestVersion, history, droppedAtCur, allBatches) =
       st.synchronized {
         (st.version, st.earliestVersion, st.history, st.droppedAt, st.batches)
       }
-    // row-level ops: remember the version the rewrite planned against so
-    // the publish can reject an interleaved commit (lost-update guard)
-    rowLevel.foreach(_.scannedVersion = Some(curVersion))
     // a snapshot expired between loadTable and scan planning must fail
     // loudly, not read the partial remains of its batches — validated
     // against the SAME snapshot the batches below come from
@@ -1040,19 +1164,6 @@ final class MemScan(
       case Some(v) => history.filter(_.version <= v).last.droppedAt
       case None => droppedAtCur
     }
-    // Every batch is read through a by-NAME projection into the scan-bound
-    // schema (schema evolution: columns added after a batch was written
-    // read as null; columns dropped are skipped). A batch field whose name
-    // was DROPPED after the batch was committed is hidden from the
-    // projection: a column re-ADDed under that name is a new field, and
-    // pre-drop batches must surface NULL for it, not their stale bytes. A
-    // surviving same-name field whose dataType differs is NOT projectable —
-    // decoding those bytes under the scan's type would read garbage (the
-    // drop+recreate hazard) — so fail loudly at PLANNING time, before any
-    // executor touches a row.
-    def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
-      b.schema.fieldNames.iterator
-        .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
     // snapshot visibility: a batch exists in AS OF v iff committed at or
     // before v and not truncated at or before v; a current read sees the
     // never-removed batches
@@ -1062,12 +1173,74 @@ final class MemScan(
     }
     // row-level rewrite narrowed by the runtime group filter: scan only
     // the batches whose versions contain condition matches
-    val visible = rowLevel.flatMap(_.groupVersions) match {
+    val grouped = rowLevel.flatMap(_.groupVersions) match {
       case Some(vs) => live.filter(b => vs.contains(b.version))
       case None => live
     }
+    // DATA SKIPPING: drop batches whose published column bounds preclude
+    // every pushed filter — at 100 TB this is the difference between a
+    // selective read costing its matches and costing the table. Filter
+    // columns resolve through the SAME tombstone rules as data projection
+    // (hidden or absent field = all-null for this batch); the two
+    // versioning metadata columns are per-batch constants.
+    val visible =
+      if (skipFilters.isEmpty) grouped
+      else grouped.filter { b =>
+        val hidden = hiddenIn(b, droppedAt)
+        val n = b.rows.length.toLong
+        val lookup: String => Option[MemTables.ColStats] = name =>
+          if (name == MemTables.BatchVersion)
+            Some(MemTables.ColStats(b.version, b.version, 0L, n))
+          else if (name == MemTables.BatchId)
+            Some(MemTables.ColStats(b.batchId, b.batchId, 0L, n))
+          else if (hidden.contains(name) || !b.schema.fieldNames.contains(name))
+            Some(MemTables.ColStats(null, null, n, n)) // reads as all-null
+          else b.stats.get(name) // None for uncovered types: no skipping
+        skipFilters.forall(f => MemTables.mayMatch(f, lookup))
+      }
+    (curVersion, droppedAt, visible)
+  }
+
+  /** A batch field whose name was DROPPED after the batch was committed is
+    * hidden from projection: a column re-ADDed under that name is a new
+    * field, and pre-drop batches must surface NULL for it, not their
+    * stale bytes.
+    */
+  private def hiddenIn(b: MemTables.TaggedBatch, droppedAt: Map[String, Long]): Set[String] =
+    b.schema.fieldNames.iterator
+      .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
+
+  /** Post-pushdown size/row-count estimate from the batches this scan
+    * would plan (snapshot visibility, group filter, and data skipping all
+    * applied; DV-dead rows excluded) — what lets Spark size-plan joins
+    * against connector tables: a small mem dimension auto-broadcasts on
+    * real numbers instead of falling back to default sizing.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (_, _, visible) = selectBatches()
+    val bound = asOf.getOrElse(Long.MaxValue)
+    val rows = visible.iterator.map(b => (b.rows.length - b.deadAt(bound).size).toLong).sum
+    val bytes = rows * math.max(1, boundSchema.defaultSize).toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (curVersion, droppedAt, visible) = selectBatches()
+    // row-level ops: remember the version the rewrite planned against so
+    // the publish can reject an interleaved commit (lost-update guard)
+    rowLevel.foreach(_.scannedVersion = Some(curVersion))
+    // Every batch is read through a by-NAME projection into the scan-bound
+    // schema (schema evolution: columns added after a batch was written
+    // read as null; columns dropped are skipped; see [[hiddenIn]]). A
+    // surviving same-name field whose dataType differs is NOT projectable —
+    // decoding those bytes under the scan's type would read garbage (the
+    // drop+recreate hazard) — so fail loudly at PLANNING time, before any
+    // executor touches a row.
     visible.foreach { b =>
-      val hidden = hiddenIn(b)
+      val hidden = hiddenIn(b, droppedAt)
       boundSchema.fields.filterNot(_.name == MemTables.BatchVersion).foreach { f =>
         val i = b.schema.fieldNames.indexOf(f.name)
         if (i >= 0 && !hidden.contains(f.name) && b.schema.fields(i).dataType != f.dataType)
@@ -1082,7 +1255,7 @@ final class MemScan(
     // version) and shipped in the partition for the reader to skip
     val bound = asOf.getOrElse(Long.MaxValue)
     visible.map(b =>
-      MemPartition(b.schema, b.version, hiddenIn(b), b.rows,
+      MemPartition(b.schema, b.version, hiddenIn(b, droppedAt), b.rows,
         b.deadAt(bound), b.batchId): InputPartition)
       .toArray
   }

@@ -1054,11 +1054,56 @@ object Roundtrips {
          |SELECT 'cur' AS part, k, v FROM $tbl""".stripMargin)
   }
 
+  /** DATA SKIPPING through the gate — per-batch column bounds + filter
+    * pushdown on the mem-table scan ([[MemScanBuilder.pushFilters]] /
+    * [[MemTables.statsOf]]): four range-disjoint batches are appended
+    * (band edges derived from the key maximum, so the layout is
+    * deterministic per scale factor), then a selective read of ONE band
+    * plans only the batches whose bounds admit it (RoundtripsSpec asserts
+    * the planned-partition count; pruning here is parquet row-group /
+    * Iceberg manifest-bounds semantics: every filter stays a residual, so
+    * skipping can only elide work). The query unions the selective slice
+    * with a full-table aggregate, so one hash pins both "the skip lost
+    * nothing inside the band" and "the other bands still exist".
+    */
+  val dsv2SelectiveRead: QueryDef = QueryDef(
+    "dsv2_selective_read",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |m AS (SELECT max(k) AS mx FROM base)
+      |SELECT 'slice' AS part, k, v FROM base, m WHERE k > mx // 4 AND k <= mx // 2
+      |UNION ALL
+      |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT) FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_selective"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    val mx = base.agg(max(col("k"))).head().getLong(0)
+    val edges = Seq(mx / 4, mx / 2, mx / 4 * 3)
+    // four range-disjoint batches, one committed task batch each
+    base.filter(col("k") <= edges(0)).coalesce(1).writeTo(tbl).append() // v1
+    base.filter(col("k") > edges(0) && col("k") <= edges(1))
+      .coalesce(1).writeTo(tbl).append() // v2
+    base.filter(col("k") > edges(1) && col("k") <= edges(2))
+      .coalesce(1).writeTo(tbl).append() // v3
+    base.filter(col("k") > edges(2)).coalesce(1).writeTo(tbl).append() // v4
+    spark.sql(
+      s"""SELECT 'slice' AS part, k, v FROM $tbl
+         |WHERE k > ${edges(0)} AND k <= ${edges(1)}
+         |UNION ALL
+         |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
       dsv2MemWriteRoundtrip, dsv2AlterEvolution, dsv2DropReadd, dsv2TimeTravel,
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
-      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel)
+      dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
+      dsv2SelectiveRead)
 }

@@ -218,7 +218,21 @@ final case class SeqRange(start: Long, end: Long) extends InputPartition
 final case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Exact post-pushdown statistics — the range is closed-form, so joins
+    * against a narrowed sequence table size-plan on real numbers (a small
+    * range auto-broadcasts with no hint).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = math.max(0L, hi - lo)
+    val bytes = rows * math.max(1, required.defaultSize).toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   // Runtime filtering — the V2 analogue of dynamic partition pruning:
   // after a join's build side materializes, Spark pushes the id key set

@@ -1079,6 +1079,107 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: per-batch column bounds skip non-matching batches at planning") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_skip_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    import spark.implicits._
+    // three range-disjoint batches; only the middle one contains nulls
+    (0L until 10L).map(k => (k, Option(k * 10L))).toDF("k", "v")
+      .coalesce(1).writeTo(tbl).append() // v1: k in [0,9]
+    (10L until 20L).map(k => (k, if (k == 13L) None else Option(k * 10L)))
+      .toDF("k", "v").coalesce(1).writeTo(tbl).append() // v2: k in [10,19]
+    (20L until 30L).map(k => (k, Option(k * 10L))).toDF("k", "v")
+      .coalesce(1).writeTo(tbl).append() // v3: k in [20,29]
+    val st = graft.sources.MemTables.get("mem_skip_spec").get
+    assert(st.batches.forall(b => b.stats.contains("k") && b.stats.contains("v")))
+
+    import org.apache.spark.sql.sources._
+    def planned(fs: Filter*): Int = {
+      val b = new MemScanBuilder("mem_skip_spec", st.schema, None)
+      val residual = b.pushFilters(fs.toArray)
+      assert(residual.toSeq === fs.toSeq, "every filter must stay a residual")
+      b.build().asInstanceOf[MemScan].planInputPartitions().length
+    }
+    assert(planned() === 3)
+    assert(planned(GreaterThanOrEqual("k", 10L), LessThan("k", 20L)) === 1)
+    assert(planned(EqualTo("k", 25L)) === 1)
+    assert(planned(EqualTo("k", 99L)) === 0) // outside every batch's bounds
+    assert(planned(IsNull("v")) === 1) // only the batch holding a null
+    assert(planned(In("k", Array[Any](3L, 27L))) === 2)
+    assert(planned(Or(LessThan("k", 5L), GreaterThan("k", 25L))) === 2)
+    assert(planned(Not(EqualTo("k", 1L))) === 3) // NOT is conservative: keep all
+    assert(planned(EqualTo("k", null)) === 3) // NULL literal: unknown, keep
+
+    // a column added AFTER a batch was written reads all-null there, so an
+    // equality on it prunes the pre-alter batches
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (w BIGINT)")
+    (30L until 35L).map(k => (k, k * 10L, k + 1000L)).toDF("k", "v", "w")
+      .coalesce(1).writeTo(tbl).append()
+    assert(planned(EqualTo("w", 1030L)) === 1)
+    assert(planned(IsNotNull("w")) === 1)
+    assert(planned(IsNull("w")) === 3) // old batches all-null; the new one has no null w — skipped
+    // skipping never changes RESULTS (filters stay residuals): the SQL path
+    // returns exactly the predicate's rows and its plan shows the skip set
+    val q = spark.sql(s"SELECT k, v FROM $tbl WHERE k >= 10 AND k < 20")
+    assert(q.queryExecution.executedPlan.toString.contains("skip=["),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq ===
+      (10L until 20L).map(k => (k, if (k == 13L) -1L else k * 10L)).toSeq)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: reported statistics auto-broadcast a small mem dimension") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_stats_dim_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (m BIGINT, label STRING)")
+    import spark.implicits._
+    (0L until 25L).map(m => (m, s"band_$m")).toDF("m", "label")
+      .coalesce(1).writeTo(tbl).append()
+    // no hint anywhere: the initial (pre-AQE) physical plan must already be
+    // a broadcast join, which only happens when the scan REPORTS its size —
+    // without SupportsReportStatistics a V2 relation defaults to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) and sort-merge-joins
+    val fact = graft.core.Tables.orders(spark, dir)
+      .withColumn("m", col("o_orderkey") % 25)
+    val joined = fact.join(spark.table(tbl), "m")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val initial = joined.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin"), initial)
+    assert(joined.count() === 25L)
+    // numRows tracks the DV overlay: a merge-on-read delete shrinks it
+    val mor = "graft.mem_stats_mor_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $mor")
+    spark.sql(s"CREATE TABLE $mor (k BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    (0L until 100L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo(mor).append()
+    def reportedRows: Long = {
+      val st = graft.sources.MemTables.get("mem_stats_mor_spec").get
+      new MemScanBuilder("mem_stats_mor_spec", st.schema, None)
+        .build().asInstanceOf[MemScan].estimateStatistics().numRows().getAsLong
+    }
+    assert(reportedRows === 100L)
+    spark.sql(s"DELETE FROM $mor WHERE k < 40")
+    assert(reportedRows === 60L)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $mor")
+  }
+
+  test("DSv2 SeqSource: a filter-narrowed sequence auto-broadcasts from reported statistics") {
+    // the narrowed range reports exact rows/bytes post-pushdown: small
+    // probe side broadcasts with no hint in the INITIAL plan
+    val dim = seq(1000000L).filter(col("id") >= 500L && col("id") < 600L)
+    val fact = graft.core.Tables.orders(spark, dir)
+      .withColumn("id", col("o_orderkey") % 1000)
+    val joined = fact.join(dim, "id").agg(count(lit(1)).as("n"))
+    val initial = joined.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin"), initial)
+    assert(joined.head().getLong(0) > 0L)
+  }
+
   test("DSv2 MemTable: rollback_table restores a retained snapshot as a new versioned op") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
     val tbl = "graft.mem_rollback_spec"
