@@ -189,11 +189,62 @@ object MemTables {
   }
 
   /** One point of the table's metadata timeline, written on create and on
-    * every ALTER: the schema in force from `version` onward and the
-    * tombstone map as of that version — what a `VERSION AS OF` read binds
-    * to.
+    * every ALTER: the schema in force from `version` onward, the tombstone
+    * map, and the field-ERA map as of that version — what a `VERSION AS
+    * OF` read binds to.
+    *
+    * `eras` is the rename ledger: current column name → timeline of
+    * `(fromVersion, nameUsedByBatchesWrittenAtOrAfter)`. It is the
+    * name-based equivalent of Iceberg field ids extended through RENAME:
+    * a batch written at `wv` stores a field under the name the column had
+    * AT `wv`, so projection resolves the bound name back through the
+    * timeline (newest entry with `fromVersion <= wv`). A batch older than
+    * the column's first era predates the column entirely and reads NULL —
+    * which also makes a later column that merely REUSES a past era name of
+    * some other field start from a clean slate.
     */
-  final case class SchemaAt(version: Long, schema: StructType, droppedAt: Map[String, Long])
+  final case class SchemaAt(
+      version: Long, schema: StructType, droppedAt: Map[String, Long],
+      eras: Map[String, Vector[(Long, String)]] = Map.empty)
+
+  /** Resolve one bound (current-schema) column to its source-field name in
+    * a batch written at `writeVersion`: era timeline first (rename-aware),
+    * then the tombstone check on the RESOLVED name (a name dropped at or
+    * after the batch's write predates the current same-named field). None
+    * = the column reads NULL for this batch. The no-timeline branch keeps
+    * the pre-era identity rule for timelines that predate the ledger.
+    */
+  def sourceFieldName(
+      eras: Map[String, Vector[(Long, String)]], droppedAt: Map[String, Long])(
+      target: String, writeVersion: Long): Option[String] =
+    (eras.get(target) match {
+      case Some(timeline) => timeline.filter(_._1 <= writeVersion).lastOption.map(_._2)
+      case None => Some(target)
+    }).filterNot(n => droppedAt.get(n).exists(_ >= writeVersion))
+
+  /** Legal metadata-only type promotions (the Iceberg widening set): old
+    * batches' values are converted at read, never rewritten.
+    */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Convert one non-null internal value across a [[widens]] promotion. */
+  def widenValue(v: Any, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
+      case (FloatType, DoubleType) => java.lang.Double.valueOf(v.asInstanceOf[Float].toDouble)
+      case _ => v
+    }
+  }
 
   /** Committed contents of one table: current (evolvable) schema +
     * committed task batches, each tagged with its write-time schema.
@@ -243,9 +294,14 @@ object MemTables {
     // field must NOT satisfy a later re-added column (it reads NULL) — the
     // re-added column is a NEW field that merely reuses the name.
     @volatile var droppedAt: Map[String, Long] = Map.empty
+    // field-era (rename) ledger — see [[SchemaAt.eras]]; seeded with every
+    // create-time column starting its timeline at v0
+    @volatile var eras: Map[String, Vector[(Long, String)]] =
+      initialSchema.fieldNames.map(n => n -> Vector((0L, n))).toMap
     // metadata timeline, append-only, seeded with the create-time schema
     @volatile var history: Vector[SchemaAt] =
-      Vector(SchemaAt(0L, initialSchema, Map.empty))
+      Vector(SchemaAt(0L, initialSchema, Map.empty,
+        initialSchema.fieldNames.map(n => n -> Vector((0L, n))).toMap))
     // version -> wall-clock micros, for TIMESTAMP AS OF resolution; stamps
     // are forced strictly monotone so two commits inside one clock tick
     // still resolve unambiguously (newest version at-or-before the ask)
@@ -277,6 +333,12 @@ object MemTables {
     // refuses to age out a tagged version (drop the tag first), so a
     // release tag is a durable replay handle, not a dangling pointer.
     @volatile var tags: Map[String, Long] = Map.empty
+    // BRANCHES: named WRITABLE refs (the Iceberg ref model's other half,
+    // `SELECT/INSERT ... <table>.branch_<name>`): staged appends on top of
+    // a pinned base snapshot, invisible to main until `fast_forward`
+    // publishes them — the write-audit-publish staging surface. A branch
+    // base, like a tag, pins its snapshot against expiry.
+    @volatile var branches: Map[String, BranchState] = Map.empty
     // monotone batch-identity mint (see TaggedBatch.batchId); only ever
     // advanced under this object's monitor
     @volatile private[sources] var nextBatchId: Long = 0L
@@ -332,20 +394,35 @@ object MemTables {
 
   /** Metadata-only schema swap (ALTER TABLE): committed batches are left
     * untouched and keep their write-time schema tags. Columns present in
-    * the old schema but absent from the new one are tombstoned at the new
-    * version, so a later re-ADD of the same name starts a fresh field
-    * (pre-drop batches read NULL for it) instead of resurrecting old data.
+    * the old schema but absent from the new one — and not renamed — are
+    * tombstoned at the new version, so a later re-ADD of the same name
+    * starts a fresh field (pre-drop batches read NULL for it) instead of
+    * resurrecting old data. `renames` (old name → new name) extends each
+    * renamed field's era timeline so old batches keep projecting its
+    * bytes; type widening needs no ledger change (same name, values
+    * convert at read per [[widens]]).
     */
-  def alterSchema(key: String, newSchema: StructType): Unit = {
+  def alterSchema(key: String, newSchema: StructType,
+      renames: Map[String, String] = Map.empty): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-alter"))
     st.synchronized {
       st.version += 1
-      val dropped = st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet
+      val dropped =
+        st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet -- renames.keySet
       if (dropped.nonEmpty)
         st.droppedAt = st.droppedAt ++ dropped.map(_ -> st.version)
+      var eras = st.eras -- dropped // a dropped field's timeline retires
+      renames.foreach { case (from, to) =>
+        val timeline = eras.getOrElse(from, Vector((0L, from)))
+        eras = eras - from + (to -> (timeline :+ (st.version, to)))
+      }
+      val added = newSchema.fieldNames.toSet -- st.schema.fieldNames.toSet --
+        renames.values.toSet
+      eras = eras ++ added.map(n => n -> Vector((st.version, n)))
+      st.eras = eras
       st.schema = newSchema
-      st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt)
+      st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt, eras)
       st.stamp("alter")
     }
   }
@@ -365,6 +442,100 @@ object MemTables {
     * Iceberg `expireSnapshots` / Delta `VACUUM` contract. Returns
     * (expired batch count, new earliest version).
     */
+  /** One staged branch: the base snapshot it forked from and its staged
+    * APPENDS (each one write's task batches, kept append-granular so
+    * `fast_forward` republishes them as one main version per append —
+    * history and the change feed then show the same commits an unstaged
+    * write sequence would have produced). Staged batches are real
+    * [[TaggedBatch]]es tagged AT the base version (their bytes bind to the
+    * base-era schema; stats are computed at stage time), so the branch
+    * read path is the ordinary scan over base-visible + staged batches.
+    */
+  final case class BranchState(base: Long, appends: Vector[Vector[TaggedBatch]]) {
+    def batches: Vector[TaggedBatch] = appends.flatten
+  }
+
+  /** Create a writable BRANCH forked at retained snapshot `fromVersion`
+    * ([[State.branches]]). Only a branch whose base IS the current version
+    * can later fast-forward (anything else has diverged), but forking an
+    * older retained snapshot is still legal — it gives a read/stage
+    * sandbox whose publish is simply rejected.
+    */
+  def createBranch(key: String, branch: String, fromVersion: Long): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (branch.isEmpty || branch.contains("."))
+        throw new IllegalArgumentException(
+          s"branch name '$branch' is invalid (must be non-empty, no dots)")
+      if (st.branches.contains(branch))
+        throw new IllegalArgumentException(
+          s"branch '$branch' already exists on $key at base ${st.branches(branch).base}")
+      if (fromVersion < st.earliestVersion || fromVersion > st.version)
+        throw new IllegalArgumentException(
+          s"cannot branch $key at version $fromVersion: retained history is " +
+            s"[${st.earliestVersion}, ${st.version}]")
+      st.branches = st.branches.updated(branch, BranchState(fromVersion, Vector.empty))
+    }
+  }
+
+  def dropBranch(key: String, branch: String): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      if (!st.branches.contains(branch))
+        throw new IllegalArgumentException(s"branch '$branch' does not exist on $key")
+      st.branches = st.branches - branch
+    }
+  }
+
+  /** Stage one write's task batches onto a branch — invisible to main,
+    * versionless (the version slots are minted at publish).
+    */
+  def commitToBranch(
+      key: String, branch: String,
+      writeSchema: StructType, batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-write"))
+    st.synchronized {
+      val bs = st.branches.getOrElse(branch,
+        throw new IllegalStateException(s"branch '$branch' of $key dropped mid-write"))
+      val staged = batches.map(rs =>
+        TaggedBatch(writeSchema, bs.base, bs.base, rs,
+          stats = statsOf(writeSchema, rs))).toVector
+      st.branches = st.branches.updated(branch,
+        bs.copy(appends = bs.appends :+ staged))
+    }
+  }
+
+  /** PUBLISH a branch (`CALL graft.fast_forward`): replay its staged
+    * appends onto main — one ordinary commit version per append — then
+    * drop the ref. Rejected when main moved past the branch base (a
+    * publish would silently reorder history around the interleaved
+    * commits — the caller re-stages against the new state instead), which
+    * is exactly Iceberg's ancestor requirement on fast-forward. Returns
+    * (appends published, new current version).
+    */
+  def fastForward(key: String, branch: String): (Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      val bs = st.branches.getOrElse(branch,
+        throw new IllegalArgumentException(s"branch '$branch' does not exist on $key"))
+      if (st.version != bs.base)
+        throw new IllegalStateException(
+          s"cannot fast-forward branch '$branch' of $key: main is at version " +
+            s"${st.version} but the branch forked at ${bs.base} — it has diverged; " +
+            "drop the branch and re-stage against the current state")
+      bs.appends.filter(_.nonEmpty).foreach { staged =>
+        // reentrant monitor: the whole publish is one critical section
+        commit(key, truncate = false, staged.head.schema, staged.map(_.rows))
+      }
+      st.branches = st.branches - branch
+      (bs.appends.count(_.nonEmpty).toLong, st.version)
+    }
+  }
+
   /** Create / drop a named snapshot TAG ([[State.tags]]): `create` binds
     * `tag` to a retained version (fails on duplicates, unretained or
     * future versions); `drop` removes it. Resolution happens in the
@@ -417,6 +588,14 @@ object MemTables {
           s"expire horizon $olderThan would expire tagged snapshot(s) of $key: " +
             pinned.map { case (t, v) => s"'$t'@v$v" }.mkString(", ") +
             " — drop the tag(s) first")
+      // a branch's BASE is equally pinned: its staged reads replay that
+      // snapshot, so expiring it would orphan the branch
+      val pinnedBranches = st.branches.filter(_._2.base < olderThan)
+      if (pinnedBranches.nonEmpty)
+        throw new IllegalArgumentException(
+          s"expire horizon $olderThan would expire branch base snapshot(s) of $key: " +
+            pinnedBranches.map { case (b, s) => s"'$b'@v${s.base}" }.mkString(", ") +
+            " — drop or publish the branch(es) first")
       val (gone, kept) = st.batches.partition(_.removedAt <= olderThan)
       st.batches = kept
       st.earliestVersion = math.max(st.earliestVersion, olderThan)
@@ -433,6 +612,24 @@ object MemTables {
       st.compactionVersions =
         st.compactionVersions.filter(_ >= st.versionTimes.head._1)
       (gone.size.toLong, st.earliestVersion)
+    }
+  }
+
+  /** Retention by DURATION (`CALL graft.expire_older_than('t', TIMESTAMP
+    * '...')`) — the operational form of [[expireSnapshots]]: resolve the
+    * wall-clock horizon against the same strictly-monotone stamps
+    * `TIMESTAMP AS OF` uses (expired = every snapshot stamped strictly
+    * before the instant; the newest version is always retained), then
+    * delegate — so tag and branch pins apply identically. Returns
+    * (expired batch count, new earliest version).
+    */
+  def expireSnapshotsOlderThan(key: String, tsMicros: Long): (Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized { // reentrant: horizon resolution + expiry are atomic
+      val horizon = st.versionTimes.find(_._2 >= tsMicros).map(_._1)
+        .getOrElse(st.version)
+      expireSnapshots(key, horizon)
     }
   }
 
@@ -571,15 +768,19 @@ object MemTables {
         return (0L, 0L, st.version)
       val schema = st.schema
       val droppedAt = st.droppedAt
+      val eras = st.eras
       // project — and VALIDATE — fully before the version bump: a type
-      // conflict must reject the compaction without burning a version slot
+      // conflict must reject the compaction without burning a version slot.
+      // Projection is the scan's own era-resolved rule (renames resolve to
+      // write-time names, widened values convert), so the current read is
+      // identical by construction.
       val projected: Array[InternalRow] = live.iterator.flatMap { b =>
-        val hidden = b.schema.fieldNames.iterator
-          .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
+        val resolve = MemTables.sourceFieldName(eras, droppedAt)(_: String, b.writeVersion)
         val srcIdx = schema.fields.map(f =>
-          if (hidden.contains(f.name)) -1 else b.schema.fieldNames.indexOf(f.name))
+          resolve(f.name).map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1))
         srcIdx.zipWithIndex.foreach { case (s, j) =>
-          if (s >= 0 && b.schema.fields(s).dataType != schema.fields(j).dataType)
+          if (s >= 0 && b.schema.fields(s).dataType != schema.fields(j).dataType &&
+              !MemTables.widens(b.schema.fields(s).dataType, schema.fields(j).dataType))
             throw new IllegalStateException(
               s"mem table $key: column ${schema.fields(j).name} was written as " +
                 s"${b.schema.fields(s).dataType.simpleString} but the table is bound to " +
@@ -595,7 +796,10 @@ object MemTables {
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array.tabulate[Any](schema.length) { j =>
                 val s = srcIdx(j)
-                if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+                if (s >= 0 && !r.isNullAt(s))
+                  MemTables.widenValue(r.get(s, srcType(j)), srcType(j),
+                    schema.fields(j).dataType)
+                else null
               }): InternalRow
           }
       }.toArray
@@ -820,11 +1024,15 @@ object MemTables {
       throw new IllegalStateException(s"mem table $key dropped mid-delete"))
     st.synchronized {
       val droppedAt = st.droppedAt
+      val eras = st.eras
       def valueOf(b: TaggedBatch, r: InternalRow, col: String): Any = {
-        val i = b.schema.fieldNames.indexOf(col)
-        // missing column (pre-alter batch) and tombstoned fields read NULL,
-        // exactly as scans project them
-        if (i < 0 || droppedAt.get(col).exists(_ >= b.writeVersion)) null
+        // era/tombstone resolution exactly as scans project: unresolvable
+        // columns (pre-alter batches, dropped fields, pre-rename names)
+        // read NULL; widened columns surface their write-time value (cmp
+        // is numeric-promoting, so comparisons against the bound type work)
+        val i = sourceFieldName(eras, droppedAt)(col, b.writeVersion)
+          .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1)
+        if (i < 0) null
         else if (r.isNullAt(i)) null
         else r.get(i, b.schema.fields(i).dataType)
       }
@@ -1042,6 +1250,38 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   }
 }
 
+/** A writable BRANCH ref (`<catalog>.<table>.branch_<name>` — the Iceberg
+  * identifier convention): reads see the base snapshot plus the staged
+  * appends; writes STAGE (append-only — overwrite/DML against a proposal
+  * have no publish semantics) and become real table versions only when
+  * `CALL graft.fast_forward` publishes the branch. The write-audit-publish
+  * surface: stage, run the DQ gate against the branch read, publish on
+  * pass / drop on fail — main is byte-identical until the publish.
+  */
+final class MemBranchTable(
+    key: String, branch: String, tableSchema: StructType, base: Long)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"$key.branch_$branch"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(key, tableSchema, Some(base), None, Some(branch))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            new MemWriterFactory
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            MemTables.commitToBranch(key, branch, info.schema(),
+              messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
 /** Scan ↔ write coordination of one row-level operation (UPDATE / MERGE /
   * rewrite-DELETE): the batch versions the runtime group filter narrowed
   * the scan to (None = unfiltered, the whole-table group), and the table
@@ -1073,7 +1313,8 @@ final class MemRowLevelState(val groupFilterable: Boolean = true) {
   */
 final class MemScanBuilder(
     key: String, tableSchema: StructType, asOf: Option[Long],
-    rowLevel: Option[MemRowLevelState] = None)
+    rowLevel: Option[MemRowLevelState] = None,
+    branch: Option[String] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -1087,7 +1328,7 @@ final class MemScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = skipFilters
   override def build(): Scan =
-    new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters)
+    new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch)
 }
 
 /** `readSchema` may be a PRUNED projection of the table schema and may
@@ -1099,7 +1340,8 @@ final class MemScan(
     key: String, tableSchema: StructType, asOf: Option[Long] = None,
     readSchemaOpt: Option[StructType] = None,
     rowLevel: Option[MemRowLevelState] = None,
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    branch: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1108,6 +1350,7 @@ final class MemScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}" +
+      branch.fold("")(b => s" BRANCH $b") +
       (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "")
 
   /** Runtime group filtering (row-level operations only): `_batch_version`
@@ -1142,12 +1385,13 @@ final class MemScan(
     * DATA SKIPPING applied. Returns (table version at selection, tombstone
     * map bound to the snapshot, selected batches).
     */
-  private def selectBatches(): (Long, Map[String, Long], Vector[MemTables.TaggedBatch]) = {
+  private def selectBatches(): (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    val (curVersion, earliestVersion, history, droppedAtCur, allBatches) =
+    val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches, branchesNow) =
       st.synchronized {
-        (st.version, st.earliestVersion, st.history, st.droppedAt, st.batches)
+        (st.version, st.earliestVersion, st.history, st.droppedAt, st.eras,
+          st.batches, st.branches)
       }
     // a snapshot expired between loadTable and scan planning must fail
     // loudly, not read the partial remains of its batches — validated
@@ -1158,18 +1402,31 @@ final class MemScan(
           s"mem table $key version $v expired before the scan planned " +
             s"(earliest retained snapshot: $earliestVersion)")
     }
-    // metadata as of the pinned snapshot (tombstones must not "see the
-    // future": a drop AFTER version v is invisible to an AS OF v read)
-    val droppedAt = asOf match {
-      case Some(v) => history.filter(_.version <= v).last.droppedAt
-      case None => droppedAtCur
+    // metadata as of the pinned snapshot (tombstones and renames must not
+    // "see the future": a drop or rename AFTER version v is invisible to
+    // an AS OF v read)
+    val meta = asOf match {
+      case Some(v) =>
+        val h = history.filter(_.version <= v).last
+        MemScan.BoundMeta(h.droppedAt, h.eras)
+      case None => MemScan.BoundMeta(droppedAtCur, erasCur)
     }
+    val droppedAt = meta.droppedAt
     // snapshot visibility: a batch exists in AS OF v iff committed at or
     // before v and not truncated at or before v; a current read sees the
     // never-removed batches
-    val live = asOf match {
+    val liveMain = asOf match {
       case Some(v) => allBatches.filter(b => b.version <= v && b.removedAt > v)
       case None => allBatches.filter(_.removedAt == Long.MaxValue)
+    }
+    // a BRANCH read is the base snapshot (this scan is bound AS OF the
+    // base) plus the branch's staged batches
+    val live = branch match {
+      case Some(br) =>
+        liveMain ++ branchesNow.getOrElse(br,
+          throw new IllegalStateException(
+            s"branch '$br' of $key was dropped or published before the scan planned")).batches
+      case None => liveMain
     }
     // row-level rewrite narrowed by the runtime group filter: scan only
     // the batches whose versions contain condition matches
@@ -1180,35 +1437,27 @@ final class MemScan(
     // DATA SKIPPING: drop batches whose published column bounds preclude
     // every pushed filter — at 100 TB this is the difference between a
     // selective read costing its matches and costing the table. Filter
-    // columns resolve through the SAME tombstone rules as data projection
-    // (hidden or absent field = all-null for this batch); the two
-    // versioning metadata columns are per-batch constants.
+    // columns resolve through the SAME era/tombstone rules as data
+    // projection (unresolvable field = all-null for this batch); the two
+    // versioning metadata columns are per-batch constants. Widened columns
+    // compare fine: the evaluator's cmp is numeric-promoting.
     val visible =
       if (skipFilters.isEmpty) grouped
       else grouped.filter { b =>
-        val hidden = hiddenIn(b, droppedAt)
         val n = b.rows.length.toLong
         val lookup: String => Option[MemTables.ColStats] = name =>
           if (name == MemTables.BatchVersion)
             Some(MemTables.ColStats(b.version, b.version, 0L, n))
           else if (name == MemTables.BatchId)
             Some(MemTables.ColStats(b.batchId, b.batchId, 0L, n))
-          else if (hidden.contains(name) || !b.schema.fieldNames.contains(name))
-            Some(MemTables.ColStats(null, null, n, n)) // reads as all-null
-          else b.stats.get(name) // None for uncovered types: no skipping
+          else MemScan.srcNameIn(b, meta)(name) match {
+            case None => Some(MemTables.ColStats(null, null, n, n)) // all-null
+            case Some(src) => b.stats.get(src) // None for uncovered types
+          }
         skipFilters.forall(f => MemTables.mayMatch(f, lookup))
       }
-    (curVersion, droppedAt, visible)
+    (curVersion, meta, visible)
   }
-
-  /** A batch field whose name was DROPPED after the batch was committed is
-    * hidden from projection: a column re-ADDed under that name is a new
-    * field, and pre-drop batches must surface NULL for it, not their
-    * stale bytes.
-    */
-  private def hiddenIn(b: MemTables.TaggedBatch, droppedAt: Map[String, Long]): Set[String] =
-    b.schema.fieldNames.iterator
-      .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
 
   /** Post-pushdown size/row-count estimate from the batches this scan
     * would plan (snapshot visibility, group filter, and data skipping all
@@ -1228,36 +1477,41 @@ final class MemScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (curVersion, droppedAt, visible) = selectBatches()
+    val (curVersion, meta, visible) = selectBatches()
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
-    // Every batch is read through a by-NAME projection into the scan-bound
-    // schema (schema evolution: columns added after a batch was written
-    // read as null; columns dropped are skipped; see [[hiddenIn]]). A
-    // surviving same-name field whose dataType differs is NOT projectable —
-    // decoding those bytes under the scan's type would read garbage (the
-    // drop+recreate hazard) — so fail loudly at PLANNING time, before any
-    // executor touches a row.
-    visible.foreach { b =>
-      val hidden = hiddenIn(b, droppedAt)
-      boundSchema.fields.filterNot(_.name == MemTables.BatchVersion).foreach { f =>
-        val i = b.schema.fieldNames.indexOf(f.name)
-        if (i >= 0 && !hidden.contains(f.name) && b.schema.fields(i).dataType != f.dataType)
-          throw new IllegalStateException(
-            s"mem table $key: column ${f.name} was written as " +
-              s"${b.schema.fields(i).dataType.simpleString} but the scan is bound to " +
-              s"${f.dataType.simpleString} — recreate the table, evolution cannot retype")
+    // Every batch is read through an ERA-RESOLVED by-name projection into
+    // the scan-bound schema (schema evolution: columns added after a batch
+    // was written read as null; dropped columns are skipped; renamed
+    // columns resolve to the name the batch stored them under — see
+    // [[MemTables.sourceFieldName]]). A resolved field whose dataType
+    // differs from the bound type is readable ONLY through a [[MemTables
+    // .widens]] promotion (values convert at read); anything else would
+    // decode garbage, so fail loudly at PLANNING time, before any executor
+    // touches a row.
+    val srcMaps = visible.map { b =>
+      val m = MemScan.srcMapOf(boundSchema, b, meta)
+      boundSchema.fields.foreach { f =>
+        m.get(f.name).foreach { src =>
+          val dt = b.schema.fields(b.schema.fieldNames.indexOf(src)).dataType
+          if (dt != f.dataType && !MemTables.widens(dt, f.dataType))
+            throw new IllegalStateException(
+              s"mem table $key: column ${f.name} was written as " +
+                s"${dt.simpleString} but the scan is bound to " +
+                s"${f.dataType.simpleString} — not a supported widening, recreate the table")
+        }
       }
+      m
     }
     // merge-on-read overlay: positions DV-deleted at-or-before the bound
     // snapshot are computed at planning (driver-side, against the pinned
     // version) and shipped in the partition for the reader to skip
     val bound = asOf.getOrElse(Long.MaxValue)
-    visible.map(b =>
-      MemPartition(b.schema, b.version, hiddenIn(b, droppedAt), b.rows,
-        b.deadAt(bound), b.batchId): InputPartition)
-      .toArray
+    visible.zip(srcMaps).map { case (b, srcNames) =>
+      MemPartition(b.schema, b.version, srcNames, b.rows,
+        b.deadAt(bound), b.batchId): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1269,22 +1523,29 @@ final class MemScan(
         val metaNames =
           Set(MemTables.BatchVersion, MemTables.BatchId, MemTables.BatchPos)
         val hasMeta = target.fieldNames.exists(metaNames.contains)
-        val sameLayout = p.hidden.isEmpty && !hasMeta &&
+        val sameLayout = !hasMeta &&
           p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
-            target.fields.map(f => (f.name, f.dataType)).toSeq
-        // by-name source ordinal per target field; -1 = not present (null);
-        // -2/-3/-4 = the _batch_version/_batch_id/_batch_pos metadata
-        // columns (partition constants / the row's array index);
-        // tombstone-hidden fields (dropped after this batch was written,
-        // possibly re-added since) are unmatchable — they read as null
+            target.fields.map(f => (f.name, f.dataType)).toSeq &&
+          target.fieldNames.forall(n => p.srcNames.get(n).contains(n))
+        // era-resolved source ordinal per target field; -1 = unresolvable
+        // (reads null: added after this batch, dropped-and-readded, or
+        // predating a rename chain); -2/-3/-4 = the _batch_version/
+        // _batch_id/_batch_pos metadata columns (partition constants /
+        // the row's array index)
         val srcIdx = target.fields.map(f =>
           if (f.name == MemTables.BatchVersion) -2
           else if (f.name == MemTables.BatchId) -3
           else if (f.name == MemTables.BatchPos) -4
-          else if (p.hidden.contains(f.name)) -1
-          else p.batchSchema.fieldNames.indexOf(f.name))
+          else p.srcNames.get(f.name)
+            .map(n => p.batchSchema.fieldNames.indexOf(n)).getOrElse(-1))
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
+        }
+        // type-widened columns (int->bigint, float->double) convert per
+        // value at read — the metadata-only promotion contract
+        val widenTo = srcIdx.zipWithIndex.map { case (s, j) =>
+          if (s >= 0 && srcType(j) != target.fields(j).dataType) target.fields(j).dataType
+          else null
         }
         new PartitionReader[InternalRow] {
           private var i = -1
@@ -1306,7 +1567,11 @@ final class MemScan(
                   if (s == -2) p.version
                   else if (s == -3) p.batchId
                   else if (s == -4) i // the row's position within its batch
-                  else if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+                  else if (s >= 0 && !r.isNullAt(s)) {
+                    val raw = r.get(s, srcType(j))
+                    if (widenTo(j) == null) raw
+                    else MemTables.widenValue(raw, srcType(j), widenTo(j))
+                  } else null
                 j += 1
               }
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -1320,6 +1585,28 @@ final class MemScan(
 object MemScan {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** The snapshot-bound evolution metadata a scan projects through:
+    * tombstones + field-era (rename) timelines, both as of the pinned
+    * version (current for ordinary reads).
+    */
+  final case class BoundMeta(
+      droppedAt: Map[String, Long], eras: Map[String, Vector[(Long, String)]])
+
+  /** Era/tombstone-resolved source-field name of one bound column within a
+    * batch — None when the column reads NULL there (see
+    * [[MemTables.sourceFieldName]]); names must exist in the batch schema.
+    */
+  private[sources] def srcNameIn(b: MemTables.TaggedBatch, meta: BoundMeta)(
+      target: String): Option[String] =
+    MemTables.sourceFieldName(meta.eras, meta.droppedAt)(target, b.writeVersion)
+      .filter(b.schema.fieldNames.contains)
+
+  /** Full target→source name map for one batch (resolvable fields only). */
+  private[sources] def srcMapOf(
+      bound: StructType, b: MemTables.TaggedBatch, meta: BoundMeta): Map[String, String] =
+    bound.fieldNames.iterator
+      .flatMap(n => srcNameIn(b, meta)(n).map(n -> _)).toMap
 
   /** Parse one runtime-filter predicate into the batch-version set it
     * admits: `_batch_version IN (v1, …)` (the shape the dynamic-pruning
@@ -1473,12 +1760,14 @@ final class MemDeltaWriterFactory
 
 /** Rows travel inside the partition — serializable, so the read path is
   * correct on a real cluster, not just local mode — along with the schema
-  * they were written under (the decode contract for the projection) and the
-  * names tombstoned out of this batch (dropped after it was written; they
-  * must not satisfy a later re-added column of the same name).
+  * they were written under (the decode contract for the projection) and
+  * the ERA-RESOLVED target→source name map (computed at planning, where
+  * the evolution metadata lives): bound columns absent from the map read
+  * NULL for this batch (added later, dropped-and-readded, or predating a
+  * rename chain).
   */
 final case class MemPartition(
-    batchSchema: StructType, version: Long, hidden: Set[String],
+    batchSchema: StructType, version: Long, srcNames: Map[String, String],
     rows: Array[InternalRow], dead: Set[Int] = Set.empty, batchId: Long = -1L)
     extends InputPartition
 
@@ -1651,19 +1940,20 @@ object MemChangesSource {
       throw new IllegalStateException(
         s"change window ($from, $to] of $key reaches into history expired " +
           s"since the read was bound (earliest retained snapshot: $earliest)")
-    // tombstones as of `to`: data columns project exactly like a snapshot
-    // read at the window's end
-    val droppedAt = hist.filter(_.version <= to).last.droppedAt
-    def hiddenIn(b: MemTables.TaggedBatch): Set[String] =
-      b.schema.fieldNames.iterator
-        .filter(n => droppedAt.get(n).exists(_ >= b.writeVersion)).toSet
+    // tombstones + eras as of `to`: data columns project (rename-resolved)
+    // exactly like a snapshot read at the window's end
+    val metaAt = hist.filter(_.version <= to).last
+    val meta = MemScan.BoundMeta(metaAt.droppedAt, metaAt.eras)
+    val dataSchema = metaAt.schema
+    def srcMap(b: MemTables.TaggedBatch): Map[String, String] =
+      MemScan.srcMapOf(dataSchema, b, meta)
     // COMPACTION versions are physical reorganizations with zero logical
     // change — their batch replacements are invisible to the feed (the
     // Iceberg replace-snapshot rule); DV delete events are untouched
     // (those versions were real deletes)
     val inserts = batches
       .filter(b => b.version > from && b.version <= to && !compactions.contains(b.version))
-      .map(b => MemChangesPartition(b.schema, hiddenIn(b), b.rows, insert = true, b.version))
+      .map(b => MemChangesPartition(b.schema, srcMap(b), b.rows, insert = true, b.version))
     // a batch both committed AND truncated inside the window emits BOTH
     // events (the honest change log — consumers fold by _commit_version).
     // Rows already DV-deleted before the batch's removal do NOT re-delete
@@ -1679,7 +1969,7 @@ object MemChangesSource {
         val alive =
           if (b.dv.isEmpty) b.rows
           else b.rows.indices.filterNot(b.dv.contains).map(b.rows).toArray
-        MemChangesPartition(b.schema, hiddenIn(b), alive, insert = false, b.removedAt)
+        MemChangesPartition(b.schema, srcMap(b), alive, insert = false, b.removedAt)
       }
     // merge-on-read deletes are ROW-level events at the version their DV
     // entry was recorded — the change feed a DV table produces is finer
@@ -1688,7 +1978,7 @@ object MemChangesSource {
       b.dv.toSeq
         .filter { case (_, at) => at > from && at <= to }
         .groupBy(_._2).toSeq.map { case (at, entries) =>
-          MemChangesPartition(b.schema, hiddenIn(b),
+          MemChangesPartition(b.schema, srcMap(b),
             entries.map(_._1).sorted.map(b.rows).toArray, insert = false, at)
         }
     }
@@ -1707,11 +1997,16 @@ object MemChangesSource {
         val rows = p.rows
         val nData = target.length - 2
         val srcIdx = (0 until nData).map { j =>
-          val f = target.fields(j)
-          if (p.hidden.contains(f.name)) -1 else p.batchSchema.fieldNames.indexOf(f.name)
+          p.srcNames.get(target.fields(j).name)
+            .map(n => p.batchSchema.fieldNames.indexOf(n)).getOrElse(-1)
         }.toArray
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
+        }
+        // widened columns convert per value (int->bigint, float->double)
+        val widenTo = srcIdx.zipWithIndex.map { case (s, j) =>
+          if (s >= 0 && srcType(j) != target.fields(j).dataType) target.fields(j).dataType
+          else null
         }
         val changeType = org.apache.spark.unsafe.types.UTF8String
           .fromString(if (p.insert) "insert" else "delete")
@@ -1724,7 +2019,12 @@ object MemChangesSource {
             var j = 0
             while (j < nData) {
               val s = srcIdx(j)
-              vals(j) = if (s >= 0 && !r.isNullAt(s)) r.get(s, srcType(j)) else null
+              vals(j) =
+                if (s >= 0 && !r.isNullAt(s)) {
+                  val raw = r.get(s, srcType(j))
+                  if (widenTo(j) == null) raw
+                  else MemTables.widenValue(raw, srcType(j), widenTo(j))
+                } else null
               j += 1
             }
             vals(nData) = changeType
@@ -1819,6 +2119,6 @@ final case class MemVersionOffset(v: Long) extends Offset {
   * partition ships only the rows it surfaces).
   */
 final case class MemChangesPartition(
-    batchSchema: StructType, hidden: Set[String], rows: Array[InternalRow],
+    batchSchema: StructType, srcNames: Map[String, String], rows: Array[InternalRow],
     insert: Boolean, commitVersion: Long)
     extends InputPartition

@@ -1098,6 +1098,110 @@ object Roundtrips {
          |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
   }
 
+  /** RENAME + type-WIDENING schema evolution through the gate — the
+    * metadata-only promotions every long-lived table eventually needs:
+    * gen 1 is written under `(ck INT, bal_cents INT)`; the table then
+    * widens both columns to BIGINT and renames `bal_cents` → `cents`
+    * (era-timeline rename, [[MemTables.alterSchema]]); gen 2 appends
+    * under the new schema. The current read must serve gen-1 bytes
+    * through the rename AND the int→bigint promotion (values exact), and
+    * `VERSION AS OF 1` must still read the pre-evolution schema under the
+    * ORIGINAL name and type. No batch is rewritten at any step. The
+    * oracle restates both generations and the pinned snapshot from
+    * `customer`.
+    */
+  val dsv2SchemaEvolve: QueryDef = QueryDef(
+    "dsv2_schema_evolve",
+    """WITH base AS (
+      |  SELECT c_custkey AS ck, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT 'cur' AS part, ck, cents FROM base
+      |UNION ALL
+      |SELECT 'pre', ck, cents FROM base WHERE ck % 2 = 0""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cust_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (ck INT, bal_cents INT)") // v0
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("int").as("ck"),
+      Num.cents(col("c_acctbal")).cast("int").as("bal_cents"))
+    base.filter(col("ck") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1: gen 1
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ck TYPE BIGINT") // v2: widen
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN bal_cents TYPE BIGINT") // v3: widen
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN bal_cents TO cents") // v4: rename
+    base.filter(col("ck") % 2 === 1)
+      .select(col("ck").cast("bigint"), col("bal_cents").cast("bigint").as("cents"))
+      .coalesce(1).writeTo(tbl).append() // v5: gen 2, new schema
+    spark.sql(
+      s"""SELECT 'cur' AS part, ck, cents FROM $tbl
+         |UNION ALL
+         |SELECT 'pre' AS part, ck, bal_cents AS cents FROM $tbl VERSION AS OF 1""".stripMargin)
+  }
+
+  /** WRITE-AUDIT-PUBLISH through the gate — branches composed with the
+    * reference's own DQ-gate contract (C4): a candidate batch is staged on
+    * a branch (`INSERT INTO <table>.branch_audit`), the DQ framework runs
+    * against the BRANCH read, and only a passing candidate fast-forwards
+    * onto main. Round 1 stages a candidate with NULL keys → the DQ check
+    * throws → `drop_branch`; round 2 stages a clean candidate → publish.
+    * The result unions the final table with its history ledger: a failed
+    * audit that leaked ANY version (the staged write becoming a commit)
+    * would add a ledger row and break the hash — main is provably
+    * byte-identical through the failed round.
+    */
+  val dsv2BranchWap: QueryDef = QueryDef(
+    "dsv2_branch_wap",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |cand AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) + 13 AS v
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT 'cur' AS part, CAST(k AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b FROM base
+      |UNION ALL SELECT 'cur', CAST(k AS VARCHAR), CAST(v AS VARCHAR) FROM cand
+      |UNION ALL SELECT 'hist', '0', 'create'
+      |UNION ALL SELECT 'hist', '1', 'append'
+      |UNION ALL SELECT 'hist', '2', 'append'""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_orders_wap"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    val branchTbl = s"graft.$key.branch_audit"
+    val audit = Seq(
+      graft.rentals.DataQuality.nullPercentageCheck("k", 0.0),
+      graft.rentals.DataQuality.rowCountCheck(1L))
+    // round 1: a candidate with NULL keys fails the audit; main untouched
+    spark.sql(s"CALL graft.create_branch('$key', 'audit', 1)")
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select(
+        when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_orderkey")).as("k"),
+        Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(branchTbl).append() // staged only
+    val failed =
+      try { graft.rentals.DataQuality.runQualityChecks(spark.table(branchTbl), audit); false }
+      catch { case _: graft.rentals.DataQualityError => true }
+    require(failed, "the bad candidate must fail the audit")
+    spark.sql(s"CALL graft.drop_branch('$key', 'audit')")
+    // round 2: a clean candidate passes and publishes
+    spark.sql(s"CALL graft.create_branch('$key', 'audit', 1)")
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), (Num.cents(col("o_totalprice")) + 13L).as("v"))
+      .writeTo(branchTbl).append() // staged
+    graft.rentals.DataQuality.runQualityChecks(spark.table(branchTbl), audit)
+    spark.sql(s"CALL graft.fast_forward('$key', 'audit')") // v2
+    spark.sql(s"CALL graft.table_history('$key')")
+      .createOrReplaceTempView("graft_wap_history")
+    spark.sql(
+      s"""SELECT 'cur' AS part, CAST(k AS STRING) AS a, CAST(v AS STRING) AS b FROM $tbl
+         |UNION ALL
+         |SELECT 'hist', CAST(version AS STRING), kind FROM graft_wap_history""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1105,5 +1209,5 @@ object Roundtrips {
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
-      dsv2SelectiveRead)
+      dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap)
 }

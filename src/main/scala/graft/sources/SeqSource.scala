@@ -336,23 +336,32 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "expire_older_than" => ExpireOlderThanProcedure
       case "rollback_table" => RollbackTableProcedure
       case "compact_table" => CompactTableProcedure
       case "table_history" => TableHistoryProcedure
       case "create_tag" => CreateTagProcedure
       case "drop_tag" => DropTagProcedure
+      case "create_branch" => CreateBranchProcedure
+      case "drop_branch" => DropBranchProcedure
+      case "fast_forward" => FastForwardProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
-          "rollback_table, compact_table, table_history, create_tag, drop_tag)")
+          "expire_older_than, rollback_table, compact_table, table_history, create_tag, drop_tag, " +
+          "create_branch, drop_branch, fast_forward)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
       Identifier.of(namespace, "expire_snapshots"),
+      Identifier.of(namespace, "expire_older_than"),
       Identifier.of(namespace, "rollback_table"),
       Identifier.of(namespace, "compact_table"),
       Identifier.of(namespace, "table_history"),
       Identifier.of(namespace, "create_tag"),
-      Identifier.of(namespace, "drop_tag"))
+      Identifier.of(namespace, "drop_tag"),
+      Identifier.of(namespace, "create_branch"),
+      Identifier.of(namespace, "drop_branch"),
+      Identifier.of(namespace, "fast_forward"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -372,8 +381,31 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     case _ =>
       MemTables.get(memKey(ident))
         .map(st => new MemTable(memKey(ident), st.schema))
+        .orElse(branchTable(ident))
         .getOrElse(throw new NoSuchTableException(ident.asInstanceOf[Identifier]))
   }
+
+  /** Branch-ref resolution (the Iceberg identifier convention):
+    * `<table>.branch_<name>` reads/stages against the named branch —
+    * served only when the parent mem table exists and carries the branch,
+    * so ordinary identifiers are never shadowed. The branch table binds
+    * the SCHEMA AS OF its base (staged writes must not see later alters:
+    * the publish replays them onto the base era).
+    */
+  private def branchTable(ident: Identifier):
+      Option[org.apache.spark.sql.connector.catalog.Table] =
+    if (!ident.name().startsWith("branch_") || ident.namespace().isEmpty) None
+    else {
+      val parentKey = ident.namespace().mkString(".")
+      val branch = ident.name().stripPrefix("branch_")
+      MemTables.get(parentKey).flatMap { st =>
+        val (branches, hist) = st.synchronized((st.branches, st.history))
+        branches.get(branch).map { bs =>
+          val schemaAt = hist.filter(_.version <= bs.base).last.schema
+          new MemBranchTable(parentKey, branch, schemaAt, bs.base)
+        }
+      }
+    }
 
   /** Time travel (`VERSION AS OF v`): resolve a mem table to a read-only
     * pinned snapshot — batches with `version <= v < removedAt`, metadata
@@ -463,16 +495,23 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     new MemTable(memKey(ident), schema)
   }
 
-  /** Schema evolution for mem tables: ADD COLUMNS (top-level, appended,
-    * nullable) and DROP COLUMN are metadata-only swaps — committed batches
-    * keep their write-time schema and scans project by name (see
-    * [[MemTables]]). A DROP tombstones the name at the table's alter
-    * version, so re-ADDing it later creates a NEW field: pre-drop batches
-    * read NULL for it instead of resurrecting their stale values (the
-    * name-based equivalent of Iceberg's field-id semantics). Rename and
-    * type-change are rejected: the by-name projection has no field ids to
-    * track a rename through, and retyping bytes in place would decode
-    * garbage.
+  /** Schema evolution for mem tables — ALL metadata-only swaps; committed
+    * batches keep their write-time schema and scans project through the
+    * era-resolved by-name rule (see [[MemTables]]):
+    *
+    *  - ADD COLUMNS (top-level, appended, nullable): pre-alter batches
+    *    read NULL.
+    *  - DROP COLUMN: tombstones the name at the alter version, so
+    *    re-ADDing it later creates a NEW field (pre-drop batches read
+    *    NULL, never their stale values — name-based Iceberg field-id
+    *    semantics).
+    *  - RENAME COLUMN: extends the field's ERA timeline — old batches
+    *    keep serving their bytes under the write-time name, new writes
+    *    use the new name.
+    *  - ALTER COLUMN TYPE, widening only (int→bigint, float→double —
+    *    [[MemTables.widens]]): old batches read through a per-value
+    *    promotion; narrowing/retyping is rejected (decoding those bytes
+    *    under the new type would read garbage).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): CTable = {
     if (Pattern.matches(ident.name()))
@@ -480,31 +519,54 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     val key = memKey(ident)
     val st = MemTables.get(key)
       .getOrElse(throw new NoSuchTableException(ident))
+    def topLevel(fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"mem tables only evolve top-level columns, got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    var renames = Map.empty[String, String]
     val newSchema = changes.foldLeft(st.schema) { (schema, change) =>
       change match {
         case add: TableChange.AddColumn =>
-          if (add.fieldNames().length != 1)
-            throw new UnsupportedOperationException(
-              s"mem tables only evolve top-level columns, got ${add.fieldNames().mkString(".")}")
-          val name = add.fieldNames().head
+          val name = topLevel(add.fieldNames())
           if (schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"column $name already exists in $key")
           // always nullable: rows written before this alter read it as null
           schema.add(name, add.dataType(), nullable = true)
         case del: TableChange.DeleteColumn =>
-          if (del.fieldNames().length != 1)
-            throw new UnsupportedOperationException(
-              s"mem tables only evolve top-level columns, got ${del.fieldNames().mkString(".")}")
-          val name = del.fieldNames().head
+          val name = topLevel(del.fieldNames())
           if (!schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"column $name does not exist in $key")
           StructType(schema.fields.filterNot(_.name == name))
+        case ren: TableChange.RenameColumn =>
+          val from = topLevel(ren.fieldNames())
+          val to = ren.newName()
+          if (!schema.fieldNames.contains(from))
+            throw new IllegalArgumentException(s"column $from does not exist in $key")
+          if (schema.fieldNames.contains(to))
+            throw new IllegalArgumentException(s"column $to already exists in $key")
+          renames += (from -> to)
+          StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        case upd: TableChange.UpdateColumnType =>
+          val name = topLevel(upd.fieldNames())
+          val i = schema.fieldNames.indexOf(name)
+          if (i < 0)
+            throw new IllegalArgumentException(s"column $name does not exist in $key")
+          val from = schema.fields(i).dataType
+          val to = upd.newDataType()
+          if (from != to && !MemTables.widens(from, to))
+            throw new UnsupportedOperationException(
+              s"cannot alter $key.$name from ${from.simpleString} to ${to.simpleString}: " +
+                "only widening promotions (int->bigint, float->double) are metadata-safe")
+          StructType(schema.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))
         case other =>
           throw new UnsupportedOperationException(
-            s"mem tables support ADD/DROP COLUMNS only, got ${other.getClass.getSimpleName}")
+            "mem tables support ADD/DROP/RENAME COLUMN and widening " +
+              s"ALTER COLUMN TYPE only, got ${other.getClass.getSimpleName}")
       }
     }
-    MemTables.alterSchema(key, newSchema)
+    MemTables.alterSchema(key, newSchema, renames)
     new MemTable(key, newSchema)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -755,5 +817,141 @@ object RollbackTableProcedure
     val (removed, restored, version) = MemTables.rollback(key, toVersion)
     ProcedureResults.scan(s"GraftRollbackTable $key -> v$toVersion", outSchema,
       Seq(Seq(removed, restored, version)))
+  }
+}
+
+/** `CALL graft.create_branch('<table>', '<branch>', <version>)` — fork a
+  * writable branch at a retained snapshot ([[MemTables.createBranch]]):
+  * reads/stages go through `<table>.branch_<name>`, publish via
+  * [[FastForwardProcedure]]. The base snapshot is pinned against expiry
+  * while the branch lives. Returns the bound (branch, base).
+  */
+object CreateBranchProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "fork a writable branch at a retained snapshot; stage appends via " +
+      "<table>.branch_<name>, publish with fast_forward"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  private val outSchema = new StructType()
+    .add("branch", StringType, nullable = false)
+    .add("base", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val branch = input.getUTF8String(1).toString
+    val version = input.getLong(2)
+    MemTables.createBranch(key, branch, version)
+    ProcedureResults.scan(s"GraftCreateBranch $key $branch@v$version", outSchema,
+      Seq(Seq(branch, version)))
+  }
+}
+
+object DropBranchProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.StringType
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "discard a branch and its staged appends (the write-audit-publish fail path)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build())
+
+  private val outSchema = new StructType().add("dropped", StringType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val branch = input.getUTF8String(1).toString
+    MemTables.dropBranch(key, branch)
+    ProcedureResults.scan(s"GraftDropBranch $key $branch", outSchema, Seq(Seq(branch)))
+  }
+}
+
+/** `CALL graft.fast_forward('<table>', '<branch>')` — publish a branch's
+  * staged appends onto main, one ordinary commit version per append, then
+  * drop the ref ([[MemTables.fastForward]]). Rejected when main moved past
+  * the branch base (diverged). Returns (published_appends, version).
+  */
+object FastForwardProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch's staged appends onto main (one version per append) " +
+      "and drop the ref; rejected when main has diverged from the base"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("published_appends", LongType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val branch = input.getUTF8String(1).toString
+    val (published, version) = MemTables.fastForward(key, branch)
+    ProcedureResults.scan(s"GraftFastForward $key $branch", outSchema,
+      Seq(Seq(published, version)))
+  }
+}
+
+/** `CALL graft.expire_older_than('<table>', TIMESTAMP '<instant>')` — the
+  * duration form of retention ([[MemTables.expireSnapshotsOlderThan]]):
+  * snapshots stamped strictly before the instant expire (the newest
+  * version always survives); tag and branch pins are enforced identically
+  * to the version form. Returns (expired_batches, earliest_version).
+  */
+object ExpireOlderThanProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+  override def name(): String = "expire_older_than"
+  override def description(): String =
+    "expire snapshots stamped strictly before a wall-clock instant " +
+      "(the newest version always survives); tags and branches pin"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("older_than", TimestampType)
+      .comment("instant (internal micros) before which snapshots expire").build())
+
+  private val outSchema = new StructType()
+    .add("expired_batches", LongType, nullable = false)
+    .add("earliest_version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val tsMicros = input.getLong(1)
+    val (gone, earliest) = MemTables.expireSnapshotsOlderThan(key, tsMicros)
+    ProcedureResults.scan(s"GraftExpireOlderThan $key < $tsMicros", outSchema,
+      Seq(Seq(gone, earliest)))
   }
 }

@@ -194,8 +194,8 @@ class RoundtripsSpec extends SparkSpec {
     assert(spark.table(tbl).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .sorted.toSeq === Seq((1L, -1L), (2L, 20L)))
-    // rename and retype are rejected — by-name projection cannot track them
-    intercept[Exception](spark.sql(s"ALTER TABLE $tbl RENAME COLUMN n TO m"))
+    // rename is era-tracked (own spec); NARROWING retype stays rejected —
+    // decoding bigint bytes as int would read garbage
     intercept[Exception](spark.sql(s"ALTER TABLE $tbl ALTER COLUMN n TYPE INT"))
     spark.sql(s"DROP TABLE $tbl")
   }
@@ -1178,6 +1178,207 @@ class RoundtripsSpec extends SparkSpec {
     val initial = joined.queryExecution.sparkPlan.toString
     assert(initial.contains("BroadcastHashJoin"), initial)
     assert(joined.head().getLong(0) > 0L)
+  }
+
+  test("DSv2 MemTable: RENAME COLUMN serves old batches' bytes under the new name") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_rename_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, amount BIGINT)") // v0
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "amount").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN amount TO total") // v2
+    Seq((3L, 30L)).toDF("k", "total").coalesce(1).writeTo(tbl).append() // v3
+    // chained rename: the era timeline extends, both generations follow
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN total TO grand_total") // v4
+    def cur() = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cur() === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // time travel re-binds the name the snapshot HAD
+    assert(spark.sql(s"SELECT k, amount FROM $tbl VERSION AS OF 1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === Seq((1L, 10L), (2L, 20L)))
+    assert(spark.sql(s"SELECT k, total FROM $tbl VERSION AS OF 3").count() === 3L)
+    intercept[Exception]( // the new name does not exist in the old snapshot
+      spark.sql(s"SELECT grand_total FROM $tbl VERSION AS OF 1").collect())
+
+    // name REUSE after rename: re-adding 'amount' creates a NEW field —
+    // pre-rename batches must NOT leak their old 'amount' bytes into it
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (amount BIGINT)") // v5
+    Seq((4L, 40L, 444L)).toDF("k", "grand_total", "amount")
+      .coalesce(1).writeTo(tbl).append() // v6
+    val rows = spark.sql(s"SELECT k, grand_total, amount FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq
+    assert(rows === Seq((1L, 10L, -1L), (2L, 20L, -1L), (3L, 30L, -1L), (4L, 40L, 444L)))
+
+    // a DELETE conditioned on the renamed column resolves pre-rename bytes
+    spark.sql(s"DELETE FROM $tbl WHERE grand_total <= 10")
+    assert(cur().map(_._1) === Seq(2L, 3L, 4L))
+    // compaction projects through the rename; the read is unchanged
+    spark.sql(s"CALL graft.compact_table('mem_rename_spec')")
+    assert(cur().map(_._1) === Seq(2L, 3L, 4L))
+    // renaming to an existing name fails loudly
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN amount TO grand_total").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: widening ALTER COLUMN TYPE reads old batches through the promotion") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_widen_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k INT, ratio FLOAT)") // v0
+    import spark.implicits._
+    Seq((1, 1.5f), (2, 2.25f), (2147483647, 0.1f)).toDF("k", "ratio")
+      .coalesce(1).writeTo(tbl).append() // v1: int/float bytes
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE BIGINT") // v2
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ratio TYPE DOUBLE") // v3
+    Seq((3000000000L, 3.75)).toDF("k", "ratio").coalesce(1).writeTo(tbl).append() // v4
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // IEEE promotion is exact: 1.5f->1.5d, 2.25f->2.25d, 0.1f stays the
+    // float's value (0.1f.toDouble), never the double literal 0.1
+    assert(got === Seq(
+      (1L, 1.5d), (2L, 2.25d), (2147483647L, 0.1f.toDouble), (3000000000L, 3.75d)))
+    // filters compare across the promotion, and bounds still skip batches
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE k > 2500000000").collect()
+      .map(_.getLong(0)).toSeq === Seq(3000000000L))
+    // pre-widen time travel reads the ORIGINAL types
+    val pre = spark.sql(s"SELECT k, ratio FROM $tbl VERSION AS OF 1")
+    assert(pre.schema.fields.map(_.dataType.simpleString).toSeq === Seq("int", "float"))
+    assert(pre.count() === 3L)
+    // compaction converts values into the widened schema; read unchanged
+    spark.sql(s"CALL graft.compact_table('mem_widen_spec')")
+    assert(spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq === got)
+    // narrowing and unrelated retyping are rejected
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE INT").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ratio TYPE STRING").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: the change feed projects renamed/widened columns as of the window end") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_evolve_cdc_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k INT, amount INT)") // v0
+    import spark.implicits._
+    Seq((1, 10), (2, 20)).toDF("k", "amount").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN amount TYPE BIGINT") // v2
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN amount TO total") // v3
+    Seq((3, 30L)).toDF("k", "total").coalesce(1).writeTo(tbl).append() // v4
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_evolve_cdc_spec").option("from", "0").option("to", "4")
+      .load()
+    // schema as of v4: (k INT, total BIGINT) + change columns; v1's int
+    // 'amount' bytes surface as bigint 'total'
+    assert(feed.schema.fieldNames.toSeq ===
+      Seq("k", "total", "_change_type", "_commit_version"))
+    assert(feed.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toSeq ===
+      Seq((1, 10L, "insert", 1L), (2, 20L, "insert", 1L), (3, 30L, "insert", 4L)))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: branches stage writes invisibly and fast-forward publishes them") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_branch_spec"
+    val tbl = s"graft.$key"
+    val br = s"graft.$key.branch_dev"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v1
+    assert(spark.sql(s"CALL graft.create_branch('$key', 'dev', 1)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("dev", 1L)))
+    // two staged appends: branch sees base + staged, main sees neither
+    Seq((3L, 30L)).toDF("k", "v").coalesce(1).writeTo(br).append()
+    Seq((4L, 40L)).toDF("k", "v").coalesce(1).writeTo(br).append()
+    def rows(t: String) =
+      spark.table(t).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(br) === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(rows(tbl) === Seq((1L, 10L), (2L, 20L)))
+    val st = graft.sources.MemTables.get(key).get
+    assert(st.version === 1L, "staging must mint no table version")
+    // branch reads go through the ordinary scan: bounds skip staged batches
+    locally {
+      import org.apache.spark.sql.sources._
+      val b = new MemScanBuilder(key, st.schema, Some(1L), None, Some("dev"))
+      b.pushFilters(Array[Filter](GreaterThanOrEqual("k", 4L)))
+      assert(b.build().asInstanceOf[MemScan].planInputPartitions().length === 1)
+    }
+    // publish: one main version per staged append, ref dropped
+    assert(spark.sql(s"CALL graft.fast_forward('$key', 'dev')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 3L)))
+    assert(rows(tbl) === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(spark.sql(s"CALL graft.table_history('$key')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((0L, "create"), (1L, "append"), (2L, "append"), (3L, "append")))
+    intercept[Exception](spark.table(br).collect()) // ref is gone
+    // a DIVERGED branch (main moved past its base) cannot publish
+    spark.sql(s"CALL graft.create_branch('$key', 'stale', 3)")
+    Seq((5L, 50L)).toDF("k", "v").coalesce(1).writeTo(s"graft.$key.branch_stale").append()
+    Seq((9L, 90L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v4: main moves
+    val divErr = intercept[Exception](
+      spark.sql(s"CALL graft.fast_forward('$key', 'stale')").collect())
+    assert(divErr.getMessage.contains("diverged"))
+    assert(rows(tbl).map(_._1) === Seq(1L, 2L, 3L, 4L, 9L))
+    // expiry refuses to age out a live branch's base; dropping unblocks it
+    val pinErr = intercept[Exception](
+      spark.sql(s"CALL graft.expire_snapshots('$key', 4)").collect())
+    assert(pinErr.getMessage.contains("branch"))
+    spark.sql(s"CALL graft.drop_branch('$key', 'stale')")
+    spark.sql(s"CALL graft.expire_snapshots('$key', 4)")
+    // invalid refs fail loudly
+    intercept[Exception](
+      spark.sql(s"CALL graft.create_branch('$key', 'dup', 99)").collect())
+    intercept[Exception](
+      spark.sql(s"CALL graft.drop_branch('$key', 'nope')").collect())
+    intercept[Exception](
+      spark.sql(s"CALL graft.fast_forward('$key', 'nope')").collect())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DSv2 MemTable: expire_older_than resolves a wall-clock retention horizon") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_expire_ts_spec"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)") // v0
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+    Seq(Tuple1(2L)).toDF("k").createOrReplaceTempView("expire_ts_src")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM expire_ts_src") // v2: v1's batch removed
+    Seq(Tuple1(3L)).toDF("k").coalesce(1).writeTo(tbl).append() // v3
+    val st = graft.sources.MemTables.get(key).get
+    def tsLit(micros: Long): String = {
+      val i = java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+      val f = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+      s"TIMESTAMP '${f.format(i)}'"
+    }
+    // horizon at exactly v2's stamp: snapshots stamped BEFORE it expire
+    val v2Stamp = st.versionTimes.find(_._1 == 2L).get._2
+    assert(spark.sql(
+      s"CALL graft.expire_older_than('$key', ${tsLit(v2Stamp)})")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    intercept[Exception](spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").collect())
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // a far-future instant keeps the newest version (never expires current)
+    spark.sql(s"CALL graft.expire_older_than('$key', ${tsLit(v2Stamp + 3600000000L)})")
+    assert(st.earliestVersion === 3L)
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // tag pins ride through the duration form too
+    Seq(Tuple1(4L)).toDF("k").coalesce(1).writeTo(tbl).append() // v4
+    spark.sql(s"CALL graft.create_tag('$key', 'keep', 3)")
+    val pinErr = intercept[Exception](
+      spark.sql(s"CALL graft.expire_older_than('$key', ${tsLit(v2Stamp + 7200000000L)})")
+        .collect())
+    assert(pinErr.getMessage.contains("keep"))
+    spark.sql(s"DROP TABLE $tbl")
   }
 
   test("DSv2 MemTable: rollback_table restores a retained snapshot as a new versioned op") {
