@@ -72,7 +72,15 @@ object ScaleRamp {
     "dsv2_cdc_dml",
     "dsv2_update_mor",
     "dsv2_delete_mor",
-    "dsv2_compact")
+    "dsv2_compact",
+    // read-path + rewrite family (round 11): data skipping must keep the
+    // selective read's cost ≈K (bounds prune at planning; the slice grows
+    // K×); the distributed sorted rewrite (compaction as a Spark job) and
+    // the streaming-upsert equality-delete publish both claim ≈linear
+    // warm factors under a K× fact ramp
+    "dsv2_selective_read",
+    "dsv2_rewrite_sorted",
+    "dsv2_delete_equality")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

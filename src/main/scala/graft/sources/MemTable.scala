@@ -98,6 +98,75 @@ object MemTables {
     def allNull: Boolean = nullCount == rowCount
   }
 
+  /** One EQUALITY-DELETE file (Iceberg's key-based delete variant — what
+    * streaming CDC upsert ingest writes when row positions are unknowable
+    * at write time): at `version`, every row of any OLDER batch whose key
+    * tuple is in `keys` is dead. The strictly-older rule (Iceberg's
+    * sequence-number rule) means the same commit's inserts are never
+    * self-deleted — which is exactly what makes an upsert epoch
+    * (delete-by-key + insert) one atomic version. Key values are stored
+    * canonicalized ([[canonKey]]) so probes compare across type widening.
+    */
+  final case class EqDelete(version: Long, keyCols: Seq[String], keys: Set[Seq[Any]])
+
+  /** Canonical form of one internal key value, so equality-delete probes
+    * survive type widening (int batch, bigint delete) and internal string
+    * representation: integrals → Long, floats → Double, UTF8String →
+    * String.
+    */
+  def canonKey(v: Any): Any = v match {
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => other
+  }
+
+  /** The EFFECTIVE kill map of one batch — positional DV entries merged
+    * with equality-delete matches (earliest kill version wins): position →
+    * version the row died at. Equality deletes apply only to batches
+    * strictly OLDER than themselves and at-or-before the batch's removal;
+    * key columns resolve through the same era/tombstone rules as scans (an
+    * unresolvable or NULL key never matches). Read paths filter the result
+    * by their bound snapshot; the change feed emits one row-level delete
+    * event per entry at its version. At 100 TB this probe is the reader-
+    * side anti-join every MoR table format pays on equality deletes,
+    * amortized here at planning.
+    */
+  def effectiveKills(
+      b: TaggedBatch, eqDeletes: Vector[EqDelete],
+      eras: Map[String, Vector[(Long, String)]],
+      droppedAt: Map[String, Long]): Map[Int, Long] = {
+    val applicable = eqDeletes
+      .filter(e => e.version > b.version && e.version <= b.removedAt)
+    if (applicable.isEmpty) b.dv
+    else {
+      val kills = scala.collection.mutable.Map.from(b.dv)
+      applicable.sortBy(_.version).foreach { e =>
+        val idx = e.keyCols.map(c =>
+          sourceFieldName(eras, droppedAt)(c, b.writeVersion)
+            .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1))
+        if (!idx.contains(-1)) {
+          val types = idx.map(b.schema.fields(_).dataType)
+          var p = 0
+          while (p < b.rows.length) {
+            if (!kills.contains(p) || kills(p) > e.version) {
+              val r = b.rows(p)
+              val tuple = idx.indices.map { j =>
+                if (r.isNullAt(idx(j))) null else canonKey(r.get(idx(j), types(j)))
+              }
+              if (!tuple.contains(null) && e.keys.contains(tuple))
+                kills(p) = math.min(kills.getOrElse(p, Long.MaxValue), e.version)
+            }
+            p += 1
+          }
+        }
+      }
+      kills.toMap
+    }
+  }
+
   /** Internal-value comparator per supported stats type; None = the type
     * keeps no bounds (scans treat its columns as un-skippable).
     */
@@ -333,6 +402,9 @@ object MemTables {
     // refuses to age out a tagged version (drop the tag first), so a
     // release tag is a durable replay handle, not a dangling pointer.
     @volatile var tags: Map[String, Long] = Map.empty
+    // EQUALITY DELETES ([[EqDelete]]), appended by streaming upsert
+    // epochs; applied at read against strictly-older batches
+    @volatile var eqDeletes: Vector[EqDelete] = Vector.empty
     // BRANCHES: named WRITABLE refs (the Iceberg ref model's other half,
     // `SELECT/INSERT ... <table>.branch_<name>`): staged appends on top of
     // a pinned base snapshot, invisible to main until `fast_forward`
@@ -379,12 +451,34 @@ object MemTables {
     * maps that to Spark's TableAlreadyExistsException so that
     * `CREATE TABLE IF NOT EXISTS` is a no-op, not a crash).
     */
+  /** Name of the table property selecting streaming UPSERT ingest: a
+    * comma-separated key-column list (the Iceberg identifier-fields /
+    * Flink upsert shape). Each streaming epoch then publishes one
+    * equality-delete over its rows' keys plus the inserts, atomically.
+    */
+  val UpsertKeysProp = "graft.upsert-keys"
+
   def create(key: String, schema: StructType,
       deleteMode: String = DeleteModeCow,
       props: Map[String, String] = Map.empty): Boolean = {
     if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
       throw new IllegalArgumentException(
         s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
+    props.get(UpsertKeysProp).foreach { ks =>
+      // upsert ingest is inherently merge-on-read (the delete is applied
+      // at read); rejecting the CoW combination here beats a silent
+      // append-only table that was asked to upsert
+      if (deleteMode != DeleteModeMor)
+        throw new IllegalArgumentException(
+          s"$UpsertKeysProp requires 'graft.delete-mode'='$DeleteModeMor'")
+      val cols = ks.split(',').map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty)
+        throw new IllegalArgumentException(s"$UpsertKeysProp must name at least one column")
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$UpsertKeysProp names unknown column(s): ${missing.mkString(", ")}")
+    }
     tables.putIfAbsent(key, new State(schema, deleteMode, props)).isEmpty
   }
 
@@ -407,6 +501,16 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-alter"))
     st.synchronized {
+      // upsert key columns are the table's identity: dropping or renaming
+      // one would silently re-key every future epoch's equality deletes
+      st.createProps.get(UpsertKeysProp).foreach { ks =>
+        val keys = ks.split(',').map(_.trim).toSet
+        val touched = keys.intersect(
+          (st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet) ++ renames.keySet)
+        if (touched.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot drop/rename upsert key column(s) ${touched.mkString(", ")} of $key")
+      }
       st.version += 1
       val dropped =
         st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet -- renames.keySet
@@ -672,8 +776,11 @@ object MemTables {
       def visibleAtTarget(b: TaggedBatch): Boolean =
         b.version <= toVersion && toVersion < b.removedAt
       def liveNow(b: TaggedBatch): Boolean = b.removedAt == Long.MaxValue
-      // DV entries recorded after the target are deletes the rollback undoes
-      def dvDrifted(b: TaggedBatch): Boolean = b.dv.exists(_._2 > toVersion)
+      def killsOf(b: TaggedBatch): Map[Int, Long] =
+        effectiveKills(b, st.eqDeletes, st.eras, st.droppedAt)
+      // row kills (DV entries OR equality-delete matches) recorded after
+      // the target are deletes the rollback undoes
+      def dvDrifted(b: TaggedBatch): Boolean = killsOf(b).exists(_._2 > toVersion)
       val toRemove = st.batches.filter(b => liveNow(b) &&
         (!visibleAtTarget(b) || dvDrifted(b)))
       val toRestore = st.batches.filter(b => visibleAtTarget(b) &&
@@ -683,7 +790,8 @@ object MemTables {
         st.version = v
         val removeIds = toRemove.map(_.batchId).toSet
         val restored = toRestore.flatMap { b =>
-          val deadAtTarget = b.deadAt(toVersion)
+          val deadAtTarget =
+            killsOf(b).collect { case (p, at) if at <= toVersion => p }.toSet
           val rows = if (deadAtTarget.isEmpty) b.rows
             else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
           if (rows.isEmpty) None
@@ -789,7 +897,7 @@ object MemTables {
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) b.schema.fields(s).dataType else schema.fields(j).dataType
         }
-        val dead = b.dv.keySet
+        val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt).keySet
         b.rows.iterator.zipWithIndex
           .filterNot { case (_, i) => dead.contains(i) }
           .map { case (r, _) =>
@@ -813,6 +921,42 @@ object MemTables {
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, projected.length.toLong, st.version)
+    }
+  }
+
+  /** Atomic publish of a DISTRIBUTED compaction ([[CompactTableProcedure]]
+    * stays the driver-fold; `CALL graft.rewrite_data_files` runs the
+    * rewrite as a SPARK JOB — scan the current snapshot through the
+    * ordinary read path, optionally range-partition + sort, buffer
+    * task-side, publish here): soft-remove every live batch and commit
+    * the job's task batches at one new CDC-invisible version. Optimistic
+    * concurrency like [[replaceBatches]]: a commit interleaving the
+    * rewrite job rejects the publish (the rewrite re-runs), never loses
+    * an update. Returns (batches compacted, rows written, version).
+    */
+  def publishCompaction(
+      key: String,
+      expectedVersion: Long,
+      writeSchema: StructType,
+      batches: Seq[Array[InternalRow]]): (Long, Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-compaction"))
+    st.synchronized {
+      if (st.version != expectedVersion)
+        throw new IllegalStateException(
+          s"mem table $key: concurrent commit detected — the rewrite job read " +
+            s"version $expectedVersion but the table is now at ${st.version}; " +
+            "publishing would erase the interleaved commit. Re-run the rewrite.")
+      val live = st.batches.filter(_.removedAt == Long.MaxValue)
+      st.version += 1
+      st.batches = st.batches.map(b =>
+        if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b) ++
+        batches.filter(_.nonEmpty).map(rs =>
+          TaggedBatch(writeSchema, st.version, st.version, rs,
+            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+      st.compactionVersions += st.version
+      st.stamp("compact")
+      (live.size.toLong, batches.iterator.map(_.length.toLong).sum, st.version)
     }
   }
 
@@ -942,6 +1086,56 @@ object MemTables {
           batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
             batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
+      }
+    }
+  }
+
+  /** Streaming UPSERT epoch publish (tables created with
+    * [[UpsertKeysProp]]): one atomic version carrying an EQUALITY DELETE
+    * over the epoch's key set plus the epoch's inserts — the Flink→Iceberg
+    * upsert-ingest shape, where positions of the replaced rows are
+    * unknowable at write time so the delete is key-based and applied at
+    * read ([[effectiveKills]]). The strictly-older rule means the epoch
+    * never deletes its own inserts; duplicate keys WITHIN one epoch are
+    * therefore kept (the industry contract: upsert dedup is per
+    * checkpoint/epoch boundary, in-epoch ordering is the producer's job).
+    * Key tuples containing NULL never match (SQL equality), so null-keyed
+    * rows are plain appends. Idempotent per (queryId, epochId) like
+    * [[commitEpoch]]. Write cost is O(epoch rows) — no old batch is read
+    * or touched at write time.
+    */
+  def commitEpochUpsert(
+      key: String,
+      queryId: String,
+      epochId: Long,
+      writeSchema: StructType,
+      keyCols: Seq[String],
+      batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-write"))
+    st.synchronized {
+      val done = st.committedEpochs.getOrElse(queryId, Set.empty)
+      if (!done.contains(epochId)) {
+        st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
+        st.version += 1
+        val idx = keyCols.map(c => writeSchema.fieldNames.indexOf(c))
+        if (idx.contains(-1))
+          throw new IllegalStateException(
+            s"mem table $key: upsert write schema ${writeSchema.fieldNames.mkString(",")} " +
+              s"lacks key column(s) ${keyCols.mkString(",")}")
+        val types = idx.map(writeSchema.fields(_).dataType)
+        val keys = batches.iterator.flatMap(_.iterator).map { r =>
+          val tuple: Seq[Any] = idx.indices.map { j =>
+            if (r.isNullAt(idx(j))) null else canonKey(r.get(idx(j), types(j)))
+          }
+          tuple
+        }.filterNot(_.contains(null)).toSet
+        if (keys.nonEmpty)
+          st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
+        st.batches = st.batches ++
+          batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
+            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+        st.stamp("stream-upsert")
       }
     }
   }
@@ -1081,8 +1275,9 @@ object MemTables {
       val deadByBatch: Map[Long, Array[Int]] = st.batches.iterator
         .filter(_.removedAt == Long.MaxValue)
         .map { b =>
+          val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
           b.batchId -> b.rows.zipWithIndex.collect {
-            case (r, i) if !b.dv.contains(i) && matchesAll(b, r) => i
+            case (r, i) if !dead.contains(i) && matchesAll(b, r) => i
           }
         }
         .filter(_._2.nonEmpty).toMap
@@ -1388,10 +1583,11 @@ final class MemScan(
   private def selectBatches(): (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches, branchesNow) =
+    val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches,
+        branchesNow, eqDeletesNow) =
       st.synchronized {
         (st.version, st.earliestVersion, st.history, st.droppedAt, st.eras,
-          st.batches, st.branches)
+          st.batches, st.branches, st.eqDeletes)
       }
     // a snapshot expired between loadTable and scan planning must fail
     // loudly, not read the partial remains of its batches — validated
@@ -1408,8 +1604,8 @@ final class MemScan(
     val meta = asOf match {
       case Some(v) =>
         val h = history.filter(_.version <= v).last
-        MemScan.BoundMeta(h.droppedAt, h.eras)
-      case None => MemScan.BoundMeta(droppedAtCur, erasCur)
+        MemScan.BoundMeta(h.droppedAt, h.eras, eqDeletesNow)
+      case None => MemScan.BoundMeta(droppedAtCur, erasCur, eqDeletesNow)
     }
     val droppedAt = meta.droppedAt
     // snapshot visibility: a batch exists in AS OF v iff committed at or
@@ -1466,9 +1662,13 @@ final class MemScan(
     * real numbers instead of falling back to default sizing.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val (_, _, visible) = selectBatches()
+    val (_, meta, visible) = selectBatches()
     val bound = asOf.getOrElse(Long.MaxValue)
-    val rows = visible.iterator.map(b => (b.rows.length - b.deadAt(bound).size).toLong).sum
+    val rows = visible.iterator.map { b =>
+      val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
+        .count(_._2 <= bound)
+      (b.rows.length - dead).toLong
+    }.sum
     val bytes = rows * math.max(1, boundSchema.defaultSize).toLong
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -1509,8 +1709,9 @@ final class MemScan(
     // version) and shipped in the partition for the reader to skip
     val bound = asOf.getOrElse(Long.MaxValue)
     visible.zip(srcMaps).map { case (b, srcNames) =>
-      MemPartition(b.schema, b.version, srcNames, b.rows,
-        b.deadAt(bound), b.batchId): InputPartition
+      val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
+        .collect { case (p, at) if at <= bound => p }.toSet
+      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId): InputPartition
     }.toArray
   }
 
@@ -1591,7 +1792,8 @@ object MemScan {
     * version (current for ordinary reads).
     */
   final case class BoundMeta(
-      droppedAt: Map[String, Long], eras: Map[String, Vector[(Long, String)]])
+      droppedAt: Map[String, Long], eras: Map[String, Vector[(Long, String)]],
+      eqDeletes: Vector[MemTables.EqDelete] = Vector.empty)
 
   /** Era/tombstone-resolved source-field name of one bound column within a
     * batch — None when the column reads NULL there (see
@@ -1796,12 +1998,25 @@ final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: Strin
 final class MemStreamingWrite(
     key: String, queryId: String, truncate: Boolean, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // tables created with graft.upsert-keys take the UPSERT ingest path:
+  // each Append-mode epoch publishes equality-delete(epoch keys) + inserts
+  // atomically ([[MemTables.commitEpochUpsert]]); Complete-mode (truncate)
+  // epochs already replace the table, so they stay plain overwrites
+  private val upsertKeys: Option[Seq[String]] =
+    MemTables.get(key).flatMap(_.createProps.get(MemTables.UpsertKeysProp))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new MemStreamingWriterFactory
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema,
-      messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq
+    upsertKeys match {
+      case Some(ks) if !truncate =>
+        MemTables.commitEpochUpsert(key, queryId, epochId, writeSchema, ks, rows)
+      case _ =>
+        MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema, rows)
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -1933,8 +2148,8 @@ object MemChangesSource {
     // each micro-batch window long after bind, and an expire_snapshots
     // interleaved since then must fail the read loudly, never let it
     // silently emit the surviving fraction of the window's events
-    val (batches, hist, compactions, earliest) = st.synchronized {
-      (st.batches, st.history, st.compactionVersions, st.earliestVersion)
+    val (batches, hist, compactions, earliest, eqDeletes) = st.synchronized {
+      (st.batches, st.history, st.compactionVersions, st.earliestVersion, st.eqDeletes)
     }
     if (from < earliest)
       throw new IllegalStateException(
@@ -1947,6 +2162,10 @@ object MemChangesSource {
     val dataSchema = metaAt.schema
     def srcMap(b: MemTables.TaggedBatch): Map[String, String] =
       MemScan.srcMapOf(dataSchema, b, meta)
+    // positional DV entries merged with equality-delete matches — one
+    // uniform row-level kill map per batch (position -> death version)
+    def killsOf(b: MemTables.TaggedBatch): Map[Int, Long] =
+      MemTables.effectiveKills(b, eqDeletes, metaAt.eras, metaAt.droppedAt)
     // COMPACTION versions are physical reorganizations with zero logical
     // change — their batch replacements are invisible to the feed (the
     // Iceberg replace-snapshot rule); DV delete events are untouched
@@ -1966,16 +2185,17 @@ object MemChangesSource {
       .filter(b => b.removedAt > from && b.removedAt <= to &&
         !compactions.contains(b.removedAt))
       .map { b =>
+        val kills = killsOf(b)
         val alive =
-          if (b.dv.isEmpty) b.rows
-          else b.rows.indices.filterNot(b.dv.contains).map(b.rows).toArray
+          if (kills.isEmpty) b.rows
+          else b.rows.indices.filterNot(kills.contains).map(b.rows).toArray
         MemChangesPartition(b.schema, srcMap(b), alive, insert = false, b.removedAt)
       }
     // merge-on-read deletes are ROW-level events at the version their DV
     // entry was recorded — the change feed a DV table produces is finer
     // than the batch remove+reinsert log of a copy-on-write rewrite
     val dvDeletes = batches.flatMap { b =>
-      b.dv.toSeq
+      killsOf(b).toSeq
         .filter { case (_, at) => at > from && at <= to }
         .groupBy(_._2).toSeq.map { case (at, entries) =>
           MemChangesPartition(b.schema, srcMap(b),

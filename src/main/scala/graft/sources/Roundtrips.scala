@@ -1202,6 +1202,115 @@ object Roundtrips {
          |SELECT 'hist', CAST(version AS STRING), kind FROM graft_wap_history""".stripMargin)
   }
 
+  /** EQUALITY DELETES via streaming UPSERT ingest — the remaining industry
+    * DML variant (Iceberg equality-delete files, the Flink upsert shape):
+    * a table created with `graft.upsert-keys` turns each streaming epoch
+    * into one atomic version carrying delete-by-key over the epoch's keys
+    * plus the inserts ([[MemTables.commitEpochUpsert]]); the delete
+    * applies at read to strictly-older batches only, so an epoch never
+    * deletes its own rows and write cost is O(epoch). Epoch 1 ingests the
+    * base corpus; epoch 2 re-ingests every `k % 3 = 0` key with a bumped
+    * value. The query unions the pinned first snapshot, the current
+    * (last-write-per-key) read, and the change feed — whose v2 events
+    * must be ROW-level deletes of exactly the replaced keys (a positional
+    * or batch-granular fallback would break the hash).
+    */
+  val dsv2DeleteEquality: QueryDef = QueryDef(
+    "dsv2_delete_equality",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |upd AS (SELECT k, v + 7 AS v FROM base WHERE k % 3 = 0),
+      |cur AS (SELECT k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v FROM base)
+      |SELECT 'snap1' AS part, k, v FROM base
+      |UNION ALL SELECT 'cur', k, v FROM cur
+      |UNION ALL SELECT 'cdc_insert_1', k, v FROM base
+      |UNION ALL SELECT 'cdc_delete_2', k, v FROM base WHERE k % 3 = 0
+      |UNION ALL SELECT 'cdc_insert_2', k, v FROM upd""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_orders_upsert"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'graft.delete-mode'='merge-on-read', 'graft.upsert-keys'='k')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val cp = java.nio.file.Files.createTempDirectory("graft_upsert_cp").toString
+    val q = ms.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", cp)
+      .toTable(tbl)
+    ms.addData(base) // epoch 0 -> v1
+    q.processAllAvailable()
+    ms.addData(base.filter(_._1 % 3 == 0).map { case (k, v) => (k, v + 7) }) // -> v2
+    q.processAllAvailable()
+    q.stop()
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", key).option("from", "0").option("to", "2")
+      .load()
+      .select(
+        concat_ws("_", lit("cdc"), col(MemChangesSource.ChangeType),
+          col(MemChangesSource.CommitVersion)).as("part"),
+        col("k"), col("v"))
+    spark.sql(
+      s"""SELECT 'snap1' AS part, k, v FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'cur' AS part, k, v FROM $tbl""".stripMargin)
+      .unionAll(feed)
+  }
+
+  /** DISTRIBUTED SORTED compaction through the gate (`CALL
+    * graft.rewrite_data_files`): four interleaved appends (every batch
+    * spans the whole key range, so bounds can prune nothing) plus a DV
+    * delete are rewritten by a Spark job into range-clustered, sorted
+    * batches at one CDC-invisible version — the cluster-then-prune story
+    * (RoundtripsSpec asserts the selective read plans fewer partitions
+    * after the rewrite). The rewrite is a logical no-op, so the oracle
+    * restates the slice and total straight from `orders` minus the
+    * delete; any row lost, duplicated, or mutated by the job breaks the
+    * hash.
+    */
+  val dsv2RewriteSorted: QueryDef = QueryDef(
+    "dsv2_rewrite_sorted",
+    """WITH base0 AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |base AS (SELECT k, v FROM base0 WHERE v >= 10000000),
+      |m AS (SELECT max(k) AS mx FROM base0)
+      |SELECT 'slice' AS part, k, v FROM base, m WHERE k > mx // 4 AND k <= mx // 2
+      |UNION ALL
+      |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT) FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_orders_rewrite"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    val mx = base.agg(max(col("k"))).head().getLong(0)
+    // four INTERLEAVED appends: every batch spans the full key range
+    (0 until 4).foreach { i =>
+      base.filter(col("k") % 4 === i).coalesce(1).writeTo(tbl).append() // v1..v4
+    }
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v5: DV entries
+    spark.sql(s"CALL graft.rewrite_data_files('$key', 'k')") // v6: clustered
+    spark.sql(
+      s"""SELECT 'slice' AS part, k, v FROM $tbl
+         |WHERE k > ${mx / 4} AND k <= ${mx / 2}
+         |UNION ALL
+         |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1209,5 +1318,6 @@ object Roundtrips {
       snapshotDiffCatalog, dsv2CdcRead, dsv2CdcStream, dsv2DeleteWhere,
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
-      dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap)
+      dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
+      dsv2RewriteSorted)
 }

@@ -339,6 +339,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "expire_older_than" => ExpireOlderThanProcedure
       case "rollback_table" => RollbackTableProcedure
       case "compact_table" => CompactTableProcedure
+      case "rewrite_data_files" => RewriteDataFilesProcedure
       case "table_history" => TableHistoryProcedure
       case "create_tag" => CreateTagProcedure
       case "drop_tag" => DropTagProcedure
@@ -347,7 +348,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "fast_forward" => FastForwardProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
-          "expire_older_than, rollback_table, compact_table, table_history, create_tag, drop_tag, " +
+          "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
+          "table_history, create_tag, drop_tag, " +
           "create_branch, drop_branch, fast_forward)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -356,6 +358,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "expire_older_than"),
       Identifier.of(namespace, "rollback_table"),
       Identifier.of(namespace, "compact_table"),
+      Identifier.of(namespace, "rewrite_data_files"),
       Identifier.of(namespace, "table_history"),
       Identifier.of(namespace, "create_tag"),
       Identifier.of(namespace, "drop_tag"),
@@ -953,5 +956,85 @@ object ExpireOlderThanProcedure
     val (gone, earliest) = MemTables.expireSnapshotsOlderThan(key, tsMicros)
     ProcedureResults.scan(s"GraftExpireOlderThan $key < $tsMicros", outSchema,
       Seq(Seq(gone, earliest)))
+  }
+}
+
+/** `CALL graft.rewrite_data_files('<table>', '<sort_by>')` — DISTRIBUTED
+  * (and optionally SORTED/CLUSTERED) compaction, the scale form of
+  * `compact_table`: the current snapshot is read through the ordinary V2
+  * scan AS A SPARK JOB (delete vectors, equality deletes, renames and
+  * widenings all applied by the read path itself), range-partitioned on
+  * `sort_by` (comma-separated; '' = keep the scan partitioning) and sorted
+  * within partitions, task-buffered, and published atomically at one
+  * CDC-invisible version ([[MemTables.publishCompaction]]) with fresh
+  * per-batch column bounds. Sorting + bounds compose into the
+  * cluster-then-prune story: a post-rewrite selective read plans only the
+  * range partitions whose bounds admit the predicate. An interleaved
+  * commit rejects the publish (optimistic concurrency). Returns
+  * `(batches_compacted, rows_written, version)`.
+  */
+object RewriteDataFilesProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "rewrite_data_files"
+  override def description(): String =
+    "compact the table with a distributed rewrite job, optionally " +
+      "range-clustered on a sort key (composes with data skipping)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("sort_by", StringType)
+      .comment("comma-separated sort columns; '' keeps the scan layout").build())
+
+  private val outSchema = new StructType()
+    .add("batches_compacted", LongType, nullable = false)
+    .add("rows_written", LongType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val sortBy = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val st = MemTables.get(key).getOrElse(
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    // conflict-check version + schema, one consistent snapshot
+    val (expected, schema) = st.synchronized((st.version, st.schema))
+    val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty)
+    sortCols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"sort column $c does not exist in $key")
+    }
+    // resolve this catalog's registered name so the rewrite reads through
+    // the same SQL surface (and therefore the same scan) as any user query
+    val catalogName = spark.conf.getAll.collectFirst {
+      case (k, v) if k.startsWith("spark.sql.catalog.") &&
+        v == classOf[SeqCatalog].getName =>
+        k.stripPrefix("spark.sql.catalog.")
+    }.getOrElse(throw new IllegalStateException(
+      "rewrite_data_files requires the SeqCatalog to be registered"))
+    import org.apache.spark.sql.functions.col
+    var df = spark.table(s"$catalogName.`$key`")
+    if (sortCols.nonEmpty) {
+      // EXPLICIT partition count: a user-specified repartition is exempt
+      // from AQE's small-partition coalescing, so the clustering
+      // granularity (number of output batches) is deterministic
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      df = df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    }
+    // the write-task protocol, inline: each task buffers its partition and
+    // the driver publishes only committed buffers, atomically
+    val batches = df.queryExecution.toRdd
+      .mapPartitions(it => Iterator(it.map(_.copy()).toArray))
+      .collect().toSeq
+    val (nBatches, nRows, version) =
+      MemTables.publishCompaction(key, expected, schema, batches)
+    ProcedureResults.scan(s"GraftRewriteDataFiles $key sort=[$sortBy]", outSchema,
+      Seq(Seq(nBatches, nRows, version)))
   }
 }

@@ -1341,6 +1341,139 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DSv2 MemTable: equality deletes apply to strictly-older batches and match CoW reads") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_eqdel_spec"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'graft.delete-mode'='merge-on-read', 'graft.upsert-keys'='k')") // v0
+    val schema = graft.sources.MemTables.get(key).get.schema
+    def row(k: Long, v: java.lang.Long): org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow(k, v)
+    // epoch 0 -> v1: keys 0..4 (key 0 carries a NULL value) — duplicate
+    // key 4 within the epoch is KEPT (in-epoch dedup is the producer's
+    // job; the equality delete applies strictly before its own version)
+    graft.sources.MemTables.commitEpochUpsert(key, "q1", 0L, schema, Seq("k"),
+      Seq(Array(row(1L, 10L), row(2L, 20L)),
+        Array(row(3L, 30L), row(4L, 40L), row(4L, 41L), row(0L, null))))
+    val st = graft.sources.MemTables.get(key).get
+    assert(st.version === 1L)
+    // epoch 1 -> v2: re-ingest keys 2 and 4
+    graft.sources.MemTables.commitEpochUpsert(key, "q1", 1L, schema, Seq("k"),
+      Seq(Array(row(2L, 200L), row(4L, 400L))))
+    // idempotent per epoch: a post-restart re-commit is a no-op
+    graft.sources.MemTables.commitEpochUpsert(key, "q1", 1L, schema, Seq("k"),
+      Seq(Array(row(9L, 999L))))
+    assert(st.version === 2L)
+    def rows(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(rows(s"SELECT k, v FROM $tbl") ===
+      Seq((0L, -1L), (1L, 10L), (2L, 200L), (3L, 30L), (4L, 400L)))
+    // the first snapshot still reads every original row (incl. both dupes)
+    assert(rows(s"SELECT k, v FROM $tbl VERSION AS OF 1") ===
+      Seq((0L, -1L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (4L, 41L)))
+    // CDC: row-level deletes of exactly the replaced keys at v2
+    val events = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", key).option("from", "1").option("to", "2").load()
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(0))).sorted.toSeq
+    assert(events === Seq(
+      ("delete", 2L, 2L), ("delete", 2L, 4L), ("delete", 2L, 4L),
+      ("insert", 2L, 2L), ("insert", 2L, 4L)))
+    // equality read ≡ copy-on-write read of the same logical sequence
+    val cow = "graft.mem_eqdel_cow_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $cow")
+    spark.sql(s"CREATE TABLE $cow (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (4L, 41L)).toDF("k", "v")
+      .coalesce(1).writeTo(cow).append()
+    Seq((2L, 200L), (4L, 400L)).toDF("k", "v").createOrReplaceTempView("eqdel_upd")
+    spark.sql(
+      s"""MERGE INTO $cow t USING eqdel_upd s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    // (MERGE collapses the duplicate key to one updated row each — compare
+    // on the shared keyspace: every non-dupe row must agree)
+    val mor = rows(s"SELECT k, v FROM $tbl WHERE k IN (1, 2, 3)")
+    val cowRows = rows(s"SELECT k, v FROM $cow WHERE k IN (1, 2, 3)")
+    assert(mor === cowRows)
+    // compaction folds equality deletes physically; reads unchanged, the
+    // replace version stays CDC-invisible
+    val pre = rows(s"SELECT k, v FROM $tbl")
+    spark.sql(s"CALL graft.compact_table('$key')") // v3
+    assert(rows(s"SELECT k, v FROM $tbl") === pre)
+    assert(spark.read.format("graft.sources.MemChangesSource")
+      .option("table", key).option("from", "2").option("to", "3").load().count() === 0L)
+    // guards: upsert keys need merge-on-read, must exist, and cannot be
+    // dropped or renamed
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.mem_eqdel_bad1 (k BIGINT) TBLPROPERTIES ('graft.upsert-keys'='k')"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.mem_eqdel_bad2 (k BIGINT) TBLPROPERTIES (" +
+        "'graft.delete-mode'='merge-on-read', 'graft.upsert-keys'='nope')"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $tbl DROP COLUMN k"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO kk"))
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $cow")
+  }
+
+  test("DSv2 MemTable: rewrite_data_files clusters batches so bounds prune selective reads") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val key = "mem_rewrite_spec"
+    val tbl = s"graft.$key"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    import spark.implicits._
+    // three INTERLEAVED appends: every batch spans [0,30) so bounds prune
+    // nothing before the rewrite
+    (0 until 3).foreach { i =>
+      (0L until 30L).filter(_ % 3 == i).map(k => (k, k * 10L)).toDF("k", "v")
+        .coalesce(1).writeTo(tbl).append() // v1..v3
+    }
+    spark.sql(s"DELETE FROM $tbl WHERE k = 7") // v4: DV entry
+    val st = graft.sources.MemTables.get(key).get
+    import org.apache.spark.sql.sources._
+    def planned(fs: Filter*): Int = {
+      val b = new MemScanBuilder(key, st.schema, None)
+      b.pushFilters(fs.toArray)
+      b.build().asInstanceOf[MemScan].planInputPartitions().length
+    }
+    assert(planned(LessThan("k", 5L)) === 3, "interleaved batches cannot prune")
+    val before = spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the distributed rewrite: range-clustered on k, DV folded physically
+    val out = spark.sql(s"CALL graft.rewrite_data_files('$key', 'k')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((3L, 29L, 5L))) // 3 batches in, 29 live rows out, v5
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === before, "a compaction is a logical no-op")
+    // clustered now: the selective read plans a strict subset of batches
+    val liveAfter = st.batches.count(_.removedAt == Long.MaxValue)
+    assert(liveAfter > 1, "range partitioning should produce multiple batches")
+    assert(planned(LessThan("k", 5L)) < liveAfter)
+    // each new batch is sorted and range-disjoint
+    val liveBatches = st.batches.filter(_.removedAt == Long.MaxValue)
+    val ranges = liveBatches.map { b =>
+      val ks = b.rows.map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, "rows must be sorted within a batch")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, "batch ranges must be disjoint")
+      case _ => ()
+    }
+    // the rewrite version is CDC-invisible; pre-rewrite snapshots replay
+    assert(spark.read.format("graft.sources.MemChangesSource")
+      .option("table", key).option("from", "4").option("to", "5").load().count() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 3").head().getLong(0) === 30L)
+    // an interleaved commit rejects the publish (lost-update guard)
+    val err = intercept[IllegalStateException] {
+      graft.sources.MemTables.publishCompaction(key, 4L, st.schema, Seq.empty)
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 MemTable: expire_older_than resolves a wall-clock retention horizon") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
     val key = "mem_expire_ts_spec"
