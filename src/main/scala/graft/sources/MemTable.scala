@@ -77,12 +77,113 @@ object MemTables {
       schema: StructType, version: Long, writeVersion: Long,
       rows: Array[InternalRow], removedAt: Long = Long.MaxValue,
       dv: Map[Int, Long] = Map.empty, batchId: Long = -1L,
-      stats: Map[String, ColStats] = Map.empty) {
+      stats: Map[String, ColStats] = Map.empty,
+      part: Seq[Any] = Nil) {
     /** Positions hidden at snapshot version `v` (current = Long.MaxValue). */
     def deadAt(v: Long): Set[Int] =
       if (dv.isEmpty) Set.empty
       else dv.collect { case (pos, at) if at <= v => pos }.toSet
   }
+
+  /** One field of a table's PARTITION SPEC (`CREATE TABLE ... PARTITIONED
+    * BY (...)`) — the two transforms a mem table hosts:
+    *
+    *  - [[IdentityPart]] — hive-style value partitioning: every batch holds
+    *    rows of ONE column value;
+    *  - [[BucketPart]] — hash bucketing: rows land in `pmod(hash(col), n)`,
+    *    bounding the partition count regardless of key cardinality (the
+    *    high-cardinality layout every co-located 100 TB join uses).
+    *
+    * Partition values are stored per batch ([[TaggedBatch.part]]) — the
+    * manifest-level partition tuple of a real table format — and drive
+    * three planner integrations: exact partition PRUNING at scan planning
+    * (stronger than min/max bounds for bucketing: `k = 5` keeps one bucket
+    * even though each bucket's k-range spans the domain), storage-
+    * partitioned JOINS (the scan reports `KeyGroupedPartitioning`, so two
+    * co-partitioned tables join with ZERO shuffle), and clustered WRITE
+    * distribution (the write requests rows clustered by the partition
+    * expressions, so each task produces whole partitions).
+    */
+  sealed trait PartField { def col: String }
+  final case class IdentityPart(col: String) extends PartField
+  final case class BucketPart(n: Int, col: String) extends PartField
+
+  /** The bucket function: Knuth multiplicative hash of the column's
+    * canonical value, folded into [0, n). Deterministic across JVMs
+    * (integral math + UTF8 byte sum only), shared verbatim by the write
+    * split and the planning-time pruning — the one invariant bucketing
+    * needs. NULL buckets to 0 (a fixed, documented slot, as in Hive).
+    */
+  def bucketOf(v: Any, n: Int): Int = {
+    val h = canonKey(v) match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue
+      case s: String => // deterministic string fold (UTF-8 bytes, 31-mix)
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foldLeft(0L)((acc, b) => acc * 31L + (b & 0xffL))
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d.doubleValue)
+      case b: java.lang.Boolean => if (b) 1L else 0L
+      case other => other.hashCode.toLong
+    }
+    (((h * 2654435761L) & 0x7fffffffL) % n).toInt
+  }
+
+  /** The spec as V2 transforms — what `Table.partitioning()` reports (so
+    * `DESCRIBE` shows the layout) and what the scan's reported clustering
+    * and the write's required distribution are both expressed in.
+    */
+  def toTransforms(spec: Seq[PartField]):
+      Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spec.map {
+      case IdentityPart(c) => Expressions.identity(c)
+      case BucketPart(n, c) => Expressions.bucket(n, c)
+    }.toArray
+  }
+
+  /** The partition tuple of one row under a spec (internal values for
+    * identity fields — the type is pinned at create, see the alter guard —
+    * and Integer bucket ids for bucket fields).
+    */
+  def partTupleOf(
+      spec: Seq[PartField], schema: StructType, row: InternalRow): Seq[Any] =
+    spec.map { pf =>
+      val i = schema.fieldNames.indexOf(pf.col)
+      if (i < 0)
+        throw new IllegalStateException(
+          s"write schema ${schema.fieldNames.mkString(",")} lacks partition column ${pf.col}")
+      val v = if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType)
+      pf match {
+        case IdentityPart(_) => v
+        case BucketPart(n, _) => Integer.valueOf(bucketOf(v, n))
+      }
+    }
+
+  /** Split one task batch into PARTITION-PURE row groups (insertion-
+    * ordered, so unpartitioned tables — spec `Nil` — pass through as one
+    * group with the empty tuple). This is the ONE choke point every
+    * publish path (append, overwrite, streaming epoch, DML replacement,
+    * delta insert, compaction, branch stage) routes its rows through, so a
+    * partitioned table can never hold a mixed batch. At 100 TB the same
+    * split rides each write task (one file per partition value per task —
+    * the file-sink shape) with the write's clustered distribution keeping
+    * the per-task partition count small; the publish-side placement here
+    * is identical because this table's rows materialize at the driver
+    * anyway.
+    */
+  def splitByPartition(
+      spec: Seq[PartField], schema: StructType,
+      rows: Array[InternalRow]): Seq[(Seq[Any], Array[InternalRow])] =
+    if (spec.isEmpty) Seq((Nil, rows))
+    else {
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[InternalRow]]
+      rows.foreach { r =>
+        groups.getOrElseUpdate(partTupleOf(spec, schema, r),
+          scala.collection.mutable.ArrayBuffer.empty) += r
+      }
+      groups.iterator.map { case (k, v) => (k, v.toArray) }.toSeq
+    }
 
   /** Per-batch, per-column DATA-SKIPPING bounds (the mem-table analogue of
     * Iceberg manifest column bounds / parquet row-group stats): min/max of
@@ -257,6 +358,36 @@ object MemTables {
     }
   }
 
+  /** Can any row of a batch with partition tuple `part` satisfy `f`, by
+    * the BUCKET fields of the spec? (Identity fields need no special case:
+    * an identity-pure batch's column stats are the exact singleton
+    * min=max=value, so [[mayMatch]] already prunes them.) Bucket pruning is
+    * the case bounds can't serve — each bucket's raw-value range spans the
+    * whole domain, but `k = 5` still keeps exactly the `bucketOf(5, n)`
+    * batches. Same conservative contract as [[mayMatch]]: `false` only on
+    * a definitive mismatch, and every filter stays a residual.
+    */
+  def bucketMayMatch(f: Filter, spec: Seq[PartField], part: Seq[Any]): Boolean = {
+    def bucketAt(c: String): Option[(Int, Int)] = // (numBuckets, batch's bucket id)
+      spec.zipWithIndex.collectFirst {
+        case (BucketPart(n, col), i) if col == c => (n, part(i).asInstanceOf[Int])
+      }
+    f match {
+      case EqualTo(c, v) => bucketAt(c).forall { case (n, id) =>
+        v != null && bucketOf(v, n) == id
+      }
+      case In(c, vs) => bucketAt(c).forall { case (n, id) =>
+        vs.exists(v => v != null && bucketOf(v, n) == id)
+      }
+      case And(l, r) =>
+        bucketMayMatch(l, spec, part) && bucketMayMatch(r, spec, part)
+      case Or(l, r) =>
+        bucketMayMatch(l, spec, part) || bucketMayMatch(r, spec, part)
+      case AlwaysFalse() => false
+      case _ => true // ranges/NOT/unknown shapes: a hash layout can't prune
+    }
+  }
+
   /** One point of the table's metadata timeline, written on create and on
     * every ALTER: the schema in force from `version` onward, the tombstone
     * map, and the field-ERA map as of that version — what a `VERSION AS
@@ -352,7 +483,8 @@ object MemTables {
 
   final class State(
       initialSchema: StructType, val deleteMode: String = DeleteModeCow,
-      val createProps: Map[String, String] = Map.empty) {
+      val createProps: Map[String, String] = Map.empty,
+      val partitioning: Seq[PartField] = Nil) {
     @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; truncate soft-deletes via removedAt
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
@@ -460,10 +592,30 @@ object MemTables {
 
   def create(key: String, schema: StructType,
       deleteMode: String = DeleteModeCow,
-      props: Map[String, String] = Map.empty): Boolean = {
+      props: Map[String, String] = Map.empty,
+      partitioning: Seq[PartField] = Nil): Boolean = {
     if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
       throw new IllegalArgumentException(
         s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
+    partitioning.foreach { pf =>
+      val f = schema.fields.find(_.name == pf.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column ${pf.col} does not exist in the table schema"))
+      // the partition tuple is part of every batch's identity and the
+      // scan's reported clustering — its type must be one the canonical
+      // key/bucket machinery and the V2 partition-key row both handle
+      if (statsComparator(f.dataType).isEmpty)
+        throw new IllegalArgumentException(
+          s"partition column ${pf.col} has unsupported type ${f.dataType.simpleString}")
+      pf match {
+        case BucketPart(n, _) if n <= 0 =>
+          throw new IllegalArgumentException(s"bucket count must be positive, got $n")
+        case _ => ()
+      }
+    }
+    if (partitioning.map(_.col).distinct.length != partitioning.length)
+      throw new IllegalArgumentException(
+        s"duplicate partition column in ${partitioning.map(_.col).mkString(", ")}")
     props.get(UpsertKeysProp).foreach { ks =>
       // upsert ingest is inherently merge-on-read (the delete is applied
       // at read); rejecting the CoW combination here beats a silent
@@ -479,10 +631,23 @@ object MemTables {
         throw new IllegalArgumentException(
           s"$UpsertKeysProp names unknown column(s): ${missing.mkString(", ")}")
     }
-    tables.putIfAbsent(key, new State(schema, deleteMode, props)).isEmpty
+    tables.putIfAbsent(key, new State(schema, deleteMode, props, partitioning)).isEmpty
   }
 
   def get(key: String): Option[State] = tables.get(key)
+
+  /** Materialize one task batch's rows as committed [[TaggedBatch]]es at
+    * `version`: partition-split (one batch per partition tuple — a no-op
+    * single group for unpartitioned tables), stats computed, ids minted.
+    * Callers hold the table monitor (mintBatchId requires it).
+    */
+  private def mkBatches(
+      st: State, writeSchema: StructType, rs: Array[InternalRow],
+      version: Long): Seq[TaggedBatch] =
+    splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+      TaggedBatch(writeSchema, version, version, rows,
+        batchId = st.mintBatchId(), stats = statsOf(writeSchema, rows), part = pt)
+    }
 
   def drop(key: String): Boolean = tables.remove(key).isDefined
 
@@ -510,6 +675,27 @@ object MemTables {
         if (touched.nonEmpty)
           throw new IllegalArgumentException(
             s"cannot drop/rename upsert key column(s) ${touched.mkString(", ")} of $key")
+      }
+      // partition columns are the table's LAYOUT identity: every committed
+      // batch's partition tuple, the scan's reported clustering, and the
+      // bucket hash are all typed against them — dropping, renaming, or
+      // retyping one would silently re-key the layout (Iceberg evolves
+      // specs by versioning them; we reject, which is the honest subset)
+      if (st.partitioning.nonEmpty) {
+        val pcols = st.partitioning.map(_.col).toSet
+        val dropped = pcols.intersect(
+          (st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet) ++ renames.keySet)
+        if (dropped.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot drop/rename partition column(s) ${dropped.mkString(", ")} of $key")
+        val retyped = pcols.filter { c =>
+          val oldT = st.schema.fields.find(_.name == c).map(_.dataType)
+          val newT = newSchema.fields.find(_.name == c).map(_.dataType)
+          oldT.isDefined && newT.isDefined && oldT != newT
+        }
+        if (retyped.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot change the type of partition column(s) ${retyped.mkString(", ")} of $key")
       }
       st.version += 1
       val dropped =
@@ -604,9 +790,11 @@ object MemTables {
     st.synchronized {
       val bs = st.branches.getOrElse(branch,
         throw new IllegalStateException(s"branch '$branch' of $key dropped mid-write"))
-      val staged = batches.map(rs =>
-        TaggedBatch(writeSchema, bs.base, bs.base, rs,
-          stats = statsOf(writeSchema, rs))).toVector
+      val staged = batches.flatMap(rs =>
+        splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+          TaggedBatch(writeSchema, bs.base, bs.base, rows,
+            stats = statsOf(writeSchema, rows), part = pt)
+        }).toVector
       st.branches = st.branches.updated(branch,
         bs.copy(appends = bs.appends :+ staged))
     }
@@ -796,7 +984,7 @@ object MemTables {
             else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
           if (rows.isEmpty) None
           else Some(TaggedBatch(b.schema, v, b.writeVersion, rows,
-            batchId = st.mintBatchId(), stats = b.stats))
+            batchId = st.mintBatchId(), stats = b.stats, part = b.part))
         }
         st.batches = st.batches.map { b =>
           if (removeIds.contains(b.batchId)) b.copy(removedAt = v) else b
@@ -845,8 +1033,7 @@ object MemTables {
           b.copy(removedAt = st.version)
         else b
       } ++ batches.filter(_.nonEmpty)
-        .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+        .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.stamp("rewrite")
     }
   }
@@ -916,8 +1103,7 @@ object MemTables {
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
       st.batches =
         if (projected.isEmpty) removed
-        else removed :+ TaggedBatch(schema, st.version, st.version, projected,
-          batchId = st.mintBatchId(), stats = statsOf(schema, projected))
+        else removed ++ mkBatches(st, schema, projected, st.version)
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, projected.length.toLong, st.version)
@@ -951,9 +1137,8 @@ object MemTables {
       st.version += 1
       st.batches = st.batches.map(b =>
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b) ++
-        batches.filter(_.nonEmpty).map(rs =>
-          TaggedBatch(writeSchema, st.version, st.version, rs,
-            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+        batches.filter(_.nonEmpty)
+          .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, batches.iterator.map(_.length.toLong).sum, st.version)
@@ -1025,8 +1210,7 @@ object MemTables {
           case _ => b
         }
       } ++ inserts.filter(_.nonEmpty)
-        .map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+        .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.stamp("delta")
     }
   }
@@ -1052,8 +1236,7 @@ object MemTables {
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
       st.batches = prior ++
-        batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+        batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.stamp(if (truncate) "overwrite" else "append")
     }
   }
@@ -1083,8 +1266,7 @@ object MemTables {
               if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
           else st.batches
         st.batches = prior ++
-          batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+          batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
       }
     }
@@ -1133,8 +1315,7 @@ object MemTables {
         if (keys.nonEmpty)
           st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
         st.batches = st.batches ++
-          batches.map(rs => TaggedBatch(writeSchema, st.version, st.version, rs,
-            batchId = st.mintBatchId(), stats = statsOf(writeSchema, rs)))
+          batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
         st.stamp("stream-upsert")
       }
     }
@@ -1305,7 +1486,7 @@ object MemTables {
               val removed = b.copy(removedAt = st.version)
               if (keep.isEmpty) Vector(removed)
               else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
-                batchId = st.mintBatchId(), stats = b.stats))
+                batchId = st.mintBatchId(), stats = b.stats, part = b.part))
             case _ => Vector(b)
           }
         }
@@ -1413,6 +1594,14 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
+  /** The partition transforms declared at CREATE (identity / bucket) —
+    * surfaced so `DESCRIBE TABLE` reports the layout and Spark's write
+    * analysis sees a partitioned target.
+    */
+  override def partitioning():
+      Array[org.apache.spark.sql.connector.expressions.Transform] =
+    MemTables.get(key).map(st => MemTables.toTransforms(st.partitioning))
+      .getOrElse(Array.empty)
   /** Surfaces the create-time TBLPROPERTIES (`SHOW TBLPROPERTIES`) — the
     * full map the user supplied, with the delete-mode fork always present
     * (resolved to its default when unspecified): accepted properties must
@@ -1539,7 +1728,8 @@ final class MemScan(
     branch: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private val boundSchema = readSchemaOpt.getOrElse(tableSchema)
   override def readSchema(): StructType = boundSchema
   override def toBatch: Batch = this
@@ -1580,9 +1770,11 @@ final class MemScan(
     * DATA SKIPPING applied. Returns (table version at selection, tombstone
     * map bound to the snapshot, selected batches).
     */
-  private def selectBatches(): (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch]) = {
+  private def selectBatches():
+      (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch], Seq[MemTables.PartField]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
+    val spec = st.partitioning // immutable after create
     val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches,
         branchesNow, eqDeletesNow) =
       st.synchronized {
@@ -1650,9 +1842,13 @@ final class MemScan(
             case None => Some(MemTables.ColStats(null, null, n, n)) // all-null
             case Some(src) => b.stats.get(src) // None for uncovered types
           }
-        skipFilters.forall(f => MemTables.mayMatch(f, lookup))
+        skipFilters.forall(f => MemTables.mayMatch(f, lookup)) &&
+          // bucket-layout pruning (identity fields already prune via their
+          // exact singleton stats above)
+          (spec.isEmpty ||
+            skipFilters.forall(f => MemTables.bucketMayMatch(f, spec, b.part)))
       }
-    (curVersion, meta, visible)
+    (curVersion, meta, visible, spec)
   }
 
   /** Post-pushdown size/row-count estimate from the batches this scan
@@ -1662,7 +1858,7 @@ final class MemScan(
     * real numbers instead of falling back to default sizing.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val (_, meta, visible) = selectBatches()
+    val (_, meta, visible, _) = selectBatches()
     val bound = asOf.getOrElse(Long.MaxValue)
     val rows = visible.iterator.map { b =>
       val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
@@ -1676,8 +1872,32 @@ final class MemScan(
     }
   }
 
+  /** KEY-GROUPED output partitioning (storage-partitioned joins): a
+    * partitioned table's plain scan reports its partition transforms as
+    * the clustering, and every planned partition carries its partition
+    * tuple ([[MemPartition.partitionKey]]), so Spark groups splits by key
+    * and two co-partitioned tables JOIN WITH ZERO SHUFFLE (under
+    * `spark.sql.sources.v2.bucketing.enabled`) — at 100 TB the single
+    * biggest cost a table layout can remove from a fact-fact join.
+    * Row-level operation scans stay unreported: their granularity contract
+    * is the batch-version group. `numPartitions` is advisory (Spark
+    * derives the real key list from the planned partitions).
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val (_, _, visible, spec) = selectBatches()
+    if (spec.nonEmpty && rowLevel.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        MemTables.toTransforms(spec).map(t =>
+          t: org.apache.spark.sql.connector.expressions.Expression),
+        visible.map(_.part).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        visible.size)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val (curVersion, meta, visible) = selectBatches()
+    val (curVersion, meta, visible, spec) = selectBatches()
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
@@ -1711,7 +1931,9 @@ final class MemScan(
     visible.zip(srcMaps).map { case (b, srcNames) =>
       val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
         .collect { case (p, at) if at <= bound => p }.toSet
-      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId): InputPartition
+      val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
+      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId,
+        key): InputPartition
     }.toArray
   }
 
@@ -1970,17 +2192,52 @@ final class MemDeltaWriterFactory
   */
 final case class MemPartition(
     batchSchema: StructType, version: Long, srcNames: Map[String, String],
-    rows: Array[InternalRow], dead: Set[Int] = Set.empty, batchId: Long = -1L)
-    extends InputPartition
+    rows: Array[InternalRow], dead: Set[Int] = Set.empty, batchId: Long = -1L,
+    partKey: Option[Seq[Any]] = None)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The batch's partition tuple as the V2 key row (internal values, in
+    * transform order) — only consulted when the scan reported
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]],
+    * which it does exactly when every planned partition carries a key.
+    */
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      partKey.getOrElse(throw new IllegalStateException(
+        "partitionKey() on an unpartitioned mem scan")).toArray)
+}
 
 final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)
     extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+  /** Partitioned tables request a CLUSTERED write distribution on their
+    * partition transforms ([[RequiresDistributionAndOrdering]]): Spark
+    * shuffles the incoming rows so each write task holds whole partitions —
+    * at 100 TB that is the difference between every task appending a sliver
+    * of every partition (task-count × partition-count tiny files) and each
+    * partition's data arriving at one task. Non-strict: a distribution
+    * Spark cannot satisfy (e.g. a streaming Update sink) degrades to the
+    * unclustered write, and the publish-side split keeps batches
+    * partition-pure regardless.
+    */
+  override def build(): Write = {
+    val spec = MemTables.get(key).map(_.partitioning).getOrElse(Nil)
+    if (spec.isEmpty) new Write {
+      override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+    } else new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          MemTables.toTransforms(spec).map(t =>
+            t: org.apache.spark.sql.connector.expressions.Expression))
+      override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def distributionStrictlyRequired(): Boolean = false
+      override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+    }
   }
 }
 

@@ -321,9 +321,27 @@ final case class SeqScan(
   *    (creation rejected) so the generated tables cannot be shadowed.
   */
 class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
   import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+
+  /** V2 FUNCTION catalog half — what makes `bucket(n, col)` a RESOLVABLE
+    * transform: Spark's `V2ExpressionUtils` looks the function up here to
+    * (a) plan the clustered write distribution of a bucket-partitioned
+    * table and (b) prove two bucket-partitioned scans compatible for a
+    * storage-partitioned join (canonical-name + argument equality — the
+    * Iceberg SPJ contract). Also directly callable:
+    * `SELECT graft.bucket(8, k)`.
+    */
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
 
   /** Catalog MAINTENANCE procedures (Spark 4 `CALL` support — the surface
     * Iceberg exposes `expire_snapshots`/`rewrite_data_files` through):
@@ -481,8 +499,23 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       properties: util.Map[String, String]): CTable = {
     if (Pattern.matches(ident.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("mem tables are unpartitioned")
+    // PARTITIONED BY — identity (`PARTITIONED BY (k)`) and bucket
+    // (`PARTITIONED BY (bucket(8, k))`) transforms; anything else (truncate,
+    // days/hours, multi-column buckets) is honestly rejected rather than
+    // silently ignored (a dropped partition spec would misreport layout)
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    val spec: Seq[MemTables.PartField] = partitions.toSeq.map { t =>
+      (t.name, t.arguments.toSeq) match {
+        case ("identity", Seq(ref: NamedReference)) if ref.fieldNames.length == 1 =>
+          MemTables.IdentityPart(ref.fieldNames.head)
+        case ("bucket", Seq(lit: V2Literal[_], ref: NamedReference))
+            if ref.fieldNames.length == 1 =>
+          MemTables.BucketPart(lit.value.asInstanceOf[Number].intValue, ref.fieldNames.head)
+        case _ => throw new UnsupportedOperationException(
+          "mem tables support identity and single-column bucket partitioning, " +
+            s"got ${t.describe}")
+      }
+    }
     // DELETE mode is a create-time table property (the Iceberg
     // write.delete.mode fork): copy-on-write (default) rewrites matched
     // batches; merge-on-read records positional delete vectors instead
@@ -493,7 +526,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     import scala.jdk.CollectionConverters._
     // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
     // exception type — anything else surfaces as a crash
-    if (!MemTables.create(memKey(ident), schema, mode, properties.asScala.toMap))
+    if (!MemTables.create(memKey(ident), schema, mode, properties.asScala.toMap, spec))
       throw new TableAlreadyExistsException(ident)
     new MemTable(memKey(ident), schema)
   }
@@ -576,6 +609,50 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+}
+
+/** The catalog's `bucket` V2 function ([[MemTables.bucketOf]] exposed to
+  * Spark): `bucket(numBuckets, col) -> INT` over the stats-comparable
+  * column types. One [[BoundBucket]] per column type; the canonical name
+  * embeds the type, so a storage-partitioned join only matches two sides
+  * whose bucket hashes provably agree.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): deterministic hash bucket in [0, numBuckets)"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    if (inputType.fields.length != 2 || inputType.fields.head.dataType != IntegerType)
+      throw new UnsupportedOperationException(
+        s"bucket expects (INT numBuckets, col), got ${inputType.simpleString}")
+    val colType = inputType.fields(1).dataType
+    colType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+          DoubleType | FloatType | BooleanType => BoundBucket(colType)
+      case other => throw new UnsupportedOperationException(
+        s"bucket does not support column type ${other.simpleString}")
+    }
+  }
+}
+
+final case class BoundBucket(colType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+  override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // SPJ compatibility key: two scans' bucket transforms are co-partitioned
+  // iff they resolve to the same canonical function with equal arguments
+  override def canonicalName(): String = s"graft.bucket(${colType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v = if (input.isNullAt(1)) null else input.get(1, colType)
+    Integer.valueOf(MemTables.bucketOf(v, n))
+  }
 }
 
 /** Shared result scaffold for the catalog's CALL procedures: a LocalScan
