@@ -1311,6 +1311,97 @@ object Roundtrips {
          |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
   }
 
+  /** PARTITIONED table layout through the gate — identity + bucket
+    * transforms composed on one table (`PARTITIONED BY (nk, bucket(8,
+    * ck))`): the write distributes by the partition expressions and every
+    * committed batch is partition-pure, so the two selective reads prune
+    * at PLANNING — `nk = 7` keeps one nation's batches via the identity
+    * value, `ck = 42` keeps one bucket via the hash (the case min/max
+    * bounds cannot serve: each bucket's raw key range spans the domain).
+    * The oracle restates both slices and the full-table total from
+    * `customer`, so a layout bug that misplaces or double-places any row
+    * breaks the hash. PartitionedTableSpec pins the planned-partition
+    * counts; at 100 TB this layout is what turns point reads from
+    * table-sized scans into partition-sized ones.
+    */
+  val dsv2PartitionedPrune: QueryDef = QueryDef(
+    "dsv2_partitioned_prune",
+    """WITH base AS (
+      |  SELECT c_custkey AS ck, CAST(c_nationkey AS INTEGER) AS nk,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT 'nation' AS part, ck, nk, cents FROM base WHERE nk = 7
+      |UNION ALL
+      |SELECT 'key', ck, nk, cents FROM base WHERE ck = 42
+      |UNION ALL
+      |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(nk) AS INTEGER),
+      |       CAST(sum(cents) AS BIGINT)
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cust_part"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"CREATE TABLE $tbl (ck BIGINT, nk INT, cents BIGINT) " +
+        "PARTITIONED BY (nk, bucket(8, ck))") // v0
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"),
+      col("c_nationkey").cast("int").as("nk"),
+      Num.cents(col("c_acctbal")).as("cents"))
+      .writeTo(tbl).append() // v1
+    spark.sql(
+      s"""SELECT 'nation' AS part, ck, nk, cents FROM $tbl WHERE nk = 7
+         |UNION ALL
+         |SELECT 'key', ck, nk, cents FROM $tbl WHERE ck = 42
+         |UNION ALL
+         |SELECT 'total', count(*), CAST(sum(nk) AS INT), sum(cents) FROM $tbl""".stripMargin)
+  }
+
+  /** STORAGE-PARTITIONED JOIN through the gate — the zero-shuffle
+    * co-partitioned join (Spark's `v2.bucketing` + the scan's
+    * `KeyGroupedPartitioning`): customers and suppliers land in two mem
+    * tables identity-partitioned on nation, and the per-nation join +
+    * aggregate runs WITHOUT A SINGLE EXCHANGE — the scans' reported
+    * clustering satisfies both the join and the group-by
+    * (PartitionedTableSpec pins the plan). The MERGE hint keeps the join
+    * sort-merge so the assertion exercises the partitioning rather than a
+    * broadcast. The oracle replays the join from the base tables. At
+    * 100 TB this is the largest single cost a table layout can delete
+    * from a fact-fact join: both shuffles.
+    */
+  val dsv2SpjJoin: QueryDef = QueryDef(
+    "dsv2_spj_join",
+    """WITH a AS (
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |b AS (
+      |  SELECT CAST(s_nationkey AS INTEGER) AS nk,
+      |         CAST(round(s_acctbal * 100) AS BIGINT) AS scents
+      |  FROM supplier)
+      |SELECT a.nk, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(a.cents + b.scents) AS BIGINT) AS tot
+      |FROM a JOIN b ON a.nk = b.nk
+      |GROUP BY a.nk""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (ta, tb) = ("graft.mem_cust_bynation", "graft.mem_supp_bynation")
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
+    spark.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
+    Tables.customer(spark, dir).select(
+      col("c_nationkey").cast("int").as("nk"),
+      Num.cents(col("c_acctbal")).as("cents")).writeTo(ta).append()
+    Tables.supplier(spark, dir).select(
+      col("s_nationkey").cast("int").as("nk"),
+      Num.cents(col("s_acctbal")).as("scents")).writeTo(tb).append()
+    spark.sql(
+      s"""SELECT /*+ MERGE(a) */ a.nk, count(*) AS cnt,
+         |       sum(a.cents + b.scents) AS tot
+         |FROM $ta a JOIN $tb b ON a.nk = b.nk
+         |GROUP BY a.nk""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1319,5 +1410,5 @@ object Roundtrips {
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
-      dsv2RewriteSorted)
+      dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin)
 }
