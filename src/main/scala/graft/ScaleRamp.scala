@@ -80,7 +80,16 @@ object ScaleRamp {
     // warm factors under a K× fact ramp
     "dsv2_selective_read",
     "dsv2_rewrite_sorted",
-    "dsv2_delete_equality")
+    "dsv2_delete_equality",
+    // planning-integration family (round 11): the partition-pure layout's
+    // write split + pruning, the zero-shuffle storage-partitioned join,
+    // the stats-answered aggregate (must be ≈FLAT: the metadata read's
+    // cost is batch count, not rows), and runtime batch pruning (the
+    // pruned fact scan's cost is the hit batch, not the table)
+    "dsv2_partitioned_prune",
+    "dsv2_spj_join",
+    "dsv2_agg_stats",
+    "dsv2_runtime_prune")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

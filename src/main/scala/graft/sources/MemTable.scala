@@ -271,7 +271,7 @@ object MemTables {
   /** Internal-value comparator per supported stats type; None = the type
     * keeps no bounds (scans treat its columns as un-skippable).
     */
-  private def statsComparator(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Int] = {
+  private[sources] def statsComparator(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Int] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => Some((a, b) =>
@@ -537,6 +537,19 @@ object MemTables {
     // EQUALITY DELETES ([[EqDelete]]), appended by streaming upsert
     // epochs; applied at read against strictly-older batches
     @volatile var eqDeletes: Vector[EqDelete] = Vector.empty
+    // TABLE SORT ORDER: set by a sorted `rewrite_data_files` (each live
+    // batch is then internally sorted by these columns, ascending,
+    // nulls first — Spark's sortWithinPartitions default), with the
+    // version the claim holds FROM (snapshot reads before it are
+    // unsorted). Cleared by any mutation that adds or reorders rows;
+    // kill-only mutations (DV/equality deletes) preserve relative order
+    // and keep it. The scan reports it ([[MemScan.outputOrdering]]) so
+    // downstream merge joins skip their sorts.
+    @volatile var sortedBy: Seq[String] = Nil
+    @volatile var sortedSince: Long = Long.MaxValue
+    private[sources] def clearSortOrder(): Unit = {
+      sortedBy = Nil; sortedSince = Long.MaxValue
+    }
     // BRANCHES: named WRITABLE refs (the Iceberg ref model's other half,
     // `SELECT/INSERT ... <table>.branch_<name>`): staged appends on top of
     // a pinned base snapshot, invisible to main until `fast_forward`
@@ -712,6 +725,10 @@ object MemTables {
       eras = eras ++ added.map(n => n -> Vector((st.version, n)))
       st.eras = eras
       st.schema = newSchema
+      // a sort-order claim names CURRENT columns: renaming or dropping one
+      // of them retires the claim (widening preserves order and keeps it)
+      if (st.sortedBy.exists(c => renames.contains(c) || dropped.contains(c)))
+        st.clearSortOrder()
       st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt, eras)
       st.stamp("alter")
     }
@@ -983,12 +1000,18 @@ object MemTables {
           val rows = if (deadAtTarget.isEmpty) b.rows
             else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
           if (rows.isEmpty) None
+          // fresh stats when the copy materialized a row subset: inherited
+          // bounds stay sound for SKIPPING but the aggregate pushdown
+          // treats stats as exact, and a dropped row may be the extreme
           else Some(TaggedBatch(b.schema, v, b.writeVersion, rows,
-            batchId = st.mintBatchId(), stats = b.stats, part = b.part))
+            batchId = st.mintBatchId(),
+            stats = if (rows eq b.rows) b.stats else statsOf(b.schema, rows),
+            part = b.part))
         }
         st.batches = st.batches.map { b =>
           if (removeIds.contains(b.batchId)) b.copy(removedAt = v) else b
         } ++ restored
+        st.clearSortOrder() // restored snapshots predate the sort claim
         st.stamp("rollback")
         (toRemove.size.toLong, restored.size.toLong, v)
       }
@@ -1034,6 +1057,7 @@ object MemTables {
         else b
       } ++ batches.filter(_.nonEmpty)
         .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      st.clearSortOrder()
       st.stamp("rewrite")
     }
   }
@@ -1104,6 +1128,7 @@ object MemTables {
       st.batches =
         if (projected.isEmpty) removed
         else removed ++ mkBatches(st, schema, projected, st.version)
+      st.clearSortOrder() // the fold concatenates batches in commit order
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, projected.length.toLong, st.version)
@@ -1124,7 +1149,8 @@ object MemTables {
       key: String,
       expectedVersion: Long,
       writeSchema: StructType,
-      batches: Seq[Array[InternalRow]]): (Long, Long, Long) = {
+      batches: Seq[Array[InternalRow]],
+      sortedBy: Seq[String] = Nil): (Long, Long, Long) = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-compaction"))
     st.synchronized {
@@ -1139,6 +1165,12 @@ object MemTables {
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b) ++
         batches.filter(_.nonEmpty)
           .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      // a SORTED rewrite establishes the table sort order from this
+      // version (each new batch is internally sorted); an unsorted one
+      // leaves whatever layout claim existed void
+      if (sortedBy.nonEmpty) {
+        st.sortedBy = sortedBy; st.sortedSince = st.version
+      } else st.clearSortOrder()
       st.compactionVersions += st.version
       st.stamp("compact")
       (live.size.toLong, batches.iterator.map(_.length.toLong).sum, st.version)
@@ -1211,6 +1243,9 @@ object MemTables {
         }
       } ++ inserts.filter(_.nonEmpty)
         .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      // kill-only deltas keep relative row order; inserted rows break the
+      // sorted-layout claim
+      if (inserts.exists(_.nonEmpty)) st.clearSortOrder()
       st.stamp("delta")
     }
   }
@@ -1237,6 +1272,7 @@ object MemTables {
         else st.batches
       st.batches = prior ++
         batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      st.clearSortOrder() // new rows: the sorted-layout claim no longer holds
       st.stamp(if (truncate) "overwrite" else "append")
     }
   }
@@ -1267,6 +1303,7 @@ object MemTables {
           else st.batches
         st.batches = prior ++
           batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        st.clearSortOrder()
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
       }
     }
@@ -1316,6 +1353,7 @@ object MemTables {
           st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
         st.batches = st.batches ++
           batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        st.clearSortOrder()
         st.stamp("stream-upsert")
       }
     }
@@ -1485,8 +1523,12 @@ object MemTables {
               val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
               val removed = b.copy(removedAt = st.version)
               if (keep.isEmpty) Vector(removed)
+              // survivors carry EXACT stats (the rewrite materializes them
+              // anyway): a deleted row may have been the recorded extreme,
+              // and the aggregate pushdown answers MIN/MAX from these
               else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
-                batchId = st.mintBatchId(), stats = b.stats, part = b.part))
+                batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
+                part = b.part))
             case _ => Vector(b)
           }
         }
@@ -1701,9 +1743,15 @@ final class MemScanBuilder(
     branch: Option[String] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: Option[StructType] = None
   private var skipFilters: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Array[Any], String)] = None
+  // the Aggregation instance aggResult was computed for (Spark may probe
+  // supportCompletePushDown/pushAggregation repeatedly; recompute only on
+  // a different aggregation, keep one consistent value set otherwise)
+  private var aggFor: Option[AnyRef] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1711,9 +1759,190 @@ final class MemScanBuilder(
     filters // ALL residual: the source only skips, it never filters rows
   }
   override def pushedFilters(): Array[Filter] = skipFilters
-  override def build(): Scan =
-    new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch)
+
+  /** METADATA-ANSWERED aggregates — the Iceberg "count(*) from manifests"
+    * surface: global COUNT(*) / COUNT(col) / MIN(col) / MAX(col) are
+    * computed from the per-batch statistics published at write time,
+    * scanning ZERO rows (complete pushdown: Spark plans no aggregate exec
+    * at all). Honesty rules, enforced per aggregation:
+    *
+    *  - COUNT(*) is always exact: kill maps (delete vectors + equality
+    *    deletes) are planning-time metadata, so live rows = rows − kills.
+    *  - MIN/MAX/COUNT(col) push ONLY when no visible batch carries a kill
+    *    at the bound snapshot — a killed row may BE the recorded extreme
+    *    (bounds go stale-conservative under deletes), so the scan declines
+    *    and Spark falls back to the ordinary row scan.
+    *  - every referenced column must be stats-covered in every batch it
+    *    resolves into (era/tombstone resolution as scans project; an
+    *    unresolvable field is all-null there: contributes nothing), with
+    *    any type difference a legal widening.
+    *
+    * Spark only attempts aggregate pushdown when zero filters remain
+    * after filter pushdown; this source keeps every filter residual, so
+    * the surface is exactly the unfiltered global aggregate — the query
+    * shape a 100 TB `SELECT count(*) FROM t` must never pay a scan for.
+    * Values are computed here, at pushdown (one consistent snapshot) —
+    * the same planning-time binding every snapshot read uses.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!aggFor.exists(_ eq agg)) {
+      aggResult = MemScanBuilder.computeAgg(key, tableSchema, asOf, branch, rowLevel, agg)
+      aggFor = Some(agg)
+    }
+    aggResult.isDefined
+  }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values, desc)) => new MemAggScan(key, schema, values, desc)
+    case None =>
+      new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch)
+  }
 }
+
+object MemScanBuilder {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types.LongType
+
+  /** Evaluate one pushed aggregation from batch statistics, or None when
+    * any part of it cannot be answered exactly (the scan then declines
+    * and Spark runs the ordinary plan). See [[MemScanBuilder
+    * .supportCompletePushDown]] for the honesty rules.
+    */
+  private[sources] def computeAgg(
+      key: String, tableSchema: StructType, asOf: Option[Long],
+      branch: Option[String], rowLevel: Option[MemRowLevelState],
+      agg: Aggregation): Option[(StructType, Array[Any], String)] = {
+    if (rowLevel.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    // quick shape check before touching state
+    val shapes = agg.aggregateExpressions.map {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && colOf(c.column).isDefined
+      case m: Min => colOf(m.column).isDefined
+      case m: Max => colOf(m.column).isDefined
+      case _ => false
+    }
+    if (!shapes.forall(identity)) return None
+    val (_, meta, visible, _) =
+      new MemScan(key, tableSchema, asOf, None, None, Array.empty, branch).selectBatches()
+    val bound = asOf.getOrElse(Long.MaxValue)
+    val killCounts = visible.map(b =>
+      MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
+        .count(_._2 <= bound).toLong)
+    val anyKills = killCounts.exists(_ > 0)
+    val liveRows = visible.map(_.rows.length.toLong).sum - killCounts.sum
+
+    // per-batch resolved stats of a bound column: Left(()) = not answerable
+    // from stats; Right(None) = all-null in this batch; Right(Some(...)) =
+    // (stats, srcType)
+    def resolved(n: String): Either[Unit,
+        Vector[Option[(MemTables.ColStats, org.apache.spark.sql.types.DataType)]]] = {
+      val boundField = tableSchema.fields.find(_.name == n)
+        .getOrElse(return Left(()))
+      if (MemTables.BatchVersion == n || MemTables.BatchId == n || MemTables.BatchPos == n)
+        return Left(()) // metadata columns: no aggregate contract
+      val perBatch = visible.map { b =>
+        MemScan.srcNameIn(b, meta)(n) match {
+          case None => Some(None) // unresolvable: all-null for this batch
+          case Some(src) =>
+            val i = b.schema.fieldNames.indexOf(src)
+            val dt = b.schema.fields(i).dataType
+            if (dt != boundField.dataType && !MemTables.widens(dt, boundField.dataType)) None
+            else b.stats.get(src).map(s => Some((s, dt)))
+        }
+      }
+      if (perBatch.exists(_.isEmpty)) Left(())
+      else Right(perBatch.map(_.get))
+    }
+
+    def minMax(n: String, wantMin: Boolean): Option[Any] = {
+      if (anyKills) return None // a killed row may be the extreme
+      val boundType = tableSchema.fields.find(_.name == n).get.dataType
+      val cmp = MemTables.statsComparator(boundType).getOrElse(return None)
+      resolved(n) match {
+        case Left(_) => None
+        case Right(perBatch) =>
+          val vals = perBatch.flatten.flatMap { case (s, dt) =>
+            Option(if (wantMin) s.min else s.max)
+              .map(v => MemTables.widenValue(v, dt, boundType))
+          }
+          // Some(null) = a real NULL aggregate over an empty/all-null table
+          Some(if (vals.isEmpty) null
+          else vals.reduce((a, b) =>
+            if ((cmp(a, b) < 0) == wantMin) a else b))
+      }
+    }
+
+    def countCol(n: String): Option[Any] = {
+      if (anyKills) return None // killed rows' null-ness is not in the stats
+      resolved(n) match {
+        case Left(_) => None
+        case Right(perBatch) => Some(java.lang.Long.valueOf(
+          perBatch.flatten.map { case (s, _) => s.rowCount - s.nullCount }.sum))
+      }
+    }
+
+    val values = agg.aggregateExpressions.map {
+      case _: CountStar => Some(java.lang.Long.valueOf(liveRows): Any)
+      case c: Count => countCol(colOf(c.column).get)
+      case m: Min => minMax(colOf(m.column).get, wantMin = true)
+      case m: Max => minMax(colOf(m.column).get, wantMin = false)
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return None
+    val schema = agg.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
+      case (s, (_: CountStar, i)) => s.add(s"agg_$i", LongType, nullable = false)
+      case (s, (_: Count, i)) => s.add(s"agg_$i", LongType, nullable = false)
+      case (s, (m: Min, i)) => s.add(s"agg_$i",
+        tableSchema.fields.find(_.name == colOf(m.column).get).get.dataType, nullable = true)
+      case (s, (m: Max, i)) => s.add(s"agg_$i",
+        tableSchema.fields.find(_.name == colOf(m.column).get).get.dataType, nullable = true)
+      case (s, _) => s
+    }
+    val desc = agg.aggregateExpressions.map(_.describe).mkString(", ")
+    Some((schema, values.map(_.get), desc))
+  }
+}
+
+/** Completely-pushed aggregate over a mem table: one partition, one row,
+  * the values already computed from batch statistics at pushdown — the
+  * executed plan contains NO aggregate exec and the scan ships zero data
+  * rows.
+  */
+final class MemAggScan(
+    key: String, schema: StructType, values: Array[Any], aggDesc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMemScan $key AGG-PUSHED [$aggDesc]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MemAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val vs = partition.asInstanceOf[MemAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class MemAggPartition(values: Array[Any]) extends InputPartition
 
 /** `readSchema` may be a PRUNED projection of the table schema and may
   * include the [[MemTables.BatchVersion]] metadata column (served per
@@ -1729,8 +1958,41 @@ final class MemScan(
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private val boundSchema = readSchemaOpt.getOrElse(tableSchema)
+
+  /** PER-PARTITION sort order, reported only when provably true of every
+    * planned partition: the table carries a sorted-rewrite claim
+    * ([[MemTables.State.sortedBy]] — established by `CALL
+    * graft.rewrite_data_files('t', 'cols')`, retired by any mutation that
+    * adds or reorders rows), the read binds at-or-after the claim's
+    * version, every sort column survives into the bound schema, and no
+    * partition GROUPING concatenates two batches (grouped splits of a
+    * partitioned table must hold one batch per partition tuple — true by
+    * construction after a sorted rewrite, where the range shuffle sends
+    * each tuple to one task). Composed with the reported
+    * KeyGroupedPartitioning this is the full clustered-table contract: a
+    * join of two co-partitioned, co-sorted tables plans a merge join with
+    * ZERO exchanges and ZERO sorts — at 100 TB, the scan-to-join fast
+    * path every warehouse layout exists to hit.
+    */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (rowLevel.nonEmpty || branch.nonEmpty) return Array.empty
+    val st = MemTables.get(key).getOrElse(return Array.empty)
+    val (sortedBy, since) = st.synchronized((st.sortedBy, st.sortedSince))
+    if (sortedBy.isEmpty || asOf.exists(_ < since)) return Array.empty
+    if (!sortedBy.forall(boundSchema.fieldNames.contains)) return Array.empty
+    val (_, _, visible, spec) = selectBatches()
+    // grouped partitions concatenate same-tuple batches; the order claim
+    // survives only when every group is a single batch
+    if (spec.nonEmpty && visible.groupBy(_.part).exists(_._2.size > 1))
+      return Array.empty
+    sortedBy.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
   override def readSchema(): StructType = boundSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -1738,27 +2000,53 @@ final class MemScan(
       branch.fold("")(b => s" BRANCH $b") +
       (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "")
 
-  /** Runtime group filtering (row-level operations only): `_batch_version`
-    * is the group id, and Spark's group-filter rule feeds the versions of
-    * batches containing condition matches back via [[filter]] before
-    * partitions are planned — so the rewrite reads (and therefore
-    * replaces) only the affected batches. Plain scans advertise nothing.
+  /** Runtime filtering, two regimes:
+    *
+    *  - ROW-LEVEL operation scans advertise `_batch_version` (the group
+    *    id): Spark's group-filter rule feeds back the versions of batches
+    *    containing condition matches, so the rewrite reads (and therefore
+    *    replaces) only the affected batches.
+    *  - PLAIN scans on unpartitioned tables advertise their stats-covered
+    *    columns: after a join's build side materializes, Spark pushes the
+    *    key set here at EXECUTION time (the V2 analogue of dynamic
+    *    partition pruning) and the `IN`/`=` shapes become extra skip
+    *    filters — batches whose bounds preclude every build-side key are
+    *    never planned. Over-retention is safe (the join re-applies its
+    *    condition); partitioned tables sit this out because their pruning
+    *    and key-grouped planning already ride the static partition tuple.
     */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (rowLevel.exists(_.groupFilterable))
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(MemTables.BatchVersion))
+    else if (rowLevel.isEmpty &&
+        MemTables.get(key).exists(_.partitioning.isEmpty))
+      // ONLY columns of the BOUND (column-pruned) schema: Spark resolves
+      // these against the relation's pruned output and throws on a miss —
+      // e.g. the runtime-group-filter subquery scan reads [cond-cols,
+      // _batch_version] and must not be offered the table's other columns
+      boundSchema.fields
+        .filterNot(f => Set(MemTables.BatchVersion, MemTables.BatchId,
+          MemTables.BatchPos).contains(f.name))
+        .filter(f => MemTables.statsComparator(f.dataType).isDefined)
+        .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
     else Array.empty
+
+  // runtime-pushed skip filters (plain scans; see filterAttributes)
+  @volatile private var runtimeSkip: Array[Filter] = Array.empty
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    rowLevel.foreach { state =>
-      val sets = predicates.flatMap(MemScan.versionSetOf)
-      // record ONLY a fully-parsed restriction: the scan narrows by it
-      // below and the write replaces exactly the same set — an unparsed
-      // predicate shape leaves both sides at whole-table, never skewed
-      if (sets.nonEmpty) state.groupVersions = Some(sets.reduce(_ intersect _))
+    rowLevel match {
+      case Some(state) =>
+        val sets = predicates.flatMap(MemScan.versionSetOf)
+        // record ONLY a fully-parsed restriction: the scan narrows by it
+        // below and the write replaces exactly the same set — an unparsed
+        // predicate shape leaves both sides at whole-table, never skewed
+        if (sets.nonEmpty) state.groupVersions = Some(sets.reduce(_ intersect _))
+      case None =>
+        runtimeSkip = predicates.flatMap(MemScan.skipFilterOf)
     }
 
   /** Shared by partition planning and statistics estimation: ONE
@@ -1770,7 +2058,7 @@ final class MemScan(
     * DATA SKIPPING applied. Returns (table version at selection, tombstone
     * map bound to the snapshot, selected batches).
     */
-  private def selectBatches():
+  private[sources] def selectBatches():
       (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch], Seq[MemTables.PartField]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
@@ -1829,8 +2117,9 @@ final class MemScan(
     // projection (unresolvable field = all-null for this batch); the two
     // versioning metadata columns are per-batch constants. Widened columns
     // compare fine: the evaluator's cmp is numeric-promoting.
+    val allSkip = skipFilters ++ runtimeSkip
     val visible =
-      if (skipFilters.isEmpty) grouped
+      if (allSkip.isEmpty) grouped
       else grouped.filter { b =>
         val n = b.rows.length.toLong
         val lookup: String => Option[MemTables.ColStats] = name =>
@@ -1842,11 +2131,11 @@ final class MemScan(
             case None => Some(MemTables.ColStats(null, null, n, n)) // all-null
             case Some(src) => b.stats.get(src) // None for uncovered types
           }
-        skipFilters.forall(f => MemTables.mayMatch(f, lookup)) &&
+        allSkip.forall(f => MemTables.mayMatch(f, lookup)) &&
           // bucket-layout pruning (identity fields already prune via their
           // exact singleton stats above)
           (spec.isEmpty ||
-            skipFilters.forall(f => MemTables.bucketMayMatch(f, spec, b.part)))
+            allSkip.forall(f => MemTables.bucketMayMatch(f, spec, b.part)))
       }
     (curVersion, meta, visible, spec)
   }
@@ -2031,6 +2320,35 @@ object MemScan {
       bound: StructType, b: MemTables.TaggedBatch, meta: BoundMeta): Map[String, String] =
     bound.fieldNames.iterator
       .flatMap(n => srcNameIn(b, meta)(n).map(n -> _)).toMap
+
+  /** Parse one runtime-filter predicate into a data-skipping filter for a
+    * PLAIN scan: the `IN (lit, ...)` / `= lit` shapes the join-driven
+    * runtime filters produce, over one top-level column. Literal values
+    * canonicalize ([[MemTables.canonKey]]) so the bounds comparison sees
+    * the external form the skipping evaluator expects. Unparsed shapes are
+    * dropped — over-retention is always safe here.
+    */
+  private[sources] def skipFilterOf(p: V2Predicate): Option[Filter] = {
+    def colOf(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def litVal(e: V2Expression): Option[Any] = e match {
+      case l: Literal[_] => Some(MemTables.canonKey(l.value))
+      case _ => None
+    }
+    val kids = p.children()
+    p.name match {
+      case "IN" if kids.nonEmpty =>
+        val vs = kids.tail.map(litVal)
+        colOf(kids.head).filter(_ => vs.forall(_.isDefined))
+          .map(c => org.apache.spark.sql.sources.In(c, vs.map(_.get)))
+      case "=" if kids.length == 2 =>
+        for { c <- colOf(kids.head); v <- litVal(kids(1)) }
+          yield org.apache.spark.sql.sources.EqualTo(c, v)
+      case _ => None
+    }
+  }
 
   /** Parse one runtime-filter predicate into the batch-version set it
     * admits: `_batch_version IN (v1, …)` (the shape the dynamic-pruning

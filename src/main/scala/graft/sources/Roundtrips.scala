@@ -1402,6 +1402,88 @@ object Roundtrips {
          |GROUP BY a.nk""".stripMargin)
   }
 
+  /** METADATA-ANSWERED aggregates through the gate
+    * ([[MemScanBuilder.computeAgg]]): the global COUNT(*)/COUNT(col)/
+    * MIN/MAX over a mem table are served from per-batch statistics with a
+    * zero-row scan (AggRuntimeSpec pins the plan: `AGG-PUSHED`, no
+    * aggregate exec). The copy-on-write DELETE before the aggregate is
+    * the honesty trap: survivors of the rewrite must carry EXACT stats —
+    * inherited bounds would let `max(k)` report a deleted row, and the
+    * oracle (which replays the delete relationally) would hash-break.
+    * At 100 TB this is `SELECT count(*) FROM t` costing a metadata read
+    * instead of a table scan — the first query every user runs.
+    */
+  val dsv2AggStats: QueryDef = QueryDef(
+    "dsv2_agg_stats",
+    """WITH ins AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS c
+      |  FROM orders),
+      |base AS (SELECT * FROM ins WHERE NOT (v < 2000000))
+      |SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(min(k) AS BIGINT) AS mn,
+      |       CAST(max(k) AS BIGINT) AS mx, CAST(count(c) AS BIGINT) AS cc,
+      |       CAST(min(v) AS BIGINT) AS mnv, CAST(max(v) AS BIGINT) AS mxv
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_aggstats"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, c STRING)") // v0
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      Num.cents(col("o_totalprice")).as("v"),
+      when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderstatus")).as("c"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE v < 2000000") // v2: CoW rewrite, fresh stats
+    spark.sql(
+      s"""SELECT count(*) AS cnt, min(k) AS mn, max(k) AS mx,
+         |       count(c) AS cc, min(v) AS mnv, max(v) AS mxv
+         |FROM $tbl""".stripMargin)
+  }
+
+  /** RUNTIME batch pruning through the gate: a selective dimension's keys
+    * are pushed into the mem-table fact scan at EXECUTION time (the V2
+    * dynamic-partition-pruning shape), and the fact's range-disjoint
+    * batches outside the key span are never read — AggRuntimeSpec pins the
+    * scan's output-row metric at one batch. The oracle replays the join
+    * from the base tables, so over- OR under-pruning breaks the hash.
+    */
+  val dsv2RuntimePrune: QueryDef = QueryDef(
+    "dsv2_runtime_prune",
+    """WITH f AS (
+      |  SELECT l_orderkey AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |m AS (SELECT max(k) AS mx FROM f),
+      |d AS (SELECT o_orderkey AS k FROM orders, m
+      |      WHERE o_orderkey > mx // 2 AND o_orderkey <= mx // 2 + 40)
+      |SELECT f.k, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(f.v) AS BIGINT) AS tot
+      |FROM f JOIN d ON f.k = d.k
+      |GROUP BY f.k""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_lineitem_rt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val f = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("k"),
+      Num.cents(col("l_extendedprice")).as("v"))
+    val mx = f.agg(max(col("k"))).head().getLong(0)
+    // four range-disjoint batches: the dim's 40-key window hits one
+    val edges = Seq(mx / 4, mx / 2, mx / 4 * 3)
+    f.filter(col("k") <= edges(0)).coalesce(1).writeTo(tbl).append() // v1
+    f.filter(col("k") > edges(0) && col("k") <= edges(1))
+      .coalesce(1).writeTo(tbl).append() // v2
+    f.filter(col("k") > edges(1) && col("k") <= edges(2))
+      .coalesce(1).writeTo(tbl).append() // v3
+    f.filter(col("k") > edges(2)).coalesce(1).writeTo(tbl).append() // v4
+    val d = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") > mx / 2 && col("o_orderkey") <= mx / 2 + 40)
+      .select(col("o_orderkey").as("dk"))
+    spark.table(tbl)
+      .join(broadcast(d), col("k") === col("dk"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("tot"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1410,5 +1492,6 @@ object Roundtrips {
       dsv2StreamingSink, dsv2UpdateWhere, dsv2MergeUpsert, dsv2CdcDml, dsv2MergeFull,
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
-      dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin)
+      dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
+      dsv2RuntimePrune)
 }

@@ -1110,7 +1110,7 @@ object RewriteDataFilesProcedure
       .mapPartitions(it => Iterator(it.map(_.copy()).toArray))
       .collect().toSeq
     val (nBatches, nRows, version) =
-      MemTables.publishCompaction(key, expected, schema, batches)
+      MemTables.publishCompaction(key, expected, schema, batches, sortCols.toSeq)
     ProcedureResults.scan(s"GraftRewriteDataFiles $key sort=[$sortBy]", outSchema,
       Seq(Seq(nBatches, nRows, version)))
   }
