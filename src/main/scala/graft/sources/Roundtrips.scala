@@ -1484,6 +1484,49 @@ object Roundtrips {
       .agg(count(lit(1)).as("cnt"), sum(col("v")).as("tot"))
   }
 
+  /** The full CLUSTERED-TABLE contract through the gate: two mem tables
+    * identity-partitioned on nation are sort-rewritten (`CALL
+    * graft.rewrite_data_files(t, 'nk')`), so their scans report BOTH
+    * `KeyGroupedPartitioning` and a per-partition sort order — the
+    * merge-hinted join then plans with ZERO exchanges and ZERO sorts
+    * (SortOrderSpec pins the plan; scan → merge join directly). The
+    * oracle replays the raw per-row join from `customer` × `supplier`,
+    * so a misgrouped or misordered merge (rows consumed out of order
+    * drop or duplicate matches) breaks the hash, not just a plan
+    * assertion.
+    */
+  val dsv2SpjSorted: QueryDef = QueryDef(
+    "dsv2_spj_sorted",
+    """WITH a AS (
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |b AS (
+      |  SELECT CAST(s_nationkey AS INTEGER) AS nk,
+      |         CAST(round(s_acctbal * 100) AS BIGINT) AS scents
+      |  FROM supplier)
+      |SELECT a.nk, a.cents, b.scents
+      |FROM a JOIN b ON a.nk = b.nk""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (ta, tb) = ("graft.mem_cust_sorted", "graft.mem_supp_sorted")
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
+    spark.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
+    Tables.customer(spark, dir).select(
+      col("c_nationkey").cast("int").as("nk"),
+      Num.cents(col("c_acctbal")).as("cents")).writeTo(ta).append()
+    Tables.supplier(spark, dir).select(
+      col("s_nationkey").cast("int").as("nk"),
+      Num.cents(col("s_acctbal")).as("scents")).writeTo(tb).append()
+    spark.sql("CALL graft.rewrite_data_files('mem_cust_sorted', 'nk')")
+    spark.sql("CALL graft.rewrite_data_files('mem_supp_sorted', 'nk')")
+    spark.sql(
+      s"""SELECT /*+ MERGE(a) */ a.nk, a.cents, b.scents
+         |FROM $ta a JOIN $tb b ON a.nk = b.nk""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1493,5 +1536,5 @@ object Roundtrips {
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
-      dsv2RuntimePrune)
+      dsv2RuntimePrune, dsv2SpjSorted)
 }

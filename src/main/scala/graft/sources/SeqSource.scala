@@ -1094,15 +1094,34 @@ object RewriteDataFilesProcedure
         k.stripPrefix("spark.sql.catalog.")
     }.getOrElse(throw new IllegalStateException(
       "rewrite_data_files requires the SeqCatalog to be registered"))
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     var df = spark.table(s"$catalogName.`$key`")
     if (sortCols.nonEmpty) {
       // EXPLICIT partition count: a user-specified repartition is exempt
       // from AQE's small-partition coalescing, so the clustering
       // granularity (number of output batches) is deterministic
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      df = df.repartitionByRange(n, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
+      val partSpec = st.partitioning
+      if (partSpec.isEmpty)
+        // unpartitioned: range-cluster on the sort key — batches become
+        // range-DISJOINT, composing with data skipping (cluster-then-prune)
+        df = df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else {
+        // partitioned: hash-shuffle by the PARTITION EXPRESSIONS so each
+        // tuple lands wholly in one task (a range shuffle on the sort key
+        // could straddle a tuple across tasks, splitting it into two
+        // batches and voiding the one-batch-per-tuple guarantee the
+        // reported ordering and the key-grouped join both ride), then
+        // sort the task — every per-tuple subsequence of a sorted task
+        // is itself sorted
+        val partExprs = partSpec.map {
+          case MemTables.IdentityPart(c) => col(c)
+          case MemTables.BucketPart(nb, c) => expr(s"`$catalogName`.bucket($nb, `$c`)")
+        }
+        df = df.repartition(n, partExprs: _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      }
     }
     // the write-task protocol, inline: each task buffers its partition and
     // the driver publishes only committed buffers, atomically
