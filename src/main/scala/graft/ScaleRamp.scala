@@ -89,7 +89,8 @@ object ScaleRamp {
     "dsv2_partitioned_prune",
     "dsv2_spj_join",
     "dsv2_agg_stats",
-    "dsv2_runtime_prune")
+    "dsv2_runtime_prune",
+    "dsv2_spj_sorted")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =
