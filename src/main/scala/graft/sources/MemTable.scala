@@ -1747,7 +1747,7 @@ final class MemScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: Option[StructType] = None
   private var skipFilters: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, Array[Any], String)] = None
+  private var aggResult: Option[(StructType, Array[Array[Any]], String)] = None
   // the Aggregation instance aggResult was computed for (Spark may probe
   // supportCompletePushDown/pushAggregation repeatedly; recompute only on
   // a different aggregation, keep one consistent value set otherwise)
@@ -1777,10 +1777,15 @@ final class MemScanBuilder(
     *    unresolvable field is all-null there: contributes nothing), with
     *    any type difference a legal widening.
     *
-    * Spark only attempts aggregate pushdown when zero filters remain
-    * after filter pushdown; this source keeps every filter residual, so
-    * the surface is exactly the unfiltered global aggregate — the query
-    * shape a 100 TB `SELECT count(*) FROM t` must never pay a scan for.
+    * GROUP BY pushes when every grouping column is an IDENTITY partition
+    * column (batches are value-pure in them, so a group is a union of
+    * whole batches and its aggregate the same stats fold — the
+    * "aggregate from manifests" rollup, one row per partition tuple;
+    * all-dead groups are dropped to stay SQL-exact). Spark only attempts
+    * aggregate pushdown when zero filters remain after filter pushdown;
+    * this source keeps every filter residual, so the surface is exactly
+    * the unfiltered aggregate — the query shape a 100 TB
+    * `SELECT count(*) FROM t` must never pay a scan for.
     * Values are computed here, at pushdown (one consistent snapshot) —
     * the same planning-time binding every snapshot read uses.
     */
@@ -1816,13 +1821,21 @@ object MemScanBuilder {
   private[sources] def computeAgg(
       key: String, tableSchema: StructType, asOf: Option[Long],
       branch: Option[String], rowLevel: Option[MemRowLevelState],
-      agg: Aggregation): Option[(StructType, Array[Any], String)] = {
-    if (rowLevel.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Array[Array[Any]], String)] = {
+    if (rowLevel.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
         case _ => None
       }
+    // GROUP BY is answerable only over IDENTITY partition columns: every
+    // batch is value-pure in them, so groups are unions of whole batches
+    // and the per-group aggregate is the same stats fold as the global
+    // one. (A bucket id is not the column's value; anything else is not
+    // batch-pure. Both decline.)
+    val groupColOpts = agg.groupByExpressions.toSeq.map(colOf)
+    if (groupColOpts.exists(_.isEmpty)) return None
+    val gCols = groupColOpts.flatten
     // quick shape check before touching state
     val shapes = agg.aggregateExpressions.map {
       case _: CountStar => true
@@ -1832,74 +1845,108 @@ object MemScanBuilder {
       case _ => false
     }
     if (!shapes.forall(identity)) return None
-    val (_, meta, visible, _) =
+    val (_, meta, visible, spec) =
       new MemScan(key, tableSchema, asOf, None, None, Array.empty, branch).selectBatches()
+    val gIdx = gCols.map(c => spec.indexWhere {
+      case MemTables.IdentityPart(col) => col == c
+      case _ => false
+    })
+    if (gIdx.contains(-1)) return None
     val bound = asOf.getOrElse(Long.MaxValue)
-    val killCounts = visible.map(b =>
-      MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
-        .count(_._2 <= bound).toLong)
-    val anyKills = killCounts.exists(_ > 0)
-    val liveRows = visible.map(_.rows.length.toLong).sum - killCounts.sum
 
-    // per-batch resolved stats of a bound column: Left(()) = not answerable
-    // from stats; Right(None) = all-null in this batch; Right(Some(...)) =
-    // (stats, srcType)
-    def resolved(n: String): Either[Unit,
-        Vector[Option[(MemTables.ColStats, org.apache.spark.sql.types.DataType)]]] = {
-      val boundField = tableSchema.fields.find(_.name == n)
-        .getOrElse(return Left(()))
-      if (MemTables.BatchVersion == n || MemTables.BatchId == n || MemTables.BatchPos == n)
-        return Left(()) // metadata columns: no aggregate contract
-      val perBatch = visible.map { b =>
-        MemScan.srcNameIn(b, meta)(n) match {
-          case None => Some(None) // unresolvable: all-null for this batch
-          case Some(src) =>
-            val i = b.schema.fieldNames.indexOf(src)
-            val dt = b.schema.fields(i).dataType
-            if (dt != boundField.dataType && !MemTables.widens(dt, boundField.dataType)) None
-            else b.stats.get(src).map(s => Some((s, dt)))
+    // the stats fold over one batch set (the whole table, or one group)
+    def aggOver(batches: Vector[MemTables.TaggedBatch]): Option[Seq[Any]] = {
+      val killCounts = batches.map(b =>
+        MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
+          .count(_._2 <= bound).toLong)
+      val anyKills = killCounts.exists(_ > 0)
+      val liveRows = batches.map(_.rows.length.toLong).sum - killCounts.sum
+
+      // per-batch resolved stats of a bound column: Left(()) = not
+      // answerable from stats; Right(None) = all-null in this batch;
+      // Right(Some(...)) = (stats, srcType)
+      def resolved(n: String): Either[Unit,
+          Vector[Option[(MemTables.ColStats, org.apache.spark.sql.types.DataType)]]] = {
+        val boundField = tableSchema.fields.find(_.name == n)
+          .getOrElse(return Left(()))
+        if (MemTables.BatchVersion == n || MemTables.BatchId == n || MemTables.BatchPos == n)
+          return Left(()) // metadata columns: no aggregate contract
+        val perBatch = batches.map { b =>
+          MemScan.srcNameIn(b, meta)(n) match {
+            case None => Some(None) // unresolvable: all-null for this batch
+            case Some(src) =>
+              val i = b.schema.fieldNames.indexOf(src)
+              val dt = b.schema.fields(i).dataType
+              if (dt != boundField.dataType && !MemTables.widens(dt, boundField.dataType)) None
+              else b.stats.get(src).map(s => Some((s, dt)))
+          }
+        }
+        if (perBatch.exists(_.isEmpty)) Left(())
+        else Right(perBatch.map(_.get))
+      }
+
+      def minMax(n: String, wantMin: Boolean): Option[Any] = {
+        if (anyKills) return None // a killed row may be the extreme
+        val boundType = tableSchema.fields.find(_.name == n).get.dataType
+        val cmp = MemTables.statsComparator(boundType).getOrElse(return None)
+        resolved(n) match {
+          case Left(_) => None
+          case Right(perBatch) =>
+            val vals = perBatch.flatten.flatMap { case (s, dt) =>
+              Option(if (wantMin) s.min else s.max)
+                .map(v => MemTables.widenValue(v, dt, boundType))
+            }
+            // Some(null) = a real NULL aggregate over an empty/all-null set
+            Some(if (vals.isEmpty) null
+            else vals.reduce((a, b) =>
+              if ((cmp(a, b) < 0) == wantMin) a else b))
         }
       }
-      if (perBatch.exists(_.isEmpty)) Left(())
-      else Right(perBatch.map(_.get))
+
+      def countCol(n: String): Option[Any] = {
+        if (anyKills) return None // killed rows' null-ness is not in the stats
+        resolved(n) match {
+          case Left(_) => None
+          case Right(perBatch) => Some(java.lang.Long.valueOf(
+            perBatch.flatten.map { case (s, _) => s.rowCount - s.nullCount }.sum))
+        }
+      }
+
+      val values = agg.aggregateExpressions.map {
+        case _: CountStar => Some(java.lang.Long.valueOf(liveRows): Any)
+        case c: Count => countCol(colOf(c.column).get)
+        case m: Min => minMax(colOf(m.column).get, wantMin = true)
+        case m: Max => minMax(colOf(m.column).get, wantMin = false)
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) None else Some(values.toSeq.map(_.get))
     }
 
-    def minMax(n: String, wantMin: Boolean): Option[Any] = {
-      if (anyKills) return None // a killed row may be the extreme
-      val boundType = tableSchema.fields.find(_.name == n).get.dataType
-      val cmp = MemTables.statsComparator(boundType).getOrElse(return None)
-      resolved(n) match {
-        case Left(_) => None
-        case Right(perBatch) =>
-          val vals = perBatch.flatten.flatMap { case (s, dt) =>
-            Option(if (wantMin) s.min else s.max)
-              .map(v => MemTables.widenValue(v, dt, boundType))
+    val rows: Option[Seq[Array[Any]]] =
+      if (gCols.isEmpty) aggOver(visible).map(vs => Seq(vs.toArray))
+      else {
+        // rows dead at the bound snapshot still pin their batch's group
+        // membership (the tuple is batch metadata); a group whose every
+        // row is dead still shows with COUNT(*) = 0 — same answer the
+        // ordinary scan-side aggregate would NOT produce... so drop
+        // all-dead groups to stay SQL-exact (no surviving row, no group)
+        val groups = visible.groupBy(b => gIdx.map(b.part(_)))
+        val perGroup = groups.toSeq.map { case (gv, bs) =>
+          aggOver(bs).map { a =>
+            val live = bs.map(b => b.rows.length.toLong -
+              MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
+                .count(_._2 <= bound)).sum
+            if (live == 0L) None else Some((gv ++ a).toArray)
           }
-          // Some(null) = a real NULL aggregate over an empty/all-null table
-          Some(if (vals.isEmpty) null
-          else vals.reduce((a, b) =>
-            if ((cmp(a, b) < 0) == wantMin) a else b))
+        }
+        if (perGroup.exists(_.isEmpty)) None
+        else Some(perGroup.flatMap(_.get))
       }
-    }
+    if (rows.isEmpty) return None
 
-    def countCol(n: String): Option[Any] = {
-      if (anyKills) return None // killed rows' null-ness is not in the stats
-      resolved(n) match {
-        case Left(_) => None
-        case Right(perBatch) => Some(java.lang.Long.valueOf(
-          perBatch.flatten.map { case (s, _) => s.rowCount - s.nullCount }.sum))
-      }
-    }
-
-    val values = agg.aggregateExpressions.map {
-      case _: CountStar => Some(java.lang.Long.valueOf(liveRows): Any)
-      case c: Count => countCol(colOf(c.column).get)
-      case m: Min => minMax(colOf(m.column).get, wantMin = true)
-      case m: Max => minMax(colOf(m.column).get, wantMin = false)
-      case _ => None
-    }
-    if (values.exists(_.isEmpty)) return None
-    val schema = agg.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
+    val groupFields = gCols.map(c => tableSchema.fields.find(_.name == c).get)
+    val schema0 = groupFields.foldLeft(new StructType())((s, f) => s.add(f))
+    val schema = agg.aggregateExpressions.zipWithIndex.foldLeft(schema0) {
       case (s, (_: CountStar, i)) => s.add(s"agg_$i", LongType, nullable = false)
       case (s, (_: Count, i)) => s.add(s"agg_$i", LongType, nullable = false)
       case (s, (m: Min, i)) => s.add(s"agg_$i",
@@ -1908,41 +1955,42 @@ object MemScanBuilder {
         tableSchema.fields.find(_.name == colOf(m.column).get).get.dataType, nullable = true)
       case (s, _) => s
     }
-    val desc = agg.aggregateExpressions.map(_.describe).mkString(", ")
-    Some((schema, values.map(_.get), desc))
+    val desc = (gCols.map(c => s"GROUP:$c") ++
+      agg.aggregateExpressions.map(_.describe)).mkString(", ")
+    Some((schema, rows.get.toArray, desc))
   }
 }
 
-/** Completely-pushed aggregate over a mem table: one partition, one row,
-  * the values already computed from batch statistics at pushdown — the
-  * executed plan contains NO aggregate exec and the scan ships zero data
-  * rows.
+/** Completely-pushed aggregate over a mem table: one partition carrying
+  * the already-computed result rows (ONE row for a global aggregate, one
+  * per partition tuple for a pushed GROUP BY) — the executed plan
+  * contains NO aggregate exec and the scan ships zero data rows.
   */
 final class MemAggScan(
-    key: String, schema: StructType, values: Array[Any], aggDesc: String)
+    key: String, schema: StructType, rows: Array[Array[Any]], aggDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMemScan $key AGG-PUSHED [$aggDesc]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MemAggPartition(values))
+    Array(MemAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val vs = partition.asInstanceOf[MemAggPartition].values
+        val rs = partition.asInstanceOf[MemAggPartition].rows
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
           override def get(): InternalRow =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rs(i))
           override def close(): Unit = ()
         }
       }
     }
 }
 
-final case class MemAggPartition(values: Array[Any]) extends InputPartition
+final case class MemAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 /** `readSchema` may be a PRUNED projection of the table schema and may
   * include the [[MemTables.BatchVersion]] metadata column (served per

@@ -1527,6 +1527,41 @@ object Roundtrips {
          |FROM $ta a JOIN $tb b ON a.nk = b.nk""".stripMargin)
   }
 
+  /** GROUPED metadata rollup through the gate: `GROUP BY` the identity
+    * partition column of a partitioned mem table pushes down completely —
+    * one result row per partition tuple, computed from per-batch stats
+    * with a zero-row scan and no aggregate exec (AggRuntimeSpec pins the
+    * plan and the declines: bucket/non-partition grouping columns, kills
+    * under MIN/MAX). The copy-on-write DELETE first makes survivor-stats
+    * freshness load-bearing per group. The oracle replays insert, delete,
+    * and rollup relationally from `customer`.
+    */
+  val dsv2AggGroup: QueryDef = QueryDef(
+    "dsv2_agg_group",
+    """WITH ins AS (
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nk, c_custkey AS ck,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |base AS (SELECT * FROM ins WHERE NOT (cents < 0))
+      |SELECT nk, CAST(count(*) AS BIGINT) AS cnt, CAST(count(ck) AS BIGINT) AS cks,
+      |       CAST(min(cents) AS BIGINT) AS mn, CAST(max(cents) AS BIGINT) AS mx
+      |FROM base GROUP BY nk""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cust_agg_group"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (nk INT, ck BIGINT, cents BIGINT) PARTITIONED BY (nk)")
+    Tables.customer(spark, dir).select(
+      col("c_nationkey").cast("int").as("nk"),
+      col("c_custkey").as("ck"),
+      Num.cents(col("c_acctbal")).as("cents"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE cents < 0") // v2: CoW, per-group fresh stats
+    spark.sql(
+      s"""SELECT nk, count(*) AS cnt, count(ck) AS cks,
+         |       min(cents) AS mn, max(cents) AS mx
+         |FROM $tbl GROUP BY nk""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1536,5 +1571,5 @@ object Roundtrips {
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
-      dsv2RuntimePrune, dsv2SpjSorted)
+      dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup)
 }

@@ -113,6 +113,52 @@ class AggRuntimeSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.agg_dec")
   }
 
+  test("GROUP BY identity partition columns pushes down; rollup answers from tuples") {
+    catalogOn()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS graft.agg_grp")
+    spark.sql("CREATE TABLE graft.agg_grp (nk INT, ck BIGINT, v BIGINT) " +
+      "PARTITIONED BY (nk, bucket(4, ck))")
+    spark.sql("INSERT INTO graft.agg_grp " +
+      "SELECT CAST(id % 3 AS INT), id, id * 10 FROM range(0, 60)")
+    spark.sql("INSERT INTO graft.agg_grp VALUES (CAST(NULL AS INT), 100, 999)")
+    val q = spark.sql(
+      "SELECT nk, count(*) AS c, min(v) AS mn, max(v) AS mx FROM graft.agg_grp GROUP BY nk")
+    val rows = q.collect().map(r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(
+      (-1, 1L, 999L, 999L), // NULL tuple is its own group
+      (0, 20L, 0L, 570L), (1, 20L, 10L, 580L), (2, 20L, 20L, 590L)))
+    val p = plan(q)
+    assert(p.contains("AGG-PUSHED") && !p.contains("HashAggregate"), p)
+    // non-partition / bucket-transform grouping columns decline
+    val qd = spark.sql("SELECT ck, count(*) AS c FROM graft.agg_grp GROUP BY ck")
+    assert(qd.count() === 61)
+    assert(!plan(qd).contains("AGG-PUSHED"))
+    spark.sql("DROP TABLE graft.agg_grp")
+  }
+
+  test("pushed GROUP BY stays SQL-exact under deletes: dead groups vanish, counts push") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.agg_grpd")
+    spark.sql("CREATE TABLE graft.agg_grpd (nk INT, v BIGINT) PARTITIONED BY (nk) " +
+      "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.agg_grpd SELECT CAST(id % 3 AS INT), id FROM range(0, 30)")
+    spark.sql("DELETE FROM graft.agg_grpd WHERE nk = 2") // whole group dead (DV)
+    spark.sql("DELETE FROM graft.agg_grpd WHERE v = 0")  // one row of group 0
+    val q = spark.sql("SELECT nk, count(*) AS c FROM graft.agg_grpd GROUP BY nk")
+    assert(q.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq((0, 9L), (1, 10L))) // group 2 gone, like the relational answer
+    assert(plan(q).contains("AGG-PUSHED"))
+    // min/max decline under kills, grouped or not
+    val qm = spark.sql("SELECT nk, min(v) AS mn FROM graft.agg_grpd GROUP BY nk")
+    assert(qm.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq((0, 3L), (1, 1L)))
+    assert(!plan(qm).contains("AGG-PUSHED"))
+    spark.sql("DROP TABLE graft.agg_grpd")
+  }
+
   test("runtime filtering prunes mem batches from the join's build side") {
     catalogOn()
     spark.sql("DROP TABLE IF EXISTS graft.rt_fact")
