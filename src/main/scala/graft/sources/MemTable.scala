@@ -1432,6 +1432,31 @@ object MemTables {
     * group-based rewrite produces — row-level delete events would require
     * diffing, which is the CDC consumer's fold).
     */
+  /** Batches a filter set could possibly touch, by the SAME bounds +
+    * bucket evaluation the scan's data skipping uses (era/tombstone
+    * resolution included): a batch failing any filter's `mayMatch`
+    * provably contains no matching row. Shared by [[deleteWhere]] so a
+    * partition-shaped DELETE (`WHERE nk = 5`) row-evaluates only the
+    * partition's batches — at 100 TB, the difference between a
+    * metadata-speed partition delete and a table scan.
+    */
+  private[sources] def candidateBatches(
+      filters: Array[Filter], spec: Seq[PartField],
+      eras: Map[String, Vector[(Long, String)]], droppedAt: Map[String, Long],
+      batches: Vector[TaggedBatch]): Vector[TaggedBatch] =
+    if (filters.isEmpty) batches
+    else batches.filter { b =>
+      val n = b.rows.length.toLong
+      val lookup: String => Option[ColStats] = name =>
+        sourceFieldName(eras, droppedAt)(name, b.writeVersion)
+          .filter(b.schema.fieldNames.contains) match {
+          case None => Some(ColStats(null, null, n, n)) // all-null here
+          case Some(src) => b.stats.get(src)
+        }
+      filters.forall(f => mayMatch(f, lookup)) &&
+        (spec.isEmpty || filters.forall(f => bucketMayMatch(f, spec, b.part)))
+    }
+
   def deleteWhere(key: String, filters: Array[Filter]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-delete"))
@@ -1491,8 +1516,9 @@ object MemTables {
       // rows is a no-op and must not burn a version slot — a phantom
       // 'delete' ledger entry with no change-feed events would misreport
       // provenance (mirrors compact()'s no-op path)
-      val deadByBatch: Map[Long, Array[Int]] = st.batches.iterator
-        .filter(_.removedAt == Long.MaxValue)
+      val live = st.batches.filter(_.removedAt == Long.MaxValue)
+      val deadByBatch: Map[Long, Array[Int]] =
+        candidateBatches(filters, st.partitioning, eras, droppedAt, live).iterator
         .map { b =>
           val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
           b.batchId -> b.rows.zipWithIndex.collect {
@@ -1661,12 +1687,14 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(key, tableSchema, asOf)
+    new MemScanBuilder(key, tableSchema, asOf,
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.isDefined)
@@ -1708,6 +1736,98 @@ final class MemBranchTable(
     }
 }
 
+/** METADATA tables (the Iceberg `db.table.files` / `db.table.partitions`
+  * convention, resolved by the catalog when an identifier's last segment
+  * names one and its namespace is an existing mem table):
+  *
+  *  - `<table>.files` — one row per LIVE batch: id, commit version,
+  *    rendered partition tuple, stored/live/deleted row counts. The
+  *    operator's view of layout fragmentation (what `rewrite_data_files`
+  *    exists to fix).
+  *  - `<table>.partitions` — one row per partition TUPLE with batch and
+  *    live-row counts (identity columns surface typed, bucket fields as
+  *    `<col>_bucket INT`); an unpartitioned table reports its single
+  *    implicit partition. This is the summary a 100 TB operator reads
+  *    instead of listing files.
+  *
+  * Both are driver-built `LocalScan`s over planning-time metadata — the
+  * row count is the batch/tuple count, never the data size — and bind
+  * one consistent state snapshot under the table monitor.
+  */
+final class MemMetaTable(key: String, kind: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private def state: MemTables.State = MemTables.get(key).getOrElse(
+    throw new IllegalStateException(s"mem table $key dropped"))
+
+  override def name(): String = s"$key.$kind"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def schema(): StructType = kind match {
+    case "files" => new StructType()
+      .add("batch_id", LongType, nullable = false)
+      .add("version", LongType, nullable = false)
+      .add("partition", StringType, nullable = false)
+      .add("row_count", LongType, nullable = false)
+      .add("live_rows", LongType, nullable = false)
+      .add("deleted_rows", LongType, nullable = false)
+    case _ => // partitions
+      val st = state
+      val base = st.partitioning.foldLeft(new StructType()) {
+        case (s, MemTables.IdentityPart(c)) =>
+          s.add(st.schema.fields.find(_.name == c).get.copy(nullable = true))
+        case (s, MemTables.BucketPart(_, c)) =>
+          s.add(s"${c}_bucket", IntegerType, nullable = false)
+      }
+      base
+        .add("batch_count", LongType, nullable = false)
+        .add("row_count", LongType, nullable = false)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = state
+    val (spec, batches, eras, droppedAt, eqDeletes) = st.synchronized {
+      (st.partitioning, st.batches.filter(_.removedAt == Long.MaxValue),
+        st.eras, st.droppedAt, st.eqDeletes)
+    }
+    def kills(b: MemTables.TaggedBatch): Long =
+      MemTables.effectiveKills(b, eqDeletes, eras, droppedAt).size.toLong
+    def renderPart(b: MemTables.TaggedBatch): String =
+      spec.zip(b.part).map {
+        case (MemTables.IdentityPart(c), v) => s"$c=${String.valueOf(v)}"
+        case (MemTables.BucketPart(_, c), v) => s"${c}_bucket=$v"
+      }.mkString("/")
+    val outSchema = schema()
+    val dataRows: Seq[Seq[Any]] = kind match {
+      case "files" => batches.map { b =>
+        val dead = kills(b)
+        Seq[Any](b.batchId, b.version, renderPart(b),
+          b.rows.length.toLong, b.rows.length.toLong - dead, dead)
+      }
+      case _ =>
+        batches.groupBy(_.part).toSeq.map { case (part, bs) =>
+          part ++ Seq[Any](
+            bs.size.toLong,
+            bs.map(b => b.rows.length.toLong - kills(b)).sum)
+        }
+    }
+    val desc = s"GraftMemMeta $key.$kind"
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = dataRows.map(vs =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            vs.map {
+              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case other => other
+            }.toArray[Any]): InternalRow).toArray
+        override def readSchema(): StructType = outSchema
+        override def description(): String = desc
+      }
+    }
+  }
+}
+
 /** Scan ↔ write coordination of one row-level operation (UPDATE / MERGE /
   * rewrite-DELETE): the batch versions the runtime group filter narrowed
   * the scan to (None = unfiltered, the whole-table group), and the table
@@ -1740,13 +1860,20 @@ final class MemRowLevelState(val groupFilterable: Boolean = true) {
 final class MemScanBuilder(
     key: String, tableSchema: StructType, asOf: Option[Long],
     rowLevel: Option[MemRowLevelState] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
   private var required: Option[StructType] = None
   private var skipFilters: Array[Filter] = Array.empty
+  private var limitRows: Option[Int] = None
+  private var offsetRows: Option[Int] = None
+  private var topNCols: Option[Seq[String]] = None
   private var aggResult: Option[(StructType, Array[Array[Any]], String)] = None
   // the Aggregation instance aggResult was computed for (Spark may probe
   // supportCompletePushDown/pushAggregation repeatedly; recompute only on
@@ -1759,6 +1886,73 @@ final class MemScanBuilder(
     filters // ALL residual: the source only skips, it never filters rows
   }
   override def pushedFilters(): Array[Filter] = skipFilters
+
+  /** LIMIT pushdown, PARTIAL (Spark keeps the global limit operator; the
+    * scan's contract is only "return at least the limit's worth of rows
+    * if they exist"): partition planning selects a PREFIX of batches
+    * whose cumulative live-row count reaches the cap and trims each
+    * planned batch to its first `limit` live positions. At 100 TB this
+    * is `SELECT * FROM t LIMIT 10` planning one batch instead of a
+    * million — the second query every user runs. Spark only pushes a
+    * limit when no filter sits between it and the scan, and this source
+    * keeps every filter residual, so the surface is exactly the
+    * unfiltered head. Row-level operation scans decline: a rewrite must
+    * read EVERY row of the affected groups.
+    */
+  override def pushLimit(limit: Int): Boolean =
+    if (rowLevel.nonEmpty) false
+    else { limitRows = Some(limit); true }
+
+  /** TOP-N pushdown, PARTIAL, served only under an active sorted-rewrite
+    * claim ([[MemTables.State.sortedBy]]) that the requested order
+    * prefixes with plain ASC/NULLS-FIRST columns: every live batch under
+    * a claim is internally sorted by the claim columns, so a batch's
+    * rows past its first N live ones are dominated by N rows of the same
+    * batch and can never reach the global top N — trimming per batch is
+    * sound whatever the partition grouping. Spark still merges
+    * per-partition heads (TakeOrderedAndProject), so this is cost
+    * elision, not semantics. Declines bind-before-claim time travel and
+    * row-level scans.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (rowLevel.nonEmpty || branch.nonEmpty) return false
+    val st = MemTables.get(key).getOrElse(return false)
+    val (sortedBy, since) = st.synchronized((st.sortedBy, st.sortedSince))
+    if (sortedBy.isEmpty || asOf.exists(_ < since)) return false
+    val cols = orders.map { o =>
+      if (o.direction != SortDirection.ASCENDING ||
+          o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+      o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
+        case _ => return false
+      }
+    }
+    if (cols.isEmpty || !cols.sameElements(sortedBy.take(cols.length))) return false
+    limitRows = Some(limit)
+    topNCols = Some(cols.toSeq)
+    true
+  }
+
+  // partial for both shapes: Spark re-applies the global (ordered) limit;
+  // the scan only plans fewer batches and trims each to the cap
+  override def isPartiallyPushed: Boolean = true
+
+  /** OFFSET pushdown — COMPLETE (the interface has no partial form: Spark
+    * deletes the Offset operator, so the scan must drop EXACTLY `offset`
+    * rows). Sound for the unordered pagination shape because any `offset`
+    * rows are a valid skip of an unordered relation and the planning-time
+    * drop (leading live positions in batch order, one snapshot) is exact.
+    * Declines when a TOP-N was pushed: an ordered offset must drop the
+    * first rows IN ORDER, which a per-batch view cannot do. (Spark never
+    * pushes an offset through a Sort, so the ordered case can't arrive
+    * without the TOP-N path anyway.)
+    */
+  override def pushOffset(offset: Int): Boolean =
+    if (rowLevel.nonEmpty || topNCols.isDefined) false
+    else { offsetRows = Some(offset); true }
 
   /** METADATA-ANSWERED aggregates — the Iceberg "count(*) from manifests"
     * surface: global COUNT(*) / COUNT(col) / MIN(col) / MAX(col) are
@@ -1804,7 +1998,8 @@ final class MemScanBuilder(
   override def build(): Scan = aggResult match {
     case Some((schema, values, desc)) => new MemAggScan(key, schema, values, desc)
     case None =>
-      new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch)
+      new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch,
+        limitRows, topNCols, skipChangeCommits, offsetRows)
   }
 }
 
@@ -2002,7 +2197,11 @@ final class MemScan(
     readSchemaOpt: Option[StructType] = None,
     rowLevel: Option[MemRowLevelState] = None,
     skipFilters: Array[Filter] = Array.empty,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    limitRows: Option[Int] = None,
+    topNCols: Option[Seq[String]] = None,
+    skipChangeCommits: Boolean = false,
+    offsetRows: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2046,7 +2245,10 @@ final class MemScan(
   override def description(): String =
     s"GraftMemScan $key${asOf.fold("")(v => s" VERSION AS OF $v")}" +
       branch.fold("")(b => s" BRANCH $b") +
-      (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "")
+      (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "") +
+      limitRows.fold("")(n => topNCols.fold(s" limit=$n")(cs =>
+        s" topN=$n(${cs.mkString(",")})")) +
+      offsetRows.fold("")(o => s" offset=$o")
 
   /** Runtime filtering, two regimes:
     *
@@ -2068,7 +2270,10 @@ final class MemScan(
     if (rowLevel.exists(_.groupFilterable))
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(MemTables.BatchVersion))
-    else if (rowLevel.isEmpty &&
+    // a pushed LIMIT head sits BELOW any join this scan feeds: runtime
+    // filtering would re-pick which rows reach the head (filter-then-limit
+    // vs the query's limit-then-filter), so the scan declines the offer
+    else if (rowLevel.isEmpty && limitRows.isEmpty && offsetRows.isEmpty &&
         MemTables.get(key).exists(_.partitioning.isEmpty))
       // ONLY columns of the BOUND (column-pruned) schema: Spark resolves
       // these against the relation's pruned output and throws on a miss —
@@ -2265,18 +2470,122 @@ final class MemScan(
     // snapshot are computed at planning (driver-side, against the pinned
     // version) and shipped in the partition for the reader to skip
     val bound = asOf.getOrElse(Long.MaxValue)
-    visible.zip(srcMaps).map { case (b, srcNames) =>
+    val withDead = visible.zip(srcMaps).map { case (b, srcNames) =>
       val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
         .collect { case (p, at) if at <= bound => p }.toSet
+      (b, srcNames, dead)
+    }
+    // pushed LIMIT / TOP-N head (both PARTIAL — Spark re-applies the
+    // global (ordered) limit, so trimming can only elide cost, never
+    // change results as long as enough rows survive):
+    //  - plain LIMIT: a PREFIX of batches whose cumulative live count
+    //    reaches the cap, each trimmed to its first n live positions —
+    //    any n rows are a valid head of an unordered relation.
+    //  - TOP-N: EVERY batch trimmed to its first n live positions (a
+    //    later batch may hold the global minimum, so none may be
+    //    dropped); rows past a batch's first n live are dominated by n
+    //    rows of the same batch — sound only while the sorted-rewrite
+    //    claim holds, so it is RE-VALIDATED here against the planned
+    //    snapshot (a mutation racing pushdown→planning retires the trim,
+    //    and the scan degrades to unfiltered partitions).
+    // pushed OFFSET (COMPLETE — Spark deleted the Offset operator, the
+    // scan owes an exact drop): the first `offset` live positions in
+    // batch order join the dead set, skipped by the reader like DV kills;
+    // the limit logic below then counts live rows AFTER the offset
+    val afterOffset = offsetRows match {
+      case None => withDead
+      case Some(off) =>
+        var remaining = off
+        withDead.map { case (b, s, dead) =>
+          if (remaining <= 0) (b, s, dead)
+          else {
+            var extra = dead
+            var i = 0
+            while (i < b.rows.length && remaining > 0) {
+              if (!dead.contains(i)) { extra += i; remaining -= 1 }
+              i += 1
+            }
+            (b, s, extra)
+          }
+        }
+    }
+    val planned = limitRows match {
+      case None => afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
+      case Some(n) =>
+        def cutAt(b: MemTables.TaggedBatch, dead: Set[Int]): (Int, Int) = {
+          var live = 0
+          var i = 0
+          while (i < b.rows.length && live < n) {
+            if (!dead.contains(i)) live += 1
+            i += 1
+          }
+          (i, live)
+        }
+        topNCols match {
+          case Some(cols) =>
+            val claimHolds = MemTables.get(key).exists { s =>
+              val (sb, since) = s.synchronized((s.sortedBy, s.sortedSince))
+              sb.take(cols.length) == cols && !asOf.exists(_ < since)
+            }
+            if (claimHolds)
+              afterOffset.map { case (b, s, d) => (b, s, d, cutAt(b, d)._1) }
+            else afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
+          case None =>
+            var acc = 0L
+            afterOffset.flatMap { case (b, s, d) =>
+              if (acc >= n) None
+              else {
+                val (cut, live) = cutAt(b, d)
+                acc += live
+                Some((b, s, d, cut))
+              }
+            }
+        }
+    }
+    planned.map { case (b, srcNames, dead, cut) =>
+      val rows = if (cut == b.rows.length) b.rows else b.rows.take(cut)
       val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
-      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId,
-        key): InputPartition
+      MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
+        b.batchId, key): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    MemScan.readerFactoryFor(boundSchema)
+
+  /** STREAMING consumption of the TABLE (the Delta `readStream.table`
+    * shape, distinct from the change feed's event stream): the version
+    * clock is the offset; the FIRST micro-batch is the full snapshot at
+    * stream start (sentinel offset −1) and every later one the batches
+    * APPENDED in its `(start, end]` window — each trigger costs its
+    * window's new data, never the table. Non-append commits in a window
+    * (overwrite, DELETE, UPDATE/MERGE, rollback, upsert) fail the stream
+    * loudly unless `skipChangeCommits=true` skips them whole — the
+    * standard append-only streaming contract (deletes/updates are the
+    * CDC feed's job, [[MemChangesSource]]). Compactions are physical
+    * reorganizations and always invisible. Declines pinned snapshots,
+    * branches, and row-level scans.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (asOf.isDefined || branch.isDefined || rowLevel.isDefined)
+      throw new UnsupportedOperationException(
+        s"mem table $key: streaming reads a LIVE table (not a pinned " +
+          "snapshot, branch, or row-level operation scan)")
+    new MemTableMicroBatchStream(key, boundSchema, skipChangeCommits)
+  }
+}
+
+object MemScan {
+  /** Snapshot-projection reader over [[MemPartition]]s — era-resolved
+    * by-name projection into `target` with DV-dead positions skipped and
+    * the three versioning metadata columns served as constants. Shared
+    * by the batch scan and the table micro-batch stream (a streamed
+    * append window reads exactly like a snapshot of its batches).
+    */
+  private[sources] def readerFactoryFor(target0: StructType): PartitionReaderFactory =
     new PartitionReaderFactory {
-      val target = boundSchema // serialized with the factory
+      val target = target0 // serialized with the factory
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
         val rows = p.rows
@@ -2340,9 +2649,7 @@ final class MemScan(
         }
       }
     }
-}
 
-object MemScan {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
@@ -2955,6 +3262,126 @@ final class MemChangesMicroBatchStream(key: String, from: Long, fullSchema: Stru
 
 final case class MemVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
+}
+
+/** TABLE-level micro-batch stream (`spark.readStream.table("graft.t")` —
+  * the Delta table-as-stream-source shape): offsets are table versions;
+  * the first window `(−1, v]` is the full snapshot AS OF `v` and every
+  * later one the batches APPENDED in `(start, end]`. Checkpointed offsets
+  * make consumption exactly-once across restarts, and each trigger costs
+  * its window's new rows — never the table. See
+  * [[MemTableMicroBatchStream.partitionsIn]] for the change-commit rules.
+  */
+final class MemTableMicroBatchStream(
+    key: String, boundSchema: StructType, skipChangeCommits: Boolean)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  private def current: Long = MemTables.get(key)
+    .getOrElse(throw new IllegalStateException(s"mem table $key dropped")).version
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    MemVersionOffset(availableNowTarget.getOrElse(current))
+  override def reportLatestOffset(): Offset = MemVersionOffset(current)
+  // −1 = "initial snapshot pending": the stream's first batch is the data
+  // that existed at start, exactly once, whatever version count built it
+  override def initialOffset(): Offset = MemVersionOffset(-1L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("driven via latestOffset(start, limit)")
+  override def deserializeOffset(json: String): Offset = MemVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    MemTableMicroBatchStream.partitionsIn(
+      key, boundSchema,
+      start.asInstanceOf[MemVersionOffset].v,
+      end.asInstanceOf[MemVersionOffset].v,
+      skipChangeCommits)
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemScan.readerFactoryFor(boundSchema)
+}
+
+object MemTableMicroBatchStream {
+  /** Pure adds — safe to stream as-appended. */
+  private val AppendKinds = Set("append", "stream-append")
+  /** No logical data change: nothing to stream, nothing to object to
+    * ("compact" versions DO create batches — physical replacements the
+    * stream must never re-emit, the CDC-invisibility rule).
+    */
+  private val InvisibleKinds = Set("create", "alter", "compact")
+
+  /** Partitions of one streamed window.
+    *
+    *  - `from == −1`: the INITIAL SNAPSHOT at `to` — live batches with
+    *    their DV/equality kills at that version, read exactly like a
+    *    `VERSION AS OF to` scan.
+    *  - otherwise: the batches appended by append-kind versions in
+    *    `(from, to]`, as-appended (no kill overlay: later deletes are
+    *    separate commits). Any other data-changing commit in the window
+    *    (overwrite, DELETE, UPDATE/MERGE rewrite or delta, rollback,
+    *    upsert) fails the stream loudly unless `skipChangeCommits` skips
+    *    those versions whole — the append-only contract; update/delete
+    *    consumers belong on the change feed ([[MemChangesSource]]).
+    *
+    * Retention is re-validated per window (a restart may land after an
+    * `expire_snapshots`): a window reaching into expired history fails
+    * loudly, never silently emits the surviving fraction.
+    */
+  private[sources] def partitionsIn(
+      key: String, bound: StructType, from: Long, to: Long,
+      skipChangeCommits: Boolean): Array[InputPartition] = {
+    val st = MemTables.get(key).getOrElse(
+      throw new IllegalStateException(s"mem table $key dropped"))
+    val (batches, hist, earliest, eqDeletes, opKinds) = st.synchronized {
+      (st.batches, st.history, st.earliestVersion, st.eqDeletes, st.opKinds)
+    }
+    if ((if (from < 0) to else from) < earliest)
+      throw new IllegalStateException(
+        s"stream window ($from, $to] of $key reaches into expired history " +
+          s"(earliest retained snapshot: $earliest) — restart the stream " +
+          "from a fresh checkpoint")
+    val metaAt = hist.filter(_.version <= to).last
+    val meta = MemScan.BoundMeta(metaAt.droppedAt, metaAt.eras)
+    def toPartition(b: MemTables.TaggedBatch, dead: Set[Int]): InputPartition = {
+      val srcNames = MemScan.srcMapOf(bound, b, meta)
+      bound.fields.foreach { f =>
+        srcNames.get(f.name).foreach { src =>
+          val dt = b.schema.fields(b.schema.fieldNames.indexOf(src)).dataType
+          if (dt != f.dataType && !MemTables.widens(dt, f.dataType))
+            throw new IllegalStateException(
+              s"mem table $key: column ${f.name} was written as " +
+                s"${dt.simpleString} but the stream is bound to " +
+                s"${f.dataType.simpleString} — not a supported widening")
+        }
+      }
+      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId, None)
+    }
+    if (from < 0)
+      batches.filter(b => b.version <= to && b.removedAt > to).map { b =>
+        val dead = MemTables.effectiveKills(b, eqDeletes, metaAt.eras, metaAt.droppedAt)
+          .collect { case (p, at) if at <= to => p }.toSet
+        toPartition(b, dead)
+      }.toArray
+    else {
+      def kindOf(v: Long): String = opKinds.getOrElse(v, "unknown")
+      val offending = ((from + 1) to to).filter(v =>
+        !AppendKinds.contains(kindOf(v)) && !InvisibleKinds.contains(kindOf(v)))
+      if (offending.nonEmpty && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"stream of $key hit non-append commit(s) " +
+            offending.map(v => s"v$v=${kindOf(v)}").mkString(", ") +
+            " — deletes/updates belong on the change feed " +
+            "(graft.sources.MemChangesSource); set skipChangeCommits=true " +
+            "to ignore them")
+      batches
+        .filter(b => b.version > from && b.version <= to &&
+          AppendKinds.contains(kindOf(b.version)))
+        .map(toPartition(_, Set.empty)).toArray
+    }
+  }
 }
 
 /** One change event: the SELECTED rows (whole batch for commit inserts;

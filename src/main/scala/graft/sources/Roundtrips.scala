@@ -1562,6 +1562,161 @@ object Roundtrips {
          |FROM $tbl GROUP BY nk""".stripMargin)
   }
 
+  /** METADATA TABLES through the gate (the Iceberg `db.table.files` /
+    * `db.table.partitions` convention, [[MemMetaTable]]): a partitioned
+    * merge-on-read table takes two single-task appends and a DV DELETE,
+    * then the query reads BOTH metadata relations — per-partition batch
+    * and live-row counts, and per-commit-version batch counts with
+    * live/deleted row sums from `.files`. The oracle replays the layout
+    * relationally (a batch exists per (append, partition) slice with ≥1
+    * row; DV deletes shrink live counts but never remove a batch), so a
+    * metadata table that missed a batch, double-counted a DV kill, or
+    * grouped partitions wrongly is a hash break. At 100 TB these views
+    * are what an operator reads INSTEAD of listing files — fragmentation
+    * and skew diagnosis at metadata cost.
+    */
+  val dsv2MetaTables: QueryDef = QueryDef(
+    "dsv2_meta_tables",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |         o_orderkey % 4 AS nk
+      |  FROM orders WHERE o_orderkey % 19 = 0),
+      |r AS (SELECT k, v, nk,
+      |        CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ver
+      |      FROM base),
+      |p AS (
+      |  SELECT nk, CAST(count(DISTINCT ver) AS BIGINT) AS batches,
+      |         CAST(SUM(CASE WHEN v >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS live
+      |  FROM r GROUP BY nk),
+      |f AS (
+      |  SELECT ver, CAST(count(DISTINCT nk) AS BIGINT) AS batches,
+      |         CAST(SUM(CASE WHEN v >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS live,
+      |         CAST(SUM(CASE WHEN v < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS dead
+      |  FROM r GROUP BY ver)
+      |SELECT 'partitions' AS src, nk AS key, batches, live AS live_rows,
+      |       CAST(0 AS BIGINT) AS deleted_rows
+      |FROM p
+      |UNION ALL
+      |SELECT 'files', ver, batches, live, dead FROM f""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_meta_gate"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 19 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"),
+        (col("o_orderkey") % 4).as("nk"))
+    base.filter(col("k") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1
+    base.filter(col("k") % 2 === 1).coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v3: DV kills, no batch dies
+    spark.sql(
+      s"""SELECT 'partitions' AS src, nk AS key, batch_count AS batches,
+         |       row_count AS live_rows, CAST(0 AS BIGINT) AS deleted_rows
+         |FROM $tbl.partitions
+         |UNION ALL
+         |SELECT 'files', version, count(*), sum(live_rows), sum(deleted_rows)
+         |FROM $tbl.files GROUP BY version""".stripMargin)
+  }
+
+  /** LIMIT / TOP-N pushdown through the gate ([[MemScanBuilder.pushLimit]]
+    * / [[MemScanBuilder.pushTopN]]): a sorted rewrite establishes the
+    * ordering claim, then the query takes the ordered head (top-N trims
+    * every batch to its first N live rows — LimitPushdownSpec pins the
+    * scan-output metric) and a plain-LIMIT cardinality probe (`count(*)`
+    * over an arbitrary 50-row head — the VALUE set is nondeterministic,
+    * the COUNT is not, and an under-trimming scan that starved the head
+    * breaks it). The oracle restates the ordered head relationally and
+    * the cardinality as `least(50, count(*))`. At 100 TB these are the
+    * `LIMIT 10` / `ORDER BY ts LIMIT 10` every user types first — served
+    * by planning a batch, not the table.
+    */
+  val dsv2LimitTopn: QueryDef = QueryDef(
+    "dsv2_limit_topn",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT 'top' AS part, k, v
+      |FROM (SELECT k, v FROM base ORDER BY k LIMIT 100) t
+      |UNION ALL
+      |SELECT 'head',
+      |  (SELECT CASE WHEN count(*) < 50 THEN count(*) ELSE 50 END FROM base),
+      |  CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'page',
+      |  (SELECT CASE WHEN count(*) - 20 < 40 THEN count(*) - 20 ELSE 40 END
+      |   FROM base),
+      |  CAST(0 AS BIGINT)""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_limit_topn"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1: multi-task, several batches
+    spark.sql(s"CALL graft.rewrite_data_files('mem_limit_topn', 'k')") // v2: claim
+    spark.sql(
+      s"""SELECT 'top' AS part, k, v
+         |FROM (SELECT k, v FROM $tbl ORDER BY k LIMIT 100)
+         |UNION ALL
+         |SELECT 'head', count(*), CAST(0 AS BIGINT)
+         |FROM (SELECT k FROM $tbl LIMIT 50)
+         |UNION ALL
+         |SELECT 'page', count(*), CAST(0 AS BIGINT)
+         |FROM (SELECT k FROM $tbl LIMIT 40 OFFSET 20)""".stripMargin)
+  }
+
+  /** TABLE-AS-STREAM-SOURCE through the gate ([[MemTableMicroBatchStream]]
+    * — the Delta `readStream.table` shape): run 1 streams the INITIAL
+    * SNAPSHOT into a checkpointed parquet file sink; two more appends and
+    * a compaction later, run 2 resumes from the SAME checkpoint and must
+    * emit exactly the two appended windows — nothing re-emitted, the
+    * compaction's physical replacements invisible. The sink APPENDS, so
+    * any at-least-once slip (snapshot replayed, append double-planned,
+    * compaction leaked) lands duplicate rows in `all` and breaks the
+    * hash; a lost window breaks it the other way. The oracle restates
+    * `snap` as the first slice and `all` as the union, each row exactly
+    * once.
+    */
+  val dsv2TableStream: QueryDef = QueryDef(
+    "dsv2_table_stream",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT 'snap' AS part, k, v FROM base WHERE k % 3 = 0
+      |UNION ALL
+      |SELECT 'all', k, v FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_table_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    val out = graft.rentals.Scratch.dir(s"table_stream_out_${System.nanoTime()}")
+    val cp = graft.rentals.Scratch.dir(s"table_stream_cp_${System.nanoTime()}")
+    def run(): Unit = {
+      val q = spark.readStream.table(tbl).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    base.filter(col("k") % 3 === 0).writeTo(tbl).append() // v1
+    run() // snapshot
+    val snapDir = graft.rentals.Scratch.dir(s"table_stream_snap_${System.nanoTime()}")
+    spark.read.parquet(out).write.mode("overwrite").parquet(snapDir)
+    base.filter(col("k") % 3 === 1).writeTo(tbl).append() // v2
+    spark.sql(s"CALL graft.compact_table('mem_table_stream')") // v3: invisible
+    base.filter(col("k") % 3 === 2).writeTo(tbl).append() // v4
+    run() // appended windows only
+    spark.read.parquet(snapDir).select(lit("snap").as("part"), col("k"), col("v"))
+      .unionAll(
+        spark.read.parquet(out).select(lit("all").as("part"), col("k"), col("v")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1571,5 +1726,6 @@ object Roundtrips {
       dsv2DeleteMor, dsv2UpdateMor, dsv2Compact, dsv2TableHistory, dsv2TagTravel,
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
-      dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup)
+      dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
+      dsv2TableStream)
 }

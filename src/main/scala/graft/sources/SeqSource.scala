@@ -403,8 +403,23 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       MemTables.get(memKey(ident))
         .map(st => new MemTable(memKey(ident), st.schema))
         .orElse(branchTable(ident))
+        .orElse(metaTable(ident))
         .getOrElse(throw new NoSuchTableException(ident.asInstanceOf[Identifier]))
   }
+
+  /** Metadata-table resolution (the Iceberg `db.table.files` /
+    * `db.table.partitions` convention): served only when the namespace is
+    * an existing mem table — ordinary identifiers are never shadowed
+    * (the mem-table lookup wins first).
+    */
+  private def metaTable(ident: Identifier):
+      Option[org.apache.spark.sql.connector.catalog.Table] =
+    if (ident.namespace().isEmpty ||
+        !Set("files", "partitions").contains(ident.name())) None
+    else {
+      val parentKey = ident.namespace().mkString(".")
+      MemTables.get(parentKey).map(_ => new MemMetaTable(parentKey, ident.name()))
+    }
 
   /** Branch-ref resolution (the Iceberg identifier convention):
     * `<table>.branch_<name>` reads/stages against the named branch —

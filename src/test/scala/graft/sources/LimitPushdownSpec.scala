@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LIMIT / TOP-N pushdown on the mem-table scan ([[MemScanBuilder
+  * .pushLimit]] / [[MemScanBuilder.pushTopN]]) — both PARTIAL pushes
+  * (Spark keeps the global limit), so every test pins two things: the
+  * result is EXACTLY what SQL says, and the scan planned/emitted less
+  * than the table.
+  */
+class LimitPushdownSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = pl match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def memScan(df: org.apache.spark.sql.DataFrame) =
+    scans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("GraftMemScan")).head
+
+  test("LIMIT plans a prefix of batches, each trimmed to the cap") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_plain")
+    spark.sql("CREATE TABLE graft.lim_plain (k BIGINT)")
+    import spark.implicits._
+    for (lo <- Seq(0L, 10L, 20L))
+      (lo until lo + 10L).toDF("k").coalesce(1).writeTo("graft.lim_plain").append()
+
+    val df = spark.table("graft.lim_plain").limit(12)
+    assert(df.collect().length === 12)
+    val scan = memScan(df)
+    assert(scan.toString.contains("limit=12"), scan.toString)
+    // 12 > one batch's 10 live rows: exactly two batches planned (the
+    // third never leaves the driver), none past the cap
+    assert(scan.inputRDD.getNumPartitions === 2)
+    assert(scan.metrics("numOutputRows").value <= 20L)
+
+    val one = spark.table("graft.lim_plain").limit(5)
+    assert(one.collect().length === 5)
+    val oneScan = memScan(one)
+    assert(oneScan.inputRDD.getNumPartitions === 1)
+    assert(oneScan.metrics("numOutputRows").value === 5L)
+    spark.sql("DROP TABLE graft.lim_plain")
+  }
+
+  test("LIMIT counts LIVE rows: delete-vector kills never starve the head") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_mor")
+    spark.sql("CREATE TABLE graft.lim_mor (k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    import spark.implicits._
+    (0L until 10L).toDF("k").coalesce(1).writeTo("graft.lim_mor").append()
+    (10L until 20L).toDF("k").coalesce(1).writeTo("graft.lim_mor").append()
+    spark.sql("DELETE FROM graft.lim_mor WHERE k < 5") // batch 1: 5 live left
+    // the cap must count live positions, not array slots — a slot count
+    // would plan batch 1 alone (10 slots ≥ 8) and return only 5 rows
+    val df = spark.table("graft.lim_mor").limit(8)
+    assert(df.collect().length === 8)
+    // a limit past the live total returns everything that exists
+    assert(spark.table("graft.lim_mor").limit(100).collect().length === 15)
+    spark.sql("DROP TABLE graft.lim_mor")
+  }
+
+  test("ORDER BY + LIMIT trims every batch under a sorted-rewrite claim") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_topn")
+    spark.sql("CREATE TABLE graft.lim_topn (k BIGINT, v BIGINT)")
+    import spark.implicits._
+    // two appends, interleaved keys, then a sorted rewrite (the claim)
+    (0L until 50L).map(k => (k * 2, k)).toDF("k", "v").coalesce(1)
+      .writeTo("graft.lim_topn").append()
+    (0L until 50L).map(k => (k * 2 + 1, k)).toDF("k", "v").coalesce(1)
+      .writeTo("graft.lim_topn").append()
+    spark.sql("CALL graft.rewrite_data_files('lim_topn', 'k')")
+
+    val q = spark.sql("SELECT k FROM graft.lim_topn ORDER BY k LIMIT 5")
+    assert(q.collect().map(_.getLong(0)).toSeq === (0L until 5L))
+    val scan = memScan(q)
+    assert(scan.toString.contains("topN=5(k)"), scan.toString)
+    // every batch contributes at most 5 rows (none may be dropped whole —
+    // a later batch can hold the global minimum)
+    val parts = scan.inputRDD.getNumPartitions
+    assert(scan.metrics("numOutputRows").value <= 5L * parts)
+    assert(scan.metrics("numOutputRows").value < 100L)
+
+    // DESC does not match the ascending claim: no trim, result still exact
+    val desc = spark.sql("SELECT k FROM graft.lim_topn ORDER BY k DESC LIMIT 3")
+    assert(desc.collect().map(_.getLong(0)).toSeq === Seq(99L, 98L, 97L))
+    assert(!memScan(desc).toString.contains("topN="), memScan(desc).toString)
+
+    // a mutation retires the claim; the next ORDER BY LIMIT reads whole
+    // batches again and stays exact
+    Seq((-1L, 0L)).toDF("k", "v").coalesce(1).writeTo("graft.lim_topn").append()
+    val after = spark.sql("SELECT k FROM graft.lim_topn ORDER BY k LIMIT 2")
+    assert(after.collect().map(_.getLong(0)).toSeq === Seq(-1L, 0L))
+    assert(!memScan(after).toString.contains("topN="), memScan(after).toString)
+    spark.sql("DROP TABLE graft.lim_topn")
+  }
+
+  test("ORDER BY + LIMIT without a claim reads whole batches and stays exact") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_unsorted")
+    spark.sql("CREATE TABLE graft.lim_unsorted (k BIGINT)")
+    import spark.implicits._
+    Seq(5L, 3L, 9L, 1L, 7L).toDF("k").coalesce(1).writeTo("graft.lim_unsorted").append()
+    val q = spark.sql("SELECT k FROM graft.lim_unsorted ORDER BY k LIMIT 2")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(!memScan(q).toString.contains("topN="), memScan(q).toString)
+    spark.sql("DROP TABLE graft.lim_unsorted")
+  }
+
+  test("OFFSET pushes completely: exactly the first live rows are dropped") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.off_plain")
+    spark.sql("CREATE TABLE graft.off_plain (k BIGINT) " +
+      "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    import spark.implicits._
+    (0L until 10L).toDF("k").coalesce(1).writeTo("graft.off_plain").append()
+    (10L until 20L).toDF("k").coalesce(1).writeTo("graft.off_plain").append()
+    spark.sql("DELETE FROM graft.off_plain WHERE k IN (0, 1)") // 8 live in batch 1
+
+    // OFFSET alone: a complete push — Spark plans no Offset operator, the
+    // scan must drop exactly 12 LIVE rows (spanning the batch boundary)
+    val off = spark.sql("SELECT k FROM graft.off_plain OFFSET 12")
+    assert(off.collect().length === 6)
+    val offScan = memScan(off)
+    assert(offScan.toString.contains("offset=12"), offScan.toString)
+    assert(offScan.metrics("numOutputRows").value === 6L)
+
+    // LIMIT + OFFSET paginate together; cardinality is exact
+    val page = spark.sql("SELECT k FROM graft.off_plain LIMIT 4 OFFSET 5")
+    assert(page.collect().length === 4)
+    assert(memScan(page).toString.contains("offset=5"), memScan(page).toString)
+    // an offset past the live total returns nothing
+    assert(spark.sql("SELECT k FROM graft.off_plain OFFSET 99").collect().isEmpty)
+    spark.sql("DROP TABLE graft.off_plain")
+  }
+
+  test("LIMIT on a partitioned table keeps partition tuples intact") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_part")
+    spark.sql("CREATE TABLE graft.lim_part (k BIGINT, nk BIGINT) PARTITIONED BY (nk)")
+    import spark.implicits._
+    (0L until 30L).map(k => (k, k % 3)).toDF("k", "nk").coalesce(1)
+      .writeTo("graft.lim_part").append()
+    val df = spark.table("graft.lim_part").limit(7)
+    assert(df.collect().length === 7)
+    assert(memScan(df).toString.contains("limit=7"), memScan(df).toString)
+    spark.sql("DROP TABLE graft.lim_part")
+  }
+}

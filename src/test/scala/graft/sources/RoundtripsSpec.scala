@@ -1623,6 +1623,100 @@ class RoundtripsSpec extends SparkSpec {
     } finally graft.sources.MemTables.drop("spec_abort")
   }
 
+  test("DSv2 MemTable: .files/.partitions metadata tables report the live layout") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_meta_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, nk BIGINT) PARTITIONED BY (nk)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    import spark.implicits._
+    // v1: two partitions (nk 0 and 1); v2: nk 1 only
+    Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("k", "nk").coalesce(1).writeTo(tbl).append()
+    Seq((4L, 1L), (5L, 1L)).toDF("k", "nk").coalesce(1).writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (2, 4)") // v3: one DV kill per append
+
+    // .files: one row per LIVE batch — a DV kill shrinks live_rows but
+    // never removes the batch (merge-on-read keeps the rows by reference)
+    val files = spark.sql(
+      s"SELECT version, partition, row_count, live_rows, deleted_rows FROM $tbl.files")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(f => (f._1, f._2)).toSeq
+    assert(files === Seq(
+      (1L, "nk=0", 2L, 1L, 1L), (1L, "nk=1", 1L, 1L, 0L),
+      (2L, "nk=1", 2L, 1L, 1L)))
+
+    // .partitions: one row per partition TUPLE, identity column typed,
+    // live-row counts net of the delete vectors
+    val parts = spark.sql(s"SELECT nk, batch_count, row_count FROM $tbl.partitions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(parts === Seq((0L, 1L, 1L), (1L, 2L, 2L)))
+
+    // a copy-on-write delete removes batches from .files (survivor batches
+    // replace them); .partitions follows
+    val cow = "graft.mem_meta_spec_cow"
+    spark.sql(s"DROP TABLE IF EXISTS $cow")
+    spark.sql(s"CREATE TABLE $cow (k BIGINT)")
+    Seq(1L, 2L).toDF("k").coalesce(1).writeTo(cow).append() // v1
+    Seq(3L).toDF("k").coalesce(1).writeTo(cow).append() // v2
+    spark.sql(s"DELETE FROM $cow WHERE k = 3") // v3: batch 2 dies whole
+    val cowFiles = spark.sql(s"SELECT version, live_rows FROM $cow.files")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cowFiles === Seq((1L, 2L)))
+    // an unpartitioned table reports its single implicit partition
+    assert(spark.sql(s"SELECT batch_count, row_count FROM $cow.partitions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+
+    // metadata names never shadow a REAL table: a mem table whose own
+    // identifier ends in `.files` resolves to itself
+    val shadow = "graft.meta_shadow.files"
+    spark.sql(s"DROP TABLE IF EXISTS $shadow")
+    spark.sql(s"CREATE TABLE $shadow (k BIGINT)")
+    Seq(7L).toDF("k").writeTo(shadow).append()
+    assert(spark.table(shadow).collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // ...and ITS metadata table nests one level deeper
+    assert(spark.sql(s"SELECT row_count FROM $shadow.files")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // a metadata table of a nonexistent parent fails loudly
+    intercept[Exception](spark.table("graft.mem_never_created.files").collect())
+    Seq(tbl, cow, shadow).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("DSv2 MemTable: DELETE row-evaluates only bounds/bucket-admissible batches") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_del_prune_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, nk BIGINT)" +
+      " PARTITIONED BY (nk, bucket(4, k))" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    import spark.implicits._
+    // one append, partition-split into (nk, bucket) batches
+    (0L until 40L).map(k => (k, k % 2)).toDF("k", "nk").coalesce(1)
+      .writeTo(tbl).append()
+    val st = graft.sources.MemTables.get("mem_del_prune_spec").get
+    val live = st.batches.filter(_.removedAt == Long.MaxValue)
+    // nk = k%2 correlates with the bucket id (the multiplier is ≡1 mod 4,
+    // so bucket(4, k) = k%4 on small longs): even k only lands in buckets
+    // {0,2}, odd in {1,3} — 4 populated (nk, bucket) tuples
+    assert(live.size === 4)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    def cands(fs: org.apache.spark.sql.sources.Filter*) =
+      graft.sources.MemTables.candidateBatches(
+        fs.toArray, st.partitioning, st.eras, st.droppedAt, live)
+    // identity-partition filter: only that partition's batches row-evaluate
+    assert(cands(EqualTo("nk", 1L)).size === 2)
+    // point filter: identity stats + bucket layout narrow to ONE batch
+    assert(cands(EqualTo("nk", 1L), EqualTo("k", 7L)).size === 1)
+    // range filter prunes via bounds only (hash buckets can't serve ranges)
+    assert(cands(GreaterThanOrEqual("k", 100L)).isEmpty)
+    // no filters / unknown shapes keep everything (conservative contract)
+    assert(cands().size === 4)
+    // and the pruned DELETE still deletes exactly what SQL says
+    spark.sql(s"DELETE FROM $tbl WHERE nk = 1 AND k = 7")
+    assert(spark.table(tbl).count() === 39L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 7").head().getLong(0) === 0L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DSv2 SeqSource: partition planning honors slices and covers the range") {
     val df = seq(1000L, slices = 5)
     assert(df.rdd.getNumPartitions === 5)
