@@ -90,7 +90,16 @@ object ScaleRamp {
     "dsv2_spj_join",
     "dsv2_agg_stats",
     "dsv2_runtime_prune",
-    "dsv2_spj_sorted")
+    "dsv2_spj_sorted",
+    // round-11 second half: metadata tables (the reads are batch-count
+    // priced — staging dominates the factor), the ordered/plain head
+    // (the query halves are head-sized; staging + sorted rewrite grow
+    // K×), the table stream (snapshot + appended windows ≈K×), and the
+    // evolving merge (match-set ∝ K)
+    "dsv2_meta_tables",
+    "dsv2_limit_topn",
+    "dsv2_table_stream",
+    "dsv2_merge_evolve")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

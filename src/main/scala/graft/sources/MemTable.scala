@@ -1690,11 +1690,19 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE ... WITH SCHEMA EVOLUTION: Spark's analyzer ALTERs the
+      // target (AddColumn per extra source field — the evolution surface
+      // alterTable already carries) and replans against the new schema
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(key, tableSchema, asOf,
-      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
+      streamOpts = MemStreamOptions(
+        skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+        startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+        maxVersionsPerTrigger =
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.isDefined)
@@ -1861,19 +1869,21 @@ final class MemScanBuilder(
     key: String, tableSchema: StructType, asOf: Option[Long],
     rowLevel: Option[MemRowLevelState] = None,
     branch: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    streamOpts: MemStreamOptions = MemStreamOptions())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
-    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   private var required: Option[StructType] = None
   private var skipFilters: Array[Filter] = Array.empty
   private var limitRows: Option[Int] = None
   private var offsetRows: Option[Int] = None
   private var topNCols: Option[Seq[String]] = None
+  private var sample: Option[(Double, Double, Long)] = None
   private var aggResult: Option[(StructType, Array[Array[Any]], String)] = None
   // the Aggregation instance aggResult was computed for (Spark may probe
   // supportCompletePushDown/pushAggregation repeatedly; recompute only on
@@ -1954,6 +1964,22 @@ final class MemScanBuilder(
     if (rowLevel.nonEmpty || topNCols.isDefined) false
     else { offsetRows = Some(offset); true }
 
+  /** TABLESAMPLE / `df.sample` pushdown — COMPLETE (Spark deletes the
+    * Sample operator): membership is a deterministic per-row Bernoulli
+    * over `hash(seed, batchId, position)`, decided at planning and
+    * shipped as dead positions, so a 1% sample of a million-batch table
+    * costs its keep-set, not the table. Like every sample-pushing source
+    * (JDBC TABLESAMPLE), the KEPT SET differs from Spark's own
+    * XORShift stream — same distribution, different draws — which the
+    * sample contract permits. Declines with-replacement (positions can't
+    * repeat) and row-level scans (a rewrite must see every row).
+    */
+  override def pushTableSample(
+      lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean =
+    if (rowLevel.nonEmpty || withReplacement) false
+    else { sample = Some((lowerBound, upperBound, seed)); true }
+
   /** METADATA-ANSWERED aggregates — the Iceberg "count(*) from manifests"
     * surface: global COUNT(*) / COUNT(col) / MIN(col) / MAX(col) are
     * computed from the per-batch statistics published at write time,
@@ -1999,7 +2025,7 @@ final class MemScanBuilder(
     case Some((schema, values, desc)) => new MemAggScan(key, schema, values, desc)
     case None =>
       new MemScan(key, tableSchema, asOf, required, rowLevel, skipFilters, branch,
-        limitRows, topNCols, skipChangeCommits, offsetRows)
+        limitRows, topNCols, streamOpts, offsetRows, sample)
   }
 }
 
@@ -2200,8 +2226,9 @@ final class MemScan(
     branch: Option[String] = None,
     limitRows: Option[Int] = None,
     topNCols: Option[Seq[String]] = None,
-    skipChangeCommits: Boolean = false,
-    offsetRows: Option[Int] = None)
+    streamOpts: MemStreamOptions = MemStreamOptions(),
+    offsetRows: Option[Int] = None,
+    sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2248,7 +2275,8 @@ final class MemScan(
       (if (skipFilters.nonEmpty) s" skip=[${skipFilters.mkString(", ")}]" else "") +
       limitRows.fold("")(n => topNCols.fold(s" limit=$n")(cs =>
         s" topN=$n(${cs.mkString(",")})")) +
-      offsetRows.fold("")(o => s" offset=$o")
+      offsetRows.fold("")(o => s" offset=$o") +
+      sample.fold("") { case (lo, hi, seed) => s" sample=[$lo,$hi)@$seed" }
 
   /** Runtime filtering, two regimes:
     *
@@ -2400,12 +2428,14 @@ final class MemScan(
     * real numbers instead of falling back to default sizing.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val (_, meta, visible, _) = selectBatches()
-    val bound = asOf.getOrElse(Long.MaxValue)
-    val rows = visible.iterator.map { b =>
-      val dead = MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
-        .count(_._2 <= bound)
-      (b.rows.length - dead).toLong
+    // EXACTLY the planned output (same slices partition planning builds —
+    // DVs, sample membership, offset, head trims all applied): AQE reads
+    // this rowCount back as the relation's maxRows and EliminateLimits
+    // deletes limit operators against it, so an under-estimate here is a
+    // wrong-results bug, not a plan-quality nit
+    val (_, _, planned) = plannedSlices()
+    val rows = planned.iterator.map { case (_, _, dead, cut) =>
+      (cut - dead.count(_ < cut)).toLong
     }.sum
     val bytes = rows * math.max(1, boundSchema.defaultSize).toLong
     new org.apache.spark.sql.connector.read.Statistics {
@@ -2439,10 +2469,32 @@ final class MemScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (curVersion, meta, visible, spec) = selectBatches()
+    val (curVersion, spec, planned) = plannedSlices()
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
+    planned.map { case (b, srcNames, dead, cut) =>
+      val rows = if (cut == b.rows.length) b.rows else b.rows.take(cut)
+      val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
+      MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
+        b.batchId, key): InputPartition
+    }.toArray
+  }
+
+  /** The slices this scan will emit — `(batch, src-name map, dead
+    * positions, cut)`: a reader walks positions `[0, cut)` skipping
+    * `dead`. Shared by partition planning and statistics, so the reported
+    * row count is EXACTLY the planned output. That exactness is
+    * load-bearing, not cosmetic: AQE surfaces a V2 relation's rowCount as
+    * `maxRows`, and `EliminateLimits` DELETES a GlobalLimit the moment
+    * `maxRows <= limit` — an estimate smaller than what the scan can
+    * actually emit would let a partial-pushed LIMIT return extra rows
+    * with no operator left to cut them (caught by `dsv2_limit_topn`'s
+    * head probe hashing 51 ≠ 50).
+    */
+  private def plannedSlices(): (Long, Seq[MemTables.PartField],
+      Vector[(MemTables.TaggedBatch, Map[String, String], Set[Int], Int)]) = {
+    val (curVersion, meta, visible, spec) = selectBatches()
     // Every batch is read through an ERA-RESOLVED by-name projection into
     // the scan-bound schema (schema evolution: columns added after a batch
     // was written read as null; dropped columns are skipped; renamed
@@ -2475,28 +2527,34 @@ final class MemScan(
         .collect { case (p, at) if at <= bound => p }.toSet
       (b, srcNames, dead)
     }
-    // pushed LIMIT / TOP-N head (both PARTIAL — Spark re-applies the
-    // global (ordered) limit, so trimming can only elide cost, never
-    // change results as long as enough rows survive):
-    //  - plain LIMIT: a PREFIX of batches whose cumulative live count
-    //    reaches the cap, each trimmed to its first n live positions —
-    //    any n rows are a valid head of an unordered relation.
-    //  - TOP-N: EVERY batch trimmed to its first n live positions (a
-    //    later batch may hold the global minimum, so none may be
-    //    dropped); rows past a batch's first n live are dominated by n
-    //    rows of the same batch — sound only while the sorted-rewrite
-    //    claim holds, so it is RE-VALIDATED here against the planned
-    //    snapshot (a mutation racing pushdown→planning retires the trim,
-    //    and the scan degrades to unfiltered partitions).
+    // pushed TABLESAMPLE (COMPLETE — Spark deleted the Sample operator):
+    // deterministic per-row Bernoulli over hash(seed, batchId, position);
+    // non-members join the dead set before offset/limit accounting
+    val afterSample = sample match {
+      case None => withDead
+      case Some((lo, hi, seed)) =>
+        withDead.map { case (b, s, dead) =>
+          var extra = dead
+          var i = 0
+          while (i < b.rows.length) {
+            if (!dead.contains(i)) {
+              val u = MemScan.sampleUniform(seed, b.batchId, i)
+              if (u < lo || u >= hi) extra += i
+            }
+            i += 1
+          }
+          (b, s, extra)
+        }
+    }
     // pushed OFFSET (COMPLETE — Spark deleted the Offset operator, the
     // scan owes an exact drop): the first `offset` live positions in
     // batch order join the dead set, skipped by the reader like DV kills;
     // the limit logic below then counts live rows AFTER the offset
     val afterOffset = offsetRows match {
-      case None => withDead
+      case None => afterSample
       case Some(off) =>
         var remaining = off
-        withDead.map { case (b, s, dead) =>
+        afterSample.map { case (b, s, dead) =>
           if (remaining <= 0) (b, s, dead)
           else {
             var extra = dead
@@ -2509,18 +2567,33 @@ final class MemScan(
           }
         }
     }
+    // pushed LIMIT / TOP-N head (both PARTIAL — Spark re-applies the
+    // global (ordered) limit, so trimming can only elide cost, never
+    // change results):
+    //  - plain LIMIT: a PREFIX of batches cut so the CUMULATIVE live
+    //    count is exactly min(n, total) — any n rows are a valid head of
+    //    an unordered relation, and the global exactness means the scan
+    //    can never emit more than n even if AQE eliminates the limit
+    //    operator on the strength of the reported row count.
+    //  - TOP-N: EVERY batch trimmed to its first n live positions (a
+    //    later batch may hold the global minimum, so none may be
+    //    dropped); rows past a batch's first n live are dominated by n
+    //    rows of the same batch — sound only while the sorted-rewrite
+    //    claim holds, so it is RE-VALIDATED here against the planned
+    //    snapshot (a mutation racing pushdown→planning retires the trim,
+    //    and the scan degrades to unfiltered partitions).
+    def cutAt(b: MemTables.TaggedBatch, dead: Set[Int], n: Long): (Int, Long) = {
+      var live = 0L
+      var i = 0
+      while (i < b.rows.length && live < n) {
+        if (!dead.contains(i)) live += 1
+        i += 1
+      }
+      (i, live)
+    }
     val planned = limitRows match {
       case None => afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
       case Some(n) =>
-        def cutAt(b: MemTables.TaggedBatch, dead: Set[Int]): (Int, Int) = {
-          var live = 0
-          var i = 0
-          while (i < b.rows.length && live < n) {
-            if (!dead.contains(i)) live += 1
-            i += 1
-          }
-          (i, live)
-        }
         topNCols match {
           case Some(cols) =>
             val claimHolds = MemTables.get(key).exists { s =>
@@ -2528,26 +2601,21 @@ final class MemScan(
               sb.take(cols.length) == cols && !asOf.exists(_ < since)
             }
             if (claimHolds)
-              afterOffset.map { case (b, s, d) => (b, s, d, cutAt(b, d)._1) }
+              afterOffset.map { case (b, s, d) => (b, s, d, cutAt(b, d, n)._1) }
             else afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
           case None =>
             var acc = 0L
             afterOffset.flatMap { case (b, s, d) =>
               if (acc >= n) None
               else {
-                val (cut, live) = cutAt(b, d)
+                val (cut, live) = cutAt(b, d, n - acc)
                 acc += live
                 Some((b, s, d, cut))
               }
             }
         }
     }
-    planned.map { case (b, srcNames, dead, cut) =>
-      val rows = if (cut == b.rows.length) b.rows else b.rows.take(cut)
-      val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
-      MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
-        b.batchId, key): InputPartition
-    }.toArray
+    (curVersion, spec, planned)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2572,7 +2640,7 @@ final class MemScan(
       throw new UnsupportedOperationException(
         s"mem table $key: streaming reads a LIVE table (not a pinned " +
           "snapshot, branch, or row-level operation scan)")
-    new MemTableMicroBatchStream(key, boundSchema, skipChangeCommits)
+    new MemTableMicroBatchStream(key, boundSchema, streamOpts)
   }
 }
 
@@ -2652,6 +2720,18 @@ object MemScan {
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** Deterministic uniform draw in [0, 1) for one (seed, batch, position)
+    * — the pushed-sample membership test (splitmix64 finalizer: full
+    * avalanche, so consecutive positions decorrelate).
+    */
+  private[sources] def sampleUniform(seed: Long, batchId: Long, pos: Int): Double = {
+    var z = seed ^ (batchId * 0x9E3779B97F4A7C15L) ^ (pos.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
 
   /** The snapshot-bound evolution metadata a scan projects through:
     * tombstones + field-era (rename) timelines, both as of the pinned
@@ -3264,6 +3344,24 @@ final case class MemVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Reader options of a table-level stream (all optional):
+  *
+  *  - `skipChangeCommits` — skip non-append commits whole instead of
+  *    failing the stream (the Delta flag of the same name).
+  *  - `startingVersion` — begin at this commit INCLUSIVE instead of the
+  *    initial snapshot (the Delta option of the same name): backfills
+  *    that already hold the snapshot resume from the version after it.
+  *  - `maxVersionsPerTrigger` — admission control: each micro-batch
+  *    advances the offset at most this many versions (the analogue of
+  *    `maxFilesPerTrigger`), bounding per-trigger work on a backlogged
+  *    stream; the initial snapshot is always one batch (capping a
+  *    snapshot would split a consistent view).
+  */
+final case class MemStreamOptions(
+    skipChangeCommits: Boolean = false,
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
+
 /** TABLE-level micro-batch stream (`spark.readStream.table("graft.t")` —
   * the Delta table-as-stream-source shape): offsets are table versions;
   * the first window `(−1, v]` is the full snapshot AS OF `v` and every
@@ -3273,7 +3371,7 @@ final case class MemVersionOffset(v: Long) extends Offset {
   * [[MemTableMicroBatchStream.partitionsIn]] for the change-commit rules.
   */
 final class MemTableMicroBatchStream(
-    key: String, boundSchema: StructType, skipChangeCommits: Boolean)
+    key: String, boundSchema: StructType, opts: MemStreamOptions)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -3283,12 +3381,30 @@ final class MemTableMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(current)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    MemVersionOffset(availableNowTarget.getOrElse(current))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(current)
+    val from = start.asInstanceOf[MemVersionOffset].v
+    // admission control caps incremental windows only — the initial
+    // snapshot is one consistent batch whatever its version count
+    val capped = opts.maxVersionsPerTrigger match {
+      case Some(n) if from >= 0 => math.min(target, from + math.max(1L, n))
+      case _ => target
+    }
+    MemVersionOffset(capped)
+  }
   override def reportLatestOffset(): Offset = MemVersionOffset(current)
   // −1 = "initial snapshot pending": the stream's first batch is the data
-  // that existed at start, exactly once, whatever version count built it
-  override def initialOffset(): Offset = MemVersionOffset(-1L)
+  // that existed at start, exactly once, whatever version count built it;
+  // a startingVersion replaces the snapshot with "commits from v on"
+  override def initialOffset(): Offset = opts.startingVersion match {
+    case Some(v) =>
+      // v0 is always the bare CREATE (no data commit), and offset −1 is
+      // the snapshot sentinel — so the earliest meaningful start is 1
+      if (v < 1) throw new IllegalArgumentException(
+        s"startingVersion must be >= 1 (version 0 is CREATE TABLE), got $v")
+      MemVersionOffset(v - 1) // window (v−1, …] includes commit v
+    case None => MemVersionOffset(-1L)
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("driven via latestOffset(start, limit)")
   override def deserializeOffset(json: String): Offset = MemVersionOffset(json.toLong)
@@ -3299,7 +3415,7 @@ final class MemTableMicroBatchStream(
       key, boundSchema,
       start.asInstanceOf[MemVersionOffset].v,
       end.asInstanceOf[MemVersionOffset].v,
-      skipChangeCommits)
+      opts.skipChangeCommits)
   override def createReaderFactory(): PartitionReaderFactory =
     MemScan.readerFactoryFor(boundSchema)
 }

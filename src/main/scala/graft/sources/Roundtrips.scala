@@ -1717,6 +1717,51 @@ object Roundtrips {
         spark.read.parquet(out).select(lit("all").as("part"), col("k"), col("v")))
   }
 
+  /** `MERGE ... WITH SCHEMA EVOLUTION` through the gate
+    * (`TableCapability.AUTOMATIC_SCHEMA_EVOLUTION` + the AddColumn
+    * evolution surface): the source carries a column the target lacks;
+    * Spark's analyzer ALTERs the target (an ordinary 'alter' ledger
+    * version — MergeEvolutionSpec pins the provenance and that pre-alter
+    * time travel keeps the old schema) and the merge lands updates,
+    * inserts, and the new column in one statement. The oracle replays
+    * the evolved merge relationally: pre-existing unmatched rows read
+    * NULL in the new column, matched rows take the source's values,
+    * new rows insert whole.
+    */
+  val dsv2MergeEvolve: QueryDef = QueryDef(
+    "dsv2_merge_evolve",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 31 = 0),
+      |t AS (SELECT k, v FROM base WHERE k % 2 = 0),
+      |s AS (SELECT k, v + 5 AS v, 's' || CAST(k % 7 AS VARCHAR) AS note
+      |      FROM base WHERE k % 3 = 0)
+      |SELECT t.k, CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+      |       CASE WHEN s.k IS NOT NULL THEN s.note END AS note
+      |FROM t LEFT JOIN s ON t.k = s.k
+      |UNION ALL
+      |SELECT k, v, note FROM s WHERE k NOT IN (SELECT k FROM t)""".stripMargin) {
+    (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_merge_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 2 === 0).writeTo(tbl).append() // v1
+    base.filter(col("k") % 3 === 0)
+      .select(col("k"), (col("v") + lit(5L)).as("v"),
+        concat(lit("s"), (col("k") % 7).cast("string")).as("note"))
+      .createOrReplaceTempView("merge_evolve_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING merge_evolve_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v2 alter + v3 merge
+    spark.sql(s"SELECT k, v, note FROM $tbl")
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1727,5 +1772,5 @@ object Roundtrips {
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
-      dsv2TableStream)
+      dsv2TableStream, dsv2MergeEvolve)
 }

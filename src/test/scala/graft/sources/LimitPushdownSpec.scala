@@ -145,6 +145,76 @@ class LimitPushdownSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.off_plain")
   }
 
+  test("TABLESAMPLE pushes completely: deterministic planning-time Bernoulli") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.sample_push")
+    spark.sql("CREATE TABLE graft.sample_push (k BIGINT)")
+    import spark.implicits._
+    (0L until 10000L).toDF("k").coalesce(4).writeTo("graft.sample_push").append()
+
+    val s = spark.table("graft.sample_push").sample(withReplacement = false, 0.3, seed = 42L)
+    val first = s.collect().map(_.getLong(0)).sorted.toSeq
+    // pushed: the Sample operator is gone, membership decided at planning
+    val scan = memScan(s)
+    assert(scan.toString.contains("sample=[0.0,0.3)@42"), scan.toString)
+    assert(!s.queryExecution.executedPlan.toString.contains("Sample"),
+      s.queryExecution.executedPlan.toString)
+    assert(scan.metrics("numOutputRows").value === first.length.toLong)
+    // Bernoulli(0.3) over 10k rows: tolerance ±5 sigma ≈ ±230
+    assert(first.length > 2700 && first.length < 3300, first.length.toString)
+    // deterministic per seed: a rerun draws the identical set
+    val again = spark.table("graft.sample_push")
+      .sample(withReplacement = false, 0.3, seed = 42L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === first)
+    // a different seed draws a different set
+    val other = spark.table("graft.sample_push")
+      .sample(withReplacement = false, 0.3, seed = 43L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(other !== first)
+    // with-replacement declines: the Sample operator stays in the plan
+    val wr = spark.table("graft.sample_push").sample(withReplacement = true, 0.3, 42L)
+    wr.collect()
+    assert(!memScan(wr).toString.contains("sample="), memScan(wr).toString)
+    spark.sql("DROP TABLE graft.sample_push")
+  }
+
+  test("AQE limit elision: reported rowCount is the EXACT planned output") {
+    // regression: AQE surfaces the V2 relation's rowCount as maxRows and
+    // EliminateLimits deletes a GlobalLimit once maxRows <= limit — with
+    // an under-estimating rowCount (or an over-emitting trim) a pushed
+    // LIMIT 50 returned 51 rows with no operator left to cut them. The
+    // union-of-aggregates shape below is the one that shuffles the limit
+    // into an AQE query stage and triggers the elision.
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_aqe")
+    spark.sql("CREATE TABLE graft.lim_aqe (k BIGINT, v BIGINT)")
+    graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"),
+        graft.core.Num.cents(col("o_totalprice")).as("v"))
+      .writeTo("graft.lim_aqe").append()
+    spark.sql("CALL graft.rewrite_data_files('lim_aqe', 'k')")
+    val rows = spark.sql(
+      """SELECT 'top' AS part, k FROM
+        |  (SELECT k FROM graft.lim_aqe ORDER BY k LIMIT 100)
+        |UNION ALL
+        |SELECT 'head', count(*) FROM (SELECT k FROM graft.lim_aqe LIMIT 50)
+        |UNION ALL
+        |SELECT 'page', count(*)
+        |FROM (SELECT k FROM graft.lim_aqe LIMIT 40 OFFSET 20)""".stripMargin)
+      .collect()
+    assert(rows.count(_.getString(0) == "top") === 100)
+    assert(rows.filter(_.getString(0) == "head").map(_.getLong(1)).toSeq === Seq(50L))
+    assert(rows.filter(_.getString(0) == "page").map(_.getLong(1)).toSeq === Seq(40L))
+    // the scan itself never emits past the cap, so even an eliminated
+    // GlobalLimit cannot surface extra rows
+    val head = spark.sql("SELECT k FROM graft.lim_aqe LIMIT 50")
+    head.collect()
+    assert(memScan(head).metrics("numOutputRows").value === 50L)
+    spark.sql("DROP TABLE graft.lim_aqe")
+  }
+
   test("LIMIT on a partitioned table keeps partition tuples intact") {
     catalogOn()
     spark.sql("DROP TABLE IF EXISTS graft.lim_part")

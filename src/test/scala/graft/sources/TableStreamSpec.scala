@@ -116,6 +116,70 @@ class TableStreamSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("table stream: startingVersion replaces the snapshot with commits-from-v") {
+    catalogOn()
+    val tbl = "graft.ts_startv"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+    Seq(3L).toDF("k").coalesce(1).writeTo(tbl).append() // v2
+    Seq(4L).toDF("k").coalesce(1).writeTo(tbl).append() // v3
+    def run(startingVersion: Long): Seq[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream
+        .option("startingVersion", startingVersion.toString)
+        .table(tbl).writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = df.collect().map(_.getLong(0))
+            buf.synchronized { buf ++= rows }
+            ()
+        }
+        .option("checkpointLocation",
+          graft.rentals.Scratch.dir(s"ts_startv_cp_$startingVersion"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.sorted.toSeq)
+    }
+    assert(run(2L) === Seq(3L, 4L)) // inclusive: v2 and v3, no snapshot
+    assert(run(3L) === Seq(4L))
+    // version 0 is CREATE — rejected, not silently a snapshot
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run(0L))
+    assert(err.getMessage.contains("startingVersion") ||
+      Option(err.getCause).exists(_.getMessage.contains("startingVersion")))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("table stream: maxVersionsPerTrigger bounds each micro-batch's window") {
+    catalogOn()
+    val tbl = "graft.ts_maxv"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)")
+    import spark.implicits._
+    for (k <- 1L to 4L) Seq(k).toDF("k").coalesce(1).writeTo(tbl).append() // v1..v4
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .table(tbl).writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+          batches.synchronized { batches += rows }
+          ()
+      }
+      .option("checkpointLocation", graft.rentals.Scratch.dir("ts_maxv_cp"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = batches.synchronized(batches.filter(_.nonEmpty).toSeq)
+    // one version per trigger: four single-row batches, in commit order
+    assert(got === Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("table stream: pinned snapshots and branches decline streaming") {
     catalogOn()
     val tbl = "graft.ts_decline"
