@@ -1757,13 +1757,19 @@ final class MemBranchTable(
   *    `<col>_bucket INT`); an unpartitioned table reports its single
   *    implicit partition. This is the summary a 100 TB operator reads
   *    instead of listing files.
+  *  - `<table>.history` — one row per retained version `(version, ts,
+  *    kind)`: the snapshot timeline with operation provenance, as a
+  *    JOINABLE relation (the `table_history` procedure's data, composable
+  *    in SQL).
+  *  - `<table>.refs` — one row per named ref `(name, type, version)`:
+  *    tags at their pinned version, branches at their base.
   *
-  * Both are driver-built `LocalScan`s over planning-time metadata — the
-  * row count is the batch/tuple count, never the data size — and bind
-  * one consistent state snapshot under the table monitor.
+  * All are driver-built `LocalScan`s over planning-time metadata — the
+  * row count is the batch/tuple/version/ref count, never the data size —
+  * and bind one consistent state snapshot under the table monitor.
   */
 final class MemMetaTable(key: String, kind: String) extends Table with SupportsRead {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 
   private def state: MemTables.State = MemTables.get(key).getOrElse(
     throw new IllegalStateException(s"mem table $key dropped"))
@@ -1780,6 +1786,14 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
       .add("row_count", LongType, nullable = false)
       .add("live_rows", LongType, nullable = false)
       .add("deleted_rows", LongType, nullable = false)
+    case "history" => new StructType()
+      .add("version", LongType, nullable = false)
+      .add("ts", TimestampType, nullable = false)
+      .add("kind", StringType, nullable = false)
+    case "refs" => new StructType()
+      .add("name", StringType, nullable = false)
+      .add("type", StringType, nullable = false)
+      .add("version", LongType, nullable = false)
     case _ => // partitions
       val st = state
       val base = st.partitioning.foldLeft(new StructType()) {
@@ -1795,10 +1809,12 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val st = state
-    val (spec, batches, eras, droppedAt, eqDeletes) = st.synchronized {
-      (st.partitioning, st.batches.filter(_.removedAt == Long.MaxValue),
-        st.eras, st.droppedAt, st.eqDeletes)
-    }
+    val (spec, batches, eras, droppedAt, eqDeletes, times, kinds, tags, brs) =
+      st.synchronized {
+        (st.partitioning, st.batches.filter(_.removedAt == Long.MaxValue),
+          st.eras, st.droppedAt, st.eqDeletes, st.versionTimes, st.opKinds,
+          st.tags, st.branches)
+      }
     def kills(b: MemTables.TaggedBatch): Long =
       MemTables.effectiveKills(b, eqDeletes, eras, droppedAt).size.toLong
     def renderPart(b: MemTables.TaggedBatch): String =
@@ -1813,6 +1829,12 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
         Seq[Any](b.batchId, b.version, renderPart(b),
           b.rows.length.toLong, b.rows.length.toLong - dead, dead)
       }
+      case "history" => times.map { case (v, tsMicros) =>
+        Seq[Any](v, tsMicros, kinds.getOrElse(v, "unknown"))
+      }
+      case "refs" =>
+        tags.toSeq.map { case (n, v) => Seq[Any](n, "tag", v) } ++
+          brs.toSeq.map { case (n, bs) => Seq[Any](n, "branch", bs.base) }
       case _ =>
         batches.groupBy(_.part).toSeq.map { case (part, bs) =>
           part ++ Seq[Any](

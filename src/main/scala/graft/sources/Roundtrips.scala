@@ -1597,7 +1597,13 @@ object Roundtrips {
       |       CAST(0 AS BIGINT) AS deleted_rows
       |FROM p
       |UNION ALL
-      |SELECT 'files', ver, batches, live, dead FROM f""".stripMargin) { (spark, dir) =>
+      |SELECT 'files', ver, batches, live, dead FROM f
+      |UNION ALL
+      |SELECT 'h:' || kind, version, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM (VALUES (CAST(0 AS BIGINT), 'create'), (CAST(1 AS BIGINT), 'append'),
+      |             (CAST(2 AS BIGINT), 'append'), (CAST(3 AS BIGINT), 'delete'))
+      |  AS t(version, kind)""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
     val tbl = "graft.mem_meta_gate"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -1616,7 +1622,11 @@ object Roundtrips {
          |FROM $tbl.partitions
          |UNION ALL
          |SELECT 'files', version, count(*), sum(live_rows), sum(deleted_rows)
-         |FROM $tbl.files GROUP BY version""".stripMargin)
+         |FROM $tbl.files GROUP BY version
+         |UNION ALL
+         |SELECT concat('h:', kind), version, CAST(0 AS BIGINT),
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM $tbl.history""".stripMargin)
   }
 
   /** LIMIT / TOP-N pushdown through the gate ([[MemScanBuilder.pushLimit]]

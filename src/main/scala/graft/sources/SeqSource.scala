@@ -415,7 +415,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   private def metaTable(ident: Identifier):
       Option[org.apache.spark.sql.connector.catalog.Table] =
     if (ident.namespace().isEmpty ||
-        !Set("files", "partitions").contains(ident.name())) None
+        !Set("files", "partitions", "history", "refs").contains(ident.name())) None
     else {
       val parentKey = ident.namespace().mkString(".")
       MemTables.get(parentKey).map(_ => new MemMetaTable(parentKey, ident.name()))

@@ -1678,6 +1678,29 @@ class RoundtripsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
     // a metadata table of a nonexistent parent fails loudly
     intercept[Exception](spark.table("graft.mem_never_created.files").collect())
+
+    // .history: the snapshot timeline as a JOINABLE relation — same data
+    // as the table_history procedure, composable in SQL
+    val hist = spark.sql(s"SELECT version, kind FROM $tbl.history")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append"),
+      (3L, "delete")))
+    // joinable: version-stamped row counts ride a plain SQL join
+    val joined = spark.sql(
+      s"""SELECT h.version, h.kind, count(f.batch_id) AS batches
+         |FROM $tbl.history h LEFT JOIN $tbl.files f ON f.version = h.version
+         |GROUP BY h.version, h.kind ORDER BY h.version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(joined === Seq((0L, "create", 0L), (1L, "append", 2L),
+      (2L, "append", 1L), (3L, "delete", 0L)))
+
+    // .refs: tags at their pinned version, branches at their base
+    spark.sql(s"CALL graft.create_tag('mem_meta_spec', 'v1tag', 1)")
+    spark.sql(s"CALL graft.create_branch('mem_meta_spec', 'audit', 3)")
+    val refs = spark.sql(s"SELECT name, type, version FROM $tbl.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(refs === Seq(("audit", "branch", 3L), ("v1tag", "tag", 1L)))
     Seq(tbl, cow, shadow).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
