@@ -295,6 +295,63 @@ object MemTables {
     }
   }
 
+  /** Is `rows` lexicographically sorted ASC NULLS FIRST by `cols` (the
+    * order `sortWithinPartitions`/the requested write ordering produces)?
+    * One comparator pass — the publish-side VERIFICATION behind keeping
+    * the sorted-layout claim alive across ordinary appends.
+    */
+  private[sources] def batchSorted(
+      schema: StructType, rows: Array[InternalRow], cols: Seq[String]): Boolean = {
+    val idx = cols.map(c => schema.fieldNames.indexOf(c)).toArray
+    if (idx.contains(-1)) return false
+    val types = idx.map(schema.fields(_).dataType)
+    val cmps = types.map(statsComparator)
+    if (cmps.exists(_.isEmpty)) return false
+    var r = 1
+    while (r < rows.length) {
+      var c = 0
+      var rel = 0
+      while (c < idx.length && rel == 0) {
+        val i = idx(c)
+        val a = if (rows(r - 1).isNullAt(i)) null else rows(r - 1).get(i, types(c))
+        val b = if (rows(r).isNullAt(i)) null else rows(r).get(i, types(c))
+        rel = (a, b) match {
+          case (null, null) => 0
+          case (null, _) => -1 // NULLS FIRST
+          case (_, null) => 1
+          case _ => cmps(c).get(a, b)
+        }
+        c += 1
+      }
+      if (rel > 0) return false
+      r += 1
+    }
+    true
+  }
+
+  /** Claim maintenance after an ordinary publish (append / overwrite /
+    * upsert epoch) on a table with a DECLARED sort order: keep the
+    * sorted-layout claim alive when every freshly stored batch VERIFIES
+    * sorted (split groups inherit the task order, so the check runs on
+    * exactly what readers will walk); a truncate re-establishes a
+    * previously retired claim (the unsorted batches are gone). Everything
+    * else — no declaration, an unverifiable batch, an append onto a
+    * retired claim — clears it, exactly as before. Callers hold the
+    * table monitor.
+    */
+  private def maintainSortClaim(
+      st: State, fresh: Seq[TaggedBatch], truncate: Boolean): Unit = {
+    val declared = st.declaredSortOrder
+    if (declared.isEmpty ||
+        !fresh.forall(b => batchSorted(b.schema, b.rows, declared)))
+      st.clearSortOrder()
+    else if (st.sortedBy == declared) () // active claim survives the append
+    else if (truncate) {
+      st.sortedBy = declared
+      st.sortedSince = st.version
+    } else st.clearSortOrder() // a retired claim needs a truncate/rewrite
+  }
+
   /** Compute the skipping bounds of one batch, one pass over the rows.
     * Runs at PUBLISH on the driver (where this table's rows materialize
     * anyway); in a file-backed table the same pass rides each write task
@@ -550,6 +607,13 @@ object MemTables {
     private[sources] def clearSortOrder(): Unit = {
       sortedBy = Nil; sortedSince = Long.MaxValue
     }
+    /** The DECLARED write sort order ([[MemTables.SortOrderProp]]) —
+      * distinct from the claim (`sortedBy`): the declaration is what
+      * writes request and publishes verify; the claim is what reads may
+      * rely on right now.
+      */
+    val declaredSortOrder: Seq[String] = createProps.get(SortOrderProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // BRANCHES: named WRITABLE refs (the Iceberg ref model's other half,
     // `SELECT/INSERT ... <table>.branch_<name>`): staged appends on top of
     // a pinned base snapshot, invisible to main until `fast_forward`
@@ -603,6 +667,17 @@ object MemTables {
     */
   val UpsertKeysProp = "graft.upsert-keys"
 
+  /** DECLARED write sort order (`TBLPROPERTIES ('graft.sort-order'='a,b')`
+    * — the Iceberg `write.sort-order` shape): every write REQUESTS this
+    * ordering ([[MemWriteBuilder]]), and the publish VERIFIES each stored
+    * batch is sorted by it (never trusts — a degraded distribution or an
+    * Update-mode epoch may bypass the requested sort), so the sorted-layout
+    * claim survives ordinary ingest instead of dying on the first append:
+    * the table stays continuously topN-trimmable and merge-joinable,
+    * 'rewrite_data_files' becomes re-clustering, not resurrection.
+    */
+  val SortOrderProp = "graft.sort-order"
+
   def create(key: String, schema: StructType,
       deleteMode: String = DeleteModeCow,
       props: Map[String, String] = Map.empty,
@@ -644,7 +719,24 @@ object MemTables {
         throw new IllegalArgumentException(
           s"$UpsertKeysProp names unknown column(s): ${missing.mkString(", ")}")
     }
-    tables.putIfAbsent(key, new State(schema, deleteMode, props, partitioning)).isEmpty
+    val declared = props.get(SortOrderProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    declared.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"sort-order column $c does not exist in the table schema"))
+      if (statsComparator(f.dataType).isEmpty)
+        throw new IllegalArgumentException(
+          s"sort-order column $c has unsupported type ${f.dataType.simpleString}")
+    }
+    val st = new State(schema, deleteMode, props, partitioning)
+    if (declared.nonEmpty) {
+      // an empty table is trivially sorted: the claim holds from v0 and
+      // every verified-sorted publish extends it
+      st.sortedBy = declared
+      st.sortedSince = 0L
+    }
+    tables.putIfAbsent(key, st).isEmpty
   }
 
   def get(key: String): Option[State] = tables.get(key)
@@ -709,6 +801,19 @@ object MemTables {
         if (retyped.nonEmpty)
           throw new IllegalArgumentException(
             s"cannot change the type of partition column(s) ${retyped.mkString(", ")} of $key")
+      }
+      // a DECLARED write sort order names live columns forever (every
+      // write requests it): dropping or renaming one would fail all
+      // future writes at analysis — reject like a partition column
+      // (widening is fine: order is preserved under numeric promotion)
+      if (st.declaredSortOrder.nonEmpty) {
+        val gone = st.declaredSortOrder.filter(c =>
+          renames.contains(c) ||
+            (!newSchema.fieldNames.contains(c) && st.schema.fieldNames.contains(c)))
+        if (gone.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot drop/rename declared sort-order column(s) " +
+              s"${gone.mkString(", ")} of $key")
       }
       st.version += 1
       val dropped =
@@ -1270,9 +1375,11 @@ object MemTables {
           st.batches.map(b =>
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
-      st.batches = prior ++
-        batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
-      st.clearSortOrder() // new rows: the sorted-layout claim no longer holds
+      val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      st.batches = prior ++ fresh
+      // new rows retire the sorted-layout claim — unless the table
+      // DECLARES a write sort order and every fresh batch verifies sorted
+      maintainSortClaim(st, fresh, truncate)
       st.stamp(if (truncate) "overwrite" else "append")
     }
   }
@@ -1301,9 +1408,9 @@ object MemTables {
             st.batches.map(b =>
               if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
           else st.batches
-        st.batches = prior ++
-          batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
-        st.clearSortOrder()
+        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        st.batches = prior ++ fresh
+        maintainSortClaim(st, fresh, truncate)
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
       }
     }
@@ -1351,9 +1458,11 @@ object MemTables {
         }.filterNot(_.contains(null)).toSet
         if (keys.nonEmpty)
           st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
-        st.batches = st.batches ++
-          batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
-        st.clearSortOrder()
+        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        st.batches = st.batches ++ fresh
+        // the epoch's equality delete is kill-only (keeps order); claim
+        // survival rides the same verified-sorted-inserts rule as appends
+        maintainSortClaim(st, fresh, truncate = false)
         st.stamp("stream-upsert")
       }
     }
@@ -2996,18 +3105,28 @@ final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: Strin
     * partition-pure regardless.
     */
   override def build(): Write = {
-    val spec = MemTables.get(key).map(_.partitioning).getOrElse(Nil)
-    if (spec.isEmpty) new Write {
+    val st = MemTables.get(key)
+    val spec = st.map(_.partitioning).getOrElse(Nil)
+    // a DECLARED table sort order ('graft.sort-order') rides every write
+    // as the requested task ordering — Spark sorts each write task, the
+    // publish verifies, and the sorted-layout claim survives the append
+    val declared = st.map(_.declaredSortOrder).getOrElse(Nil)
+    if (spec.isEmpty && declared.isEmpty) new Write {
       override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
     } else new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          MemTables.toTransforms(spec).map(t =>
-            t: org.apache.spark.sql.connector.expressions.Expression))
+        if (spec.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        else
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            MemTables.toTransforms(spec).map(t =>
+              t: org.apache.spark.sql.connector.expressions.Expression))
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        declared.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

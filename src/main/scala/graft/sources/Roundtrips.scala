@@ -1772,6 +1772,48 @@ object Roundtrips {
     spark.sql(s"SELECT k, v, note FROM $tbl")
   }
 
+  /** DECLARED WRITE SORT ORDER through the gate (`TBLPROPERTIES
+    * ('graft.sort-order'='k')`, [[MemTables.SortOrderProp]] — the Iceberg
+    * `write.sort-order` shape): two UNSORTED appends ride the requested
+    * write ordering, the publish VERIFIES each stored batch, and the
+    * sorted-layout claim survives ingest — so the ordered head is
+    * topN-trimmed at planning even after a merge-on-read DELETE
+    * (kill-only: the claim holds, and the trim must count live rows
+    * through the delete vectors — an off-by-dead trim loses head rows and
+    * breaks the hash). The `sum` branch pins that nothing outside the
+    * head was touched. At 100 TB this is the continuously-clustered
+    * ingest table: every append keeps it merge-joinable and
+    * head-trimmable with no rewrite in between.
+    */
+  val dsv2SortedIngest: QueryDef = QueryDef(
+    "dsv2_sorted_ingest",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 23 = 0),
+      |live AS (SELECT k, v FROM base WHERE v >= 10000000)
+      |SELECT 'top' AS part, k, v
+      |FROM (SELECT k, v FROM live ORDER BY k LIMIT 50) t
+      |UNION ALL
+      |SELECT 'sum', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT) FROM live""".stripMargin) {
+    (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_sorted_ingest"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES" +
+      " ('graft.sort-order'='k', 'graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.filter(col("k") % 2 === 0).writeTo(tbl).append() // v1: sorted by request
+    base.filter(col("k") % 2 === 1).writeTo(tbl).append() // v2: claim survives
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10000000") // v3: kill-only, claim holds
+    spark.sql(
+      s"""SELECT 'top' AS part, k, v
+         |FROM (SELECT k, v FROM $tbl ORDER BY k LIMIT 50)
+         |UNION ALL
+         |SELECT 'sum', count(*), sum(v) FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1782,5 +1824,5 @@ object Roundtrips {
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
-      dsv2TableStream, dsv2MergeEvolve)
+      dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest)
 }

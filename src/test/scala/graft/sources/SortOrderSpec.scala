@@ -108,4 +108,66 @@ class SortOrderSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.so_d")
     spark.sql("DROP TABLE graft.so_e")
   }
+
+  test("declared sort order: the claim survives verified-sorted appends") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.so_decl")
+    spark.sql("CREATE TABLE graft.so_decl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.sort-order'='k')")
+    // unsorted input: the write REQUESTS the ordering, Spark sorts each
+    // task, the publish verifies — the claim holds from the first append
+    spark.sql("INSERT INTO graft.so_decl SELECT id * 7 % 50, id FROM range(0, 50)")
+    assert(ordering("so_decl") === Seq("k"))
+    spark.sql("INSERT INTO graft.so_decl SELECT id * 3 % 40, id FROM range(0, 40)")
+    assert(ordering("so_decl") === Seq("k"), "appends must keep the declared claim")
+    val st = MemTables.get("so_decl").get
+    assert(st.batches.filter(_.removedAt == Long.MaxValue)
+      .forall(b => MemTables.batchSorted(b.schema, b.rows, Seq("k"))))
+    // the claim feeds the read side: ORDER BY + LIMIT trims at planning
+    val q = spark.sql("SELECT k FROM graft.so_decl ORDER BY k LIMIT 3")
+    // both inserts are permutations (7⊥50, 3⊥40): exactly one 0 each
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L))
+    assert(q.queryExecution.executedPlan.toString.contains("topN=3(k)"))
+
+    // a row-level mutation retires the claim; a later append cannot
+    // revive it (an unsorted replacement batch may live on)...
+    spark.sql("UPDATE graft.so_decl SET v = v + 1 WHERE k = 7")
+    assert(ordering("so_decl").isEmpty)
+    spark.sql("INSERT INTO graft.so_decl SELECT id, id FROM range(0, 5)")
+    assert(ordering("so_decl").isEmpty, "append must not revive a retired claim")
+    // ...but an INSERT OVERWRITE replaces every batch: claim re-establishes
+    spark.sql("INSERT OVERWRITE graft.so_decl SELECT id * 11 % 30, id FROM range(0, 30)")
+    assert(ordering("so_decl") === Seq("k"))
+
+    // an UNVERIFIED publish (direct commit, bypassing the requested write
+    // ordering — the degraded-distribution stand-in) clears the claim
+    // rather than trusting the declaration
+    import org.apache.spark.sql.catalyst.InternalRow
+    MemTables.commit("so_decl", truncate = false, st.schema,
+      Seq(Array(InternalRow(9L, 1L), InternalRow(2L, 2L))))
+    assert(ordering("so_decl").isEmpty, "unsorted rows must clear the claim")
+    spark.sql("DROP TABLE graft.so_decl")
+  }
+
+  test("declared sort order: create-time validation and evolution guard") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.so_guard")
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.so_guard (k BIGINT) TBLPROPERTIES ('graft.sort-order'='nope')"))
+    spark.sql("CREATE TABLE graft.so_guard (k INT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.sort-order'='k')")
+    // dropping or renaming the declared column would fail all future
+    // writes at analysis: rejected like a partition column
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.so_guard DROP COLUMN k"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.so_guard RENAME COLUMN k TO kk"))
+    // widening the sort column is order-preserving and allowed: the claim
+    // (and writes) survive the promotion
+    spark.sql("INSERT INTO graft.so_guard SELECT CAST(id * 5 % 9 AS INT), id FROM range(0, 9)")
+    spark.sql("ALTER TABLE graft.so_guard ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO graft.so_guard SELECT id * 3 % 7, id FROM range(0, 7)")
+    assert(ordering("so_guard") === Seq("k"))
+    spark.sql("DROP TABLE graft.so_guard")
+  }
 }
