@@ -99,7 +99,11 @@ object ScaleRamp {
     "dsv2_meta_tables",
     "dsv2_limit_topn",
     "dsv2_table_stream",
-    "dsv2_merge_evolve")
+    "dsv2_merge_evolve",
+    // declared write sort order: the publish-side sortedness verification
+    // is one comparator pass per batch — must ride the write's ≈linear
+    // cost, never add a superlinear term
+    "dsv2_sorted_ingest")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

@@ -399,6 +399,15 @@ object MemTables {
     f match {
       case EqualTo(c, v) => bounds(c)(s =>
         cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0))
+      case EqualNullSafe(c, v) =>
+        if (v == null) statsFor(c).forall(_.nullCount > 0)
+        else statsFor(c) match {
+          // unlike EqualTo, an all-null batch is PRECLUDED only by the
+          // bounds (null <=> value is false, so nulls never match)
+          case Some(s) => !(s.nullCount == s.rowCount ||
+            cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0))
+          case None => true
+        }
       case GreaterThan(c, v) => bounds(c)(s => cmp(s.max, v).exists(_ <= 0))
       case GreaterThanOrEqual(c, v) => bounds(c)(s => cmp(s.max, v).exists(_ < 0))
       case LessThan(c, v) => bounds(c)(s => cmp(s.min, v).exists(_ >= 0))
@@ -432,6 +441,9 @@ object MemTables {
     f match {
       case EqualTo(c, v) => bucketAt(c).forall { case (n, id) =>
         v != null && bucketOf(v, n) == id
+      }
+      case EqualNullSafe(c, v) => bucketAt(c).forall { case (n, id) =>
+        bucketOf(v, n) == id // null-safe: NULL rows live in bucketOf(null)
       }
       case In(c, vs) => bucketAt(c).forall { case (n, id) =>
         vs.exists(v => v != null && bucketOf(v, n) == id)
@@ -1566,10 +1578,15 @@ object MemTables {
         (spec.isEmpty || filters.forall(f => bucketMayMatch(f, spec, b.part)))
     }
 
-  def deleteWhere(key: String, filters: Array[Filter]): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalStateException(s"mem table $key dropped mid-delete"))
-    st.synchronized {
+  /** Row-level filter matches over the LIVE batches (SQL three-valued
+    * evaluation, era/tombstone-resolved, bounds/bucket-pruned) — the
+    * matching half shared by DELETE and filtered OVERWRITE. Throws on
+    * unsupported filter shapes BEFORE any state mutates. Caller holds the
+    * table monitor.
+    */
+  private def matchedRowsLocked(
+      st: State, filters: Array[Filter]): Map[Long, Array[Int]] = {
+    {
       val droppedAt = st.droppedAt
       val eras = st.eras
       def valueOf(b: TaggedBatch, r: InternalRow, col: String): Any = {
@@ -1590,6 +1607,14 @@ object MemTables {
       // (`v <> 5`, `v NOT IN (...)` are unknown on NULL, not true).
       def eval(f: Filter, b: TaggedBatch, r: InternalRow): Option[Boolean] = f match {
         case EqualTo(c, v) => cmp(valueOf(b, r, c), v).map(_ == 0)
+        case EqualNullSafe(c, v) =>
+          // <=> is never unknown on NULL operands (the shape a static
+          // partition-clause overwrite pushes): NULL<=>NULL is TRUE,
+          // NULL<=>value is FALSE
+          val rv = valueOf(b, r, c)
+          if (rv == null && v == null) Some(true)
+          else if (rv == null || v == null) Some(false)
+          else cmp(rv, v).map(_ == 0)
         case GreaterThan(c, v) => cmp(valueOf(b, r, c), v).map(_ > 0)
         case GreaterThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).map(_ >= 0)
         case LessThan(c, v) => cmp(valueOf(b, r, c), v).map(_ < 0)
@@ -1621,13 +1646,8 @@ object MemTables {
       }
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
-      // compute matches BEFORE the version bump: a condition matching zero
-      // rows is a no-op and must not burn a version slot — a phantom
-      // 'delete' ledger entry with no change-feed events would misreport
-      // provenance (mirrors compact()'s no-op path)
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      val deadByBatch: Map[Long, Array[Int]] =
-        candidateBatches(filters, st.partitioning, eras, droppedAt, live).iterator
+      candidateBatches(filters, st.partitioning, eras, droppedAt, live).iterator
         .map { b =>
           val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
           b.batchId -> b.rows.zipWithIndex.collect {
@@ -1635,40 +1655,123 @@ object MemTables {
           }
         }
         .filter(_._2.nonEmpty).toMap
-      if (deadByBatch.isEmpty) return
-      st.version += 1
-      if (st.deleteMode == DeleteModeMor) {
-        // MERGE-ON-READ: record matched positions in the batch's delete
-        // vector at this version — no row is copied (the rows array is
-        // shared by reference), old snapshots keep reading the rows, and
-        // the change feed reports row-level deletes at this version. The
-        // read path pays the overlay filter instead.
-        st.batches = st.batches.map { b =>
-          deadByBatch.get(b.batchId) match {
-            case Some(dead) if b.removedAt == Long.MaxValue =>
-              b.copy(dv = b.dv ++ dead.map(_ -> st.version))
-            case _ => b
-          }
-        }
-      } else {
-        st.batches = st.batches.flatMap { b =>
-          deadByBatch.get(b.batchId) match {
-            case Some(dead) if b.removedAt == Long.MaxValue =>
-              val deadSet = dead.toSet
-              val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
-              val removed = b.copy(removedAt = st.version)
-              if (keep.isEmpty) Vector(removed)
-              // survivors carry EXACT stats (the rewrite materializes them
-              // anyway): a deleted row may have been the recorded extreme,
-              // and the aggregate pushdown answers MIN/MAX from these
-              else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
-                batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
-                part = b.part))
-            case _ => Vector(b)
-          }
+    }
+  }
+
+  /** Apply computed row kills at the CURRENT (already bumped) version —
+    * the mutation half shared by DELETE and filtered OVERWRITE: delete
+    * vectors on merge-on-read tables (no row copied), soft-remove +
+    * survivor re-commit on copy-on-write. Caller holds the table monitor
+    * and has bumped `st.version`.
+    */
+  private def applyRowKillsLocked(
+      st: State, deadByBatch: Map[Long, Array[Int]]): Unit = {
+    if (deadByBatch.isEmpty) return
+    if (st.deleteMode == DeleteModeMor) {
+      // MERGE-ON-READ: record matched positions in the batch's delete
+      // vector at this version — no row is copied (the rows array is
+      // shared by reference), old snapshots keep reading the rows, and
+      // the change feed reports row-level deletes at this version. The
+      // read path pays the overlay filter instead.
+      st.batches = st.batches.map { b =>
+        deadByBatch.get(b.batchId) match {
+          case Some(dead) if b.removedAt == Long.MaxValue =>
+            b.copy(dv = b.dv ++ dead.map(_ -> st.version))
+          case _ => b
         }
       }
+    } else {
+      st.batches = st.batches.flatMap { b =>
+        deadByBatch.get(b.batchId) match {
+          case Some(dead) if b.removedAt == Long.MaxValue =>
+            val deadSet = dead.toSet
+            val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
+            val removed = b.copy(removedAt = st.version)
+            if (keep.isEmpty) Vector(removed)
+            // survivors carry EXACT stats (the rewrite materializes them
+            // anyway): a deleted row may have been the recorded extreme,
+            // and the aggregate pushdown answers MIN/MAX from these
+            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
+              batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
+              part = b.part))
+          case _ => Vector(b)
+        }
+      }
+    }
+  }
+
+  def deleteWhere(key: String, filters: Array[Filter]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-delete"))
+    st.synchronized {
+      // compute matches BEFORE the version bump: a condition matching zero
+      // rows is a no-op and must not burn a version slot — a phantom
+      // 'delete' ledger entry with no change-feed events would misreport
+      // provenance (mirrors compact()'s no-op path)
+      val deadByBatch = matchedRowsLocked(st, filters)
+      if (deadByBatch.isEmpty) return
+      st.version += 1
+      applyRowKillsLocked(st, deadByBatch)
       st.stamp("delete")
+    }
+  }
+
+  /** Filtered OVERWRITE (`OVERWRITE_BY_FILTER` — Delta `replaceWhere` /
+    * SQL static-partition `INSERT OVERWRITE t PARTITION (p = v)`): one
+    * atomic version that kills the condition's matches (DV or
+    * copy-on-write per the table's delete mode, bounds/bucket-pruned like
+    * DELETE) and appends the replacement rows. At 100 TB this is the
+    * incremental-refresh primitive: one period's recomputation replaces
+    * exactly its own slice, never the table.
+    */
+  def commitOverwrite(
+      key: String, filters: Array[Filter],
+      writeSchema: StructType, batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-overwrite"))
+    st.synchronized {
+      // matching throws on unsupported shapes BEFORE any mutation
+      val deadByBatch = matchedRowsLocked(st, filters)
+      st.version += 1
+      applyRowKillsLocked(st, deadByBatch)
+      val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      st.batches = st.batches ++ fresh
+      // survivors keep their order (DV kills / order-preserving rewrite),
+      // so an active sorted claim survives exactly like an append
+      maintainSortClaim(st, fresh, truncate = false)
+      st.stamp("overwrite")
+    }
+  }
+
+  /** DYNAMIC partition overwrite (`OVERWRITE_DYNAMIC` — hive
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` semantics at the
+    * connector: replace exactly the partition TUPLES present in the
+    * incoming data, whole batches at a time — partition purity makes the
+    * kill batch-granular, no row evaluation). An unpartitioned table
+    * degenerates to a full replace, the hive rule.
+    */
+  def commitOverwriteDynamic(
+      key: String, writeSchema: StructType,
+      batches: Seq[Array[InternalRow]]): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-overwrite"))
+    st.synchronized {
+      st.version += 1
+      val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      if (st.partitioning.isEmpty) {
+        st.batches = st.batches.map(b =>
+          if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b) ++
+          fresh
+        maintainSortClaim(st, fresh, truncate = true)
+      } else {
+        val tuples = fresh.map(_.part).toSet
+        st.batches = st.batches.map(b =>
+          if (b.removedAt == Long.MaxValue && tuples.contains(b.part))
+            b.copy(removedAt = st.version)
+          else b) ++ fresh
+        maintainSortClaim(st, fresh, truncate = false)
+      }
+      st.stamp("overwrite")
     }
   }
 }
@@ -1800,6 +1903,8 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       // MERGE ... WITH SCHEMA EVOLUTION: Spark's analyzer ALTERs the
       // target (AddColumn per extra source field — the evolution surface
       // alterTable already carries) and replans against the new schema
@@ -3091,9 +3196,27 @@ final case class MemPartition(
 }
 
 final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: String)
-    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var truncateOnCommit = false
-  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  private var mode: MemWriteMode = MemAppend
+  private def truncateOnCommit: Boolean = mode == MemTruncate
+  override def truncate(): WriteBuilder = { mode = MemTruncate; this }
+  /** `OVERWRITE_BY_FILTER`: a bare always-true filter IS the truncate
+    * (Spark sends `INSERT OVERWRITE` without a partition clause this
+    * way); anything else becomes the one-version kill-matches-and-append
+    * publish ([[MemTables.commitOverwrite]]).
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode =
+      if (filters.isEmpty || filters.forall(_ == AlwaysTrue())) MemTruncate
+      else MemOverwriteFilter(filters)
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = MemOverwriteDynamic
+    this
+  }
   /** Partitioned tables request a CLUSTERED write distribution on their
     * partition transforms ([[RequiresDistributionAndOrdering]]): Spark
     * shuffles the incoming rows so each write task holds whole partitions —
@@ -3112,9 +3235,14 @@ final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: Strin
     // publish verifies, and the sorted-layout claim survives the append
     val declared = st.map(_.declaredSortOrder).getOrElse(Nil)
     if (spec.isEmpty && declared.isEmpty) new Write {
-      override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
+      override def toBatch: BatchWrite = new MemBatchWrite(key, mode, writeSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+        mode match {
+          case MemAppend | MemTruncate =>
+            new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+          case other => throw new UnsupportedOperationException(
+            s"mem table $key: streaming writes append or truncate per epoch; $other is batch-only")
+        }
     } else new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
         if (spec.isEmpty)
@@ -3128,9 +3256,14 @@ final class MemWriteBuilder(key: String, writeSchema: StructType, queryId: Strin
           org.apache.spark.sql.connector.expressions.Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       override def distributionStrictlyRequired(): Boolean = false
-      override def toBatch: BatchWrite = new MemBatchWrite(key, truncateOnCommit, writeSchema)
+      override def toBatch: BatchWrite = new MemBatchWrite(key, mode, writeSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+        mode match {
+          case MemAppend | MemTruncate =>
+            new MemStreamingWrite(key, queryId, truncateOnCommit, writeSchema)
+          case other => throw new UnsupportedOperationException(
+            s"mem table $key: streaming writes append or truncate per epoch; $other is batch-only")
+        }
     }
   }
 }
@@ -3178,15 +3311,33 @@ final class MemStreamingWriterFactory
     new MemWriterFactory().createWriter(partitionId, taskId)
 }
 
-final class MemBatchWrite(key: String, truncate: Boolean, writeSchema: StructType)
+/** What a batch write does at publish: plain append, full truncate-
+  * replace, filtered overwrite (`replaceWhere` / static-partition
+  * INSERT OVERWRITE), or dynamic partition overwrite.
+  */
+sealed trait MemWriteMode
+case object MemAppend extends MemWriteMode
+case object MemTruncate extends MemWriteMode
+final case class MemOverwriteFilter(filters: Array[Filter]) extends MemWriteMode
+case object MemOverwriteDynamic extends MemWriteMode
+
+final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructType)
     extends BatchWrite {
+  def this(key: String, truncate: Boolean, writeSchema: StructType) =
+    this(key, if (truncate) MemTruncate else MemAppend, writeSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    MemTables.commit(key, truncate, writeSchema,
-      messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq
+    mode match {
+      case MemAppend => MemTables.commit(key, truncate = false, writeSchema, rows)
+      case MemTruncate => MemTables.commit(key, truncate = true, writeSchema, rows)
+      case MemOverwriteFilter(fs) => MemTables.commitOverwrite(key, fs, writeSchema, rows)
+      case MemOverwriteDynamic => MemTables.commitOverwriteDynamic(key, writeSchema, rows)
+    }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -1814,6 +1814,60 @@ object Roundtrips {
          |SELECT 'sum', count(*), sum(v) FROM $tbl""".stripMargin)
   }
 
+  /** Filtered + dynamic OVERWRITE through the gate (`OVERWRITE_BY_FILTER`
+    * / `OVERWRITE_DYNAMIC` — Delta `replaceWhere` and hive dynamic-mode
+    * semantics on the connector): a static-partition `INSERT OVERWRITE
+    * ... PARTITION (nk = 1)` replaces exactly that partition's slice
+    * (filter-kill + append in ONE version), then a dynamic
+    * `overwritePartitions()` replaces exactly the tuples present in its
+    * data (batch-granular — partition purity, no row evaluated). The
+    * `pre` branch aggregates `VERSION AS OF 1`, so an overwrite that
+    * leaked into another partition, copied history, or failed atomicity
+    * breaks one of the two hashes. At 100 TB this is the
+    * incremental-refresh primitive: a period's recomputation replaces its
+    * own slice at slice cost.
+    */
+  val dsv2ReplaceWhere: QueryDef = QueryDef(
+    "dsv2_replace_where",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |         o_orderkey % 4 AS nk
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |p1 AS (SELECT k, v + 1000000 AS v, nk FROM base WHERE nk = 1 AND k % 3 = 0),
+      |p2 AS (SELECT k, v + 2000000 AS v, nk FROM base WHERE nk = 2 AND k % 5 = 0),
+      |cur AS (
+      |  SELECT k, v, nk FROM base WHERE nk <> 1 AND nk <> 2
+      |  UNION ALL SELECT k, v, nk FROM p1
+      |  UNION ALL SELECT k, v, nk FROM p2)
+      |SELECT 'cur' AS part, k, v, nk FROM cur
+      |UNION ALL
+      |SELECT 'pre', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_replace_where"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk)")
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"),
+        (col("o_orderkey") % 4).as("nk"))
+    base.writeTo(tbl).append() // v1
+    base.createOrReplaceTempView("replace_where_base")
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl PARTITION (nk = 1)
+         |SELECT k, v + 1000000 FROM replace_where_base
+         |WHERE nk = 1 AND k % 3 = 0""".stripMargin) // v2: static = filter kill
+    base.filter(col("nk") === 2 && col("k") % 5 === 0)
+      .select(col("k"), (col("v") + lit(2000000L)).as("v"), col("nk"))
+      .writeTo(tbl).overwritePartitions() // v3: dynamic = tuple-granular
+    spark.sql(
+      s"""SELECT 'cur' AS part, k, v, nk FROM $tbl
+         |UNION ALL
+         |SELECT 'pre', count(*), sum(v), CAST(0 AS BIGINT)
+         |FROM $tbl VERSION AS OF 1""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1824,5 +1878,5 @@ object Roundtrips {
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
-      dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest)
+      dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere)
 }
