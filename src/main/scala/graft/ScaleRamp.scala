@@ -103,7 +103,10 @@ object ScaleRamp {
     // declared write sort order: the publish-side sortedness verification
     // is one comparator pass per batch — must ride the write's ≈linear
     // cost, never add a superlinear term
-    "dsv2_sorted_ingest")
+    "dsv2_sorted_ingest",
+    // filtered + dynamic overwrite: slice-cost replacement — the kill is
+    // pruned to the addressed partition, the append is the slice
+    "dsv2_replace_where")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

@@ -78,6 +78,26 @@ class OverwriteModesSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("replaceWhere is one honest change-feed version: slice deletes + inserts") {
+    catalogOn()
+    val tbl = "graft.ow_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, nk BIGINT) PARTITIONED BY (nk)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    import spark.implicits._
+    Seq((1L, 0L), (2L, 1L), (3L, 1L)).toDF("k", "nk").coalesce(1)
+      .writeTo(tbl).append() // v1
+    Seq((20L, 1L)).toDF("k", "nk").coalesce(1)
+      .writeTo(tbl).overwrite(col("nk") === 1L) // v2
+    val events = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "ow_cdc").option("from", "1").option("to", "2").load()
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(3))).sorted.toSeq
+    // exactly the slice's row-level deletes plus the replacement insert,
+    // all at the overwrite's version — nk=0 emits nothing
+    assert(events === Seq(("delete", 2L, 2L), ("delete", 3L, 2L), ("insert", 20L, 2L)))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("dynamic overwrite replaces exactly the partitions present in the data") {
     catalogOn()
     val tbl = "graft.ow_dyn"
