@@ -619,6 +619,14 @@ object MemTables {
     private[sources] def clearSortOrder(): Unit = {
       sortedBy = Nil; sortedSince = Long.MaxValue
     }
+    // UPDATE linkage for the change feed's pre/post-image mode: per
+    // version, the row ids whose DV entries are update PRE-images (not
+    // plain deletes), and the delta batches holding the matching
+    // POST-image rows. Only the delta (merge-on-read) DML path records
+    // linkage — a copy-on-write rewrite replaces whole groups, where no
+    // per-row pairing exists to report.
+    @volatile var updatedAt: Map[Long, Set[(Long, Int)]] = Map.empty
+    @volatile var updatePostBatches: Set[Long] = Set.empty
     /** The DECLARED write sort order ([[MemTables.SortOrderProp]]) —
       * distinct from the claim (`sortedBy`): the declaration is what
       * writes request and publishes verify; the claim is what reads may
@@ -1037,6 +1045,11 @@ object MemTables {
       // opKinds ledger or the set grows for the table's whole lifetime
       st.compactionVersions =
         st.compactionVersions.filter(_ >= st.versionTimes.head._1)
+      // update-image linkage for expired versions is equally unreachable;
+      // post-batch markers survive only while their batch does
+      st.updatedAt = st.updatedAt.filter(_._1 >= st.versionTimes.head._1)
+      val liveIds = st.batches.iterator.map(_.batchId).toSet
+      st.updatePostBatches = st.updatePostBatches.filter(liveIds.contains)
       (gone.size.toLong, st.earliestVersion)
     }
   }
@@ -1312,7 +1325,8 @@ object MemTables {
       expectedVersion: Option[Long],
       writeSchema: StructType,
       deletes: Seq[(Long, Int)],
-      inserts: Seq[Array[InternalRow]]): Unit = {
+      inserts: Seq[Array[InternalRow]],
+      updates: Seq[((Long, Int), InternalRow)] = Nil): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-delta"))
     st.synchronized {
@@ -1323,15 +1337,20 @@ object MemTables {
               s"scanned version $v but the table is now at version ${st.version}; " +
               "publishing would erase the interleaved commit (lost update). Re-run the DML.")
       }
+      // updates contribute a DV delete (the PRE-image) and a replacement
+      // row (the POST-image); the linkage is recorded so the change feed
+      // can surface update_preimage/update_postimage instead of the
+      // default delete+insert pairs
+      val allDeletes = deletes ++ updates.map(_._1)
       // VALIDATE BEFORE the version bump: a rejected publish must not burn
       // a version slot (every slot owns a versionTimes entry — the
       // serializable-history invariant the concurrency spec pins)
-      val byBatch = deletes.groupMap(_._1)(_._2)
+      val byBatch = allDeletes.groupMap(_._1)(_._2)
       if (byBatch.nonEmpty) {
         // duplicate row ids within ONE publish would collapse to a single
         // DV entry while every replacement row still appends — a silent
         // row duplication; the scan and publish disagree, so fail loudly
-        val dups = deletes.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+        val dups = allDeletes.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
         if (dups.nonEmpty)
           throw new IllegalStateException(
             s"mem table $key: delta deletes the same row id(s) twice in one " +
@@ -1352,17 +1371,26 @@ object MemTables {
         }
       }
       st.version += 1
+      // post-image rows land in their OWN batches so the feed can label
+      // them; plain inserts append as before
+      val postBatches =
+        if (updates.isEmpty) Nil
+        else mkBatches(st, writeSchema, updates.map(_._2).toArray, st.version)
       st.batches = st.batches.map { b =>
         byBatch.get(b.batchId) match {
           case Some(poss) if b.removedAt == Long.MaxValue =>
             b.copy(dv = b.dv ++ poss.map(_ -> st.version))
           case _ => b
         }
-      } ++ inserts.filter(_.nonEmpty)
+      } ++ postBatches ++ inserts.filter(_.nonEmpty)
         .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+      if (updates.nonEmpty) {
+        st.updatedAt = st.updatedAt.updated(st.version, updates.map(_._1).toSet)
+        st.updatePostBatches = st.updatePostBatches ++ postBatches.map(_.batchId)
+      }
       // kill-only deltas keep relative row order; inserted rows break the
       // sorted-layout claim
-      if (inserts.exists(_.nonEmpty)) st.clearSortOrder()
+      if (updates.nonEmpty || inserts.exists(_.nonEmpty)) st.clearSortOrder()
       st.stamp("delta")
     }
   }
@@ -3136,7 +3164,8 @@ final class MemDeltaBatchWrite(
     MemTables.applyDelta(
       key, state.scannedVersion, writeSchema,
       msgs.flatMap(_.deletes).toSeq,
-      msgs.map(_.inserts).toSeq)
+      msgs.map(_.inserts).toSeq,
+      msgs.flatMap(_.updates).toSeq)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -3147,7 +3176,8 @@ final class MemDeltaBatchWrite(
   * becomes visible until the driver's atomic publish.
   */
 final case class MemDeltaCommitMessage(
-    deletes: Array[(Long, Int)], inserts: Array[InternalRow])
+    deletes: Array[(Long, Int)], inserts: Array[InternalRow],
+    updates: Array[((Long, Int), InternalRow)])
     extends WriterCommitMessage
 
 final class MemDeltaWriterFactory
@@ -3157,16 +3187,19 @@ final class MemDeltaWriterFactory
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val dels = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
       private val ins = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      private val ups =
+        scala.collection.mutable.ArrayBuffer.empty[((Long, Int), InternalRow)]
       // id rows carry the rowId projection in declared order: (_batch_id, _batch_pos)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getLong(0), id.getInt(1)))
-      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-        delete(meta, id); insert(row)
-      }
+      // updates keep their pre→post linkage (not flattened to
+      // delete+insert) so the change feed can surface image pairs
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        ups += (((id.getLong(0), id.getInt(1)), row.copy()))
       override def insert(row: InternalRow): Unit = ins += row.copy()
       override def commit(): WriterCommitMessage =
-        MemDeltaCommitMessage(dels.toArray, ins.toArray)
-      override def abort(): Unit = { dels.clear(); ins.clear() }
+        MemDeltaCommitMessage(dels.toArray, ins.toArray, ups.toArray)
+      override def abort(): Unit = { dels.clear(); ins.clear(); ups.clear() }
       override def close(): Unit = ()
     }
 }
@@ -3385,9 +3418,12 @@ class MemChangesSource extends org.apache.spark.sql.connector.catalog.TableProvi
       schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
-    val (key, from, to, full) =
-      MemChangesSource.boundsAndSchema(new CaseInsensitiveStringMap(properties))
-    new MemChangesTable(key, from, to, full)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (key, from, to, full) = MemChangesSource.boundsAndSchema(opts)
+    // updateImages=true: delta-UPDATE events surface as
+    // update_preimage/update_postimage pairs instead of delete+insert
+    new MemChangesTable(key, from, to, full,
+      opts.getBoolean("updateImages", false))
   }
 }
 
@@ -3442,7 +3478,9 @@ object MemChangesSource {
     * by the batch scan and the micro-batch stream (each streaming trigger
     * is exactly a batch read of its offset window).
     */
-  private[sources] def partitionsIn(key: String, from: Long, to: Long): Array[InputPartition] = {
+  private[sources] def partitionsIn(
+      key: String, from: Long, to: Long,
+      updateImages: Boolean = false): Array[InputPartition] = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
     // one consistent state snapshot — and RE-validate the retention
@@ -3450,9 +3488,11 @@ object MemChangesSource {
     // each micro-batch window long after bind, and an expire_snapshots
     // interleaved since then must fail the read loudly, never let it
     // silently emit the surviving fraction of the window's events
-    val (batches, hist, compactions, earliest, eqDeletes) = st.synchronized {
-      (st.batches, st.history, st.compactionVersions, st.earliestVersion, st.eqDeletes)
-    }
+    val (batches, hist, compactions, earliest, eqDeletes, updatedAt, postBatches) =
+      st.synchronized {
+        (st.batches, st.history, st.compactionVersions, st.earliestVersion,
+          st.eqDeletes, st.updatedAt, st.updatePostBatches)
+      }
     if (from < earliest)
       throw new IllegalStateException(
         s"change window ($from, $to] of $key reaches into history expired " +
@@ -3472,9 +3512,16 @@ object MemChangesSource {
     // change — their batch replacements are invisible to the feed (the
     // Iceberg replace-snapshot rule); DV delete events are untouched
     // (those versions were real deletes)
+    // in pre/post-image mode, delta-update replacement batches surface as
+    // update_postimage; everything else stays an ordinary insert
     val inserts = batches
       .filter(b => b.version > from && b.version <= to && !compactions.contains(b.version))
-      .map(b => MemChangesPartition(b.schema, srcMap(b), b.rows, insert = true, b.version))
+      .map { b =>
+        val tpe =
+          if (updateImages && postBatches.contains(b.batchId)) "update_postimage"
+          else "insert"
+        MemChangesPartition(b.schema, srcMap(b), b.rows, tpe, b.version)
+      }
     // a batch both committed AND truncated inside the window emits BOTH
     // events (the honest change log — consumers fold by _commit_version).
     // Rows already DV-deleted before the batch's removal do NOT re-delete
@@ -3491,17 +3538,28 @@ object MemChangesSource {
         val alive =
           if (kills.isEmpty) b.rows
           else b.rows.indices.filterNot(kills.contains).map(b.rows).toArray
-        MemChangesPartition(b.schema, srcMap(b), alive, insert = false, b.removedAt)
+        MemChangesPartition(b.schema, srcMap(b), alive, "delete", b.removedAt)
       }
     // merge-on-read deletes are ROW-level events at the version their DV
     // entry was recorded — the change feed a DV table produces is finer
-    // than the batch remove+reinsert log of a copy-on-write rewrite
+    // than the batch remove+reinsert log of a copy-on-write rewrite; in
+    // pre/post-image mode the positions a delta UPDATE killed surface as
+    // update_preimage, split from the same version's plain deletes
     val dvDeletes = batches.flatMap { b =>
       killsOf(b).toSeq
         .filter { case (_, at) => at > from && at <= to }
-        .groupBy(_._2).toSeq.map { case (at, entries) =>
-          MemChangesPartition(b.schema, srcMap(b),
-            entries.map(_._1).sorted.map(b.rows).toArray, insert = false, at)
+        .groupBy(_._2).toSeq.flatMap { case (at, entries) =>
+          val (pre, plain) =
+            if (updateImages)
+              entries.partition { case (p, _) =>
+                updatedAt.getOrElse(at, Set.empty).contains((b.batchId, p))
+              }
+            else (Nil, entries)
+          Seq(("update_preimage", pre), ("delete", plain)).collect {
+            case (tpe, es) if es.nonEmpty =>
+              MemChangesPartition(b.schema, srcMap(b),
+                es.map(_._1).sorted.map(b.rows).toArray, tpe, at)
+          }
         }
     }
     (inserts ++ deletes ++ dvDeletes).map(p => p: InputPartition).toArray
@@ -3530,8 +3588,8 @@ object MemChangesSource {
           if (s >= 0 && srcType(j) != target.fields(j).dataType) target.fields(j).dataType
           else null
         }
-        val changeType = org.apache.spark.unsafe.types.UTF8String
-          .fromString(if (p.insert) "insert" else "delete")
+        val changeType =
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
         new PartitionReader[InternalRow] {
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
@@ -3559,7 +3617,9 @@ object MemChangesSource {
     }
 }
 
-final class MemChangesTable(key: String, from: Long, to: Long, fullSchema: StructType)
+final class MemChangesTable(
+    key: String, from: Long, to: Long, fullSchema: StructType,
+    updateImages: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"$key changes ($from, $to]"
   override def schema(): StructType = fullSchema
@@ -3567,18 +3627,21 @@ final class MemChangesTable(key: String, from: Long, to: Long, fullSchema: Struc
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new MemChangesScan(key, from, to, fullSchema)
+      override def build(): Scan =
+        new MemChangesScan(key, from, to, fullSchema, updateImages)
     }
 }
 
-final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: StructType)
+final class MemChangesScan(
+    key: String, from: Long, to: Long, fullSchema: StructType,
+    updateImages: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = fullSchema
   override def toBatch: Batch = this
   override def description(): String = s"GraftMemChangesScan $key ($from, $to]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    MemChangesSource.partitionsIn(key, from, to)
+    MemChangesSource.partitionsIn(key, from, to, updateImages)
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemChangesSource.readerFactory(fullSchema)
@@ -3594,7 +3657,7 @@ final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: Struct
     * stream restarts, the standard streaming fixed-schema contract.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MemChangesMicroBatchStream(key, from, fullSchema)
+    new MemChangesMicroBatchStream(key, from, fullSchema, updateImages)
 }
 
 /** Implements [[SupportsTriggerAvailableNow]] natively (rather than
@@ -3603,7 +3666,9 @@ final class MemChangesScan(key: String, from: Long, to: Long, fullSchema: Struct
   * NEXT run instead of extending this one — the bounded-run contract a
   * backfill needs.
   */
-final class MemChangesMicroBatchStream(key: String, from: Long, fullSchema: StructType)
+final class MemChangesMicroBatchStream(
+    key: String, from: Long, fullSchema: StructType,
+    updateImages: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -3627,7 +3692,8 @@ final class MemChangesMicroBatchStream(key: String, from: Long, fullSchema: Stru
     MemChangesSource.partitionsIn(
       key,
       start.asInstanceOf[MemVersionOffset].v,
-      end.asInstanceOf[MemVersionOffset].v)
+      end.asInstanceOf[MemVersionOffset].v,
+      updateImages)
   override def createReaderFactory(): PartitionReaderFactory =
     MemChangesSource.readerFactory(fullSchema)
 }
@@ -3798,5 +3864,5 @@ object MemTableMicroBatchStream {
   */
 final case class MemChangesPartition(
     batchSchema: StructType, srcNames: Map[String, String], rows: Array[InternalRow],
-    insert: Boolean, commitVersion: Long)
+    changeType: String, commitVersion: Long)
     extends InputPartition

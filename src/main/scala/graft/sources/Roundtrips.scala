@@ -1868,6 +1868,46 @@ object Roundtrips {
          |FROM $tbl VERSION AS OF 1""".stripMargin)
   }
 
+  /** CDC UPDATE PRE/POST-IMAGES through the gate (the Delta-CDF
+    * `update_preimage`/`update_postimage` shape via
+    * `option("updateImages", "true")`): the delta DML path records the
+    * pre→post linkage at publish ([[MemTables.applyDelta]]), and the feed
+    * surfaces image pairs instead of the default delete+insert log. The
+    * oracle restates the append's inserts plus both image sets — a feed
+    * that lost the linkage (plain delete/insert types), mislabeled a
+    * non-update row, or drifted a value breaks the hash. Consumers that
+    * want the old log just omit the option (UpdateImagesSpec pins the
+    * byte-identical default).
+    */
+  val dsv2CdcUpdateImages: QueryDef = QueryDef(
+    "dsv2_cdc_update_images",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 37 = 0)
+      |SELECT k, v, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM base
+      |UNION ALL
+      |SELECT k, v, 'update_preimage', 2 FROM base WHERE k % 3 = 0
+      |UNION ALL
+      |SELECT k, v + 7, 'update_postimage', 2 FROM base WHERE k % 3 = 0""".stripMargin) {
+    (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cdc_images"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
+      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0") // v2: delta path
+    spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_cdc_images")
+      .option("from", "0").option("to", "2")
+      .option("updateImages", "true")
+      .load()
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -1878,5 +1918,6 @@ object Roundtrips {
       dsv2SelectiveRead, dsv2SchemaEvolve, dsv2BranchWap, dsv2DeleteEquality,
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
-      dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere)
+      dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
+      dsv2CdcUpdateImages)
 }
