@@ -3115,8 +3115,10 @@ final class MemRowLevelWriteBuilder(
   * and 100 replacement rows, full stop; reads pay the DV overlay. This is
   * Iceberg's `write.update.mode=merge-on-read` with `(_file, _pos)`
   * deletes, expressed over mem batches. Updates arrive as
-  * `update(meta, id, row)` and split into DV-delete + insert at ONE
-  * version, so the change feed shows row-level delete+insert pairs.
+  * `update(meta, id, row)` and become DV-delete + replacement insert at
+  * ONE version with the pre→post linkage recorded — the change feed shows
+  * row-level delete+insert pairs by default, or
+  * `update_preimage`/`update_postimage` under `updateImages=true`.
   */
 final class MemDeltaOperation(
     key: String, tableSchema: StructType,
