@@ -1812,7 +1812,20 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` SQL: one atomic empty-overwrite version — old
+    * batches stay readable through VERSION AS OF (the soft-delete rule
+    * every other truncate path follows).
+    */
+  override def truncateTable(): Boolean = {
+    if (asOf.isDefined)
+      throw new UnsupportedOperationException(
+        s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MemTables.commit(key, truncate = true, tableSchema, Nil)
+    true
+  }
 
   /** Row lineage metadata: `_batch_version` (the commit each row belongs
     * to — the group id of the copy-on-write rewrite), and the delta row id

@@ -98,6 +98,26 @@ class OverwriteModesSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("TRUNCATE TABLE is one soft-delete version; history stays readable") {
+    catalogOn()
+    val tbl = "graft.ow_truncate"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"TRUNCATE TABLE $tbl") // v2
+    val st = MemTables.get("ow_truncate").get
+    assert(st.version === 2L && st.opKinds(2L) === "overwrite")
+    assert(spark.table(tbl).count() === 0L)
+    // soft delete: the pre-truncate snapshot is an exact replay
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the table stays writable afterwards
+    Seq(9L).toDF("k").writeTo(tbl).append()
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("dynamic overwrite replaces exactly the partitions present in the data") {
     catalogOn()
     val tbl = "graft.ow_dyn"
