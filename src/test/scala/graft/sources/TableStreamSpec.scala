@@ -180,6 +180,53 @@ class TableStreamSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("table stream: a restart across an ALTER binds the new schema; old windows null-fill") {
+    catalogOn()
+    val tbl = "graft.ts_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT)")
+    import spark.implicits._
+    Seq(1L).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+    val cp = graft.rentals.Scratch.dir("ts_alter_cp")
+    assert(runOnce(tbl, cp, "ts_alter_run1") === Seq(1L))
+    // evolve, then append under the NEW schema; 'alter' is not a change
+    // commit (no data), so the restarted stream consumes both windows
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (v BIGINT)") // v2
+    Seq((2L, 20L)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v3
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = spark.readStream.table(tbl).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // only the post-restart window arrives (v1 was consumed pre-alter),
+    // bound to the evolved two-column schema
+    assert(buf.synchronized(buf.sortBy(_._1).toSeq) === Seq((2L, Some(20L))))
+    // a FRESH stream's snapshot reads the pre-alter row through the
+    // evolved schema: the added column null-fills (era projection)
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q2 = spark.readStream.table(tbl).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        buf2.synchronized { buf2 ++= rows }
+        ()
+      }
+      .option("checkpointLocation", graft.rentals.Scratch.dir("ts_alter_cp2"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(buf2.synchronized(buf2.sortBy(_._1).toSeq) ===
+      Seq((1L, None), (2L, Some(20L))))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("table stream: pinned snapshots and branches decline streaming") {
     catalogOn()
     val tbl = "graft.ts_decline"
