@@ -154,7 +154,16 @@ object MemTables {
           s"write schema ${schema.fieldNames.mkString(",")} lacks partition column ${pf.col}")
       val v = if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType)
       pf match {
-        case IdentityPart(_) => v
+        // identity tuples keep the internal type but normalize floating
+        // zeros: SQL says −0.0 = 0.0, so one SQL value must map to ONE
+        // partition tuple (two tuples would split a key across groups in
+        // storage-partitioned planning and double a "partition" in
+        // dynamic overwrite)
+        case IdentityPart(_) => v match {
+          case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+          case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
+          case other => other
+        }
         case BucketPart(n, _) => Integer.valueOf(bucketOf(v, n))
       }
     }
@@ -213,13 +222,20 @@ object MemTables {
   /** Canonical form of one internal key value, so equality-delete probes
     * survive type widening (int batch, bigint delete) and internal string
     * representation: integrals → Long, floats → Double, UTF8String →
-    * String.
+    * String. Floating zeros normalize −0.0 → 0.0: Spark SQL equality (and
+    * its own UnsafeRow normalization) treats the two as EQUAL, so a key —
+    * or a bucket/identity partition value — derived from the raw bits
+    * would silently split one SQL value across two slots ([[bucketOf]]
+    * hashes the canonical form, so `WHERE k = 0.0` and a −0.0 row must
+    * agree on the bucket).
     */
   def canonKey(v: Any): Any = v match {
     case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
     case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
     case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
-    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+    case f: java.lang.Float =>
+      java.lang.Double.valueOf(if (f.floatValue == 0.0f) 0.0 else f.doubleValue)
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     case other => other
   }
@@ -1562,8 +1578,16 @@ object MemTables {
     case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
     case (a: java.lang.Short, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
     case (a: java.lang.Byte, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
-    case (a: java.lang.Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue))
-    case (a: java.lang.Float, b: Number) => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    // primitive == first so −0.0 and 0.0 compare EQUAL (SQL semantics;
+    // Double.compare alone orders −0.0 < 0.0, which would let an
+    // identity-partition batch whose singleton stats hold −0.0 be wrongly
+    // skipped for `= 0.0`); NaN still orders greatest via Double.compare
+    case (a: java.lang.Double, b: Number) =>
+      Some(if (a.doubleValue == b.doubleValue) 0
+      else java.lang.Double.compare(a, b.doubleValue))
+    case (a: java.lang.Float, b: Number) =>
+      Some(if (a.doubleValue == b.doubleValue) 0
+      else java.lang.Double.compare(a.doubleValue, b.doubleValue))
     case (a: org.apache.spark.unsafe.types.UTF8String, b: String) => Some(a.toString.compareTo(b))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
@@ -2187,7 +2211,7 @@ final class MemScanBuilder(
     * read EVERY row of the affected groups.
     */
   override def pushLimit(limit: Int): Boolean =
-    if (rowLevel.nonEmpty) false
+    if (rowLevel.nonEmpty || aggResult.isDefined) false
     else { limitRows = Some(limit); true }
 
   /** TOP-N pushdown, PARTIAL, served only under an active sorted-rewrite
@@ -2205,7 +2229,7 @@ final class MemScanBuilder(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    if (rowLevel.nonEmpty || branch.nonEmpty) return false
+    if (rowLevel.nonEmpty || branch.nonEmpty || aggResult.isDefined) return false
     val st = MemTables.get(key).getOrElse(return false)
     val (sortedBy, since) = st.synchronized((st.sortedBy, st.sortedSince))
     if (sortedBy.isEmpty || asOf.exists(_ < since)) return false
@@ -2235,10 +2259,14 @@ final class MemScanBuilder(
     * Declines when a TOP-N was pushed: an ordered offset must drop the
     * first rows IN ORDER, which a per-batch view cannot do. (Spark never
     * pushes an offset through a Sort, so the ordered case can't arrive
-    * without the TOP-N path anyway.)
+    * without the TOP-N path anyway.) Also declines — like LIMIT/TOP-N —
+    * when a complete aggregate pushdown was already decided: build() would
+    * return [[MemAggScan]], which has no head/offset accounting, and an
+    * OFFSET's COMPLETE contract means a silently-dropped push emits the
+    * skipped row.
     */
   override def pushOffset(offset: Int): Boolean =
-    if (rowLevel.nonEmpty || topNCols.isDefined) false
+    if (rowLevel.nonEmpty || topNCols.isDefined || aggResult.isDefined) false
     else { offsetRows = Some(offset); true }
 
   /** TABLESAMPLE / `df.sample` pushdown — COMPLETE (Spark deletes the
@@ -2288,6 +2316,14 @@ final class MemScanBuilder(
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // a COMPLETELY-pushed TABLESAMPLE deletes the Sample operator from the
+    // plan, so by the time aggregation is probed (pushdown order: sample →
+    // filter → aggregate) the Aggregate looks bare — answering it from
+    // full-table batch stats would silently return unsampled aggregates
+    // for `t TABLESAMPLE (...) |> count(*)`. The source owns composing the
+    // two pushdowns; it declines, and Spark runs the sampled row scan +
+    // ordinary aggregate.
+    if (sample.isDefined) return false
     if (!aggFor.exists(_ eq agg)) {
       aggResult = MemScanBuilder.computeAgg(key, tableSchema, asOf, branch, rowLevel, agg)
       aggFor = Some(agg)
@@ -2595,7 +2631,7 @@ final class MemScan(
   @volatile private var runtimeSkip: Array[Filter] = Array.empty
 
   override def filter(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     rowLevel match {
       case Some(state) =>
         val sets = predicates.flatMap(MemScan.versionSetOf)
@@ -2606,6 +2642,12 @@ final class MemScan(
       case None =>
         runtimeSkip = predicates.flatMap(MemScan.skipFilterOf)
     }
+    // runtime filtering legitimately NARROWS the plan after statistics
+    // were reported, so the memoized snapshot is recomputed — narrowing
+    // can only shrink the planned output, never grow it past the bound
+    // AQE read back (and limit trims re-apply on the fresh snapshot)
+    this.synchronized { selectMemo = None; plannedMemo = None }
+  }
 
   /** Shared by partition planning and statistics estimation: ONE
     * consistent state snapshot under the table's monitor (unsynchronized
@@ -2616,7 +2658,34 @@ final class MemScan(
     * DATA SKIPPING applied. Returns (table version at selection, tombstone
     * map bound to the snapshot, selected batches).
     */
+  // ONE state snapshot and ONE set of planned slices per Scan instance
+  // (invalidated only by runtime filtering, above): estimateStatistics,
+  // outputPartitioning/outputOrdering, and planInputPartitions each walk
+  // live mutable table state, and computing them at different times could
+  // straddle a concurrent commit — for a pushed TOP-N, stats computed
+  // while the sorted-layout claim held but partitions planned after a
+  // mutation retired it would emit MORE rows than the reported rowCount,
+  // which AQE reads back as a hard maxRows (EliminateLimits deletes the
+  // global limit against it): wrong results, not a plan nit. Memoizing
+  // binds every planning-time view of this scan to the same snapshot.
+  private var selectMemo: Option[(Long, MemScan.BoundMeta,
+      Vector[MemTables.TaggedBatch], Seq[MemTables.PartField])] = None
+  private var plannedMemo: Option[(Long, Seq[MemTables.PartField],
+      Vector[(MemTables.TaggedBatch, Map[String, String], Set[Int], Int)])] = None
+
   private[sources] def selectBatches():
+      (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch], Seq[MemTables.PartField]) =
+    this.synchronized {
+      selectMemo match {
+        case Some(r) => r
+        case None =>
+          val r = computeSelectBatches()
+          selectMemo = Some(r)
+          r
+      }
+    }
+
+  private def computeSelectBatches():
       (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch], Seq[MemTables.PartField]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
@@ -2770,6 +2839,18 @@ final class MemScan(
     * head probe hashing 51 ≠ 50).
     */
   private def plannedSlices(): (Long, Seq[MemTables.PartField],
+      Vector[(MemTables.TaggedBatch, Map[String, String], Set[Int], Int)]) =
+    this.synchronized {
+      plannedMemo match {
+        case Some(r) => r
+        case None =>
+          val r = computePlannedSlices()
+          plannedMemo = Some(r)
+          r
+      }
+    }
+
+  private def computePlannedSlices(): (Long, Seq[MemTables.PartField],
       Vector[(MemTables.TaggedBatch, Map[String, String], Set[Int], Int)]) = {
     val (curVersion, meta, visible, spec) = selectBatches()
     // Every batch is read through an ERA-RESOLVED by-name projection into

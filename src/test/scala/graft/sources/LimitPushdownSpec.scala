@@ -215,6 +215,88 @@ class LimitPushdownSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.lim_aqe")
   }
 
+  test("sampled aggregates are never answered from full-table stats") {
+    // regression: a completely-pushed TABLESAMPLE deletes the Sample
+    // operator from the plan, so the later aggregate-pushdown probe sees
+    // a bare Aggregate — answering it from batch statistics silently
+    // returned FULL-TABLE aggregates for sampled queries. The builder now
+    // declines aggregation whenever a sample was accepted, and Spark runs
+    // the ordinary sampled row scan + aggregate.
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.sample_agg")
+    spark.sql("CREATE TABLE graft.sample_agg (k BIGINT)")
+    import spark.implicits._
+    (0L until 10000L).toDF("k").coalesce(4).writeTo("graft.sample_agg").append()
+    // the unsampled aggregate still answers from stats (zero-row scan)
+    assert(spark.sql("SELECT count(*) FROM graft.sample_agg")
+      .collect()(0).getLong(0) === 10000L)
+    val n = spark.table("graft.sample_agg")
+      .sample(withReplacement = false, 0.3, seed = 7L)
+      .count()
+    assert(n > 2700L && n < 3300L, n.toString)
+    val sqlN = spark.sql("SELECT count(*) FROM graft.sample_agg " +
+      "TABLESAMPLE (30 PERCENT) REPEATABLE (7)").collect()(0).getLong(0)
+    assert(sqlN > 2700L && sqlN < 3300L, sqlN.toString)
+    spark.sql("DROP TABLE graft.sample_agg")
+  }
+
+  test("LIMIT/OFFSET never push onto a completely-pushed aggregate") {
+    // regression: pushLimit/pushTopN/pushOffset were not guarded against
+    // a decided aggregate pushdown — build() returns MemAggScan, which
+    // has no head/offset accounting, and OFFSET's COMPLETE contract means
+    // a silently-dropped push emits the skipped row
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.agg_lim")
+    spark.sql("CREATE TABLE graft.agg_lim (k BIGINT, nk BIGINT) PARTITIONED BY (nk)")
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k % 4)).toDF("k", "nk").coalesce(1)
+      .writeTo("graft.agg_lim").append()
+    val rows = spark.sql("SELECT nk, count(*) AS c FROM graft.agg_lim " +
+      "GROUP BY nk ORDER BY nk LIMIT 2 OFFSET 1").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 10L)))
+    // a bare OFFSET over the pushed-aggregate result drops exactly one row
+    assert(spark.sql("SELECT count(*) FROM (SELECT nk, count(*) " +
+      "FROM graft.agg_lim GROUP BY nk OFFSET 1)").collect()(0).getLong(0) === 3L)
+    spark.sql("DROP TABLE graft.agg_lim")
+  }
+
+  test("statistics and partition planning bind to ONE state snapshot") {
+    // regression: estimateStatistics and planInputPartitions each walked
+    // live table state — for a pushed TOP-N, a mutation racing between
+    // them retired the sorted-layout claim AFTER stats reported the
+    // trimmed count, and AQE reads that count back as a hard maxRows
+    // (EliminateLimits deletes the global limit against it), so the
+    // degraded untrimmed plan emitted extra rows with no operator left to
+    // cut them. The scan now memoizes its planned slices at first use.
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lim_memo")
+    spark.sql("CREATE TABLE graft.lim_memo (k BIGINT)")
+    import spark.implicits._
+    (0L until 100L).toDF("k").coalesce(1).writeTo("graft.lim_memo").append()
+    spark.sql("CALL graft.rewrite_data_files('lim_memo', 'k')")
+
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val b = new MemScanBuilder("lim_memo", spark.table("graft.lim_memo").schema, None)
+    assert(b.pushTopN(Array(Expressions.sort(
+      Expressions.column("k"), SortDirection.ASCENDING)), 5))
+    val scan = b.build().asInstanceOf[MemScan]
+    // TOP-N trims EVERY batch to its first 5 live rows (the rewrite may
+    // have produced several range-disjoint batches) — far below the 100
+    // stored, and the exact number partition planning must reproduce
+    val reported = scan.estimateStatistics().numRows().getAsLong
+    assert(reported < 100L && reported % 5L === 0L, reported.toString)
+    // a mutation between stats and planning retires the sorted claim;
+    // the memoized snapshot must keep both views identical regardless
+    (100L until 200L).toDF("k").coalesce(1).writeTo("graft.lim_memo").append()
+    val planned = scan.planInputPartitions().map { p =>
+      val mp = p.asInstanceOf[MemPartition]
+      (mp.rows.length - mp.dead.size).toLong
+    }.sum
+    assert(planned === reported)
+    spark.sql("DROP TABLE graft.lim_memo")
+  }
+
   test("LIMIT on a partitioned table keeps partition tuples intact") {
     catalogOn()
     spark.sql("DROP TABLE IF EXISTS graft.lim_part")

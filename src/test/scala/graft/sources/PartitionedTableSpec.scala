@@ -198,6 +198,41 @@ class PartitionedTableSpec extends SparkSpec {
     drop("pt_dml")
   }
 
+  test("floating -0.0 partitions and prunes as 0.0 (SQL equality)") {
+    // regression: bucketOf hashed doubles via raw doubleToLongBits, which
+    // distinguishes -0.0 from 0.0 while Spark SQL equality treats them as
+    // EQUAL — a -0.0 row landed in a different bucket than `WHERE d = 0.0`
+    // pruned to, silently dropping matching rows. canonKey now normalizes
+    // floating zeros (and the stats comparator compares them equal, so
+    // identity-partition singleton bounds can't wrongly preclude either).
+    assert(MemTables.bucketOf(java.lang.Double.valueOf(-0.0), 8) ===
+      MemTables.bucketOf(java.lang.Double.valueOf(0.0), 8))
+    assert(MemTables.bucketOf(java.lang.Float.valueOf(-0.0f), 8) ===
+      MemTables.bucketOf(java.lang.Float.valueOf(0.0f), 8))
+    assert(MemTables.canonKey(java.lang.Double.valueOf(-0.0)) ===
+      MemTables.canonKey(java.lang.Double.valueOf(0.0)))
+
+    catalogOn(); drop("pt_fzero", "pt_fzero_id")
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.pt_fzero (k BIGINT, d DOUBLE) " +
+      "PARTITIONED BY (bucket(4, d))")
+    Seq((1L, -0.0), (2L, 0.0), (3L, 1.5)).toDF("k", "d").coalesce(1)
+      .writeTo("graft.pt_fzero").append()
+    assert(spark.sql("SELECT k FROM graft.pt_fzero WHERE d = 0.0")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+
+    spark.sql("CREATE TABLE graft.pt_fzero_id (k BIGINT, d DOUBLE) " +
+      "PARTITIONED BY (d)")
+    Seq((1L, -0.0), (2L, 0.0)).toDF("k", "d").coalesce(1)
+      .writeTo("graft.pt_fzero_id").append()
+    // one SQL value = ONE partition tuple (two would split a key across
+    // groups in storage-partitioned planning)
+    assert(liveBatches("pt_fzero_id").map(_.part).distinct.size === 1)
+    assert(spark.sql("SELECT k FROM graft.pt_fzero_id WHERE d = 0.0")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    drop("pt_fzero", "pt_fzero_id")
+  }
+
   test("bucket function is SQL-callable and matches the layout hash") {
     catalogOn()
     val got = spark.sql("SELECT graft.bucket(8, CAST(42 AS BIGINT)) AS b").head().getInt(0)
