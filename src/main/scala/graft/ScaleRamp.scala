@@ -106,7 +106,17 @@ object ScaleRamp {
     "dsv2_sorted_ingest",
     // filtered + dynamic overwrite: slice-cost replacement — the kill is
     // pruned to the addressed partition, the append is the slice
-    "dsv2_replace_where")
+    "dsv2_replace_where",
+    // round 12: time-transform layout (split + monotone pruning must ride
+    // the write's ≈linear cost; the window read prices its months), spec
+    // evolution (two-era write + per-era pruned reads, ≈linear), and the
+    // file-backed storage plane (executor parquet writes + manifest-only
+    // publish + DV overlay + executor-manifest rewrite — the whole row
+    // must stay ≈linear; a driver-side row materialization anywhere would
+    // show up as a superlinear or memory-bound blowup)
+    "dsv2_time_partition",
+    "dsv2_spec_evolve",
+    "dsv2_parquet_storage")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     def reps(df: DataFrame): DataFrame =

@@ -73,12 +73,48 @@ object MemTables {
     * `(_batch_id, _batch_pos)` — anchors on it, the mem-table analogue of
     * Iceberg's `(_file, _pos)`.
     */
+  /** Where one committed batch's ROWS live — the storage-plane fork:
+    *
+    *  - [[MemStore]] — driver-resident array (the default mode: rows
+    *    travel inside commit messages; gate-sized by design);
+    *  - [[FileStore]] — an executor-written parquet file
+    *    (`graft.storage=parquet`): the driver holds only this manifest
+    *    entry (path + count; bounds/tuple live on [[TaggedBatch]]), scans
+    *    ship the PATH and executors stream the rows, so neither publish
+    *    nor read ever materializes data driver-side. `rows` loads the
+    *    file — only content-inspecting maintenance paths use it
+    *    (equality-delete probes, DELETE row evaluation, `compact_table`'s
+    *    fold), each documented gate-scale at its call site.
+    */
+  sealed trait RowStore extends Serializable {
+    def count: Int
+    def rows: Array[InternalRow]
+    def file: Option[String]
+  }
+  final case class MemStore(rows: Array[InternalRow]) extends RowStore {
+    def count: Int = rows.length
+    def file: Option[String] = None
+  }
+  final case class FileStore(path: String, count: Int, schema: StructType)
+      extends RowStore {
+    @transient private lazy val loaded: Array[InternalRow] =
+      ParquetRows.read(path, schema)
+    def rows: Array[InternalRow] = loaded
+    def file: Option[String] = Some(path)
+  }
+
   final case class TaggedBatch(
       schema: StructType, version: Long, writeVersion: Long,
-      rows: Array[InternalRow], removedAt: Long = Long.MaxValue,
+      store: RowStore, removedAt: Long = Long.MaxValue,
       dv: Map[Int, Long] = Map.empty, batchId: Long = -1L,
       stats: Map[String, ColStats] = Map.empty,
-      part: Seq[Any] = Nil) {
+      part: Seq[Any] = Nil, specId: Int = 0) {
+    /** Row count — metadata, never loads a file-backed store. */
+    def rowCount: Int = store.count
+    /** Row CONTENT — loads a file-backed store (driver maintenance paths
+      * only; the scan ships the path instead).
+      */
+    def rows: Array[InternalRow] = store.rows
     /** Positions hidden at snapshot version `v` (current = Long.MaxValue). */
     def deadAt(v: Long): Set[Int] =
       if (dv.isEmpty) Set.empty
@@ -86,27 +122,117 @@ object MemTables {
   }
 
   /** One field of a table's PARTITION SPEC (`CREATE TABLE ... PARTITIONED
-    * BY (...)`) — the two transforms a mem table hosts:
+    * BY (...)`) — the transforms a mem table hosts (the Iceberg transform
+    * set):
     *
     *  - [[IdentityPart]] — hive-style value partitioning: every batch holds
     *    rows of ONE column value;
     *  - [[BucketPart]] — hash bucketing: rows land in `pmod(hash(col), n)`,
     *    bounding the partition count regardless of key cardinality (the
-    *    high-cardinality layout every co-located 100 TB join uses).
+    *    high-cardinality layout every co-located 100 TB join uses);
+    *  - [[TimePart]] — `years`/`months`/`days`/`hours` of a DATE or
+    *    TIMESTAMP column as an epoch-relative ordinal (1970 = 0, Iceberg's
+    *    convention). THE dominant 100 TB layout: data arrives by time, is
+    *    queried by time range, and ages out by time — and because the
+    *    transform is MONOTONE in the source value, a raw range predicate on
+    *    the source column (`o_date BETWEEN x AND y`) prunes partition
+    *    tuples exactly, no derived column needed (the reference
+    *    materializes a `year` column for its hive layout,
+    *    `jobs/io_utils.py:101,105` — this is that layout made first-class);
+    *  - [[TruncatePart]] — width-truncation: integrals floor to
+    *    `floorDiv(v, w) * w`, strings to their first `w` chars. Also
+    *    monotone, so range predicates prune (the coarse-key layout for
+    *    id-range and prefix locality).
     *
     * Partition values are stored per batch ([[TaggedBatch.part]]) — the
     * manifest-level partition tuple of a real table format — and drive
     * three planner integrations: exact partition PRUNING at scan planning
     * (stronger than min/max bounds for bucketing: `k = 5` keeps one bucket
-    * even though each bucket's k-range spans the domain), storage-
-    * partitioned JOINS (the scan reports `KeyGroupedPartitioning`, so two
-    * co-partitioned tables join with ZERO shuffle), and clustered WRITE
-    * distribution (the write requests rows clustered by the partition
-    * expressions, so each task produces whole partitions).
+    * even though each bucket's k-range spans the domain; equal to them for
+    * the monotone transforms, which also serve when per-column bounds are
+    * absent), storage-partitioned JOINS (the scan reports
+    * `KeyGroupedPartitioning`, so two co-partitioned tables join with ZERO
+    * shuffle), and clustered WRITE distribution (the write requests rows
+    * clustered by the partition expressions, so each task produces whole
+    * partitions).
     */
   sealed trait PartField { def col: String }
   final case class IdentityPart(col: String) extends PartField
   final case class BucketPart(n: Int, col: String) extends PartField
+  /** `unit` ∈ years | months | days | hours (hours: TIMESTAMP only). */
+  final case class TimePart(unit: String, col: String) extends PartField
+  final case class TruncatePart(width: Int, col: String) extends PartField
+
+  val TimeUnits: Seq[String] = Seq("years", "months", "days", "hours")
+
+  private val MicrosPerHour = 3600L * 1000000L
+  private val MicrosPerDay = 24L * MicrosPerHour
+
+  /** Epoch-relative ordinal of one internal time value under `unit`,
+    * dispatched on the internal representation (partition columns are
+    * type-pinned at create): DATE = Int days since epoch, TIMESTAMP /
+    * TIMESTAMP_NTZ = Long micros since epoch (this engine pins the UTC
+    * session, so instant and local semantics coincide — the same
+    * UTC-bucketing contract Iceberg's transforms use). Micros floor-divide
+    * (pre-1970 values land in the correct earlier bucket, not toward
+    * zero). None = not a time value (callers keep/decline conservatively).
+    */
+  def timeOrdinalOf(unit: String, v: Any): Option[Int] = {
+    def fromDays(days: Int): Int = unit match {
+      case "days" => days
+      case _ =>
+        val d = java.time.LocalDate.ofEpochDay(days.toLong)
+        if (unit == "years") d.getYear - 1970
+        else (d.getYear - 1970) * 12 + (d.getMonthValue - 1) // months
+    }
+    v match {
+      case i: java.lang.Integer => Some(fromDays(i.intValue))
+      case l: java.lang.Long =>
+        if (unit == "hours") Some(Math.floorDiv(l.longValue, MicrosPerHour).toInt)
+        else Some(fromDays(Math.floorDiv(l.longValue, MicrosPerDay).toInt))
+      case _ => None
+    }
+  }
+
+  /** Truncate one internal value to its width-`w` bucket floor, keeping
+    * the internal type (the transform's output type is its input type, as
+    * in Iceberg): integrals `floorDiv(v, w) * w`, strings their first `w`
+    * chars. None = not a truncatable value.
+    */
+  def truncValueOf(w: Int, v: Any): Option[Any] = v match {
+    case i: java.lang.Integer =>
+      Some(Integer.valueOf((Math.floorDiv(i.longValue, w.toLong) * w).toInt))
+    case l: java.lang.Long =>
+      Some(java.lang.Long.valueOf(Math.floorDiv(l.longValue, w.toLong) * w))
+    case s: java.lang.Short =>
+      Some(java.lang.Short.valueOf((Math.floorDiv(s.longValue, w.toLong) * w).toShort))
+    case b: java.lang.Byte =>
+      Some(java.lang.Byte.valueOf((Math.floorDiv(b.longValue, w.toLong) * w).toByte))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(if (u.numChars <= w) u else u.substring(0, w))
+    case s: String =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (s.length <= w) s else s.substring(0, w)))
+    case _ => None
+  }
+
+  /** External filter-literal forms of date/time values (the V2 `Filter`
+    * API ships external objects) converted to the internal representation
+    * [[timeOrdinalOf]]/stats comparisons use; non-datetime values pass
+    * through.
+    */
+  def datetimeInternal(v: Any): Any = v match {
+    case d: java.sql.Date => Integer.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Integer.valueOf(d.toEpochDay.toInt)
+    case t: java.sql.Timestamp => java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.time.LocalDateTime => java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(d))
+    case other => other
+  }
 
   /** The bucket function: Knuth multiplicative hash of the column's
     * canonical value, folded into [0, n). Deterministic across JVMs
@@ -138,6 +264,12 @@ object MemTables {
     spec.map {
       case IdentityPart(c) => Expressions.identity(c)
       case BucketPart(n, c) => Expressions.bucket(n, c)
+      case TimePart("years", c) => Expressions.years(c)
+      case TimePart("months", c) => Expressions.months(c)
+      case TimePart("days", c) => Expressions.days(c)
+      case TimePart(_, c) => Expressions.hours(c)
+      case TruncatePart(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
     }.toArray
   }
 
@@ -165,6 +297,21 @@ object MemTables {
           case other => other
         }
         case BucketPart(n, _) => Integer.valueOf(bucketOf(v, n))
+        // NULL time/truncate sources keep a NULL tuple (the hive
+        // __HIVE_DEFAULT_PARTITION__ shape; pruning keeps such batches
+        // only for IS NULL / null-safe-equality filters)
+        case TimePart(unit, _) =>
+          if (v == null) null
+          else timeOrdinalOf(unit, v).map(Integer.valueOf).getOrElse(
+            throw new IllegalStateException(
+              s"time partition ${pf.col}: unsupported internal value class " +
+                v.getClass.getName))
+        case TruncatePart(w, _) =>
+          if (v == null) null
+          else truncValueOf(w, v).getOrElse(
+            throw new IllegalStateException(
+              s"truncate partition ${pf.col}: unsupported internal value class " +
+                v.getClass.getName))
       }
     }
 
@@ -229,7 +376,7 @@ object MemTables {
     * hashes the canonical form, so `WHERE k = 0.0` and a −0.0 row must
     * agree on the bucket).
     */
-  def canonKey(v: Any): Any = v match {
+  def canonKey(v: Any): Any = datetimeInternal(v) match {
     case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
     case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
     case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
@@ -267,7 +414,7 @@ object MemTables {
         if (!idx.contains(-1)) {
           val types = idx.map(b.schema.fields(_).dataType)
           var p = 0
-          while (p < b.rows.length) {
+          while (p < b.rowCount) {
             if (!kills.contains(p) || kills(p) > e.version) {
               val r = b.rows(p)
               val tuple = idx.indices.map { j =>
@@ -307,6 +454,13 @@ object MemTables {
           .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
       case BooleanType => Some((a, b) =>
         java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      // time columns compare on their internal encodings (DATE = Int days,
+      // TIMESTAMP = Long micros) — what makes time-range data skipping and
+      // time-column partitioning first-class instead of stats-blind
+      case DateType => Some((a, b) =>
+        java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case TimestampType | TimestampNTZType => Some((a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
       case _ => None
     }
   }
@@ -441,35 +595,91 @@ object MemTables {
   }
 
   /** Can any row of a batch with partition tuple `part` satisfy `f`, by
-    * the BUCKET fields of the spec? (Identity fields need no special case:
-    * an identity-pure batch's column stats are the exact singleton
-    * min=max=value, so [[mayMatch]] already prunes them.) Bucket pruning is
-    * the case bounds can't serve — each bucket's raw-value range spans the
-    * whole domain, but `k = 5` still keeps exactly the `bucketOf(5, n)`
-    * batches. Same conservative contract as [[mayMatch]]: `false` only on
-    * a definitive mismatch, and every filter stays a residual.
+    * the TRANSFORM fields of the spec? (Identity fields need no special
+    * case: an identity-pure batch's column stats are the exact singleton
+    * min=max=value, so [[mayMatch]] already prunes them.) Two regimes:
+    *
+    *  - BUCKET — equality-shaped filters only (each bucket's raw-value
+    *    range spans the whole domain, but `k = 5` still keeps exactly the
+    *    `bucketOf(5, n)` batches); ranges can't prune a hash layout.
+    *  - TIME / TRUNCATE — MONOTONE transforms, so ranges prune too: every
+    *    row `> v` has `T(row) >= T(v)`, so a batch whose tuple sits below
+    *    `T(v)` provably holds no match. This is what lets a raw
+    *    `o_date BETWEEN x AND y` predicate plan only the touched months of
+    *    a months-partitioned table — no derived partition column in the
+    *    query, exactly Iceberg's transform-pruning contract.
+    *
+    * Same conservative contract as [[mayMatch]]: `false` only on a
+    * definitive mismatch, and every filter stays a residual. Filter
+    * literals arrive in EXTERNAL form ([[datetimeInternal]] folds
+    * date/timestamp objects to their internal encodings before the
+    * transform applies).
     */
-  def bucketMayMatch(f: Filter, spec: Seq[PartField], part: Seq[Any]): Boolean = {
+  def partMayMatch(f: Filter, spec: Seq[PartField], part: Seq[Any]): Boolean = {
     def bucketAt(c: String): Option[(Int, Int)] = // (numBuckets, batch's bucket id)
       spec.zipWithIndex.collectFirst {
         case (BucketPart(n, col), i) if col == c => (n, part(i).asInstanceOf[Int])
       }
+    // the batch's tuple value and the transform applied to one literal,
+    // for the monotone fields; None = this column isn't monotone-partitioned
+    def monotoneAt(c: String): Option[(Any, Any => Option[Any])] =
+      spec.zipWithIndex.collectFirst {
+        case (TimePart(unit, col), i) if col == c =>
+          (part(i), (v: Any) => timeOrdinalOf(unit, datetimeInternal(v))
+            .map(Integer.valueOf(_): Any))
+        case (TruncatePart(w, col), i) if col == c =>
+          (part(i), (v: Any) => truncValueOf(w, datetimeInternal(v)))
+      }
+    // compare two transform outputs through the canonical key (Integer
+    // ordinals → Long, UTF8String prefixes → String); None = incomparable
+    def ordCmp(a: Any, b: Any): Option[Int] = (canonKey(a), canonKey(b)) match {
+      case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    // keep unless the monotone tuple provably fails `rel` against T(v):
+    // rel < 0 means "keep iff tuple <= T(v)", rel > 0 "keep iff >= T(v)"
+    def monotoneKeep(c: String, v: Any, rel: Int): Boolean =
+      monotoneAt(c) match {
+        case Some((t, tf)) if v != null =>
+          if (t == null) false // all-NULL tuple: no non-null row to match
+          else tf(v) match {
+            case Some(tv) => ordCmp(t, tv) match {
+              case Some(x) =>
+                if (rel == 0) x == 0 else if (rel < 0) x <= 0 else x >= 0
+              case None => true
+            }
+            case None => true // unconvertible literal: keep
+          }
+        case _ => true
+      }
     f match {
-      case EqualTo(c, v) => bucketAt(c).forall { case (n, id) =>
-        v != null && bucketOf(v, n) == id
-      }
-      case EqualNullSafe(c, v) => bucketAt(c).forall { case (n, id) =>
-        bucketOf(v, n) == id // null-safe: NULL rows live in bucketOf(null)
-      }
-      case In(c, vs) => bucketAt(c).forall { case (n, id) =>
-        vs.exists(v => v != null && bucketOf(v, n) == id)
-      }
+      case EqualTo(c, v) =>
+        bucketAt(c).forall { case (n, id) => v != null && bucketOf(v, n) == id } &&
+          monotoneKeep(c, v, 0)
+      case EqualNullSafe(c, v) =>
+        bucketAt(c).forall { case (n, id) => bucketOf(v, n) == id } &&
+          (monotoneAt(c) match {
+            // null-safe: NULL rows live in the NULL tuple
+            case Some((t, _)) if v == null => t == null
+            case _ => monotoneKeep(c, v, 0)
+          })
+      case In(c, vs) =>
+        bucketAt(c).forall { case (n, id) =>
+          vs.exists(v => v != null && bucketOf(v, n) == id)
+        } && (monotoneAt(c).isEmpty || vs.exists(v => monotoneKeep(c, v, 0)))
+      case GreaterThan(c, v) => monotoneKeep(c, v, 1)
+      case GreaterThanOrEqual(c, v) => monotoneKeep(c, v, 1)
+      case LessThan(c, v) => monotoneKeep(c, v, -1)
+      case LessThanOrEqual(c, v) => monotoneKeep(c, v, -1)
+      case IsNull(c) => monotoneAt(c).forall(_._1 == null)
+      case IsNotNull(c) => monotoneAt(c).forall(_._1 != null)
       case And(l, r) =>
-        bucketMayMatch(l, spec, part) && bucketMayMatch(r, spec, part)
+        partMayMatch(l, spec, part) && partMayMatch(r, spec, part)
       case Or(l, r) =>
-        bucketMayMatch(l, spec, part) || bucketMayMatch(r, spec, part)
+        partMayMatch(l, spec, part) || partMayMatch(r, spec, part)
       case AlwaysFalse() => false
-      case _ => true // ranges/NOT/unknown shapes: a hash layout can't prune
+      case _ => true // NOT/unknown shapes: keep
     }
   }
 
@@ -569,7 +779,21 @@ object MemTables {
   final class State(
       initialSchema: StructType, val deleteMode: String = DeleteModeCow,
       val createProps: Map[String, String] = Map.empty,
-      val partitioning: Seq[PartField] = Nil) {
+      initialPartitioning: Seq[PartField] = Nil,
+      // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]])
+      val storageDir: Option[String] = None) {
+    // PARTITION SPEC TIMELINE (Iceberg spec evolution): specHistory(i) is
+    // spec id `i`, append-only; `partitioning` is the CURRENT spec. Every
+    // batch carries the spec id it was written under ([[TaggedBatch
+    // .specId]]) and keeps it forever — old batches stay laid out (and are
+    // pruned) under their written spec, new writes split under the current
+    // one, and a `rewrite_data_files` migrates everything it rewrites to
+    // the current spec. Scans report KeyGroupedPartitioning only when all
+    // visible batches share ONE spec (mixed eras decline SPJ — correctness
+    // before cleverness).
+    @volatile var specHistory: Vector[Seq[PartField]] = Vector(initialPartitioning)
+    def partitioning: Seq[PartField] = specHistory.last
+    def currentSpecId: Int = specHistory.size - 1
     @volatile var schema: StructType = initialSchema
     // committed batches, append-ordered; truncate soft-deletes via removedAt
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
@@ -714,13 +938,22 @@ object MemTables {
     */
   val SortOrderProp = "graft.sort-order"
 
-  def create(key: String, schema: StructType,
-      deleteMode: String = DeleteModeCow,
-      props: Map[String, String] = Map.empty,
-      partitioning: Seq[PartField] = Nil): Boolean = {
-    if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
-      throw new IllegalArgumentException(
-        s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
+  /** `'graft.storage'='parquet'` (create-time): the FILE-BACKED storage
+    * plane — batches become executor-written parquet files under a table
+    * directory; the driver holds only manifest entries (path, count,
+    * partition tuple, column bounds), the task-commit protocol commits
+    * file paths instead of row payloads, and scans ship paths for
+    * executors to stream. This removes the rows-in-commit-messages and
+    * rows-in-InputPartitions ceilings of the default (driver-resident)
+    * mode — the two boundaries that made the mem plane gate-scale-only.
+    */
+  val StorageProp = "graft.storage"
+
+  /** Validate one partition spec against a schema — shared by CREATE and
+    * [[replacePartitionSpec]] (spec evolution must hold every rule the
+    * create-time spec does).
+    */
+  def validateSpec(schema: StructType, partitioning: Seq[PartField]): Unit = {
     partitioning.foreach { pf =>
       val f = schema.fields.find(_.name == pf.col).getOrElse(
         throw new IllegalArgumentException(
@@ -731,15 +964,63 @@ object MemTables {
       if (statsComparator(f.dataType).isEmpty)
         throw new IllegalArgumentException(
           s"partition column ${pf.col} has unsupported type ${f.dataType.simpleString}")
+      import org.apache.spark.sql.types._
       pf match {
         case BucketPart(n, _) if n <= 0 =>
           throw new IllegalArgumentException(s"bucket count must be positive, got $n")
+        case TimePart(unit, c) =>
+          // type-pinned at create so the transform's internal dispatch
+          // (Int = days, Long = micros) can never misread a value
+          f.dataType match {
+            case DateType if unit == "hours" =>
+              throw new IllegalArgumentException(
+                s"hours($c): a DATE column has no sub-day resolution — " +
+                  "use days/months/years")
+            case DateType | TimestampType | TimestampNTZType => ()
+            case other => throw new IllegalArgumentException(
+              s"$unit($c) requires a DATE or TIMESTAMP column, " +
+                s"got ${other.simpleString}")
+          }
+        case TruncatePart(w, c) =>
+          if (w <= 0)
+            throw new IllegalArgumentException(
+              s"truncate width must be positive, got $w")
+          f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"truncate($w, $c) requires an integral or STRING column, " +
+                s"got ${other.simpleString}")
+          }
         case _ => ()
       }
     }
     if (partitioning.map(_.col).distinct.length != partitioning.length)
       throw new IllegalArgumentException(
         s"duplicate partition column in ${partitioning.map(_.col).mkString(", ")}")
+  }
+
+  def create(key: String, schema: StructType,
+      deleteMode: String = DeleteModeCow,
+      props: Map[String, String] = Map.empty,
+      partitioning: Seq[PartField] = Nil): Boolean = {
+    if (deleteMode != DeleteModeCow && deleteMode != DeleteModeMor)
+      throw new IllegalArgumentException(
+        s"graft.delete-mode must be '$DeleteModeCow' or '$DeleteModeMor', got '$deleteMode'")
+    validateSpec(schema, partitioning)
+    val storageDir = props.get(StorageProp) match {
+      case None => None
+      case Some("parquet") =>
+        // table location: tmp at gate scale; the Hadoop Path API the I/O
+        // goes through addresses object storage identically on a cluster
+        val dir = new java.io.File(
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-tables"),
+          key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        dir.mkdirs()
+        Some(dir.getAbsolutePath)
+      case Some(other) => throw new IllegalArgumentException(
+        s"$StorageProp must be 'parquet', got '$other'")
+    }
     props.get(UpsertKeysProp).foreach { ks =>
       // upsert ingest is inherently merge-on-read (the delete is applied
       // at read); rejecting the CoW combination here beats a silent
@@ -765,7 +1046,7 @@ object MemTables {
         throw new IllegalArgumentException(
           s"sort-order column $c has unsupported type ${f.dataType.simpleString}")
     }
-    val st = new State(schema, deleteMode, props, partitioning)
+    val st = new State(schema, deleteMode, props, partitioning, storageDir)
     if (declared.nonEmpty) {
       // an empty table is trivially sorted: the claim holds from v0 and
       // every verified-sorted publish extends it
@@ -777,20 +1058,63 @@ object MemTables {
 
   def get(key: String): Option[State] = tables.get(key)
 
-  /** Materialize one task batch's rows as committed [[TaggedBatch]]es at
-    * `version`: partition-split (one batch per partition tuple — a no-op
-    * single group for unpartitioned tables), stats computed, ids minted.
-    * Callers hold the table monitor (mintBatchId requires it).
+  /** One write task's contribution to a publish — the storage-plane fork
+    * at the commit-message level:
+    *
+    *  - [[RowsPayload]] — the rows themselves (driver-resident mode);
+    *  - [[FilesPayload]] — manifests of executor-written parquet files
+    *    (`graft.storage=parquet`): the split, the stats pass, and the
+    *    bytes all happened IN THE TASK; the driver commits paths.
+    */
+  sealed trait TaskPayload extends Serializable {
+    def nonEmpty: Boolean
+    def rowTotal: Long
+  }
+  final case class RowsPayload(rows: Array[InternalRow]) extends TaskPayload {
+    def nonEmpty: Boolean = rows.nonEmpty
+    def rowTotal: Long = rows.length.toLong
+  }
+  final case class FilesPayload(files: Vector[FileManifest]) extends TaskPayload {
+    def nonEmpty: Boolean = files.nonEmpty
+    def rowTotal: Long = files.iterator.map(_.count.toLong).sum
+  }
+
+  /** Materialize one task payload as committed [[TaggedBatch]]es at
+    * `version`: rows are partition-split (one batch per partition tuple —
+    * a no-op single group for unpartitioned tables) with stats computed
+    * here; file manifests arrive pre-split and pre-stat'd by their write
+    * task and are validated against the CURRENT spec (a spec evolution
+    * racing an in-flight file write must fail the publish, not mislabel
+    * tuples). Ids minted here. Callers hold the table monitor.
     */
   private def mkBatches(
-      st: State, writeSchema: StructType, rs: Array[InternalRow],
-      version: Long): Seq[TaggedBatch] =
-    splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
-      TaggedBatch(writeSchema, version, version, rows,
-        batchId = st.mintBatchId(), stats = statsOf(writeSchema, rows), part = pt)
-    }
+      st: State, writeSchema: StructType, payload: TaskPayload,
+      version: Long): Seq[TaggedBatch] = payload match {
+    case RowsPayload(rs) =>
+      splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+        TaggedBatch(writeSchema, version, version, MemStore(rows),
+          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rows), part = pt,
+          specId = st.currentSpecId)
+      }
+    case FilesPayload(files) =>
+      files.map { f =>
+        if (f.specId != st.currentSpecId)
+          throw new IllegalStateException(
+            s"partition spec evolved (write split under spec ${f.specId}, " +
+              s"table now at spec ${st.currentSpecId}) — re-run the write")
+        TaggedBatch(writeSchema, version, version,
+          FileStore(f.path, f.count, writeSchema),
+          batchId = st.mintBatchId(), stats = f.stats, part = f.part,
+          specId = f.specId)
+      }
+  }
 
-  def drop(key: String): Boolean = tables.remove(key).isDefined
+  def drop(key: String): Boolean = tables.remove(key) match {
+    case Some(st) =>
+      st.storageDir.foreach(ParquetRows.deleteDir) // file-backed: reclaim
+      true
+    case None => false
+  }
 
   /** Metadata-only schema swap (ALTER TABLE): committed batches are left
     * untouched and keep their write-time schema tags. Columns present in
@@ -820,10 +1144,15 @@ object MemTables {
       // partition columns are the table's LAYOUT identity: every committed
       // batch's partition tuple, the scan's reported clustering, and the
       // bucket hash are all typed against them — dropping, renaming, or
-      // retyping one would silently re-key the layout (Iceberg evolves
-      // specs by versioning them; we reject, which is the honest subset)
-      if (st.partitioning.nonEmpty) {
-        val pcols = st.partitioning.map(_.col).toSet
+      // retyping one would silently re-key the layout. EVERY spec in the
+      // timeline is protected, not just the current one: old batches still
+      // carry tuples interpreted under their written spec, and a reused
+      // column name would let filters wrongly prune them (migrate old
+      // batches off a spec with `rewrite_data_files` before dropping its
+      // columns — mirroring Iceberg, where a spec referencing a column
+      // blocks the drop).
+      if (st.specHistory.exists(_.nonEmpty)) {
+        val pcols = st.specHistory.flatten.map(_.col).toSet
         val dropped = pcols.intersect(
           (st.schema.fieldNames.toSet -- newSchema.fieldNames.toSet) ++ renames.keySet)
         if (dropped.nonEmpty)
@@ -873,6 +1202,79 @@ object MemTables {
       st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt, eras)
       st.stamp("alter")
     }
+  }
+
+  /** PARTITION SPEC EVOLUTION (`CALL graft.replace_partition_spec('t',
+    * 'months(d), bucket(8, k)')` — Iceberg's signature layout feature):
+    * append a new spec to the timeline at a fresh metadata-only version.
+    * Committed batches are untouched — they keep their written spec id and
+    * tuple, are still pruned under THAT spec, and stay readable at every
+    * snapshot; only future writes split under the new spec. Mixed-era
+    * tables decline storage-partitioned planning (scans report
+    * KeyGroupedPartitioning only when every visible batch shares one spec)
+    * and reject dynamic overwrite (tuple identity is per-spec); a
+    * `rewrite_data_files` migrates everything live to the current spec and
+    * restores both. Returns the new version.
+    */
+  def replacePartitionSpec(key: String, newSpec: Seq[PartField]): Long = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      validateSpec(st.schema, newSpec)
+      if (newSpec == st.partitioning)
+        throw new IllegalArgumentException(
+          s"mem table $key already has partition spec " +
+            s"'${renderSpec(newSpec)}' — nothing to replace")
+      st.version += 1
+      st.specHistory = st.specHistory :+ newSpec
+      st.stamp("replace-spec")
+      st.version
+    }
+  }
+
+  /** Render a spec in the `PARTITIONED BY` surface syntax (the inverse of
+    * [[parseSpec]]).
+    */
+  def renderSpec(spec: Seq[PartField]): String = spec.map {
+    case IdentityPart(c) => c
+    case BucketPart(n, c) => s"bucket($n, $c)"
+    case TimePart(unit, c) => s"$unit($c)"
+    case TruncatePart(w, c) => s"truncate($w, $c)"
+  }.mkString(", ")
+
+  /** Parse a spec string (`"months(d), bucket(8, k), v"` — the
+    * `PARTITIONED BY` surface syntax; '' = unpartitioned) into the
+    * [[PartField]] algebra. Splits on top-level commas only.
+    */
+  def parseSpec(s: String): Seq[PartField] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => fields += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    fields += cur.result()
+    val Fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    fields.map(_.trim).filter(_.nonEmpty).map {
+      case Fn(name, args0) =>
+        val args = args0.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        (name.toLowerCase, args) match {
+          case ("bucket", Seq(n, c)) => BucketPart(n.toInt, c)
+          case ("truncate", Seq(w, c)) => TruncatePart(w.toInt, c)
+          case (unit, Seq(c)) if TimeUnits.contains(unit) => TimePart(unit, c)
+          case (unit, Seq(c)) if TimeUnits.contains(unit + "s") =>
+            TimePart(unit + "s", c)
+          case ("identity", Seq(c)) => IdentityPart(c)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported partition transform '$name(${args0.trim})' " +
+              "(supported: identity, bucket(n, col), years/months/days/hours(col), " +
+              "truncate(w, col))")
+        }
+      case bare => IdentityPart(bare)
+    }.toSeq
   }
 
   /** SNAPSHOT EXPIRY (retention) — the aging-out half of the snapshot
@@ -942,17 +1344,25 @@ object MemTables {
     */
   def commitToBranch(
       key: String, branch: String,
-      writeSchema: StructType, batches: Seq[Array[InternalRow]]): Unit = {
+      writeSchema: StructType, batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
       val bs = st.branches.getOrElse(branch,
         throw new IllegalStateException(s"branch '$branch' of $key dropped mid-write"))
-      val staged = batches.flatMap(rs =>
-        splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
-          TaggedBatch(writeSchema, bs.base, bs.base, rows,
-            stats = statsOf(writeSchema, rows), part = pt)
-        }).toVector
+      val staged = batches.flatMap {
+        case RowsPayload(rs) =>
+          splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+            TaggedBatch(writeSchema, bs.base, bs.base, MemStore(rows),
+              stats = statsOf(writeSchema, rows), part = pt,
+              specId = st.currentSpecId)
+          }
+        case FilesPayload(files) => files.map { f =>
+          TaggedBatch(writeSchema, bs.base, bs.base,
+            FileStore(f.path, f.count, writeSchema),
+            stats = f.stats, part = f.part, specId = f.specId)
+        }
+      }.toVector
       st.branches = st.branches.updated(branch,
         bs.copy(appends = bs.appends :+ staged))
     }
@@ -978,8 +1388,18 @@ object MemTables {
             s"${st.version} but the branch forked at ${bs.base} — it has diverged; " +
             "drop the branch and re-stage against the current state")
       bs.appends.filter(_.nonEmpty).foreach { staged =>
-        // reentrant monitor: the whole publish is one critical section
-        commit(key, truncate = false, staged.head.schema, staged.map(_.rows))
+        // reentrant monitor: the whole publish is one critical section.
+        // Row-backed stages re-split under the current spec; file-backed
+        // ones republish their manifests (a spec evolved since staging
+        // fails the manifest's spec check loudly — re-stage instead).
+        val payloads = staged.map { b =>
+          b.store match {
+            case MemStore(rs) => RowsPayload(rs): TaskPayload
+            case FileStore(path, count, _) =>
+              FilesPayload(Vector(FileManifest(path, count, b.part, b.specId, b.stats)))
+          }
+        }
+        commit(key, truncate = false, staged.head.schema, payloads)
       }
       st.branches = st.branches - branch
       (bs.appends.count(_.nonEmpty).toLong, st.version)
@@ -1048,6 +1468,9 @@ object MemTables {
             " — drop or publish the branch(es) first")
       val (gone, kept) = st.batches.partition(_.removedAt <= olderThan)
       st.batches = kept
+      // file-backed batches physically dropped by expiry reclaim their
+      // files (the VACUUM half of retention)
+      gone.foreach(_.store.file.foreach(ParquetRows.delete))
       st.earliestVersion = math.max(st.earliestVersion, olderThan)
       // keep the newest metadata entry at-or-before the horizon (it binds
       // reads AT the horizon) and every later one
@@ -1143,16 +1566,20 @@ object MemTables {
         val restored = toRestore.flatMap { b =>
           val deadAtTarget =
             killsOf(b).collect { case (p, at) if at <= toVersion => p }.toSet
-          val rows = if (deadAtTarget.isEmpty) b.rows
+          val subset = deadAtTarget.nonEmpty
+          val rows = if (!subset) b.rows
             else b.rows.indices.filterNot(deadAtTarget).map(b.rows).toArray
           if (rows.isEmpty) None
           // fresh stats when the copy materialized a row subset: inherited
           // bounds stay sound for SKIPPING but the aggregate pushdown
-          // treats stats as exact, and a dropped row may be the extreme
-          else Some(TaggedBatch(b.schema, v, b.writeVersion, rows,
+          // treats stats as exact, and a dropped row may be the extreme.
+          // A whole-batch restore keeps the original store (file-backed
+          // batches are restored by manifest, never re-materialized).
+          else Some(TaggedBatch(b.schema, v, b.writeVersion,
+            if (subset) MemStore(rows) else b.store,
             batchId = st.mintBatchId(),
-            stats = if (rows eq b.rows) b.stats else statsOf(b.schema, rows),
-            part = b.part))
+            stats = if (subset) statsOf(b.schema, rows) else b.stats,
+            part = b.part, specId = b.specId))
         }
         st.batches = st.batches.map { b =>
           if (removeIds.contains(b.batchId)) b.copy(removedAt = v) else b
@@ -1202,7 +1629,7 @@ object MemTables {
           b.copy(removedAt = st.version)
         else b
       } ++ batches.filter(_.nonEmpty)
-        .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        .flatMap(rs => mkBatches(st, writeSchema, RowsPayload(rs), st.version))
       st.clearSortOrder()
       st.stamp("rewrite")
     }
@@ -1273,7 +1700,7 @@ object MemTables {
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
       st.batches =
         if (projected.isEmpty) removed
-        else removed ++ mkBatches(st, schema, projected, st.version)
+        else removed ++ mkBatches(st, schema, RowsPayload(projected), st.version)
       st.clearSortOrder() // the fold concatenates batches in commit order
       st.compactionVersions += st.version
       st.stamp("compact")
@@ -1295,7 +1722,7 @@ object MemTables {
       key: String,
       expectedVersion: Long,
       writeSchema: StructType,
-      batches: Seq[Array[InternalRow]],
+      batches: Seq[TaskPayload],
       sortedBy: Seq[String] = Nil): (Long, Long, Long) = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-compaction"))
@@ -1310,7 +1737,7 @@ object MemTables {
       st.batches = st.batches.map(b =>
         if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b) ++
         batches.filter(_.nonEmpty)
-          .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+          .flatMap(p => mkBatches(st, writeSchema, p, st.version))
       // a SORTED rewrite establishes the table sort order from this
       // version (each new batch is internally sorted); an unsorted one
       // leaves whatever layout claim existed void
@@ -1319,7 +1746,7 @@ object MemTables {
       } else st.clearSortOrder()
       st.compactionVersions += st.version
       st.stamp("compact")
-      (live.size.toLong, batches.iterator.map(_.length.toLong).sum, st.version)
+      (live.size.toLong, batches.iterator.map(_.rowTotal).sum, st.version)
     }
   }
 
@@ -1379,7 +1806,7 @@ object MemTables {
             s"mem table $key: delta targets unknown/removed batch ids $missing")
         byBatch.foreach { case (id, poss) =>
           val b = liveById(id)
-          val bad = poss.filter(p => p < 0 || p >= b.rows.length || b.dv.contains(p))
+          val bad = poss.filter(p => p < 0 || p >= b.rowCount || b.dv.contains(p))
           if (bad.nonEmpty)
             throw new IllegalStateException(
               s"mem table $key: delta deletes invalid/already-deleted positions " +
@@ -1391,7 +1818,7 @@ object MemTables {
       // them; plain inserts append as before
       val postBatches =
         if (updates.isEmpty) Nil
-        else mkBatches(st, writeSchema, updates.map(_._2).toArray, st.version)
+        else mkBatches(st, writeSchema, RowsPayload(updates.map(_._2).toArray), st.version)
       st.batches = st.batches.map { b =>
         byBatch.get(b.batchId) match {
           case Some(poss) if b.removedAt == Long.MaxValue =>
@@ -1399,7 +1826,7 @@ object MemTables {
           case _ => b
         }
       } ++ postBatches ++ inserts.filter(_.nonEmpty)
-        .flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
+        .flatMap(rs => mkBatches(st, writeSchema, RowsPayload(rs), st.version))
       if (updates.nonEmpty) {
         st.updatedAt = st.updatedAt.updated(st.version, updates.map(_._1).toSet)
         st.updatePostBatches = st.updatePostBatches ++ postBatches.map(_.batchId)
@@ -1419,7 +1846,7 @@ object MemTables {
       key: String,
       truncate: Boolean,
       writeSchema: StructType,
-      batches: Seq[Array[InternalRow]]): Unit = {
+      batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
@@ -1451,7 +1878,7 @@ object MemTables {
       epochId: Long,
       truncate: Boolean,
       writeSchema: StructType,
-      batches: Seq[Array[InternalRow]]): Unit = {
+      batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
@@ -1492,7 +1919,7 @@ object MemTables {
       epochId: Long,
       writeSchema: StructType,
       keyCols: Seq[String],
-      batches: Seq[Array[InternalRow]]): Unit = {
+      batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
@@ -1506,7 +1933,15 @@ object MemTables {
             s"mem table $key: upsert write schema ${writeSchema.fieldNames.mkString(",")} " +
               s"lacks key column(s) ${keyCols.mkString(",")}")
         val types = idx.map(writeSchema.fields(_).dataType)
-        val keys = batches.iterator.flatMap(_.iterator).map { r =>
+        // content access: file-backed epoch payloads load driver-side for
+        // key extraction (gate-scale; a 100 TB upsert ingest would compute
+        // the epoch's key set as part of the write job)
+        def payloadRows(pl: TaskPayload): Iterator[InternalRow] = pl match {
+          case RowsPayload(rs) => rs.iterator
+          case FilesPayload(fs) =>
+            fs.iterator.flatMap(f => ParquetRows.iterator(f.path, writeSchema))
+        }
+        val keys = batches.iterator.flatMap(payloadRows).map { r =>
           val tuple: Seq[Any] = idx.indices.map { j =>
             if (r.isNullAt(idx(j))) null else canonKey(r.get(idx(j), types(j)))
           }
@@ -1572,7 +2007,7 @@ object MemTables {
     * does not handle never reach it: [[supportedDeleteFilter]] rejects
     * them at planning and Spark falls back to the row-level rewrite.
     */
-  private def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, lit) match {
+  private def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, datetimeInternal(lit)) match {
     case (null, _) | (_, null) => None
     case (a: java.lang.Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
     case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
@@ -1614,20 +2049,21 @@ object MemTables {
     * metadata-speed partition delete and a table scan.
     */
   private[sources] def candidateBatches(
-      filters: Array[Filter], spec: Seq[PartField],
+      filters: Array[Filter], specs: Vector[Seq[PartField]],
       eras: Map[String, Vector[(Long, String)]], droppedAt: Map[String, Long],
       batches: Vector[TaggedBatch]): Vector[TaggedBatch] =
     if (filters.isEmpty) batches
     else batches.filter { b =>
-      val n = b.rows.length.toLong
+      val n = b.rowCount.toLong
       val lookup: String => Option[ColStats] = name =>
         sourceFieldName(eras, droppedAt)(name, b.writeVersion)
           .filter(b.schema.fieldNames.contains) match {
           case None => Some(ColStats(null, null, n, n)) // all-null here
           case Some(src) => b.stats.get(src)
         }
+      val bSpec = specs(b.specId)
       filters.forall(f => mayMatch(f, lookup)) &&
-        (spec.isEmpty || filters.forall(f => bucketMayMatch(f, spec, b.part)))
+        (bSpec.isEmpty || filters.forall(f => partMayMatch(f, bSpec, b.part)))
     }
 
   /** Row-level filter matches over the LIVE batches (SQL three-valued
@@ -1699,7 +2135,7 @@ object MemTables {
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      candidateBatches(filters, st.partitioning, eras, droppedAt, live).iterator
+      candidateBatches(filters, st.specHistory, eras, droppedAt, live).iterator
         .map { b =>
           val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
           b.batchId -> b.rows.zipWithIndex.collect {
@@ -1743,9 +2179,10 @@ object MemTables {
             // survivors carry EXACT stats (the rewrite materializes them
             // anyway): a deleted row may have been the recorded extreme,
             // and the aggregate pushdown answers MIN/MAX from these
-            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion, keep,
+            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion,
+              MemStore(keep),
               batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
-              part = b.part))
+              part = b.part, specId = b.specId))
           case _ => Vector(b)
         }
       }
@@ -1778,7 +2215,7 @@ object MemTables {
     */
   def commitOverwrite(
       key: String, filters: Array[Filter],
-      writeSchema: StructType, batches: Seq[Array[InternalRow]]): Unit = {
+      writeSchema: StructType, batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-overwrite"))
     st.synchronized {
@@ -1804,10 +2241,22 @@ object MemTables {
     */
   def commitOverwriteDynamic(
       key: String, writeSchema: StructType,
-      batches: Seq[Array[InternalRow]]): Unit = {
+      batches: Seq[TaskPayload]): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-overwrite"))
     st.synchronized {
+      // tuple identity is PER-SPEC: a live batch written under an older
+      // spec cannot be matched by tuples computed under the current one,
+      // so replacing "the partitions present in the data" would silently
+      // leave its rows behind — reject loudly BEFORE the version bump
+      // (rewrite_data_files migrates old batches to the current spec)
+      if (st.partitioning.nonEmpty &&
+          st.batches.exists(b =>
+            b.removedAt == Long.MaxValue && b.specId != st.currentSpecId))
+        throw new UnsupportedOperationException(
+          s"dynamic overwrite of $key: live batches written under an older " +
+            "partition spec exist — run CALL graft.rewrite_data_files to " +
+            "migrate them to the current spec first")
       st.version += 1
       val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       if (st.partitioning.isEmpty) {
@@ -2013,10 +2462,10 @@ final class MemBranchTable(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new MemWriterFactory
+            MemWriterFactory.forTable(key, info.schema())
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             MemTables.commitToBranch(key, branch, info.schema(),
-              messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+              MemWriterFactory.payloadsOf(messages))
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
       }
@@ -2062,6 +2511,7 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
       .add("batch_id", LongType, nullable = false)
       .add("version", LongType, nullable = false)
       .add("partition", StringType, nullable = false)
+      .add("spec_id", IntegerType, nullable = false)
       .add("row_count", LongType, nullable = false)
       .add("live_rows", LongType, nullable = false)
       .add("deleted_rows", LongType, nullable = false)
@@ -2079,34 +2529,45 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
         case (s, MemTables.IdentityPart(c)) =>
           s.add(st.schema.fields.find(_.name == c).get.copy(nullable = true))
         case (s, MemTables.BucketPart(_, c)) =>
-          s.add(s"${c}_bucket", IntegerType, nullable = false)
+          // nullable: rows of an OLDER spec group show NULL transform cols
+          s.add(s"${c}_bucket", IntegerType, nullable = true)
+        case (s, MemTables.TimePart(unit, c)) =>
+          s.add(s"${c}_$unit", IntegerType, nullable = true)
+        case (s, MemTables.TruncatePart(_, c)) =>
+          s.add(s"${c}_trunc",
+            st.schema.fields.find(_.name == c).get.dataType, nullable = true)
       }
       base
+        .add("spec_id", IntegerType, nullable = false)
         .add("batch_count", LongType, nullable = false)
         .add("row_count", LongType, nullable = false)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val st = state
-    val (spec, batches, eras, droppedAt, eqDeletes, times, kinds, tags, brs) =
+    val (specs, batches, eras, droppedAt, eqDeletes, times, kinds, tags, brs) =
       st.synchronized {
-        (st.partitioning, st.batches.filter(_.removedAt == Long.MaxValue),
+        (st.specHistory, st.batches.filter(_.removedAt == Long.MaxValue),
           st.eras, st.droppedAt, st.eqDeletes, st.versionTimes, st.opKinds,
           st.tags, st.branches)
       }
+    val curSpecId = specs.size - 1
     def kills(b: MemTables.TaggedBatch): Long =
       MemTables.effectiveKills(b, eqDeletes, eras, droppedAt).size.toLong
+    // each batch renders under its OWN written spec (spec evolution)
     def renderPart(b: MemTables.TaggedBatch): String =
-      spec.zip(b.part).map {
+      specs(b.specId).zip(b.part).map {
         case (MemTables.IdentityPart(c), v) => s"$c=${String.valueOf(v)}"
         case (MemTables.BucketPart(_, c), v) => s"${c}_bucket=$v"
+        case (MemTables.TimePart(unit, c), v) => s"${c}_$unit=${String.valueOf(v)}"
+        case (MemTables.TruncatePart(_, c), v) => s"${c}_trunc=${String.valueOf(v)}"
       }.mkString("/")
     val outSchema = schema()
     val dataRows: Seq[Seq[Any]] = kind match {
       case "files" => batches.map { b =>
         val dead = kills(b)
-        Seq[Any](b.batchId, b.version, renderPart(b),
-          b.rows.length.toLong, b.rows.length.toLong - dead, dead)
+        Seq[Any](b.batchId, b.version, renderPart(b), Integer.valueOf(b.specId),
+          b.rowCount.toLong, b.rowCount.toLong - dead, dead)
       }
       case "history" => times.map { case (v, tsMicros) =>
         Seq[Any](v, tsMicros, kinds.getOrElse(v, "unknown"))
@@ -2115,10 +2576,17 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
         tags.toSeq.map { case (n, v) => Seq[Any](n, "tag", v) } ++
           brs.toSeq.map { case (n, bs) => Seq[Any](n, "branch", bs.base) }
       case _ =>
-        batches.groupBy(_.part).toSeq.map { case (part, bs) =>
-          part ++ Seq[Any](
+        // the typed transform columns describe the CURRENT spec; batches
+        // written under an older spec group by (spec_id, tuple) with the
+        // typed columns NULL — their real tuple is readable in `.files`
+        batches.groupBy(b => (b.specId, b.part)).toSeq.map { case ((sid, part), bs) =>
+          val typed: Seq[Any] =
+            if (sid == curSpecId) part
+            else specs(curSpecId).map(_ => null)
+          typed ++ Seq[Any](
+            Integer.valueOf(sid),
             bs.size.toLong,
-            bs.map(b => b.rows.length.toLong - kills(b)).sum)
+            bs.map(b => b.rowCount.toLong - kills(b)).sum)
         }
     }
     val desc = s"GraftMemMeta $key.$kind"
@@ -2394,7 +2862,7 @@ object MemScanBuilder {
         MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
           .count(_._2 <= bound).toLong)
       val anyKills = killCounts.exists(_ > 0)
-      val liveRows = batches.map(_.rows.length.toLong).sum - killCounts.sum
+      val liveRows = batches.map(_.rowCount.toLong).sum - killCounts.sum
 
       // per-batch resolved stats of a bound column: Left(()) = not
       // answerable from stats; Right(None) = all-null in this batch;
@@ -2467,7 +2935,7 @@ object MemScanBuilder {
         val groups = visible.groupBy(b => gIdx.map(b.part(_)))
         val perGroup = groups.toSeq.map { case (gv, bs) =>
           aggOver(bs).map { a =>
-            val live = bs.map(b => b.rows.length.toLong -
+            val live = bs.map(b => b.rowCount.toLong -
               MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
                 .count(_._2 <= bound)).sum
             if (live == 0L) None else Some((gv ++ a).toArray)
@@ -2689,12 +3157,11 @@ final class MemScan(
       (Long, MemScan.BoundMeta, Vector[MemTables.TaggedBatch], Seq[MemTables.PartField]) = {
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
-    val spec = st.partitioning // immutable after create
     val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches,
-        branchesNow, eqDeletesNow) =
+        branchesNow, eqDeletesNow, specs) =
       st.synchronized {
         (st.version, st.earliestVersion, st.history, st.droppedAt, st.eras,
-          st.batches, st.branches, st.eqDeletes)
+          st.batches, st.branches, st.eqDeletes, st.specHistory)
       }
     // a snapshot expired between loadTable and scan planning must fail
     // loudly, not read the partial remains of its batches — validated
@@ -2748,7 +3215,7 @@ final class MemScan(
     val visible =
       if (allSkip.isEmpty) grouped
       else grouped.filter { b =>
-        val n = b.rows.length.toLong
+        val n = b.rowCount.toLong
         val lookup: String => Option[MemTables.ColStats] = name =>
           if (name == MemTables.BatchVersion)
             Some(MemTables.ColStats(b.version, b.version, 0L, n))
@@ -2758,13 +3225,29 @@ final class MemScan(
             case None => Some(MemTables.ColStats(null, null, n, n)) // all-null
             case Some(src) => b.stats.get(src) // None for uncovered types
           }
-        allSkip.forall(f => MemTables.mayMatch(f, lookup)) &&
-          // bucket-layout pruning (identity fields already prune via their
-          // exact singleton stats above)
-          (spec.isEmpty ||
-            allSkip.forall(f => MemTables.bucketMayMatch(f, spec, b.part)))
+        allSkip.forall(f => MemTables.mayMatch(f, lookup)) && {
+          // transform-layout pruning under the batch's OWN written spec
+          // (spec evolution: old batches keep their tuple's meaning;
+          // identity fields already prune via their exact singleton stats
+          // above)
+          val bSpec = specs(b.specId)
+          bSpec.isEmpty ||
+            allSkip.forall(f => MemTables.partMayMatch(f, bSpec, b.part))
+        }
       }
-    (curVersion, meta, visible, spec)
+    // the spec handed to planning consumers (partition keys, key-grouped
+    // reporting, identity-group aggregate pushdown) is the UNIFORM spec of
+    // the planned batches: all one spec → that spec (an empty table plans
+    // under the current spec); mixed eras → Nil, which declines SPJ and
+    // group pushdown — correctness before cleverness until a rewrite
+    // migrates the table
+    val uniformSpec =
+      if (visible.isEmpty) specs.last
+      else {
+        val ids = visible.iterator.map(_.specId).toSet
+        if (ids.size == 1) specs(ids.head) else Nil
+      }
+    (curVersion, meta, visible, uniformSpec)
   }
 
   /** Post-pushdown size/row-count estimate from the batches this scan
@@ -2820,10 +3303,20 @@ final class MemScan(
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
     planned.map { case (b, srcNames, dead, cut) =>
-      val rows = if (cut == b.rows.length) b.rows else b.rows.take(cut)
       val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
-      MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
-        b.batchId, key): InputPartition
+      b.store match {
+        case MemTables.FileStore(path, _, _) =>
+          // file-backed: ship the PATH (+ positions to skip and the head
+          // cut); the executor streams the parquet rows itself — the
+          // driver never materializes data for a scan
+          MemPartition(b.schema, b.version, srcNames, Array.empty,
+            dead.filter(_ < cut), b.batchId, key,
+            file = Some(path), cut = cut): InputPartition
+        case _ =>
+          val rows = if (cut == b.rowCount) b.rows else b.rows.take(cut)
+          MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
+            b.batchId, key): InputPartition
+      }
     }.toArray
   }
 
@@ -2894,7 +3387,7 @@ final class MemScan(
         withDead.map { case (b, s, dead) =>
           var extra = dead
           var i = 0
-          while (i < b.rows.length) {
+          while (i < b.rowCount) {
             if (!dead.contains(i)) {
               val u = MemScan.sampleUniform(seed, b.batchId, i)
               if (u < lo || u >= hi) extra += i
@@ -2917,7 +3410,7 @@ final class MemScan(
           else {
             var extra = dead
             var i = 0
-            while (i < b.rows.length && remaining > 0) {
+            while (i < b.rowCount && remaining > 0) {
               if (!dead.contains(i)) { extra += i; remaining -= 1 }
               i += 1
             }
@@ -2943,14 +3436,14 @@ final class MemScan(
     def cutAt(b: MemTables.TaggedBatch, dead: Set[Int], n: Long): (Int, Long) = {
       var live = 0L
       var i = 0
-      while (i < b.rows.length && live < n) {
+      while (i < b.rowCount && live < n) {
         if (!dead.contains(i)) live += 1
         i += 1
       }
       (i, live)
     }
     val planned = limitRows match {
-      case None => afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
+      case None => afterOffset.map { case (b, s, d) => (b, s, d, b.rowCount) }
       case Some(n) =>
         topNCols match {
           case Some(cols) =>
@@ -2960,7 +3453,7 @@ final class MemScan(
             }
             if (claimHolds)
               afterOffset.map { case (b, s, d) => (b, s, d, cutAt(b, d, n)._1) }
-            else afterOffset.map { case (b, s, d) => (b, s, d, b.rows.length) }
+            else afterOffset.map { case (b, s, d) => (b, s, d, b.rowCount) }
           case None =>
             var acc = 0L
             afterOffset.flatMap { case (b, s, d) =>
@@ -3014,7 +3507,6 @@ object MemScan {
       val target = target0 // serialized with the factory
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
-        val rows = p.rows
         val metaNames =
           Set(MemTables.BatchVersion, MemTables.BatchId, MemTables.BatchPos)
         val hasMeta = target.fieldNames.exists(metaNames.contains)
@@ -3042,36 +3534,61 @@ object MemScan {
           if (s >= 0 && srcType(j) != target.fields(j).dataType) target.fields(j).dataType
           else null
         }
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = {
-            i += 1
-            // merge-on-read: skip DV-deleted positions
-            while (i < rows.length && p.dead.contains(i)) i += 1
-            i < rows.length
-          }
-          override def get(): InternalRow =
-            if (sameLayout) rows(i)
-            else {
-              val r = rows(i)
-              val vals = new Array[Any](target.length)
-              var j = 0
-              while (j < target.length) {
-                val s = srcIdx(j)
-                vals(j) =
-                  if (s == -2) p.version
-                  else if (s == -3) p.batchId
-                  else if (s == -4) i // the row's position within its batch
-                  else if (s >= 0 && !r.isNullAt(s)) {
-                    val raw = r.get(s, srcType(j))
-                    if (widenTo(j) == null) raw
-                    else MemTables.widenValue(raw, srcType(j), widenTo(j))
-                  } else null
-                j += 1
-              }
-              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        def project(r: InternalRow, pos: Int): InternalRow =
+          if (sameLayout) r
+          else {
+            val vals = new Array[Any](target.length)
+            var j = 0
+            while (j < target.length) {
+              val s = srcIdx(j)
+              vals(j) =
+                if (s == -2) p.version
+                else if (s == -3) p.batchId
+                else if (s == -4) pos // the row's position within its batch
+                else if (s >= 0 && !r.isNullAt(s)) {
+                  val raw = r.get(s, srcType(j))
+                  if (widenTo(j) == null) raw
+                  else MemTables.widenValue(raw, srcType(j), widenTo(j))
+                } else null
+              j += 1
             }
-          override def close(): Unit = ()
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
+        p.file match {
+          case Some(path) =>
+            // FILE-BACKED storage plane: the executor streams the parquet
+            // rows itself (the driver shipped only the path), skipping
+            // DV-dead positions and stopping at a pushed head's cut —
+            // early close releases the file without draining it
+            new PartitionReader[InternalRow] {
+              private val it = ParquetRows.iterator(path, p.batchSchema)
+              private var pos = -1
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                while (it.hasNext) {
+                  pos += 1
+                  if (p.cut >= 0 && pos >= p.cut) { it.close(); return false }
+                  val r = it.next()
+                  if (!p.dead.contains(pos)) { cur = r; return true }
+                }
+                false
+              }
+              override def get(): InternalRow = project(cur, pos)
+              override def close(): Unit = it.close()
+            }
+          case None =>
+            val rows = p.rows
+            new PartitionReader[InternalRow] {
+              private var i = -1
+              override def next(): Boolean = {
+                i += 1
+                // merge-on-read: skip DV-deleted positions
+                while (i < rows.length && p.dead.contains(i)) i += 1
+                i < rows.length
+              }
+              override def get(): InternalRow = project(rows(i), i)
+              override def close(): Unit = ()
+            }
         }
       }
     }
@@ -3311,7 +3828,10 @@ final class MemDeltaWriterFactory
 final case class MemPartition(
     batchSchema: StructType, version: Long, srcNames: Map[String, String],
     rows: Array[InternalRow], dead: Set[Int] = Set.empty, batchId: Long = -1L,
-    partKey: Option[Seq[Any]] = None)
+    partKey: Option[Seq[Any]] = None,
+    // FILE-BACKED batches ship their parquet path (rows stays empty) and
+    // the planned head cut (-1 = no cut); executors stream the file
+    file: Option[String] = None, cut: Int = -1)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The batch's partition tuple as the V2 key row (internal values, in
     * transform order) — only consulted when the scan reported
@@ -3420,9 +3940,9 @@ final class MemStreamingWrite(
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new MemStreamingWriterFactory
+    new MemStreamingWriterFactory(MemWriterFactory.forTable(key, writeSchema))
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq
+    val rows = MemWriterFactory.payloadsOf(messages)
     upsertKeys match {
       case Some(ks) if !truncate =>
         MemTables.commitEpochUpsert(key, queryId, epochId, writeSchema, ks, rows)
@@ -3433,11 +3953,12 @@ final class MemStreamingWrite(
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class MemStreamingWriterFactory
+final class MemStreamingWriterFactory(underlying: MemWriterFactory)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  def this() = this(new MemWriterFactory())
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new MemWriterFactory().createWriter(partitionId, taskId)
+    underlying.createWriter(partitionId, taskId)
 }
 
 /** What a batch write does at publish: plain append, full truncate-
@@ -3456,10 +3977,10 @@ final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructTy
     this(key, if (truncate) MemTruncate else MemAppend, writeSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory
+    MemWriterFactory.forTable(key, writeSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq
+    val rows = MemWriterFactory.payloadsOf(messages)
     mode match {
       case MemAppend => MemTables.commit(key, truncate = false, writeSchema, rows)
       case MemTruncate => MemTables.commit(key, truncate = true, writeSchema, rows)
@@ -3472,16 +3993,68 @@ final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructTy
 }
 
 final case class MemCommitMessage(rows: Array[InternalRow]) extends WriterCommitMessage
+final case class MemFilesMessage(files: Vector[FileManifest]) extends WriterCommitMessage
 
-final class MemWriterFactory extends DataWriterFactory {
+/** Everything one write TASK needs to run the file-backed storage plane
+  * executor-side (`graft.storage=parquet`): where to put files, the write
+  * schema, and the partition spec to split under (with its id, so the
+  * publish can reject a racing spec evolution). Serialized with the
+  * factory to every task.
+  */
+final case class MemParquetWrite(
+    dir: String, schema: StructType,
+    spec: Seq[MemTables.PartField], specId: Int)
+
+/** Per-task writer. Default (row) mode buffers rows into the commit
+  * message. Parquet mode does what a real table format's write task does:
+  * partition-SPLIT the buffered rows, write one snappy parquet file per
+  * tuple, compute the publish stats, and ship only the MANIFESTS — the
+  * driver never sees a row, an aborted/speculative task's files are
+  * simply never committed (orphans at worst, never visible), and the
+  * same atomic driver commit publishes paths instead of payloads.
+  */
+final class MemWriterFactory(parquet: Option[MemParquetWrite] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       // rows are reused by the caller — copy() detaches each one
       override def write(record: InternalRow): Unit = buf += record.copy()
-      override def commit(): WriterCommitMessage = MemCommitMessage(buf.toArray)
+      override def commit(): WriterCommitMessage = parquet match {
+        case None => MemCommitMessage(buf.toArray)
+        case Some(pw) =>
+          val files = MemTables
+            .splitByPartition(pw.spec, pw.schema, buf.toArray)
+            .map { case (pt, rows) =>
+              val path = s"${pw.dir}/part-$partitionId-$taskId-" +
+                s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+              val n = ParquetRows.write(path, pw.schema, rows.iterator)
+              FileManifest(path, n.toInt, pt, pw.specId,
+                MemTables.statsOf(pw.schema, rows))
+            }.toVector
+          MemFilesMessage(files)
+      }
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
+    }
+}
+
+object MemWriterFactory {
+  /** The factory for one table's writes: parquet-mode when the table
+    * declared `graft.storage=parquet`, row-mode otherwise.
+    */
+  def forTable(key: String, writeSchema: StructType): MemWriterFactory =
+    new MemWriterFactory(MemTables.get(key).flatMap { st =>
+      st.storageDir.map(dir =>
+        MemParquetWrite(dir, writeSchema, st.partitioning, st.currentSpecId))
+    })
+
+  def payloadsOf(messages: Array[WriterCommitMessage]): Seq[MemTables.TaskPayload] =
+    messages.toSeq.map {
+      case MemCommitMessage(rows) => MemTables.RowsPayload(rows)
+      case MemFilesMessage(files) => MemTables.FilesPayload(files)
+      case other => throw new IllegalStateException(
+        s"unexpected commit message ${other.getClass.getName}")
     }
 }
 

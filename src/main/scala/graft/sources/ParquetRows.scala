@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.types.StructType
+
+/** Executor-grade parquet I/O of `InternalRow`s for the graft table
+  * format's FILE-BACKED storage plane (`graft.storage=parquet`): write
+  * tasks call [[ParquetRows.write]] to persist their buffered rows as one
+  * snappy parquet file per partition split and ship only the MANIFEST
+  * (path, row count, partition tuple, column bounds) in their commit
+  * message; scans ship the file path in the `InputPartition` and readers
+  * stream rows back with [[ParquetRows.iterator]].
+  *
+  * Built on Spark's own parquet (de)serialization
+  * (`ParquetWriteSupport` / `ParquetReadSupport` over parquet-hadoop), so
+  * the bytes are byte-compatible with `spark.read.parquet` and the type
+  * semantics (UTC micros timestamps, date = epoch days, CORRECTED rebase)
+  * are exactly the engine's. Paths go through the Hadoop `Path`/`FileSystem`
+  * API, so the same code addresses local disk at gate scale and object
+  * storage (`s3a://…`) on a cluster.
+  */
+object ParquetRows {
+
+  private def writeConf(schema: StructType): Configuration = {
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the SQLConf-derived keys ParquetWriteSupport.init and the schema
+    // converter read, at their engine defaults — taken from the ConfigEntry
+    // objects (via the bridge: ConfigEntry is private[spark]) so a Spark
+    // upgrade can't silently desynchronize the names
+    org.apache.spark.sql.graftbridge.Bridge.parquetWriteEntries
+      .foreach { case (k, v) => conf.set(k, v) }
+    // CORRECTED rebase + micros timestamps are this engine's (UTC-session)
+    // semantics — never the EXCEPTION/LEGACY write defaults
+    val (rebaseKey, int96Key) =
+      org.apache.spark.sql.graftbridge.Bridge.parquetRebaseWriteKeys
+    conf.set(rebaseKey, "CORRECTED")
+    conf.set(int96Key, "CORRECTED")
+    conf.set(org.apache.spark.sql.graftbridge.Bridge.parquetTimestampTypeKey,
+      "TIMESTAMP_MICROS")
+    conf
+  }
+
+  private final class RowWriterBuilder(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Write `rows` as one snappy parquet file; returns the row count. */
+  def write(path: String, schema: StructType, rows: Iterator[InternalRow]): Long = {
+    val conf = writeConf(schema)
+    val writer = new RowWriterBuilder(new Path(path))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    var n = 0L
+    try rows.foreach { r => writer.write(r); n += 1 }
+    finally writer.close()
+    n
+  }
+
+  private def readConf(schema: StructType): Configuration = {
+    val conf = new Configuration()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf
+  }
+
+  /** Stream one file's rows back (each row COPIED — the materializer
+    * reuses its buffer). The iterator owns the reader and closes it on
+    * exhaustion; call `close()` for early termination (a pushed LIMIT cut).
+    */
+  final class RowIterator(path: String, schema: StructType)
+      extends Iterator[InternalRow] with AutoCloseable {
+    private val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder[InternalRow](new ParquetReadSupport(), new Path(path))
+      .withConf(readConf(schema))
+      .build()
+    private var nextRow: InternalRow = _
+    private var closed = false
+    private def advance(): Unit = if (!closed) {
+      nextRow = reader.read()
+      if (nextRow == null) close()
+    }
+    advance()
+    override def hasNext: Boolean = nextRow != null
+    override def next(): InternalRow = {
+      val r = nextRow.copy()
+      advance()
+      r
+    }
+    override def close(): Unit = if (!closed) { closed = true; nextRow = null; reader.close() }
+  }
+
+  def iterator(path: String, schema: StructType): RowIterator =
+    new RowIterator(path, schema)
+
+  /** Materialize a whole file (driver-side content paths: equality-delete
+    * probes, DELETE row evaluation, compaction folds — gate-scale by
+    * contract, documented at each call site).
+    */
+  def read(path: String, schema: StructType): Array[InternalRow] =
+    iterator(path, schema).toArray
+
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+    val crc = new Path(p.getParent, "." + p.getName + ".crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+  }
+
+  def deleteDir(dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+/** One executor-written data file of a parquet-backed mem table — the
+  * commit-message manifest entry (the Iceberg `DataFile` shape): where the
+  * rows live, how many, which partition tuple they belong to (under
+  * `specId`), and the publish-time column bounds. The DRIVER never sees
+  * the rows; it commits manifests.
+  */
+final case class FileManifest(
+    path: String, count: Int, part: Seq[Any], specId: Int,
+    stats: Map[String, MemTables.ColStats])

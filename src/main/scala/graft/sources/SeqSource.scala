@@ -338,10 +338,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case "truncate" => GraftTruncateFunction
+      case unit if MemTables.TimeUnits.contains(unit) => GraftTimeFunction(unit)
       case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    (Seq("bucket", "truncate") ++ MemTables.TimeUnits)
+      .map(Identifier.of(namespace, _)).toArray
 
   /** Catalog MAINTENANCE procedures (Spark 4 `CALL` support — the surface
     * Iceberg exposes `expire_snapshots`/`rewrite_data_files` through):
@@ -364,11 +367,12 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "create_branch" => CreateBranchProcedure
       case "drop_branch" => DropBranchProcedure
       case "fast_forward" => FastForwardProcedure
+      case "replace_partition_spec" => ReplacePartitionSpecProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
           "table_history, create_tag, drop_tag, " +
-          "create_branch, drop_branch, fast_forward)")
+          "create_branch, drop_branch, fast_forward, replace_partition_spec)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
@@ -382,7 +386,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "drop_tag"),
       Identifier.of(namespace, "create_branch"),
       Identifier.of(namespace, "drop_branch"),
-      Identifier.of(namespace, "fast_forward"))
+      Identifier.of(namespace, "fast_forward"),
+      Identifier.of(namespace, "replace_partition_spec"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -514,10 +519,12 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       properties: util.Map[String, String]): CTable = {
     if (Pattern.matches(ident.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
-    // PARTITIONED BY — identity (`PARTITIONED BY (k)`) and bucket
-    // (`PARTITIONED BY (bucket(8, k))`) transforms; anything else (truncate,
-    // days/hours, multi-column buckets) is honestly rejected rather than
-    // silently ignored (a dropped partition spec would misreport layout)
+    // PARTITIONED BY — identity (`PARTITIONED BY (k)`), bucket
+    // (`bucket(8, k)`), the time transforms (`years(ts)`/`months`/`days`/
+    // `hours`) and width truncation (`truncate(4, k)`, either argument
+    // order); anything else (multi-column buckets, nested fields) is
+    // honestly rejected rather than silently ignored (a dropped partition
+    // spec would misreport layout)
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
     val spec: Seq[MemTables.PartField] = partitions.toSeq.map { t =>
       (t.name, t.arguments.toSeq) match {
@@ -526,8 +533,23 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
         case ("bucket", Seq(lit: V2Literal[_], ref: NamedReference))
             if ref.fieldNames.length == 1 =>
           MemTables.BucketPart(lit.value.asInstanceOf[Number].intValue, ref.fieldNames.head)
+        case (unit, Seq(ref: NamedReference))
+            if MemTables.TimeUnits.contains(unit) && ref.fieldNames.length == 1 =>
+          MemTables.TimePart(unit, ref.fieldNames.head)
+        // `year`/`month`/`day`/`hour` parse as distinct transform names —
+        // accept the singular spellings as aliases of the Iceberg plurals
+        case (unit, Seq(ref: NamedReference))
+            if MemTables.TimeUnits.contains(unit + "s") && ref.fieldNames.length == 1 =>
+          MemTables.TimePart(unit + "s", ref.fieldNames.head)
+        case ("truncate", Seq(lit: V2Literal[_], ref: NamedReference))
+            if ref.fieldNames.length == 1 =>
+          MemTables.TruncatePart(lit.value.asInstanceOf[Number].intValue, ref.fieldNames.head)
+        case ("truncate", Seq(ref: NamedReference, lit: V2Literal[_]))
+            if ref.fieldNames.length == 1 =>
+          MemTables.TruncatePart(lit.value.asInstanceOf[Number].intValue, ref.fieldNames.head)
         case _ => throw new UnsupportedOperationException(
-          "mem tables support identity and single-column bucket partitioning, " +
+          "mem tables support identity, single-column bucket, " +
+            "years/months/days/hours, and truncate partitioning, " +
             s"got ${t.describe}")
       }
     }
@@ -646,11 +668,90 @@ object GraftBucketFunction
     val colType = inputType.fields(1).dataType
     colType match {
       case LongType | IntegerType | ShortType | ByteType | StringType |
-          DoubleType | FloatType | BooleanType => BoundBucket(colType)
+          DoubleType | FloatType | BooleanType | DateType | TimestampType |
+          TimestampNTZType => BoundBucket(colType)
       case other => throw new UnsupportedOperationException(
         s"bucket does not support column type ${other.simpleString}")
     }
   }
+}
+
+/** The catalog's TIME transform functions (`years`/`months`/`days`/
+  * `hours`), [[MemTables.timeOrdinalOf]] exposed to Spark — what makes a
+  * time transform a RESOLVABLE expression for (a) the clustered write
+  * distribution of a time-partitioned table and (b) proving two
+  * time-partitioned scans compatible for a storage-partitioned join
+  * (canonical-name + argument equality, the Iceberg SPJ contract). Also
+  * directly callable: `SELECT graft.months(d)`.
+  */
+final case class GraftTimeFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): epoch-relative $unit ordinal (1970 = 0) of a DATE/TIMESTAMP"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    if (inputType.fields.length != 1)
+      throw new UnsupportedOperationException(
+        s"$unit expects one DATE/TIMESTAMP column, got ${inputType.simpleString}")
+    inputType.fields.head.dataType match {
+      case DateType if unit == "hours" => throw new UnsupportedOperationException(
+        "hours() of a DATE column: no sub-day resolution")
+      case dt @ (DateType | TimestampType | TimestampNTZType) => BoundTime(unit, dt)
+      case other => throw new UnsupportedOperationException(
+        s"$unit does not support column type ${other.simpleString}")
+    }
+  }
+}
+
+final case class BoundTime(unit: String, colType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+  override def inputTypes(): Array[DataType] = Array(colType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit(${colType.catalogString})"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else Integer.valueOf(MemTables.timeOrdinalOf(unit, input.get(0, colType)).get)
+}
+
+/** The catalog's `truncate` V2 function ([[MemTables.truncValueOf]]):
+  * `truncate(width, col) -> col's type` — integrals floor to their
+  * width-bucket, strings to their first `width` chars.
+  */
+object GraftTruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, col): width-bucket floor (integrals) / prefix (strings)"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    if (inputType.fields.length != 2 || inputType.fields.head.dataType != IntegerType)
+      throw new UnsupportedOperationException(
+        s"truncate expects (INT width, col), got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case dt @ (ByteType | ShortType | IntegerType | LongType | StringType) =>
+        BoundTruncate(dt)
+      case other => throw new UnsupportedOperationException(
+        s"truncate does not support column type ${other.simpleString}")
+    }
+  }
+}
+
+final case class BoundTruncate(colType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[AnyRef] {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+  override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+  override def resultType(): DataType = colType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = s"graft.truncate(${colType.catalogString})"
+  override def produceResult(input: InternalRow): AnyRef =
+    if (input.isNullAt(1)) null
+    else MemTables.truncValueOf(input.getInt(0), input.get(1, colType)).get
+      .asInstanceOf[AnyRef]
 }
 
 final case class BoundBucket(colType: org.apache.spark.sql.types.DataType)
@@ -921,6 +1022,45 @@ object RollbackTableProcedure
   * [[FastForwardProcedure]]. The base snapshot is pinned against expiry
   * while the branch lives. Returns the bound (branch, base).
   */
+/** PARTITION SPEC EVOLUTION: `CALL graft.replace_partition_spec('t',
+  * 'months(d), bucket(8, k)')` — appends a new spec to the table's
+  * timeline ([[MemTables.replacePartitionSpec]]); '' = unpartition future
+  * writes. Metadata-only: committed batches keep their written spec and
+  * tuple; `rewrite_data_files` migrates them to the current spec.
+  */
+object ReplacePartitionSpecProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  override def name(): String = "replace_partition_spec"
+  override def description(): String =
+    "replace a table's partition spec (metadata-only; old batches keep " +
+      "their written spec, rewrite_data_files migrates them)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("spec", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("spec_id", IntegerType, nullable = false)
+    .add("spec", StringType, nullable = false)
+    .add("version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val specStr = input.getUTF8String(1).toString
+    val spec = MemTables.parseSpec(specStr)
+    val version = MemTables.replacePartitionSpec(key, spec)
+    val specId = MemTables.get(key).get.currentSpecId
+    ProcedureResults.scan(s"GraftReplacePartitionSpec $key [$specStr]", outSchema,
+      Seq(Seq(specId, MemTables.renderSpec(spec), version)))
+  }
+}
+
 object CreateBranchProcedure
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
     with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
@@ -1133,18 +1273,47 @@ object RewriteDataFilesProcedure
         val partExprs = partSpec.map {
           case MemTables.IdentityPart(c) => col(c)
           case MemTables.BucketPart(nb, c) => expr(s"`$catalogName`.bucket($nb, `$c`)")
+          case MemTables.TimePart(unit, c) => expr(s"`$catalogName`.$unit(`$c`)")
+          case MemTables.TruncatePart(w, c) => expr(s"`$catalogName`.truncate($w, `$c`)")
         }
         df = df.repartition(n, partExprs: _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       }
     }
-    // the write-task protocol, inline: each task buffers its partition and
-    // the driver publishes only committed buffers, atomically
-    val batches = df.queryExecution.toRdd
-      .mapPartitions(it => Iterator(it.map(_.copy()).toArray))
-      .collect().toSeq
+    // the write-task protocol, inline. Two storage planes:
+    //  - file-backed (`graft.storage=parquet`): each task SPLITS, WRITES
+    //    its parquet files, and computes stats IN THE EXECUTOR; the driver
+    //    collects only MANIFESTS — publish cost tracks the manifest count,
+    //    never the data (the 100 TB rewrite shape);
+    //  - driver-resident (default): each task buffers its partition and
+    //    ships the rows; the driver publishes only committed buffers,
+    //    atomically (gate-scale by the mode's own contract).
+    val payloads: Seq[MemTables.TaskPayload] = st.storageDir match {
+      case Some(dir) =>
+        val pw = MemParquetWrite(dir, schema, st.partitioning, st.currentSpecId)
+        df.queryExecution.toRdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            val rows = it.map(_.copy()).toArray
+            if (rows.isEmpty) Iterator.empty
+            else Iterator(MemTables.FilesPayload(
+              MemTables.splitByPartition(pw.spec, pw.schema, rows).map {
+                case (pt, rs) =>
+                  val path = s"${pw.dir}/rewrite-$pid-" +
+                    s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+                  val n = ParquetRows.write(path, pw.schema, rs.iterator)
+                  FileManifest(path, n.toInt, pt, pw.specId,
+                    MemTables.statsOf(pw.schema, rs))
+              }.toVector): MemTables.TaskPayload)
+          }
+          .collect().toSeq
+      case None =>
+        df.queryExecution.toRdd
+          .mapPartitions(it => Iterator(
+            MemTables.RowsPayload(it.map(_.copy()).toArray): MemTables.TaskPayload))
+          .collect().toSeq
+    }
     val (nBatches, nRows, version) =
-      MemTables.publishCompaction(key, expected, schema, batches, sortCols.toSeq)
+      MemTables.publishCompaction(key, expected, schema, payloads, sortCols.toSeq)
     ProcedureResults.scan(s"GraftRewriteDataFiles $key sort=[$sortBy]", outSchema,
       Seq(Seq(nBatches, nRows, version)))
   }

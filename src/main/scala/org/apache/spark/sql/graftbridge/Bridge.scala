@@ -24,4 +24,25 @@ object Bridge {
   def analysisError(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
+  /** (key, default) of SQLConf entries (`ConfigEntry` is `private[spark]`)
+    * — lets the parquet-backed storage plane seed executor-side hadoop
+    * configurations with Spark's own defaults instead of hardcoding key
+    * strings that silently drift across upgrades.
+    */
+  def confDefault(e: Any): (String, String) = {
+    val entry = e.asInstanceOf[org.apache.spark.internal.config.ConfigEntry[_]]
+    (entry.key, entry.defaultValueString)
+  }
+
+  import org.apache.spark.sql.internal.SQLConf
+  val parquetWriteEntries: Seq[(String, String)] = Seq(
+    SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+    SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+    SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+    SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).map(confDefault)
+  val parquetRebaseWriteKeys: (String, String) = (
+    SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+    SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
+  val parquetTimestampTypeKey: String = SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key
 }

@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The FILE-BACKED storage plane (`graft.storage=parquet`,
+  * [[MemTables.FileStore]] / [[ParquetRows]]): executor-written parquet
+  * files with manifest-only commits, path-shipping scans, DV overlays and
+  * era projection over files, the distributed rewrite publishing
+  * manifests (no driver row collect), and file lifecycle (drop/expiry
+  * reclaim).
+  */
+class ParquetStorageSpec extends SparkSpec {
+
+  private def catalogOn(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+
+  private def liveBatches(key: String) =
+    MemTables.get(key).get.batches.filter(_.removedAt == Long.MaxValue)
+
+  private def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = pl match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def memScan(df: org.apache.spark.sql.DataFrame) =
+    scans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("GraftMemScan")).head
+
+  test("ParquetRows round-trips InternalRows across supported types") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = new StructType()
+      .add("k", LongType).add("s", StringType).add("d", DateType)
+      .add("ts", TimestampType).add("x", DoubleType).add("b", BooleanType)
+    val rows = Array(
+      InternalRow(1L, UTF8String.fromString("hello"), 12345, 1700000000000000L, 1.5, true),
+      InternalRow(2L, null, null, null, -0.25, false))
+    val path = java.nio.file.Files.createTempDirectory("pq-rt").toString + "/t.parquet"
+    assert(ParquetRows.write(path, schema, rows.iterator) === 2L)
+    val back = ParquetRows.read(path, schema)
+    assert(back.length === 2)
+    assert(back(0).getLong(0) === 1L)
+    assert(back(0).getUTF8String(1).toString === "hello")
+    assert(back(0).getInt(2) === 12345)
+    assert(back(0).getLong(3) === 1700000000000000L)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3))
+    assert(back(1).getDouble(4) === -0.25)
+    // byte-compatible with spark.read.parquet
+    assert(spark.read.parquet(path).count() === 2L)
+    ParquetRows.delete(path)
+  }
+
+  test("writes land as executor parquet files; the driver holds manifests") {
+    catalogOn(); drop("pq_base")
+    spark.sql("CREATE TABLE graft.pq_base (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_base SELECT id, id * 10 FROM range(0, 100)")
+    val live = liveBatches("pq_base")
+    assert(live.nonEmpty)
+    // every batch is file-backed: the store is a manifest, the bytes are
+    // a real parquet file on disk, and the stats came from the write task
+    live.foreach { b =>
+      val f = b.store.file
+      assert(f.isDefined, "batch must be file-backed")
+      assert(new java.io.File(f.get).isFile, f.get)
+      assert(b.store.isInstanceOf[MemTables.FileStore])
+      assert(b.stats.nonEmpty)
+    }
+    // the read streams the files back exactly
+    assert(spark.table("graft.pq_base").count() === 100L)
+    assert(spark.sql("SELECT sum(v) FROM graft.pq_base").head().getLong(0) ===
+      (0L until 100L).map(_ * 10).sum)
+    // data skipping still rides the manifest stats
+    val sel = spark.table("graft.pq_base").where("k = 5")
+    assert(sel.count() === 1L)
+    drop("pq_base")
+  }
+
+  test("partitioned parquet table: per-tuple files, pruning, dynamic overwrite") {
+    catalogOn(); drop("pq_part")
+    spark.sql("CREATE TABLE graft.pq_part (k BIGINT, nk INT) " +
+      "PARTITIONED BY (nk) TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_part SELECT id, CAST(id % 4 AS INT) FROM range(0, 40)")
+    val live = liveBatches("pq_part")
+    assert(live.map(_.part).distinct.size === 4)
+    live.foreach(b => assert(b.store.file.isDefined))
+    // partition-pure files: each file's rows recompute to its tuple
+    val spec = MemTables.get("pq_part").get.partitioning
+    live.foreach { b =>
+      b.rows.foreach(r => assert(MemTables.partTupleOf(spec, b.schema, r) === b.part))
+    }
+    val one = spark.table("graft.pq_part").where("nk = 2")
+    assert(one.count() === 10L)
+    assert(memScan(one).inputRDD.getNumPartitions === 1)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE graft.pq_part VALUES (999, 2)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(spark.table("graft.pq_part").where("nk = 2").count() === 1L)
+    assert(spark.table("graft.pq_part").count() === 31L)
+    drop("pq_part")
+  }
+
+  test("merge-on-read DELETE overlays the file reader; time travel replays") {
+    catalogOn(); drop("pq_mor")
+    spark.sql("CREATE TABLE graft.pq_mor (k BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.pq_mor SELECT id, id FROM range(0, 50)") // v1
+    spark.sql("DELETE FROM graft.pq_mor WHERE k % 5 = 0") // v2: DV entries only
+    assert(spark.table("graft.pq_mor").count() === 40L)
+    // the files were NOT rewritten: same single file, DV overlay at read
+    val live = liveBatches("pq_mor")
+    assert(live.forall(_.store.file.isDefined))
+    assert(live.map(_.dv.size).sum === 10)
+    assert(spark.sql("SELECT count(*) FROM graft.pq_mor VERSION AS OF 1")
+      .head().getLong(0) === 50L)
+    // row-level UPDATE (delta path) composes: post-image rows may be
+    // driver-resident, pre-images stay in their files
+    spark.sql("UPDATE graft.pq_mor SET v = -1 WHERE k = 7")
+    assert(spark.sql("SELECT v FROM graft.pq_mor WHERE k = 7").head().getLong(0) === -1L)
+    assert(spark.table("graft.pq_mor").count() === 40L)
+    drop("pq_mor")
+  }
+
+  test("schema evolution projects old files; stats answer aggregates") {
+    catalogOn(); drop("pq_evo")
+    spark.sql("CREATE TABLE graft.pq_evo (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_evo SELECT id FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.pq_evo ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO graft.pq_evo VALUES (100, 'new')")
+    val rows = spark.sql("SELECT k, tag FROM graft.pq_evo ORDER BY k").collect()
+    assert(rows.length === 11)
+    assert(rows.take(10).forall(_.isNullAt(1))) // old files null-fill
+    assert(rows.last.getString(1) === "new")
+    // stats-answered aggregate: zero-row scan over manifests
+    val agg = spark.sql("SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM graft.pq_evo")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((11L, 0L, 100L)))
+    drop("pq_evo")
+  }
+
+  test("rewrite_data_files publishes executor-written manifests and sorts") {
+    catalogOn(); drop("pq_rw")
+    spark.sql("CREATE TABLE graft.pq_rw (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    import spark.implicits._
+    for (i <- 0 until 3)
+      (0L until 40L).filter(_ % 3 == i).map(k => (k, k * 2)).toDF("k", "v")
+        .coalesce(1).writeTo("graft.pq_rw").append()
+    val before = liveBatches("pq_rw").map(_.batchId).toSet
+    spark.sql("CALL graft.rewrite_data_files('pq_rw', 'k')")
+    val after = liveBatches("pq_rw")
+    assert(after.map(_.batchId).toSet.intersect(before).isEmpty)
+    after.foreach(b => assert(b.store.file.isDefined,
+      "rewrite output must be file-backed (manifest publish)"))
+    // the sorted claim serves TOP-N trimming over files
+    val head = spark.sql("SELECT k FROM graft.pq_rw ORDER BY k LIMIT 3")
+    assert(head.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(memScan(head).toString.contains("topN=3"), memScan(head).toString)
+    assert(spark.table("graft.pq_rw").count() === 40L)
+    drop("pq_rw")
+  }
+
+  test("streaming epochs write files; drop and expiry reclaim them") {
+    catalogOn(); drop("pq_life")
+    spark.sql("CREATE TABLE graft.pq_life (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    val dir = MemTables.get("pq_life").get.storageDir.get
+    spark.sql("INSERT INTO graft.pq_life SELECT id FROM range(0, 10)") // v1
+    spark.sql("INSERT OVERWRITE graft.pq_life SELECT id FROM range(0, 5)") // v2 truncate
+    def files() = Option(new java.io.File(dir).list()).map(_.count(_.endsWith(".parquet"))).getOrElse(0)
+    val beforeExpire = files()
+    assert(beforeExpire >= 2)
+    // expiry physically drops the truncated v1 batches AND their files
+    spark.sql("CALL graft.expire_snapshots('pq_life', 2)")
+    assert(files() < beforeExpire)
+    assert(spark.table("graft.pq_life").count() === 5L)
+    // drop reclaims the whole table directory
+    spark.sql("DROP TABLE graft.pq_life")
+    assert(!new java.io.File(dir).exists())
+  }
+}

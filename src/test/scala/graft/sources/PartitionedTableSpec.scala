@@ -152,9 +152,11 @@ class PartitionedTableSpec extends SparkSpec {
     val c1 = intercept[Exception](
       spark.sql("CREATE TABLE graft.pt_bad1 (k INT) PARTITIONED BY (missing)"))
     assert(c1.getMessage.contains("missing")) // Spark rejects at analysis
+    // time transforms are supported since round 12; multi-column buckets
+    // remain honestly rejected
     val c2 = intercept[Exception](
-      spark.sql("CREATE TABLE graft.pt_bad2 (k INT, t TIMESTAMP) PARTITIONED BY (days(t))"))
-    assert(c2.getMessage.contains("identity and single-column bucket"))
+      spark.sql("CREATE TABLE graft.pt_bad2 (k INT, v INT) PARTITIONED BY (bucket(4, k, v))"))
+    assert(c2.getMessage.contains("single-column bucket"), c2.getMessage)
     drop("pt_guard")
   }
 

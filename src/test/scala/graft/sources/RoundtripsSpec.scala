@@ -644,7 +644,8 @@ class RoundtripsSpec extends SparkSpec {
         dw.write(org.apache.spark.sql.catalyst.InternalRow(v)); dw.commit()
       }
       graft.sources.MemTables.commit("spec_rlo_conflict", truncate = false, schema,
-        Seq(Array(org.apache.spark.sql.catalyst.InternalRow(1L)))) // v1
+        Seq(graft.sources.MemTables.RowsPayload(
+          Array(org.apache.spark.sql.catalyst.InternalRow(1L))))) // v1
       // a rewrite that scanned v1 publishes fine when nothing interleaved
       graft.sources.MemTables.replaceBatches(
         "spec_rlo_conflict", Some(Set(1L)), Some(1L), schema,
@@ -734,7 +735,8 @@ class RoundtripsSpec extends SparkSpec {
           (0 until perWriter).foreach { i =>
             graft.sources.MemTables.commit(
               "spec_concurrent", truncate = false, schema,
-              Seq(Array(org.apache.spark.sql.catalyst.InternalRow((w * 1000 + i).toLong))))
+              Seq(graft.sources.MemTables.RowsPayload(
+                Array(org.apache.spark.sql.catalyst.InternalRow((w * 1000 + i).toLong)))))
           }
         }
       }
@@ -1354,17 +1356,18 @@ class RoundtripsSpec extends SparkSpec {
     // epoch 0 -> v1: keys 0..4 (key 0 carries a NULL value) — duplicate
     // key 4 within the epoch is KEPT (in-epoch dedup is the producer's
     // job; the equality delete applies strictly before its own version)
+    import graft.sources.MemTables.RowsPayload
     graft.sources.MemTables.commitEpochUpsert(key, "q1", 0L, schema, Seq("k"),
-      Seq(Array(row(1L, 10L), row(2L, 20L)),
-        Array(row(3L, 30L), row(4L, 40L), row(4L, 41L), row(0L, null))))
+      Seq(RowsPayload(Array(row(1L, 10L), row(2L, 20L))),
+        RowsPayload(Array(row(3L, 30L), row(4L, 40L), row(4L, 41L), row(0L, null)))))
     val st = graft.sources.MemTables.get(key).get
     assert(st.version === 1L)
     // epoch 1 -> v2: re-ingest keys 2 and 4
     graft.sources.MemTables.commitEpochUpsert(key, "q1", 1L, schema, Seq("k"),
-      Seq(Array(row(2L, 200L), row(4L, 400L))))
+      Seq(RowsPayload(Array(row(2L, 200L), row(4L, 400L)))))
     // idempotent per epoch: a post-restart re-commit is a no-op
     graft.sources.MemTables.commitEpochUpsert(key, "q1", 1L, schema, Seq("k"),
-      Seq(Array(row(9L, 999L))))
+      Seq(RowsPayload(Array(row(9L, 999L)))))
     assert(st.version === 2L)
     def rows(sql: String) = spark.sql(sql).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
@@ -1724,7 +1727,7 @@ class RoundtripsSpec extends SparkSpec {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     def cands(fs: org.apache.spark.sql.sources.Filter*) =
       graft.sources.MemTables.candidateBatches(
-        fs.toArray, st.partitioning, st.eras, st.droppedAt, live)
+        fs.toArray, st.specHistory, st.eras, st.droppedAt, live)
     // identity-partition filter: only that partition's batches row-evaluate
     assert(cands(EqualTo("nk", 1L)).size === 2)
     // point filter: identity stats + bucket layout narrow to ONE batch

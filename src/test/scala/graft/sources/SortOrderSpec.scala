@@ -144,7 +144,7 @@ class SortOrderSpec extends SparkSpec {
     // rather than trusting the declaration
     import org.apache.spark.sql.catalyst.InternalRow
     MemTables.commit("so_decl", truncate = false, st.schema,
-      Seq(Array(InternalRow(9L, 1L), InternalRow(2L, 2L))))
+      Seq(MemTables.RowsPayload(Array(InternalRow(9L, 1L), InternalRow(2L, 2L)))))
     assert(ordering("so_decl").isEmpty, "unsorted rows must clear the claim")
     spark.sql("DROP TABLE graft.so_decl")
   }
