@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.EliminateRedundantDedup)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
     e.injectFunction((
       FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(array<bigint>, array<bigint>) - exact integer dot product"),

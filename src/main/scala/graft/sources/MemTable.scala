@@ -351,7 +351,8 @@ object MemTables {
     * names; scans resolve current-schema filter columns through the same
     * tombstone rules as data projection.
     */
-  final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long) {
+  final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long,
+      ndv: Long = -1L) {
     def allNull: Boolean = nullCount == rowCount
   }
 
@@ -535,6 +536,10 @@ object MemTables {
         var mn: Any = null
         var mx: Any = null
         var nulls = 0L
+        // exact per-batch distinct count over canonical values — the NDV
+        // half of the manifest entry (merged across batches as a BOUND at
+        // planning; CBO sizes joins from it)
+        val distinct = scala.collection.mutable.HashSet.empty[Any]
         var j = 0
         while (j < rows.length) {
           val r = rows(j)
@@ -543,10 +548,11 @@ object MemTables {
             val v = r.get(i, f.dataType)
             if (mn == null || cmp(v, mn) < 0) mn = v
             if (mx == null || cmp(v, mx) > 0) mx = v
+            distinct += canonKey(v)
           }
           j += 1
         }
-        f.name -> ColStats(mn, mx, nulls, n)
+        f.name -> ColStats(mn, mx, nulls, n, distinct.size.toLong)
       }
     }.toMap
   }
@@ -700,7 +706,22 @@ object MemTables {
     */
   final case class SchemaAt(
       version: Long, schema: StructType, droppedAt: Map[String, Long],
-      eras: Map[String, Vector[(Long, String)]] = Map.empty)
+      eras: Map[String, Vector[(Long, String)]] = Map.empty,
+      // column → (addedAt version, internal EXISTS-default value): rows
+      // written BEFORE addedAt read the default instead of NULL (the
+      // `ALTER ADD COLUMN ... DEFAULT` contract); versioned here so time
+      // travel binds the defaults the snapshot had
+      defaults: Map[String, (Long, Any)] = Map.empty)
+
+  /** The EXISTS-default one unresolvable column serves for a batch written
+    * at `writeVersion`: defined iff the column carries a default that was
+    * added AFTER the batch's bytes were written (a re-added column's
+    * default never leaks onto same-named pre-drop fields — those resolve
+    * through the era rules first and only land here unresolved).
+    */
+  def defaultFor(defaults: Map[String, (Long, Any)])(
+      target: String, writeVersion: Long): Option[Any] =
+    defaults.get(target).collect { case (addedAt, v) if addedAt > writeVersion => v }
 
   /** Resolve one bound (current-schema) column to its source-field name in
     * a batch written at `writeVersion`: era timeline first (rename-aware),
@@ -806,6 +827,8 @@ object MemTables {
     @volatile var droppedAt: Map[String, Long] = Map.empty
     // field-era (rename) ledger — see [[SchemaAt.eras]]; seeded with every
     // create-time column starting its timeline at v0
+    // column → (addedAt, internal EXISTS-default) — see [[defaultFor]]
+    @volatile var columnDefaults: Map[String, (Long, Any)] = Map.empty
     @volatile var eras: Map[String, Vector[(Long, String)]] =
       initialSchema.fieldNames.map(n => n -> Vector((0L, n))).toMap
     // metadata timeline, append-only, seeded with the create-time schema
@@ -1092,8 +1115,10 @@ object MemTables {
       version: Long): Seq[TaggedBatch] = payload match {
     case RowsPayload(rs) =>
       splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+        val stats = statsOf(writeSchema, rows)
+        enforceNotNull(writeSchema, stats)
         TaggedBatch(writeSchema, version, version, MemStore(rows),
-          batchId = st.mintBatchId(), stats = statsOf(writeSchema, rows), part = pt,
+          batchId = st.mintBatchId(), stats = stats, part = pt,
           specId = st.currentSpecId)
       }
     case FilesPayload(files) =>
@@ -1102,12 +1127,31 @@ object MemTables {
           throw new IllegalStateException(
             s"partition spec evolved (write split under spec ${f.specId}, " +
               s"table now at spec ${st.currentSpecId}) — re-run the write")
+        enforceNotNull(writeSchema, f.stats)
         TaggedBatch(writeSchema, version, version,
           FileStore(f.path, f.count, writeSchema),
           batchId = st.mintBatchId(), stats = f.stats, part = f.part,
           specId = f.specId)
       }
   }
+
+  /** Declared NOT NULL enforcement at PUBLISH (Spark's ANSI store
+    * assignment already AssertNotNull-guards SQL writes; this is the
+    * backstop for every path that reaches the commit protocol directly):
+    * a non-nullable column receiving NULL rows rejects the publish
+    * loudly — never a silently stored NULL. Stats-uncovered types carry
+    * no null counts and skip the check (documented boundary).
+    */
+  private def enforceNotNull(
+      schema: StructType, stats: Map[String, ColStats]): Unit =
+    schema.fields.foreach { f =>
+      if (!f.nullable) stats.get(f.name).foreach { s =>
+        if (s.nullCount > 0)
+          throw new IllegalArgumentException(
+            s"NOT NULL constraint violated: column ${f.name} received " +
+              s"${s.nullCount} NULL row(s)")
+      }
+    }
 
   def drop(key: String): Boolean = tables.remove(key) match {
     case Some(st) =>
@@ -1127,7 +1171,8 @@ object MemTables {
     * convert at read per [[widens]]).
     */
   def alterSchema(key: String, newSchema: StructType,
-      renames: Map[String, String] = Map.empty): Unit = {
+      renames: Map[String, String] = Map.empty,
+      addDefaults: Map[String, Any] = Map.empty): Unit = {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-alter"))
     st.synchronized {
@@ -1195,11 +1240,18 @@ object MemTables {
       eras = eras ++ added.map(n => n -> Vector((st.version, n)))
       st.eras = eras
       st.schema = newSchema
+      // EXISTS defaults of columns added at THIS version (`ALTER ADD
+      // COLUMN ... DEFAULT`): pre-alter batches read the value instead of
+      // NULL. A later drop retires the default with the field; a re-add
+      // starts clean (or with its own default).
+      st.columnDefaults = (st.columnDefaults -- dropped -- added) ++
+        addDefaults.view.mapValues(v => (st.version, v)).toMap
       // a sort-order claim names CURRENT columns: renaming or dropping one
       // of them retires the claim (widening preserves order and keeps it)
       if (st.sortedBy.exists(c => renames.contains(c) || dropped.contains(c)))
         st.clearSortOrder()
-      st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt, eras)
+      st.history = st.history :+ SchemaAt(st.version, newSchema, st.droppedAt, eras,
+        st.columnDefaults)
       st.stamp("alter")
     }
   }
@@ -1301,7 +1353,12 @@ object MemTables {
     * base-era schema; stats are computed at stage time), so the branch
     * read path is the ordinary scan over base-visible + staged batches.
     */
-  final case class BranchState(base: Long, appends: Vector[Vector[TaggedBatch]]) {
+  final case class BranchState(base: Long, appends: Vector[Vector[TaggedBatch]],
+      // branch-scoped ROW KILLS (batchId → dead positions): staged DML
+      // overlays — DELETE/UPDATE/MERGE against the branch record kills
+      // here (over base AND staged batches alike), invisible to main
+      // until fast_forward republishes them as one DV-delete commit
+      dvs: Map[Long, Set[Int]] = Map.empty) {
     def batches: Vector[TaggedBatch] = appends.flatten
   }
 
@@ -1353,13 +1410,18 @@ object MemTables {
       val staged = batches.flatMap {
         case RowsPayload(rs) =>
           splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
+            val stats = statsOf(writeSchema, rows)
+            enforceNotNull(writeSchema, stats)
+            // ids minted at STAGING (not publish): branch DML keys its
+            // kills on them, and fast_forward preserves them
             TaggedBatch(writeSchema, bs.base, bs.base, MemStore(rows),
-              stats = statsOf(writeSchema, rows), part = pt,
+              batchId = st.mintBatchId(), stats = stats, part = pt,
               specId = st.currentSpecId)
           }
         case FilesPayload(files) => files.map { f =>
           TaggedBatch(writeSchema, bs.base, bs.base,
             FileStore(f.path, f.count, writeSchema),
+            batchId = st.mintBatchId(),
             stats = f.stats, part = f.part, specId = f.specId)
         }
       }.toVector
@@ -1387,22 +1449,102 @@ object MemTables {
           s"cannot fast-forward branch '$branch' of $key: main is at version " +
             s"${st.version} but the branch forked at ${bs.base} — it has diverged; " +
             "drop the branch and re-stage against the current state")
+      // ID-PRESERVING publish: staged batches land EXACTLY as staged —
+      // same batchId (the branch's staged kills key on it), same store
+      // (file-backed stages republish by manifest reference), same
+      // partition tuple (split happened at stage time; a spec evolution
+      // since then moved main past the base, which the divergence check
+      // above already rejected). One main version per staged append, so
+      // history and the change feed show the same commits an unstaged
+      // write sequence would have produced.
       bs.appends.filter(_.nonEmpty).foreach { staged =>
-        // reentrant monitor: the whole publish is one critical section.
-        // Row-backed stages re-split under the current spec; file-backed
-        // ones republish their manifests (a spec evolved since staging
-        // fails the manifest's spec check loudly — re-stage instead).
-        val payloads = staged.map { b =>
-          b.store match {
-            case MemStore(rs) => RowsPayload(rs): TaskPayload
-            case FileStore(path, count, _) =>
-              FilesPayload(Vector(FileManifest(path, count, b.part, b.specId, b.stats)))
+        st.version += 1
+        val fresh = staged.map(b => b.copy(version = st.version, writeVersion = st.version))
+        st.batches = st.batches ++ fresh
+        maintainSortClaim(st, fresh, truncate = false)
+        st.stamp("append")
+      }
+      // staged DML kills publish as ONE DV-delete commit (branch-scoped
+      // DELETE/UPDATE/MERGE become real row-level deletes at this version;
+      // kill-only, so relative row order — and any sort claim — survives)
+      if (bs.dvs.nonEmpty) {
+        st.version += 1
+        st.batches = st.batches.map { b =>
+          bs.dvs.get(b.batchId) match {
+            case Some(dead) if b.removedAt == Long.MaxValue && dead.nonEmpty =>
+              b.copy(dv = b.dv ++ dead.iterator.map(_ -> st.version))
+            case _ => b
           }
         }
-        commit(key, truncate = false, staged.head.schema, payloads)
+        st.stamp("delete")
       }
       st.branches = st.branches - branch
       (bs.appends.count(_.nonEmpty).toLong, st.version)
+    }
+  }
+
+  /** Stage one DML delta onto a BRANCH (branch-scoped DELETE / UPDATE /
+    * MERGE — the mutation half of write-audit-publish): row kills land in
+    * the branch's DV overlay, post-images/inserts as a staged append —
+    * main is untouched until `fast_forward` republishes both atomically,
+    * and a dropped branch discards them without a trace. Row ids are
+    * validated against the branch's CURRENT view (base-visible + staged,
+    * existing kills applied) exactly like [[applyDelta]] validates against
+    * main. Merge-on-read tables only: the branch overlay IS a DV plane.
+    */
+  def stageDeltaToBranch(
+      key: String, branch: String, writeSchema: StructType,
+      deletes: Seq[(Long, Int)], inserts: Seq[Array[InternalRow]],
+      updates: Seq[((Long, Int), InternalRow)] = Nil): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalStateException(s"mem table $key dropped mid-delta"))
+    st.synchronized {
+      val bs = st.branches.getOrElse(branch,
+        throw new IllegalStateException(s"branch '$branch' of $key dropped mid-delta"))
+      val allDeletes = deletes ++ updates.map(_._1)
+      val byBatch = allDeletes.groupMap(_._1)(_._2)
+      if (byBatch.nonEmpty) {
+        val dups = allDeletes.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+        if (dups.nonEmpty)
+          throw new IllegalStateException(
+            s"branch '$branch' of $key: delta deletes the same row id(s) twice " +
+              s"in one stage: ${dups.mkString(", ")}")
+        val visible = (st.batches.filter(b =>
+          b.version <= bs.base && b.removedAt > bs.base) ++ bs.batches)
+          .map(b => b.batchId -> b).toMap
+        val missing = byBatch.keySet -- visible.keySet
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"branch '$branch' of $key: delta targets unknown batch ids $missing")
+        byBatch.foreach { case (id, poss) =>
+          val b = visible(id)
+          val deadAlready = b.deadAt(bs.base) ++ bs.dvs.getOrElse(id, Set.empty)
+          val bad = poss.filter(p => p < 0 || p >= b.rowCount || deadAlready.contains(p))
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"branch '$branch' of $key: delta deletes invalid/already-deleted " +
+                s"positions $bad of batch $id")
+        }
+      }
+      val newDvs = byBatch.foldLeft(bs.dvs) { case (m, (id, poss)) =>
+        m.updated(id, m.getOrElse(id, Set.empty) ++ poss)
+      }
+      val postRows = updates.map(_._2).toArray
+      val appendRows = (inserts.flatten ++ postRows).toArray
+      val staged: Vector[TaggedBatch] =
+        if (appendRows.isEmpty) Vector.empty
+        else splitByPartition(st.partitioning, writeSchema, appendRows)
+          .map { case (pt, rows) =>
+            val stats = statsOf(writeSchema, rows)
+            enforceNotNull(writeSchema, stats)
+            TaggedBatch(writeSchema, bs.base, bs.base, MemStore(rows),
+              batchId = st.mintBatchId(), stats = stats, part = pt,
+              specId = st.currentSpecId)
+          }.toVector
+      st.branches = st.branches.updated(branch,
+        bs.copy(
+          appends = if (staged.isEmpty) bs.appends else bs.appends :+ staged,
+          dvs = newDvs))
     }
   }
 
@@ -1600,12 +1742,19 @@ object MemTables {
     * matches instead of the table: at 100 TB an UPDATE touching one
     * partition's files must not rewrite the other 99.999%.
     *
-    * OPTIMISTIC CONCURRENCY: `expectedVersion` is the table version the
-    * operation's scan planned against. A commit that landed in between
-    * would be silently erased by publishing the rewrite (lost update), so
-    * — like Iceberg/Delta validation — the publish REJECTS when the
-    * version has advanced; the caller's recourse is to re-run the DML
-    * against the new state.
+    * OPTIMISTIC CONCURRENCY, snapshot-isolation granularity (the
+    * Iceberg serializable/snapshot-isolation split): `expectedVersion` is
+    * the table version the operation's scan planned against. An
+    * interleaved commit is a CONFLICT only when it touched what this
+    * rewrite actually SCANNED — a scanned batch soft-removed, a scanned
+    * batch that gained delete-vector kills, or an equality delete landing
+    * after the scan (its key kills could overlap scanned rows). A
+    * disjoint append — the overwhelmingly common race on a busy 100 TB
+    * table — commits concurrently: the rewrite replaces exactly the
+    * batches it read, and the appended batches survive untouched (the
+    * replacement set is bounded to batches visible AT the scanned
+    * version, so a whole-table rewrite can never erase rows it never
+    * read).
     */
   def replaceBatches(
       key: String,
@@ -1616,16 +1765,27 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-rewrite"))
     st.synchronized {
+      val bound = expectedVersion.getOrElse(st.version)
+      def scannedBy(b: TaggedBatch): Boolean =
+        b.version <= bound && versions.forall(_.contains(b.version))
       expectedVersion.foreach { v =>
-        if (st.version != v)
-          throw new IllegalStateException(
+        if (st.version != v) {
+          def conflict(what: String): Nothing = throw new IllegalStateException(
             s"mem table $key: concurrent commit detected — the row-level rewrite " +
-              s"scanned version $v but the table is now at version ${st.version}; " +
-              "publishing would erase the interleaved commit (lost update). Re-run the DML.")
+              s"scanned version $v but an interleaved commit $what; " +
+              "publishing would lose its effect. Re-run the DML.")
+          // scanned = live at v within the operation's group set
+          val touched = st.batches.filter(b => scannedBy(b) && b.removedAt > v &&
+            (b.removedAt != Long.MaxValue || b.dv.exists(_._2 > v)))
+          if (touched.nonEmpty)
+            conflict(s"modified scanned batch(es) ${touched.map(_.batchId).mkString(", ")}")
+          if (st.eqDeletes.exists(_.version > v))
+            conflict("published equality deletes")
+        }
       }
       st.version += 1
       st.batches = st.batches.map { b =>
-        if (b.removedAt == Long.MaxValue && versions.forall(_.contains(b.version)))
+        if (b.removedAt == Long.MaxValue && scannedBy(b))
           b.copy(removedAt = st.version)
         else b
       } ++ batches.filter(_.nonEmpty)
@@ -1773,12 +1933,21 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-delta"))
     st.synchronized {
+      // SNAPSHOT-ISOLATION validation (see [[replaceBatches]]): a version
+      // advance alone is NOT a conflict — a disjoint append commits
+      // concurrently. The delta's own row ids are validated structurally
+      // below (referenced batches must still be live with every targeted
+      // position alive — a CoW rewrite or compaction that replaced them
+      // fails the unknown-batch check, an overlapping DV fails the
+      // already-deleted check). Only an equality delete landing after the
+      // scan conflicts blindly: its key kills could overlap the rows this
+      // delta re-inserts as post-images.
       expectedVersion.foreach { v =>
-        if (st.version != v)
+        if (st.version != v && st.eqDeletes.exists(_.version > v))
           throw new IllegalStateException(
             s"mem table $key: concurrent commit detected — the delta rewrite " +
-              s"scanned version $v but the table is now at version ${st.version}; " +
-              "publishing would erase the interleaved commit (lost update). Re-run the DML.")
+              s"scanned version $v but an interleaved commit published equality " +
+              "deletes; publishing would lose their effect. Re-run the DML.")
       }
       // updates contribute a DV delete (the PRE-image) and a replacement
       // row (the POST-image); the linkage is recorded so the change feed
@@ -2051,14 +2220,18 @@ object MemTables {
   private[sources] def candidateBatches(
       filters: Array[Filter], specs: Vector[Seq[PartField]],
       eras: Map[String, Vector[(Long, String)]], droppedAt: Map[String, Long],
-      batches: Vector[TaggedBatch]): Vector[TaggedBatch] =
+      batches: Vector[TaggedBatch],
+      defaults: Map[String, (Long, Any)] = Map.empty): Vector[TaggedBatch] =
     if (filters.isEmpty) batches
     else batches.filter { b =>
       val n = b.rowCount.toLong
       val lookup: String => Option[ColStats] = name =>
         sourceFieldName(eras, droppedAt)(name, b.writeVersion)
           .filter(b.schema.fieldNames.contains) match {
-          case None => Some(ColStats(null, null, n, n)) // all-null here
+          case None => defaultFor(defaults)(name, b.writeVersion) match {
+            case Some(d) => Some(ColStats(d, d, 0L, n, 1L)) // rows serve D
+            case None => Some(ColStats(null, null, n, n)) // all-null here
+          }
           case Some(src) => b.stats.get(src)
         }
       val bSpec = specs(b.specId)
@@ -2080,11 +2253,14 @@ object MemTables {
       def valueOf(b: TaggedBatch, r: InternalRow, col: String): Any = {
         // era/tombstone resolution exactly as scans project: unresolvable
         // columns (pre-alter batches, dropped fields, pre-rename names)
-        // read NULL; widened columns surface their write-time value (cmp
-        // is numeric-promoting, so comparisons against the bound type work)
+        // read NULL — or their ADD COLUMN default where one applies (a
+        // `DELETE WHERE c = <default>` must match pre-alter rows exactly
+        // as a read shows them); widened columns surface their write-time
+        // value (cmp is numeric-promoting, so comparisons against the
+        // bound type work)
         val i = sourceFieldName(eras, droppedAt)(col, b.writeVersion)
           .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1)
-        if (i < 0) null
+        if (i < 0) defaultFor(st.columnDefaults)(col, b.writeVersion).orNull
         else if (r.isNullAt(i)) null
         else r.get(i, b.schema.fields(i).dataType)
       }
@@ -2135,7 +2311,8 @@ object MemTables {
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      candidateBatches(filters, st.specHistory, eras, droppedAt, live).iterator
+      candidateBatches(filters, st.specHistory, eras, droppedAt, live,
+        st.columnDefaults).iterator
         .map { b =>
           val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
           b.batchId -> b.rows.zipWithIndex.collect {
@@ -2450,13 +2627,58 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
   */
 final class MemBranchTable(
     key: String, branch: String, tableSchema: StructType, base: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"$key.branch_$branch"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(key, tableSchema, Some(base), None, Some(branch))
+
+  /** Same row-identity metadata as the main table — the delta row id
+    * `(_batch_id, _batch_pos)` branch-scoped DML anchors on (staged
+    * batches mint real ids at staging).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def col(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = c
+      }
+    Array(
+      col(MemTables.BatchVersion, org.apache.spark.sql.types.LongType,
+        "version of the committed batch this row belongs to"),
+      col(MemTables.BatchId, org.apache.spark.sql.types.LongType,
+        "unique id of the committed batch this row belongs to"),
+      col(MemTables.BatchPos, org.apache.spark.sql.types.IntegerType,
+        "row position within its committed batch"))
+  }
+
+  /** BRANCH-SCOPED DML (`DELETE/UPDATE/MERGE` against
+    * `<table>.branch_<name>`) — the mutation half of write-audit-publish:
+    * the delta rewrite reads the BRANCH view and stages row kills +
+    * post-images onto the branch ([[MemTables.stageDeltaToBranch]]); main
+    * stays byte-identical until `fast_forward` republishes, and a failed
+    * audit drops the branch without a trace. Merge-on-read tables only:
+    * the branch overlay is a DV plane, and a copy-on-write rewrite of
+    * base batches has no branch-scoped replacement semantics to stage.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val st = MemTables.get(key).getOrElse(
+      throw new IllegalStateException(s"mem table $key dropped"))
+    if (st.deleteMode != MemTables.DeleteModeMor)
+      throw new UnsupportedOperationException(
+        s"branch-scoped DML on $key requires " +
+          s"'graft.delete-mode'='${MemTables.DeleteModeMor}' (the branch " +
+          "stages row-level kills; a copy-on-write rewrite cannot stage)")
+    () => new MemBranchDeltaOperation(key, branch, base, tableSchema, info)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -2875,6 +3097,11 @@ object MemScanBuilder {
           return Left(()) // metadata columns: no aggregate contract
         val perBatch = batches.map { b =>
           MemScan.srcNameIn(b, meta)(n) match {
+            // an applicable ADD COLUMN default means the batch is NOT
+            // all-null for this column (every live row serves D) — the
+            // stats fold cannot account for kills there, so decline
+            case None if MemTables.defaultFor(meta.defaults)(n, b.writeVersion)
+              .isDefined => None
             case None => Some(None) // unresolvable: all-null for this batch
             case Some(src) =>
               val i = b.schema.fieldNames.indexOf(src)
@@ -3158,10 +3385,10 @@ final class MemScan(
     val st = MemTables.get(key)
       .getOrElse(throw new IllegalStateException(s"mem table $key dropped"))
     val (curVersion, earliestVersion, history, droppedAtCur, erasCur, allBatches,
-        branchesNow, eqDeletesNow, specs) =
+        branchesNow, eqDeletesNow, specs, defaultsCur) =
       st.synchronized {
         (st.version, st.earliestVersion, st.history, st.droppedAt, st.eras,
-          st.batches, st.branches, st.eqDeletes, st.specHistory)
+          st.batches, st.branches, st.eqDeletes, st.specHistory, st.columnDefaults)
       }
     // a snapshot expired between loadTable and scan planning must fail
     // loudly, not read the partial remains of its batches — validated
@@ -3178,8 +3405,8 @@ final class MemScan(
     val meta = asOf match {
       case Some(v) =>
         val h = history.filter(_.version <= v).last
-        MemScan.BoundMeta(h.droppedAt, h.eras, eqDeletesNow)
-      case None => MemScan.BoundMeta(droppedAtCur, erasCur, eqDeletesNow)
+        MemScan.BoundMeta(h.droppedAt, h.eras, eqDeletesNow, h.defaults)
+      case None => MemScan.BoundMeta(droppedAtCur, erasCur, eqDeletesNow, defaultsCur)
     }
     val droppedAt = meta.droppedAt
     // snapshot visibility: a batch exists in AS OF v iff committed at or
@@ -3190,12 +3417,21 @@ final class MemScan(
       case None => allBatches.filter(_.removedAt == Long.MaxValue)
     }
     // a BRANCH read is the base snapshot (this scan is bound AS OF the
-    // base) plus the branch's staged batches
+    // base) plus the branch's staged batches, with the branch's staged
+    // ROW KILLS overlaid (kill version 0 — visible at any branch bound;
+    // the copy touches metadata only, rows stay by reference)
     val live = branch match {
       case Some(br) =>
-        liveMain ++ branchesNow.getOrElse(br,
+        val bs = branchesNow.getOrElse(br,
           throw new IllegalStateException(
-            s"branch '$br' of $key was dropped or published before the scan planned")).batches
+            s"branch '$br' of $key was dropped or published before the scan planned"))
+        (liveMain ++ bs.batches).map { b =>
+          bs.dvs.get(b.batchId) match {
+            case Some(dead) if dead.nonEmpty =>
+              b.copy(dv = b.dv ++ dead.iterator.map(_ -> 0L))
+            case _ => b
+          }
+        }
       case None => liveMain
     }
     // row-level rewrite narrowed by the runtime group filter: scan only
@@ -3222,7 +3458,14 @@ final class MemScan(
           else if (name == MemTables.BatchId)
             Some(MemTables.ColStats(b.batchId, b.batchId, 0L, n))
           else MemScan.srcNameIn(b, meta)(name) match {
-            case None => Some(MemTables.ColStats(null, null, n, n)) // all-null
+            case None =>
+              // unresolvable: all-null here — unless an ADD COLUMN default
+              // applies, in which case every row serves the singleton D
+              // (treating it all-null would wrongly prune `name = D`)
+              MemTables.defaultFor(meta.defaults)(name, b.writeVersion) match {
+                case Some(d) => Some(MemTables.ColStats(d, d, 0L, n, 1L))
+                case None => Some(MemTables.ColStats(null, null, n, n))
+              }
             case Some(src) => b.stats.get(src) // None for uncovered types
           }
         allSkip.forall(f => MemTables.mayMatch(f, lookup)) && {
@@ -3267,9 +3510,51 @@ final class MemScan(
       (cut - dead.count(_ < cut)).toLong
     }.sum
     val bytes = rows * math.max(1, boundSchema.defaultSize).toLong
+    // per-column CBO statistics from the planned batches' manifest
+    // entries: distinct-count as a BOUND (Σ of exact per-batch NDVs,
+    // capped at the row count — overlapping batch domains only shrink the
+    // truth) and the summed null count. Estimates, not contracts — the
+    // aggregate-pushdown path keeps its own exactness rules — but they
+    // are what lets the cost-based optimizer size and REORDER joins over
+    // connector tables instead of guessing.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      new java.util.HashMap()
+    boundSchema.fieldNames
+      .filterNot(n => Set(MemTables.BatchVersion, MemTables.BatchId,
+        MemTables.BatchPos).contains(n))
+      .foreach { n =>
+        var ndv = 0L
+        var nulls = 0L
+        var known = planned.nonEmpty
+        planned.foreach { case (b, srcNames, _, _) =>
+          srcNames.get(n).flatMap(b.stats.get) match {
+            case Some(s) if s.ndv >= 0 => ndv += s.ndv; nulls += s.nullCount
+            case Some(_) => known = false
+            case None if srcNames.contains(n) => known = false // uncovered type
+            case None => nulls += b.rowCount // unresolved era: all-null here
+          }
+        }
+        if (known) {
+          val d = math.min(ndv, math.max(rows - nulls, 0L))
+          val nl = math.min(nulls, rows)
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(d)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nl)
+            })
+        }
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -3302,8 +3587,13 @@ final class MemScan(
     // row-level ops: remember the version the rewrite planned against so
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
+    val (_, meta, _, _) = selectBatches()
     planned.map { case (b, srcNames, dead, cut) =>
       val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
+      val defaults = boundSchema.fieldNames.iterator
+        .filterNot(srcNames.contains)
+        .flatMap(n => MemTables.defaultFor(meta.defaults)(n, b.writeVersion)
+          .map(n -> _)).toMap
       b.store match {
         case MemTables.FileStore(path, _, _) =>
           // file-backed: ship the PATH (+ positions to skip and the head
@@ -3311,11 +3601,11 @@ final class MemScan(
           // driver never materializes data for a scan
           MemPartition(b.schema, b.version, srcNames, Array.empty,
             dead.filter(_ < cut), b.batchId, key,
-            file = Some(path), cut = cut): InputPartition
+            file = Some(path), cut = cut, defaults = defaults): InputPartition
         case _ =>
           val rows = if (cut == b.rowCount) b.rows else b.rows.take(cut)
           MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
-            b.batchId, key): InputPartition
+            b.batchId, key, defaults = defaults): InputPartition
       }
     }.toArray
   }
@@ -3534,6 +3824,9 @@ object MemScan {
           if (s >= 0 && srcType(j) != target.fields(j).dataType) target.fields(j).dataType
           else null
         }
+        // unresolved fields read their batch-applicable ADD COLUMN default
+        // (null when none) — see [[MemPartition.defaults]]
+        val defaultVal = target.fields.map(f => p.defaults.getOrElse(f.name, null))
         def project(r: InternalRow, pos: Int): InternalRow =
           if (sameLayout) r
           else {
@@ -3549,7 +3842,8 @@ object MemScan {
                   val raw = r.get(s, srcType(j))
                   if (widenTo(j) == null) raw
                   else MemTables.widenValue(raw, srcType(j), widenTo(j))
-                } else null
+                } else if (s == -1) defaultVal(j)
+                else null
               j += 1
             }
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -3614,7 +3908,8 @@ object MemScan {
     */
   final case class BoundMeta(
       droppedAt: Map[String, Long], eras: Map[String, Vector[(Long, String)]],
-      eqDeletes: Vector[MemTables.EqDelete] = Vector.empty)
+      eqDeletes: Vector[MemTables.EqDelete] = Vector.empty,
+      defaults: Map[String, (Long, Any)] = Map.empty)
 
   /** Era/tombstone-resolved source-field name of one bound column within a
     * batch — None when the column reads NULL there (see
@@ -3762,6 +4057,50 @@ final class MemDeltaOperation(
     }
 }
 
+/** BRANCH-scoped delta operation: identical protocol to
+  * [[MemDeltaOperation]] — per-row deletes/updates/inserts keyed by
+  * `(_batch_id, _batch_pos)` — except the scan reads the BRANCH view and
+  * the publish STAGES onto the branch ([[MemTables.stageDeltaToBranch]])
+  * instead of committing to main.
+  */
+final class MemBranchDeltaOperation(
+    key: String, branch: String, base: Long, tableSchema: StructType,
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write._
+
+  private val state = new MemRowLevelState(groupFilterable = false)
+
+  override def command(): RowLevelOperation.Command = info.command()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(key, tableSchema, Some(base), Some(state), Some(branch))
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(MemTables.BatchId),
+      org.apache.spark.sql.connector.expressions.Expressions.column(MemTables.BatchPos))
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = Array.empty
+  override def newWriteBuilder(lw: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+            new MemDeltaWriterFactory
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val msgs = messages.map(_.asInstanceOf[MemDeltaCommitMessage])
+            MemTables.stageDeltaToBranch(
+              key, branch, lw.schema(),
+              msgs.flatMap(_.deletes).toSeq,
+              msgs.map(_.inserts).toSeq,
+              msgs.flatMap(_.updates).toSeq)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
 /** Driver publish of the buffered per-task delta messages — one atomic
   * version via [[MemTables.applyDelta]], with the scan-version conflict
   * check.
@@ -3831,7 +4170,11 @@ final case class MemPartition(
     partKey: Option[Seq[Any]] = None,
     // FILE-BACKED batches ship their parquet path (rows stays empty) and
     // the planned head cut (-1 = no cut); executors stream the file
-    file: Option[String] = None, cut: Int = -1)
+    file: Option[String] = None, cut: Int = -1,
+    // target column → internal EXISTS-default for columns this batch
+    // predates (`ALTER ADD COLUMN ... DEFAULT`); unresolved fields read
+    // this instead of NULL
+    defaults: Map[String, Any] = Map.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The batch's partition tuple as the V2 key row (internal values, in
     * transform order) — only consulted when the scan reported

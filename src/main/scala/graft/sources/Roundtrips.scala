@@ -1144,10 +1144,14 @@ object Roundtrips {
     * against the BRANCH read, and only a passing candidate fast-forwards
     * onto main. Round 1 stages a candidate with NULL keys → the DQ check
     * throws → `drop_branch`; round 2 stages a clean candidate → publish.
-    * The result unions the final table with its history ledger: a failed
-    * audit that leaked ANY version (the staged write becoming a commit)
-    * would add a ledger row and break the hash — main is provably
-    * byte-identical through the failed round.
+    * Rounds 3–4 (round 12) extend WAP to MUTATIONS
+    * ([[MemTables.stageDeltaToBranch]]): a branch UPDATE that nulls the
+    * key column fails the audit and drops with main BYTE-IDENTICAL, then
+    * a passing branch UPDATE fast-forwards — post-images as an append,
+    * row kills as one DV-delete commit. The result unions the final table
+    * with its history ledger: a failed audit that leaked ANY version
+    * (staged write or staged kill becoming a commit) would add a ledger
+    * row and break the hash.
     */
   val dsv2BranchWap: QueryDef = QueryDef(
     "dsv2_branch_wap",
@@ -1156,17 +1160,22 @@ object Roundtrips {
       |  FROM orders WHERE o_orderkey % 11 = 0),
       |cand AS (
       |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) + 13 AS v
-      |  FROM orders WHERE o_orderkey % 7 = 0)
-      |SELECT 'cur' AS part, CAST(k AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b FROM base
-      |UNION ALL SELECT 'cur', CAST(k AS VARCHAR), CAST(v AS VARCHAR) FROM cand
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (SELECT * FROM base UNION ALL SELECT * FROM cand),
+      |final AS (
+      |  SELECT k, CASE WHEN k % 2 = 0 THEN v + 1000 ELSE v END AS v FROM merged)
+      |SELECT 'cur' AS part, CAST(k AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b FROM final
       |UNION ALL SELECT 'hist', '0', 'create'
       |UNION ALL SELECT 'hist', '1', 'append'
-      |UNION ALL SELECT 'hist', '2', 'append'""".stripMargin) { (spark, dir) =>
+      |UNION ALL SELECT 'hist', '2', 'append'
+      |UNION ALL SELECT 'hist', '3', 'append'
+      |UNION ALL SELECT 'hist', '4', 'delete'""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
     val key = "mem_orders_wap"
     val tbl = s"graft.$key"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     val orders = Tables.orders(spark, dir)
     orders.filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1194,6 +1203,22 @@ object Roundtrips {
       .writeTo(branchTbl).append() // staged
     graft.rentals.DataQuality.runQualityChecks(spark.table(branchTbl), audit)
     spark.sql(s"CALL graft.fast_forward('$key', 'audit')") // v2
+    // round 3 (branch-scoped DML): an UPDATE that nulls the key column
+    // fails the audit; dropping the branch leaves main byte-identical —
+    // no append version, no delete version, no ledger row
+    spark.sql(s"CALL graft.create_branch('$key', 'audit', 2)")
+    spark.sql(s"UPDATE $branchTbl SET k = NULL WHERE k % 2 = 0")
+    val badUpdate =
+      try { graft.rentals.DataQuality.runQualityChecks(spark.table(branchTbl), audit); false }
+      catch { case _: graft.rentals.DataQualityError => true }
+    require(badUpdate, "the null-key branch UPDATE must fail the audit")
+    spark.sql(s"CALL graft.drop_branch('$key', 'audit')")
+    // round 4: a passing branch UPDATE fast-forwards — post-images append
+    // (v3), row kills publish as one DV-delete commit (v4)
+    spark.sql(s"CALL graft.create_branch('$key', 'audit', 2)")
+    spark.sql(s"UPDATE $branchTbl SET v = v + 1000 WHERE k % 2 = 0")
+    graft.rentals.DataQuality.runQualityChecks(spark.table(branchTbl), audit)
+    spark.sql(s"CALL graft.fast_forward('$key', 'audit')") // v3 + v4
     spark.sql(s"CALL graft.table_history('$key')")
       .createOrReplaceTempView("graft_wap_history")
     spark.sql(
@@ -2064,6 +2089,91 @@ object Roundtrips {
          |SELECT 'total', count(*), max(d), sum(v) FROM $tbl""".stripMargin)
   }
 
+  /** COLUMN DEFAULTS through the gate (`ALTER TABLE ... ADD COLUMN ...
+    * DEFAULT`, [[MemTables.defaultFor]]): orders land, the table gains a
+    * defaulted `src` column (metadata-only — the verdict's "DEFAULT-valued
+    * evolution is the common warehouse shape"), and a second slice lands
+    * with explicit values. Pre-alter rows must read the EXISTS default in
+    * every surface the oracle touches — grouped counts over the column,
+    * filters on the default value, and the pre-alter snapshot staying
+    * bytes-identical under time travel. ColumnDefaultSpec pins the NOT
+    * NULL write rejection and the DELETE-evaluator/skipping integration;
+    * this row pins the data against DuckDB replaying the alter
+    * relationally.
+    */
+  val dsv2ColumnDefault: QueryDef = QueryDef(
+    "dsv2_column_default",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |legacy AS (SELECT k, v, 'legacy' AS src FROM base),
+      |fresh AS (SELECT k, v, 'fresh' AS src FROM base WHERE k % 7 = 0),
+      |final AS (SELECT * FROM legacy UNION ALL SELECT * FROM fresh)
+      |SELECT src AS part, CAST(count(*) AS BIGINT) AS c,
+      |       CAST(sum(v) AS BIGINT) AS sv
+      |FROM final GROUP BY src
+      |UNION ALL
+      |SELECT 'pre-alter', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_default"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN src STRING DEFAULT 'legacy'") // v2
+    base.filter(col("k") % 7 === 0).withColumn("src", lit("fresh"))
+      .writeTo(tbl).append() // v3
+    spark.sql(
+      s"""SELECT src AS part, count(*) AS c, sum(v) AS sv FROM $tbl GROUP BY src
+         |UNION ALL
+         |SELECT 'pre-alter', count(*), sum(v) FROM $tbl VERSION AS OF 1""".stripMargin)
+  }
+
+  /** CATALOG-OWNED VIEWS through the gate (`CALL graft.create_view` +
+    * [[graft.plans.ResolveGraftViews]]): a view over the live orders
+    * table and a view pinning a pre-delete snapshot via `VERSION AS OF`
+    * read side by side — the stored SQL re-resolves at read, so the live
+    * view tracks the DELETE while the pinned view replays history. The
+    * oracle restates both relationally; ViewCatalogSpec pins the API
+    * round-trip, the shadow guard, and restart survival. At 100 TB views
+    * are the governance surface: the lakehouse catalog owning them (not
+    * the session) is what makes them shareable across engines.
+    */
+  val dsv2ViewRead: QueryDef = QueryDef(
+    "dsv2_view_read",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE NOT (v < 15000000))
+      |SELECT 'live' AS part, CAST(count(*) AS BIGINT) AS c,
+      |       CAST(sum(v) AS BIGINT) AS sv
+      |FROM kept WHERE k % 2 = 0
+      |UNION ALL
+      |SELECT 'pinned', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base WHERE k % 2 = 0""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_viewed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    MemViews.views.remove("orders_even_live")
+    MemViews.views.remove("orders_even_pinned")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_view('orders_even_live', " +
+      s"'SELECT k, v FROM $tbl WHERE k % 2 = 0')")
+    spark.sql("CALL graft.create_view('orders_even_pinned', " +
+      s"'SELECT k, v FROM $tbl VERSION AS OF 1 WHERE k % 2 = 0')")
+    spark.sql(s"DELETE FROM $tbl WHERE v < 15000000") // v2: live view shrinks
+    spark.sql(
+      """SELECT 'live' AS part, count(*) AS c, sum(v) AS sv
+        |FROM graft.orders_even_live
+        |UNION ALL
+        |SELECT 'pinned', count(*), sum(v) FROM graft.orders_even_pinned""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2075,5 +2185,6 @@ object Roundtrips {
       dsv2RewriteSorted, dsv2PartitionedPrune, dsv2SpjJoin, dsv2AggStats,
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
-      dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage)
+      dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
+      dsv2ColumnDefault, dsv2ViewRead)
 }

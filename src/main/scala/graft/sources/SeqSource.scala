@@ -322,9 +322,90 @@ final case class SeqScan(
   */
 class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
-  import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
-  import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange, View, ViewChange, ViewInfo}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+
+  /** VIEW catalog half (Spark 4 `ViewCatalog`): `CREATE VIEW graft.v AS
+    * ...` lands IN THIS CATALOG instead of falling back to the session
+    * catalog — the lakehouse-owns-its-views contract. Views store the SQL
+    * text plus the analysis context (catalog, namespace, schema, column
+    * aliases) and are re-resolved at read, so a view over a versioned mem
+    * table composes with time travel and schema evolution underneath.
+    * Storage is process-wide (like [[MemTables]]), so views survive
+    * session restarts within the process.
+    */
+  override def listViews(namespace: String*): Array[Identifier] =
+    MemViews.views.keys.toArray.sorted.map(n => Identifier.of(Array.empty, n))
+
+  override def loadView(ident: Identifier): View = {
+    val key = memKey(ident)
+    MemViews.views.get(key).map { v =>
+      new View {
+        override def name(): String = key
+        override def query(): String = v.sql
+        override def currentCatalog(): String = v.currentCatalog
+        override def currentNamespace(): Array[String] = v.currentNamespace
+        override def schema(): StructType = v.schema
+        override def queryColumnNames(): Array[String] = v.queryColumnNames
+        override def columnAliases(): Array[String] = v.columnAliases
+        override def columnComments(): Array[String] = v.columnComments
+        override def properties(): util.Map[String, String] = {
+          val m = new java.util.HashMap[String, String]()
+          v.properties.foreach { case (k, value) => m.put(k, value) }
+          m
+        }
+      }
+    }.getOrElse(throw new NoSuchViewException(ident))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    MemViews.views.contains(memKey(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val key = memKey(info.ident)
+    // a view must not shadow a table (resolution order would silently
+    // flip depending on the statement shape)
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(info.ident)
+    import scala.jdk.CollectionConverters._
+    val stored = MemViews.StoredView(
+      info.sql, info.currentCatalog, info.currentNamespace, info.schema,
+      info.queryColumnNames, info.columnAliases, info.columnComments,
+      info.properties.asScala.toMap)
+    if (MemViews.views.putIfAbsent(key, stored).isDefined)
+      throw new ViewAlreadyExistsException(info.ident)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val key = memKey(ident)
+    val v = MemViews.views.getOrElse(key, throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(v.properties) { (ps, c) =>
+      c match {
+        case s: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+          ps + (s.property -> s.value)
+        case r: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+          ps - r.property
+        case other => throw new UnsupportedOperationException(
+          s"unsupported view change ${other.getClass.getSimpleName}")
+      }
+    }
+    MemViews.views.update(key, v.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    MemViews.views.remove(memKey(ident)).isDefined
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val v = MemViews.views.getOrElse(memKey(from), throw new NoSuchViewException(from))
+    if (MemViews.views.contains(memKey(to)) || tableExists(to))
+      throw new ViewAlreadyExistsException(to)
+    MemViews.views.put(memKey(to), v)
+    MemViews.views.remove(memKey(from))
+  }
 
   /** V2 FUNCTION catalog half — what makes `bucket(n, col)` a RESOLVABLE
     * transform: Spark's `V2ExpressionUtils` looks the function up here to
@@ -368,11 +449,14 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "drop_branch" => DropBranchProcedure
       case "fast_forward" => FastForwardProcedure
       case "replace_partition_spec" => ReplacePartitionSpecProcedure
+      case "create_view" => CreateViewProcedure
+      case "drop_view" => DropViewProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
           "table_history, create_tag, drop_tag, " +
-          "create_branch, drop_branch, fast_forward, replace_partition_spec)")
+          "create_branch, drop_branch, fast_forward, replace_partition_spec, " +
+          "create_view, drop_view)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
@@ -387,12 +471,27 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "create_branch"),
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "fast_forward"),
-      Identifier.of(namespace, "replace_partition_spec"))
+      Identifier.of(namespace, "replace_partition_spec"),
+      Identifier.of(namespace, "create_view"),
+      Identifier.of(namespace, "drop_view"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  /** Column DEFAULT support (`CREATE TABLE (c INT DEFAULT 5)` / `ALTER
+    * TABLE ... ADD COLUMN c INT DEFAULT 5`): declaring the capability lets
+    * Spark's analyzer resolve DEFAULT clauses against this catalog —
+    * create-time defaults ride the column metadata (new INSERTs fill them
+    * analyzer-side), ALTER-time defaults additionally become the
+    * EXISTS-default pre-alter rows read ([[MemTables.defaultFor]]).
+    */
+  override def capabilities():
+      java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private val Pattern = "seq_([0-9]+)".r
 
@@ -599,14 +698,50 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       fieldNames.head
     }
     var renames = Map.empty[String, String]
+    var addDefaults = Map.empty[String, Any]
     val newSchema = changes.foldLeft(st.schema) { (schema, change) =>
       change match {
         case add: TableChange.AddColumn =>
           val name = topLevel(add.fieldNames())
           if (schema.fieldNames.contains(name))
             throw new IllegalArgumentException(s"column $name already exists in $key")
-          // always nullable: rows written before this alter read it as null
-          schema.add(name, add.dataType(), nullable = true)
+          Option(add.defaultValue()) match {
+            case None =>
+              if (!add.isNullable)
+                throw new IllegalArgumentException(
+                  s"cannot add NOT NULL column $name to $key without a DEFAULT: " +
+                    "rows written before the alter would read NULL")
+              // nullable, no default: pre-alter rows read NULL
+              schema.add(name, add.dataType(), nullable = true)
+            case Some(dv) =>
+              // DEFAULT: pre-alter rows read the literal (the EXISTS
+              // default); the SQL text rides the column metadata so the
+              // analyzer fills omitted columns on future INSERTs (the
+              // CURRENT default) — the two halves of the standard contract
+              val lit = Option(dv.getValue).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"column $name of $key: only literal DEFAULTs are supported"))
+              val v = if (lit.value == null) null
+                else if (lit.dataType == add.dataType()) lit.value
+                else if (MemTables.widens(lit.dataType, add.dataType()))
+                  MemTables.widenValue(lit.value, lit.dataType, add.dataType())
+                else throw new IllegalArgumentException(
+                  s"DEFAULT literal type ${lit.dataType.simpleString} does not " +
+                    s"match column $name's ${add.dataType().simpleString}")
+              if (v == null && !add.isNullable)
+                throw new IllegalArgumentException(
+                  s"cannot add NOT NULL column $name with a NULL default")
+              addDefaults += (name -> v)
+              val meta = Option(dv.getSql) match {
+                case Some(sql) => new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("CURRENT_DEFAULT", sql)
+                  .putString("EXISTS_DEFAULT", sql)
+                  .build()
+                case None => org.apache.spark.sql.types.Metadata.empty
+              }
+              schema.add(org.apache.spark.sql.types.StructField(
+                name, add.dataType(), nullable = add.isNullable, meta))
+          }
         case del: TableChange.DeleteColumn =>
           val name = topLevel(del.fieldNames())
           if (!schema.fieldNames.contains(name))
@@ -639,13 +774,26 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
               s"ALTER COLUMN TYPE only, got ${other.getClass.getSimpleName}")
       }
     }
-    MemTables.alterSchema(key, newSchema, renames)
+    MemTables.alterSchema(key, newSchema, renames, addDefaults)
     new MemTable(key, newSchema)
   }
   override def dropTable(ident: Identifier): Boolean =
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+}
+
+/** Process-wide view store backing [[SeqCatalog]]'s `ViewCatalog` half —
+  * the stored shape is `ViewInfo` minus the identifier (the map key).
+  */
+object MemViews {
+  final case class StoredView(
+      sql: String, currentCatalog: String, currentNamespace: Array[String],
+      schema: org.apache.spark.sql.types.StructType,
+      queryColumnNames: Array[String], columnAliases: Array[String],
+      columnComments: Array[String], properties: Map[String, String])
+  val views: scala.collection.concurrent.TrieMap[String, StoredView] =
+    scala.collection.concurrent.TrieMap.empty
 }
 
 /** The catalog's `bucket` V2 function ([[MemTables.bucketOf]] exposed to
@@ -1058,6 +1206,85 @@ object ReplacePartitionSpecProcedure
     val specId = MemTables.get(key).get.currentSpecId
     ProcedureResults.scan(s"GraftReplacePartitionSpec $key [$specStr]", outSchema,
       Seq(Seq(specId, MemTables.renderSpec(spec), version)))
+  }
+}
+
+/** VIEW DDL (`CALL graft.create_view('v', 'SELECT ...')` / `CALL
+  * graft.drop_view('v')`): the graft catalog OWNS its views
+  * ([[MemViews]], read-resolved by [[graft.plans.ResolveGraftViews]]).
+  * Procedures, not `CREATE VIEW` SQL, because OSS Spark 4.1 hard-rejects
+  * view DDL against any non-session catalog — the same boundary Iceberg
+  * papers over with parser extensions. The SQL text is analyzed at CALL
+  * time (schema recorded, bad SQL fails here, not at first read);
+  * resolution at read re-parses, so views track evolving tables.
+  */
+object CreateViewProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.StringType
+
+  override def name(): String = "create_view"
+  override def description(): String =
+    "register a view owned by this catalog (read as <catalog>.<name>)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("sql", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("schema", StringType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val viewName = input.getUTF8String(0).toString
+    val sql = input.getUTF8String(1).toString
+    if (viewName.isEmpty || viewName.contains("."))
+      throw new IllegalArgumentException(
+        s"view name '$viewName' is invalid (must be non-empty, no dots)")
+    if (MemTables.get(viewName).isDefined)
+      throw new IllegalArgumentException(
+        s"a table named '$viewName' already exists — a view must not shadow it")
+    val spark = org.apache.spark.sql.SparkSession.active
+    // analyze NOW: a broken view fails its creator, not its first reader
+    val schema = spark.sql(sql).schema
+    val stored = MemViews.StoredView(
+      sql, spark.sessionState.catalogManager.currentCatalog.name(),
+      Array.empty, schema, schema.fieldNames, Array.empty, Array.empty, Map.empty)
+    if (MemViews.views.putIfAbsent(viewName, stored).isDefined)
+      throw new IllegalArgumentException(s"view '$viewName' already exists")
+    ProcedureResults.scan(s"GraftCreateView $viewName", outSchema,
+      Seq(Seq(viewName, schema.simpleString)))
+  }
+}
+
+object DropViewProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+
+  override def name(): String = "drop_view"
+  override def description(): String = "drop a view owned by this catalog"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("dropped", BooleanType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val viewName = input.getUTF8String(0).toString
+    val dropped = MemViews.views.remove(viewName).isDefined
+    if (!dropped)
+      throw new IllegalArgumentException(s"view '$viewName' does not exist")
+    ProcedureResults.scan(s"GraftDropView $viewName", outSchema,
+      Seq(Seq(viewName, java.lang.Boolean.TRUE)))
   }
 }
 

@@ -635,31 +635,40 @@ class RoundtripsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
-  test("DSv2 MemTable: row-level publish rejects a concurrently advanced table version") {
+  test("DSv2 MemTable: row-level publish validates its SCANNED batches (snapshot isolation)") {
     val schema = new org.apache.spark.sql.types.StructType().add("k", "long")
     graft.sources.MemTables.create("spec_rlo_conflict", schema)
     try {
-      def msg(v: Long) = {
-        val dw = new graft.sources.MemWriterFactory().createWriter(0, 0L)
-        dw.write(org.apache.spark.sql.catalyst.InternalRow(v)); dw.commit()
-      }
+      def rows(v: Long) = Array(org.apache.spark.sql.catalyst.InternalRow(v))
+      import graft.sources.MemTables.RowsPayload
       graft.sources.MemTables.commit("spec_rlo_conflict", truncate = false, schema,
-        Seq(graft.sources.MemTables.RowsPayload(
-          Array(org.apache.spark.sql.catalyst.InternalRow(1L))))) // v1
+        Seq(RowsPayload(rows(1L)))) // v1
       // a rewrite that scanned v1 publishes fine when nothing interleaved
       graft.sources.MemTables.replaceBatches(
-        "spec_rlo_conflict", Some(Set(1L)), Some(1L), schema,
-        Seq(msg(2L).asInstanceOf[graft.sources.MemCommitMessage].rows)) // v2
+        "spec_rlo_conflict", Some(Set(1L)), Some(1L), schema, Seq(rows(2L))) // v2
       val st = graft.sources.MemTables.get("spec_rlo_conflict").get
       assert(st.version === 2L)
-      // ... but a publish whose scan predates an interleaved commit is
-      // REJECTED (lost-update guard), leaving the table untouched
+      // a DISJOINT APPEND racing the next rewrite is NOT a conflict: the
+      // appended batch wasn't scanned, so both commits land (the
+      // snapshot-isolation split every busy table needs) — and the
+      // replacement removes ONLY the scanned batch, never the appended one
+      graft.sources.MemTables.commit("spec_rlo_conflict", truncate = false, schema,
+        Seq(RowsPayload(rows(50L)))) // v3 — interleaved append
+      graft.sources.MemTables.replaceBatches(
+        "spec_rlo_conflict", Some(Set(2L)), Some(2L), schema, Seq(rows(3L))) // v4
+      assert(st.version === 4L)
+      val live = st.batches.filter(_.removedAt == Long.MaxValue)
+      assert(live.flatMap(_.rows).map(_.getLong(0)).sorted === Vector(3L, 50L))
+      // ... but an interleaved commit that TOUCHED a scanned batch is
+      // rejected (lost-update guard), leaving the table untouched: the
+      // v4 rewrite removed the v2 batch this stale publish claims to
+      // have scanned
       val err = intercept[IllegalStateException] {
         graft.sources.MemTables.replaceBatches(
-          "spec_rlo_conflict", Some(Set(2L)), Some(1L), schema, Seq.empty)
+          "spec_rlo_conflict", Some(Set(2L)), Some(2L), schema, Seq.empty)
       }
       assert(err.getMessage.contains("concurrent commit"))
-      assert(st.version === 2L)
+      assert(st.version === 4L)
     } finally graft.sources.MemTables.drop("spec_rlo_conflict")
   }
 
@@ -897,12 +906,25 @@ class RoundtripsSpec extends SparkSpec {
     val ids = spark.sql(s"SELECT _batch_id, _batch_pos, _batch_version FROM $tbl").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(ids.map(t => (t._1, t._2)).distinct.length === ids.length)
-    // a delta publish whose scan predates an interleaved commit is rejected
+    // SNAPSHOT-ISOLATION validation: a stale scan version alone is NOT a
+    // conflict — an inserts-only delta races any disjoint commit and
+    // lands; a delta whose row id collides with an interleaved kill (the
+    // DV entry v3 put at position 1 of the first batch) is rejected on
+    // the already-deleted position — the structural per-row-id check,
+    // not a blind version compare
+    val vIns = st.version
+    graft.sources.MemTables.applyDelta(
+      "mem_delta_spec", Some(1L), st.schema, Seq.empty,
+      Seq(Array(org.apache.spark.sql.catalyst.InternalRow(9L, 90L))))
+    assert(st.version === vIns + 1)
+    val killedBatch = st.batches.filter(b =>
+      b.removedAt == Long.MaxValue && b.dv.nonEmpty).head
     val err = intercept[IllegalStateException] {
       graft.sources.MemTables.applyDelta(
-        "mem_delta_spec", Some(1L), st.schema, Seq.empty, Seq.empty)
+        "mem_delta_spec", Some(1L), st.schema,
+        Seq((killedBatch.batchId, killedBatch.dv.keys.head)), Seq.empty)
     }
-    assert(err.getMessage.contains("concurrent commit"))
+    assert(err.getMessage.contains("already-deleted"))
     // a row id pointing at an unknown batch or a dead position fails
     // loudly — and a REJECTED publish must not burn a version slot (the
     // serializable-history invariant: every slot owns a stamp)

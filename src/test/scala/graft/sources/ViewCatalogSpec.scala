@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Catalog-owned VIEWS ([[MemViews]] + [[graft.plans.ResolveGraftViews]]
+  * + the `ViewCatalog` API): `CALL graft.create_view` registers, reads
+  * resolve `graft.<view>` through the stored SQL (re-parsed, so schema
+  * evolution and time travel underneath compose), views survive catalog
+  * re-registration within the process, and DDL failure modes are loud.
+  * (OSS Spark 4.1 hard-rejects `CREATE VIEW` SQL against non-session
+  * catalogs — the procedure surface + injected resolution is the same
+  * technique Iceberg's extensions use.)
+  */
+class ViewCatalogSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+
+  test("create_view / read / drop_view; live state and time travel compose") {
+    catalogOn(); drop("vc_t")
+    MemViews.views.remove("vc_v"); MemViews.views.remove("vc_v1")
+    spark.sql("CREATE TABLE graft.vc_t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.vc_t SELECT id, id * 2 FROM range(0, 10)") // v1
+    val made = spark.sql(
+      "CALL graft.create_view('vc_v', 'SELECT k, v FROM graft.vc_t WHERE k >= 5')")
+      .collect()(0)
+    assert(made.getString(0) === "vc_v")
+    assert(made.getString(1).contains("k"))
+    assert(spark.sql("SELECT count(*) FROM graft.vc_v").head().getLong(0) === 5L)
+    // the view re-resolves LIVE state: new data shows up
+    spark.sql("INSERT INTO graft.vc_t VALUES (100, 0)") // v2
+    assert(spark.sql("SELECT count(*) FROM graft.vc_v").head().getLong(0) === 6L)
+    // a view can pin a snapshot via time travel underneath
+    spark.sql("CALL graft.create_view('vc_v1', " +
+      "'SELECT count(*) AS c FROM graft.vc_t VERSION AS OF 1')")
+    assert(spark.sql("SELECT c FROM graft.vc_v1").head().getLong(0) === 10L)
+    // views join tables and each other (nested resolution by fixpoint)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.vc_v a JOIN graft.vc_t b ON a.k = b.k")
+      .head().getLong(0) === 6L)
+    spark.sql("CALL graft.drop_view('vc_v1')")
+    spark.sql("CALL graft.drop_view('vc_v')")
+    assert(!MemViews.views.contains("vc_v"))
+    intercept[Exception](spark.sql("SELECT * FROM graft.vc_v").collect())
+    drop("vc_t")
+  }
+
+  test("views survive catalog re-registration (process-wide store)") {
+    catalogOn(); drop("vc_surv_t")
+    MemViews.views.remove("vc_surv")
+    spark.sql("CREATE TABLE graft.vc_surv_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_surv_t VALUES (1), (2)")
+    spark.sql("CALL graft.create_view('vc_surv', 'SELECT k FROM graft.vc_surv_t')")
+    // simulate a session restart: unset + re-register the catalog (plugin
+    // instances rebuild; the store is process-wide like MemTables)
+    spark.conf.unset("spark.sql.catalog.graft")
+    catalogOn()
+    assert(spark.sql("SELECT count(*) FROM graft.vc_surv").head().getLong(0) === 2L)
+    spark.sql("CALL graft.drop_view('vc_surv')")
+    drop("vc_surv_t")
+  }
+
+  test("views cannot shadow tables; broken SQL fails the creator") {
+    catalogOn(); drop("vc_shadow")
+    spark.sql("CREATE TABLE graft.vc_shadow (k BIGINT)")
+    val shadow = intercept[Exception](
+      spark.sql("CALL graft.create_view('vc_shadow', 'SELECT 1 AS x')"))
+    assert(shadow.getMessage.contains("shadow"), shadow.getMessage)
+    // a view over a missing table fails at CALL time, not first read
+    intercept[Exception](
+      spark.sql("CALL graft.create_view('vc_bad', 'SELECT * FROM graft.nope')"))
+    assert(!MemViews.views.contains("vc_bad"))
+    intercept[Exception](spark.sql("CALL graft.drop_view('vc_missing')"))
+    drop("vc_shadow")
+  }
+
+  test("ViewCatalog API: create/load/alter/rename/drop round-trip") {
+    catalogOn(); drop("vc_api_t")
+    MemViews.views.remove("vc_api"); MemViews.views.remove("vc_api2")
+    spark.sql("CREATE TABLE graft.vc_api_t (k BIGINT)")
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+    import org.apache.spark.sql.types._
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[SeqCatalog]
+    def id(n: String) = Identifier.of(Array.empty, n)
+    cat.createView(new ViewInfo(id("vc_api"), "SELECT k FROM graft.vc_api_t",
+      "graft", Array.empty[String], new StructType().add("k", LongType),
+      Array("k"), Array.empty[String], Array.empty[String],
+      new java.util.HashMap[String, String]()))
+    assert(cat.viewExists(id("vc_api")))
+    val v = cat.loadView(id("vc_api"))
+    assert(v.query() === "SELECT k FROM graft.vc_api_t")
+    assert(v.schema().fieldNames.toSeq === Seq("k"))
+    cat.alterView(id("vc_api"), ViewChange.setProperty("team", "graft"))
+    assert(cat.loadView(id("vc_api")).properties().get("team") === "graft")
+    cat.alterView(id("vc_api"), ViewChange.removeProperty("team"))
+    assert(!cat.loadView(id("vc_api")).properties().containsKey("team"))
+    cat.renameView(id("vc_api"), id("vc_api2"))
+    assert(!cat.viewExists(id("vc_api")) && cat.viewExists(id("vc_api2")))
+    assert(cat.listViews().map(_.name()).contains("vc_api2"))
+    assert(cat.dropView(id("vc_api2")))
+    intercept[Exception](cat.loadView(id("vc_api2")))
+    drop("vc_api_t")
+  }
+}
