@@ -1117,7 +1117,7 @@ object MemTables {
       splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
         val stats = statsOf(writeSchema, rows)
         enforceNotNull(writeSchema, stats)
-        TaggedBatch(writeSchema, version, version, MemStore(rows),
+        TaggedBatch(writeSchema, version, version, storeFor(st, writeSchema, rows),
           batchId = st.mintBatchId(), stats = stats, part = pt,
           specId = st.currentSpecId)
       }
@@ -1134,6 +1134,22 @@ object MemTables {
           specId = f.specId)
       }
   }
+
+  /** The store one DRIVER-materialized row group publishes under: a
+    * parquet-backed table stays UNIFORMLY file-backed (the driver writes
+    * the file — these are the maintenance paths whose rows materialize
+    * driver-side anyway: compaction folds, CoW delete survivors, rollback
+    * subsets, delta post-images); the default mode keeps the rows.
+    */
+  private def storeFor(
+      st: State, schema: StructType, rows: Array[InternalRow]): RowStore =
+    st.storageDir match {
+      case Some(dir) =>
+        val path = s"$dir/driver-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+        ParquetRows.write(path, schema, rows.iterator)
+        FileStore(path, rows.length, schema)
+      case None => MemStore(rows)
+    }
 
   /** Declared NOT NULL enforcement at PUBLISH (Spark's ANSI store
     * assignment already AssertNotNull-guards SQL writes; this is the
@@ -1414,7 +1430,7 @@ object MemTables {
             enforceNotNull(writeSchema, stats)
             // ids minted at STAGING (not publish): branch DML keys its
             // kills on them, and fast_forward preserves them
-            TaggedBatch(writeSchema, bs.base, bs.base, MemStore(rows),
+            TaggedBatch(writeSchema, bs.base, bs.base, storeFor(st, writeSchema, rows),
               batchId = st.mintBatchId(), stats = stats, part = pt,
               specId = st.currentSpecId)
           }
@@ -1537,7 +1553,7 @@ object MemTables {
           .map { case (pt, rows) =>
             val stats = statsOf(writeSchema, rows)
             enforceNotNull(writeSchema, stats)
-            TaggedBatch(writeSchema, bs.base, bs.base, MemStore(rows),
+            TaggedBatch(writeSchema, bs.base, bs.base, storeFor(st, writeSchema, rows),
               batchId = st.mintBatchId(), stats = stats, part = pt,
               specId = st.currentSpecId)
           }.toVector
@@ -1718,7 +1734,7 @@ object MemTables {
           // A whole-batch restore keeps the original store (file-backed
           // batches are restored by manifest, never re-materialized).
           else Some(TaggedBatch(b.schema, v, b.writeVersion,
-            if (subset) MemStore(rows) else b.store,
+            if (subset) storeFor(st, b.schema, rows) else b.store,
             batchId = st.mintBatchId(),
             stats = if (subset) statsOf(b.schema, rows) else b.stats,
             part = b.part, specId = b.specId))
@@ -2357,7 +2373,7 @@ object MemTables {
             // anyway): a deleted row may have been the recorded extreme,
             // and the aggregate pushdown answers MIN/MAX from these
             else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion,
-              MemStore(keep),
+              storeFor(st, b.schema, keep),
               batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
               part = b.part, specId = b.specId))
           case _ => Vector(b)

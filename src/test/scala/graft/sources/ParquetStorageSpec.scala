@@ -171,6 +171,24 @@ class ParquetStorageSpec extends SparkSpec {
     drop("pq_rw")
   }
 
+  test("driver-materialized paths stay file-backed: CoW survivors, compaction") {
+    catalogOn(); drop("pq_uniform")
+    spark.sql("CREATE TABLE graft.pq_uniform (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')") // copy-on-write default
+    spark.sql("INSERT INTO graft.pq_uniform SELECT id, id FROM range(0, 30)")
+    spark.sql("DELETE FROM graft.pq_uniform WHERE k % 3 = 0") // CoW survivors
+    liveBatches("pq_uniform").foreach(b =>
+      assert(b.store.file.isDefined, "CoW survivor must be file-backed"))
+    assert(spark.table("graft.pq_uniform").count() === 20L)
+    spark.sql("INSERT INTO graft.pq_uniform VALUES (100, 100)")
+    spark.sql("CALL graft.compact_table('pq_uniform')")
+    val folded = liveBatches("pq_uniform")
+    folded.foreach(b =>
+      assert(b.store.file.isDefined, "compaction output must be file-backed"))
+    assert(spark.table("graft.pq_uniform").count() === 21L)
+    drop("pq_uniform")
+  }
+
   test("streaming epochs write files; drop and expiry reclaim them") {
     catalogOn(); drop("pq_life")
     spark.sql("CREATE TABLE graft.pq_life (k BIGINT) " +
