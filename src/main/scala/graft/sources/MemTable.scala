@@ -640,7 +640,11 @@ object MemTables {
     // ordinals → Long, UTF8String prefixes → String); None = incomparable
     def ordCmp(a: Any, b: Any): Option[Int] = (canonKey(a), canonKey(b)) match {
       case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) =>
+        // BINARY (UTF-8) order — Spark SQL's string comparison; Java's
+        // UTF-16 compareTo diverges for supplementary characters
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
       case _ => None
     }
     // keep unless the monotone tuple provably fails `rel` against T(v):
@@ -1406,9 +1410,12 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalArgumentException(s"mem table $key does not exist"))
     st.synchronized {
-      if (!st.branches.contains(branch))
-        throw new IllegalArgumentException(s"branch '$branch' does not exist on $key")
+      val bs = st.branches.getOrElse(branch,
+        throw new IllegalArgumentException(s"branch '$branch' does not exist on $key"))
       st.branches = st.branches - branch
+      // file-backed staged batches never published — reclaim their files
+      // (a fast-forwarded branch keeps them: its batches moved to main)
+      bs.batches.foreach(_.store.file.foreach(ParquetRows.delete))
     }
   }
 
@@ -1627,8 +1634,14 @@ object MemTables {
       val (gone, kept) = st.batches.partition(_.removedAt <= olderThan)
       st.batches = kept
       // file-backed batches physically dropped by expiry reclaim their
-      // files (the VACUUM half of retention)
-      gone.foreach(_.store.file.foreach(ParquetRows.delete))
+      // files (the VACUUM half of retention) — EXCEPT files a surviving
+      // batch still references: a whole-batch rollback restore shares its
+      // original's store by reference, and deleting the file under the
+      // live copy would corrupt it
+      val keptFiles = kept.iterator.flatMap(_.store.file).toSet ++
+        st.branches.valuesIterator.flatMap(_.batches).flatMap(_.store.file)
+      gone.foreach(_.store.file.filterNot(keptFiles.contains)
+        .foreach(ParquetRows.delete))
       st.earliestVersion = math.max(st.earliestVersion, olderThan)
       // keep the newest metadata entry at-or-before the horizon (it binds
       // reads AT the horizon) and every later one
@@ -2704,7 +2717,8 @@ final class MemBranchTable(
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             MemTables.commitToBranch(key, branch, info.schema(),
               MemWriterFactory.payloadsOf(messages))
-          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            MemWriterFactory.reclaim(messages)
         }
       }
     }
@@ -3522,6 +3536,7 @@ final class MemScan(
     // deletes limit operators against it, so an under-estimate here is a
     // wrong-results bug, not a plan-quality nit
     val (_, _, planned) = plannedSlices()
+    val statsMeta = selectBatches()._2 // memoized: same snapshot as planned
     val rows = planned.iterator.map { case (_, _, dead, cut) =>
       (cut - dead.count(_ < cut)).toLong
     }.sum
@@ -3549,7 +3564,12 @@ final class MemScan(
             case Some(s) if s.ndv >= 0 => ndv += s.ndv; nulls += s.nullCount
             case Some(_) => known = false
             case None if srcNames.contains(n) => known = false // uncovered type
-            case None => nulls += b.rowCount // unresolved era: all-null here
+            case None =>
+              // unresolved era: all-null here — unless an ADD COLUMN
+              // default applies, in which case every row serves D
+              if (MemTables.defaultFor(statsMeta.defaults)(n, b.writeVersion).isDefined)
+                ndv += 1L
+              else nulls += b.rowCount
           }
         }
         if (known) {
@@ -4309,7 +4329,8 @@ final class MemStreamingWrite(
         MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema, rows)
     }
   }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MemWriterFactory.reclaim(messages)
 }
 
 final class MemStreamingWriterFactory(underlying: MemWriterFactory)
@@ -4348,7 +4369,12 @@ final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructTy
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // an aborted JOB whose tasks already committed their messages leaves
+  // executor-written files that will never publish — reclaim them (a
+  // speculative twin whose message Spark discarded is reclaimed the same
+  // way via the driver's abort call; rows-mode messages hold no files)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    MemWriterFactory.reclaim(messages)
 }
 
 final case class MemCommitMessage(rows: Array[InternalRow]) extends WriterCommitMessage
@@ -4407,6 +4433,19 @@ object MemWriterFactory {
       st.storageDir.map(dir =>
         MemParquetWrite(dir, writeSchema, st.partitioning, st.currentSpecId))
     })
+
+  /** Delete the files of never-to-publish commit messages (driver abort
+    * path). Files of a publish REJECTED inside the commit call itself
+    * (optimistic-concurrency/spec conflicts) stay until DROP/expiry —
+    * orphans at worst, never visible.
+    */
+  def reclaim(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case MemFilesMessage(files) =>
+        files.foreach(f =>
+          try ParquetRows.delete(f.path) catch { case _: Exception => () })
+      case _ => ()
+    }
 
   def payloadsOf(messages: Array[WriterCommitMessage]): Seq[MemTables.TaskPayload] =
     messages.toSeq.map {
@@ -4846,7 +4885,8 @@ object MemTableMicroBatchStream {
           s"(earliest retained snapshot: $earliest) — restart the stream " +
           "from a fresh checkpoint")
     val metaAt = hist.filter(_.version <= to).last
-    val meta = MemScan.BoundMeta(metaAt.droppedAt, metaAt.eras)
+    val meta = MemScan.BoundMeta(metaAt.droppedAt, metaAt.eras,
+      defaults = metaAt.defaults)
     def toPartition(b: MemTables.TaggedBatch, dead: Set[Int]): InputPartition = {
       val srcNames = MemScan.srcMapOf(bound, b, meta)
       bound.fields.foreach { f =>
@@ -4859,7 +4899,22 @@ object MemTableMicroBatchStream {
                 s"${f.dataType.simpleString} — not a supported widening")
         }
       }
-      MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId, None)
+      // ADD COLUMN defaults bound at `to`, exactly as a snapshot read
+      val defaults = bound.fieldNames.iterator
+        .filterNot(srcNames.contains)
+        .flatMap(n => MemTables.defaultFor(meta.defaults)(n, b.writeVersion)
+          .map(n -> _)).toMap
+      b.store match {
+        case MemTables.FileStore(path, _, _) =>
+          // file-backed: the streamed window ships PATHS too — a
+          // micro-batch over a parquet table must not materialize
+          // driver-side any more than a snapshot scan does
+          MemPartition(b.schema, b.version, srcNames, Array.empty, dead,
+            b.batchId, None, file = Some(path), defaults = defaults)
+        case _ =>
+          MemPartition(b.schema, b.version, srcNames, b.rows, dead, b.batchId,
+            None, defaults = defaults)
+      }
     }
     if (from < 0)
       batches.filter(b => b.version <= to && b.removedAt > to).map { b =>

@@ -189,6 +189,58 @@ class ParquetStorageSpec extends SparkSpec {
     drop("pq_uniform")
   }
 
+  test("dropped branch reclaims its staged files; aborts reclaim messages") {
+    catalogOn(); drop("pq_branch")
+    spark.sql("CREATE TABLE graft.pq_branch (k BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.pq_branch VALUES (1, 10)") // v1
+    val dir = MemTables.get("pq_branch").get.storageDir.get
+    def files() = Option(new java.io.File(dir).list())
+      .map(_.count(_.endsWith(".parquet"))).getOrElse(0)
+    val mainFiles = files()
+    spark.sql("CALL graft.create_branch('pq_branch', 'b', 1)")
+    spark.sql("INSERT INTO graft.pq_branch.branch_b VALUES (2, 20)") // staged file
+    spark.sql("UPDATE graft.pq_branch.branch_b SET v = 21 WHERE k = 2") // post-image file
+    assert(files() > mainFiles)
+    spark.sql("CALL graft.drop_branch('pq_branch', 'b')")
+    assert(files() === mainFiles, "staged files must be reclaimed with the branch")
+    assert(spark.table("graft.pq_branch").count() === 1L)
+    // abort reclaim: a committed-but-never-published task message's files
+    // are deleted by the driver's abort call
+    val pw = MemParquetWrite(dir, MemTables.get("pq_branch").get.schema, Nil, 0)
+    val w = new MemWriterFactory(Some(pw)).createWriter(0, 99L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(7L, 70L))
+    val msg = w.commit()
+    assert(files() === mainFiles + 1)
+    new MemBatchWrite("pq_branch", truncate = false,
+      MemTables.get("pq_branch").get.schema).abort(Array(msg))
+    assert(files() === mainFiles)
+    drop("pq_branch")
+  }
+
+  test("rollback restores share files; expiry never deletes a live copy's file") {
+    catalogOn(); drop("pq_rb")
+    spark.sql("CREATE TABLE graft.pq_rb (k BIGINT) TBLPROPERTIES (" +
+      "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.pq_rb SELECT id FROM range(0, 10)") // v1
+    spark.sql("DELETE FROM graft.pq_rb WHERE k = 3") // v2: DV drift
+    spark.sql("CALL graft.rollback_table('pq_rb', 1)") // v3: restore
+    // the whole-batch restore SHARES the original's file by reference
+    val live = liveBatches("pq_rb")
+    assert(live.forall(_.store.file.isDefined))
+    val liveFiles = live.flatMap(_.store.file).toSet
+    val removed = MemTables.get("pq_rb").get.batches
+      .filter(_.removedAt != Long.MaxValue)
+    assert(removed.flatMap(_.store.file).toSet.subsetOf(liveFiles),
+      "restore must share the original's file")
+    // expiry drops the originals but must NOT delete the shared file
+    spark.sql("CALL graft.expire_snapshots('pq_rb', 3)")
+    liveFiles.foreach(f => assert(new java.io.File(f).isFile,
+      s"live copy's file $f must survive expiry"))
+    assert(spark.table("graft.pq_rb").count() === 10L)
+    drop("pq_rb")
+  }
+
   test("streaming epochs write files; drop and expiry reclaim them") {
     catalogOn(); drop("pq_life")
     spark.sql("CREATE TABLE graft.pq_life (k BIGINT) " +
