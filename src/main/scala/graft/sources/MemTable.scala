@@ -1173,6 +1173,41 @@ object MemTables {
       }
     }
 
+  /** ORPHAN-FILE removal (`CALL graft.remove_orphan_files('t')` — the
+    * Iceberg maintenance op): delete every parquet file under the table's
+    * storage directory that NO batch references — retained snapshots,
+    * current state, and branch stages all count as references. Orphans
+    * accrue from publishes rejected inside the commit call itself
+    * (optimistic-concurrency and spec conflicts fire after task files are
+    * written) and from crashes between task commit and driver publish; at
+    * 100 TB this sweep is a scheduled janitor against object-storage
+    * bills, never a correctness need (orphans are invisible by
+    * construction). Returns (orphans deleted, files kept). No-op (0, 0)
+    * for driver-resident tables.
+    */
+  def removeOrphanFiles(key: String): (Long, Long) = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      st.storageDir match {
+        case None => (0L, 0L)
+        case Some(dir) =>
+          // EVERY batch counts — including removedAt (retained history)
+          // and branch stages; only expiry may shrink that set
+          val referenced = (st.batches.iterator ++
+            st.branches.valuesIterator.flatMap(_.batches.iterator))
+            .flatMap(_.store.file).toSet
+          val onDisk = Option(new java.io.File(dir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          val (kept, orphans) =
+            onDisk.partition(f => referenced.contains(f.getAbsolutePath))
+          orphans.foreach(f => ParquetRows.delete(f.getAbsolutePath))
+          (orphans.length.toLong, kept.length.toLong)
+      }
+    }
+  }
+
   def drop(key: String): Boolean = tables.remove(key) match {
     case Some(st) =>
       st.storageDir.foreach(ParquetRows.deleteDir) // file-backed: reclaim

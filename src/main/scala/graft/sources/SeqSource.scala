@@ -451,12 +451,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "replace_partition_spec" => ReplacePartitionSpecProcedure
       case "create_view" => CreateViewProcedure
       case "drop_view" => DropViewProcedure
+      case "remove_orphan_files" => RemoveOrphanFilesProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
           "table_history, create_tag, drop_tag, " +
           "create_branch, drop_branch, fast_forward, replace_partition_spec, " +
-          "create_view, drop_view)")
+          "create_view, drop_view, remove_orphan_files)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
@@ -473,7 +474,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "replace_partition_spec"),
       Identifier.of(namespace, "create_view"),
-      Identifier.of(namespace, "drop_view"))
+      Identifier.of(namespace, "drop_view"),
+      Identifier.of(namespace, "remove_orphan_files"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -1257,6 +1259,39 @@ object CreateViewProcedure
       throw new IllegalArgumentException(s"view '$viewName' already exists")
     ProcedureResults.scan(s"GraftCreateView $viewName", outSchema,
       Seq(Seq(viewName, schema.simpleString)))
+  }
+}
+
+/** `CALL graft.remove_orphan_files('t')` — see
+  * [[MemTables.removeOrphanFiles]]: deletes unreferenced parquet files
+  * under a file-backed table's directory (rejected publishes and crashed
+  * jobs leave them; they are invisible by construction, this reclaims the
+  * bytes).
+  */
+object RemoveOrphanFilesProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "remove_orphan_files"
+  override def description(): String =
+    "delete parquet files no snapshot, branch, or stage references"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("orphans_deleted", LongType, nullable = false)
+    .add("files_kept", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val (orphans, kept) = MemTables.removeOrphanFiles(key)
+    ProcedureResults.scan(s"GraftRemoveOrphanFiles $key", outSchema,
+      Seq(Seq(orphans, kept)))
   }
 }
 

@@ -241,6 +241,36 @@ class ParquetStorageSpec extends SparkSpec {
     drop("pq_rb")
   }
 
+  test("remove_orphan_files deletes only unreferenced files") {
+    catalogOn(); drop("pq_orphan")
+    spark.sql("CREATE TABLE graft.pq_orphan (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_orphan SELECT id FROM range(0, 10)")
+    spark.sql("INSERT OVERWRITE graft.pq_orphan SELECT id FROM range(0, 5)")
+    val dir = MemTables.get("pq_orphan").get.storageDir.get
+    // plant two orphans: a crashed task's file (never published)
+    val schema = MemTables.get("pq_orphan").get.schema
+    for (i <- 1 to 2)
+      ParquetRows.write(s"$dir/crashed-$i.parquet", schema,
+        Iterator(org.apache.spark.sql.catalyst.InternalRow(999L)))
+    val r = spark.sql("CALL graft.remove_orphan_files('pq_orphan')").collect()(0)
+    assert(r.getLong(0) === 2L, "exactly the planted orphans")
+    // kept: the live batch AND the truncated-but-retained history batch
+    assert(r.getLong(1) >= 2L)
+    assert(spark.table("graft.pq_orphan").count() === 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.pq_orphan VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    // a second sweep finds nothing
+    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan')")
+      .collect()(0).getLong(0) === 0L)
+    // driver-resident tables are a no-op
+    drop("pq_orphan")
+    spark.sql("CREATE TABLE graft.pq_orphan (k BIGINT)")
+    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan')")
+      .collect()(0).getLong(0) === 0L)
+    drop("pq_orphan")
+  }
+
   test("streaming epochs write files; drop and expiry reclaim them") {
     catalogOn(); drop("pq_life")
     spark.sql("CREATE TABLE graft.pq_life (k BIGINT) " +
