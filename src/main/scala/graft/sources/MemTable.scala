@@ -186,6 +186,10 @@ object MemTables {
         else (d.getYear - 1970) * 12 + (d.getMonthValue - 1) // months
     }
     v match {
+      // a DATE (Int days) has no sub-day resolution: 'hours' of one is a
+      // caller contract violation (validateSpec/bind reject the spec), so
+      // the guard is LOCAL — None, never a silent months ordinal
+      case _: java.lang.Integer if unit == "hours" => None
       case i: java.lang.Integer => Some(fromDays(i.intValue))
       case l: java.lang.Long =>
         if (unit == "hours") Some(Math.floorDiv(l.longValue, MicrosPerHour).toInt)
@@ -1182,12 +1186,24 @@ object MemTables {
     * written) and from crashes between task commit and driver publish; at
     * 100 TB this sweep is a scheduled janitor against object-storage
     * bills, never a correctness need (orphans are invisible by
-    * construction). Returns (orphans deleted, files kept). No-op (0, 0)
-    * for driver-resident tables.
+    * construction). `graceMillis` is the age floor (Iceberg's
+    * `older_than`, default 3 days): a file younger than it is NEVER
+    * deleted even when unreferenced — an in-flight write's task files are
+    * committed on executors BEFORE the driver publish registers them, so
+    * a zero-grace sweep racing that window would delete files the
+    * imminent publish commits manifests to. Returns (orphans deleted,
+    * files kept — referenced OR within grace). No-op (0, 0) for
+    * driver-resident tables.
     */
-  def removeOrphanFiles(key: String): (Long, Long) = {
+  val DefaultOrphanGraceMs: Long = 3L * 24 * 3600 * 1000 // Iceberg's default
+
+  def removeOrphanFiles(
+      key: String, graceMillis: Long = DefaultOrphanGraceMs): (Long, Long) = {
     val st = tables.getOrElse(key,
       throw new IllegalArgumentException(s"mem table $key does not exist"))
+    if (graceMillis < 0)
+      throw new IllegalArgumentException(
+        s"older_than_ms must be non-negative, got $graceMillis")
     st.synchronized {
       st.storageDir match {
         case None => (0L, 0L)
@@ -1197,11 +1213,12 @@ object MemTables {
           val referenced = (st.batches.iterator ++
             st.branches.valuesIterator.flatMap(_.batches.iterator))
             .flatMap(_.store.file).toSet
+          val cutoff = System.currentTimeMillis() - graceMillis
           val onDisk = Option(new java.io.File(dir).listFiles())
             .getOrElse(Array.empty)
             .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          val (kept, orphans) =
-            onDisk.partition(f => referenced.contains(f.getAbsolutePath))
+          val (kept, orphans) = onDisk.partition(f =>
+            referenced.contains(f.getAbsolutePath) || f.lastModified() > cutoff)
           orphans.foreach(f => ParquetRows.delete(f.getAbsolutePath))
           (orphans.length.toLong, kept.length.toLong)
       }
@@ -1298,8 +1315,14 @@ object MemTables {
       // EXISTS defaults of columns added at THIS version (`ALTER ADD
       // COLUMN ... DEFAULT`): pre-alter batches read the value instead of
       // NULL. A later drop retires the default with the field; a re-add
-      // starts clean (or with its own default).
-      st.columnDefaults = (st.columnDefaults -- dropped -- added) ++
+      // starts clean (or with its own default). Defaults FOLLOW a rename —
+      // the lookup key is the CURRENT column name ([[defaultFor]] binds the
+      // projection target), so a default stranded under the old name would
+      // silently turn pre-alter rows NULL.
+      val renamedDefaults = st.columnDefaults.map { case (k, v) =>
+        (renames.getOrElse(k, k), v)
+      }
+      st.columnDefaults = (renamedDefaults -- dropped -- added) ++
         addDefaults.view.mapValues(v => (st.version, v)).toMap
       // a sort-order claim names CURRENT columns: renaming or dropping one
       // of them retires the claim (widening preserves order and keeps it)
@@ -1477,6 +1500,9 @@ object MemTables {
               specId = st.currentSpecId)
           }
         case FilesPayload(files) => files.map { f =>
+          // same constraint gate as the rows path: a parquet-mode branch
+          // stage must not fast-forward NULLs past a NOT NULL column
+          enforceNotNull(writeSchema, f.stats)
           TaggedBatch(writeSchema, bs.base, bs.base,
             FileStore(f.path, f.count, writeSchema),
             batchId = st.mintBatchId(),

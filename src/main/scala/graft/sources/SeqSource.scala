@@ -620,6 +620,11 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       properties: util.Map[String, String]): CTable = {
     if (Pattern.matches(ident.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
+    // the mirror of createView's table-shadow check: a table behind an
+    // existing view name would be unreachable (ResolveGraftViews resolves
+    // reads of the shared name to the view first)
+    if (MemViews.views.contains(memKey(ident)))
+      throw new ViewAlreadyExistsException(ident)
     // PARTITIONED BY — identity (`PARTITIONED BY (k)`), bucket
     // (`bucket(8, k)`), the time transforms (`years(ts)`/`months`/`days`/
     // `hours`) and width truncation (`truncate(4, k)`, either argument
@@ -1277,11 +1282,19 @@ object RemoveOrphanFilesProcedure
 
   override def name(): String = "remove_orphan_files"
   override def description(): String =
-    "delete parquet files no snapshot, branch, or stage references"
+    "delete parquet files no snapshot, branch, or stage references " +
+      "and older than the grace period"
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build())
+    ProcedureParameter.in("table", StringType).build(),
+    // age floor (Iceberg older_than, default 3 days): unreferenced files
+    // younger than this survive the sweep — an in-flight write's
+    // task-committed files look orphaned until the driver publish lands
+    ProcedureParameter.in("older_than_ms", LongType)
+      .defaultValue(MemTables.DefaultOrphanGraceMs.toString)
+      .comment("only delete unreferenced files older than this many ms")
+      .build())
 
   private val outSchema = new StructType()
     .add("orphans_deleted", LongType, nullable = false)
@@ -1289,8 +1302,9 @@ object RemoveOrphanFilesProcedure
 
   override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
     val key = input.getUTF8String(0).toString
-    val (orphans, kept) = MemTables.removeOrphanFiles(key)
-    ProcedureResults.scan(s"GraftRemoveOrphanFiles $key", outSchema,
+    val grace = input.getLong(1)
+    val (orphans, kept) = MemTables.removeOrphanFiles(key, grace)
+    ProcedureResults.scan(s"GraftRemoveOrphanFiles $key grace=$grace", outSchema,
       Seq(Seq(orphans, kept)))
   }
 }

@@ -103,6 +103,46 @@ class ColumnDefaultSpec extends SparkSpec {
     drop("cd_nn")
   }
 
+  test("RENAME carries a column's default to the new name") {
+    catalogOn(); drop("cd_rn")
+    spark.sql("CREATE TABLE graft.cd_rn (k BIGINT)")
+    spark.sql("INSERT INTO graft.cd_rn SELECT id FROM range(0, 4)") // v1
+    spark.sql("ALTER TABLE graft.cd_rn ADD COLUMN tag STRING DEFAULT 'old'") // v2
+    spark.sql("INSERT INTO graft.cd_rn VALUES (100, 'real')") // v3
+    spark.sql("ALTER TABLE graft.cd_rn RENAME COLUMN tag TO label") // v4
+    // pre-add rows must still read the EXISTS default under the NEW name
+    // (a default stranded under 'tag' would silently turn them NULL)
+    val rows = spark.sql("SELECT k, label FROM graft.cd_rn ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(0L -> "old", 1L -> "old", 2L -> "old", 3L -> "old", 100L -> "real"))
+    assert(spark.sql("SELECT count(*) FROM graft.cd_rn WHERE label = 'old'")
+      .head().getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.cd_rn WHERE label IS NULL")
+      .head().getLong(0) === 0L)
+    drop("cd_rn")
+  }
+
+  test("branch stage of a parquet-mode payload enforces NOT NULL") {
+    catalogOn(); drop("cd_bnn")
+    spark.sql("CREATE TABLE graft.cd_bnn (k BIGINT, s STRING NOT NULL) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.cd_bnn VALUES (1, 'x')")
+    spark.sql("CALL graft.create_branch('cd_bnn', 'audit', 1)")
+    val st = MemTables.get("cd_bnn").get
+    // a FilesPayload whose stats carry NULLs in the NOT NULL column must
+    // reject at STAGE — not fast-forward onto main unchecked
+    val e = intercept[IllegalArgumentException] {
+      MemTables.commitToBranch("cd_bnn", "audit", st.schema,
+        Seq(MemTables.FilesPayload(Vector(FileManifest(
+          "/nonexistent/never-read.parquet", 2, Nil, 0,
+          Map("k" -> MemTables.ColStats(1L, 2L, 0L, 2L),
+            "s" -> MemTables.ColStats(null, null, 1L, 2L)))))))
+    }
+    assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+    spark.sql("CALL graft.drop_branch('cd_bnn', 'audit')")
+    drop("cd_bnn")
+  }
+
   test("re-added column never inherits a stale default") {
     catalogOn(); drop("cd_reuse")
     spark.sql("CREATE TABLE graft.cd_reuse (k BIGINT)")

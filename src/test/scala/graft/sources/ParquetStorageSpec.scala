@@ -253,7 +253,15 @@ class ParquetStorageSpec extends SparkSpec {
     for (i <- 1 to 2)
       ParquetRows.write(s"$dir/crashed-$i.parquet", schema,
         Iterator(org.apache.spark.sql.catalyst.InternalRow(999L)))
-    val r = spark.sql("CALL graft.remove_orphan_files('pq_orphan')").collect()(0)
+    // default grace (3 days): the freshly-planted orphans look exactly
+    // like an in-flight write's task files — the sweep must keep them
+    val guarded = spark.sql("CALL graft.remove_orphan_files('pq_orphan')").collect()(0)
+    assert(guarded.getLong(0) === 0L, "fresh unreferenced files survive the grace period")
+    for (i <- 1 to 2)
+      assert(new java.io.File(s"$dir/crashed-$i.parquet").isFile)
+    // explicit zero grace: delete them now
+    val r = spark.sql(
+      "CALL graft.remove_orphan_files('pq_orphan', 0)").collect()(0)
     assert(r.getLong(0) === 2L, "exactly the planted orphans")
     // kept: the live batch AND the truncated-but-retained history batch
     assert(r.getLong(1) >= 2L)
@@ -261,12 +269,12 @@ class ParquetStorageSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.pq_orphan VERSION AS OF 1")
       .head().getLong(0) === 10L)
     // a second sweep finds nothing
-    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan')")
+    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan', 0)")
       .collect()(0).getLong(0) === 0L)
     // driver-resident tables are a no-op
     drop("pq_orphan")
     spark.sql("CREATE TABLE graft.pq_orphan (k BIGINT)")
-    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan')")
+    assert(spark.sql("CALL graft.remove_orphan_files('pq_orphan', 0)")
       .collect()(0).getLong(0) === 0L)
     drop("pq_orphan")
   }

@@ -75,6 +75,15 @@ class ViewCatalogSpec extends SparkSpec {
     assert(!MemViews.views.contains("vc_bad"))
     intercept[Exception](spark.sql("CALL graft.drop_view('vc_missing')"))
     drop("vc_shadow")
+    // ...and the REVERSE: a table cannot shadow an existing view (reads
+    // of the shared name would silently keep resolving to the view)
+    spark.sql("CALL graft.create_view('vc_taken', 'SELECT 1 AS one')")
+    val taken = intercept[Exception](
+      spark.sql("CREATE TABLE graft.vc_taken (k BIGINT)"))
+    assert(taken.getMessage.toLowerCase.contains("view"), taken.getMessage)
+    // the view still answers — nothing was clobbered
+    assert(spark.sql("SELECT one FROM graft.vc_taken").head().getInt(0) === 1)
+    spark.sql("CALL graft.drop_view('vc_taken')")
   }
 
   test("ViewCatalog API: create/load/alter/rename/drop round-trip") {
