@@ -810,7 +810,10 @@ object MemTables {
       val createProps: Map[String, String] = Map.empty,
       initialPartitioning: Seq[PartField] = Nil,
       // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]])
-      val storageDir: Option[String] = None) {
+      val storageDir: Option[String] = None,
+      // the table's catalog key, recorded in the durable metadata plane
+      // so disk recovery can match a directory back to its table
+      val tableKey: String = "") {
     // PARTITION SPEC TIMELINE (Iceberg spec evolution): specHistory(i) is
     // spec id `i`, append-only; `partitioning` is the CURRENT spec. Every
     // batch carries the spec id it was written under ([[TaggedBatch
@@ -922,8 +925,21 @@ object MemTables {
       val ts = math.max(now, versionTimes.last._2 + 1L)
       versionTimes = versionTimes :+ (version, ts)
       opKinds = opKinds.updated(version, kind)
+      // every version-minting mutation lands the durable metadata plane
+      // before its monitor releases — the commit IS the metadata write
+      // (file-backed tables only; [[TableMetadata.write]] no-ops without
+      // a storage dir). Non-stamping mutators (refs, branch stages,
+      // expiry) call persistMeta explicitly.
+      persistMeta(this)
     }
   }
+
+  /** Write the durable metadata plane ([[TableMetadata]]) of a
+    * file-backed table; driver-resident tables have none by contract.
+    * Callers hold the state's monitor.
+    */
+  private[sources] def persistMeta(st: State): Unit =
+    if (st.storageDir.isDefined) TableMetadata.write(st)
 
   /** Name of the metadata column every mem table exposes: the version of
     * the committed batch each row belongs to (`SELECT _batch_version, *`).
@@ -1043,10 +1059,8 @@ object MemTables {
       case Some("parquet") =>
         // table location: tmp at gate scale; the Hadoop Path API the I/O
         // goes through addresses object storage identically on a cluster
-        val dir = new java.io.File(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-tables"),
-          key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-            java.util.UUID.randomUUID().toString.take(8))
+        val dir = new java.io.File(tablesRoot,
+          sanitizeKey(key) + "-" + java.util.UUID.randomUUID().toString.take(8))
         dir.mkdirs()
         Some(dir.getAbsolutePath)
       case Some(other) => throw new IllegalArgumentException(
@@ -1077,17 +1091,88 @@ object MemTables {
         throw new IllegalArgumentException(
           s"sort-order column $c has unsupported type ${f.dataType.simpleString}")
     }
-    val st = new State(schema, deleteMode, props, partitioning, storageDir)
+    val st = new State(schema, deleteMode, props, partitioning, storageDir, key)
     if (declared.nonEmpty) {
       // an empty table is trivially sorted: the claim holds from v0 and
       // every verified-sorted publish extends it
       st.sortedBy = declared
       st.sortedSince = 0L
     }
-    tables.putIfAbsent(key, st).isEmpty
+    val fresh = tables.putIfAbsent(key, st).isEmpty
+    // the create itself is the first durable commit: a restart between
+    // CREATE and the first INSERT must still find the (empty) table
+    if (fresh) st.synchronized(persistMeta(st))
+    else storageDir.foreach(ParquetRows.deleteDir) // lost the race: no orphan dir
+    fresh
   }
 
-  def get(key: String): Option[State] = tables.get(key)
+  /** Root under which file-backed table directories live. */
+  private[sources] def tablesRoot: java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft-tables")
+
+  private[sources] def sanitizeKey(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def get(key: String): Option[State] =
+    tables.get(key).orElse(recoverFromDisk(key))
+
+  /** Registry-only probe (no disk recovery) — lets specs observe whether
+    * a table is currently memory-resident.
+    */
+  private[sources] def isLoaded(key: String): Boolean = tables.contains(key)
+
+  /** DISK RECOVERY — the payoff of the durable metadata plane: a key the
+    * registry has never seen (process restart, or an explicit
+    * [[unload]]) is looked up under [[tablesRoot]]; a directory whose
+    * `metadata.json` names the key reconstitutes the full table state —
+    * version ledger, manifests, refs, DVs, branch stages — exactly as
+    * the last publish left it. Newest directory wins when stale dirs
+    * from dead processes share the key prefix; unreadable or
+    * foreign-format metadata is skipped with a stderr note (a janitor
+    * concern, never a read failure for the live table).
+    */
+  private def recoverFromDisk(key: String): Option[State] = {
+    val root = tablesRoot
+    if (!root.isDirectory) return None
+    val prefix = sanitizeKey(key) + "-"
+    val candidates = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .sortBy(-_.lastModified())
+    candidates.iterator.flatMap { d =>
+      try TableMetadata.load(d.getAbsolutePath)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft: skipping unreadable table metadata at $d: ${e.getMessage}")
+          None
+      }
+    }.collectFirst { case (k, st) if k == key =>
+      // another thread may have recovered (or re-created) concurrently —
+      // first registration wins, exactly like create
+      tables.putIfAbsent(key, st).getOrElse(st)
+    }
+  }
+
+  /** Drop a file-backed table's IN-MEMORY state only (`CALL
+    * graft.unload_table`): data files and the metadata document stay on
+    * disk, and the next read recovers them — the restart-survival drill,
+    * and the memory-pressure valve a long-lived driver needs. Rejected
+    * for driver-resident tables, whose rows have no durable copy (DROP
+    * TABLE is the only exit there).
+    */
+  def unload(key: String): Unit = {
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    if (st.storageDir.isEmpty)
+      throw new IllegalArgumentException(
+        s"mem table $key is driver-resident ('$StorageProp' unset) — unloading " +
+          "would lose it; use DROP TABLE, or recreate with 'graft.storage'='parquet'")
+    // the plane is already current (every mutation persists under the
+    // monitor); this re-write is the cheap belt-and-braces that makes
+    // unload safe even if a future mutation path forgets to persist
+    st.synchronized(persistMeta(st))
+    tables.remove(key)
+  }
 
   /** One write task's contribution to a publish — the storage-plane fork
     * at the commit-message level:
@@ -1461,6 +1546,7 @@ object MemTables {
           s"cannot branch $key at version $fromVersion: retained history is " +
             s"[${st.earliestVersion}, ${st.version}]")
       st.branches = st.branches.updated(branch, BranchState(fromVersion, Vector.empty))
+      persistMeta(st)
     }
   }
 
@@ -1474,6 +1560,7 @@ object MemTables {
       // file-backed staged batches never published — reclaim their files
       // (a fast-forwarded branch keeps them: its batches moved to main)
       bs.batches.foreach(_.store.file.foreach(ParquetRows.delete))
+      persistMeta(st)
     }
   }
 
@@ -1511,6 +1598,7 @@ object MemTables {
       }.toVector
       st.branches = st.branches.updated(branch,
         bs.copy(appends = bs.appends :+ staged))
+      persistMeta(st)
     }
   }
 
@@ -1563,6 +1651,7 @@ object MemTables {
         st.stamp("delete")
       }
       st.branches = st.branches - branch
+      persistMeta(st)
       (bs.appends.count(_.nonEmpty).toLong, st.version)
     }
   }
@@ -1629,6 +1718,7 @@ object MemTables {
         bs.copy(
           appends = if (staged.isEmpty) bs.appends else bs.appends :+ staged,
           dvs = newDvs))
+      persistMeta(st)
     }
   }
 
@@ -1656,6 +1746,7 @@ object MemTables {
           s"cannot tag version $version of $key: retained history is " +
             s"[${st.earliestVersion}, ${st.version}]")
       st.tags = st.tags.updated(tag, version)
+      persistMeta(st)
     }
   }
 
@@ -1666,6 +1757,7 @@ object MemTables {
       if (!st.tags.contains(tag))
         throw new IllegalArgumentException(s"tag '$tag' does not exist on $key")
       st.tags = st.tags - tag
+      persistMeta(st)
     }
   }
 
@@ -1721,6 +1813,7 @@ object MemTables {
       st.updatedAt = st.updatedAt.filter(_._1 >= st.versionTimes.head._1)
       val liveIds = st.batches.iterator.map(_.batchId).toSet
       st.updatePostBatches = st.updatePostBatches.filter(liveIds.contains)
+      persistMeta(st)
       (gone.size.toLong, st.earliestVersion)
     }
   }

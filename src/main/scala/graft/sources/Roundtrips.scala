@@ -2174,6 +2174,75 @@ object Roundtrips {
         |SELECT 'pinned', count(*), sum(v) FROM graft.orders_even_pinned""".stripMargin)
   }
 
+  /** The DURABLE METADATA PLANE through the gate ([[TableMetadata]] +
+    * `CALL graft.unload_table` + disk recovery): the restart-survival
+    * drill of the table format, run twice mid-lifecycle. Orders land
+    * file-backed and month-partitioned, a merge-on-read DELETE overlays
+    * delete vectors, a tag pins the pre-delete snapshot — then the
+    * in-memory state is DROPPED and every later statement (ALTER ADD
+    * COLUMN DEFAULT, a second append, the final read) runs against the
+    * state recovered from `metadata.json` beside the data files. A
+    * second unload lands right before the read, so the measured query
+    * itself plans off recovered manifests: version ledger, DVs, schema
+    * eras, EXISTS defaults, refs, and time stamps all came off disk. The
+    * oracle restates the full lifecycle relationally — any field the
+    * recovery misplaces (a DV entry, a default, the tag's version)
+    * breaks the hash. At 100 TB this IS the difference between a table
+    * format and an in-memory model of one: the engine owning the files
+    * can restart, scale out, or hand the table to another driver, because
+    * the metadata document — not the process — is the source of truth.
+    * MetadataPersistSpec pins the protocol details (branch stages, epoch
+    * ledgers, spec timelines surviving recovery).
+    */
+  val dsv2MetadataPersist: QueryDef = QueryDef(
+    "dsv2_metadata_persist",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE NOT (v < 12000000)),
+      |legacy AS (SELECT k, d, v, 'legacy' AS src FROM kept),
+      |fresh AS (SELECT k, d, v, 'fresh' AS src FROM base WHERE k % 5 = 0),
+      |fin AS (SELECT * FROM legacy UNION ALL SELECT * FROM fresh)
+      |SELECT src AS part, CAST(count(*) AS BIGINT) AS c,
+      |       CAST(sum(v) AS BIGINT) AS sv
+      |FROM fin GROUP BY src
+      |UNION ALL
+      |SELECT 'tagged', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base
+      |UNION ALL
+      |SELECT 'win', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM fin WHERE d >= DATE '1995-01-01' AND d < DATE '1995-07-01'""".stripMargin) {
+    (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_durable"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, v BIGINT) " +
+      "PARTITIONED BY (months(d)) TBLPROPERTIES (" +
+      "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')") // v0
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").as("d"),
+      Num.cents(col("o_totalprice")).as("v"))
+    base.writeTo(tbl).append() // v1: executor files + durable manifests
+    spark.sql(s"CALL graft.create_tag('mem_orders_durable', 'pre', 1)")
+    spark.sql(s"DELETE FROM $tbl WHERE v < 12000000") // v2: DVs over files
+    // RESTART #1: every statement below runs on disk-recovered state
+    spark.sql(s"CALL graft.unload_table('mem_orders_durable')")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN src STRING DEFAULT 'legacy'") // v3
+    base.filter(col("k") % 5 === 0).withColumn("src", lit("fresh"))
+      .writeTo(tbl).append() // v4
+    // RESTART #2: the measured read itself plans off recovered manifests
+    spark.sql(s"CALL graft.unload_table('mem_orders_durable')")
+    spark.sql(
+      s"""SELECT src AS part, count(*) AS c, sum(v) AS sv FROM $tbl GROUP BY src
+         |UNION ALL
+         |SELECT 'tagged', count(*), sum(v) FROM $tbl VERSION AS OF 'pre'
+         |UNION ALL
+         |SELECT 'win', count(*), sum(v) FROM $tbl
+         |WHERE d >= DATE '1995-01-01' AND d < DATE '1995-07-01'""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2186,5 +2255,5 @@ object Roundtrips {
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
-      dsv2ColumnDefault, dsv2ViewRead)
+      dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist)
 }

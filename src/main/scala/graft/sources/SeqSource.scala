@@ -452,12 +452,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "create_view" => CreateViewProcedure
       case "drop_view" => DropViewProcedure
       case "remove_orphan_files" => RemoveOrphanFilesProcedure
+      case "unload_table" => UnloadTableProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
           "table_history, create_tag, drop_tag, " +
           "create_branch, drop_branch, fast_forward, replace_partition_spec, " +
-          "create_view, drop_view, remove_orphan_files)")
+          "create_view, drop_view, remove_orphan_files, unload_table)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
@@ -475,7 +476,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "replace_partition_spec"),
       Identifier.of(namespace, "create_view"),
       Identifier.of(namespace, "drop_view"),
-      Identifier.of(namespace, "remove_orphan_files"))
+      Identifier.of(namespace, "remove_orphan_files"),
+      Identifier.of(namespace, "unload_table"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -1306,6 +1308,45 @@ object RemoveOrphanFilesProcedure
     val (orphans, kept) = MemTables.removeOrphanFiles(key, grace)
     ProcedureResults.scan(s"GraftRemoveOrphanFiles $key grace=$grace", outSchema,
       Seq(Seq(orphans, kept)))
+  }
+}
+
+/** `CALL graft.unload_table('t')` — drop a file-backed table's
+  * IN-MEMORY state ([[MemTables.unload]]): the parquet files and the
+  * durable metadata document stay on disk and the next read recovers
+  * them byte-identically (time travel, CDC, refs, branch stages
+  * included). The restart-survival drill of the table format, runnable
+  * without killing the JVM, and the memory valve for a long-lived
+  * driver hosting many tables.
+  */
+object UnloadTableProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.StringType
+
+  override def name(): String = "unload_table"
+  override def description(): String =
+    "drop a file-backed table's in-memory state; disk metadata + files " +
+      "remain and the next read recovers them"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("unloaded", StringType, nullable = false)
+    .add("metadata_dir", StringType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val key = input.getUTF8String(0).toString
+    val dir = MemTables.get(key)
+      .getOrElse(throw new IllegalArgumentException(s"mem table $key does not exist"))
+      .storageDir.getOrElse("")
+    MemTables.unload(key)
+    ProcedureResults.scan(s"GraftUnloadTable $key", outSchema,
+      Seq(Seq(key, dir)))
   }
 }
 

@@ -1,0 +1,422 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.MemTables._
+
+/** The DURABLE half of the graft table format — the analogue of Iceberg's
+  * `metadata.json` + merged manifest list: every publish of a file-backed
+  * table (`graft.storage=parquet`) serializes the table's COMPLETE
+  * metadata plane — version ledger, schema-era history, refs
+  * (tags/branches), partition-spec timeline, per-batch manifests (path,
+  * count, partition tuple, column bounds, delete vector), equality
+  * deletes, and the change-feed provenance maps — as one JSON document
+  * beside the data files, atomically (tmp + rename). The parquet files +
+  * `metadata.json` then ARE the table: a process restart (or a
+  * `CALL graft.unload_table`) loses nothing, because
+  * [[MemTables.get]] recovers the state from disk on the first miss,
+  * hash-identical including time travel, CDC windows, and branch stages.
+  *
+  * Scale note: writing the WHOLE plane per commit is the gate-scale form;
+  * the 100 TB evolution is Iceberg's incremental shape (immutable
+  * per-commit manifest files + a small metadata root naming them), which
+  * changes the I/O pattern, not this schema — every field here maps 1:1
+  * onto that layout. Driver-resident tables (no storage dir) have no
+  * durable plane by that mode's own contract and skip persistence.
+  *
+  * Values inside metadata (column bounds, partition tuples, EXISTS
+  * defaults, equality-delete keys) are INTERNAL Spark values; they travel
+  * as self-describing `{"t": tag, "v": value}` nodes so decode needs no
+  * schema context and numeric types survive exactly (longs as JSON
+  * numbers, floats via their IEEE bit patterns when non-finite).
+  */
+object TableMetadata {
+
+  val FileName = "metadata.json"
+  private val FormatVersion = 1
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- values
+
+  /** Encode one internal metadata value (stats bound / partition tuple
+    * element / default / eq-delete key) self-describingly.
+    */
+  private def valOut(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case b: java.lang.Boolean => tag("bool", mapper.getNodeFactory.booleanNode(b))
+    case b: java.lang.Byte => tag("i8", mapper.getNodeFactory.numberNode(b.intValue))
+    case s: java.lang.Short => tag("i16", mapper.getNodeFactory.numberNode(s.intValue))
+    case i: java.lang.Integer => tag("i32", mapper.getNodeFactory.numberNode(i.intValue))
+    case l: java.lang.Long => tag("i64", mapper.getNodeFactory.numberNode(l.longValue))
+    // floats round-trip through their exact bit pattern (a decimal text
+    // form would corrupt NaN/±Inf and can misround across locales)
+    case f: java.lang.Float => tag("f32",
+      mapper.getNodeFactory.numberNode(java.lang.Float.floatToRawIntBits(f.floatValue)))
+    case d: java.lang.Double => tag("f64",
+      mapper.getNodeFactory.numberNode(java.lang.Double.doubleToRawLongBits(d.doubleValue)))
+    case u: UTF8String => tag("str", mapper.getNodeFactory.textNode(u.toString))
+    case s: String => tag("jstr", mapper.getNodeFactory.textNode(s))
+    case d: org.apache.spark.sql.types.Decimal =>
+      val o = mapper.createObjectNode()
+      o.put("t", "dec"); o.put("p", d.precision); o.put("s", d.scale)
+      o.put("v", d.toJavaBigDecimal.toPlainString); o
+    case b: Array[Byte] => tag("bin",
+      mapper.getNodeFactory.textNode(java.util.Base64.getEncoder.encodeToString(b)))
+    case other => throw new IllegalStateException(
+      s"table metadata cannot serialize value class ${other.getClass.getName}")
+  }
+
+  private def tag(t: String, v: JsonNode): ObjectNode = {
+    val o = mapper.createObjectNode(); o.put("t", t); o.set[JsonNode]("v", v); o
+  }
+
+  private def valIn(n: JsonNode): Any = {
+    if (n == null || n.isNull) return null
+    n.get("t").asText match {
+      case "bool" => java.lang.Boolean.valueOf(n.get("v").asBoolean)
+      case "i8" => java.lang.Byte.valueOf(n.get("v").asInt.toByte)
+      case "i16" => java.lang.Short.valueOf(n.get("v").asInt.toShort)
+      case "i32" => Integer.valueOf(n.get("v").asInt)
+      case "i64" => java.lang.Long.valueOf(n.get("v").asLong)
+      case "f32" => java.lang.Float.valueOf(
+        java.lang.Float.intBitsToFloat(n.get("v").asInt))
+      case "f64" => java.lang.Double.valueOf(
+        java.lang.Double.longBitsToDouble(n.get("v").asLong))
+      case "str" => UTF8String.fromString(n.get("v").asText)
+      case "jstr" => n.get("v").asText
+      case "dec" => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(n.get("v").asText), n.get("p").asInt, n.get("s").asInt)
+      case "bin" => java.util.Base64.getDecoder.decode(n.get("v").asText)
+      case other => throw new IllegalStateException(
+        s"table metadata: unknown value tag '$other'")
+    }
+  }
+
+  // ----------------------------------------------------------------- spec
+
+  private def specOut(spec: Seq[PartField]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    spec.foreach { pf =>
+      val o = mapper.createObjectNode()
+      pf match {
+        case IdentityPart(c) => o.put("kind", "identity"); o.put("col", c)
+        case BucketPart(n, c) => o.put("kind", "bucket"); o.put("n", n); o.put("col", c)
+        case TimePart(u, c) => o.put("kind", "time"); o.put("unit", u); o.put("col", c)
+        case TruncatePart(w, c) => o.put("kind", "truncate"); o.put("w", w); o.put("col", c)
+      }
+      a.add(o)
+    }
+    a
+  }
+
+  private def specIn(n: JsonNode): Seq[PartField] =
+    iter(n).map { o =>
+      o.get("kind").asText match {
+        case "identity" => IdentityPart(o.get("col").asText)
+        case "bucket" => BucketPart(o.get("n").asInt, o.get("col").asText)
+        case "time" => TimePart(o.get("unit").asText, o.get("col").asText)
+        case "truncate" => TruncatePart(o.get("w").asInt, o.get("col").asText)
+        case other => throw new IllegalStateException(
+          s"table metadata: unknown partition field kind '$other'")
+      }
+    }.toSeq
+
+  // -------------------------------------------------------------- batches
+
+  private def batchOut(dir: String, b: TaggedBatch): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("schema", b.schema.json)
+    o.put("version", b.version)
+    o.put("write-version", b.writeVersion)
+    o.put("removed-at", b.removedAt)
+    o.put("batch-id", b.batchId)
+    o.put("spec-id", b.specId)
+    if (b.dv.nonEmpty) {
+      val d = mapper.createObjectNode()
+      b.dv.foreach { case (pos, v) => d.put(pos.toString, v) }
+      o.set[JsonNode]("dv", d)
+    }
+    val stats = mapper.createObjectNode()
+    b.stats.foreach { case (col, s) =>
+      val c = mapper.createObjectNode()
+      c.set[JsonNode]("min", valOut(s.min))
+      c.set[JsonNode]("max", valOut(s.max))
+      c.put("null-count", s.nullCount)
+      c.put("row-count", s.rowCount)
+      c.put("ndv", s.ndv)
+      stats.set[JsonNode](col, c)
+    }
+    o.set[JsonNode]("stats", stats)
+    val part = mapper.createArrayNode()
+    b.part.foreach(v => part.add(valOut(v)))
+    o.set[JsonNode]("part", part)
+    b.store match {
+      case FileStore(path, count, schema) =>
+        val s = mapper.createObjectNode()
+        s.put("kind", "file")
+        // relative paths keep the table directory relocatable
+        s.put("path",
+          if (path.startsWith(dir + "/")) path.substring(dir.length + 1) else path)
+        s.put("count", count)
+        s.put("schema", schema.json)
+        o.set[JsonNode]("store", s)
+      case MemStore(_) =>
+        // by construction unreachable for a file-backed table (every
+        // publish path routes rows through storeFor, which writes a
+        // file when a storage dir exists) — fail the commit loudly
+        // rather than embed row payloads in the metadata plane
+        throw new IllegalStateException(
+          "file-backed table holds a driver-resident batch — cannot persist")
+    }
+    o
+  }
+
+  private def batchIn(dir: String, n: JsonNode): TaggedBatch = {
+    val s = n.get("store")
+    val rawPath = s.get("path").asText
+    val path = if (rawPath.startsWith("/")) rawPath else s"$dir/$rawPath"
+    val store = FileStore(path, s.get("count").asInt,
+      DataType.fromJson(s.get("schema").asText).asInstanceOf[StructType])
+    val dv = Option(n.get("dv")).map { d =>
+      fields(d).map { case (k, v) => k.toInt -> v.asLong }.toMap
+    }.getOrElse(Map.empty[Int, Long])
+    val stats = fields(n.get("stats")).map { case (col, c) =>
+      col -> ColStats(valIn(c.get("min")), valIn(c.get("max")),
+        c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong)
+    }.toMap
+    TaggedBatch(
+      DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],
+      n.get("version").asLong, n.get("write-version").asLong, store,
+      n.get("removed-at").asLong, dv, n.get("batch-id").asLong, stats,
+      iter(n.get("part")).map(valIn).toSeq, n.get("spec-id").asInt)
+  }
+
+  // ---------------------------------------------------------------- state
+
+  /** Serialize the complete metadata plane and atomically replace
+    * `<dir>/metadata.json`. Caller holds the state's monitor.
+    */
+  def write(st: State): Unit = st.storageDir.foreach { dir =>
+    val root = mapper.createObjectNode()
+    root.put("format-version", FormatVersion)
+    root.put("key", st.tableKey)
+    root.put("delete-mode", st.deleteMode)
+    val props = mapper.createObjectNode()
+    st.createProps.foreach { case (k, v) => props.put(k, v) }
+    root.set[JsonNode]("create-props", props)
+    root.put("schema", st.schema.json)
+    val specs = mapper.createArrayNode()
+    st.specHistory.foreach(s => specs.add(specOut(s)))
+    root.set[JsonNode]("spec-history", specs)
+    root.put("version", st.version)
+    root.put("earliest-version", st.earliestVersion)
+    root.put("next-batch-id", st.nextBatchId)
+    val dropped = mapper.createObjectNode()
+    st.droppedAt.foreach { case (k, v) => dropped.put(k, v) }
+    root.set[JsonNode]("dropped-at", dropped)
+    root.set[JsonNode]("column-defaults", defaultsOut(st.columnDefaults))
+    root.set[JsonNode]("eras", erasOut(st.eras))
+    val hist = mapper.createArrayNode()
+    st.history.foreach { h =>
+      val o = mapper.createObjectNode()
+      o.put("version", h.version)
+      o.put("schema", h.schema.json)
+      val d = mapper.createObjectNode()
+      h.droppedAt.foreach { case (k, v) => d.put(k, v) }
+      o.set[JsonNode]("dropped-at", d)
+      o.set[JsonNode]("eras", erasOut(h.eras))
+      o.set[JsonNode]("defaults", defaultsOut(h.defaults))
+      hist.add(o)
+    }
+    root.set[JsonNode]("history", hist)
+    val times = mapper.createArrayNode()
+    st.versionTimes.foreach { case (v, t) =>
+      val a = mapper.createArrayNode(); a.add(v); a.add(t); times.add(a)
+    }
+    root.set[JsonNode]("version-times", times)
+    val epochs = mapper.createObjectNode()
+    st.committedEpochs.foreach { case (q, es) =>
+      val a = mapper.createArrayNode(); es.toSeq.sorted.foreach(a.add); epochs.set[JsonNode](q, a)
+    }
+    root.set[JsonNode]("committed-epochs", epochs)
+    val compactions = mapper.createArrayNode()
+    st.compactionVersions.toSeq.sorted.foreach(compactions.add)
+    root.set[JsonNode]("compaction-versions", compactions)
+    val ops = mapper.createObjectNode()
+    st.opKinds.foreach { case (v, k) => ops.put(v.toString, k) }
+    root.set[JsonNode]("op-kinds", ops)
+    val tags = mapper.createObjectNode()
+    st.tags.foreach { case (t, v) => tags.put(t, v) }
+    root.set[JsonNode]("tags", tags)
+    val eqs = mapper.createArrayNode()
+    st.eqDeletes.foreach { e =>
+      val o = mapper.createObjectNode()
+      o.put("version", e.version)
+      val cols = mapper.createArrayNode(); e.keyCols.foreach(cols.add)
+      o.set[JsonNode]("key-cols", cols)
+      val keys = mapper.createArrayNode()
+      e.keys.foreach { k =>
+        val a = mapper.createArrayNode(); k.foreach(v => a.add(valOut(v))); keys.add(a)
+      }
+      o.set[JsonNode]("keys", keys)
+      eqs.add(o)
+    }
+    root.set[JsonNode]("eq-deletes", eqs)
+    val sortedBy = mapper.createArrayNode()
+    st.sortedBy.foreach(sortedBy.add)
+    root.set[JsonNode]("sorted-by", sortedBy)
+    root.put("sorted-since", st.sortedSince)
+    val updatedAt = mapper.createObjectNode()
+    st.updatedAt.foreach { case (v, ids) =>
+      val a = mapper.createArrayNode()
+      ids.foreach { case (bid, pos) =>
+        val p = mapper.createArrayNode(); p.add(bid); p.add(pos); a.add(p)
+      }
+      updatedAt.set[JsonNode](v.toString, a)
+    }
+    root.set[JsonNode]("updated-at", updatedAt)
+    val postBatches = mapper.createArrayNode()
+    st.updatePostBatches.toSeq.sorted.foreach(postBatches.add)
+    root.set[JsonNode]("update-post-batches", postBatches)
+    val batches = mapper.createArrayNode()
+    st.batches.foreach(b => batches.add(batchOut(dir, b)))
+    root.set[JsonNode]("batches", batches)
+    val branches = mapper.createObjectNode()
+    st.branches.foreach { case (name, bs) =>
+      val o = mapper.createObjectNode()
+      o.put("base", bs.base)
+      val appends = mapper.createArrayNode()
+      bs.appends.foreach { staged =>
+        val a = mapper.createArrayNode()
+        staged.foreach(b => a.add(batchOut(dir, b)))
+        appends.add(a)
+      }
+      o.set[JsonNode]("appends", appends)
+      val dvs = mapper.createObjectNode()
+      bs.dvs.foreach { case (bid, poss) =>
+        val a = mapper.createArrayNode(); poss.toSeq.sorted.foreach(a.add)
+        dvs.set[JsonNode](bid.toString, a)
+      }
+      o.set[JsonNode]("dvs", dvs)
+      branches.set[JsonNode](name, o)
+    }
+    root.set[JsonNode]("branches", branches)
+
+    // atomic replace: a reader (or a crash) never observes a torn file
+    val tmp = java.nio.file.Paths.get(dir, FileName + ".tmp")
+    val dst = java.nio.file.Paths.get(dir, FileName)
+    java.nio.file.Files.write(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def defaultsOut(defaults: Map[String, (Long, Any)]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    defaults.foreach { case (col, (at, v)) =>
+      val d = mapper.createObjectNode()
+      d.put("added-at", at); d.set[JsonNode]("value", valOut(v))
+      o.set[JsonNode](col, d)
+    }
+    o
+  }
+
+  private def defaultsIn(n: JsonNode): Map[String, (Long, Any)] =
+    fields(n).map { case (col, d) =>
+      col -> (d.get("added-at").asLong, valIn(d.get("value")))
+    }.toMap
+
+  private def erasOut(eras: Map[String, Vector[(Long, String)]]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    eras.foreach { case (col, timeline) =>
+      val a = mapper.createArrayNode()
+      timeline.foreach { case (v, name) =>
+        val e = mapper.createArrayNode(); e.add(v); e.add(name); a.add(e)
+      }
+      o.set[JsonNode](col, a)
+    }
+    o
+  }
+
+  private def erasIn(n: JsonNode): Map[String, Vector[(Long, String)]] =
+    fields(n).map { case (col, a) =>
+      col -> iter(a).map(e => (e.get(0).asLong, e.get(1).asText)).toVector
+    }.toMap
+
+  /** Parse `<dir>/metadata.json` back into a registrable [[State]];
+    * None if the directory carries no (readable) metadata document.
+    */
+  def load(dir: String): Option[(String, State)] = {
+    val f = new java.io.File(dir, FileName)
+    if (!f.isFile) return None
+    val root = mapper.readTree(f)
+    val fv = root.get("format-version").asInt
+    if (fv != FormatVersion)
+      throw new IllegalStateException(
+        s"table metadata at $dir has format-version $fv; this engine reads $FormatVersion")
+    val key = root.get("key").asText
+    val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
+    val createProps = fields(root.get("create-props"))
+      .map { case (k, v) => k -> v.asText }.toMap
+    val specHistory = iter(root.get("spec-history")).map(specIn).toVector
+    val st = new State(schema, root.get("delete-mode").asText, createProps,
+      specHistory.head, Some(dir), key)
+    st.specHistory = specHistory
+    st.schema = schema
+    st.version = root.get("version").asLong
+    st.earliestVersion = root.get("earliest-version").asLong
+    st.nextBatchId = root.get("next-batch-id").asLong
+    st.droppedAt = fields(root.get("dropped-at")).map { case (k, v) => k -> v.asLong }.toMap
+    st.columnDefaults = defaultsIn(root.get("column-defaults"))
+    st.eras = erasIn(root.get("eras"))
+    st.history = iter(root.get("history")).map { h =>
+      SchemaAt(h.get("version").asLong,
+        DataType.fromJson(h.get("schema").asText).asInstanceOf[StructType],
+        fields(h.get("dropped-at")).map { case (k, v) => k -> v.asLong }.toMap,
+        erasIn(h.get("eras")), defaultsIn(h.get("defaults")))
+    }.toVector
+    st.versionTimes = iter(root.get("version-times"))
+      .map(a => (a.get(0).asLong, a.get(1).asLong)).toVector
+    st.committedEpochs = fields(root.get("committed-epochs"))
+      .map { case (q, a) => q -> iter(a).map(_.asLong).toSet }.toMap
+    st.compactionVersions = iter(root.get("compaction-versions")).map(_.asLong).toSet
+    st.opKinds = fields(root.get("op-kinds")).map { case (v, k) => v.toLong -> k.asText }.toMap
+    st.tags = fields(root.get("tags")).map { case (t, v) => t -> v.asLong }.toMap
+    st.eqDeletes = iter(root.get("eq-deletes")).map { e =>
+      EqDelete(e.get("version").asLong,
+        iter(e.get("key-cols")).map(_.asText).toSeq,
+        iter(e.get("keys")).map(k => iter(k).map(valIn).toSeq: Seq[Any]).toSet)
+    }.toVector
+    st.sortedBy = iter(root.get("sorted-by")).map(_.asText).toSeq
+    st.sortedSince = root.get("sorted-since").asLong
+    st.updatedAt = fields(root.get("updated-at")).map { case (v, a) =>
+      v.toLong -> iter(a).map(p => (p.get(0).asLong, p.get(1).asInt)).toSet
+    }.toMap
+    st.updatePostBatches = iter(root.get("update-post-batches")).map(_.asLong).toSet
+    st.batches = iter(root.get("batches")).map(batchIn(dir, _)).toVector
+    st.branches = fields(root.get("branches")).map { case (name, b) =>
+      name -> BranchState(b.get("base").asLong,
+        iter(b.get("appends")).map(a => iter(a).map(batchIn(dir, _)).toVector).toVector,
+        fields(b.get("dvs")).map { case (bid, poss) =>
+          bid.toLong -> iter(poss).map(_.asInt).toSet
+        }.toMap)
+    }.toMap
+    Some((key, st))
+  }
+
+  private def iter(n: JsonNode): Iterator[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    if (n == null) Iterator.empty else n.elements().asScala
+  }
+
+  private def fields(n: JsonNode): Iterator[(String, JsonNode)] = {
+    import scala.jdk.CollectionConverters._
+    if (n == null) Iterator.empty
+    else n.properties().asScala.iterator.map(e => (e.getKey, e.getValue))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The DURABLE metadata plane ([[TableMetadata]] + [[MemTables.unload]] /
+  * disk recovery): a file-backed table's version ledger, schema eras,
+  * EXISTS defaults, delete vectors, refs (tags/branches with staged DML),
+  * spec timeline, and change-feed provenance all survive dropping the
+  * in-memory state — the parquet dir + `metadata.json` ARE the table.
+  */
+class MetadataPersistSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+
+  test("unload + recover round-trips the full protocol surface") {
+    catalogOn(); drop("mp_life")
+    spark.sql("CREATE TABLE graft.mp_life (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES " +
+      "('graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.mp_life " +
+      "SELECT id, concat('r', id) FROM range(0, 10)") // v1
+    spark.sql("ALTER TABLE graft.mp_life ADD COLUMN tag STRING DEFAULT 'old'") // v2
+    spark.sql("INSERT INTO graft.mp_life VALUES (100, 'x', 'fresh')") // v3
+    spark.sql("DELETE FROM graft.mp_life WHERE k = 3") // v4: a DV entry
+    spark.sql("ALTER TABLE graft.mp_life RENAME COLUMN v TO val") // v5
+    spark.sql("CALL graft.create_tag('mp_life', 'rel', 3)")
+    spark.sql("CALL graft.create_branch('mp_life', 'wip', 5)")
+    spark.sql("INSERT INTO graft.mp_life.branch_wip VALUES (200, 'staged', 'wip')")
+    spark.sql("UPDATE graft.mp_life.branch_wip SET tag = 'branched' WHERE k = 0")
+
+    def snapshot(): (Seq[(Long, String, String)], Seq[(Long, String, String)],
+        Long, Seq[(Long, String, Long)], Long) = (
+      spark.sql("SELECT k, val, tag FROM graft.mp_life ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq,
+      spark.sql("SELECT k, val, tag FROM graft.mp_life.branch_wip ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq,
+      spark.sql("SELECT count(*) FROM graft.mp_life VERSION AS OF 'rel'")
+        .head().getLong(0),
+      spark.read.format("graft.sources.MemChangesSource")
+        .option("table", "mp_life").option("from", "0").load().collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sorted.toSeq,
+      spark.sql("CALL graft.table_history('mp_life')").count())
+
+    val before = snapshot()
+    assert(before._1.size === 10) // 11 inserted − 1 deleted
+    assert(before._1.count(_._3 == "old") === 9)
+    assert(before._2.size === 11) // branch: base-visible + staged row
+    assert(before._2.exists(t => t._1 == 0L && t._3 == "branched"))
+    assert(before._3 === 11) // tag pins pre-DELETE snapshot
+
+    spark.sql("CALL graft.unload_table('mp_life')")
+    assert(!MemTables.isLoaded("mp_life"), "unload must clear the registry")
+
+    // first touch recovers from metadata.json — byte-identical everywhere
+    val after = snapshot()
+    assert(MemTables.isLoaded("mp_life"), "read must recover the table")
+    assert(after === before)
+
+    // the recovered table is fully OPERABLE, not a read-only fossil:
+    // branch DML staged pre-unload fast-forwards, versions keep minting
+    spark.sql("CALL graft.fast_forward('mp_life', 'wip')")
+    assert(spark.sql("SELECT count(*) FROM graft.mp_life WHERE tag = 'branched'")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT val FROM graft.mp_life WHERE k = 200")
+      .head().getString(0) === "staged")
+    spark.sql("DELETE FROM graft.mp_life WHERE k = 100")
+    // 10 pre-ff rows − k=0 pre-image + its post-image + staged k=200 − k=100
+    assert(spark.sql("SELECT count(*) FROM graft.mp_life").head().getLong(0) === 10L)
+    drop("mp_life")
+  }
+
+  test("recovery survives spec evolution, eq-deletes, and time travel") {
+    catalogOn(); drop("mp_spec")
+    spark.sql("CREATE TABLE graft.mp_spec (k BIGINT, d DATE) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mp_spec " +
+      "SELECT id, date_add(DATE '2024-01-01', CAST(id AS INT)) FROM range(0, 60)") // v1
+    spark.sql("CALL graft.replace_partition_spec('mp_spec', 'months(d)')") // v2
+    spark.sql("INSERT INTO graft.mp_spec " +
+      "SELECT id + 100, date_add(DATE '2024-03-01', CAST(id AS INT)) FROM range(0, 30)") // v3
+
+    val wantAll = spark.sql("SELECT sum(k) FROM graft.mp_spec").head().getLong(0)
+    val wantV1 = spark.sql("SELECT count(*) FROM graft.mp_spec VERSION AS OF 1")
+      .head().getLong(0)
+    val specs = MemTables.get("mp_spec").get.specHistory
+
+    spark.sql("CALL graft.unload_table('mp_spec')")
+    assert(!MemTables.isLoaded("mp_spec"))
+
+    assert(spark.sql("SELECT sum(k) FROM graft.mp_spec").head().getLong(0) === wantAll)
+    assert(spark.sql("SELECT count(*) FROM graft.mp_spec VERSION AS OF 1")
+      .head().getLong(0) === wantV1)
+    val st = MemTables.get("mp_spec").get
+    assert(st.specHistory === specs, "spec timeline must survive")
+    // old batches keep their written spec id; new ones the evolved spec
+    assert(st.batches.exists(_.specId == 0) && st.batches.exists(_.specId == 1))
+    // month-window reads still answer correctly over recovered manifests
+    // (old-spec batches keep conservative, new-spec ones prune): the v3
+    // insert is 30 March days, the v1 batch is all Jan/Feb
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mp_spec WHERE d >= DATE '2024-03-01' AND d < DATE '2024-04-01'")
+      .head().getLong(0) === 30L)
+    drop("mp_spec")
+  }
+
+  test("unload of a driver-resident table is rejected; drop removes metadata") {
+    catalogOn(); drop("mp_mem")
+    spark.sql("CREATE TABLE graft.mp_mem (k BIGINT)")
+    spark.sql("INSERT INTO graft.mp_mem VALUES (1)")
+    val e = intercept[Exception](spark.sql("CALL graft.unload_table('mp_mem')"))
+    assert(e.getMessage.contains("driver-resident"), e.getMessage)
+    assert(spark.table("graft.mp_mem").count() === 1L)
+    drop("mp_mem")
+
+    // DROP of a file-backed table removes the directory — no zombie
+    // recovery of a dropped table
+    drop("mp_gone")
+    spark.sql("CREATE TABLE graft.mp_gone (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mp_gone VALUES (1)")
+    val dir = MemTables.get("mp_gone").get.storageDir.get
+    assert(new java.io.File(dir, "metadata.json").isFile,
+      "every publish writes the metadata document")
+    drop("mp_gone")
+    assert(!new java.io.File(dir).exists, "drop reclaims the table dir")
+    assert(MemTables.get("mp_gone").isEmpty, "no recovery after drop")
+  }
+
+  test("TIMESTAMP AS OF and upsert epochs survive recovery") {
+    catalogOn(); drop("mp_ts")
+    spark.sql("CREATE TABLE graft.mp_ts (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.storage'='parquet', 'graft.delete-mode'='merge-on-read', " +
+      "'graft.upsert-keys'='k')")
+    spark.sql("INSERT INTO graft.mp_ts VALUES (1, 'a'), (2, 'b')") // v1
+    // an upsert epoch via the streaming commit path: eq-delete + insert
+    val st0 = MemTables.get("mp_ts").get
+    val schema = st0.schema
+    MemTables.commitEpochUpsert("mp_ts", "q-meta", 0L, schema, Seq("k"),
+      Seq(MemTables.RowsPayload(Array(
+        org.apache.spark.sql.catalyst.InternalRow(
+          2L, org.apache.spark.unsafe.types.UTF8String.fromString("B2")),
+        org.apache.spark.sql.catalyst.InternalRow(
+          3L, org.apache.spark.unsafe.types.UTF8String.fromString("c")))))) // v2
+    val times = st0.versionTimes
+    val want = spark.sql("SELECT k, v FROM graft.mp_ts ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(want === Seq(1L -> "a", 2L -> "B2", 3L -> "c"))
+
+    spark.sql("CALL graft.unload_table('mp_ts')")
+    assert(spark.sql("SELECT k, v FROM graft.mp_ts ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
+    val st = MemTables.get("mp_ts").get
+    assert(st.versionTimes === times, "TIMESTAMP AS OF stamps must survive")
+    assert(st.eqDeletes.nonEmpty, "equality deletes must survive")
+    assert(st.committedEpochs.get("q-meta").exists(_.contains(0L)),
+      "epoch ledger must survive — a post-restart re-commit must stay a no-op")
+    // idempotence across the restart: same epoch re-commits as a no-op
+    MemTables.commitEpochUpsert("mp_ts", "q-meta", 0L, st.schema, Seq("k"),
+      Seq(MemTables.RowsPayload(Array(
+        org.apache.spark.sql.catalyst.InternalRow(
+          9L, org.apache.spark.unsafe.types.UTF8String.fromString("dup"))))))
+    assert(spark.sql("SELECT count(*) FROM graft.mp_ts").head().getLong(0) === 3L)
+    drop("mp_ts")
+  }
+}
