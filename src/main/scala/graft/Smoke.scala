@@ -16,6 +16,7 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.sources.SeqCatalog.DefaultStorageConf, "parquet")
       // same extensions as Verify/Bench — the native asof strategy and SQL
       // function registrations are part of the engine under test
       .withExtensions(new graft.core.GraftExtensions)

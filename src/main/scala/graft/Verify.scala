@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // gate/bench tables run the FILE-BACKED storage plane by default
+      // (executor-written parquet + durable metadata + path-shipping
+      // scans) — the 100 TB mode; statements naming 'graft.storage' win
+      .config(graft.sources.SeqCatalog.DefaultStorageConf, "parquet")
       .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -356,7 +356,11 @@ object MemTables {
     * tombstone rules as data projection.
     */
   final case class ColStats(min: Any, max: Any, nullCount: Long, rowCount: Long,
-      ndv: Long = -1L) {
+      ndv: Long = -1L,
+      // union-mergeable distinct sketch ([[NdvSketch]]): present on every
+      // publish since round 13; absent on legacy/synthetic stats, where
+      // planning falls back to the Σ-cap bound
+      sketch: Option[NdvSketch] = None) {
     def allNull: Boolean = nullCount == rowCount
   }
 
@@ -533,32 +537,17 @@ object MemTables {
     * and ships inside its commit message — either way the cost is paid
     * once per batch at write, never at read.
     */
+  /** Per-batch column stats — one pass through [[StatsAccumulator]], the
+    * same incremental machinery the streaming write tasks use: min/max
+    * bounds, null count, and the NDV [[NdvSketch]] (exact below its
+    * threshold, HLL above; union-merged at planning so overlapping batch
+    * domains estimate tightly instead of summing).
+    */
   def statsOf(schema: StructType, rows: Array[InternalRow]): Map[String, ColStats] = {
-    val n = rows.length.toLong
-    schema.fields.iterator.zipWithIndex.flatMap { case (f, i) =>
-      statsComparator(f.dataType).map { cmp =>
-        var mn: Any = null
-        var mx: Any = null
-        var nulls = 0L
-        // exact per-batch distinct count over canonical values — the NDV
-        // half of the manifest entry (merged across batches as a BOUND at
-        // planning; CBO sizes joins from it)
-        val distinct = scala.collection.mutable.HashSet.empty[Any]
-        var j = 0
-        while (j < rows.length) {
-          val r = rows(j)
-          if (r.isNullAt(i)) nulls += 1
-          else {
-            val v = r.get(i, f.dataType)
-            if (mn == null || cmp(v, mn) < 0) mn = v
-            if (mx == null || cmp(v, mx) > 0) mx = v
-            distinct += canonKey(v)
-          }
-          j += 1
-        }
-        f.name -> ColStats(mn, mx, nulls, n, distinct.size.toLong)
-      }
-    }.toMap
+    val acc = new StatsAccumulator(schema)
+    var j = 0
+    while (j < rows.length) { acc.add(rows(j)); j += 1 }
+    acc.result()
   }
 
   /** Can any row of a batch with the given column stats satisfy `f`?
@@ -809,11 +798,14 @@ object MemTables {
       initialSchema: StructType, val deleteMode: String = DeleteModeCow,
       val createProps: Map[String, String] = Map.empty,
       initialPartitioning: Seq[PartField] = Nil,
-      // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]])
-      val storageDir: Option[String] = None,
+      initialStorageDir: Option[String] = None,
       // the table's catalog key, recorded in the durable metadata plane
       // so disk recovery can match a directory back to its table
       val tableKey: String = "") {
+    // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]]);
+    // a var because `CALL graft.migrate_storage` promotes a
+    // driver-resident table onto the file plane in place
+    @volatile var storageDir: Option[String] = initialStorageDir
     // PARTITION SPEC TIMELINE (Iceberg spec evolution): specHistory(i) is
     // spec id `i`, append-only; `partitioning` is the CURRENT spec. Every
     // batch carries the spec id it was written under ([[TaggedBatch
@@ -1150,6 +1142,63 @@ object MemTables {
       // another thread may have recovered (or re-created) concurrently —
       // first registration wins, exactly like create
       tables.putIfAbsent(key, st).getOrElse(st)
+    }
+  }
+
+  /** STORAGE MIGRATION (`CALL graft.migrate_storage('t', 'parquet')`):
+    * promote a driver-resident table onto the file-backed plane IN
+    * PLACE — every batch's rows (current, retained history, and branch
+    * stages alike) are written out as parquet files, the store entries
+    * become manifests, and the durable metadata plane starts persisting;
+    * all future writes land executor-side as files. No version is minted
+    * and no ledger entry appears: the logical table is bit-identical
+    * before and after (CDC-invisible by construction — there is nothing
+    * to report). Store SHARING is preserved (a rollback restore that
+    * shares its original's rows keeps sharing the written file — the
+    * expiry shared-file guard stays meaningful). Rows are written
+    * driver-side because that is where they already live; the point of
+    * the migration is that nothing else ever has to be again. Returns
+    * (batches migrated, storage dir).
+    */
+  def migrateStorage(key: String, target: String): (Long, String) = {
+    if (target != "parquet")
+      throw new IllegalArgumentException(
+        s"migrate_storage target must be 'parquet', got '$target'")
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    st.synchronized {
+      st.storageDir match {
+        case Some(dir) => (0L, dir) // already file-backed: no-op
+        case None =>
+          val dir = new java.io.File(tablesRoot,
+            sanitizeKey(key) + "-" + java.util.UUID.randomUUID().toString.take(8))
+          dir.mkdirs()
+          val dirPath = dir.getAbsolutePath
+          // identity-preserving conversion: batches sharing one store
+          // (rollback restores) share one file afterwards
+          val converted = new java.util.IdentityHashMap[RowStore, FileStore]()
+          var n = 0L
+          def conv(b: TaggedBatch): TaggedBatch = b.store match {
+            case ms: MemStore =>
+              val fs = Option(converted.get(ms)).getOrElse {
+                val path = s"$dirPath/migrate-" +
+                  s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+                ParquetRows.write(path, b.schema, ms.rows.iterator)
+                val f = FileStore(path, ms.rows.length, b.schema)
+                converted.put(ms, f)
+                f
+              }
+              n += 1
+              b.copy(store = fs)
+            case _ => b
+          }
+          st.batches = st.batches.map(conv)
+          st.branches = st.branches.view.mapValues(bs =>
+            bs.copy(appends = bs.appends.map(_.map(conv)))).toMap
+          st.storageDir = Some(dirPath)
+          persistMeta(st)
+          (n, dirPath)
+      }
     }
   }
 
@@ -3713,19 +3762,39 @@ final class MemScan(
         var ndv = 0L
         var nulls = 0L
         var known = planned.nonEmpty
+        // UNION-MERGED sketch estimate ([[NdvSketch]]): tight where batch
+        // domains overlap (the Σ bound over-counts shared values by up to
+        // the batch count). Falls back to the Σ-cap bound the moment ANY
+        // contributing batch lacks a sketch — the estimate must never be
+        // an accidental under-count from a half-merged union.
+        var union: NdvSketch = null
+        var sketchable = planned.nonEmpty
         planned.foreach { case (b, srcNames, _, _) =>
           srcNames.get(n).flatMap(b.stats.get) match {
-            case Some(s) if s.ndv >= 0 => ndv += s.ndv; nulls += s.nullCount
+            case Some(s) if s.ndv >= 0 =>
+              ndv += s.ndv; nulls += s.nullCount
+              s.sketch match {
+                case Some(sk) if sketchable =>
+                  if (union == null) union = sk.copySketch() else union.merge(sk)
+                case _ => sketchable = false
+              }
             case Some(_) => known = false
             case None if srcNames.contains(n) => known = false // uncovered type
             case None =>
               // unresolved era: all-null here — unless an ADD COLUMN
               // default applies, in which case every row serves D
-              if (MemTables.defaultFor(statsMeta.defaults)(n, b.writeVersion).isDefined)
-                ndv += 1L
-              else nulls += b.rowCount
+              MemTables.defaultFor(statsMeta.defaults)(n, b.writeVersion) match {
+                case Some(dv) =>
+                  ndv += 1L
+                  if (sketchable) {
+                    if (union == null) union = NdvSketch.empty()
+                    union.addValue(dv)
+                  }
+                case None => nulls += b.rowCount
+              }
           }
         }
+        if (sketchable && union != null) ndv = union.estimate
         if (known) {
           val d = math.min(ndv, math.max(rows - nulls, 0L))
           val nl = math.min(nulls, rows)
@@ -4555,26 +4624,30 @@ final case class MemParquetWrite(
 final class MemWriterFactory(parquet: Option[MemParquetWrite] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      // rows are reused by the caller — copy() detaches each one
-      override def write(record: InternalRow): Unit = buf += record.copy()
-      override def commit(): WriterCommitMessage = parquet match {
-        case None => MemCommitMessage(buf.toArray)
-        case Some(pw) =>
-          val files = MemTables
-            .splitByPartition(pw.spec, pw.schema, buf.toArray)
-            .map { case (pt, rows) =>
-              val path = s"${pw.dir}/part-$partitionId-$taskId-" +
-                s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-              val n = ParquetRows.write(path, pw.schema, rows.iterator)
-              FileManifest(path, n.toInt, pt, pw.specId,
-                MemTables.statsOf(pw.schema, rows))
-            }.toVector
-          MemFilesMessage(files)
-      }
-      override def abort(): Unit = buf.clear()
-      override def close(): Unit = ()
+    parquet match {
+      case Some(pw) =>
+        // file-backed plane: STREAM rows into per-partition-tuple open
+        // writers as they arrive — task memory is writer state, never the
+        // partition's rows (the 100 TB write shape); stats and the NDV
+        // sketch accumulate incrementally in the same pass
+        new DataWriter[InternalRow] {
+          private val files = new TaskFileWriter(pw, s"part-$partitionId-$taskId")
+          override def write(record: InternalRow): Unit = files.write(record)
+          override def commit(): WriterCommitMessage = MemFilesMessage(files.finish())
+          override def abort(): Unit = files.abort()
+          override def close(): Unit = ()
+        }
+      case None =>
+        // driver-resident mode: rows travel in the commit message by the
+        // mode's own (gate-scale) contract
+        new DataWriter[InternalRow] {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          // rows are reused by the caller — copy() detaches each one
+          override def write(record: InternalRow): Unit = buf += record.copy()
+          override def commit(): WriterCommitMessage = MemCommitMessage(buf.toArray)
+          override def abort(): Unit = buf.clear()
+          override def close(): Unit = ()
+        }
     }
 }
 

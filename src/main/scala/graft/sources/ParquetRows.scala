@@ -66,6 +66,26 @@ object ParquetRows {
     n
   }
 
+  /** An OPEN row writer — the write-as-you-iterate half of the storage
+    * plane: streaming tasks route rows to one of these per partition
+    * tuple instead of buffering their partition ([[graft.sources
+    * .TaskFileWriter]]), so task memory is writer state, never data.
+    */
+  final class RowFileWriter private[ParquetRows] (path: String, schema: StructType) {
+    private val writer = new RowWriterBuilder(new Path(path))
+      .withConf(writeConf(schema))
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    private var n = 0L
+    def write(r: InternalRow): Unit = { writer.write(r); n += 1 }
+    /** Close and return the row count. */
+    def close(): Long = { writer.close(); n }
+  }
+
+  def open(path: String, schema: StructType): RowFileWriter =
+    new RowFileWriter(path, schema)
+
   private def readConf(schema: StructType): Configuration = {
     val conf = new Configuration()
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
@@ -106,12 +126,21 @@ object ParquetRows {
   def iterator(path: String, schema: StructType): RowIterator =
     new RowIterator(path, schema)
 
-  /** Materialize a whole file (driver-side content paths: equality-delete
-    * probes, DELETE row evaluation, compaction folds — gate-scale by
-    * contract, documented at each call site).
+  /** Calls to [[read]] — the whole-file DRIVER materialization API.
+    * Observable so specs can assert a distributed path (e.g. the
+    * file-backed `compact_table` job) never pulls table content through
+    * the driver.
     */
-  def read(path: String, schema: StructType): Array[InternalRow] =
+  val readCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Materialize a whole file (driver-side content paths: equality-delete
+    * probes, DELETE row evaluation, the driver-resident compaction fold —
+    * gate-scale by contract, documented at each call site).
+    */
+  def read(path: String, schema: StructType): Array[InternalRow] = {
+    readCalls.incrementAndGet()
     iterator(path, schema).toArray
+  }
 
   def delete(path: String): Unit = {
     val p = new Path(path)

@@ -2243,6 +2243,106 @@ object Roundtrips {
          |WHERE d >= DATE '1995-01-01' AND d < DATE '1995-07-01'""".stripMargin)
   }
 
+  /** STORAGE MIGRATION through the gate (`CALL graft.migrate_storage`,
+    * [[MemTables.migrateStorage]]): a deliberately DRIVER-RESIDENT table
+    * (explicit `'graft.storage'=''`... the property must be absent, so
+    * the create names no storage and the session default is overridden
+    * by building it under a scoped conf) accumulates real history —
+    * append, MoR DELETE, overwrite — then promotes onto the file-backed
+    * plane in place: every batch (history included) becomes a parquet
+    * file + manifest, no version is minted, and the table ACQUIRES
+    * durability (the measured read runs after an unload, off recovered
+    * metadata). The oracle restates the final state and the pre-migration
+    * snapshot relationally — a row lost or a DV misplaced in the
+    * conversion breaks the hash. This is the operational on-ramp a
+    * deployment uses to move yesterday's driver-resident tables onto the
+    * scale plane without recreating them.
+    */
+  val dsv2MigrateStorage: QueryDef = QueryDef(
+    "dsv2_migrate_storage",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE NOT (v < 14000000)),
+      |fresh AS (SELECT k, v FROM base WHERE k % 3 = 0),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM fresh)
+      |SELECT 'now' AS part, CAST(count(*) AS BIGINT) AS c,
+      |       CAST(sum(v) AS BIGINT) AS sv
+      |FROM fin
+      |UNION ALL
+      |SELECT 'pre-delete', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_migrate"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // start DRIVER-RESIDENT on purpose (the migration's whole premise),
+    // overriding the session's parquet default for this one create
+    val prior = spark.conf.getOption(SeqCatalog.DefaultStorageConf)
+    spark.conf.unset(SeqCatalog.DefaultStorageConf)
+    try {
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    } finally prior.foreach(spark.conf.set(SeqCatalog.DefaultStorageConf, _))
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    base.writeTo(tbl).append() // v1: driver-resident batches
+    spark.sql(s"DELETE FROM $tbl WHERE v < 14000000") // v2: DVs
+    spark.sql(s"CALL graft.migrate_storage('mem_orders_migrate', 'parquet')")
+    base.filter(col("k") % 3 === 0).writeTo(tbl).append() // v3: lands as files
+    // durability drill: the measured read plans off recovered metadata
+    spark.sql(s"CALL graft.unload_table('mem_orders_migrate')")
+    spark.sql(
+      s"""SELECT 'now' AS part, count(*) AS c, sum(v) AS sv FROM $tbl
+         |UNION ALL
+         |SELECT 'pre-delete', count(*), sum(v) FROM $tbl VERSION AS OF 1""".stripMargin)
+  }
+
+  /** MULTI-DIMENSIONAL CLUSTERING through the gate
+    * (`CALL graft.rewrite_data_files('t', 'zorder(a, b)')`,
+    * [[graft.functions.ZOrder2]] + [[RewriteJobs]]): orders land keyed by
+    * (order key, price), the rewrite re-clusters on the Morton
+    * interleave of both range-scaled coordinates, and the measured query
+    * windows each dimension INDEPENDENTLY — both prune via per-batch
+    * min/max bounds the Z-layout tightened (ParquetStorageSpec pins the
+    * planned-partition counts; this row pins the data against the
+    * oracle's relational restatement). The 100 TB story: a single-column
+    * sort serves one predicate family; Z-ordering serves two at ~√ the
+    * per-dimension resolution, which is why every warehouse format ships
+    * it for two-column scan patterns.
+    */
+  val dsv2ZorderRewrite: QueryDef = QueryDef(
+    "dsv2_zorder_rewrite",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders)
+      |SELECT 'kwin' AS part, CAST(count(*) AS BIGINT) AS c,
+      |       CAST(sum(v) AS BIGINT) AS sv
+      |FROM base WHERE k < 1000
+      |UNION ALL
+      |SELECT 'vwin', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base WHERE v >= 10000000 AND v < 20000000
+      |UNION ALL
+      |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      |FROM base""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_zorder"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')") // v0
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"CALL graft.rewrite_data_files('mem_orders_zorder', 'zorder(k, v)')")
+    spark.sql(
+      s"""SELECT 'kwin' AS part, count(*) AS c, sum(v) AS sv
+         |FROM $tbl WHERE k < 1000
+         |UNION ALL
+         |SELECT 'vwin', count(*), sum(v)
+         |FROM $tbl WHERE v >= 10000000 AND v < 20000000
+         |UNION ALL
+         |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2255,5 +2355,6 @@ object Roundtrips {
       dsv2RuntimePrune, dsv2SpjSorted, dsv2AggGroup, dsv2MetaTables, dsv2LimitTopn,
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
-      dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist)
+      dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
+      dsv2MigrateStorage, dsv2ZorderRewrite)
 }

@@ -148,6 +148,8 @@ object TableMetadata {
       c.put("null-count", s.nullCount)
       c.put("row-count", s.rowCount)
       c.put("ndv", s.ndv)
+      s.sketch.foreach(sk => c.put("ndv-sketch",
+        java.util.Base64.getEncoder.encodeToString(sk.toBytes)))
       stats.set[JsonNode](col, c)
     }
     o.set[JsonNode]("stats", stats)
@@ -186,7 +188,9 @@ object TableMetadata {
     }.getOrElse(Map.empty[Int, Long])
     val stats = fields(n.get("stats")).map { case (col, c) =>
       col -> ColStats(valIn(c.get("min")), valIn(c.get("max")),
-        c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong)
+        c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong,
+        Option(c.get("ndv-sketch")).map(sk =>
+          NdvSketch.fromBytes(java.util.Base64.getDecoder.decode(sk.asText))))
     }.toMap
     TaggedBatch(
       DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],

@@ -80,4 +80,62 @@ class NdvStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
     drop("ndv_pq")
   }
+
+  test("sketch union: overlapping batch domains estimate tightly") {
+    catalogOn(); drop("ndv_overlap")
+    spark.sql("CREATE TABLE graft.ndv_overlap (k BIGINT)")
+    // 8 commits over the SAME 5000-value domain: the Σ-cap bound reads
+    // ~8 × 5000 (capped at rows); the union sketch must land near 5000
+    for (_ <- 1 to 8)
+      spark.sql("INSERT INTO graft.ndv_overlap SELECT id % 5000 FROM range(0, 5000)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft.ndv_overlap").queryExecution.optimizedPlan.stats
+      val k = stats.attributeStats.map { case (a, s) => a.name -> s }.apply("k")
+      val est = k.distinctCount.get.toLong
+      // within HLL error (~2.3% at p=11; allow 10% head-room) of the
+      // true 5000 — NOT the Σ bound's 40000-capped-at-rows
+      assert(est > 4500 && est < 5500, s"union estimate $est, truth 5000")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    drop("ndv_overlap")
+  }
+
+  test("NdvSketch: exact below threshold, HLL above, merge and bytes round-trip") {
+    // exact mode
+    val a = NdvSketch.empty()
+    (0 until 1000).foreach(i => a.addValue(java.lang.Long.valueOf(i.toLong)))
+    assert(a.isExact && a.estimate === 1000L)
+    // duplicates don't count
+    (0 until 1000).foreach(i => a.addValue(java.lang.Long.valueOf(i.toLong)))
+    assert(a.estimate === 1000L)
+    // degrade past the threshold; estimate stays within sketch error
+    val b = NdvSketch.empty()
+    (0 until 100000).foreach(i => b.addValue(java.lang.Long.valueOf(i.toLong)))
+    assert(!b.isExact)
+    assert(math.abs(b.estimate - 100000L) < 10000L, b.estimate.toString)
+    // union merge: overlapping halves of one domain -> the domain
+    val l = NdvSketch.empty(); val r = NdvSketch.empty()
+    (0 until 60000).foreach(i => l.addValue(java.lang.Long.valueOf(i.toLong)))
+    (30000 until 90000).foreach(i => r.addValue(java.lang.Long.valueOf(i.toLong)))
+    l.merge(r)
+    assert(math.abs(l.estimate - 90000L) < 9000L, l.estimate.toString)
+    // exact + exact stays exact under the threshold
+    val e1 = NdvSketch.empty(); val e2 = NdvSketch.empty()
+    (0 until 800).foreach(i => e1.addValue(java.lang.Long.valueOf(i.toLong)))
+    (400 until 1200).foreach(i => e2.addValue(java.lang.Long.valueOf(i.toLong)))
+    e1.merge(e2)
+    assert(e1.isExact && e1.estimate === 1200L)
+    // canonical hashing: INT 3 and LONG 3 are one distinct value
+    val c = NdvSketch.empty()
+    c.addValue(Integer.valueOf(3)); c.addValue(java.lang.Long.valueOf(3L))
+    assert(c.estimate === 1L)
+    // serialization round-trips both modes
+    val exactRt = NdvSketch.fromBytes(e1.toBytes)
+    assert(exactRt.estimate === e1.estimate && exactRt.isExact)
+    val hllRt = NdvSketch.fromBytes(b.toBytes)
+    assert(hllRt.estimate === b.estimate && !hllRt.isExact)
+    // merging into a round-tripped sketch behaves identically
+    exactRt.merge(hllRt)
+    assert(math.abs(exactRt.estimate - b.estimate) < b.estimate / 5)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.sources.{Filter, LessThan}
 
 /** The FILE-BACKED storage plane (`graft.storage=parquet`,
   * [[MemTables.FileStore]] / [[ParquetRows]]): executor-written parquet
@@ -187,6 +188,149 @@ class ParquetStorageSpec extends SparkSpec {
       assert(b.store.file.isDefined, "compaction output must be file-backed"))
     assert(spark.table("graft.pq_uniform").count() === 21L)
     drop("pq_uniform")
+  }
+
+  test("file-backed compact_table runs distributed: no driver materialization") {
+    catalogOn(); drop("pq_distcomp")
+    spark.sql("CREATE TABLE graft.pq_distcomp (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', 'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.pq_distcomp SELECT id, id * 2 FROM range(0, 500)")
+    spark.sql("INSERT INTO graft.pq_distcomp SELECT id + 500, id FROM range(0, 500)")
+    spark.sql("DELETE FROM graft.pq_distcomp WHERE k % 10 = 0") // DVs
+    val liveBefore = liveBatches("pq_distcomp").size
+    assert(liveBefore >= 2)
+    val before = ParquetRows.readCalls.get()
+    val r = spark.sql("CALL graft.compact_table('pq_distcomp')").collect()(0)
+    assert(ParquetRows.readCalls.get() === before,
+      "distributed compact must never materialize files driver-side")
+    assert(r.getLong(0) === liveBefore.toLong)
+    assert(r.getLong(1) === 900L) // 1000 − 100 deleted
+    assert(spark.table("graft.pq_distcomp").count() === 900L)
+    val folded = liveBatches("pq_distcomp")
+    assert(folded.forall(_.store.file.isDefined))
+    assert(folded.forall(_.dv.isEmpty), "DVs are applied, not carried")
+    // single-live-batch fast path stays a no-op
+    assert(spark.sql("CALL graft.compact_table('pq_distcomp')")
+      .collect().forall(_.getLong(0) === 0L) ||
+      liveBatches("pq_distcomp").size <= folded.size)
+    drop("pq_distcomp")
+  }
+
+  test("streaming task writer: many tuples per task, stats/NDV intact") {
+    catalogOn(); drop("pq_manytuple")
+    spark.sql("CREATE TABLE graft.pq_manytuple (g INT, k BIGINT) " +
+      "PARTITIONED BY (g) TBLPROPERTIES ('graft.storage'='parquet')")
+    // one INSERT whose tasks each see MANY partition values interleaved —
+    // the write-as-you-iterate path must route rows without buffering and
+    // produce identical manifests to the old buffer-then-split shape
+    spark.sql("INSERT INTO graft.pq_manytuple " +
+      "SELECT CAST(id % 7 AS INT), id FROM range(0, 700)")
+    val live = liveBatches("pq_manytuple")
+    assert(live.map(_.part.head).distinct.size === 7)
+    live.foreach { b =>
+      assert(b.store.file.isDefined)
+      // partition purity: every file holds one g value
+      val g = b.part.head.asInstanceOf[Int]
+      val rows = ParquetRows.read(b.store.file.get, b.schema)
+      assert(rows.forall(_.getInt(0) == g))
+      // incremental stats match the rows: bounds, nulls, exact NDV
+      val ks = rows.map(_.getLong(1))
+      assert(b.stats("k").min === ks.min)
+      assert(b.stats("k").max === ks.max)
+      assert(b.stats("k").ndv === ks.distinct.length.toLong)
+      assert(b.stats("k").sketch.isDefined)
+    }
+    assert(spark.sql("SELECT sum(k) FROM graft.pq_manytuple").head().getLong(0) ===
+      (0L until 700L).sum)
+    drop("pq_manytuple")
+  }
+
+  test("zorder rewrite: batches prune on BOTH dimensions") {
+    catalogOn(); drop("pq_zorder")
+    spark.sql("CREATE TABLE graft.pq_zorder (x BIGINT, y BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    // x and y independently uniform: a single-column sort would leave the
+    // other column's per-batch range full-width
+    spark.sql("INSERT INTO graft.pq_zorder " +
+      "SELECT id % 64, (id * 37) % 64 FROM range(0, 4096)")
+    // the rewrite clusters into `spark.sql.shuffle.partitions` Z-ranges —
+    // the 2 the test session defaults to would leave nothing to prune
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try spark.sql("CALL graft.rewrite_data_files('pq_zorder', 'zorder(x, y)')")
+    finally spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val st = MemTables.get("pq_zorder").get
+    val total = liveBatches("pq_zorder").size
+    assert(total > 4, s"need a multi-batch layout, got $total")
+
+    def planned(fs: Filter*): Int = {
+      val b = new MemScanBuilder("pq_zorder", st.schema, None)
+      b.pushFilters(fs.toArray)
+      b.build().asInstanceOf[MemScan].planInputPartitions().length
+    }
+    // range predicates on EACH dimension independently prune via the
+    // per-batch min/max bounds the Z-layout tightened
+    val px = planned(LessThan("x", 8L))
+    val py = planned(LessThan("y", 8L))
+    assert(px < total, s"x-range must prune: $px of $total")
+    assert(py < total, s"y-range must prune: $py of $total")
+    // correctness unchanged
+    assert(spark.sql("SELECT count(*) FROM graft.pq_zorder WHERE x < 8")
+      .head().getLong(0) === 8L * 64)
+    assert(spark.sql("SELECT count(*) FROM graft.pq_zorder WHERE y < 8")
+      .head().getLong(0) === (0 until 4096).count(i => (i * 37) % 64 < 8).toLong)
+    // rejected forms: partitioned table, non-integral column
+    drop("pq_zpart")
+    spark.sql("CREATE TABLE graft.pq_zpart (x BIGINT, y BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(4, x)) TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_zpart VALUES (1, 2, 'a')")
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft.rewrite_data_files('pq_zpart', 'zorder(x, y)')"))
+    assert(e1.getMessage.contains("partitioned"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft.rewrite_data_files('pq_zorder', 'zorder(x, s)')"))
+    assert(e2.getMessage != null)
+    drop("pq_zorder", "pq_zpart")
+  }
+
+  test("migrate_storage promotes a driver-resident table in place") {
+    catalogOn(); drop("pq_migrate")
+    spark.sql("CREATE TABLE graft.pq_migrate (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.pq_migrate " +
+      "SELECT id, concat('v', id) FROM range(0, 50)") // v1
+    spark.sql("DELETE FROM graft.pq_migrate WHERE k < 5") // v2: DVs
+    spark.sql("INSERT OVERWRITE graft.pq_migrate " +
+      "SELECT id, concat('w', id) FROM range(0, 20)") // v3: history batch
+    val want = spark.sql("SELECT k, v FROM graft.pq_migrate ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val wantV2 = spark.sql("SELECT count(*) FROM graft.pq_migrate VERSION AS OF 2")
+      .head().getLong(0)
+    val versionBefore = MemTables.get("pq_migrate").get.version
+
+    val r = spark.sql(
+      "CALL graft.migrate_storage('pq_migrate', 'parquet')").collect()(0)
+    assert(r.getLong(0) >= 3L, "current + history batches all migrate")
+    val st = MemTables.get("pq_migrate").get
+    assert(st.storageDir.isDefined)
+    assert(st.version === versionBefore, "migration mints no version")
+    assert(st.batches.forall(_.store.file.isDefined),
+      "every batch (history included) is file-backed after migration")
+    assert(spark.sql("SELECT k, v FROM graft.pq_migrate ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
+    assert(spark.sql("SELECT count(*) FROM graft.pq_migrate VERSION AS OF 2")
+      .head().getLong(0) === wantV2)
+
+    // the migrated table ACQUIRED durability: unload + recover round-trips
+    spark.sql("CALL graft.unload_table('pq_migrate')")
+    assert(spark.sql("SELECT k, v FROM graft.pq_migrate ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
+    // future writes land as files
+    spark.sql("INSERT INTO graft.pq_migrate VALUES (999, 'new')")
+    assert(liveBatches("pq_migrate").forall(_.store.file.isDefined))
+    // idempotent: second call is a no-op
+    assert(spark.sql("CALL graft.migrate_storage('pq_migrate', 'parquet')")
+      .collect()(0).getLong(0) === 0L)
+    drop("pq_migrate")
   }
 
   test("dropped branch reclaims its staged files; aborts reclaim messages") {
