@@ -29,8 +29,40 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
           graft.sources.MemViews.views.contains(u.multipartIdentifier(1)) &&
           isGraftCatalog(u.multipartIdentifier.head) =>
+        val catalog = u.multipartIdentifier.head
         val name = u.multipartIdentifier(1)
         val v = graft.sources.MemViews.views(name)
-        SubqueryAlias(name, spark.sessionState.sqlParser.parsePlan(v.sql))
+        val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+        // LATE-BINDING DEPENDENCY CHECK (the pinned lifecycle semantics):
+        // create_view analyzed the SQL at CALL time, but a dependency
+        // dropped or renamed SINCE then would otherwise surface as a raw
+        // TABLE_OR_VIEW_NOT_FOUND naming only the inner table — the
+        // reader has no idea a view definition is the culprit. Walk the
+        // expansion's graft-catalog references and fail with an error
+        // that names the VIEW, the missing dependency, and the stored
+        // SQL. Dependencies that still exist re-resolve fresh (the
+        // late-binding contract: the view tracks the live table).
+        parsed.foreach { op =>
+          op match {
+            case dep: UnresolvedRelation if dep.multipartIdentifier.length == 2 &&
+                isGraftCatalog(dep.multipartIdentifier.head) =>
+              val d = dep.multipartIdentifier(1)
+              val exists = graft.sources.MemViews.views.contains(d) || {
+                try spark.sessionState.catalogManager.catalog(catalog)
+                  .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+                  .tableExists(org.apache.spark.sql.connector.catalog.Identifier
+                    .of(Array.empty, d))
+                catch { case _: Exception => false }
+              }
+              if (!exists)
+                throw new IllegalStateException(
+                  s"view '$name' references '$catalog.$d', which no longer " +
+                    s"exists (dropped or renamed after the view was created). " +
+                    s"Stored SQL: ${v.sql} — recreate the view against the " +
+                    "current table name, or drop it")
+            case _ => ()
+          }
+        }
+        SubqueryAlias(name, parsed)
     }
 }

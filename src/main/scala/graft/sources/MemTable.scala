@@ -360,7 +360,11 @@ object MemTables {
       // union-mergeable distinct sketch ([[NdvSketch]]): present on every
       // publish since round 13; absent on legacy/synthetic stats, where
       // planning falls back to the Σ-cap bound
-      sketch: Option[NdvSketch] = None) {
+      sketch: Option[NdvSketch] = None,
+      // per-batch membership register ([[BatchBloom]], opt-in via
+      // 'graft.bloom-columns'): point-predicate skipping on unclustered
+      // high-cardinality keys — no false negatives, so absence prunes
+      bloom: Option[Array[Long]] = None) {
     def allNull: Boolean = nullCount == rowCount
   }
 
@@ -543,8 +547,9 @@ object MemTables {
     * threshold, HLL above; union-merged at planning so overlapping batch
     * domains estimate tightly instead of summing).
     */
-  def statsOf(schema: StructType, rows: Array[InternalRow]): Map[String, ColStats] = {
-    val acc = new StatsAccumulator(schema)
+  def statsOf(schema: StructType, rows: Array[InternalRow],
+      bloomCols: Set[String] = Set.empty): Map[String, ColStats] = {
+    val acc = new StatsAccumulator(schema, bloomCols)
     var j = 0
     while (j < rows.length) { acc.add(rows(j)); j += 1 }
     acc.result()
@@ -559,6 +564,17 @@ object MemTables {
     * re-evaluates rows regardless — skipping is pure planning-time cost
     * elision, exactly parquet row-group pruning's contract.
     */
+  /** Definitive bloom MISS for an equality literal: true only when the
+    * batch carries a register for the column and the canonical hash is
+    * absent (no false negatives, so "absent" is a proof). Conservative
+    * everywhere else — no register, or a present/possibly-present hash,
+    * precludes nothing. Hash collisions across the canonical domain are
+    * the register's own false-positive direction, which only KEEPS.
+    */
+  private def bloomPrecludes(s: ColStats, v: Any): Boolean =
+    s.bloom.exists(b => v != null &&
+      !BatchBloom.mightContain(b, NdvSketch.hashOf(datetimeInternal(v))))
+
   def mayMatch(f: Filter, statsFor: String => Option[ColStats]): Boolean = {
     def bounds(c: String)(preclude: ColStats => Boolean): Boolean =
       statsFor(c) match {
@@ -567,14 +583,16 @@ object MemTables {
       }
     f match {
       case EqualTo(c, v) => bounds(c)(s =>
-        cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0))
+        cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0) ||
+          bloomPrecludes(s, v))
       case EqualNullSafe(c, v) =>
         if (v == null) statsFor(c).forall(_.nullCount > 0)
         else statsFor(c) match {
           // unlike EqualTo, an all-null batch is PRECLUDED only by the
           // bounds (null <=> value is false, so nulls never match)
           case Some(s) => !(s.nullCount == s.rowCount ||
-            cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0))
+            cmp(s.min, v).exists(_ > 0) || cmp(s.max, v).exists(_ < 0) ||
+            bloomPrecludes(s, v))
           case None => true
         }
       case GreaterThan(c, v) => bounds(c)(s => cmp(s.max, v).exists(_ <= 0))
@@ -801,7 +819,9 @@ object MemTables {
       initialStorageDir: Option[String] = None,
       // the table's catalog key, recorded in the durable metadata plane
       // so disk recovery can match a directory back to its table
-      val tableKey: String = "") {
+      initialTableKey: String = "") {
+    // a var only because RENAME TABLE re-keys the registry entry
+    @volatile var tableKey: String = initialTableKey
     // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]]);
     // a var because `CALL graft.migrate_storage` promotes a
     // driver-resident table onto the file plane in place
@@ -900,6 +920,9 @@ object MemTables {
       */
     val declaredSortOrder: Seq[String] = createProps.get(SortOrderProp)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    /** Columns carrying per-batch bloom registers ([[BloomColsProp]]). */
+    val bloomCols: Seq[String] = createProps.get(BloomColsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // BRANCHES: named WRITABLE refs (the Iceberg ref model's other half,
     // `SELECT/INSERT ... <table>.branch_<name>`): staged appends on top of
     // a pinned base snapshot, invisible to main until `fast_forward`
@@ -976,6 +999,17 @@ object MemTables {
     * 'rewrite_data_files' becomes re-clustering, not resurrection.
     */
   val SortOrderProp = "graft.sort-order"
+
+  /** Per-column BLOOM REGISTERS (`TBLPROPERTIES
+    * ('graft.bloom-columns'='k,ck')` — the parquet/Iceberg per-column
+    * bloom-enable shape): every publish builds an 8 KiB [[BatchBloom]]
+    * per listed column into the batch's manifest entry, and planning
+    * consults it for EqualTo/EqualNullSafe/In — point-lookup skipping on
+    * keys the layout is neither sorted nor partitioned by, where min/max
+    * bounds prune nothing. Opt-in because the register costs manifest
+    * bytes on every batch.
+    */
+  val BloomColsProp = "graft.bloom-columns"
 
   /** `'graft.storage'='parquet'` (create-time): the FILE-BACKED storage
     * plane — batches become executor-written parquet files under a table
@@ -1083,6 +1117,16 @@ object MemTables {
         throw new IllegalArgumentException(
           s"sort-order column $c has unsupported type ${f.dataType.simpleString}")
     }
+    props.get(BloomColsProp).foreach { bs =>
+      bs.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloom column $c does not exist in the table schema"))
+        if (statsComparator(f.dataType).isEmpty)
+          throw new IllegalArgumentException(
+            s"bloom column $c has unsupported type ${f.dataType.simpleString}")
+      }
+    }
     val st = new State(schema, deleteMode, props, partitioning, storageDir, key)
     if (declared.nonEmpty) {
       // an empty table is trivially sorted: the claim holds from v0 and
@@ -1127,9 +1171,12 @@ object MemTables {
     val root = tablesRoot
     if (!root.isDirectory) return None
     val prefix = sanitizeKey(key) + "-"
-    val candidates = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .sortBy(-_.lastModified())
+    val all = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).sortBy(-_.lastModified())
+    // prefix match is the fast path; a RENAMED table's directory keeps
+    // its birth name, so fall back to scanning the rest by metadata key
+    val (named, rest) = all.partition(_.getName.startsWith(prefix))
+    val candidates = named ++ rest
     candidates.iterator.flatMap { d =>
       try TableMetadata.load(d.getAbsolutePath)
       catch {
@@ -1202,6 +1249,31 @@ object MemTables {
     }
   }
 
+  /** RENAME a table: a registry re-key — data, history, refs, and the
+    * storage directory all stay put; the durable metadata re-persists
+    * under the new key so disk recovery follows (the directory's name
+    * prefix goes stale, which is why recovery falls back to a full
+    * metadata scan). False if the source does not exist; throws if the
+    * target name is taken.
+    */
+  def rename(oldKey: String, newKey: String): Boolean = {
+    if (oldKey == newKey) return tables.contains(oldKey)
+    tables.get(oldKey) match {
+      case None => false
+      case Some(st) =>
+        st.synchronized {
+          if (tables.contains(newKey) || recoverFromDisk(newKey).isDefined)
+            throw new IllegalArgumentException(
+              s"cannot rename mem table $oldKey to $newKey: the target name exists")
+          st.tableKey = newKey
+          tables.put(newKey, st)
+          tables.remove(oldKey)
+          persistMeta(st)
+        }
+        true
+    }
+  }
+
   /** Drop a file-backed table's IN-MEMORY state only (`CALL
     * graft.unload_table`): data files and the metadata document stay on
     * disk, and the next read recovers them — the restart-survival drill,
@@ -1257,7 +1329,7 @@ object MemTables {
       version: Long): Seq[TaggedBatch] = payload match {
     case RowsPayload(rs) =>
       splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
-        val stats = statsOf(writeSchema, rows)
+        val stats = statsOf(writeSchema, rows, st.bloomCols.toSet)
         enforceNotNull(writeSchema, stats)
         TaggedBatch(writeSchema, version, version, storeFor(st, writeSchema, rows),
           batchId = st.mintBatchId(), stats = stats, part = pt,
@@ -1627,7 +1699,7 @@ object MemTables {
       val staged = batches.flatMap {
         case RowsPayload(rs) =>
           splitByPartition(st.partitioning, writeSchema, rs).map { case (pt, rows) =>
-            val stats = statsOf(writeSchema, rows)
+            val stats = statsOf(writeSchema, rows, st.bloomCols.toSet)
             enforceNotNull(writeSchema, stats)
             // ids minted at STAGING (not publish): branch DML keys its
             // kills on them, and fast_forward preserves them
@@ -1757,7 +1829,7 @@ object MemTables {
         if (appendRows.isEmpty) Vector.empty
         else splitByPartition(st.partitioning, writeSchema, appendRows)
           .map { case (pt, rows) =>
-            val stats = statsOf(writeSchema, rows)
+            val stats = statsOf(writeSchema, rows, st.bloomCols.toSet)
             enforceNotNull(writeSchema, stats)
             TaggedBatch(writeSchema, bs.base, bs.base, storeFor(st, writeSchema, rows),
               batchId = st.mintBatchId(), stats = stats, part = pt,
@@ -1952,7 +2024,7 @@ object MemTables {
           else Some(TaggedBatch(b.schema, v, b.writeVersion,
             if (subset) storeFor(st, b.schema, rows) else b.store,
             batchId = st.mintBatchId(),
-            stats = if (subset) statsOf(b.schema, rows) else b.stats,
+            stats = if (subset) statsOf(b.schema, rows, st.bloomCols.toSet) else b.stats,
             part = b.part, specId = b.specId))
         }
         st.batches = st.batches.map { b =>
@@ -2590,7 +2662,7 @@ object MemTables {
             // and the aggregate pushdown answers MIN/MAX from these
             else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion,
               storeFor(st, b.schema, keep),
-              batchId = st.mintBatchId(), stats = statsOf(b.schema, keep),
+              batchId = st.mintBatchId(), stats = statsOf(b.schema, keep, st.bloomCols.toSet),
               part = b.part, specId = b.specId))
           case _ => Vector(b)
         }
@@ -4611,7 +4683,8 @@ final case class MemFilesMessage(files: Vector[FileManifest]) extends WriterComm
   */
 final case class MemParquetWrite(
     dir: String, schema: StructType,
-    spec: Seq[MemTables.PartField], specId: Int)
+    spec: Seq[MemTables.PartField], specId: Int,
+    bloomCols: Seq[String] = Nil)
 
 /** Per-task writer. Default (row) mode buffers rows into the commit
   * message. Parquet mode does what a real table format's write task does:
@@ -4658,7 +4731,8 @@ object MemWriterFactory {
   def forTable(key: String, writeSchema: StructType): MemWriterFactory =
     new MemWriterFactory(MemTables.get(key).flatMap { st =>
       st.storageDir.map(dir =>
-        MemParquetWrite(dir, writeSchema, st.partitioning, st.currentSpecId))
+        MemParquetWrite(dir, writeSchema, st.partitioning, st.currentSpecId,
+          st.bloomCols))
     })
 
   /** Delete the files of never-to-publish commit messages (driver abort

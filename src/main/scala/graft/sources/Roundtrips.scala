@@ -2343,6 +2343,50 @@ object Roundtrips {
          |SELECT 'total', count(*), sum(v) FROM $tbl""".stripMargin)
   }
 
+  /** PER-BATCH BLOOM SKIPPING through the gate
+    * (`'graft.bloom-columns'='k'`, [[MemTables.BloomColsProp]] /
+    * [[BatchBloom]]): orders land UNSORTED across several appends — every
+    * batch's o_orderkey min/max spans the whole domain, so bounds prune
+    * nothing — and the measured query is point lookups: present keys,
+    * and a key that exists in no batch (which the registers prove absent
+    * at planning; BloomSkippingSpec pins planned-partitions = 0 for it
+    * and < total for present keys). The oracle restates the lookups
+    * relationally. At 100 TB this is the parquet column-bloom story: the
+    * one skipping structure that serves `key = ?` on a column the layout
+    * is neither sorted nor partitioned by.
+    */
+  val dsv2BloomSkipping: QueryDef = QueryDef(
+    "dsv2_bloom_skipping",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |probes AS (
+      |  SELECT k, v FROM base WHERE k IN (1, 7, 32, 33)
+      |  UNION ALL
+      |  SELECT k, v FROM base WHERE k = -12345)
+      |SELECT CAST(count(*) AS BIGINT) AS hits, CAST(sum(v) AS BIGINT) AS sv,
+      |       CAST(min(k) AS BIGINT) AS mink, CAST(max(k) AS BIGINT) AS maxk
+      |FROM probes""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_orders_bloom"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.bloom-columns'='k')") // v0
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
+    // three interleaved slices: every batch spans the key domain
+    for (r <- 0 to 2)
+      base.filter(col("k") % 3 === r).writeTo(tbl).append() // v1..v3
+    spark.sql(
+      s"""WITH probes AS (
+         |  SELECT k, v FROM $tbl WHERE k IN (1, 7, 32, 33)
+         |  UNION ALL
+         |  SELECT k, v FROM $tbl WHERE k = -12345)
+         |SELECT count(*) AS hits, sum(v) AS sv,
+         |       min(k) AS mink, max(k) AS maxk
+         |FROM probes""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2356,5 +2400,5 @@ object Roundtrips {
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
-      dsv2MigrateStorage, dsv2ZorderRewrite)
+      dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping)
 }

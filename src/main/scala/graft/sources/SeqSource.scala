@@ -816,8 +816,28 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   }
   override def dropTable(ident: Identifier): Boolean =
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME is not supported")
+
+  /** `ALTER TABLE ... RENAME TO ...` — a pure registry move: batches,
+    * history, refs, and (for file-backed tables) the storage directory
+    * are untouched; the durable metadata document re-persists under the
+    * new key so disk recovery follows the rename. Views referencing the
+    * OLD name fail late with an error naming the view (the pinned
+    * lifecycle semantics, [[graft.plans.ResolveGraftViews]]).
+    */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (Pattern.matches(from.name()) || Pattern.matches(to.name()))
+      throw new UnsupportedOperationException("seq_<n> tables are generated, not renamable")
+    // `RENAME TO graft.t2` parses the catalog name as a NAMESPACE on the
+    // TO side (renames never cross catalogs, so Spark leaves it) — strip
+    // the redundant self-qualification so both spellings land on one key
+    val toIdent =
+      if (to.namespace().sameElements(Array(name()))) Identifier.of(Array.empty, to.name())
+      else to
+    if (MemViews.views.contains(memKey(toIdent)))
+      throw new ViewAlreadyExistsException(toIdent)
+    if (!MemTables.rename(memKey(from), memKey(toIdent)))
+      throw new NoSuchTableException(from)
+  }
 }
 
 /** Process-wide view store backing [[SeqCatalog]]'s `ViewCatalog` half —
@@ -1779,7 +1799,8 @@ private[sources] object RewriteJobs {
     //    atomically (gate-scale by the mode's own contract).
     val payloads: Seq[MemTables.TaskPayload] = st.storageDir match {
       case Some(dir) =>
-        val pw = MemParquetWrite(dir, schema, st.partitioning, st.currentSpecId)
+        val pw = MemParquetWrite(dir, schema, st.partitioning, st.currentSpecId,
+          st.bloomCols)
         df.queryExecution.toRdd
           .mapPartitionsWithIndex { (pid, it) =>
             // STREAMING write: rows flow straight into per-tuple open

@@ -150,6 +150,11 @@ object TableMetadata {
       c.put("ndv", s.ndv)
       s.sketch.foreach(sk => c.put("ndv-sketch",
         java.util.Base64.getEncoder.encodeToString(sk.toBytes)))
+      s.bloom.foreach { bl =>
+        val bb = java.nio.ByteBuffer.allocate(bl.length * 8)
+        bl.foreach(bb.putLong)
+        c.put("bloom", java.util.Base64.getEncoder.encodeToString(bb.array()))
+      }
       stats.set[JsonNode](col, c)
     }
     o.set[JsonNode]("stats", stats)
@@ -190,7 +195,12 @@ object TableMetadata {
       col -> ColStats(valIn(c.get("min")), valIn(c.get("max")),
         c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong,
         Option(c.get("ndv-sketch")).map(sk =>
-          NdvSketch.fromBytes(java.util.Base64.getDecoder.decode(sk.asText))))
+          NdvSketch.fromBytes(java.util.Base64.getDecoder.decode(sk.asText))),
+        Option(c.get("bloom")).map { bl =>
+          val bb = java.nio.ByteBuffer.wrap(
+            java.util.Base64.getDecoder.decode(bl.asText))
+          Array.fill(bb.remaining() / 8)(bb.getLong)
+        })
     }.toMap
     TaggedBatch(
       DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],

@@ -154,6 +154,50 @@ object NdvSketch {
   }
 }
 
+/** Fixed-size per-batch BLOOM REGISTER (8 KiB, 65536 bits, 4 probes)
+  * over the same canonical XXH64 hashes as [[NdvSketch]] — the point-
+  * predicate skipping a min/max bound cannot give on an UNCLUSTERED
+  * high-cardinality key (`k = literal` on a key the layout isn't sorted
+  * or partitioned by keeps every batch under bounds alone; the bloom
+  * prunes the batches that definitively lack the value). No false
+  * negatives, so skipping on "absent" is sound; false positives merely
+  * keep a batch (~0.2% at 5k distinct, degrading gracefully toward
+  * keep-everything as the register saturates — exactly parquet's
+  * column-bloom contract). Opt-in per table via
+  * `'graft.bloom-columns'='k,...'`, mirroring parquet/Iceberg's
+  * per-column bloom enablement.
+  */
+object BatchBloom {
+  val Words = 1024 // 65536 bits = 8 KiB per column per batch
+  private val Bits = Words * 64
+  private val Probes = 4
+
+  def empty(): Array[Long] = new Array[Long](Words)
+
+  def add(bloom: Array[Long], h: Long): Unit = {
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L // odd stride
+    var i = 0
+    while (i < Probes) {
+      val pos = (((h1 + i * h2) % Bits + Bits) % Bits).toInt
+      bloom(pos >> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(bloom: Array[Long], h: Long): Boolean = {
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < Probes) {
+      val pos = (((h1 + i * h2) % Bits + Bits) % Bits).toInt
+      if ((bloom(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** INCREMENTAL column statistics for one batch — the row-at-a-time form
   * of [[MemTables.statsOf]], shared by the array path and the STREAMING
   * write path (write-as-you-iterate tasks accumulate bounds and the NDV
@@ -163,7 +207,8 @@ object NdvSketch {
   * UnsafeRow buffer; holding the reference would corrupt the bound on
   * the next row).
   */
-final class StatsAccumulator(schema: StructType) extends Serializable {
+final class StatsAccumulator(schema: StructType,
+    bloomCols: Set[String] = Set.empty) extends Serializable {
   private val fields = schema.fields
   private val cmps = fields.map(f => statsComparator(f.dataType).orNull)
   private val mins = new Array[Any](fields.length)
@@ -171,6 +216,9 @@ final class StatsAccumulator(schema: StructType) extends Serializable {
   private val nulls = new Array[Long](fields.length)
   private val sketches = fields.indices.map(i =>
     if (cmps(i) == null) null else NdvSketch.empty()).toArray
+  private val blooms = fields.indices.map(i =>
+    if (cmps(i) != null && bloomCols.contains(fields(i).name))
+      BatchBloom.empty() else null).toArray
   private var rows = 0L
 
   private def retained(v: Any): Any = v match {
@@ -188,7 +236,9 @@ final class StatsAccumulator(schema: StructType) extends Serializable {
           val v = r.get(i, fields(i).dataType)
           if (mins(i) == null || cmps(i)(v, mins(i)) < 0) mins(i) = retained(v)
           if (maxs(i) == null || cmps(i)(v, maxs(i)) > 0) maxs(i) = retained(v)
-          sketches(i).addValue(v)
+          val h = NdvSketch.hashOf(v)
+          sketches(i).addHash(h)
+          if (blooms(i) != null) BatchBloom.add(blooms(i), h)
         }
       }
       i += 1
@@ -201,7 +251,7 @@ final class StatsAccumulator(schema: StructType) extends Serializable {
     fields.indices.iterator.collect {
       case i if cmps(i) != null =>
         fields(i).name -> ColStats(mins(i), maxs(i), nulls(i), rows,
-          sketches(i).estimate, Some(sketches(i)))
+          sketches(i).estimate, Some(sketches(i)), Option(blooms(i)))
     }.toMap
 }
 
@@ -230,7 +280,7 @@ final class TaskFileWriter(pw: MemParquetWrite, filePrefix: String) {
         val path = s"${pw.dir}/$filePrefix-" +
           s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         val t = (path, ParquetRows.open(path, pw.schema),
-          new StatsAccumulator(pw.schema))
+          new StatsAccumulator(pw.schema, pw.bloomCols.toSet))
         open.put(retainedTuple(pt), t)
         t
     }

@@ -130,6 +130,26 @@ class MetadataPersistSpec extends SparkSpec {
     assert(MemTables.get("mp_gone").isEmpty, "no recovery after drop")
   }
 
+  test("RENAME re-keys the durable plane; recovery follows the new name") {
+    catalogOn(); drop("mp_rn", "mp_rn2")
+    spark.sql("CREATE TABLE graft.mp_rn (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mp_rn SELECT id FROM range(0, 7)")
+    spark.sql("ALTER TABLE graft.mp_rn RENAME TO graft.mp_rn2")
+    assert(spark.table("graft.mp_rn2").count() === 7L)
+    assert(MemTables.get("mp_rn").isEmpty, "old key must be gone")
+    // the directory keeps its birth name — recovery must match by the
+    // metadata key, not the dir prefix
+    spark.sql("CALL graft.unload_table('mp_rn2')")
+    assert(!MemTables.isLoaded("mp_rn2"))
+    assert(spark.table("graft.mp_rn2").count() === 7L)
+    // renaming onto an existing name (loaded or recoverable) is rejected
+    spark.sql("CREATE TABLE graft.mp_rn (k BIGINT)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.mp_rn RENAME TO graft.mp_rn2"))
+    drop("mp_rn", "mp_rn2")
+  }
+
   test("TIMESTAMP AS OF and upsert epochs survive recovery") {
     catalogOn(); drop("mp_ts")
     spark.sql("CREATE TABLE graft.mp_ts (k BIGINT, v STRING) TBLPROPERTIES " +

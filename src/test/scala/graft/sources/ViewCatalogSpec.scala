@@ -86,6 +86,36 @@ class ViewCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.drop_view('vc_taken')")
   }
 
+  test("late binding: dropped/renamed dependencies fail naming the VIEW") {
+    catalogOn(); drop("vc_dep", "vc_dep2")
+    MemViews.views.remove("vc_over")
+    spark.sql("CREATE TABLE graft.vc_dep (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_dep VALUES (1), (2)")
+    spark.sql("CALL graft.create_view('vc_over', " +
+      "'SELECT k FROM graft.vc_dep WHERE k > 0')")
+    assert(spark.sql("SELECT count(*) FROM graft.vc_over").head().getLong(0) === 2L)
+    // DROP the dependency: the read fails with an error naming the view,
+    // its missing dependency, and the stored SQL — never a bare
+    // TABLE_OR_VIEW_NOT_FOUND about the inner table
+    spark.sql("DROP TABLE graft.vc_dep")
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.vc_over").collect())
+    assert(e.getMessage.contains("vc_over"), e.getMessage)
+    assert(e.getMessage.contains("vc_dep"), e.getMessage)
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    // late binding: RECREATING the table heals the view (the view tracks
+    // the name, not the table identity)
+    spark.sql("CREATE TABLE graft.vc_dep (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_dep VALUES (5)")
+    assert(spark.sql("SELECT count(*) FROM graft.vc_over").head().getLong(0) === 1L)
+    // RENAME equally strands the stored name
+    spark.sql("ALTER TABLE graft.vc_dep RENAME TO graft.vc_dep2")
+    val r = intercept[Exception](spark.sql("SELECT * FROM graft.vc_over").collect())
+    assert(r.getMessage.contains("vc_over") && r.getMessage.contains("vc_dep"),
+      r.getMessage)
+    spark.sql("CALL graft.drop_view('vc_over')")
+    drop("vc_dep", "vc_dep2")
+  }
+
   test("ViewCatalog API: create/load/alter/rename/drop round-trip") {
     catalogOn(); drop("vc_api_t")
     MemViews.views.remove("vc_api"); MemViews.views.remove("vc_api2")
