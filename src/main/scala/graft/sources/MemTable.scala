@@ -978,6 +978,32 @@ object MemTables {
 
   private val tables = TrieMap.empty[String, State]
 
+  /** Bounded pool for DRIVER-SIDE content maintenance over file-backed
+    * batches (DELETE evaluation, CoW survivor rewrites): the per-batch
+    * work is pure and independent, and each file open carries a fixed
+    * cost — serial walks turn a 32-file table into 32 sequential opens
+    * under the table monitor. Parallelism here is wall-time only; the
+    * monitor still serializes the MUTATION.
+    */
+  private lazy val contentPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-content-io")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Map `f` over `items` on [[contentPool]], preserving order. */
+  private def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    import scala.jdk.CollectionConverters._
+    val futures = items.map(a =>
+      contentPool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      }))
+    futures.map(_.get())
+  }
+
   /** Register a new table; false if the key is already taken (the catalog
     * maps that to Spark's TableAlreadyExistsException so that
     * `CREATE TABLE IF NOT EXISTS` is a no-op, not a crash).
@@ -1416,16 +1442,26 @@ object MemTables {
         case Some(dir) =>
           // EVERY batch counts — including removedAt (retained history)
           // and branch stages; only expiry may shrink that set
-          val referenced = (st.batches.iterator ++
-            st.branches.valuesIterator.flatMap(_.batches.iterator))
-            .flatMap(_.store.file).toSet
+          val allBatches = (st.batches.iterator ++
+            st.branches.valuesIterator.flatMap(_.batches.iterator)).toVector
+          val referenced = allBatches.iterator.flatMap(_.store.file).toSet
+          // manifests of referenced batches stay too (expiry leaves the
+          // physically-dropped batches' manifests as sweepable orphans)
+          val referencedManifests = allBatches.iterator
+            .flatMap(TableMetadata.manifestNameOf).toSet
           val cutoff = System.currentTimeMillis() - graceMillis
           val onDisk = Option(new java.io.File(dir).listFiles())
             .getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          val (kept, orphans) = onDisk.partition(f =>
-            referenced.contains(f.getAbsolutePath) || f.lastModified() > cutoff)
-          orphans.foreach(f => ParquetRows.delete(f.getAbsolutePath))
+            .filter(f => f.isFile && (f.getName.endsWith(".parquet") ||
+              (f.getName.startsWith("manifest-") && f.getName.endsWith(".json"))))
+          val (kept, orphans) = onDisk.partition { f =>
+            (if (f.getName.endsWith(".parquet")) referenced.contains(f.getAbsolutePath)
+             else referencedManifests.contains(f.getName)) ||
+              f.lastModified() > cutoff
+          }
+          orphans.foreach(f =>
+            if (f.getName.endsWith(".parquet")) ParquetRows.delete(f.getAbsolutePath)
+            else f.delete())
           (orphans.length.toLong, kept.length.toLong)
       }
     }
@@ -2615,15 +2651,15 @@ object MemTables {
       def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
         filters.forall(f => eval(f, b, r).contains(true))
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      candidateBatches(filters, st.specHistory, eras, droppedAt, live,
-        st.columnDefaults).iterator
-        .map { b =>
-          val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
-          b.batchId -> b.rows.zipWithIndex.collect {
-            case (r, i) if !dead.contains(i) && matchesAll(b, r) => i
-          }
+      val candidates = candidateBatches(filters, st.specHistory, eras, droppedAt,
+        live, st.columnDefaults)
+      // per-batch evaluation is pure; parallelize the file opens
+      parMap(candidates) { b =>
+        val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
+        b.batchId -> b.rows.zipWithIndex.collect {
+          case (r, i) if !dead.contains(i) && matchesAll(b, r) => i
         }
-        .filter(_._2.nonEmpty).toMap
+      }.filter(_._2.nonEmpty).toMap
     }
   }
 
@@ -2650,20 +2686,31 @@ object MemTables {
         }
       }
     } else {
+      // survivor reads/writes parallelize (file-open fixed costs); the
+      // batch-id mint and the batches swap stay serial under the monitor
+      val rewritten: Map[Long, Option[(RowStore, Map[String, ColStats])]] =
+        parMap(st.batches.filter(b =>
+          deadByBatch.contains(b.batchId) && b.removedAt == Long.MaxValue)) { b =>
+          val deadSet = deadByBatch(b.batchId).toSet
+          val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
+          b.batchId -> (if (keep.isEmpty) None
+          // survivors carry EXACT stats (the rewrite materializes them
+          // anyway): a deleted row may have been the recorded extreme,
+          // and the aggregate pushdown answers MIN/MAX from these
+          else Some((storeFor(st, b.schema, keep),
+            statsOf(b.schema, keep, st.bloomCols.toSet))))
+        }.toMap
       st.batches = st.batches.flatMap { b =>
-        deadByBatch.get(b.batchId) match {
-          case Some(dead) if b.removedAt == Long.MaxValue =>
-            val deadSet = dead.toSet
-            val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
+        rewritten.get(b.batchId) match {
+          case Some(surv) if b.removedAt == Long.MaxValue =>
             val removed = b.copy(removedAt = st.version)
-            if (keep.isEmpty) Vector(removed)
-            // survivors carry EXACT stats (the rewrite materializes them
-            // anyway): a deleted row may have been the recorded extreme,
-            // and the aggregate pushdown answers MIN/MAX from these
-            else Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion,
-              storeFor(st, b.schema, keep),
-              batchId = st.mintBatchId(), stats = statsOf(b.schema, keep, st.bloomCols.toSet),
-              part = b.part, specId = b.specId))
+            surv match {
+              case None => Vector(removed)
+              case Some((store, stats)) =>
+                Vector(removed, TaggedBatch(b.schema, st.version, b.writeVersion,
+                  store, batchId = st.mintBatchId(), stats = stats,
+                  part = b.part, specId = b.specId))
+            }
           case _ => Vector(b)
         }
       }

@@ -24,7 +24,31 @@ import org.apache.spark.sql.types.StructType
   */
 object ParquetRows {
 
-  private def writeConf(schema: StructType): Configuration = {
+  /** Template Configurations, cached per schema: `new Configuration()`
+    * parses the Hadoop default XML resources EVERY time (tens of ms),
+    * which a 100-file partitioned commit pays 100×; the copy
+    * constructor only clones the property map. Keyed by schema JSON —
+    * the only input that varies.
+    */
+  private val confCache =
+    scala.collection.concurrent.TrieMap.empty[String, Configuration]
+
+  private def cached(key: String)(build: => Configuration): Configuration =
+    new Configuration(confCache.getOrElseUpdate(key, {
+      val c = build
+      // local `file:` paths skip ChecksumFileSystem: the default wraps
+      // every file in a `.crc` shadow (2x creates, 2x deletes, checksum
+      // CPU) — measurable per-file fixed cost at gate scale, pure
+      // overhead under parquet's own page checksums. Object-storage
+      // schemes (s3a://...) are untouched.
+      c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      c
+    }))
+
+  private def writeConf(schema: StructType): Configuration =
+    cached("w|" + schema.json)(buildWriteConf(schema))
+
+  private def buildWriteConf(schema: StructType): Configuration = {
     val conf = new Configuration()
     ParquetWriteSupport.setSchema(schema, conf)
     // the SQLConf-derived keys ParquetWriteSupport.init and the schema
@@ -86,7 +110,10 @@ object ParquetRows {
   def open(path: String, schema: StructType): RowFileWriter =
     new RowFileWriter(path, schema)
 
-  private def readConf(schema: StructType): Configuration = {
+  private def readConf(schema: StructType): Configuration =
+    cached("r|" + schema.json)(buildReadConf(schema))
+
+  private def buildReadConf(schema: StructType): Configuration = {
     val conf = new Configuration()
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
     conf.set("spark.sql.caseSensitive", "false")
@@ -144,7 +171,7 @@ object ParquetRows {
 
   def delete(path: String): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(cached("fs")(new Configuration()))
     if (fs.exists(p)) fs.delete(p, true)
     val crc = new Path(p.getParent, "." + p.getName + ".crc")
     if (fs.exists(crc)) fs.delete(crc, false)
@@ -152,7 +179,7 @@ object ParquetRows {
 
   def deleteDir(dir: String): Unit = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(cached("fs")(new Configuration()))
     if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -20,12 +20,15 @@ import graft.sources.MemTables._
   * [[MemTables.get]] recovers the state from disk on the first miss,
   * hash-identical including time travel, CDC windows, and branch stages.
   *
-  * Scale note: writing the WHOLE plane per commit is the gate-scale form;
-  * the 100 TB evolution is Iceberg's incremental shape (immutable
-  * per-commit manifest files + a small metadata root naming them), which
-  * changes the I/O pattern, not this schema — every field here maps 1:1
-  * onto that layout. Driver-resident tables (no storage dir) have no
-  * durable plane by that mode's own contract and skip persistence.
+  * Write amplification follows the Iceberg split: each batch's IMMUTABLE
+  * half (schema, file pointer, column stats incl. NDV sketch and bloom
+  * register, partition tuple) lands once as its own `manifest-*.json`;
+  * `metadata.json` holds only the mutable plane (ledger, refs, DVs,
+  * manifest pointers), so per-commit metadata cost tracks the mutation,
+  * not the table size. Expired batches' manifests become unreferenced
+  * files that `remove_orphan_files` sweeps. Driver-resident tables (no
+  * storage dir) have no durable plane by that mode's own contract and
+  * skip persistence.
   *
   * Values inside metadata (column bounds, partition tuples, EXISTS
   * defaults, equality-delete keys) are INTERNAL Spark values; they travel
@@ -36,7 +39,7 @@ import graft.sources.MemTables._
 object TableMetadata {
 
   val FileName = "metadata.json"
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   private val mapper = new ObjectMapper()
 
@@ -126,51 +129,41 @@ object TableMetadata {
     }.toSeq
 
   // -------------------------------------------------------------- batches
+  //
+  // A batch splits across two planes, exactly like Iceberg:
+  //  - the IMMUTABLE manifest (schema, file pointer, column stats with
+  //    sketches/blooms, partition tuple, spec id) — written ONCE as its
+  //    own `manifest-<hash>.json` and referenced by name thereafter, so
+  //    per-commit metadata cost tracks the MUTATION, not the table size
+  //    (a 2048-hash exact NDV set alone is ~19 KiB base64; re-writing
+  //    every manifest every commit would be O(table) write amplification);
+  //  - the MUTABLE slice (version, removedAt, delete vector, batch id)
+  //    — inline in metadata.json, rewritten each commit.
+  // The manifest name derives from content identity (store path +
+  // write-version + spec id), so a rollback restore sharing its
+  // original's store shares the manifest file too — identical payload
+  // by construction.
 
-  private def batchOut(dir: String, b: TaggedBatch): ObjectNode = {
-    val o = mapper.createObjectNode()
-    o.put("schema", b.schema.json)
-    o.put("version", b.version)
-    o.put("write-version", b.writeVersion)
-    o.put("removed-at", b.removedAt)
-    o.put("batch-id", b.batchId)
-    o.put("spec-id", b.specId)
-    if (b.dv.nonEmpty) {
-      val d = mapper.createObjectNode()
-      b.dv.foreach { case (pos, v) => d.put(pos.toString, v) }
-      o.set[JsonNode]("dv", d)
-    }
-    val stats = mapper.createObjectNode()
-    b.stats.foreach { case (col, s) =>
-      val c = mapper.createObjectNode()
-      c.set[JsonNode]("min", valOut(s.min))
-      c.set[JsonNode]("max", valOut(s.max))
-      c.put("null-count", s.nullCount)
-      c.put("row-count", s.rowCount)
-      c.put("ndv", s.ndv)
-      s.sketch.foreach(sk => c.put("ndv-sketch",
-        java.util.Base64.getEncoder.encodeToString(sk.toBytes)))
-      s.bloom.foreach { bl =>
-        val bb = java.nio.ByteBuffer.allocate(bl.length * 8)
-        bl.foreach(bb.putLong)
-        c.put("bloom", java.util.Base64.getEncoder.encodeToString(bb.array()))
-      }
-      stats.set[JsonNode](col, c)
-    }
-    o.set[JsonNode]("stats", stats)
-    val part = mapper.createArrayNode()
-    b.part.foreach(v => part.add(valOut(v)))
-    o.set[JsonNode]("part", part)
-    b.store match {
-      case FileStore(path, count, schema) =>
-        val s = mapper.createObjectNode()
-        s.put("kind", "file")
-        // relative paths keep the table directory relocatable
-        s.put("path",
-          if (path.startsWith(dir + "/")) path.substring(dir.length + 1) else path)
-        s.put("count", count)
-        s.put("schema", schema.json)
-        o.set[JsonNode]("store", s)
+  /** The manifest file name a batch resolves to — None for a batch with
+    * no file store (driver-resident). The orphan sweep uses this to keep
+    * every referenced manifest.
+    */
+  def manifestNameOf(b: TaggedBatch): Option[String] =
+    b.store.file.map(p => manifestName(p, b.writeVersion, b.specId))
+
+  private def manifestName(path: String, writeVersion: Long, specId: Int): String = {
+    val key = s"$path|$writeVersion|$specId"
+    val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 17L)
+    f"manifest-$h%016x.json"
+  }
+
+  /** Write one batch's immutable manifest file if absent; returns its name. */
+  private def ensureManifest(dir: String, b: TaggedBatch): String = {
+    val path = b.store match {
+      case FileStore(p, _, _) => p
       case MemStore(_) =>
         // by construction unreachable for a file-backed table (every
         // publish path routes rows through storeFor, which writes a
@@ -179,19 +172,89 @@ object TableMetadata {
         throw new IllegalStateException(
           "file-backed table holds a driver-resident batch — cannot persist")
     }
+    val name = manifestName(path, b.writeVersion, b.specId)
+    val f = new java.io.File(dir, name)
+    if (!f.isFile) {
+      val o = mapper.createObjectNode()
+      o.put("schema", b.schema.json)
+      val st = mapper.createObjectNode()
+      st.put("kind", "file")
+      // relative paths keep the table directory relocatable
+      st.put("path",
+        if (path.startsWith(dir + "/")) path.substring(dir.length + 1) else path)
+      st.put("count", b.store.count)
+      st.put("schema", b.store.asInstanceOf[FileStore].schema.json)
+      o.set[JsonNode]("store", st)
+      val stats = mapper.createObjectNode()
+      b.stats.foreach { case (col, s) =>
+        val c = mapper.createObjectNode()
+        c.set[JsonNode]("min", valOut(s.min))
+        c.set[JsonNode]("max", valOut(s.max))
+        c.put("null-count", s.nullCount)
+        c.put("row-count", s.rowCount)
+        c.put("ndv", s.ndv)
+        s.sketch.foreach(sk => c.put("ndv-sketch",
+          java.util.Base64.getEncoder.encodeToString(sk.toBytes)))
+        s.bloom.foreach { bl =>
+          val bb = java.nio.ByteBuffer.allocate(bl.length * 8)
+          bl.foreach(bb.putLong)
+          c.put("bloom", java.util.Base64.getEncoder.encodeToString(bb.array()))
+        }
+        stats.set[JsonNode](col, c)
+      }
+      o.set[JsonNode]("stats", stats)
+      val part = mapper.createArrayNode()
+      b.part.foreach(v => part.add(valOut(v)))
+      o.set[JsonNode]("part", part)
+      o.put("spec-id", b.specId)
+      val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
+      java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    name
+  }
+
+  private def batchOut(dir: String, b: TaggedBatch): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("manifest", ensureManifest(dir, b))
+    o.put("version", b.version)
+    o.put("write-version", b.writeVersion)
+    o.put("removed-at", b.removedAt)
+    o.put("batch-id", b.batchId)
+    if (b.dv.nonEmpty) {
+      // positions grouped by kill version — the compact mutable form
+      val grouped = mapper.createObjectNode()
+      b.dv.groupBy(_._2).foreach { case (v, entries) =>
+        val a = mapper.createArrayNode()
+        entries.keysIterator.toArray.sorted.foreach(a.add)
+        grouped.set[JsonNode](v.toString, a)
+      }
+      o.set[JsonNode]("dv", grouped)
+    }
     o
   }
 
-  private def batchIn(dir: String, n: JsonNode): TaggedBatch = {
-    val s = n.get("store")
+  // manifests are immutable and shared (rollback restores): parse each
+  // file once per load
+  private def batchIn(dir: String,
+      manifests: scala.collection.mutable.Map[String, JsonNode])(
+      n: JsonNode): TaggedBatch = {
+    val mName = n.get("manifest").asText
+    val m = manifests.getOrElseUpdate(mName,
+      mapper.readTree(new java.io.File(dir, mName)))
+    val s = m.get("store")
     val rawPath = s.get("path").asText
     val path = if (rawPath.startsWith("/")) rawPath else s"$dir/$rawPath"
     val store = FileStore(path, s.get("count").asInt,
       DataType.fromJson(s.get("schema").asText).asInstanceOf[StructType])
     val dv = Option(n.get("dv")).map { d =>
-      fields(d).map { case (k, v) => k.toInt -> v.asLong }.toMap
+      fields(d).flatMap { case (v, poss) =>
+        iter(poss).map(p => p.asInt -> v.toLong)
+      }.toMap
     }.getOrElse(Map.empty[Int, Long])
-    val stats = fields(n.get("stats")).map { case (col, c) =>
+    val stats = fields(m.get("stats")).map { case (col, c) =>
       col -> ColStats(valIn(c.get("min")), valIn(c.get("max")),
         c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong,
         Option(c.get("ndv-sketch")).map(sk =>
@@ -203,10 +266,10 @@ object TableMetadata {
         })
     }.toMap
     TaggedBatch(
-      DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],
+      DataType.fromJson(m.get("schema").asText).asInstanceOf[StructType],
       n.get("version").asLong, n.get("write-version").asLong, store,
       n.get("removed-at").asLong, dv, n.get("batch-id").asLong, stats,
-      iter(n.get("part")).map(valIn).toSeq, n.get("spec-id").asInt)
+      iter(m.get("part")).map(valIn).toSeq, m.get("spec-id").asInt)
   }
 
   // ---------------------------------------------------------------- state
@@ -323,8 +386,7 @@ object TableMetadata {
     // atomic replace: a reader (or a crash) never observes a torn file
     val tmp = java.nio.file.Paths.get(dir, FileName + ".tmp")
     val dst = java.nio.file.Paths.get(dir, FileName)
-    java.nio.file.Files.write(tmp,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(root))
     java.nio.file.Files.move(tmp, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -412,10 +474,12 @@ object TableMetadata {
       v.toLong -> iter(a).map(p => (p.get(0).asLong, p.get(1).asInt)).toSet
     }.toMap
     st.updatePostBatches = iter(root.get("update-post-batches")).map(_.asLong).toSet
-    st.batches = iter(root.get("batches")).map(batchIn(dir, _)).toVector
+    val manifestCache = scala.collection.mutable.Map.empty[String, JsonNode]
+    st.batches = iter(root.get("batches")).map(batchIn(dir, manifestCache)).toVector
     st.branches = fields(root.get("branches")).map { case (name, b) =>
       name -> BranchState(b.get("base").asLong,
-        iter(b.get("appends")).map(a => iter(a).map(batchIn(dir, _)).toVector).toVector,
+        iter(b.get("appends"))
+          .map(a => iter(a).map(batchIn(dir, manifestCache)).toVector).toVector,
         fields(b.get("dvs")).map { case (bid, poss) =>
           bid.toLong -> iter(poss).map(_.asInt).toSet
         }.toMap)
