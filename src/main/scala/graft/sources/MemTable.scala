@@ -1193,6 +1193,33 @@ object MemTables {
     * foreign-format metadata is skipped with a stderr note (a janitor
     * concern, never a read failure for the live table).
     */
+  // directory -> (metadata.json mtime, table key) — identity probes are
+  // the common path (every DROP IF EXISTS of an absent table scans), so
+  // they must not re-parse; a changed mtime refreshes the entry, an
+  // unreadable/foreign-format document caches as None (noted once)
+  private val metaKeyCache =
+    TrieMap.empty[String, (Long, Option[String])]
+
+  private def metaKeyOf(d: java.io.File): Option[String] = {
+    val mf = new java.io.File(d, TableMetadata.FileName)
+    if (!mf.isFile) return None
+    val mt = mf.lastModified()
+    metaKeyCache.get(d.getPath) match {
+      case Some((t, k)) if t == mt => k
+      case _ =>
+        val k =
+          try TableMetadata.peekKey(d.getPath)
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"graft: skipping unreadable table metadata at $d: ${e.getMessage}")
+              None
+          }
+        metaKeyCache.put(d.getPath, (mt, k))
+        k
+    }
+  }
+
   private def recoverFromDisk(key: String): Option[State] = {
     val root = tablesRoot
     if (!root.isDirectory) return None
@@ -1200,22 +1227,24 @@ object MemTables {
     val all = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).sortBy(-_.lastModified())
     // prefix match is the fast path; a RENAMED table's directory keeps
-    // its birth name, so fall back to scanning the rest by metadata key
+    // its birth name, so the identity probe covers the rest — FULL
+    // deserialization (manifests, sketches) happens only on the match
     val (named, rest) = all.partition(_.getName.startsWith(prefix))
-    val candidates = named ++ rest
-    candidates.iterator.flatMap { d =>
-      try TableMetadata.load(d.getAbsolutePath)
-      catch {
-        case e: Exception =>
-          System.err.println(
-            s"graft: skipping unreadable table metadata at $d: ${e.getMessage}")
-          None
+    (named ++ rest).iterator
+      .filter(d => metaKeyOf(d).contains(key))
+      .flatMap { d =>
+        try TableMetadata.load(d.getAbsolutePath)
+        catch {
+          case e: Exception =>
+            System.err.println(
+              s"graft: skipping unreadable table metadata at $d: ${e.getMessage}")
+            None
+        }
+      }.collectFirst { case (k, st) if k == key =>
+        // another thread may have recovered (or re-created) concurrently —
+        // first registration wins, exactly like create
+        tables.putIfAbsent(key, st).getOrElse(st)
       }
-    }.collectFirst { case (k, st) if k == key =>
-      // another thread may have recovered (or re-created) concurrently —
-      // first registration wins, exactly like create
-      tables.putIfAbsent(key, st).getOrElse(st)
-    }
   }
 
   /** STORAGE MIGRATION (`CALL graft.migrate_storage('t', 'parquet')`):

@@ -424,6 +424,18 @@ object TableMetadata {
       col -> iter(a).map(e => (e.get(0).asLong, e.get(1).asText)).toVector
     }.toMap
 
+  /** Read ONLY the table key (+ format check) of `<dir>/metadata.json` —
+    * the cheap identity probe disk recovery uses to find the right
+    * directory without deserializing foreign tables' manifests.
+    */
+  def peekKey(dir: String): Option[String] = {
+    val f = new java.io.File(dir, FileName)
+    if (!f.isFile) return None
+    val root = mapper.readTree(f)
+    if (root.get("format-version").asInt != FormatVersion) None
+    else Option(root.get("key")).map(_.asText)
+  }
+
   /** Parse `<dir>/metadata.json` back into a registrable [[State]];
     * None if the directory carries no (readable) metadata document.
     */
