@@ -993,15 +993,24 @@ object MemTables {
         t
       })
 
-  /** Map `f` over `items` on [[contentPool]], preserving order. */
+  /** Map `f` over `items` on [[contentPool]], preserving order. Worker
+    * exceptions rethrow UNWRAPPED — callers' loud-failure contracts
+    * (e.g. UnsupportedOperationException on an untranslatable DELETE
+    * filter) must not change shape because the walk parallelized.
+    */
   private def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1) return items.map(f)
-    import scala.jdk.CollectionConverters._
     val futures = items.map(a =>
       contentPool.submit(new java.util.concurrent.Callable[B] {
         override def call(): B = f(a)
       }))
-    futures.map(_.get())
+    futures.map { fut =>
+      try fut.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
   }
 
   /** Register a new table; false if the key is already taken (the catalog
