@@ -42,26 +42,28 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         // that names the VIEW, the missing dependency, and the stored
         // SQL. Dependencies that still exist re-resolve fresh (the
         // late-binding contract: the view tracks the live table).
-        parsed.foreach { op =>
-          op match {
-            case dep: UnresolvedRelation if dep.multipartIdentifier.length == 2 &&
-                isGraftCatalog(dep.multipartIdentifier.head) =>
-              val d = dep.multipartIdentifier(1)
-              val exists = graft.sources.MemViews.views.contains(d) || {
-                try spark.sessionState.catalogManager.catalog(catalog)
-                  .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-                  .tableExists(org.apache.spark.sql.connector.catalog.Identifier
-                    .of(Array.empty, d))
-                catch { case _: Exception => false }
-              }
-              if (!exists)
-                throw new IllegalStateException(
-                  s"view '$name' references '$catalog.$d', which no longer " +
-                    s"exists (dropped or renamed after the view was created). " +
-                    s"Stored SQL: ${v.sql} — recreate the view against the " +
-                    "current table name, or drop it")
-            case _ => ()
+        // collectWithSubqueries, not foreach: a dependency inside a
+        // subquery EXPRESSION (IN/EXISTS/scalar subquery) is invisible to
+        // the operator walk, and it deserves the same view-naming error
+        val deps = parsed.collectWithSubqueries {
+          case dep: UnresolvedRelation if dep.multipartIdentifier.length == 2 &&
+              isGraftCatalog(dep.multipartIdentifier.head) =>
+            dep.multipartIdentifier(1)
+        }
+        deps.distinct.foreach { d =>
+          val exists = graft.sources.MemViews.views.contains(d) || {
+            try spark.sessionState.catalogManager.catalog(catalog)
+              .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+              .tableExists(org.apache.spark.sql.connector.catalog.Identifier
+                .of(Array.empty, d))
+            catch { case _: Exception => false }
           }
+          if (!exists)
+            throw new IllegalStateException(
+              s"view '$name' references '$catalog.$d', which no longer " +
+                s"exists (dropped or renamed after the view was created). " +
+                s"Stored SQL: ${v.sql} — recreate the view against the " +
+                "current table name, or drop it")
         }
         SubqueryAlias(name, parsed)
     }

@@ -1187,6 +1187,17 @@ object MemTables {
   def get(key: String): Option[State] =
     tables.get(key).orElse(recoverFromDisk(key))
 
+  /** Entry-point lookup for procedures and DDL: registry, then DISK
+    * RECOVERY — maintenance must work after a restart exactly like reads
+    * do (a janitor's first `remove_orphan_files` of the day cannot
+    * depend on some query having faulted the table in first). Mid-write
+    * re-lookups deliberately stay on the raw registry (their
+    * "dropped mid-op" contract).
+    */
+  private def required(key: String): State =
+    get(key).getOrElse(
+      throw new IllegalArgumentException(s"mem table $key does not exist"))
+
   /** Registry-only probe (no disk recovery) — lets specs observe whether
     * a table is currently memory-resident.
     */
@@ -1211,7 +1222,12 @@ object MemTables {
 
   private def metaKeyOf(d: java.io.File): Option[String] = {
     val mf = new java.io.File(d, TableMetadata.FileName)
-    if (!mf.isFile) return None
+    if (!mf.isFile) {
+      // evict, not just skip: a dropped table's entry would otherwise
+      // outlive its directory for the driver's whole lifetime
+      metaKeyCache.remove(d.getPath)
+      return None
+    }
     val mt = mf.lastModified()
     metaKeyCache.get(d.getPath) match {
       case Some((t, k)) if t == mt => k
@@ -1275,8 +1291,7 @@ object MemTables {
     if (target != "parquet")
       throw new IllegalArgumentException(
         s"migrate_storage target must be 'parquet', got '$target'")
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       st.storageDir match {
         case Some(dir) => (0L, dir) // already file-backed: no-op
@@ -1321,16 +1336,20 @@ object MemTables {
     * target name is taken.
     */
   def rename(oldKey: String, newKey: String): Boolean = {
-    if (oldKey == newKey) return tables.contains(oldKey)
-    tables.get(oldKey) match {
+    if (oldKey == newKey) return get(oldKey).isDefined
+    get(oldKey) match {
       case None => false
       case Some(st) =>
         st.synchronized {
-          if (tables.contains(newKey) || recoverFromDisk(newKey).isDefined)
+          // recovery probe first (it registers a disk-resident target),
+          // then an ATOMIC reservation of the name — a contains-then-put
+          // would let a concurrent CREATE TABLE land between the check
+          // and the put and be silently clobbered
+          if (recoverFromDisk(newKey).isDefined ||
+              tables.putIfAbsent(newKey, st).isDefined)
             throw new IllegalArgumentException(
               s"cannot rename mem table $oldKey to $newKey: the target name exists")
           st.tableKey = newKey
-          tables.put(newKey, st)
           tables.remove(oldKey)
           persistMeta(st)
         }
@@ -1346,8 +1365,7 @@ object MemTables {
     * TABLE is the only exit there).
     */
   def unload(key: String): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     if (st.storageDir.isEmpty)
       throw new IllegalArgumentException(
         s"mem table $key is driver-resident ('$StorageProp' unset) — unloading " +
@@ -1469,8 +1487,7 @@ object MemTables {
 
   def removeOrphanFiles(
       key: String, graceMillis: Long = DefaultOrphanGraceMs): (Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     if (graceMillis < 0)
       throw new IllegalArgumentException(
         s"older_than_ms must be non-negative, got $graceMillis")
@@ -1505,9 +1522,14 @@ object MemTables {
     }
   }
 
-  def drop(key: String): Boolean = tables.remove(key) match {
+  def drop(key: String): Boolean = get(key) match { // get: DROP of a
+    // disk-resident table must work after a restart, like any entry point
     case Some(st) =>
-      st.storageDir.foreach(ParquetRows.deleteDir) // file-backed: reclaim
+      tables.remove(key)
+      st.storageDir.foreach { d =>
+        ParquetRows.deleteDir(d) // file-backed: reclaim
+        metaKeyCache.remove(d) // and the recovery-scan cache entry with it
+      }
       true
     case None => false
   }
@@ -1627,8 +1649,7 @@ object MemTables {
     * restores both. Returns the new version.
     */
   def replacePartitionSpec(key: String, newSpec: Seq[PartField]): Long = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       validateSpec(st.schema, newSpec)
       if (newSpec == st.partitioning)
@@ -1727,8 +1748,7 @@ object MemTables {
     * sandbox whose publish is simply rejected.
     */
   def createBranch(key: String, branch: String, fromVersion: Long): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       if (branch.isEmpty || branch.contains("."))
         throw new IllegalArgumentException(
@@ -1746,8 +1766,7 @@ object MemTables {
   }
 
   def dropBranch(key: String, branch: String): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       val bs = st.branches.getOrElse(branch,
         throw new IllegalArgumentException(s"branch '$branch' does not exist on $key"))
@@ -1806,8 +1825,7 @@ object MemTables {
     * (appends published, new current version).
     */
   def fastForward(key: String, branch: String): (Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       val bs = st.branches.getOrElse(branch,
         throw new IllegalArgumentException(s"branch '$branch' does not exist on $key"))
@@ -1923,8 +1941,7 @@ object MemTables {
     * catalog's `VERSION AS OF` path (non-numeric version strings).
     */
   def createTag(key: String, tag: String, version: Long): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       // the resolver treats any Long-parsable string as a version id, so
       // the SAME predicate must gate names here — isDigit alone would
@@ -1946,8 +1963,7 @@ object MemTables {
   }
 
   def dropTag(key: String, tag: String): Unit = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       if (!st.tags.contains(tag))
         throw new IllegalArgumentException(s"tag '$tag' does not exist on $key")
@@ -1957,8 +1973,7 @@ object MemTables {
   }
 
   def expireSnapshots(key: String, olderThan: Long): (Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       if (olderThan < 0 || olderThan > st.version)
         throw new IllegalArgumentException(
@@ -2022,8 +2037,7 @@ object MemTables {
     * (expired batch count, new earliest version).
     */
   def expireSnapshotsOlderThan(key: String, tsMicros: Long): (Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized { // reentrant: horizon resolution + expiry are atomic
       val horizon = st.versionTimes.find(_._2 >= tsMicros).map(_._1)
         .getOrElse(st.version)
@@ -2059,8 +2073,7 @@ object MemTables {
     * (batches removed, batches restored, version).
     */
   def rollback(key: String, toVersion: Long): (Long, Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
       if (toVersion < st.earliestVersion || toVersion > st.version)
         throw new IllegalArgumentException(
@@ -2189,13 +2202,23 @@ object MemTables {
     * travel) is exactly this. Returns (batches compacted, rows written,
     * version).
     */
+  /** The compaction no-op rule — ONE definition for both storage modes
+    * (the driver-resident fold below and the file-backed distributed
+    * rewrite in [[CompactTableProcedure]]): nothing to compact when at
+    * most one live batch exists and no delete vector overlays it.
+    * Some(result) = skip, None = run.
+    */
+  def compactNoop(st: State): Option[(Long, Long, Long)] = st.synchronized {
+    val live = st.batches.filter(_.removedAt == Long.MaxValue)
+    if (live.size <= 1 && !live.exists(_.dv.nonEmpty)) Some((0L, 0L, st.version))
+    else None
+  }
+
   def compact(key: String): (Long, Long, Long) = {
-    val st = tables.getOrElse(key,
-      throw new IllegalArgumentException(s"mem table $key does not exist"))
+    val st = required(key)
     st.synchronized {
+      compactNoop(st).foreach(r => return r)
       val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      if (live.size <= 1 && !live.exists(_.dv.nonEmpty))
-        return (0L, 0L, st.version)
       val schema = st.schema
       val droppedAt = st.droppedAt
       val eras = st.eras

@@ -1142,12 +1142,7 @@ object CompactTableProcedure
     // their rows live on the driver by that mode's own contract.
     val (nBatches, nRows, version) = st.storageDir match {
       case Some(_) =>
-        val noop = st.synchronized {
-          val live = st.batches.filter(_.removedAt == Long.MaxValue)
-          if (live.size <= 1 && !live.exists(_.dv.nonEmpty)) Some((0L, 0L, st.version))
-          else None
-        }
-        noop.getOrElse(RewriteJobs.run(
+        MemTables.compactNoop(st).getOrElse(RewriteJobs.run(
           org.apache.spark.sql.SparkSession.active, key, ""))
       case None => MemTables.compact(key)
     }
@@ -1733,6 +1728,18 @@ private[sources] object RewriteJobs {
       "rewrite_data_files requires the SeqCatalog to be registered"))
     import org.apache.spark.sql.functions.{col, expr}
     var df = spark.table(s"$catalogName.`$key`")
+    // BIGINT ordinal per whitelisted type: ANSI (the session default)
+    // forbids casting DATE/TIMESTAMP_NTZ to numerics, so date-ish columns
+    // go through their epoch functions instead of a bare cast
+    def ordinalSql(c: String): String = {
+      import org.apache.spark.sql.types._
+      schema.fields.find(_.name == c).get.dataType match {
+        case DateType => s"unix_date(`$c`)"
+        case TimestampType => s"unix_micros(`$c`)"
+        case TimestampNTZType => s"unix_micros(cast(`$c` as timestamp))"
+        case _ => s"cast(`$c` as bigint)"
+      }
+    }
     zorder.foreach { case (a, b) =>
       // scale each column into a 2^21-bin ordinal RELATIVE TO ITS OBSERVED
       // RANGE (one cheap min/max agg; integer `div`, so exact), then take
@@ -1741,9 +1748,10 @@ private[sources] object RewriteJobs {
       // tighten on BOTH source columns, which is the whole point. A fixed
       // bit-slice instead of range scaling would collapse any domain much
       // narrower than 64 bits into one bucket.
+      // outer cast keeps getLong valid for INT-typed ordinals (unix_date)
       val mm = df.selectExpr(
-        s"min(cast(`$a` as bigint))", s"max(cast(`$a` as bigint))",
-        s"min(cast(`$b` as bigint))", s"max(cast(`$b` as bigint))").head()
+        s"cast(min(${ordinalSql(a)}) as bigint)", s"cast(max(${ordinalSql(a)}) as bigint)",
+        s"cast(min(${ordinalSql(b)}) as bigint)", s"cast(max(${ordinalSql(b)}) as bigint)").head()
       if (!mm.isNullAt(0) && !mm.isNullAt(2)) {
         val Bins = 1L << 21
         def widthOf(mn: Long, mx: Long): Long =
@@ -1752,8 +1760,8 @@ private[sources] object RewriteJobs {
         val (wA, wB) = (widthOf(minA, mm.getLong(1)), widthOf(minB, mm.getLong(3)))
         val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val z = graft.functions.ZOrder2.zorder2(
-          expr(s"(cast(`$a` as bigint) - ($minA)) div $wA"),
-          expr(s"(cast(`$b` as bigint) - ($minB)) div $wB"))
+          expr(s"(${ordinalSql(a)} - ($minA)) div $wA"),
+          expr(s"(${ordinalSql(b)} - ($minB)) div $wB"))
         df = df.withColumn("__graft_z", z)
           .repartitionByRange(n, col("__graft_z"))
           .sortWithinPartitions(col("__graft_z"))

@@ -186,4 +186,35 @@ class MetadataPersistSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.mp_ts").head().getLong(0) === 3L)
     drop("mp_ts")
   }
+
+  test("maintenance entry points recover an unloaded table; DROP too") {
+    catalogOn(); drop("mp_maint")
+    spark.sql("CREATE TABLE graft.mp_maint (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mp_maint SELECT id, concat('r', id) FROM range(0, 8)")
+    spark.sql("INSERT INTO graft.mp_maint VALUES (100, 'x')")
+    val dir = MemTables.get("mp_maint").get.storageDir.get
+
+    // procedures must NOT depend on a read having faulted the table in:
+    // each runs against a cold registry (the restart-survival contract)
+    spark.sql("CALL graft.unload_table('mp_maint')")
+    assert(!MemTables.isLoaded("mp_maint"))
+    val swept = spark.sql("CALL graft.remove_orphan_files('mp_maint', 0)").head()
+    assert(swept.getLong(0) === 0L, "no orphans expected — but the call must work")
+
+    spark.sql("CALL graft.unload_table('mp_maint')")
+    spark.sql("CALL graft.create_tag('mp_maint', 'cold', 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.mp_maint VERSION AS OF 'cold'")
+      .head().getLong(0) === 8L)
+
+    spark.sql("CALL graft.unload_table('mp_maint')")
+    spark.sql("CALL graft.compact_table('mp_maint')")
+    assert(spark.sql("SELECT count(*) FROM graft.mp_maint").head().getLong(0) === 9L)
+
+    // DROP of an unloaded table must remove it AND its directory
+    spark.sql("CALL graft.unload_table('mp_maint')")
+    spark.sql("DROP TABLE graft.mp_maint")
+    assert(!new java.io.File(dir).exists(), "drop must reclaim the storage dir")
+    assert(MemTables.get("mp_maint").isEmpty, "dropped table must not recover")
+  }
 }

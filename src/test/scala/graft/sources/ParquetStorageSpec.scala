@@ -278,6 +278,24 @@ class ParquetStorageSpec extends SparkSpec {
       .head().getLong(0) === 8L * 64)
     assert(spark.sql("SELECT count(*) FROM graft.pq_zorder WHERE y < 8")
       .head().getLong(0) === (0 until 4096).count(i => (i * 37) % 64 < 8).toLong)
+    // date/timestamp columns are whitelisted — they must cluster under
+    // ANSI (a bare cast-to-bigint is illegal for DATE/TIMESTAMP_NTZ; the
+    // ordinal goes through unix_date/unix_micros)
+    drop("pq_ztime")
+    spark.sql("CREATE TABLE graft.pq_ztime (d DATE, t TIMESTAMP_NTZ) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.pq_ztime SELECT " +
+      "date_add(DATE'2020-01-01', CAST(id % 64 AS INT)), " +
+      "timestampadd(HOUR, CAST((id * 37) % 64 AS INT), TIMESTAMP_NTZ'2020-01-01 00:00:00') " +
+      "FROM range(0, 1024)")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try spark.sql("CALL graft.rewrite_data_files('pq_ztime', 'zorder(d, t)')")
+    finally spark.conf.set("spark.sql.shuffle.partitions", "2")
+    assert(spark.sql("SELECT count(*) FROM graft.pq_ztime").head().getLong(0) === 1024L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.pq_ztime WHERE d < DATE'2020-01-09'")
+      .head().getLong(0) === 8L * 16)
+    drop("pq_ztime")
     // rejected forms: partitioned table, non-integral column
     drop("pq_zpart")
     spark.sql("CREATE TABLE graft.pq_zpart (x BIGINT, y BIGINT, s STRING) " +

@@ -116,6 +116,27 @@ class ViewCatalogSpec extends SparkSpec {
     drop("vc_dep", "vc_dep2")
   }
 
+  test("late binding sees dependencies inside subquery expressions") {
+    catalogOn(); drop("vc_sub_a", "vc_sub_b")
+    MemViews.views.remove("vc_sub_v")
+    spark.sql("CREATE TABLE graft.vc_sub_a (k BIGINT)")
+    spark.sql("CREATE TABLE graft.vc_sub_b (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_sub_a VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.vc_sub_b VALUES (2)")
+    spark.sql("CALL graft.create_view('vc_sub_v', " +
+      "'SELECT k FROM graft.vc_sub_a WHERE k IN (SELECT k FROM graft.vc_sub_b)')")
+    assert(spark.sql("SELECT count(*) FROM graft.vc_sub_v").head().getLong(0) === 1L)
+    // the dependency lives inside a subquery EXPRESSION — the operator
+    // walk alone would miss it and surface a raw TABLE_OR_VIEW_NOT_FOUND
+    spark.sql("DROP TABLE graft.vc_sub_b")
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.vc_sub_v").collect())
+    assert(e.getMessage.contains("vc_sub_v"), e.getMessage)
+    assert(e.getMessage.contains("vc_sub_b"), e.getMessage)
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    spark.sql("CALL graft.drop_view('vc_sub_v')")
+    drop("vc_sub_a")
+  }
+
   test("ViewCatalog API: create/load/alter/rename/drop round-trip") {
     catalogOn(); drop("vc_api_t")
     MemViews.views.remove("vc_api"); MemViews.views.remove("vc_api2")
