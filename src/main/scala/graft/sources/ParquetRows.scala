@@ -130,16 +130,33 @@ object ParquetRows {
     conf
   }
 
+  /** Reader builder bound to an InputFile + ParquetConfiguration — the
+    * ONE `ParquetReader.Builder` constructor that does not `new
+    * Configuration()` (a full Hadoop default-XML parse, ~6 ms, measured)
+    * before `withConf` would throw it away. At gate scale the tiny-file
+    * read cost is almost entirely that constructor.
+    */
+  private final class RowReaderBuilder(
+      in: org.apache.parquet.io.InputFile,
+      pconf: org.apache.parquet.conf.ParquetConfiguration)
+      extends org.apache.parquet.hadoop.ParquetReader.Builder[InternalRow](in, pconf) {
+    override protected def getReadSupport()
+        : org.apache.parquet.hadoop.api.ReadSupport[InternalRow] =
+      new ParquetReadSupport
+  }
+
   /** Stream one file's rows back (each row COPIED — the materializer
     * reuses its buffer). The iterator owns the reader and closes it on
     * exhaustion; call `close()` for early termination (a pushed LIMIT cut).
     */
   final class RowIterator(path: String, schema: StructType)
       extends Iterator[InternalRow] with AutoCloseable {
-    private val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder[InternalRow](new ParquetReadSupport(), new Path(path))
-      .withConf(readConf(schema))
-      .build()
+    private val reader = {
+      val c = readConf(schema)
+      new RowReaderBuilder(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), c),
+        new org.apache.parquet.conf.HadoopParquetConfiguration(c)).build()
+    }
     private var nextRow: InternalRow = _
     private var closed = false
     private def advance(): Unit = if (!closed) {
