@@ -43,6 +43,18 @@ object TableMetadata {
 
   private val mapper = new ObjectMapper()
 
+  /** Memoized schema-JSON parse: batches overwhelmingly share their schema
+    * string (one per era), but each manifest carries its own copy — a
+    * 10k-batch recovery would otherwise pay 10k `DataType.fromJson`
+    * parses. StructType is immutable, so sharing across tables is safe;
+    * the cache is bounded by the number of distinct eras ever loaded.
+    */
+  private val schemaParseCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private def schemaOf(json: String): StructType =
+    schemaParseCache.getOrElseUpdate(json,
+      DataType.fromJson(json).asInstanceOf[StructType])
+
   // ---------------------------------------------------------------- values
 
   /** Encode one internal metadata value (stats bound / partition tuple
@@ -248,7 +260,7 @@ object TableMetadata {
     val rawPath = s.get("path").asText
     val path = if (rawPath.startsWith("/")) rawPath else s"$dir/$rawPath"
     val store = FileStore(path, s.get("count").asInt,
-      DataType.fromJson(s.get("schema").asText).asInstanceOf[StructType])
+      schemaOf(s.get("schema").asText))
     val dv = Option(n.get("dv")).map { d =>
       fields(d).flatMap { case (v, poss) =>
         iter(poss).map(p => p.asInt -> v.toLong)
@@ -266,7 +278,7 @@ object TableMetadata {
         })
     }.toMap
     TaggedBatch(
-      DataType.fromJson(m.get("schema").asText).asInstanceOf[StructType],
+      schemaOf(m.get("schema").asText),
       n.get("version").asLong, n.get("write-version").asLong, store,
       n.get("removed-at").asLong, dv, n.get("batch-id").asLong, stats,
       iter(m.get("part")).map(valIn).toSeq, m.get("spec-id").asInt)
@@ -448,7 +460,7 @@ object TableMetadata {
       throw new IllegalStateException(
         s"table metadata at $dir has format-version $fv; this engine reads $FormatVersion")
     val key = root.get("key").asText
-    val schema = DataType.fromJson(root.get("schema").asText).asInstanceOf[StructType]
+    val schema = schemaOf(root.get("schema").asText)
     val createProps = fields(root.get("create-props"))
       .map { case (k, v) => k -> v.asText }.toMap
     val specHistory = iter(root.get("spec-history")).map(specIn).toVector
@@ -464,7 +476,7 @@ object TableMetadata {
     st.eras = erasIn(root.get("eras"))
     st.history = iter(root.get("history")).map { h =>
       SchemaAt(h.get("version").asLong,
-        DataType.fromJson(h.get("schema").asText).asInstanceOf[StructType],
+        schemaOf(h.get("schema").asText),
         fields(h.get("dropped-at")).map { case (k, v) => k -> v.asLong }.toMap,
         erasIn(h.get("eras")), defaultsIn(h.get("defaults")))
     }.toVector
