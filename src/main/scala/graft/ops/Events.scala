@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,15 +354,13 @@ object Events {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  /** The same as-of semantics through the engine's *native* operator
-    * ([[graft.plans.AsofJoinNative]]: custom logical plan + strategy +
-    * streaming sorted-merge exec) — three independent mechanisms now answer
-    * this query identically: the composed window form above, this physical
-    * operator, and DuckDB's built-in ASOF JOIN as the oracle.
+  /** Shared SQL CTEs of the native as-of gate family — the same-(user, ts)
+    * purchase dedup (max event_id survives) and the click probe side. ONE
+    * definition so the three oracles (backward / forward / tolerance) ask
+    * the identical question of identical inputs.
     */
-  val asofJoinNative: QueryDef = QueryDef(
-    "asof_join_native",
-    """WITH purchases AS (
+  private val asofOracleCtes: String =
+    """purchases AS (
       |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
       |  FROM events e
       |  WHERE event_type = 'purchase'
@@ -369,17 +368,17 @@ object Events {
       |                    WHERE e2.event_type = 'purchase'
       |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
       |clicks AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-      |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS last_purchase_cents
-      |FROM clicks c
-      |ASOF LEFT JOIN purchases p
-      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    // Same-(user, ts) dedup via lead over a user_id-only window: the row is
-    // the survivor (max event_id) iff the next row in (ts, event_id) order
-    // has a different ts. Partitioning by user_id alone lets this window,
-    // its sort, and the as-of join itself share ONE exchange — the
-    // (user_id, ts)-partitioned row_number form would force a second.
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')""".stripMargin
+
+  /** Engine side of the same derivation pair, shared by the three native
+    * as-of queries: (clicks, purchases-deduped). Same-(user, ts) dedup via
+    * lead over a user_id-only window: the row is the survivor (max
+    * event_id) iff the next row in (ts, event_id) order has a different
+    * ts. Partitioning by user_id alone lets this window, its sort, and the
+    * as-of join itself share ONE exchange — the (user_id, ts)-partitioned
+    * row_number form would force a second.
+    */
+  private def asofSides(ev: DataFrame): (DataFrame, DataFrame) = {
     val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
@@ -389,6 +388,23 @@ object Events {
         Num.cents(col("value")).as("purchase_cents"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    (clicks, purchases)
+  }
+
+  /** The same as-of semantics through the engine's *native* operator
+    * ([[graft.plans.AsofJoinNative]]: custom logical plan + strategy +
+    * streaming sorted-merge exec) — three independent mechanisms now answer
+    * this query identically: the composed window form above, this physical
+    * operator, and DuckDB's built-in ASOF JOIN as the oracle.
+    */
+  val asofJoinNative: QueryDef = QueryDef(
+    "asof_join_native",
+    s"""WITH $asofOracleCtes
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS last_purchase_cents
+      |FROM clicks c
+      |ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
+    val (clicks, purchases) = asofSides(Tables.events(spark, dir))
     graft.plans.AsofJoinNative.asof(
       clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts")
       .select(col("event_id"), col("user_id"), col("ts"), col("purchase_cents").as("last_purchase_cents"))
@@ -403,29 +419,12 @@ object Events {
     */
   val asofJoinForward: QueryDef = QueryDef(
     "asof_join_forward",
-    """WITH purchases AS (
-      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
-      |  FROM events e
-      |  WHERE event_type = 'purchase'
-      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
-      |                    WHERE e2.event_type = 'purchase'
-      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
-      |clicks AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    s"""WITH $asofOracleCtes
       |SELECT c.event_id, c.user_id, c.ts, p.purchase_cents AS next_purchase_cents
       |FROM clicks c
       |ASOF LEFT JOIN purchases p
       |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
-      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
-      .select(
-        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-        Num.cents(col("value")).as("purchase_cents"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
+    val (clicks, purchases) = asofSides(Tables.events(spark, dir))
     graft.plans.AsofJoinNative.asof(
       clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts",
       direction = "forward")
@@ -441,31 +440,14 @@ object Events {
     */
   val asofJoinTolerance: QueryDef = QueryDef(
     "asof_join_tolerance",
-    """WITH purchases AS (
-      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
-      |  FROM events e
-      |  WHERE event_type = 'purchase'
-      |    AND event_id = (SELECT max(e2.event_id) FROM events e2
-      |                    WHERE e2.event_type = 'purchase'
-      |                      AND e2.user_id = e.user_id AND e2.ts = e.ts)),
-      |clicks AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    s"""WITH $asofOracleCtes
       |SELECT c.event_id, c.user_id, c.ts,
       |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
       |       THEN p.purchase_cents END AS recent_purchase_cents
       |FROM clicks c
       |ASOF LEFT JOIN purchases p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val wLead = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .withColumn("next_ts", lead(col("ts"), 1).over(wLead))
-      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
-      .select(
-        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-        Num.cents(col("value")).as("purchase_cents"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
+    val (clicks, purchases) = asofSides(Tables.events(spark, dir))
     graft.plans.AsofJoinNative.asof(
       clicks, purchases, Seq("user_id" -> "p_user_id"), "ts", "p_ts",
       tolerance = Some(3600L * 1000000L)) // 1 hour in timestamp micros

@@ -179,14 +179,17 @@ object Graph {
     */
   def triangleStatsFrom(
       edges: DataFrame, oriented: DataFrame, outAdj: DataFrame): DataFrame = {
+    // coalesce: an ungrouped sum over ZERO edges is NULL, but an empty
+    // graph has 0 triangles/wedges (the oracle's scalar counts agree)
     val nTri = oriented
       .join(outAdj.select(col("src"), col("nbrs").as("src_nbrs")), Seq("src"))
       .join(outAdj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")), Seq("dst"))
-      .agg(sum(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))))
-        .cast("long").as("n_triangles"))
+      .agg(coalesce(sum(size(array_intersect(col("src_nbrs"), col("dst_nbrs"))))
+        .cast("long"), lit(0L)).as("n_triangles"))
     val nWedges = oriented
       .groupBy(col("src")).agg(count(lit(1)).as("out"))
-      .agg(sum(shiftright(col("out") * (col("out") - 1), 1)).as("n_wedges"))
+      .agg(coalesce(sum(shiftright(col("out") * (col("out") - 1), 1)), lit(0L))
+        .as("n_wedges"))
     val nVerts = oriented.select(col("src").as("x"))
       .unionByName(oriented.select(col("dst").as("x")))
       .agg(countDistinct(col("x")).as("n_vertices"))

@@ -171,8 +171,11 @@ object Layout {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS total_cents
       |FROM events
-      |WHERE user_id % 13 <> 0
+      |WHERE user_id IS NULL OR user_id % 13 <> 0
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    // IS NULL arm: a NULL user_id is never in the removal key list (the
+    // %13 filter drops it), so the anti-join KEEPS those rows — the
+    // oracle's bare `%13 <> 0` would silently exclude them instead
     spark.read.parquet(deleteRewriteFixture(spark, dir))
       .groupBy(col("event_type"))
       .agg(

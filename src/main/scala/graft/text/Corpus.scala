@@ -61,15 +61,17 @@ object Corpus {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("nlbl"))
+      // the convergence flag rides the SAME projection that builds `next`,
+      // so detecting the fixpoint is one scan of the checkpoint — not an
+      // extra labels-sized join + shuffle-read job per round
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(labels("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("lbl").as("prev")), "doc_id")
-        .filter(col("lbl") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     (labels.withColumnRenamed("lbl", "cluster_id"), rounds)
@@ -151,9 +153,15 @@ object Corpus {
     * edge set exhaustively and closes it with a recursive CTE, so the hash
     * match proves both the LSH recall AND the component labeling.
     */
-  val dedupClusters: QueryDef = QueryDef(
-    "dedup_clusters",
-    s"""WITH RECURSIVE sh AS (
+  /** Shared oracle CTE chain — exhaustive near-dup edges closed into
+    * connected components (sh → nz → pairs → edges → reach → comp): the
+    * ONE definition of the cluster labeling that the three
+    * cluster-consuming oracles (clusters, keep-best, grouped split)
+    * replay. A threshold or shingle change lands in all three or none.
+    * Pre-stripped; interpolate after `WITH RECURSIVE `, no trailing comma.
+    */
+  private lazy val componentsOracleCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
        |  FROM documents),
        |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
@@ -170,7 +178,11 @@ object Corpus {
        |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
        |  UNION
        |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $componentsOracleCtes
        |SELECT c.doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
        |FROM comp c
        |JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) s
@@ -502,7 +514,7 @@ object Corpus {
        |m AS (SELECT min(tot) AS mn FROM s),
        |acc AS (
        |  SELECT t.source, t.n
-       |  FROM t JOIN s USING (source) CROSS JOIN m
+       |  FROM t JOIN s ON t.source IS NOT DISTINCT FROM s.source CROSS JOIN m
        |  WHERE CAST(${graft.core.Num.sqlSplitHash("t.doc_id")} AS DOUBLE)
        |        < CAST(m.mn AS DOUBLE) / CAST(s.tot AS DOUBLE) * 4294967296.0)
        |SELECT s.source,
@@ -512,7 +524,8 @@ object Corpus {
        |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_sampled
        |FROM s CROSS JOIN m
        |LEFT JOIN (SELECT source, count(*) AS n_docs, SUM(n) AS n_tokens
-       |           FROM acc GROUP BY 1) a ON a.source = s.source""".stripMargin) { (spark, dir) =>
+       |           FROM acc GROUP BY 1) a
+       |  ON a.source IS NOT DISTINCT FROM s.source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     // NULL-safe contract matching the oracle's GROUP BY: a null source is a
     // real group (represented by a sentinel in the driver-side map — Spark
@@ -608,24 +621,7 @@ object Corpus {
     */
   val dedupKeepBest: QueryDef = QueryDef(
     "dedup_keep_best",
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
-       |  FROM documents),
-       |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-       |pairs AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
-       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
-       |edges AS (
-       |  SELECT src, dst FROM pairs
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM pairs),
-       |reach(doc_id, lbl) AS (
-       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    s"""WITH RECURSIVE $componentsOracleCtes,
        |scored AS (
        |  SELECT doc_id, ${TextAnalysis.qualitySql("t")} AS quality
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -868,24 +864,7 @@ object Corpus {
     */
   val datasetSplitGrouped: QueryDef = QueryDef(
     "dataset_split_grouped",
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${Dedup.shinglesSql("text")} AS s
-       |  FROM documents),
-       |nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-       |pairs AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM nz a JOIN nz b ON b.doc_id > a.doc_id
-       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5),
-       |edges AS (
-       |  SELECT src, dst FROM pairs
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM pairs),
-       |reach(doc_id, lbl) AS (
-       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    s"""WITH RECURSIVE $componentsOracleCtes,
        |g AS (
        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS grp
        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)

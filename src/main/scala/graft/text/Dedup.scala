@@ -212,8 +212,18 @@ object Dedup {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair may collide in several bands
-    val sh = minhashSignatures(sess, dir).select(col("doc_id"), col("s"))
-    emitted
+    verifyPairs(emitted, minhashSignatures(sess, dir))
+  }
+
+  /** Exact-Jaccard verification of an LSH candidate pair set — ONE
+    * definition for the batch and streaming ingest paths (the threshold
+    * and the shingle representation must never fork between them): join
+    * the (candidate-count-sized) pairs back to the shingle arrays and keep
+    * pairs with Jaccard >= 0.5.
+    */
+  private def verifyPairs(cand: DataFrame, signatures: DataFrame): DataFrame = {
+    val sh = signatures.select(col("doc_id"), col("s"))
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
@@ -238,17 +248,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify candidates with exact Jaccard: join the (candidate-count-sized)
-    // pair set back to the shingle arrays.
-    val sh = sig.select(col("doc_id"), col("s"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyPairs(cand, sig)
   }
 
   /** [[lshVerifiedPairs]] materialized once per (session, corpus) and shared

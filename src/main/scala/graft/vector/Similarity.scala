@@ -33,6 +33,51 @@ object Similarity {
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** The ONE definition of the seeded integer-Lloyd oracle fragments every
+    * k-means-backed gate row replays (IVF cells, SemDeDup, PQ codebooks,
+    * IVF+PQ, the streaming encoder): squared-integer distance, the
+    * (dist, cell) tie-broken nearest-centroid assignment, the
+    * floor(sum/count) centroid update over a `p`-dims CTE, and the
+    * order-by-vec_id seeding. Five query families must stay bit-identical
+    * in these formulas or their oracles fork from the shared engine-side
+    * trainer ([[kmeansCells]] / [[pqCodebooksPinned]]) — parameterize,
+    * never copy.
+    */
+  private object KmeansSql {
+    def dist(v: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))) AS BIGINT)"
+
+    /** Assignment CTE: nearest centroid per vector; `carry` columns from
+      * `from` (aliased `z`) ride along into the output.
+      */
+    def assign(from: String, cents: String, out: String,
+        carry: Seq[String] = Seq("vec_id", "q")): String = {
+      val cols = carry.mkString(", ")
+      val src = carry.map(c => s"z.$c").mkString(", ")
+      s"""$out AS (
+         |  SELECT $cols, cell FROM (
+         |    SELECT $cols, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT $src, c.cell, ${dist("z.q", "c.cent")} AS dist
+         |          FROM $from z, $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    }
+
+    /** Centroid update CTE: per-cell floor-mean over the `dims` positions. */
+    def update(from: String, out: String, dims: String = "dims"): String =
+      s"""$out AS (
+         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
+         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $from, $dims GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+
+    /** Seeding CTE: first `k` vectors by id become cells 0..k-1. */
+    def seeds(from: String, k: Int, out: String): String =
+      s"""$out AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
+         |  FROM (SELECT vec_id, q FROM $from ORDER BY vec_id LIMIT $k))""".stripMargin
+  }
+
   /** embeddings -> (vec_id, label, q: array<bigint>, norm2: bigint). */
   def quantized(spark: SparkSession, dir: String): DataFrame = {
     val withQ = Tables.embeddings(spark, dir)
@@ -270,24 +315,9 @@ object Similarity {
     * bit-for-bit, so the hash match proves the whole learned structure.
     */
   val annIvfKmeans: QueryDef = {
-    val distSql =
-      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
-    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
+    import KmeansSql.{dist, update}
     def assign(from: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, q, norm2, cell FROM (
-         |    SELECT vec_id, q, norm2, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
-         |                 ${dist("z.q", "c.cent")} AS dist
-         |          FROM $from z, $cents c))
-         |  WHERE rn = 1)""".stripMargin
-    def update(from: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
-         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $from, dims GROUP BY 1, 2)
-         |  GROUP BY 1)""".stripMargin
+      KmeansSql.assign(from, cents, out, Seq("vec_id", "q", "norm2"))
     QueryDef(
       "ann_ivf_kmeans",
       s"""WITH q0 AS (
@@ -296,9 +326,7 @@ object Similarity {
          |  FROM embeddings),
          |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
          |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
+         |${KmeansSql.seeds("nz", KmeansK, "c0")},
          |${assign("nz", "c0", "a1")},
          |${update("a1", "c1")},
          |${assign("nz", "c1", "a2")},
@@ -461,36 +489,20 @@ object Similarity {
     * every vector to its cell (`a3`), and materialize the within-cell
     * near-dup pairs at 0.9 (`pairs`).
     */
-  private def semanticDistSql(v: String, c: String): String =
-    s"CAST(list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))) AS BIGINT)"
   private def semanticAssignSql(from: String, cents: String, out: String): String =
-    s"""$out AS (
-       |  SELECT vec_id, q, norm2, cell FROM (
-       |    SELECT vec_id, q, norm2, cell,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |    FROM (SELECT z.vec_id, z.q, z.norm2, c.cell,
-       |                 ${semanticDistSql("z.q", "c.cent")} AS dist
-       |          FROM $from z, $cents c))
-       |  WHERE rn = 1)""".stripMargin
+    KmeansSql.assign(from, cents, out, Seq("vec_id", "q", "norm2"))
 
   private lazy val semanticOracleCtes: String = {
+    import KmeansSql.update
     def assign(from: String, cents: String, out: String) =
       semanticAssignSql(from, cents, out)
-    def update(from: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
-         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $from, dims GROUP BY 1, 2)
-         |  GROUP BY 1)""".stripMargin
     s"""q0 AS (
        |  SELECT vec_id, $qvecSql AS q,
        |         ${dotSql(qvecSql, qvecSql)} AS norm2
        |  FROM embeddings),
        |nz AS (SELECT * FROM q0 WHERE norm2 > 0),
        |dims AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
-       |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-       |  FROM (SELECT vec_id, q FROM nz ORDER BY vec_id LIMIT $KmeansK)),
+       |${KmeansSql.seeds("nz", KmeansK, "c0")},
        |${assign("nz", "c0", "a1")},
        |${update("a1", "c1")},
        |${assign("nz", "c1", "a2")},
@@ -859,23 +871,7 @@ object Similarity {
     * not just the output shape.
     */
   private def pqAdcQueryDef(name: String, sampled: Boolean): QueryDef = {
-    val distSql =
-      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
-    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
-    def assign(from: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, q, cell FROM (
-         |    SELECT vec_id, q, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM $from z, $cents c))
-         |  WHERE rn = 1)""".stripMargin
-    def update(from: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
-         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $from, dims GROUP BY 1, 2)
-         |  GROUP BY 1)""".stripMargin
+    import KmeansSql.{assign, dist, update}
     val subCtes = (0 until PqM).map { m =>
       val off = m * PqSub + 1
       // sampled: the Lloyd passes (seed, a1, a2) train on t$m — the
@@ -887,20 +883,12 @@ object Similarity {
           s"\nt$m AS (SELECT vec_id, q FROM s$m WHERE vec_id % $PqSampleMod = 0),"
         else ""
       s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),$trainCte
-         |c${m}0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM $trainSrc ORDER BY vec_id LIMIT $PqK)),
+         |${KmeansSql.seeds(trainSrc, PqK, s"c${m}0")},
          |${assign(trainSrc, s"c${m}0", s"a${m}1")},
          |${update(s"a${m}1", s"c${m}1")},
          |${assign(trainSrc, s"c${m}1", s"a${m}2")},
          |${update(s"a${m}2", s"c${m}2")},
-         |code$m AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM s$m z, c${m}2 c))
-         |  WHERE rn = 1),
+         |${assign(s"s$m", s"c${m}2", s"code$m", Seq("vec_id"))},
          |qs$m AS (SELECT query_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM queries),
          |part$m AS (
          |  SELECT qs.query_id, k.vec_id AS cand_id, ${dist("qs.q", "c.cent")} AS d
@@ -1007,42 +995,16 @@ object Similarity {
     * in the DuckDB oracle (exact integer arithmetic throughout).
     */
   val annIvfPq: QueryDef = {
-    val distSql =
-      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
-    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
-    def assign(from: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, q, cell FROM (
-         |    SELECT vec_id, q, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM $from z, $cents c))
-         |  WHERE rn = 1)""".stripMargin
-    def update(from: String, dims: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
-         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $from, $dims GROUP BY 1, 2)
-         |  GROUP BY 1)""".stripMargin
-    def seeds(from: String, k: Int, out: String) =
-      s"""$out AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM $from ORDER BY vec_id LIMIT $k))""".stripMargin
+    import KmeansSql.{assign, dist, seeds, update}
     val pqCtes = (0 until PqM).map { m =>
       val off = m * PqSub + 1
       s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
          |${seeds(s"s$m", PqK, s"c${m}0")},
          |${assign(s"s$m", s"c${m}0", s"a${m}1")},
-         |${update(s"a${m}1", "dims", s"c${m}1")},
+         |${update(s"a${m}1", s"c${m}1")},
          |${assign(s"s$m", s"c${m}1", s"a${m}2")},
-         |${update(s"a${m}2", "dims", s"c${m}2")},
-         |code$m AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM s$m z, c${m}2 c))
-         |  WHERE rn = 1),
+         |${update(s"a${m}2", s"c${m}2")},
+         |${assign(s"s$m", s"c${m}2", s"code$m", Seq("vec_id"))},
          |part$m AS (
          |  SELECT c.query_id, c.cand_id, c.cell,
          |         ${dist(s"list_slice(c.qa, $off, ${off + PqSub - 1})", "ct.cent")} AS d
@@ -1062,9 +1024,9 @@ object Similarity {
          |dims64 AS (SELECT unnest(range(1, (SELECT max(len(q)) FROM nz) + 1)) AS p),
          |${seeds("nz", KmeansK, "k0")},
          |${assign("nz", "k0", "ka1")},
-         |${update("ka1", "dims64", "kc1")},
+         |${update("ka1", "kc1", "dims64")},
          |${assign("nz", "kc1", "ka2")},
-         |${update("ka2", "dims64", "kc2")},
+         |${update("ka2", "kc2", "dims64")},
          |${assign("nz", "kc2", "ka3")},
          |queries AS (SELECT vec_id AS query_id, q FROM nz WHERE vec_id < 5),
          |probed AS (
@@ -1158,40 +1120,16 @@ object Similarity {
     * which the oracle replays from the raw embeddings (training included).
     */
   val streamingPqEncode: QueryDef = {
-    val distSql =
-      "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
-    def dist(v: String, c: String) = distSql.format(v, v, c, v, c)
-    def assign(from: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, q, cell FROM (
-         |    SELECT vec_id, q, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, z.q, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM $from z, $cents c))
-         |  WHERE rn = 1)""".stripMargin
-    def update(from: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell, list(v ORDER BY p) AS cent FROM (
-         |    SELECT cell, p, CAST(floor(CAST(SUM(q[p]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $from, dims GROUP BY 1, 2)
-         |  GROUP BY 1)""".stripMargin
+    import KmeansSql.{assign, seeds, update}
     val trainCtes = (0 until PqM).map { m =>
       val off = m * PqSub + 1
       s"""s$m AS (SELECT vec_id, list_slice(q, $off, ${off + PqSub - 1}) AS q FROM nz),
-         |c${m}0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cent
-         |  FROM (SELECT vec_id, q FROM s$m ORDER BY vec_id LIMIT $PqK)),
+         |${seeds(s"s$m", PqK, s"c${m}0")},
          |${assign(s"s$m", s"c${m}0", s"a${m}1")},
          |${update(s"a${m}1", s"c${m}1")},
          |${assign(s"s$m", s"c${m}1", s"a${m}2")},
          |${update(s"a${m}2", s"c${m}2")},
-         |code$m AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM (SELECT z.vec_id, c.cell, ${dist("z.q", "c.cent")} AS dist
-         |          FROM s$m z, c${m}2 c))
-         |  WHERE rn = 1)""".stripMargin
+         |${assign(s"s$m", s"c${m}2", s"code$m", Seq("vec_id"))}""".stripMargin
     }
     QueryDef(
       "streaming_pq_encode",
