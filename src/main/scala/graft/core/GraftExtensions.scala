@@ -51,9 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Bridge.analysisError("minhash_sigs: the width argument must be a literal, not a column")
         args(1).eval() match {
           // integral literal types only: a fractional width (8.9) silently
-          // truncating to 8 would contradict this guard's purpose
+          // truncating to 8 would contradict this guard's purpose — and so
+          // would intValue() on an out-of-int-range Long (4294967304L -> 8)
           case n: java.lang.Integer => graft.functions.MinHashSignature(args(0), n.intValue())
-          case n: java.lang.Long => graft.functions.MinHashSignature(args(0), n.intValue())
+          case n: java.lang.Long if n.longValue() == n.intValue() =>
+            graft.functions.MinHashSignature(args(0), n.intValue())
+          case n: java.lang.Long => Bridge.analysisError(
+            s"minhash_sigs: the width argument $n overflows Int")
           case n: java.lang.Short => graft.functions.MinHashSignature(args(0), n.intValue())
           case n: java.lang.Byte => graft.functions.MinHashSignature(args(0), n.intValue())
           case other => Bridge.analysisError(

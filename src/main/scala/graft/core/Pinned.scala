@@ -36,13 +36,18 @@ object Pinned {
   // annotated with the pinned families it reads and whether IT paid the
   // one-time derivation (first-consumer cost vs incremental cost — without
   // this marker the per-query medians under-state cold cost).
-  private val touched = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+  // keyed by (name, dir), not name alone: identically-named derivations
+  // for different corpora are different one-time costs, and merging them
+  // would attribute corpus B's derivation to a query that only read A's
+  private val touched =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), Boolean]
 
   /** Drain the pinned-access log: (name, thisWindowDerivedIt), in first-touch
-    * order, accumulated since the previous drain.
+    * order, accumulated since the previous drain. A name appears once per
+    * corpus dir it was touched under.
     */
   def drainTouched(): Seq[(String, Boolean)] = synchronized {
-    val out = touched.toSeq
+    val out = touched.toSeq.map { case ((name, _), derived) => (name, derived) }
     touched.clear()
     out
   }
@@ -54,7 +59,7 @@ object Pinned {
   def value[A](spark: SparkSession, dir: String, name: String)(
       derive: => A): A = synchronized {
     val hit = entries.contains((spark, dir, name))
-    touched(name) = touched.getOrElse(name, false) || !hit
+    touched((name, dir)) = touched.getOrElse((name, dir), false) || !hit
     entries.getOrElseUpdate((spark, dir, name), {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val v = derive

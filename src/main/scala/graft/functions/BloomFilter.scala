@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Distributed Bloom-filter runtime join filter — the pre-shuffle pruning
   * pattern for selective joins at scale: aggregate the (filtered) build
@@ -40,7 +41,10 @@ object BloomFilter {
 
   /** Empty blob: k in byte 0, `numBits` zero bits. */
   def empty(numBits: Int, numHashes: Int): Array[Byte] = {
-    require(numBits > 0 && (numBits & (numBits - 1)) == 0, s"numBits must be a power of two: $numBits")
+    // >= 8, not just > 0: 1/2/4 bits yield a ZERO-byte bit array whose
+    // mask is -1, sending add()/mightContain() to arbitrary blob offsets
+    require(numBits >= 8 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 8: $numBits")
     require(numHashes > 0 && numHashes < 128, s"numHashes out of range: $numHashes")
     val blob = new Array[Byte](8 + numBits / 8)
     blob(0) = numHashes.toByte
@@ -107,8 +111,9 @@ object BloomFilter {
   * scan's WholeStageCodegen — the filter runs at column-scan speed.
   */
 case class BloomMightContain(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(BinaryType, LongType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 

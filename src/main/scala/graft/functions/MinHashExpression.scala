@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** k-wide MinHash signature of a string set, in ONE pass over the array.
   *
@@ -23,8 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * generation (the banding shuffle carries only (doc_id, band, key)), so this
   * per-row loop is exactly the place a custom `Expression` pays for itself.
   */
-case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(k > 0, s"signature width must be positive, got $k")
+
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"

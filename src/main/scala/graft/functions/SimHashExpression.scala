@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash of a token array in one pass, entirely inside the row —
   * each token's xxhash64 votes ±1 on every bit, the sign of the tally is the
@@ -29,8 +30,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *    `list_reduce(list_prepend(0, ...))`), making the SimHash query
   *    value-checkable cross-engine. Bits 60..63 are always 0.
   */
-case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
+case class SimHash64(child: Expression, portable: Boolean = false)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = if (portable) "simhash64p" else "simhash64"
 

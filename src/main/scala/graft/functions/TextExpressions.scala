@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash of a string's code points:
@@ -17,8 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * materializing an index array + per-character interpreted lambda calls —
   * O(len) with zero allocation vs O(len) allocations.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // declared so SQL misuse (poly_hash(123)) is an AnalysisException, not
+  // a ClassCastException out of constant folding
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -22,10 +23,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the right shape — here, the allocation-free inner loop.)
   */
 case class LongDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // inputs must both be array<bigint> (enforced by the callers in
-  // graft.vector; quantization always produces exactly that type)
+  // declared, not assumed: the SQL surface (`GraftExtensions`) admits
+  // arbitrary arguments, and without inputTypes a type misuse would pass
+  // analysis and CCE at runtime (int arrays coerce to long arrays here)
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
 
@@ -64,9 +68,11 @@ case class LongDotProduct(left: Expression, right: Expression)
 
 /** Hamming distance between two 64-bit signatures (SimHash verification). */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // inputs must both be bigint signatures
+  // bigint signatures; declared so SQL misuse (strings) is an analysis
+  // error and narrower integrals coerce instead of CCE-ing at eval
+  override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "hamming64"
 
@@ -92,8 +98,10 @@ case class HammingDistance64(left: Expression, right: Expression)
   * free (dictionary-encoded sets are), else the count is meaningless.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton (Z-order) interleave of two non-negative 32-bit coordinates into
@@ -20,8 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Pure bit arithmetic (five spread steps per coordinate), so any engine can
   * recompute it — the DuckDB oracle reproduces the exact same shifts.
   */
-case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // declared so int children COERCE to long at analysis (codegen would
+  // silently widen while interpreted eval would CCE — same query,
+  // different outcome by evaluation mode, without this)
+  override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder2"
 

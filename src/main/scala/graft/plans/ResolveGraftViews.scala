@@ -32,7 +32,24 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         val catalog = u.multipartIdentifier.head
         val name = u.multipartIdentifier(1)
         val v = graft.sources.MemViews.views(name)
-        val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+        val reparsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+        // Re-bind BARE table names to the CREATOR's context: create_view
+        // analyzed the SQL under the creator's current catalog/namespace,
+        // and left unqualified here they would re-resolve against the
+        // READER's — a different table of the same name, or a confusing
+        // not-found. Names bound by the view's own CTEs stay bare
+        // (CTESubstitution owns them).
+        val cteNames: Set[String] = reparsed.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.cteRelations.map(_._1)
+        }.flatten.toSet
+        val parsed = reparsed.transformWithSubqueries {
+          case dep: UnresolvedRelation if dep.multipartIdentifier.length == 1 &&
+              !cteNames.exists(_.equalsIgnoreCase(dep.multipartIdentifier.head)) =>
+            dep.copy(multipartIdentifier =
+              (v.currentCatalog +: v.currentNamespace.toSeq) :+
+                dep.multipartIdentifier.head)
+        }
         // LATE-BINDING DEPENDENCY CHECK (the pinned lifecycle semantics):
         // create_view analyzed the SQL at CALL time, but a dependency
         // dropped or renamed SINCE then would otherwise surface as a raw
@@ -65,6 +82,32 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
                 s"Stored SQL: ${v.sql} — recreate the view against the " +
                 "current table name, or drop it")
         }
-        SubqueryAlias(name, parsed)
+        // NESTED ANALYSIS, not a bare splice: the analyzer's Substitution
+        // batch (CTESubstitution in particular) ran before this resolution
+        // rule, so a `WITH` inside the stored SQL would never bind if the
+        // parsed tree were left for the outer fixpoint alone. Running the
+        // analyzer on the expansion (what Spark's own view resolution and
+        // Iceberg's extensions do) gives the view text the full pipeline;
+        // the depth guard turns a view cycle (possible via alterView) into
+        // a clear error instead of a stack overflow.
+        val analyzed = ResolveGraftViews.withViewDepth(name) {
+          spark.sessionState.analyzer.execute(parsed)
+        }
+        SubqueryAlias(name, analyzed)
     }
+}
+
+object ResolveGraftViews {
+  private val MaxNestedViewDepth = 32
+  private val depth = new ThreadLocal[Int] { override def initialValue(): Int = 0 }
+
+  private def withViewDepth[A](name: String)(body: => A): A = {
+    if (depth.get() >= MaxNestedViewDepth)
+      throw new IllegalStateException(
+        s"view nesting exceeds $MaxNestedViewDepth while expanding '$name' — " +
+          "likely a view cycle; drop or redefine one of the views involved")
+    depth.set(depth.get() + 1)
+    try body
+    finally depth.set(depth.get() - 1)
+  }
 }

@@ -1320,9 +1320,13 @@ object CreateViewProcedure
     val spark = org.apache.spark.sql.SparkSession.active
     // analyze NOW: a broken view fails its creator, not its first reader
     val schema = spark.sql(sql).schema
+    // record the creator's catalog AND namespace: the read-side rule
+    // re-qualifies bare table names in the stored SQL with this context,
+    // so the view means the same tables no matter who reads it
     val stored = MemViews.StoredView(
       sql, spark.sessionState.catalogManager.currentCatalog.name(),
-      Array.empty, schema, schema.fieldNames, Array.empty, Array.empty, Map.empty)
+      spark.sessionState.catalogManager.currentNamespace,
+      schema, schema.fieldNames, Array.empty, Array.empty, Map.empty)
     if (MemViews.views.putIfAbsent(viewName, stored).isDefined)
       throw new IllegalArgumentException(s"view '$viewName' already exists")
     ProcedureResults.scan(s"GraftCreateView $viewName", outSchema,

@@ -53,6 +53,11 @@ object Streams {
     * choke point as the batch loader.
     */
   def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // deliberately session-wide, matching Tables.load/rawSchema (the batch
+    // ingest choke point sets the same flag): the engine's ingest policy is
+    // that TIMESTAMP(NANOS) parquet always surfaces as LongType and is
+    // normalized in normalizeTs — not an error. Callers who must not
+    // inherit the policy pass a child session (gateSession does).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(graft.core.Tables.rawSchema(spark, dir, name))
@@ -91,7 +96,7 @@ object Streams {
     events
       .select(
         col("user_id"),
-        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+        coalesce(graft.core.Num.cents(col("value")), lit(0L)).as("cents"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserRunningState, UserSnapshot](GroupStateTimeout.NoTimeout) {
@@ -235,6 +240,31 @@ object Streams {
       .select(col("user_id"), col("n_events"), col("total_value_cents"))
   }
 
+  /** Watermarked click/purchase stream sides + the 30-minute interval-join
+    * condition — ONE definition for the three stream-stream join gates
+    * (inner / left / full): the watermark delay, the cents rule, and the
+    * join window must never fork between them or the three oracles stop
+    * asking the same question.
+    */
+  private def clickPurchaseSides(sess: SparkSession, dir: String)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val clicks = readEventsStream(sess, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEventsStream(sess, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        graft.core.Num.cents(col("value")).as("purchase_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    val cond = col("p_user_id") === col("user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+    (clicks, purchases, cond)
+  }
+
   /** Stream-stream interval join inside the gate: clicks joined to the same
     * user's purchases within the following 30 minutes — both sides
     * watermarked AND the join condition time-bounded in both directions,
@@ -259,22 +289,8 @@ object Streams {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin) {
     (spark, dir) =>
       val sess = gateSession(spark)
-      val clicks = readEventsStream(sess, dir)
-        .filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = readEventsStream(sess, dir)
-        .filter(col("event_type") === "purchase")
-        .select(
-          col("user_id").as("p_user_id"),
-          col("ts").as("purchase_ts"),
-          graft.core.Num.cents(col("value")).as("purchase_cents"))
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(
-        purchases,
-        col("p_user_id") === col("user_id") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
+      val joined = clicks.join(purchases, cond)
         .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
       val table = s"graft_stream_stream_join_${System.nanoTime()}"
       runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
@@ -737,23 +753,8 @@ object Streams {
       |SELECT user_id, click_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
       |FROM un""".stripMargin) { (spark, dir) =>
     val sess = gateSession(spark)
-    val clicks = readEventsStream(sess, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = readEventsStream(sess, dir)
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id").as("p_user_id"),
-        col("ts").as("purchase_ts"),
-        graft.core.Num.cents(col("value")).as("purchase_cents"))
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = clicks.join(
-      purchases,
-      col("p_user_id") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
-      "left_outer")
+    val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
+    val joined = clicks.join(purchases, cond, "left_outer")
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
     val table = s"graft_stream_stream_left_${System.nanoTime()}"
     runAvailableNowToMemory(sess, joined, table, OutputMode.Append())
@@ -804,23 +805,8 @@ object Streams {
       |SELECT p_user_id, CAST(NULL AS TIMESTAMP), purchase_ts, purchase_cents
       |FROM up""".stripMargin) { (spark, dir) =>
     val sess = gateSession(spark)
-    val clicks = readEventsStream(sess, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = readEventsStream(sess, dir)
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id").as("p_user_id"),
-        col("ts").as("purchase_ts"),
-        graft.core.Num.cents(col("value")).as("purchase_cents"))
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = clicks.join(
-      purchases,
-      col("p_user_id") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
-      "full_outer")
+    val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
+    val joined = clicks.join(purchases, cond, "full_outer")
       .select(
         coalesce(col("user_id"), col("p_user_id")).as("user_id"),
         col("click_ts"), col("purchase_ts"), col("purchase_cents"))
@@ -947,7 +933,7 @@ object Streams {
     val snapshots = readEventsStream(sess, dir)
       .select(
         col("user_id"), col("event_type"),
-        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+        coalesce(graft.core.Num.cents(col("value")), lit(0L)).as("cents"))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(new TypeStatsProcessor, TimeMode.None(), OutputMode.Update())

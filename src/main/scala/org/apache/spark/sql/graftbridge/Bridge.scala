@@ -14,6 +14,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]`; alias it so the engine's
+    * expressions can declare `inputTypes` (ExpectsInputTypes) — analysis
+    * then coerces/validates SQL-surface arguments instead of CCE-ing.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** DataFrame from a hand-built logical plan (for custom operators). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

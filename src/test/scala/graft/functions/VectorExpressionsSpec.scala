@@ -90,4 +90,36 @@ class VectorExpressionsSpec extends SparkSpec {
     // [id..5] ∩ [2..9] = {2,3,4,5} for id in 0..2
     assert(ranged.collect().map(_.getLong(0)).toSeq === Seq(4L, 4L, 4L))
   }
+
+  test("SQL-surface types coerce like builtins; misuse fails analysis, not CCE") {
+    import org.apache.spark.sql.AnalysisException
+    // declared input types COERCE compatible arguments (like any builtin)
+    // instead of CCE-ing at eval: ints widen to long in BOTH the codegen
+    // and interpreted paths, numerics stringify for poly_hash
+    assert(spark.sql("SELECT hamming64(5, 6)").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT long_dot(array(1, 2), array(3, 4))")
+      .head().getLong(0) === 11L)
+    assert(spark.sql("SELECT poly_hash(123)").head().getLong(0) ===
+      PolyHash.compute(org.apache.spark.unsafe.types.UTF8String.fromString("123")))
+    // a genuinely incompatible type is an ANALYSIS error, never a runtime
+    // ClassCastException out of constant folding
+    intercept[AnalysisException](
+      spark.sql("SELECT poly_hash(map('a', 'b'))").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT hamming64(map('a', 'b'), 1)").collect())
+    // minhash_sigs width: an Int-overflowing Long literal is rejected, not
+    // silently truncated to its low 32 bits
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT minhash_sigs(array('a'), 4294967304)").collect())
+    assert(e.getMessage.contains("overflows Int"), e.getMessage)
+  }
+
+  test("constant folding (interpreted eval) agrees with codegen") {
+    import org.apache.spark.sql.functions.lit
+    // foldable children force interpreted eval in the optimizer — the path
+    // that used to CCE for int-typed children before inputTypes coercion
+    val z = spark.range(1).select(
+      graft.functions.ZOrder2.zorder2(lit(3), lit(5)).as("z")).head().getLong(0)
+    assert(z === graft.functions.ZOrder2.compute(3L, 5L))
+  }
 }

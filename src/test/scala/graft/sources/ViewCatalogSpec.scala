@@ -116,6 +116,32 @@ class ViewCatalogSpec extends SparkSpec {
     drop("vc_dep", "vc_dep2")
   }
 
+  test("view expansion binds bare names to the CREATOR's catalog context") {
+    catalogOn(); drop("vc_ctx_t")
+    MemViews.views.remove("vc_ctx_v")
+    spark.sql("CREATE TABLE graft.vc_ctx_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_ctx_t VALUES (1), (2), (3)")
+    val cm = spark.sessionState.catalogManager
+    val prev = cm.currentCatalog.name()
+    cm.setCurrentCatalog("graft")
+    try {
+      // analyzed at CALL time under catalog 'graft'; the bare name is legal
+      spark.sql(
+        "CALL graft.create_view('vc_ctx_v', 'SELECT k FROM vc_ctx_t WHERE k > 1')")
+      // a CTE-bound bare name must stay CTE-bound, never get qualified
+      MemViews.views.remove("vc_ctx_cte")
+      spark.sql("CALL graft.create_view('vc_ctx_cte', " +
+        "'WITH vc_ctx_t AS (SELECT 99 AS k) SELECT k FROM vc_ctx_t')")
+    } finally cm.setCurrentCatalog(prev)
+    // the READER's current catalog is different — the view's bare
+    // dependency still resolves against the creator's context
+    assert(spark.sql("SELECT count(*) FROM graft.vc_ctx_v").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT k FROM graft.vc_ctx_cte").head().getInt(0) === 99)
+    spark.sql("CALL graft.drop_view('vc_ctx_v')")
+    spark.sql("CALL graft.drop_view('vc_ctx_cte')")
+    drop("vc_ctx_t")
+  }
+
   test("late binding sees dependencies inside subquery expressions") {
     catalogOn(); drop("vc_sub_a", "vc_sub_b")
     MemViews.views.remove("vc_sub_v")
