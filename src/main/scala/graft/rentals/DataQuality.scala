@@ -174,7 +174,17 @@ object DataQuality {
     val target = if (cacheInput) df.persist() else df
     try {
       val details = checks.map { c =>
-        val ok = try c.checkFn(target) catch { case _: Exception => false }
+        // a THROWING check (typo'd column -> AnalysisException) is a
+        // config bug, not a data failure — record it as failed but SAY SO
+        // (the reference runner logs each check), or a Warn-severity
+        // config bug would vanish without a trace
+        val ok = try c.checkFn(target) catch {
+          case e: Exception =>
+            System.err.println(
+              s"graft dq: check '${c.name}' threw ${e.getClass.getSimpleName}: " +
+                s"${e.getMessage} — recorded as failed")
+            false
+        }
         CheckResult(c.name, ok, c.severity, c.description)
       }
       DataQualitySummary(

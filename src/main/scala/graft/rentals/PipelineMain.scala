@@ -22,9 +22,13 @@ object PipelineMain {
     val singleFile = args.contains("--single-file")
     val configPath = args.collectFirst { case a if a.startsWith("--config=") => a.stripPrefix("--config=") }
 
-    val spark = SparkSession.builder()
-      .appName("rental-pipeline")
-      .master(if (local) s"local[${Runtime.getRuntime.availableProcessors()}]" else "local[*]")
+    // --local pins an explicit local master; otherwise DEFER to the
+    // launcher (spark-submit --master yarn/k8s) — hardcoding local[*]
+    // here would silently force single-JVM mode on a cluster submit
+    val builder0 = SparkSession.builder().appName("rental-pipeline")
+    val spark = (if (local)
+      builder0.master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+    else builder0)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -5,11 +5,15 @@ package graft.rentals
   *
   * The base is suffixed with the JVM's pid so concurrent sessions (bench +
   * sbt test, interleaved suites) never race on the same directory — one
-  * process reading a state parquet mid-overwrite by another. Paths are only
-  * ever consumed inside the writing process (oracles recompute from base
-  * tables, never from scratch), so the suffix is invisible to the gate.
+  * process reading a state parquet mid-overwrite by another. Contract for
+  * paths that LEAK INTO ORACLE SQL (the zori CSV fixture does): the files
+  * must outlive the writing process until the oracle compare has run —
+  * scratch is only safe to clean between full gate runs, never between a
+  * Verify dump and its DuckDB replay.
   */
 object Scratch {
-  private val base = s"/root/repo/target/scratch/p${ProcessHandle.current().pid()}"
+  // anchored at the working directory, not a hardcoded checkout path —
+  // the gate runs from the project root by contract
+  private val base = s"${sys.props("user.dir")}/target/scratch/p${ProcessHandle.current().pid()}"
   def dir(name: String): String = s"$base/$name"
 }

@@ -29,6 +29,21 @@ object Roundtrips {
         sum(col("rev_cents")).as("rev_cents"),
         countDistinct(col("month")).as("n_months"))
 
+  /** The dsv2 gate preamble — catalog registration + a fresh scratch
+    * table, ONE definition for the rows that each begin by dropping and
+    * re-creating their mem table. `ddlTail` is everything after
+    * `CREATE TABLE <tbl> ` (columns, PARTITIONED BY, TBLPROPERTIES).
+    * Returns the qualified table name.
+    */
+  private def freshGraftTable(
+      spark: SparkSession, name: String, ddlTail: String): String = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = s"graft.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl $ddlTail")
+    tbl
+  }
+
   val orcRoundtrip: QueryDef = QueryDef("orc_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_orc_roundtrip")
     monthlySupplierRevenue(spark, dir).write.mode("overwrite").orc(path)
@@ -247,10 +262,7 @@ object Roundtrips {
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS cents
       |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_events_agg"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (event_type STRING, n BIGINT, cents BIGINT)")
+    val tbl = freshGraftTable(spark, "mem_events_agg", "(event_type STRING, n BIGINT, cents BIGINT)")
     val events = Tables.events(spark, dir)
       .select(
         col("event_type"), col("user_id"),
@@ -292,10 +304,7 @@ object Roundtrips {
       |       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
       |GROUP BY 2""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_nation_evolution"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT, n_rows BIGINT)")
+    val tbl = freshGraftTable(spark, "mem_nation_evolution", "(gen INT, nation STRING, n_cust BIGINT, n_rows BIGINT)")
     // IF NOT EXISTS against the existing table must be a no-op, not a crash
     // (TableAlreadyExistsException contract) — exercised inline in the gate
     spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl (gen INT, nation STRING)")
@@ -338,10 +347,7 @@ object Roundtrips {
       |SELECT 1 AS gen, nation, n_cust, CAST(NULL AS BIGINT) AS score FROM c
       |UNION ALL
       |SELECT 2 AS gen, nation, n_cust, cents AS score FROM c""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_nation_drop_readd"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT, score BIGINT)")
+    val tbl = freshGraftTable(spark, "mem_nation_drop_readd", "(gen INT, nation STRING, n_cust BIGINT, score BIGINT)")
     val perNation = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir),
         col("n_nationkey") === col("c_nationkey"))
@@ -388,10 +394,7 @@ object Roundtrips {
       |SELECT 3 AS snap, 2 AS gen, nation, n_cust, cents FROM c
       |UNION ALL
       |SELECT 4 AS snap, 3 AS gen, nation, n_cust, cents * 2 AS cents FROM c""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_nation_time_travel"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (gen INT, nation STRING, n_cust BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_nation_time_travel", "(gen INT, nation STRING, n_cust BIGINT)") // v0
     val perNation = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir),
         col("n_nationkey") === col("c_nationkey"))
@@ -452,10 +455,7 @@ object Roundtrips {
       |  CAST(SUM(COALESCE(b.v, 0) - COALESCE(a.v, 0)) AS BIGINT) AS net_delta_cents
       |FROM a FULL OUTER JOIN b ON b.k = a.k
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_snapshots"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_snapshots", "(k BIGINT, v BIGINT)") // v0
     val cents = Num.cents(col("o_totalprice"))
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 =!= 0)
@@ -506,10 +506,7 @@ object Roundtrips {
       |SELECT k, v, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM b
       |UNION ALL
       |SELECT k, v, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM a""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_cdc"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_cdc", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -547,10 +544,7 @@ object Roundtrips {
       |SELECT k, v, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM b
       |UNION ALL
       |SELECT k, v, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM a""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_cdc_stream"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_cdc_stream", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -590,10 +584,7 @@ object Roundtrips {
       |UNION ALL
       |SELECT 2 AS snap, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS total
       |FROM base WHERE NOT (v < 10000000 OR k IN (11, 22, 33))""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_delete"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_delete", "(k BIGINT, v BIGINT)") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -623,14 +614,11 @@ object Roundtrips {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |       CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS cents
       |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_events_stream_sink"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (event_type STRING, cents BIGINT)")
+    val tbl = freshGraftTable(spark, "mem_events_stream_sink", "(event_type STRING, cents BIGINT)")
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
     sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val cp = java.nio.file.Files.createTempDirectory("graft_sink_cp").toString
+    val cp = graft.rentals.Scratch.dir(s"sink_cp_${System.nanoTime()}")
     val q = graft.streaming.Streams.readTableStream(sess, dir, "events")
       .select(
         col("event_type"),
@@ -667,10 +655,7 @@ object Roundtrips {
       |UNION ALL
       |SELECT 2 AS snap, k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_update"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_update", "(k BIGINT, v BIGINT)") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -699,10 +684,7 @@ object Roundtrips {
       |s AS (SELECT k, v + 100 AS v FROM base WHERE k % 5 <> 0)
       |SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v
       |FROM t FULL OUTER JOIN s ON s.k = t.k""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_merge"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_merge", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -744,15 +726,28 @@ object Roundtrips {
       |UNION ALL SELECT k, v, 'insert', CAST(3 AS BIGINT) FROM odds2
       |UNION ALL SELECT k, v, 'delete', CAST(4 AS BIGINT) FROM cur
       |UNION ALL SELECT k, v, 'insert', CAST(4 AS BIGINT) FROM cur WHERE v >= 10000000""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_cdc_dml"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_cdc_dml", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
     // one task batch per append: the DML events below are batch-granular,
     // so the batch layout must be deterministic for the oracle to restate
+    // ASSERTED preconditions (not assumed): the oracle restates the v3
+    // UPDATE as rewriting the odd batch and the v4 DELETE as rewriting
+    // BOTH batches — true only when each batch contains a match. A corpus
+    // where one didn't would make the connector (correctly) skip that
+    // batch's rewrite while the oracle still restated it. One small agg
+    // over the request-sized base proves the data holds the contract.
+    val pre = base.agg(
+      sum(when(col("k") % 2 === 1 && col("k") % 3 === 0, 1L).otherwise(0L)).as("odd3"),
+      sum(when(col("k") % 2 === 0 && col("v") < 10000000L, 1L).otherwise(0L)).as("evdel"),
+      sum(when(col("k") % 2 === 1 &&
+        when(col("k") % 3 === 0, col("v") + 7L).otherwise(col("v")) < 10000000L,
+        1L).otherwise(0L)).as("odddel")).head()
+    require(pre.getLong(0) > 0 && pre.getLong(1) > 0 && pre.getLong(2) > 0,
+      s"dsv2_cdc_dml oracle precondition violated: odd-batch k%3 matches=" +
+        s"${pre.getLong(0)}, even-batch deletables=${pre.getLong(1)}, " +
+        s"odd-batch deletables=${pre.getLong(2)} — each must be > 0")
     base.filter(col("k") % 2 === 0).coalesce(1).writeTo(tbl).append() // v1
     base.filter(col("k") % 2 === 1).coalesce(1).writeTo(tbl).append() // v2
     spark.sql(s"UPDATE $tbl SET v = v + 7 WHERE k % 3 = 0 AND k % 2 = 1") // v3
@@ -787,10 +782,7 @@ object Roundtrips {
       |FROM j
       |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sk % 9 = 0)
       |  AND NOT (sk IS NULL AND tk IS NOT NULL AND tk % 4 = 2)""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_merge_full"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_merge_full", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -834,11 +826,8 @@ object Roundtrips {
       |UNION ALL SELECT 'cdc_insert_1', k, v FROM base
       |UNION ALL SELECT 'cdc_delete_2', k, v FROM base WHERE v < 10000000
       |UNION ALL SELECT 'cdc_delete_3', k, v FROM d2 WHERE v >= 30000000""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_delete_mor"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_delete_mor",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -888,11 +877,8 @@ object Roundtrips {
       |UNION ALL SELECT 'cdc_insert_2', k, v FROM u2 WHERE k % 3 = 0
       |UNION ALL SELECT 'cdc_delete_3', k, v FROM u2 WHERE k % 6 = 0
       |UNION ALL SELECT 'cdc_insert_3', k, v FROM u3 WHERE k % 6 = 0""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_update_mor"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_update_mor",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 17 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -936,11 +922,8 @@ object Roundtrips {
       |UNION ALL SELECT 'cdc_insert_1', k, v FROM evens
       |UNION ALL SELECT 'cdc_insert_2', k, v FROM odds
       |UNION ALL SELECT 'cdc_delete_3', k, v FROM base WHERE v < 10000000""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_compact"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_compact",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 19 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -994,11 +977,8 @@ object Roundtrips {
       |    WHEN 3 THEN (SELECT count(*) FROM base)
       |    ELSE (SELECT count(*) FROM s) END AS BIGINT) AS n
       |FROM c""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_history"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_history",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 23 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1034,10 +1014,7 @@ object Roundtrips {
       |UNION ALL
       |SELECT 'cur', k, v + CASE WHEN k % 4 = 0 THEN 13 ELSE 0 END
       |FROM base WHERE k % 3 <> 0""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_tag"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_tag", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 29 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1075,10 +1052,7 @@ object Roundtrips {
       |SELECT 'slice' AS part, k, v FROM base, m WHERE k > mx // 4 AND k <= mx // 2
       |UNION ALL
       |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT) FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_selective"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_selective", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1118,10 +1092,7 @@ object Roundtrips {
       |SELECT 'cur' AS part, ck, cents FROM base
       |UNION ALL
       |SELECT 'pre', ck, cents FROM base WHERE ck % 2 = 0""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_cust_evolve"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (ck INT, bal_cents INT)") // v0
+    val tbl = freshGraftTable(spark, "mem_cust_evolve", "(ck INT, bal_cents INT)") // v0
     val base = Tables.customer(spark, dir).select(
       col("c_custkey").cast("int").as("ck"),
       Num.cents(col("c_acctbal")).cast("int").as("bal_cents"))
@@ -1269,7 +1240,7 @@ object Roundtrips {
     import sess.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val ms = MemoryStream[(Long, Long)]
-    val cp = java.nio.file.Files.createTempDirectory("graft_upsert_cp").toString
+    val cp = graft.rentals.Scratch.dir(s"upsert_cp_${System.nanoTime()}")
     val q = ms.toDF().toDF("k", "v").writeStream
       .option("checkpointLocation", cp)
       .toTable(tbl)
@@ -1407,20 +1378,26 @@ object Roundtrips {
       |       CAST(sum(a.cents + b.scents) AS BIGINT) AS tot
       |FROM a JOIN b ON a.nk = b.nk
       |GROUP BY a.nk""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // CHILD session: v2 bucketing must be on when the (lazy) join PLANS —
+    // a save/restore here would flip it back before execution, and setting
+    // it on the shared session would leak SPJ planning into every later
+    // query (plan shapes becoming order-dependent)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val spark2 = sess
     val (ta, tb) = ("graft.mem_cust_bynation", "graft.mem_supp_bynation")
-    spark.sql(s"DROP TABLE IF EXISTS $ta")
-    spark.sql(s"DROP TABLE IF EXISTS $tb")
-    spark.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
-    spark.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
-    Tables.customer(spark, dir).select(
+    spark2.sql(s"DROP TABLE IF EXISTS $ta")
+    spark2.sql(s"DROP TABLE IF EXISTS $tb")
+    spark2.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
+    spark2.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
+    Tables.customer(spark2, dir).select(
       col("c_nationkey").cast("int").as("nk"),
       Num.cents(col("c_acctbal")).as("cents")).writeTo(ta).append()
-    Tables.supplier(spark, dir).select(
+    Tables.supplier(spark2, dir).select(
       col("s_nationkey").cast("int").as("nk"),
       Num.cents(col("s_acctbal")).as("scents")).writeTo(tb).append()
-    spark.sql(
+    spark2.sql(
       s"""SELECT /*+ MERGE(a) */ a.nk, count(*) AS cnt,
          |       sum(a.cents + b.scents) AS tot
          |FROM $ta a JOIN $tb b ON a.nk = b.nk
@@ -1449,10 +1426,7 @@ object Roundtrips {
       |       CAST(max(k) AS BIGINT) AS mx, CAST(count(c) AS BIGINT) AS cc,
       |       CAST(min(v) AS BIGINT) AS mnv, CAST(max(v) AS BIGINT) AS mxv
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_aggstats"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, c STRING)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_aggstats", "(k BIGINT, v BIGINT, c STRING)") // v0
     Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       Num.cents(col("o_totalprice")).as("v"),
@@ -1484,10 +1458,7 @@ object Roundtrips {
       |SELECT f.k, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(f.v) AS BIGINT) AS tot
       |FROM f JOIN d ON f.k = d.k
       |GROUP BY f.k""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_lineitem_rt"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_lineitem_rt", "(k BIGINT, v BIGINT)") // v0
     val f = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("k"),
       Num.cents(col("l_extendedprice")).as("v"))
@@ -1532,22 +1503,26 @@ object Roundtrips {
       |  FROM supplier)
       |SELECT a.nk, a.cents, b.scents
       |FROM a JOIN b ON a.nk = b.nk""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // child session for the same reason as dsv2_spj_join: the bucketing
+    // conf must hold at (lazy) plan time without leaking to later queries
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val spark2 = sess
     val (ta, tb) = ("graft.mem_cust_sorted", "graft.mem_supp_sorted")
-    spark.sql(s"DROP TABLE IF EXISTS $ta")
-    spark.sql(s"DROP TABLE IF EXISTS $tb")
-    spark.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
-    spark.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
-    Tables.customer(spark, dir).select(
+    spark2.sql(s"DROP TABLE IF EXISTS $ta")
+    spark2.sql(s"DROP TABLE IF EXISTS $tb")
+    spark2.sql(s"CREATE TABLE $ta (nk INT, cents BIGINT) PARTITIONED BY (nk)")
+    spark2.sql(s"CREATE TABLE $tb (nk INT, scents BIGINT) PARTITIONED BY (nk)")
+    Tables.customer(spark2, dir).select(
       col("c_nationkey").cast("int").as("nk"),
       Num.cents(col("c_acctbal")).as("cents")).writeTo(ta).append()
-    Tables.supplier(spark, dir).select(
+    Tables.supplier(spark2, dir).select(
       col("s_nationkey").cast("int").as("nk"),
       Num.cents(col("s_acctbal")).as("scents")).writeTo(tb).append()
-    spark.sql("CALL graft.rewrite_data_files('mem_cust_sorted', 'nk')")
-    spark.sql("CALL graft.rewrite_data_files('mem_supp_sorted', 'nk')")
-    spark.sql(
+    spark2.sql("CALL graft.rewrite_data_files('mem_cust_sorted', 'nk')")
+    spark2.sql("CALL graft.rewrite_data_files('mem_supp_sorted', 'nk')")
+    spark2.sql(
       s"""SELECT /*+ MERGE(a) */ a.nk, a.cents, b.scents
          |FROM $ta a JOIN $tb b ON a.nk = b.nk""".stripMargin)
   }
@@ -1571,10 +1546,7 @@ object Roundtrips {
       |SELECT nk, CAST(count(*) AS BIGINT) AS cnt, CAST(count(ck) AS BIGINT) AS cks,
       |       CAST(min(cents) AS BIGINT) AS mn, CAST(max(cents) AS BIGINT) AS mx
       |FROM base GROUP BY nk""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_cust_agg_group"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (nk INT, ck BIGINT, cents BIGINT) PARTITIONED BY (nk)")
+    val tbl = freshGraftTable(spark, "mem_cust_agg_group", "(nk INT, ck BIGINT, cents BIGINT) PARTITIONED BY (nk)")
     Tables.customer(spark, dir).select(
       col("c_nationkey").cast("int").as("nk"),
       col("c_custkey").as("ck"),
@@ -1629,11 +1601,8 @@ object Roundtrips {
       |FROM (VALUES (CAST(0 AS BIGINT), 'create'), (CAST(1 AS BIGINT), 'append'),
       |             (CAST(2 AS BIGINT), 'append'), (CAST(3 AS BIGINT), 'delete'))
       |  AS t(version, kind)""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_meta_gate"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_meta_gate",
+      "(k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 19 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"),
@@ -1679,13 +1648,10 @@ object Roundtrips {
       |  CAST(0 AS BIGINT)
       |UNION ALL
       |SELECT 'page',
-      |  (SELECT CASE WHEN count(*) - 20 < 40 THEN count(*) - 20 ELSE 40 END
+      |  (SELECT greatest(0, CASE WHEN count(*) - 20 < 40 THEN count(*) - 20 ELSE 40 END)
       |   FROM base),
       |  CAST(0 AS BIGINT)""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_limit_topn"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_limit_topn", "(k BIGINT, v BIGINT)") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1722,10 +1688,7 @@ object Roundtrips {
       |SELECT 'snap' AS part, k, v FROM base WHERE k % 3 = 0
       |UNION ALL
       |SELECT 'all', k, v FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_table_stream"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_table_stream", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 17 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1777,10 +1740,7 @@ object Roundtrips {
       |UNION ALL
       |SELECT k, v, note FROM s WHERE k NOT IN (SELECT k FROM t)""".stripMargin) {
     (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_merge_evolve"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_merge_evolve", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 31 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1821,11 +1781,8 @@ object Roundtrips {
       |UNION ALL
       |SELECT 'sum', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT) FROM live""".stripMargin) {
     (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_sorted_ingest"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES" +
-      " ('graft.sort-order'='k', 'graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_sorted_ingest",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.sort-order'='k', 'graft.delete-mode'='merge-on-read')") // v0
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 23 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1869,10 +1826,7 @@ object Roundtrips {
       |SELECT 'pre', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT),
       |       CAST(0 AS BIGINT)
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_replace_where"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk)")
+    val tbl = freshGraftTable(spark, "mem_replace_where", "(k BIGINT, v BIGINT, nk BIGINT) PARTITIONED BY (nk)")
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"),
@@ -1916,11 +1870,8 @@ object Roundtrips {
       |UNION ALL
       |SELECT k, v + 7, 'update_postimage', 2 FROM base WHERE k % 3 = 0""".stripMargin) {
     (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_cdc_images"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)" +
-      " TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
+    val tbl = freshGraftTable(spark, "mem_cdc_images",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.delete-mode'='merge-on-read')") // v0
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 37 === 0)
       .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
@@ -1967,11 +1918,8 @@ object Roundtrips {
       |SELECT 'total', CAST(count(*) AS BIGINT), CAST(max(d) AS DATE),
       |       CAST(sum(v) AS BIGINT)
       |FROM final""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_bymonth"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, d DATE, v BIGINT) " +
-      "PARTITIONED BY (months(d))") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_bymonth",
+      "(k BIGINT, d DATE, v BIGINT) PARTITIONED BY (months(d))") // v0
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       col("o_orderdate").as("d"),
@@ -2018,11 +1966,8 @@ object Roundtrips {
       |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(nk) AS INTEGER),
       |       CAST(sum(cents) AS BIGINT)
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_cust_specevolve"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (ck BIGINT, nk INT, cents BIGINT) " +
-      "PARTITIONED BY (nk)") // v0, spec 0
+    val tbl = freshGraftTable(spark, "mem_cust_specevolve",
+      "(ck BIGINT, nk INT, cents BIGINT) PARTITIONED BY (nk)") // v0, spec 0
     val base = Tables.customer(spark, dir).select(
       col("c_custkey").as("ck"),
       col("c_nationkey").cast("int").as("nk"),
@@ -2115,10 +2060,7 @@ object Roundtrips {
       |UNION ALL
       |SELECT 'pre-alter', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_default"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_default", "(k BIGINT, v BIGINT)") // v0
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
     base.writeTo(tbl).append() // v1
@@ -2324,11 +2266,8 @@ object Roundtrips {
       |UNION ALL
       |SELECT 'total', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
       |FROM base""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_zorder"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
-      "TBLPROPERTIES ('graft.storage'='parquet')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_zorder",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.storage'='parquet')") // v0
     Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
       .writeTo(tbl).append() // v1
@@ -2367,11 +2306,8 @@ object Roundtrips {
       |SELECT CAST(count(*) AS BIGINT) AS hits, CAST(sum(v) AS BIGINT) AS sv,
       |       CAST(min(k) AS BIGINT) AS mink, CAST(max(k) AS BIGINT) AS maxk
       |FROM probes""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
-    val tbl = "graft.mem_orders_bloom"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
-      "TBLPROPERTIES ('graft.bloom-columns'='k')") // v0
+    val tbl = freshGraftTable(spark, "mem_orders_bloom",
+      "(k BIGINT, v BIGINT) TBLPROPERTIES ('graft.bloom-columns'='k')") // v0
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("v"))
     // three interleaved slices: every batch spans the key domain
