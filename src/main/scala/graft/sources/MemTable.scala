@@ -95,8 +95,13 @@ object MemTables {
     def count: Int = rows.length
     def file: Option[String] = None
   }
-  final case class FileStore(path: String, count: Int, schema: StructType)
-      extends RowStore {
+  final case class FileStore(path: String, count: Int, schema: StructType,
+      sorted: Boolean = false) extends RowStore {
+    // `sorted` = verified sorted by the table's declared order AT WRITE
+    // (task-side for executor files, publish-side for driver files): the
+    // claim maintenance consults it so a sorted file-backed ingest never
+    // reads its just-written files back through the driver. Transient to
+    // this publish — never persisted (the table-level claim is).
     @transient private lazy val loaded: Array[InternalRow] =
       ParquetRows.read(path, schema)
     def rows: Array[InternalRow] = loaded
@@ -525,8 +530,15 @@ object MemTables {
   private def maintainSortClaim(
       st: State, fresh: Seq[TaggedBatch], truncate: Boolean): Unit = {
     val declared = st.declaredSortOrder
-    if (declared.isEmpty ||
-        !fresh.forall(b => batchSorted(b.schema, b.rows, declared)))
+    // file-backed batches carry their verdict (computed where the rows
+    // were: the write task or the driver materialization) — verifying
+    // here would pull every just-written file back through the driver
+    // AND pin it via the store's lazy row cache, defeating the file plane
+    def verified(b: TaggedBatch): Boolean = b.store match {
+      case f: FileStore => f.sorted
+      case _ => batchSorted(b.schema, b.rows, declared)
+    }
+    if (declared.isEmpty || !fresh.forall(verified))
       st.clearSortOrder()
     else if (st.sortedBy == declared) () // active claim survives the append
     else if (truncate) {
@@ -1187,6 +1199,40 @@ object MemTables {
   def get(key: String): Option[State] =
     tables.get(key).orElse(recoverFromDisk(key))
 
+  /** Every table key this catalog serves: the live registry plus
+    * disk-recoverable tables not yet faulted in — `SHOW TABLES` after a
+    * restart must list durable tables, not just the ones some query
+    * already touched. The scan rides the mtime-cached [[metaKeyOf]], so
+    * repeat listings cost a directory listing, not metadata parses.
+    */
+    /** The row-id metadata column set (`_batch_version`, `_batch_id`,
+    * `_batch_pos`) — ONE definition shared by [[MemTable]] and
+    * [[MemBranchTable]]: the delta row-id encoding must never diverge
+    * between main and branch DML.
+    */
+  lazy val rowIdMetadataColumns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def col(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = c
+      }
+    Array(
+      col(BatchVersion, org.apache.spark.sql.types.LongType,
+        "version of the committed batch this row belongs to"),
+      col(BatchId, org.apache.spark.sql.types.LongType,
+        "unique id of the committed batch this row belongs to"),
+      col(BatchPos, org.apache.spark.sql.types.IntegerType,
+        "row position within its committed batch"))
+  }
+
+  def listKeys(): Seq[String] = {
+    val onDisk = Option(tablesRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(metaKeyOf).toSeq
+    (tables.keys.toSeq ++ onDisk).distinct.sorted
+  }
+
   /** Entry-point lookup for procedures and DDL: registry, then DISK
     * RECOVERY — maintenance must work after a restart exactly like reads
     * do (a janitor's first `remove_orphan_files` of the day cannot
@@ -1425,7 +1471,7 @@ object MemTables {
               s"table now at spec ${st.currentSpecId}) — re-run the write")
         enforceNotNull(writeSchema, f.stats)
         TaggedBatch(writeSchema, version, version,
-          FileStore(f.path, f.count, writeSchema),
+          FileStore(f.path, f.count, writeSchema, sorted = f.sorted),
           batchId = st.mintBatchId(), stats = f.stats, part = f.part,
           specId = f.specId)
       }
@@ -1443,7 +1489,11 @@ object MemTables {
       case Some(dir) =>
         val path = s"$dir/driver-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
         ParquetRows.write(path, schema, rows.iterator)
-        FileStore(path, rows.length, schema)
+        // verdict computed HERE, while the rows are in hand — the claim
+        // maintenance must never re-read the file to learn it
+        val declared = st.declaredSortOrder
+        FileStore(path, rows.length, schema,
+          sorted = declared.nonEmpty && batchSorted(schema, rows, declared))
       case None => MemStore(rows)
     }
 
@@ -2023,6 +2073,15 @@ object MemTables {
       st.updatedAt = st.updatedAt.filter(_._1 >= st.versionTimes.head._1)
       val liveIds = st.batches.iterator.map(_.batchId).toSet
       st.updatePostBatches = st.updatePostBatches.filter(liveIds.contains)
+      // equality deletes whose window covers NO retained batch (main or
+      // branch stage) can never kill a row again — prune them, or a
+      // long-running upsert stream's ledger (one key set per epoch) grows
+      // for its whole lifetime, re-serialized into metadata.json on every
+      // commit and re-filtered per batch at every scan planning
+      val branchBatches = st.branches.valuesIterator.flatMap(_.batches).toVector
+      st.eqDeletes = st.eqDeletes.filter(e =>
+        (kept.iterator ++ branchBatches.iterator).exists(b =>
+          e.version > b.version && e.version <= b.removedAt))
       persistMeta(st)
       (gone.size.toLong, st.earliestVersion)
     }
@@ -2420,7 +2479,13 @@ object MemTables {
     val st = tables.getOrElse(key,
       throw new IllegalStateException(s"mem table $key dropped mid-write"))
     st.synchronized {
-      st.version += 1
+      // VALIDATE BEFORE BUMP: mkBatches throws on NOT NULL violations and
+      // spec conflicts — a failed publish must not advance the version
+      // clock (every slot owns a versionTimes entry, the serializable-
+      // history invariant the DML paths also preserve)
+      val v = st.version + 1
+      val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, v))
+      st.version = v
       // truncate is a SOFT delete: the replaced batches stay readable
       // through VERSION AS OF reads older than this commit
       val prior =
@@ -2428,7 +2493,6 @@ object MemTables {
           st.batches.map(b =>
             if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
         else st.batches
-      val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.batches = prior ++ fresh
       // new rows retire the sorted-layout claim — unless the table
       // DECLARES a write sort order and every fresh batch verifies sorted
@@ -2454,14 +2518,18 @@ object MemTables {
     st.synchronized {
       val done = st.committedEpochs.getOrElse(queryId, Set.empty)
       if (!done.contains(epochId)) {
+        // VALIDATE before recording the epoch or bumping the clock: a
+        // throwing publish remembered as committed would make Spark's
+        // post-restart re-commit a no-op — the epoch's rows silently lost
+        val v = st.version + 1
+        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, v))
         st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
-        st.version += 1
+        st.version = v
         val prior =
           if (truncate)
             st.batches.map(b =>
               if (b.removedAt == Long.MaxValue) b.copy(removedAt = st.version) else b)
           else st.batches
-        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
         st.batches = prior ++ fresh
         maintainSortClaim(st, fresh, truncate)
         st.stamp(if (truncate) "stream-overwrite" else "stream-append")
@@ -2495,8 +2563,9 @@ object MemTables {
     st.synchronized {
       val done = st.committedEpochs.getOrElse(queryId, Set.empty)
       if (!done.contains(epochId)) {
-        st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
-        st.version += 1
+        // validation (key columns, NOT NULL via mkBatches below) runs
+        // BEFORE the epoch is recorded or the clock bumped — same
+        // failed-publish-forgotten contract as commitEpoch
         val idx = keyCols.map(c => writeSchema.fieldNames.indexOf(c))
         if (idx.contains(-1))
           throw new IllegalStateException(
@@ -2517,9 +2586,12 @@ object MemTables {
           }
           tuple
         }.filterNot(_.contains(null)).toSet
+        val v = st.version + 1
+        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, v))
+        st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
+        st.version = v
         if (keys.nonEmpty)
           st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
-        val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
         st.batches = st.batches ++ fresh
         // the epoch's equality delete is kill-only (keeps order); claim
         // survival rides the same verified-sorted-inserts rule as appends
@@ -2593,7 +2665,13 @@ object MemTables {
     case (a: java.lang.Float, b: Number) =>
       Some(if (a.doubleValue == b.doubleValue) 0
       else java.lang.Double.compare(a.doubleValue, b.doubleValue))
-    case (a: org.apache.spark.unsafe.types.UTF8String, b: String) => Some(a.toString.compareTo(b))
+    // BINARY (UTF-8) order — the order statsComparator computed the
+    // bounds in and the order Spark SQL compares strings in; Java's
+    // UTF-16 compareTo diverges for supplementary characters, and a
+    // divergent order here wrongly PRUNES batches (unrecoverable — a
+    // skipped batch's rows never reach residual filters)
+    case (a: org.apache.spark.unsafe.types.UTF8String, b: String) =>
+      Some(a.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
   }
@@ -2893,22 +2971,8 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     * to — the group id of the copy-on-write rewrite), and the delta row id
     * `(_batch_id, _batch_pos)` (see [[MemTables.BatchId]]).
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
-    def col(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = n
-        override def dataType(): org.apache.spark.sql.types.DataType = dt
-        override def isNullable: Boolean = false
-        override def comment(): String = c
-      }
-    Array(
-      col(MemTables.BatchVersion, org.apache.spark.sql.types.LongType,
-        "version of the committed batch this row belongs to"),
-      col(MemTables.BatchId, org.apache.spark.sql.types.LongType,
-        "unique id of the committed batch this row belongs to"),
-      col(MemTables.BatchPos, org.apache.spark.sql.types.IntegerType,
-        "row position within its committed batch"))
-  }
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    MemTables.rowIdMetadataColumns
 
   /** UPDATE / MERGE INTO support — the GROUP-BASED (copy-on-write) row-level
     * operation: Spark's rewrite rules read the affected data through the
@@ -3053,22 +3117,8 @@ final class MemBranchTable(
     * `(_batch_id, _batch_pos)` branch-scoped DML anchors on (staged
     * batches mint real ids at staging).
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
-    def col(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = n
-        override def dataType(): org.apache.spark.sql.types.DataType = dt
-        override def isNullable: Boolean = false
-        override def comment(): String = c
-      }
-    Array(
-      col(MemTables.BatchVersion, org.apache.spark.sql.types.LongType,
-        "version of the committed batch this row belongs to"),
-      col(MemTables.BatchId, org.apache.spark.sql.types.LongType,
-        "unique id of the committed batch this row belongs to"),
-      col(MemTables.BatchPos, org.apache.spark.sql.types.IntegerType,
-        "row position within its committed batch"))
-  }
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    MemTables.rowIdMetadataColumns
 
   /** BRANCH-SCOPED DML (`DELETE/UPDATE/MERGE` against
     * `<table>.branch_<name>`) — the mutation half of write-audit-publish:
@@ -3226,16 +3276,8 @@ final class MemMetaTable(key: String, kind: String) extends Table with SupportsR
     }
     val desc = s"GraftMemMeta $key.$kind"
     new ScanBuilder {
-      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
-        override def rows(): Array[InternalRow] = dataRows.map(vs =>
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            vs.map {
-              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-              case other => other
-            }.toArray[Any]): InternalRow).toArray
-        override def readSchema(): StructType = outSchema
-        override def description(): String = desc
-      }
+      override def build(): Scan =
+        ProcedureResults.localScan(desc, outSchema, dataRows)
     }
   }
 }
@@ -3491,8 +3533,11 @@ object MemScanBuilder {
     if (gIdx.contains(-1)) return None
     val bound = asOf.getOrElse(Long.MaxValue)
 
-    // the stats fold over one batch set (the whole table, or one group)
-    def aggOver(batches: Vector[MemTables.TaggedBatch]): Option[Seq[Any]] = {
+    // the stats fold over one batch set (the whole table, or one group);
+    // returns (live row count, values) — the group path reuses the live
+    // count instead of recomputing effectiveKills (which re-probes rows,
+    // a parquet read per file-backed batch) a second time per group
+    def aggOver(batches: Vector[MemTables.TaggedBatch]): Option[(Long, Seq[Any])] = {
       val killCounts = batches.map(b =>
         MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
           .count(_._2 <= bound).toLong)
@@ -3561,11 +3606,12 @@ object MemScanBuilder {
         case m: Max => minMax(colOf(m.column).get, wantMin = false)
         case _ => None
       }
-      if (values.exists(_.isEmpty)) None else Some(values.toSeq.map(_.get))
+      if (values.exists(_.isEmpty)) None
+      else Some((liveRows, values.toSeq.map(_.get)))
     }
 
     val rows: Option[Seq[Array[Any]]] =
-      if (gCols.isEmpty) aggOver(visible).map(vs => Seq(vs.toArray))
+      if (gCols.isEmpty) aggOver(visible).map { case (_, vs) => Seq(vs.toArray) }
       else {
         // rows dead at the bound snapshot still pin their batch's group
         // membership (the tuple is batch metadata); a group whose every
@@ -3574,10 +3620,7 @@ object MemScanBuilder {
         // all-dead groups to stay SQL-exact (no surviving row, no group)
         val groups = visible.groupBy(b => gIdx.map(b.part(_)))
         val perGroup = groups.toSeq.map { case (gv, bs) =>
-          aggOver(bs).map { a =>
-            val live = bs.map(b => b.rowCount.toLong -
-              MemTables.effectiveKills(b, meta.eqDeletes, meta.eras, meta.droppedAt)
-                .count(_._2 <= bound)).sum
+          aggOver(bs).map { case (live, a) =>
             if (live == 0L) None else Some((gv ++ a).toArray)
           }
         }
@@ -4034,7 +4077,7 @@ final class MemScan(
         .flatMap(n => MemTables.defaultFor(meta.defaults)(n, b.writeVersion)
           .map(n -> _)).toMap
       b.store match {
-        case MemTables.FileStore(path, _, _) =>
+        case MemTables.FileStore(path, _, _, _) =>
           // file-backed: ship the PATH (+ positions to skip and the head
           // cut); the executor streams the parquet rows itself — the
           // driver never materializes data for a scan
@@ -4792,7 +4835,8 @@ final case class MemFilesMessage(files: Vector[FileManifest]) extends WriterComm
 final case class MemParquetWrite(
     dir: String, schema: StructType,
     spec: Seq[MemTables.PartField], specId: Int,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    sortCols: Seq[String] = Nil)
 
 /** Per-task writer. Default (row) mode buffers rows into the commit
   * message. Parquet mode does what a real table format's write task does:
@@ -4840,7 +4884,7 @@ object MemWriterFactory {
     new MemWriterFactory(MemTables.get(key).flatMap { st =>
       st.storageDir.map(dir =>
         MemParquetWrite(dir, writeSchema, st.partitioning, st.currentSpecId,
-          st.bloomCols))
+          st.bloomCols, st.declaredSortOrder))
     })
 
   /** Delete the files of never-to-publish commit messages (driver abort
@@ -5314,7 +5358,7 @@ object MemTableMicroBatchStream {
         .flatMap(n => MemTables.defaultFor(meta.defaults)(n, b.writeVersion)
           .map(n -> _)).toMap
       b.store match {
-        case MemTables.FileStore(path, _, _) =>
+        case MemTables.FileStore(path, _, _, _) =>
           // file-backed: the streamed window ships PATHS too — a
           // micro-batch over a parquet table must not materialize
           // driver-side any more than a snapshot scan does

@@ -215,4 +215,5 @@ object ParquetRows {
   */
 final case class FileManifest(
     path: String, count: Int, part: Seq[Any], specId: Int,
-    stats: Map[String, MemTables.ColStats])
+    stats: Map[String, MemTables.ColStats],
+    sorted: Boolean = false)

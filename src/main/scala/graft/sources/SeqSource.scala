@@ -515,8 +515,21 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   private def memKey(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "seq_1000"))
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // real catalog contents (registry + disk-recoverable), not a stub:
+    // SHOW TABLES must list what loadTable serves. The virtual demo
+    // table appears only in the root namespace, where it actually lives.
+    val mem = MemTables.listKeys().map(_.split('.')).collect {
+      case parts if java.util.Arrays.equals(
+          parts.init.asInstanceOf[Array[AnyRef]],
+          namespace.asInstanceOf[Array[AnyRef]]) =>
+        Identifier.of(parts.init, parts.last)
+    }
+    val seq =
+      if (namespace.isEmpty) Array(Identifier.of(namespace, "seq_1000"))
+      else Array.empty[Identifier]
+    seq ++ mem
+  }
 
   override def loadTable(ident: Identifier): CTable = ident.name() match {
     case Pattern(n) => new SeqTable(n.toLong, 8)
@@ -988,12 +1001,18 @@ private[sources] object ProcedureResults {
       case str: String => org.apache.spark.unsafe.types.UTF8String.fromString(str)
       case other => other
     }.toArray[Any])
-  def scan(desc: String, schema: StructType, rowVals: Seq[Seq[Any]]): java.util.Iterator[Scan] =
-    java.util.Collections.singletonList[Scan](new LocalScan {
+  /** ONE LocalScan + row-packing definition — procedures and the metadata
+    * tables both serve driver-computed rows through it, so a value-packing
+    * change (new type) cannot silently diverge between them.
+    */
+  def localScan(desc: String, schema: StructType, rowVals: Seq[Seq[Any]]): Scan =
+    new LocalScan {
       override def rows(): Array[InternalRow] = rowVals.map(pack).toArray
       override def readSchema(): StructType = schema
       override def description(): String = desc
-    }).iterator()
+    }
+  def scan(desc: String, schema: StructType, rowVals: Seq[Seq[Any]]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](localScan(desc, schema, rowVals)).iterator()
 }
 
 /** `CALL graft.create_tag('<table>', '<tag>', <version>)` /

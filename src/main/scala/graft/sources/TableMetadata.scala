@@ -175,7 +175,7 @@ object TableMetadata {
   /** Write one batch's immutable manifest file if absent; returns its name. */
   private def ensureManifest(dir: String, b: TaggedBatch): String = {
     val path = b.store match {
-      case FileStore(p, _, _) => p
+      case FileStore(p, _, _, _) => p
       case MemStore(_) =>
         // by construction unreachable for a file-backed table (every
         // publish path routes rows through storeFor, which writes a

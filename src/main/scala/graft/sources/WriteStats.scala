@@ -255,6 +255,57 @@ final class StatsAccumulator(schema: StructType,
     }.toMap
 }
 
+/** Incremental sortedness verdict for one open file: tracks whether rows
+  * arrived lexicographically ASC NULLS FIRST by the table's DECLARED sort
+  * order — one comparison per row, computed WHERE the rows are (the write
+  * task), so the publish-side claim maintenance never re-reads a file.
+  * No declared order (or an uncoverable column type) = verdict false.
+  */
+final class SortTracker(schema: StructType, sortCols: Seq[String]) {
+  private val idx = sortCols.map(c => schema.fieldNames.indexOf(c)).toArray
+  private val types =
+    idx.map(i => if (i >= 0) schema.fields(i).dataType else null)
+  private val cmps = types.map(t =>
+    if (t == null) None else statsComparator(t))
+  private val usable =
+    idx.nonEmpty && !idx.contains(-1) && cmps.forall(_.isDefined)
+  private var ok = usable
+  private var prev: Array[Any] = null
+
+  def add(r: InternalRow): Unit = if (ok) {
+    val cur = new Array[Any](idx.length)
+    var c = 0
+    while (c < idx.length) {
+      cur(c) =
+        if (r.isNullAt(idx(c))) null
+        else r.get(idx(c), types(c)) match {
+          // detach from the reused row buffer — the value is retained
+          case u: UTF8String => u.clone()
+          case v => v
+        }
+      c += 1
+    }
+    if (prev != null) {
+      var rel = 0
+      var c2 = 0
+      while (c2 < idx.length && rel == 0) {
+        rel = (prev(c2), cur(c2)) match {
+          case (null, null) => 0
+          case (null, _) => -1 // NULLS FIRST
+          case (_, null) => 1
+          case (a, b) => cmps(c2).get(a, b)
+        }
+        c2 += 1
+      }
+      if (rel > 0) ok = false
+    }
+    prev = cur
+  }
+
+  /** Verified sorted by the declared order (false when none declared). */
+  def sorted: Boolean = ok
+}
+
 /** STREAMING per-task file writer for the parquet storage plane: rows
   * arrive one at a time (reused buffers), route to one open parquet
   * writer per partition tuple, and stats accumulate incrementally — the
@@ -265,7 +316,7 @@ final class StatsAccumulator(schema: StructType,
   */
 final class TaskFileWriter(pw: MemParquetWrite, filePrefix: String) {
   private val open = scala.collection.mutable.LinkedHashMap
-    .empty[Seq[Any], (String, ParquetRows.RowFileWriter, StatsAccumulator)]
+    .empty[Seq[Any], (String, ParquetRows.RowFileWriter, StatsAccumulator, SortTracker)]
 
   private def retainedTuple(pt: Seq[Any]): Seq[Any] = pt.map {
     case u: UTF8String => u.clone()
@@ -274,31 +325,33 @@ final class TaskFileWriter(pw: MemParquetWrite, filePrefix: String) {
 
   def write(r: InternalRow): Unit = {
     val pt = MemTables.partTupleOf(pw.spec, pw.schema, r)
-    val (_, w, acc) = open.get(pt) match {
+    val (_, w, acc, st) = open.get(pt) match {
       case Some(t) => t
       case None =>
         val path = s"${pw.dir}/$filePrefix-" +
           s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         val t = (path, ParquetRows.open(path, pw.schema),
-          new StatsAccumulator(pw.schema, pw.bloomCols.toSet))
+          new StatsAccumulator(pw.schema, pw.bloomCols.toSet),
+          new SortTracker(pw.schema, pw.sortCols))
         open.put(retainedTuple(pt), t)
         t
     }
     w.write(r)
     acc.add(r)
+    st.add(r)
   }
 
   def isEmpty: Boolean = open.isEmpty
 
   /** Close every writer and return the manifests (insertion-ordered). */
   def finish(): Vector[FileManifest] =
-    open.iterator.map { case (pt, (path, w, acc)) =>
+    open.iterator.map { case (pt, (path, w, acc, st)) =>
       val n = w.close()
-      FileManifest(path, n.toInt, pt, pw.specId, acc.result())
+      FileManifest(path, n.toInt, pt, pw.specId, acc.result(), st.sorted)
     }.toVector
 
   /** Best-effort cleanup of a failed task's partial files. */
-  def abort(): Unit = open.valuesIterator.foreach { case (path, w, _) =>
+  def abort(): Unit = open.valuesIterator.foreach { case (path, w, _, _) =>
     try w.close() catch { case _: Exception => () }
     try ParquetRows.delete(path) catch { case _: Exception => () }
   }

@@ -114,4 +114,25 @@ class BloomSkippingSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.bl_bad (k BIGINT) TBLPROPERTIES ('graft.bloom-columns'='nope')"))
   }
+
+  test("string bounds skip in BINARY (UTF-8) order, not UTF-16") {
+    catalogOn(); drop("bl_utf8")
+    spark.sql("CREATE TABLE graft.bl_utf8 (c STRING)")
+    // U+1F600 (4-byte UTF-8, surrogate pair in UTF-16): binary order puts
+    // it ABOVE U+E000 (0xF0.. > 0xEE..), UTF-16 code-unit order below
+    // (0xD83D < 0xE000). A UTF-16 comparison of the batch bounds would
+    // prune this batch for `c > ''` and the row would silently
+    // vanish — residual filters never see a skipped batch.
+    spark.sql("INSERT INTO graft.bl_utf8 VALUES ('😀')")
+    spark.sql("INSERT INTO graft.bl_utf8 VALUES ('a')") // second batch
+    assert(spark.sql("SELECT count(*) FROM graft.bl_utf8 WHERE c > ''")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.bl_utf8 WHERE c < ''")
+      .head().getLong(0) === 1L)
+    // DELETE range evaluation rides the same comparator
+    spark.sql("DELETE FROM graft.bl_utf8 WHERE c > ''")
+    assert(spark.sql("SELECT c FROM graft.bl_utf8").collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    drop("bl_utf8")
+  }
 }

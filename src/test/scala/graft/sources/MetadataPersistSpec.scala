@@ -217,4 +217,74 @@ class MetadataPersistSpec extends SparkSpec {
     assert(!new java.io.File(dir).exists(), "drop must reclaim the storage dir")
     assert(MemTables.get("mp_maint").isEmpty, "dropped table must not recover")
   }
+
+  test("SHOW TABLES lists created AND unloaded (disk-resident) tables") {
+    catalogOn(); drop("mp_list_a", "mp_list_b")
+    spark.sql("CREATE TABLE graft.mp_list_a (k BIGINT)")
+    spark.sql("CREATE TABLE graft.mp_list_b (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mp_list_b VALUES (1)")
+    spark.sql("CALL graft.unload_table('mp_list_b')")
+    val listed = spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("mp_list_a"), listed.toString)
+    assert(listed.contains("mp_list_b"),
+      "an unloaded durable table must still be listed: " + listed)
+    drop("mp_list_a", "mp_list_b")
+  }
+
+  test("a failed publish burns no version and is NOT remembered as committed") {
+    catalogOn(); drop("mp_valid")
+    spark.sql("CREATE TABLE graft.mp_valid (k BIGINT NOT NULL, v BIGINT)")
+    spark.sql("INSERT INTO graft.mp_valid VALUES (1, 10)")
+    val st = MemTables.get("mp_valid").get
+    val v0 = st.version
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bad = Seq(MemTables.RowsPayload(Array(InternalRow(null, 2L))))
+    // plain commit: NOT NULL violation must not advance the clock
+    intercept[IllegalArgumentException](
+      MemTables.commit("mp_valid", truncate = false, st.schema, bad))
+    assert(st.version === v0, "a failed commit must not burn a version slot")
+    // epoch commit: the idempotence ledger must FORGET the failed epoch —
+    // remembering it would turn Spark's post-restart re-commit into a
+    // no-op and silently drop the micro-batch
+    intercept[IllegalArgumentException](
+      MemTables.commitEpoch("mp_valid", "q-valid", 7L, truncate = false,
+        st.schema, bad))
+    assert(st.version === v0)
+    MemTables.commitEpoch("mp_valid", "q-valid", 7L, truncate = false,
+      st.schema, Seq(MemTables.RowsPayload(Array(InternalRow(2L, 20L)))))
+    assert(spark.sql("SELECT count(*) FROM graft.mp_valid").head().getLong(0) === 2L,
+      "the repaired retry of the SAME epoch must commit")
+    assert(st.version === v0 + 1)
+    drop("mp_valid")
+  }
+
+  test("expiry prunes equality deletes that no retained batch can feel") {
+    catalogOn(); drop("mp_eqprune")
+    spark.sql("CREATE TABLE graft.mp_eqprune (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.upsert-keys'='k', " +
+      "'graft.delete-mode'='merge-on-read')")
+    val st0 = MemTables.get("mp_eqprune").get
+    import org.apache.spark.sql.catalyst.InternalRow
+    def epoch(id: Long, rows: (Long, Long)*): Unit =
+      MemTables.commitEpochUpsert("mp_eqprune", "q-prune", id, st0.schema,
+        Seq("k"), Seq(MemTables.RowsPayload(
+          rows.map(r => InternalRow(r._1, r._2)).toArray)))
+    epoch(0L, 1L -> 10L, 2L -> 20L) // v1
+    epoch(1L, 2L -> 21L, 3L -> 30L) // v2: eq-delete on {2}
+    epoch(2L, 3L -> 31L) // v3: eq-delete on {3}
+    val st = MemTables.get("mp_eqprune").get
+    assert(st.eqDeletes.size === 3, st.eqDeletes.toString)
+    // compaction folds everything into one post-delete batch (version 4);
+    // expiring history below it leaves NO batch any eq-delete can touch
+    spark.sql("CALL graft.compact_table('mp_eqprune')")
+    spark.sql(s"CALL graft.expire_snapshots('mp_eqprune', ${st.version})")
+    assert(st.eqDeletes.isEmpty,
+      "unreachable equality deletes must be pruned at expiry: " + st.eqDeletes)
+    assert(spark.sql("SELECT k, v FROM graft.mp_eqprune ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq(1L -> 10L, 2L -> 21L, 3L -> 31L))
+    drop("mp_eqprune")
+  }
 }

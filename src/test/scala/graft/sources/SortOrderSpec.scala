@@ -170,4 +170,29 @@ class SortOrderSpec extends SparkSpec {
     assert(ordering("so_guard") === Seq("k"))
     spark.sql("DROP TABLE graft.so_guard")
   }
+
+  test("declared sort order on the FILE plane: task verdicts, zero driver reads") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.so_file")
+    spark.sql("CREATE TABLE graft.so_file (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', 'graft.sort-order'='k')")
+    val before = ParquetRows.readCalls.get()
+    spark.sql("INSERT INTO graft.so_file SELECT id * 7 % 50, id FROM range(0, 50)")
+    spark.sql("INSERT INTO graft.so_file SELECT id * 3 % 40, id FROM range(0, 40)")
+    assert(ordering("so_file") === Seq("k"),
+      "the task-side sortedness verdict must keep the claim on the file plane")
+    assert(ParquetRows.readCalls.get() === before,
+      "claim maintenance must never read just-written files back through the driver")
+    // the claim feeds the read side on the file plane too
+    val q = spark.sql("SELECT k FROM graft.so_file ORDER BY k LIMIT 3")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L))
+    // an unsorted DIRECT commit (driver-materialized file) clears the
+    // claim — that path computes its verdict where ITS rows are too
+    import org.apache.spark.sql.catalyst.InternalRow
+    val st = MemTables.get("so_file").get
+    MemTables.commit("so_file", truncate = false, st.schema,
+      Seq(MemTables.RowsPayload(Array(InternalRow(9L, 1L), InternalRow(2L, 2L)))))
+    assert(ordering("so_file").isEmpty, "unsorted rows must clear the claim")
+    spark.sql("DROP TABLE graft.so_file")
+  }
 }
