@@ -35,3 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] driver+executor JVM like a real worker
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// test JVMs get their OWN durable-table warehouse: DROP TABLE of a
+// file-backed table is shared-catalog semantics (dropping deletes the
+// files for every process on the same root — the Iceberg contract), so
+// interleaved `sbt test` + bench runs must not share gate-table names
+// on one root
+Test / javaOptions += "-Dgraft.tables.root=target/graft-tables-test"

@@ -62,25 +62,31 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         // collectWithSubqueries, not foreach: a dependency inside a
         // subquery EXPRESSION (IN/EXISTS/scalar subquery) is invisible to
         // the operator walk, and it deserves the same view-naming error
+        // length >= 2, not == 2: a bare name re-qualified under a creator
+        // with a non-empty namespace is 3-part — it deserves the same
+        // view-naming error as any other graft dependency
         val deps = parsed.collectWithSubqueries {
-          case dep: UnresolvedRelation if dep.multipartIdentifier.length == 2 &&
+          case dep: UnresolvedRelation if dep.multipartIdentifier.length >= 2 &&
               isGraftCatalog(dep.multipartIdentifier.head) =>
-            dep.multipartIdentifier(1)
+            dep.multipartIdentifier
         }
-        deps.distinct.foreach { d =>
-          val exists = graft.sources.MemViews.views.contains(d) || {
-            try spark.sessionState.catalogManager.catalog(catalog)
-              .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-              .tableExists(org.apache.spark.sql.connector.catalog.Identifier
-                .of(Array.empty, d))
-            catch { case _: Exception => false }
-          }
+        deps.distinct.foreach { parts =>
+          val ns = parts.slice(1, parts.length - 1).toArray
+          val d = parts.last
+          val exists =
+            (ns.isEmpty && graft.sources.MemViews.views.contains(d)) || {
+              try spark.sessionState.catalogManager.catalog(parts.head)
+                .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+                .tableExists(org.apache.spark.sql.connector.catalog.Identifier
+                  .of(ns, d))
+              catch { case _: Exception => false }
+            }
           if (!exists)
             throw new IllegalStateException(
-              s"view '$name' references '$catalog.$d', which no longer " +
-                s"exists (dropped or renamed after the view was created). " +
-                s"Stored SQL: ${v.sql} — recreate the view against the " +
-                "current table name, or drop it")
+              s"view '$name' references '${parts.mkString(".")}', which no " +
+                s"longer exists (dropped or renamed after the view was " +
+                s"created). Stored SQL: ${v.sql} — recreate the view " +
+                "against the current table name, or drop it")
         }
         // NESTED ANALYSIS, not a bare splice: the analyzer's Substitution
         // batch (CTESubstitution in particular) ran before this resolution

@@ -22,13 +22,16 @@ object PipelineMain {
     val singleFile = args.contains("--single-file")
     val configPath = args.collectFirst { case a if a.startsWith("--config=") => a.stripPrefix("--config=") }
 
-    // --local pins an explicit local master; otherwise DEFER to the
-    // launcher (spark-submit --master yarn/k8s) — hardcoding local[*]
-    // here would silently force single-JVM mode on a cluster submit
+    // --local pins an explicit local master; with a LAUNCHER-PROVIDED
+    // master (spark-submit sets the spark.master property) defer to it —
+    // hardcoding local[*] there would silently force single-JVM mode on a
+    // cluster submit; a bare `runMain` with neither still gets local[*]
+    // (the usage line documents --local as optional)
     val builder0 = SparkSession.builder().appName("rental-pipeline")
     val spark = (if (local)
       builder0.master(s"local[${Runtime.getRuntime.availableProcessors()}]")
-    else builder0)
+    else if (sys.props.contains("spark.master")) builder0
+    else builder0.master("local[*]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1189,9 +1189,16 @@ object MemTables {
     fresh
   }
 
-  /** Root under which file-backed table directories live. */
+  /** Root under which file-backed table directories live — the process's
+    * WAREHOUSE. Overridable (`-Dgraft.tables.root=...`) because the root
+    * carries shared-catalog semantics: every process on the same root
+    * serves (and can DROP) the same durable tables, so workflows that
+    * interleave independent runs (sbt test beside a bench) point their
+    * test JVMs at a private root.
+    */
   private[sources] def tablesRoot: java.io.File =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft-tables")
+    sys.props.get("graft.tables.root").map(new java.io.File(_)).getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-tables"))
 
   private[sources] def sanitizeKey(key: String): String =
     key.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1199,13 +1206,7 @@ object MemTables {
   def get(key: String): Option[State] =
     tables.get(key).orElse(recoverFromDisk(key))
 
-  /** Every table key this catalog serves: the live registry plus
-    * disk-recoverable tables not yet faulted in — `SHOW TABLES` after a
-    * restart must list durable tables, not just the ones some query
-    * already touched. The scan rides the mtime-cached [[metaKeyOf]], so
-    * repeat listings cost a directory listing, not metadata parses.
-    */
-    /** The row-id metadata column set (`_batch_version`, `_batch_id`,
+  /** The row-id metadata column set (`_batch_version`, `_batch_id`,
     * `_batch_pos`) — ONE definition shared by [[MemTable]] and
     * [[MemBranchTable]]: the delta row-id encoding must never diverge
     * between main and branch DML.
@@ -1227,6 +1228,12 @@ object MemTables {
         "row position within its committed batch"))
   }
 
+  /** Every table key this catalog serves: the live registry plus
+    * disk-recoverable tables not yet faulted in — `SHOW TABLES` after a
+    * restart must list durable tables, not just the ones some query
+    * already touched. The scan rides the mtime-cached [[metaKeyOf]], so
+    * repeat listings cost a directory listing, not metadata parses.
+    */
   def listKeys(): Seq[String] = {
     val onDisk = Option(tablesRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).flatMap(metaKeyOf).toSeq

@@ -648,6 +648,13 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       properties: util.Map[String, String]): CTable = {
     if (Pattern.matches(ident.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
+    // the registry keys tables by DOTTED path (namespace.name) — a quoted
+    // name containing '.' would collide with a namespaced ident and be
+    // misfiled by SHOW TABLES; reject loudly rather than alias silently
+    if (ident.name().contains("."))
+      throw new IllegalArgumentException(
+        s"table name '${ident.name()}' contains '.' — use a namespace " +
+          "instead (the catalog keys tables by dotted path)")
     // the mirror of createView's table-shadow check: a table behind an
     // existing view name would be unreachable (ResolveGraftViews resolves
     // reads of the shared name to the view first)
@@ -1339,6 +1346,55 @@ object CreateViewProcedure
     val spark = org.apache.spark.sql.SparkSession.active
     // analyze NOW: a broken view fails its creator, not its first reader
     val schema = spark.sql(sql).schema
+    // CREATE-TIME resolvability guarantees for bare (1-part) references —
+    // the read-side rule re-binds them to the creator's catalog context,
+    // which only works for names that MEAN a catalog table:
+    //  - a temp-view dependency would mint a view readable by no one
+    //    (the read-time rewrite points at a catalog table that doesn't
+    //    exist) — reject, exactly Spark's own permanent-view rule;
+    //  - a bare name that some CTE in the SQL ALSO defines is scope-
+    //    ambiguous for the rewriter (it exempts CTE-bound names by name,
+    //    not by scope) — reject and ask for qualification.
+    locally {
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val cteNames: Set[String] = parsed.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._1)
+      }.flatten.toSet
+      val bare = parsed.collectWithSubqueries {
+        case dep: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if dep.multipartIdentifier.length == 1 =>
+          dep.multipartIdentifier.head
+      }.distinct
+      bare.foreach { n =>
+        val cteBound = cteNames.exists(_.equalsIgnoreCase(n))
+        val isTempView =
+          spark.sessionState.catalog.getTempView(n).isDefined
+        if (cteBound && isTempView)
+          throw new IllegalArgumentException(
+            s"view '$viewName': bare reference '$n' is both a temp view " +
+              "and a CTE name — qualify or rename one")
+        if (!cteBound && isTempView)
+          throw new IllegalArgumentException(
+            s"view '$viewName' references temporary view '$n' — a stored " +
+              "view must only depend on catalog tables/views (the temp " +
+              "view dies with its session); register the data as a table " +
+              "or inline the query")
+        if (cteBound &&
+            spark.sessionState.catalogManager.currentCatalog
+              .isInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog] && {
+          val tc = spark.sessionState.catalogManager.currentCatalog
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          try tc.tableExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+            spark.sessionState.catalogManager.currentNamespace, n))
+          catch { case _: Exception => false }
+        })
+          throw new IllegalArgumentException(
+            s"view '$viewName': bare reference '$n' matches both a CTE " +
+              "defined in the view SQL and a catalog table — qualify the " +
+              "table reference to disambiguate")
+      }
+    }
     // record the creator's catalog AND namespace: the read-side rule
     // re-qualifies bare table names in the stored SQL with this context,
     // so the view means the same tables no matter who reads it

@@ -129,9 +129,11 @@ class ViewCatalogSpec extends SparkSpec {
       spark.sql(
         "CALL graft.create_view('vc_ctx_v', 'SELECT k FROM vc_ctx_t WHERE k > 1')")
       // a CTE-bound bare name must stay CTE-bound, never get qualified
+      // (a CTE that SHADOWS a real table name is rejected at create — the
+      // vc_guard spec pins that; here the CTE name is unambiguous)
       MemViews.views.remove("vc_ctx_cte")
       spark.sql("CALL graft.create_view('vc_ctx_cte', " +
-        "'WITH vc_ctx_t AS (SELECT 99 AS k) SELECT k FROM vc_ctx_t')")
+        "'WITH vc_ctx_c AS (SELECT 99 AS k) SELECT k FROM vc_ctx_c')")
     } finally cm.setCurrentCatalog(prev)
     // the READER's current catalog is different — the view's bare
     // dependency still resolves against the creator's context
@@ -140,6 +142,40 @@ class ViewCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.drop_view('vc_ctx_v')")
     spark.sql("CALL graft.drop_view('vc_ctx_cte')")
     drop("vc_ctx_t")
+  }
+
+  test("create_view rejects temp-view deps and CTE/table name collisions") {
+    catalogOn(); drop("vc_guard_t")
+    MemViews.views.remove("vc_guard_v")
+    spark.sql("CREATE TABLE graft.vc_guard_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vc_guard_t VALUES (1)")
+    // a temp-view dependency analyzes fine at CALL time but would mint a
+    // view readable by NO ONE (the read-time re-binding points bare names
+    // at catalog tables) — Spark's own permanent-view rule: reject
+    spark.range(3).createOrReplaceTempView("vc_guard_tmp")
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.create_view('vc_guard_v', 'SELECT * FROM vc_guard_tmp')"))
+    assert(e1.getMessage.contains("temporary view"), e1.getMessage)
+    // CTE names stay usable — including shadowing a temp view is rejected
+    // only when ambiguous; a pure CTE reference is fine
+    spark.sql("CALL graft.create_view('vc_guard_v', " +
+      "'WITH c AS (SELECT 5 AS k) SELECT k FROM c')")
+    assert(spark.sql("SELECT k FROM graft.vc_guard_v").head().getInt(0) === 5)
+    spark.sql("CALL graft.drop_view('vc_guard_v')")
+    // a bare name matching BOTH a CTE in the SQL and a catalog table is
+    // scope-ambiguous for the read-time rewriter — reject at create
+    val cm = spark.sessionState.catalogManager
+    val prev = cm.currentCatalog.name()
+    cm.setCurrentCatalog("graft")
+    try {
+      val e2 = intercept[Exception](spark.sql(
+        "CALL graft.create_view('vc_guard_v', " +
+          "'SELECT a.k FROM vc_guard_t a WHERE a.k IN " +
+          "(WITH vc_guard_t AS (SELECT 1 AS k) SELECT k FROM vc_guard_t)')"))
+      assert(e2.getMessage.contains("matches both a CTE"), e2.getMessage)
+    } finally cm.setCurrentCatalog(prev)
+    spark.catalog.dropTempView("vc_guard_tmp")
+    drop("vc_guard_t")
   }
 
   test("late binding sees dependencies inside subquery expressions") {
