@@ -1,0 +1,633 @@
+package graft.sources
+
+import java.util.Locale
+
+import scala.collection.concurrent.TrieMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+
+/** INCREMENTAL MATERIALIZED VIEWS over the connector's change feed — the
+  * derived-table half of the lakehouse: a stored aggregate whose refresh
+  * costs the CHANGE RATE, not the table size.
+  *
+  * `CALL graft.create_materialized_view('mv', 'SELECT g, count(*) AS n,
+  * sum(v) AS sv, avg(v) AS av FROM graft.t WHERE p GROUP BY g')` computes
+  * the aggregate once at the source's current version V and stores it in a
+  * file-backed graft table `mv__store`; `graft.mv` reads it through a
+  * catalog view. `CALL graft.refresh_materialized_view('mv')` then
+  * advances the view to the source's current version by reading the
+  * row-level change events of the window `(watermark, current]`
+  * ([[MemChangesSource]]), folding them into per-group DELTAS (insert
+  * events count +1, delete events −1 — classic incremental view
+  * maintenance over a delta stream), and MERGEing the deltas into the
+  * store in one atomic copy-on-write commit that rewrites only the
+  * batches holding touched groups. At 100 TB this is the whole point:
+  * a nightly refresh of a revenue rollup reads the day's commits — not
+  * the table — and rewrites only the groups the day touched.
+  *
+  * SELF-MAINTAINABILITY is what bounds the supported aggregate set:
+  * `count(*)`, `count(x)`, `sum(x)`, `avg(x)` are maintainable under both
+  * inserts and deletes from the delta alone (sum/avg ride stored
+  * `sum`+`count` components; a group whose stored `count(*)` reaches zero
+  * is deleted). `min`/`max` are NOT — deleting the current extreme forces
+  * a group rescan — and are rejected at create time, as are DISTINCT
+  * aggregates. The view projection reconstructs the declared columns from
+  * the components (`avg = sum / count`, `sum` is NULL when its non-null
+  * count is zero), so reads see exactly the declared query's semantics.
+  *
+  * EXACTLY-ONCE refresh across crashes, with two commit planes (the store
+  * table's MERGE and this registry's watermark) that cannot be written
+  * atomically together, rides a WRITE-INTENT protocol: the refresh
+  * journal (`mv.json` beside the store's `metadata.json`, atomic
+  * tmp+rename like all graft metadata) records `pending = (from, to,
+  * store-version-before)` BEFORE the merge and clears it with the
+  * advanced watermark after. A crash between merge-commit and
+  * watermark-write is detected at the next refresh (pending set, store
+  * version advanced past the recorded one) and repaired by rolling the
+  * store back to the pre-merge snapshot ([[MemTables.rollback]]) and
+  * re-applying the window — double-application is structurally
+  * impossible. The journal also makes the MV durable: on a registry miss
+  * the store table recovers from disk ([[MemTables.get]]) and `mv.json`
+  * rebuilds the registry entry and the catalog view.
+  *
+  * If the watermark has aged out of the source's retention
+  * (`expire_snapshots` past it), incremental refresh is impossible and
+  * the refresh falls back to a FULL recompute at the current version
+  * (one `INSERT OVERWRITE`, same intent protocol) — the fallback is
+  * reported in the result row's `mode`, never silent.
+  *
+  * The scale levers compose with the rest of the connector: the store is
+  * an ordinary file-backed graft table, so `rewrite_data_files` can
+  * cluster it, bloom registers can skip on it, and the MERGE's group
+  * rewrite is proportional to touched groups via the runtime group
+  * filter. Reference scope note: the reference pipeline has no derived
+  * tables at all (its `jobs/transform.py` recomputes aggregates per run);
+  * this surface is part of the 100 TB extension mandate.
+  */
+object MatViews {
+
+  /** Suffix of the backing store table's key: `<mv>__store`. */
+  val StoreSuffix = "__store"
+  /** Refresh journal file, beside the store table's `metadata.json`. */
+  val JournalName = "mv.json"
+  /** Internal rowcount component column — `count(*)` per group, the
+    * group-liveness witness (a group is deleted when it reaches zero).
+    */
+  val RowCountCol = "__mv_n"
+
+  private val SignCol = "__graft_mv_sign"
+
+  final case class GroupCol(out: String, exprSql: String)
+  /** kind ∈ countstar | count | sum | avg; `argSql` empty for countstar. */
+  final case class AggSpec(kind: String, argSql: String, out: String)
+  final case class Pending(from: Long, to: Long, storeVersionBefore: Long)
+
+  final case class MvState(
+      name: String,
+      srcKey: String,
+      storeKey: String,
+      definitionSql: String,
+      viewSql: String,
+      // the analyzed view schema as JSON: recovery re-registers the
+      // catalog view WITHOUT an analysis pass (which would need the graft
+      // catalog bound in whatever session happens to fault the MV in)
+      viewSchemaJson: String,
+      filterSql: Option[String],
+      groups: Seq[GroupCol],
+      aggs: Seq[AggSpec],
+      watermark: Long,
+      pending: Option[Pending]) {
+
+    /** Store columns: group outs, then rowcount, then per-agg components
+      * in declaration order (count → cnt; sum/avg → sum + cnt).
+      */
+    def componentCols: Seq[String] =
+      groups.map(_.out) ++ Seq(RowCountCol) ++ aggs.flatMap {
+        case AggSpec("countstar", _, _) => Nil
+        case AggSpec("count", _, out) => Seq(s"__mv_cnt_$out")
+        case AggSpec(_, _, out) => Seq(s"__mv_sum_$out", s"__mv_cnt_$out")
+      }
+
+    def sumCols: Seq[String] = aggs.collect {
+      case AggSpec(kind, _, out) if kind == "sum" || kind == "avg" => s"__mv_sum_$out"
+    }
+  }
+
+  private[graft] val registry: TrieMap[String, MvState] = TrieMap.empty
+  private val locks: TrieMap[String, Object] = TrieMap.empty
+  private def lockFor(name: String): Object =
+    locks.getOrElseUpdate(name, new Object)
+
+  private def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
+
+  // ---------------------------------------------------------------- parse
+
+  private def isKnownNonMaintainableAgg(fn: String): Boolean = Set(
+    "min", "max", "first", "last", "any_value", "median", "mode",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "percentile", "percentile_approx", "approx_percentile",
+    "approx_count_distinct", "collect_list", "collect_set", "count_if",
+    "bool_and", "bool_or", "every", "any", "some", "skewness", "kurtosis",
+    "corr", "covar_samp", "covar_pop").contains(fn)
+
+  private def isAggName(fn: String): Boolean =
+    fn == "count" || fn == "sum" || fn == "avg" || fn == "mean" ||
+      isKnownNonMaintainableAgg(fn)
+
+  /** Parse + validate the MV definition into its maintainable shape:
+    * a single-block `SELECT groups, aggs FROM <graft table> [WHERE p]
+    * GROUP BY groups`. Everything outside that shape fails HERE, at
+    * create — never at refresh.
+    */
+  private[sources] def parseDefinition(
+      spark: SparkSession, mvName: String, sql: String):
+      (String, Option[String], Seq[GroupCol], Seq[AggSpec]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"materialized view '$mvName': $msg")
+
+    def fnName(f: UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(Locale.ROOT)
+
+    def hasAgg(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction => isAggName(fnName(f))
+      case _ => false
+    }
+
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val agg = plan match {
+      case a: Aggregate => a
+      case _ => fail("definition must be one aggregate block — SELECT " +
+        "<group cols>, <count/sum/avg aggregates> FROM <graft table> " +
+        "[WHERE ...] GROUP BY <group cols> (no ORDER BY/LIMIT/joins/" +
+        "subqueries/CTEs)")
+    }
+    if (agg.groupingExpressions.isEmpty)
+      fail("global aggregates (no GROUP BY) are not supported — add a GROUP BY")
+
+    val (srcParts, filterSql) = agg.child match {
+      case r: UnresolvedRelation => (r.multipartIdentifier, None)
+      case f: LFilter => f.child match {
+        case r: UnresolvedRelation =>
+          if (hasAgg(f.condition)) fail("WHERE clause must not contain aggregates")
+          (r.multipartIdentifier, Some(f.condition.sql))
+        case _ => fail("FROM must be a single graft table (no joins or subqueries)")
+      }
+      case _ => fail("FROM must be a single graft table (no joins or subqueries)")
+    }
+    val srcKey = srcParts match {
+      case Seq(n) => n
+      case Seq(c, n) if c.equalsIgnoreCase("graft") => n
+      case other => fail(s"source must be a graft catalog table, got '${other.mkString(".")}'")
+    }
+
+    agg.groupingExpressions.foreach {
+      case _: Literal => fail("GROUP BY ordinals are not supported — group by explicit expressions")
+      case e if hasAgg(e) => fail("GROUP BY expressions must not contain aggregates")
+      case _ =>
+    }
+    val groupSqls = agg.groupingExpressions.map(_.sql)
+
+    var groups = Vector.empty[GroupCol]
+    var aggs = Vector.empty[AggSpec]
+    agg.aggregateExpressions.foreach { ne =>
+      val (expr: Expression, outOpt: Option[String]) = ne match {
+        case Alias(child, name) => (child, Some(name))
+        case ua: UnresolvedAlias => ua.child match {
+          case a: UnresolvedAttribute => (a: Expression, Some(a.nameParts.last))
+          case c => (c, None)
+        }
+        case a: UnresolvedAttribute => (a: Expression, Some(a.nameParts.last))
+        case other => (other: Expression, None)
+      }
+      outOpt.foreach { out =>
+        if (out.startsWith("__mv_") || out == SignCol)
+          fail(s"output name '$out' collides with internal component columns")
+      }
+      expr match {
+        case f: UnresolvedFunction
+            if fnName(f) == "count" || fnName(f) == "sum" ||
+              fnName(f) == "avg" || fnName(f) == "mean" =>
+          val kind = if (fnName(f) == "mean") "avg" else fnName(f)
+          val out = outOpt.getOrElse(
+            fail(s"alias every aggregate (e.g. ${expr.sql} AS x)"))
+          if (f.isDistinct)
+            fail("DISTINCT aggregates are not incrementally maintainable under deletes")
+          if (f.filter.isDefined)
+            fail("FILTER clauses on aggregates are not supported — fold the predicate into WHERE")
+          f.arguments match {
+            case Seq(_: UnresolvedStar) if kind == "count" =>
+              aggs :+= AggSpec("countstar", "", out)
+            case Seq(Literal(v, _)) if kind == "count" && v != null =>
+              aggs :+= AggSpec("countstar", "", out)
+            case Seq(arg) =>
+              if (hasAgg(arg)) fail("nested aggregates are not supported")
+              aggs :+= AggSpec(kind, arg.sql, out)
+            case _ => fail(s"$kind takes exactly one argument")
+          }
+        case f: UnresolvedFunction if isKnownNonMaintainableAgg(fnName(f)) =>
+          fail(s"aggregate ${fnName(f)} is not incrementally maintainable " +
+            "under deletes (removing the contributing row forces a group " +
+            "rescan) — supported: count(*), count(x), sum(x), avg(x)")
+        case e =>
+          if (hasAgg(e))
+            fail(s"expressions over aggregates (${e.sql}) are not supported — " +
+              "compute them when reading the view")
+          val out = outOpt.getOrElse(fail(s"alias group expression ${e.sql}"))
+          if (!groupSqls.contains(e.sql))
+            fail(s"non-aggregate select item ${e.sql} must appear in GROUP BY")
+          groups :+= GroupCol(out, e.sql)
+      }
+    }
+    if (groups.isEmpty) fail("select at least one group column")
+    if (aggs.isEmpty) fail("select at least one aggregate")
+    val outs = groups.map(_.out) ++ aggs.map(_.out)
+    outs.diff(outs.distinct).headOption.foreach(d => fail(s"duplicate output name '$d'"))
+    (srcKey, filterSql, groups, aggs)
+  }
+
+  // ------------------------------------------------------------- SQL gen
+
+  /** The store-contents aggregate over `srcRelation` (a table reference,
+    * optionally with `VERSION AS OF`): groups, rowcount, components.
+    */
+  private[sources] def storeSelectSql(st: MvState, srcRelation: String): String = {
+    val items =
+      st.groups.map(g => s"${g.exprSql} AS ${q(g.out)}") ++
+        Seq(s"count(*) AS ${q(RowCountCol)}") ++
+        st.aggs.flatMap {
+          case AggSpec("countstar", _, _) => Nil
+          case AggSpec("count", arg, out) =>
+            Seq(s"count($arg) AS ${q(s"__mv_cnt_$out")}")
+          case AggSpec(_, arg, out) => Seq(
+            s"sum($arg) AS ${q(s"__mv_sum_$out")}",
+            s"count($arg) AS ${q(s"__mv_cnt_$out")}")
+        }
+    val where = st.filterSql.map(f => s"\nWHERE $f").getOrElse("")
+    s"""SELECT ${items.mkString(", ")}
+       |FROM $srcRelation$where
+       |GROUP BY ${st.groups.map(_.exprSql).mkString(", ")}""".stripMargin
+  }
+
+  /** The user-facing view over the store: reconstruct each declared
+    * aggregate from its components.
+    */
+  private[sources] def viewSelectSql(st: MvState): String = {
+    val items =
+      st.groups.map(g => q(g.out)) ++
+        st.aggs.map {
+          case AggSpec("countstar", _, out) => s"${q(RowCountCol)} AS ${q(out)}"
+          case AggSpec("count", _, out) => s"${q(s"__mv_cnt_$out")} AS ${q(out)}"
+          case AggSpec("sum", _, out) =>
+            s"CASE WHEN ${q(s"__mv_cnt_$out")} = 0 THEN NULL " +
+              s"ELSE ${q(s"__mv_sum_$out")} END AS ${q(out)}"
+          case AggSpec(_, _, out) => // avg
+            s"CASE WHEN ${q(s"__mv_cnt_$out")} = 0 THEN NULL " +
+              s"ELSE ${q(s"__mv_sum_$out")} / ${q(s"__mv_cnt_$out")} END AS ${q(out)}"
+        }
+    s"SELECT ${items.mkString(", ")} FROM graft.${q(st.storeKey)}"
+  }
+
+  /** Per-group delta aggregate over one change window: insert events sign
+    * +1, delete events −1 (updates read as delete+insert pairs), every
+    * component summed SIGNED. A group whose rows all cancel still emits a
+    * zero-delta row — the MERGE no-ops it.
+    */
+  private def deltaSelectSql(st: MvState, chgView: String, storeSchema: StructType): String = {
+    def sumType(out: String): String =
+      storeSchema(s"__mv_sum_$out").dataType.sql
+    val items =
+      st.groups.map(g => s"${g.exprSql} AS ${q(g.out)}") ++
+        Seq(s"CAST(sum($SignCol) AS BIGINT) AS ${q(RowCountCol)}") ++
+        st.aggs.flatMap {
+          case AggSpec("countstar", _, _) => Nil
+          case AggSpec("count", arg, out) => Seq(
+            s"CAST(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol ELSE CAST(0 AS BIGINT) END) " +
+              s"AS BIGINT) AS ${q(s"__mv_cnt_$out")}")
+          case AggSpec(_, arg, out) => Seq(
+            s"CAST(coalesce(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol * ($arg) END), 0) " +
+              s"AS ${sumType(out)}) AS ${q(s"__mv_sum_$out")}",
+            s"CAST(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol ELSE CAST(0 AS BIGINT) END) " +
+              s"AS BIGINT) AS ${q(s"__mv_cnt_$out")}")
+        }
+    val where = st.filterSql.map(f => s" WHERE $f").getOrElse("")
+    s"""SELECT ${items.mkString(", ")}
+       |FROM (
+       |  SELECT *, CASE WHEN ${MemChangesSource.ChangeType} IN ('insert', 'update_postimage')
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS $SignCol
+       |  FROM $chgView$where) __graft_mv_signed
+       |GROUP BY ${st.groups.map(_.exprSql).mkString(", ")}""".stripMargin
+  }
+
+  /** Fold a delta relation into the store: dead groups delete, touched
+    * groups add componentwise, new groups insert. Group keys join
+    * NULL-SAFE — NULL is a real group.
+    */
+  private def mergeSql(st: MvState, deltaView: String): String = {
+    val on = st.groups.map(g => s"t.${q(g.out)} <=> s.${q(g.out)}").mkString(" AND ")
+    val compCols = st.componentCols.drop(st.groups.size) // rowcount + components
+    val sets = compCols.map(c => s"${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
+    val allCols = st.componentCols
+    s"""MERGE INTO graft.${q(st.storeKey)} t USING $deltaView s
+       |ON $on
+       |WHEN MATCHED AND t.${q(RowCountCol)} + s.${q(RowCountCol)} = 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN NOT MATCHED AND s.${q(RowCountCol)} > 0 THEN
+       |  INSERT (${allCols.map(q).mkString(", ")})
+       |  VALUES (${allCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+  }
+
+  // --------------------------------------------------------- persistence
+
+  private val mapper = new ObjectMapper()
+
+  private def journalPath(storageDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(storageDir, JournalName)
+
+  /** Write the refresh journal atomically (tmp + rename) into the store
+    * table's storage directory — the durable copy of this registry entry.
+    */
+  private[sources] def persist(st: MvState): Unit = {
+    val storeSt = MemTables.get(st.storeKey).getOrElse(throw new IllegalStateException(
+      s"materialized view '${st.name}': store table ${st.storeKey} missing"))
+    val dir = storeSt.storageDir.getOrElse(throw new IllegalStateException(
+      s"materialized view '${st.name}': store table ${st.storeKey} is not file-backed"))
+    val o = mapper.createObjectNode()
+    o.put("format-version", 1)
+    o.put("name", st.name)
+    o.put("source", st.srcKey)
+    o.put("store", st.storeKey)
+    o.put("definition-sql", st.definitionSql)
+    o.put("view-sql", st.viewSql)
+    o.put("view-schema", st.viewSchemaJson)
+    st.filterSql.foreach(o.put("filter-sql", _))
+    val gs = mapper.createArrayNode()
+    st.groups.foreach { g =>
+      val n = mapper.createObjectNode(); n.put("out", g.out); n.put("sql", g.exprSql)
+      gs.add(n)
+    }
+    o.set[JsonNode]("groups", gs)
+    val as = mapper.createArrayNode()
+    st.aggs.foreach { a =>
+      val n = mapper.createObjectNode()
+      n.put("kind", a.kind); n.put("arg", a.argSql); n.put("out", a.out)
+      as.add(n)
+    }
+    o.set[JsonNode]("aggs", as)
+    o.put("watermark", st.watermark)
+    st.pending.foreach { p =>
+      val n = mapper.createObjectNode()
+      n.put("from", p.from); n.put("to", p.to)
+      n.put("store-version-before", p.storeVersionBefore)
+      o.set[JsonNode]("pending", n)
+    }
+    val tmp = java.nio.file.Paths.get(dir, JournalName + ".tmp")
+    java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
+    java.nio.file.Files.move(tmp, journalPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def loadJournal(dir: String): Option[MvState] = {
+    val p = journalPath(dir)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else try loadJournalUnsafe(p)
+    catch {
+      case e: Exception =>
+        // an unreadable journal must not wedge recovery (or DROP): the
+        // same skip-loudly discipline as table metadata recovery
+        System.err.println(
+          s"graft: skipping unreadable materialized-view journal at $p: ${e.getMessage}")
+        None
+    }
+  }
+
+  private def loadJournalUnsafe(p: java.nio.file.Path): Option[MvState] = {
+    {
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(p)).asInstanceOf[ObjectNode]
+      def arr(field: String): Seq[JsonNode] = {
+        val it = root.get(field).elements()
+        val b = Vector.newBuilder[JsonNode]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      Some(MvState(
+        name = root.get("name").asText,
+        srcKey = root.get("source").asText,
+        storeKey = root.get("store").asText,
+        definitionSql = root.get("definition-sql").asText,
+        viewSql = root.get("view-sql").asText,
+        viewSchemaJson = root.get("view-schema").asText,
+        filterSql = Option(root.get("filter-sql")).map(_.asText),
+        groups = arr("groups").map(n => GroupCol(n.get("out").asText, n.get("sql").asText)),
+        aggs = arr("aggs").map(n =>
+          AggSpec(n.get("kind").asText, n.get("arg").asText, n.get("out").asText)),
+        watermark = root.get("watermark").asLong,
+        pending = Option(root.get("pending")).map(n => Pending(
+          n.get("from").asLong, n.get("to").asLong,
+          n.get("store-version-before").asLong))))
+    }
+  }
+
+  /** Registry lookup with DISK RECOVERY (the [[MemTables.get]] discipline):
+    * on a miss, fault the store table in from the warehouse and rebuild
+    * the registry entry and the catalog view from its refresh journal —
+    * a restart loses no materialized view whose store reached disk.
+    */
+  private[sources] def getOrRecover(name: String): Option[MvState] =
+    registry.get(name).orElse {
+      for {
+        storeSt <- MemTables.get(name + StoreSuffix)
+        dir <- storeSt.storageDir
+        st <- loadJournal(dir)
+        if st.name == name
+      } yield {
+        val recovered = registry.putIfAbsent(name, st).getOrElse(st)
+        if (!MemViews.views.contains(name)) registerCatalogView(recovered)
+        recovered
+      }
+    }
+
+  private def registerCatalogView(st: MvState): Unit = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(st.viewSchemaJson)
+      .asInstanceOf[StructType]
+    MemViews.views.put(st.name, MemViews.StoredView(
+      st.viewSql, "graft", Array.empty, schema, schema.fieldNames,
+      Array.empty, Array.empty, Map("graft.mv" -> "true")))
+  }
+
+  /** Spec hook: drop the in-memory registry entry (and the catalog view),
+    * keeping disk intact — the restart half of the recovery drill.
+    */
+  private[sources] def forget(name: String): Unit = {
+    registry.remove(name)
+    MemViews.views.remove(name)
+  }
+
+  // --------------------------------------------------------------- create
+
+  private val NamePattern = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  def create(spark: SparkSession, name: String, sql: String): (Long, Long) = {
+    if (NamePattern.findFirstIn(name).isEmpty)
+      throw new IllegalArgumentException(
+        s"materialized view name '$name' is invalid (letters, digits, underscores)")
+    val storeKey = name + StoreSuffix
+    lockFor(name).synchronized {
+      if (registry.contains(name) || MemViews.views.contains(name))
+        throw new IllegalArgumentException(s"materialized view or view '$name' already exists")
+      if (MemTables.get(name).isDefined)
+        throw new IllegalArgumentException(
+          s"a table named '$name' already exists — a materialized view must not shadow it")
+      if (MemTables.get(storeKey).isDefined || MemViews.views.contains(storeKey))
+        throw new IllegalArgumentException(s"store table name '$storeKey' is already taken")
+
+      val (srcKey, filterSql, groups, aggs) = parseDefinition(spark, name, sql)
+      val srcSt = MemTables.get(srcKey).getOrElse(throw new IllegalArgumentException(
+        s"materialized view '$name': source table '$srcKey' does not exist in the graft catalog"))
+      val srcV = srcSt.synchronized(srcSt.version)
+
+      var st = MvState(name, srcKey, storeKey, sql, viewSql = "",
+        viewSchemaJson = "", filterSql, groups, aggs,
+        watermark = srcV, pending = None)
+      // probe at the pinned version: schema determines component types,
+      // and the same frame seeds the store — create is consistent even
+      // against concurrent source commits
+      val probe = spark.sql(
+        storeSelectSql(st, s"graft.${q(srcKey)} VERSION AS OF $srcV"))
+      st.sumCols.foreach { c =>
+        val t = probe.schema(c).dataType
+        if (t != LongType && t != DoubleType)
+          throw new IllegalArgumentException(
+            s"materialized view '$name': SUM/AVG over ${t.simpleString} is not " +
+              "supported for incremental maintenance (supported: integral and " +
+              "floating-point inputs)")
+      }
+      val storeSchema = StructType(probe.schema.fields.map(_.copy(nullable = true)))
+      spark.sql(s"CREATE TABLE graft.${q(storeKey)} (${storeSchema.toDDL}) " +
+        "TBLPROPERTIES('graft.storage'='parquet')")
+      try {
+        // internal sums are ALWAYS non-null (0 when the non-null count is
+        // 0) so component arithmetic never goes NULL-absorbing
+        val seeded =
+          if (st.sumCols.nonEmpty) probe.na.fill(0L, st.sumCols) else probe
+        seeded.writeTo(s"graft.${q(storeKey)}").append()
+        val viewSql = viewSelectSql(st)
+        // analyze once HERE, where the catalog is necessarily bound (the
+        // CALL came through it); recovery replays the recorded schema
+        st = st.copy(viewSql = viewSql,
+          viewSchemaJson = spark.sql(viewSql).schema.json)
+        registry.put(name, st)
+        persist(st)
+        registerCatalogView(st)
+      } catch {
+        case e: Throwable =>
+          registry.remove(name)
+          MemViews.views.remove(name)
+          MemTables.drop(storeKey)
+          throw e
+      }
+      val rows = MemTables.get(storeKey).map(s =>
+        s.batches.filter(_.removedAt == Long.MaxValue).map(_.rowCount.toLong).sum).getOrElse(0L)
+      (srcV, rows)
+    }
+  }
+
+  // -------------------------------------------------------------- refresh
+
+  /** Returns (mode, fromVersion, toVersion). */
+  def refresh(spark: SparkSession, name: String): (String, Long, Long) = {
+    getOrRecover(name).getOrElse(throw new IllegalArgumentException(
+      s"materialized view '$name' does not exist"))
+    lockFor(name).synchronized {
+      var st = registry(name)
+      val storeSt = MemTables.get(st.storeKey).getOrElse(throw new IllegalStateException(
+        s"materialized view '$name': store table ${st.storeKey} no longer exists — " +
+          "drop the materialized view"))
+      // WRITE-INTENT repair: a pending window whose store version advanced
+      // means the merge committed but the watermark write was lost — roll
+      // the store back to the recorded pre-merge snapshot and re-apply
+      st.pending.foreach { p =>
+        if (storeSt.synchronized(storeSt.version) > p.storeVersionBefore)
+          MemTables.rollback(st.storeKey, p.storeVersionBefore)
+        st = st.copy(pending = None)
+        registry.put(name, st)
+        persist(st)
+      }
+      val srcSt = MemTables.get(st.srcKey).getOrElse(throw new IllegalStateException(
+        s"materialized view '$name': source table ${st.srcKey} no longer exists"))
+      val (srcV, earliest) = srcSt.synchronized((srcSt.version, srcSt.earliestVersion))
+      if (srcV < st.watermark)
+        // a version clock can only run BEHIND the watermark if the source
+        // was dropped and re-created under the same name — the recorded
+        // window is meaningless against the new table's history
+        throw new IllegalStateException(
+          s"materialized view '$name': source table ${st.srcKey} is at " +
+            s"version $srcV, behind the recorded watermark ${st.watermark} — " +
+            "the source was re-created; drop and re-create the materialized view")
+      if (srcV == st.watermark) ("noop", st.watermark, srcV)
+      else {
+        val from = st.watermark
+        val intent = st.copy(pending =
+          Some(Pending(from, srcV, storeSt.synchronized(storeSt.version))))
+        registry.put(name, intent)
+        persist(intent)
+        val tag = s"${name}_${System.nanoTime()}"
+        val mode =
+          if (from < earliest) {
+            // watermark expired out of source retention: the change window
+            // is gone — recompute in full, loudly reported as mode=full
+            val seed = {
+              val df = spark.sql(
+                storeSelectSql(st, s"graft.${q(st.srcKey)} VERSION AS OF $srcV"))
+              if (st.sumCols.nonEmpty) df.na.fill(0L, st.sumCols) else df
+            }
+            val tv = s"__graft_mv_full_$tag"
+            seed.createOrReplaceTempView(tv)
+            try spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}")
+            finally spark.catalog.dropTempView(tv)
+            "full"
+          } else {
+            val chgView = s"__graft_mv_chg_$tag"
+            val deltaView = s"__graft_mv_delta_$tag"
+            spark.read.format("graft.sources.MemChangesSource")
+              .option("table", st.srcKey)
+              .option("from", from.toString).option("to", srcV.toString)
+              .load()
+              .createOrReplaceTempView(chgView)
+            try {
+              spark.sql(deltaSelectSql(st, q(chgView), storeSt.schema))
+                .createOrReplaceTempView(deltaView)
+              try spark.sql(mergeSql(st, q(deltaView)))
+              finally spark.catalog.dropTempView(deltaView)
+            } finally spark.catalog.dropTempView(chgView)
+            "incremental"
+          }
+        st = st.copy(watermark = srcV, pending = None)
+        registry.put(name, st)
+        persist(st)
+        (mode, from, srcV)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- drop
+
+  def drop(name: String): Boolean =
+    lockFor(name).synchronized {
+      val known = getOrRecover(name).isDefined
+      registry.remove(name)
+      // only remove the catalog view if it is OURS (an unrelated plain
+      // view sharing the name must survive a mistaken drop call)
+      if (known || MemViews.views.get(name).exists(_.properties.contains("graft.mv")))
+        MemViews.views.remove(name)
+      val dropped = MemTables.drop(name + StoreSuffix)
+      known || dropped
+    }
+}

@@ -2323,6 +2323,61 @@ object Roundtrips {
          |FROM probes""".stripMargin)
   }
 
+  /** INCREMENTAL MATERIALIZED VIEW over the change feed ([[MatViews]]):
+    * materialize a filtered per-priority rollup (count/count(x)/sum/avg)
+    * at the source's first snapshot, then append, UPDATE, and DELETE an
+    * entire group out of the source, and refresh ONCE. The refresh must
+    * run INCREMENTALLY (mode + exact `(watermark, current]` window are
+    * part of the hash) — it reads only the three-commit change window,
+    * folds it into per-group deltas, and MERGEs them into the store,
+    * deleting the dead group. The oracle restates the final aggregate
+    * from `orders` by replaying the same mutations relationally, so a
+    * wrong delta sign, a missed NULL-input row, a leaked dead group, or
+    * a silent full-recompute fallback all break the row set or the mode
+    * column. The avg column travels as `floor(av * 10000)` — the view
+    * projects `sum/count` in exact double arithmetic, restated
+    * identically in the oracle. At 100 TB this is the derived-table
+    * story: the nightly rollup refresh costs the day's commits, not the
+    * table scan.
+    */
+  val dsv2IncrementalMv: QueryDef = QueryDef(
+    "dsv2_incremental_mv",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |upd AS (SELECT k, g, CASE WHEN k % 5 = 0 THEN v + 50 ELSE v END AS v FROM base),
+      |fin AS (SELECT * FROM upd WHERE g <> '1-URGENT'),
+      |mv AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(count(v) AS BIGINT) AS nv,
+      |         CAST(sum(v) AS BIGINT) AS sv,
+      |         CAST(floor((CAST(sum(v) AS DOUBLE) / count(v)) * 10000) AS BIGINT) AS av4
+      |  FROM fin WHERE k % 3 <> 0 GROUP BY g)
+      |SELECT g, n, nv, sv, av4, 'incremental' AS mode,
+      |       CAST(1 AS BIGINT) AS from_version, CAST(4 AS BIGINT) AS to_version
+      |FROM mv""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_rev") // idempotent re-run: clear view + store
+    val tbl = freshGraftTable(spark, "mem_mv_orders", "(k BIGINT, g STRING, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise(Num.cents(col("o_totalprice"))).as("v"))
+    base.filter(col("k") % 2 === 0).writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_materialized_view('mv_rev', " +
+      "'SELECT g, count(*) AS n, count(v) AS nv, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.mem_mv_orders WHERE k % 3 <> 0 GROUP BY g')") // watermark = 1
+    base.filter(col("k") % 2 === 1).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET v = v + 50 WHERE k % 5 = 0") // v3
+    spark.sql(s"DELETE FROM $tbl WHERE g = '1-URGENT'") // v4: group death
+    val refresh = spark.sql("CALL graft.refresh_materialized_view('mv_rev')")
+      .select(col("mode"), col("from_version"), col("to_version"))
+    spark.sql("SELECT g, n, nv, sv, CAST(floor(av * 10000) AS BIGINT) AS av4 " +
+      "FROM graft.mv_rev")
+      .crossJoin(refresh)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2336,5 +2391,5 @@ object Roundtrips {
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
-      dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping)
+      dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv)
 }

@@ -464,13 +464,17 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "remove_orphan_files" => RemoveOrphanFilesProcedure
       case "unload_table" => UnloadTableProcedure
       case "migrate_storage" => MigrateStorageProcedure
+      case "create_materialized_view" => CreateMaterializedViewProcedure
+      case "refresh_materialized_view" => RefreshMaterializedViewProcedure
+      case "drop_materialized_view" => DropMaterializedViewProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
           "table_history, create_tag, drop_tag, " +
           "create_branch, drop_branch, fast_forward, replace_partition_spec, " +
           "create_view, drop_view, remove_orphan_files, unload_table, " +
-          "migrate_storage)")
+          "migrate_storage, create_materialized_view, " +
+          "refresh_materialized_view, drop_materialized_view)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(
@@ -490,7 +494,10 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "drop_view"),
       Identifier.of(namespace, "remove_orphan_files"),
       Identifier.of(namespace, "unload_table"),
-      Identifier.of(namespace, "migrate_storage"))
+      Identifier.of(namespace, "migrate_storage"),
+      Identifier.of(namespace, "create_materialized_view"),
+      Identifier.of(namespace, "refresh_materialized_view"),
+      Identifier.of(namespace, "drop_materialized_view"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -1554,6 +1561,117 @@ object DropViewProcedure
       throw new IllegalArgumentException(s"view '$viewName' does not exist")
     ProcedureResults.scan(s"GraftDropView $viewName", outSchema,
       Seq(Seq(viewName, java.lang.Boolean.TRUE)))
+  }
+}
+
+/** `CALL graft.create_materialized_view('<name>', '<aggregate sql>')` —
+  * compute the aggregate once at the source's current version, store it
+  * as the file-backed table `<name>__store`, expose it as the catalog
+  * view `graft.<name>`. See [[MatViews]] for the maintainable shape and
+  * the refresh protocol.
+  */
+object CreateMaterializedViewProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "create_materialized_view"
+  override def description(): String =
+    "materialize an aggregate query over a graft table; refresh " +
+      "incrementally from the change feed (refresh_materialized_view)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("sql", StringType)
+      .comment("SELECT <groups>, count/sum/avg aggregates FROM <graft table> " +
+        "[WHERE ...] GROUP BY <groups>").build())
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("store", StringType, nullable = false)
+    .add("source_version", LongType, nullable = false)
+    .add("rows", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val mvName = input.getUTF8String(0).toString
+    val sql = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (srcVersion, rows) = MatViews.create(spark, mvName, sql)
+    ProcedureResults.scan(s"GraftCreateMaterializedView $mvName", outSchema,
+      Seq(Seq(mvName, mvName + MatViews.StoreSuffix, srcVersion, rows)))
+  }
+}
+
+/** `CALL graft.refresh_materialized_view('<name>')` — advance the view to
+  * the source's current version: fold the change window `(watermark,
+  * current]` into per-group deltas and MERGE them into the store (mode
+  * `incremental`), or recompute in full when the watermark expired out of
+  * source retention (mode `full`); `noop` when already current. Crash-safe
+  * via the write-intent journal (see [[MatViews]]).
+  */
+object RefreshMaterializedViewProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def name(): String = "refresh_materialized_view"
+  override def description(): String =
+    "fold the source's change feed since the last refresh into the " +
+      "materialized view (cost: the change window, not the table)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("mode", StringType, nullable = false)
+    .add("from_version", LongType, nullable = false)
+    .add("to_version", LongType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val mvName = input.getUTF8String(0).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (mode, from, to) = MatViews.refresh(spark, mvName)
+    ProcedureResults.scan(s"GraftRefreshMaterializedView $mvName", outSchema,
+      Seq(Seq(mvName, mode, from, to)))
+  }
+}
+
+/** `CALL graft.drop_materialized_view('<name>')` — drop the catalog view,
+  * the registry entry, and the backing store table (files included).
+  */
+object DropMaterializedViewProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+
+  override def name(): String = "drop_materialized_view"
+  override def description(): String =
+    "drop a materialized view and its backing store table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("dropped", BooleanType, nullable = false)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val mvName = input.getUTF8String(0).toString
+    val dropped = MatViews.drop(mvName)
+    if (!dropped)
+      throw new IllegalArgumentException(s"materialized view '$mvName' does not exist")
+    ProcedureResults.scan(s"GraftDropMaterializedView $mvName", outSchema,
+      Seq(Seq(mvName, java.lang.Boolean.TRUE)))
   }
 }
 

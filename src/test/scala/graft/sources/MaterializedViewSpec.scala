@@ -1,0 +1,225 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Incremental materialized views ([[MatViews]]): create-time
+  * materialization, delta refresh from the change feed (inserts, updates,
+  * deletes, group death, NULL groups, all-NULL sum inputs), the full
+  * fallback past the retention horizon, write-intent crash repair, disk
+  * recovery, and the create-time validation wall.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def dropMv(name: String): Unit = {
+    MatViews.forget(name)
+    MemTables.drop(name + MatViews.StoreSuffix)
+    MemViews.views.remove(name)
+    ()
+  }
+
+  private def freshSrc(name: String, rows: String*): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+    spark.sql(s"CREATE TABLE graft.$name (k BIGINT, g STRING, v BIGINT)")
+    rows.foreach(r => spark.sql(s"INSERT INTO graft.$name VALUES $r"))
+  }
+
+  private def rowsOf(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("create materializes the aggregate and registers a readable view") {
+    catalogOn(); dropMv("mv_basic"); freshSrc("mv_basic_src",
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', NULL), (6, 'c', 60)")
+    val res = spark.sql("CALL graft.create_materialized_view('mv_basic', " +
+      "'SELECT g, count(*) AS n, count(v) AS nv, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.mv_basic_src WHERE k % 5 <> 0 GROUP BY g')").head()
+    assert(res.getString(0) === "mv_basic")
+    assert(res.getString(1) === "mv_basic__store")
+    assert(res.getLong(2) === 1L) // create(0) + one insert
+    assert(res.getLong(3) === 3L) // three groups
+    assert(rowsOf("SELECT g, n, nv, sv, av FROM graft.mv_basic ORDER BY g") ===
+      rowsOf("SELECT g, count(*) AS n, count(v) AS nv, sum(v) AS sv, avg(v) AS av " +
+        "FROM graft.mv_basic_src WHERE k % 5 <> 0 GROUP BY g ORDER BY g"))
+    // k=4 row: NULL v counts toward n but not nv/sv/av
+    val b = spark.sql("SELECT n, nv, sv FROM graft.mv_basic WHERE g = 'b'").head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) === ((2L, 1L, 30L)))
+  }
+
+  test("incremental refresh folds inserts, updates, deletes, and group death") {
+    catalogOn(); dropMv("mv_incr"); freshSrc("mv_incr_src",
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'c', 40)")
+    spark.sql("CALL graft.create_materialized_view('mv_incr', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_incr_src GROUP BY g')")
+    spark.sql("INSERT INTO graft.mv_incr_src VALUES (5, 'a', 50), (6, 'd', 60)") // v2
+    spark.sql("UPDATE graft.mv_incr_src SET v = v + 7 WHERE g = 'b'") // v3
+    spark.sql("DELETE FROM graft.mv_incr_src WHERE g = 'c'") // v4: group death
+    val r = spark.sql("CALL graft.refresh_materialized_view('mv_incr')").head()
+    assert(r.getString(1) === "incremental")
+    assert((r.getLong(2), r.getLong(3)) === ((1L, 4L)))
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_incr ORDER BY g") ===
+      rowsOf("SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_incr_src " +
+        "GROUP BY g ORDER BY g"))
+    assert(spark.sql("SELECT * FROM graft.mv_incr WHERE g = 'c'").count() === 0L)
+    // second refresh with nothing new: noop, watermark already current
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_incr')").head()
+    assert(r2.getString(1) === "noop")
+    assert(r2.getLong(2) === r2.getLong(3))
+  }
+
+  test("NULL group keys are real groups; all-NULL sum inputs read NULL") {
+    catalogOn(); dropMv("mv_nulls"); freshSrc("mv_nulls_src",
+      "(1, NULL, 10), (2, NULL, NULL), (3, 'a', NULL)")
+    spark.sql("CALL graft.create_materialized_view('mv_nulls', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_nulls_src GROUP BY g')")
+    // group 'a' exists with all-NULL v: sum must read NULL, not 0
+    val a0 = spark.sql("SELECT n, sv FROM graft.mv_nulls WHERE g = 'a'").head()
+    assert(a0.getLong(0) === 1L && a0.isNullAt(1))
+    // grow the NULL group and give 'a' a real value
+    spark.sql("INSERT INTO graft.mv_nulls_src VALUES (4, NULL, 40), (5, 'a', 50)")
+    // delete one NULL-group row (the NULL-v one)
+    spark.sql("DELETE FROM graft.mv_nulls_src WHERE k = 2")
+    spark.sql("CALL graft.refresh_materialized_view('mv_nulls')")
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_nulls ORDER BY g NULLS FIRST") ===
+      rowsOf("SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_nulls_src " +
+        "GROUP BY g ORDER BY g NULLS FIRST"))
+    val a1 = spark.sql("SELECT n, sv FROM graft.mv_nulls WHERE g = 'a'").head()
+    assert(a1.getLong(0) === 2L && a1.getLong(1) === 50L)
+  }
+
+  test("refresh falls back to a full recompute past the retention horizon") {
+    catalogOn(); dropMv("mv_full"); freshSrc("mv_full_src",
+      "(1, 'a', 10), (2, 'b', 20)")
+    spark.sql("CALL graft.create_materialized_view('mv_full', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_full_src GROUP BY g')")
+    spark.sql("INSERT INTO graft.mv_full_src VALUES (3, 'a', 30)") // v2
+    spark.sql("DELETE FROM graft.mv_full_src WHERE k = 2") // v3
+    // age the watermark (v1) out of retention: incremental is impossible
+    spark.sql("CALL graft.expire_snapshots('mv_full_src', 3)")
+    val r = spark.sql("CALL graft.refresh_materialized_view('mv_full')").head()
+    assert(r.getString(1) === "full")
+    assert((r.getLong(2), r.getLong(3)) === ((1L, 3L)))
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_full ORDER BY g") ===
+      rowsOf("SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_full_src " +
+        "GROUP BY g ORDER BY g"))
+  }
+
+  test("write-intent repair: a committed merge with a lost watermark is rolled back, not double-applied") {
+    catalogOn(); dropMv("mv_crash"); freshSrc("mv_crash_src",
+      "(1, 'a', 10), (2, 'b', 20)")
+    spark.sql("CALL graft.create_materialized_view('mv_crash', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_crash_src GROUP BY g')")
+    val before = MatViews.registry("mv_crash")
+    val storeV0 = MemTables.get("mv_crash__store").get.version
+    spark.sql("INSERT INTO graft.mv_crash_src VALUES (3, 'a', 30)") // v2
+    spark.sql("CALL graft.refresh_materialized_view('mv_crash')") // merge commits
+    val good = rowsOf("SELECT g, n, sv FROM graft.mv_crash ORDER BY g")
+    assert(good === Seq(Seq("a", 2L, 40L), Seq("b", 1L, 20L)))
+    // simulate the crash window: merge committed (store advanced past
+    // storeV0) but the journal still shows the OLD watermark + intent
+    val stale = before.copy(pending =
+      Some(MatViews.Pending(before.watermark, 2L, storeV0)))
+    MatViews.registry.put("mv_crash", stale)
+    MatViews.persist(stale)
+    val r = spark.sql("CALL graft.refresh_materialized_view('mv_crash')").head()
+    assert(r.getString(1) === "incremental")
+    assert((r.getLong(2), r.getLong(3)) === ((before.watermark, 2L)))
+    // double-application would read (a, 2, 70): the repair must land the
+    // same contents as the clean refresh
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_crash ORDER BY g") === good)
+  }
+
+  test("disk recovery: registry and view rebuild from the refresh journal") {
+    catalogOn(); dropMv("mv_recover"); freshSrc("mv_recover_src",
+      "(1, 'a', 10), (2, 'b', 20)")
+    spark.sql("CALL graft.create_materialized_view('mv_recover', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_recover_src GROUP BY g')")
+    spark.sql("INSERT INTO graft.mv_recover_src VALUES (3, 'b', 30)")
+    // the restart drill: drop the registry entry + catalog view + the
+    // store table's in-memory state; only disk remains
+    spark.sql("CALL graft.unload_table('mv_recover__store')")
+    MatViews.forget("mv_recover")
+    assert(!MemTables.isLoaded("mv_recover__store"))
+    val r = spark.sql("CALL graft.refresh_materialized_view('mv_recover')").head()
+    assert(r.getString(1) === "incremental")
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_recover ORDER BY g") ===
+      Seq(Seq("a", 1L, 10L), Seq("b", 2L, 50L)))
+  }
+
+  test("create validation rejects the non-maintainable shapes loudly") {
+    catalogOn(); dropMv("mv_bad"); freshSrc("mv_bad_src", "(1, 'a', 10)")
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.create_materialized_view('mv_bad', '$sql')")
+      }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"message for [$sql] was: ${e.getMessage}")
+      assert(MatViews.registry.get("mv_bad").isEmpty)
+      assert(MemTables.get("mv_bad__store").isEmpty, "no store debris on failure")
+    }
+    rejects("SELECT g, max(v) AS m FROM graft.mv_bad_src GROUP BY g",
+      "not incrementally maintainable")
+    rejects("SELECT g, count(DISTINCT v) AS d FROM graft.mv_bad_src GROUP BY g",
+      "DISTINCT")
+    rejects("SELECT count(*) AS n FROM graft.mv_bad_src", "GROUP BY")
+    rejects("SELECT g, sum(v) + 1 AS s FROM graft.mv_bad_src GROUP BY g",
+      "expressions over aggregates")
+    rejects("SELECT g, sum(v) FROM graft.mv_bad_src GROUP BY g", "alias")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src a JOIN graft.mv_bad_src b " +
+      "ON a.k = b.k GROUP BY g", "single graft table")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src GROUP BY g ORDER BY g",
+      "one aggregate block")
+    rejects("SELECT g, count(*) AS n, sum(v) AS n FROM graft.mv_bad_src GROUP BY g",
+      "duplicate")
+    rejects("SELECT k, count(*) AS n FROM graft.mv_bad_src GROUP BY g",
+      "must appear in GROUP BY")
+    rejects("SELECT g, count(*) AS n FROM graft.no_such_table_mv GROUP BY g",
+      "does not exist")
+    // name collisions: existing table, view, and the store-suffix slot
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('mv_bad_src', " +
+        "'SELECT g, count(*) AS n FROM graft.mv_bad_src GROUP BY g')")
+    }
+    assert(e1.getMessage.contains("must not shadow"))
+  }
+
+  test("drop never deletes an unrelated plain view sharing the name") {
+    catalogOn(); dropMv("mv_plain"); MemViews.views.remove("mv_plain")
+    freshSrc("mv_plain_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_view('mv_plain', " +
+      "'SELECT g FROM graft.mv_plain_src')")
+    intercept[Exception] {
+      spark.sql("CALL graft.drop_materialized_view('mv_plain')").collect()
+    }
+    assert(MemViews.views.contains("mv_plain"), "plain view must survive")
+    MemViews.views.remove("mv_plain")
+  }
+
+  test("refresh fails loudly when the source was dropped and re-created") {
+    catalogOn(); dropMv("mv_recreate"); freshSrc("mv_recreate_src",
+      "(1, 'a', 10)", "(2, 'b', 20)", "(3, 'c', 30)") // v3
+    spark.sql("CALL graft.create_materialized_view('mv_recreate', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_recreate_src GROUP BY g')")
+    freshSrc("mv_recreate_src", "(9, 'z', 90)") // re-created: clock back at v1
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.refresh_materialized_view('mv_recreate')").collect()
+    }
+    assert(e.getMessage.contains("re-created"))
+  }
+
+  test("drop removes the view, the registry entry, and the store") {
+    catalogOn(); dropMv("mv_drop"); freshSrc("mv_drop_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_drop', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_drop_src GROUP BY g')")
+    assert(spark.sql("SELECT * FROM graft.mv_drop").count() === 1L)
+    val r = spark.sql("CALL graft.drop_materialized_view('mv_drop')").head()
+    assert(r.getBoolean(1))
+    assert(MatViews.registry.get("mv_drop").isEmpty)
+    assert(MemViews.views.get("mv_drop").isEmpty)
+    assert(MemTables.get("mv_drop__store").isEmpty)
+    intercept[Exception] {
+      spark.sql("CALL graft.drop_materialized_view('mv_drop')").collect()
+    }
+  }
+}
