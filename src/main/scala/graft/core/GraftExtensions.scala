@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.EliminateRedundantDedup)
+    e.injectOptimizerRule(s => graft.plans.RewriteAggToMatView(s))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
     e.injectFunction((

@@ -1,0 +1,394 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.sources.{MatViews, MemTable, MemTables}
+
+/** AGGREGATE-TO-MATERIALIZED-VIEW query rewrite — the read half of
+  * [[MatViews]], and the reason a warehouse keeps MVs at all: a query
+  * that re-states a materialized aggregate is answered from the
+  * pre-aggregated store (|groups| rows) instead of re-scanning the
+  * source (|table| rows). At 100 TB the difference is the whole query.
+  *
+  * The rule fires ONLY when the answer is provably identical:
+  *
+  *  - the plan node is `Aggregate` over (optionally `Filter` over) a
+  *    CURRENT-version scan of a graft table — never a time-travel pin,
+  *    branch, or changes relation (those are different snapshots);
+  *  - a registered MV has the same source, its filter and grouping set
+  *    are SEMANTICALLY equal (attribute-by-name remap, then
+  *    `semanticEquals` — alias/ordering/case noise doesn't matter), and
+  *    it is FRESH: `watermark == source.version` with no pending refresh
+  *    intent. A stale MV never serves reads silently — the rewrite just
+  *    doesn't fire;
+  *  - every output item derives from the stored components: group
+  *    columns, `count(*)` / `count(x)` / `sum(x)` / `avg(x)` over
+  *    maintained argument expressions (an MV maintaining `avg(v)` serves
+  *    `sum(v)` and `count(v)` too — components, not outputs, are the
+  *    unit of matching), and any scalar expression OVER those (e.g.
+  *    `sum(v) / count(*)`). DISTINCT, FILTER clauses, and other
+  *    aggregates leave the query on the source.
+  *
+  * Replacements preserve the original output exactly — names, exprIds,
+  * types, and nullability (`coalesce(cnt, 0)` for counts, a
+  * zero-count guard for sums, `AssertNotNull` where the source column
+  * was non-nullable) — so parents of the rewritten Aggregate never see
+  * the substitution. Disable with `spark.graft.mv.rewrite=false`.
+  */
+case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import RewriteAggToMatView._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MatViews.registry.isEmpty ||
+        conf.getConfString("spark.graft.mv.rewrite", "true") != "true") plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rel, cond) <- sourceOf(agg.child)
+      key = rel.table.asInstanceOf[MemTable].catalogKey
+      srcVersion <- MemTables.get(key).map(_.version)
+      result <- MatViews.registry.values.iterator
+        .filter(mv => mv.srcKey == key && mv.pending.isEmpty &&
+          mv.watermark == srcVersion)
+        .flatMap(mv => tryRewrite(agg, rel, cond, mv))
+        .nextOption()
+    } yield result
+  }
+
+  /** Match `[Project(attrs)] <- [Filter] <- [Project(attrs)] <- scan` down
+    * to a CURRENT MemTable relation; returns the relation and the filter
+    * condition. Column-pruning Projects are transparent (their references
+    * keep the relation's exprIds).
+    */
+  private def sourceOf(p: LogicalPlan): Option[(DataSourceV2Relation, Option[Expression])] = {
+    def stripProjects(n: LogicalPlan): LogicalPlan = n match {
+      case Project(items, child) if items.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(child)
+      case SubqueryAlias(_, child) => stripProjects(child)
+      case other => other
+    }
+    stripProjects(p) match {
+      case r: DataSourceV2Relation if isCurrentMemTable(r) => Some((r, None))
+      case Filter(cond, inner) => stripProjects(inner) match {
+        case r: DataSourceV2Relation if isCurrentMemTable(r) => Some((r, Some(cond)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def isCurrentMemTable(r: DataSourceV2Relation): Boolean = r.table match {
+    case t: MemTable => t.snapshotPin.isEmpty && !r.isStreaming
+    case _ => false
+  }
+
+  private def tryRewrite(
+      agg: Aggregate,
+      rel: DataSourceV2Relation,
+      cond: Option[Expression],
+      mv: MatViews.MvState): Option[LogicalPlan] = {
+    val d = analyzedDef(spark, mv).getOrElse(return None)
+
+    // user-relation attribute -> MV-definition attribute, by column name
+    val toDefAttr: Map[ExprId, Attribute] = rel.output.flatMap { a =>
+      d.relOutByName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+    }.toMap
+    def toDef(e: Expression): Option[Expression] = {
+      var ok = true
+      val t = e.transformUp {
+        case ar: AttributeReference =>
+          toDefAttr.get(ar.exprId) match {
+            case Some(defA) => defA
+            case None => ok = false; ar
+          }
+      }
+      if (ok) Some(t) else None
+    }
+
+    // FILTER containment, on conjunct sets: every definition conjunct
+    // must appear in the query (else the MV kept rows the query drops),
+    // and every query conjunct must either appear in the definition or
+    // reference ONLY grouping expressions (then it filters whole groups
+    // and is re-applied on the store below). Inferred-redundant
+    // `IsNotNull` conjuncts — the optimizer adds them on the query side,
+    // analysis-only text keeps them off the definition side — are
+    // removed from both before comparing.
+    val userConj = minusRedundantNotNull(
+      cond.toSeq.flatMap(conjuncts).map(c => toDef(c).getOrElse(return None)))
+    val defConj = minusRedundantNotNull(d.filter.toSeq.flatMap(conjuncts))
+    if (!defConj.forall(f => userConj.exists(_.semanticEquals(f)))) return None
+    val extraConj: Seq[Expression] =
+      userConj.filterNot(c => defConj.exists(_.semanticEquals(c)))
+
+    // grouping-set bijection
+    val userGroups = agg.groupingExpressions
+    if (userGroups.size != d.groups.size) return None
+    val used = scala.collection.mutable.BitSet.empty
+    val groupIdx: Seq[Int] = userGroups.map { g =>
+      val gd = toDef(g).getOrElse(return None)
+      val i = d.groups.indexWhere { case (expr, _) => gd.semanticEquals(expr) }
+      if (i < 0 || used(i)) return None
+      used += i
+      i
+    }
+    val _ = groupIdx // bijection established; replacement matches per-item below
+
+    // the replacement scans the STORE through the same catalog
+    val storeRel = storeRelation(rel, mv).getOrElse(return None)
+    val storeAttr: Map[String, AttributeReference] = storeRel.output.map {
+      case a: AttributeReference => a.name -> a
+    }.toMap
+    def storeCol(n: String): Option[AttributeReference] = storeAttr.get(n)
+
+    def defGroupStoreAttr(ed: Expression): Option[AttributeReference] =
+      d.groups.collectFirst {
+        case (expr, out) if ed.semanticEquals(expr) => out
+      }.flatMap(storeCol)
+
+    // rewrite a definition-side expression so it references only store
+    // columns: grouping subtrees map to their store column, literals and
+    // scalar glue stay, anything else (a non-grouping source column) bails
+    def overGroups(ed: Expression): Option[Expression] =
+      defGroupStoreAttr(ed).map(a => a: Expression).orElse(ed match {
+        case _: AttributeReference => None
+        case l: Literal => Some(l)
+        case other =>
+          val kids = other.children.map(overGroups)
+          if (kids.exists(_.isEmpty)) None else Some(other.withNewChildren(kids.map(_.get)))
+      })
+
+    // the group-only extra conjuncts become a post-filter on the store:
+    // a predicate over grouping expressions selects whole groups, so it
+    // commutes with the aggregation
+    val extraFilters: Seq[Expression] = extraConj.map { c =>
+      if (!c.deterministic) return None
+      overGroups(c).getOrElse(return None)
+    }
+
+    def groupReplacement(e: Expression): Option[Expression] = {
+      val ed = toDef(e).getOrElse(return None)
+      defGroupStoreAttr(ed).map { a =>
+        if (!e.nullable && a.nullable) AssertNotNull(a) else a
+      }
+    }
+
+    def aggReplacement(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def findComp(arg: Expression): Option[(Option[String], Option[String])] = for {
+        argD <- toDef(arg)
+        c <- d.comps.find(_.arg.semanticEquals(argD))
+      } yield (c.sumCol, c.cntCol)
+      val replacement = ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null =>
+            storeCol(MatViews.RowCountCol).map(n => Coalesce(Seq(n, Literal(0L))))
+          case Seq(arg) => findComp(arg).flatMap {
+            case (_, Some(cnt)) => storeCol(cnt).map(c0 => Coalesce(Seq(c0, Literal(0L))))
+            case _ => None
+          }
+          case _ => None
+        }
+        case s: Sum => findComp(s.child).flatMap {
+          case (Some(sum), Some(cnt)) =>
+            for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
+              If(EqualTo(ca, Literal(0L)), Literal(null, sa.dataType), sa)
+          case _ => None
+        }
+        case a: Average => findComp(a.child).flatMap {
+          case (Some(sum), Some(cnt)) =>
+            for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
+              If(EqualTo(ca, Literal(0L)), Literal(null, DoubleType),
+                Divide(Cast(sa, DoubleType), Cast(ca, DoubleType)))
+          case _ => None
+        }
+        case _ => None
+      }
+      // type-identity safety net: never swap in a differently-typed value
+      replacement.filter(_.dataType == ae.dataType)
+    }
+
+    // rewrite each output item top-down: grouping subtrees first (so
+    // `year(d)` maps as a unit), aggregates atomically, scalar glue kept
+    def rewriteExpr(e: Expression): Option[Expression] =
+      groupReplacement(e).orElse(e match {
+        case ae: AggregateExpression => aggReplacement(ae)
+        case _: AttributeReference => None // non-grouping source column
+        case _: Literal => Some(e)
+        case other =>
+          val kids = other.children.map(rewriteExpr)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      })
+
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val rewritten = ne match {
+        case al: Alias => rewriteExpr(al.child)
+        case ar: AttributeReference => rewriteExpr(ar)
+        case _ => None
+      }
+      rewritten match {
+        case Some(r) => ne match {
+          case al: Alias =>
+            Alias(r, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata)
+          case ar: AttributeReference =>
+            Alias(r, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+          case _ => return None
+        }
+        case None => return None
+      }
+    }
+    val child: LogicalPlan =
+      if (extraFilters.isEmpty) storeRel
+      else Filter(extraFilters.reduce(And), storeRel)
+    Some(Project(outputs, child))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Drop `IsNotNull(a)` conjuncts that are IMPLIED by a sibling
+    * null-intolerant conjunct referencing `a` — the optimizer infers
+    * them on the query side (`InferFiltersFromConstraints`) while the
+    * analysis-only definition text never carries them. Only a
+    * whitelisted null-intolerant shape justifies the drop (`a <=> x` or
+    * an OR would NOT imply non-null), so a genuinely load-bearing
+    * IS NOT NULL always survives to the set comparison.
+    */
+  private def minusRedundantNotNull(cs: Seq[Expression]): Seq[Expression] =
+    cs.filterNot {
+      case IsNotNull(a: Attribute) => cs.exists {
+        case _: IsNotNull => false
+        case c => c.references.contains(a) && nullIntolerant(c)
+      }
+      case _ => false
+    }
+
+  private def nullIntolerant(e: Expression): Boolean = e match {
+    case _: EqualNullSafe => false // true even on NULL input
+    case _: AttributeReference | _: Literal => true
+    case _: BinaryComparison | _: BinaryArithmetic | _: Not | _: Cast |
+        _: UnaryMinus | _: In =>
+      e.children.forall(nullIntolerant)
+    case _ => false
+  }
+
+  private def storeRelation(
+      rel: DataSourceV2Relation, mv: MatViews.MvState): Option[DataSourceV2Relation] =
+    rel.catalog.collect { case tc: TableCatalog =>
+      val ident = Identifier.of(Array.empty, mv.storeKey)
+      try Some(DataSourceV2Relation.create(tc.loadTable(ident), rel.catalog, Some(ident)))
+      catch { case _: Exception => None }
+    }.flatten
+}
+
+object RewriteAggToMatView {
+
+  /** One maintained COMPONENT: an argument expression (analyzed against
+    * the definition's relation) with its stored sum/count column names.
+    */
+  private final case class Comp(
+      arg: Expression, sumCol: Option[String], cntCol: Option[String])
+
+  private final case class AnalyzedDef(
+      relOutByName: Map[String, Attribute],
+      filter: Option[Expression],
+      groups: Seq[(Expression, String)], // (analyzed expr, store column)
+      comps: Seq[Comp])
+
+  // keyed by MV name; invalidated when the definition SQL changes
+  // (drop + re-create). Analyzed attribute ids are stable per entry.
+  private val defCache = TrieMap.empty[String, (String, Option[AnalyzedDef])]
+
+  private def analyzedDef(spark: SparkSession, mv: MatViews.MvState): Option[AnalyzedDef] =
+    defCache.get(mv.name) match {
+      case Some((sql, d)) if sql == mv.definitionSql => d
+      case _ =>
+        val d = try analyzeDef(spark, mv) catch { case _: Exception => None }
+        defCache.put(mv.name, (mv.definitionSql, d))
+        d
+    }
+
+  /** Fold constant subtrees (the query side arrives optimizer-folded —
+    * `cast(5 as bigint)` is `5L` there — while the definition is only
+    * analyzed, so both sides must meet at the folded form).
+    */
+  private def fold(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[Literal] => Literal.create(f.eval(), f.dataType)
+  }
+
+  private def analyzeDef(spark: SparkSession, mv: MatViews.MvState): Option[AnalyzedDef] = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(mv.definitionSql)
+    val analyzed = spark.sessionState.analyzer.execute(parsed)
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    strip(analyzed) match {
+      case agg: Aggregate =>
+        val (rel, filter) = strip(agg.child) match {
+          case Filter(c, inner) => strip(inner) match {
+            case r: DataSourceV2Relation => (r, Some(c))
+            case _ => return None
+          }
+          case r: DataSourceV2Relation => (r, None)
+          case _ => return None
+        }
+        rel.table match {
+          case t: MemTable if t.catalogKey == mv.srcKey =>
+          case _ => return None
+        }
+        val relOut = rel.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        // grouping exprs pair positionally with the MvState groups (the
+        // parser saw the same GROUP BY list create() recorded)
+        if (agg.groupingExpressions.size != mv.groups.size) return None
+        val groups = agg.groupingExpressions.map(fold).zip(mv.groups.map(_.out))
+        // per-output-name aggregate arguments, from the analyzed tree
+        val argByOut: Map[String, Expression] = agg.aggregateExpressions.collect {
+          case al @ Alias(ae: AggregateExpression, _) =>
+            ae.aggregateFunction match {
+              case c: Count if c.children.sizeIs == 1 => Some(al.name -> fold(c.children.head))
+              case s: Sum => Some(al.name -> fold(s.child))
+              case a: Average => Some(al.name -> fold(a.child))
+              case _ => None
+            }
+        }.flatten.toMap
+        var comps = Vector.empty[Comp]
+        def addComp(arg: Expression, sum: Option[String], cnt: Option[String]): Unit =
+          comps.indexWhere(_.arg.semanticEquals(arg)) match {
+            case -1 => comps :+= Comp(arg, sum, cnt)
+            case i => comps = comps.updated(i, Comp(arg,
+              comps(i).sumCol.orElse(sum), comps(i).cntCol.orElse(cnt)))
+          }
+        mv.aggs.foreach {
+          case MatViews.AggSpec("countstar", _, _) =>
+          case MatViews.AggSpec("count", _, out) =>
+            argByOut.get(out).foreach(addComp(_, None, Some(s"__mv_cnt_$out")))
+          case MatViews.AggSpec(_, _, out) => // sum | avg
+            argByOut.get(out).foreach(
+              addComp(_, Some(s"__mv_sum_$out"), Some(s"__mv_cnt_$out")))
+        }
+        Some(AnalyzedDef(relOut, filter.map(fold), groups, comps))
+      case _ => None
+    }
+  }
+}

@@ -465,7 +465,7 @@ object MatViews {
   /** Spec hook: drop the in-memory registry entry (and the catalog view),
     * keeping disk intact — the restart half of the recovery drill.
     */
-  private[sources] def forget(name: String): Unit = {
+  private[graft] def forget(name: String): Unit = {
     registry.remove(name)
     MemViews.views.remove(name)
   }

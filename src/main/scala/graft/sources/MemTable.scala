@@ -3048,6 +3048,12 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = tableSchema
+  /** Catalog key and snapshot pin, read by the MV query-rewrite rule
+    * ([[graft.plans.RewriteAggToMatView]]) — which must only fire on
+    * CURRENT-version reads, never time-travel pins.
+    */
+  private[graft] def catalogKey: String = key
+  private[graft] def snapshotPin: Option[Long] = asOf
   /** The partition transforms declared at CREATE (identity / bucket) —
     * surfaced so `DESCRIBE TABLE` reports the layout and Spark's write
     * analysis sees a partitioned target.

@@ -2378,6 +2378,53 @@ object Roundtrips {
       .crossJoin(refresh)
   }
 
+  /** MV QUERY REWRITE ([[graft.plans.RewriteAggToMatView]]) — the read
+    * half of materialized views, pinned END-TO-END: after creating a
+    * fresh MV, the ORIGINAL aggregate (narrowed by an extra group-column
+    * predicate) must be answered from the pre-aggregated store, not the
+    * source. The executed plan is part of the hash: `served_from_store`
+    * is computed from the actual scan list (store scanned, source NOT),
+    * so a silently disabled or mismatched rewrite fails the oracle even
+    * though the VALUES would be identical either way — which is also the
+    * correctness half: the oracle recomputes the aggregate from `orders`
+    * directly, so a rewrite that changed any value breaks the hash too.
+    * At 100 TB this is interactive-dashboard economics: the rollup query
+    * costs |groups| rows instead of a table scan.
+    */
+  val dsv2MvRewrite: QueryDef = QueryDef(
+    "dsv2_mv_rewrite",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |mv AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+      |  FROM base WHERE k % 3 <> 0 GROUP BY g)
+      |SELECT g, n, sv, TRUE AS served_from_store FROM mv
+      |WHERE g IN ('1-URGENT', '3-MEDIUM', '5-LOW')""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_q")
+    val tbl = freshGraftTable(spark, "mem_mvq_orders", "(k BIGINT, g STRING, v BIGINT)")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_materialized_view('mv_q', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvq_orders WHERE k % 3 <> 0 GROUP BY g')") // fresh at v1
+    val agg = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(v) AS sv FROM $tbl
+         |WHERE k % 3 <> 0 AND g IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+         |GROUP BY g""".stripMargin)
+    val scans = agg.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.table.name()
+    }
+    val servedFromStore =
+      scans.contains("mv_q__store") && !scans.contains("mem_mvq_orders")
+    agg.withColumn("served_from_store", lit(servedFromStore))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2391,5 +2438,6 @@ object Roundtrips {
       dsv2TableStream, dsv2MergeEvolve, dsv2SortedIngest, dsv2ReplaceWhere,
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
-      dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv)
+      dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
+      dsv2MvRewrite)
 }

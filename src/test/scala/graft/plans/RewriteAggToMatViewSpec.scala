@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+import graft.sources.{MatViews, MemTables, MemViews}
+
+/** The MV query-rewrite rule ([[RewriteAggToMatView]]): matching
+  * aggregates over a FRESH materialized view's source are answered from
+  * the pre-aggregated store; everything that could change the answer —
+  * staleness, different filter/grouping, non-maintained aggregates, time
+  * travel, DISTINCT — leaves the query on the source. Plan assertions
+  * read the executed plan's scanned table names.
+  */
+class RewriteAggToMatViewSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def dropMv(name: String): Unit = {
+    MatViews.forget(name)
+    MemTables.drop(name + MatViews.StoreSuffix)
+    MemViews.views.remove(name)
+    ()
+  }
+
+  private def scannedTables(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s.table.name()
+    }
+
+  private def hitsStore(df: DataFrame, store: String): Boolean = {
+    val t = scannedTables(df)
+    t.contains(store) && !t.exists(n => n.startsWith("rw_src"))
+  }
+
+  private def setup(): Unit = {
+    catalogOn(); dropMv("rw_mv")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_src")
+    spark.sql("CREATE TABLE graft.rw_src (k BIGINT, g STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_src VALUES (1, 'a', 10), (2, 'a', 20), " +
+      "(3, 'b', 30), (4, 'b', NULL), (5, 'c', 50), (6, 'c', 60)")
+    spark.sql("CALL graft.create_materialized_view('rw_mv', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g')")
+  }
+
+  test("a restated aggregate reads the store, with identical results") {
+    setup()
+    val q = "SELECT g, sum(v) AS s, count(*) AS c, avg(v) AS a, count(v) AS cv " +
+      "FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g"
+    val df = spark.sql(q)
+    assert(hitsStore(df, "rw_mv__store"), s"expected store scan, got ${scannedTables(df)}")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try spark.sql(q).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(df.collect().toSeq.map(_.toSeq).sortBy(_.toString) === direct)
+    // output schema must be untouched by the substitution
+    assert(df.schema.fieldNames.toSeq === Seq("g", "s", "c", "a", "cv"))
+  }
+
+  test("scalar expressions over maintained aggregates rewrite too") {
+    setup()
+    val df = spark.sql("SELECT g, sum(v) / count(*) + 1 AS x " +
+      "FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g")
+    assert(hitsStore(df, "rw_mv__store"), s"got ${scannedTables(df)}")
+    val rows = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("a") === 16.0) // (10+20)/2 + 1
+  }
+
+  test("a STALE view never serves reads — the rewrite just does not fire") {
+    setup()
+    spark.sql("INSERT INTO graft.rw_src VALUES (7, 'a', 70)")
+    val q = "SELECT g, sum(v) AS s FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g"
+    val df = spark.sql(q)
+    assert(!hitsStore(df, "rw_mv__store"), "stale MV must not answer the query")
+    val m1: Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1("a") === 100L)
+    // refresh makes it fresh again — and the rewrite resumes
+    spark.sql("CALL graft.refresh_materialized_view('rw_mv')")
+    val df2 = spark.sql(q)
+    assert(hitsStore(df2, "rw_mv__store"))
+    val m2: Map[String, Long] =
+      df2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("a") === 100L)
+  }
+
+  test("mismatches fall through: filter, grouping, unsupported aggregates, time travel, DISTINCT") {
+    setup()
+    def stays(q: String): Unit = {
+      val df = spark.sql(q)
+      assert(!hitsStore(df, "rw_mv__store"), s"must not rewrite: $q")
+      df.collect()
+    }
+    stays("SELECT g, sum(v) AS s FROM graft.rw_src GROUP BY g") // no filter
+    stays("SELECT g, sum(v) AS s FROM graft.rw_src WHERE k % 7 <> 0 GROUP BY g")
+    stays("SELECT g, k, sum(v) AS s FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g, k")
+    stays("SELECT g, max(v) AS m FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g")
+    stays("SELECT g, sum(k) AS s FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g") // arg not maintained
+    stays("SELECT g, count(DISTINCT v) AS d FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g")
+    stays("SELECT g, sum(v) AS s FROM graft.rw_src VERSION AS OF 1 " +
+      "WHERE k % 5 <> 0 GROUP BY g")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try stays("SELECT g, sum(v) AS s FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g")
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
+  test("extra group-column predicates apply as a post-filter on the store") {
+    setup()
+    val df = spark.sql("SELECT g, sum(v) AS s FROM graft.rw_src " +
+      "WHERE k % 5 <> 0 AND g IN ('a', 'b') GROUP BY g")
+    assert(hitsStore(df, "rw_mv__store"), s"got ${scannedTables(df)}")
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 30L, "b" -> 30L))
+    // ... but an extra NON-group predicate cannot be applied post-hoc
+    val miss = spark.sql("SELECT g, sum(v) AS s FROM graft.rw_src " +
+      "WHERE k % 5 <> 0 AND v > 15 GROUP BY g")
+    assert(!hitsStore(miss, "rw_mv__store"))
+    miss.collect()
+  }
+
+  test("nullability of the substituted output matches the original exactly") {
+    setup()
+    val q = "SELECT g, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.rw_src WHERE k % 5 <> 0 GROUP BY g"
+    val rewritten = spark.sql(q)
+    assert(hitsStore(rewritten, "rw_mv__store"))
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try spark.sql(q) finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(rewritten.schema.map(f => (f.name, f.dataType, f.nullable)) ===
+      direct.schema.map(f => (f.name, f.dataType, f.nullable)))
+  }
+
+  test("an MV maintaining avg serves sum and count of the same argument") {
+    catalogOn(); dropMv("rw_avg")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_avg_src")
+    spark.sql("CREATE TABLE graft.rw_avg_src (g STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_avg_src VALUES ('a', 10), ('a', 30), ('b', NULL)")
+    spark.sql("CALL graft.create_materialized_view('rw_avg', " +
+      "'SELECT g, avg(v) AS av FROM graft.rw_avg_src GROUP BY g')")
+    val df = spark.sql("SELECT g, sum(v) AS s, count(v) AS c FROM graft.rw_avg_src GROUP BY g")
+    assert(df.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s.table.name()
+    }.contains("rw_avg__store"))
+    val m = df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m("a") === Seq(40L, 2L))
+    assert(m("b") === Seq(null, 0L))
+  }
+}
