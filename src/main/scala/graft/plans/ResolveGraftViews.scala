@@ -27,8 +27,13 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          graft.sources.MemViews.views.contains(u.multipartIdentifier(1)) &&
-          isGraftCatalog(u.multipartIdentifier.head) =>
+          isGraftCatalog(u.multipartIdentifier.head) &&
+          (graft.sources.MemViews.views.contains(u.multipartIdentifier(1)) ||
+            // a MATERIALIZED view lost to a restart recovers from its
+            // store's refresh journal on first READ — not only on
+            // refresh (dashboards read; they don't refresh). Cheap on
+            // misses: one cached warehouse-directory probe.
+            graft.sources.MatViews.getOrRecover(u.multipartIdentifier(1)).isDefined) =>
         val catalog = u.multipartIdentifier.head
         val name = u.multipartIdentifier(1)
         val v = graft.sources.MemViews.views(name)

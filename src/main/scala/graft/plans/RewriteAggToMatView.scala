@@ -44,6 +44,13 @@ import graft.sources.{MatViews, MemTable, MemTables}
   * zero-count guard for sums, `AssertNotNull` where the source column
   * was non-nullable) — so parents of the rewritten Aggregate never see
   * the substitution. Disable with `spark.graft.mv.rewrite=false`.
+  *
+  * One documented value deviation: `avg` over an INTEGRAL argument is
+  * served as `exact_integer_sum / count`, while Spark's native Average
+  * accumulates the sum in DOUBLE — for group sums beyond 2^53 the two
+  * can differ in the last bits, and the MV-served answer is the MORE
+  * precise one (the native result is already precision-compromised
+  * there). Fractional arguments accumulate in double on both paths.
   */
 case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -62,10 +69,13 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     for {
       (rel, cond) <- sourceOf(agg.child)
       key = rel.table.asInstanceOf[MemTable].catalogKey
-      srcVersion <- MemTables.get(key).map(_.version)
+      src <- MemTables.get(key)
       result <- MatViews.registry.values.iterator
         .filter(mv => mv.srcKey == key && mv.pending.isEmpty &&
-          mv.watermark == srcVersion)
+          mv.watermark == src.version &&
+          // IDENTITY, not just the clock: a re-created source restarts
+          // its version counter — a coincidental match must not serve
+          mv.srcTableUuid == src.tableUuid)
         .flatMap(mv => tryRewrite(agg, rel, cond, mv))
         .nextOption()
     } yield result
@@ -314,16 +324,24 @@ object RewriteAggToMatView {
       groups: Seq[(Expression, String)], // (analyzed expr, store column)
       comps: Seq[Comp])
 
-  // keyed by MV name; invalidated when the definition SQL changes
-  // (drop + re-create). Analyzed attribute ids are stable per entry.
-  private val defCache = TrieMap.empty[String, (String, Option[AnalyzedDef])]
+  // keyed by MV name; an entry is valid only for (definition SQL, source
+  // table identity) — a drop/re-create of either the MV or its source
+  // must not reuse attributes analyzed against the old schema. Drops
+  // also evict explicitly ([[invalidate]]) so dead names don't linger.
+  private val defCache = TrieMap.empty[String, (String, String, Option[AnalyzedDef])]
+
+  /** Evict a cached definition analysis (called by MV drop/forget). */
+  private[graft] def invalidate(name: String): Unit = {
+    defCache.remove(name)
+    ()
+  }
 
   private def analyzedDef(spark: SparkSession, mv: MatViews.MvState): Option[AnalyzedDef] =
     defCache.get(mv.name) match {
-      case Some((sql, d)) if sql == mv.definitionSql => d
+      case Some((sql, uuid, d)) if sql == mv.definitionSql && uuid == mv.srcTableUuid => d
       case _ =>
         val d = try analyzeDef(spark, mv) catch { case _: Exception => None }
-        defCache.put(mv.name, (mv.definitionSql, d))
+        defCache.put(mv.name, (mv.definitionSql, mv.srcTableUuid, d))
         d
     }
 

@@ -88,6 +88,13 @@ object MatViews {
   final case class MvState(
       name: String,
       srcKey: String,
+      // the source's STABLE identity ([[MemTables.State.tableUuid]]):
+      // refresh and the query rewrite compare this, never just the key —
+      // a table dropped and re-created under the same name restarts its
+      // version clock, and a coincidentally-equal clock must not let a
+      // watermark (or a freshness check) mean anything against the NEW
+      // table's history
+      srcTableUuid: String,
       storeKey: String,
       definitionSql: String,
       viewSql: String,
@@ -187,6 +194,20 @@ object MatViews {
       case other => fail(s"source must be a graft catalog table, got '${other.mkString(".")}'")
     }
 
+    // UNQUALIFIED column references only: the stored expression text is
+    // re-bound at refresh against the change-feed relation, where a
+    // `t.col` qualifier (valid against FROM t at create) resolves
+    // nowhere — that would break refresh AFTER create promised the shape
+    // is maintainable. Fail here instead, per this function's contract.
+    agg.flatMap(_.expressions).foreach { // incl. the WHERE child's condition
+      _.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+          fail(s"qualified column reference '${a.sql}' is not supported — " +
+            "use bare column names (the definition is re-bound against " +
+            "the change feed at refresh)")
+        case _ =>
+      }
+    }
     agg.groupingExpressions.foreach {
       case _: Literal => fail("GROUP BY ordinals are not supported — group by explicit expressions")
       case e if hasAgg(e) => fail("GROUP BY expressions must not contain aggregates")
@@ -362,6 +383,7 @@ object MatViews {
     o.put("format-version", 1)
     o.put("name", st.name)
     o.put("source", st.srcKey)
+    o.put("source-uuid", st.srcTableUuid)
     o.put("store", st.storeKey)
     o.put("definition-sql", st.definitionSql)
     o.put("view-sql", st.viewSql)
@@ -420,6 +442,7 @@ object MatViews {
       Some(MvState(
         name = root.get("name").asText,
         srcKey = root.get("source").asText,
+        srcTableUuid = Option(root.get("source-uuid")).map(_.asText).getOrElse(""),
         storeKey = root.get("store").asText,
         definitionSql = root.get("definition-sql").asText,
         viewSql = root.get("view-sql").asText,
@@ -440,7 +463,7 @@ object MatViews {
     * the registry entry and the catalog view from its refresh journal —
     * a restart loses no materialized view whose store reached disk.
     */
-  private[sources] def getOrRecover(name: String): Option[MvState] =
+  private[graft] def getOrRecover(name: String): Option[MvState] =
     registry.get(name).orElse {
       for {
         storeSt <- MemTables.get(name + StoreSuffix)
@@ -468,6 +491,7 @@ object MatViews {
   private[graft] def forget(name: String): Unit = {
     registry.remove(name)
     MemViews.views.remove(name)
+    graft.plans.RewriteAggToMatView.invalidate(name)
   }
 
   // --------------------------------------------------------------- create
@@ -493,8 +517,8 @@ object MatViews {
         s"materialized view '$name': source table '$srcKey' does not exist in the graft catalog"))
       val srcV = srcSt.synchronized(srcSt.version)
 
-      var st = MvState(name, srcKey, storeKey, sql, viewSql = "",
-        viewSchemaJson = "", filterSql, groups, aggs,
+      var st = MvState(name, srcKey, srcSt.tableUuid, storeKey, sql,
+        viewSql = "", viewSchemaJson = "", filterSql, groups, aggs,
         watermark = srcV, pending = None)
       // probe at the pinned version: schema determines component types,
       // and the same frame seeds the store — create is consistent even
@@ -526,6 +550,9 @@ object MatViews {
         registry.put(name, st)
         persist(st)
         registerCatalogView(st)
+        // a previous same-name MV may have left a cached definition
+        // analysis behind — this create supersedes it
+        graft.plans.RewriteAggToMatView.invalidate(name)
       } catch {
         case e: Throwable =>
           registry.remove(name)
@@ -546,7 +573,10 @@ object MatViews {
     getOrRecover(name).getOrElse(throw new IllegalArgumentException(
       s"materialized view '$name' does not exist"))
     lockFor(name).synchronized {
-      var st = registry(name)
+      // re-check under the lock: a drop may have raced the probe above
+      var st = registry.get(name).orElse(getOrRecover(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"materialized view '$name' does not exist"))
       val storeSt = MemTables.get(st.storeKey).getOrElse(throw new IllegalStateException(
         s"materialized view '$name': store table ${st.storeKey} no longer exists — " +
           "drop the materialized view"))
@@ -562,11 +592,23 @@ object MatViews {
       }
       val srcSt = MemTables.get(st.srcKey).getOrElse(throw new IllegalStateException(
         s"materialized view '$name': source table ${st.srcKey} no longer exists"))
+      // IDENTITY, not just the version clock: a table dropped and
+      // re-created under the same name restarts its clock, and the
+      // watermark means nothing against the new history — even at a
+      // coincidentally-equal (or greater) version number
+      if (st.srcTableUuid.nonEmpty && srcSt.tableUuid != st.srcTableUuid)
+        throw new IllegalStateException(
+          s"materialized view '$name': source table ${st.srcKey} was dropped " +
+            "and re-created since the view was defined — drop and re-create " +
+            "the materialized view")
+      if (st.srcTableUuid.isEmpty) {
+        // pre-uuid journal: adopt the live identity once
+        st = st.copy(srcTableUuid = srcSt.tableUuid)
+        registry.put(name, st)
+        persist(st)
+      }
       val (srcV, earliest) = srcSt.synchronized((srcSt.version, srcSt.earliestVersion))
       if (srcV < st.watermark)
-        // a version clock can only run BEHIND the watermark if the source
-        // was dropped and re-created under the same name — the recorded
-        // window is meaningless against the new table's history
         throw new IllegalStateException(
           s"materialized view '$name': source table ${st.srcKey} is at " +
             s"version $srcV, behind the recorded watermark ${st.watermark} — " +
@@ -623,11 +665,20 @@ object MatViews {
     lockFor(name).synchronized {
       val known = getOrRecover(name).isDefined
       registry.remove(name)
+      graft.plans.RewriteAggToMatView.invalidate(name)
       // only remove the catalog view if it is OURS (an unrelated plain
       // view sharing the name must survive a mistaken drop call)
       if (known || MemViews.views.get(name).exists(_.properties.contains("graft.mv")))
         MemViews.views.remove(name)
-      val dropped = MemTables.drop(name + StoreSuffix)
+      // only reclaim a store WE own: the refresh journal marks it. A
+      // plain table that merely HAPPENS to be named `<name>__store` must
+      // survive a mistyped drop call — deleting it (files included) on
+      // the strength of a name suffix would be data loss
+      val storeKey = name + StoreSuffix
+      val ownsStore = known || MemTables.get(storeKey).exists(st =>
+        st.storageDir.exists(d =>
+          java.nio.file.Files.isRegularFile(journalPath(d))))
+      val dropped = ownsStore && MemTables.drop(storeKey)
       known || dropped
     }
 }

@@ -834,6 +834,16 @@ object MemTables {
       initialTableKey: String = "") {
     // a var only because RENAME TABLE re-keys the registry entry
     @volatile var tableKey: String = initialTableKey
+    // STABLE TABLE IDENTITY (the Iceberg table-uuid): survives rename,
+    // storage migration, expiry, and disk recovery — and, unlike the
+    // version clock, does NOT survive DROP + re-CREATE under the same
+    // name. Consumers that record a table reference across commits (the
+    // materialized-view watermark) compare this, never the key: a
+    // re-created table at a coincidentally-equal version must read as a
+    // DIFFERENT table. A var only because disk recovery restores the
+    // persisted identity (pre-uuid metadata falls back to the storage
+    // directory's name, which embeds a create-time nonce).
+    @volatile var tableUuid: String = java.util.UUID.randomUUID().toString
     // Some(dir) = file-backed storage plane ([[MemTables.StorageProp]]);
     // a var because `CALL graft.migrate_storage` promotes a
     // driver-resident table onto the file plane in place

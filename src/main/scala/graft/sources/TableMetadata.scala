@@ -293,6 +293,7 @@ object TableMetadata {
     val root = mapper.createObjectNode()
     root.put("format-version", FormatVersion)
     root.put("key", st.tableKey)
+    root.put("table-uuid", st.tableUuid)
     root.put("delete-mode", st.deleteMode)
     val props = mapper.createObjectNode()
     st.createProps.foreach { case (k, v) => props.put(k, v) }
@@ -468,6 +469,10 @@ object TableMetadata {
       specHistory.head, Some(dir), key)
     st.specHistory = specHistory
     st.schema = schema
+    // identity: persisted uuid, or (pre-uuid metadata) the storage dir's
+    // name — both stable across recoveries of the SAME table
+    st.tableUuid = Option(root.get("table-uuid")).map(_.asText)
+      .getOrElse(new java.io.File(dir).getName)
     st.version = root.get("version").asLong
     st.earliestVersion = root.get("earliest-version").asLong
     st.nextBatchId = root.get("next-batch-id").asLong

@@ -133,6 +133,22 @@ class RewriteAggToMatViewSpec extends SparkSpec {
       direct.schema.map(f => (f.name, f.dataType, f.nullable)))
   }
 
+  test("a re-created source at a coincidentally-equal version never serves from the old MV") {
+    catalogOn(); dropMv("rw_uuid")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_uuid_src")
+    spark.sql("CREATE TABLE graft.rw_uuid_src (g STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_uuid_src VALUES ('a', 10)") // v1
+    spark.sql("CALL graft.create_materialized_view('rw_uuid', " +
+      "'SELECT g, sum(v) AS sv FROM graft.rw_uuid_src GROUP BY g')") // wm=1
+    // drop + re-create the source; its NEW clock is also at v1
+    spark.sql("DROP TABLE graft.rw_uuid_src")
+    spark.sql("CREATE TABLE graft.rw_uuid_src (g STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_uuid_src VALUES ('a', 999)") // v1 again
+    val df = spark.sql("SELECT g, sum(v) AS sv FROM graft.rw_uuid_src GROUP BY g")
+    assert(!hitsStore(df, "rw_uuid__store"), "old MV must not serve the new table")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 999L)))
+  }
+
   test("an MV maintaining avg serves sum and count of the same argument") {
     catalogOn(); dropMv("rw_avg")
     spark.sql("DROP TABLE IF EXISTS graft.rw_avg_src")

@@ -206,6 +206,54 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql("CALL graft.refresh_materialized_view('mv_recreate')").collect()
     }
     assert(e.getMessage.contains("re-created"))
+    // identity catches the trap the clock can't: re-create the source and
+    // advance its NEW clock past the watermark — still a different table
+    catalogOn(); dropMv("mv_recreate2"); freshSrc("mv_recreate2_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_recreate2', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_recreate2_src GROUP BY g')") // wm=1
+    freshSrc("mv_recreate2_src", "(2, 'b', 20)", "(3, 'c', 30)", "(4, 'd', 40)") // new clock v3 > wm
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.refresh_materialized_view('mv_recreate2')").collect()
+    }
+    assert(e2.getMessage.contains("re-created"))
+  }
+
+  test("drop never deletes an unrelated table that merely matches the store suffix") {
+    catalogOn(); dropMv("mv_suffix")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_suffix__store")
+    spark.sql("CREATE TABLE graft.mv_suffix__store (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.mv_suffix__store VALUES (1), (2)")
+    intercept[Exception] {
+      spark.sql("CALL graft.drop_materialized_view('mv_suffix')").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.mv_suffix__store").head().getLong(0) === 2L,
+      "a plain table named like a store must survive a mistyped MV drop")
+    spark.sql("DROP TABLE graft.mv_suffix__store")
+  }
+
+  test("a restarted process serves MV READS from the journal, not only refreshes") {
+    catalogOn(); dropMv("mv_read_rec"); freshSrc("mv_read_rec_src",
+      "(1, 'a', 10)", "(2, 'b', 20)")
+    spark.sql("CALL graft.create_materialized_view('mv_read_rec', " +
+      "'SELECT g, sum(v) AS sv FROM graft.mv_read_rec_src GROUP BY g')")
+    spark.sql("CALL graft.unload_table('mv_read_rec__store')")
+    MatViews.forget("mv_read_rec")
+    assert(!MemTables.isLoaded("mv_read_rec__store"))
+    // first touch is a READ — no refresh in between
+    assert(rowsOf("SELECT g, sv FROM graft.mv_read_rec ORDER BY g") ===
+      Seq(Seq("a", 10L), Seq("b", 20L)))
+  }
+
+  test("qualified column references are rejected at create, not at refresh") {
+    catalogOn(); dropMv("mv_qual"); freshSrc("mv_qual_src", "(1, 'a', 10)")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('mv_qual', " +
+        "'SELECT g, count(*) AS n FROM graft.mv_qual_src " +
+        "WHERE mv_qual_src.k > 0 GROUP BY g')")
+    }
+    assert(e.getMessage.contains("qualified column reference"))
+    assert(MemTables.get("mv_qual__store").isEmpty)
   }
 
   test("drop removes the view, the registry entry, and the store") {
