@@ -36,7 +36,12 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
             graft.sources.MatViews.getOrRecover(u.multipartIdentifier(1)).isDefined) =>
         val catalog = u.multipartIdentifier.head
         val name = u.multipartIdentifier(1)
-        val v = graft.sources.MemViews.views(name)
+        // re-read: a concurrent MV create/drop may have moved the view
+        // between the guard and here — leave the relation unresolved
+        // (a clean not-found downstream) rather than throw from a rule
+        graft.sources.MemViews.views.get(name) match {
+          case None => u
+          case Some(v) =>
         val reparsed = spark.sessionState.sqlParser.parsePlan(v.sql)
         // Re-bind BARE table names to the CREATOR's context: create_view
         // analyzed the SQL under the creator's current catalog/namespace,
@@ -105,6 +110,7 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
           spark.sessionState.analyzer.execute(parsed)
         }
         SubqueryAlias(name, analyzed)
+        }
     }
 }
 

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -74,8 +74,10 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
         .filter(mv => mv.srcKey == key && mv.pending.isEmpty &&
           mv.watermark == src.version &&
           // IDENTITY, not just the clock: a re-created source restarts
-          // its version counter — a coincidental match must not serve
-          mv.srcTableUuid == src.tableUuid)
+          // its version counter — a coincidental match must not serve.
+          // Empty = a pre-uuid journal whose identity the next refresh
+          // adopts; treat as unknown-but-allowed, same as refresh does
+          (mv.srcTableUuid.isEmpty || mv.srcTableUuid == src.tableUuid))
         .flatMap(mv => tryRewrite(agg, rel, cond, mv))
         .nextOption()
     } yield result
@@ -200,33 +202,35 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def aggReplacement(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      def findComp(arg: Expression): Option[(Option[String], Option[String])] = for {
+      def findComp(arg: Expression): Option[Comp] = for {
         argD <- toDef(arg)
         c <- d.comps.find(_.arg.semanticEquals(argD))
-      } yield (c.sumCol, c.cntCol)
+      } yield c
       val replacement = ae.aggregateFunction match {
         case c: Count => c.children match {
           case Seq(l: Literal) if l.value != null =>
             storeCol(MatViews.RowCountCol).map(n => Coalesce(Seq(n, Literal(0L))))
-          case Seq(arg) => findComp(arg).flatMap {
-            case (_, Some(cnt)) => storeCol(cnt).map(c0 => Coalesce(Seq(c0, Literal(0L))))
-            case _ => None
-          }
+          case Seq(arg) => findComp(arg).flatMap(_.cntCol)
+            .flatMap(storeCol).map(c0 => Coalesce(Seq(c0, Literal(0L))))
           case _ => None
         }
-        case s: Sum => findComp(s.child).flatMap {
+        case s: Sum => findComp(s.child).flatMap(c => (c.sumCol, c.cntCol) match {
           case (Some(sum), Some(cnt)) =>
             for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
               If(EqualTo(ca, Literal(0L)), Literal(null, sa.dataType), sa)
           case _ => None
-        }
-        case a: Average => findComp(a.child).flatMap {
+        })
+        case a: Average => findComp(a.child).flatMap(c => (c.sumCol, c.cntCol) match {
           case (Some(sum), Some(cnt)) =>
             for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
               If(EqualTo(ca, Literal(0L)), Literal(null, DoubleType),
                 Divide(Cast(sa, DoubleType), Cast(ca, DoubleType)))
           case _ => None
-        }
+        })
+        case m: Min =>
+          findComp(m.child).flatMap(_.minCol).flatMap(storeCol).map(a => a: Expression)
+        case m: Max =>
+          findComp(m.child).flatMap(_.maxCol).flatMap(storeCol).map(a => a: Expression)
         case _ => None
       }
       // type-identity safety net: never swap in a differently-typed value
@@ -313,10 +317,12 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 object RewriteAggToMatView {
 
   /** One maintained COMPONENT: an argument expression (analyzed against
-    * the definition's relation) with its stored sum/count column names.
+    * the definition's relation) with its stored sum/count/min/max column
+    * names.
     */
   private final case class Comp(
-      arg: Expression, sumCol: Option[String], cntCol: Option[String])
+      arg: Expression, sumCol: Option[String], cntCol: Option[String],
+      minCol: Option[String] = None, maxCol: Option[String] = None)
 
   private final case class AnalyzedDef(
       relOutByName: Map[String, Attribute],
@@ -387,23 +393,32 @@ object RewriteAggToMatView {
               case c: Count if c.children.sizeIs == 1 => Some(al.name -> fold(c.children.head))
               case s: Sum => Some(al.name -> fold(s.child))
               case a: Average => Some(al.name -> fold(a.child))
+              case m: Min => Some(al.name -> fold(m.child))
+              case m: Max => Some(al.name -> fold(m.child))
               case _ => None
             }
         }.flatten.toMap
         var comps = Vector.empty[Comp]
-        def addComp(arg: Expression, sum: Option[String], cnt: Option[String]): Unit =
+        def addComp(arg: Expression, sum: Option[String] = None,
+            cnt: Option[String] = None, min: Option[String] = None,
+            max: Option[String] = None): Unit =
           comps.indexWhere(_.arg.semanticEquals(arg)) match {
-            case -1 => comps :+= Comp(arg, sum, cnt)
+            case -1 => comps :+= Comp(arg, sum, cnt, min, max)
             case i => comps = comps.updated(i, Comp(arg,
-              comps(i).sumCol.orElse(sum), comps(i).cntCol.orElse(cnt)))
+              comps(i).sumCol.orElse(sum), comps(i).cntCol.orElse(cnt),
+              comps(i).minCol.orElse(min), comps(i).maxCol.orElse(max)))
           }
         mv.aggs.foreach {
           case MatViews.AggSpec("countstar", _, _) =>
           case MatViews.AggSpec("count", _, out) =>
-            argByOut.get(out).foreach(addComp(_, None, Some(s"__mv_cnt_$out")))
+            argByOut.get(out).foreach(addComp(_, cnt = Some(s"__mv_cnt_$out")))
+          case MatViews.AggSpec("min", _, out) =>
+            argByOut.get(out).foreach(addComp(_, min = Some(s"__mv_min_$out")))
+          case MatViews.AggSpec("max", _, out) =>
+            argByOut.get(out).foreach(addComp(_, max = Some(s"__mv_max_$out")))
           case MatViews.AggSpec(_, _, out) => // sum | avg
             argByOut.get(out).foreach(
-              addComp(_, Some(s"__mv_sum_$out"), Some(s"__mv_cnt_$out")))
+              addComp(_, sum = Some(s"__mv_sum_$out"), cnt = Some(s"__mv_cnt_$out")))
         }
         Some(AnalyzedDef(relOut, filter.map(fold), groups, comps))
       case _ => None

@@ -32,11 +32,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
   * `count(*)`, `count(x)`, `sum(x)`, `avg(x)` are maintainable under both
   * inserts and deletes from the delta alone (sum/avg ride stored
   * `sum`+`count` components; a group whose stored `count(*)` reaches zero
-  * is deleted). `min`/`max` are NOT — deleting the current extreme forces
-  * a group rescan — and are rejected at create time, as are DISTINCT
-  * aggregates. The view projection reconstructs the declared columns from
-  * the components (`avg = sum / count`, `sum` is NULL when its non-null
-  * count is zero), so reads see exactly the declared query's semantics.
+  * is deleted). `min`/`max` are maintainable only under INSERT-ONLY
+  * windows — deleting the current extreme forces a group rescan — so a
+  * min/max view folds incrementally while the window's version kinds are
+  * all pure appends and falls back to a loud full recompute the moment a
+  * row-removing commit appears (checked against the version ledger, no
+  * data scan). DISTINCT aggregates and the rest (median, stddev, ...) are
+  * rejected at create time. The view projection reconstructs the declared
+  * columns from the components (`avg = sum / count`, `sum` is NULL when
+  * its non-null count is zero), so reads see exactly the declared query's
+  * semantics.
   *
   * EXACTLY-ONCE refresh across crashes, with two commit planes (the store
   * table's MERGE and this registry's watermark) that cannot be written
@@ -109,14 +114,25 @@ object MatViews {
       pending: Option[Pending]) {
 
     /** Store columns: group outs, then rowcount, then per-agg components
-      * in declaration order (count → cnt; sum/avg → sum + cnt).
+      * in declaration order (count → cnt; sum/avg → sum + cnt;
+      * min/max → one extreme column each).
       */
     def componentCols: Seq[String] =
       groups.map(_.out) ++ Seq(RowCountCol) ++ aggs.flatMap {
         case AggSpec("countstar", _, _) => Nil
         case AggSpec("count", _, out) => Seq(s"__mv_cnt_$out")
+        case AggSpec("min", _, out) => Seq(s"__mv_min_$out")
+        case AggSpec("max", _, out) => Seq(s"__mv_max_$out")
         case AggSpec(_, _, out) => Seq(s"__mv_sum_$out", s"__mv_cnt_$out")
       }
+
+    /** min/max are maintainable from the delta ONLY under insert-only
+      * change windows (a delete may remove the current extreme); their
+      * presence makes refresh fall back to a full recompute whenever the
+      * window holds a row-removing commit.
+      */
+    def hasExtremes: Boolean =
+      aggs.exists(a => a.kind == "min" || a.kind == "max")
 
     def sumCols: Seq[String] = aggs.collect {
       case AggSpec(kind, _, out) if kind == "sum" || kind == "avg" => s"__mv_sum_$out"
@@ -132,8 +148,16 @@ object MatViews {
 
   // ---------------------------------------------------------------- parse
 
+  /** Version kinds whose commits add rows only (or touch no rows at
+    * all) — the change window is a pure insert stream iff every version
+    * in it carries one of these, which is what lets min/max components
+    * fold incrementally.
+    */
+  private val InsertOnlyKinds: Set[String] =
+    Set("create", "append", "stream-append", "alter", "replace-spec", "compact")
+
   private def isKnownNonMaintainableAgg(fn: String): Boolean = Set(
-    "min", "max", "first", "last", "any_value", "median", "mode",
+    "first", "last", "any_value", "median", "mode",
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
     "percentile", "percentile_approx", "approx_percentile",
     "approx_count_distinct", "collect_list", "collect_set", "count_if",
@@ -142,7 +166,7 @@ object MatViews {
 
   private def isAggName(fn: String): Boolean =
     fn == "count" || fn == "sum" || fn == "avg" || fn == "mean" ||
-      isKnownNonMaintainableAgg(fn)
+      fn == "min" || fn == "max" || isKnownNonMaintainableAgg(fn)
 
   /** Parse + validate the MV definition into its maintainable shape:
     * a single-block `SELECT groups, aggs FROM <graft table> [WHERE p]
@@ -194,17 +218,24 @@ object MatViews {
       case other => fail(s"source must be a graft catalog table, got '${other.mkString(".")}'")
     }
 
-    // UNQUALIFIED column references only: the stored expression text is
-    // re-bound at refresh against the change-feed relation, where a
-    // `t.col` qualifier (valid against FROM t at create) resolves
-    // nowhere — that would break refresh AFTER create promised the shape
-    // is maintainable. Fail here instead, per this function's contract.
+    // TABLE-QUALIFIED column references break refresh: the stored
+    // expression text is re-bound against the change-feed relation,
+    // where a `t.col` qualifier (valid against FROM t at create)
+    // resolves nowhere. Fail here, per this function's contract — but
+    // only for true table qualifiers: `s.field` whose head IS a source
+    // column is STRUCT access, which re-binds fine (the feed carries the
+    // same columns). Unknown source (fails later in create) skips the
+    // distinction and stays permissive.
+    val srcColsLower: Set[String] = MemTables.get(srcKey)
+      .map(_.schema.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSet)
+      .getOrElse(Set.empty)
     agg.flatMap(_.expressions).foreach { // incl. the WHERE child's condition
       _.foreach {
-        case a: UnresolvedAttribute if a.nameParts.length > 1 =>
-          fail(s"qualified column reference '${a.sql}' is not supported — " +
-            "use bare column names (the definition is re-bound against " +
-            "the change feed at refresh)")
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            !srcColsLower.contains(a.nameParts.head.toLowerCase(Locale.ROOT)) =>
+          fail(s"table-qualified column reference '${a.sql}' is not " +
+            "supported — use bare column names (the definition is " +
+            "re-bound against the change feed at refresh)")
         case _ =>
       }
     }
@@ -234,7 +265,8 @@ object MatViews {
       expr match {
         case f: UnresolvedFunction
             if fnName(f) == "count" || fnName(f) == "sum" ||
-              fnName(f) == "avg" || fnName(f) == "mean" =>
+              fnName(f) == "avg" || fnName(f) == "mean" ||
+              fnName(f) == "min" || fnName(f) == "max" =>
           val kind = if (fnName(f) == "mean") "avg" else fnName(f)
           val out = outOpt.getOrElse(
             fail(s"alias every aggregate (e.g. ${expr.sql} AS x)"))
@@ -255,7 +287,9 @@ object MatViews {
         case f: UnresolvedFunction if isKnownNonMaintainableAgg(fnName(f)) =>
           fail(s"aggregate ${fnName(f)} is not incrementally maintainable " +
             "under deletes (removing the contributing row forces a group " +
-            "rescan) — supported: count(*), count(x), sum(x), avg(x)")
+            "rescan) — supported: count(*), count(x), sum(x), avg(x), and " +
+            "min(x)/max(x) (which fall back to a full recompute when a " +
+            "change window contains deletes)")
         case e =>
           if (hasAgg(e))
             fail(s"expressions over aggregates (${e.sql}) are not supported — " +
@@ -286,6 +320,10 @@ object MatViews {
           case AggSpec("countstar", _, _) => Nil
           case AggSpec("count", arg, out) =>
             Seq(s"count($arg) AS ${q(s"__mv_cnt_$out")}")
+          case AggSpec("min", arg, out) =>
+            Seq(s"min($arg) AS ${q(s"__mv_min_$out")}")
+          case AggSpec("max", arg, out) =>
+            Seq(s"max($arg) AS ${q(s"__mv_max_$out")}")
           case AggSpec(_, arg, out) => Seq(
             s"sum($arg) AS ${q(s"__mv_sum_$out")}",
             s"count($arg) AS ${q(s"__mv_cnt_$out")}")
@@ -305,6 +343,8 @@ object MatViews {
         st.aggs.map {
           case AggSpec("countstar", _, out) => s"${q(RowCountCol)} AS ${q(out)}"
           case AggSpec("count", _, out) => s"${q(s"__mv_cnt_$out")} AS ${q(out)}"
+          case AggSpec("min", _, out) => s"${q(s"__mv_min_$out")} AS ${q(out)}"
+          case AggSpec("max", _, out) => s"${q(s"__mv_max_$out")} AS ${q(out)}"
           case AggSpec("sum", _, out) =>
             s"CASE WHEN ${q(s"__mv_cnt_$out")} = 0 THEN NULL " +
               s"ELSE ${q(s"__mv_sum_$out")} END AS ${q(out)}"
@@ -331,6 +371,13 @@ object MatViews {
           case AggSpec("count", arg, out) => Seq(
             s"CAST(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol ELSE CAST(0 AS BIGINT) END) " +
               s"AS BIGINT) AS ${q(s"__mv_cnt_$out")}")
+          // min/max deltas are only ever FOLDED under an insert-only
+          // window (refresh falls back to full otherwise), so a plain
+          // per-window extreme is exact
+          case AggSpec("min", arg, out) =>
+            Seq(s"min($arg) AS ${q(s"__mv_min_$out")}")
+          case AggSpec("max", arg, out) =>
+            Seq(s"max($arg) AS ${q(s"__mv_max_$out")}")
           case AggSpec(_, arg, out) => Seq(
             s"CAST(coalesce(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol * ($arg) END), 0) " +
               s"AS ${sumType(out)}) AS ${q(s"__mv_sum_$out")}",
@@ -352,8 +399,24 @@ object MatViews {
     */
   private def mergeSql(st: MvState, deltaView: String): String = {
     val on = st.groups.map(g => s"t.${q(g.out)} <=> s.${q(g.out)}").mkString(" AND ")
-    val compCols = st.componentCols.drop(st.groups.size) // rowcount + components
-    val sets = compCols.map(c => s"${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
+    def fold2(c: String, fn: String): String =
+      // NULL = "no non-null inputs on that side yet" — the other side's
+      // extreme wins; least/greatest would wrongly go NULL-absorbing
+      s"${q(c)} = CASE WHEN t.${q(c)} IS NULL THEN s.${q(c)} " +
+        s"WHEN s.${q(c)} IS NULL THEN t.${q(c)} " +
+        s"ELSE $fn(t.${q(c)}, s.${q(c)}) END"
+    val sets = (Seq(s"${q(RowCountCol)} = t.${q(RowCountCol)} + s.${q(RowCountCol)}") ++
+      st.aggs.flatMap {
+        case AggSpec("countstar", _, _) => Nil
+        case AggSpec("count", _, out) =>
+          val c = s"__mv_cnt_$out"
+          Seq(s"${q(c)} = t.${q(c)} + s.${q(c)}")
+        case AggSpec("min", _, out) => Seq(fold2(s"__mv_min_$out", "least"))
+        case AggSpec("max", _, out) => Seq(fold2(s"__mv_max_$out", "greatest"))
+        case AggSpec(_, _, out) =>
+          Seq(s"__mv_sum_$out", s"__mv_cnt_$out")
+            .map(c => s"${q(c)} = t.${q(c)} + s.${q(c)}")
+      }).mkString(", ")
     val allCols = st.componentCols
     s"""MERGE INTO graft.${q(st.storeKey)} t USING $deltaView s
        |ON $on
@@ -463,16 +526,44 @@ object MatViews {
     * the registry entry and the catalog view from its refresh journal —
     * a restart loses no materialized view whose store reached disk.
     */
+  // NEGATIVE probe cache for the read-path recovery hook
+  // ([[graft.plans.ResolveGraftViews]] probes every unresolved
+  // graft.<name> — almost always a plain table, and the disk probe
+  // behind a miss lists the whole warehouse). Guarded by the warehouse
+  // root's mtime: creating or dropping a table directory bumps it, so a
+  // cached miss can never outlive the state it observed.
+  private val missCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Set[String])]((-1L, Set.empty))
+
+  private def rootMtime(): Long = MemTables.tablesRoot.lastModified()
+
   private[graft] def getOrRecover(name: String): Option[MvState] =
-    registry.get(name).orElse {
-      for {
-        storeSt <- MemTables.get(name + StoreSuffix)
-        dir <- storeSt.storageDir
-        st <- loadJournal(dir)
-        if st.name == name
-      } yield {
-        val recovered = registry.putIfAbsent(name, st).getOrElse(st)
-        if (!MemViews.views.contains(name)) registerCatalogView(recovered)
+    registry.get(name).map { st =>
+      // a registry hit may still predate the catalog-view registration
+      // (mid-create window, or a test's partial forget) — heal it here
+      // so every getOrRecover=Some caller can rely on the view existing
+      if (!MemViews.views.contains(name) && st.viewSchemaJson.nonEmpty)
+        registerCatalogView(st)
+      st
+    }.orElse {
+      val mt = rootMtime()
+      val (cachedAt, misses) = missCache.get()
+      if (cachedAt == mt && misses.contains(name)) None
+      else {
+        val recovered = for {
+          storeSt <- MemTables.get(name + StoreSuffix)
+          dir <- storeSt.storageDir
+          st <- loadJournal(dir)
+          if st.name == name
+        } yield {
+          val r = registry.putIfAbsent(name, st).getOrElse(st)
+          if (!MemViews.views.contains(name)) registerCatalogView(r)
+          r
+        }
+        if (recovered.isEmpty) missCache.updateAndGet {
+          case (m, s) if m == mt => (m, s + name)
+          case _ => (mt, Set(name))
+        }
         recovered
       }
     }
@@ -574,7 +665,7 @@ object MatViews {
       s"materialized view '$name' does not exist"))
     lockFor(name).synchronized {
       // re-check under the lock: a drop may have raced the probe above
-      var st = registry.get(name).orElse(getOrRecover(name)).getOrElse(
+      var st = getOrRecover(name).getOrElse(
         throw new IllegalArgumentException(
           s"materialized view '$name' does not exist"))
       val storeSt = MemTables.get(st.storeKey).getOrElse(throw new IllegalStateException(
@@ -601,18 +692,22 @@ object MatViews {
           s"materialized view '$name': source table ${st.srcKey} was dropped " +
             "and re-created since the view was defined — drop and re-create " +
             "the materialized view")
-      if (st.srcTableUuid.isEmpty) {
-        // pre-uuid journal: adopt the live identity once
-        st = st.copy(srcTableUuid = srcSt.tableUuid)
-        registry.put(name, st)
-        persist(st)
-      }
-      val (srcV, earliest) = srcSt.synchronized((srcSt.version, srcSt.earliestVersion))
+      val (srcV, earliest, srcOpKinds) = srcSt.synchronized(
+        (srcSt.version, srcSt.earliestVersion, srcSt.opKinds))
       if (srcV < st.watermark)
         throw new IllegalStateException(
           s"materialized view '$name': source table ${st.srcKey} is at " +
             s"version $srcV, behind the recorded watermark ${st.watermark} — " +
             "the source was re-created; drop and re-create the materialized view")
+      if (st.srcTableUuid.isEmpty) {
+        // pre-uuid journal: adopt the live identity — ONLY after every
+        // re-creation sanity check passed (adopting first would stamp a
+        // re-created table's identity next to the OLD watermark, blinding
+        // the uuid check forever)
+        st = st.copy(srcTableUuid = srcSt.tableUuid)
+        registry.put(name, st)
+        persist(st)
+      }
       if (srcV == st.watermark) ("noop", st.watermark, srcV)
       else {
         val from = st.watermark
@@ -621,10 +716,19 @@ object MatViews {
         registry.put(name, intent)
         persist(intent)
         val tag = s"${name}_${System.nanoTime()}"
+        // min/max components fold only from pure insert streams: any
+        // version in the window whose commit may have REMOVED rows (or
+        // whose kind this ledger doesn't know) forces the full path —
+        // reported as mode=full, never silently wrong
+        val extremesBlockDelta = st.hasExtremes &&
+          !((from + 1) to srcV).forall(v =>
+            srcOpKinds.get(v).exists(InsertOnlyKinds.contains))
         val mode =
-          if (from < earliest) {
-            // watermark expired out of source retention: the change window
-            // is gone — recompute in full, loudly reported as mode=full
+          if (from < earliest || extremesBlockDelta) {
+            // watermark expired out of source retention (or a min/max MV
+            // saw a row-removing window): the incremental path is
+            // unavailable — recompute in full, loudly reported as
+            // mode=full
             val seed = {
               val df = spark.sql(
                 storeSelectSql(st, s"graft.${q(st.srcKey)} VERSION AS OF $srcV"))
@@ -678,6 +782,15 @@ object MatViews {
       val ownsStore = known || MemTables.get(storeKey).exists(st =>
         st.storageDir.exists(d =>
           java.nio.file.Files.isRegularFile(journalPath(d))))
+      if (!known && !ownsStore && MemTables.get(storeKey).isDefined)
+        // a crash between the store CREATE and the first journal write
+        // leaves a journal-less store this procedure must NOT reclaim
+        // (it cannot prove ownership) — point at the safe way out
+        throw new IllegalStateException(
+          s"materialized view '$name' does not exist, but a table named " +
+            s"'$storeKey' does (no refresh journal — possibly an orphan of " +
+            "a crashed create); reclaim it explicitly with " +
+            s"DROP TABLE graft.$storeKey")
       val dropped = ownsStore && MemTables.drop(storeKey)
       known || dropped
     }

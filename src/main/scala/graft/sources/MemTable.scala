@@ -778,6 +778,27 @@ object MemTables {
     }
   }
 
+  /** Structural type equality ignoring nested nullability and field
+    * metadata — what the scan's era-projection check needs: a batch
+    * written with `struct<a: string NOT NULL>` is byte-compatible with a
+    * binding of `struct<a: string>` (values project unchanged); only a
+    * SHAPE difference (names, arity, leaf types) decodes garbage.
+    */
+  def sameShape(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameShape(f.dataType, g.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+      case _ => a == b
+    }
+  }
+
   /** Convert one non-null internal value across a [[widens]] promotion. */
   def widenValue(v: Any, from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Any = {
@@ -3358,8 +3379,23 @@ final class MemScanBuilder(
   // supportCompletePushDown/pushAggregation repeatedly; recompute only on
   // a different aggregation, keep one consistent value set otherwise)
   private var aggFor: Option[AnyRef] = None
+  /** TOP-LEVEL column pruning only: Spark's nested-schema pruning may
+    * request a struct column cut down to the referenced fields
+    * (`s: struct<country>` of a written `struct<country,city>`). This
+    * source stores whole rows per batch file, so a nested prune saves no
+    * I/O here — expand the column back to its FULL declared type and let
+    * Spark project above the scan (readSchema() is the contract; column
+    * pruning is best-effort by design). Without the expansion the
+    * era-projection type check would reject the subset struct as an
+    * unsupported type change.
+    */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
+    required = Some(StructType(requiredSchema.fields.map { f =>
+      tableSchema.fields.find(_.name == f.name) match {
+        case Some(tf) if tf.dataType != f.dataType => f.copy(dataType = tf.dataType)
+        case _ => f
+      }
+    }))
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (rowLevel.isEmpty) skipFilters = filters
     filters // ALL residual: the source only skips, it never filters rows
@@ -4155,7 +4191,7 @@ final class MemScan(
       boundSchema.fields.foreach { f =>
         m.get(f.name).foreach { src =>
           val dt = b.schema.fields(b.schema.fieldNames.indexOf(src)).dataType
-          if (dt != f.dataType && !MemTables.widens(dt, f.dataType))
+          if (!MemTables.sameShape(dt, f.dataType) && !MemTables.widens(dt, f.dataType))
             throw new IllegalStateException(
               s"mem table $key: column ${f.name} was written as " +
                 s"${dt.simpleString} but the scan is bound to " +
@@ -5368,7 +5404,7 @@ object MemTableMicroBatchStream {
       bound.fields.foreach { f =>
         srcNames.get(f.name).foreach { src =>
           val dt = b.schema.fields(b.schema.fieldNames.indexOf(src)).dataType
-          if (dt != f.dataType && !MemTables.widens(dt, f.dataType))
+          if (!MemTables.sameShape(dt, f.dataType) && !MemTables.widens(dt, f.dataType))
             throw new IllegalStateException(
               s"mem table $key: column ${f.name} was written as " +
                 s"${dt.simpleString} but the stream is bound to " +

@@ -2425,6 +2425,59 @@ object Roundtrips {
     agg.withColumn("served_from_store", lit(servedFromStore))
   }
 
+  /** MIN/MAX materialized view — the conditional-maintainability half of
+    * [[MatViews]]: extremes fold incrementally while the change window is
+    * a pure insert stream, and fall back to a LOUD full recompute the
+    * moment a row-removing commit appears in it (decided from the version
+    * ledger's op kinds — no data scan). Both refresh MODES and their
+    * exact windows are part of the oracle hash: refresh #1 (two appends)
+    * must report `incremental`, refresh #2 (a DELETE then an append) must
+    * report `full` — a silently-wrong extreme after the delete, or an
+    * incremental path that missed the delete, breaks the row set; a
+    * needlessly-full first refresh breaks the mode column. NULL inputs
+    * (every 17th key) pin the skip-nulls semantics of the fold.
+    */
+  val dsv2MvMinmax: QueryDef = QueryDef(
+    "dsv2_mv_minmax",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CASE WHEN o_orderkey % 17 = 0 THEN NULL
+      |              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |final AS (
+      |  SELECT k, g, v FROM base WHERE k % 9 <> 0
+      |  UNION ALL
+      |  SELECT -1, '5-LOW', CAST(123 AS BIGINT)),
+      |mv AS (
+      |  SELECT g, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+      |         CAST(sum(v) AS BIGINT) AS sv
+      |  FROM final GROUP BY g)
+      |SELECT g, lo, hi, sv,
+      |       'incremental' AS r1_mode, CAST(2 AS BIGINT) AS r1_to,
+      |       'full' AS r2_mode, CAST(4 AS BIGINT) AS r2_to
+      |FROM mv""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_x")
+    val tbl = freshGraftTable(spark, "mem_mvx_orders", "(k BIGINT, g STRING, v BIGINT)") // v0
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        when(col("o_orderkey") % 17 === 0, lit(null))
+          .otherwise(Num.cents(col("o_totalprice"))).as("v"))
+    base.filter(col("k") % 2 === 0).writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_materialized_view('mv_x', " +
+      "'SELECT g, min(v) AS lo, max(v) AS hi, sum(v) AS sv " +
+      "FROM graft.mem_mvx_orders GROUP BY g')") // watermark = 1
+    base.filter(col("k") % 2 === 1).writeTo(tbl).append() // v2: insert-only window
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_x')")
+      .select(col("mode").as("r1_mode"), col("to_version").as("r1_to"))
+    spark.sql(s"DELETE FROM $tbl WHERE k % 9 = 0") // v3: removes extremes
+    spark.sql(s"INSERT INTO $tbl VALUES (-1, '5-LOW', 123)") // v4
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_x')")
+      .select(col("mode").as("r2_mode"), col("to_version").as("r2_to"))
+    spark.sql("SELECT g, lo, hi, sv FROM graft.mv_x")
+      .crossJoin(r1).crossJoin(r2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2439,5 +2492,5 @@ object Roundtrips {
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
-      dsv2MvRewrite)
+      dsv2MvRewrite, dsv2MvMinmax)
 }

@@ -149,6 +149,24 @@ class RewriteAggToMatViewSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 999L)))
   }
 
+  test("maintained min/max components serve user min/max queries") {
+    catalogOn(); dropMv("rw_ext")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_ext_src")
+    spark.sql("CREATE TABLE graft.rw_ext_src (g STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_ext_src VALUES ('a', 10), ('a', 30), ('b', NULL)")
+    spark.sql("CALL graft.create_materialized_view('rw_ext', " +
+      "'SELECT g, min(v) AS lo, max(v) AS hi FROM graft.rw_ext_src GROUP BY g')")
+    val df = spark.sql("SELECT g, max(v) AS m, min(v) AS n FROM graft.rw_ext_src GROUP BY g")
+    assert(hitsStore(df, "rw_ext__store"), s"got ${scannedTables(df)}")
+    val m = df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m("a") === Seq(30L, 10L))
+    assert(m("b") === Seq(null, null))
+    // avg of the same argument is NOT derivable from extremes — stays on the source
+    val miss = spark.sql("SELECT g, avg(v) AS a FROM graft.rw_ext_src GROUP BY g")
+    assert(!hitsStore(miss, "rw_ext__store"))
+    miss.collect()
+  }
+
   test("an MV maintaining avg serves sum and count of the same argument") {
     catalogOn(); dropMv("rw_avg")
     spark.sql("DROP TABLE IF EXISTS graft.rw_avg_src")

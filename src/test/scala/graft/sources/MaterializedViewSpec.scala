@@ -158,7 +158,7 @@ class MaterializedViewSpec extends SparkSpec {
       assert(MatViews.registry.get("mv_bad").isEmpty)
       assert(MemTables.get("mv_bad__store").isEmpty, "no store debris on failure")
     }
-    rejects("SELECT g, max(v) AS m FROM graft.mv_bad_src GROUP BY g",
+    rejects("SELECT g, median(v) AS m FROM graft.mv_bad_src GROUP BY g",
       "not incrementally maintainable")
     rejects("SELECT g, count(DISTINCT v) AS d FROM graft.mv_bad_src GROUP BY g",
       "DISTINCT")
@@ -243,6 +243,79 @@ class MaterializedViewSpec extends SparkSpec {
     // first touch is a READ — no refresh in between
     assert(rowsOf("SELECT g, sv FROM graft.mv_read_rec ORDER BY g") ===
       Seq(Seq("a", 10L), Seq("b", 20L)))
+  }
+
+  test("min/max fold incrementally on insert-only windows, full-recompute on deletes") {
+    catalogOn(); dropMv("mv_ext"); freshSrc("mv_ext_src",
+      "(1, 'a', 10), (2, 'a', 30), (3, 'b', NULL)")
+    spark.sql("CALL graft.create_materialized_view('mv_ext', " +
+      "'SELECT g, min(v) AS lo, max(v) AS hi, sum(v) AS sv " +
+      "FROM graft.mv_ext_src GROUP BY g')")
+    // all-NULL group: extremes read NULL
+    val b0 = spark.sql("SELECT lo, hi FROM graft.mv_ext WHERE g = 'b'").head()
+    assert(b0.isNullAt(0) && b0.isNullAt(1))
+    // insert-only window (two appends) stays incremental, NULL-side folds
+    spark.sql("INSERT INTO graft.mv_ext_src VALUES (4, 'a', 5), (5, 'b', 50)")
+    spark.sql("INSERT INTO graft.mv_ext_src VALUES (6, 'a', 40)")
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_ext')").head()
+    assert(r1.getString(1) === "incremental")
+    assert(rowsOf("SELECT g, lo, hi, sv FROM graft.mv_ext ORDER BY g") ===
+      Seq(Seq("a", 5L, 40L, 85L), Seq("b", 50L, 50L, 50L)))
+    // a delete in the window: extremes can't fold — loud full recompute
+    spark.sql("DELETE FROM graft.mv_ext_src WHERE k = 6") // removes max of 'a'
+    spark.sql("INSERT INTO graft.mv_ext_src VALUES (7, 'a', 7)")
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_ext')").head()
+    assert(r2.getString(1) === "full")
+    assert(rowsOf("SELECT g, lo, hi, sv FROM graft.mv_ext ORDER BY g") ===
+      rowsOf("SELECT g, min(v) AS lo, max(v) AS hi, sum(v) AS sv " +
+        "FROM graft.mv_ext_src GROUP BY g ORDER BY g"))
+    // back to insert-only: incremental resumes
+    spark.sql("INSERT INTO graft.mv_ext_src VALUES (8, 'a', 100)")
+    val r3 = spark.sql("CALL graft.refresh_materialized_view('mv_ext')").head()
+    assert(r3.getString(1) === "incremental")
+    assert(rowsOf("SELECT hi FROM graft.mv_ext WHERE g = 'a'") === Seq(Seq(100L)))
+  }
+
+  test("struct-field access in the definition is NOT mistaken for a table qualifier") {
+    catalogOn(); dropMv("mv_struct")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_struct_src")
+    spark.sql("CREATE TABLE graft.mv_struct_src " +
+      "(k BIGINT, s STRUCT<country: STRING, city: STRING>, v BIGINT)")
+    spark.sql("INSERT INTO graft.mv_struct_src VALUES " +
+      "(1, named_struct('country', 'DE', 'city', 'B'), 10), " +
+      "(2, named_struct('country', 'DE', 'city', 'M'), 20), " +
+      "(3, named_struct('country', 'FR', 'city', 'P'), 30)")
+    spark.sql("CALL graft.create_materialized_view('mv_struct', " +
+      "'SELECT s.country AS c, sum(v) AS sv FROM graft.mv_struct_src GROUP BY s.country')")
+    spark.sql("INSERT INTO graft.mv_struct_src VALUES " +
+      "(4, named_struct('country', 'FR', 'city', 'L'), 40)")
+    val r = spark.sql("CALL graft.refresh_materialized_view('mv_struct')").head()
+    assert(r.getString(1) === "incremental")
+    assert(rowsOf("SELECT c, sv FROM graft.mv_struct ORDER BY c") ===
+      Seq(Seq("DE", 30L), Seq("FR", 70L)))
+  }
+
+  test("drop on a journal-less orphan store points at the explicit reclaim path") {
+    catalogOn(); dropMv("mv_orphan")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_orphan__store")
+    // simulate a crash between store CREATE and the first journal write
+    spark.sql("CREATE TABLE graft.mv_orphan__store (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='parquet')")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.drop_materialized_view('mv_orphan')").collect()
+    }
+    assert(e.getMessage.contains("DROP TABLE graft.mv_orphan__store"))
+    spark.sql("DROP TABLE graft.mv_orphan__store")
+  }
+
+  test("a cached recovery miss never masks a later create of the same name") {
+    catalogOn(); dropMv("mv_misscache") // incl. any store left on disk by a prior run
+    // prime the negative probe cache with a miss for this name
+    intercept[Exception] { spark.sql("SELECT * FROM graft.mv_misscache").collect() }
+    freshSrc("mv_misscache_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_misscache', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_misscache_src GROUP BY g')")
+    assert(rowsOf("SELECT g, n FROM graft.mv_misscache") === Seq(Seq("a", 1L)))
   }
 
   test("qualified column references are rejected at create, not at refresh") {
