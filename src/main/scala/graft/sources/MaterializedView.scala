@@ -229,13 +229,25 @@ object MatViews {
     val srcColsLower: Set[String] = MemTables.get(srcKey)
       .map(_.schema.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSet)
       .getOrElse(Set.empty)
+    // a head that is BOTH a source column and the table (or catalog)
+    // name is ambiguous ACROSS the two binding contexts: `FROM graft.t`
+    // resolves `t.f` as a table qualifier at create, while the refresh
+    // temp view resolves it as struct access — same text, different
+    // expression. Reject rather than silently corrupt.
+    val ambiguousHeads: Set[String] =
+      srcColsLower.intersect(Set(srcKey.toLowerCase(Locale.ROOT), "graft"))
     agg.flatMap(_.expressions).foreach { // incl. the WHERE child's condition
       _.foreach {
-        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-            !srcColsLower.contains(a.nameParts.head.toLowerCase(Locale.ROOT)) =>
-          fail(s"table-qualified column reference '${a.sql}' is not " +
-            "supported — use bare column names (the definition is " +
-            "re-bound against the change feed at refresh)")
+        case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+          val head = a.nameParts.head.toLowerCase(Locale.ROOT)
+          if (!srcColsLower.contains(head))
+            fail(s"table-qualified column reference '${a.sql}' is not " +
+              "supported — use bare column names (the definition is " +
+              "re-bound against the change feed at refresh)")
+          if (ambiguousHeads.contains(head))
+            fail(s"reference '${a.sql}' is ambiguous: '${a.nameParts.head}' " +
+              "names both a source column and the table/catalog — rename " +
+              "the column or the table")
         case _ =>
       }
     }
@@ -400,11 +412,9 @@ object MatViews {
   private def mergeSql(st: MvState, deltaView: String): String = {
     val on = st.groups.map(g => s"t.${q(g.out)} <=> s.${q(g.out)}").mkString(" AND ")
     def fold2(c: String, fn: String): String =
-      // NULL = "no non-null inputs on that side yet" — the other side's
-      // extreme wins; least/greatest would wrongly go NULL-absorbing
-      s"${q(c)} = CASE WHEN t.${q(c)} IS NULL THEN s.${q(c)} " +
-        s"WHEN s.${q(c)} IS NULL THEN t.${q(c)} " +
-        s"ELSE $fn(t.${q(c)}, s.${q(c)}) END"
+      // least/greatest skip NULL inputs (NULL only when BOTH are), which
+      // is exactly the "no non-null inputs on that side yet" semantics
+      s"${q(c)} = $fn(t.${q(c)}, s.${q(c)})"
     val sets = (Seq(s"${q(RowCountCol)} = t.${q(RowCountCol)} + s.${q(RowCountCol)}") ++
       st.aggs.flatMap {
         case AggSpec("countstar", _, _) => Nil
@@ -550,9 +560,10 @@ object MatViews {
       val (cachedAt, misses) = missCache.get()
       if (cachedAt == mt && misses.contains(name)) None
       else {
+        val storeSt = MemTables.get(name + StoreSuffix)
         val recovered = for {
-          storeSt <- MemTables.get(name + StoreSuffix)
-          dir <- storeSt.storageDir
+          st0 <- storeSt
+          dir <- st0.storageDir
           st <- loadJournal(dir)
           if st.name == name
         } yield {
@@ -560,7 +571,13 @@ object MatViews {
           if (!MemViews.views.contains(name)) registerCatalogView(r)
           r
         }
-        if (recovered.isEmpty) missCache.updateAndGet {
+        // cache ONLY a true absence (no store table at all): the store
+        // dir's creation bumps the root mtime this cache is keyed on, so
+        // that state can't change behind the cache. A store WITHOUT a
+        // journal (mid-create in another process, or an orphan) must
+        // keep probing — the journal lands INSIDE the store dir and
+        // never touches the root mtime
+        if (recovered.isEmpty && storeSt.isEmpty) missCache.updateAndGet {
           case (m, s) if m == mt => (m, s + name)
           case _ => (mt, Set(name))
         }

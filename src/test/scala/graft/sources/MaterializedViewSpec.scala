@@ -318,6 +318,21 @@ class MaterializedViewSpec extends SparkSpec {
     assert(rowsOf("SELECT g, n FROM graft.mv_misscache") === Seq(Seq("a", 1L)))
   }
 
+  test("a struct column named like its own table is rejected as ambiguous") {
+    catalogOn(); dropMv("mv_amb")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_amb_src")
+    spark.sql("CREATE TABLE graft.mv_amb_src " +
+      "(mv_amb_src STRUCT<f: BIGINT>, g STRING)")
+    // `mv_amb_src.f` is a table qualifier at create but struct access at
+    // refresh — silently different expressions; must fail loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('mv_amb', " +
+        "'SELECT g, sum(mv_amb_src.f) AS s FROM graft.mv_amb_src GROUP BY g')")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    spark.sql("DROP TABLE graft.mv_amb_src")
+  }
+
   test("qualified column references are rejected at create, not at refresh") {
     catalogOn(); dropMv("mv_qual"); freshSrc("mv_qual_src", "(1, 'a', 10)")
     val e = intercept[Exception] {
