@@ -467,6 +467,7 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       case "create_materialized_view" => CreateMaterializedViewProcedure
       case "refresh_materialized_view" => RefreshMaterializedViewProcedure
       case "drop_materialized_view" => DropMaterializedViewProcedure
+      case "materialized_views" => MaterializedViewsProcedure
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (available: expire_snapshots, " +
           "expire_older_than, rollback_table, compact_table, rewrite_data_files, " +
@@ -497,7 +498,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "migrate_storage"),
       Identifier.of(namespace, "create_materialized_view"),
       Identifier.of(namespace, "refresh_materialized_view"),
-      Identifier.of(namespace, "drop_materialized_view"))
+      Identifier.of(namespace, "drop_materialized_view"),
+      Identifier.of(namespace, "materialized_views"))
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -1640,6 +1642,56 @@ object RefreshMaterializedViewProcedure
     val (mode, from, to) = MatViews.refresh(spark, mvName)
     ProcedureResults.scan(s"GraftRefreshMaterializedView $mvName", outSchema,
       Seq(Seq(mvName, mode, from, to)))
+  }
+}
+
+/** `CALL graft.materialized_views()` — the operational listing: one row
+  * per registered materialized view with its source, watermark, the
+  * source's current version, FRESHNESS (watermark == current AND same
+  * table identity AND no pending intent — exactly the query-rewrite
+  * rule's serve condition, so `fresh=true` here means reads are being
+  * answered from the store), and the store's live row count (group
+  * count) from manifests. Disk-resident MVs not yet faulted in are NOT
+  * listed — listing is a registry view, not a warehouse scan.
+  */
+object MaterializedViewsProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.BoundProcedure
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+  override def name(): String = "materialized_views"
+  override def description(): String =
+    "list registered materialized views with freshness and watermarks"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter] =
+    Array.empty
+
+  private val outSchema = new StructType()
+    .add("view", StringType, nullable = false)
+    .add("source", StringType, nullable = false)
+    .add("watermark", LongType, nullable = false)
+    .add("source_version", LongType, nullable = true)
+    .add("fresh", BooleanType, nullable = false)
+    .add("pending_refresh", BooleanType, nullable = false)
+    .add("groups", LongType, nullable = true)
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
+    val rows = MatViews.registry.values.toSeq.sortBy(_.name).map { st =>
+      val src = MemTables.get(st.srcKey)
+      val srcVersion = src.map(s => java.lang.Long.valueOf(s.version)).orNull
+      val fresh = src.exists(s => st.pending.isEmpty &&
+        st.watermark == s.version &&
+        (st.srcTableUuid.isEmpty || st.srcTableUuid == s.tableUuid))
+      val groups = MemTables.get(st.storeKey).map(s => java.lang.Long.valueOf(
+        s.batches.filter(_.removedAt == Long.MaxValue).map(_.rowCount.toLong).sum)).orNull
+      Seq(st.name, st.srcKey, st.watermark, srcVersion,
+        java.lang.Boolean.valueOf(fresh),
+        java.lang.Boolean.valueOf(st.pending.isDefined), groups)
+    }
+    ProcedureResults.scan("GraftMaterializedViews", outSchema, rows)
   }
 }
 

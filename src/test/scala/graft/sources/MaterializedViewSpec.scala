@@ -344,6 +344,26 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MemTables.get("mv_qual__store").isEmpty)
   }
 
+  test("materialized_views() lists freshness, watermark, and pending state") {
+    catalogOn(); dropMv("mv_list"); freshSrc("mv_list_src",
+      "(1, 'a', 10)", "(2, 'b', 20)") // v2
+    spark.sql("CALL graft.create_materialized_view('mv_list', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_list_src GROUP BY g')")
+    def row() = spark.sql("CALL graft.materialized_views()")
+      .filter(org.apache.spark.sql.functions.col("view") === "mv_list").head()
+    val fresh = row()
+    assert(fresh.getString(1) === "mv_list_src")
+    assert((fresh.getLong(2), fresh.getLong(3)) === ((2L, 2L)))
+    assert(fresh.getBoolean(4) && !fresh.getBoolean(5))
+    assert(fresh.getLong(6) === 2L) // two groups
+    spark.sql("INSERT INTO graft.mv_list_src VALUES (3, 'c', 30)") // stale now
+    val stale = row()
+    assert((stale.getLong(2), stale.getLong(3)) === ((2L, 3L)))
+    assert(!stale.getBoolean(4))
+    spark.sql("CALL graft.refresh_materialized_view('mv_list')")
+    assert(row().getBoolean(4) && row().getLong(6) === 3L)
+  }
+
   test("drop removes the view, the registry entry, and the store") {
     catalogOn(); dropMv("mv_drop"); freshSrc("mv_drop_src", "(1, 'a', 10)")
     spark.sql("CALL graft.create_materialized_view('mv_drop', " +
