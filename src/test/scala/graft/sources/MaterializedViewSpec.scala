@@ -344,6 +344,40 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MemTables.get("mv_qual__store").isEmpty)
   }
 
+  test("five mutation/refresh cycles stay incremental and exact") {
+    catalogOn(); dropMv("mv_loop"); freshSrc("mv_loop_src",
+      "(1, 'a', 10), (2, 'b', 20)")
+    spark.sql("CALL graft.create_materialized_view('mv_loop', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_loop_src GROUP BY g')")
+    var expectedFrom = 1L
+    for (i <- 1 to 5) {
+      spark.sql(s"INSERT INTO graft.mv_loop_src VALUES (${10 + i}, 'a', ${i * 100})")
+      if (i % 2 == 0) spark.sql(s"UPDATE graft.mv_loop_src SET v = v + 1 WHERE k = ${10 + i}")
+      val r = spark.sql("CALL graft.refresh_materialized_view('mv_loop')").head()
+      assert(r.getString(1) === "incremental", s"cycle $i")
+      assert(r.getLong(2) === expectedFrom, s"cycle $i watermark chain")
+      expectedFrom = r.getLong(3)
+      assert(rowsOf("SELECT g, n, sv FROM graft.mv_loop ORDER BY g") ===
+        rowsOf("SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_loop_src " +
+          "GROUP BY g ORDER BY g"), s"cycle $i contents")
+    }
+  }
+
+  test("a commit landing after the refresh captured its window is picked up next time") {
+    catalogOn(); dropMv("mv_window"); freshSrc("mv_window_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_window', " +
+      "'SELECT g, sum(v) AS sv FROM graft.mv_window_src GROUP BY g')")
+    spark.sql("INSERT INTO graft.mv_window_src VALUES (2, 'a', 20)") // v2
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_window')").head()
+    assert((r1.getLong(2), r1.getLong(3)) === ((1L, 2L)))
+    // this commit arrives "during" the previous refresh from the MV's
+    // point of view — the pinned window must not have swallowed it
+    spark.sql("INSERT INTO graft.mv_window_src VALUES (3, 'a', 40)") // v3
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_window')").head()
+    assert((r2.getString(1), r2.getLong(2), r2.getLong(3)) === (("incremental", 2L, 3L)))
+    assert(rowsOf("SELECT sv FROM graft.mv_window") === Seq(Seq(70L)))
+  }
+
   test("materialized_views() lists freshness, watermark, and pending state") {
     catalogOn(); dropMv("mv_list"); freshSrc("mv_list_src",
       "(1, 'a', 10)", "(2, 'b', 20)") // v2
