@@ -57,11 +57,18 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
   import RewriteAggToMatView._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MatViews.registry.isEmpty ||
-        conf.getConfString("spark.graft.mv.rewrite", "true") != "true") plan
-    else plan.transformUp {
-      case agg: Aggregate =>
-        rewrite(agg).getOrElse(agg)
+    if (conf.getConfString("spark.graft.mv.rewrite", "true") != "true") plan
+    else {
+      // after a restart the registry is empty even when recoverable MVs
+      // sit on disk — fault them in (memoized on the warehouse root's
+      // mtime: one directory scan per root change, one stat otherwise),
+      // or the read-optimization half of every MV dies with the process
+      if (MatViews.registry.isEmpty) MatViews.recoverAllFromDisk()
+      if (MatViews.registry.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate =>
+          rewrite(agg).getOrElse(agg)
+      }
     }
   }
 
@@ -382,10 +389,21 @@ object RewriteAggToMatView {
         }
         val relOut = rel.output
           .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
-        // grouping exprs pair positionally with the MvState groups (the
-        // parser saw the same GROUP BY list create() recorded)
-        if (agg.groupingExpressions.size != mv.groups.size) return None
-        val groups = agg.groupingExpressions.map(fold).zip(mv.groups.map(_.out))
+        // group expressions pair with store columns BY OUTPUT NAME from
+        // the SELECT list — never positionally against groupingExpressions,
+        // whose order is the GROUP BY clause's and may differ from the
+        // SELECT order create() recorded (a positional zip would swap
+        // store columns between groups)
+        val groupExprByOut: Map[String, Expression] =
+          agg.aggregateExpressions.collect {
+            case al @ Alias(child, _)
+                if !child.exists(_.isInstanceOf[AggregateExpression]) =>
+              al.name -> fold(child)
+            case ar: AttributeReference => ar.name -> (ar: Expression)
+          }.toMap
+        val groups: Seq[(Expression, String)] =
+          mv.groups.flatMap(g => groupExprByOut.get(g.out).map(e => (e, g.out)))
+        if (groups.size != mv.groups.size) return None
         // per-output-name aggregate arguments, from the analyzed tree
         val argByOut: Map[String, Expression] = agg.aggregateExpressions.collect {
           case al @ Alias(ae: AggregateExpression, _) =>

@@ -236,8 +236,10 @@ object MatViews {
     // expression. Reject rather than silently corrupt.
     val ambiguousHeads: Set[String] =
       srcColsLower.intersect(Set(srcKey.toLowerCase(Locale.ROOT), "graft"))
-    agg.flatMap(_.expressions).foreach { // incl. the WHERE child's condition
-      _.foreach {
+    // unknown source: skip the qualifier/struct distinction — create
+    // fails one step later with the accurate "source does not exist"
+    if (srcColsLower.nonEmpty) agg.flatMap(_.expressions).foreach {
+      _.foreach { // incl. the WHERE child's condition
         case a: UnresolvedAttribute if a.nameParts.length > 1 =>
           val head = a.nameParts.head.toLowerCase(Locale.ROOT)
           if (!srcColsLower.contains(head))
@@ -255,6 +257,24 @@ object MatViews {
       case _: Literal => fail("GROUP BY ordinals are not supported — group by explicit expressions")
       case e if hasAgg(e) => fail("GROUP BY expressions must not contain aggregates")
       case _ =>
+    }
+    // nondeterministic / time-varying expressions re-bind DIFFERENTLY at
+    // every refresh (a delete event would be sampled or time-sliced by a
+    // different instantiation than its original insert), silently
+    // corrupting the store — reject the shapes up front
+    val unstableFns = Set("rand", "randn", "random", "uuid", "shuffle",
+      "monotonically_increasing_id", "spark_partition_id", "input_file_name",
+      "now", "current_timestamp", "current_date", "localtimestamp",
+      "current_timezone", "session_user", "current_user")
+    agg.flatMap(_.expressions).foreach {
+      _.foreach {
+        case f: UnresolvedFunction if unstableFns.contains(fnName(f)) ||
+            (fnName(f) == "unix_timestamp" && f.arguments.isEmpty) =>
+          fail(s"'${fnName(f)}' is non-deterministic or time-varying — each " +
+            "refresh would re-evaluate it differently than the rows it " +
+            "maintains were built with; materialize a stable column instead")
+        case _ =>
+      }
     }
     val groupSqls = agg.groupingExpressions.map(_.sql)
 
@@ -314,6 +334,14 @@ object MatViews {
     }
     if (groups.isEmpty) fail("select at least one group column")
     if (aggs.isEmpty) fail("select at least one aggregate")
+    // every GROUP BY expression must be SELECTED: a grouping column the
+    // select list drops would make the store aggregate at a FINER grain
+    // than its columns can represent — the merge keys (and the declared
+    // SQL) would silently mean a coarser view than the store holds
+    groupSqls.foreach { gs =>
+      if (!groups.exists(_.exprSql == gs))
+        fail(s"GROUP BY expression $gs must also appear in the SELECT list")
+    }
     val outs = groups.map(_.out) ++ aggs.map(_.out)
     outs.diff(outs.distinct).headOption.foreach(d => fail(s"duplicate output name '$d'"))
     (srcKey, filterSql, groups, aggs)
@@ -576,8 +604,12 @@ object MatViews {
         // that state can't change behind the cache. A store WITHOUT a
         // journal (mid-create in another process, or an orphan) must
         // keep probing — the journal lands INSIDE the store dir and
-        // never touches the root mtime
-        if (recovered.isEmpty && storeSt.isEmpty) missCache.updateAndGet {
+        // never touches the root mtime. And only once the root has been
+        // QUIET past the mtime tick: a concurrent create landing in the
+        // same filesystem timestamp tick would otherwise hide behind an
+        // unchanged mtime forever
+        if (recovered.isEmpty && storeSt.isEmpty &&
+            System.currentTimeMillis() - mt > 2000L) missCache.updateAndGet {
           case (m, s) if m == mt => (m, s + name)
           case _ => (mt, Set(name))
         }
@@ -585,12 +617,48 @@ object MatViews {
       }
     }
 
+  // memo of the last warehouse-wide journal scan ([[recoverAllFromDisk]])
+  private val allScanMemo = new java.util.concurrent.atomic.AtomicLong(-2L)
+
+  /** Fault EVERY disk-resident materialized view into the registry — the
+    * restart path of the QUERY-REWRITE half: reads of the SOURCE tables
+    * don't name any MV, so nothing else would ever recover them, and the
+    * rewrite would silently stop serving after a restart. Memoized on
+    * the warehouse root's mtime: one directory walk per root change, one
+    * stat otherwise.
+    */
+  private[graft] def recoverAllFromDisk(): Unit = {
+    val mt = rootMtime()
+    if (allScanMemo.get() == mt) return
+    val root = MemTables.tablesRoot
+    if (root.isDirectory) {
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .foreach { d =>
+          val p = journalPath(d.getAbsolutePath)
+          if (java.nio.file.Files.isRegularFile(p))
+            try loadJournal(d.getAbsolutePath).foreach(st => getOrRecover(st.name))
+            catch { case _: Exception => }
+        }
+    }
+    allScanMemo.set(mt)
+  }
+
   private def registerCatalogView(st: MvState): Unit = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(st.viewSchemaJson)
       .asInstanceOf[StructType]
     MemViews.views.put(st.name, MemViews.StoredView(
       st.viewSql, "graft", Array.empty, schema, schema.fieldNames,
       Array.empty, Array.empty, Map("graft.mv" -> "true")))
+  }
+
+  /** Spec hook: forget the memoized recovery scans, as a fresh process
+    * would (the memos survive the in-memory state the recovery drills
+    * clear, masking the restart path under one test JVM).
+    */
+  private[graft] def resetRecoveryMemos(): Unit = {
+    allScanMemo.set(-2L)
+    missCache.set((-1L, Set.empty))
   }
 
   /** Spec hook: drop the in-memory registry entry (and the catalog view),

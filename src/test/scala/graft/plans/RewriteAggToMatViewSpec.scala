@@ -149,6 +149,45 @@ class RewriteAggToMatViewSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 999L)))
   }
 
+  test("a definition whose GROUP BY order differs from its SELECT order maps columns correctly") {
+    catalogOn(); dropMv("rw_order")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_order_src")
+    spark.sql("CREATE TABLE graft.rw_order_src (a STRING, b STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw_order_src VALUES ('a1', 'b1', 10), ('a2', 'b2', 20)")
+    // SELECT lists b BEFORE a; GROUP BY lists a BEFORE b — a positional
+    // pairing would swap the store columns between the two groups
+    spark.sql("CALL graft.create_materialized_view('rw_order', " +
+      "'SELECT b, a, sum(v) AS sv FROM graft.rw_order_src GROUP BY a, b')")
+    val df = spark.sql("SELECT a, b, sum(v) AS s FROM graft.rw_order_src GROUP BY a, b")
+    assert(hitsStore(df, "rw_order__store"), s"got ${scannedTables(df)}")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ===
+      Set(("a1", "b1", 10L), ("a2", "b2", 20L)))
+  }
+
+  test("disk-resident MVs serve rewrites after a restart without being read by name") {
+    catalogOn(); dropMv("rw_restart")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_restart_src")
+    spark.sql("CREATE TABLE graft.rw_restart_src (g STRING, v BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.rw_restart_src VALUES ('a', 10), ('b', 20)")
+    spark.sql("CALL graft.create_materialized_view('rw_restart', " +
+      "'SELECT g, sum(v) AS sv FROM graft.rw_restart_src GROUP BY g')")
+    // the restart drill: no in-memory MV state at all, only disk —
+    // and the first touch is a query on the SOURCE, never naming the MV
+    val saved = MatViews.registry.toMap
+    saved.keys.foreach(MatViews.forget)
+    MemTables.unload("rw_restart__store")
+    MatViews.resetRecoveryMemos()
+    try {
+      val df = spark.sql("SELECT g, sum(v) AS s FROM graft.rw_restart_src GROUP BY g")
+      assert(hitsStore(df, "rw_restart__store"), s"got ${scannedTables(df)}")
+      assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 10L, "b" -> 20L))
+    } finally saved.foreach { case (k, v) =>
+      if (!MatViews.registry.contains(k)) MatViews.registry.put(k, v)
+    }
+  }
+
   test("maintained min/max components serve user min/max queries") {
     catalogOn(); dropMv("rw_ext")
     spark.sql("DROP TABLE IF EXISTS graft.rw_ext_src")

@@ -176,6 +176,12 @@ class MaterializedViewSpec extends SparkSpec {
       "must appear in GROUP BY")
     rejects("SELECT g, count(*) AS n FROM graft.no_such_table_mv GROUP BY g",
       "does not exist")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src GROUP BY g, k",
+      "must also appear in the SELECT list")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src WHERE rand() < 0.5 GROUP BY g",
+      "non-deterministic")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src " +
+      "WHERE k > unix_timestamp() GROUP BY g", "time-varying")
     // name collisions: existing table, view, and the store-suffix slot
     val e1 = intercept[Exception] {
       spark.sql("CALL graft.create_materialized_view('mv_bad_src', " +
