@@ -71,11 +71,27 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
   * filter. Reference scope note: the reference pipeline has no derived
   * tables at all (its `jobs/transform.py` recomputes aggregates per run);
   * this surface is part of the 100 TB extension mandate.
+  *
+  * CONCURRENCY SCOPE — SINGLE DRIVER per warehouse. The per-MV mutex and
+  * the registry are JVM-local while the store table and refresh journal
+  * are shared files: two driver processes over the same warehouse root
+  * could interleave create/refresh (one writes the intent, the other
+  * merges), and the write-intent repair would then roll back or re-apply
+  * a window it does not own — the journal is a crash log, not a
+  * cross-process lock. This matches the rest of the mem-table plane
+  * (every table mutation serializes on a JVM-local monitor); a
+  * multi-driver warehouse needs a lease file (or CAS on the journal)
+  * taken before refresh, which is exactly where that lock would go.
   */
 object MatViews {
 
   /** Suffix of the backing store table's key: `<mv>__store`. */
   val StoreSuffix = "__store"
+  /** Table property tagging a backing store with its owning MV's name —
+    * the write/drop guard's anchor (persisted in the store's durable
+    * metadata, so the guard survives restart and disk recovery).
+    */
+  val StoreProp = "graft.mv-store"
   /** Refresh journal file, beside the store table's `metadata.json`. */
   val JournalName = "mv.json"
   /** Internal rowcount component column — `count(*)` per group, the
@@ -84,6 +100,12 @@ object MatViews {
   val RowCountCol = "__mv_n"
 
   private val SignCol = "__graft_mv_sign"
+
+  /** Every N-th refresh of an MV with DOUBLE-typed sum/avg components
+    * recomputes in full instead of folding deltas — the float-drift
+    * bound (integral sums are exact and never need it).
+    */
+  val FloatDriftFullEvery = 64
 
   final case class GroupCol(out: String, exprSql: String)
   /** kind ∈ countstar | count | sum | avg; `argSql` empty for countstar. */
@@ -111,7 +133,15 @@ object MatViews {
       groups: Seq[GroupCol],
       aggs: Seq[AggSpec],
       watermark: Long,
-      pending: Option[Pending]) {
+      pending: Option[Pending],
+      // incremental refreshes since the store was last recomputed in
+      // full — bounds FLOAT DRIFT: a double-typed sum component
+      // accumulates error across signed-delta merges (stored_sum + delta
+      // is not the recomputed sum; delete-heavy chains can drift
+      // arbitrarily through cancellation), so every
+      // [[FloatDriftFullEvery]]-th refresh of such an MV forces
+      // mode=full, re-anchoring the store at the exact recomputation
+      deltaRefreshes: Int = 0) {
 
     /** Store columns: group outs, then rowcount, then per-agg components
       * in declaration order (count → cnt; sum/avg → sum + cnt;
@@ -143,6 +173,53 @@ object MatViews {
   private val locks: TrieMap[String, Object] = TrieMap.empty
   private def lockFor(name: String): Object =
     locks.getOrElseUpdate(name, new Object)
+
+  /** Re-entrant per-thread maintenance marker: the store-table guard
+    * ([[assertStoreWritable]]/[[assertStoreDroppable]]) passes only under
+    * this scope, so the create seed, refresh MERGE/overwrite, and the
+    * MV's own reclaim mutate the store while every DIRECT user write —
+    * which would corrupt the aggregate SILENTLY (the watermark still
+    * reads fresh, so the rewrite keeps serving it and later incremental
+    * refreshes merge onto the corrupted baseline) — fails loudly.
+    */
+  private val maintenanceDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+  private def inMaintenance: Boolean = maintenanceDepth.get() > 0
+  private def asMaintenance[A](f: => A): A = {
+    maintenanceDepth.set(maintenanceDepth.get() + 1)
+    try f finally maintenanceDepth.set(maintenanceDepth.get() - 1)
+  }
+
+  /** Reject every write path (append/overwrite/DML/truncate) against a
+    * tagged MV store outside the MV machinery. Applies even when the
+    * owning MV is unknown (an orphan store holds stale aggregate bytes —
+    * nothing should write it; it can only be dropped).
+    */
+  private[sources] def assertStoreWritable(key: String, action: String): Unit =
+    if (!inMaintenance)
+      MemTables.get(key).flatMap(_.createProps.get(StoreProp)).foreach { mv =>
+        throw new UnsupportedOperationException(
+          s"table '$key' is the backing store of materialized view '$mv': " +
+            s"a direct $action would silently corrupt the served aggregate " +
+            "— maintain it with CALL graft.refresh_materialized_view" +
+            s"('$mv') or remove it with CALL graft.drop_materialized_view('$mv')")
+      }
+
+  /** Reject DROP/RENAME TABLE of a store whose owning MV is LIVE
+    * (registered or disk-recoverable) — it would strand the view. An
+    * orphan store (crashed create, no recoverable MV) stays droppable:
+    * `drop_materialized_view`'s own error message points users at
+    * exactly that DROP TABLE.
+    */
+  private[sources] def assertStoreDroppable(key: String, action: String): Unit =
+    if (!inMaintenance)
+      MemTables.get(key).flatMap(_.createProps.get(StoreProp)).foreach { mv =>
+        if (getOrRecover(mv).isDefined)
+          throw new UnsupportedOperationException(
+            s"table '$key' is the backing store of live materialized view " +
+              s"'$mv': $action would strand the view — use " +
+              s"CALL graft.drop_materialized_view('$mv')")
+      }
 
   private def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
 
@@ -504,6 +581,7 @@ object MatViews {
     }
     o.set[JsonNode]("aggs", as)
     o.put("watermark", st.watermark)
+    o.put("delta-refreshes", st.deltaRefreshes)
     st.pending.foreach { p =>
       val n = mapper.createObjectNode()
       n.put("from", p.from); n.put("to", p.to)
@@ -555,7 +633,9 @@ object MatViews {
         watermark = root.get("watermark").asLong,
         pending = Option(root.get("pending")).map(n => Pending(
           n.get("from").asLong, n.get("to").asLong,
-          n.get("store-version-before").asLong))))
+          n.get("store-version-before").asLong)),
+        deltaRefreshes =
+          Option(root.get("delta-refreshes")).map(_.asInt).getOrElse(0)))
     }
   }
 
@@ -569,9 +649,16 @@ object MatViews {
   // graft.<name> — almost always a plain table, and the disk probe
   // behind a miss lists the whole warehouse). Guarded by the warehouse
   // root's mtime: creating or dropping a table directory bumps it, so a
-  // cached miss can never outlive the state it observed.
+  // cached miss can never outlive the state it observed. Entries admitted
+  // while the root was still HOT (within the mtime tick — a concurrent
+  // create landing in the same filesystem timestamp could hide behind an
+  // unchanged mtime) carry a 2 s TTL instead of being refused outright:
+  // bursty DDL plus a many-relation query pays one probe per name per
+  // window, not one per analyzer iteration. Quiet-admitted entries live
+  // until the mtime changes. Values = admission time.
   private val missCache =
-    new java.util.concurrent.atomic.AtomicReference[(Long, Set[String])]((-1L, Set.empty))
+    new java.util.concurrent.atomic.AtomicReference[(Long, Map[String, Long])](
+      (-1L, Map.empty))
 
   private def rootMtime(): Long = MemTables.tablesRoot.lastModified()
 
@@ -585,8 +672,14 @@ object MatViews {
       st
     }.orElse {
       val mt = rootMtime()
+      val now = System.currentTimeMillis()
       val (cachedAt, misses) = missCache.get()
-      if (cachedAt == mt && misses.contains(name)) None
+      // a miss is servable when its root observation still stands AND it
+      // was either admitted with the root quiet (same-tick hazard gone —
+      // permanent until the mtime moves) or is inside its hot-window TTL
+      val cachedMiss = cachedAt == mt && misses.get(name).exists(at =>
+        at - mt > 2000L || now - at < 2000L)
+      if (cachedMiss) None
       else {
         val storeSt = MemTables.get(name + StoreSuffix)
         val recovered = for {
@@ -604,14 +697,15 @@ object MatViews {
         // that state can't change behind the cache. A store WITHOUT a
         // journal (mid-create in another process, or an orphan) must
         // keep probing — the journal lands INSIDE the store dir and
-        // never touches the root mtime. And only once the root has been
-        // QUIET past the mtime tick: a concurrent create landing in the
-        // same filesystem timestamp tick would otherwise hide behind an
-        // unchanged mtime forever
-        if (recovered.isEmpty && storeSt.isEmpty &&
-            System.currentTimeMillis() - mt > 2000L) missCache.updateAndGet {
-          case (m, s) if m == mt => (m, s + name)
-          case _ => (mt, Set(name))
+        // never touches the root mtime. Admission is IMMEDIATE; the
+        // admission timestamp decides the entry's lifetime (TTL inside
+        // the hot window, mtime-bound once quiet — see [[missCache]])
+        if (recovered.isEmpty && storeSt.isEmpty) {
+          missCache.updateAndGet {
+            case (m, s) if m == mt => (m, s + (name -> now))
+            case _ => (mt, Map(name -> now))
+          }
+          ()
         }
         recovered
       }
@@ -658,7 +752,7 @@ object MatViews {
     */
   private[graft] def resetRecoveryMemos(): Unit = {
     allScanMemo.set(-2L)
-    missCache.set((-1L, Set.empty))
+    missCache.set((-1L, Map.empty))
   }
 
   /** Spec hook: drop the in-memory registry entry (and the catalog view),
@@ -711,13 +805,14 @@ object MatViews {
       }
       val storeSchema = StructType(probe.schema.fields.map(_.copy(nullable = true)))
       spark.sql(s"CREATE TABLE graft.${q(storeKey)} (${storeSchema.toDDL}) " +
-        "TBLPROPERTIES('graft.storage'='parquet')")
+        "TBLPROPERTIES('graft.storage'='parquet', " +
+        s"'$StoreProp'='${name.replace("'", "''")}')")
       try {
         // internal sums are ALWAYS non-null (0 when the non-null count is
         // 0) so component arithmetic never goes NULL-absorbing
         val seeded =
           if (st.sumCols.nonEmpty) probe.na.fill(0L, st.sumCols) else probe
-        seeded.writeTo(s"graft.${q(storeKey)}").append()
+        asMaintenance(seeded.writeTo(s"graft.${q(storeKey)}").append())
         val viewSql = viewSelectSql(st)
         // analyze once HERE, where the catalog is necessarily bound (the
         // CALL came through it); recovery replays the recorded schema
@@ -808,8 +903,16 @@ object MatViews {
         val extremesBlockDelta = st.hasExtremes &&
           !((from + 1) to srcV).forall(v =>
             srcOpKinds.get(v).exists(InsertOnlyKinds.contains))
+        // double-typed sum components accumulate floating-point error
+        // across signed-delta merges (delete-heavy chains can drift
+        // arbitrarily through cancellation) — re-anchor at the exact
+        // recomputation every [[FloatDriftFullEvery]] refreshes.
+        // Integral sums are exact and never force this.
+        val driftRecompute = st.deltaRefreshes + 1 >= FloatDriftFullEvery &&
+          st.sumCols.exists(c => storeSt.schema.fields.find(_.name == c)
+            .exists(_.dataType == DoubleType))
         val mode =
-          if (from < earliest || extremesBlockDelta) {
+          if (from < earliest || extremesBlockDelta || driftRecompute) {
             // watermark expired out of source retention (or a min/max MV
             // saw a row-removing window): the incremental path is
             // unavailable — recompute in full, loudly reported as
@@ -821,7 +924,8 @@ object MatViews {
             }
             val tv = s"__graft_mv_full_$tag"
             seed.createOrReplaceTempView(tv)
-            try spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}")
+            try asMaintenance(
+              spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}"))
             finally spark.catalog.dropTempView(tv)
             "full"
           } else {
@@ -835,12 +939,14 @@ object MatViews {
             try {
               spark.sql(deltaSelectSql(st, q(chgView), storeSt.schema))
                 .createOrReplaceTempView(deltaView)
-              try spark.sql(mergeSql(st, q(deltaView)))
+              try asMaintenance(spark.sql(mergeSql(st, q(deltaView))))
               finally spark.catalog.dropTempView(deltaView)
             } finally spark.catalog.dropTempView(chgView)
             "incremental"
           }
-        st = st.copy(watermark = srcV, pending = None)
+        st = st.copy(watermark = srcV, pending = None,
+          deltaRefreshes =
+            if (mode == "incremental") st.deltaRefreshes + 1 else 0)
         registry.put(name, st)
         persist(st)
         (mode, from, srcV)

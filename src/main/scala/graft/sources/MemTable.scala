@@ -778,24 +778,33 @@ object MemTables {
     }
   }
 
-  /** Structural type equality ignoring nested nullability and field
-    * metadata — what the scan's era-projection check needs: a batch
-    * written with `struct<a: string NOT NULL>` is byte-compatible with a
-    * binding of `struct<a: string>` (values project unchanged); only a
-    * SHAPE difference (names, arity, leaf types) decodes garbage.
+  /** DIRECTIONAL structural compatibility of a batch's WRITTEN type
+    * (`written`) with the scan's BOUND type (`bound`), ignoring field
+    * metadata — what the era-projection check needs: a batch written with
+    * `struct<a: string NOT NULL>` is byte-compatible with a binding of
+    * `struct<a: string>` (values project unchanged). Nested nullability
+    * is tolerated in THAT direction only — a batch recorded NULLABLE must
+    * not bind to a NOT NULL declaration (e.g. written before an ALTER
+    * tightened nullability): its nulls would flow silently through a
+    * non-nullable schema instead of failing loudly. A SHAPE difference
+    * (names, arity, leaf types) decodes garbage and always rejects.
     */
-  def sameShape(a: org.apache.spark.sql.types.DataType,
-      b: org.apache.spark.sql.types.DataType): Boolean = {
+  def sameShape(written: org.apache.spark.sql.types.DataType,
+      bound: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    (a, b) match {
+    (written, bound) match {
       case (x: StructType, y: StructType) =>
         x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
-          f.name == g.name && sameShape(f.dataType, g.dataType)
+          f.name == g.name && (!f.nullable || g.nullable) &&
+            sameShape(f.dataType, g.dataType)
         }
-      case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
+      case (x: ArrayType, y: ArrayType) =>
+        (!x.containsNull || y.containsNull) &&
+          sameShape(x.elementType, y.elementType)
       case (x: MapType, y: MapType) =>
-        sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
-      case _ => a == b
+        (!x.valueContainsNull || y.valueContainsNull) &&
+          sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+      case _ => written == bound
     }
   }
 
@@ -2687,7 +2696,7 @@ object MemTables {
     * does not handle never reach it: [[supportedDeleteFilter]] rejects
     * them at planning and Spark falls back to the row-level rewrite.
     */
-  private def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, datetimeInternal(lit)) match {
+  private[sources] def cmp(rowVal: Any, lit: Any): Option[Int] = (rowVal, datetimeInternal(lit)) match {
     case (null, _) | (_, null) => None
     case (a: java.lang.Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
     case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
@@ -2756,88 +2765,109 @@ object MemTables {
         (bSpec.isEmpty || filters.forall(f => partMayMatch(f, bSpec, b.part)))
     }
 
+  /** Build one batch's serializable [[RowPredicate]]: filter columns
+    * resolved through the SAME era/tombstone/default rules scans project
+    * (driver-side, metadata only). Construction VALIDATES the filter
+    * shapes, so an unsupported condition throws loudly on the driver
+    * before any job launches or state mutates.
+    */
+  private def predicateFor(
+      st: State, b: TaggedBatch, filters: Array[Filter]): RowPredicate = {
+    val cols = filters.flatMap(_.references).distinct
+    val idx = cols.map { c =>
+      c -> sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
+        .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1)
+    }.toMap
+    val dflt = cols.filter(idx(_) < 0).map { c =>
+      c -> defaultFor(st.columnDefaults)(c, b.writeVersion).orNull
+    }.toMap
+    new RowPredicate(filters, idx, dflt, b.schema)
+  }
+
+  /** Equality-delete probes applicable to one batch, key columns
+    * era-resolved driver-side ([[EqProbe]] — membership tested
+    * row-at-a-time wherever the rows stream). Same applicability window
+    * as [[effectiveKills]]: strictly newer than the batch, at-or-before
+    * its removal; an unresolvable key column never matches.
+    */
+  private def probesFor(st: State, b: TaggedBatch): Seq[EqProbe] =
+    st.eqDeletes
+      .filter(e => e.version > b.version && e.version <= b.removedAt)
+      .flatMap { e =>
+        val idx = e.keyCols.map(c =>
+          sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
+            .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1))
+        if (idx.contains(-1)) None
+        else Some(EqProbe(idx.toArray,
+          idx.map(b.schema.fields(_).dataType).toArray, e.keys))
+      }
+
   /** Row-level filter matches over the LIVE batches (SQL three-valued
     * evaluation, era/tombstone-resolved, bounds/bucket-pruned) — the
     * matching half shared by DELETE and filtered OVERWRITE. Throws on
     * unsupported filter shapes BEFORE any state mutates. Caller holds the
     * table monitor.
+    *
+    * FILE-BACKED candidates evaluate in a one-task-per-file Spark job
+    * ([[DistributedDml]]) that also writes copy-on-write survivor files
+    * executor-side — table content never transits the driver (the 100 TB
+    * DELETE shape; at gate scale the job doubles as the protocol drill).
+    * Driver-resident batches (and any caller without an active session)
+    * evaluate in-process as before. Returns the matched positions per
+    * batch plus the pre-built survivor stores for job-evaluated batches
+    * (consumed by [[applyRowKillsLocked]] so the CoW rewrite skips its
+    * driver materialization for exactly those batches).
     */
   private def matchedRowsLocked(
-      st: State, filters: Array[Filter]): Map[Long, Array[Int]] = {
-    {
-      val droppedAt = st.droppedAt
-      val eras = st.eras
-      def valueOf(b: TaggedBatch, r: InternalRow, col: String): Any = {
-        // era/tombstone resolution exactly as scans project: unresolvable
-        // columns (pre-alter batches, dropped fields, pre-rename names)
-        // read NULL — or their ADD COLUMN default where one applies (a
-        // `DELETE WHERE c = <default>` must match pre-alter rows exactly
-        // as a read shows them); widened columns surface their write-time
-        // value (cmp is numeric-promoting, so comparisons against the
-        // bound type work)
-        val i = sourceFieldName(eras, droppedAt)(col, b.writeVersion)
-          .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1)
-        if (i < 0) defaultFor(st.columnDefaults)(col, b.writeVersion).orNull
-        else if (r.isNullAt(i)) null
-        else r.get(i, b.schema.fields(i).dataType)
+      st: State, filters: Array[Filter])
+      : (Map[Long, Array[Int]],
+         Map[Long, Option[(RowStore, Map[String, ColStats])]]) = {
+    val live = st.batches.filter(_.removedAt == Long.MaxValue)
+    val candidates = candidateBatches(filters, st.specHistory, st.eras,
+      st.droppedAt, live, st.columnDefaults)
+    // predicate construction validates filter shapes driver-side for
+    // EVERY candidate before any evaluation starts
+    val preds = candidates.map(b => b.batchId -> predicateFor(st, b, filters)).toMap
+    val (fileBacked, memBacked) = candidates.partition(b =>
+      b.store.isInstanceOf[FileStore])
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val jobResults: Map[Long, DistributedDml.EvalResult] =
+      if (fileBacked.isEmpty || session.isEmpty) Map.empty
+      else {
+        // CoW tasks write survivors next to the table's data files; MoR
+        // needs positions only (the kill lands in the delete vector)
+        val survivorDir =
+          if (st.deleteMode == DeleteModeMor) None else st.storageDir
+        val tasks = fileBacked.map { b =>
+          val f = b.store.asInstanceOf[FileStore]
+          DistributedDml.EvalTask(b.batchId, f.path, b.schema,
+            dvDead = b.dv.keySet, probes = probesFor(st, b),
+            pred = preds(b.batchId), survivorDir = survivorDir,
+            declaredSort = st.declaredSortOrder, bloomCols = st.bloomCols.toSet)
+        }
+        DistributedDml.run(session.get.sparkContext, tasks)
       }
-      // SQL THREE-VALUED logic: None = unknown (a NULL operand). A row is
-      // deleted only when the conjunction is DEFINITIVELY true — under
-      // two-valued eval, `Not(v = 5)` over a NULL v would wrongly read
-      // true (inner false → negated true) and delete rows SQL must keep
-      // (`v <> 5`, `v NOT IN (...)` are unknown on NULL, not true).
-      def eval(f: Filter, b: TaggedBatch, r: InternalRow): Option[Boolean] = f match {
-        case EqualTo(c, v) => cmp(valueOf(b, r, c), v).map(_ == 0)
-        case EqualNullSafe(c, v) =>
-          // <=> is never unknown on NULL operands (the shape a static
-          // partition-clause overwrite pushes): NULL<=>NULL is TRUE,
-          // NULL<=>value is FALSE
-          val rv = valueOf(b, r, c)
-          if (rv == null && v == null) Some(true)
-          else if (rv == null || v == null) Some(false)
-          else cmp(rv, v).map(_ == 0)
-        case GreaterThan(c, v) => cmp(valueOf(b, r, c), v).map(_ > 0)
-        case GreaterThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).map(_ >= 0)
-        case LessThan(c, v) => cmp(valueOf(b, r, c), v).map(_ < 0)
-        case LessThanOrEqual(c, v) => cmp(valueOf(b, r, c), v).map(_ <= 0)
-        case In(c, vs) =>
-          // true if any element matches; unknown if none match but any
-          // comparison was unknown (x IN (1, NULL) is unknown, not false)
-          val cs = vs.toSeq.map(v => cmp(valueOf(b, r, c), v))
-          if (cs.exists(_.contains(0))) Some(true)
-          else if (cs.exists(_.isEmpty)) None
-          else Some(false)
-        case IsNull(c) => Some(valueOf(b, r, c) == null)
-        case IsNotNull(c) => Some(valueOf(b, r, c) != null)
-        case And(l, rr) => (eval(l, b, r), eval(rr, b, r)) match {
-          case (Some(false), _) | (_, Some(false)) => Some(false)
-          case (Some(true), Some(true)) => Some(true)
-          case _ => None
-        }
-        case Or(l, rr) => (eval(l, b, r), eval(rr, b, r)) match {
-          case (Some(true), _) | (_, Some(true)) => Some(true)
-          case (Some(false), Some(false)) => Some(false)
-          case _ => None
-        }
-        case Not(inner) => eval(inner, b, r).map(!_) // NOT unknown = unknown
-        case AlwaysTrue() => Some(true)
-        case AlwaysFalse() => Some(false)
-        case other => throw new UnsupportedOperationException(
-          s"unsupported DELETE filter: $other")
+    // driver-side evaluation: mem-resident batches, plus the file-backed
+    // ones when no session exists to host the job (non-Spark callers)
+    val local = memBacked ++ (if (jobResults.isEmpty) fileBacked else Vector.empty)
+    val localDead = parMap(local) { b =>
+      val dead = effectiveKills(b, st.eqDeletes, st.eras, st.droppedAt)
+      val pred = preds(b.batchId)
+      b.batchId -> b.rows.zipWithIndex.collect {
+        case (r, i) if !dead.contains(i) && pred.matches(r) => i
       }
-      def matchesAll(b: TaggedBatch, r: InternalRow): Boolean =
-        filters.forall(f => eval(f, b, r).contains(true))
-      val live = st.batches.filter(_.removedAt == Long.MaxValue)
-      val candidates = candidateBatches(filters, st.specHistory, eras, droppedAt,
-        live, st.columnDefaults)
-      // per-batch evaluation is pure; parallelize the file opens
-      parMap(candidates) { b =>
-        val dead = effectiveKills(b, st.eqDeletes, eras, droppedAt)
-        b.batchId -> b.rows.zipWithIndex.collect {
-          case (r, i) if !dead.contains(i) && matchesAll(b, r) => i
-        }
-      }.filter(_._2.nonEmpty).toMap
+    }.filter(_._2.nonEmpty).toMap
+    val jobDead = jobResults.collect {
+      case (id, r) if r.matched.nonEmpty => id -> r.matched
     }
+    val schemas = fileBacked.iterator.map(b => b.batchId -> b.schema).toMap
+    val preRewritten = jobResults.collect {
+      case (id, r) if r.matched.nonEmpty =>
+        id -> r.survivor.map(s =>
+          (FileStore(s.path, s.count, schemas(id), s.sorted): RowStore, s.stats))
+    }
+    (localDead ++ jobDead, preRewritten)
   }
 
   /** Apply computed row kills at the CURRENT (already bumped) version —
@@ -2847,7 +2877,9 @@ object MemTables {
     * and has bumped `st.version`.
     */
   private def applyRowKillsLocked(
-      st: State, deadByBatch: Map[Long, Array[Int]]): Unit = {
+      st: State, deadByBatch: Map[Long, Array[Int]],
+      preRewritten: Map[Long, Option[(RowStore, Map[String, ColStats])]] =
+        Map.empty): Unit = {
     if (deadByBatch.isEmpty) return
     if (st.deleteMode == DeleteModeMor) {
       // MERGE-ON-READ: record matched positions in the batch's delete
@@ -2863,11 +2895,15 @@ object MemTables {
         }
       }
     } else {
-      // survivor reads/writes parallelize (file-open fixed costs); the
-      // batch-id mint and the batches swap stay serial under the monitor
+      // job-evaluated batches arrive with their survivor files already
+      // executor-written (preRewritten); only the remainder — driver-
+      // resident batches — materializes here. Survivor reads/writes
+      // parallelize (file-open fixed costs); the batch-id mint and the
+      // batches swap stay serial under the monitor
       val rewritten: Map[Long, Option[(RowStore, Map[String, ColStats])]] =
-        parMap(st.batches.filter(b =>
-          deadByBatch.contains(b.batchId) && b.removedAt == Long.MaxValue)) { b =>
+        preRewritten ++ parMap(st.batches.filter(b =>
+          deadByBatch.contains(b.batchId) && b.removedAt == Long.MaxValue &&
+            !preRewritten.contains(b.batchId))) { b =>
           val deadSet = deadByBatch(b.batchId).toSet
           val keep = b.rows.indices.filterNot(deadSet).map(b.rows).toArray
           b.batchId -> (if (keep.isEmpty) None
@@ -2902,10 +2938,10 @@ object MemTables {
       // rows is a no-op and must not burn a version slot — a phantom
       // 'delete' ledger entry with no change-feed events would misreport
       // provenance (mirrors compact()'s no-op path)
-      val deadByBatch = matchedRowsLocked(st, filters)
+      val (deadByBatch, preRewritten) = matchedRowsLocked(st, filters)
       if (deadByBatch.isEmpty) return
       st.version += 1
-      applyRowKillsLocked(st, deadByBatch)
+      applyRowKillsLocked(st, deadByBatch, preRewritten)
       st.stamp("delete")
     }
   }
@@ -2925,9 +2961,9 @@ object MemTables {
       throw new IllegalStateException(s"mem table $key dropped mid-overwrite"))
     st.synchronized {
       // matching throws on unsupported shapes BEFORE any mutation
-      val deadByBatch = matchedRowsLocked(st, filters)
+      val (deadByBatch, preRewritten) = matchedRowsLocked(st, filters)
       st.version += 1
-      applyRowKillsLocked(st, deadByBatch)
+      applyRowKillsLocked(st, deadByBatch, preRewritten)
       val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, st.version))
       st.batches = st.batches ++ fresh
       // survivors keep their order (DV kills / order-preserving rewrite),
@@ -3001,6 +3037,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MatViews.assertStoreWritable(key, "TRUNCATE")
     MemTables.commit(key, truncate = true, tableSchema, Nil)
     true
   }
@@ -3040,6 +3077,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MatViews.assertStoreWritable(key, "UPDATE/MERGE/DELETE")
     val mor = MemTables.get(key).exists(_.deleteMode == MemTables.DeleteModeMor)
     if (mor) { () => new MemDeltaOperation(key, tableSchema, info) }
     else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -3074,6 +3112,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MatViews.assertStoreWritable(key, "DELETE")
     MemTables.deleteWhere(key, filters)
   }
 
@@ -3133,6 +3172,7 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
     if (asOf.isDefined)
       throw new UnsupportedOperationException(
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
+    MatViews.assertStoreWritable(key, "write")
     new MemWriteBuilder(key, info.schema(), info.queryId())
   }
 }

@@ -843,8 +843,12 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     MemTables.alterSchema(key, newSchema, renames, addDefaults)
     new MemTable(key, newSchema)
   }
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    // a LIVE materialized view's backing store drops only through
+    // CALL graft.drop_materialized_view (an orphan store stays droppable)
+    MatViews.assertStoreDroppable(memKey(ident), "DROP TABLE")
     !Pattern.matches(ident.name()) && MemTables.drop(memKey(ident))
+  }
 
   /** `ALTER TABLE ... RENAME TO ...` — a pure registry move: batches,
     * history, refs, and (for file-backed tables) the storage directory
@@ -856,6 +860,8 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (Pattern.matches(from.name()) || Pattern.matches(to.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not renamable")
+    // renaming a live MV's store strands the view exactly like a drop
+    MatViews.assertStoreDroppable(memKey(from), "RENAME TABLE")
     // `RENAME TO graft.t2` parses the catalog name as a NAMESPACE on the
     // TO side (renames never cross catalogs, so Spark leaves it) — strip
     // the redundant self-qualification so both spellings land on one key

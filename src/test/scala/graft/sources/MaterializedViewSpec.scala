@@ -418,4 +418,82 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql("CALL graft.drop_materialized_view('mv_drop')").collect()
     }
   }
+
+  test("the backing store rejects every direct write, drop, and rename") {
+    catalogOn(); dropMv("mv_guard"); freshSrc("mv_guard_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_guard', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mv_guard_src GROUP BY g')")
+    val store = "graft.mv_guard__store"
+    // direct DML would corrupt the aggregate SILENTLY (the watermark still
+    // reads fresh, so the rewrite would keep serving it) — all rejected
+    def rejected(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("backing store")), s"$sql: $e")
+    }
+    rejected(s"INSERT INTO $store VALUES ('x', 1, 1, 1)")
+    rejected(s"DELETE FROM $store WHERE __mv_n = 1")
+    rejected(s"UPDATE $store SET __mv_n = 99 WHERE TRUE")
+    rejected(s"TRUNCATE TABLE $store")
+    rejected(s"DROP TABLE $store")
+    rejected(s"ALTER TABLE $store RENAME TO graft.mv_guard_stolen")
+    // the store is intact and the MV machinery still owns it: refresh
+    // (MERGE through the same guarded entry points) and drop both work
+    spark.sql("INSERT INTO graft.mv_guard_src VALUES (2, 'a', 30)")
+    spark.sql("CALL graft.refresh_materialized_view('mv_guard')")
+    assert(rowsOf("SELECT g, n, sv FROM graft.mv_guard") ===
+      Seq(Seq("a", 2L, 40L)))
+    val r = spark.sql("CALL graft.drop_materialized_view('mv_guard')").head()
+    assert(r.getBoolean(1))
+    assert(MemTables.get("mv_guard__store").isEmpty)
+  }
+
+  test("double-sum MVs re-anchor with a full recompute every Nth refresh") {
+    catalogOn(); dropMv("mv_drift")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_drift_src")
+    spark.sql("CREATE TABLE graft.mv_drift_src (k BIGINT, g STRING, x DOUBLE)")
+    spark.sql("INSERT INTO graft.mv_drift_src VALUES (1, 'a', 1.5)")
+    spark.sql("CALL graft.create_materialized_view('mv_drift', " +
+      "'SELECT g, sum(x) AS sx FROM graft.mv_drift_src GROUP BY g')")
+    // ordinary refreshes stay incremental and count up
+    spark.sql("INSERT INTO graft.mv_drift_src VALUES (2, 'a', 2.5)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('mv_drift')")
+      .head().getString(1) === "incremental")
+    assert(MatViews.registry("mv_drift").deltaRefreshes === 1)
+    // at the drift bound the refresh forces mode=full and resets the count
+    val st = MatViews.registry("mv_drift")
+    MatViews.registry.put("mv_drift",
+      st.copy(deltaRefreshes = MatViews.FloatDriftFullEvery - 1))
+    spark.sql("INSERT INTO graft.mv_drift_src VALUES (3, 'a', 3.25)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('mv_drift')")
+      .head().getString(1) === "full")
+    assert(MatViews.registry("mv_drift").deltaRefreshes === 0)
+    assert(rowsOf("SELECT g, sx FROM graft.mv_drift") ===
+      Seq(Seq("a", 7.25)))
+    // integral sums are exact — the bound never fires for them
+    dropMv("mv_drift_int"); freshSrc("mv_drift_int_src", "(1, 'a', 10)")
+    spark.sql("CALL graft.create_materialized_view('mv_drift_int', " +
+      "'SELECT g, sum(v) AS sv FROM graft.mv_drift_int_src GROUP BY g')")
+    val ist = MatViews.registry("mv_drift_int")
+    MatViews.registry.put("mv_drift_int",
+      ist.copy(deltaRefreshes = MatViews.FloatDriftFullEvery - 1))
+    spark.sql("INSERT INTO graft.mv_drift_int_src VALUES (2, 'a', 5)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('mv_drift_int')")
+      .head().getString(1) === "incremental")
+    dropMv("mv_drift"); dropMv("mv_drift_int")
+  }
+
+  test("the drift counter survives the journal round trip") {
+    catalogOn(); dropMv("mv_drift_jr"); freshSrc("mv_drift_jr_src", "(1, 'a', 1)")
+    spark.sql("CALL graft.create_materialized_view('mv_drift_jr', " +
+      "'SELECT g, count(*) AS n FROM graft.mv_drift_jr_src GROUP BY g')")
+    spark.sql("INSERT INTO graft.mv_drift_jr_src VALUES (2, 'b', 2)")
+    spark.sql("CALL graft.refresh_materialized_view('mv_drift_jr')")
+    assert(MatViews.registry("mv_drift_jr").deltaRefreshes === 1)
+    MatViews.forget("mv_drift_jr") // restart half: registry gone, disk intact
+    MatViews.resetRecoveryMemos()
+    assert(MatViews.getOrRecover("mv_drift_jr").get.deltaRefreshes === 1)
+    dropMv("mv_drift_jr")
+  }
 }
