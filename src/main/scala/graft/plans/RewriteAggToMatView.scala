@@ -39,6 +39,18 @@ import graft.sources.{MatViews, MemTable, MemTables}
   *    `sum(v) / count(*)`). DISTINCT, FILTER clauses, and other
   *    aggregates leave the query on the source.
   *
+  * GRAIN: the query's grouping set may be the MV's exactly (served by a
+  * `Project` over the store, one row per group) or any PROPER SUBSET of
+  * it, including empty — the ROLLUP path: the store is RE-AGGREGATED at
+  * the coarser grain (`count` = sum of stored counts, `sum` = sum of
+  * stored sums guarded by the summed count, `avg` = recomposed
+  * sum-of-sums / sum-of-counts — never avg-of-avgs — and `min`/`max` =
+  * min-of-mins / max-of-maxs), |MV groups| rows in instead of |table|.
+  * The empty grouping set degenerates correctly: an `Aggregate` with no
+  * grouping over an empty store emits the single global row SQL
+  * requires. A query grouping FINER than the store grain is never
+  * servable and leaves the query on the source.
+  *
   * Replacements preserve the original output exactly — names, exprIds,
   * types, and nullability (`coalesce(cnt, 0)` for counts, a
   * zero-count guard for sums, `AssertNotNull` where the source column
@@ -155,18 +167,21 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     val extraConj: Seq[Expression] =
       userConj.filterNot(c => defConj.exists(_.semanticEquals(c)))
 
-    // grouping-set bijection
+    // grouping-set mapping: each user group must match a DISTINCT def
+    // group (injective). A full bijection serves 1:1 from the store; a
+    // proper subset (empty included) serves by RE-AGGREGATING the store
+    // at the coarser grain (the rollup path below). A query grouping
+    // FINER than the store grain can never be recovered from it.
     val userGroups = agg.groupingExpressions
-    if (userGroups.size != d.groups.size) return None
+    if (userGroups.size > d.groups.size) return None
     val used = scala.collection.mutable.BitSet.empty
-    val groupIdx: Seq[Int] = userGroups.map { g =>
+    userGroups.foreach { g =>
       val gd = toDef(g).getOrElse(return None)
       val i = d.groups.indexWhere { case (expr, _) => gd.semanticEquals(expr) }
       if (i < 0 || used(i)) return None
       used += i
-      i
     }
-    val _ = groupIdx // bijection established; replacement matches per-item below
+    val isRollup = used.size < d.groups.size
 
     // the replacement scans the STORE through the same catalog
     val storeRel = storeRelation(rel, mv).getOrElse(return None)
@@ -213,31 +228,53 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
         argD <- toDef(arg)
         c <- d.comps.find(_.arg.semanticEquals(argD))
       } yield c
+      // EXACT grain reads components straight off the store row; ROLLUP
+      // re-aggregates them across the store's finer groups. Counts fold
+      // by addition, sums by addition guarded on the summed count (the
+      // stored component is 0 — never NULL — when its group had no
+      // non-null input, so a plain Sum is exact and the guard alone
+      // restores SQL's NULL-on-empty), avg recomposes from the folded
+      // components, min/max fold by min/max (Min/Max ignore the NULL a
+      // zero-input group stored, exactly right).
+      def foldedCnt(ca: Expression): Expression =
+        Coalesce(Seq(Sum(ca).toAggregateExpression(), Literal(0L)))
       val replacement = ae.aggregateFunction match {
         case c: Count => c.children match {
           case Seq(l: Literal) if l.value != null =>
-            storeCol(MatViews.RowCountCol).map(n => Coalesce(Seq(n, Literal(0L))))
+            storeCol(MatViews.RowCountCol).map(n =>
+              if (isRollup) foldedCnt(n) else Coalesce(Seq(n, Literal(0L))))
           case Seq(arg) => findComp(arg).flatMap(_.cntCol)
-            .flatMap(storeCol).map(c0 => Coalesce(Seq(c0, Literal(0L))))
+            .flatMap(storeCol).map(c0 =>
+              if (isRollup) foldedCnt(c0) else Coalesce(Seq(c0, Literal(0L))))
           case _ => None
         }
         case s: Sum => findComp(s.child).flatMap(c => (c.sumCol, c.cntCol) match {
           case (Some(sum), Some(cnt)) =>
             for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
-              If(EqualTo(ca, Literal(0L)), Literal(null, sa.dataType), sa)
+              if (isRollup)
+                If(EqualTo(foldedCnt(ca), Literal(0L)),
+                  Literal(null, sa.dataType),
+                  Sum(sa).toAggregateExpression())
+              else If(EqualTo(ca, Literal(0L)), Literal(null, sa.dataType), sa)
           case _ => None
         })
         case a: Average => findComp(a.child).flatMap(c => (c.sumCol, c.cntCol) match {
           case (Some(sum), Some(cnt)) =>
             for (sa <- storeCol(sum); ca <- storeCol(cnt)) yield
-              If(EqualTo(ca, Literal(0L)), Literal(null, DoubleType),
+              if (isRollup)
+                If(EqualTo(foldedCnt(ca), Literal(0L)), Literal(null, DoubleType),
+                  Divide(Cast(Sum(sa).toAggregateExpression(), DoubleType),
+                    Cast(Sum(ca).toAggregateExpression(), DoubleType)))
+              else If(EqualTo(ca, Literal(0L)), Literal(null, DoubleType),
                 Divide(Cast(sa, DoubleType), Cast(ca, DoubleType)))
           case _ => None
         })
         case m: Min =>
-          findComp(m.child).flatMap(_.minCol).flatMap(storeCol).map(a => a: Expression)
+          findComp(m.child).flatMap(_.minCol).flatMap(storeCol).map(a =>
+            if (isRollup) Min(a).toAggregateExpression() else a: Expression)
         case m: Max =>
-          findComp(m.child).flatMap(_.maxCol).flatMap(storeCol).map(a => a: Expression)
+          findComp(m.child).flatMap(_.maxCol).flatMap(storeCol).map(a =>
+            if (isRollup) Max(a).toAggregateExpression() else a: Expression)
         case _ => None
       }
       // type-identity safety net: never swap in a differently-typed value
@@ -275,10 +312,23 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => return None
       }
     }
+    // group-only extra conjuncts sit BELOW any rollup re-aggregation:
+    // they reference the STORE grain's group columns (possibly ones the
+    // user's coarser grain dropped), selecting whole finer groups —
+    // which is exactly filtering the source rows before aggregating
     val child: LogicalPlan =
       if (extraFilters.isEmpty) storeRel
       else Filter(extraFilters.reduce(And), storeRel)
-    Some(Project(outputs, child))
+    if (!isRollup) Some(Project(outputs, child))
+    else {
+      // the coarser grain's grouping keys: the store columns the user's
+      // grouping expressions mapped to (plain attributes — the outputs
+      // reference them, AssertNotNull-wrapped where needed)
+      val groupingAttrs: Seq[Expression] = userGroups.map { g =>
+        toDef(g).flatMap(defGroupStoreAttr).getOrElse(return None): Expression
+      }
+      Some(Aggregate(groupingAttrs, outputs, child))
+    }
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -2425,6 +2425,86 @@ object Roundtrips {
     agg.withColumn("served_from_store", lit(servedFromStore))
   }
 
+  /** Scanned table names of an executed plan, AQE subtrees included — a
+    * rollup replacement aggregates the store, and the exchange hides the
+    * scan inside an AdaptiveSparkPlanExec that plain collect() skips.
+    */
+  private def scannedTables(df: DataFrame): Seq[String] = {
+    def go(pl: org.apache.spark.sql.execution.SparkPlan): Seq[String] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.table.name())
+      case other => other.children.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  /** MV ROLLUP serving ([[graft.plans.RewriteAggToMatView]]'s coarser-
+    * grain path): a query grouping a PROPER SUBSET of the MV's grain —
+    * here `GROUP BY g` and the GLOBAL set against an MV at `(g, m)` —
+    * re-aggregates the store (sum-of-sums, sum-of-counts, recomposed avg,
+    * min-of-mins) instead of re-scanning the source, WITH an extra
+    * predicate on the grain column the query dropped (`m IN (1,2)`
+    * selects whole finer groups below the rollup). Both serve flags are
+    * plan-derived and part of the oracle hash, and the oracle recomputes
+    * everything from `orders` directly — a value changed by the rollup
+    * (avg-of-avgs instead of recomposition, a lost NULL group) breaks the
+    * hash, and so does a rewrite that silently stopped firing. At 100 TB
+    * one MV at the fine grain serves the whole dashboard drill-down
+    * hierarchy above it — |MV groups| rows in, never the table.
+    */
+  val dsv2MvRollup: QueryDef = QueryDef(
+    "dsv2_mv_rollup",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CAST(o_orderkey % 4 AS BIGINT) AS m,
+      |         CASE WHEN o_orderkey % 17 = 0 THEN NULL
+      |              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |coarse AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |         CASE WHEN count(v) = 0 THEN NULL
+      |              ELSE CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) END AS av,
+      |         CAST(min(v) AS BIGINT) AS lo
+      |  FROM base WHERE m IN (1, 2) GROUP BY g),
+      |total AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS t_n, CAST(sum(v) AS BIGINT) AS t_sv
+      |  FROM base)
+      |SELECT g, n, sv, av, lo, t_n, t_sv,
+      |       TRUE AS rollup_served, TRUE AS global_served
+      |FROM coarse CROSS JOIN total""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_r")
+    val tbl = freshGraftTable(spark, "mem_mvr_orders",
+      "(k BIGINT, g STRING, m BIGINT, v BIGINT)")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        (col("o_orderkey") % 4).cast("long").as("m"),
+        when(col("o_orderkey") % 17 === 0, lit(null))
+          .otherwise(Num.cents(col("o_totalprice"))).as("v"))
+      .writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_materialized_view('mv_r', " +
+      "'SELECT g, m, count(*) AS n, count(v) AS cv, sum(v) AS sv, min(v) AS lo " +
+      "FROM graft.mem_mvr_orders GROUP BY g, m')") // fresh at v1, grain (g, m)
+    // coarser grain + a predicate on the DROPPED grain column: avg must
+    // recompose from summed components (avg-of-avgs would be wrong — the
+    // (g, m) group sizes are uneven by construction)
+    val coarse = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(v) AS sv, avg(v) AS av, min(v) AS lo
+         |FROM $tbl WHERE m IN (1, 2) GROUP BY g""".stripMargin)
+    // the GLOBAL set: an Aggregate with no grouping over the store
+    val total = spark.sql(s"SELECT count(*) AS t_n, sum(v) AS t_sv FROM $tbl")
+    def served(df: DataFrame): Boolean = {
+      val s = scannedTables(df)
+      s.contains("mv_r__store") && !s.contains("mem_mvr_orders")
+    }
+    coarse.crossJoin(total)
+      .withColumn("rollup_served", lit(served(coarse)))
+      .withColumn("global_served", lit(served(total)))
+  }
+
   /** MIN/MAX materialized view — the conditional-maintainability half of
     * [[MatViews]]: extremes fold incrementally while the change window is
     * a pure insert stream, and fall back to a LOUD full recompute the
@@ -2492,5 +2572,5 @@ object Roundtrips {
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
-      dsv2MvRewrite, dsv2MvMinmax)
+      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup)
 }

@@ -25,10 +25,20 @@ class RewriteAggToMatViewSpec extends SparkSpec {
     ()
   }
 
-  private def scannedTables(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collect {
-      case s: BatchScanExec => s.table.name()
+  // recurse through AQE wrappers: a rollup replacement aggregates the
+  // store, and the exchange puts the scan inside an AdaptiveSparkPlanExec
+  // subtree plain collect() never descends into
+  private def scansOf(pl: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+    pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansOf)
     }
+
+  private def scannedTables(df: DataFrame): Seq[String] =
+    scansOf(df.queryExecution.executedPlan).map(_.table.name())
 
   private def hitsStore(df: DataFrame, store: String): Boolean = {
     val t = scannedTables(df)
@@ -220,5 +230,120 @@ class RewriteAggToMatViewSpec extends SparkSpec {
     val m = df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(m("a") === Seq(40L, 2L))
     assert(m("b") === Seq(null, 0L))
+  }
+
+  // ------------------------------------------------------------- rollup
+
+  /** Two-grain fixture: MV at (g, h); rollup queries at g / global. */
+  private def setupRollup(): Unit = {
+    catalogOn(); dropMv("rw_ru")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_src_ru")
+    spark.sql("CREATE TABLE graft.rw_src_ru (k BIGINT, g STRING, h STRING, v BIGINT)")
+    // uneven group sizes (avg-of-avgs would be WRONG), NULL v inputs,
+    // one (g,h) group whose v is all-NULL (stored sum 0 / cnt 0 / min NULL)
+    spark.sql("INSERT INTO graft.rw_src_ru VALUES " +
+      "(1, 'a', 'x', 10), (2, 'a', 'x', 20), (3, 'a', 'y', 300), " +
+      "(4, 'b', 'x', NULL), (5, 'b', 'y', 50), (6, 'b', 'y', 70), (7, 'c', 'x', NULL)")
+    spark.sql("CALL graft.create_materialized_view('rw_ru', " +
+      "'SELECT g, h, count(*) AS n, count(v) AS cv, sum(v) AS sv, " +
+      "avg(v) AS av, min(v) AS mn, max(v) AS mx " +
+      "FROM graft.rw_src_ru GROUP BY g, h')")
+  }
+
+  private def sameAsUnrewritten(q: String, store: String): Unit = {
+    val df = spark.sql(q)
+    assert(hitsStore(df, store), s"expected store scan, got ${scannedTables(df)}")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try spark.sql(q)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(df.collect().toSeq.map(_.toSeq).sortBy(_.toString) ===
+      direct.collect().toSeq.map(_.toSeq).sortBy(_.toString))
+    assert(df.schema === direct.schema,
+      s"rollup schema drifted: ${df.schema} vs ${direct.schema}")
+  }
+
+  test("a COARSER grouping re-aggregates the store: sum/count/avg/count(x)") {
+    setupRollup()
+    // avg at the coarse grain MUST recompose sum/count: group 'a' holds
+    // sizes 2 and 1 with means 15 and 300 — avg-of-avgs would say 157.5,
+    // the truth is 110
+    val q = "SELECT g, count(*) AS n, count(v) AS cv, sum(v) AS sv, " +
+      "avg(v) AS av FROM graft.rw_src_ru GROUP BY g"
+    sameAsUnrewritten(q, "rw_ru__store")
+    val m = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m("a") === Seq(3L, 3L, 330L, 110.0))
+    assert(m("b") === Seq(3L, 2L, 120L, 60.0))
+    assert(m("c") === Seq(1L, 0L, null, null)) // all-NULL input group
+  }
+
+  test("the empty grouping set (global) rolls up from the store") {
+    setupRollup()
+    sameAsUnrewritten(
+      "SELECT count(*) AS n, sum(v) AS sv, avg(v) AS av, count(v) AS cv " +
+        "FROM graft.rw_src_ru", "rw_ru__store")
+    val r = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.rw_src_ru").head()
+    assert((r.getLong(0), r.getLong(1)) === ((7L, 450L)))
+  }
+
+  test("min/max roll up as min-of-mins / max-of-maxs") {
+    setupRollup()
+    val q = "SELECT g, min(v) AS mn, max(v) AS mx " +
+      "FROM graft.rw_src_ru GROUP BY g"
+    sameAsUnrewritten(q, "rw_ru__store")
+    val m = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m("a") === Seq(10L, 300L))
+    assert(m("c") === Seq(null, null)) // stored NULL extreme is ignored, not folded
+  }
+
+  test("rollup honors extra predicates on the grain the query dropped") {
+    setupRollup()
+    // h is NOT in the query's grouping set, but it IS a store-grain group
+    // column: the predicate selects whole finer groups below the rollup
+    val q = "SELECT g, sum(v) AS sv, count(*) AS n FROM graft.rw_src_ru " +
+      "WHERE h = 'y' GROUP BY g"
+    sameAsUnrewritten(q, "rw_ru__store")
+    val m = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m === Map("a" -> Seq(300L, 1L), "b" -> Seq(120L, 2L)))
+  }
+
+  test("a grouping FINER than the store grain never serves") {
+    setupRollup()
+    val df = spark.sql(
+      "SELECT g, h, k, count(*) AS n FROM graft.rw_src_ru GROUP BY g, h, k")
+    assert(!hitsStore(df, "rw_ru__store"),
+      "a finer grain cannot be recovered from the store")
+    df.collect()
+    // and a grouping disjoint from the grain falls through too
+    val df2 = spark.sql(
+      "SELECT k, count(*) AS n FROM graft.rw_src_ru GROUP BY k")
+    assert(!hitsStore(df2, "rw_ru__store"))
+    df2.collect()
+  }
+
+  test("rollup on an EMPTY store emits the single global row SQL requires") {
+    catalogOn(); dropMv("rw_ru0")
+    spark.sql("DROP TABLE IF EXISTS graft.rw_src_ru0")
+    spark.sql("CREATE TABLE graft.rw_src_ru0 (g STRING, v BIGINT)")
+    spark.sql("CALL graft.create_materialized_view('rw_ru0', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.rw_src_ru0 GROUP BY g')")
+    val q = "SELECT count(*) AS n, sum(v) AS sv FROM graft.rw_src_ru0"
+    sameAsUnrewritten(q, "rw_ru0__store")
+    val r = spark.sql(q).head()
+    assert((r.getLong(0), r.isNullAt(1)) === ((0L, true)))
+  }
+
+  test("rollup stays correct across an incremental refresh cycle") {
+    setupRollup()
+    spark.sql("INSERT INTO graft.rw_src_ru VALUES (8, 'a', 'y', 1000)")
+    val q = "SELECT g, sum(v) AS sv FROM graft.rw_src_ru GROUP BY g"
+    assert(!hitsStore(spark.sql(q), "rw_ru__store"), "stale: must not serve")
+    spark.sql("CALL graft.refresh_materialized_view('rw_ru')")
+    sameAsUnrewritten(q, "rw_ru__store")
+    assert(spark.sql(q).collect()
+      .filter(_.getString(0) == "a").map(_.getLong(1)).toSeq === Seq(1330L))
   }
 }
