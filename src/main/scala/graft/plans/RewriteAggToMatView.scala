@@ -86,42 +86,68 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (rel, cond) <- sourceOf(agg.child)
-      key = rel.table.asInstanceOf[MemTable].catalogKey
-      src <- MemTables.get(key)
+      (rels, pooled) <- sourceOf(agg.child)
+      keys = rels.map(_._1).toSet
       result <- MatViews.registry.values.iterator
-        .filter(mv => mv.srcKey == key && mv.pending.isEmpty &&
-          mv.watermark == src.version &&
-          // IDENTITY, not just the clock: a re-created source restarts
-          // its version counter — a coincidental match must not serve.
-          // Empty = a pre-uuid journal whose identity the next refresh
-          // adopts; treat as unknown-but-allowed, same as refresh does
-          (mv.srcTableUuid.isEmpty || mv.srcTableUuid == src.tableUuid))
-        .flatMap(mv => tryRewrite(agg, rel, cond, mv))
+        .filter(mv =>
+          (mv.srcKey +: mv.joins.map(_.key)).toSet == keys && isFresh(mv))
+        .flatMap(mv => tryRewrite(agg, rels, pooled, mv))
         .nextOption()
     } yield result
   }
 
-  /** Match `[Project(attrs)] <- [Filter] <- [Project(attrs)] <- scan` down
-    * to a CURRENT MemTable relation; returns the relation and the filter
-    * condition. Column-pruning Projects are transparent (their references
-    * keep the relation's exprIds).
+  /** FRESH = servable: no pending refresh intent and EVERY source (the
+    * primary plus all joined ones) sits at its recorded watermark under
+    * its recorded IDENTITY — not just the version clock: a re-created
+    * source restarts its counter, and a coincidental match must not
+    * serve. Empty uuid = a pre-uuid journal whose identity the next
+    * refresh adopts; treat as unknown-but-allowed, same as refresh does.
     */
-  private def sourceOf(p: LogicalPlan): Option[(DataSourceV2Relation, Option[Expression])] = {
-    def stripProjects(n: LogicalPlan): LogicalPlan = n match {
-      case Project(items, child) if items.forall(_.isInstanceOf[AttributeReference]) =>
-        stripProjects(child)
-      case SubqueryAlias(_, child) => stripProjects(child)
-      case other => other
-    }
-    stripProjects(p) match {
-      case r: DataSourceV2Relation if isCurrentMemTable(r) => Some((r, None))
-      case Filter(cond, inner) => stripProjects(inner) match {
-        case r: DataSourceV2Relation if isCurrentMemTable(r) => Some((r, Some(cond)))
+  private def isFresh(mv: MatViews.MvState): Boolean = {
+    def ok(key: String, uuid: String, wm: Long): Boolean =
+      MemTables.get(key).exists(s =>
+        wm == s.version && (uuid.isEmpty || uuid == s.tableUuid))
+    mv.pending.isEmpty && ok(mv.srcKey, mv.srcTableUuid, mv.watermark) &&
+      mv.joins.forall(j => ok(j.key, j.uuid, j.watermark))
+  }
+
+  private def stripProjects(n: LogicalPlan): LogicalPlan = n match {
+    case Project(items, child) if items.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(child)
+    case SubqueryAlias(_, child) => stripProjects(child)
+    case other => other
+  }
+
+  /** CANONICAL source of an aggregate's child: the CURRENT MemTable
+    * relations (keyed by catalog key, each table at most once) plus the
+    * POOLED conjunct set — `Filter` conditions at any depth and
+    * inner-join ON conditions together. Inner joins and filters over
+    * base relations are one selection over their product, so this form
+    * is invariant to predicate pushdown and join reorder (both of which
+    * have already mangled the plan by the time an optimizer rule sees
+    * it). Column-pruning Projects are transparent (their references keep
+    * the relations' exprIds). Anything else — an outer join, a subquery,
+    * a non-graft leaf — declines.
+    */
+  private def sourceOf(p: LogicalPlan)
+      : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def go(n: LogicalPlan)
+        : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
+      stripProjects(n) match {
+        case r: DataSourceV2Relation if isCurrentMemTable(r) =>
+          Some((Seq(r.table.asInstanceOf[MemTable].catalogKey -> r), Nil))
+        case Filter(cond, inner) =>
+          go(inner).map { case (rels, cs) => (rels, cs ++ conjuncts(cond)) }
+        case j: Join if j.joinType == Inner || j.joinType == Cross =>
+          for ((lr, lc) <- go(j.left); (rr, rc) <- go(j.right)) yield
+            (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(conjuncts))
         case _ => None
       }
-      case _ => None
-    }
+    // self-joins (a key twice) are out of matching scope — names would
+    // be ambiguous between the two instances
+    go(p).filter { case (rels, _) => rels.map(_._1).distinct.size == rels.size }
   }
 
   private def isCurrentMemTable(r: DataSourceV2Relation): Boolean = r.table match {
@@ -131,14 +157,19 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRewrite(
       agg: Aggregate,
-      rel: DataSourceV2Relation,
-      cond: Option[Expression],
+      rels: Seq[(String, DataSourceV2Relation)],
+      pooledCond: Seq[Expression],
       mv: MatViews.MvState): Option[LogicalPlan] = {
     val d = analyzedDef(spark, mv).getOrElse(return None)
 
-    // user-relation attribute -> MV-definition attribute, by column name
-    val toDefAttr: Map[ExprId, Attribute] = rel.output.flatMap { a =>
-      d.relOutByName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+    // user-relation attribute -> MV-definition attribute, PER TABLE by
+    // column name (two joined tables may share a column name — each
+    // relation's attrs map only against its own definition counterpart)
+    val toDefAttr: Map[ExprId, Attribute] = rels.flatMap { case (key, rel) =>
+      val defOut = d.relOutByName.getOrElse(key, Map.empty)
+      rel.output.flatMap { a =>
+        defOut.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+      }
     }.toMap
     def toDef(e: Expression): Option[Expression] = {
       var ok = true
@@ -153,16 +184,18 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // FILTER containment, on conjunct sets: every definition conjunct
-    // must appear in the query (else the MV kept rows the query drops),
-    // and every query conjunct must either appear in the definition or
-    // reference ONLY grouping expressions (then it filters whole groups
-    // and is re-applied on the store below). Inferred-redundant
-    // `IsNotNull` conjuncts — the optimizer adds them on the query side,
-    // analysis-only text keeps them off the definition side — are
-    // removed from both before comparing.
+    // (WHERE plus inner-join ON conditions, pooled — the same canonical
+    // form the query side arrives in) must appear in the query (else the
+    // MV kept rows the query drops), and every query conjunct must
+    // either appear in the definition or reference ONLY grouping
+    // expressions (then it filters whole groups and is re-applied on the
+    // store below). Inferred-redundant `IsNotNull` conjuncts — the
+    // optimizer adds them on the query side, analysis-only text keeps
+    // them off the definition side — are removed from both before
+    // comparing.
     val userConj = minusRedundantNotNull(
-      cond.toSeq.flatMap(conjuncts).map(c => toDef(c).getOrElse(return None)))
-    val defConj = minusRedundantNotNull(d.filter.toSeq.flatMap(conjuncts))
+      pooledCond.map(c => toDef(c).getOrElse(return None)))
+    val defConj = minusRedundantNotNull(d.conjuncts)
     if (!defConj.forall(f => userConj.exists(_.semanticEquals(f)))) return None
     val extraConj: Seq[Expression] =
       userConj.filterNot(c => defConj.exists(_.semanticEquals(c)))
@@ -184,7 +217,7 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     val isRollup = used.size < d.groups.size
 
     // the replacement scans the STORE through the same catalog
-    val storeRel = storeRelation(rel, mv).getOrElse(return None)
+    val storeRel = storeRelation(rels.head._2, mv).getOrElse(return None)
     val storeAttr: Map[String, AttributeReference] = storeRel.output.map {
       case a: AttributeReference => a.name -> a
     }.toMap
@@ -382,8 +415,13 @@ object RewriteAggToMatView {
       minCol: Option[String] = None, maxCol: Option[String] = None)
 
   private final case class AnalyzedDef(
-      relOutByName: Map[String, Attribute],
-      filter: Option[Expression],
+      // table key -> (lowercased column name -> analyzed attribute):
+      // attribute remap is PER TABLE, so joined tables sharing a column
+      // name never cross-bind
+      relOutByName: Map[String, Map[String, Attribute]],
+      // pooled WHERE + inner-join ON conjuncts, constant-folded — the
+      // same canonical selection-over-product form the query side takes
+      conjuncts: Seq[Expression],
       groups: Seq[(Expression, String)], // (analyzed expr, store column)
       comps: Seq[Comp])
 
@@ -425,20 +463,42 @@ object RewriteAggToMatView {
     }
     strip(analyzed) match {
       case agg: Aggregate =>
-        val (rel, filter) = strip(agg.child) match {
-          case Filter(c, inner) => strip(inner) match {
-            case r: DataSourceV2Relation => (r, Some(c))
-            case _ => return None
+        // canonicalize the analyzed FROM exactly like the rule's query
+        // side: relations + pooled WHERE/ON conjuncts, join shape erased
+        import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        def splitConj(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => splitConj(l) ++ splitConj(r)
+          case other => Seq(other)
+        }
+        def stripP(n: LogicalPlan): LogicalPlan = n match {
+          case SubqueryAlias(_, c) => stripP(c)
+          case Project(items, c) if items.forall(_.isInstanceOf[AttributeReference]) =>
+            stripP(c)
+          case other => other
+        }
+        def walk(n: LogicalPlan)
+            : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
+          stripP(n) match {
+            case r: DataSourceV2Relation => r.table match {
+              case t: MemTable if t.snapshotPin.isEmpty =>
+                Some((Seq(t.catalogKey -> r), Nil))
+              case _ => None
+            }
+            case Filter(c, inner) =>
+              walk(inner).map { case (rs, cs) => (rs, cs ++ splitConj(c)) }
+            case j: Join if j.joinType == Inner || j.joinType == Cross =>
+              for ((lr, lc) <- walk(j.left); (rr, rc) <- walk(j.right)) yield
+                (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(splitConj))
+            case _ => None
           }
-          case r: DataSourceV2Relation => (r, None)
-          case _ => return None
-        }
-        rel.table match {
-          case t: MemTable if t.catalogKey == mv.srcKey =>
-          case _ => return None
-        }
-        val relOut = rel.output
-          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        val (rels, rawConj) = walk(agg.child).getOrElse(return None)
+        val expected = (mv.srcKey +: mv.joins.map(_.key)).toSet
+        if (rels.map(_._1).toSet != expected ||
+            rels.map(_._1).distinct.size != rels.size) return None
+        val relOut: Map[String, Map[String, Attribute]] = rels.map { case (k, r) =>
+          k -> r.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        }.toMap
         // group expressions pair with store columns BY OUTPUT NAME from
         // the SELECT list — never positionally against groupingExpressions,
         // whose order is the GROUP BY clause's and may differ from the
@@ -488,7 +548,7 @@ object RewriteAggToMatView {
             argByOut.get(out).foreach(
               addComp(_, sum = Some(s"__mv_sum_$out"), cnt = Some(s"__mv_cnt_$out")))
         }
-        Some(AnalyzedDef(relOut, filter.map(fold), groups, comps))
+        Some(AnalyzedDef(relOut, rawConj.map(fold), groups, comps))
       case _ => None
     }
   }

@@ -111,6 +111,16 @@ object MatViews {
   /** kind ∈ countstar | count | sum | avg; `argSql` empty for countstar. */
   final case class AggSpec(kind: String, argSql: String, out: String)
   final case class Pending(from: Long, to: Long, storeVersionBefore: Long)
+  /** One JOINED source of a star-schema MV (tables 2..n of a left-deep
+    * INNER join chain): its identity/watermark pair plus the ON
+    * condition text joining it to everything accumulated to its left.
+    * Presence of any [[MvJoin]] makes the MV a JOIN MV: maintenance is
+    * always a LOUD full recompute (a delta on one side would have to
+    * join the other sides' full current state — correct incremental
+    * join maintenance is future work), and freshness requires EVERY
+    * source at its recorded watermark.
+    */
+  final case class MvJoin(key: String, uuid: String, watermark: Long, condSql: String)
 
   final case class MvState(
       name: String,
@@ -141,7 +151,10 @@ object MatViews {
       // arbitrarily through cancellation), so every
       // [[FloatDriftFullEvery]]-th refresh of such an MV forces
       // mode=full, re-anchoring the store at the exact recomputation
-      deltaRefreshes: Int = 0) {
+      deltaRefreshes: Int = 0,
+      // JOINED sources (tables 2..n of a left-deep INNER chain) — empty
+      // for single-table MVs
+      joins: Seq[MvJoin] = Nil) {
 
     /** Store columns: group outs, then rowcount, then per-agg components
       * in declaration order (count → cnt; sum/avg → sum + cnt;
@@ -246,16 +259,19 @@ object MatViews {
       fn == "min" || fn == "max" || isKnownNonMaintainableAgg(fn)
 
   /** Parse + validate the MV definition into its maintainable shape:
-    * a single-block `SELECT groups, aggs FROM <graft table> [WHERE p]
-    * GROUP BY groups`. Everything outside that shape fails HERE, at
-    * create — never at refresh.
+    * a single-block `SELECT groups, aggs FROM <graft table> [INNER JOIN
+    * <graft table> ON ...]* [WHERE p] GROUP BY groups`. Everything
+    * outside that shape fails HERE, at create — never at refresh.
+    * Returns `(first table, join steps (table, ON text), filter, groups,
+    * aggs)` — non-empty join steps make a JOIN MV.
     */
   private[sources] def parseDefinition(
       spark: SparkSession, mvName: String, sql: String):
-      (String, Option[String], Seq[GroupCol], Seq[AggSpec]) = {
+      (String, Seq[(String, String)], Option[String], Seq[GroupCol], Seq[AggSpec]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"materialized view '$mvName': $msg")
@@ -272,28 +288,55 @@ object MatViews {
     val agg = plan match {
       case a: Aggregate => a
       case _ => fail("definition must be one aggregate block — SELECT " +
-        "<group cols>, <count/sum/avg aggregates> FROM <graft table> " +
-        "[WHERE ...] GROUP BY <group cols> (no ORDER BY/LIMIT/joins/" +
+        "<group cols>, <count/sum/avg aggregates> FROM <graft table(s)> " +
+        "[WHERE ...] GROUP BY <group cols> (no ORDER BY/LIMIT/" +
         "subqueries/CTEs)")
     }
     if (agg.groupingExpressions.isEmpty)
       fail("global aggregates (no GROUP BY) are not supported — add a GROUP BY")
 
-    val (srcParts, filterSql) = agg.child match {
-      case r: UnresolvedRelation => (r.multipartIdentifier, None)
-      case f: LFilter => f.child match {
-        case r: UnresolvedRelation =>
-          if (hasAgg(f.condition)) fail("WHERE clause must not contain aggregates")
-          (r.multipartIdentifier, Some(f.condition.sql))
-        case _ => fail("FROM must be a single graft table (no joins or subqueries)")
-      }
-      case _ => fail("FROM must be a single graft table (no joins or subqueries)")
-    }
-    val srcKey = srcParts match {
+    def tableKey(r: UnresolvedRelation): String = r.multipartIdentifier match {
       case Seq(n) => n
       case Seq(c, n) if c.equalsIgnoreCase("graft") => n
       case other => fail(s"source must be a graft catalog table, got '${other.mkString(".")}'")
     }
+    // flatten a LEFT-DEEP inner-join chain (the shape un-parenthesized
+    // `a JOIN b ON .. JOIN c ON ..` parses to): leftmost table, then
+    // (table, ON text) steps — the structure refresh re-emits with
+    // per-table VERSION AS OF pins ([[srcRelationSql]])
+    def flattenFrom(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (String, Seq[(String, String)]) = p match {
+      case r: UnresolvedRelation => (tableKey(r), Nil)
+      case j: Join =>
+        j.joinType match {
+          case Inner | Cross => () // USING/NATURAL carry their own types
+          case other => fail(s"${other.sql} joins are not supported in a " +
+            "materialized view — INNER joins of graft tables only")
+        }
+        val right = j.right match {
+          case r: UnresolvedRelation => tableKey(r)
+          case _ => fail("joins must form a left-deep chain of graft " +
+            "tables (no parenthesized right-side joins or subqueries)")
+        }
+        j.condition.foreach(c =>
+          if (hasAgg(c)) fail("join conditions must not contain aggregates"))
+        val cond = j.condition.map(_.sql).getOrElse("TRUE")
+        val (first, steps) = flattenFrom(j.left)
+        (first, steps :+ (right -> cond))
+      case _ => fail("FROM must be a graft table or an INNER join of graft tables")
+    }
+    val (srcKey, joinSteps, filterSql) = agg.child match {
+      case f: LFilter =>
+        if (hasAgg(f.condition)) fail("WHERE clause must not contain aggregates")
+        val (k, s) = flattenFrom(f.child)
+        (k, s, Some(f.condition.sql))
+      case other =>
+        val (k, s) = flattenFrom(other)
+        (k, s, None)
+    }
+    val allKeys = srcKey +: joinSteps.map(_._1)
+    allKeys.diff(allKeys.distinct).headOption.foreach(d =>
+      fail(s"table '$d' appears more than once — self-joins are not supported"))
 
     // TABLE-QUALIFIED column references break refresh: the stored
     // expression text is re-bound against the change-feed relation,
@@ -314,8 +357,12 @@ object MatViews {
     val ambiguousHeads: Set[String] =
       srcColsLower.intersect(Set(srcKey.toLowerCase(Locale.ROOT), "graft"))
     // unknown source: skip the qualifier/struct distinction — create
-    // fails one step later with the accurate "source does not exist"
-    if (srcColsLower.nonEmpty) agg.flatMap(_.expressions).foreach {
+    // fails one step later with the accurate "source does not exist".
+    // JOIN MVs skip it entirely: their maintenance is always a full
+    // recompute re-binding against the SAME multi-table FROM (never a
+    // change-feed view), so table qualifiers stay valid — and the probe
+    // below rejects genuinely ambiguous references loudly
+    if (joinSteps.isEmpty && srcColsLower.nonEmpty) agg.flatMap(_.expressions).foreach {
       _.foreach { // incl. the WHERE child's condition
         case a: UnresolvedAttribute if a.nameParts.length > 1 =>
           val head = a.nameParts.head.toLowerCase(Locale.ROOT)
@@ -421,7 +468,20 @@ object MatViews {
     }
     val outs = groups.map(_.out) ++ aggs.map(_.out)
     outs.diff(outs.distinct).headOption.foreach(d => fail(s"duplicate output name '$d'"))
-    (srcKey, filterSql, groups, aggs)
+    (srcKey, joinSteps, filterSql, groups, aggs)
+  }
+
+  /** The FROM clause of a (possibly join) MV with per-table `VERSION AS
+    * OF` pins — the consistent-snapshot read every full recompute and the
+    * create probe use. Pin −1 = unpinned (current).
+    */
+  private def srcRelationSql(
+      srcKey: String, joins: Seq[MvJoin], pins: Map[String, Long]): String = {
+    def ref(key: String): String =
+      s"graft.${q(key)}" + pins.get(key).map(v => s" VERSION AS OF $v").getOrElse("")
+    joins.foldLeft(ref(srcKey)) { (acc, j) =>
+      s"$acc JOIN ${ref(j.key)} ON ${j.condSql}"
+    }
   }
 
   // ------------------------------------------------------------- SQL gen
@@ -582,6 +642,16 @@ object MatViews {
     o.set[JsonNode]("aggs", as)
     o.put("watermark", st.watermark)
     o.put("delta-refreshes", st.deltaRefreshes)
+    if (st.joins.nonEmpty) {
+      val js = mapper.createArrayNode()
+      st.joins.foreach { j =>
+        val n = mapper.createObjectNode()
+        n.put("key", j.key); n.put("uuid", j.uuid)
+        n.put("watermark", j.watermark); n.put("cond", j.condSql)
+        js.add(n)
+      }
+      o.set[JsonNode]("joins", js)
+    }
     st.pending.foreach { p =>
       val n = mapper.createObjectNode()
       n.put("from", p.from); n.put("to", p.to)
@@ -635,7 +705,12 @@ object MatViews {
           n.get("from").asLong, n.get("to").asLong,
           n.get("store-version-before").asLong)),
         deltaRefreshes =
-          Option(root.get("delta-refreshes")).map(_.asInt).getOrElse(0)))
+          Option(root.get("delta-refreshes")).map(_.asInt).getOrElse(0),
+        joins =
+          if (root.get("joins") == null) Nil
+          else arr("joins").map(n => MvJoin(n.get("key").asText,
+            n.get("uuid").asText, n.get("watermark").asLong,
+            n.get("cond").asText))))
     }
   }
 
@@ -782,19 +857,26 @@ object MatViews {
       if (MemTables.get(storeKey).isDefined || MemViews.views.contains(storeKey))
         throw new IllegalArgumentException(s"store table name '$storeKey' is already taken")
 
-      val (srcKey, filterSql, groups, aggs) = parseDefinition(spark, name, sql)
+      val (srcKey, joinSteps, filterSql, groups, aggs) = parseDefinition(spark, name, sql)
       val srcSt = MemTables.get(srcKey).getOrElse(throw new IllegalArgumentException(
         s"materialized view '$name': source table '$srcKey' does not exist in the graft catalog"))
       val srcV = srcSt.synchronized(srcSt.version)
+      // joined sources: existence, stable identity, and a pinned version
+      // each — the create reads ONE consistent multi-table snapshot
+      val joins: Seq[MvJoin] = joinSteps.map { case (k, cond) =>
+        val s = MemTables.get(k).getOrElse(throw new IllegalArgumentException(
+          s"materialized view '$name': source table '$k' does not exist in the graft catalog"))
+        MvJoin(k, s.tableUuid, s.synchronized(s.version), cond)
+      }
 
       var st = MvState(name, srcKey, srcSt.tableUuid, storeKey, sql,
         viewSql = "", viewSchemaJson = "", filterSql, groups, aggs,
-        watermark = srcV, pending = None)
-      // probe at the pinned version: schema determines component types,
+        watermark = srcV, pending = None, joins = joins)
+      // probe at the pinned version(s): schema determines component types,
       // and the same frame seeds the store — create is consistent even
       // against concurrent source commits
-      val probe = spark.sql(
-        storeSelectSql(st, s"graft.${q(srcKey)} VERSION AS OF $srcV"))
+      val pins = ((srcKey -> srcV) +: joins.map(j => j.key -> j.watermark)).toMap
+      val probe = spark.sql(storeSelectSql(st, srcRelationSql(srcKey, joins, pins)))
       st.sumCols.foreach { c =>
         val t = probe.schema(c).dataType
         if (t != LongType && t != DoubleType)
@@ -888,7 +970,61 @@ object MatViews {
         registry.put(name, st)
         persist(st)
       }
-      if (srcV == st.watermark) ("noop", st.watermark, srcV)
+      if (st.joins.nonEmpty) {
+        // ---- JOIN MV: full-recompute maintenance. A delta on one side
+        // would have to join every OTHER side's current state (and
+        // updates there retro-touch already-counted fact rows) — so any
+        // moved source triggers one INSERT OVERWRITE at a consistent
+        // pinned snapshot, loudly reported as mode=full. Same
+        // write-intent protocol: a crash between overwrite-commit and
+        // watermark-write rolls back and redoes (the recompute is
+        // idempotent).
+        val joinSts = st.joins.map { j =>
+          val s = MemTables.get(j.key).getOrElse(throw new IllegalStateException(
+            s"materialized view '$name': source table ${j.key} no longer exists"))
+          if (j.uuid.nonEmpty && s.tableUuid != j.uuid)
+            throw new IllegalStateException(
+              s"materialized view '$name': source table ${j.key} was dropped " +
+                "and re-created since the view was defined — drop and " +
+                "re-create the materialized view")
+          val v = s.synchronized(s.version)
+          if (v < j.watermark)
+            throw new IllegalStateException(
+              s"materialized view '$name': source table ${j.key} is at " +
+                s"version $v, behind the recorded watermark ${j.watermark} — " +
+                "the source was re-created; drop and re-create the " +
+                "materialized view")
+          (j, v)
+        }
+        val moved = srcV != st.watermark ||
+          joinSts.exists { case (j, v) => v != j.watermark }
+        if (!moved) ("noop", st.watermark, srcV)
+        else {
+          val from = st.watermark
+          val intent = st.copy(pending =
+            Some(Pending(from, srcV, storeSt.synchronized(storeSt.version))))
+          registry.put(name, intent)
+          persist(intent)
+          val pinsJ = ((st.srcKey -> srcV) +:
+            joinSts.map { case (j, v) => j.key -> v }).toMap
+          val seed = {
+            val df = spark.sql(
+              storeSelectSql(st, srcRelationSql(st.srcKey, st.joins, pinsJ)))
+            if (st.sumCols.nonEmpty) df.na.fill(0L, st.sumCols) else df
+          }
+          val tv = s"__graft_mv_full_${name}_${System.nanoTime()}"
+          seed.createOrReplaceTempView(tv)
+          try asMaintenance(
+            spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}"))
+          finally spark.catalog.dropTempView(tv)
+          st = st.copy(watermark = srcV, pending = None, deltaRefreshes = 0,
+            joins = joinSts.map { case (j, v) => j.copy(watermark = v) })
+          registry.put(name, st)
+          persist(st)
+          ("full", from, srcV)
+        }
+      }
+      else if (srcV == st.watermark) ("noop", st.watermark, srcV)
       else {
         val from = st.watermark
         val intent = st.copy(pending =

@@ -2505,6 +2505,64 @@ object Roundtrips {
       .withColumn("global_served", lit(served(total)))
   }
 
+  /** STAR-SCHEMA (join) materialized view — `fact ⋈ dim GROUP BY`
+    * materialized as one store, maintained by LOUD full recompute (a
+    * fact append makes the MV stale; the refresh reports mode=full —
+    * pinned in the oracle hash), and served by the rewrite: the restated
+    * join-aggregate must scan ONLY the store (flag plan-derived, part of
+    * the hash). The oracle rebuilds fact, dim, and the join-aggregate
+    * from `orders` in DuckDB, so both the maintenance values and the
+    * serve path are checked. At 100 TB this is the star-schema dashboard
+    * shape (`tpch_q3/q5`-style): the 2-table join + aggregate collapses
+    * to |segments| stored rows.
+    */
+  val dsv2MvJoin: QueryDef = QueryDef(
+    "dsv2_mv_join",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL SELECT -1, '1-URGENT', CAST(999 AS BIGINT)),
+      |dim AS (
+      |  SELECT DISTINCT o_orderpriority AS dk,
+      |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 'hot' ELSE 'cold' END AS seg
+      |  FROM orders),
+      |mv AS (
+      |  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+      |  FROM fact JOIN dim ON g = dk GROUP BY seg)
+      |SELECT seg, n, sv, 'full' AS refresh_mode, TRUE AS served_from_store
+      |FROM mv""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_j")
+    val fact = freshGraftTable(spark, "mem_mvj_fact", "(k BIGINT, g STRING, v BIGINT)")
+    val dim = freshGraftTable(spark, "mem_mvj_dim", "(dk STRING, seg STRING)")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(fact).append() // fact v1
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("dk")).distinct()
+      .select(col("dk"),
+        when(col("dk").isin("1-URGENT", "2-HIGH"), lit("hot"))
+          .otherwise(lit("cold")).as("seg"))
+      .writeTo(dim).append() // dim v1
+    spark.sql("CALL graft.create_materialized_view('mv_j', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvj_fact JOIN graft.mem_mvj_dim ON g = dk GROUP BY seg')")
+    spark.sql(s"INSERT INTO $fact VALUES (-1, '1-URGENT', 999)") // stale
+    val mode = spark.sql("CALL graft.refresh_materialized_view('mv_j')")
+      .head().getString(1) // 'full' — join MVs never fold deltas
+    val agg = spark.sql(
+      s"""SELECT seg, count(*) AS n, sum(v) AS sv
+         |FROM $fact JOIN $dim ON g = dk GROUP BY seg""".stripMargin)
+    val scans = scannedTables(agg)
+    val served = scans.contains("mv_j__store") &&
+      !scans.exists(n => n == "mem_mvj_fact" || n == "mem_mvj_dim")
+    agg.withColumn("refresh_mode", lit(mode))
+      .withColumn("served_from_store", lit(served))
+  }
+
   /** MIN/MAX materialized view — the conditional-maintainability half of
     * [[MatViews]]: extremes fold incrementally while the change window is
     * a pure insert stream, and fall back to a LOUD full recompute the
@@ -2572,5 +2630,5 @@ object Roundtrips {
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
-      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup)
+      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin)
 }

@@ -1688,12 +1688,17 @@ object MaterializedViewsProcedure
     val rows = MatViews.registry.values.toSeq.sortBy(_.name).map { st =>
       val src = MemTables.get(st.srcKey)
       val srcVersion = src.map(s => java.lang.Long.valueOf(s.version)).orNull
+      // join MVs are fresh only when EVERY source sits at its recorded
+      // watermark under its recorded identity — the rule's serve condition
+      val joinsFresh = st.joins.forall(j => MemTables.get(j.key).exists(s =>
+        j.watermark == s.version && (j.uuid.isEmpty || j.uuid == s.tableUuid)))
       val fresh = src.exists(s => st.pending.isEmpty &&
         st.watermark == s.version &&
-        (st.srcTableUuid.isEmpty || st.srcTableUuid == s.tableUuid))
+        (st.srcTableUuid.isEmpty || st.srcTableUuid == s.tableUuid)) && joinsFresh
       val groups = MemTables.get(st.storeKey).map(s => java.lang.Long.valueOf(
         s.batches.filter(_.removedAt == Long.MaxValue).map(_.rowCount.toLong).sum)).orNull
-      Seq(st.name, st.srcKey, st.watermark, srcVersion,
+      val sources = (st.srcKey +: st.joins.map(_.key)).mkString(",")
+      Seq(st.name, sources, st.watermark, srcVersion,
         java.lang.Boolean.valueOf(fresh),
         java.lang.Boolean.valueOf(st.pending.isDefined), groups)
     }

@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+
+/** STAR-SCHEMA (join) materialized views: `fact ⋈ dims GROUP BY`
+  * definitions materialize, maintain by LOUD full recompute whenever any
+  * source moves, serve matching join-aggregates through the rewrite rule
+  * (staleness on EITHER source stops serving), and survive the journal
+  * round trip with every source's identity + watermark.
+  */
+class JoinMvSpec extends SparkSpec {
+
+  private def catalogOn(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+
+  private def dropMv(name: String): Unit = {
+    MatViews.forget(name)
+    MemTables.drop(name + MatViews.StoreSuffix)
+    MemViews.views.remove(name)
+    ()
+  }
+
+  private def scansOf(pl: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b.table.name())
+      case other => other.children.flatMap(scansOf)
+    }
+
+  private def servedFromStore(df: DataFrame, store: String): Boolean = {
+    val t = scansOf(df.queryExecution.executedPlan)
+    t.contains(store) && t.forall(_ == store)
+  }
+
+  private def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+
+  private def setup(): Unit = {
+    catalogOn(); dropMv("jmv")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv_dim")
+    spark.sql("CREATE TABLE graft.jmv_fact (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.jmv_dim (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.jmv_fact VALUES " +
+      "(1, 10, 100), (2, 10, 200), (3, 20, 300), (4, 20, NULL), (5, 30, 500)")
+    spark.sql("INSERT INTO graft.jmv_dim VALUES " +
+      "(10, 'auto'), (20, 'auto'), (30, 'bike'), (40, 'none')")
+    spark.sql("CALL graft.create_materialized_view('jmv', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.jmv_fact JOIN graft.jmv_dim ON ck = dk GROUP BY seg')")
+  }
+
+  test("a join MV materializes the join-aggregate and reads back correctly") {
+    setup()
+    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.jmv")) ===
+      Seq(Seq("auto", 4L, 600L), Seq("bike", 1L, 500L)))
+    val st = MatViews.registry("jmv")
+    assert(st.joins.map(_.key) === Seq("jmv_dim"))
+    assert(st.joins.head.uuid.nonEmpty)
+  }
+
+  test("the rewrite serves a matching join-aggregate from the store") {
+    setup()
+    val q = "SELECT seg, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.jmv_fact JOIN graft.jmv_dim ON ck = dk GROUP BY seg"
+    val df = spark.sql(q)
+    assert(servedFromStore(df, "jmv__store"),
+      s"expected store scan, got ${scansOf(df.queryExecution.executedPlan)}")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try spark.sql(q)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(rowsOf(df) === rowsOf(direct))
+    assert(df.schema === direct.schema)
+    // the commuted ON and swapped table order still match (canonical form)
+    val df2 = spark.sql("SELECT seg, sum(v) AS sv FROM graft.jmv_dim " +
+      "JOIN graft.jmv_fact ON dk = ck GROUP BY seg")
+    assert(servedFromStore(df2, "jmv__store"))
+    df2.collect()
+  }
+
+  test("staleness on EITHER source stops serving; full refresh restores it") {
+    setup()
+    val q = "SELECT seg, sum(v) AS sv FROM graft.jmv_fact " +
+      "JOIN graft.jmv_dim ON ck = dk GROUP BY seg"
+    // dim-only commit: fact watermark still matches, dim does not
+    spark.sql("INSERT INTO graft.jmv_dim VALUES (50, 'bike')")
+    assert(!servedFromStore(spark.sql(q), "jmv__store"),
+      "a stale dim must stop the rewrite")
+    val r = spark.sql("CALL graft.refresh_materialized_view('jmv')").head()
+    assert(r.getString(1) === "full", "join MV maintenance is loud full recompute")
+    assert(servedFromStore(spark.sql(q), "jmv__store"))
+    // fact-only commit: a row keyed to the NEW dim row
+    spark.sql("INSERT INTO graft.jmv_fact VALUES (6, 50, 600)")
+    assert(!servedFromStore(spark.sql(q), "jmv__store"))
+    spark.sql("CALL graft.refresh_materialized_view('jmv')")
+    val df = spark.sql(q)
+    assert(servedFromStore(df, "jmv__store"))
+    assert(rowsOf(df) === Seq(Seq("auto", 600L), Seq("bike", 1100L)))
+    // noop when nothing moved
+    assert(spark.sql("CALL graft.refresh_materialized_view('jmv')")
+      .head().getString(1) === "noop")
+  }
+
+  test("rollup and dropped-grain predicates work over a join MV store") {
+    catalogOn(); dropMv("jmv2")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv2_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv2_dim")
+    spark.sql("CREATE TABLE graft.jmv2_fact (ck BIGINT, m BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.jmv2_dim (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.jmv2_fact VALUES " +
+      "(10, 1, 100), (10, 2, 200), (20, 1, 300), (30, 2, 400)")
+    spark.sql("INSERT INTO graft.jmv2_dim VALUES (10, 'a'), (20, 'a'), (30, 'b')")
+    spark.sql("CALL graft.create_materialized_view('jmv2', " +
+      "'SELECT seg, m, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.jmv2_fact JOIN graft.jmv2_dim ON ck = dk GROUP BY seg, m')")
+    // coarser grain + predicate on the dropped grain column
+    val df = spark.sql("SELECT seg, sum(v) AS sv FROM graft.jmv2_fact " +
+      "JOIN graft.jmv2_dim ON ck = dk WHERE m = 1 GROUP BY seg")
+    assert(servedFromStore(df, "jmv2__store"),
+      s"got ${scansOf(df.queryExecution.executedPlan)}")
+    assert(rowsOf(df) === Seq(Seq("a", 400L)))
+    dropMv("jmv2")
+  }
+
+  test("join watermarks and identities survive the journal round trip") {
+    setup()
+    val before = MatViews.registry("jmv")
+    MatViews.forget("jmv")
+    MatViews.resetRecoveryMemos()
+    val back = MatViews.getOrRecover("jmv").get
+    assert(back.joins === before.joins)
+    // and the rewrite serves again after the restart
+    val df = spark.sql("SELECT seg, count(*) AS n FROM graft.jmv_fact " +
+      "JOIN graft.jmv_dim ON ck = dk GROUP BY seg")
+    assert(servedFromStore(df, "jmv__store"))
+    df.collect()
+  }
+
+  test("a dropped or re-created joined source fails refresh loudly") {
+    setup()
+    spark.sql("DROP TABLE graft.jmv_dim")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.refresh_materialized_view('jmv')").collect()
+    }
+    assert(e.getMessage.contains("no longer exists"))
+    // re-created under the same name: identity check must refuse
+    spark.sql("CREATE TABLE graft.jmv_dim (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.jmv_dim VALUES (10, 'auto')")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.refresh_materialized_view('jmv')").collect()
+    }
+    assert(e2.getMessage.contains("re-created"))
+    // and the rewrite must not serve from the old store either
+    val df = spark.sql("SELECT seg, count(*) AS n FROM graft.jmv_fact " +
+      "JOIN graft.jmv_dim ON ck = dk GROUP BY seg")
+    assert(!servedFromStore(df, "jmv__store"))
+    dropMv("jmv")
+  }
+
+  test("write-intent repair: a committed overwrite with a lost watermark redoes cleanly") {
+    setup()
+    val before = MatViews.registry("jmv")
+    val storeV0 = MemTables.get("jmv__store").get.version
+    spark.sql("INSERT INTO graft.jmv_fact VALUES (6, 30, 600)")
+    spark.sql("CALL graft.refresh_materialized_view('jmv')")
+    val good = rowsOf(spark.sql("SELECT seg, n, sv FROM graft.jmv"))
+    // simulate the crash window: overwrite committed, watermark lost
+    val stale = before.copy(pending =
+      Some(MatViews.Pending(before.watermark, before.watermark + 1, storeV0)))
+    MatViews.registry.put("jmv", stale)
+    MatViews.persist(stale)
+    val r = spark.sql("CALL graft.refresh_materialized_view('jmv')").head()
+    assert(r.getString(1) === "full")
+    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.jmv")) === good)
+  }
+
+  test("three-way chains materialize and serve") {
+    catalogOn(); dropMv("jmv3")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv3_f")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv3_d1")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv3_d2")
+    spark.sql("CREATE TABLE graft.jmv3_f (ck BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.jmv3_d1 (dk BIGINT, seg STRING)")
+    spark.sql("CREATE TABLE graft.jmv3_d2 (qk BIGINT, region STRING)")
+    spark.sql("INSERT INTO graft.jmv3_f VALUES (1, 7, 100), (1, 8, 200), (2, 7, 300)")
+    spark.sql("INSERT INTO graft.jmv3_d1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.jmv3_d2 VALUES (7, 'EU'), (8, 'US')")
+    spark.sql("CALL graft.create_materialized_view('jmv3', " +
+      "'SELECT seg, region, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.jmv3_f JOIN graft.jmv3_d1 ON ck = dk " +
+      "JOIN graft.jmv3_d2 ON pk = qk GROUP BY seg, region')")
+    assert(rowsOf(spark.sql("SELECT seg, region, sv FROM graft.jmv3")) ===
+      Seq(Seq("a", "EU", 100L), Seq("a", "US", 200L), Seq("b", "EU", 300L)))
+    val df = spark.sql("SELECT seg, region, sum(v) AS sv FROM graft.jmv3_f " +
+      "JOIN graft.jmv3_d1 ON ck = dk JOIN graft.jmv3_d2 ON pk = qk " +
+      "GROUP BY seg, region")
+    val t = scansOf(df.queryExecution.executedPlan)
+    assert(t.contains("jmv3__store") && t.forall(_ == "jmv3__store"), s"got $t")
+    df.collect()
+    dropMv("jmv3")
+  }
+}

@@ -166,8 +166,14 @@ class MaterializedViewSpec extends SparkSpec {
     rejects("SELECT g, sum(v) + 1 AS s FROM graft.mv_bad_src GROUP BY g",
       "expressions over aggregates")
     rejects("SELECT g, sum(v) FROM graft.mv_bad_src GROUP BY g", "alias")
+    // joins ARE supported now — but only INNER, alias-free, non-self
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src " +
+      "JOIN graft.mv_bad_src ON TRUE GROUP BY g", "appears more than once")
     rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src a JOIN graft.mv_bad_src b " +
-      "ON a.k = b.k GROUP BY g", "single graft table")
+      "ON a.k = b.k GROUP BY g", "left-deep chain of graft tables")
+    rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src " +
+      "LEFT JOIN graft.mv_drop_src ON mv_bad_src.k = mv_drop_src.k GROUP BY g",
+      "INNER joins")
     rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src GROUP BY g ORDER BY g",
       "one aggregate block")
     rejects("SELECT g, count(*) AS n, sum(v) AS n FROM graft.mv_bad_src GROUP BY g",
