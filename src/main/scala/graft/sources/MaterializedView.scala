@@ -606,8 +606,6 @@ object MatViews {
 
   private val mapper = new ObjectMapper()
 
-  private def journalPath(storageDir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(storageDir, JournalName)
 
   /** Write the refresh journal atomically (tmp + rename) into the store
     * table's storage directory — the durable copy of this registry entry.
@@ -658,30 +656,28 @@ object MatViews {
       n.put("store-version-before", p.storeVersionBefore)
       o.set[JsonNode]("pending", n)
     }
-    val tmp = java.nio.file.Paths.get(dir, JournalName + ".tmp")
-    java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
-    java.nio.file.Files.move(tmp, journalPath(dir),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // atomic publish through the metadata plane's one IO interface —
+    // tmp+rename locally, write-once snapshot + pointer swap on object
+    // stores ([[MetaIO.commit]])
+    MetaIO.commit(dir, JournalName, mapper.writeValueAsBytes(o))
   }
 
   private def loadJournal(dir: String): Option[MvState] = {
-    val p = journalPath(dir)
-    if (!java.nio.file.Files.isRegularFile(p)) None
-    else try loadJournalUnsafe(p)
+    val bytes = MetaIO.readCurrent(dir, JournalName).getOrElse(return None)
+    try loadJournalUnsafe(bytes)
     catch {
       case e: Exception =>
         // an unreadable journal must not wedge recovery (or DROP): the
         // same skip-loudly discipline as table metadata recovery
         System.err.println(
-          s"graft: skipping unreadable materialized-view journal at $p: ${e.getMessage}")
+          s"graft: skipping unreadable materialized-view journal at $dir: ${e.getMessage}")
         None
     }
   }
 
-  private def loadJournalUnsafe(p: java.nio.file.Path): Option[MvState] = {
+  private def loadJournalUnsafe(bytes: Array[Byte]): Option[MvState] = {
     {
-      val root = mapper.readTree(java.nio.file.Files.readAllBytes(p)).asInstanceOf[ObjectNode]
+      val root = mapper.readTree(bytes).asInstanceOf[ObjectNode]
       def arr(field: String): Seq[JsonNode] = {
         val it = root.get(field).elements()
         val b = Vector.newBuilder[JsonNode]
@@ -804,8 +800,7 @@ object MatViews {
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory)
         .foreach { d =>
-          val p = journalPath(d.getAbsolutePath)
-          if (java.nio.file.Files.isRegularFile(p))
+          if (MetaIO.exists(d.getAbsolutePath, JournalName))
             try loadJournal(d.getAbsolutePath).foreach(st => getOrRecover(st.name))
             catch { case _: Exception => }
         }
@@ -1107,8 +1102,7 @@ object MatViews {
       // the strength of a name suffix would be data loss
       val storeKey = name + StoreSuffix
       val ownsStore = known || MemTables.get(storeKey).exists(st =>
-        st.storageDir.exists(d =>
-          java.nio.file.Files.isRegularFile(journalPath(d))))
+        st.storageDir.exists(d => MetaIO.exists(d, JournalName)))
       if (!known && !ownsStore && MemTables.get(storeKey).isDefined)
         // a crash between the store CREATE and the first journal write
         // leaves a journal-less store this procedure must NOT reclaim

@@ -185,8 +185,7 @@ object TableMetadata {
           "file-backed table holds a driver-resident batch — cannot persist")
     }
     val name = manifestName(path, b.writeVersion, b.specId)
-    val f = new java.io.File(dir, name)
-    if (!f.isFile) {
+    MetaIO.writeOnce(dir, name, {
       val o = mapper.createObjectNode()
       o.put("schema", b.schema.json)
       val st = mapper.createObjectNode()
@@ -219,12 +218,8 @@ object TableMetadata {
       b.part.foreach(v => part.add(valOut(v)))
       o.set[JsonNode]("part", part)
       o.put("spec-id", b.specId)
-      val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
-      java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+      mapper.writeValueAsBytes(o)
+    })
     name
   }
 
@@ -255,7 +250,7 @@ object TableMetadata {
       n: JsonNode): TaggedBatch = {
     val mName = n.get("manifest").asText
     val m = manifests.getOrElseUpdate(mName,
-      mapper.readTree(new java.io.File(dir, mName)))
+      mapper.readTree(MetaIO.readBytes(dir, mName)))
     val s = m.get("store")
     val rawPath = s.get("path").asText
     val path = if (rawPath.startsWith("/")) rawPath else s"$dir/$rawPath"
@@ -396,13 +391,10 @@ object TableMetadata {
     }
     root.set[JsonNode]("branches", branches)
 
-    // atomic replace: a reader (or a crash) never observes a torn file
-    val tmp = java.nio.file.Paths.get(dir, FileName + ".tmp")
-    val dst = java.nio.file.Paths.get(dir, FileName)
-    java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(root))
-    java.nio.file.Files.move(tmp, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // atomic publish — tmp+rename locally, write-once snapshot + pointer
+    // swap on object stores ([[MetaIO.commit]]): a reader (or a crash)
+    // never observes a torn plane on any scheme
+    MetaIO.commit(dir, FileName, mapper.writeValueAsBytes(root))
   }
 
   private def defaultsOut(defaults: Map[String, (Long, Any)]): ObjectNode = {
@@ -442,9 +434,8 @@ object TableMetadata {
     * directory without deserializing foreign tables' manifests.
     */
   def peekKey(dir: String): Option[String] = {
-    val f = new java.io.File(dir, FileName)
-    if (!f.isFile) return None
-    val root = mapper.readTree(f)
+    val bytes = MetaIO.readCurrent(dir, FileName).getOrElse(return None)
+    val root = mapper.readTree(bytes)
     if (root.get("format-version").asInt != FormatVersion) None
     else Option(root.get("key")).map(_.asText)
   }
@@ -453,9 +444,8 @@ object TableMetadata {
     * None if the directory carries no (readable) metadata document.
     */
   def load(dir: String): Option[(String, State)] = {
-    val f = new java.io.File(dir, FileName)
-    if (!f.isFile) return None
-    val root = mapper.readTree(f)
+    val bytes = MetaIO.readCurrent(dir, FileName).getOrElse(return None)
+    val root = mapper.readTree(bytes)
     val fv = root.get("format-version").asInt
     if (fv != FormatVersion)
       throw new IllegalStateException(
