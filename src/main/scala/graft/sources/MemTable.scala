@@ -1450,6 +1450,42 @@ object MemTables {
     }
   }
 
+  /** Atomically publish a STAGED table (CTAS/RTAS — [[StagedMemTable]])
+    * under its real name: until this call, the target name is untouched
+    * (CTAS failure leaves NO table; REPLACE keeps serving the old table
+    * through the whole query), and the swap itself is a registry re-key.
+    * `replace` drops any existing target first; without it an existing
+    * target fails the commit (the staging table is reclaimed either way).
+    * `orCreate=false` additionally requires the target to exist (plain
+    * REPLACE TABLE semantics).
+    */
+  def publishStaged(stagingKey: String, targetKey: String,
+      replace: Boolean, orCreate: Boolean): Unit = {
+    val st = get(stagingKey).getOrElse(throw new IllegalStateException(
+      s"staged table $stagingKey vanished before commit"))
+    def cleanupAnd(msg: String): Nothing = {
+      drop(stagingKey)
+      throw new IllegalStateException(msg)
+    }
+    st.synchronized {
+      val existing = get(targetKey)
+      if (!replace && existing.isDefined)
+        cleanupAnd(s"cannot commit CTAS: table $targetKey was created " +
+          "concurrently — the staged result is discarded")
+      if (replace && !orCreate && existing.isEmpty)
+        cleanupAnd(s"cannot commit REPLACE TABLE: $targetKey no longer exists")
+      if (replace) existing.foreach(_ => drop(targetKey))
+      st.tableKey = targetKey
+      if (tables.putIfAbsent(targetKey, st).isDefined) {
+        st.tableKey = stagingKey
+        cleanupAnd(s"cannot publish staged table: $targetKey was " +
+          "re-created concurrently")
+      }
+      tables.remove(stagingKey)
+      persistMeta(st)
+    }
+  }
+
   /** Drop a file-backed table's IN-MEMORY state only (`CALL
     * graft.unload_table`): data files and the metadata document stay on
     * disk, and the next read recovers them — the restart-survival drill,

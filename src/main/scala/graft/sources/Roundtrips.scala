@@ -2505,6 +2505,61 @@ object Roundtrips {
       .withColumn("global_served", lit(served(total)))
   }
 
+  /** ATOMIC CTAS/RTAS ([[StagedMemTable]]): `CREATE TABLE AS SELECT`
+    * stages the whole write and publishes the name only on success. The
+    * row pins three behaviors in one hash: the CTAS result read back
+    * (values), a FAILED CTAS stranding NO table (`failed_ctas_clean` —
+    * the non-atomic fallback shape leaves an empty husk), and a REPLACE
+    * TABLE AS SELECT whose failed run kept the old contents then whose
+    * successful run swapped wholesale (`rtas_rows`). At 100 TB atomic
+    * CTAS is what makes `CREATE TABLE ... AS SELECT` safe to retry
+    * blindly — no cleanup protocol, no half-created names.
+    */
+  val dsv2Ctas: QueryDef = QueryDef(
+    "dsv2_ctas",
+    """WITH src AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS sv
+      |  FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderpriority)
+      |SELECT g, n, sv,
+      |       TRUE AS failed_ctas_clean,
+      |       CAST(3 AS BIGINT) AS rtas_rows
+      |FROM src""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    Seq("mem_ctas_result", "mem_ctas_broken", "mem_rtas_swap")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.$t"))
+    Tables.orders(spark, dir).createOrReplaceTempView("ctas_orders_src")
+    spark.sql(
+      """CREATE TABLE graft.mem_ctas_result
+        |TBLPROPERTIES ('graft.storage'='parquet') AS
+        |SELECT o_orderpriority AS g,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS sv
+        |FROM ctas_orders_src WHERE o_orderkey % 4 = 0
+        |GROUP BY o_orderpriority""".stripMargin)
+    // a failing CTAS must strand nothing — not even an empty table
+    val failedClean = try {
+      spark.sql("CREATE TABLE graft.mem_ctas_broken AS " +
+        "SELECT raise_error('boom') AS x FROM range(0, 3)").collect()
+      false
+    } catch {
+      case _: Exception => MemTables.get("mem_ctas_broken").isEmpty
+    }
+    // RTAS: failed replace keeps the old table; successful replace swaps
+    spark.sql("CREATE TABLE graft.mem_rtas_swap AS SELECT id AS x FROM range(0, 9)")
+    try spark.sql("REPLACE TABLE graft.mem_rtas_swap AS " +
+      "SELECT raise_error('no') AS x FROM range(0, 1)").collect()
+    catch { case _: Exception => () }
+    val keptOld = spark.table("graft.mem_rtas_swap").count() == 9L
+    spark.sql("REPLACE TABLE graft.mem_rtas_swap AS SELECT id AS x FROM range(0, 3)")
+    val rtasRows =
+      if (keptOld) spark.table("graft.mem_rtas_swap").count() else -1L
+    spark.table("graft.mem_ctas_result")
+      .withColumn("failed_ctas_clean", lit(failedClean))
+      .withColumn("rtas_rows", lit(rtasRows))
+  }
+
   /** STAR-SCHEMA (join) materialized view — `fact ⋈ dim GROUP BY`
     * materialized as one store, maintained by LOUD full recompute (a
     * fact append makes the MV stale; the refresh reports mode=full —
@@ -2630,5 +2685,5 @@ object Roundtrips {
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
-      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin)
+      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas)
 }

@@ -331,6 +331,7 @@ object SeqCatalog {
 }
 
 class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog {
@@ -528,12 +529,15 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     // real catalog contents (registry + disk-recoverable), not a stub:
     // SHOW TABLES must list what loadTable serves. The virtual demo
     // table appears only in the root namespace, where it actually lives.
-    val mem = MemTables.listKeys().map(_.split('.')).collect {
-      case parts if java.util.Arrays.equals(
-          parts.init.asInstanceOf[Array[AnyRef]],
-          namespace.asInstanceOf[Array[AnyRef]]) =>
-        Identifier.of(parts.init, parts.last)
-    }
+    // in-flight CTAS staging tables are invisible: they become real only
+    // at publishStaged, and listing them would leak the uncommitted name
+    val mem = MemTables.listKeys().filterNot(_.startsWith("__stage_"))
+      .map(_.split('.')).collect {
+        case parts if java.util.Arrays.equals(
+            parts.init.asInstanceOf[Array[AnyRef]],
+            namespace.asInstanceOf[Array[AnyRef]]) =>
+          Identifier.of(parts.init, parts.last)
+      }
     val seq =
       if (namespace.isEmpty) Array(Identifier.of(namespace, "seq_1000"))
       else Array.empty[Identifier]
@@ -650,11 +654,11 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     Pattern.matches(ident.name()) || MemTables.get(memKey(ident)).isDefined
 
-  override def createTable(
-      ident: Identifier,
-      schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): CTable = {
+  /** Shared CREATE-shape validation (plain CREATE TABLE and the staged
+    * CTAS/RTAS paths): generated-name guard, dotted-name guard, view
+    * shadowing.
+    */
+  private def validateCreateName(ident: Identifier): Unit = {
     if (Pattern.matches(ident.name()))
       throw new UnsupportedOperationException("seq_<n> tables are generated, not created")
     // the registry keys tables by DOTTED path (namespace.name) — a quoted
@@ -669,6 +673,30 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
     // reads of the shared name to the view first)
     if (MemViews.views.contains(memKey(ident)))
       throw new ViewAlreadyExistsException(ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): CTable = {
+    validateCreateName(ident)
+    val (mode, propsMap, spec) = parseSpecAndProps(partitions, properties)
+    // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
+    // exception type — anything else surfaces as a crash
+    if (!MemTables.create(memKey(ident), schema, mode, propsMap, spec))
+      throw new TableAlreadyExistsException(ident)
+    new MemTable(memKey(ident), schema)
+  }
+
+  /** Translate CREATE-statement partitioning + properties into the mem
+    * plane's shape — shared by plain CREATE and the staged CTAS/RTAS
+    * paths. Returns (delete mode, resolved property map, partition spec).
+    */
+  private def parseSpecAndProps(
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : (String, Map[String, String], Seq[MemTables.PartField]) = {
     // PARTITIONED BY — identity (`PARTITIONED BY (k)`), bucket
     // (`bucket(8, k)`), the time transforms (`years(ts)`/`months`/`days`/
     // `hours`) and width truncation (`truncate(4, k)`, either argument
@@ -726,11 +754,57 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
         case _ => m
       }
     }
-    // Spark's CREATE TABLE IF NOT EXISTS handling catches exactly this
-    // exception type — anything else surfaces as a crash
-    if (!MemTables.create(memKey(ident), schema, mode, propsMap, spec))
+    (mode, propsMap, spec)
+  }
+
+  /** ATOMIC CTAS/RTAS ([[org.apache.spark.sql.connector.catalog
+    * .StagingTableCatalog]]): `CREATE/REPLACE TABLE ... AS SELECT`
+    * stages the write into a HIDDEN table and publishes it under the
+    * real name only when the whole query succeeded
+    * ([[MemTables.publishStaged]]) — a failed CTAS strands no empty
+    * table, and REPLACE serves the OLD table until the instant of the
+    * swap (all-or-nothing). The staged write path is the ordinary mem
+    * write path; abort reclaims the staging table (files included).
+    */
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, schema, partitions, properties, replace = false, orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, schema, partitions, properties, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private def stageFor(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    validateCreateName(ident)
+    val target = memKey(ident)
+    // fail the obvious cases at STAGE time (cheap, before the query
+    // runs); publishStaged re-checks under the registry for races
+    if (!replace && MemTables.get(target).isDefined)
       throw new TableAlreadyExistsException(ident)
-    new MemTable(memKey(ident), schema)
+    if (replace && !orCreate && MemTables.get(target).isEmpty)
+      throw new NoSuchTableException(ident)
+    // replacing a live MV's backing store would strand the view
+    if (replace) MatViews.assertStoreDroppable(target, "REPLACE TABLE")
+    val (mode, propsMap, spec) = parseSpecAndProps(partitions, properties)
+    val stagingKey =
+      s"__stage_${java.util.UUID.randomUUID().toString.take(8)}_$target"
+    if (!MemTables.create(stagingKey, schema, mode, propsMap, spec))
+      throw new IllegalStateException(s"staging name collision: $stagingKey")
+    new StagedMemTable(stagingKey, target, schema, replace, orCreate)
   }
 
   /** Schema evolution for mem tables — ALL metadata-only swaps; committed
@@ -2091,5 +2165,35 @@ private[sources] object RewriteJobs {
           .collect().toSeq
     }
     MemTables.publishCompaction(key, expected, schema, payloads, sortCols.toSeq)
+  }
+}
+
+/** A staged CTAS/RTAS table ([[SeqCatalog.stageCreate]]): writes land in
+  * a hidden staging mem table through the ordinary write path; the
+  * target name changes only when Spark calls `commitStagedChanges` after
+  * the whole query succeeded — published atomically as a registry re-key
+  * ([[MemTables.publishStaged]]). Abort reclaims the staging table and
+  * its files; the target is untouched on every failure path.
+  */
+final class StagedMemTable(
+    stagingKey: String, targetKey: String, tableSchema: StructType,
+    replace: Boolean, orCreate: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private val inner = new MemTable(stagingKey, tableSchema)
+  override def name(): String = targetKey
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    MemTables.publishStaged(stagingKey, targetKey, replace, orCreate)
+  override def abortStagedChanges(): Unit = {
+    MemTables.drop(stagingKey)
+    ()
   }
 }
