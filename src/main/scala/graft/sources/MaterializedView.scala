@@ -154,7 +154,12 @@ object MatViews {
       deltaRefreshes: Int = 0,
       // JOINED sources (tables 2..n of a left-deep INNER chain) — empty
       // for single-table MVs
-      joins: Seq[MvJoin] = Nil) {
+      joins: Seq[MvJoin] = Nil,
+      // AUTO-REFRESH ('auto-refresh' create option): the connector's
+      // streaming sink refreshes this MV after every epoch commit on any
+      // of its sources, so a continuously-written table's MVs keep
+      // serving with zero manual CALLs ([[autoRefreshFor]])
+      autoRefresh: Boolean = false) {
 
     /** Store columns: group outs, then rowcount, then per-agg components
       * in declaration order (count → cnt; sum/avg → sum + cnt;
@@ -640,6 +645,7 @@ object MatViews {
     o.set[JsonNode]("aggs", as)
     o.put("watermark", st.watermark)
     o.put("delta-refreshes", st.deltaRefreshes)
+    if (st.autoRefresh) o.put("auto-refresh", true)
     if (st.joins.nonEmpty) {
       val js = mapper.createArrayNode()
       st.joins.foreach { j =>
@@ -706,7 +712,9 @@ object MatViews {
           if (root.get("joins") == null) Nil
           else arr("joins").map(n => MvJoin(n.get("key").asText,
             n.get("uuid").asText, n.get("watermark").asLong,
-            n.get("cond").asText))))
+            n.get("cond").asText)),
+        autoRefresh =
+          Option(root.get("auto-refresh")).exists(_.asBoolean)))
     }
   }
 
@@ -838,10 +846,21 @@ object MatViews {
 
   private val NamePattern = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
-  def create(spark: SparkSession, name: String, sql: String): (Long, Long) = {
+  def create(spark: SparkSession, name: String, sql: String,
+      options: String = ""): (Long, Long) = {
     if (NamePattern.findFirstIn(name).isEmpty)
       throw new IllegalArgumentException(
         s"materialized view name '$name' is invalid (letters, digits, underscores)")
+    // comma-separated create options — unknown names fail loudly rather
+    // than configure nothing silently
+    val opts = options.split(',').map(_.trim.toLowerCase(Locale.ROOT))
+      .filter(_.nonEmpty).toSet
+    val unknown = opts -- Set("auto-refresh")
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"materialized view '$name': unknown option(s) ${unknown.mkString(", ")} " +
+          "(supported: auto-refresh)")
+    val autoRefresh = opts.contains("auto-refresh")
     val storeKey = name + StoreSuffix
     lockFor(name).synchronized {
       if (registry.contains(name) || MemViews.views.contains(name))
@@ -866,7 +885,8 @@ object MatViews {
 
       var st = MvState(name, srcKey, srcSt.tableUuid, storeKey, sql,
         viewSql = "", viewSchemaJson = "", filterSql, groups, aggs,
-        watermark = srcV, pending = None, joins = joins)
+        watermark = srcV, pending = None, joins = joins,
+        autoRefresh = autoRefresh)
       // probe at the pinned version(s): schema determines component types,
       // and the same frame seeds the store — create is consistent even
       // against concurrent source commits
@@ -912,6 +932,34 @@ object MatViews {
         s.batches.filter(_.removedAt == Long.MaxValue).map(_.rowCount.toLong).sum).getOrElse(0L)
       (srcV, rows)
     }
+  }
+
+  /** STREAMING-EPOCH auto-refresh: the connector's streaming sink calls
+    * this after each epoch commit on `key` (no table monitor held), and
+    * every registered 'auto-refresh' MV reading that table refreshes —
+    * a continuously-written source's MVs keep serving with zero manual
+    * CALLs, fresh as of each epoch. Exactly-once composes from the
+    * pieces: the epoch itself is idempotent per (queryId, epochId), and
+    * the refresh rides the write-intent journal, so a mid-epoch restart
+    * repairs rather than double-applies. A refresh FAILURE logs and
+    * leaves the MV stale (exactly a missed manual refresh — the rewrite
+    * stops serving, reads stay correct); it never fails the stream.
+    */
+  private[sources] def autoRefreshFor(key: String): Unit = {
+    val names = registry.values.iterator.filter(st => st.autoRefresh &&
+      (st.srcKey == key || st.joins.exists(_.key == key))).map(_.name).toSeq
+    if (names.isEmpty) return
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { spark =>
+        names.sorted.foreach { n =>
+          try { refresh(spark, n); () }
+          catch {
+            case e: Exception => System.err.println(
+              s"graft: auto-refresh of materialized view '$n' failed " +
+                s"(view is stale until the next refresh): ${e.getMessage}")
+          }
+        }
+      }
   }
 
   // -------------------------------------------------------------- refresh

@@ -4909,6 +4909,10 @@ final class MemStreamingWrite(
       case _ =>
         MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema, rows)
     }
+    // epoch-commit MV maintenance, AFTER the table monitor released:
+    // 'auto-refresh' MVs over this table fold the epoch's window in, so
+    // the rewrite keeps serving a continuously-written source
+    MatViews.autoRefreshFor(key)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     MemWriterFactory.reclaim(messages)

@@ -2505,6 +2505,56 @@ object Roundtrips {
       .withColumn("global_served", lit(served(total)))
   }
 
+  /** MV AUTO-REFRESH on streaming epochs ('auto-refresh' create option):
+    * the connector's streaming sink refreshes the view after every epoch
+    * commit, so the rewrite keeps serving a continuously-written source
+    * with ZERO manual refresh CALLs. The gate streams the events table
+    * into a mem source in micro-batches, then hashes the MV-served
+    * aggregate (plan-derived `served_from_store`), the watermark-tracks-
+    * epochs flag, and the values against the oracle's recomputation —
+    * a hook that silently stopped firing, over- or under-applied an
+    * epoch, or served stale contents all break the row set.
+    */
+  val dsv2MvAutorefresh: QueryDef = QueryDef(
+    "dsv2_mv_autorefresh",
+    """WITH base AS (
+      |  SELECT event_type AS g,
+      |         CAST(COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS BIGINT) AS v
+      |  FROM events),
+      |mv AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+      |  FROM base GROUP BY g)
+      |SELECT g, n, sv, TRUE AS watermark_current, TRUE AS served_from_store
+      |FROM mv""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_ar")
+    val tbl = freshGraftTable(spark, "mem_mvar_events", "(g STRING, v BIGINT)")
+    spark.sql("CALL graft.create_materialized_view('mv_ar', " +
+      "'SELECT g, count(*) AS n, sum(v) AS sv FROM graft.mem_mvar_events " +
+      "GROUP BY g', 'auto-refresh')") // fresh at v1, auto-tied to epochs
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val cp = graft.rentals.Scratch.dir(s"mvar_cp_${System.nanoTime()}")
+    val q = graft.streaming.Streams.readTableStream(sess, dir, "events")
+      .select(col("event_type").as("g"),
+        coalesce(Num.cents(col("value")), lit(0L)).as("v"))
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(tbl)
+    q.awaitTermination()
+    val st = MatViews.registry("mv_ar")
+    val watermarkCurrent =
+      MemTables.get("mem_mvar_events").exists(s =>
+        st.watermark == s.version && st.pending.isEmpty)
+    val agg = spark.sql(
+      s"SELECT g, count(*) AS n, sum(v) AS sv FROM $tbl GROUP BY g")
+    val scans = scannedTables(agg)
+    val served = scans.contains("mv_ar__store") && !scans.contains("mem_mvar_events")
+    agg.withColumn("watermark_current", lit(watermarkCurrent))
+      .withColumn("served_from_store", lit(served))
+  }
+
   /** ATOMIC CTAS/RTAS ([[StagedMemTable]]): `CREATE TABLE AS SELECT`
     * stages the whole write and publishes the name only on success. The
     * row pins three behaviors in one hash: the CTAS result read back
@@ -2685,5 +2735,6 @@ object Roundtrips {
       dsv2CdcUpdateImages, dsv2TimePartition, dsv2SpecEvolve, dsv2ParquetStorage,
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
-      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas)
+      dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
+      dsv2MvAutorefresh)
 }

@@ -1669,7 +1669,10 @@ object CreateMaterializedViewProcedure
     ProcedureParameter.in("name", StringType).build(),
     ProcedureParameter.in("sql", StringType)
       .comment("SELECT <groups>, count/sum/avg aggregates FROM <graft table> " +
-        "[WHERE ...] GROUP BY <groups>").build())
+        "[WHERE ...] GROUP BY <groups>").build(),
+    ProcedureParameter.in("options", StringType).defaultValue("''")
+      .comment("comma-separated create options; 'auto-refresh' ties the " +
+        "view to its sources' streaming epoch commits").build())
 
   private val outSchema = new StructType()
     .add("view", StringType, nullable = false)
@@ -1680,8 +1683,11 @@ object CreateMaterializedViewProcedure
   override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] = {
     val mvName = input.getUTF8String(0).toString
     val sql = input.getUTF8String(1).toString
+    val options =
+      if (input.numFields < 3 || input.isNullAt(2)) ""
+      else input.getUTF8String(2).toString
     val spark = org.apache.spark.sql.SparkSession.active
-    val (srcVersion, rows) = MatViews.create(spark, mvName, sql)
+    val (srcVersion, rows) = MatViews.create(spark, mvName, sql, options)
     ProcedureResults.scan(s"GraftCreateMaterializedView $mvName", outSchema,
       Seq(Seq(mvName, mvName + MatViews.StoreSuffix, srcVersion, rows)))
   }
