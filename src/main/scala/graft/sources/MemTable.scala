@@ -369,7 +369,13 @@ object MemTables {
       // per-batch membership register ([[BatchBloom]], opt-in via
       // 'graft.bloom-columns'): point-predicate skipping on unclustered
       // high-cardinality keys — no false negatives, so absence prunes
-      bloom: Option[Array[Long]] = None) {
+      bloom: Option[Array[Long]] = None,
+      // deterministic bounded value sample ([[SampleSketch]], numeric/
+      // date/timestamp columns): planning merges these row-weighted into
+      // the equi-height HISTOGRAM the CBO's skew-aware join/filter
+      // selectivity reads; absent on legacy stats and unhistogrammable
+      // types, where planning simply reports no histogram
+      sample: Option[Array[Double]] = None) {
     def allNull: Boolean = nullCount == rowCount
   }
 
@@ -4113,6 +4119,8 @@ final class MemScan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       new java.util.HashMap()
+    val histogramsOn = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.stats.histograms", "true") == "true"
     boundSchema.fieldNames
       .filterNot(n => Set(MemTables.BatchVersion, MemTables.BatchId,
         MemTables.BatchPos).contains(n))
@@ -4127,6 +4135,32 @@ final class MemScan(
         // an accidental under-count from a half-merged union.
         var union: NdvSketch = null
         var sketchable = planned.nonEmpty
+        // HISTOGRAM raw material: per-batch deterministic value samples
+        // ([[SampleSketch]]), each sample value weighted by its batch's
+        // non-null rows / sample size — batches of different sizes merge
+        // fairly. One contributing batch without a sample (legacy stats,
+        // unhistogrammable type) and the column reports no histogram:
+        // a partial histogram would misestimate, not just under-inform.
+        var histogrammable = histogramsOn && planned.nonEmpty
+        val samplePairs = Vector.newBuilder[(Array[Double], Double)]
+        val boundType = boundSchema(n).dataType
+        val defaultToDouble = SampleSketch.statsDouble(boundType)
+        // global MIN/MAX folded from the batch bounds (numeric-promoting
+        // compare, so pre-widening batches fold correctly) — the
+        // histogram's own consumers (catalyst's join/filter estimation)
+        // read the overlap range off ColumnStat.min/max, so a histogram
+        // without bounds is ignored. Numeric/date/timestamp columns only
+        // (the same set that samples).
+        var gmin: Any = null
+        var gmax: Any = null
+        var boundsKnown = defaultToDouble.isDefined && planned.nonEmpty
+        def foldBounds(mn: Any, mx: Any): Unit = if (boundsKnown) {
+          if (mn == null || mx == null) () // all-null batch: nothing to fold
+          else {
+            if (gmin == null || MemTables.cmp(mn, gmin).exists(_ < 0)) gmin = mn
+            if (gmax == null || MemTables.cmp(mx, gmax).exists(_ > 0)) gmax = mx
+          }
+        }
         planned.foreach { case (b, srcNames, _, _) =>
           srcNames.get(n).flatMap(b.stats.get) match {
             case Some(s) if s.ndv >= 0 =>
@@ -4135,6 +4169,16 @@ final class MemScan(
                 case Some(sk) if sketchable =>
                   if (union == null) union = sk.copySketch() else union.merge(sk)
                 case _ => sketchable = false
+              }
+              foldBounds(s.min, s.max)
+              if (histogrammable) {
+                val nonNull = s.rowCount - s.nullCount
+                s.sample match {
+                  case Some(sm) if sm.nonEmpty && nonNull > 0 =>
+                    samplePairs += ((sm, nonNull.toDouble / sm.length))
+                  case _ if nonNull == 0 => () // all-null: nothing to bin
+                  case _ => histogrammable = false
+                }
               }
             case Some(_) => known = false
             case None if srcNames.contains(n) => known = false // uncovered type
@@ -4148,6 +4192,13 @@ final class MemScan(
                     if (union == null) union = NdvSketch.empty()
                     union.addValue(dv)
                   }
+                  if (b.rowCount > 0) foldBounds(dv, dv)
+                  if (histogrammable) defaultToDouble.map(f => f(dv)) match {
+                    case Some(d0) if b.rowCount > 0 =>
+                      samplePairs += ((Array(d0), b.rowCount.toDouble))
+                    case _ if b.rowCount == 0 => ()
+                    case _ => histogrammable = false
+                  }
                 case None => nulls += b.rowCount
               }
           }
@@ -4156,6 +4207,17 @@ final class MemScan(
         if (known) {
           val d = math.min(ndv, math.max(rows - nulls, 0L))
           val nl = math.min(nulls, rows)
+          val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+            if (histogrammable) MemScan.equiHeightHistogram(samplePairs.result(), d)
+            else None
+          // report bounds in the BOUND type's boxing (a pre-widening
+          // batch's Integer min under a BIGINT binding must surface as
+          // Long — catalyst's estimation casts by the attribute's type)
+          val (minV, maxV) =
+            if (boundsKnown && gmin != null)
+              (MemScan.asBoundValue(gmin, boundType),
+                MemScan.asBoundValue(gmax, boundType))
+            else (None, None)
           colStats.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(n),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -4163,6 +4225,17 @@ final class MemScan(
                 java.util.OptionalLong.of(d)
               override def nullCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(nl)
+              override def min(): java.util.Optional[Object] =
+                minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.map(java.util.Optional.of[
+                  org.apache.spark.sql.connector.read.colstats.Histogram](_))
+                  .getOrElse(java.util.Optional.empty())
             })
         }
       }
@@ -4403,6 +4476,101 @@ final class MemScan(
 }
 
 object MemScan {
+
+  /** Build the EQUI-HEIGHT histogram the CBO consumes from per-batch
+    * weighted samples: all (value, weight) pairs sorted, then cut into
+    * ≤32 bins of roughly equal row mass — a heavy hitter overflows its
+    * bin (bin ndv 1, huge mass), which is exactly the skew signal
+    * equality/join selectivity needs where NDV alone assumes uniform.
+    * Per-bin ndv scales the bin's distinct SAMPLE values by the global
+    * NDV / total distinct sample values, so the bins partition the
+    * column's distinct count proportionally to what the sample saw.
+    */
+  private[sources] def equiHeightHistogram(
+      pairs: Seq[(Array[Double], Double)], globalNdv: Long)
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
+    if (pairs.isEmpty) return None
+    // collapse to (value -> total weight), sorted by value
+    val byValue = new java.util.TreeMap[Double, Double]()
+    pairs.foreach { case (vs, w) =>
+      var i = 0
+      while (i < vs.length) { byValue.merge(vs(i), w, (a, b) => a + b); i += 1 }
+    }
+    val distinctSample = byValue.size
+    if (distinctSample == 0) return None
+    val total = {
+      var t = 0.0
+      byValue.values.forEach(w => t += w)
+      t
+    }
+    // catalyst's estimation model assumes EVERY bin holds exactly
+    // `height` rows (it reads one global height, never per-bin masses),
+    // so bins are cut at WEIGHTED PERCENTILES — exactly how Spark's own
+    // ANALYZE builds them: a heavy hitter spans several consecutive
+    // lo==hi bins, which is the skew signal the join/filter estimators
+    // multiply out
+    val vals = new Array[Double](distinctSample)
+    val wts = new Array[Double](distinctSample)
+    var idx = 0
+    byValue.forEach { (v, w) => vals(idx) = v; wts(idx) = w; idx += 1 }
+    val b = math.min(32, distinctSample)
+    val binHeight = total / b
+    val ndvScale = globalNdv.toDouble / distinctSample
+    // percentile boundary values at cumulative positions i * height
+    val bounds = new Array[Double](b + 1)
+    val boundIdx = new Array[Int](b + 1)
+    var cum = 0.0
+    var p = 0
+    bounds(0) = vals(0); boundIdx(0) = 0
+    var i2 = 1
+    while (i2 <= b) {
+      val target = if (i2 == b) total else i2 * binHeight
+      while (cum + wts(p) < target && p < distinctSample - 1) {
+        cum += wts(p); p += 1
+      }
+      bounds(i2) = vals(p); boundIdx(i2) = p
+      i2 += 1
+    }
+    val out = (0 until b).map { j =>
+      val (l, h) = (bounds(j), bounds(j + 1))
+      // distinct sample values inside this percentile slice, scaled to
+      // the global NDV; a single-point bin holds exactly one value
+      val dIn = math.max(1, boundIdx(j + 1) - boundIdx(j))
+      val nd = if (l == h) 1L else math.max(1L, math.round(dIn * ndvScale))
+      new HistogramBin {
+        override def lo(): Double = l
+        override def hi(): Double = h
+        override def ndv(): Long = nd
+      }: HistogramBin
+    }
+    Some(new Histogram {
+      override def height(): Double = binHeight
+      override def bins(): Array[HistogramBin] = out.toArray
+    })
+  }
+
+  /** Re-box one internal bound value into the BOUND column type's
+    * representation (numeric/date/timestamp only — the same whitelist
+    * that samples); None = unconvertible, report no bound.
+    */
+  private[sources] def asBoundValue(
+      v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (n: Number, LongType) => Some(java.lang.Long.valueOf(n.longValue))
+      case (n: Number, IntegerType) => Some(Integer.valueOf(n.intValue))
+      case (n: Number, ShortType) => Some(java.lang.Short.valueOf(n.shortValue))
+      case (n: Number, ByteType) => Some(java.lang.Byte.valueOf(n.byteValue))
+      case (n: Number, DoubleType) => Some(java.lang.Double.valueOf(n.doubleValue))
+      case (n: Number, FloatType) => Some(java.lang.Float.valueOf(n.floatValue))
+      case (n: Number, DateType) => Some(Integer.valueOf(n.intValue))
+      case (n: Number, TimestampType | TimestampNTZType) =>
+        Some(java.lang.Long.valueOf(n.longValue))
+      case _ => None
+    }
+  }
+
   /** Snapshot-projection reader over [[MemPartition]]s — era-resolved
     * by-name projection into `target` with DV-dead positions skipped and
     * the three versioning metadata columns served as constants. Shared

@@ -211,6 +211,11 @@ object TableMetadata {
           bl.foreach(bb.putLong)
           c.put("bloom", java.util.Base64.getEncoder.encodeToString(bb.array()))
         }
+        s.sample.foreach { sm =>
+          val bb = java.nio.ByteBuffer.allocate(sm.length * 8)
+          sm.foreach(bb.putDouble)
+          c.put("sample", java.util.Base64.getEncoder.encodeToString(bb.array()))
+        }
         stats.set[JsonNode](col, c)
       }
       o.set[JsonNode]("stats", stats)
@@ -270,6 +275,11 @@ object TableMetadata {
           val bb = java.nio.ByteBuffer.wrap(
             java.util.Base64.getDecoder.decode(bl.asText))
           Array.fill(bb.remaining() / 8)(bb.getLong)
+        },
+        Option(c.get("sample")).map { sm =>
+          val bb = java.nio.ByteBuffer.wrap(
+            java.util.Base64.getDecoder.decode(sm.asText))
+          Array.fill(bb.remaining() / 8)(bb.getDouble)
         })
     }.toMap
     TaggedBatch(

@@ -219,6 +219,12 @@ final class StatsAccumulator(schema: StructType,
   private val blooms = fields.indices.map(i =>
     if (cmps(i) != null && bloomCols.contains(fields(i).name))
       BatchBloom.empty() else null).toArray
+  // double image + sampler per histogrammable column (numeric/date/ts)
+  private val toDouble = fields.map(f =>
+    if (statsComparator(f.dataType).isEmpty) null
+    else SampleSketch.statsDouble(f.dataType).orNull)
+  private val samples = fields.indices.map(i =>
+    if (toDouble(i) == null) null else new SampleSketch()).toArray
   private var rows = 0L
 
   private def retained(v: Any): Any = v match {
@@ -239,6 +245,7 @@ final class StatsAccumulator(schema: StructType,
           val h = NdvSketch.hashOf(v)
           sketches(i).addHash(h)
           if (blooms(i) != null) BatchBloom.add(blooms(i), h)
+          if (samples(i) != null) samples(i).add(toDouble(i)(v))
         }
       }
       i += 1
@@ -251,8 +258,66 @@ final class StatsAccumulator(schema: StructType,
     fields.indices.iterator.collect {
       case i if cmps(i) != null =>
         fields(i).name -> ColStats(mins(i), maxs(i), nulls(i), rows,
-          sketches(i).estimate, Some(sketches(i)), Option(blooms(i)))
+          sketches(i).estimate, Some(sketches(i)), Option(blooms(i)),
+          Option(samples(i)).filterNot(_.isEmpty).map(_.values))
     }.toMap
+}
+
+/** DETERMINISTIC bounded value sample of one batch column — the raw
+  * material for planning-time EQUI-HEIGHT HISTOGRAMS (CBO join/filter
+  * selectivity on skewed keys, where NDV alone estimates uniform).
+  * Systematic sampling with stride doubling: keep every `stride`-th
+  * value; when the buffer fills, drop every other retained value and
+  * double the stride — one pass, O(cap) memory, NO randomness (publishes
+  * must be reproducible byte-for-byte), value-frequency-proportional for
+  * any ordering that isn't adversarial. Values are the column's DOUBLE
+  * image ([[statsDouble]]); only numeric/date/timestamp columns sample.
+  */
+final class SampleSketch(cap: Int = 512) extends Serializable {
+  private var stride = 1L
+  private var seen = 0L
+  private var n = 0
+  private var buf = new Array[Double](cap)
+
+  def add(v: Double): Unit = {
+    if (seen % stride == 0) {
+      if (n == cap) {
+        // halve: keep positions 0, 2, 4, ... (systematic thinning)
+        var i = 0
+        while (2 * i < n) { buf(i) = buf(2 * i); i += 1 }
+        n = i
+        stride *= 2
+      }
+      buf(n) = v
+      n += 1
+    }
+    seen += 1L
+  }
+
+  def values: Array[Double] = java.util.Arrays.copyOf(buf, n)
+  def isEmpty: Boolean = n == 0
+}
+
+object SampleSketch {
+  /** Double image of one INTERNAL value per histogrammable type: the
+    * catalyst histogram domain (dates = epoch days, timestamps = epoch
+    * micros — exactly what catalyst's own estimation uses). None = the
+    * type keeps no histogram (strings, binary, nested).
+    */
+  def statsDouble(dt: org.apache.spark.sql.types.DataType): Option[Any => Double] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(v => v.asInstanceOf[Long].toDouble)
+      case IntegerType => Some(v => v.asInstanceOf[Int].toDouble)
+      case ShortType => Some(v => v.asInstanceOf[Short].toDouble)
+      case ByteType => Some(v => v.asInstanceOf[Byte].toDouble)
+      case DoubleType => Some(v => v.asInstanceOf[Double])
+      case FloatType => Some(v => v.asInstanceOf[Float].toDouble)
+      case DateType => Some(v => v.asInstanceOf[Int].toDouble)
+      case TimestampType | TimestampNTZType => Some(v => v.asInstanceOf[Long].toDouble)
+      case _ => None
+    }
+  }
 }
 
 /** Incremental sortedness verdict for one open file: tracks whether rows

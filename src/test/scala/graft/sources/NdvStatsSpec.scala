@@ -138,4 +138,98 @@ class NdvStatsSpec extends SparkSpec {
     exactRt.merge(hllRt)
     assert(math.abs(exactRt.estimate - b.estimate) < b.estimate / 5)
   }
+
+  // --------------------------------------------------------- histograms
+
+  test("per-batch samples are deterministic and survive the metadata round trip") {
+    catalogOn(); drop("hist_rt")
+    spark.sql("CREATE TABLE graft.hist_rt (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.hist_rt SELECT id % 13 FROM range(0, 2000)")
+    val before = MemTables.get("hist_rt").get.batches
+      .filter(_.removedAt == Long.MaxValue)
+      .map(b => b.batchId -> b.stats("k").sample.map(_.toSeq)).toMap
+    assert(before.values.forall(_.exists(_.nonEmpty)),
+      "numeric columns must carry a sample")
+    // restart drill: unload, recover from metadata.json, compare samples
+    spark.sql("CALL graft.unload_table('hist_rt')")
+    val after = MemTables.get("hist_rt").get.batches
+      .filter(_.removedAt == Long.MaxValue)
+      .map(b => b.batchId -> b.stats("k").sample.map(_.toSeq)).toMap
+    assert(after === before, "samples must survive the durable plane")
+    drop("hist_rt")
+  }
+
+  test("equi-height histogram isolates heavy hitters into their own mass") {
+    // 900× value 0, then 1..100 once each — the heavy value must
+    // dominate the early bins with ndv 1
+    val sk = new SampleSketch()
+    (1 to 900).foreach(_ => sk.add(0.0))
+    (1 to 100).foreach(i => sk.add(i.toDouble))
+    val hist = MemScan.equiHeightHistogram(
+      Seq((sk.values, 1000.0 / sk.values.length)), globalNdv = 101L).get
+    val bins = hist.bins()
+    assert(bins.nonEmpty && bins.length <= 32)
+    val heavy = bins.head
+    assert(heavy.lo() === 0.0 && heavy.hi() === 0.0 && heavy.ndv() === 1L,
+      s"heavy hitter must own its bin: lo=${heavy.lo()} hi=${heavy.hi()} ndv=${heavy.ndv()}")
+    // bins cover the domain in order and ndv sums near the global
+    assert(bins.map(_.ndv()).sum >= 50L)
+    assert(bins.sliding(2).forall {
+      case Array(a, b2) => a.hi() <= b2.lo(); case _ => true })
+  }
+
+  test("a skewed-key join's CBO estimate moves toward truth with histograms") {
+    catalogOn(); drop("hist_fact", "hist_dim")
+    spark.sql("CREATE TABLE graft.hist_fact (k BIGINT)")
+    spark.sql("CREATE TABLE graft.hist_dim (k BIGINT)")
+    // fact: 900× k=0 plus k=1..100 once; dim: 50× k=0 plus k=1..100 once
+    spark.sql("INSERT INTO graft.hist_fact " +
+      "SELECT CASE WHEN id < 900 THEN 0 ELSE id - 899 END FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.hist_dim " +
+      "SELECT CASE WHEN id < 50 THEN 0 ELSE id - 49 END FROM range(0, 150)")
+    val truth = 900L * 50L + 100L // 45,100
+    def estimate(): BigInt = {
+      val df = spark.table("graft.hist_fact").as("f")
+        .join(spark.table("graft.hist_dim").as("d"), "k")
+      df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val withHist = estimate()
+      spark.conf.set("spark.graft.stats.histograms", "false")
+      val withoutHist = try estimate()
+      finally spark.conf.unset("spark.graft.stats.histograms")
+      // NDV-only estimation assumes uniform keys: ~1000×150/101 ≈ 1.5k.
+      // The histogram sees the 0-key mass on both sides and lands in the
+      // tens of thousands. Direction is the contract, not exact values.
+      assert(withoutHist > 0 && withHist > 0,
+        s"hist=$withHist flat=$withoutHist")
+      assert(withHist > withoutHist * 5,
+        s"histograms must lift the skewed estimate: $withHist vs $withoutHist")
+      assert((BigInt(truth) - withHist).abs < (BigInt(truth) - withoutHist).abs,
+        s"estimate must move toward truth: hist=$withHist flat=$withoutHist truth=$truth")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    drop("hist_fact", "hist_dim")
+  }
+
+  test("histograms reach the catalyst plan and respect the off switch") {
+    catalogOn(); drop("hist_plan")
+    spark.sql("CREATE TABLE graft.hist_plan (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.hist_plan SELECT id % 10, 'x' FROM range(0, 100)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft.hist_plan").queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName("k").histogram.isDefined, "numeric column: histogram expected")
+      assert(byName("s").histogram.isEmpty, "string column keeps no histogram")
+      spark.conf.set("spark.graft.stats.histograms", "false")
+      try {
+        val off = spark.table("graft.hist_plan").queryExecution.optimizedPlan.stats
+        val kOff = off.attributeStats.map { case (a, s) => a.name -> s }.apply("k")
+        assert(kOff.histogram.isEmpty, "the off switch must suppress histograms")
+      } finally spark.conf.unset("spark.graft.stats.histograms")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    drop("hist_plan")
+  }
 }
