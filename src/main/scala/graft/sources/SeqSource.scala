@@ -2018,6 +2018,44 @@ object RewriteDataFilesProcedure
   */
 private[sources] object RewriteJobs {
 
+  // per-table in-flight guard: a compaction triggered by one commit must
+  // not stack behind another (the rewrite is optimistic-concurrency and
+  // a loser would just burn a job)
+  private val autoCompactInFlight =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicBoolean]
+
+  /** Threshold-triggered small-file compaction
+    * ([[MemTables.AutoCompactProp]]): called by the write paths after a
+    * commit, no monitor held. Metadata-only until the trigger fires;
+    * then one distributed rewrite (scan layout kept — or the declared
+    * sort order re-established, keeping the sorted claim alive across
+    * maintenance). A failure logs and defers — compaction is only ever
+    * deferred maintenance, never a correctness event.
+    */
+  def maybeAutoCompact(key: String): Unit = {
+    val st = MemTables.get(key).getOrElse(return)
+    val threshold = st.createProps.get(MemTables.AutoCompactProp)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(0)
+    if (threshold <= 0 || st.storageDir.isEmpty) return
+    val live = st.synchronized(st.batches.count(_.removedAt == Long.MaxValue))
+    if (live < threshold) return
+    val flag = autoCompactInFlight.getOrElseUpdate(
+      key, new java.util.concurrent.atomic.AtomicBoolean(false))
+    if (!flag.compareAndSet(false, true)) return
+    try {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .foreach { spark =>
+          try { run(spark, key, st.declaredSortOrder.mkString(", ")); () }
+          catch {
+            case e: Exception => System.err.println(
+              s"graft: auto-compaction of $key failed (deferred to the " +
+                s"next trigger): ${e.getMessage}")
+          }
+        }
+    } finally flag.set(false)
+  }
+
   /** Parse `zorder(a, b)` into its two columns; None for other forms. */
   def parseZOrder(sortBy: String): Option[(String, String)] = {
     val m = """(?i)^\s*zorder\s*\(([^,()]+),([^,()]+)\)\s*$""".r
@@ -2108,12 +2146,18 @@ private[sources] object RewriteJobs {
           .drop("__graft_z")
       }
     }
+    val partSpec = st.partitioning
+    def partExprs = partSpec.map {
+      case MemTables.IdentityPart(c) => col(c)
+      case MemTables.BucketPart(nb, c) => expr(s"`$catalogName`.bucket($nb, `$c`)")
+      case MemTables.TimePart(unit, c) => expr(s"`$catalogName`.$unit(`$c`)")
+      case MemTables.TruncatePart(w, c) => expr(s"`$catalogName`.truncate($w, `$c`)")
+    }
     if (sortCols.nonEmpty) {
       // EXPLICIT partition count: a user-specified repartition is exempt
       // from AQE's small-partition coalescing, so the clustering
       // granularity (number of output batches) is deterministic
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val partSpec = st.partitioning
       if (partSpec.isEmpty)
         // unpartitioned: range-cluster on the sort key — batches become
         // range-DISJOINT, composing with data skipping (cluster-then-prune)
@@ -2127,14 +2171,31 @@ private[sources] object RewriteJobs {
         // reported ordering and the key-grouped join both ride), then
         // sort the task — every per-tuple subsequence of a sorted task
         // is itself sorted
-        val partExprs = partSpec.map {
-          case MemTables.IdentityPart(c) => col(c)
-          case MemTables.BucketPart(nb, c) => expr(s"`$catalogName`.bucket($nb, `$c`)")
-          case MemTables.TimePart(unit, c) => expr(s"`$catalogName`.$unit(`$c`)")
-          case MemTables.TruncatePart(w, c) => expr(s"`$catalogName`.truncate($w, `$c`)")
-        }
         df = df.repartition(n, partExprs: _*)
           .sortWithinPartitions(sortCols.map(col): _*)
+      }
+    } else if (zorder.isEmpty) {
+      // PURE COMPACTION must actually FOLD: the scan yields one split per
+      // input file, and writing that back 1:1 would preserve exactly the
+      // fragmentation the operation exists to remove. Partitioned tables
+      // hash-cluster whole tuples per task (the task writer splits per
+      // tuple, so the output is ~one file per tuple); unpartitioned
+      // tables coalesce to the row-target-derived count
+      // (`spark.graft.compact.target-rows`, a per-file size proxy —
+      // at gate scale that is one file, at 100 TB a real fan-out).
+      if (partSpec.nonEmpty) {
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        df = df.repartition(n, partExprs: _*)
+      } else {
+        val totalRows = st.synchronized(
+          st.batches.filter(_.removedAt == Long.MaxValue)
+            .map(_.rowCount.toLong).sum)
+        val target = math.max(1L, spark.conf
+          .getAll.getOrElse("spark.graft.compact.target-rows", "1048576").toLong)
+        val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val outputN = math.max(1L,
+          math.min((totalRows + target - 1) / target, shuffleN.toLong)).toInt
+        df = df.coalesce(outputN)
       }
     }
     // the write-task protocol, inline. Two storage planes:
