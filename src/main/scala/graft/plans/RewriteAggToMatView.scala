@@ -193,9 +193,16 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     // optimizer adds them on the query side, analysis-only text keeps
     // them off the definition side — are removed from both before
     // comparing.
-    val userConj = minusRedundantNotNull(
-      pooledCond.map(c => toDef(c).getOrElse(return None)))
-    val defConj = minusRedundantNotNull(d.conjuncts)
+    // trivially-TRUE conjuncts (a cross join spelled `ON TRUE`) are
+    // dropped from BOTH pools before comparing: the optimizer erases
+    // them from the query side while the analysis-only definition keeps
+    // them, and an unmatched `true` must not block the serve
+    def minusTrue(cs: Seq[Expression]): Seq[Expression] =
+      cs.filterNot(c => c.foldable && c.deterministic &&
+        (c.eval() == true || c.eval() == java.lang.Boolean.TRUE))
+    val userConj = minusRedundantNotNull(minusTrue(
+      pooledCond.map(c => toDef(c).getOrElse(return None))))
+    val defConj = minusRedundantNotNull(minusTrue(d.conjuncts))
     if (!defConj.forall(f => userConj.exists(_.semanticEquals(f)))) return None
     val extraConj: Seq[Expression] =
       userConj.filterNot(c => defConj.exists(_.semanticEquals(c)))

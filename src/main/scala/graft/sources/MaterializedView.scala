@@ -342,6 +342,19 @@ object MatViews {
     val allKeys = srcKey +: joinSteps.map(_._1)
     allKeys.diff(allKeys.distinct).headOption.foreach(d =>
       fail(s"table '$d' appears more than once — self-joins are not supported"))
+    // join MVs: the INCREMENTAL refresh re-binds each changed source as a
+    // table-name alias over its signed change feed, which resolves
+    // `table.column` but not `catalog.table.column` (or deeper) — reject
+    // 3+-part references at create, never at refresh
+    if (joinSteps.nonEmpty) agg.flatMap(_.expressions).foreach {
+      _.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 2 =>
+          fail(s"reference '${a.sql}' has more than two name parts — join " +
+            "materialized views support bare or table-qualified column " +
+            "references only (incremental refresh re-binds table aliases)")
+        case _ =>
+      }
+    }
 
     // TABLE-QUALIFIED column references break refresh: the stored
     // expression text is re-bound against the change-feed relation,
@@ -573,6 +586,71 @@ object MatViews {
        |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS $SignCol
        |  FROM $chgView$where) __graft_mv_signed
        |GROUP BY ${st.groups.map(_.exprSql).mkString(", ")}""".stripMargin
+  }
+
+  /** Per-group SIGNED delta aggregate of a JOIN MV over one multi-source
+    * change window, via the TELESCOPING identity over the definition's
+    * chain A_1 ⋈ ... ⋈ A_n:
+    *
+    *   Δ(A_1 ⋈ ... ⋈ A_n) = Σ_i  A_1..A_{i-1}@NEW ⋈ ΔA_i ⋈ A_{i+1}..A_n@OLD
+    *
+    * Exact for ARBITRARY signed deltas (inserts +1, deletes −1, updates
+    * as ±1 pairs) because the multiset join is bilinear: expanding
+    * (A+ΔA) ⋈ (B+ΔB) − A ⋈ B term by term gives ΔA⋈B + A⋈ΔB + ΔA⋈ΔB =
+    * ΔA⋈B@old + A@new⋈ΔB — each change counted exactly once, none
+    * missed, generalized left-to-right for n tables. `termFroms` carries
+    * one FROM text per MOVED source (unmoved sources' terms vanish; in
+    * other terms they sit at new == old). Each term PROJECTS the
+    * definition's group and argument expressions — resolved against that
+    * term's join, the only context they exist in — plus the delta side's
+    * sign; the UNION then aggregates into signed store components
+    * exactly like the single-table path, and the same MERGE folds them.
+    * Refresh cost = Σ_i |ΔA_i ⋈ others| — change rate × join fan-out,
+    * never the full join.
+    */
+  private def joinDeltaSelectSql(
+      st: MvState, termFroms: Seq[String], storeSchema: StructType): String = {
+    def sumType(out: String): String =
+      storeSchema(s"__mv_sum_$out").dataType.sql
+    def a(out: String): String = q(s"__mv_arg_$out")
+    // per-term projection: group exprs + each aggregate's argument under
+    // a reserved flat name + the sign — the union's aggregation below
+    // then sees only unambiguous named columns
+    val proj =
+      st.groups.map(g => s"${g.exprSql} AS ${q(g.out)}") ++
+        st.aggs.collect {
+          case AggSpec(kind, arg, out) if kind != "countstar" =>
+            s"($arg) AS ${a(out)}"
+        } ++ Seq(SignCol)
+    val where = st.filterSql.map(f => s" WHERE $f").getOrElse("")
+    val union = termFroms.map(t =>
+      s"SELECT ${proj.mkString(", ")} FROM $t$where").mkString("\nUNION ALL\n")
+    val items =
+      st.groups.map(g => q(g.out)) ++
+        Seq(s"CAST(sum($SignCol) AS BIGINT) AS ${q(RowCountCol)}") ++
+        st.aggs.flatMap {
+          case AggSpec("countstar", _, _) => Nil
+          case AggSpec("count", _, out) => Seq(
+            s"CAST(sum(CASE WHEN ${a(out)} IS NOT NULL THEN $SignCol ELSE CAST(0 AS BIGINT) END) " +
+              s"AS BIGINT) AS ${q(s"__mv_cnt_$out")}")
+          // extremes fold only under insert-only windows on EVERY moved
+          // source (refresh falls back to full otherwise) — a plain
+          // per-window extreme over the union is then exact
+          case AggSpec("min", _, out) =>
+            Seq(s"min(${a(out)}) AS ${q(s"__mv_min_$out")}")
+          case AggSpec("max", _, out) =>
+            Seq(s"max(${a(out)}) AS ${q(s"__mv_max_$out")}")
+          case AggSpec(_, _, out) => Seq(
+            s"CAST(coalesce(sum(CASE WHEN ${a(out)} IS NOT NULL THEN $SignCol * ${a(out)} END), 0) " +
+              s"AS ${sumType(out)}) AS ${q(s"__mv_sum_$out")}",
+            s"CAST(sum(CASE WHEN ${a(out)} IS NOT NULL THEN $SignCol ELSE CAST(0 AS BIGINT) END) " +
+              s"AS BIGINT) AS ${q(s"__mv_cnt_$out")}")
+        }
+    s"""SELECT ${items.mkString(", ")}
+       |FROM (
+       |$union
+       |) __graft_mv_join_delta
+       |GROUP BY ${st.groups.map(g => q(g.out)).mkString(", ")}""".stripMargin
   }
 
   /** Fold a delta relation into the store: dead groups delete, touched
@@ -1014,14 +1092,16 @@ object MatViews {
         persist(st)
       }
       if (st.joins.nonEmpty) {
-        // ---- JOIN MV: full-recompute maintenance. A delta on one side
-        // would have to join every OTHER side's current state (and
-        // updates there retro-touch already-counted fact rows) — so any
-        // moved source triggers one INSERT OVERWRITE at a consistent
-        // pinned snapshot, loudly reported as mode=full. Same
-        // write-intent protocol: a crash between overwrite-commit and
-        // watermark-write rolls back and redoes (the recompute is
-        // idempotent).
+        // ---- JOIN MV maintenance. INCREMENTAL when every moved source's
+        // window is within retention (and insert-only, if the MV keeps
+        // extremes): the telescoped delta×snapshot join
+        // ([[joinDeltaSelectSql]]) folds into the store via the same
+        // MERGE as single-table MVs — cost tracks the change rate, never
+        // the full join. Anything else falls back LOUDLY to one INSERT
+        // OVERWRITE at a consistent pinned snapshot (mode=full). Same
+        // write-intent protocol either way: a crash between store-commit
+        // and watermark-write rolls back and re-applies the SAME window
+        // (watermarks unchanged), never double-applies.
         val joinSts = st.joins.map { j =>
           val s = MemTables.get(j.key).getOrElse(throw new IllegalStateException(
             s"materialized view '$name': source table ${j.key} no longer exists"))
@@ -1030,17 +1110,18 @@ object MatViews {
               s"materialized view '$name': source table ${j.key} was dropped " +
                 "and re-created since the view was defined — drop and " +
                 "re-create the materialized view")
-          val v = s.synchronized(s.version)
+          val (v, earliest, kinds) = s.synchronized(
+            (s.version, s.earliestVersion, s.opKinds))
           if (v < j.watermark)
             throw new IllegalStateException(
               s"materialized view '$name': source table ${j.key} is at " +
                 s"version $v, behind the recorded watermark ${j.watermark} — " +
                 "the source was re-created; drop and re-create the " +
                 "materialized view")
-          (j, v)
+          (j, v, earliest, kinds)
         }
         val moved = srcV != st.watermark ||
-          joinSts.exists { case (j, v) => v != j.watermark }
+          joinSts.exists { case (j, v, _, _) => v != j.watermark }
         if (!moved) ("noop", st.watermark, srcV)
         else {
           val from = st.watermark
@@ -1048,23 +1129,89 @@ object MatViews {
             Some(Pending(from, srcV, storeSt.synchronized(storeSt.version))))
           registry.put(name, intent)
           persist(intent)
-          val pinsJ = ((st.srcKey -> srcV) +:
-            joinSts.map { case (j, v) => j.key -> v }).toMap
-          val seed = {
-            val df = spark.sql(
-              storeSelectSql(st, srcRelationSql(st.srcKey, st.joins, pinsJ)))
-            if (st.sumCols.nonEmpty) df.na.fill(0L, st.sumCols) else df
-          }
-          val tv = s"__graft_mv_full_${name}_${System.nanoTime()}"
-          seed.createOrReplaceTempView(tv)
-          try asMaintenance(
-            spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}"))
-          finally spark.catalog.dropTempView(tv)
-          st = st.copy(watermark = srcV, pending = None, deltaRefreshes = 0,
-            joins = joinSts.map { case (j, v) => j.copy(watermark = v) })
+          // per-source windows in CHAIN ORDER (primary first): key, from,
+          // to, earliest, op kinds
+          val windows: Seq[(String, Long, Long, Long, Map[Long, String])] =
+            (st.srcKey, st.watermark, srcV, earliest, srcOpKinds) +:
+              joinSts.map { case (j, v, e, k) => (j.key, j.watermark, v, e, k) }
+          val movedWins = windows.filter { case (_, f, t, _, _) => f != t }
+          def insertOnly(w: (String, Long, Long, Long, Map[Long, String])) =
+            ((w._2 + 1) to w._3).forall(v =>
+              w._5.get(v).exists(InsertOnlyKinds.contains))
+          val driftRecompute =
+            st.deltaRefreshes + 1 >= FloatDriftFullEvery &&
+              st.sumCols.exists(c => storeSt.schema.fields.find(_.name == c)
+                .exists(_.dataType == DoubleType))
+          val incremental =
+            movedWins.forall { case (_, f, _, e, _) => f >= e } &&
+              (!st.hasExtremes || movedWins.forall(insertOnly)) &&
+              !driftRecompute
+          val names2 = st.srcKey +: st.joins.map(_.key)
+          val newPin = windows.map(w => w._1 -> w._3).toMap
+          val tag = s"${name}_${System.nanoTime()}"
+          val mode =
+            if (incremental) {
+              // one signed change-feed view per moved source
+              val chgViews: Map[String, String] = movedWins.map { case (k, f, t, _, _) =>
+                val vn = ("__graft_mv_chg_" + tag + "_" + k)
+                  .replaceAll("[^A-Za-z0-9_]", "_")
+                spark.read.format("graft.sources.MemChangesSource")
+                  .option("table", k)
+                  .option("from", f.toString).option("to", t.toString)
+                  .load().createOrReplaceTempView(vn)
+                k -> vn
+              }.toMap
+              try {
+                val oldPin = windows.map(w => w._1 -> w._2).toMap
+                def termFrom(i: Int): String = {
+                  def ref(jdx: Int): String = {
+                    val k = names2(jdx)
+                    if (jdx == i) {
+                      val cols = MemTables.get(k).get.schema.fieldNames
+                        .map(q).mkString(", ")
+                      s"(SELECT $cols, CASE WHEN ${MemChangesSource.ChangeType} " +
+                        "IN ('insert', 'update_postimage') THEN CAST(1 AS BIGINT) " +
+                        s"ELSE CAST(-1 AS BIGINT) END AS $SignCol " +
+                        s"FROM ${q(chgViews(k))}) AS ${q(k)}"
+                    } else if (jdx < i) s"graft.${q(k)} VERSION AS OF ${newPin(k)}"
+                    else s"graft.${q(k)} VERSION AS OF ${oldPin(k)}"
+                  }
+                  (1 until names2.size).foldLeft(ref(0)) { (acc, jdx) =>
+                    s"$acc JOIN ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
+                  }
+                }
+                val terms = names2.indices
+                  .filter(i => movedWins.exists(_._1 == names2(i)))
+                  .map(termFrom)
+                val deltaView = ("__graft_mv_delta_" + tag)
+                  .replaceAll("[^A-Za-z0-9_]", "_")
+                spark.sql(joinDeltaSelectSql(st, terms, storeSt.schema))
+                  .createOrReplaceTempView(deltaView)
+                try asMaintenance(spark.sql(mergeSql(st, q(deltaView))))
+                finally spark.catalog.dropTempView(deltaView)
+              } finally chgViews.values.foreach(spark.catalog.dropTempView)
+              "incremental"
+            } else {
+              val pinsJ = newPin
+              val seed = {
+                val df = spark.sql(
+                  storeSelectSql(st, srcRelationSql(st.srcKey, st.joins, pinsJ)))
+                if (st.sumCols.nonEmpty) df.na.fill(0L, st.sumCols) else df
+              }
+              val tv = s"__graft_mv_full_$tag"
+              seed.createOrReplaceTempView(tv)
+              try asMaintenance(
+                spark.sql(s"INSERT OVERWRITE graft.${q(st.storeKey)} SELECT * FROM ${q(tv)}"))
+              finally spark.catalog.dropTempView(tv)
+              "full"
+            }
+          st = st.copy(watermark = srcV, pending = None,
+            deltaRefreshes =
+              if (mode == "incremental") st.deltaRefreshes + 1 else 0,
+            joins = joinSts.map { case (j, v, _, _) => j.copy(watermark = v) })
           registry.put(name, st)
           persist(st)
-          ("full", from, srcV)
+          (mode, from, srcV)
         }
       }
       else if (srcV == st.watermark) ("noop", st.watermark, srcV)

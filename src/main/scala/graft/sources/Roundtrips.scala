@@ -2668,15 +2668,18 @@ object Roundtrips {
   }
 
   /** STAR-SCHEMA (join) materialized view — `fact ⋈ dim GROUP BY`
-    * materialized as one store, maintained by LOUD full recompute (a
-    * fact append makes the MV stale; the refresh reports mode=full —
-    * pinned in the oracle hash), and served by the rewrite: the restated
-    * join-aggregate must scan ONLY the store (flag plan-derived, part of
-    * the hash). The oracle rebuilds fact, dim, and the join-aggregate
-    * from `orders` in DuckDB, so both the maintenance values and the
-    * serve path are checked. At 100 TB this is the star-schema dashboard
-    * shape (`tpch_q3/q5`-style): the 2-table join + aggregate collapses
-    * to |segments| stored rows.
+    * materialized as one store, maintained INCREMENTALLY by the
+    * telescoped delta×snapshot join ([[MatViews]] —
+    * Δ(A⋈B) = ΔA⋈B@old + A@new⋈ΔB, signed, exact for arbitrary DML),
+    * and served by the rewrite: the restated join-aggregate must scan
+    * ONLY the store (flag plan-derived, part of the hash). TWO refresh
+    * legs pin the algebra in the oracle hash: a fact APPEND folds
+    * (mode=incremental), then a DIM DELETE — which retro-removes every
+    * joined fact row of the deleted priority, the case a naive one-sided
+    * delta gets wrong — also folds (mode=incremental), and the final
+    * values must equal the oracle's from-scratch recomputation. At
+    * 100 TB this is the star-schema dashboard shape (`tpch_q3/q5`-style):
+    * refresh cost tracks the change rate × join fan-out, never the join.
     */
   val dsv2MvJoin: QueryDef = QueryDef(
     "dsv2_mv_join",
@@ -2689,11 +2692,12 @@ object Roundtrips {
       |  SELECT DISTINCT o_orderpriority AS dk,
       |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
       |              THEN 'hot' ELSE 'cold' END AS seg
-      |  FROM orders),
+      |  FROM orders WHERE o_orderpriority <> '5-LOW'),
       |mv AS (
       |  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
       |  FROM fact JOIN dim ON g = dk GROUP BY seg)
-      |SELECT seg, n, sv, 'full' AS refresh_mode, TRUE AS served_from_store
+      |SELECT seg, n, sv, 'incremental' AS append_mode,
+      |       'incremental' AS dim_delete_mode, TRUE AS served_from_store
       |FROM mv""".stripMargin) { (spark, dir) =>
     MatViews.drop("mv_j")
     val fact = freshGraftTable(spark, "mem_mvj_fact", "(k BIGINT, g STRING, v BIGINT)")
@@ -2712,16 +2716,21 @@ object Roundtrips {
     spark.sql("CALL graft.create_materialized_view('mv_j', " +
       "'SELECT seg, count(*) AS n, sum(v) AS sv " +
       "FROM graft.mem_mvj_fact JOIN graft.mem_mvj_dim ON g = dk GROUP BY seg')")
-    spark.sql(s"INSERT INTO $fact VALUES (-1, '1-URGENT', 999)") // stale
-    val mode = spark.sql("CALL graft.refresh_materialized_view('mv_j')")
-      .head().getString(1) // 'full' — join MVs never fold deltas
+    spark.sql(s"INSERT INTO $fact VALUES (-1, '1-URGENT', 999)") // stale fact
+    val mode1 = spark.sql("CALL graft.refresh_materialized_view('mv_j')")
+      .head().getString(1) // incremental: fact delta ⋈ dim@old
+    // dim delete retro-removes EVERY '5-LOW' fact row from the aggregate
+    spark.sql(s"DELETE FROM $dim WHERE dk = '5-LOW'")
+    val mode2 = spark.sql("CALL graft.refresh_materialized_view('mv_j')")
+      .head().getString(1) // incremental: fact@new ⋈ dim's −rows
     val agg = spark.sql(
       s"""SELECT seg, count(*) AS n, sum(v) AS sv
          |FROM $fact JOIN $dim ON g = dk GROUP BY seg""".stripMargin)
     val scans = scannedTables(agg)
     val served = scans.contains("mv_j__store") &&
       !scans.exists(n => n == "mem_mvj_fact" || n == "mem_mvj_dim")
-    agg.withColumn("refresh_mode", lit(mode))
+    agg.withColumn("append_mode", lit(mode1))
+      .withColumn("dim_delete_mode", lit(mode2))
       .withColumn("served_from_store", lit(served))
   }
 

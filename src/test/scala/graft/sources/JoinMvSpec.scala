@@ -83,7 +83,7 @@ class JoinMvSpec extends SparkSpec {
     df2.collect()
   }
 
-  test("staleness on EITHER source stops serving; full refresh restores it") {
+  test("staleness on EITHER source stops serving; refresh restores it") {
     setup()
     val q = "SELECT seg, sum(v) AS sv FROM graft.jmv_fact " +
       "JOIN graft.jmv_dim ON ck = dk GROUP BY seg"
@@ -92,18 +92,91 @@ class JoinMvSpec extends SparkSpec {
     assert(!servedFromStore(spark.sql(q), "jmv__store"),
       "a stale dim must stop the rewrite")
     val r = spark.sql("CALL graft.refresh_materialized_view('jmv')").head()
-    assert(r.getString(1) === "full", "join MV maintenance is loud full recompute")
+    assert(r.getString(1) === "incremental",
+      "an in-retention window folds incrementally")
     assert(servedFromStore(spark.sql(q), "jmv__store"))
     // fact-only commit: a row keyed to the NEW dim row
     spark.sql("INSERT INTO graft.jmv_fact VALUES (6, 50, 600)")
     assert(!servedFromStore(spark.sql(q), "jmv__store"))
-    spark.sql("CALL graft.refresh_materialized_view('jmv')")
+    assert(spark.sql("CALL graft.refresh_materialized_view('jmv')")
+      .head().getString(1) === "incremental")
     val df = spark.sql(q)
     assert(servedFromStore(df, "jmv__store"))
     assert(rowsOf(df) === Seq(Seq("auto", 600L), Seq("bike", 1100L)))
     // noop when nothing moved
     assert(spark.sql("CALL graft.refresh_materialized_view('jmv')")
       .head().getString(1) === "noop")
+  }
+
+  test("incremental join refresh folds inserts, deletes, AND retroactive dim updates") {
+    setup()
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql("SELECT seg, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+        "FROM graft.jmv_fact JOIN graft.jmv_dim ON ck = dk GROUP BY seg"))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    def refreshedMatchesDirect(expectMode: String): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('jmv')").head()
+      assert(r.getString(1) === expectMode)
+      assert(rowsOf(spark.sql("SELECT seg, n, sv, av FROM graft.jmv")) === direct(),
+        "the folded store must equal the direct recomputation")
+    }
+    // fact deletes (rows leave groups through the join)
+    spark.sql("DELETE FROM graft.jmv_fact WHERE k IN (1, 5)")
+    refreshedMatchesDirect("incremental")
+    // fact update (±1 pair through the join)
+    spark.sql("UPDATE graft.jmv_fact SET v = v + 1000 WHERE k = 2")
+    refreshedMatchesDirect("incremental")
+    // RETROACTIVE dim update: re-segments every joined fact row — the
+    // classic case a naive one-sided delta gets wrong; the telescoped
+    // dim term joins the dim's ±pair against the fact's NEW snapshot
+    spark.sql("UPDATE graft.jmv_dim SET seg = 'bike' WHERE dk = 20")
+    refreshedMatchesDirect("incremental")
+    // dim delete: its fact rows fall out of the join entirely, and a
+    // whole group can die (MERGE deletes the row)
+    spark.sql("DELETE FROM graft.jmv_dim WHERE seg = 'auto'")
+    refreshedMatchesDirect("incremental")
+    // mixed same-refresh window on BOTH sides
+    spark.sql("INSERT INTO graft.jmv_fact VALUES (7, 30, 700)")
+    spark.sql("INSERT INTO graft.jmv_dim VALUES (60, 'bike')")
+    spark.sql("INSERT INTO graft.jmv_fact VALUES (8, 60, 800)")
+    refreshedMatchesDirect("incremental")
+  }
+
+  test("extremes fold on insert-only windows, full-recompute on deletes; retention forces full") {
+    catalogOn(); dropMv("jmv4")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv4_f")
+    spark.sql("DROP TABLE IF EXISTS graft.jmv4_d")
+    spark.sql("CREATE TABLE graft.jmv4_f (ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.jmv4_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.jmv4_f VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft.jmv4_d VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graft.create_materialized_view('jmv4', " +
+      "'SELECT seg, min(v) AS lo, sum(v) AS sv " +
+      "FROM graft.jmv4_f JOIN graft.jmv4_d ON ck = dk GROUP BY seg')")
+    spark.sql("INSERT INTO graft.jmv4_f VALUES (1, 5)") // insert-only window
+    assert(spark.sql("CALL graft.refresh_materialized_view('jmv4')")
+      .head().getString(1) === "incremental")
+    assert(rowsOf(spark.sql("SELECT seg, lo FROM graft.jmv4")) ===
+      Seq(Seq("a", 5L), Seq("b", 20L)))
+    spark.sql("DELETE FROM graft.jmv4_f WHERE v = 5") // removes the extreme
+    assert(spark.sql("CALL graft.refresh_materialized_view('jmv4')")
+      .head().getString(1) === "full",
+      "a row-removing window with extremes must recompute in full")
+    assert(rowsOf(spark.sql("SELECT seg, lo FROM graft.jmv4")) ===
+      Seq(Seq("a", 10L), Seq("b", 20L)))
+    // retention expiry on a JOINED source also forces full
+    spark.sql("INSERT INTO graft.jmv4_d VALUES (3, 'c')")
+    spark.sql("INSERT INTO graft.jmv4_f VALUES (3, 30)")
+    val dimV = MemTables.get("jmv4_d").get.version
+    spark.sql(s"CALL graft.expire_snapshots('jmv4_d', $dimV)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('jmv4')")
+      .head().getString(1) === "full",
+      "a watermark expired out of a joined source's retention must recompute")
+    assert(rowsOf(spark.sql("SELECT seg, sv FROM graft.jmv4")) ===
+      Seq(Seq("a", 10L), Seq("b", 20L), Seq("c", 30L)))
+    dropMv("jmv4")
   }
 
   test("rollup and dropped-grain predicates work over a join MV store") {
@@ -175,8 +248,31 @@ class JoinMvSpec extends SparkSpec {
     MatViews.registry.put("jmv", stale)
     MatViews.persist(stale)
     val r = spark.sql("CALL graft.refresh_materialized_view('jmv')").head()
-    assert(r.getString(1) === "full")
-    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.jmv")) === good)
+    assert(r.getString(1) === "incremental",
+      "the repair re-applies the SAME window through the same path")
+    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.jmv")) === good,
+      "rollback + re-apply must land the clean refresh's contents, never double-apply")
+  }
+
+  test("a cross join (ON TRUE) MV serves the cross-join query") {
+    catalogOn(); dropMv("jmvx")
+    spark.sql("DROP TABLE IF EXISTS graft.jmvx_a")
+    spark.sql("DROP TABLE IF EXISTS graft.jmvx_b")
+    spark.sql("CREATE TABLE graft.jmvx_a (g STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graft.jmvx_b (w BIGINT)")
+    spark.sql("INSERT INTO graft.jmvx_a VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO graft.jmvx_b VALUES (10), (20), (30)")
+    spark.sql("CALL graft.create_materialized_view('jmvx', " +
+      "'SELECT g, count(*) AS n, sum(v * w) AS sv " +
+      "FROM graft.jmvx_a JOIN graft.jmvx_b ON TRUE GROUP BY g')")
+    // the optimizer erases the trivially-true condition from the query
+    // side; the definition keeps it — the pools must still match
+    val df = spark.sql("SELECT g, count(*) AS n, sum(v * w) AS sv " +
+      "FROM graft.jmvx_a CROSS JOIN graft.jmvx_b GROUP BY g")
+    assert(servedFromStore(df, "jmvx__store"),
+      s"got ${scansOf(df.queryExecution.executedPlan)}")
+    assert(rowsOf(df) === Seq(Seq("a", 3L, 60L), Seq("b", 3L, 120L)))
+    dropMv("jmvx")
   }
 
   test("three-way chains materialize and serve") {
