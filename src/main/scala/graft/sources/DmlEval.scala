@@ -90,12 +90,23 @@ final class RowPredicate(
     case LessThan(c, v) => cmp(valueOf(r, c), v).map(_ < 0)
     case LessThanOrEqual(c, v) => cmp(valueOf(r, c), v).map(_ <= 0)
     case In(c, vs) =>
-      // true if any element matches; unknown if none match but any
-      // comparison was unknown (x IN (1, NULL) is unknown, not false)
-      val cs = vs.toSeq.map(v => cmp(valueOf(r, c), v))
-      if (cs.exists(_.contains(0))) Some(true)
-      else if (cs.exists(_.isEmpty)) None
-      else Some(false)
+      // true on the FIRST matching element — this runs per row in the
+      // distributed DELETE inner loop, so no per-row Seq allocation and
+      // no comparisons past a match; unknown only if nothing matched but
+      // some comparison was unknown (x IN (1, NULL) is unknown, not false)
+      val rv = valueOf(r, c)
+      var sawUnknown = false
+      var matched = false
+      var i = 0
+      while (!matched && i < vs.length) {
+        cmp(rv, vs(i)) match {
+          case Some(0) => matched = true
+          case None => sawUnknown = true
+          case _ => ()
+        }
+        i += 1
+      }
+      if (matched) Some(true) else if (sawUnknown) None else Some(false)
     case IsNull(c) => Some(valueOf(r, c) == null)
     case IsNotNull(c) => Some(valueOf(r, c) != null)
     case And(l, rr) => (eval(l, r), eval(rr, r)) match {
@@ -147,54 +158,98 @@ final case class SurvivorFile(
 
 object DistributedDml {
 
+  /** One batch's already-dead row state — delete-vector positions +
+    * equality-delete probes (dead rows never match, mirroring the driver
+    * evaluator). Shipped ONCE PER EXECUTOR via `sc.broadcast`, never in
+    * the task closure: at a million dead positions × many candidate
+    * files, per-task serialization would re-ship the same payload for
+    * every file. Probe key indexes resolve into the task's PRUNED match
+    * schema.
+    */
+  final case class KillState(dvDead: Set[Int], probes: Seq[EqProbe])
+      extends Serializable
+
+  val EmptyKills: KillState = KillState(Set.empty, Nil)
+
   /** Everything one executor task needs to evaluate one file-backed batch:
-    * where the rows live, the bound predicate, the batch's already-dead
-    * positions (delete-vector entries + equality-delete probes — dead rows
-    * never match, mirroring the driver evaluator), and — copy-on-write
-    * only — the directory to write the survivor file into (the task mints
-    * the file name so a Spark retry writes a FRESH file instead of
-    * colliding with the failed attempt's partial one; losers are orphans,
+    * where the rows live, the bound predicate, and — copy-on-write only —
+    * the directory to write the survivor file into (the task mints the
+    * file name so a Spark retry writes a FRESH file instead of colliding
+    * with the failed attempt's partial one; losers are orphans,
     * `remove_orphan_files`'s department).
+    *
+    * `matchSchema` is the PRUNED read schema of the match pass — only the
+    * predicate-referenced + equality-key columns (in file field order):
+    * on a wide table the match pass's parquet IO is the predicate
+    * footprint, not the table width. `pred` and the broadcast probes bind
+    * their field indexes into `matchSchema`; the CoW survivor pass reads
+    * the full `schema` (it materializes every column anyway).
     */
   final case class EvalTask(
       batchId: Long, path: String, schema: StructType,
-      dvDead: Set[Int], probes: Seq[EqProbe], pred: RowPredicate,
+      matchSchema: StructType, pred: RowPredicate,
       survivorDir: Option[String], declaredSort: Seq[String],
       bloomCols: Set[String]) extends Serializable
 
+  /** `matched` is a compressed position bitmap ([[PosBitmap]]) — a
+    * run-shaped million-row DELETE ships kilobytes driver-ward, not a
+    * million boxed ints.
+    */
   final case class EvalResult(
-      batchId: Long, matched: Array[Int],
-      survivor: Option[SurvivorFile]) extends Serializable
+      batchId: Long, matched: Array[Byte],
+      survivor: Option[SurvivorFile]) extends Serializable {
+    def matchedPositions: Array[Int] = PosBitmap.toArray(matched)
+    def anyMatched: Boolean = matched.nonEmpty // bitmap only written on a match
+  }
+
+  /** Spec observability: the tasks of the most recent job — pinned so
+    * DistributedDmlSpec can assert the match pass's read schema is the
+    * predicate footprint and that kill state rides the broadcast, not
+    * the closure.
+    */
+  private[graft] val lastTasks =
+    new java.util.concurrent.atomic.AtomicReference[Seq[EvalTask]](Nil)
 
   /** One task per candidate file (the same granularity the scan and the
-    * distributed compaction use); results keyed by batch id.
+    * distributed compaction use); results keyed by batch id. Kill state
+    * travels as one broadcast keyed by batch id.
     */
-  def run(sc: SparkContext, tasks: Seq[EvalTask]): Map[Long, EvalResult] =
+  def run(sc: SparkContext, tasks: Seq[EvalTask],
+      kills: Map[Long, KillState]): Map[Long, EvalResult] =
     if (tasks.isEmpty) Map.empty
-    else sc.parallelize(tasks, tasks.size)
-      .map(evalBatch).collect().iterator.map(r => r.batchId -> r).toMap
+    else {
+      lastTasks.set(tasks)
+      val bcKills = sc.broadcast(kills)
+      try sc.parallelize(tasks, tasks.size)
+        .map(t => evalBatch(t, bcKills.value.getOrElse(t.batchId, EmptyKills)))
+        .collect().iterator.map(r => r.batchId -> r).toMap
+      finally bcKills.destroy()
+    }
 
-  /** Pass 1 streams the file to find matched positions; pass 2 (CoW, only
-    * when matches exist) streams it again writing survivors — never both
-    * in one pass, so an unmatched candidate (bounds kept it, rows didn't)
-    * costs a read, not a rewrite. Two bounded passes, zero buffering: the
-    * task's memory is the matched-position buffer + writer state.
+  /** Pass 1 streams the file PRUNED to the predicate footprint to find
+    * matched positions; pass 2 (CoW, only when matches exist) streams the
+    * full schema again writing survivors — never both in one pass, so an
+    * unmatched candidate (bounds kept it, rows didn't) costs a pruned
+    * read, not a rewrite. Two bounded passes, zero buffering: the task's
+    * memory is the matched-position buffer + writer state.
     */
-  private[sources] def evalBatch(t: EvalTask): EvalResult = {
+  private[sources] def evalBatch(t: EvalTask, kills: KillState): EvalResult = {
     val matched = new ArrayBuffer[Int]
-    val it = ParquetRows.iterator(t.path, t.schema)
+    val it = ParquetRows.iterator(t.path, t.matchSchema)
     try {
       var pos = 0
       while (it.hasNext) {
         val r = it.next()
-        val dead = t.dvDead.contains(pos) || t.probes.exists(_.kills(r))
+        val dead = kills.dvDead.contains(pos) || kills.probes.exists(_.kills(r))
         if (!dead && t.pred.matches(r)) matched += pos
         pos += 1
       }
     } finally it.close()
-    if (matched.isEmpty) return EvalResult(t.batchId, Array.empty, None)
+    if (matched.isEmpty)
+      return EvalResult(t.batchId, Array.empty, None)
+    val matchedBitmap = PosBitmap.toBytes(matched.iterator)
     t.survivorDir match {
-      case None => EvalResult(t.batchId, matched.toArray, None) // MoR: positions only
+      case None => EvalResult(t.batchId, matchedBitmap, None) // MoR: positions only
       case Some(dir) =>
         val matchedSet = matched.toSet
         val path = s"$dir/delete-cow-" +
@@ -227,8 +282,8 @@ object DistributedDml {
         w.close()
         if (kept == 0) { // every row matched: the batch just disappears
           ParquetRows.delete(path)
-          EvalResult(t.batchId, matched.toArray, None)
-        } else EvalResult(t.batchId, matched.toArray,
+          EvalResult(t.batchId, matchedBitmap, None)
+        } else EvalResult(t.batchId, matchedBitmap,
           Some(SurvivorFile(path, kept, acc.result(), tracker.sorted)))
     }
   }

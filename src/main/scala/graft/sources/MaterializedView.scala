@@ -1024,6 +1024,11 @@ object MatViews {
     * stops serving, reads stay correct); it never fails the stream.
     */
   private[sources] def autoRefreshFor(key: String): Unit = {
+    // fault disk-resident MVs in first (memoized on root mtime): after a
+    // driver restart nothing else names an auto-refresh MV, so without
+    // this the zero-manual-refresh contract would silently lapse until an
+    // unrelated read recovered it — mirrors RewriteAggToMatView.apply
+    recoverAllFromDisk()
     val names = registry.values.iterator.filter(st => st.autoRefresh &&
       (st.srcKey == key || st.joins.exists(_.key == key))).map(_.name).toSeq
     if (names.isEmpty) return

@@ -1493,12 +1493,28 @@ object MemTables {
           "concurrently — the staged result is discarded")
       if (replace && !orCreate && existing.isEmpty)
         cleanupAnd(s"cannot commit REPLACE TABLE: $targetKey no longer exists")
-      if (replace) existing.foreach(_ => drop(targetKey))
       st.tableKey = targetKey
-      if (tables.putIfAbsent(targetKey, st).isDefined) {
-        st.tableKey = stagingKey
-        cleanupAnd(s"cannot publish staged table: $targetKey was " +
-          "re-created concurrently")
+      existing match {
+        case Some(old) if replace =>
+          // the re-key is ONE atomic registry CAS (old → staged); the
+          // destructive reclaim of the old table's storage happens only
+          // AFTER the swap is won, so a racing create/drop can never
+          // destroy both the old contents and the staged result
+          if (!tables.replace(targetKey, old, st)) {
+            st.tableKey = stagingKey
+            cleanupAnd(s"cannot commit REPLACE TABLE: $targetKey changed " +
+              "concurrently — the staged result is discarded")
+          }
+          old.storageDir.foreach { d =>
+            ParquetRows.deleteDir(d)
+            metaKeyCache.remove(d)
+          }
+        case _ =>
+          if (tables.putIfAbsent(targetKey, st).isDefined) {
+            st.tableKey = stagingKey
+            cleanupAnd(s"cannot publish staged table: $targetKey was " +
+              "re-created concurrently")
+          }
       }
       tables.remove(stagingKey)
       persistMeta(st)
@@ -1656,13 +1672,23 @@ object MemTables {
           // physically-dropped batches' manifests as sweepable orphans)
           val referencedManifests = allBatches.iterator
             .flatMap(TableMetadata.manifestNameOf).toSet
+          // DV sidecars referenced by the current plane: main batches +
+          // branch stages — superseded vectors (new kills minted a new
+          // content-derived name) age out like superseded data files
+          val referencedDvs = (st.batches.iterator
+            .flatMap(TableMetadata.dvFileNameOf) ++
+            st.branches.valuesIterator.flatMap(_.dvs.iterator.flatMap {
+              case (bid, poss) => TableMetadata.branchDvFileNameOf(bid, poss)
+            })).toSet
           val cutoff = System.currentTimeMillis() - graceMillis
           val onDisk = Option(new java.io.File(dir).listFiles())
             .getOrElse(Array.empty)
             .filter(f => f.isFile && (f.getName.endsWith(".parquet") ||
-              (f.getName.startsWith("manifest-") && f.getName.endsWith(".json"))))
+              (f.getName.startsWith("manifest-") && f.getName.endsWith(".json")) ||
+              (f.getName.startsWith("dv-") && f.getName.endsWith(".bin"))))
           val (kept, orphans) = onDisk.partition { f =>
             (if (f.getName.endsWith(".parquet")) referenced.contains(f.getAbsolutePath)
+             else if (f.getName.endsWith(".bin")) referencedDvs.contains(f.getName)
              else referencedManifests.contains(f.getName)) ||
               f.lastModified() > cutoff
           }
@@ -2839,23 +2865,49 @@ object MemTables {
     new RowPredicate(filters, idx, dflt, b.schema)
   }
 
-  /** Equality-delete probes applicable to one batch, key columns
-    * era-resolved driver-side ([[EqProbe]] — membership tested
-    * row-at-a-time wherever the rows stream). Same applicability window
-    * as [[effectiveKills]]: strictly newer than the batch, at-or-before
-    * its removal; an unresolvable key column never matches.
+  /** One file-backed batch's PRUNED match-pass plan: the read schema
+    * restricted to the predicate footprint + applicable equality-delete
+    * key columns (file field order preserved), with the predicate and
+    * probes RE-BOUND to field indexes within it — at 100 TB the match
+    * pass's parquet IO is the predicate footprint, not the table width
+    * (the CoW survivor pass still reads every column; it materializes
+    * them anyway). Probe applicability is [[effectiveKills]]'s window:
+    * strictly newer than the batch, at-or-before its removal; an
+    * unresolvable key column never matches.
     */
-  private def probesFor(st: State, b: TaggedBatch): Seq[EqProbe] =
-    st.eqDeletes
+  private def matchPlanFor(st: State, b: TaggedBatch, filters: Array[Filter])
+      : (StructType, RowPredicate, Seq[EqProbe]) = {
+    def res(c: String): Option[String] =
+      sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
+        .filter(n => b.schema.fieldNames.contains(n))
+    val predCols = filters.flatMap(_.references).distinct
+    val probeDefs = st.eqDeletes
       .filter(e => e.version > b.version && e.version <= b.removedAt)
       .flatMap { e =>
-        val idx = e.keyCols.map(c =>
-          sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
-            .map(n => b.schema.fieldNames.indexOf(n)).filter(_ >= 0).getOrElse(-1))
-        if (idx.contains(-1)) None
-        else Some(EqProbe(idx.toArray,
-          idx.map(b.schema.fields(_).dataType).toArray, e.keys))
+        val names = e.keyCols.map(res)
+        if (names.exists(_.isEmpty)) None
+        else Some((e.keys, names.map(_.get)))
       }
+    val needed = (predCols.flatMap(res) ++ probeDefs.flatMap(_._2)).toSet
+    val fields = b.schema.fields.filter(f => needed.contains(f.name))
+    // parquet cannot project an empty group — a reference-free filter
+    // (AlwaysTrue overwrite) keeps one column just to drive positions
+    val matchSchema =
+      if (fields.isEmpty) StructType(b.schema.fields.take(1))
+      else StructType(fields)
+    val idx: Map[String, Int] = predCols.map { c =>
+      c -> res(c).map(n => matchSchema.fieldNames.indexOf(n))
+        .filter(_ >= 0).getOrElse(-1)
+    }.toMap
+    val dflt = predCols.filter(idx(_) < 0).map { c =>
+      c -> defaultFor(st.columnDefaults)(c, b.writeVersion).orNull
+    }.toMap
+    val probes = probeDefs.map { case (keys, names) =>
+      val ki = names.map(n => matchSchema.fieldNames.indexOf(n)).toArray
+      EqProbe(ki, ki.map(matchSchema.fields(_).dataType), keys)
+    }
+    (matchSchema, new RowPredicate(filters, idx, dflt, matchSchema), probes)
+  }
 
   /** Row-level filter matches over the LIVE batches (SQL three-valued
     * evaluation, era/tombstone-resolved, bounds/bucket-pruned) — the
@@ -2894,14 +2946,21 @@ object MemTables {
         // needs positions only (the kill lands in the delete vector)
         val survivorDir =
           if (st.deleteMode == DeleteModeMor) None else st.storageDir
-        val tasks = fileBacked.map { b =>
+        val plans = fileBacked.map(b => b -> matchPlanFor(st, b, filters))
+        val tasks = plans.map { case (b, (matchSchema, pred, _)) =>
           val f = b.store.asInstanceOf[FileStore]
           DistributedDml.EvalTask(b.batchId, f.path, b.schema,
-            dvDead = b.dv.keySet, probes = probesFor(st, b),
-            pred = preds(b.batchId), survivorDir = survivorDir,
+            matchSchema = matchSchema, pred = pred,
+            survivorDir = survivorDir,
             declaredSort = st.declaredSortOrder, bloomCols = st.bloomCols.toSet)
         }
-        DistributedDml.run(session.get.sparkContext, tasks)
+        // kill state (DV positions + eq-delete key sets) rides ONE
+        // broadcast keyed by batch — never the per-task closure
+        val kills = plans.collect {
+          case (b, (_, _, probes)) if b.dv.nonEmpty || probes.nonEmpty =>
+            b.batchId -> DistributedDml.KillState(b.dv.keySet, probes)
+        }.toMap
+        DistributedDml.run(session.get.sparkContext, tasks, kills)
       }
     // driver-side evaluation: mem-resident batches, plus the file-backed
     // ones when no session exists to host the job (non-Spark callers)
@@ -2914,11 +2973,11 @@ object MemTables {
       }
     }.filter(_._2.nonEmpty).toMap
     val jobDead = jobResults.collect {
-      case (id, r) if r.matched.nonEmpty => id -> r.matched
+      case (id, r) if r.anyMatched => id -> r.matchedPositions
     }
     val schemas = fileBacked.iterator.map(b => b.batchId -> b.schema).toMap
     val preRewritten = jobResults.collect {
-      case (id, r) if r.matched.nonEmpty =>
+      case (id, r) if r.anyMatched =>
         id -> r.survivor.map(s =>
           (FileStore(s.path, s.count, schemas(id), s.sorted): RowStore, s.stats))
     }

@@ -166,10 +166,13 @@ private[sources] object MetaIO {
     val scheme = Option(target.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       // local disk: the proven nio tmp + ATOMIC_MOVE (replace) shape —
-      // the gate-scale hot path stays exactly two filesystem ops
-      val tmp = java.nio.file.Paths.get(dir, name + ".tmp")
+      // the gate-scale hot path stays exactly two filesystem ops. The
+      // dir normalizes through Path.toUri.getPath like exists/writeOnce
+      // do, so a 'file:'-schemed dir commits where readers resolve
+      val localDir = new Path(dir).toUri.getPath
+      val tmp = java.nio.file.Paths.get(localDir, name + ".tmp")
       java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(localDir, name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()

@@ -41,6 +41,21 @@ object TableMetadata {
   val FileName = "metadata.json"
   private val FormatVersion = 2
 
+  /** Delete vectors at or below this many positions stay INLINE in
+    * `metadata.json` (a handful of grouped JSON ints — not worth a file);
+    * above it they land as a compressed-bitmap SIDECAR file
+    * (`dv-<batchId>-<contentHash>.bin`, [[PosBitmap]] format) referenced
+    * by name + cardinality — the puffin shape. The metadata plane's size
+    * is then INDEPENDENT of deleted-row count: a merge-on-read DELETE of
+    * 10⁹ rows costs one bounded file reference per batch, not billions of
+    * JSON integers re-serialized on every subsequent commit. The name
+    * derives from the DV's content, so an UNCHANGED vector re-uses its
+    * file across commits (write-once) and a changed one mints a fresh
+    * name, leaving the old file to the orphan sweep like any superseded
+    * data file.
+    */
+  val DvInlineMax = 64
+
   private val mapper = new ObjectMapper()
 
   /** Memoized schema-JSON parse: batches overwhelmingly share their schema
@@ -228,6 +243,53 @@ object TableMetadata {
     name
   }
 
+  /** The DV sidecar file name a batch's delete vector resolves to — None
+    * when the vector is empty or small enough to stay inline. The orphan
+    * sweep uses this to keep every referenced sidecar.
+    */
+  def dvFileNameOf(b: TaggedBatch): Option[String] =
+    if (b.dv.size <= DvInlineMax) None else Some(dvFileName(b.batchId, b.dv))
+
+  private def dvFileName(batchId: Long, dv: Map[Int, Long]): String =
+    f"dv-$batchId-${PosBitmap.dvContentHash(dv)}%016x.bin"
+
+  /** Branch-stage DV sidecar name (single staged version — encoded as a
+    * one-version vector); None below the inline threshold.
+    */
+  def branchDvFileNameOf(batchId: Long, poss: Set[Int]): Option[String] =
+    if (poss.size <= DvInlineMax) None
+    else Some(dvFileName(batchId, poss.iterator.map(_ -> 0L).toMap))
+
+  private def dvOut(dir: String, o: ObjectNode, batchId: Long,
+      dv: Map[Int, Long]): Unit =
+    if (dv.size <= DvInlineMax) {
+      // positions grouped by kill version — the compact inline form
+      val grouped = mapper.createObjectNode()
+      dv.groupBy(_._2).foreach { case (v, entries) =>
+        val a = mapper.createArrayNode()
+        entries.keysIterator.toArray.sorted.foreach(a.add)
+        grouped.set[JsonNode](v.toString, a)
+      }
+      o.set[JsonNode]("dv", grouped)
+      ()
+    } else {
+      val name = dvFileName(batchId, dv)
+      MetaIO.writeOnce(dir, name, PosBitmap.dvToBytes(dv))
+      o.put("dv-file", name)
+      o.put("dv-count", dv.size)
+      ()
+    }
+
+  private def dvIn(dir: String, n: JsonNode): Map[Int, Long] =
+    Option(n.get("dv-file")) match {
+      case Some(f) => PosBitmap.dvFromBytes(MetaIO.readBytes(dir, f.asText))
+      case None => Option(n.get("dv")).map { d =>
+        fields(d).flatMap { case (v, poss) =>
+          iter(poss).map(p => p.asInt -> v.toLong)
+        }.toMap
+      }.getOrElse(Map.empty[Int, Long])
+    }
+
   private def batchOut(dir: String, b: TaggedBatch): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("manifest", ensureManifest(dir, b))
@@ -235,16 +297,7 @@ object TableMetadata {
     o.put("write-version", b.writeVersion)
     o.put("removed-at", b.removedAt)
     o.put("batch-id", b.batchId)
-    if (b.dv.nonEmpty) {
-      // positions grouped by kill version — the compact mutable form
-      val grouped = mapper.createObjectNode()
-      b.dv.groupBy(_._2).foreach { case (v, entries) =>
-        val a = mapper.createArrayNode()
-        entries.keysIterator.toArray.sorted.foreach(a.add)
-        grouped.set[JsonNode](v.toString, a)
-      }
-      o.set[JsonNode]("dv", grouped)
-    }
+    if (b.dv.nonEmpty) dvOut(dir, o, b.batchId, b.dv)
     o
   }
 
@@ -261,11 +314,7 @@ object TableMetadata {
     val path = if (rawPath.startsWith("/")) rawPath else s"$dir/$rawPath"
     val store = FileStore(path, s.get("count").asInt,
       schemaOf(s.get("schema").asText))
-    val dv = Option(n.get("dv")).map { d =>
-      fields(d).flatMap { case (v, poss) =>
-        iter(poss).map(p => p.asInt -> v.toLong)
-      }.toMap
-    }.getOrElse(Map.empty[Int, Long])
+    val dv = dvIn(dir, n)
     val stats = fields(m.get("stats")).map { case (col, c) =>
       col -> ColStats(valIn(c.get("min")), valIn(c.get("max")),
         c.get("null-count").asLong, c.get("row-count").asLong, c.get("ndv").asLong,
@@ -393,8 +442,17 @@ object TableMetadata {
       o.set[JsonNode]("appends", appends)
       val dvs = mapper.createObjectNode()
       bs.dvs.foreach { case (bid, poss) =>
-        val a = mapper.createArrayNode(); poss.toSeq.sorted.foreach(a.add)
-        dvs.set[JsonNode](bid.toString, a)
+        branchDvFileNameOf(bid, poss) match {
+          case Some(name) => // sidecar: bounded reference, not positions
+            MetaIO.writeOnce(dir, name,
+              PosBitmap.dvToBytes(poss.iterator.map(_ -> 0L).toMap))
+            val ref = mapper.createObjectNode()
+            ref.put("dv-file", name); ref.put("dv-count", poss.size)
+            dvs.set[JsonNode](bid.toString, ref)
+          case None =>
+            val a = mapper.createArrayNode(); poss.toSeq.sorted.foreach(a.add)
+            dvs.set[JsonNode](bid.toString, a)
+        }
       }
       o.set[JsonNode]("dvs", dvs)
       branches.set[JsonNode](name, o)
@@ -510,7 +568,9 @@ object TableMetadata {
         iter(b.get("appends"))
           .map(a => iter(a).map(batchIn(dir, manifestCache)).toVector).toVector,
         fields(b.get("dvs")).map { case (bid, poss) =>
-          bid.toLong -> iter(poss).map(_.asInt).toSet
+          bid.toLong -> (if (poss.isArray) iter(poss).map(_.asInt).toSet
+            else PosBitmap.dvFromBytes(
+              MetaIO.readBytes(dir, poss.get("dv-file").asText)).keySet)
         }.toMap)
     }.toMap
     Some((key, st))

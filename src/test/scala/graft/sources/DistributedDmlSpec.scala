@@ -171,6 +171,49 @@ class DistributedDmlSpec extends SparkSpec {
     new RowPredicate(Array(EqualTo("k", 1L)), Map("k" -> 0), Map.empty, schema)
   }
 
+  test("match pass reads ONLY the predicate footprint (pruned schema)") {
+    catalogOn(); drop("dml_prune")
+    spark.sql("CREATE TABLE graft.dml_prune " +
+      "(a BIGINT, b BIGINT, c STRING, d DOUBLE, e BIGINT, f STRING) " +
+      "TBLPROPERTIES ('graft.storage'='parquet')")
+    spark.sql("INSERT INTO graft.dml_prune SELECT id, id * 2, " +
+      "cast(id AS string), id * 0.5, id + 7, 'x' FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.dml_prune WHERE e >= 57 AND e < 67")
+    val tasks = DistributedDml.lastTasks.get()
+    assert(tasks.nonEmpty)
+    tasks.foreach { t =>
+      assert(t.matchSchema.fieldNames.toSeq === Seq("e"),
+        "match pass must project only the predicate footprint")
+      assert(t.schema.fieldNames.length === 6,
+        "CoW survivor pass still carries the full write schema")
+    }
+    assert(spark.table("graft.dml_prune").count() === 90L)
+    drop("dml_prune")
+  }
+
+  test("task bytes are flat in dead-position count (kill state is broadcast)") {
+    catalogOn(); drop("dml_bcast")
+    spark.sql("CREATE TABLE graft.dml_bcast (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', " +
+      "'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.dml_bcast SELECT id, id FROM range(0, 20000)")
+    spark.sql("DELETE FROM graft.dml_bcast WHERE v < 10000") // 10k DV entries
+    // second delete: the candidate batches now carry 10k dead positions
+    // between them — those ride the broadcast, never the task closure
+    spark.sql("DELETE FROM graft.dml_bcast WHERE v >= 19000")
+    val tasks = DistributedDml.lastTasks.get()
+    assert(tasks.nonEmpty)
+    val sizes = tasks.map { t =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(t); oo.close(); bo.size()
+    }
+    assert(sizes.forall(_ < 20 * 1024),
+      s"task closure must not carry the kill state (task bytes: $sizes)")
+    assert(spark.table("graft.dml_bcast").count() === 9000L)
+    drop("dml_bcast")
+  }
+
   test("sorted-layout claim survives a distributed CoW delete") {
     catalogOn(); drop("dml_sorted")
     spark.sql("CREATE TABLE graft.dml_sorted (k BIGINT, v BIGINT) " +
