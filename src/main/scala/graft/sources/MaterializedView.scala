@@ -690,15 +690,27 @@ object MatViews {
   private val mapper = new ObjectMapper()
 
 
-  /** Write the refresh journal atomically (tmp + rename) into the store
-    * table's storage directory — the durable copy of this registry entry.
+  // per-MV journal COMMIT GENERATION (process-local, like
+  // [[MemTables.State.durableGen]]): every journal write CASes against
+  // the generation this process last loaded or wrote, so two driver
+  // processes refreshing one MV cannot silently overwrite each other's
+  // watermark — the loser is evicted and retried against the recovered
+  // journal
+  private val journalGens = TrieMap.empty[String, Long]
+
+  /** Write the refresh journal atomically (compare-and-swap through the
+    * metadata plane's one IO interface) into the store table's storage
+    * directory — the durable copy of this registry entry.
     */
   private[sources] def persist(st: MvState): Unit = {
     val storeSt = MemTables.get(st.storeKey).getOrElse(throw new IllegalStateException(
       s"materialized view '${st.name}': store table ${st.storeKey} missing"))
     val dir = storeSt.storageDir.getOrElse(throw new IllegalStateException(
       s"materialized view '${st.name}': store table ${st.storeKey} is not file-backed"))
+    val expectedGen = journalGens.getOrElse(st.name, 0L)
     val o = mapper.createObjectNode()
+    // the CAS generation — FIRST field by contract ([[MetaIO.commitCas]])
+    o.put("commit-gen", expectedGen + 1)
     o.put("format-version", 1)
     o.put("name", st.name)
     o.put("source", st.srcKey)
@@ -740,15 +752,37 @@ object MatViews {
       n.put("store-version-before", p.storeVersionBefore)
       o.set[JsonNode]("pending", n)
     }
-    // atomic publish through the metadata plane's one IO interface —
-    // tmp+rename locally, write-once snapshot + pointer swap on object
-    // stores ([[MetaIO.commit]])
-    MetaIO.commit(dir, JournalName, mapper.writeValueAsBytes(o))
+    // atomic CAS publish through the metadata plane's one IO interface —
+    // lock-bracketed tmp+rename locally, write-once snapshot + pointer
+    // swap on object stores ([[MetaIO.commitCas]]). A conflict means
+    // another PROCESS refreshed this MV: evict the registry entry (the
+    // next access recovers the winner's journal) and surface retryable
+    try MetaIO.commitCas(dir, JournalName, mapper.writeValueAsBytes(o),
+      expectedGen)
+    catch {
+      case e: MetaIO.CommitConflictException =>
+        forget(st.name)
+        throw new java.util.ConcurrentModificationException(
+          s"materialized view '${st.name}': ${e.getMessage}", e)
+    }
+    journalGens.put(st.name, expectedGen + 1)
+    ()
   }
 
   private def loadJournal(dir: String): Option[MvState] = {
     val bytes = MetaIO.readCurrent(dir, JournalName).getOrElse(return None)
-    try loadJournalUnsafe(bytes)
+    try {
+      val st = loadJournalUnsafe(bytes)
+      // record the loaded generation: the next persist CASes against it
+      st.foreach { s =>
+        val gen = try {
+          val root = mapper.readTree(bytes)
+          Option(root.get("commit-gen")).map(_.asLong).getOrElse(0L)
+        } catch { case _: Exception => 0L }
+        journalGens.put(s.name, gen)
+      }
+      st
+    }
     catch {
       case e: Exception =>
         // an unreadable journal must not wedge recovery (or DROP): the
@@ -917,6 +951,7 @@ object MatViews {
   private[graft] def forget(name: String): Unit = {
     registry.remove(name)
     MemViews.views.remove(name)
+    journalGens.remove(name)
     graft.plans.RewriteAggToMatView.invalidate(name)
   }
 
@@ -1291,6 +1326,7 @@ object MatViews {
     lockFor(name).synchronized {
       val known = getOrRecover(name).isDefined
       registry.remove(name)
+      journalGens.remove(name)
       graft.plans.RewriteAggToMatView.invalidate(name)
       // only remove the catalog view if it is OURS (an unrelated plain
       // view sharing the name must survive a mistaken drop call)

@@ -901,6 +901,13 @@ object MemTables {
     @volatile var batches: Vector[TaggedBatch] = Vector.empty
     // monotone snapshot counter; bumped once per commit AND per alter
     @volatile var version: Long = 0L
+    // the durable plane's COMMIT GENERATION this state was loaded at (or
+    // last wrote): every metadata publish CASes against it, so a commit
+    // from ANOTHER PROCESS over the same warehouse is detected — the
+    // loser's in-memory state is evicted and the operation retried, never
+    // silently overwritten ([[MetaIO.commitCas]]). Process-local; set by
+    // [[TableMetadata.load]] on recovery, advanced by each write.
+    @volatile private[sources] var durableGen: Long = 0L
     // column name -> version at which it was (last) dropped. A batch whose
     // writeVersion <= droppedAt(name) predates that drop, so its same-name
     // field must NOT satisfy a later re-added column (it reads NULL) — the
@@ -1010,9 +1017,24 @@ object MemTables {
   /** Write the durable metadata plane ([[TableMetadata]]) of a
     * file-backed table; driver-resident tables have none by contract.
     * Callers hold the state's monitor.
+    *
+    * A CAS CONFLICT here means another PROCESS committed this table since
+    * we loaded it: the in-memory state — including the mutation just
+    * applied — was built on a superseded snapshot. Evict it (the next
+    * access recovers the durable truth, which includes the winner's
+    * commit) and surface a retryable error; retrying the operation
+    * against the recovered state preserves BOTH writers' changes.
     */
   private[sources] def persistMeta(st: State): Unit =
-    if (st.storageDir.isDefined) TableMetadata.write(st)
+    if (st.storageDir.isDefined)
+      try TableMetadata.write(st)
+      catch {
+        case e: MetaIO.CommitConflictException =>
+          tables.remove(st.tableKey)
+          st.storageDir.foreach(metaKeyCache.remove)
+          throw new java.util.ConcurrentModificationException(
+            s"table ${st.tableKey}: ${e.getMessage}", e)
+      }
 
   /** Name of the metadata column every mem table exposes: the version of
     * the committed batch each row belongs to (`SELECT _batch_version, *`).

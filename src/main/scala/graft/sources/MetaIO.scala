@@ -134,73 +134,248 @@ private[sources] object MetaIO {
 
   // ------------------------------------------------- pointer-swap commits
 
-  // base ("metadata" | "mv") -> snapshot name parts
+  // base ("metadata" | "mv") -> snapshot name parts. CAS commits name
+  // snapshots `base-<seq>.json` (deterministic — the write-once create at
+  // a taken sequence IS the conflict signal); pre-CAS snapshots carried a
+  // uuid suffix, which readers still accept.
   private def snapPattern(base: String) =
-    (s"^\\Q$base\\E-(\\d{12})-[0-9a-f]{12}\\.json$$").r
+    (s"^\\Q$base\\E-(\\d{12})(?:-[0-9a-f]{12})?\\.json$$").r
 
-  // per-directory+base next sequence, derived once from a listing then
-  // monotonic in-memory (a restart re-derives: max existing + 1)
-  private val seqCache = TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  /** Thrown when the durable document moved under a committer — another
+    * PROCESS committed since this one loaded its state. The in-memory
+    * state derived from the superseded generation is unusable: the caller
+    * must evict it, reload from disk, and retry the operation.
+    */
+  final class CommitConflictException(
+      dir: String, name: String, expected: Long)
+    extends RuntimeException(
+      s"concurrent commit detected on $dir/$name (expected generation " +
+        s"$expected) — another writer committed first; reload state and retry")
 
-  private def nextSeq(dir: String, base: String): Long = {
-    val counter = seqCache.getOrElseUpdate(s"$dir|$base", {
-      val pat = snapPattern(base)
-      val dp = new Path(dir)
-      val f = fs(dp)
-      val maxExisting =
-        if (!f.exists(dp)) -1L
-        else f.listStatus(dp).iterator.map(_.getPath.getName).collect {
-          case pat(seq) => seq.toLong
-        }.foldLeft(-1L)(math.max)
-      new java.util.concurrent.atomic.AtomicLong(maxExisting)
-    })
-    counter.incrementAndGet()
+  /** A commit lock (or a crashed commit's snapshot) older than this is
+    * considered dead and broken/adopted.
+    */
+  val LockStaleMs: Long = 60 * 1000L
+
+  /** Streaming read of the document's `commit-gen` field (writers place
+    * it FIRST, so this is a header read, never a full parse); 0 for an
+    * absent field (legacy doc).
+    */
+  private def genOf(in: java.io.InputStream): Long = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(in)
+    try {
+      if (p.nextToken() != JsonToken.START_OBJECT) return 0L
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        val f = p.currentName()
+        p.nextToken()
+        if (f == "commit-gen") return p.getLongValue
+        p.skipChildren()
+      }
+      0L
+    } catch { case _: Exception => 0L } finally p.close()
+  }
+
+  /** Current generation of `<dir>/<name>` on a RENAME-CAPABLE scheme:
+    * the doc is the target file itself. 0 = absent or legacy (pre-gen).
+    */
+  private def fileGen(target: Path): Long = {
+    val f = fs(target)
+    if (!f.exists(target)) 0L
+    else {
+      val in = f.open(target)
+      try genOf(in) finally in.close()
+    }
+  }
+
+  /** Mutual exclusion for the read-verify-swap on rename-capable schemes:
+    * `<name>.lock` created atomically (create-if-absent); a lock older
+    * than [[LockStaleMs]] is a crashed holder's and is broken. Thread
+    * contention within one process is already excluded by the table
+    * monitor — this lock serializes PROCESSES.
+    */
+  private def withCommitLock[A](dir: String, name: String)(body: => A): A = {
+    val lockPath = new Path(dir, name + ".lock")
+    val fsys = fs(lockPath)
+    val localLock =
+      if (isLocal(dir))
+        Some(java.nio.file.Paths.get(new Path(dir).toUri.getPath, name + ".lock"))
+      else None
+    var acquired = false
+    var waitedMs = 0L
+    while (!acquired) {
+      try {
+        localLock match {
+          case Some(p) => java.nio.file.Files.createFile(p)
+          case None => writeAll(lockPath, Array.emptyByteArray, overwrite = false)
+        }
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException =>
+          val status = try Some(fsys.getFileStatus(lockPath))
+            catch { case _: Exception => None }
+          status match {
+            case Some(s) if System.currentTimeMillis() - s.getModificationTime >
+                LockStaleMs =>
+              // crashed holder: break the lock and retry the create
+              try { fsys.delete(lockPath, false); () } catch { case _: Exception => () }
+            case None => () // vanished between create and stat: retry now
+            case _ =>
+              if (waitedMs > LockStaleMs * 2)
+                throw new IllegalStateException(
+                  s"cannot acquire commit lock $lockPath after ${waitedMs}ms")
+              Thread.sleep(10); waitedMs += 10
+          }
+      }
+    }
+    try body
+    finally {
+      try {
+        localLock match {
+          case Some(p) => java.nio.file.Files.deleteIfExists(p); ()
+          case None => if (fsys.exists(lockPath)) { fsys.delete(lockPath, false); () }
+        }
+      } catch { case _: Exception => () }
+    }
   }
 
   /** Atomically publish `<dir>/<name>` (e.g. `metadata.json`) with the
-    * given full-document bytes, per the scheme's commit protocol.
-    * `base` = the snapshot-name stem (`name` minus `.json`).
+    * given full-document bytes, per the scheme's commit protocol —
+    * UNCONDITIONAL (last writer wins). Single-writer callers only; the
+    * engine's durable planes commit through [[commitCas]].
     */
-  def commit(dir: String, name: String, bytes: Array[Byte]): Unit = {
+  def commit(dir: String, name: String, bytes: Array[Byte]): Unit =
+    doCommit(dir, name, bytes, expectedGen = None)
+
+  /** Compare-and-swap publish: succeeds only if the durable document is
+    * still at `expectedGen` (callers embed `commit-gen = expectedGen + 1`
+    * as the doc's FIRST field); throws [[CommitConflictException]] when
+    * another process committed first — no write happens, no update is
+    * lost. Protocol per scheme:
+    *
+    *  - rename-capable (`file`, `hdfs`): a `<name>.lock` file (atomic
+    *    create-if-absent, stale-broken after [[LockStaleMs]]) brackets
+    *    read-verify-swap; the verify is a header read of the doc's
+    *    `commit-gen`.
+    *
+    *  - object stores: the snapshot name IS the CAS — `base-<gen+1>.json`
+    *    is written with create-if-absent, so two writers at the same
+    *    generation collide on the name and exactly one wins (the Iceberg
+    *    optimistic-commit shape). A collision with a STALE orphan (a
+    *    crashed commit's snapshot, pointer never advanced, older than
+    *    [[LockStaleMs]]) is adopted (overwritten) rather than wedging the
+    *    table. The residual hole — an in-flight foreign commit younger
+    *    than the stale window whose pointer PUT races ours — is the
+    *    documented limit of stores without conditional PUT; deployments
+    *    on S3/GCS should use if-match/generation preconditions on the
+    *    pointer PUT.
+    */
+  def commitCas(dir: String, name: String, bytes: Array[Byte],
+      expectedGen: Long): Unit =
+    doCommit(dir, name, bytes, Some(expectedGen))
+
+  private def doCommit(dir: String, name: String, bytes: Array[Byte],
+      expectedGen: Option[Long]): Unit = {
     val target = new Path(dir, name)
     val scheme = Option(target.toUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      // local disk: the proven nio tmp + ATOMIC_MOVE (replace) shape —
-      // the gate-scale hot path stays exactly two filesystem ops. The
-      // dir normalizes through Path.toUri.getPath like exists/writeOnce
-      // do, so a 'file:'-schemed dir commits where readers resolve
-      val localDir = new Path(dir).toUri.getPath
-      val tmp = java.nio.file.Paths.get(localDir, name + ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(localDir, name),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } else if (renameCapable(target)) {
-      // HDFS-like: FileContext exposes the atomic overwrite-rename
-      val tmp = new Path(dir, name + ".tmp")
-      writeAll(tmp, bytes, overwrite = true)
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(target.toUri, new Configuration(conf))
-        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    def renameSwap(): Unit =
+      if (scheme == "file") {
+        // local disk: the proven nio tmp + ATOMIC_MOVE (replace) shape.
+        // The dir normalizes through Path.toUri.getPath like
+        // exists/writeOnce do, so a 'file:'-schemed dir commits where
+        // readers resolve
+        val localDir = new Path(dir).toUri.getPath
+        val tmp = java.nio.file.Paths.get(localDir, name + ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(localDir, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } else {
+        // HDFS-like: FileContext exposes the atomic overwrite-rename
+        val tmp = new Path(dir, name + ".tmp")
+        writeAll(tmp, bytes, overwrite = true)
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(target.toUri, new Configuration(conf))
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    if (renameCapable(target)) expectedGen match {
+      case None => renameSwap()
+      case Some(expected) => withCommitLock(dir, name) {
+        val current = fileGen(target)
+        // an ABSENT doc accepts any expectation (fresh dir / migrated
+        // storage): the lock already serializes racing creators, and the
+        // second one finds the doc present with the winner's generation
+        if (fs(target).exists(target) && current != expected)
+          throw new CommitConflictException(dir, name, expected)
+        renameSwap()
+      }
     } else {
       val base = name.stripSuffix(".json")
-      val seq = nextSeq(dir, base)
-      val snap =
-        f"$base-$seq%012d-${UUID.randomUUID().toString.replace("-", "").take(12)}.json"
-      writeAll(new Path(dir, snap), bytes, overwrite = false) // write-once
+      val pat = snapPattern(base)
+      val fsys = fs(target)
+      val dp = new Path(dir)
+      // one listing serves the CAS check AND the post-swap GC
+      val existing: Map[Long, org.apache.hadoop.fs.FileStatus] =
+        if (!fsys.exists(dp)) Map.empty
+        else fsys.listStatus(dp).iterator.flatMap { s =>
+          s.getPath.getName match {
+            case pat(sq) => Some(sq.toLong -> s)
+            case _ => None
+          }
+        }.toMap
+      val maxSeq = if (existing.isEmpty) 0L else existing.keysIterator.max
+      val seq = expectedGen match {
+        case None => maxSeq + 1 // unconditional: fresh-listing increment
+        case Some(expected) =>
+          // conflict when any snapshot advanced past our next sequence OR
+          // the pointer already names a NEWER-than-expected snapshot (a
+          // committed foreign write at exactly expected+1 must never be
+          // adopted as an orphan below)
+          if (maxSeq > expected + 1 ||
+              pointerSeq(target, base).exists(_ > expected))
+            throw new CommitConflictException(dir, name, expected)
+          expected + 1
+      }
+      // write-once create at the deterministic name is the swap's CAS; a
+      // taken name is a concurrent commit — or a crashed one's orphan
+      // (present but never pointer-named, per the check above), adopted
+      // only when STALE (see commitCas)
+      val overwriteOrphan = expectedGen.isDefined && existing.get(seq).exists(s =>
+        System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
+      val snap = f"$base-$seq%012d.json"
+      try writeAll(new Path(dir, snap), bytes, overwrite = overwriteOrphan)
+      catch {
+        case e: Exception if expectedGen.isDefined =>
+          throw new CommitConflictException(dir, name, expectedGen.get)
+        case e: Exception => throw e
+      }
       val ptr = s"""{"format-version":2,"pointer":"$snap"}"""
       writeAll(target, ptr.getBytes("UTF-8"), overwrite = true) // one PUT
       // keep current + previous; older snapshots are superseded
-      val pat = snapPattern(base)
-      val fsys = fs(target)
-      fsys.listStatus(new Path(dir)).foreach { s =>
-        s.getPath.getName match {
-          case pat(sq) if sq.toLong < seq - 1 => fsys.delete(s.getPath, false); ()
-          case _ => ()
-        }
+      existing.foreach { case (sq, s) =>
+        if (sq < seq - 1) { try { fsys.delete(s.getPath, false); () } catch { case _: Exception => () } }
       }
     }
+  }
+
+  /** The sequence number the pointer file currently names — None when the
+    * pointer is absent, torn, or a legacy full document.
+    */
+  private def pointerSeq(target: Path, base: String): Option[Long] = {
+    val f = fs(target)
+    if (!f.exists(target)) return None
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readAll(target))
+      if (root != null && root.isObject && root.has("pointer")) {
+        val pat = snapPattern(base)
+        root.get("pointer").asText match {
+          case pat(sq) => Some(sq.toLong)
+          case _ => None
+        }
+      } else None
+    } catch { case _: Exception => None }
   }
 
   /** Read the CURRENT document behind `<dir>/<name>`: a legacy full

@@ -345,6 +345,9 @@ object TableMetadata {
     */
   def write(st: State): Unit = st.storageDir.foreach { dir =>
     val root = mapper.createObjectNode()
+    // the CAS generation — FIRST field by contract ([[MetaIO.commitCas]]
+    // verifies it with a header read, not a full parse)
+    root.put("commit-gen", st.durableGen + 1)
     root.put("format-version", FormatVersion)
     root.put("key", st.tableKey)
     root.put("table-uuid", st.tableUuid)
@@ -459,10 +462,14 @@ object TableMetadata {
     }
     root.set[JsonNode]("branches", branches)
 
-    // atomic publish — tmp+rename locally, write-once snapshot + pointer
-    // swap on object stores ([[MetaIO.commit]]): a reader (or a crash)
-    // never observes a torn plane on any scheme
-    MetaIO.commit(dir, FileName, mapper.writeValueAsBytes(root))
+    // atomic COMPARE-AND-SWAP publish — lock-bracketed tmp+rename
+    // locally, write-once snapshot + pointer swap on object stores
+    // ([[MetaIO.commitCas]]): a reader (or a crash) never observes a torn
+    // plane on any scheme, and a commit racing ANOTHER PROCESS over the
+    // same warehouse loses loudly instead of silently overwriting it
+    MetaIO.commitCas(dir, FileName, mapper.writeValueAsBytes(root),
+      st.durableGen)
+    st.durableGen += 1
   }
 
   private def defaultsOut(defaults: Map[String, (Long, Any)]): ObjectNode = {
@@ -531,6 +538,9 @@ object TableMetadata {
     // name — both stable across recoveries of the SAME table
     st.tableUuid = Option(root.get("table-uuid")).map(_.asText)
       .getOrElse(new java.io.File(dir).getName)
+    // the generation this state was LOADED AT: the next commit CASes
+    // against exactly this, so a foreign commit after this load conflicts
+    st.durableGen = Option(root.get("commit-gen")).map(_.asLong).getOrElse(0L)
     st.version = root.get("version").asLong
     st.earliestVersion = root.get("earliest-version").asLong
     st.nextBatchId = root.get("next-batch-id").asLong

@@ -34,7 +34,7 @@ class MetaIOSpec extends SparkSpec {
     assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 2)
     val names = local.listFiles().map(_.getName).toSeq
     assert(names.contains("metadata.json"))
-    assert(names.count(_.matches("metadata-\\d{12}-[0-9a-f]{12}\\.json")) === 2)
+    assert(names.count(_.matches("metadata-\\d{12}(-[0-9a-f]{12})?\\.json")) === 2)
     // the pointer itself is tiny and names the current snapshot
     val ptr = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(local, "metadata.json").toPath), "UTF-8")
@@ -47,7 +47,7 @@ class MetaIOSpec extends SparkSpec {
     (1 to 6).foreach(i => MetaIO.commit(dir, "metadata.json", doc(i)))
     assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 6)
     val snaps = local.listFiles().map(_.getName)
-      .filter(_.matches("metadata-\\d{12}-[0-9a-f]{12}\\.json"))
+      .filter(_.matches("metadata-\\d{12}(-[0-9a-f]{12})?\\.json"))
     assert(snaps.length === 2, s"kept: ${snaps.mkString(",")}")
   }
 
