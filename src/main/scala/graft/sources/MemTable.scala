@@ -4238,7 +4238,18 @@ final class MemScan(
         var histogrammable = histogramsOn && planned.nonEmpty
         val samplePairs = Vector.newBuilder[(Array[Double], Double)]
         val boundType = boundSchema(n).dataType
+        // STRING columns sample too (prefix double image), but their
+        // samples feed ONLY the skew-aware effective NDV below — never a
+        // catalyst histogram: catalyst's join estimator crashes on a
+        // string-typed histogram (computeByHistogram unconditionally does
+        // newMin.get.toString.toDouble, and ValueInterval.intersect on
+        // StringType returns (None, None) — verified against the 4.1.2
+        // bytecode), and the V2→catalyst stats conversion copies
+        // histograms with no type guard, so the only safe place to stop
+        // one is here
+        val catalystHistogramType = SampleSketch.statsDouble(boundType).isDefined
         val defaultToDouble = SampleSketch.statsDouble(boundType)
+          .orElse(SampleSketch.stringDouble(boundType))
         // global MIN/MAX folded from the batch bounds (numeric-promoting
         // compare, so pre-widening batches fold correctly) — the
         // histogram's own consumers (catalyst's join/filter estimation)
@@ -4299,11 +4310,35 @@ final class MemScan(
         }
         if (sketchable && union != null) ndv = union.estimate
         if (known) {
-          val d = math.min(ndv, math.max(rows - nulls, 0L))
+          val trueNdv = math.min(ndv, math.max(rows - nulls, 0L))
           val nl = math.min(nulls, rows)
+          val pairs = if (histogrammable) samplePairs.result() else Nil
           val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
-            if (histogrammable) MemScan.equiHeightHistogram(samplePairs.result(), d)
+            if (histogrammable && catalystHistogramType)
+              MemScan.equiHeightHistogram(pairs, trueNdv)
             else None
+          // SKEW-AWARE effective NDV for STRING columns (catalyst cannot
+          // take a string histogram, so skew must travel through the one
+          // channel it does read): the inverse Simpson index 1/Σp² from
+          // the weighted samples — the distinct count at which the
+          // UNIFORM model reproduces the skewed truth for equi-join size
+          // (L·R·Σp² = L·R/n_eff) and row-averaged equality selectivity.
+          // SEVERITY-GATED: a sample's inverse Simpson saturates at the
+          // sample's own distinct-value count, so it is only trusted when
+          // heavy hitters dominate — n_eff under a quarter of BOTH the
+          // sampled-distinct count and the true NDV; near-uniform columns
+          // keep their exact NDV (group-count estimates stay faithful).
+          val d =
+            if (catalystHistogramType || !histogrammable || pairs.isEmpty ||
+                org.apache.spark.sql.internal.SQLConf.get.getConfString(
+                  "spark.graft.stats.string-skew-ndv", "true") != "true")
+              trueNdv
+            else MemScan.effectiveNdv(pairs) match {
+              case Some((nEff, sampleDistinct))
+                  if nEff * 4 <= sampleDistinct && nEff * 4 <= trueNdv =>
+                math.max(1L, nEff)
+              case _ => trueNdv
+            }
           // report bounds in the BOUND type's boxing (a pre-widening
           // batch's Integer min under a BIGINT binding must surface as
           // Long — catalyst's estimation casts by the attribute's type)
@@ -4580,6 +4615,30 @@ object MemScan {
     * NDV / total distinct sample values, so the bins partition the
     * column's distinct count proportionally to what the sample saw.
     */
+  /** Inverse Simpson index from weighted samples: collapse to per-value
+    * masses m(v), return (⌈(Σm)² / Σm²⌉, distinct sampled values). The
+    * first number is the EFFECTIVE distinct count — the cardinality at
+    * which a uniform-key model reproduces the sampled distribution's
+    * equi-join size and average equality selectivity. Reliable only when
+    * heavy hitters dominate (callers severity-gate against the second).
+    */
+  private[sources] def effectiveNdv(
+      pairs: Seq[(Array[Double], Double)]): Option[(Long, Long)] = {
+    if (pairs.isEmpty) return None
+    val byValue = new java.util.HashMap[Double, Double]()
+    pairs.foreach { case (vs, w) =>
+      var i = 0
+      while (i < vs.length) { byValue.merge(vs(i), w, (a, b) => a + b); i += 1 }
+    }
+    if (byValue.isEmpty) return None
+    var total = 0.0
+    var sumSq = 0.0
+    byValue.values.forEach { m => total += m; sumSq += m * m }
+    if (sumSq <= 0) None
+    else Some((math.max(1L, math.ceil(total * total / sumSq).toLong),
+      byValue.size.toLong))
+  }
+
   private[sources] def equiHeightHistogram(
       pairs: Seq[(Array[Double], Double)], globalNdv: Long)
       : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {

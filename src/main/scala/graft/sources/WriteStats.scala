@@ -219,10 +219,14 @@ final class StatsAccumulator(schema: StructType,
   private val blooms = fields.indices.map(i =>
     if (cmps(i) != null && bloomCols.contains(fields(i).name))
       BatchBloom.empty() else null).toArray
-  // double image + sampler per histogrammable column (numeric/date/ts)
+  // double image + sampler per sampled column: numeric/date/timestamp
+  // (the catalyst histogram domain) plus STRING via the order-preserving
+  // prefix image (feeds the skew-aware effective NDV at planning — never
+  // a catalyst histogram)
   private val toDouble = fields.map(f =>
     if (statsComparator(f.dataType).isEmpty) null
-    else SampleSketch.statsDouble(f.dataType).orNull)
+    else SampleSketch.statsDouble(f.dataType)
+      .orElse(SampleSketch.stringDouble(f.dataType)).orNull)
   private val samples = fields.indices.map(i =>
     if (toDouble(i) == null) null else new SampleSketch()).toArray
   private var rows = 0L
@@ -318,6 +322,39 @@ object SampleSketch {
       case _ => None
     }
   }
+
+  /** Order-preserving double image of a STRING value: the first 8 bytes
+    * of UTF-8, big-endian, as an unsigned fraction in [0, 1) — two
+    * strings order (by UTF-8 binary order, exactly [[statsComparator]]'s
+    * string order) the same way their images do, up to the 8-byte prefix.
+    * Feeds per-batch SAMPLES for string columns; planning derives the
+    * skew-aware effective NDV from them. It must NEVER become a catalyst
+    * histogram: catalyst's join estimator crashes on a string-typed
+    * histogram (`computeByHistogram` does `newMin.get.toString.toDouble`,
+    * and `ValueInterval.intersect` on StringType returns `(None, None)` —
+    * verified against the Spark 4.1.2 bytecode), so the planning side
+    * reports string histograms nowhere.
+    */
+  def stringDouble(dt: org.apache.spark.sql.types.DataType): Option[Any => Double] =
+    dt match {
+      case org.apache.spark.sql.types.StringType => Some { v =>
+        val b = v match {
+          case u: UTF8String => u.getBytes
+          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case other => String.valueOf(other)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 8) {
+          bits = (bits << 8) | (if (i < b.length) b(i) & 0xFFL else 0L)
+          i += 1
+        }
+        // unsigned 64 → [0, 1): top 53 bits keep exact double order
+        (bits >>> 11).toDouble / (1L << 53).toDouble
+      }
+      case _ => None
+    }
 }
 
 /** Incremental sortedness verdict for one open file: tracks whether rows

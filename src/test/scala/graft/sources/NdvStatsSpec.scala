@@ -213,6 +213,62 @@ class NdvStatsSpec extends SparkSpec {
     drop("hist_fact", "hist_dim")
   }
 
+  test("a skewed STRING-key join's estimate moves toward truth (skew NDV)") {
+    // catalyst cannot consume a string histogram (its join estimator
+    // crashes on one — see SampleSketch.stringDouble), so string skew
+    // travels through the effective-NDV channel instead: the inverse
+    // Simpson index from the per-batch string samples, severity-gated
+    catalogOn(); drop("sk_fact", "sk_dim")
+    spark.sql("CREATE TABLE graft.sk_fact (k STRING)")
+    spark.sql("CREATE TABLE graft.sk_dim (k STRING)")
+    // fact: 900× 'hot' plus u1..u100 once; dim: 50× 'hot' plus u1..u100
+    spark.sql("INSERT INTO graft.sk_fact SELECT CASE WHEN id < 900 " +
+      "THEN 'hot' ELSE concat('u', id - 899) END FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.sk_dim SELECT CASE WHEN id < 50 " +
+      "THEN 'hot' ELSE concat('u', id - 49) END FROM range(0, 150)")
+    val truth = 900L * 50L + 100L // 45,100
+    def estimate(): BigInt = {
+      val df = spark.table("graft.sk_fact").as("f")
+        .join(spark.table("graft.sk_dim").as("d"), "k")
+      df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val withSkew = estimate()
+      spark.conf.set("spark.graft.stats.string-skew-ndv", "false")
+      val withoutSkew = try estimate()
+      finally spark.conf.unset("spark.graft.stats.string-skew-ndv")
+      // uniform NDV estimation reads ~1000×150/101 ≈ 1.5k; the skew-aware
+      // NDV sees the 'hot' mass on both sides and lands in the tens of
+      // thousands. Direction is the contract, not exact values.
+      assert(withoutSkew > 0 && withSkew > 0,
+        s"skew=$withSkew flat=$withoutSkew")
+      assert(withSkew > withoutSkew * 4,
+        s"skew NDV must lift the estimate: $withSkew vs $withoutSkew")
+      assert((BigInt(truth) - withSkew).abs < (BigInt(truth) - withoutSkew).abs,
+        s"estimate must move toward truth: skew=$withSkew " +
+          s"flat=$withoutSkew truth=$truth")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    drop("sk_fact", "sk_dim")
+  }
+
+  test("near-uniform string columns keep their exact NDV (severity gate)") {
+    catalogOn(); drop("sk_uni")
+    spark.sql("CREATE TABLE graft.sk_uni (s STRING)")
+    spark.sql("INSERT INTO graft.sk_uni SELECT concat('v', id) FROM range(0, 1000)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft.sk_uni").queryExecution.optimizedPlan.stats
+      val s = stats.attributeStats.map { case (a, st) => a.name -> st }.apply("s")
+      // all-distinct: the sampled inverse Simpson saturates at the sample
+      // size — the gate must reject it and keep the true count
+      assert(s.distinctCount.exists(_ >= BigInt(900)),
+        s"uniform string NDV must stay exact, got ${s.distinctCount}")
+      assert(s.histogram.isEmpty, "string column keeps no catalyst histogram")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    drop("sk_uni")
+  }
+
   test("histograms reach the catalyst plan and respect the off switch") {
     catalogOn(); drop("hist_plan")
     spark.sql("CREATE TABLE graft.hist_plan (k BIGINT, s STRING)")
