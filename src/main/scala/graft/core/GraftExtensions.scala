@@ -30,6 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming64", "hamming64(bigint, bigint) - popcount of xor"),
       (args: Seq[Expression]) => HammingDistance64(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("ndv_sketch_agg"),
+      info("ndv_sketch_agg", "ndv_sketch_agg(x) - distinct-count sketch of a group (binary)"),
+      (args: Seq[Expression]) => graft.functions.NdvSketchAgg(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("ndv_union"),
+      info("ndv_union", "ndv_union(a, b) - set-union of two distinct-count sketches"),
+      (args: Seq[Expression]) => graft.functions.NdvUnion(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("ndv_estimate"),
+      info("ndv_estimate", "ndv_estimate(a) - distinct count of a sketch (exact below 2048)"),
+      (args: Seq[Expression]) => graft.functions.NdvEstimate(args.head)))
+    e.injectFunction((
       FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(string) - portable polynomial rolling hash mod 1e9+7"),
       (args: Seq[Expression]) => {

@@ -545,6 +545,11 @@ object RewriteAggToMatView {
           }
         mv.aggs.foreach {
           case MatViews.AggSpec("countstar", _, _) =>
+          case MatViews.AggSpec("cntd", _, _) =>
+            // count(DISTINCT x): the stored component is an NDV sketch —
+            // never served by the rewrite (sketch serving is documented
+            // approximate, and aggReplacement rejects distinct aggregates
+            // anyway); the MV's OTHER components stay servable
           case MatViews.AggSpec("count", _, out) =>
             argByOut.get(out).foreach(addComp(_, cnt = Some(s"__mv_cnt_$out")))
           case MatViews.AggSpec("min", _, out) =>

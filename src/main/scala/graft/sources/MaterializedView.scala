@@ -112,15 +112,17 @@ object MatViews {
   final case class AggSpec(kind: String, argSql: String, out: String)
   final case class Pending(from: Long, to: Long, storeVersionBefore: Long)
   /** One JOINED source of a star-schema MV (tables 2..n of a left-deep
-    * INNER join chain): its identity/watermark pair plus the ON
-    * condition text joining it to everything accumulated to its left.
-    * Presence of any [[MvJoin]] makes the MV a JOIN MV: maintenance is
-    * always a LOUD full recompute (a delta on one side would have to
-    * join the other sides' full current state — correct incremental
-    * join maintenance is future work), and freshness requires EVERY
-    * source at its recorded watermark.
+    * join chain): its identity/watermark pair plus the ON condition text
+    * joining it to everything accumulated to its left. `joinType` is
+    * INNER for chain steps, or LEFT for the one supported outer shape —
+    * a two-table `fact LEFT JOIN dim` (incremental maintenance must then
+    * also emit the compensating ±null-extension rows as fact rows flip
+    * between matched and unmatched; see the anti-delta terms in
+    * [[refresh]]). Freshness requires EVERY source at its recorded
+    * watermark.
     */
-  final case class MvJoin(key: String, uuid: String, watermark: Long, condSql: String)
+  final case class MvJoin(key: String, uuid: String, watermark: Long,
+      condSql: String, joinType: String = "INNER")
 
   final case class MvState(
       name: String,
@@ -171,16 +173,31 @@ object MatViews {
         case AggSpec("count", _, out) => Seq(s"__mv_cnt_$out")
         case AggSpec("min", _, out) => Seq(s"__mv_min_$out")
         case AggSpec("max", _, out) => Seq(s"__mv_max_$out")
+        case AggSpec("cntd", _, out) => Seq(s"__mv_ndv_$out")
         case AggSpec(_, _, out) => Seq(s"__mv_sum_$out", s"__mv_cnt_$out")
       }
 
     /** min/max are maintainable from the delta ONLY under insert-only
       * change windows (a delete may remove the current extreme); their
       * presence makes refresh fall back to a full recompute whenever the
-      * window holds a row-removing commit.
+      * window holds a row-removing commit. count(DISTINCT) components
+      * ([[hasDistinct]]) share exactly that rule: the stored NDV sketch
+      * is a SET UNION — inserts fold (re-inserting a counted value is a
+      * union no-op), but a delete cannot remove a value from it.
       */
     def hasExtremes: Boolean =
       aggs.exists(a => a.kind == "min" || a.kind == "max")
+
+    /** count(DISTINCT x) components — stored as [[NdvSketch]] blobs:
+      * EXACT serving while each group stays under the sketch's exact-mode
+      * ceiling (2048 distinct values), documented ±2.3% beyond it.
+      */
+    def hasDistinct: Boolean = aggs.exists(_.kind == "cntd")
+
+    /** Insert-only-window-only components (delta folding is impossible
+      * the moment a window removes rows).
+      */
+    def insertOnlyComponents: Boolean = hasExtremes || hasDistinct
 
     def sumCols: Seq[String] = aggs.collect {
       case AggSpec(kind, _, out) if kind == "sum" || kind == "avg" => s"__mv_sum_$out"
@@ -272,7 +289,7 @@ object MatViews {
     */
   private[sources] def parseDefinition(
       spark: SparkSession, mvName: String, sql: String):
-      (String, Seq[(String, String)], Option[String], Seq[GroupCol], Seq[AggSpec]) = {
+      (String, Seq[(String, String, String)], Option[String], Seq[GroupCol], Seq[AggSpec]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Filter => LFilter}
@@ -310,13 +327,15 @@ object MatViews {
     // (table, ON text) steps — the structure refresh re-emits with
     // per-table VERSION AS OF pins ([[srcRelationSql]])
     def flattenFrom(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : (String, Seq[(String, String)]) = p match {
+        : (String, Seq[(String, String, String)]) = p match {
       case r: UnresolvedRelation => (tableKey(r), Nil)
       case j: Join =>
-        j.joinType match {
-          case Inner | Cross => () // USING/NATURAL carry their own types
+        val jt = j.joinType match {
+          case Inner | Cross => "INNER" // USING/NATURAL carry their own types
+          case org.apache.spark.sql.catalyst.plans.LeftOuter => "LEFT"
           case other => fail(s"${other.sql} joins are not supported in a " +
-            "materialized view — INNER joins of graft tables only")
+            "materialized view — INNER joins of graft tables (or one " +
+            "two-table LEFT JOIN) only")
         }
         val right = j.right match {
           case r: UnresolvedRelation => tableKey(r)
@@ -327,8 +346,8 @@ object MatViews {
           if (hasAgg(c)) fail("join conditions must not contain aggregates"))
         val cond = j.condition.map(_.sql).getOrElse("TRUE")
         val (first, steps) = flattenFrom(j.left)
-        (first, steps :+ (right -> cond))
-      case _ => fail("FROM must be a graft table or an INNER join of graft tables")
+        (first, steps :+ ((right, cond, jt)))
+      case _ => fail("FROM must be a graft table or a join of graft tables")
     }
     val (srcKey, joinSteps, filterSql) = agg.child match {
       case f: LFilter =>
@@ -342,6 +361,13 @@ object MatViews {
     val allKeys = srcKey +: joinSteps.map(_._1)
     allKeys.diff(allKeys.distinct).headOption.foreach(d =>
       fail(s"table '$d' appears more than once — self-joins are not supported"))
+    // LEFT OUTER is supported for exactly the two-table fact ⟕ dim shape:
+    // the incremental anti-delta (null-extension flips) is derived for
+    // one outer side — a LEFT step inside a longer chain would need the
+    // n-way generalization
+    if (joinSteps.exists(_._3 == "LEFT") && joinSteps.size > 1)
+      fail("LEFT JOIN is supported only as a single two-table join " +
+        "(fact LEFT JOIN dim) — not inside a longer chain")
     // join MVs: the INCREMENTAL refresh re-binds each changed source as a
     // table-name alias over its signed change feed, which resolves
     // `table.column` but not `catalog.table.column` (or deeper) — reject
@@ -444,11 +470,18 @@ object MatViews {
           val kind = if (fnName(f) == "mean") "avg" else fnName(f)
           val out = outOpt.getOrElse(
             fail(s"alias every aggregate (e.g. ${expr.sql} AS x)"))
-          if (f.isDistinct)
-            fail("DISTINCT aggregates are not incrementally maintainable under deletes")
+          if (f.isDistinct && kind != "count")
+            fail(s"$kind(DISTINCT ...) is not incrementally maintainable — " +
+              "DISTINCT is supported only on count(DISTINCT x), stored as " +
+              "an NDV sketch (exact below 2048 distinct values per group)")
           if (f.filter.isDefined)
             fail("FILTER clauses on aggregates are not supported — fold the predicate into WHERE")
           f.arguments match {
+            case Seq(arg) if f.isDistinct =>
+              if (hasAgg(arg)) fail("nested aggregates are not supported")
+              aggs :+= AggSpec("cntd", arg.sql, out)
+            case _ if f.isDistinct =>
+              fail("count(DISTINCT x) takes exactly one argument")
             case Seq(_: UnresolvedStar) if kind == "count" =>
               aggs :+= AggSpec("countstar", "", out)
             case Seq(Literal(v, _)) if kind == "count" && v != null =>
@@ -498,7 +531,8 @@ object MatViews {
     def ref(key: String): String =
       s"graft.${q(key)}" + pins.get(key).map(v => s" VERSION AS OF $v").getOrElse("")
     joins.foldLeft(ref(srcKey)) { (acc, j) =>
-      s"$acc JOIN ${ref(j.key)} ON ${j.condSql}"
+      val kw = if (j.joinType == "LEFT") "LEFT JOIN" else "JOIN"
+      s"$acc $kw ${ref(j.key)} ON ${j.condSql}"
     }
   }
 
@@ -519,6 +553,8 @@ object MatViews {
             Seq(s"min($arg) AS ${q(s"__mv_min_$out")}")
           case AggSpec("max", arg, out) =>
             Seq(s"max($arg) AS ${q(s"__mv_max_$out")}")
+          case AggSpec("cntd", arg, out) =>
+            Seq(s"ndv_sketch_agg($arg) AS ${q(s"__mv_ndv_$out")}")
           case AggSpec(_, arg, out) => Seq(
             s"sum($arg) AS ${q(s"__mv_sum_$out")}",
             s"count($arg) AS ${q(s"__mv_cnt_$out")}")
@@ -540,6 +576,8 @@ object MatViews {
           case AggSpec("count", _, out) => s"${q(s"__mv_cnt_$out")} AS ${q(out)}"
           case AggSpec("min", _, out) => s"${q(s"__mv_min_$out")} AS ${q(out)}"
           case AggSpec("max", _, out) => s"${q(s"__mv_max_$out")} AS ${q(out)}"
+          case AggSpec("cntd", _, out) =>
+            s"ndv_estimate(${q(s"__mv_ndv_$out")}) AS ${q(out)}"
           case AggSpec("sum", _, out) =>
             s"CASE WHEN ${q(s"__mv_cnt_$out")} = 0 THEN NULL " +
               s"ELSE ${q(s"__mv_sum_$out")} END AS ${q(out)}"
@@ -573,6 +611,10 @@ object MatViews {
             Seq(s"min($arg) AS ${q(s"__mv_min_$out")}")
           case AggSpec("max", arg, out) =>
             Seq(s"max($arg) AS ${q(s"__mv_max_$out")}")
+          // distinct sketches fold only under insert-only windows (the
+          // same gate as extremes), where the window sketch set-unions in
+          case AggSpec("cntd", arg, out) =>
+            Seq(s"ndv_sketch_agg($arg) AS ${q(s"__mv_ndv_$out")}")
           case AggSpec(_, arg, out) => Seq(
             s"CAST(coalesce(sum(CASE WHEN ($arg) IS NOT NULL THEN $SignCol * ($arg) END), 0) " +
               s"AS ${sumType(out)}) AS ${q(s"__mv_sum_$out")}",
@@ -640,6 +682,8 @@ object MatViews {
             Seq(s"min(${a(out)}) AS ${q(s"__mv_min_$out")}")
           case AggSpec("max", _, out) =>
             Seq(s"max(${a(out)}) AS ${q(s"__mv_max_$out")}")
+          case AggSpec("cntd", _, out) =>
+            Seq(s"ndv_sketch_agg(${a(out)}) AS ${q(s"__mv_ndv_$out")}")
           case AggSpec(_, _, out) => Seq(
             s"CAST(coalesce(sum(CASE WHEN ${a(out)} IS NOT NULL THEN $SignCol * ${a(out)} END), 0) " +
               s"AS ${sumType(out)}) AS ${q(s"__mv_sum_$out")}",
@@ -671,6 +715,9 @@ object MatViews {
           Seq(s"${q(c)} = t.${q(c)} + s.${q(c)}")
         case AggSpec("min", _, out) => Seq(fold2(s"__mv_min_$out", "least"))
         case AggSpec("max", _, out) => Seq(fold2(s"__mv_max_$out", "greatest"))
+        case AggSpec("cntd", _, out) =>
+          val c = s"__mv_ndv_$out"
+          Seq(s"${q(c)} = ndv_union(t.${q(c)}, s.${q(c)})")
         case AggSpec(_, _, out) =>
           Seq(s"__mv_sum_$out", s"__mv_cnt_$out")
             .map(c => s"${q(c)} = t.${q(c)} + s.${q(c)}")
@@ -742,6 +789,7 @@ object MatViews {
         val n = mapper.createObjectNode()
         n.put("key", j.key); n.put("uuid", j.uuid)
         n.put("watermark", j.watermark); n.put("cond", j.condSql)
+        n.put("type", j.joinType)
         js.add(n)
       }
       o.set[JsonNode]("joins", js)
@@ -824,7 +872,8 @@ object MatViews {
           if (root.get("joins") == null) Nil
           else arr("joins").map(n => MvJoin(n.get("key").asText,
             n.get("uuid").asText, n.get("watermark").asLong,
-            n.get("cond").asText)),
+            n.get("cond").asText,
+            Option(n.get("type")).map(_.asText).getOrElse("INNER"))),
         autoRefresh =
           Option(root.get("auto-refresh")).exists(_.asBoolean)))
     }
@@ -990,10 +1039,10 @@ object MatViews {
       val srcV = srcSt.synchronized(srcSt.version)
       // joined sources: existence, stable identity, and a pinned version
       // each — the create reads ONE consistent multi-table snapshot
-      val joins: Seq[MvJoin] = joinSteps.map { case (k, cond) =>
+      val joins: Seq[MvJoin] = joinSteps.map { case (k, cond, jt) =>
         val s = MemTables.get(k).getOrElse(throw new IllegalArgumentException(
           s"materialized view '$name': source table '$k' does not exist in the graft catalog"))
-        MvJoin(k, s.tableUuid, s.synchronized(s.version), cond)
+        MvJoin(k, s.tableUuid, s.synchronized(s.version), cond, jt)
       }
 
       var st = MvState(name, srcKey, srcSt.tableUuid, storeKey, sql,
@@ -1182,9 +1231,16 @@ object MatViews {
             st.deltaRefreshes + 1 >= FloatDriftFullEvery &&
               st.sumCols.exists(c => storeSt.schema.fields.find(_.name == c)
                 .exists(_.dataType == DoubleType))
+          // a LEFT dim side that moved blocks extremes/distinct folding
+          // even when its window is insert-only: a dim INSERT can give an
+          // orphan fact row a match, REMOVING its null-extension row from
+          // the view — and neither a min/max nor an NDV sketch can un-see
+          val leftDimMoved = st.joins.exists(j =>
+            j.joinType == "LEFT" && movedWins.exists(_._1 == j.key))
           val incremental =
             movedWins.forall { case (_, f, _, e, _) => f >= e } &&
-              (!st.hasExtremes || movedWins.forall(insertOnly)) &&
+              (!st.insertOnlyComponents ||
+                (movedWins.forall(insertOnly) && !leftDimMoved)) &&
               !driftRecompute
           val names2 = st.srcKey +: st.joins.map(_.key)
           val newPin = windows.map(w => w._1 -> w._3).toMap
@@ -1217,12 +1273,56 @@ object MatViews {
                     else s"graft.${q(k)} VERSION AS OF ${oldPin(k)}"
                   }
                   (1 until names2.size).foldLeft(ref(0)) { (acc, jdx) =>
-                    s"$acc JOIN ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
+                    // the LEFT keyword applies only when the right side is
+                    // a SNAPSHOT: the Δfact term left-joins dim@OLD (its
+                    // null-extension rows carry Δfact's signs), but the
+                    // Δdim term joins fact@NEW INNER — dim changes touch
+                    // matched rows only; null-extension flips are the
+                    // separate anti-delta terms below
+                    val kw =
+                      if (st.joins(jdx - 1).joinType == "LEFT" && jdx != i)
+                        "LEFT JOIN"
+                      else "JOIN"
+                    s"$acc $kw ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
                   }
                 }
+                // LEFT OUTER anti-delta: when the (validated two-table)
+                // LEFT dim side moved, fact rows FLIP between matched and
+                // null-extended as their dim match dies or is born — the
+                // inner terms above see only the matched halves of those
+                // transitions, so two extra terms emit the compensating
+                // ± null-extension rows: fact@NEW rows TOUCHING the dim
+                // window (the EXISTS against the change feed — a flip
+                // implies one, and it lets the planner semi-join the
+                // small feed first) whose match-existence DIFFERS between
+                // dim@OLD and dim@NEW. Dim columns come from a LEFT JOIN
+                // against a WHERE FALSE subquery — empty, so every row
+                // null-extends with the dim's exact schema/types. Exact:
+                // U(F',D') − U(F,D) = U(ΔF, D@old)  [the Δfact LEFT-term]
+                //   + [U(F@new, D@new) − U(F@new, D@old)]  [these flips].
+                def flipTerms: Seq[String] =
+                  st.joins.headOption
+                    .filter(j => j.joinType == "LEFT" &&
+                      movedWins.exists(_._1 == j.key))
+                    .toSeq.flatMap { j =>
+                      val fk = st.srcKey
+                      def dimAt(pin: Long): String =
+                        s"graft.${q(j.key)} VERSION AS OF $pin AS ${q(j.key)}"
+                      def one(sign: String, oldNeg: String, newNeg: String): String =
+                        s"(SELECT ${q(fk)}.*, CAST($sign AS BIGINT) AS $SignCol " +
+                          s"FROM graft.${q(fk)} VERSION AS OF ${newPin(fk)} AS ${q(fk)} " +
+                          s"WHERE EXISTS (SELECT 1 FROM ${q(chgViews(j.key))} AS ${q(j.key)} WHERE ${j.condSql}) " +
+                          s"AND ${oldNeg}EXISTS (SELECT 1 FROM ${dimAt(oldPin(j.key))} WHERE ${j.condSql}) " +
+                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${dimAt(newPin(j.key))} WHERE ${j.condSql})" +
+                          s") AS ${q(fk)} LEFT JOIN (SELECT * FROM graft.${q(j.key)} " +
+                          s"VERSION AS OF ${newPin(j.key)} WHERE FALSE) AS ${q(j.key)} ON TRUE"
+                      // match DIED → its null-extension row appears (+1);
+                      // match BORN → the null-extension row leaves (−1)
+                      Seq(one("1", "", "NOT "), one("-1", "NOT ", ""))
+                    }
                 val terms = names2.indices
                   .filter(i => movedWins.exists(_._1 == names2(i)))
-                  .map(termFrom)
+                  .map(termFrom) ++ flipTerms
                 val deltaView = ("__graft_mv_delta_" + tag)
                   .replaceAll("[^A-Za-z0-9_]", "_")
                 spark.sql(joinDeltaSelectSql(st, terms, storeSt.schema))
@@ -1262,11 +1362,11 @@ object MatViews {
         registry.put(name, intent)
         persist(intent)
         val tag = s"${name}_${System.nanoTime()}"
-        // min/max components fold only from pure insert streams: any
-        // version in the window whose commit may have REMOVED rows (or
-        // whose kind this ledger doesn't know) forces the full path —
-        // reported as mode=full, never silently wrong
-        val extremesBlockDelta = st.hasExtremes &&
+        // min/max and count(DISTINCT) components fold only from pure
+        // insert streams: any version in the window whose commit may have
+        // REMOVED rows (or whose kind this ledger doesn't know) forces
+        // the full path — reported as mode=full, never silently wrong
+        val extremesBlockDelta = st.insertOnlyComponents &&
           !((from + 1) to srcV).forall(v =>
             srcOpKinds.get(v).exists(InsertOnlyKinds.contains))
         // double-typed sum components accumulate floating-point error

@@ -2787,6 +2787,98 @@ object Roundtrips {
       .crossJoin(r1).crossJoin(r2)
   }
 
+  /** count(DISTINCT x) MV component ([[MatViews]] + the NDV-sketch SQL
+    * surface): the store keeps a per-group distinct-value SKETCH — exact
+    * below its 2048-value exact mode, which every group here is far
+    * under — so the oracle's direct `count(DISTINCT v)` recomputation
+    * must hash-match the served values through BOTH maintenance modes:
+    * the insert-only window folds incrementally (set-union of the window
+    * sketch — re-seen values must not double-count), and the DELETE
+    * window forces the loud full recompute (a sketch cannot un-see a
+    * value). Both mode strings are pinned into the hash as flag columns.
+    * At 100 TB: a distinct-users rollup refreshes at the change rate
+    * while appends dominate, and degrades to one recompute — never to a
+    * silently wrong count — when retention deletes land.
+    */
+  val dsv2MvCountDistinct: QueryDef = QueryDef(
+    "dsv2_mv_count_distinct",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS g,
+      |         CAST(o_custkey % 97 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 6 IN (0, 3)),
+      |live AS (SELECT * FROM base WHERE v >= 10)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT v) AS BIGINT) AS dx,
+      |       TRUE AS incr_mode, TRUE AS full_mode
+      |FROM live GROUP BY g""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_cd")
+    val tbl = freshGraftTable(spark, "mem_mvcd_orders", "(k BIGINT, g STRING, v BIGINT)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 6 === rem)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        (col("o_custkey") % 97).cast("long").as("v"))
+    slice(0).writeTo(tbl).append() // v1
+    spark.sql("CALL graft.create_materialized_view('mv_cd', " +
+      "'SELECT g, count(*) AS n, count(DISTINCT v) AS dx " +
+      "FROM graft.mem_mvcd_orders GROUP BY g')") // fresh at v1
+    slice(3).writeTo(tbl).append() // v2: insert-only window
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_cd')").head()
+    spark.sql(s"DELETE FROM $tbl WHERE v < 10") // sketches cannot un-see
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_cd')").head()
+    spark.sql("SELECT g, n, dx FROM graft.mv_cd")
+      .withColumn("incr_mode", lit(r1.getString(1) == "incremental"))
+      .withColumn("full_mode", lit(r2.getString(1) == "full"))
+  }
+
+  /** LEFT OUTER join MV ([[MatViews]]): `fact ⟕ dim GROUP BY seg`
+    * materializes null-extension rows (orphan facts under the NULL
+    * group) and maintains them INCREMENTALLY — the telescoped inner
+    * terms handle the matched halves, and the anti-delta flip terms emit
+    * the compensating ± null-extension rows as fact rows flip between
+    * matched and unmatched. The hash pins the two hard transitions: a
+    * fact window inserting both matched and orphan rows, then a dim
+    * DELETE that ORPHANS previously-matched fact rows back to
+    * null-extension (the case a one-sided delta gets wrong). Both
+    * refreshes' mode strings are pinned as flag columns — this row fails
+    * if either quietly falls back to a full recompute. At 100 TB: the
+    * dominant enrich-join shape (events ⟕ dims with incomplete dim
+    * coverage) refreshes at the change rate × join fan-out.
+    */
+  val dsv2MvLeftJoin: QueryDef = QueryDef(
+    "dsv2_mv_left_join",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+      |dim AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 5 <> 2 AND c_custkey % 7 <> 3)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS incr_fact, TRUE AS incr_dim
+      |FROM fact LEFT JOIN dim ON ck = dk GROUP BY seg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_lj")
+    val fact = freshGraftTable(spark, "mem_mvlj_fact", "(k BIGINT, ck BIGINT, v BIGINT)")
+    val dim = freshGraftTable(spark, "mem_mvlj_dim", "(dk BIGINT, seg STRING)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 === rem)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 1000).cast("long").as("v"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 =!= 2)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(dim).append()
+    slice(0).writeTo(fact).append()
+    spark.sql("CALL graft.create_materialized_view('mv_lj', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvlj_fact LEFT JOIN graft.mem_mvlj_dim ON ck = dk GROUP BY seg')")
+    slice(1).writeTo(fact).append() // fact window: matched + orphan inserts
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_lj')").head()
+    spark.sql(s"DELETE FROM $dim WHERE dk % 7 = 3") // orphans matched facts
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_lj')").head()
+    spark.sql("SELECT seg, n, sv FROM graft.mv_lj")
+      .withColumn("incr_fact", lit(r1.getString(1) == "incremental"))
+      .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2802,5 +2894,5 @@ object Roundtrips {
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
-      dsv2MvAutorefresh, dsv2AutoCompact)
+      dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin)
 }

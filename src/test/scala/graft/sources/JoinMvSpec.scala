@@ -275,6 +275,121 @@ class JoinMvSpec extends SparkSpec {
     dropMv("jmvx")
   }
 
+  test("a LEFT JOIN MV materializes null-extension rows and folds every flip incrementally") {
+    catalogOn(); dropMv("lmv")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv_dim")
+    spark.sql("CREATE TABLE graft.lmv_fact (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.lmv_dim (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.lmv_fact VALUES " +
+      "(1, 10, 100), (2, 10, 200), (3, 20, 300), (4, 99, 400), (5, NULL, 500)")
+    spark.sql("INSERT INTO graft.lmv_dim VALUES (10, 'auto'), (20, 'auto'), (30, 'bike')")
+    spark.sql("CALL graft.create_materialized_view('lmv', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM graft.lmv_fact LEFT JOIN graft.lmv_dim ON ck = dk GROUP BY seg')")
+    // orphans (ck=99 unmatched, ck=NULL never matches) land in the NULL group
+    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.lmv")) ===
+      Seq(Seq("auto", 3L, 600L), Seq(null, 2L, 900L)))
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql("SELECT seg, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+        "FROM graft.lmv_fact LEFT JOIN graft.lmv_dim ON ck = dk GROUP BY seg"))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    def refreshedMatchesDirect(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('lmv')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, n, sv, av FROM graft.lmv")) === direct(),
+        "the folded store must equal the direct recomputation")
+    }
+    // fact window: one matched insert, one new orphan
+    spark.sql("INSERT INTO graft.lmv_fact VALUES (6, 30, 600), (7, 77, 700)")
+    refreshedMatchesDirect()
+    // dim insert that ADOPTS an orphan: k=4 flips NULL → 'bike' (the
+    // −1 flip term retracts its null-extension row; the inner Δdim term
+    // adds the matched row)
+    spark.sql("INSERT INTO graft.lmv_dim VALUES (99, 'bike')")
+    refreshedMatchesDirect()
+    // dim delete that ORPHANS matched facts: k=1,2 flip back to
+    // null-extension (the verdict case a one-sided delta gets wrong)
+    spark.sql("DELETE FROM graft.lmv_dim WHERE dk = 10")
+    refreshedMatchesDirect()
+    // retroactive dim update re-segments matched rows (±pair through the
+    // inner term; existence unchanged, so the flip terms emit nothing)
+    spark.sql("UPDATE graft.lmv_dim SET seg = 'auto' WHERE dk = 30")
+    refreshedMatchesDirect()
+    // fact deletes spanning a matched row and a permanent orphan
+    spark.sql("DELETE FROM graft.lmv_fact WHERE k IN (5, 6)")
+    refreshedMatchesDirect()
+    // mixed same-window changes on BOTH sides, flips included
+    spark.sql("INSERT INTO graft.lmv_fact VALUES (8, 20, 800)")
+    spark.sql("DELETE FROM graft.lmv_dim WHERE dk = 20")
+    spark.sql("INSERT INTO graft.lmv_dim VALUES (77, 'auto')")
+    refreshedMatchesDirect()
+    // group death: empty the NULL group entirely
+    spark.sql("UPDATE graft.lmv_fact SET ck = 77 WHERE ck IS NULL OR ck = 99")
+    spark.sql("INSERT INTO graft.lmv_dim VALUES (99, 'bike')")
+    refreshedMatchesDirect()
+    dropMv("lmv")
+  }
+
+  test("LEFT MV extremes block incremental whenever the dim side moves") {
+    catalogOn(); dropMv("lmv2")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv2_f")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv2_d")
+    spark.sql("CREATE TABLE graft.lmv2_f (ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.lmv2_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.lmv2_f VALUES (1, 10), (2, 20), (9, 90)")
+    spark.sql("INSERT INTO graft.lmv2_d VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graft.create_materialized_view('lmv2', " +
+      "'SELECT seg, min(v) AS lo, sum(v) AS sv " +
+      "FROM graft.lmv2_f LEFT JOIN graft.lmv2_d ON ck = dk GROUP BY seg')")
+    // fact-side insert-only window still folds (only ADDS view rows)
+    spark.sql("INSERT INTO graft.lmv2_f VALUES (1, 5), (8, 80)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('lmv2')")
+      .head().getString(1) === "incremental")
+    assert(rowsOf(spark.sql("SELECT seg, lo FROM graft.lmv2")) ===
+      Seq(Seq("a", 5L), Seq("b", 20L), Seq(null, 80L)))
+    // a dim INSERT is insert-only on the dim table but can REMOVE a
+    // null-extension row (adopting an orphan) — extremes force full
+    spark.sql("INSERT INTO graft.lmv2_d VALUES (9, 'a')")
+    assert(spark.sql("CALL graft.refresh_materialized_view('lmv2')")
+      .head().getString(1) === "full",
+      "a moved LEFT dim side with extremes must recompute in full")
+    assert(rowsOf(spark.sql("SELECT seg, lo, sv FROM graft.lmv2")) ===
+      Seq(Seq("a", 5L, 105L), Seq("b", 20L, 20L), Seq(null, 80L, 80L)))
+    dropMv("lmv2")
+  }
+
+  test("LEFT JOIN MVs reject longer chains and other outer shapes") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.lmv3_f")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv3_d1")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv3_d2")
+    spark.sql("CREATE TABLE graft.lmv3_f (ck BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.lmv3_d1 (dk BIGINT, seg STRING)")
+    spark.sql("CREATE TABLE graft.lmv3_d2 (qk BIGINT, region STRING)")
+    val chain = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('lmv3', " +
+        "'SELECT seg, region, count(*) AS n FROM graft.lmv3_f " +
+        "LEFT JOIN graft.lmv3_d1 ON ck = dk " +
+        "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region')").collect()
+    }
+    assert(chain.getMessage.contains("single two-table"))
+    val right = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('lmv3', " +
+        "'SELECT seg, count(*) AS n FROM graft.lmv3_f " +
+        "RIGHT JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
+    }
+    assert(right.getMessage.contains("not supported"))
+    val full = intercept[Exception] {
+      spark.sql("CALL graft.create_materialized_view('lmv3', " +
+        "'SELECT seg, count(*) AS n FROM graft.lmv3_f " +
+        "FULL OUTER JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
+    }
+    assert(full.getMessage.contains("not supported"))
+  }
+
   test("three-way chains materialize and serve") {
     catalogOn(); dropMv("jmv3")
     spark.sql("DROP TABLE IF EXISTS graft.jmv3_f")
