@@ -21,7 +21,7 @@ object Smoke {
       // function registrations are part of the engine under test
       .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SMOKE_LOG", "ERROR"))
     val entry = SparkEntry.entry(spark)
     println(s"[smoke] entry rows = ${entry.count()}")
     entry.show(5, truncate = false)

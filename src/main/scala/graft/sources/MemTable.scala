@@ -5495,6 +5495,29 @@ object MemChangesSource {
     // uniform row-level kill map per batch (position -> death version)
     def killsOf(b: MemTables.TaggedBatch): Map[Int, Long] =
       MemTables.effectiveKills(b, eqDeletes, metaAt.eras, metaAt.droppedAt)
+    // ONE event partition: file-backed batches ship the PATH plus the
+    // event's position selection (executors stream the parquet — neither
+    // the CDC read nor the MV refresh window it feeds ever pulls rows
+    // through the driver or task closures); driver-resident batches ship
+    // the selected rows as before. `only` = emit exactly these sorted
+    // positions; else emit everything not in (sorted) `skip`.
+    def eventOf(b: MemTables.TaggedBatch, tpe: String, at: Long,
+        skip: Array[Int], only: Array[Int]): InputPartition =
+      b.store match {
+        case fs: MemTables.FileStore =>
+          MemChangesFilePartition(fs.schema, srcMap(b), fs.path,
+            if (skip == null || skip.isEmpty) null else PosBitmap.toBytes(skip),
+            if (only == null) null else PosBitmap.toBytes(only), tpe, at)
+        case _ =>
+          val rows =
+            if (only != null) only.map(b.rows)
+            else if (skip.isEmpty) b.rows
+            else {
+              val s = skip.toSet
+              b.rows.indices.filterNot(s).map(b.rows).toArray
+            }
+          MemChangesPartition(b.schema, srcMap(b), rows, tpe, at)
+      }
     // COMPACTION versions are physical reorganizations with zero logical
     // change — their batch replacements are invisible to the feed (the
     // Iceberg replace-snapshot rule); DV delete events are untouched
@@ -5507,25 +5530,18 @@ object MemChangesSource {
         val tpe =
           if (updateImages && postBatches.contains(b.batchId)) "update_postimage"
           else "insert"
-        MemChangesPartition(b.schema, srcMap(b), b.rows, tpe, b.version)
+        eventOf(b, tpe, b.version, Array.empty, null)
       }
     // a batch both committed AND truncated inside the window emits BOTH
     // events (the honest change log — consumers fold by _commit_version).
     // Rows already DV-deleted before the batch's removal do NOT re-delete
     // at removal (they were gone; their own events carry their version).
-    // Row-SELECTED events (alive-at-removal, DV deletes) slice the chosen
-    // rows into the partition — the partition is the serialization unit,
-    // and shipping a large batch's full array to surface a handful of
-    // positions would pay the batch, not the event.
     val deletes = batches
       .filter(b => b.removedAt > from && b.removedAt <= to &&
         !compactions.contains(b.removedAt))
       .map { b =>
         val kills = killsOf(b)
-        val alive =
-          if (kills.isEmpty) b.rows
-          else b.rows.indices.filterNot(kills.contains).map(b.rows).toArray
-        MemChangesPartition(b.schema, srcMap(b), alive, "delete", b.removedAt)
+        eventOf(b, "delete", b.removedAt, kills.keys.toArray.sorted, null)
       }
     // merge-on-read deletes are ROW-level events at the version their DV
     // entry was recorded — the change feed a DV table produces is finer
@@ -5544,8 +5560,7 @@ object MemChangesSource {
             else (Nil, entries)
           Seq(("update_preimage", pre), ("delete", plain)).collect {
             case (tpe, es) if es.nonEmpty =>
-              MemChangesPartition(b.schema, srcMap(b),
-                es.map(_._1).sorted.map(b.rows).toArray, tpe, at)
+              eventOf(b, tpe, at, null, es.map(_._1).sorted.toArray)
           }
         }
     }
@@ -5559,16 +5574,22 @@ object MemChangesSource {
   private[sources] def readerFactory(fullSchema: StructType): PartitionReaderFactory =
     new PartitionReaderFactory {
       val target = fullSchema // serialized with the factory; last 2 = change cols
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val p = partition.asInstanceOf[MemChangesPartition]
-        val rows = p.rows
+
+      /** By-name projector of one event's rows into the target schema
+        * (rename-resolved via srcNames, widened per value) plus the two
+        * event-constant change columns — shared by the row-resident and
+        * file-streaming readers.
+        */
+      private def projector(
+          batchSchema: StructType, srcNames: Map[String, String],
+          changeTypeS: String, commitVersion: Long): InternalRow => InternalRow = {
         val nData = target.length - 2
         val srcIdx = (0 until nData).map { j =>
-          p.srcNames.get(target.fields(j).name)
-            .map(n => p.batchSchema.fieldNames.indexOf(n)).getOrElse(-1)
+          srcNames.get(target.fields(j).name)
+            .map(n => batchSchema.fieldNames.indexOf(n)).getOrElse(-1)
         }.toArray
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
-          if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
+          if (s >= 0) batchSchema.fields(s).dataType else target.fields(j).dataType
         }
         // widened columns convert per value (int->bigint, float->double)
         val widenTo = srcIdx.zipWithIndex.map { case (s, j) =>
@@ -5576,31 +5597,72 @@ object MemChangesSource {
           else null
         }
         val changeType =
-          org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val r = rows(i)
-            val vals = new Array[Any](target.length)
-            var j = 0
-            while (j < nData) {
-              val s = srcIdx(j)
-              vals(j) =
-                if (s >= 0 && !r.isNullAt(s)) {
-                  val raw = r.get(s, srcType(j))
-                  if (widenTo(j) == null) raw
-                  else MemTables.widenValue(raw, srcType(j), widenTo(j))
-                } else null
-              j += 1
-            }
-            vals(nData) = changeType
-            vals(nData + 1) = p.commitVersion
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          org.apache.spark.unsafe.types.UTF8String.fromString(changeTypeS)
+        (r: InternalRow) => {
+          val vals = new Array[Any](target.length)
+          var j = 0
+          while (j < nData) {
+            val s = srcIdx(j)
+            vals(j) =
+              if (s >= 0 && !r.isNullAt(s)) {
+                val raw = r.get(s, srcType(j))
+                if (widenTo(j) == null) raw
+                else MemTables.widenValue(raw, srcType(j), widenTo(j))
+              } else null
+            j += 1
           }
-          override def close(): Unit = ()
+          vals(nData) = changeType
+          vals(nData + 1) = commitVersion
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         }
       }
+
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        partition match {
+          case p: MemChangesPartition =>
+            val rows = p.rows
+            val project =
+              projector(p.batchSchema, p.srcNames, p.changeType, p.commitVersion)
+            new PartitionReader[InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < rows.length }
+              override def get(): InternalRow = project(rows(i))
+              override def close(): Unit = ()
+            }
+          case p: MemChangesFilePartition =>
+            // stream the file by position: `only` emits exactly those
+            // positions; else everything not in `skip` (both sorted by
+            // the bitmap decode)
+            val project =
+              projector(p.batchSchema, p.srcNames, p.changeType, p.commitVersion)
+            val only = if (p.onlyBm == null) null else PosBitmap.toArray(p.onlyBm)
+            val skip =
+              if (p.skipBm == null) Array.empty[Int] else PosBitmap.toArray(p.skipBm)
+            val it = ParquetRows.iterator(p.path, p.batchSchema)
+            new PartitionReader[InternalRow] {
+              private var pos = -1
+              private var oIdx = 0 // cursor into `only`
+              private var sIdx = 0 // cursor into `skip`
+              private var current: InternalRow = _
+              override def next(): Boolean = {
+                current = null
+                while (current == null && it.hasNext &&
+                    (only == null || oIdx < only.length)) {
+                  val r = it.next()
+                  pos += 1
+                  if (only != null) {
+                    if (pos == only(oIdx)) { oIdx += 1; current = r }
+                  } else {
+                    while (sIdx < skip.length && skip(sIdx) < pos) sIdx += 1
+                    if (sIdx >= skip.length || skip(sIdx) != pos) current = r
+                  }
+                }
+                if (current == null) { it.close(); false } else true
+              }
+              override def get(): InternalRow = project(current)
+              override def close(): Unit = it.close()
+            }
+        }
     }
 }
 
@@ -5867,5 +5929,23 @@ object MemTableMicroBatchStream {
   */
 final case class MemChangesPartition(
     batchSchema: StructType, srcNames: Map[String, String], rows: Array[InternalRow],
+    changeType: String, commitVersion: Long)
+    extends InputPartition
+
+/** FILE-BACKED change event: the driver plans the PATH plus the event's
+  * position selection and executors stream the parquet — the change
+  * feed's analogue of the snapshot scan's path shipping, so a CDC read
+  * (and therefore every incremental MV refresh window) never
+  * materializes a file-backed batch driver-side or ships its rows in
+  * task closures. `only` (nullable) emits exactly those positions
+  * (row-selected events: DV deletes, update images); otherwise every
+  * position not in `skip` emits — whole-batch events with the
+  * already-dead rows carved out. Both selections ride as COMPRESSED
+  * bitmaps ([[PosBitmap]]) so even a million-row MoR delete's event
+  * plans kilobyte partitions.
+  */
+final case class MemChangesFilePartition(
+    batchSchema: StructType, srcNames: Map[String, String],
+    path: String, skipBm: Array[Byte], onlyBm: Array[Byte],
     changeType: String, commitVersion: Long)
     extends InputPartition
