@@ -86,12 +86,12 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (rels, pooled) <- sourceOf(agg.child)
+      (rels, pooled, outerOn) <- sourceOf(agg.child)
       keys = rels.map(_._1).toSet
       result <- MatViews.registry.values.iterator
         .filter(mv =>
           (mv.srcKey +: mv.joins.map(_.key)).toSet == keys && isFresh(mv))
-        .flatMap(mv => tryRewrite(agg, rels, pooled, mv))
+        .flatMap(mv => tryRewrite(agg, rels, pooled, outerOn, mv))
         .nextOption()
     } yield result
   }
@@ -130,9 +130,14 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     * a non-graft leaf — declines.
     */
   private def sourceOf(p: LogicalPlan)
-      : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] = {
-    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+      : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression], Option[Seq[Expression]])] = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the ONE LEFT OUTER step MVs support (fact ⟕ dim): its ON conjuncts
+    // are kept SEPARATE from the selection pool — for outer joins ON and
+    // WHERE are not interchangeable, so pooling them would equate plans
+    // with different semantics
+    var outerOn: Option[Seq[Expression]] = None
     def go(n: LogicalPlan)
         : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
       stripProjects(n) match {
@@ -143,11 +148,36 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
         case j: Join if j.joinType == Inner || j.joinType == Cross =>
           for ((lr, lc) <- go(j.left); (rr, rc) <- go(j.right)) yield
             (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(conjuncts))
+        case j: Join if j.joinType == LeftOuter && outerOn.isEmpty =>
+          // left side pools as usual (fact-side filters commute with a
+          // left-outer join); the right side must be a bare current
+          // relation — modulo the IsNotNull(join key) filter the
+          // optimizer infers onto the right child (dim rows with null
+          // keys never match, and unmatched dim rows don't survive a
+          // LEFT join, so the inferred filter is semantics-free)
+          val on = j.condition.toSeq.flatMap(conjuncts)
+          outerOn = Some(on) // claim the single outer slot up front
+          val onRefs = on.flatMap(_.references.map(_.exprId)).toSet
+          val right = stripProjects(j.right) match {
+            case Filter(c, inner2) if conjuncts(c).forall {
+                case IsNotNull(a: AttributeReference) => onRefs.contains(a.exprId)
+                case _ => false
+              } => stripProjects(inner2)
+            case other => other
+          }
+          right match {
+            case r: DataSourceV2Relation if isCurrentMemTable(r) =>
+              go(j.left).map { case (lr, lc) =>
+                (lr :+ (r.table.asInstanceOf[MemTable].catalogKey -> r), lc)
+              }
+            case _ => None
+          }
         case _ => None
       }
     // self-joins (a key twice) are out of matching scope — names would
     // be ambiguous between the two instances
     go(p).filter { case (rels, _) => rels.map(_._1).distinct.size == rels.size }
+      .map { case (rels, cs) => (rels, cs, outerOn) }
   }
 
   private def isCurrentMemTable(r: DataSourceV2Relation): Boolean = r.table match {
@@ -159,6 +189,7 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       rels: Seq[(String, DataSourceV2Relation)],
       pooledCond: Seq[Expression],
+      outerOn: Option[Seq[Expression]],
       mv: MatViews.MvState): Option[LogicalPlan] = {
     val d = analyzedDef(spark, mv).getOrElse(return None)
 
@@ -181,6 +212,21 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
           }
       }
       if (ok) Some(t) else None
+    }
+
+    // OUTER-shape alignment: a LEFT-join query serves only a LEFT MV
+    // with the SEMANTICALLY SAME ON condition — set equality in BOTH
+    // directions (outer-join ON is not poolable with WHERE, so the
+    // containment rule used for selection conjuncts below is not sound
+    // here), and an inner query never serves from a LEFT store (it
+    // dropped the null-extension rows the store keeps)
+    (outerOn, d.outerOn) match {
+      case (None, None) => ()
+      case (Some(q), Some(dn)) =>
+        val qOn = q.map(c => toDef(c).getOrElse(return None))
+        if (!dn.forall(f => qOn.exists(_.semanticEquals(f))) ||
+            !qOn.forall(f => dn.exists(_.semanticEquals(f)))) return None
+      case _ => return None
     }
 
     // FILTER containment, on conjunct sets: every definition conjunct
@@ -430,7 +476,11 @@ object RewriteAggToMatView {
       // same canonical selection-over-product form the query side takes
       conjuncts: Seq[Expression],
       groups: Seq[(Expression, String)], // (analyzed expr, store column)
-      comps: Seq[Comp])
+      comps: Seq[Comp],
+      // the LEFT OUTER step's ON conjuncts, kept OUT of `conjuncts`
+      // (outer-join ON is not poolable with WHERE) — None for pure
+      // inner/cross definitions
+      outerOn: Option[Seq[Expression]] = None)
 
   // keyed by MV name; an entry is valid only for (definition SQL, source
   // table identity) — a drop/re-create of either the MV or its source
@@ -471,8 +521,9 @@ object RewriteAggToMatView {
     strip(analyzed) match {
       case agg: Aggregate =>
         // canonicalize the analyzed FROM exactly like the rule's query
-        // side: relations + pooled WHERE/ON conjuncts, join shape erased
-        import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+        // side: relations + pooled WHERE/inner-ON conjuncts, inner join
+        // shape erased; a LEFT OUTER step keeps its ON separate
+        import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
         import org.apache.spark.sql.catalyst.plans.logical.Join
         def splitConj(e: Expression): Seq[Expression] = e match {
           case And(l, r) => splitConj(l) ++ splitConj(r)
@@ -484,6 +535,7 @@ object RewriteAggToMatView {
             stripP(c)
           case other => other
         }
+        var outerOnDef: Option[Seq[Expression]] = None
         def walk(n: LogicalPlan)
             : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
           stripP(n) match {
@@ -497,6 +549,19 @@ object RewriteAggToMatView {
             case j: Join if j.joinType == Inner || j.joinType == Cross =>
               for ((lr, lc) <- walk(j.left); (rr, rc) <- walk(j.right)) yield
                 (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(splitConj))
+            case j: Join if j.joinType == LeftOuter && outerOnDef.isEmpty =>
+              // the definition is analyzed-only: no inferred filters, the
+              // right side is the bare relation (create validated the
+              // two-table shape)
+              outerOnDef = Some(j.condition.toSeq.flatMap(splitConj))
+              (walk(j.left), stripP(j.right)) match {
+                case (Some((lr, lc)), r: DataSourceV2Relation) => r.table match {
+                  case t: MemTable if t.snapshotPin.isEmpty =>
+                    Some((lr :+ (t.catalogKey -> r), lc))
+                  case _ => None
+                }
+                case _ => None
+              }
             case _ => None
           }
         val (rels, rawConj) = walk(agg.child).getOrElse(return None)
@@ -560,7 +625,8 @@ object RewriteAggToMatView {
             argByOut.get(out).foreach(
               addComp(_, sum = Some(s"__mv_sum_$out"), cnt = Some(s"__mv_cnt_$out")))
         }
-        Some(AnalyzedDef(relOut, rawConj.map(fold), groups, comps))
+        Some(AnalyzedDef(relOut, rawConj.map(fold), groups, comps,
+          outerOnDef.map(_.map(fold))))
       case _ => None
     }
   }

@@ -333,6 +333,56 @@ class JoinMvSpec extends SparkSpec {
     dropMv("lmv")
   }
 
+  test("the rewrite serves LEFT-join aggregates from a LEFT MV store") {
+    catalogOn(); dropMv("lmv4")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv4_f")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv4_d")
+    spark.sql("CREATE TABLE graft.lmv4_f (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.lmv4_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.lmv4_f VALUES " +
+      "(1, 10, 100), (2, 10, 200), (3, 99, 300), (4, NULL, 400)")
+    spark.sql("INSERT INTO graft.lmv4_d VALUES (10, 'auto'), (20, 'bike')")
+    spark.sql("CALL graft.create_materialized_view('lmv4', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.lmv4_f LEFT JOIN graft.lmv4_d ON ck = dk GROUP BY seg')")
+    val q = "SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.lmv4_f LEFT JOIN graft.lmv4_d ON ck = dk GROUP BY seg"
+    val df = spark.sql(q)
+    assert(servedFromStore(df, "lmv4__store"),
+      s"expected store scan, got ${scansOf(df.queryExecution.executedPlan)}")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val direct = try spark.sql(q)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(rowsOf(df) === rowsOf(direct))
+    assert(df.schema === direct.schema)
+    // rollup to the empty grain still serves (null-extension rows and
+    // all — the store IS the full-grain truth)
+    val global = spark.sql("SELECT count(*) AS n, sum(v) AS sv " +
+      "FROM graft.lmv4_f LEFT JOIN graft.lmv4_d ON ck = dk")
+    assert(servedFromStore(global, "lmv4__store"))
+    assert(rowsOf(global) === Seq(Seq(4L, 1000L)))
+    // an INNER query over the same tables must NOT serve from the LEFT
+    // store (it dropped the null-extension rows the store keeps)
+    val inner = spark.sql("SELECT seg, count(*) AS n FROM graft.lmv4_f " +
+      "JOIN graft.lmv4_d ON ck = dk GROUP BY seg")
+    assert(!servedFromStore(inner, "lmv4__store"))
+    assert(rowsOf(inner) === Seq(Seq("auto", 2L)))
+    // a LEFT query with a DIFFERENT ON condition must not serve either
+    val otherOn = spark.sql("SELECT seg, count(*) AS n FROM graft.lmv4_f " +
+      "LEFT JOIN graft.lmv4_d ON ck = dk + 1 GROUP BY seg")
+    assert(!servedFromStore(otherOn, "lmv4__store"))
+    // staleness on the dim side stops serving; refresh restores it
+    spark.sql("INSERT INTO graft.lmv4_d VALUES (99, 'bike')")
+    assert(!servedFromStore(spark.sql(q), "lmv4__store"))
+    assert(spark.sql("CALL graft.refresh_materialized_view('lmv4')")
+      .head().getString(1) === "incremental")
+    val df2 = spark.sql(q)
+    assert(servedFromStore(df2, "lmv4__store"))
+    assert(rowsOf(df2) ===
+      Seq(Seq("auto", 2L, 300L), Seq("bike", 1L, 300L), Seq(null, 1L, 400L)))
+    dropMv("lmv4")
+  }
+
   test("LEFT MV extremes block incremental whenever the dim side moves") {
     catalogOn(); dropMv("lmv2")
     spark.sql("DROP TABLE IF EXISTS graft.lmv2_f")
