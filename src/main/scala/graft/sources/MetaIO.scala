@@ -315,49 +315,92 @@ private[sources] object MetaIO {
       val pat = snapPattern(base)
       val fsys = fs(target)
       val dp = new Path(dir)
-      // one listing serves the CAS check AND the post-swap GC
-      val existing: Map[Long, org.apache.hadoop.fs.FileStatus] =
-        if (!fsys.exists(dp)) Map.empty
-        else fsys.listStatus(dp).iterator.flatMap { s =>
-          s.getPath.getName match {
-            case pat(sq) => Some(sq.toLong -> s)
-            case _ => None
-          }
-        }.toMap
-      val maxSeq = if (existing.isEmpty) 0L else existing.keysIterator.max
+      val cursorKey = s"$dir|$base"
+      // COLD CURSOR (this process's first commit against this plane) or an
+      // unconditional commit: one directory listing establishes max-seq
+      // and sweeps legacy strays (pre-CAS uuid-suffixed snapshots, crashed
+      // writers' never-pointed orphans). WARM CAS commits never list —
+      // sequences are DENSE (every commit is expected+1), so the CAS
+      // check is the write-once create itself plus one pointer GET, and
+      // GC deletes the superseded snapshot BY ITS DETERMINISTIC NAME: a
+      // metadata commit costs O(1) object ops, not O(table-dir entries).
+      val coldList: Option[Map[Long, org.apache.hadoop.fs.FileStatus]] =
+        if (expectedGen.isDefined && seqCursor.contains(cursorKey)) None
+        else Some(
+          if (!fsys.exists(dp)) Map.empty
+          else fsys.listStatus(dp).iterator.flatMap { s =>
+            s.getPath.getName match {
+              case pat(sq) => Some(sq.toLong -> s)
+              case _ => None
+            }
+          }.toMap)
       val seq = expectedGen match {
-        case None => maxSeq + 1 // unconditional: fresh-listing increment
+        case None =>
+          val maxSeq = coldList.get.keysIterator.maxOption.getOrElse(0L)
+          maxSeq + 1 // unconditional: fresh-listing increment
         case Some(expected) =>
-          // conflict when any snapshot advanced past our next sequence OR
-          // the pointer already names a NEWER-than-expected snapshot (a
-          // committed foreign write at exactly expected+1 must never be
-          // adopted as an orphan below)
-          if (maxSeq > expected + 1 ||
-              pointerSeq(target, base).exists(_ > expected))
+          // conflict when the pointer already names a NEWER-than-expected
+          // snapshot (a committed foreign write at exactly expected+1
+          // must never be adopted as an orphan below), or — on the cold
+          // path where the listing is in hand — any snapshot advanced
+          // past our next sequence; the warm path needs neither listing
+          // nor pre-check: a foreign commit past `expected` necessarily
+          // wrote `expected+1` first, so the write-once create collides
+          if (pointerSeq(target, base).exists(_ > expected) ||
+              coldList.exists(_.keysIterator.exists(_ > expected + 1)))
             throw new CommitConflictException(dir, name, expected)
           expected + 1
       }
+      val snap = f"$base-$seq%012d.json"
+      val snapPath = new Path(dir, snap)
       // write-once create at the deterministic name is the swap's CAS; a
       // taken name is a concurrent commit — or a crashed one's orphan
       // (present but never pointer-named, per the check above), adopted
       // only when STALE (see commitCas)
-      val overwriteOrphan = expectedGen.isDefined && existing.get(seq).exists(s =>
-        System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
-      val snap = f"$base-$seq%012d.json"
-      try writeAll(new Path(dir, snap), bytes, overwrite = overwriteOrphan)
+      def adoptableOrphan: Boolean = expectedGen.isDefined && {
+        val st = try Some(fsys.getFileStatus(snapPath)) catch { case _: Exception => None }
+        st.exists(s => System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
+      }
+      val overwriteOrphan = coldList match {
+        case Some(existing) => expectedGen.isDefined && existing.get(seq).exists(s =>
+          System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
+        case None => false // warm path: probe only if the create collides
+      }
+      try writeAll(snapPath, bytes, overwrite = overwriteOrphan)
       catch {
-        case e: Exception if expectedGen.isDefined =>
-          throw new CommitConflictException(dir, name, expectedGen.get)
+        case _: Exception if expectedGen.isDefined =>
+          // warm-path collision: one stat decides crashed-orphan adoption
+          // vs a genuine concurrent commit
+          if (!overwriteOrphan && adoptableOrphan)
+            writeAll(snapPath, bytes, overwrite = true)
+          else throw new CommitConflictException(dir, name, expectedGen.get)
         case e: Exception => throw e
       }
       val ptr = s"""{"format-version":2,"pointer":"$snap"}"""
       writeAll(target, ptr.getBytes("UTF-8"), overwrite = true) // one PUT
-      // keep current + previous; older snapshots are superseded
-      existing.foreach { case (sq, s) =>
-        if (sq < seq - 1) { try { fsys.delete(s.getPath, false); () } catch { case _: Exception => () } }
+      // keep current + previous; older snapshots are superseded. Cold
+      // path: sweep everything the listing saw below seq-1. Warm path:
+      // one delete at the dense predecessor's deterministic name.
+      coldList match {
+        case Some(existing) =>
+          existing.foreach { case (sq, s) =>
+            if (sq < seq - 1) { try { fsys.delete(s.getPath, false); () } catch { case _: Exception => () } }
+          }
+        case None =>
+          if (seq >= 3) {
+            val prev = new Path(dir, f"$base-${seq - 2}%012d.json")
+            try { fsys.delete(prev, false); () } catch { case _: Exception => () }
+          }
       }
+      seqCursor.put(cursorKey, seq)
+      ()
     }
   }
+
+  // per-(dir, base) last-committed sequence in THIS process — a warm
+  // cursor lets CAS commits skip the directory listing entirely (the
+  // create-if-absent at the dense next name IS the conflict check)
+  private val seqCursor = TrieMap.empty[String, Long]
 
   /** The sequence number the pointer file currently names — None when the
     * pointer is absent, torn, or a legacy full document.

@@ -51,6 +51,32 @@ class MetaIOSpec extends SparkSpec {
     assert(snaps.length === 2, s"kept: ${snaps.mkString(",")}")
   }
 
+  test("warm CAS commits never list the directory and GC by dense name") {
+    val (dir, local) = freshDir()
+    def gened(gen: Long, v: Int): Array[Byte] =
+      s"""{"commit-gen":$gen,"format-version":2,"payload":$v}""".getBytes("UTF-8")
+    // cold first commit may list once (cursor warm-up + legacy sweep)
+    MetaIO.commitCas(dir, "metadata.json", gened(1, 1), expectedGen = 0)
+    val coldCalls = NoRenameFileSystem.listCalls.get()
+    (2 to 8).foreach(g =>
+      MetaIO.commitCas(dir, "metadata.json", gened(g, g.toInt), expectedGen = g - 1))
+    assert(NoRenameFileSystem.listCalls.get() === coldCalls,
+      "a warm CAS commit must be O(1) object ops — no directory listing " +
+        "(at 100 TB the table dir holds every data file)")
+    // the dense-name GC keeps exactly current + previous
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 8)
+    val snaps = local.listFiles().map(_.getName)
+      .filter(_.matches("metadata-\\d{12}(-[0-9a-f]{12})?\\.json"))
+    assert(snaps.sorted.toSeq === Seq("metadata-000000000007.json",
+      "metadata-000000000008.json"), s"kept: ${snaps.mkString(",")}")
+    // and a stale-generation writer still rejects without listing
+    intercept[MetaIO.CommitConflictException] {
+      MetaIO.commitCas(dir, "metadata.json", gened(8, 99), expectedGen = 7)
+    }
+    assert(NoRenameFileSystem.listCalls.get() === coldCalls)
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 8)
+  }
+
   test("a torn or dangling pointer falls back to the newest valid snapshot") {
     val (dir, local) = freshDir()
     MetaIO.commit(dir, "metadata.json", doc(1))

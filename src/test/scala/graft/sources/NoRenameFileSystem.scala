@@ -16,4 +16,15 @@ class NoRenameFileSystem extends RawLocalFileSystem {
     throw new UnsupportedOperationException(
       s"graftnr:// has no atomic rename ($src -> $dst) — the metadata " +
         "plane must use write-once names + a pointer swap here")
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    NoRenameFileSystem.listCalls.incrementAndGet()
+    super.listStatus(p)
+  }
+}
+
+object NoRenameFileSystem {
+  /** Directory listings observed — warm CAS commits must never list
+    * (O(1) object ops per metadata commit at scale).
+    */
+  val listCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 }
