@@ -114,12 +114,11 @@ object MatViews {
   /** One JOINED source of a star-schema MV (tables 2..n of a left-deep
     * join chain): its identity/watermark pair plus the ON condition text
     * joining it to everything accumulated to its left. `joinType` is
-    * INNER for chain steps, or LEFT for the one supported outer shape —
-    * a two-table `fact LEFT JOIN dim` (incremental maintenance must then
-    * also emit the compensating ±null-extension rows as fact rows flip
-    * between matched and unmatched; see the anti-delta terms in
-    * [[refresh]]). Freshness requires EVERY source at its recorded
-    * watermark.
+    * INNER for plain chain steps or LEFT for outer steps (any position,
+    * several allowed) — incremental maintenance then also emits the
+    * compensating ±null-extension rows as prefix rows flip between
+    * matched and unmatched (the anti-delta flip terms in [[refresh]]).
+    * Freshness requires EVERY source at its recorded watermark.
     */
   final case class MvJoin(key: String, uuid: String, watermark: Long,
       condSql: String, joinType: String = "INNER")
@@ -334,8 +333,7 @@ object MatViews {
           case Inner | Cross => "INNER" // USING/NATURAL carry their own types
           case org.apache.spark.sql.catalyst.plans.LeftOuter => "LEFT"
           case other => fail(s"${other.sql} joins are not supported in a " +
-            "materialized view — INNER joins of graft tables (or one " +
-            "two-table LEFT JOIN) only")
+            "materialized view — INNER/LEFT joins of graft tables only")
         }
         val right = j.right match {
           case r: UnresolvedRelation => tableKey(r)
@@ -361,13 +359,9 @@ object MatViews {
     val allKeys = srcKey +: joinSteps.map(_._1)
     allKeys.diff(allKeys.distinct).headOption.foreach(d =>
       fail(s"table '$d' appears more than once — self-joins are not supported"))
-    // LEFT OUTER is supported for exactly the two-table fact ⟕ dim shape:
-    // the incremental anti-delta (null-extension flips) is derived for
-    // one outer side — a LEFT step inside a longer chain would need the
-    // n-way generalization
-    if (joinSteps.exists(_._3 == "LEFT") && joinSteps.size > 1)
-      fail("LEFT JOIN is supported only as a single two-table join " +
-        "(fact LEFT JOIN dim) — not inside a longer chain")
+    // LEFT steps are allowed anywhere in the chain (several included):
+    // refresh derives per-step anti-delta flip terms from the left-deep
+    // recursion Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA + flips
     // join MVs: the INCREMENTAL refresh re-binds each changed source as a
     // table-name alias over its signed change feed, which resolves
     // `table.column` but not `catalog.table.column` (or deeper) — reject
@@ -650,23 +644,36 @@ object MatViews {
     * Refresh cost = Σ_i |ΔA_i ⋈ others| — change rate × join fan-out,
     * never the full join.
     */
+  /** One term of a join-MV delta: its FROM text, an optional EXTRA
+    * conjunct ANDed with the MV's own filter (the LEFT flip terms carry
+    * their match-existence predicates here), and the SQL yielding the
+    * term's sign (the moved source's feed column for telescoped terms, a
+    * ±1 constant for flip terms).
+    */
+  private[sources] final case class DeltaTerm(
+      from: String, extraWhere: Option[String], signSql: String)
+
   private def joinDeltaSelectSql(
-      st: MvState, termFroms: Seq[String], storeSchema: StructType): String = {
+      st: MvState, terms: Seq[DeltaTerm], storeSchema: StructType): String = {
     def sumType(out: String): String =
       storeSchema(s"__mv_sum_$out").dataType.sql
     def a(out: String): String = q(s"__mv_arg_$out")
     // per-term projection: group exprs + each aggregate's argument under
     // a reserved flat name + the sign — the union's aggregation below
     // then sees only unambiguous named columns
-    val proj =
+    val projBase =
       st.groups.map(g => s"${g.exprSql} AS ${q(g.out)}") ++
         st.aggs.collect {
           case AggSpec(kind, arg, out) if kind != "countstar" =>
             s"($arg) AS ${a(out)}"
-        } ++ Seq(SignCol)
-    val where = st.filterSql.map(f => s" WHERE $f").getOrElse("")
-    val union = termFroms.map(t =>
-      s"SELECT ${proj.mkString(", ")} FROM $t$where").mkString("\nUNION ALL\n")
+        }
+    def termSelect(t: DeltaTerm): String = {
+      val conj = (st.filterSql.toSeq ++ t.extraWhere.toSeq).map(c => s"($c)")
+      val where = if (conj.isEmpty) "" else conj.mkString(" WHERE ", " AND ", "")
+      s"SELECT ${(projBase :+ s"${t.signSql} AS $SignCol").mkString(", ")} " +
+        s"FROM ${t.from}$where"
+    }
+    val union = terms.map(termSelect).mkString("\nUNION ALL\n")
     val items =
       st.groups.map(g => q(g.out)) ++
         Seq(s"CAST(sum($SignCol) AS BIGINT) AS ${q(RowCountCol)}") ++
@@ -1286,43 +1293,63 @@ object MatViews {
                     s"$acc $kw ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
                   }
                 }
-                // LEFT OUTER anti-delta: when the (validated two-table)
-                // LEFT dim side moved, fact rows FLIP between matched and
+                // LEFT OUTER anti-delta: when a LEFT dim side moved, rows
+                // of the chain PREFIX may FLIP between matched and
                 // null-extended as their dim match dies or is born — the
-                // inner terms above see only the matched halves of those
-                // transitions, so two extra terms emit the compensating
-                // ± null-extension rows: fact@NEW rows TOUCHING the dim
-                // window (the EXISTS against the change feed — a flip
-                // implies one, and it lets the planner semi-join the
-                // small feed first) whose match-existence DIFFERS between
-                // dim@OLD and dim@NEW. Dim columns come from a LEFT JOIN
-                // against a WHERE FALSE subquery — empty, so every row
-                // null-extends with the dim's exact schema/types. Exact:
-                // U(F',D') − U(F,D) = U(ΔF, D@old)  [the Δfact LEFT-term]
-                //   + [U(F@new, D@new) − U(F@new, D@old)]  [these flips].
-                def flipTerms: Seq[String] =
-                  st.joins.headOption
-                    .filter(j => j.joinType == "LEFT" &&
-                      movedWins.exists(_._1 == j.key))
-                    .toSeq.flatMap { j =>
-                      val fk = st.srcKey
+                // telescoped terms above see only the matched halves of
+                // those transitions, so two extra terms PER MOVED LEFT
+                // DIM emit the compensating ± null-extension rows: the
+                // prefix chain at NEW pins (its own join keywords — an
+                // earlier LEFT step's null-extended rows participate with
+                // NULLs, and 3-valued ON evaluation keeps them consistent
+                // with the real join), the flipping dim as a LEFT JOIN
+                // against a WHERE FALSE subquery (empty — every prefix
+                // row null-extends with the dim's exact schema/types),
+                // and the suffix steps at OLD pins (the recursion joins
+                // Δ(J_k)'s terms to the suffix like every other term).
+                // The term's WHERE restricts to prefix rows TOUCHING the
+                // dim window (EXISTS against the change feed — a flip
+                // implies one, and the planner semi-joins the small feed
+                // first) whose match-EXISTENCE differs between dim@OLD
+                // and dim@NEW. Exact by the per-step recursion:
+                // Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA
+                //   + [U(J_k@new, A@new) − U(J_k@new, A@old)]  [flips].
+                def flipTerms: Seq[DeltaTerm] =
+                  st.joins.zipWithIndex
+                    .filter { case (j, _) =>
+                      j.joinType == "LEFT" && movedWins.exists(_._1 == j.key) }
+                    .flatMap { case (j, k) =>
+                      val ti = k + 1 // j's table index in names2
+                      def kw(jdx: Int): String =
+                        if (st.joins(jdx - 1).joinType == "LEFT") "LEFT JOIN"
+                        else "JOIN"
+                      def at(jdx: Int, pin: Map[String, Long]): String =
+                        s"graft.${q(names2(jdx))} VERSION AS OF ${pin(names2(jdx))}"
+                      val prefix = (1 until ti).foldLeft(at(0, newPin)) {
+                        (acc, jdx) =>
+                          s"$acc ${kw(jdx)} ${at(jdx, newPin)} ON ${st.joins(jdx - 1).condSql}"
+                      }
+                      val emptyDim =
+                        s" LEFT JOIN (SELECT * FROM graft.${q(j.key)} VERSION AS OF " +
+                          s"${newPin(j.key)} WHERE FALSE) AS ${q(j.key)} ON TRUE"
+                      val suffix = ((ti + 1) until names2.size).map(jdx =>
+                        s" ${kw(jdx)} ${at(jdx, oldPin)} ON ${st.joins(jdx - 1).condSql}").mkString
                       def dimAt(pin: Long): String =
                         s"graft.${q(j.key)} VERSION AS OF $pin AS ${q(j.key)}"
-                      def one(sign: String, oldNeg: String, newNeg: String): String =
-                        s"(SELECT ${q(fk)}.*, CAST($sign AS BIGINT) AS $SignCol " +
-                          s"FROM graft.${q(fk)} VERSION AS OF ${newPin(fk)} AS ${q(fk)} " +
-                          s"WHERE EXISTS (SELECT 1 FROM ${q(chgViews(j.key))} AS ${q(j.key)} WHERE ${j.condSql}) " +
+                      def pred(oldNeg: String, newNeg: String): String =
+                        s"EXISTS (SELECT 1 FROM ${q(chgViews(j.key))} AS ${q(j.key)} WHERE ${j.condSql}) " +
                           s"AND ${oldNeg}EXISTS (SELECT 1 FROM ${dimAt(oldPin(j.key))} WHERE ${j.condSql}) " +
-                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${dimAt(newPin(j.key))} WHERE ${j.condSql})" +
-                          s") AS ${q(fk)} LEFT JOIN (SELECT * FROM graft.${q(j.key)} " +
-                          s"VERSION AS OF ${newPin(j.key)} WHERE FALSE) AS ${q(j.key)} ON TRUE"
+                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${dimAt(newPin(j.key))} WHERE ${j.condSql})"
+                      val from = s"$prefix$emptyDim$suffix"
                       // match DIED → its null-extension row appears (+1);
                       // match BORN → the null-extension row leaves (−1)
-                      Seq(one("1", "", "NOT "), one("-1", "NOT ", ""))
+                      Seq(
+                        DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
+                        DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
                     }
                 val terms = names2.indices
                   .filter(i => movedWins.exists(_._1 == names2(i)))
-                  .map(termFrom) ++ flipTerms
+                  .map(i => DeltaTerm(termFrom(i), None, SignCol)) ++ flipTerms
                 val deltaView = ("__graft_mv_delta_" + tag)
                   .replaceAll("[^A-Za-z0-9_]", "_")
                 spark.sql(joinDeltaSelectSql(st, terms, storeSt.schema))

@@ -2879,6 +2879,62 @@ object Roundtrips {
       .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
   }
 
+  /** LEFT step INSIDE a longer chain (`fact ⟕ dim1 ⋈ dim2`): the
+    * anti-delta flip terms must suffix-join dim2@OLD like every other
+    * telescoped term (the left-deep recursion
+    * Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA + flips), and dim1's
+    * null-extension rows ride the prefix into dim2's inner delta. The
+    * hash pins a fact window and then a dim1 DELETE whose orphaned rows
+    * flip back to null-extension THROUGH the inner suffix — both modes
+    * pinned as flags so a silent full-recompute fallback fails the row.
+    */
+  val dsv2MvLeftChain: QueryDef = QueryDef(
+    "dsv2_mv_left_chain",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(o_orderkey % 3 AS BIGINT) AS pk,
+      |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+      |d1 AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 5 <> 2 AND c_custkey % 7 <> 3),
+      |d2 AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS qk, r_name AS rg FROM region
+      |  WHERE r_regionkey < 3)
+      |SELECT seg, rg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS incr_fact, TRUE AS incr_dim
+      |FROM fact LEFT JOIN d1 ON ck = dk JOIN d2 ON pk = qk
+      |GROUP BY seg, rg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_lc")
+    val fact = freshGraftTable(spark, "mem_mvlc_fact",
+      "(k BIGINT, ck BIGINT, pk BIGINT, v BIGINT)")
+    val d1 = freshGraftTable(spark, "mem_mvlc_d1", "(dk BIGINT, seg STRING)")
+    val d2 = freshGraftTable(spark, "mem_mvlc_d2", "(qk BIGINT, rg STRING)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 === rem)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 3).cast("long").as("pk"),
+        (col("o_orderkey") % 1000).cast("long").as("v"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 =!= 2)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(d1).append()
+    Tables.region(spark, dir).filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey").cast("long").as("qk"), col("r_name").as("rg"))
+      .writeTo(d2).append()
+    slice(0).writeTo(fact).append()
+    spark.sql("CALL graft.create_materialized_view('mv_lc', " +
+      "'SELECT seg, rg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvlc_fact LEFT JOIN graft.mem_mvlc_d1 ON ck = dk " +
+      "JOIN graft.mem_mvlc_d2 ON pk = qk GROUP BY seg, rg')")
+    slice(1).writeTo(fact).append() // fact window through the chain
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_lc')").head()
+    spark.sql(s"DELETE FROM $d1 WHERE dk % 7 = 3") // orphan flips via d2@old
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_lc')").head()
+    spark.sql("SELECT seg, rg, n, sv FROM graft.mv_lc")
+      .withColumn("incr_fact", lit(r1.getString(1) == "incremental"))
+      .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2894,5 +2950,6 @@ object Roundtrips {
       dsv2ColumnDefault, dsv2ViewRead, dsv2MetadataPersist,
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
-      dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin)
+      dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin,
+      dsv2MvLeftChain)
 }

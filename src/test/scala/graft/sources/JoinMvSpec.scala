@@ -411,21 +411,68 @@ class JoinMvSpec extends SparkSpec {
     dropMv("lmv2")
   }
 
-  test("LEFT JOIN MVs reject longer chains and other outer shapes") {
-    catalogOn()
+  test("LEFT steps inside longer chains fold incrementally; RIGHT/FULL reject") {
+    catalogOn(); dropMv("lmv3")
     spark.sql("DROP TABLE IF EXISTS graft.lmv3_f")
     spark.sql("DROP TABLE IF EXISTS graft.lmv3_d1")
     spark.sql("DROP TABLE IF EXISTS graft.lmv3_d2")
     spark.sql("CREATE TABLE graft.lmv3_f (ck BIGINT, pk BIGINT, v BIGINT)")
     spark.sql("CREATE TABLE graft.lmv3_d1 (dk BIGINT, seg STRING)")
     spark.sql("CREATE TABLE graft.lmv3_d2 (qk BIGINT, region STRING)")
-    val chain = intercept[Exception] {
-      spark.sql("CALL graft.create_materialized_view('lmv3', " +
-        "'SELECT seg, region, count(*) AS n FROM graft.lmv3_f " +
-        "LEFT JOIN graft.lmv3_d1 ON ck = dk " +
-        "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region')").collect()
+    // f ⟕ d1 ⋈ d2: the LEFT step sits MID-chain — its flip terms must
+    // suffix-join d2@OLD, and d1's null-extensions survive only through
+    // the inner d2 match (pk always matches here)
+    spark.sql("INSERT INTO graft.lmv3_f VALUES " +
+      "(10, 7, 100), (10, 8, 200), (20, 7, 300), (99, 8, 400)")
+    spark.sql("INSERT INTO graft.lmv3_d1 VALUES (10, 'a'), (20, 'b')")
+    spark.sql("INSERT INTO graft.lmv3_d2 VALUES (7, 'EU'), (8, 'US')")
+    spark.sql("CALL graft.create_materialized_view('lmv3', " +
+      "'SELECT seg, region, count(*) AS n, sum(v) AS sv FROM graft.lmv3_f " +
+      "LEFT JOIN graft.lmv3_d1 ON ck = dk " +
+      "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region')")
+    assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.lmv3")) ===
+      Seq(Seq("a", "EU", 1L, 100L), Seq("a", "US", 1L, 200L),
+        Seq("b", "EU", 1L, 300L), Seq(null, "US", 1L, 400L)))
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(
+        "SELECT seg, region, count(*) AS n, sum(v) AS sv FROM graft.lmv3_f " +
+          "LEFT JOIN graft.lmv3_d1 ON ck = dk " +
+          "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region"))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
     }
-    assert(chain.getMessage.contains("single two-table"))
+    def refreshedMatchesDirect(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('lmv3')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.lmv3")) ===
+        direct(), "the folded store must equal the direct recomputation")
+    }
+    // mid-chain dim insert ADOPTS the orphan (flip −1 suffixed by d2@old)
+    spark.sql("INSERT INTO graft.lmv3_d1 VALUES (99, 'c')")
+    refreshedMatchesDirect()
+    // mid-chain dim delete ORPHANS matched rows back to null-extension
+    spark.sql("DELETE FROM graft.lmv3_d1 WHERE dk = 10")
+    refreshedMatchesDirect()
+    // inner-suffix dim change: Δd2 term joins the LEFT prefix @NEW —
+    // null-extended d1 rows ride the prefix into the inner delta
+    spark.sql("UPDATE graft.lmv3_d2 SET region = 'APAC' WHERE qk = 8")
+    refreshedMatchesDirect()
+    // mixed window across all three sources, flips included
+    spark.sql("INSERT INTO graft.lmv3_f VALUES (20, 8, 500), (77, 7, 600)")
+    spark.sql("DELETE FROM graft.lmv3_d1 WHERE dk = 99")
+    spark.sql("INSERT INTO graft.lmv3_d2 VALUES (9, 'SA')")
+    refreshedMatchesDirect()
+    // the rewrite serves the chain-LEFT aggregate too (the one outer
+    // step composes with pooled inner conjuncts on both sides)
+    val served = spark.sql(
+      "SELECT seg, region, count(*) AS n, sum(v) AS sv FROM graft.lmv3_f " +
+        "LEFT JOIN graft.lmv3_d1 ON ck = dk " +
+        "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region")
+    assert(servedFromStore(served, "lmv3__store"),
+      s"got ${scansOf(served.queryExecution.executedPlan)}")
+    assert(rowsOf(served) === direct())
+    dropMv("lmv3")
+    // other outer shapes stay rejected
     val right = intercept[Exception] {
       spark.sql("CALL graft.create_materialized_view('lmv3', " +
         "'SELECT seg, count(*) AS n FROM graft.lmv3_f " +
@@ -438,6 +485,53 @@ class JoinMvSpec extends SparkSpec {
         "FULL OUTER JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
     }
     assert(full.getMessage.contains("not supported"))
+  }
+
+  test("a double-LEFT chain folds every flip combination incrementally") {
+    catalogOn(); dropMv("lmv5")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv5_f")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv5_d1")
+    spark.sql("DROP TABLE IF EXISTS graft.lmv5_d2")
+    spark.sql("CREATE TABLE graft.lmv5_f (ck BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.lmv5_d1 (dk BIGINT, seg STRING)")
+    spark.sql("CREATE TABLE graft.lmv5_d2 (qk BIGINT, region STRING)")
+    spark.sql("INSERT INTO graft.lmv5_f VALUES " +
+      "(10, 7, 100), (10, 9, 200), (99, 7, 300), (99, 9, 400), (NULL, NULL, 500)")
+    spark.sql("INSERT INTO graft.lmv5_d1 VALUES (10, 'a'), (20, 'b')")
+    spark.sql("INSERT INTO graft.lmv5_d2 VALUES (7, 'EU')")
+    spark.sql("CALL graft.create_materialized_view('lmv5', " +
+      "'SELECT seg, region, count(*) AS n, sum(v) AS sv FROM graft.lmv5_f " +
+      "LEFT JOIN graft.lmv5_d1 ON ck = dk " +
+      "LEFT JOIN graft.lmv5_d2 ON pk = qk GROUP BY seg, region')")
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(
+        "SELECT seg, region, count(*) AS n, sum(v) AS sv FROM graft.lmv5_f " +
+          "LEFT JOIN graft.lmv5_d1 ON ck = dk " +
+          "LEFT JOIN graft.lmv5_d2 ON pk = qk GROUP BY seg, region"))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.lmv5")) === direct())
+    def refreshedMatchesDirect(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('lmv5')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.lmv5")) ===
+        direct(), "the folded store must equal the direct recomputation")
+    }
+    // BOTH LEFT dims move in ONE window: d1 adopts ck=99 (flips −1 at
+    // step 1), d2 loses qk=7 (flips +1 at step 2 — over a prefix whose
+    // d1 side includes both matched and null-extended rows)
+    spark.sql("INSERT INTO graft.lmv5_d1 VALUES (99, 'c')")
+    spark.sql("DELETE FROM graft.lmv5_d2 WHERE qk = 7")
+    refreshedMatchesDirect()
+    // fact churn against the double-null-extension groups
+    spark.sql("DELETE FROM graft.lmv5_f WHERE v IN (200, 500)")
+    spark.sql("INSERT INTO graft.lmv5_f VALUES (20, 77, 700)")
+    refreshedMatchesDirect()
+    // re-adopt on the second LEFT step only
+    spark.sql("INSERT INTO graft.lmv5_d2 VALUES (9, 'US'), (77, 'SA')")
+    refreshedMatchesDirect()
+    dropMv("lmv5")
   }
 
   test("three-way chains materialize and serve") {
