@@ -226,6 +226,50 @@ object DistributedDml {
       finally bcKills.destroy()
     }
 
+  /** One upsert-epoch CONVERT-ON-WRITE probe task ([[probeMatches]]):
+    * stream one strictly-older file PRUNED to its era-resolved key
+    * columns and return the positions whose canonicalized key tuple is
+    * in the epoch's delete set, minus already-dead DV positions — the
+    * Iceberg equality→position-delete conversion, run where the rows
+    * live. `keyIdx` binds the epoch's key-column ORDER into
+    * `matchSchema`'s field order.
+    */
+  final case class ProbeTask(
+      batchId: Long, path: String, matchSchema: StructType,
+      keyIdx: Array[Int], keyTypes: Array[DataType],
+      dvDead: Array[Byte]) extends Serializable
+
+  /** Probe every task's file against ONE broadcast key set; returns only
+    * batches with at least one doomed position (decoded driver-side —
+    * the shipped form is the compressed bitmap).
+    */
+  def probeMatches(sc: SparkContext, tasks: Seq[ProbeTask],
+      keys: Set[Seq[Any]]): Map[Long, Array[Int]] =
+    if (tasks.isEmpty) Map.empty
+    else {
+      val bcKeys = sc.broadcast(keys)
+      try sc.parallelize(tasks, tasks.size).map { t =>
+        val probe = EqProbe(t.keyIdx, t.keyTypes, bcKeys.value)
+        val dead =
+          if (t.dvDead == null) Set.empty[Int]
+          else PosBitmap.toArray(t.dvDead).toSet
+        val out = new ArrayBuffer[Int]
+        val it = ParquetRows.iterator(t.path, t.matchSchema)
+        try {
+          var pos = 0
+          while (it.hasNext) {
+            val r = it.next()
+            if (!dead.contains(pos) && probe.kills(r)) out += pos
+            pos += 1
+          }
+        } finally it.close()
+        t.batchId -> PosBitmap.toBytes(out.iterator)
+      }.collect().iterator
+        .map { case (id, bm) => id -> PosBitmap.toArray(bm) }
+        .filter(_._2.nonEmpty).toMap
+      finally bcKeys.destroy()
+    }
+
   /** Pass 1 streams the file PRUNED to the predicate footprint to find
     * matched positions; pass 2 (CoW, only when matches exist) streams the
     * full schema again writing survivors — never both in one pass, so an

@@ -2738,10 +2738,97 @@ object MemTables {
         }.filterNot(_.contains(null)).toSet
         val v = st.version + 1
         val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, v))
+        // CONVERT-ON-WRITE (the Iceberg equality→position-delete shape):
+        // on file-backed tables the epoch's equality delete becomes
+        // POSITIONAL delete-vector entries at this commit — a
+        // one-task-per-candidate-file probe job (strictly-older alive
+        // batches, bounds/bloom-pruned per key column) finds the doomed
+        // positions where the rows live, and NO probe record persists:
+        // scan planning and the change feed then read the DV plane
+        // instead of re-probing file CONTENTS driver-side on every read
+        // (previously the last table-sized driver content path — every
+        // scan of an eq-delete table paid O(older rows) in the driver).
+        // Semantics are identical: kills land at this version, CDC
+        // surfaces the same row-level deletes, time travel sees the rows
+        // before it. Driver-resident batches probe in-process (their
+        // rows already live here); sessionless callers keep the
+        // read-time equality-delete record.
+        val session = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        val converted: Map[Long, Array[Int]] =
+          if (keys.isEmpty) Map.empty
+          else if (st.storageDir.isEmpty || session.isEmpty) {
+            st.eqDeletes = st.eqDeletes :+ EqDelete(v, keyCols, keys)
+            Map.empty
+          } else {
+            import org.apache.spark.sql.sources.{Filter => SFilter, In => SIn}
+            def res(b: TaggedBatch)(c: String): Option[String] =
+              sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
+                .filter(b.schema.fieldNames.contains)
+            // per-column In pruning (a conservative projection of the key
+            // tuple set) over integral/string columns — canonKey's widened
+            // forms are those columns' natural external filter values
+            val pruneFilters: Array[SFilter] =
+              if (keys.size > 1024) Array.empty
+              else keyCols.zipWithIndex.flatMap { case (c, j) =>
+                writeSchema.fields(idx(j)).dataType match {
+                  case org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.ByteType |
+                       org.apache.spark.sql.types.StringType =>
+                    Some(SIn(c, keys.iterator.map(_(j)).toArray.distinct): SFilter)
+                  case _ => None
+                }
+              }.toArray
+            val older = candidateBatches(pruneFilters, st.specHistory, st.eras,
+              st.droppedAt,
+              st.batches.filter(b => b.removedAt == Long.MaxValue && b.version < v),
+              st.columnDefaults)
+              .flatMap { b =>
+                val names = keyCols.map(res(b))
+                // an unresolvable key column means no row of this batch
+                // can match (effectiveKills' rule)
+                if (names.exists(_.isEmpty)) None
+                else Some(b -> names.map(_.get))
+              }
+            val (fileB, memB) = older.partition(_._1.store.isInstanceOf[FileStore])
+            val tasks = fileB.map { case (b, names) =>
+              val fields = b.schema.fields.filter(f => names.contains(f.name))
+              val matchSchema = StructType(fields)
+              val ki = names.map(n => matchSchema.fieldNames.indexOf(n)).toArray
+              DistributedDml.ProbeTask(b.batchId,
+                b.store.asInstanceOf[FileStore].path, matchSchema,
+                ki, ki.map(matchSchema.fields(_).dataType),
+                if (b.dv.isEmpty) null else PosBitmap.toBytes(b.dv.keysIterator))
+            }
+            val jobMatched =
+              DistributedDml.probeMatches(session.get.sparkContext, tasks, keys)
+            val localMatched = memB.map { case (b, names) =>
+              val ki = names.map(n => b.schema.fieldNames.indexOf(n))
+              val kt = ki.map(b.schema.fields(_).dataType)
+              b.batchId -> b.rows.zipWithIndex.collect {
+                case (r, p) if !b.dv.contains(p) && {
+                  val tuple: Seq[Any] = ki.indices.map { j =>
+                    if (r.isNullAt(ki(j))) null else canonKey(r.get(ki(j), kt(j)))
+                  }
+                  !tuple.contains(null) && keys.contains(tuple)
+                } => p
+              }
+            }.filter(_._2.nonEmpty).toMap
+            jobMatched ++ localMatched
+          }
         st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
         st.version = v
-        if (keys.nonEmpty)
-          st.eqDeletes = st.eqDeletes :+ EqDelete(st.version, keyCols, keys)
+        if (converted.nonEmpty)
+          st.batches = st.batches.map { b =>
+            converted.get(b.batchId) match {
+              case Some(pos) if b.removedAt == Long.MaxValue =>
+                val doomed = pos.filterNot(b.dv.contains)
+                if (doomed.isEmpty) b else b.copy(dv = b.dv ++ doomed.map(_ -> v))
+              case _ => b
+            }
+          }
         st.batches = st.batches ++ fresh
         // the epoch's equality delete is kill-only (keeps order); claim
         // survival rides the same verified-sorted-inserts rule as appends

@@ -2894,7 +2894,7 @@ object Roundtrips {
       |  SELECT o_orderkey AS k, o_custkey AS ck,
       |         CAST(o_orderkey % 3 AS BIGINT) AS pk,
       |         CAST(o_orderkey % 1000 AS BIGINT) AS v
-      |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+      |  FROM orders WHERE o_orderkey % 8 IN (0, 1)),
       |d1 AS (
       |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
       |  WHERE c_custkey % 5 <> 2 AND c_custkey % 7 <> 3),
@@ -2911,7 +2911,7 @@ object Roundtrips {
     val d1 = freshGraftTable(spark, "mem_mvlc_d1", "(dk BIGINT, seg STRING)")
     val d2 = freshGraftTable(spark, "mem_mvlc_d2", "(qk BIGINT, rg STRING)")
     def slice(rem: Int) = Tables.orders(spark, dir)
-      .filter(col("o_orderkey") % 4 === rem)
+      .filter(col("o_orderkey") % 8 === rem)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
         (col("o_orderkey") % 3).cast("long").as("pk"),
         (col("o_orderkey") % 1000).cast("long").as("v"))

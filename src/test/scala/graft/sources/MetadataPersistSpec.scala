@@ -175,7 +175,13 @@ class MetadataPersistSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
     val st = MemTables.get("mp_ts").get
     assert(st.versionTimes === times, "TIMESTAMP AS OF stamps must survive")
-    assert(st.eqDeletes.nonEmpty, "equality deletes must survive")
+    // file-backed upsert epochs CONVERT their equality delete to
+    // positional DVs at commit ([[MemTables.commitEpochUpsert]]) — the
+    // durable plane carries the DV, never a probe record
+    assert(st.eqDeletes.isEmpty,
+      "converted upserts must persist no equality-delete record")
+    assert(st.batches.exists(b => b.version == 1L && b.dv.values.toSet == Set(2L)),
+      "the converted positional kill must survive recovery")
     assert(st.committedEpochs.get("q-meta").exists(_.contains(0L)),
       "epoch ledger must survive — a post-restart re-commit must stay a no-op")
     // idempotence across the restart: same epoch re-commits as a no-op
