@@ -2722,20 +2722,49 @@ object MemTables {
             s"mem table $key: upsert write schema ${writeSchema.fieldNames.mkString(",")} " +
               s"lacks key column(s) ${keyCols.mkString(",")}")
         val types = idx.map(writeSchema.fields(_).dataType)
-        // content access: file-backed epoch payloads load driver-side for
-        // key extraction (gate-scale; a 100 TB upsert ingest would compute
-        // the epoch's key set as part of the write job)
-        def payloadRows(pl: TaskPayload): Iterator[InternalRow] = pl match {
-          case RowsPayload(rs) => rs.iterator
-          case FilesPayload(fs) =>
-            fs.iterator.flatMap(f => ParquetRows.iterator(f.path, writeSchema))
+        def tupleOf(r: InternalRow): Seq[Any] = idx.indices.map { j =>
+          if (r.isNullAt(idx(j))) null else canonKey(r.get(idx(j), types(j)))
         }
-        val keys = batches.iterator.flatMap(payloadRows).map { r =>
-          val tuple: Seq[Any] = idx.indices.map { j =>
-            if (r.isNullAt(idx(j))) null else canonKey(r.get(idx(j), types(j)))
+        // epoch key extraction: driver-resident payload rows key directly
+        // (they already live here); FILE payloads extract their distinct
+        // key tuples in a one-task-per-file job when a session exists —
+        // together with the probe conversion below, a file-backed upsert
+        // epoch commit moves ZERO table or epoch content through the
+        // driver (sessionless callers stream driver-side, change-bounded)
+        val keySession = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        val (filePls, rowPls) = batches.partition(_.isInstanceOf[FilesPayload])
+        val rowKeys = rowPls.iterator
+          .flatMap { case RowsPayload(rs) => rs.iterator; case _ => Iterator.empty }
+          .map(tupleOf).filterNot(_.contains(null)).toSet
+        val epochPaths = filePls.flatMap {
+          case FilesPayload(fs) => fs.map(_.path); case _ => Nil
+        }
+        val fileKeys: Set[Seq[Any]] =
+          if (epochPaths.isEmpty) Set.empty
+          else keySession match {
+            case Some(s) =>
+              val schemaB = writeSchema
+              val idxB = idx
+              val typesB = types
+              s.sparkContext.parallelize(epochPaths, epochPaths.size).map { p =>
+                val it = ParquetRows.iterator(p, schemaB)
+                val out = Set.newBuilder[Seq[Any]]
+                try it.foreach { r =>
+                  val t: Seq[Any] = idxB.indices.map { j =>
+                    if (r.isNullAt(idxB(j))) null
+                    else canonKey(r.get(idxB(j), typesB(j)))
+                  }
+                  if (!t.contains(null)) out += t
+                } finally it.close()
+                out.result()
+              }.collect().iterator.flatten.toSet
+            case None =>
+              epochPaths.iterator
+                .flatMap(p => ParquetRows.iterator(p, writeSchema))
+                .map(tupleOf).filterNot(_.contains(null)).toSet
           }
-          tuple
-        }.filterNot(_.contains(null)).toSet
+        val keys = rowKeys ++ fileKeys
         val v = st.version + 1
         val fresh = batches.flatMap(rs => mkBatches(st, writeSchema, rs, v))
         // CONVERT-ON-WRITE (the Iceberg equality→position-delete shape):

@@ -173,8 +173,18 @@ object ParquetRows {
     override def close(): Unit = if (!closed) { closed = true; nextRow = null; reader.close() }
   }
 
-  def iterator(path: String, schema: StructType): RowIterator =
+  /** Streaming opens issued from DRIVER code (no TaskContext) — the
+    * counterpart witness to [[readCalls]]: together they let specs pin
+    * that an operation moved ALL its content IO into executor tasks,
+    * not merely off the whole-file materialization API.
+    */
+  val driverIterCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def iterator(path: String, schema: StructType): RowIterator = {
+    if (org.apache.spark.TaskContext.get() == null)
+      driverIterCalls.incrementAndGet()
     new RowIterator(path, schema)
+  }
 
   /** Calls to [[read]] — the whole-file DRIVER materialization API.
     * Observable so specs can assert a distributed path (e.g. the

@@ -44,7 +44,11 @@ class UpsertConversionSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.upconv (k BIGINT, v BIGINT) TBLPROPERTIES (" +
       "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read', " +
       "'graft.upsert-keys'='k')")
+    val iterBefore = ParquetRows.driverIterCalls.get()
     runEpochs("graft.upconv")
+    assert(ParquetRows.driverIterCalls.get() === iterBefore,
+      "epoch key extraction AND the probe conversion must both run in " +
+        "executor tasks — zero driver-side file streams in the commit")
     val st = MemTables.get("upconv").get
     assert(st.eqDeletes.isEmpty,
       "the epoch's equality delete must convert to DVs — no probe record persists")
