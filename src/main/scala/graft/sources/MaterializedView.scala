@@ -332,8 +332,10 @@ object MatViews {
         val jt = j.joinType match {
           case Inner | Cross => "INNER" // USING/NATURAL carry their own types
           case org.apache.spark.sql.catalyst.plans.LeftOuter => "LEFT"
+          case org.apache.spark.sql.catalyst.plans.FullOuter => "FULL"
           case other => fail(s"${other.sql} joins are not supported in a " +
-            "materialized view — INNER/LEFT joins of graft tables only")
+            "materialized view — INNER/LEFT joins of graft tables (or one " +
+            "two-table FULL OUTER JOIN) only")
         }
         val right = j.right match {
           case r: UnresolvedRelation => tableKey(r)
@@ -361,7 +363,13 @@ object MatViews {
       fail(s"table '$d' appears more than once — self-joins are not supported"))
     // LEFT steps are allowed anywhere in the chain (several included):
     // refresh derives per-step anti-delta flip terms from the left-deep
-    // recursion Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA + flips
+    // recursion Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA + flips.
+    // FULL OUTER is the two-table shape only: its RIGHT-side
+    // null-extensions need an "empty prefix" null-extension of ALL
+    // left-side columns, which the chain SQL can express for a single
+    // fact table but not for a multi-table prefix
+    if (joinSteps.exists(_._3 == "FULL") && joinSteps.size > 1)
+      fail("FULL OUTER JOIN is supported only as a single two-table join")
     // join MVs: the INCREMENTAL refresh re-binds each changed source as a
     // table-name alias over its signed change feed, which resolves
     // `table.column` but not `catalog.table.column` (or deeper) — reject
@@ -525,7 +533,11 @@ object MatViews {
     def ref(key: String): String =
       s"graft.${q(key)}" + pins.get(key).map(v => s" VERSION AS OF $v").getOrElse("")
     joins.foldLeft(ref(srcKey)) { (acc, j) =>
-      val kw = if (j.joinType == "LEFT") "LEFT JOIN" else "JOIN"
+      val kw = j.joinType match {
+        case "LEFT" => "LEFT JOIN"
+        case "FULL" => "FULL OUTER JOIN"
+        case _ => "JOIN"
+      }
       s"$acc $kw ${ref(j.key)} ON ${j.condSql}"
     }
   }
@@ -1243,7 +1255,8 @@ object MatViews {
           // orphan fact row a match, REMOVING its null-extension row from
           // the view — and neither a min/max nor an NDV sketch can un-see
           val leftDimMoved = st.joins.exists(j =>
-            j.joinType == "LEFT" && movedWins.exists(_._1 == j.key))
+            (j.joinType == "LEFT" && movedWins.exists(_._1 == j.key)) ||
+              (j.joinType == "FULL" && movedWins.nonEmpty))
           val incremental =
             movedWins.forall { case (_, f, _, e, _) => f >= e } &&
               (!st.insertOnlyComponents ||
@@ -1287,8 +1300,10 @@ object MatViews {
                     // matched rows only; null-extension flips are the
                     // separate anti-delta terms below
                     val kw =
-                      if (st.joins(jdx - 1).joinType == "LEFT" && jdx != i)
-                        "LEFT JOIN"
+                      if (jdx != i && (st.joins(jdx - 1).joinType == "LEFT" ||
+                          st.joins(jdx - 1).joinType == "FULL"))
+                        "LEFT JOIN" // FULL's right-null-ext deltas are the
+                                    // separate fullTerms below
                       else "JOIN"
                     s"$acc $kw ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
                   }
@@ -1317,7 +1332,8 @@ object MatViews {
                 def flipTerms: Seq[DeltaTerm] =
                   st.joins.zipWithIndex
                     .filter { case (j, _) =>
-                      j.joinType == "LEFT" && movedWins.exists(_._1 == j.key) }
+                      (j.joinType == "LEFT" || j.joinType == "FULL") &&
+                        movedWins.exists(_._1 == j.key) }
                     .flatMap { case (j, k) =>
                       val ti = k + 1 // j's table index in names2
                       def kw(jdx: Int): String =
@@ -1347,9 +1363,58 @@ object MatViews {
                         DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
                         DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
                     }
+                // FULL OUTER right-side terms (V = M + U_L + U_R; the
+                // telescoped + flip terms above cover M and U_L exactly
+                // as for LEFT): when the DIM moved, ΔD rows UNMATCHED in
+                // fact@NEW are ± right-null-extension rows with the
+                // feed's signs (U_R is linear in D for a fixed F); when
+                // the FACT moved, dim@OLD rows whose match-existence
+                // differs between fact@OLD and fact@NEW flip their
+                // right-null-extension rows ±1 — the mirror image of the
+                // fact-side flips. Fact columns null-extend through a
+                // LEFT JOIN against a WHERE FALSE fact subquery.
+                def fullTerms: Seq[DeltaTerm] =
+                  st.joins.headOption.filter(_.joinType == "FULL").toSeq.flatMap { j =>
+                    val fk = st.srcKey
+                    def factAt(pin: Long): String =
+                      s"graft.${q(fk)} VERSION AS OF $pin AS ${q(fk)}"
+                    val emptyFact =
+                      s" LEFT JOIN (SELECT * FROM graft.${q(fk)} VERSION AS OF " +
+                        s"${newPin(fk)} WHERE FALSE) AS ${q(fk)} ON TRUE"
+                    val deltaTerm: Seq[DeltaTerm] =
+                      if (!movedWins.exists(_._1 == j.key)) Nil
+                      else {
+                        val cols = MemTables.get(j.key).get.schema.fieldNames
+                          .map(q).mkString(", ")
+                        val feed =
+                          s"(SELECT $cols, CASE WHEN ${MemChangesSource.ChangeType} " +
+                            "IN ('insert', 'update_postimage') THEN CAST(1 AS BIGINT) " +
+                            s"ELSE CAST(-1 AS BIGINT) END AS $SignCol " +
+                            s"FROM ${q(chgViews(j.key))}) AS ${q(j.key)}"
+                        Seq(DeltaTerm(s"$feed$emptyFact",
+                          Some(s"NOT EXISTS (SELECT 1 FROM ${factAt(newPin(fk))} " +
+                            s"WHERE ${j.condSql})"),
+                          SignCol))
+                      }
+                    val flips: Seq[DeltaTerm] =
+                      if (!movedWins.exists(_._1 == fk)) Nil
+                      else {
+                        def pred(oldNeg: String, newNeg: String): String =
+                          s"EXISTS (SELECT 1 FROM ${q(chgViews(fk))} AS ${q(fk)} WHERE ${j.condSql}) " +
+                            s"AND ${oldNeg}EXISTS (SELECT 1 FROM ${factAt(oldPin(fk))} WHERE ${j.condSql}) " +
+                            s"AND ${newNeg}EXISTS (SELECT 1 FROM ${factAt(newPin(fk))} WHERE ${j.condSql})"
+                        val from =
+                          s"graft.${q(j.key)} VERSION AS OF ${oldPin(j.key)}$emptyFact"
+                        Seq(
+                          DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
+                          DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
+                      }
+                    deltaTerm ++ flips
+                  }
                 val terms = names2.indices
                   .filter(i => movedWins.exists(_._1 == names2(i)))
-                  .map(i => DeltaTerm(termFrom(i), None, SignCol)) ++ flipTerms
+                  .map(i => DeltaTerm(termFrom(i), None, SignCol)) ++
+                  flipTerms ++ fullTerms
                 val deltaView = ("__graft_mv_delta_" + tag)
                   .replaceAll("[^A-Za-z0-9_]", "_")
                 spark.sql(joinDeltaSelectSql(st, terms, storeSt.schema))

@@ -2935,6 +2935,52 @@ object Roundtrips {
       .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
   }
 
+  /** FULL OUTER join MV ([[MatViews]]): both null-extension families
+    * materialize (orphan facts under NULL dim groups; unmatched dims as
+    * right-null-extension rows with NULL fact aggregates) and maintain
+    * incrementally — the LEFT machinery covers the matched + fact-side
+    * halves, and the FULL-specific terms emit the dim-side ones: ΔD rows
+    * unmatched in fact@NEW (± with the feed's signs) and dim@OLD rows
+    * whose match-existence flips as the fact side changes. The hash pins
+    * a fact window that both ADDS orphans and RETRACTS right-null
+    * extensions (new facts matching previously-unmatched dims), then a
+    * dim DELETE that orphans matched facts; both mode flags pinned.
+    */
+  val dsv2MvFullJoin: QueryDef = QueryDef(
+    "dsv2_mv_full_join",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 8 IN (0, 1)),
+      |dim AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 5 <> 2 AND c_custkey % 7 <> 3)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS incr_fact, TRUE AS incr_dim
+      |FROM fact FULL OUTER JOIN dim ON ck = dk GROUP BY seg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_fj")
+    val fact = freshGraftTable(spark, "mem_mvfj_fact", "(k BIGINT, ck BIGINT, v BIGINT)")
+    val dim = freshGraftTable(spark, "mem_mvfj_dim", "(dk BIGINT, seg STRING)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 8 === rem)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 1000).cast("long").as("v"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 =!= 2)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(dim).append()
+    slice(0).writeTo(fact).append()
+    spark.sql("CALL graft.create_materialized_view('mv_fj', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvfj_fact FULL OUTER JOIN graft.mem_mvfj_dim ON ck = dk GROUP BY seg')")
+    slice(1).writeTo(fact).append() // adds orphans AND retracts right-null-exts
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_fj')").head()
+    spark.sql(s"DELETE FROM $dim WHERE dk % 7 = 3") // orphans matched facts
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_fj')").head()
+    spark.sql("SELECT seg, n, sv FROM graft.mv_fj")
+      .withColumn("incr_fact", lit(r1.getString(1) == "incremental"))
+      .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2951,5 +2997,5 @@ object Roundtrips {
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
       dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin,
-      dsv2MvLeftChain)
+      dsv2MvLeftChain, dsv2MvFullJoin)
 }

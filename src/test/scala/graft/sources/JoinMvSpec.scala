@@ -479,12 +479,93 @@ class JoinMvSpec extends SparkSpec {
         "RIGHT JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
     }
     assert(right.getMessage.contains("not supported"))
+    // FULL OUTER is two-table only: inside a chain it rejects
     val full = intercept[Exception] {
       spark.sql("CALL graft.create_materialized_view('lmv3', " +
-        "'SELECT seg, count(*) AS n FROM graft.lmv3_f " +
-        "FULL OUTER JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
+        "'SELECT seg, region, count(*) AS n FROM graft.lmv3_f " +
+        "FULL OUTER JOIN graft.lmv3_d1 ON ck = dk " +
+        "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region')").collect()
     }
-    assert(full.getMessage.contains("not supported"))
+    assert(full.getMessage.contains("single two-table"))
+  }
+
+  test("a FULL OUTER join MV folds both-side null-extension flips incrementally") {
+    catalogOn(); dropMv("fmv")
+    spark.sql("DROP TABLE IF EXISTS graft.fmv_f")
+    spark.sql("DROP TABLE IF EXISTS graft.fmv_d")
+    spark.sql("CREATE TABLE graft.fmv_f (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.fmv_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.fmv_f VALUES (1, 10, 100), (2, 99, 200), (3, NULL, 300)")
+    spark.sql("INSERT INTO graft.fmv_d VALUES (10, 'a'), (20, 'b')")
+    spark.sql("CALL graft.create_materialized_view('fmv', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.fmv_f FULL OUTER JOIN graft.fmv_d ON ck = dk GROUP BY seg')")
+    // fact orphans land in the NULL group; the unmatched dim row 20 is a
+    // RIGHT-null-extension row (its fact columns NULL → sv is NULL)
+    assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.fmv")) ===
+      Seq(Seq("a", 1L, 100L), Seq("b", 1L, null), Seq(null, 2L, 500L)))
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql("SELECT seg, count(*) AS n, sum(v) AS sv " +
+        "FROM graft.fmv_f FULL OUTER JOIN graft.fmv_d ON ck = dk GROUP BY seg"))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    def refreshedMatchesDirect(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('fmv')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, n, sv FROM graft.fmv")) === direct(),
+        "the folded store must equal the direct recomputation")
+    }
+    // fact insert that MATCHES the dim-orphan 20: the right-null-ext row
+    // for 'b' must retract (U_R flip −1 on the fact window) as the
+    // matched row appears
+    spark.sql("INSERT INTO graft.fmv_f VALUES (4, 20, 400)")
+    refreshedMatchesDirect()
+    // dim insert that ADOPTS the fact-orphan 99 (U_L flip −1), plus a
+    // brand-new dim orphan (U_R delta: ΔD anti-joined fact@NEW)
+    spark.sql("INSERT INTO graft.fmv_d VALUES (99, 'c'), (77, 'd')")
+    refreshedMatchesDirect()
+    // fact delete that re-orphans dim 20: its right-null-extension row
+    // must REAPPEAR (U_R flip +1)
+    spark.sql("DELETE FROM graft.fmv_f WHERE k = 4")
+    refreshedMatchesDirect()
+    // dim delete of a matched row: its fact rows flip to the NULL group
+    // (U_L flip +1) while the dim row's own presence leaves
+    spark.sql("DELETE FROM graft.fmv_d WHERE dk = 10")
+    refreshedMatchesDirect()
+    // mixed same-window churn on BOTH sides
+    spark.sql("INSERT INTO graft.fmv_f VALUES (5, 77, 500), (6, 55, 600)")
+    spark.sql("DELETE FROM graft.fmv_d WHERE dk = 99")
+    spark.sql("INSERT INTO graft.fmv_d VALUES (55, 'e')")
+    refreshedMatchesDirect()
+    // retroactive dim update (±pair through the inner term; existence
+    // unchanged on both sides)
+    spark.sql("UPDATE graft.fmv_d SET seg = 'a' WHERE dk IN (77, 55)")
+    refreshedMatchesDirect()
+    dropMv("fmv")
+  }
+
+  test("FULL MV extremes force full on any movement") {
+    catalogOn(); dropMv("fmv2")
+    spark.sql("DROP TABLE IF EXISTS graft.fmv2_f")
+    spark.sql("DROP TABLE IF EXISTS graft.fmv2_d")
+    spark.sql("CREATE TABLE graft.fmv2_f (ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.fmv2_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.fmv2_f VALUES (1, 10), (9, 90)")
+    spark.sql("INSERT INTO graft.fmv2_d VALUES (1, 'a'), (7, 'q')")
+    spark.sql("CALL graft.create_materialized_view('fmv2', " +
+      "'SELECT seg, min(v) AS lo, count(*) AS n " +
+      "FROM graft.fmv2_f FULL OUTER JOIN graft.fmv2_d ON ck = dk GROUP BY seg')")
+    // even a fact-side INSERT-ONLY window can retract a right-null-
+    // extension row (matching the dim orphan) — extremes always force
+    // the full path on a FULL MV
+    spark.sql("INSERT INTO graft.fmv2_f VALUES (7, 70)")
+    assert(spark.sql("CALL graft.refresh_materialized_view('fmv2')")
+      .head().getString(1) === "full",
+      "any moved window with extremes on a FULL MV must recompute")
+    assert(rowsOf(spark.sql("SELECT seg, lo, n FROM graft.fmv2")) ===
+      Seq(Seq("a", 10L, 1L), Seq(null, 90L, 1L), Seq("q", 70L, 1L)))
+    dropMv("fmv2")
   }
 
   test("a double-LEFT chain folds every flip combination incrementally") {
