@@ -205,10 +205,14 @@ object DistributedDml {
   /** Spec observability: the tasks of the most recent job — pinned so
     * DistributedDmlSpec can assert the match pass's read schema is the
     * predicate footprint and that kill state rides the broadcast, not
-    * the closure.
+    * the closure. CAPTURE-GATED: production never retains a job's task
+    * seq (schemas + predicates per candidate file) past the job; specs
+    * flip [[captureTasks]] on around the statement under test.
     */
   private[graft] val lastTasks =
     new java.util.concurrent.atomic.AtomicReference[Seq[EvalTask]](Nil)
+
+  @volatile private[graft] var captureTasks = false
 
   /** One task per candidate file (the same granularity the scan and the
     * distributed compaction use); results keyed by batch id. Kill state
@@ -218,7 +222,7 @@ object DistributedDml {
       kills: Map[Long, KillState]): Map[Long, EvalResult] =
     if (tasks.isEmpty) Map.empty
     else {
-      lastTasks.set(tasks)
+      if (captureTasks) lastTasks.set(tasks)
       val bcKills = sc.broadcast(kills)
       try sc.parallelize(tasks, tasks.size)
         .map(t => evalBatch(t, bcKills.value.getOrElse(t.batchId, EmptyKills)))
@@ -250,16 +254,15 @@ object DistributedDml {
       val bcKeys = sc.broadcast(keys)
       try sc.parallelize(tasks, tasks.size).map { t =>
         val probe = EqProbe(t.keyIdx, t.keyTypes, bcKeys.value)
-        val dead =
-          if (t.dvDead == null) Set.empty[Int]
-          else PosBitmap.toArray(t.dvDead).toSet
+        // decoded-bitmap membership, not a boxed Set[Int] build
+        val dead = PosBitmap.membership(t.dvDead)
         val out = new ArrayBuffer[Int]
         val it = ParquetRows.iterator(t.path, t.matchSchema)
         try {
           var pos = 0
           while (it.hasNext) {
             val r = it.next()
-            if (!dead.contains(pos) && probe.kills(r)) out += pos
+            if (!dead(pos) && probe.kills(r)) out += pos
             pos += 1
           }
         } finally it.close()

@@ -844,7 +844,10 @@ object MatViews {
       st.foreach { s =>
         val gen = try {
           val root = mapper.readTree(bytes)
-          Option(root.get("commit-gen")).map(_.asLong).getOrElse(0L)
+          // legacy journal (no commit-gen) on a pointer-swap scheme:
+          // expect the pointer's sequence, not 0 ([[MetaIO.legacyGen]])
+          Option(root.get("commit-gen")).map(_.asLong)
+            .getOrElse(MetaIO.legacyGen(dir, JournalName))
         } catch { case _: Exception => 0L }
         journalGens.put(s.name, gen)
       }

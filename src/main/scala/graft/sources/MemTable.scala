@@ -1036,6 +1036,41 @@ object MemTables {
             s"table ${st.tableKey}: ${e.getMessage}", e)
       }
 
+  /** Bounded RELOAD-AND-RETRY around a connector commit whose durable
+    * publish can CAS-reject when another PROCESS committed this table
+    * since our state loaded ([[persistMeta]] evicts the superseded state
+    * and throws). The retry recovers the winner's durable truth via
+    * [[get]] and REPLAYS the operation on top — both writers' changes
+    * survive, with no caller intervention. Sound because every routed
+    * operation re-validates against the recovered state when it replays:
+    * appends re-mint batch ids, truncates/overwrites re-evaluate against
+    * the current batches, epoch commits are idempotent per (query,
+    * epoch), and the row-level publishes re-run their full
+    * snapshot-isolation checks ([[applyDelta]]/[[replaceBatches]]) — a
+    * GENUINE conflict (the winner touched our scanned rows) still fails
+    * loudly from those checks, which is exactly snapshot isolation.
+    * Bounded so a livelock against a pathological commit storm surfaces
+    * instead of spinning.
+    */
+  private[sources] def withCommitRetry[A](key: String, maxRetries: Int = 3)(
+      op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException
+            if attempt < maxRetries &&
+              e.getCause.isInstanceOf[MetaIO.CommitConflictException] =>
+          attempt += 1
+          // recovery reload: the conflicting persist already evicted the
+          // stale state; get() re-reads the durable plane (the winner's
+          // commit included) and the loop replays this op on top
+          if (get(key).isEmpty) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Name of the metadata column every mem table exposes: the version of
     * the committed batch each row belongs to (`SELECT _batch_version, *`).
     * It is the lineage handle — which commit produced this row — and the
@@ -4354,7 +4389,7 @@ final class MemScan(
         var histogrammable = histogramsOn && planned.nonEmpty
         val samplePairs = Vector.newBuilder[(Array[Double], Double)]
         val boundType = boundSchema(n).dataType
-        // STRING columns sample too (prefix double image), but their
+        // STRING columns sample too (full-value hash image), but their
         // samples feed ONLY the skew-aware effective NDV below — never a
         // catalyst histogram: catalyst's join estimator crashes on a
         // string-typed histogram (computeByHistogram unconditionally does
@@ -5056,9 +5091,10 @@ final class MemRowLevelWriteBuilder(
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new MemWriterFactory
       override def commit(messages: Array[WriterCommitMessage]): Unit =
-        MemTables.replaceBatches(
+        // CAS-reject replay re-runs replaceBatches' optimistic checks
+        MemTables.withCommitRetry(key)(MemTables.replaceBatches(
           key, state.groupVersions, state.scannedVersion, writeSchema,
-          messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq)
+          messages.map(_.asInstanceOf[MemCommitMessage].rows).toSeq))
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
@@ -5167,11 +5203,14 @@ final class MemDeltaBatchWrite(
     new MemDeltaWriterFactory
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[MemDeltaCommitMessage])
-    MemTables.applyDelta(
+    // CAS-reject replay re-runs applyDelta's snapshot-isolation checks
+    // against the recovered state — a disjoint foreign commit lands both
+    // writers, an overlapping one still fails loudly from the validation
+    MemTables.withCommitRetry(key)(MemTables.applyDelta(
       key, state.scannedVersion, writeSchema,
       msgs.flatMap(_.deletes).toSeq,
       msgs.map(_.inserts).toSeq,
-      msgs.flatMap(_.updates).toSeq)
+      msgs.flatMap(_.updates).toSeq))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -5340,12 +5379,14 @@ final class MemStreamingWrite(
     new MemStreamingWriterFactory(MemWriterFactory.forTable(key, writeSchema))
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rows = MemWriterFactory.payloadsOf(messages)
-    upsertKeys match {
+    // epoch publishes are idempotent per (queryId, epochId), so the
+    // CAS-reject replay is exactly-once either way
+    MemTables.withCommitRetry(key)(upsertKeys match {
       case Some(ks) if !truncate =>
         MemTables.commitEpochUpsert(key, queryId, epochId, writeSchema, ks, rows)
       case _ =>
         MemTables.commitEpoch(key, queryId, epochId, truncate, writeSchema, rows)
-    }
+    })
     // epoch-commit maintenance, AFTER the table monitor released:
     // 'auto-refresh' MVs over this table fold the epoch's window in (the
     // rewrite keeps serving a continuously-written source), and the
@@ -5386,12 +5427,14 @@ final class MemBatchWrite(key: String, mode: MemWriteMode, writeSchema: StructTy
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = MemWriterFactory.payloadsOf(messages)
-    mode match {
+    // a cross-process CAS reject reloads the winner's state and replays
+    // ([[MemTables.withCommitRetry]]) — the losing writer still lands
+    MemTables.withCommitRetry(key)(mode match {
       case MemAppend => MemTables.commit(key, truncate = false, writeSchema, rows)
       case MemTruncate => MemTables.commit(key, truncate = true, writeSchema, rows)
       case MemOverwriteFilter(fs) => MemTables.commitOverwrite(key, fs, writeSchema, rows)
       case MemOverwriteDynamic => MemTables.commitOverwriteDynamic(key, writeSchema, rows)
-    }
+    })
     // post-commit layout maintenance (no monitor held): fold small-file
     // fragmentation once the live batch count crosses the table's
     // declared threshold ('graft.auto-compact-min-files')

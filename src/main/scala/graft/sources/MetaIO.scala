@@ -217,9 +217,24 @@ private[sources] object MetaIO {
           status match {
             case Some(s) if System.currentTimeMillis() - s.getModificationTime >
                 LockStaleMs =>
-              // crashed holder: break the lock and retry the create
-              try { fsys.delete(lockPath, false); () } catch { case _: Exception => () }
-            case None => () // vanished between create and stat: retry now
+              // crashed holder: break via ATOMIC RENAME to a unique name —
+              // only one breaker's rename succeeds (a plain delete would
+              // let two processes both observe staleness, one delete the
+              // other's FRESH re-created lock, and both "hold" it). Rename
+              // preserves mtime, so statting the renamed file re-verifies
+              // staleness AFTER winning the race: a live lock grabbed in
+              // the stat→rename gap (holder released + new acquire inside
+              // that window) is restored instead of broken.
+              breakStaleLock(fsys, lockPath, localLock)
+            case None =>
+              // vanished between create and stat — OR the create itself
+              // persistently fails (table dir dropped, permissions) with
+              // no lock present: accrue toward the timeout either way so
+              // a hot failure loop surfaces instead of spinning forever
+              if (waitedMs > LockStaleMs * 2)
+                throw new IllegalStateException(
+                  s"cannot acquire commit lock $lockPath after ${waitedMs}ms")
+              Thread.sleep(10); waitedMs += 10
             case _ =>
               if (waitedMs > LockStaleMs * 2)
                 throw new IllegalStateException(
@@ -237,6 +252,48 @@ private[sources] object MetaIO {
         }
       } catch { case _: Exception => () }
     }
+  }
+
+  /** Break a stale commit lock atomically: rename it to a unique name
+    * (exactly one racing breaker wins the rename; losers throw/return
+    * false and loop back to the create race), then re-verify staleness on
+    * the renamed file — rename preserves mtime, so a FRESH mtime means a
+    * live holder's lock was grabbed in the stat→rename gap and is renamed
+    * back; a stale one is deleted. All failures are swallowed: the caller
+    * loops and re-enters the create race regardless.
+    */
+  private def breakStaleLock(fsys: FileSystem, lockPath: Path,
+      localLock: Option[java.nio.file.Path]): Unit = {
+    val brokenName = lockPath.getName + ".broken-" +
+      UUID.randomUUID().toString.take(8)
+    try localLock match {
+      case Some(p) =>
+        val broken = p.resolveSibling(brokenName)
+        java.nio.file.Files.move(p, broken,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val mtime = java.nio.file.Files.getLastModifiedTime(broken).toMillis
+        if (System.currentTimeMillis() - mtime > LockStaleMs)
+          { java.nio.file.Files.deleteIfExists(broken); () }
+        else {
+          // stole a LIVE lock: restore it (if its holder or a waiter
+          // already re-created the name, just drop the duplicate)
+          try java.nio.file.Files.move(broken, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Exception =>
+            java.nio.file.Files.deleteIfExists(broken); () }
+          ()
+        }
+      case None =>
+        val broken = new Path(lockPath.getParent, brokenName)
+        if (fsys.rename(lockPath, broken)) {
+          val st = try Some(fsys.getFileStatus(broken)) catch { case _: Exception => None }
+          if (st.forall(s =>
+              System.currentTimeMillis() - s.getModificationTime > LockStaleMs))
+            { fsys.delete(broken, false); () }
+          else if (!fsys.rename(broken, lockPath))
+            { fsys.delete(broken, false); () }
+        }
+    } catch { case _: Exception => () }
   }
 
   /** Atomically publish `<dir>/<name>` (e.g. `metadata.json`) with the
@@ -361,23 +418,34 @@ private[sources] object MetaIO {
         val st = try Some(fsys.getFileStatus(snapPath)) catch { case _: Exception => None }
         st.exists(s => System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
       }
+      // OUR OWN orphan from a failed pointer PUT last attempt: the
+      // snapshot landed, the pointer write threw, and the retry at the
+      // same expected generation recomputes the same seq — without this
+      // record the fresh orphan wedges every retry for LockStaleMs even
+      // though no foreign writer exists. Process-local by design: a
+      // cross-restart retry waits out the stale window as before.
+      def ownOrphan: Boolean =
+        expectedGen.isDefined && pendingSnap.get(cursorKey).contains(seq)
       val overwriteOrphan = coldList match {
         case Some(existing) => expectedGen.isDefined && existing.get(seq).exists(s =>
           System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
         case None => false // warm path: probe only if the create collides
       }
-      try writeAll(snapPath, bytes, overwrite = overwriteOrphan)
+      try writeAll(snapPath, bytes, overwrite = overwriteOrphan || ownOrphan)
       catch {
         case _: Exception if expectedGen.isDefined =>
           // warm-path collision: one stat decides crashed-orphan adoption
-          // vs a genuine concurrent commit
+          // vs a genuine concurrent commit (own fresh orphans were already
+          // adopted via the overwrite flag above)
           if (!overwriteOrphan && adoptableOrphan)
             writeAll(snapPath, bytes, overwrite = true)
           else throw new CommitConflictException(dir, name, expectedGen.get)
         case e: Exception => throw e
       }
+      pendingSnap.put(cursorKey, seq) // snapshot durable, pointer not yet
       val ptr = s"""{"format-version":2,"pointer":"$snap"}"""
       writeAll(target, ptr.getBytes("UTF-8"), overwrite = true) // one PUT
+      pendingSnap.remove(cursorKey)
       // keep current + previous; older snapshots are superseded. Cold
       // path: sweep everything the listing saw below seq-1. Warm path:
       // one delete at the dense predecessor's deterministic name.
@@ -401,6 +469,27 @@ private[sources] object MetaIO {
   // cursor lets CAS commits skip the directory listing entirely (the
   // create-if-absent at the dense next name IS the conflict check)
   private val seqCursor = TrieMap.empty[String, Long]
+
+  // per-(dir, base) snapshot sequence written but whose pointer PUT has
+  // not (yet) succeeded — lets a retry adopt its OWN fresh orphan
+  // immediately instead of waiting out the stale window
+  private val pendingSnap = TrieMap.empty[String, Long]
+
+  /** The CAS generation a caller must expect for a loaded document that
+    * carries NO `commit-gen` field (a legacy, pre-CAS doc). Rename-capable
+    * schemes: 0 — [[fileGen]] reads the same 0, so the first CAS commit
+    * lands at generation 1. Pointer-swap schemes: the pointer's snapshot
+    * SEQUENCE (sequence IS the generation in the CAS protocol — every
+    * commit writes `base-<gen>.json`); expecting 0 there would trip the
+    * `pointerSeq > expected` conflict check on every commit and wedge the
+    * table permanently, since eviction + reload re-derives 0 forever.
+    * The first CAS commit against such a table lands at legacy-seq + 1.
+    */
+  def legacyGen(dir: String, name: String): Long = {
+    val target = new Path(dir, name)
+    if (renameCapable(target)) 0L
+    else pointerSeq(target, name.stripSuffix(".json")).getOrElse(0L)
+  }
 
   /** The sequence number the pointer file currently names — None when the
     * pointer is absent, torn, or a legacy full document.

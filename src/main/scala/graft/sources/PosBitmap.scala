@@ -39,6 +39,16 @@ object PosBitmap {
   /** Decode back to sorted positions. */
   def toArray(bytes: Array[Byte]): Array[Int] = deserialize(bytes).toArray
 
+  /** Membership probe over the DESERIALIZED bitmap — hot-loop form for
+    * per-row dead checks: `RoaringBitmap.contains` on the decoded bitmap,
+    * no boxed `Set[Int]` build, no per-call decode.
+    */
+  def membership(bytes: Array[Byte]): Int => Boolean = {
+    if (bytes == null || bytes.isEmpty) return _ => false
+    val bm = deserialize(bytes)
+    pos => bm.contains(pos)
+  }
+
   def cardinality(bytes: Array[Byte]): Int =
     deserialize(bytes).getCardinality
 

@@ -539,8 +539,12 @@ object TableMetadata {
     st.tableUuid = Option(root.get("table-uuid")).map(_.asText)
       .getOrElse(new java.io.File(dir).getName)
     // the generation this state was LOADED AT: the next commit CASes
-    // against exactly this, so a foreign commit after this load conflicts
-    st.durableGen = Option(root.get("commit-gen")).map(_.asLong).getOrElse(0L)
+    // against exactly this, so a foreign commit after this load conflicts.
+    // A legacy doc (no commit-gen) on a pointer-swap scheme must expect
+    // the CURRENT pointer sequence, not 0 — else every commit conflicts
+    // against the legacy snapshot's sequence and the table wedges
+    st.durableGen = Option(root.get("commit-gen")).map(_.asLong)
+      .getOrElse(MetaIO.legacyGen(dir, FileName))
     st.version = root.get("version").asLong
     st.earliestVersion = root.get("earliest-version").asLong
     st.nextBatchId = root.get("next-batch-id").asLong

@@ -220,9 +220,9 @@ final class StatsAccumulator(schema: StructType,
     if (cmps(i) != null && bloomCols.contains(fields(i).name))
       BatchBloom.empty() else null).toArray
   // double image + sampler per sampled column: numeric/date/timestamp
-  // (the catalyst histogram domain) plus STRING via the order-preserving
-  // prefix image (feeds the skew-aware effective NDV at planning — never
-  // a catalyst histogram)
+  // (the catalyst histogram domain) plus STRING via the full-value hash
+  // image (feeds the skew-aware effective NDV at planning — never a
+  // catalyst histogram)
   private val toDouble = fields.map(f =>
     if (statsComparator(f.dataType).isEmpty) null
     else SampleSketch.statsDouble(f.dataType)
@@ -323,35 +323,27 @@ object SampleSketch {
     }
   }
 
-  /** Order-preserving double image of a STRING value: the first 8 bytes
-    * of UTF-8, big-endian, as an unsigned fraction in [0, 1) — two
-    * strings order (by UTF-8 binary order, exactly [[statsComparator]]'s
-    * string order) the same way their images do, up to the 8-byte prefix.
-    * Feeds per-batch SAMPLES for string columns; planning derives the
-    * skew-aware effective NDV from them. It must NEVER become a catalyst
-    * histogram: catalyst's join estimator crashes on a string-typed
-    * histogram (`computeByHistogram` does `newMin.get.toString.toDouble`,
-    * and `ValueInterval.intersect` on StringType returns `(None, None)` —
-    * verified against the Spark 4.1.2 bytecode), so the planning side
-    * reports string histograms nowhere.
+  /** Double image of a STRING value: the FULL value's 64-bit hash
+    * ([[NdvSketch.hashOf]]) as a fraction in [0, 1) — distinct strings
+    * map to distinct images (up to 53-bit hash collisions, negligible at
+    * the 512-value sample cap), so per-value sample masses measure VALUE
+    * skew, never prefix concentration. A prefix image here would collapse
+    * a high-cardinality column dominated by one prefix (URLs, paths) to
+    * one sampled "value" and report NDV≈1 to catalyst for a near-unique
+    * column. Feeds per-batch SAMPLES for string columns; planning derives
+    * the skew-aware effective NDV from them (an order-free statistic —
+    * the hash image loses ordering, which nothing downstream reads). It
+    * must NEVER become a catalyst histogram: catalyst's join estimator
+    * crashes on a string-typed histogram (`computeByHistogram` does
+    * `newMin.get.toString.toDouble`, and `ValueInterval.intersect` on
+    * StringType returns `(None, None)` — verified against the Spark 4.1.2
+    * bytecode), so the planning side reports string histograms nowhere.
     */
   def stringDouble(dt: org.apache.spark.sql.types.DataType): Option[Any => Double] =
     dt match {
       case org.apache.spark.sql.types.StringType => Some { v =>
-        val b = v match {
-          case u: UTF8String => u.getBytes
-          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          case other => String.valueOf(other)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        }
-        var bits = 0L
-        var i = 0
-        while (i < 8) {
-          bits = (bits << 8) | (if (i < b.length) b(i) & 0xFFL else 0L)
-          i += 1
-        }
-        // unsigned 64 → [0, 1): top 53 bits keep exact double order
-        (bits >>> 11).toDouble / (1L << 53).toDouble
+        // unsigned 64-bit hash → [0, 1) via the top 53 bits
+        (NdvSketch.hashOf(v) >>> 11).toDouble / (1L << 53).toDouble
       }
       case _ => None
     }

@@ -27,7 +27,7 @@ class CommitCasSpec extends SparkSpec {
       case e => e.getMessage != null && e.getMessage.contains("concurrent commit")
     }
 
-  test("racing table commits: loser rejects, retry preserves both writers") {
+  test("racing table commits: loser reloads and lands WITHOUT caller retry") {
     catalogOn(); drop("cas_t")
     spark.sql("CREATE TABLE graft.cas_t (k BIGINT) " +
       "TBLPROPERTIES ('graft.storage'='parquet')")
@@ -40,19 +40,50 @@ class CommitCasSpec extends SparkSpec {
     val (_, foreign) = TableMetadata.load(dir).get
     foreign.tags += ("foreign_tag" -> 1L)
     TableMetadata.write(foreign)
-    // DRIVER A (the registry) is now one generation behind: its next
-    // commit must LOSE — loudly, before overwriting driver B's tag
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft.cas_t VALUES (2)")
-    }
-    assert(isConflict(e), s"expected a commit conflict, got: $e")
-    // the retry recovers the durable truth (driver B's commit included)
-    // and lands on top: BOTH writers' changes survive
+    // DRIVER A (the registry) is now one generation behind: its commit
+    // CAS-rejects internally, reloads the durable truth (driver B's tag
+    // included), REPLAYS, and SUCCEEDS — no caller-visible failure, no
+    // lost update on either side ([[MemTables.withCommitRetry]])
     spark.sql("INSERT INTO graft.cas_t VALUES (2)")
     assert(spark.table("graft.cas_t").count() === 2L)
     assert(MemTables.get("cas_t").get.tags.get("foreign_tag") === Some(1L),
       "the foreign commit must not be lost")
     drop("cas_t")
+  }
+
+  test("a genuine row-level conflict still fails loudly after reload") {
+    catalogOn(); drop("cas_mor")
+    spark.sql("CREATE TABLE graft.cas_mor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', " +
+      "'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.cas_mor VALUES (1, 10), (2, 20)")
+    val dir = MemTables.get("cas_mor").get.storageDir.get
+    // DRIVER B publishes an EQUALITY DELETE through an independent state:
+    // the interleaved kill could overlap rows driver A's UPDATE re-inserts
+    // as post-images, so the replayed delta must REJECT (applyDelta's own
+    // snapshot-isolation validation), not silently publish — the
+    // auto-retry must never launder a GENUINE conflict into a lost update
+    val (_, foreign) = TableMetadata.load(dir).get
+    foreign.synchronized {
+      foreign.version += 1
+      foreign.eqDeletes = foreign.eqDeletes :+
+        MemTables.EqDelete(foreign.version, Seq("k"), Set(Seq(2L)))
+      foreign.stamp("delete")
+    }
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.cas_mor SET v = v + 1 WHERE k = 1")
+    }
+    assert(causeChain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("equality deletes")),
+      s"expected the equality-delete conflict validation, got: $e")
+    // the loud failure evicted nothing durable: a fresh statement sees
+    // the winner's delete and completes
+    spark.sql("UPDATE graft.cas_mor SET v = v + 1 WHERE k = 1")
+    val rows = spark.sql("SELECT k, v FROM graft.cas_mor ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 11L)),
+      s"row 2 must be dead and row 1 updated EXACTLY ONCE, got $rows")
+    drop("cas_mor")
   }
 
   test("racing MV refreshes: journal CAS rejects the stale driver, retry recovers") {

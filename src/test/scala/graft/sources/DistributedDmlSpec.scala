@@ -178,8 +178,10 @@ class DistributedDmlSpec extends SparkSpec {
       "TBLPROPERTIES ('graft.storage'='parquet')")
     spark.sql("INSERT INTO graft.dml_prune SELECT id, id * 2, " +
       "cast(id AS string), id * 0.5, id + 7, 'x' FROM range(0, 100)")
-    spark.sql("DELETE FROM graft.dml_prune WHERE e >= 57 AND e < 67")
-    val tasks = DistributedDml.lastTasks.get()
+    DistributedDml.captureTasks = true
+    try spark.sql("DELETE FROM graft.dml_prune WHERE e >= 57 AND e < 67")
+    finally DistributedDml.captureTasks = false
+    val tasks = DistributedDml.lastTasks.getAndSet(Nil)
     assert(tasks.nonEmpty)
     tasks.foreach { t =>
       assert(t.matchSchema.fieldNames.toSeq === Seq("e"),
@@ -200,8 +202,10 @@ class DistributedDmlSpec extends SparkSpec {
     spark.sql("DELETE FROM graft.dml_bcast WHERE v < 10000") // 10k DV entries
     // second delete: the candidate batches now carry 10k dead positions
     // between them — those ride the broadcast, never the task closure
-    spark.sql("DELETE FROM graft.dml_bcast WHERE v >= 19000")
-    val tasks = DistributedDml.lastTasks.get()
+    DistributedDml.captureTasks = true
+    try spark.sql("DELETE FROM graft.dml_bcast WHERE v >= 19000")
+    finally DistributedDml.captureTasks = false
+    val tasks = DistributedDml.lastTasks.getAndSet(Nil)
     assert(tasks.nonEmpty)
     val sizes = tasks.map { t =>
       val bo = new java.io.ByteArrayOutputStream()

@@ -125,6 +125,69 @@ class MetaIOSpec extends SparkSpec {
     val _ = local
   }
 
+  private def gened(gen: Long, v: Int): Array[Byte] =
+    s"""{"commit-gen":$gen,"format-version":2,"payload":$v}""".getBytes("UTF-8")
+
+  test("a legacy pointer-swap table (no commit-gen) does not wedge CAS commits") {
+    val (dir, local) = freshDir()
+    // pre-CAS plane: uuid-suffixed snapshot at sequence 5 behind a
+    // pointer, document carries NO commit-gen — a loader that derived
+    // generation 0 from the doc alone would conflict against the legacy
+    // sequence on every commit, forever (evict + reload re-derives 0)
+    java.nio.file.Files.write(
+      new java.io.File(local, "metadata-000000000005-aabbccddeeff.json").toPath,
+      doc(5))
+    java.nio.file.Files.write(new java.io.File(local, "metadata.json").toPath,
+      """{"format-version":2,"pointer":"metadata-000000000005-aabbccddeeff.json"}"""
+        .getBytes("UTF-8"))
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 5)
+    // the loader's fallback: the pointer's sequence IS the generation
+    val gen = MetaIO.legacyGen(dir, "metadata.json")
+    assert(gen === 5L)
+    MetaIO.commitCas(dir, "metadata.json", gened(gen + 1, 6), expectedGen = gen)
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 6)
+    // and the plane is fully CAS-native from here on
+    MetaIO.commitCas(dir, "metadata.json", gened(gen + 2, 7), expectedGen = gen + 1)
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 7)
+    // rename-capable schemes keep the 0 expectation (fileGen reads 0 too)
+    assert(MetaIO.legacyGen(
+      java.nio.file.Files.createTempDirectory("graft-lg").toString,
+      "metadata.json") === 0L)
+  }
+
+  test("a failed pointer PUT does not wedge the retry (own orphan adopted)") {
+    val local = java.nio.file.Files.createTempDirectory("graft-metaio").toFile
+    val dir = s"graftflaky://${local.getAbsolutePath}"
+    MetaIO.commitCas(dir, "metadata.json", gened(1, 1), expectedGen = 0)
+    // snapshot 2 lands, then the pointer PUT fails (injected): the commit
+    // surfaces the IO error with the pointer still naming snapshot 1
+    FlakyPointerFileSystem.failNextPointerPuts.set(1)
+    intercept[java.io.IOException] {
+      MetaIO.commitCas(dir, "metadata.json", gened(2, 2), expectedGen = 1)
+    }
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 1)
+    // the retry at the SAME generation recomputes the same sequence and
+    // must adopt its OWN fresh orphan immediately — not conflict against
+    // it for the whole 60 s stale window
+    MetaIO.commitCas(dir, "metadata.json", gened(2, 22), expectedGen = 1)
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 22)
+  }
+
+  test("a stale commit lock is broken atomically and leaves no residue") {
+    val local = java.nio.file.Files.createTempDirectory("graft-metaio").toFile
+    val dir = local.getAbsolutePath // file scheme: lock-bracketed CAS
+    val lock = new java.io.File(local, "metadata.json.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 2 * MetaIO.LockStaleMs))
+    // a crashed holder's stale lock must not block the commit; the break
+    // rides an atomic rename (no delete/create double-break window) and
+    // cleans up its unique rename target
+    MetaIO.commitCas(dir, "metadata.json", gened(1, 1), expectedGen = 0)
+    assert(payloadOf(MetaIO.readCurrent(dir, "metadata.json").get) === 1)
+    assert(!local.listFiles().exists(_.getName.contains(".lock")),
+      s"lock residue: ${local.listFiles().map(_.getName).mkString(",")}")
+  }
+
   test("concurrent readers during a commit storm always see a whole document") {
     val (dir, _) = freshDir()
     MetaIO.commit(dir, "metadata.json", doc(0))
