@@ -4558,7 +4558,7 @@ final class MemScan(
     // the publish can reject an interleaved commit (lost-update guard)
     rowLevel.foreach(_.scannedVersion = Some(curVersion))
     val (_, meta, _, _) = selectBatches()
-    planned.map { case (b, srcNames, dead, cut) =>
+    val parts = planned.map { case (b, srcNames, dead, cut) =>
       val key = if (spec.nonEmpty && rowLevel.isEmpty) Some(b.part) else None
       val defaults = boundSchema.fieldNames.iterator
         .filterNot(srcNames.contains)
@@ -4568,16 +4568,29 @@ final class MemScan(
         case MemTables.FileStore(path, _, _, _) =>
           // file-backed: ship the PATH (+ positions to skip and the head
           // cut); the executor streams the parquet rows itself — the
-          // driver never materializes data for a scan
+          // driver never materializes data for a scan. A cut at the full
+          // row count is no cut (lets the columnar reader skip position
+          // tracking entirely on the plain-scan fast path).
           MemPartition(b.schema, b.version, srcNames, Array.empty,
             dead.filter(_ < cut), b.batchId, key,
-            file = Some(path), cut = cut, defaults = defaults): InputPartition
+            file = Some(path), cut = if (cut >= b.rowCount) -1 else cut,
+            defaults = defaults)
         case _ =>
           val rows = if (cut == b.rowCount) b.rows else b.rows.take(cut)
           MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
-            b.batchId, key, defaults = defaults): InputPartition
+            b.batchId, key, defaults = defaults)
       }
     }.toArray
+    // uniform columnar verdict: vectorized reads only when EVERY planned
+    // partition is file-backed and projectable column-for-column (Spark
+    // rejects mixed columnar/row partitions in one scan). Row-level
+    // operation scans keep the row path — their rewrite plumbing consumes
+    // rows anyway and correctness outweighs the decode win there.
+    val columnarOk = rowLevel.isEmpty && parts.nonEmpty &&
+      parts.forall(mp => mp.file.isDefined &&
+        MemScan.columnarSupported(boundSchema, mp))
+    if (columnarOk) parts.map(mp => mp.copy(columnar = true): InputPartition)
+    else parts.map(mp => mp: InputPartition)
   }
 
   /** The slices this scan will emit — `(batch, src-name map, dead
@@ -4881,9 +4894,136 @@ object MemScan {
     * by the batch scan and the table micro-batch stream (a streamed
     * append window reads exactly like a snapshot of its batches).
     */
+  /** Era-resolved source ordinal per target field against one planned
+    * partition: -1 unresolvable, -2/-3/-4 the `_batch_version` /
+    * `_batch_id` / `_batch_pos` metadata columns — ONE definition for the
+    * row reader, the columnar reader, and the plan-time columnar
+    * support decision.
+    */
+  private[sources] def srcIndexes(target: StructType, p: MemPartition): Array[Int] =
+    target.fields.map(f =>
+      if (f.name == MemTables.BatchVersion) -2
+      else if (f.name == MemTables.BatchId) -3
+      else if (f.name == MemTables.BatchPos) -4
+      else p.srcNames.get(f.name)
+        .map(n => p.batchSchema.fieldNames.indexOf(n)).getOrElse(-1))
+
+  /** Can this partition serve the target columnarly? File-backed, every
+    * resolved column type-identical (widening keeps the row path's
+    * per-value conversion) and vectorizable, every unresolved column's
+    * default expressible as a constant vector.
+    */
+  private[sources] def columnarSupported(target: StructType, p: MemPartition): Boolean =
+    p.file.isDefined && srcIndexes(target, p).zip(target.fields).forall {
+      case (s, f) if s >= 0 =>
+        p.batchSchema.fields(s).dataType == f.dataType &&
+          ParquetColumnar.atomicSupported(f.dataType)
+      case (-1, f) =>
+        ParquetColumnar.constantSupported(p.defaults.getOrElse(f.name, null), f.dataType)
+      case _ => true // metadata columns: constants / the position vector
+    }
+
   private[sources] def readerFactoryFor(target0: StructType): PartitionReaderFactory =
     new PartitionReaderFactory {
       val target = target0 // serialized with the factory
+
+      override def supportColumnarReads(partition: InputPartition): Boolean =
+        partition match {
+          case mp: MemPartition => mp.columnar
+          case _ => false
+        }
+
+      /** VECTORIZED read of one file-backed batch ([[ParquetColumnar]]):
+        * whole column chunks decode into Spark's own `ColumnarBatch`;
+        * DV kills and head cuts filter via a survivor index map over the
+        * parquet ROW INDEX (positions exact even under row-group skips),
+        * metadata columns ride constant/position vectors — no per-row
+        * materialization anywhere on the scan path.
+        */
+      override def createColumnarReader(partition: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+        val p = partition.asInstanceOf[MemPartition]
+        val path = p.file.get
+        val srcIdx = srcIndexes(target, p)
+        val srcOrdinals = srcIdx.filter(_ >= 0).distinct.sorted
+        val ordToReq = srcOrdinals.zipWithIndex.toMap
+        val batchFields = srcOrdinals.map(p.batchSchema.fields(_))
+        val needPos = p.dead.nonEmpty || p.cut >= 0 || srcIdx.contains(-4)
+        val requested = StructType(
+          batchFields ++ (if (needPos) Seq(ParquetColumnar.rowIndexField) else Nil))
+        val posOrd = batchFields.length // row-index vector, when requested
+        val defaultVal = target.fields.map(f => p.defaults.getOrElse(f.name, null))
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private val reader = new ParquetColumnar.BatchReader(path, requested, None)
+          private var out: org.apache.spark.sql.vectorized.ColumnarBatch = _
+          private var done = false
+
+          private def assemble(
+              b: org.apache.spark.sql.vectorized.ColumnarBatch,
+              map: Array[Int], positions: Array[Int], rows: Int)
+              : org.apache.spark.sql.vectorized.ColumnarBatch = {
+            val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](target.length)
+            var j = 0
+            while (j < target.length) {
+              val s = srcIdx(j)
+              vecs(j) =
+                if (s >= 0) {
+                  val base = b.column(ordToReq(s))
+                  if (map == null) base else new ParquetColumnar.SelectedVector(base, map)
+                } else if (s == -2)
+                  ParquetColumnar.constantVector(java.lang.Long.valueOf(p.version),
+                    org.apache.spark.sql.types.LongType, rows)
+                else if (s == -3)
+                  ParquetColumnar.constantVector(java.lang.Long.valueOf(p.batchId),
+                    org.apache.spark.sql.types.LongType, rows)
+                else if (s == -4) new ParquetColumnar.PositionsVector(positions)
+                else ParquetColumnar.constantVector(defaultVal(j),
+                  target.fields(j).dataType, rows)
+              j += 1
+            }
+            new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, rows)
+          }
+
+          override def next(): Boolean = {
+            if (done) return false
+            var b = reader.nextBatch()
+            while (b != null) {
+              val n = b.numRows()
+              if (n > 0 && !needPos) { out = assemble(b, null, null, n); return true }
+              if (n > 0) {
+                // survivor map over the row-index vector: keep rows whose
+                // file position is live and under the cut
+                val posVec = b.column(posOrd)
+                val mapB = new Array[Int](n)
+                val posB = new Array[Int](n)
+                var k = 0
+                var i = 0
+                while (i < n && !done) {
+                  val pos = posVec.getLong(i).toInt
+                  if (p.cut >= 0 && pos >= p.cut) done = true
+                  else if (!p.dead.contains(pos)) {
+                    mapB(k) = i; posB(k) = pos; k += 1
+                  }
+                  i += 1
+                }
+                if (k > 0) {
+                  out = assemble(b,
+                    java.util.Arrays.copyOf(mapB, k),
+                    java.util.Arrays.copyOf(posB, k), k)
+                  return true
+                }
+                if (done) { reader.close(); return false }
+              }
+              b = reader.nextBatch()
+            }
+            done = true
+            false
+          }
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+          override def close(): Unit = reader.close()
+        }
+      }
+
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[MemPartition]
         val metaNames =
@@ -5267,7 +5407,12 @@ final case class MemPartition(
     // target column → internal EXISTS-default for columns this batch
     // predates (`ALTER ADD COLUMN ... DEFAULT`); unresolved fields read
     // this instead of NULL
-    defaults: Map[String, Any] = Map.empty)
+    defaults: Map[String, Any] = Map.empty,
+    // UNIFORM columnar verdict, stamped at plan time: Spark requires every
+    // partition of one scan to agree on columnar vs rows, so the scan
+    // stamps all partitions true only when each one individually supports
+    // the vectorized path ([[MemScan.columnarSupported]])
+    columnar: Boolean = false)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The batch's partition tuple as the V2 key row (internal values, in
     * transform order) — only consulted when the scan reported
