@@ -189,7 +189,11 @@ object DistributedDml {
       batchId: Long, path: String, schema: StructType,
       matchSchema: StructType, pred: RowPredicate,
       survivorDir: Option[String], declaredSort: Seq[String],
-      bloomCols: Set[String]) extends Serializable
+      bloomCols: Set[String],
+      // the DELETE predicate renamed to the file's field names, for
+      // parquet ROW-GROUP pruning in the match pass — advisory ([[pred]]
+      // remains the semantic evaluator; positions ride the row index)
+      pushFilters: Array[Filter] = Array.empty) extends Serializable
 
   /** `matched` is a compressed position bitmap ([[PosBitmap]]) — a
     * run-shaped million-row DELETE ships kilobytes driver-ward, not a
@@ -282,14 +286,17 @@ object DistributedDml {
     */
   private[sources] def evalBatch(t: EvalTask, kills: KillState): EvalResult = {
     val matched = new ArrayBuffer[Int]
-    val it = ParquetRows.iterator(t.path, t.matchSchema)
+    // parquet-filtered + position-aware: row groups the pushed predicate
+    // excludes never decode (they cannot hold matches), and positions
+    // stay ABSOLUTE via the row index, so DV checks and the matched
+    // bitmap are unaffected by the skips
+    val it = ParquetRows.positioned(t.path, t.matchSchema, t.pushFilters.toSeq)
     try {
-      var pos = 0
       while (it.hasNext) {
         val r = it.next()
+        val pos = it.pos.toInt
         val dead = kills.dvDead.contains(pos) || kills.probes.exists(_.kills(r))
         if (!dead && t.pred.matches(r)) matched += pos
-        pos += 1
       }
     } finally it.close()
     if (matched.isEmpty)

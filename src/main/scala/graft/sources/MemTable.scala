@@ -3049,7 +3049,7 @@ object MemTables {
     * unresolvable key column never matches.
     */
   private def matchPlanFor(st: State, b: TaggedBatch, filters: Array[Filter])
-      : (StructType, RowPredicate, Seq[EqProbe]) = {
+      : (StructType, RowPredicate, Seq[EqProbe], Array[Filter]) = {
     def res(c: String): Option[String] =
       sourceFieldName(st.eras, st.droppedAt)(c, b.writeVersion)
         .filter(n => b.schema.fieldNames.contains(n))
@@ -3079,7 +3079,14 @@ object MemTables {
       val ki = names.map(n => matchSchema.fieldNames.indexOf(n)).toArray
       EqProbe(ki, ki.map(matchSchema.fields(_).dataType), keys)
     }
-    (matchSchema, new RowPredicate(filters, idx, dflt, matchSchema), probes)
+    // parquet-pushable form of the predicate: references renamed to the
+    // FILE's field names; filters touching unresolvable (default-read)
+    // columns drop whole (Spark's translator then validates every value
+    // against the file's own types, overflow-guarded)
+    val rnMap = predCols.iterator.flatMap(c => res(c).map(c -> _)).toMap
+    val pushable = filters.flatMap(MemScan.renameFilter(_, rnMap))
+    (matchSchema, new RowPredicate(filters, idx, dflt, matchSchema), probes,
+      pushable)
   }
 
   /** Row-level filter matches over the LIVE batches (SQL three-valued
@@ -3120,17 +3127,18 @@ object MemTables {
         val survivorDir =
           if (st.deleteMode == DeleteModeMor) None else st.storageDir
         val plans = fileBacked.map(b => b -> matchPlanFor(st, b, filters))
-        val tasks = plans.map { case (b, (matchSchema, pred, _)) =>
+        val tasks = plans.map { case (b, (matchSchema, pred, _, pushable)) =>
           val f = b.store.asInstanceOf[FileStore]
           DistributedDml.EvalTask(b.batchId, f.path, b.schema,
             matchSchema = matchSchema, pred = pred,
             survivorDir = survivorDir,
-            declaredSort = st.declaredSortOrder, bloomCols = st.bloomCols.toSet)
+            declaredSort = st.declaredSortOrder, bloomCols = st.bloomCols.toSet,
+            pushFilters = pushable)
         }
         // kill state (DV positions + eq-delete key sets) rides ONE
         // broadcast keyed by batch — never the per-task closure
         val kills = plans.collect {
-          case (b, (_, _, probes)) if b.dv.nonEmpty || probes.nonEmpty =>
+          case (b, (_, _, probes, _)) if b.dv.nonEmpty || probes.nonEmpty =>
             b.batchId -> DistributedDml.KillState(b.dv.keySet, probes)
         }.toMap
         DistributedDml.run(session.get.sparkContext, tasks, kills)
@@ -4574,7 +4582,9 @@ final class MemScan(
           MemPartition(b.schema, b.version, srcNames, Array.empty,
             dead.filter(_ < cut), b.batchId, key,
             file = Some(path), cut = if (cut >= b.rowCount) -1 else cut,
-            defaults = defaults)
+            defaults = defaults,
+            pushFilters = MemScan.batchPushFilters(
+              boundSchema, skipFilters, srcNames, b.schema))
         case _ =>
           val rows = if (cut == b.rowCount) b.rows else b.rows.take(cut)
           MemPartition(b.schema, b.version, srcNames, rows, dead.filter(_ < cut),
@@ -4923,6 +4933,64 @@ object MemScan {
       case _ => true // metadata columns: constants / the position vector
     }
 
+  /** Rewrite one pushed filter's references to a batch's FILE field
+    * names — TOTAL or nothing: a partially-translated tree under
+    * Not/Or would STRENGTHEN the predicate and wrongly skip row groups
+    * holding matches, so a filter translates only when every referenced
+    * column renames; untranslatable top-level conjuncts simply drop
+    * (the parquet predicate is advisory — the real filter re-evaluates
+    * above the scan / in [[RowPredicate]]).
+    */
+  private[sources] def renameFilter(
+      f: org.apache.spark.sql.sources.Filter, rn: Map[String, String])
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def all(g: Filter): Option[Filter] = g match {
+      case EqualTo(a, v) => rn.get(a).map(EqualTo(_, v))
+      case EqualNullSafe(a, v) => rn.get(a).map(EqualNullSafe(_, v))
+      case GreaterThan(a, v) => rn.get(a).map(GreaterThan(_, v))
+      case GreaterThanOrEqual(a, v) => rn.get(a).map(GreaterThanOrEqual(_, v))
+      case LessThan(a, v) => rn.get(a).map(LessThan(_, v))
+      case LessThanOrEqual(a, v) => rn.get(a).map(LessThanOrEqual(_, v))
+      case In(a, vs) => rn.get(a).map(In(_, vs))
+      case IsNull(a) => rn.get(a).map(IsNull(_))
+      case IsNotNull(a) => rn.get(a).map(IsNotNull(_))
+      case StringStartsWith(a, v) => rn.get(a).map(StringStartsWith(_, v))
+      case StringEndsWith(a, v) => rn.get(a).map(StringEndsWith(_, v))
+      case StringContains(a, v) => rn.get(a).map(StringContains(_, v))
+      case And(l, r) => for { a <- all(l); b <- all(r) } yield And(a, b)
+      case Or(l, r) => for { a <- all(l); b <- all(r) } yield Or(a, b)
+      case Not(i) => all(i).map(Not)
+      case AlwaysTrue() => Some(AlwaysTrue())
+      case AlwaysFalse() => Some(AlwaysFalse())
+      case _ => None
+    }
+    all(f)
+  }
+
+  /** The scan's pushed filters, renamed to one batch's file field names
+    * for parquet row-group/page pruning — only references that resolve
+    * to a TYPE-IDENTICAL batch field translate (a widened batch's file
+    * types differ from the predicate values' binding; those batches
+    * read the row path anyway).
+    */
+  private[sources] def batchPushFilters(
+      target: StructType, skipFilters: Array[org.apache.spark.sql.sources.Filter],
+      srcNames: Map[String, String], batchSchema: StructType)
+      : Array[org.apache.spark.sql.sources.Filter] =
+    if (skipFilters.isEmpty) Array.empty
+    else {
+      val rn: Map[String, String] = target.fields.iterator.flatMap { f =>
+        srcNames.get(f.name).flatMap { n =>
+          val i = batchSchema.fieldNames.indexOf(n)
+          if (i >= 0 && batchSchema.fields(i).dataType == f.dataType)
+            Some(f.name -> n)
+          else None
+        }
+      }.toMap
+      skipFilters.flatMap(renameFilter(_, rn))
+    }
+
   private[sources] def readerFactoryFor(target0: StructType): PartitionReaderFactory =
     new PartitionReaderFactory {
       val target = target0 // serialized with the factory
@@ -4954,7 +5022,8 @@ object MemScan {
         val posOrd = batchFields.length // row-index vector, when requested
         val defaultVal = target.fields.map(f => p.defaults.getOrElse(f.name, null))
         new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-          private val reader = new ParquetColumnar.BatchReader(path, requested, None)
+          private val reader =
+            new ParquetColumnar.BatchReader(path, requested, p.pushFilters.toSeq)
           private var out: org.apache.spark.sql.vectorized.ColumnarBatch = _
           private var done = false
 
@@ -5412,7 +5481,11 @@ final case class MemPartition(
     // partition of one scan to agree on columnar vs rows, so the scan
     // stamps all partitions true only when each one individually supports
     // the vectorized path ([[MemScan.columnarSupported]])
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    // the scan's pushed filters RENAMED to this batch's file field names
+    // ([[MemScan.batchPushFilters]]) — parquet row-group/page pruning on
+    // the columnar read; advisory (Spark re-filters above the scan)
+    pushFilters: Array[Filter] = Array.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The batch's partition tuple as the V2 key row (internal values, in
     * transform order) — only consulted when the scan reported

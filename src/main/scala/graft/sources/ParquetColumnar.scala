@@ -66,20 +66,27 @@ object ParquetColumnar {
     */
   final class BatchReader(
       path: String, requestedSchema: StructType,
-      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
       capacity: Int = 4096) extends AutoCloseable {
     private val reader = {
       val conf = new Configuration(template)
       conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requestedSchema.json)
-      filter.foreach { f =>
-        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, f)
-        // row-group + column-index (page) pruning only: record-level
-        // filtering is meaningless to the vectorized reader (and Spark
-        // re-filters above the scan regardless)
-        conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
-          .RECORD_FILTERING_ENABLED, false)
-      }
       val p = new Path(path)
+      // pushed filters translate against the FILE's own footer schema
+      // (ground truth — no reconstructed-schema drift) and go to
+      // parquet-hadoop for ROW-GROUP + column-index (page) pruning;
+      // record-level filtering stays off (meaningless to the vectorized
+      // reader, and Spark re-evaluates the real predicate above the scan)
+      if (filters.nonEmpty) {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try org.apache.spark.sql.graftbridge.Bridge.parquetFilter(
+          fr.getFooter.getFileMetaData.getSchema, filters).foreach { pred =>
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+            .RECORD_FILTERING_ENABLED, false)
+        } finally fr.close()
+      }
       val len = MetaIO.fs(p).getFileStatus(p).getLen
       val split = new org.apache.hadoop.mapred.FileSplit(
         p, 0, len, Array.empty[String])

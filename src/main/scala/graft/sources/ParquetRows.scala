@@ -82,14 +82,20 @@ object ParquetRows {
       new ParquetWriteSupport
   }
 
-  /** Write `rows` as one snappy parquet file; returns the row count. */
-  def write(path: String, schema: StructType, rows: Iterator[InternalRow]): Long = {
+  /** Write `rows` as one snappy parquet file; returns the row count.
+    * `rowGroupBytes` > 0 overrides the parquet block size (specs use a
+    * small value to produce MULTI-row-group files that exercise the
+    * row-group pruning paths; production keeps the default).
+    */
+  def write(path: String, schema: StructType, rows: Iterator[InternalRow],
+      rowGroupBytes: Long = 0L): Long = {
     val conf = writeConf(schema)
-    val writer = new RowWriterBuilder(new Path(path))
+    val builder = new RowWriterBuilder(new Path(path))
       .withConf(conf)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-      .build()
+    val writer = (if (rowGroupBytes > 0)
+      builder.withRowGroupSize(rowGroupBytes) else builder).build()
     var n = 0L
     try rows.foreach { r => writer.write(r); n += 1 }
     finally writer.close()
@@ -172,6 +178,71 @@ object ParquetRows {
     }
     override def close(): Unit = if (!closed) { closed = true; nextRow = null; reader.close() }
   }
+
+  /** Position-aware, parquet-FILTERED streaming read — the distributed
+    * DML match pass's shape ([[DistributedDml.evalBatch]]): the pushed
+    * predicate translates against the file's own footer schema and goes
+    * to parquet-hadoop for ROW-GROUP + page pruning (record-level
+    * filtering OFF — [[RowPredicate]] stays the semantic evaluator), and
+    * each row carries its ABSOLUTE file position via the parquet row
+    * index, so skipped row groups never skew DV/match positions. With no
+    * translatable filter this degrades to a full sequential read with
+    * counted positions — byte-identical behavior to [[RowIterator]].
+    */
+  final class PositionedRowIterator private[ParquetRows] (
+      path: String, schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      extends Iterator[InternalRow] with AutoCloseable {
+    private val reader = {
+      val conf = readConf(schema)
+      val p = new Path(path)
+      if (filters.nonEmpty) {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try org.apache.spark.sql.graftbridge.Bridge.parquetFilter(
+          fr.getFooter.getFileMetaData.getSchema, filters).foreach { pred =>
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+            .RECORD_FILTERING_ENABLED, false)
+        } finally fr.close()
+      }
+      val r = new org.apache.parquet.hadoop.ParquetRecordReader[InternalRow](
+        new ParquetReadSupport)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID(
+          new org.apache.hadoop.mapreduce.TaskID(
+            new org.apache.hadoop.mapreduce.JobID("graft", 1),
+            org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
+      r.initialize(split, ctx)
+      r
+    }
+    private var closed = false
+    private var nextRow: InternalRow = _
+    private var nextPos = -1L
+    /** Absolute file position of the row LAST returned by `next()`. */
+    var pos: Long = -1L
+    private def advance(): Unit = if (!closed) {
+      if (reader.nextKeyValue()) {
+        nextRow = reader.getCurrentValue
+        nextPos = reader.getCurrentRowIndex
+      } else { nextRow = null; close() }
+    }
+    advance()
+    override def hasNext: Boolean = nextRow != null
+    override def next(): InternalRow = {
+      val r = nextRow.copy() // the materializer reuses its buffer
+      pos = nextPos
+      advance()
+      r
+    }
+    override def close(): Unit = if (!closed) { closed = true; nextRow = null; reader.close() }
+  }
+
+  def positioned(path: String, schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PositionedRowIterator =
+    new PositionedRowIterator(path, schema, filters)
 
   /** Streaming opens issued from DRIVER code (no TaskContext) — the
     * counterpart witness to [[readCalls]]: together they let specs pin

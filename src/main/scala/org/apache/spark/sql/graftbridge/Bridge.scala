@@ -51,4 +51,28 @@ object Bridge {
     SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
     SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
   val parquetTimestampTypeKey: String = SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key
+
+  /** Parquet-hadoop `FilterPredicate` for a conjunction of V2 source
+    * filters against one FILE's actual parquet schema — Spark's own
+    * `ParquetFilters` translator (`private[sql]`, hence bridged), which
+    * validates every reference against the file schema and declines
+    * anything unpushable, so the result is exactly the row-group/page
+    * pruning predicate Spark's native parquet scans would build. Rebase
+    * spec is CORRECTED: the engine writes TIMESTAMP_MICROS CORRECTED
+    * everywhere ([[graft.sources.ParquetRows]]).
+    */
+  def parquetFilter(
+      fileSchema: org.apache.parquet.schema.MessageType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    val pf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFilters(
+      fileSchema,
+      /* pushDownDate = */ true, /* pushDownTimestamp = */ true,
+      /* pushDownDecimal = */ true, /* pushDownStringPredicate = */ true,
+      /* pushDownInFilterThreshold = */ 10, /* caseSensitive = */ false,
+      org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+        org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+    filters.flatMap(f => pf.createFilter(f))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+  }
 }
