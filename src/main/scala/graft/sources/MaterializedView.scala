@@ -114,10 +114,12 @@ object MatViews {
   /** One JOINED source of a star-schema MV (tables 2..n of a left-deep
     * join chain): its identity/watermark pair plus the ON condition text
     * joining it to everything accumulated to its left. `joinType` is
-    * INNER for plain chain steps or LEFT for outer steps (any position,
-    * several allowed) — incremental maintenance then also emits the
-    * compensating ±null-extension rows as prefix rows flip between
-    * matched and unmatched (the anti-delta flip terms in [[refresh]]).
+    * INNER for plain chain steps, or LEFT / RIGHT / FULL for outer steps
+    * (any position, several allowed) — incremental maintenance then also
+    * emits the compensating ±null-extension rows as rows flip between
+    * matched and unmatched: prefix-side flips for LEFT/FULL (the
+    * anti-delta flip terms in [[refresh]]), dim-side flips for
+    * RIGHT/FULL (the right-flip terms, prefix null-extended whole).
     * Freshness requires EVERY source at its recorded watermark.
     */
   final case class MvJoin(key: String, uuid: String, watermark: Long,
@@ -332,10 +334,11 @@ object MatViews {
         val jt = j.joinType match {
           case Inner | Cross => "INNER" // USING/NATURAL carry their own types
           case org.apache.spark.sql.catalyst.plans.LeftOuter => "LEFT"
+          case org.apache.spark.sql.catalyst.plans.RightOuter => "RIGHT"
           case org.apache.spark.sql.catalyst.plans.FullOuter => "FULL"
           case other => fail(s"${other.sql} joins are not supported in a " +
-            "materialized view — INNER/LEFT joins of graft tables (or one " +
-            "two-table FULL OUTER JOIN) only")
+            "materialized view — INNER/LEFT/RIGHT/FULL OUTER joins of " +
+            "graft tables only")
         }
         val right = j.right match {
           case r: UnresolvedRelation => tableKey(r)
@@ -361,15 +364,13 @@ object MatViews {
     val allKeys = srcKey +: joinSteps.map(_._1)
     allKeys.diff(allKeys.distinct).headOption.foreach(d =>
       fail(s"table '$d' appears more than once — self-joins are not supported"))
-    // LEFT steps are allowed anywhere in the chain (several included):
-    // refresh derives per-step anti-delta flip terms from the left-deep
-    // recursion Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA + flips.
-    // FULL OUTER is the two-table shape only: its RIGHT-side
-    // null-extensions need an "empty prefix" null-extension of ALL
-    // left-side columns, which the chain SQL can express for a single
-    // fact table but not for a multi-table prefix
-    if (joinSteps.exists(_._3 == "FULL") && joinSteps.size > 1)
-      fail("FULL OUTER JOIN is supported only as a single two-table join")
+    // outer steps are allowed anywhere in the chain (several included):
+    // refresh derives per-step anti-delta terms from the left-deep
+    // recursion Δ(J ⟗ A) = Δ(J) ⟕ A@old + J@new ⟾ ΔA + L-flips +
+    // R-flips — LEFT uses the first three pieces, RIGHT the last two
+    // (its dim delta rides the reversed RIGHT JOIN keyword), FULL all
+    // four; a RIGHT/FULL step's dim null-extensions empty the whole
+    // multi-table prefix via per-table WHERE FALSE subqueries
     // join MVs: the INCREMENTAL refresh re-binds each changed source as a
     // table-name alias over its signed change feed, which resolves
     // `table.column` but not `catalog.table.column` (or deeper) — reject
@@ -535,6 +536,7 @@ object MatViews {
     joins.foldLeft(ref(srcKey)) { (acc, j) =>
       val kw = j.joinType match {
         case "LEFT" => "LEFT JOIN"
+        case "RIGHT" => "RIGHT JOIN"
         case "FULL" => "FULL OUTER JOIN"
         case _ => "JOIN"
       }
@@ -1253,13 +1255,21 @@ object MatViews {
             st.deltaRefreshes + 1 >= FloatDriftFullEvery &&
               st.sumCols.exists(c => storeSt.schema.fields.find(_.name == c)
                 .exists(_.dataType == DoubleType))
-          // a LEFT dim side that moved blocks extremes/distinct folding
-          // even when its window is insert-only: a dim INSERT can give an
-          // orphan fact row a match, REMOVING its null-extension row from
-          // the view — and neither a min/max nor an NDV sketch can un-see
-          val leftDimMoved = st.joins.exists(j =>
-            (j.joinType == "LEFT" && movedWins.exists(_._1 == j.key)) ||
-              (j.joinType == "FULL" && movedWins.nonEmpty))
+          // an outer step whose OPPOSITE side moved blocks extremes/
+          // distinct folding even when every window is insert-only: a dim
+          // INSERT can give an orphan prefix row a match, REMOVING its
+          // null-extension row from the view (LEFT/FULL), and a prefix
+          // INSERT can match an orphan dim row, removing ITS
+          // null-extension (RIGHT/FULL) — neither a min/max nor an NDV
+          // sketch can un-see a retracted row
+          val namesAll = st.srcKey +: st.joins.map(_.key)
+          val leftDimMoved = st.joins.zipWithIndex.exists { case (j, k) =>
+            val dimMoved = movedWins.exists(_._1 == j.key)
+            val prefixMoved =
+              movedWins.exists(w => namesAll.indexOf(w._1) <= k)
+            ((j.joinType == "LEFT" || j.joinType == "FULL") && dimMoved) ||
+              ((j.joinType == "RIGHT" || j.joinType == "FULL") && prefixMoved)
+          }
           val incremental =
             movedWins.forall { case (_, f, _, e, _) => f >= e } &&
               (!st.insertOnlyComponents ||
@@ -1296,40 +1306,79 @@ object MatViews {
                     else s"graft.${q(k)} VERSION AS OF ${oldPin(k)}"
                   }
                   (1 until names2.size).foldLeft(ref(0)) { (acc, jdx) =>
-                    // the LEFT keyword applies only when the right side is
-                    // a SNAPSHOT: the Δfact term left-joins dim@OLD (its
-                    // null-extension rows carry Δfact's signs), but the
-                    // Δdim term joins fact@NEW INNER — dim changes touch
-                    // matched rows only; null-extension flips are the
-                    // separate anti-delta terms below
+                    // keyword per the per-step recursion Δ(J ⟗ A) =
+                    // Δ(J) ⟕ A@old + J@new ⟾ ΔA + L-flips + R-flips:
+                    //  - feed IS this step's dim (jdx == i): RIGHT/FULL
+                    //    ride the reversed RIGHT JOIN — matched rows PLUS
+                    //    the dim-side U_R delta (U_R is linear in the dim
+                    //    for a fixed prefix, so the feed's unmatched rows
+                    //    ARE the signed null-extension delta); LEFT/INNER
+                    //    join matched-only (the U_L flips are the
+                    //    anti-delta terms below)
+                    //  - feed to the RIGHT of this step (jdx < i): the
+                    //    step reproduces J@NEW — its REAL join type
+                    //  - feed to the LEFT (jdx > i): the ΔJ term joins
+                    //    A@old LEFT for LEFT/FULL (a ΔJ row carries its
+                    //    own null-extension state) and INNER for
+                    //    RIGHT/INNER (R-side effects are the R-flips)
+                    val jt = st.joins(jdx - 1).joinType
                     val kw =
-                      if (jdx != i && (st.joins(jdx - 1).joinType == "LEFT" ||
-                          st.joins(jdx - 1).joinType == "FULL"))
-                        "LEFT JOIN" // FULL's right-null-ext deltas are the
-                                    // separate fullTerms below
-                      else "JOIN"
+                      if (jdx == i) jt match {
+                        case "RIGHT" | "FULL" => "RIGHT JOIN"
+                        case _ => "JOIN"
+                      } else if (jdx < i) jt match {
+                        case "LEFT" => "LEFT JOIN"
+                        case "RIGHT" => "RIGHT JOIN"
+                        case "FULL" => "FULL OUTER JOIN"
+                        case _ => "JOIN"
+                      } else jt match {
+                        case "LEFT" | "FULL" => "LEFT JOIN"
+                        case _ => "JOIN"
+                      }
                     s"$acc $kw ${ref(jdx)} ON ${st.joins(jdx - 1).condSql}"
                   }
                 }
-                // LEFT OUTER anti-delta: when a LEFT dim side moved, rows
-                // of the chain PREFIX may FLIP between matched and
+                // chain-reproduction and ΔJ-recursion keywords, shared by
+                // the anti-delta terms below
+                def snapKw(jdx: Int): String =
+                  st.joins(jdx - 1).joinType match {
+                    case "LEFT" => "LEFT JOIN"
+                    case "RIGHT" => "RIGHT JOIN"
+                    case "FULL" => "FULL OUTER JOIN"
+                    case _ => "JOIN"
+                  }
+                def deltaKw(jdx: Int): String =
+                  st.joins(jdx - 1).joinType match {
+                    case "LEFT" | "FULL" => "LEFT JOIN"
+                    case _ => "JOIN"
+                  }
+                // tables [0, upTo) at `pin`, real join keywords — J@pin
+                def chainAt(upTo: Int, pin: Map[String, Long]): String =
+                  (1 until upTo).foldLeft(
+                    s"graft.${q(names2(0))} VERSION AS OF ${pin(names2(0))}") {
+                    (acc, jdx) =>
+                      s"$acc ${snapKw(jdx)} graft.${q(names2(jdx))} VERSION AS OF " +
+                        s"${pin(names2(jdx))} ON ${st.joins(jdx - 1).condSql}"
+                  }
+                // LEFT OUTER anti-delta: when a LEFT/FULL dim side moved,
+                // rows of the chain PREFIX may FLIP between matched and
                 // null-extended as their dim match dies or is born — the
                 // telescoped terms above see only the matched halves of
-                // those transitions, so two extra terms PER MOVED LEFT
-                // DIM emit the compensating ± null-extension rows: the
-                // prefix chain at NEW pins (its own join keywords — an
-                // earlier LEFT step's null-extended rows participate with
-                // NULLs, and 3-valued ON evaluation keeps them consistent
-                // with the real join), the flipping dim as a LEFT JOIN
-                // against a WHERE FALSE subquery (empty — every prefix
-                // row null-extends with the dim's exact schema/types),
-                // and the suffix steps at OLD pins (the recursion joins
-                // Δ(J_k)'s terms to the suffix like every other term).
-                // The term's WHERE restricts to prefix rows TOUCHING the
-                // dim window (EXISTS against the change feed — a flip
-                // implies one, and the planner semi-joins the small feed
-                // first) whose match-EXISTENCE differs between dim@OLD
-                // and dim@NEW. Exact by the per-step recursion:
+                // those transitions, so two extra terms PER MOVED dim
+                // emit the compensating ± null-extension rows: the
+                // prefix chain at NEW pins (real join keywords — an
+                // earlier outer step's null-extended rows participate
+                // with NULLs, and 3-valued ON evaluation keeps them
+                // consistent with the real join), the flipping dim as a
+                // LEFT JOIN against a WHERE FALSE subquery (empty —
+                // every prefix row null-extends with the dim's exact
+                // schema/types), and the suffix steps at OLD pins (the
+                // recursion joins Δ(J_k)'s terms to the suffix like
+                // every other term). The term's WHERE restricts to
+                // prefix rows TOUCHING the dim window (EXISTS against
+                // the small change feed — a flip implies one) whose
+                // match-EXISTENCE differs between dim@OLD and dim@NEW.
+                // Exact by the per-step recursion:
                 // Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA
                 //   + [U(J_k@new, A@new) − U(J_k@new, A@old)]  [flips].
                 def flipTerms: Seq[DeltaTerm] =
@@ -1339,20 +1388,13 @@ object MatViews {
                         movedWins.exists(_._1 == j.key) }
                     .flatMap { case (j, k) =>
                       val ti = k + 1 // j's table index in names2
-                      def kw(jdx: Int): String =
-                        if (st.joins(jdx - 1).joinType == "LEFT") "LEFT JOIN"
-                        else "JOIN"
-                      def at(jdx: Int, pin: Map[String, Long]): String =
-                        s"graft.${q(names2(jdx))} VERSION AS OF ${pin(names2(jdx))}"
-                      val prefix = (1 until ti).foldLeft(at(0, newPin)) {
-                        (acc, jdx) =>
-                          s"$acc ${kw(jdx)} ${at(jdx, newPin)} ON ${st.joins(jdx - 1).condSql}"
-                      }
+                      val prefix = chainAt(ti, newPin)
                       val emptyDim =
                         s" LEFT JOIN (SELECT * FROM graft.${q(j.key)} VERSION AS OF " +
                           s"${newPin(j.key)} WHERE FALSE) AS ${q(j.key)} ON TRUE"
                       val suffix = ((ti + 1) until names2.size).map(jdx =>
-                        s" ${kw(jdx)} ${at(jdx, oldPin)} ON ${st.joins(jdx - 1).condSql}").mkString
+                        s" ${deltaKw(jdx)} graft.${q(names2(jdx))} VERSION AS OF " +
+                          s"${oldPin(names2(jdx))} ON ${st.joins(jdx - 1).condSql}").mkString
                       def dimAt(pin: Long): String =
                         s"graft.${q(j.key)} VERSION AS OF $pin AS ${q(j.key)}"
                       def pred(oldNeg: String, newNeg: String): String =
@@ -1366,58 +1408,54 @@ object MatViews {
                         DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
                         DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
                     }
-                // FULL OUTER right-side terms (V = M + U_L + U_R; the
-                // telescoped + flip terms above cover M and U_L exactly
-                // as for LEFT): when the DIM moved, ΔD rows UNMATCHED in
-                // fact@NEW are ± right-null-extension rows with the
-                // feed's signs (U_R is linear in D for a fixed F); when
-                // the FACT moved, dim@OLD rows whose match-existence
-                // differs between fact@OLD and fact@NEW flip their
-                // right-null-extension rows ±1 — the mirror image of the
-                // fact-side flips. Fact columns null-extend through a
-                // LEFT JOIN against a WHERE FALSE fact subquery.
-                def fullTerms: Seq[DeltaTerm] =
-                  st.joins.headOption.filter(_.joinType == "FULL").toSeq.flatMap { j =>
-                    val fk = st.srcKey
-                    def factAt(pin: Long): String =
-                      s"graft.${q(fk)} VERSION AS OF $pin AS ${q(fk)}"
-                    val emptyFact =
-                      s" LEFT JOIN (SELECT * FROM graft.${q(fk)} VERSION AS OF " +
-                        s"${newPin(fk)} WHERE FALSE) AS ${q(fk)} ON TRUE"
-                    val deltaTerm: Seq[DeltaTerm] =
-                      if (!movedWins.exists(_._1 == j.key)) Nil
-                      else {
-                        val cols = MemTables.get(j.key).get.schema.fieldNames
-                          .map(q).mkString(", ")
-                        val feed =
-                          s"(SELECT $cols, CASE WHEN ${MemChangesSource.ChangeType} " +
-                            "IN ('insert', 'update_postimage') THEN CAST(1 AS BIGINT) " +
-                            s"ELSE CAST(-1 AS BIGINT) END AS $SignCol " +
-                            s"FROM ${q(chgViews(j.key))}) AS ${q(j.key)}"
-                        Seq(DeltaTerm(s"$feed$emptyFact",
-                          Some(s"NOT EXISTS (SELECT 1 FROM ${factAt(newPin(fk))} " +
-                            s"WHERE ${j.condSql})"),
-                          SignCol))
-                      }
-                    val flips: Seq[DeltaTerm] =
-                      if (!movedWins.exists(_._1 == fk)) Nil
-                      else {
-                        def pred(oldNeg: String, newNeg: String): String =
-                          s"EXISTS (SELECT 1 FROM ${q(chgViews(fk))} AS ${q(fk)} WHERE ${j.condSql}) " +
-                            s"AND ${oldNeg}EXISTS (SELECT 1 FROM ${factAt(oldPin(fk))} WHERE ${j.condSql}) " +
-                            s"AND ${newNeg}EXISTS (SELECT 1 FROM ${factAt(newPin(fk))} WHERE ${j.condSql})"
-                        val from =
-                          s"graft.${q(j.key)} VERSION AS OF ${oldPin(j.key)}$emptyFact"
-                        Seq(
-                          DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
-                          DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
-                      }
-                    deltaTerm ++ flips
-                  }
+                // RIGHT OUTER anti-delta (RIGHT and FULL steps): U_R
+                // changes from the PREFIX side — dim@OLD rows whose
+                // match-EXISTENCE against the prefix chain differs
+                // between OLD and NEW pins flip their null-extension
+                // rows ±1 (the dim-side U_R delta already rides the
+                // reversed RIGHT JOIN feed term above). The comparison
+                // runs against the PINNED chains directly — ground
+                // truth, because a prefix row's match can change via an
+                // EARLIER outer step's own flip, which no single change
+                // feed enumerates — so the term scans dim@OLD with two
+                // EXISTS semi-joins per side: cost is the dim side, the
+                // small side of a star join by construction. Prefix
+                // columns null-extend through per-table WHERE FALSE
+                // subqueries; suffix steps join at OLD pins per the ΔJ
+                // recursion (an INNER suffix conditioned on prefix
+                // columns drops these all-NULL-prefix rows — exactly as
+                // the real chain treats a dim null-extension row).
+                def rightFlipTerms: Seq[DeltaTerm] =
+                  st.joins.zipWithIndex
+                    .filter { case (j, k) =>
+                      (j.joinType == "RIGHT" || j.joinType == "FULL") &&
+                        movedWins.exists(w => names2.indexOf(w._1) <= k) }
+                    .flatMap { case (j, k) =>
+                      val ti = k + 1 // j's table index in names2
+                      val emptyPrefix = (0 until ti).map { jdx =>
+                        s" LEFT JOIN (SELECT * FROM graft.${q(names2(jdx))} " +
+                          s"VERSION AS OF ${newPin(names2(jdx))} WHERE FALSE) " +
+                          s"AS ${q(names2(jdx))} ON TRUE"
+                      }.mkString
+                      val suffix = ((ti + 1) until names2.size).map(jdx =>
+                        s" ${deltaKw(jdx)} graft.${q(names2(jdx))} VERSION AS OF " +
+                          s"${oldPin(names2(jdx))} ON ${st.joins(jdx - 1).condSql}").mkString
+                      val from =
+                        s"graft.${q(j.key)} VERSION AS OF ${oldPin(j.key)} AS ${q(j.key)}" +
+                          emptyPrefix + suffix
+                      def pred(oldNeg: String, newNeg: String): String =
+                        s"${oldNeg}EXISTS (SELECT 1 FROM ${chainAt(ti, oldPin)} WHERE ${j.condSql}) " +
+                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${chainAt(ti, newPin)} WHERE ${j.condSql})"
+                      // match DIED → the dim row's null-extension appears
+                      // (+1); match BORN → it leaves (−1)
+                      Seq(
+                        DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
+                        DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
+                    }
                 val terms = names2.indices
                   .filter(i => movedWins.exists(_._1 == names2(i)))
                   .map(i => DeltaTerm(termFrom(i), None, SignCol)) ++
-                  flipTerms ++ fullTerms
+                  flipTerms ++ rightFlipTerms
                 val deltaView = ("__graft_mv_delta_" + tag)
                   .replaceAll("[^A-Za-z0-9_]", "_")
                 spark.sql(joinDeltaSelectSql(st, terms, storeSt.schema))

@@ -2981,6 +2981,110 @@ object Roundtrips {
       .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
   }
 
+  /** RIGHT OUTER join MV ([[MatViews]]): unmatched DIM rows materialize
+    * as null-extensions of the whole fact side and maintain
+    * INCREMENTALLY — the dim-side delta rides the reversed RIGHT JOIN
+    * feed term (U_R is linear in the dim for a fixed fact side), and the
+    * right-flip anti-delta terms emit ± null-extension rows as dim rows
+    * flip between matched and unmatched when the FACT side changes. The
+    * hash pins both hard transitions: a fact window that MATCHES
+    * previously-orphan dims (retraction), then a fact DELETE that
+    * re-orphans dims (+1 flips). Mode flags pinned — the row fails if
+    * either refresh silently falls back to a full recompute.
+    */
+  val dsv2MvRightJoin: QueryDef = QueryDef(
+    "dsv2_mv_right_join",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_custkey % 11 <> 5),
+      |dim AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 5 <> 2)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS incr_fact, TRUE AS incr_dim
+      |FROM fact RIGHT JOIN dim ON ck = dk GROUP BY seg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_rj")
+    val fact = freshGraftTable(spark, "mem_mvrj_fact", "(k BIGINT, ck BIGINT, v BIGINT)")
+    val dim = freshGraftTable(spark, "mem_mvrj_dim", "(dk BIGINT, seg STRING)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 === rem)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 1000).cast("long").as("v"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 =!= 2)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(dim).append()
+    slice(0).writeTo(fact).append()
+    spark.sql("CALL graft.create_materialized_view('mv_rj', " +
+      "'SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvrj_fact RIGHT JOIN graft.mem_mvrj_dim ON ck = dk GROUP BY seg')")
+    slice(1).writeTo(fact).append() // matches previously-orphan dims
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_rj')").head()
+    spark.sql(s"DELETE FROM $fact WHERE ck % 11 = 5") // re-orphans dims
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_rj')").head()
+    spark.sql("SELECT seg, n, sv FROM graft.mv_rj")
+      .withColumn("incr_fact", lit(r1.getString(1) == "incremental"))
+      .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
+  }
+
+  /** FULL OUTER inside a LONGER chain (`fact ⟗ dim1 ⟕ dim2`): the
+    * two-table restriction is gone — a FULL step's dim null-extensions
+    * empty the whole multi-table prefix via per-table WHERE FALSE
+    * subqueries, and both flip families compose with the LEFT suffix at
+    * OLD pins per the ΔJ recursion (right-null-extension rows carry a
+    * NULL pk, so they ride the suffix as LEFT null-extensions — visible
+    * in the result as NULL rg). The hash pins a fact window (adds
+    * orphans AND retracts right-null-extensions), then a dim1 DELETE
+    * (left flips + feed retractions through the suffix); mode flags
+    * pinned against silent full-recompute fallbacks.
+    */
+  val dsv2MvFullChain: QueryDef = QueryDef(
+    "dsv2_mv_full_chain",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(o_orderkey % 3 AS BIGINT) AS pk,
+      |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 8 IN (0, 1)),
+      |d1 AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 5 <> 2 AND c_custkey % 7 <> 3),
+      |d2 AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS qk, r_name AS rg FROM region
+      |  WHERE r_regionkey < 3)
+      |SELECT seg, rg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |       TRUE AS incr_fact, TRUE AS incr_dim
+      |FROM fact FULL OUTER JOIN d1 ON ck = dk LEFT JOIN d2 ON pk = qk
+      |GROUP BY seg, rg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_fc")
+    val fact = freshGraftTable(spark, "mem_mvfc_fact",
+      "(k BIGINT, ck BIGINT, pk BIGINT, v BIGINT)")
+    val d1 = freshGraftTable(spark, "mem_mvfc_d1", "(dk BIGINT, seg STRING)")
+    val d2 = freshGraftTable(spark, "mem_mvfc_d2", "(qk BIGINT, rg STRING)")
+    def slice(rem: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 8 === rem)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 3).cast("long").as("pk"),
+        (col("o_orderkey") % 1000).cast("long").as("v"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 =!= 2)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(d1).append()
+    Tables.region(spark, dir).filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey").cast("long").as("qk"), col("r_name").as("rg"))
+      .writeTo(d2).append()
+    slice(0).writeTo(fact).append()
+    spark.sql("CALL graft.create_materialized_view('mv_fc', " +
+      "'SELECT seg, rg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.mem_mvfc_fact FULL OUTER JOIN graft.mem_mvfc_d1 ON ck = dk " +
+      "LEFT JOIN graft.mem_mvfc_d2 ON pk = qk GROUP BY seg, rg')")
+    slice(1).writeTo(fact).append() // orphans added + right-null-exts retracted
+    val r1 = spark.sql("CALL graft.refresh_materialized_view('mv_fc')").head()
+    spark.sql(s"DELETE FROM $d1 WHERE dk % 7 = 3") // left flips through suffix
+    val r2 = spark.sql("CALL graft.refresh_materialized_view('mv_fc')").head()
+    spark.sql("SELECT seg, rg, n, sv FROM graft.mv_fc")
+      .withColumn("incr_fact", lit(r1.getString(1) == "incremental"))
+      .withColumn("incr_dim", lit(r2.getString(1) == "incremental"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(orcRoundtrip, jsonlRoundtrip, csvRoundtrip, xmlRoundtrip, schemaDriftMerge,
       dsv2SeqPushdown, dsv2SeqAggPushdown, dsv2SeqStream, dsv2SeqCatalogSql,
@@ -2997,5 +3101,5 @@ object Roundtrips {
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
       dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin,
-      dsv2MvLeftChain, dsv2MvFullJoin)
+      dsv2MvLeftChain, dsv2MvFullJoin, dsv2MvRightJoin, dsv2MvFullChain)
 }

@@ -472,21 +472,124 @@ class JoinMvSpec extends SparkSpec {
       s"got ${scansOf(served.queryExecution.executedPlan)}")
     assert(rowsOf(served) === direct())
     dropMv("lmv3")
-    // other outer shapes stay rejected
-    val right = intercept[Exception] {
-      spark.sql("CALL graft.create_materialized_view('lmv3', " +
-        "'SELECT seg, count(*) AS n FROM graft.lmv3_f " +
-        "RIGHT JOIN graft.lmv3_d1 ON ck = dk GROUP BY seg')").collect()
+  }
+
+  test("a RIGHT JOIN MV folds both-side null-extension flips incrementally") {
+    catalogOn(); dropMv("rmv")
+    spark.sql("DROP TABLE IF EXISTS graft.rmv_f")
+    spark.sql("DROP TABLE IF EXISTS graft.rmv_d")
+    spark.sql("CREATE TABLE graft.rmv_f (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.rmv_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.rmv_f VALUES (1, 10, 100), (2, 10, 200), (3, 99, 300)")
+    spark.sql("INSERT INTO graft.rmv_d VALUES (10, 'a'), (20, 'b'), (30, 'c')")
+    val defSql = "SELECT seg, count(*) AS n, count(v) AS nv, sum(v) AS sv " +
+      "FROM graft.rmv_f RIGHT JOIN graft.rmv_d ON ck = dk GROUP BY seg"
+    spark.sql(s"CALL graft.create_materialized_view('rmv', '$defSql')")
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(defSql))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
     }
-    assert(right.getMessage.contains("not supported"))
-    // FULL OUTER is two-table only: inside a chain it rejects
-    val full = intercept[Exception] {
-      spark.sql("CALL graft.create_materialized_view('lmv3', " +
-        "'SELECT seg, region, count(*) AS n FROM graft.lmv3_f " +
-        "FULL OUTER JOIN graft.lmv3_d1 ON ck = dk " +
-        "JOIN graft.lmv3_d2 ON pk = qk GROUP BY seg, region')").collect()
+    assert(rowsOf(spark.sql("SELECT seg, n, nv, sv FROM graft.rmv")) === direct())
+    def refreshedMatchesDirect(expectMode: String = "incremental"): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('rmv')").head()
+      assert(r.getString(1) === expectMode, s"mode was ${r.getString(1)}")
+      assert(rowsOf(spark.sql("SELECT seg, n, nv, sv FROM graft.rmv")) ===
+        direct(), "the folded store must equal the direct recomputation")
     }
-    assert(full.getMessage.contains("single two-table"))
+    // dim-side delta: a new dim row with no fact match adds its
+    // null-extension group via the reversed RIGHT JOIN feed term
+    spark.sql("INSERT INTO graft.rmv_d VALUES (40, 'd')")
+    refreshedMatchesDirect()
+    // fact-side flip: the insert MATCHES orphan dim 20 — its
+    // null-extension row must retract (right-flip −1)
+    spark.sql("INSERT INTO graft.rmv_f VALUES (4, 20, 400)")
+    refreshedMatchesDirect()
+    // fact-side flip the other way: deleting every match of dim 10
+    // re-orphans it (+1 null-extension)
+    spark.sql("DELETE FROM graft.rmv_f WHERE ck = 10")
+    refreshedMatchesDirect()
+    // mixed both-side window: fact churn + dim delete together
+    spark.sql("INSERT INTO graft.rmv_f VALUES (5, 30, 500), (6, 77, 600)")
+    spark.sql("DELETE FROM graft.rmv_d WHERE dk = 40")
+    refreshedMatchesDirect()
+    dropMv("rmv")
+  }
+
+  test("RIGHT and FULL steps inside longer chains fold incrementally") {
+    catalogOn(); dropMv("rmv3")
+    spark.sql("DROP TABLE IF EXISTS graft.rmv3_f")
+    spark.sql("DROP TABLE IF EXISTS graft.rmv3_d1")
+    spark.sql("DROP TABLE IF EXISTS graft.rmv3_d2")
+    spark.sql("CREATE TABLE graft.rmv3_f (ck BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.rmv3_d1 (dk BIGINT, seg STRING)")
+    spark.sql("CREATE TABLE graft.rmv3_d2 (qk BIGINT, region STRING)")
+    spark.sql("INSERT INTO graft.rmv3_f VALUES " +
+      "(10, 7, 100), (10, 8, 200), (20, 7, 300), (99, 8, 400)")
+    spark.sql("INSERT INTO graft.rmv3_d1 VALUES (10, 'a'), (20, 'b'), (30, 'c')")
+    spark.sql("INSERT INTO graft.rmv3_d2 VALUES (7, 'EU'), (8, 'US')")
+    // f ⟾ d1 ⟕ d2: a RIGHT step MID-chain — orphan d1 rows null-extend
+    // the whole fact prefix, then the LEFT suffix null-extends d2 (their
+    // pk is NULL, so they ride the suffix as LEFT null-extensions)
+    val defSql = "SELECT seg, region, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.rmv3_f RIGHT JOIN graft.rmv3_d1 ON ck = dk " +
+      "LEFT JOIN graft.rmv3_d2 ON pk = qk GROUP BY seg, region"
+    spark.sql(s"CALL graft.create_materialized_view('rmv3', '$defSql')")
+    def direct(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(defSql))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.rmv3")) ===
+      direct())
+    def refreshedMatchesDirect(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('rmv3')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.rmv3")) ===
+        direct(), "the folded store must equal the direct recomputation")
+    }
+    // prefix (fact) insert matches orphan d1 30: right-flip retraction
+    spark.sql("INSERT INTO graft.rmv3_f VALUES (30, 8, 500)")
+    refreshedMatchesDirect()
+    // dim-side delta + suffix dim change together
+    spark.sql("INSERT INTO graft.rmv3_d1 VALUES (40, 'd')")
+    spark.sql("UPDATE graft.rmv3_d2 SET region = 'APAC' WHERE qk = 8")
+    refreshedMatchesDirect()
+    // prefix delete re-orphans d1 10 rows (right-flip +1), mixed window
+    spark.sql("DELETE FROM graft.rmv3_f WHERE ck = 10")
+    spark.sql("INSERT INTO graft.rmv3_d2 VALUES (9, 'SA')")
+    refreshedMatchesDirect()
+    dropMv("rmv3")
+
+    // n-way FULL: fact ⟗ d1 ⋈ d2 — FULL no longer two-table-bound
+    dropMv("fmv3")
+    spark.sql("DELETE FROM graft.rmv3_f WHERE ck > 90") // drop unmatched pk rows
+    val fullSql = "SELECT seg, region, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.rmv3_f FULL OUTER JOIN graft.rmv3_d1 ON ck = dk " +
+      "LEFT JOIN graft.rmv3_d2 ON pk = qk GROUP BY seg, region"
+    spark.sql(s"CALL graft.create_materialized_view('fmv3', '$fullSql')")
+    def directF(): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(fullSql))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.fmv3")) ===
+      directF())
+    def refreshedF(): Unit = {
+      val r = spark.sql("CALL graft.refresh_materialized_view('fmv3')").head()
+      assert(r.getString(1) === "incremental")
+      assert(rowsOf(spark.sql("SELECT seg, region, n, sv FROM graft.fmv3")) ===
+        directF())
+    }
+    // both-side flips through the FULL step, suffix at OLD pins
+    spark.sql("INSERT INTO graft.rmv3_f VALUES (40, 7, 700), (88, 8, 800)")
+    refreshedF()
+    spark.sql("DELETE FROM graft.rmv3_d1 WHERE dk = 20")
+    refreshedF()
+    spark.sql("INSERT INTO graft.rmv3_d1 VALUES (88, 'e')")
+    spark.sql("DELETE FROM graft.rmv3_f WHERE ck = 30")
+    refreshedF()
+    dropMv("fmv3")
   }
 
   test("a FULL OUTER join MV folds both-side null-extension flips incrementally") {

@@ -173,10 +173,10 @@ class MaterializedViewSpec extends SparkSpec {
       "JOIN graft.mv_bad_src ON TRUE GROUP BY g", "appears more than once")
     rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src a JOIN graft.mv_bad_src b " +
       "ON a.k = b.k GROUP BY g", "left-deep chain of graft tables")
-    // LEFT JOIN is supported for the two-table shape only; other outer
-    // joins stay rejected
+    // INNER/LEFT/RIGHT/FULL OUTER joins are supported; semi/anti shapes
+    // stay rejected
     rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src " +
-      "RIGHT JOIN graft.mv_drop_src ON mv_bad_src.k = mv_drop_src.k GROUP BY g",
+      "LEFT SEMI JOIN graft.mv_drop_src ON mv_bad_src.k = mv_drop_src.k GROUP BY g",
       "not supported")
     rejects("SELECT g, count(*) AS n FROM graft.mv_bad_src GROUP BY g ORDER BY g",
       "one aggregate block")
