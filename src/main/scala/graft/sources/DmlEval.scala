@@ -247,6 +247,78 @@ object DistributedDml {
       keyIdx: Array[Int], keyTypes: Array[DataType],
       dvDead: Array[Byte]) extends Serializable
 
+  /** Shuffled-probe jobs observed — spec observability for the
+    * oversized-epoch fallback ([[probeMatchesShuffled]]).
+    */
+  val shuffledProbeRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** SHUFFLED (sort-merge-shaped) equality→positional conversion for
+    * OVERSIZED upsert epochs: joins the epoch's key tuples against the
+    * candidate files' rows ON THE CLUSTER and folds matched positions
+    * into per-batch bitmaps executor-side — driver and broadcast memory
+    * stay FLAT in epoch size. The broadcast path ([[probeMatches]])
+    * first collects every epoch key driver-ward and then ships the whole
+    * set to every executor; a backfill epoch with 10⁸ keys cannot ride
+    * that. Same contract as [[probeMatches]]: doomed positions per
+    * batch, already-dead DV positions excluded, NULL-keyed rows never
+    * match. `extraKeys` carries the epoch's driver-resident (row-payload)
+    * key tuples; `epochPaths` its executor-written files, keyed by
+    * `keyIdx`/`keyTypes` into `epochSchema`.
+    */
+  def probeMatchesShuffled(sc: SparkContext, tasks: Seq[ProbeTask],
+      epochPaths: Seq[String], epochSchema: StructType,
+      keyIdx: Array[Int], keyTypes: Array[DataType],
+      extraKeys: Seq[Seq[Any]],
+      extraRows: Seq[(Seq[Any], (Long, Int))] = Nil): Map[Long, Array[Int]] =
+    if (tasks.isEmpty && extraRows.isEmpty) Map.empty
+    else {
+      shuffledProbeRuns.incrementAndGet()
+      val fileKeys = sc.parallelize(epochPaths, math.max(1, epochPaths.size))
+        .flatMap { p =>
+          val it = ParquetRows.iterator(p, epochSchema)
+          it.flatMap { r =>
+            val t: Seq[Any] = keyIdx.indices.map { j =>
+              if (r.isNullAt(keyIdx(j))) null
+              else MemTables.canonKey(r.get(keyIdx(j), keyTypes(j)))
+            }
+            if (t.contains(null)) Nil else Seq(t)
+          }
+        }
+      val keys =
+        (if (extraKeys.isEmpty) fileKeys
+         else fileKeys ++ sc.parallelize(extraKeys, 1))
+          .distinct() // an epoch upserts the same key many times — dedupe
+          .map(k => k -> (()))                                  // join form
+      val fileRows = sc.parallelize(tasks, math.max(1, tasks.size)).flatMap { t =>
+        val dead = PosBitmap.membership(t.dvDead)
+        val it = ParquetRows.iterator(t.path, t.matchSchema)
+        var pos = -1
+        it.flatMap { r =>
+          pos += 1
+          if (dead(pos)) Nil
+          else {
+            val tuple: Seq[Any] = t.keyIdx.indices.map { j =>
+              if (r.isNullAt(t.keyIdx(j))) null
+              else MemTables.canonKey(r.get(t.keyIdx(j), t.keyTypes(j)))
+            }
+            if (tuple.contains(null)) Nil else Seq(tuple -> (t.batchId, pos))
+          }
+        }
+      }
+      // driver-resident candidate batches (pre-migration history on a
+      // file-backed table) ride the same join as parallelized pairs —
+      // their rows already live driver-side, so this adds no new ceiling
+      val rows =
+        if (extraRows.isEmpty) fileRows
+        else fileRows ++ sc.parallelize(extraRows, 1)
+      rows.join(keys)
+        .map { case (_, ((id, pos), _)) => id -> pos }
+        .aggregateByKey(new org.roaringbitmap.RoaringBitmap())(
+          (bm, p) => { bm.add(p); bm }, (a, b) => { a.or(b); a })
+        .mapValues(_.toArray)
+        .collect().toMap // change-sized: matched positions only
+    }
+
   /** Probe every task's file against ONE broadcast key set; returns only
     * batches with at least one doomed position (decoded driver-side —
     * the shipped form is the compressed bitmap).

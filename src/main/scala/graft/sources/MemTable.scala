@@ -1174,6 +1174,18 @@ object MemTables {
     */
   val AutoCompactProp = "graft.auto-compact-min-files"
 
+  /** DV-DENSITY auto-compaction trigger (`TBLPROPERTIES
+    * ('graft.auto-compact-max-dead-ratio'='0.5')`): after any commit
+    * leaves the live batches' delete-vector-dead rows above the given
+    * fraction of their stored rows, the same distributed rewrite folds
+    * them — a batch 60% dead by DVs pays its overlay (and its dead
+    * bytes) on EVERY read until something rewrites it, and the file-count
+    * trigger alone never fires on a heavily-deleted but well-compacted
+    * table. Reads are byte-identical across the fold and the change feed
+    * never sees it (compaction versions are CDC-invisible).
+    */
+  val AutoCompactDeadRatioProp = "graft.auto-compact-max-dead-ratio"
+
   /** `'graft.storage'='parquet'` (create-time): the FILE-BACKED storage
     * plane — batches become executor-written parquet files under a table
     * directory; the driver holds only manifest entries (path, count,
@@ -2775,8 +2787,27 @@ object MemTables {
         val epochPaths = filePls.flatMap {
           case FilesPayload(fs) => fs.map(_.path); case _ => Nil
         }
+        // OVERSIZED epochs (a backfill re-ingesting 10⁸ keys) must not
+        // collect their key set driver-ward nor broadcast it to every
+        // executor: above the threshold the conversion joins epoch keys
+        // against candidate-file rows ON THE CLUSTER instead
+        // ([[DistributedDml.probeMatchesShuffled]]) — driver/broadcast
+        // bytes stay flat in epoch size
+        val epochRowEstimate: Long = filePls.iterator.flatMap {
+          case FilesPayload(fs) => fs.iterator.map(_.count.toLong)
+          case _ => Iterator.empty
+        }.sum + rowPls.iterator.map {
+          case RowsPayload(rs) => rs.length.toLong; case _ => 0L
+        }.sum
+        val broadcastMaxRows =
+          try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+            "spark.graft.upsert.broadcast-max-rows", "4000000").toLong
+          catch { case _: Exception => 4000000L }
+        val shuffledConvert = st.storageDir.isDefined &&
+          keySession.isDefined && epochPaths.nonEmpty &&
+          epochRowEstimate > broadcastMaxRows
         val fileKeys: Set[Seq[Any]] =
-          if (epochPaths.isEmpty) Set.empty
+          if (epochPaths.isEmpty || shuffledConvert) Set.empty
           else keySession match {
             case Some(s) =>
               val schemaB = writeSchema
@@ -2820,7 +2851,7 @@ object MemTables {
         val session = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         val converted: Map[Long, Array[Int]] =
-          if (keys.isEmpty) Map.empty
+          if (keys.isEmpty && !shuffledConvert) Map.empty
           else if (st.storageDir.isEmpty || session.isEmpty) {
             st.eqDeletes = st.eqDeletes :+ EqDelete(v, keyCols, keys)
             Map.empty
@@ -2833,7 +2864,7 @@ object MemTables {
             // tuple set) over integral/string columns — canonKey's widened
             // forms are those columns' natural external filter values
             val pruneFilters: Array[SFilter] =
-              if (keys.size > 1024) Array.empty
+              if (shuffledConvert || keys.size > 1024) Array.empty
               else keyCols.zipWithIndex.flatMap { case (c, j) =>
                 writeSchema.fields(idx(j)).dataType match {
                   case org.apache.spark.sql.types.LongType |
@@ -2866,21 +2897,39 @@ object MemTables {
                 ki, ki.map(matchSchema.fields(_).dataType),
                 if (b.dv.isEmpty) null else PosBitmap.toBytes(b.dv.keysIterator))
             }
-            val jobMatched =
-              DistributedDml.probeMatches(session.get.sparkContext, tasks, keys)
-            val localMatched = memB.map { case (b, names) =>
+            // driver-resident candidate rows: probed in-process on the
+            // broadcast path; shipped into the cluster join as pairs on
+            // the shuffled path (their key tuples never reach the
+            // driver's working set there)
+            def memTuples(b: TaggedBatch, names: Seq[String]) = {
               val ki = names.map(n => b.schema.fieldNames.indexOf(n))
               val kt = ki.map(b.schema.fields(_).dataType)
-              b.batchId -> b.rows.zipWithIndex.collect {
-                case (r, p) if !b.dv.contains(p) && {
-                  val tuple: Seq[Any] = ki.indices.map { j =>
+              b.rows.iterator.zipWithIndex.collect {
+                case (r, p) if !b.dv.contains(p) => (
+                  ki.indices.map { j =>
                     if (r.isNullAt(ki(j))) null else canonKey(r.get(ki(j), kt(j)))
-                  }
-                  !tuple.contains(null) && keys.contains(tuple)
-                } => p
+                  }: Seq[Any], p)
               }
-            }.filter(_._2.nonEmpty).toMap
-            jobMatched ++ localMatched
+            }
+            if (shuffledConvert) {
+              val extraRows = memB.iterator.flatMap { case (b, names) =>
+                memTuples(b, names).collect {
+                  case (t, p) if !t.contains(null) => (t, (b.batchId, p))
+                }
+              }.toSeq
+              DistributedDml.probeMatchesShuffled(session.get.sparkContext,
+                tasks, epochPaths, writeSchema, idx.toArray, types.toArray,
+                rowKeys.toSeq, extraRows)
+            } else {
+              val jobMatched =
+                DistributedDml.probeMatches(session.get.sparkContext, tasks, keys)
+              val localMatched = memB.map { case (b, names) =>
+                b.batchId -> memTuples(b, names).collect {
+                  case (t, p) if !t.contains(null) && keys.contains(t) => p
+                }.toArray
+              }.filter(_._2.nonEmpty).toMap
+              jobMatched ++ localMatched
+            }
           }
         st.committedEpochs = st.committedEpochs.updated(queryId, done + epochId)
         st.version = v
@@ -3409,6 +3458,9 @@ final class MemTable(key: String, tableSchema: StructType, asOf: Option[Long] = 
         s"mem table $key VERSION AS OF ${asOf.get} is a read-only snapshot")
     MatViews.assertStoreWritable(key, "DELETE")
     MemTables.deleteWhere(key, filters)
+    // MoR DELETE is the main DV producer — the DV-density trigger fires
+    // post-commit, no monitor held ([[RewriteJobs.maybeAutoCompact]])
+    RewriteJobs.maybeAutoCompact(key)
   }
 
   override def name(): String = asOf.fold(key)(v => s"$key@v$v")
@@ -5420,6 +5472,9 @@ final class MemDeltaBatchWrite(
       msgs.flatMap(_.deletes).toSeq,
       msgs.map(_.inserts).toSeq,
       msgs.flatMap(_.updates).toSeq))
+    // MoR DML is the main DV producer: the DV-density trigger fires here
+    // or never (post-commit, no monitor held)
+    RewriteJobs.maybeAutoCompact(key)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

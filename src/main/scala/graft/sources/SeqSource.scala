@@ -2036,9 +2036,23 @@ private[sources] object RewriteJobs {
     val st = MemTables.get(key).getOrElse(return)
     val threshold = st.createProps.get(MemTables.AutoCompactProp)
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(0)
-    if (threshold <= 0 || st.storageDir.isEmpty) return
-    val live = st.synchronized(st.batches.count(_.removedAt == Long.MaxValue))
-    if (live < threshold) return
+    // DV-density trigger ([[MemTables.AutoCompactDeadRatioProp]]): fold
+    // when delete-vector-dead rows exceed the declared fraction of the
+    // live batches' stored rows — the file-count trigger never fires on
+    // a heavily-deleted but well-compacted table
+    val maxDeadRatio = st.createProps.get(MemTables.AutoCompactDeadRatioProp)
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(r => r > 0.0 && r <= 1.0)
+    if ((threshold <= 0 && maxDeadRatio.isEmpty) || st.storageDir.isEmpty) return
+    val (live, deadRows, storedRows) = st.synchronized {
+      val lv = st.batches.filter(_.removedAt == Long.MaxValue)
+      (lv.size, lv.iterator.map(_.dv.size.toLong).sum,
+        lv.iterator.map(_.rowCount.toLong).sum)
+    }
+    val fileTrigger = threshold > 0 && live >= threshold
+    val dvTrigger = maxDeadRatio.exists(r =>
+      storedRows > 0 && deadRows.toDouble / storedRows >= r)
+    if (!fileTrigger && !dvTrigger) return
     val flag = autoCompactInFlight.getOrElseUpdate(
       key, new java.util.concurrent.atomic.AtomicBoolean(false))
     if (!flag.compareAndSet(false, true)) return

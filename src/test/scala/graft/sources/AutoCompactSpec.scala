@@ -57,6 +57,40 @@ class AutoCompactSpec extends SparkSpec {
     drop("ac_off", "ac_under")
   }
 
+  test("DV density past the declared ratio folds the batch; feed invisible") {
+    catalogOn(); drop("ac_dv")
+    spark.sql("CREATE TABLE graft.ac_dv (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', " +
+      "'graft.delete-mode'='merge-on-read', " +
+      "'graft.auto-compact-max-dead-ratio'='0.5')")
+    spark.sql("INSERT INTO graft.ac_dv SELECT id, id * 10 FROM range(0, 1000, 1, 1)")
+    // 30% dead: under the ratio — the overlay stays
+    spark.sql("DELETE FROM graft.ac_dv WHERE k < 300")
+    assert(live("ac_dv").exists(_.dv.nonEmpty),
+      "below the ratio the DV overlay must remain")
+    val rowsBefore = spark.sql("SELECT k, v FROM graft.ac_dv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // +30% more dead → 60% ≥ 0.5: the commit's trigger folds the batch
+    spark.sql("DELETE FROM graft.ac_dv WHERE k >= 300 AND k < 600")
+    val lv = live("ac_dv")
+    assert(lv.forall(_.dv.isEmpty),
+      s"past the ratio the fold must clear the DV overlay, got ${lv.map(_.dv.size)}")
+    assert(lv.map(_.rowCount).sum === 400,
+      "the folded batches hold exactly the live rows")
+    // reads byte-identical to the pre-fold state minus the second delete
+    val rowsAfter = spark.sql("SELECT k, v FROM graft.ac_dv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rowsAfter === rowsBefore.filterNot { case (k, _) => k >= 300 && k < 600 })
+    // the fold is CDC-invisible: the feed shows only inserts and the two
+    // row-level delete windows
+    val feed = spark.read.format("graft.sources.MemChangesSource")
+      .option("table", "ac_dv").option("from", "0")
+      .option("to", MemTables.get("ac_dv").get.version.toString).load()
+    assert(feed.filter("_change_type = 'insert'").count() === 1000L)
+    assert(feed.filter("_change_type = 'delete'").count() === 600L)
+    drop("ac_dv")
+  }
+
   test("a declared sort order is re-established by the auto fold") {
     catalogOn(); drop("ac_sorted")
     spark.sql("CREATE TABLE graft.ac_sorted (k BIGINT) " +

@@ -19,10 +19,11 @@ class UpsertConversionSpec extends SparkSpec {
   private def catalogOn(): Unit =
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
 
-  private def runEpochs(tbl: String): Unit = {
+  private def runEpochs(tbl: String, extraConf: Map[String, String] = Map.empty): Unit = {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "4")
     sess.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    extraConf.foreach { case (k, v) => sess.conf.set(k, v) }
     import sess.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val ms = MemoryStream[(Long, Long)]
@@ -82,6 +83,39 @@ class UpsertConversionSpec extends SparkSpec {
     feed.collect()
     assert(ParquetRows.readCalls.get() === before,
       "scans/CDC of a converted upsert table must not read files driver-side")
+  }
+
+  test("oversized epochs convert via the SHUFFLED join, semantics identical") {
+    catalogOn()
+    spark.sql("DROP TABLE IF EXISTS graft.upconv_sh")
+    spark.sql("CREATE TABLE graft.upconv_sh (k BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'graft.storage'='parquet', 'graft.delete-mode'='merge-on-read', " +
+      "'graft.upsert-keys'='k')")
+    val runsBefore = DistributedDml.shuffledProbeRuns.get()
+    val iterBefore = ParquetRows.driverIterCalls.get()
+    // threshold 10 rows: every epoch here exceeds it — the conversion
+    // must join epoch keys against candidate rows on the cluster instead
+    // of collecting + broadcasting the key set
+    runEpochs("graft.upconv_sh",
+      Map("spark.graft.upsert.broadcast-max-rows" -> "10"))
+    assert(DistributedDml.shuffledProbeRuns.get() > runsBefore,
+      "the oversized-epoch conversion must take the shuffled path")
+    assert(ParquetRows.driverIterCalls.get() === iterBefore,
+      "shuffled conversion must not stream epoch or table files driver-side")
+    val st = MemTables.get("upconv_sh").get
+    assert(st.eqDeletes.isEmpty, "conversion still lands positional DVs")
+    // byte-identical semantics to the broadcast path: same last-write-
+    // per-key reads, same kill versions, same strictly-older rule
+    assert(spark.sql("SELECT count(*) FROM graft.upconv_sh").head().getLong(0) === 40L)
+    assert(spark.sql(
+      "SELECT CAST(sum(v) AS BIGINT) FROM graft.upconv_sh WHERE k % 3 = 0")
+      .head().getLong(0) ===
+      (0L until 40L).filter(_ % 3 == 0).map(_ * 10 + 7).sum)
+    val killed = st.batches.filter(_.version == 1L).flatMap(_.dv.toSeq)
+    assert(killed.nonEmpty && killed.forall(_._2 == 2L))
+    assert(spark.sql(
+      "SELECT CAST(sum(v) AS BIGINT) FROM graft.upconv_sh VERSION AS OF 1")
+      .head().getLong(0) === (0L until 40L).map(_ * 10).sum)
   }
 
   test("driver-resident upsert tables keep the read-time equality delete") {
