@@ -908,6 +908,9 @@ object MemTables {
     // silently overwritten ([[MetaIO.commitCas]]). Process-local; set by
     // [[TableMetadata.load]] on recovery, advanced by each write.
     @volatile private[sources] var durableGen: Long = 0L
+    // last cross-process freshness probe ([[MemTables.refreshIfStale]]);
+    // initialized to load time so a fresh state never probes immediately
+    @volatile private[sources] var lastFreshProbe: Long = System.currentTimeMillis()
     // column name -> version at which it was (last) dropped. A batch whose
     // writeVersion <= droppedAt(name) predates that drop, so its same-name
     // field must NOT satisfy a later re-added column (it reads NULL) — the
@@ -1332,7 +1335,44 @@ object MemTables {
     key.replaceAll("[^A-Za-z0-9._-]", "_")
 
   def get(key: String): Option[State] =
-    tables.get(key).orElse(recoverFromDisk(key))
+    tables.get(key).flatMap(st => refreshIfStale(key, st))
+      .orElse(recoverFromDisk(key))
+
+  /** Cross-process FRESHNESS probe (bounded staleness — the REST-catalog
+    * read behavior without the service): at most once per
+    * `spark.graft.catalog.refresh-interval-ms` (default 1000; −1
+    * disables), a cached file-backed table compares its loaded CAS
+    * generation against the durable plane's CURRENT one — a single
+    * header/pointer read ([[MetaIO.currentGen]]). A mismatch means
+    * another PROCESS committed (or dropped) this table since we loaded
+    * it: evict and recover the durable truth, so readers see foreign
+    * commits without waiting for a local write to CAS-conflict. Local
+    * commits keep the cached generation current, so the steady
+    * single-writer path never probes more than the interval and never
+    * evicts.
+    */
+  private def refreshIfStale(key: String, st: State): Option[State] = {
+    val dir = st.storageDir.getOrElse(return Some(st))
+    val iv =
+      try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "spark.graft.catalog.refresh-interval-ms", "1000").toLong
+      catch { case _: Exception => 1000L }
+    if (iv < 0) return Some(st)
+    val now = System.currentTimeMillis()
+    if (now - st.lastFreshProbe < iv) return Some(st)
+    st.lastFreshProbe = now
+    val durable =
+      try MetaIO.currentGen(dir, TableMetadata.FileName)
+      catch { case _: Exception => st.durableGen } // unreadable plane: keep serving
+    if (durable == st.durableGen) Some(st)
+    else {
+      tables.remove(key)
+      metaKeyCache.remove(dir)
+      // recovery serves the winner's durable truth — including a foreign
+      // DROP, which recovers to None
+      recoverFromDisk(key).orElse(tables.get(key))
+    }
+  }
 
   /** The row-id metadata column set (`_batch_version`, `_batch_id`,
     * `_batch_pos`) — ONE definition shared by [[MemTable]] and
@@ -5199,6 +5239,29 @@ object MemScan {
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           }
         p.file match {
+          case Some(path) if p.pushFilters.nonEmpty =>
+            // FILE-BACKED with a parquet-pushable predicate (the row
+            // path serves evolved-schema scans the columnar projection
+            // declines — they prune row groups all the same): positions
+            // come from the parquet row index, so DV skips and head cuts
+            // stay exact under skipped groups
+            new PartitionReader[InternalRow] {
+              private val it = ParquetRows.positioned(
+                path, p.batchSchema, p.pushFilters.toSeq)
+              private var pos = -1
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                while (it.hasNext) {
+                  val r = it.next()
+                  pos = it.pos.toInt
+                  if (p.cut >= 0 && pos >= p.cut) { it.close(); return false }
+                  if (!p.dead.contains(pos)) { cur = r; return true }
+                }
+                false
+              }
+              override def get(): InternalRow = project(cur, pos)
+              override def close(): Unit = it.close()
+            }
           case Some(path) =>
             // FILE-BACKED storage plane: the executor streams the parquet
             // rows itself (the driver shipped only the path), skipping

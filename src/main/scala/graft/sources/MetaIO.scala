@@ -475,6 +475,20 @@ private[sources] object MetaIO {
   // immediately instead of waiting out the stale window
   private val pendingSnap = TrieMap.empty[String, Long]
 
+  /** CURRENT generation of the durable document — the cross-process
+    * FRESHNESS probe's one cheap read: rename-capable schemes read the
+    * doc's `commit-gen` header ([[fileGen]] — writers place the field
+    * first, so this never parses the body); pointer-swap schemes read
+    * the tiny pointer's snapshot sequence (sequence IS the generation in
+    * the CAS protocol; a legacy plane reports its pointer sequence,
+    * matching [[legacyGen]]'s load-side expectation). 0 = absent/legacy.
+    */
+  def currentGen(dir: String, name: String): Long = {
+    val target = new Path(dir, name)
+    if (renameCapable(target)) fileGen(target)
+    else pointerSeq(target, name.stripSuffix(".json")).getOrElse(0L)
+  }
+
   /** The CAS generation a caller must expect for a loaded document that
     * carries NO `commit-gen` field (a legacy, pre-CAS doc). Rename-capable
     * schemes: 0 — [[fileGen]] reads the same 0, so the first CAS commit

@@ -76,6 +76,27 @@ class RowGroupPruneSpec extends SparkSpec {
     rows.foreach { case (pos, k) => assert(pos === k) }
   }
 
+  test("the ROW scan path prunes row groups when a filter is pushable") {
+    // evolved-schema scans decline the columnar projection but still
+    // prune: drive the row reader directly with a pushed filter and a
+    // _batch_pos projection — positions must be absolute under skips
+    val target = new StructType().add("k", LongType).add("v", LongType)
+      .add(MemTables.BatchPos, org.apache.spark.sql.types.IntegerType)
+    val part = MemPartition(schema, 1L, Map("k" -> "k", "v" -> "v"),
+      Array.empty, Set.empty, 7L, None, file = Some(path),
+      pushFilters = Array(GreaterThanOrEqual("k", (N - 50).toLong)))
+    val reader = MemScan.readerFactoryFor(target).createReader(part)
+    var n = 0
+    try while (reader.next()) {
+      val r = reader.get()
+      assert(r.getInt(2).toLong === r.getLong(0),
+        "_batch_pos must be the absolute file position despite skips")
+      n += 1
+    } finally reader.close()
+    assert(n < N / 2, s"row path must prune non-matching groups (read $n/$N)")
+    assert(n >= 50, "every matching row must survive")
+  }
+
   test("distributed DELETE match pass prunes row groups, positions exact") {
     val filters: Array[org.apache.spark.sql.sources.Filter] =
       Array(GreaterThanOrEqual("k", (N - 30).toLong))
