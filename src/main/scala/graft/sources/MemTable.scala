@@ -5018,8 +5018,13 @@ object MemScan {
   private[sources] def columnarSupported(target: StructType, p: MemPartition): Boolean =
     p.file.isDefined && srcIndexes(target, p).zip(target.fields).forall {
       case (s, f) if s >= 0 =>
-        p.batchSchema.fields(s).dataType == f.dataType &&
-          ParquetColumnar.atomicSupported(f.dataType)
+        // sameType: nested types differ by element/field NULLABILITY
+        // between a write schema and the table binding — the decoded
+        // vectors are identical either way; true widening still differs
+        // by sameType and keeps the row path's per-value conversion
+        org.apache.spark.sql.graftbridge.Bridge.sameTypeIgnoreNullability(
+          p.batchSchema.fields(s).dataType, f.dataType) &&
+          ParquetColumnar.vectorizable(f.dataType)
       case (-1, f) =>
         ParquetColumnar.constantSupported(p.defaults.getOrElse(f.name, null), f.dataType)
       case _ => true // metadata columns: constants / the position vector

@@ -149,7 +149,13 @@ object ParquetColumnar {
       base.getDecimal(map(i), precision, scale)
     override def getUTF8String(i: Int): UTF8String = base.getUTF8String(map(i))
     override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
-    override def getChild(ordinal: Int): ColumnVector = base.getChild(ordinal)
+    // STRUCT access goes ColumnarRow(parentVector, parentRowId) →
+    // getChild(ordinal).getX(parentRowId): children index in the
+    // PARENT's row space, so they must remap through the same survivor
+    // map (arrays/maps are unaffected — their ColumnarArray/ColumnarMap
+    // carry absolute child offsets resolved by the base getters above)
+    override def getChild(ordinal: Int): ColumnVector =
+      new SelectedVector(base.getChild(ordinal), map)
   }
 
   /** `_batch_pos` as a vector: the surviving rows' file positions
@@ -178,16 +184,25 @@ object ParquetColumnar {
     override def getChild(ordinal: Int): ColumnVector = throw new UnsupportedOperationException
   }
 
-  /** The atomic types the columnar path serves (the vectorized reader
-    * handles more, but these cover every gate table — nested/interval
-    * types keep the row path, a per-scan uniform fallback).
-    */
+  /** The atomic types the columnar path serves. */
   def atomicSupported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | BinaryType | DateType |
         TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Types the VECTORIZED READER decodes: the atomics plus any nesting
+    * of arrays/structs/maps over them (the embedding-vector and
+    * struct-of-modalities shapes an LLM-pipeline table stores) —
+    * interval/variant/UDT keep the row path.
+    */
+  def vectorizable(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => vectorizable(e)
+    case s: StructType => s.fields.forall(f => vectorizable(f.dataType))
+    case MapType(k, v, _) => vectorizable(k) && vectorizable(v)
+    case other => atomicSupported(other)
   }
 
   /** Can `value` (an internal-representation constant: ADD COLUMN

@@ -52,6 +52,15 @@ object Bridge {
     SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
   val parquetTimestampTypeKey: String = SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key
 
+  /** Nullability-insensitive type equality (`DataType.equalsIgnoreNullability`
+    * is `private[sql]`): nested write-schema types differ from the table
+    * binding only by element/field nullability, which the decoded
+    * parquet vectors don't care about.
+    */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
   /** Parquet-hadoop `FilterPredicate` for a conjunction of V2 source
     * filters against one FILE's actual parquet schema — Spark's own
     * `ParquetFilters` translator (`private[sql]`, hence bridged), which

@@ -144,6 +144,45 @@ class ColumnarReadSpec extends SparkSpec {
     drop("col_ren")
   }
 
+  test("nested columns (embedding arrays, structs, maps) read columnarly") {
+    catalogOn(); drop("col_nested")
+    spark.sql("CREATE TABLE graft.col_nested (" +
+      "id BIGINT, emb ARRAY<FLOAT>, meta STRUCT<w: INT, tag: STRING>, " +
+      "attrs MAP<STRING, BIGINT>) " +
+      "TBLPROPERTIES ('graft.storage'='parquet', " +
+      "'graft.delete-mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.col_nested " +
+      "SELECT id, array(CAST(id AS FLOAT), CAST(id * 2 AS FLOAT)), " +
+      "named_struct('w', CAST(id % 7 AS INT), 'tag', concat('t', id)), " +
+      "map('a', id, 'b', id * 3) FROM range(0, 500)")
+    val df = spark.sql("SELECT id, emb, meta, attrs FROM graft.col_nested")
+    assert(scanIsColumnar(df), "nested atomic compositions must vectorize")
+    val rows = df.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getSeq[Float](1) === Seq(id.toFloat, (id * 2).toFloat))
+      val m = r.getStruct(2)
+      assert(m.getInt(0) === (id % 7).toInt && m.getString(1) === s"t$id")
+      assert(r.getMap[String, Long](3) === Map("a" -> id, "b" -> id * 3))
+    }
+    // DV kills remap nested vectors too — struct children go through the
+    // survivor map in the parent's row space
+    spark.sql("DELETE FROM graft.col_nested WHERE id % 5 = 0")
+    val df2 = spark.sql("SELECT id, emb, meta FROM graft.col_nested")
+    assert(scanIsColumnar(df2))
+    val rows2 = df2.collect()
+    assert(rows2.length === 400)
+    rows2.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 5 != 0)
+      assert(r.getSeq[Float](1) === Seq(id.toFloat, (id * 2).toFloat))
+      assert(r.getStruct(2).getString(1) === s"t$id",
+        "struct fields must remap through the survivor map")
+    }
+    drop("col_nested")
+  }
+
   test("time travel reads stay columnar and exact") {
     catalogOn(); drop("col_tt")
     spark.sql("CREATE TABLE graft.col_tt (k BIGINT) " +
