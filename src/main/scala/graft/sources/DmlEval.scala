@@ -166,10 +166,13 @@ object DistributedDml {
     * every file. Probe key indexes resolve into the task's PRUNED match
     * schema.
     */
-  final case class KillState(dvDead: Set[Int], probes: Seq[EqProbe])
-      extends Serializable
+  final case class KillState(dvDead: Array[Byte], probes: Seq[EqProbe])
+      extends Serializable {
+    /** Hot-loop membership over the decoded bitmap (built once per task). */
+    def deadFn: Int => Boolean = PosBitmap.membership(dvDead)
+  }
 
-  val EmptyKills: KillState = KillState(Set.empty, Nil)
+  val EmptyKills: KillState = KillState(Array.empty, Nil)
 
   /** Everything one executor task needs to evaluate one file-backed batch:
     * where the rows live, the bound predicate, and — copy-on-write only —
@@ -357,6 +360,7 @@ object DistributedDml {
     * memory is the matched-position buffer + writer state.
     */
   private[sources] def evalBatch(t: EvalTask, kills: KillState): EvalResult = {
+    val dvDead = kills.deadFn
     val matched = new ArrayBuffer[Int]
     // parquet-filtered + position-aware: row groups the pushed predicate
     // excludes never decode (they cannot hold matches), and positions
@@ -367,7 +371,7 @@ object DistributedDml {
       while (it.hasNext) {
         val r = it.next()
         val pos = it.pos.toInt
-        val dead = kills.dvDead.contains(pos) || kills.probes.exists(_.kills(r))
+        val dead = dvDead(pos) || kills.probes.exists(_.kills(r))
         if (!dead && t.pred.matches(r)) matched += pos
       }
     } finally it.close()

@@ -3228,7 +3228,11 @@ object MemTables {
         // broadcast keyed by batch — never the per-task closure
         val kills = plans.collect {
           case (b, (_, _, probes, _)) if b.dv.nonEmpty || probes.nonEmpty =>
-            b.batchId -> DistributedDml.KillState(b.dv.keySet, probes)
+            // dead positions ride as a COMPRESSED bitmap: a run-shaped
+            // million-row DV is kilobytes in the broadcast, not a 30 MB
+            // boxed Set[Int]
+            b.batchId -> DistributedDml.KillState(
+              PosBitmap.toBytes(b.dv.keysIterator), probes)
         }.toMap
         DistributedDml.run(session.get.sparkContext, tasks, kills)
       }
