@@ -993,7 +993,7 @@ object MatViews {
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory)
         .foreach { d =>
-          if (MetaIO.exists(d.getAbsolutePath, JournalName))
+          if (MetaIO.pointerExists(d.getAbsolutePath, JournalName))
             try loadJournal(d.getAbsolutePath).foreach(st => getOrRecover(st.name))
             catch { case _: Exception => }
         }
@@ -1571,7 +1571,7 @@ object MatViews {
       // the strength of a name suffix would be data loss
       val storeKey = name + StoreSuffix
       val ownsStore = known || MemTables.get(storeKey).exists(st =>
-        st.storageDir.exists(d => MetaIO.exists(d, JournalName)))
+        st.storageDir.exists(d => MetaIO.pointerExists(d, JournalName)))
       if (!known && !ownsStore && MemTables.get(storeKey).isDefined)
         // a crash between the store CREATE and the first journal write
         // leaves a journal-less store this procedure must NOT reclaim

@@ -1405,7 +1405,12 @@ object MemTables {
   def listKeys(): Seq[String] = {
     val onDisk = Option(tablesRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).flatMap(metaKeyOf).toSeq
-    (tables.keys.toSeq ++ onDisk).distinct.sorted
+    // a configured catalog SERVICE is the discovery authority too —
+    // a driver with no list permission on the warehouse still sees
+    // every table the fleet committed
+    val viaService =
+      try MetaIO.restListTables() catch { case _: Exception => Nil }
+    (tables.keys.toSeq ++ onDisk ++ viaService).distinct.sorted
   }
 
   /** Entry-point lookup for procedures and DDL: registry, then DISK

@@ -45,6 +45,30 @@ private[sources] object MetaIO {
   /** Schemes whose `rename` atomically replaces the destination. */
   private val RenameCapable = Set("file", "hdfs", "viewfs")
 
+  /** When set, the MUTABLE pointer plane (metadata docs + MV journals —
+    * commit/readCurrent/currentGen/legacyGen/pointerExists) routes
+    * through a [[CatalogClient]] to a shared [[CatalogServer]] commit
+    * authority instead of the direct file protocol; immutable
+    * content-named documents (manifests, DVs, data files) ALWAYS go
+    * direct to storage — the REST-catalog split. Process-global: one
+    * driver talks to one catalog service, like one Spark session serves
+    * one `spark.sql.catalog.graft` binding.
+    */
+  @volatile private var restClient: Option[CatalogClient] = None
+
+  private[sources] def useRestCatalog(uri: String): Unit =
+    restClient = Some(new CatalogClient(uri))
+
+  private[sources] def useLocalCatalog(): Unit = restClient = None
+
+  private[sources] def restCatalogUri: Option[String] = restClient.map(_.baseUri)
+
+  /** Table keys the configured catalog service lists — empty in local
+    * (direct-file) mode; discovery then rides the warehouse scan.
+    */
+  private[sources] def restListTables(): Seq[String] =
+    restClient.map(_.listTables()).getOrElse(Nil)
+
   // template Configuration: parsing the Hadoop default XMLs costs tens of
   // ms — pay it once. file: goes through RawLocalFileSystem (no .crc
   // shadows; metadata docs carry their own JSON integrity) with the FS
@@ -302,7 +326,10 @@ private[sources] object MetaIO {
     * engine's durable planes commit through [[commitCas]].
     */
   def commit(dir: String, name: String, bytes: Array[Byte]): Unit =
-    doCommit(dir, name, bytes, expectedGen = None)
+    restClient match {
+      case Some(c) => c.commit(dir, name, bytes, None)
+      case None => doCommit(dir, name, bytes, expectedGen = None)
+    }
 
   /** Compare-and-swap publish: succeeds only if the durable document is
     * still at `expectedGen` (callers embed `commit-gen = expectedGen + 1`
@@ -329,7 +356,18 @@ private[sources] object MetaIO {
     */
   def commitCas(dir: String, name: String, bytes: Array[Byte],
       expectedGen: Long): Unit =
-    doCommit(dir, name, bytes, Some(expectedGen))
+    restClient match {
+      case Some(c) => c.commit(dir, name, bytes, Some(expectedGen))
+      case None => doCommit(dir, name, bytes, Some(expectedGen))
+    }
+
+  /** The direct FILE protocol, bypassing any configured catalog service —
+    * the [[CatalogServer]]'s own execution path (the service end of a
+    * routed commit must not re-enter the client).
+    */
+  private[sources] def localCommit(dir: String, name: String,
+      bytes: Array[Byte], expectedGen: Option[Long]): Unit =
+    doCommit(dir, name, bytes, expectedGen)
 
   private def doCommit(dir: String, name: String, bytes: Array[Byte],
       expectedGen: Option[Long]): Unit = {
@@ -483,7 +521,13 @@ private[sources] object MetaIO {
     * the CAS protocol; a legacy plane reports its pointer sequence,
     * matching [[legacyGen]]'s load-side expectation). 0 = absent/legacy.
     */
-  def currentGen(dir: String, name: String): Long = {
+  def currentGen(dir: String, name: String): Long =
+    restClient match {
+      case Some(c) => c.currentGen(dir, name)
+      case None => localCurrentGen(dir, name)
+    }
+
+  private[sources] def localCurrentGen(dir: String, name: String): Long = {
     val target = new Path(dir, name)
     if (renameCapable(target)) fileGen(target)
     else pointerSeq(target, name.stripSuffix(".json")).getOrElse(0L)
@@ -499,11 +543,27 @@ private[sources] object MetaIO {
     * table permanently, since eviction + reload re-derives 0 forever.
     * The first CAS commit against such a table lands at legacy-seq + 1.
     */
-  def legacyGen(dir: String, name: String): Long = {
+  def legacyGen(dir: String, name: String): Long =
+    restClient match {
+      case Some(c) => c.legacyGen(dir, name)
+      case None => localLegacyGen(dir, name)
+    }
+
+  private[sources] def localLegacyGen(dir: String, name: String): Long = {
     val target = new Path(dir, name)
     if (renameCapable(target)) 0L
     else pointerSeq(target, name.stripSuffix(".json")).getOrElse(0L)
   }
+
+  /** Existence of a MUTABLE pointer document (metadata doc / MV
+    * journal) — routed like the other pointer-plane reads; immutable
+    * documents keep probing storage directly via [[exists]].
+    */
+  def pointerExists(dir: String, name: String): Boolean =
+    restClient match {
+      case Some(c) => c.pointerExists(dir, name)
+      case None => exists(dir, name)
+    }
 
   /** The sequence number the pointer file currently names — None when the
     * pointer is absent, torn, or a legacy full document.
@@ -532,7 +592,13 @@ private[sources] object MetaIO {
     * crash before the first pointer write means the commit never
     * happened).
     */
-  def readCurrent(dir: String, name: String): Option[Array[Byte]] = {
+  def readCurrent(dir: String, name: String): Option[Array[Byte]] =
+    restClient match {
+      case Some(c) => c.readCurrent(dir, name)
+      case None => localReadCurrent(dir, name)
+    }
+
+  private[sources] def localReadCurrent(dir: String, name: String): Option[Array[Byte]] = {
     val target = new Path(dir, name)
     val f = fs(target)
     if (!f.exists(target)) {

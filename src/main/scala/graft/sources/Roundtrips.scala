@@ -2116,6 +2116,75 @@ object Roundtrips {
         |SELECT 'pinned', count(*), sum(v) FROM graft.orders_even_pinned""".stripMargin)
   }
 
+  /** The SHARED CATALOG SERVICE through the gate ([[CatalogServer]]/
+    * [[CatalogClient]] — the Iceberg-REST-catalog shape): a live HTTP
+    * service over the warehouse becomes the commit AUTHORITY, and a full
+    * table lifecycle (create → append → merge-on-read DELETE → read)
+    * runs with every mutable pointer commit routed through it; data and
+    * manifest files keep going direct to storage. The output pins the
+    * PROTOCOL alongside the data: the `protocol` row's flags record that
+    * the lifecycle's >=3 pointer commits actually went through the
+    * service, that the service lists the committed table, and that it
+    * serves the current metadata document — while the `nation` rows pin
+    * the data against DuckDB replaying the delete relationally. At
+    * 100 TB this is how a FLEET of drivers shares one warehouse: a
+    * single arbiter serializes optimistic commits, so CAS holds even on
+    * stores with no conditional-PUT primitive. RestCatalogSpec pins the
+    * failure modes (409 reload-retry, warehouse guardrail, fail-loud on
+    * an unreachable service, cross-driver freshness).
+    */
+  val dsv2RestCatalog: QueryDef = QueryDef(
+    "dsv2_rest_catalog",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nk,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |kept AS (SELECT * FROM base WHERE nk <> 13)
+      |SELECT 'nation' AS part, nk, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sv
+      |FROM kept GROUP BY nk
+      |UNION ALL
+      |SELECT 'protocol', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |       CAST(1 AS BIGINT)""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SeqCatalog")
+    val tbl = "graft.mem_cust_rest"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val server = new CatalogServer(MemTables.tablesRoot.getAbsolutePath).start()
+    MetaIO.useRestCatalog(server.uri)
+    try {
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, nk BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.storage'='parquet', " +
+        "'graft.delete-mode'='merge-on-read')") // v0: commit 1
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("k"),
+        col("c_nationkey").cast("long").as("nk"),
+        Num.cents(col("c_acctbal")).as("cents"))
+        .writeTo(tbl).append() // v1: commit 2
+      spark.sql(s"DELETE FROM $tbl WHERE nk = 13") // v2 (DVs): commit 3
+      // protocol flags, computed WHILE the service is the authority
+      val routed = server.commitCount.get >= 3
+      val client = new CatalogClient(server.uri)
+      val listed = client.listTables().contains("mem_cust_rest")
+      val served = MemTables.get("mem_cust_rest").get.storageDir
+        .exists(d => client.readCurrent(d, TableMetadata.FileName).nonEmpty)
+      val out = spark.sql(
+        s"""SELECT 'nation' AS part, nk, count(*) AS n, sum(cents) AS sv
+           |FROM $tbl GROUP BY nk
+           |UNION ALL
+           |SELECT 'protocol', CAST(${if (routed) 1 else 0} AS BIGINT),
+           |       CAST(${if (listed) 1 else 0} AS BIGINT),
+           |       CAST(${if (served) 1 else 0} AS BIGINT)""".stripMargin)
+      // materialize the (small, aggregated) result WHILE the service is
+      // the authority, so the returned plan has no read-after-teardown
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      MetaIO.useLocalCatalog()
+      server.stop()
+    }
+  }
+
   /** The DURABLE METADATA PLANE through the gate ([[TableMetadata]] +
     * `CALL graft.unload_table` + disk recovery): the restart-survival
     * drill of the table format, run twice mid-lifecycle. Orders land
@@ -3101,5 +3170,6 @@ object Roundtrips {
       dsv2MigrateStorage, dsv2ZorderRewrite, dsv2BloomSkipping, dsv2IncrementalMv,
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
       dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin,
-      dsv2MvLeftChain, dsv2MvFullJoin, dsv2MvRightJoin, dsv2MvFullChain)
+      dsv2MvLeftChain, dsv2MvFullJoin, dsv2MvRightJoin, dsv2MvFullChain,
+      dsv2RestCatalog)
 }

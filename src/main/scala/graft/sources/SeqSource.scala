@@ -503,8 +503,15 @@ class SeqCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
       Identifier.of(namespace, "materialized_views"))
 
   private var catalogName: String = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // `spark.sql.catalog.graft.rest-uri=http://host:port` points the
+    // mutable pointer plane at a shared [[CatalogServer]] commit
+    // authority (the REST-catalog shape); absent, the direct file
+    // protocol stands and an earlier binding is left untouched
+    Option(options.get("rest-uri")).map(_.trim).filter(_.nonEmpty)
+      .foreach(MetaIO.useRestCatalog)
+  }
   override def name(): String = catalogName
 
   /** Column DEFAULT support (`CREATE TABLE (c INT DEFAULT 5)` / `ALTER
