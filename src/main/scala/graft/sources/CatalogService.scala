@@ -46,8 +46,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
 
+  // a scheme'd warehouse (object store) guards by normalized-URI prefix;
+  // a plain local path by canonical path — both defuse `..` traversal
+  private val rootHasScheme = warehouseRoot.contains("://")
   private val rootCanonical =
-    new java.io.File(warehouseRoot).getCanonicalPath
+    if (rootHasScheme) warehouseRoot.stripSuffix("/")
+    else new java.io.File(warehouseRoot).getCanonicalPath
 
   private val http = HttpServer.create(
     new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port0), 0)
@@ -88,12 +92,21 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
   /** A dir outside the warehouse is refused — the canonical-path check
     * also defuses `..` traversal in the query param.
     */
-  private def guarded(dir: String): Option[String] = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    if (canon == rootCanonical || canon.startsWith(rootCanonical + java.io.File.separator))
-      Some(canon)
-    else None
-  }
+  private def guarded(dir: String): Option[String] =
+    if (rootHasScheme) {
+      val norm = dir.stripSuffix("/")
+      val traverses = norm.split('/').contains("..")
+      if (!traverses &&
+          (norm == rootCanonical || norm.startsWith(rootCanonical + "/")))
+        Some(norm)
+      else None
+    } else {
+      val canon = new java.io.File(dir).getCanonicalPath
+      if (canon == rootCanonical ||
+          canon.startsWith(rootCanonical + java.io.File.separator))
+        Some(canon)
+      else None
+    }
 
   private def handle(ex: HttpExchange)(body: => Unit): Unit =
     try body
@@ -109,13 +122,22 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
   })
 
   http.createContext("/v1/tables", (ex: HttpExchange) => handle(ex) {
-    val keys = Option(new java.io.File(rootCanonical).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .iterator.filter(_.isDirectory)
-      .filter(d => new java.io.File(d, TableMetadata.FileName).isFile)
-      .flatMap { d =>
-        try TableMetadata.peekKey(d.getPath) catch { case _: Exception => None }
-      }.toSeq.distinct.sorted
+    val dirs: Seq[String] =
+      if (rootHasScheme) {
+        val rp = new org.apache.hadoop.fs.Path(rootCanonical)
+        val f = MetaIO.fs(rp)
+        if (!f.exists(rp)) Nil
+        else f.listStatus(rp).iterator.filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq
+      } else
+        Option(new java.io.File(rootCanonical).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .iterator.filter(_.isDirectory)
+          .filter(d => new java.io.File(d, TableMetadata.FileName).isFile)
+          .map(_.getPath).toSeq
+    val keys = dirs.flatMap { d =>
+      try TableMetadata.peekKeyLocal(d) catch { case _: Exception => None }
+    }.distinct.sorted
     val node = mapper.createObjectNode()
     val arr = node.putArray("tables")
     keys.foreach(arr.add)

@@ -510,6 +510,20 @@ object TableMetadata {
     */
   def peekKey(dir: String): Option[String] = {
     val bytes = MetaIO.readCurrent(dir, FileName).getOrElse(return None)
+    peekKeyBytes(bytes)
+  }
+
+  /** [[peekKey]] via the DIRECT file protocol — the catalog service's own
+    * key resolution (the service end must never re-enter a configured
+    * client: a nested HTTP hop per listed table could exhaust the
+    * handler pool).
+    */
+  private[sources] def peekKeyLocal(dir: String): Option[String] = {
+    val bytes = MetaIO.localReadCurrent(dir, FileName).getOrElse(return None)
+    peekKeyBytes(bytes)
+  }
+
+  private def peekKeyBytes(bytes: Array[Byte]): Option[String] = {
     val root = mapper.readTree(bytes)
     if (root.get("format-version").asInt != FormatVersion) None
     else Option(root.get("key")).map(_.asText)

@@ -124,6 +124,39 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("the service arbitrates CAS over a store with NO atomic primitive") {
+    // graftnr:// refuses rename (the S3 shape, NoRenameFileSystem): with
+    // the SERVICE as the authority, same-generation committers still
+    // serialize — the arbitration the raw store cannot provide
+    val local = java.nio.file.Files.createTempDirectory("rest-nr").toFile
+    val root = s"graftnr://${local.getAbsolutePath}"
+    val server = new CatalogServer(root).start()
+    MetaIO.useRestCatalog(server.uri)
+    try {
+      val dir = s"$root/t1"
+      def doc(gen: Long, p: Int): Array[Byte] =
+        s"""{"commit-gen":$gen,"format-version":2,"payload":$p}"""
+          .getBytes("UTF-8")
+      MetaIO.commitCas(dir, "metadata.json", doc(1, 1), 0L)
+      intercept[MetaIO.CommitConflictException] {
+        MetaIO.commitCas(dir, "metadata.json", doc(1, 99), 0L)
+      }
+      MetaIO.commitCas(dir, "metadata.json", doc(2, 2), 1L)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(m.readTree(MetaIO.readCurrent(dir, "metadata.json").get)
+        .get("payload").asInt === 2)
+      assert(MetaIO.currentGen(dir, "metadata.json") === 2L)
+      // `..` traversal out of a scheme'd warehouse is refused too
+      val e = intercept[IllegalStateException] {
+        MetaIO.commitCas(s"$root/../outside", "metadata.json", doc(1, 1), 0L)
+      }
+      assert(e.getMessage.contains("403"), s"expected a 403 refusal, got: $e")
+    } finally {
+      MetaIO.useLocalCatalog()
+      server.stop()
+    }
+  }
+
   test("an unreachable service fails loudly — never silent file fallback") {
     catalogOn(); drop("rest_down")
     val server = new CatalogServer(MemTables.tablesRoot.getAbsolutePath).start()
