@@ -86,12 +86,12 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (rels, pooled, outerOn) <- sourceOf(agg.child)
+      (rels, pooled, qSteps) <- sourceOf(agg.child)
       keys = rels.map(_._1).toSet
       result <- MatViews.registry.values.iterator
         .filter(mv =>
           (mv.srcKey +: mv.joins.map(_.key)).toSet == keys && isFresh(mv))
-        .flatMap(mv => tryRewrite(agg, rels, pooled, outerOn, mv))
+        .flatMap(mv => tryRewrite(agg, rels, pooled, qSteps, mv))
         .nextOption()
     } yield result
   }
@@ -119,65 +119,102 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** CANONICAL source of an aggregate's child: the CURRENT MemTable
-    * relations (keyed by catalog key, each table at most once) plus the
-    * POOLED conjunct set — `Filter` conditions at any depth and
-    * inner-join ON conditions together. Inner joins and filters over
-    * base relations are one selection over their product, so this form
+    * relations (keyed by catalog key, each table at most once), the
+    * POOLED top-region conjunct set — `Filter` conditions and inner-join
+    * ON conditions that provably COMMUTE above every outer step — and
+    * the ordered OUTER-STEP signature. Inner joins and filters over base
+    * relations are one selection over their product, so the top region
     * is invariant to predicate pushdown and join reorder (both of which
     * have already mangled the plan by the time an optimizer rule sees
     * it). Column-pruning Projects are transparent (their references keep
-    * the relations' exprIds). Anything else — an outer join, a subquery,
-    * a non-graft leaf — declines.
+    * the relations' exprIds). Anything else — a subquery, a non-graft
+    * leaf, a semi/anti join — declines.
+    *
+    * Outer steps (LEFT/RIGHT/FULL, the shapes MV maintenance supports)
+    * each record their ON conjuncts AND the conjuncts STUCK below them —
+    * selections on a null-EXTENDED side do not commute with the join, so
+    * they must compare region-by-region against the definition, never
+    * pooled into the top (pooling would equate `σ(F) ⟗ D` with
+    * `σ(F ⟗ D)`, which differ on extension rows). Hoisting rules per
+    * step: a LEFT step hoists its left (preserved) side's conjuncts and
+    * requires a bare dim on the right; a RIGHT step hoists dim-side
+    * conjuncts (its right child is the preserved dim — a pushed-down
+    * WHERE on dim columns commutes back up) and freezes the extended
+    * prefix's pool as the step's stuck set; a FULL step freezes the
+    * prefix's pool and requires a bare dim.
     */
   private def sourceOf(p: LogicalPlan)
-      : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression], Option[Seq[Expression]])] = {
-    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+      : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression], Seq[OuterStep])] = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    // the ONE LEFT OUTER step MVs support (fact ⟕ dim): its ON conjuncts
-    // are kept SEPARATE from the selection pool — for outer joins ON and
-    // WHERE are not interchangeable, so pooling them would equate plans
-    // with different semantics
-    var outerOn: Option[Seq[Expression]] = None
+    // a bare current mem-table relation — modulo the IsNotNull(join key)
+    // filter the optimizer infers onto a join child whose unmatched rows
+    // are dropped (null keys never match, so the inferred filter is
+    // semantics-free given the ON conjuncts it derives from)
+    def bareRel(n: LogicalPlan, onRefs: Set[ExprId]): Option[DataSourceV2Relation] =
+      stripProjects(n) match {
+        case Filter(c, inner2) if conjuncts(c).forall {
+            case IsNotNull(a: AttributeReference) => onRefs.contains(a.exprId)
+            case _ => false
+          } => bareRel(inner2, onRefs)
+        case r: DataSourceV2Relation if isCurrentMemTable(r) => Some(r)
+        case _ => None
+      }
+    def relKey(r: DataSourceV2Relation): String =
+      r.table.asInstanceOf[MemTable].catalogKey
     def go(n: LogicalPlan)
-        : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
+        : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression], Seq[OuterStep])] =
       stripProjects(n) match {
         case r: DataSourceV2Relation if isCurrentMemTable(r) =>
-          Some((Seq(r.table.asInstanceOf[MemTable].catalogKey -> r), Nil))
+          Some((Seq(relKey(r) -> r), Nil, Nil))
         case Filter(cond, inner) =>
-          go(inner).map { case (rels, cs) => (rels, cs ++ conjuncts(cond)) }
+          go(inner).map { case (rels, cs, steps) =>
+            (rels, cs ++ conjuncts(cond), steps)
+          }
         case j: Join if j.joinType == Inner || j.joinType == Cross =>
-          for ((lr, lc) <- go(j.left); (rr, rc) <- go(j.right)) yield
-            (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(conjuncts))
-        case j: Join if j.joinType == LeftOuter && outerOn.isEmpty =>
-          // left side pools as usual (fact-side filters commute with a
-          // left-outer join); the right side must be a bare current
-          // relation — modulo the IsNotNull(join key) filter the
-          // optimizer infers onto the right child (dim rows with null
-          // keys never match, and unmatched dim rows don't survive a
-          // LEFT join, so the inferred filter is semantics-free)
+          for ((lr, lc, ls) <- go(j.left); (rr, rc, rs) <- go(j.right)) yield
+            (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(conjuncts), ls ++ rs)
+        case j: Join if j.joinType == LeftOuter =>
           val on = j.condition.toSeq.flatMap(conjuncts)
-          outerOn = Some(on) // claim the single outer slot up front
           val onRefs = on.flatMap(_.references.map(_.exprId)).toSet
-          val right = stripProjects(j.right) match {
-            case Filter(c, inner2) if conjuncts(c).forall {
-                case IsNotNull(a: AttributeReference) => onRefs.contains(a.exprId)
-                case _ => false
-              } => stripProjects(inner2)
-            case other => other
-          }
-          right match {
-            case r: DataSourceV2Relation if isCurrentMemTable(r) =>
-              go(j.left).map { case (lr, lc) =>
-                (lr :+ (r.table.asInstanceOf[MemTable].catalogKey -> r), lc)
-              }
-            case _ => None
-          }
+          for {
+            dim <- bareRel(j.right, onRefs)
+            (lr, lc, ls) <- go(j.left)
+          } yield (lr :+ (relKey(dim) -> dim), lc,
+            ls :+ OuterStep("LEFT", relKey(dim), on, Nil))
+        case j: Join if j.joinType == RightOuter =>
+          // preserved side is the RIGHT child (the dim): a WHERE conjunct
+          // on dim columns pushed below it commutes back to the top; the
+          // LEFT child is the null-extended prefix — its entire pool
+          // freezes as this step's stuck region
+          val on = j.condition.toSeq.flatMap(conjuncts)
+          def dimOf(node: LogicalPlan)
+              : Option[(DataSourceV2Relation, Seq[Expression])] =
+            stripProjects(node) match {
+              case Filter(c, inner2) =>
+                dimOf(inner2).map { case (r, cs) => (r, conjuncts(c) ++ cs) }
+              case r: DataSourceV2Relation if isCurrentMemTable(r) => Some((r, Nil))
+              case _ => None
+            }
+          for {
+            (dim, dimConds) <- dimOf(j.right)
+            (lr, lc, ls) <- go(j.left)
+          } yield (lr :+ (relKey(dim) -> dim), dimConds,
+            ls :+ OuterStep("RIGHT", relKey(dim), on, lc))
+        case j: Join if j.joinType == FullOuter =>
+          // neither side is preserved: the dim must be bare and the
+          // prefix's pool freezes as the stuck region
+          val on = j.condition.toSeq.flatMap(conjuncts)
+          for {
+            dim <- bareRel(j.right, Set.empty)
+            (lr, lc, ls) <- go(j.left)
+          } yield (lr :+ (relKey(dim) -> dim), Nil,
+            ls :+ OuterStep("FULL", relKey(dim), on, lc))
         case _ => None
       }
     // self-joins (a key twice) are out of matching scope — names would
     // be ambiguous between the two instances
-    go(p).filter { case (rels, _) => rels.map(_._1).distinct.size == rels.size }
-      .map { case (rels, cs) => (rels, cs, outerOn) }
+    go(p).filter { case (rels, _, _) => rels.map(_._1).distinct.size == rels.size }
   }
 
   private def isCurrentMemTable(r: DataSourceV2Relation): Boolean = r.table match {
@@ -189,7 +226,7 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       rels: Seq[(String, DataSourceV2Relation)],
       pooledCond: Seq[Expression],
-      outerOn: Option[Seq[Expression]],
+      qSteps: Seq[OuterStep],
       mv: MatViews.MvState): Option[LogicalPlan] = {
     val d = analyzedDef(spark, mv).getOrElse(return None)
 
@@ -214,19 +251,38 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
       if (ok) Some(t) else None
     }
 
-    // OUTER-shape alignment: a LEFT-join query serves only a LEFT MV
-    // with the SEMANTICALLY SAME ON condition — set equality in BOTH
-    // directions (outer-join ON is not poolable with WHERE, so the
-    // containment rule used for selection conjuncts below is not sound
-    // here), and an inner query never serves from a LEFT store (it
-    // dropped the null-extension rows the store keeps)
-    (outerOn, d.outerOn) match {
-      case (None, None) => ()
-      case (Some(q), Some(dn)) =>
-        val qOn = q.map(c => toDef(c).getOrElse(return None))
-        if (!dn.forall(f => qOn.exists(_.semanticEquals(f))) ||
-            !qOn.forall(f => dn.exists(_.semanticEquals(f)))) return None
-      case _ => return None
+    // trivially-TRUE conjuncts (a cross join spelled `ON TRUE`) are
+    // dropped from BOTH pools before comparing: the optimizer erases
+    // them from the query side while the analysis-only definition keeps
+    // them, and an unmatched `true` must not block the serve
+    def minusTrue(cs: Seq[Expression]): Seq[Expression] =
+      cs.filterNot(c => c.foldable && c.deterministic &&
+        (c.eval() == true || c.eval() == java.lang.Boolean.TRUE))
+
+    // OUTER-shape alignment: the query's ordered outer-step signature
+    // must equal the definition's — same step count, type, and dim
+    // table; each step's ON semantically set-equal in BOTH directions
+    // (outer-join ON is not poolable with WHERE, so the containment rule
+    // used for selection conjuncts below is not sound here); and each
+    // step's STUCK region (conjuncts frozen below a null-extended side)
+    // set-equal both directions, after stripping the IsNotNull conjuncts
+    // the optimizer infers from the step's ON and the region's own
+    // null-intolerant siblings (the analysis-only definition never
+    // carries them). An inner query never serves from an outer store (it
+    // dropped the null-extension rows the store keeps), and vice versa.
+    if (qSteps.size != d.outerSteps.size) return None
+    qSteps.zip(d.outerSteps).foreach { case (qs, ds) =>
+      if (qs.jt != ds.jt || qs.dimKey != ds.dimKey) return None
+      val qOn = qs.on.map(c => toDef(c).getOrElse(return None))
+      if (!ds.on.forall(f => qOn.exists(_.semanticEquals(f))) ||
+          !qOn.forall(f => ds.on.exists(_.semanticEquals(f)))) return None
+      def clean(stuck: Seq[Expression], on: Seq[Expression]): Seq[Expression] =
+        minusRedundantNotNull(minusTrue(stuck ++ on))
+          .filterNot(c => on.exists(_.semanticEquals(c)))
+      val qStuck = clean(qs.stuck.map(c => toDef(c).getOrElse(return None)), qOn)
+      val dStuck = clean(ds.stuck, ds.on)
+      if (!dStuck.forall(f => qStuck.exists(_.semanticEquals(f))) ||
+          !qStuck.forall(f => dStuck.exists(_.semanticEquals(f)))) return None
     }
 
     // FILTER containment, on conjunct sets: every definition conjunct
@@ -238,14 +294,7 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
     // store below). Inferred-redundant `IsNotNull` conjuncts — the
     // optimizer adds them on the query side, analysis-only text keeps
     // them off the definition side — are removed from both before
-    // comparing.
-    // trivially-TRUE conjuncts (a cross join spelled `ON TRUE`) are
-    // dropped from BOTH pools before comparing: the optimizer erases
-    // them from the query side while the analysis-only definition keeps
-    // them, and an unmatched `true` must not block the serve
-    def minusTrue(cs: Seq[Expression]): Seq[Expression] =
-      cs.filterNot(c => c.foldable && c.deterministic &&
-        (c.eval() == true || c.eval() == java.lang.Boolean.TRUE))
+    // comparing, as are trivially-TRUE conjuncts (minusTrue above).
     val userConj = minusRedundantNotNull(minusTrue(
       pooledCond.map(c => toDef(c).getOrElse(return None))))
     val defConj = minusRedundantNotNull(minusTrue(d.conjuncts))
@@ -467,20 +516,31 @@ object RewriteAggToMatView {
       arg: Expression, sumCol: Option[String], cntCol: Option[String],
       minCol: Option[String] = None, maxCol: Option[String] = None)
 
+  /** One OUTER step in the canonical join signature: its type
+    * (LEFT/RIGHT/FULL), the dim table it adds, its ON conjuncts (kept
+    * OUT of the poolable selection — outer-join ON is not
+    * interchangeable with WHERE), and the conjuncts STUCK below its
+    * null-extended side (selections there do not commute with the join,
+    * so they compare region-by-region, never pooled to the top).
+    */
+  private final case class OuterStep(
+      jt: String, dimKey: String,
+      on: Seq[Expression], stuck: Seq[Expression])
+
   private final case class AnalyzedDef(
       // table key -> (lowercased column name -> analyzed attribute):
       // attribute remap is PER TABLE, so joined tables sharing a column
       // name never cross-bind
       relOutByName: Map[String, Map[String, Attribute]],
-      // pooled WHERE + inner-join ON conjuncts, constant-folded — the
-      // same canonical selection-over-product form the query side takes
+      // pooled WHERE + inner-join ON conjuncts that commute above every
+      // outer step, constant-folded — the same canonical
+      // selection-over-product form the query side takes
       conjuncts: Seq[Expression],
       groups: Seq[(Expression, String)], // (analyzed expr, store column)
       comps: Seq[Comp],
-      // the LEFT OUTER step's ON conjuncts, kept OUT of `conjuncts`
-      // (outer-join ON is not poolable with WHERE) — None for pure
-      // inner/cross definitions
-      outerOn: Option[Seq[Expression]] = None)
+      // the ordered outer-step signature — empty for pure inner/cross
+      // definitions
+      outerSteps: Seq[OuterStep] = Nil)
 
   // keyed by MV name; an entry is valid only for (definition SQL, source
   // table identity) — a drop/re-create of either the MV or its source
@@ -521,9 +581,14 @@ object RewriteAggToMatView {
     strip(analyzed) match {
       case agg: Aggregate =>
         // canonicalize the analyzed FROM exactly like the rule's query
-        // side: relations + pooled WHERE/inner-ON conjuncts, inner join
-        // shape erased; a LEFT OUTER step keeps its ON separate
-        import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+        // side: relations + pooled WHERE/inner-ON conjuncts that commute
+        // above every outer step, inner join shape erased; outer steps
+        // (LEFT/RIGHT/FULL, anywhere in the left-deep chain — the shapes
+        // create() validates) record their ON separately, and a
+        // RIGHT/FULL step freezes the extended prefix's pool as its
+        // stuck region. The definition is analyzed-only: no inferred
+        // filters, every dim side is the bare relation.
+        import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
         import org.apache.spark.sql.catalyst.plans.logical.Join
         def splitConj(e: Expression): Seq[Expression] = e match {
           case And(l, r) => splitConj(l) ++ splitConj(r)
@@ -535,36 +600,42 @@ object RewriteAggToMatView {
             stripP(c)
           case other => other
         }
-        var outerOnDef: Option[Seq[Expression]] = None
+        def bareDim(n: LogicalPlan): Option[(String, DataSourceV2Relation)] =
+          stripP(n) match {
+            case r: DataSourceV2Relation => r.table match {
+              case t: MemTable if t.snapshotPin.isEmpty => Some(t.catalogKey -> r)
+              case _ => None
+            }
+            case _ => None
+          }
         def walk(n: LogicalPlan)
-            : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression])] =
+            : Option[(Seq[(String, DataSourceV2Relation)], Seq[Expression], Seq[OuterStep])] =
           stripP(n) match {
             case r: DataSourceV2Relation => r.table match {
               case t: MemTable if t.snapshotPin.isEmpty =>
-                Some((Seq(t.catalogKey -> r), Nil))
+                Some((Seq(t.catalogKey -> r), Nil, Nil))
               case _ => None
             }
             case Filter(c, inner) =>
-              walk(inner).map { case (rs, cs) => (rs, cs ++ splitConj(c)) }
+              walk(inner).map { case (rs, cs, ss) => (rs, cs ++ splitConj(c), ss) }
             case j: Join if j.joinType == Inner || j.joinType == Cross =>
-              for ((lr, lc) <- walk(j.left); (rr, rc) <- walk(j.right)) yield
-                (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(splitConj))
-            case j: Join if j.joinType == LeftOuter && outerOnDef.isEmpty =>
-              // the definition is analyzed-only: no inferred filters, the
-              // right side is the bare relation (create validated the
-              // two-table shape)
-              outerOnDef = Some(j.condition.toSeq.flatMap(splitConj))
-              (walk(j.left), stripP(j.right)) match {
-                case (Some((lr, lc)), r: DataSourceV2Relation) => r.table match {
-                  case t: MemTable if t.snapshotPin.isEmpty =>
-                    Some((lr :+ (t.catalogKey -> r), lc))
-                  case _ => None
-                }
-                case _ => None
-              }
+              for ((lr, lc, ls) <- walk(j.left); (rr, rc, rs) <- walk(j.right)) yield
+                (lr ++ rr, lc ++ rc ++ j.condition.toSeq.flatMap(splitConj), ls ++ rs)
+            case j: Join if j.joinType == LeftOuter =>
+              val on = j.condition.toSeq.flatMap(splitConj)
+              for ((lr, lc, ls) <- walk(j.left); dim <- bareDim(j.right)) yield
+                (lr :+ dim, lc, ls :+ OuterStep("LEFT", dim._1, on, Nil))
+            case j: Join if j.joinType == RightOuter =>
+              val on = j.condition.toSeq.flatMap(splitConj)
+              for ((lr, lc, ls) <- walk(j.left); dim <- bareDim(j.right)) yield
+                (lr :+ dim, Nil, ls :+ OuterStep("RIGHT", dim._1, on, lc))
+            case j: Join if j.joinType == FullOuter =>
+              val on = j.condition.toSeq.flatMap(splitConj)
+              for ((lr, lc, ls) <- walk(j.left); dim <- bareDim(j.right)) yield
+                (lr :+ dim, Nil, ls :+ OuterStep("FULL", dim._1, on, lc))
             case _ => None
           }
-        val (rels, rawConj) = walk(agg.child).getOrElse(return None)
+        val (rels, rawConj, rawSteps) = walk(agg.child).getOrElse(return None)
         val expected = (mv.srcKey +: mv.joins.map(_.key)).toSet
         if (rels.map(_._1).toSet != expected ||
             rels.map(_._1).distinct.size != rels.size) return None
@@ -626,7 +697,8 @@ object RewriteAggToMatView {
               addComp(_, sum = Some(s"__mv_sum_$out"), cnt = Some(s"__mv_cnt_$out")))
         }
         Some(AnalyzedDef(relOut, rawConj.map(fold), groups, comps,
-          outerOnDef.map(_.map(fold))))
+          rawSteps.map(s =>
+            s.copy(on = s.on.map(fold), stuck = s.stuck.map(fold)))))
       case _ => None
     }
   }

@@ -2494,6 +2494,68 @@ object Roundtrips {
     agg.withColumn("served_from_store", lit(servedFromStore))
   }
 
+  /** OUTER-shape MV serving through the gate
+    * ([[graft.plans.RewriteAggToMatView]]'s outer-step signature): two
+    * MVs over the SAME fact/dim pair — one RIGHT JOIN, one FULL OUTER —
+    * each serve exactly their own query shape from their own store. The
+    * oracle recomputes both outer joins relationally in DuckDB, so a
+    * serve that confuses the stores (each kept DIFFERENT null-extension
+    * rows), drops an extension group, or silently stops firing breaks
+    * the hash — both `served` flags are plan-derived and hashed. The dim
+    * keeps only `c_custkey % 3 <> 0`, so the FULL side carries genuine
+    * fact-orphan rows (NULL seg group) alongside the RIGHT side's
+    * order-less customers. At 100 TB outer-join MVs are the
+    * slowly-changing-dimension dashboards — rewrite serving is what
+    * makes maintaining them pay off on the read path. JoinMvSpec pins
+    * the shape discrimination details (RIGHT vs FULL vs INNER vs
+    * chain-length mismatches all decline).
+    */
+  val dsv2MvOuterServe: QueryDef = QueryDef(
+    "dsv2_mv_outer_serve",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |dim AS (
+      |  SELECT c_custkey AS dk, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 3 <> 0)
+      |SELECT 'right' AS part, seg, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(v) AS BIGINT) AS sv, TRUE AS served
+      |FROM fact RIGHT JOIN dim ON ck = dk GROUP BY seg
+      |UNION ALL
+      |SELECT 'full', seg, CAST(count(*) AS BIGINT),
+      |       CAST(sum(v) AS BIGINT), TRUE
+      |FROM fact FULL JOIN dim ON ck = dk GROUP BY seg""".stripMargin) { (spark, dir) =>
+    MatViews.drop("mv_osrv_r"); MatViews.drop("mv_osrv_f")
+    val fact = freshGraftTable(spark, "mem_osrv_fact", "(k BIGINT, ck BIGINT, v BIGINT)")
+    val dim = freshGraftTable(spark, "mem_osrv_dim", "(dk BIGINT, seg STRING)")
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        Num.cents(col("o_totalprice")).as("v"))
+      .writeTo(fact).append()
+    Tables.customer(spark, dir).filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+      .writeTo(dim).append()
+    spark.sql("CALL graft.create_materialized_view('mv_osrv_r', " +
+      s"'SELECT seg, count(*) AS n, sum(v) AS sv FROM $fact " +
+      s"RIGHT JOIN $dim ON ck = dk GROUP BY seg')")
+    spark.sql("CALL graft.create_materialized_view('mv_osrv_f', " +
+      s"'SELECT seg, count(*) AS n, sum(v) AS sv FROM $fact " +
+      s"FULL OUTER JOIN $dim ON ck = dk GROUP BY seg')")
+    val rightQ = spark.sql(s"SELECT seg, count(*) AS n, sum(v) AS sv " +
+      s"FROM $fact RIGHT JOIN $dim ON ck = dk GROUP BY seg")
+    val fullQ = spark.sql(s"SELECT seg, count(*) AS n, sum(v) AS sv " +
+      s"FROM $fact FULL OUTER JOIN $dim ON ck = dk GROUP BY seg")
+    def servedOnly(df: DataFrame, store: String): Boolean = {
+      val scans = scannedTables(df)
+      scans.contains(store) && !scans.exists(_.startsWith("mem_osrv_"))
+    }
+    rightQ.select(lit("right").as("part"), col("seg"), col("n"), col("sv"),
+        lit(servedOnly(rightQ, "mv_osrv_r__store")).as("served"))
+      .unionAll(fullQ.select(lit("full"), col("seg"), col("n"), col("sv"),
+        lit(servedOnly(fullQ, "mv_osrv_f__store"))))
+  }
+
   /** Scanned table names of an executed plan, AQE subtrees included — a
     * rollup replacement aggregates the store, and the exchange hides the
     * scan inside an AdaptiveSparkPlanExec that plain collect() skips.
@@ -3171,5 +3233,5 @@ object Roundtrips {
       dsv2MvRewrite, dsv2MvMinmax, dsv2MvRollup, dsv2MvJoin, dsv2Ctas,
       dsv2MvAutorefresh, dsv2AutoCompact, dsv2MvCountDistinct, dsv2MvLeftJoin,
       dsv2MvLeftChain, dsv2MvFullJoin, dsv2MvRightJoin, dsv2MvFullChain,
-      dsv2RestCatalog)
+      dsv2RestCatalog, dsv2MvOuterServe)
 }

@@ -743,4 +743,119 @@ class JoinMvSpec extends SparkSpec {
     df.collect()
     dropMv("jmv3")
   }
+
+  test("the rewrite serves RIGHT and FULL OUTER aggregates from their stores") {
+    catalogOn(); dropMv("smv_r"); dropMv("smv_fo")
+    spark.sql("DROP TABLE IF EXISTS graft.smv_f")
+    spark.sql("DROP TABLE IF EXISTS graft.smv_d")
+    spark.sql("CREATE TABLE graft.smv_f (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.smv_d (dk BIGINT, seg STRING)")
+    spark.sql("INSERT INTO graft.smv_f VALUES " +
+      "(1, 10, 100), (2, 10, 200), (3, 99, 300)")
+    spark.sql("INSERT INTO graft.smv_d VALUES (10, 'a'), (20, 'b')")
+    val rightSql = "SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.smv_f RIGHT JOIN graft.smv_d ON ck = dk GROUP BY seg"
+    val fullSql = "SELECT seg, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.smv_f FULL OUTER JOIN graft.smv_d ON ck = dk GROUP BY seg"
+    spark.sql(s"CALL graft.create_materialized_view('smv_r', '$rightSql')")
+    spark.sql(s"CALL graft.create_materialized_view('smv_fo', '$fullSql')")
+    def direct(sql: String): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(sql))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    // the RIGHT query serves from the RIGHT store, values identical
+    val rq = spark.sql(rightSql)
+    assert(servedFromStore(rq, "smv_r__store"),
+      s"expected smv_r__store scan, got ${scansOf(rq.queryExecution.executedPlan)}")
+    assert(rowsOf(rq) === direct(rightSql))
+    // the FULL query serves from the FULL store, values identical —
+    // including both null-extension sides
+    val fq = spark.sql(fullSql)
+    assert(servedFromStore(fq, "smv_fo__store"),
+      s"expected smv_fo__store scan, got ${scansOf(fq.queryExecution.executedPlan)}")
+    assert(rowsOf(fq) === direct(fullSql))
+    // shapes never cross: RIGHT query doesn't serve from the FULL store
+    // and vice versa (each kept different null-extension rows), and an
+    // INNER query serves from NEITHER
+    assert(!servedFromStore(spark.sql(rightSql), "smv_fo__store"))
+    assert(!servedFromStore(spark.sql(fullSql), "smv_r__store"))
+    val inner = spark.sql("SELECT seg, count(*) AS n FROM graft.smv_f " +
+      "JOIN graft.smv_d ON ck = dk GROUP BY seg")
+    assert(!servedFromStore(inner, "smv_r__store"))
+    assert(!servedFromStore(inner, "smv_fo__store"))
+    // rollup to the empty grain serves too (extension rows and all)
+    val global = spark.sql("SELECT count(*) AS n, sum(v) AS sv " +
+      "FROM graft.smv_f FULL OUTER JOIN graft.smv_d ON ck = dk")
+    assert(servedFromStore(global, "smv_fo__store"))
+    assert(rowsOf(global) === direct(
+      "SELECT count(*) AS n, sum(v) AS sv " +
+        "FROM graft.smv_f FULL OUTER JOIN graft.smv_d ON ck = dk"))
+    // a dim-side WHERE on the RIGHT query (preserved side): the
+    // optimizer pushes it below the preserved dim child, the rule
+    // hoists it back to the top region (preserved-side selections
+    // commute), and — being group-only — it serves as a whole-group
+    // post-filter on the store
+    val dimPred = spark.sql("SELECT seg, count(*) AS n FROM graft.smv_f " +
+      "RIGHT JOIN graft.smv_d ON ck = dk WHERE seg = 'b' GROUP BY seg")
+    assert(servedFromStore(dimPred, "smv_r__store"),
+      "a group-only dim predicate filters whole groups on the store")
+    assert(rowsOf(dimPred) === direct(
+      "SELECT seg, count(*) AS n FROM graft.smv_f " +
+        "RIGHT JOIN graft.smv_d ON ck = dk WHERE seg = 'b' GROUP BY seg"))
+    dropMv("smv_r"); dropMv("smv_fo")
+  }
+
+  test("the rewrite serves double-LEFT chains from the chain store") {
+    catalogOn(); dropMv("smv_lc")
+    spark.sql("DROP TABLE IF EXISTS graft.smvlc_f")
+    spark.sql("DROP TABLE IF EXISTS graft.smvlc_d1")
+    spark.sql("DROP TABLE IF EXISTS graft.smvlc_d2")
+    spark.sql("CREATE TABLE graft.smvlc_f (ck BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE graft.smvlc_d1 (dk BIGINT, seg STRING)")
+    spark.sql("CREATE TABLE graft.smvlc_d2 (qk BIGINT, region STRING)")
+    spark.sql("INSERT INTO graft.smvlc_f VALUES " +
+      "(10, 7, 100), (10, 99, 200), (99, 7, 300)")
+    spark.sql("INSERT INTO graft.smvlc_d1 VALUES (10, 'a'), (20, 'b')")
+    spark.sql("INSERT INTO graft.smvlc_d2 VALUES (7, 'EU'), (8, 'US')")
+    val chainSql = "SELECT seg, region, count(*) AS n, sum(v) AS sv " +
+      "FROM graft.smvlc_f LEFT JOIN graft.smvlc_d1 ON ck = dk " +
+      "LEFT JOIN graft.smvlc_d2 ON pk = qk GROUP BY seg, region"
+    spark.sql(s"CALL graft.create_materialized_view('smv_lc', '$chainSql')")
+    def direct(sql: String): Seq[Seq[Any]] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try rowsOf(spark.sql(sql))
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    val df = spark.sql(chainSql)
+    assert(servedFromStore(df, "smv_lc__store"),
+      s"expected smv_lc__store scan, got ${scansOf(df.queryExecution.executedPlan)}")
+    assert(rowsOf(df) === direct(chainSql))
+    // a single-LEFT query over the same tables is a DIFFERENT shape —
+    // it must not serve from the double-LEFT store
+    val single = spark.sql("SELECT seg, count(*) AS n " +
+      "FROM graft.smvlc_f LEFT JOIN graft.smvlc_d1 ON ck = dk " +
+      "JOIN graft.smvlc_d2 ON pk = qk GROUP BY seg")
+    assert(!servedFromStore(single, "smv_lc__store"))
+    // rollup to one grain column serves (re-aggregated store)
+    val rolled = spark.sql("SELECT region, sum(v) AS sv " +
+      "FROM graft.smvlc_f LEFT JOIN graft.smvlc_d1 ON ck = dk " +
+      "LEFT JOIN graft.smvlc_d2 ON pk = qk GROUP BY region")
+    assert(servedFromStore(rolled, "smv_lc__store"))
+    assert(rowsOf(rolled) === direct(
+      "SELECT region, sum(v) AS sv " +
+        "FROM graft.smvlc_f LEFT JOIN graft.smvlc_d1 ON ck = dk " +
+        "LEFT JOIN graft.smvlc_d2 ON pk = qk GROUP BY region"))
+    // after DML on every table, refresh restores serving with the
+    // moved truth
+    spark.sql("INSERT INTO graft.smvlc_f VALUES (20, 8, 400)")
+    spark.sql("INSERT INTO graft.smvlc_d1 VALUES (99, 'c')")
+    spark.sql("DELETE FROM graft.smvlc_d2 WHERE qk = 7")
+    assert(!servedFromStore(spark.sql(chainSql), "smv_lc__store"))
+    spark.sql("CALL graft.refresh_materialized_view('smv_lc')")
+    val df2 = spark.sql(chainSql)
+    assert(servedFromStore(df2, "smv_lc__store"))
+    assert(rowsOf(df2) === direct(chainSql))
+    dropMv("smv_lc")
+  }
 }
