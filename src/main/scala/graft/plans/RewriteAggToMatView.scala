@@ -276,9 +276,20 @@ case class RewriteAggToMatView(spark: SparkSession) extends Rule[LogicalPlan] {
       val qOn = qs.on.map(c => toDef(c).getOrElse(return None))
       if (!ds.on.forall(f => qOn.exists(_.semanticEquals(f))) ||
           !qOn.forall(f => ds.on.exists(_.semanticEquals(f)))) return None
-      def clean(stuck: Seq[Expression], on: Seq[Expression]): Seq[Expression] =
-        minusRedundantNotNull(minusTrue(stuck ++ on))
+      // IsNotNull stripping context is per join type: a RIGHT step's
+      // extended prefix DROPS unmatched rows, so the optimizer infers
+      // IsNotNull(prefix join key) from the step's ON into the prefix —
+      // semantics-free, strip against stuck ∪ ON. A FULL step drops
+      // NOTHING on either side: the optimizer never infers such a
+      // filter there, so an IsNotNull in a FULL stuck region is
+      // user-written and LOAD-BEARING (it excludes rows the store keeps
+      // as null-extensions) — strip only what the stuck region's own
+      // null-intolerant siblings imply.
+      def clean(stuck: Seq[Expression], on: Seq[Expression]): Seq[Expression] = {
+        val ctx = if (qs.jt == "FULL") stuck else stuck ++ on
+        minusRedundantNotNull(minusTrue(ctx))
           .filterNot(c => on.exists(_.semanticEquals(c)))
+      }
       val qStuck = clean(qs.stuck.map(c => toDef(c).getOrElse(return None)), qOn)
       val dStuck = clean(ds.stuck, ds.on)
       if (!dStuck.forall(f => qStuck.exists(_.semanticEquals(f))) ||

@@ -63,6 +63,16 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
   val commitCount = new AtomicLong(0)
   val readCount = new AtomicLong(0)
 
+  // per-(dir, name) commit serialization — the POINT of the service on
+  // stores with no atomic primitive: two same-generation committers on
+  // the handler pool must not both pass the CAS check (create-if-absent
+  // on RawLocalFileSystem/S3 is a non-atomic exists-then-create; the
+  // file protocol's lock only guards rename-capable schemes, and its
+  // "table monitor excludes thread contention" assumption does not hold
+  // inside the server). One monitor per plane, bounded by table count.
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   private val mapper = new ObjectMapper()
 
   def port: Int = http.getAddress.getPort
@@ -108,6 +118,14 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
       else None
     }
 
+  /** Pointer-document names are FLAT (`metadata.json`, `mv.json`) — a
+    * separator or `..` in `name` would join past the guarded dir, so it
+    * is refused outright (the dir guard alone cannot see it).
+    */
+  private def safeName(n: String): Boolean =
+    n.nonEmpty && !n.contains('/') && !n.contains('\\') &&
+      n != "." && n != ".."
+
   private def handle(ex: HttpExchange)(body: => Unit): Unit =
     try body
     catch {
@@ -147,6 +165,8 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
   http.createContext("/v1/pointer", (ex: HttpExchange) => handle(ex) {
     val p = params(ex)
     guarded(p.getOrElse("dir", "")) match {
+      case _ if !safeName(p.getOrElse("name", "")) =>
+        respond(ex, 403, err("name must be a flat document name"))
       case None => respond(ex, 403, err("dir outside warehouse"))
       case Some(dir) =>
         readCount.incrementAndGet()
@@ -162,6 +182,8 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
   http.createContext("/v1/gen", (ex: HttpExchange) => handle(ex) {
     val p = params(ex)
     guarded(p.getOrElse("dir", "")) match {
+      case _ if !safeName(p.getOrElse("name", "")) =>
+        respond(ex, 403, err("name must be a flat document name"))
       case None => respond(ex, 403, err("dir outside warehouse"))
       case Some(dir) =>
         readCount.incrementAndGet()
@@ -179,6 +201,8 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
         !root.has("name") || !root.has("doc")) {
       respond(ex, 400, err("commit body needs dir, name, doc"))
     } else guarded(root.get("dir").asText) match {
+      case _ if !safeName(root.get("name").asText) =>
+        respond(ex, 403, err("name must be a flat document name"))
       case None => respond(ex, 403, err("dir outside warehouse"))
       case Some(dir) =>
         val name = root.get("name").asText
@@ -188,8 +212,13 @@ final class CatalogServer(val warehouseRoot: String, port0: Int = 0) {
           else None
         try {
           // the service end runs the SAME file protocol the local mode
-          // does — one implementation, one arbiter process
-          MetaIO.localCommit(dir, name, bytes, expected)
+          // does — one implementation, one arbiter process, SERIALIZED
+          // per plane so the CAS verdict is authoritative even on
+          // stores with no atomic create
+          val lock = commitLocks.getOrElseUpdate(s"$dir|$name", new Object)
+          lock.synchronized {
+            MetaIO.localCommit(dir, name, bytes, expected)
+          }
           commitCount.incrementAndGet()
           respond(ex, 200, mapper.writeValueAsString(mapper.createObjectNode()
             .put("gen", MetaIO.localCurrentGen(dir, name))))
@@ -263,6 +292,7 @@ final class CatalogClient(val baseUri: String) {
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofByteArray(mapper.writeValueAsBytes(node)))
       .build())
+    invalidateGen(dir, name) // the commit moved the gen either way
     if (resp.statusCode() == 409)
       throw new MetaIO.CommitConflictException(dir, name, expected.getOrElse(-1L))
     expectOk(resp, s"commit of $dir/$name")
@@ -277,10 +307,33 @@ final class CatalogClient(val baseUri: String) {
     }
   }
 
+  // one /v1/gen response carries gen + legacy + exists; the three
+  // accessors often fire together (MV discovery probes existence then
+  // loads; the load falls back to legacyGen), so a SHORT advisory cache
+  // collapses them to one round trip. Bounded staleness only — the
+  // commit path never consults it (CAS verdicts are server-side), own
+  // commits invalidate, and the freshness probe's default interval is
+  // 10x the TTL.
+  private val GenCacheTtlNanos = 100L * 1000 * 1000
+  private val genCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Long, com.fasterxml.jackson.databind.JsonNode)]
+
+  private[sources] def invalidateGen(dir: String, name: String): Unit = {
+    genCache.remove((dir, name))
+    ()
+  }
+
   private def genNode(dir: String, name: String) = {
-    val resp = get("/v1/gen", "dir" -> dir, "name" -> name)
-    expectOk(resp, s"gen probe of $dir/$name")
-    mapper.readTree(resp.body())
+    val now = System.nanoTime()
+    genCache.get((dir, name)) match {
+      case Some((t, node)) if now - t < GenCacheTtlNanos => node
+      case _ =>
+        val resp = get("/v1/gen", "dir" -> dir, "name" -> name)
+        expectOk(resp, s"gen probe of $dir/$name")
+        val node = mapper.readTree(resp.body())
+        genCache.put((dir, name), (now, node))
+        node
+    }
   }
 
   def currentGen(dir: String, name: String): Long =

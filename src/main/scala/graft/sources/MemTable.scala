@@ -1405,12 +1405,12 @@ object MemTables {
   def listKeys(): Seq[String] = {
     val onDisk = Option(tablesRoot.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).flatMap(metaKeyOf).toSeq
-    // a configured catalog SERVICE is the discovery authority too —
-    // a driver with no list permission on the warehouse still sees
-    // every table the fleet committed
-    val viaService =
-      try MetaIO.restListTables() catch { case _: Exception => Nil }
-    (tables.keys.toSeq ++ onDisk ++ viaService).distinct.sorted
+    // a configured catalog SERVICE is the discovery authority too — a
+    // driver with no list permission on the warehouse still sees every
+    // table the fleet committed. Unreachable service = LOUD failure,
+    // like every other routed pointer op: silently listing only
+    // locally-visible dirs would hide the fleet's tables
+    (tables.keys.toSeq ++ onDisk ++ MetaIO.restListTables()).distinct.sorted
   }
 
   /** Entry-point lookup for procedures and DDL: registry, then DISK

@@ -784,6 +784,25 @@ class JoinMvSpec extends SparkSpec {
       "JOIN graft.smv_d ON ck = dk GROUP BY seg")
     assert(!servedFromStore(inner, "smv_r__store"))
     assert(!servedFromStore(inner, "smv_fo__store"))
+    // a load-bearing IS NOT NULL below a FULL side must NOT serve: the
+    // store keeps the orphan rows that filter excludes (for LEFT/RIGHT
+    // the optimizer-inferred equivalent is semantics-free — unmatched
+    // null-key rows vanish anyway — but a FULL join drops nothing)
+    val notNullBelow = spark.sql("SELECT seg, count(*) AS n FROM " +
+      "(SELECT * FROM graft.smv_f WHERE ck IS NOT NULL) " +
+      "FULL JOIN graft.smv_d ON ck = dk GROUP BY seg")
+    assert(!servedFromStore(notNullBelow, "smv_fo__store"),
+      "a below-FULL IS NOT NULL is load-bearing and must decline")
+    // while the SAME subquery filter below the RIGHT query's extended
+    // prefix is ON-implied and semantics-free — it still serves
+    val notNullRight = spark.sql("SELECT seg, count(*) AS n FROM " +
+      "(SELECT * FROM graft.smv_f WHERE ck IS NOT NULL) " +
+      "RIGHT JOIN graft.smv_d ON ck = dk GROUP BY seg")
+    assert(servedFromStore(notNullRight, "smv_r__store"),
+      "an ON-implied not-null below a RIGHT prefix is semantics-free")
+    assert(rowsOf(notNullRight) === direct(
+      "SELECT seg, count(*) AS n FROM graft.smv_f " +
+        "RIGHT JOIN graft.smv_d ON ck = dk GROUP BY seg"))
     // rollup to the empty grain serves too (extension rows and all)
     val global = spark.sql("SELECT count(*) AS n, sum(v) AS sv " +
       "FROM graft.smv_f FULL OUTER JOIN graft.smv_d ON ck = dk")

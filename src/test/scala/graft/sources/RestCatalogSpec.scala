@@ -157,6 +157,65 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("racing same-generation committers through the service: exactly one wins") {
+    // the handler pool serializes per plane — without that, two
+    // committers can both pass the CAS check on a store whose
+    // create-if-absent is a non-atomic exists-then-create
+    val local = java.nio.file.Files.createTempDirectory("rest-race").toFile
+    val root = s"graftnr://${local.getAbsolutePath}"
+    val server = new CatalogServer(root).start()
+    MetaIO.useRestCatalog(server.uri)
+    try {
+      val dir = s"$root/race"
+      def doc(gen: Long, p: Int): Array[Byte] =
+        s"""{"commit-gen":$gen,"format-version":2,"payload":$p}"""
+          .getBytes("UTF-8")
+      MetaIO.commitCas(dir, "metadata.json", doc(1, 0), 0L)
+      (1L to 3L).foreach { gen =>
+        val tasks = (1 to 2).map { i =>
+          new java.util.concurrent.FutureTask[Either[Throwable, Unit]](() =>
+            try Right(MetaIO.commitCas(dir, "metadata.json",
+              doc(gen + 1, i.toInt), gen))
+            catch { case t: Throwable => Left(t) })
+        }
+        val threads = tasks.map(new Thread(_))
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val outcomes = tasks.map(_.get())
+        assert(outcomes.count(_.isRight) === 1,
+          s"exactly one same-generation committer must win at gen $gen, got $outcomes")
+        assert(outcomes.collect { case Left(t) => t }.forall(
+          _.isInstanceOf[MetaIO.CommitConflictException]),
+          s"the loser must see a CommitConflictException, got $outcomes")
+      }
+      assert(MetaIO.currentGen(dir, "metadata.json") === 4L)
+    } finally {
+      MetaIO.useLocalCatalog()
+      server.stop()
+    }
+  }
+
+  test("a name with separators or dot-dot is refused — no warehouse escape") {
+    withService { _ =>
+      val dir = new java.io.File(MemTables.tablesRoot,
+        "rest_name-" + java.util.UUID.randomUUID().toString.take(8))
+      dir.mkdirs()
+      def refused(name: String): Unit = {
+        val e = intercept[IllegalStateException] {
+          MetaIO.commitCas(dir.getAbsolutePath, name,
+            """{"commit-gen":1}""".getBytes("UTF-8"), 0L)
+        }
+        assert(e.getMessage.contains("403"), s"expected 403 for '$name', got: $e")
+        val r = intercept[IllegalStateException] {
+          MetaIO.readCurrent(dir.getAbsolutePath, name)
+        }
+        assert(r.getMessage.contains("403"), s"expected 403 read for '$name', got: $r")
+      }
+      refused("../escape.json")
+      refused("a/b.json")
+      refused("..")
+    }
+  }
+
   test("an unreachable service fails loudly — never silent file fallback") {
     catalogOn(); drop("rest_down")
     val server = new CatalogServer(MemTables.tablesRoot.getAbsolutePath).start()
