@@ -908,6 +908,11 @@ object MemTables {
     // silently overwritten ([[MetaIO.commitCas]]). Process-local; set by
     // [[TableMetadata.load]] on recovery, advanced by each write.
     @volatile private[sources] var durableGen: Long = 0L
+    // true WHILE a local commit is between its durable CAS publish and
+    // the durableGen advance ([[TableMetadata.write]]): the freshness
+    // probe must not read that in-between window as foreign movement and
+    // evict a state its own writer is still mutating
+    @volatile private[sources] var committing: Boolean = false
     // last cross-process freshness probe ([[MemTables.refreshIfStale]]);
     // initialized to load time so a fresh state never probes immediately
     @volatile private[sources] var lastFreshProbe: Long = System.currentTimeMillis()
@@ -1033,7 +1038,7 @@ object MemTables {
       try TableMetadata.write(st)
       catch {
         case e: MetaIO.CommitConflictException =>
-          tables.remove(st.tableKey)
+          tables.remove(st.tableKey, st) // never a successor's state
           st.storageDir.foreach(metaKeyCache.remove)
           throw new java.util.ConcurrentModificationException(
             s"table ${st.tableKey}: ${e.getMessage}", e)
@@ -1361,12 +1366,29 @@ object MemTables {
     val now = System.currentTimeMillis()
     if (now - st.lastFreshProbe < iv) return Some(st)
     st.lastFreshProbe = now
+    // READ ORDER MATTERS: durable gen first, THEN the committing flag,
+    // THEN the cached gen. A local writer sets `committing` before its
+    // CAS and advances `durableGen` before clearing it — so if the
+    // probe's durable read saw the writer's new generation, the flag
+    // read sees true (keep serving); if the flag read sees false, either
+    // the probe ran entirely before the commit (gens match) or entirely
+    // after (gens match again). No mid-commit eviction of a state its
+    // own writer is still holding.
     val durable =
       try MetaIO.currentGen(dir, TableMetadata.FileName)
       catch { case _: Exception => st.durableGen } // unreadable plane: keep serving
-    if (durable == st.durableGen) Some(st)
+    if (st.committing || durable == st.durableGen) Some(st)
+    else if (durable == 0L &&
+        (try MetaIO.pointerExists(dir, TableMetadata.FileName)
+         catch { case _: Exception => true }))
+      // a 0 read with the document still present is a torn/transient
+      // read (or a legacy doc), never a foreign commit — those ADVANCE
+      // the generation. Only a vanished document (foreign DROP) evicts.
+      Some(st)
     else {
-      tables.remove(key)
+      // conditional: only the state we compared — never a successor
+      // another thread registered since
+      tables.remove(key, st)
       metaKeyCache.remove(dir)
       // recovery serves the winner's durable truth — including a foreign
       // DROP, which recovers to None
@@ -5208,17 +5230,12 @@ object MemScan {
           p.batchSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
             target.fields.map(f => (f.name, f.dataType)).toSeq &&
           target.fieldNames.forall(n => p.srcNames.get(n).contains(n))
-        // era-resolved source ordinal per target field; -1 = unresolvable
-        // (reads null: added after this batch, dropped-and-readded, or
-        // predating a rename chain); -2/-3/-4 = the _batch_version/
-        // _batch_id/_batch_pos metadata columns (partition constants /
-        // the row's array index)
-        val srcIdx = target.fields.map(f =>
-          if (f.name == MemTables.BatchVersion) -2
-          else if (f.name == MemTables.BatchId) -3
-          else if (f.name == MemTables.BatchPos) -4
-          else p.srcNames.get(f.name)
-            .map(n => p.batchSchema.fieldNames.indexOf(n)).getOrElse(-1))
+        // era-resolved source ordinal per target field ([[srcIndexes]] —
+        // ONE definition with the columnar reader and the plan-time
+        // decision, so the two paths can never disagree on mapping);
+        // -1 = unresolvable (reads null), -2/-3/-4 = the _batch_version/
+        // _batch_id/_batch_pos metadata columns
+        val srcIdx = srcIndexes(target, p)
         val srcType = srcIdx.zipWithIndex.map { case (s, j) =>
           if (s >= 0) p.batchSchema.fields(s).dataType else target.fields(j).dataType
         }

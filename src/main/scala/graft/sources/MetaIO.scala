@@ -225,13 +225,20 @@ private[sources] object MetaIO {
       if (isLocal(dir))
         Some(java.nio.file.Paths.get(new Path(dir).toUri.getPath, name + ".lock"))
       else None
+    // the lock file CARRIES its owner's token: release deletes only a
+    // lock that is provably still ours (a broken-and-reacquired name must
+    // never be deleted by the previous holder's release), and breakers
+    // can distinguish incarnations
+    val token = UUID.randomUUID().toString.getBytes("UTF-8")
     var acquired = false
     var waitedMs = 0L
     while (!acquired) {
       try {
         localLock match {
-          case Some(p) => java.nio.file.Files.createFile(p)
-          case None => writeAll(lockPath, Array.emptyByteArray, overwrite = false)
+          case Some(p) => java.nio.file.Files.write(p, token,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          case None => writeAll(lockPath, token, overwrite = false)
         }
         acquired = true
       } catch {
@@ -248,7 +255,10 @@ private[sources] object MetaIO {
               // preserves mtime, so statting the renamed file re-verifies
               // staleness AFTER winning the race: a live lock grabbed in
               // the stat→rename gap (holder released + new acquire inside
-              // that window) is restored instead of broken.
+              // that window) is restored instead of broken. The
+              // documented residual: a re-acquire landing INSIDE that
+              // microsecond gap can still briefly overlap one waiter —
+              // the same residual every stale-break protocol carries.
               breakStaleLock(fsys, lockPath, localLock)
             case None =>
               // vanished between create and stat — OR the create itself
@@ -269,8 +279,14 @@ private[sources] object MetaIO {
     }
     try body
     finally {
+      // delete ONLY our own incarnation: a mismatching (or unreadable)
+      // token means the lock was broken and re-acquired — deleting it
+      // would release someone ELSE's critical section
       try {
-        localLock match {
+        val mine =
+          try java.util.Arrays.equals(readAll(lockPath), token)
+          catch { case _: Exception => false }
+        if (mine) localLock match {
           case Some(p) => java.nio.file.Files.deleteIfExists(p); ()
           case None => if (fsys.exists(lockPath)) { fsys.delete(lockPath, false); () }
         }
@@ -283,8 +299,14 @@ private[sources] object MetaIO {
     * false and loop back to the create race), then re-verify staleness on
     * the renamed file — rename preserves mtime, so a FRESH mtime means a
     * live holder's lock was grabbed in the stat→rename gap and is renamed
-    * back; a stale one is deleted. All failures are swallowed: the caller
-    * loops and re-enters the create race regardless.
+    * back. The restore must NOT clobber: `Files.move` WITHOUT
+    * REPLACE_EXISTING (ATOMIC_MOVE on Linux rename(2) silently replaces —
+    * it would destroy a waiter's freshly created lock). If the name was
+    * re-taken, the stolen live copy is LEFT as `.broken-*` litter —
+    * deleting it is never safe (its holder's release is token-checked, so
+    * the litter releases nothing), and an unverifiable stat defaults to
+    * LIVE, never to delete. All failures are swallowed: the caller loops
+    * and re-enters the create race regardless.
     */
   private def breakStaleLock(fsys: FileSystem, lockPath: Path,
       localLock: Option[java.nio.file.Path]): Unit = {
@@ -295,27 +317,30 @@ private[sources] object MetaIO {
         val broken = p.resolveSibling(brokenName)
         java.nio.file.Files.move(p, broken,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        val mtime = java.nio.file.Files.getLastModifiedTime(broken).toMillis
-        if (System.currentTimeMillis() - mtime > LockStaleMs)
-          { java.nio.file.Files.deleteIfExists(broken); () }
+        val stale =
+          try System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(broken).toMillis > LockStaleMs
+          catch { case _: Exception => false } // unverifiable = treat as live
+        if (stale) { java.nio.file.Files.deleteIfExists(broken); () }
         else {
-          // stole a LIVE lock: restore it (if its holder or a waiter
-          // already re-created the name, just drop the duplicate)
-          try java.nio.file.Files.move(broken, p,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: Exception =>
-            java.nio.file.Files.deleteIfExists(broken); () }
-          ()
+          // stole a LIVE lock: put it back WITHOUT replacing — if a
+          // waiter already re-created the name, leave the copy as litter
+          try { java.nio.file.Files.move(broken, p); () }
+          catch { case _: Exception => () }
         }
       case None =>
         val broken = new Path(lockPath.getParent, brokenName)
         if (fsys.rename(lockPath, broken)) {
           val st = try Some(fsys.getFileStatus(broken)) catch { case _: Exception => None }
-          if (st.forall(s =>
-              System.currentTimeMillis() - s.getModificationTime > LockStaleMs))
-            { fsys.delete(broken, false); () }
-          else if (!fsys.rename(broken, lockPath))
-            { fsys.delete(broken, false); () }
+          val stale = st.exists(s =>
+            System.currentTimeMillis() - s.getModificationTime > LockStaleMs)
+          if (stale) { fsys.delete(broken, false); () }
+          // this branch is hdfs/viewfs only (file: takes the nio path;
+          // no-rename schemes never enter withCommitLock), where rename
+          // onto an existing destination FAILS without replacing — the
+          // restore itself is the atomic arbiter; on failure the copy
+          // stays as litter, never deleting a live holder's lock
+          else { fsys.rename(broken, lockPath); () }
         }
     } catch { case _: Exception => () }
   }

@@ -39,6 +39,28 @@ object ParquetColumnar {
   // absent) column optional, or the reader rejects it as required-missing
   def rowIndexField: StructField = StructField(RowIndexColumn, LongType, nullable = true)
 
+  /** Translate pushed filters against the FILE's own footer schema
+    * (ground truth — no reconstructed-schema drift) and hand them to
+    * parquet-hadoop for ROW-GROUP + column-index (page) pruning;
+    * record-level filtering stays OFF (positions keep riding the row
+    * index, and Spark / [[RowPredicate]] re-evaluates the real predicate
+    * above). ONE definition for the columnar scan and the DML match pass
+    * (`ParquetRows.PositionedRowIterator`).
+    */
+  private[sources] def pushFooterFilter(
+      conf: Configuration, p: Path,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Unit =
+    if (filters.nonEmpty) {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try org.apache.spark.sql.graftbridge.Bridge.parquetFilter(
+        fr.getFooter.getFileMetaData.getSchema, filters).foreach { pred =>
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+        conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+          .RECORD_FILTERING_ENABLED, false)
+      } finally fr.close()
+    }
+
   // template conf: the keys SpecificParquetRecordReaderBase +
   // ParquetReadSupport read, at the engine's fixed semantics (identical
   // to ParquetRows.buildReadConf) — built once, copied per reader
@@ -72,21 +94,7 @@ object ParquetColumnar {
       val conf = new Configuration(template)
       conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requestedSchema.json)
       val p = new Path(path)
-      // pushed filters translate against the FILE's own footer schema
-      // (ground truth — no reconstructed-schema drift) and go to
-      // parquet-hadoop for ROW-GROUP + column-index (page) pruning;
-      // record-level filtering stays off (meaningless to the vectorized
-      // reader, and Spark re-evaluates the real predicate above the scan)
-      if (filters.nonEmpty) {
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try org.apache.spark.sql.graftbridge.Bridge.parquetFilter(
-          fr.getFooter.getFileMetaData.getSchema, filters).foreach { pred =>
-          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
-          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
-            .RECORD_FILTERING_ENABLED, false)
-        } finally fr.close()
-      }
+      pushFooterFilter(conf, p, filters)
       val len = MetaIO.fs(p).getFileStatus(p).getLen
       val split = new org.apache.hadoop.mapred.FileSplit(
         p, 0, len, Array.empty[String])

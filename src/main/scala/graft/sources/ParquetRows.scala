@@ -169,7 +169,9 @@ object ParquetRows {
       nextRow = reader.read()
       if (nextRow == null) close()
     }
-    advance()
+    // close on a corrupt-file first read — never leak the open stream
+    try advance()
+    catch { case t: Throwable => close(); throw t }
     override def hasNext: Boolean = nextRow != null
     override def next(): InternalRow = {
       val r = nextRow.copy()
@@ -196,16 +198,7 @@ object ParquetRows {
     private val reader = {
       val conf = readConf(schema)
       val p = new Path(path)
-      if (filters.nonEmpty) {
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try org.apache.spark.sql.graftbridge.Bridge.parquetFilter(
-          fr.getFooter.getFileMetaData.getSchema, filters).foreach { pred =>
-          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
-          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
-            .RECORD_FILTERING_ENABLED, false)
-        } finally fr.close()
-      }
+      ParquetColumnar.pushFooterFilter(conf, p, filters)
       val r = new org.apache.parquet.hadoop.ParquetRecordReader[InternalRow](
         new ParquetReadSupport)
       val len = p.getFileSystem(conf).getFileStatus(p).getLen
@@ -215,7 +208,10 @@ object ParquetRows {
           new org.apache.hadoop.mapreduce.TaskID(
             new org.apache.hadoop.mapreduce.JobID("graft", 1),
             org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
-      r.initialize(split, ctx)
+      // a truncated/corrupt file must not leak the open input stream —
+      // a retried task per attempt would bleed descriptors
+      var ok = false
+      try { r.initialize(split, ctx); ok = true } finally if (!ok) r.close()
       r
     }
     private var closed = false
@@ -229,7 +225,10 @@ object ParquetRows {
         nextPos = reader.getCurrentRowIndex
       } else { nextRow = null; close() }
     }
-    advance()
+    // first advance runs at construction: close on failure, same leak
+    // guard as the initialize above
+    try advance()
+    catch { case t: Throwable => close(); throw t }
     override def hasNext: Boolean = nextRow != null
     override def next(): InternalRow = {
       val r = nextRow.copy() // the materializer reuses its buffer

@@ -229,7 +229,13 @@ object TableMetadata {
         s.sample.foreach { sm =>
           val bb = java.nio.ByteBuffer.allocate(sm.length * 8)
           sm.foreach(bb.putDouble)
-          c.put("sample", java.util.Base64.getEncoder.encodeToString(bb.array()))
+          // "sample2", not "sample": string samples moved from the
+          // order-preserving prefix image to the full-value hash image —
+          // pooling the two spaces would split one real value's mass
+          // across incompatible doubles and silently disable the skew
+          // gate, so pre-change batches' samples are IGNORED (their
+          // columns fall back to exact NDV) until a rewrite re-stamps
+          c.put("sample2", java.util.Base64.getEncoder.encodeToString(bb.array()))
         }
         stats.set[JsonNode](col, c)
       }
@@ -325,7 +331,8 @@ object TableMetadata {
             java.util.Base64.getDecoder.decode(bl.asText))
           Array.fill(bb.remaining() / 8)(bb.getLong)
         },
-        Option(c.get("sample")).map { sm =>
+        // legacy "sample" (prefix-image space) is deliberately not read
+        Option(c.get("sample2")).map { sm =>
           val bb = java.nio.ByteBuffer.wrap(
             java.util.Base64.getDecoder.decode(sm.asText))
           Array.fill(bb.remaining() / 8)(bb.getDouble)
@@ -467,9 +474,17 @@ object TableMetadata {
     // ([[MetaIO.commitCas]]): a reader (or a crash) never observes a torn
     // plane on any scheme, and a commit racing ANOTHER PROCESS over the
     // same warehouse loses loudly instead of silently overwriting it
-    MetaIO.commitCas(dir, FileName, mapper.writeValueAsBytes(root),
-      st.durableGen)
-    st.durableGen += 1
+    // `committing` brackets the publish→advance window so the freshness
+    // probe never mistakes OUR in-flight commit for foreign movement:
+    // the probe reads the durable gen FIRST, then this flag — if it saw
+    // our new gen, the flag write (program-order before the CAS) is
+    // visible too, and the probe keeps serving
+    st.committing = true
+    try {
+      MetaIO.commitCas(dir, FileName, mapper.writeValueAsBytes(root),
+        st.durableGen)
+      st.durableGen += 1
+    } finally st.committing = false
   }
 
   private def defaultsOut(defaults: Map[String, (Long, Any)]): ObjectNode = {
