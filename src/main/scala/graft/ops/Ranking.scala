@@ -34,8 +34,14 @@ object Ranking {
     * `sortCols`, as column `rankCol`, without a single-partition window.
     */
   def globalRankBy(df: DataFrame, sortCols: Seq[String], rankCol: String): DataFrame = {
+    // explicit partition count: the range exchange is the ONE shuffle this
+    // operator does, and every downstream stage (local sort, window, rank
+    // arithmetic) inherits its layout — AQE's input-byte coalescing would
+    // serialize all of it whenever the keys are narrow (measured locally:
+    // the whole sweep ran in one task), so pin it to the configured
+    // parallelism, which is what a non-coalesced cluster run plans anyway
     val sorted = df
-      .repartitionByRange(sortCols.map(col): _*)
+      .repartitionByRange(graft.core.Par.parallelism(df), sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .withColumn("__mono", monotonically_increasing_id())
       .withColumn("__part", shiftright(col("__mono"), 33))
@@ -67,8 +73,9 @@ object Ranking {
     */
   def globalRunningSumBy(
       df: DataFrame, sortCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    // same explicit-count rationale as [[globalRankBy]]
     val sorted = df
-      .repartitionByRange(sortCols.map(col): _*)
+      .repartitionByRange(graft.core.Par.parallelism(df), sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .withColumn("__mono", monotonically_increasing_id())
       .withColumn("__part", shiftright(col("__mono"), 33))

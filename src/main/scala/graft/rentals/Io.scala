@@ -153,9 +153,17 @@ object Io {
     // (tasks x partitions tiny files — the small-files problem). One shuffle
     // buys one file per partition per key-group; maxRecordsPerFile still
     // splits genuinely large partitions.
+    // Explicit partition count: AQE's input-byte coalescing was squeezing
+    // this exchange to 1-2 tasks, each then writing ~90 hive directories
+    // SEQUENTIALLY (file open/commit per dir dominates the write). Pinning
+    // to the configured shuffle parallelism spreads the per-directory work
+    // across the cluster while keeping one file per (keys)-group per dir —
+    // each hash group still lands whole in exactly one task.
     val sized =
       if (singleFilePerPartition) withYear.coalesce(1)
-      else withYear.repartition(config.partitionKeys.map(col): _*)
+      else withYear.repartition(
+        withYear.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        config.partitionKeys.map(col): _*)
     sized.write
       .mode(SaveMode.Overwrite)
       .option("compression", "snappy")

@@ -46,13 +46,19 @@ object Roundtrips {
 
   val orcRoundtrip: QueryDef = QueryDef("orc_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_orc_roundtrip")
-    monthlySupplierRevenue(spark, dir).write.mode("overwrite").orc(path)
+    // fan the sink leg out (explicit count — AQE coalesces the post-agg
+    // exchange to one partition, serializing BOTH the row-format write and
+    // the readback scan; one file per write task parallelizes each side)
+    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
+      .write.mode("overwrite").orc(path)
     readback(spark.read.orc(path))
   }
 
   val jsonlRoundtrip: QueryDef = QueryDef("jsonl_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_jsonl_roundtrip")
-    monthlySupplierRevenue(spark, dir).write.mode("overwrite").json(path)
+    // fanned write leg: same rationale as orc_roundtrip
+    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
+      .write.mode("overwrite").json(path)
     // JSON streams/files always get an explicit schema — no inference pass
     val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
     readback(spark.read.schema(schema).json(path))
@@ -115,7 +121,8 @@ object Roundtrips {
     */
   val csvRoundtrip: QueryDef = QueryDef("csv_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_csv_roundtrip")
-    monthlySupplierRevenue(spark, dir)
+    // fanned write leg: same rationale as orc_roundtrip
+    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
       .write.mode("overwrite").option("header", "true").csv(path)
     val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
     readback(spark.read.schema(schema).option("header", "true").csv(path))
@@ -129,7 +136,10 @@ object Roundtrips {
     */
   val xmlRoundtrip: QueryDef = QueryDef("xml_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_xml_roundtrip")
-    monthlySupplierRevenue(spark, dir)
+    // fanned write leg: XML is serialization-heavy on write and
+    // NON-SPLITTABLE on read — a single output file forces both legs
+    // through one task; one file per write task parallelizes both
+    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
       .write.mode("overwrite")
       .option("rootTag", "rows").option("rowTag", "row")
       .format("xml").save(path)

@@ -692,7 +692,11 @@ object Corpus {
       .orderBy(col("df").desc, col("tok"))
       .limit(vocabSize)
       .select(col("tok"))
-    tok.join(broadcast(vocab), "tok")
+    // the per-doc pair expansion below multiplies rows by up to C(50,2) =
+    // 1225: pin the doc_id exchange to the configured parallelism (groupBy
+    // reuses it — one shuffle either way) so AQE's input-byte coalescing
+    // can't serialize the expansion stage (measured: 1.1 s in ONE task)
+    graft.core.Par.fanOutBy(tok.join(broadcast(vocab), "tok"), col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("tok"))).as("vt"))
       // row-local pair expansion over the sorted per-doc vocab terms:

@@ -351,7 +351,12 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
          |      FROM scored)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
-      val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+      // rebalance the narrow training frame once: every Lloyd iteration and
+      // the final assignment pay a k x dim distance loop plus a posexplode
+      // per row — all of it inherited the single-row-group scan's one-task
+      // layout (guide §2.4; the added shuffle is the 2-column projection)
+      val q = graft.core.Par.fanOut(
+        quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2"))
       val (assigned, cents) = kmeansCells(q, KmeansK, KmeansIters)
       if (cents.isEmpty) {
         assigned.select(
@@ -728,7 +733,12 @@ object Similarity {
        |       CAST(SUM(p) AS DOUBLE) / CAST(n.n_vecs AS DOUBLE) AS gram_mean
        |FROM pr CROSS JOIN n
        |GROUP BY dim_i, dim_j, n.n_vecs""".stripMargin) { (spark, dir) =>
-    val q = Tables.embeddings(spark, dir).selectExpr("vec_id", s"$qvec AS q")
+    // d(d+1)/2 = 2080 structs per vector: rebalance the narrow (id, vec)
+    // rows BEFORE the expansion so it runs at the configured parallelism
+    // (guide §2.4/§8 — measured: the whole explode+partial-agg ran in one
+    // task off the single-row-group scan)
+    val q = graft.core.Par.fanOut(
+      Tables.embeddings(spark, dir).selectExpr("vec_id", s"$qvec AS q"))
     val n = q.agg(count(lit(1)).as("n_vecs"))
     q.select(explode(expr(
         """flatten(transform(sequence(1, size(q), 1),
