@@ -212,7 +212,13 @@ object Dedup {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair may collide in several bands
-    verifyPairs(emitted, minhashSignatures(sess, dir))
+    // verification signatures: fan the narrow docs out before the per-row
+    // k-hash MinHash loop (it ran in one task off the single-split scan),
+    // and checkpoint so BOTH verify joins read one derivation instead of
+    // recomputing the signatures per join side
+    val sigs = signaturesOf(graft.core.Par.fanOut(Tables.documents(sess, dir)))
+      .select(col("doc_id"), col("s")).localCheckpoint()
+    verifyPairs(emitted, sigs)
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair set — ONE
@@ -324,7 +330,11 @@ object Dedup {
       |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
       |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin) { (spark, dir) =>
-    val docs = simhashTable(Tables.documents(spark, dir), portable = true)
+    // per-row simhash64 is two polynomial folds over every character plus
+    // 60 bit votes per token — fan the docs out so the signature pass
+    // doesn't run in the single-row-group scan's one task (guide §2.4/§8)
+    val docs = simhashTable(graft.core.Par.fanOut(Tables.documents(spark, dir)),
+      portable = true)
     val chunked = docs.select(
       col("doc_id"), col("sh"),
       explode(expr(
@@ -458,7 +468,10 @@ object Dedup {
        |    / CAST(count(*) AS DOUBLE) AS dup_frac
        |FROM spans s LEFT JOIN dup d USING (span)
        |GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val spans = Tables.documents(spark, dir)
+    // the span explode below multiplies each doc into ~token-count rows of
+    // W-token strings (measured: 7.7 MB of spans built in ONE task off the
+    // single-split scan) — fan the narrow docs out first (guide §2.4/§8)
+    val spans = graft.core.Par.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= SpanW)
       .select(col("doc_id"),

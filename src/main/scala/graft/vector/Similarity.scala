@@ -277,10 +277,17 @@ object Similarity {
     * Returns the assigned frame (+ `cell`) and the final centroids.
     */
   def kmeansCells(q: DataFrame, k: Int, iters: Int): (DataFrame, Seq[(Long, Array[Long])]) = {
+    // Rebalance the narrow training frame once, up front: every Lloyd
+    // iteration and the returned assignment pay a k x dim distance loop
+    // (plus a posexplode) PER ROW, and the whole thing otherwise inherits
+    // the input scan's layout — one task on a single-row-group file
+    // (guide §2.4/§8: the shuffled bytes are the 2-3 column projection,
+    // noise next to the per-row compute at any scale).
+    val fanned = graft.core.Par.fanOut(q)
     // persist across the Lloyd iterations — the standard iterative-ML
     // pattern (each iteration re-reads the training set; without the cache
     // every pass re-scans and re-quantizes the source)
-    val cached = q.persist()
+    val cached = fanned.persist()
     try {
       val seedRows =
         cached.select(col("vec_id"), col("q")).orderBy(col("vec_id")).limit(k).collect()
@@ -300,9 +307,10 @@ object Similarity {
           (cell, arr)
         }
       }
-      // final assignment on the UNcached frame: the returned plan must not
-      // depend on a block this method is about to release
-      (q.withColumn("cell", assignExpr(cents)), cents)
+      // final assignment on the UNcached (but still fanned) frame: the
+      // returned plan must not depend on a block this method is about to
+      // release, and it pays the same per-row distance loop
+      (fanned.withColumn("cell", assignExpr(cents)), cents)
     } finally cached.unpersist(blocking = false)
   }
 
@@ -351,12 +359,7 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
          |      FROM scored)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
-      // rebalance the narrow training frame once: every Lloyd iteration and
-      // the final assignment pay a k x dim distance loop plus a posexplode
-      // per row — all of it inherited the single-row-group scan's one-task
-      // layout (guide §2.4; the added shuffle is the 2-column projection)
-      val q = graft.core.Par.fanOut(
-        quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2"))
+      val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
       val (assigned, cents) = kmeansCells(q, KmeansK, KmeansIters)
       if (cents.isEmpty) {
         assigned.select(
@@ -926,7 +929,12 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rnk
          |      FROM total)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
-      val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
+      // fan the narrow (id, vec) rows out before the encode pass: every row
+      // pays M x K x sub integer distance loops against literal centroids,
+      // all inherited from the single-row-group scan's one-task layout
+      // (guide §2.4/§8 — the shuffled bytes are the 2-column projection)
+      val base = graft.core.Par.fanOut(
+        quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q"))
       locally {
         val centsPerSub = pqCodebooksPinned(spark, dir, sampled)
         if (centsPerSub.exists(_.isEmpty)) {
@@ -1061,7 +1069,12 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rnk
          |      FROM total)
          |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
-      val base = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q")
+      // fan the narrow (id, vec) rows out before the encode pass: every row
+      // pays M x K x sub integer distance loops against literal centroids,
+      // all inherited from the single-row-group scan's one-task layout
+      // (guide §2.4/§8 — the shuffled bytes are the 2-column projection)
+      val base = graft.core.Par.fanOut(
+        quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q"))
       locally {
         val coarseCents = ivfPqCoarsePinned(spark, dir)
         val centsPerSub = pqCodebooksPinned(spark, dir)
