@@ -46,19 +46,13 @@ object Roundtrips {
 
   val orcRoundtrip: QueryDef = QueryDef("orc_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_orc_roundtrip")
-    // fan the sink leg out (explicit count — AQE coalesces the post-agg
-    // exchange to one partition, serializing BOTH the row-format write and
-    // the readback scan; one file per write task parallelizes each side)
-    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
-      .write.mode("overwrite").orc(path)
+    monthlySupplierRevenue(spark, dir).write.mode("overwrite").orc(path)
     readback(spark.read.orc(path))
   }
 
   val jsonlRoundtrip: QueryDef = QueryDef("jsonl_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_jsonl_roundtrip")
-    // fanned write leg: same rationale as orc_roundtrip
-    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
-      .write.mode("overwrite").json(path)
+    monthlySupplierRevenue(spark, dir).write.mode("overwrite").json(path)
     // JSON streams/files always get an explicit schema — no inference pass
     val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
     readback(spark.read.schema(schema).json(path))
@@ -121,8 +115,7 @@ object Roundtrips {
     */
   val csvRoundtrip: QueryDef = QueryDef("csv_roundtrip", roundtripOracle) { (spark, dir) =>
     val path = graft.rentals.Scratch.dir("graft_csv_roundtrip")
-    // fanned write leg: same rationale as orc_roundtrip
-    graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
+    monthlySupplierRevenue(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(path)
     val schema = "l_suppkey BIGINT, month STRING, rev_cents BIGINT"
     readback(spark.read.schema(schema).option("header", "true").csv(path))
@@ -138,7 +131,11 @@ object Roundtrips {
     val path = graft.rentals.Scratch.dir("graft_xml_roundtrip")
     // fanned write leg: XML is serialization-heavy on write and
     // NON-SPLITTABLE on read — a single output file forces both legs
-    // through one task; one file per write task parallelizes both
+    // through one task; one file per write task parallelizes both.
+    // (The same fan-out was tried on the orc/jsonl/csv trips and REVERTED:
+    // their per-file serialize cost is small enough that 32-file listing +
+    // open overhead measurably outweighed the parallelism — bench medians
+    // +32%; XML's heavy serializer is the one that pays off.)
     graft.core.Par.fanOut(monthlySupplierRevenue(spark, dir))
       .write.mode("overwrite")
       .option("rootTag", "rows").option("rowTag", "row")
