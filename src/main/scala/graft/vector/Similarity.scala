@@ -472,7 +472,11 @@ object Similarity {
        |FROM nz a JOIN nz b ON b.vec_id > a.vec_id
        |WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE)
        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.95""".stripMargin) { (spark, dir) =>
-    lshNearDupPairs(quantized(spark, dir).filter(col("norm2") > 0), 0.95)
+    // fan the narrow (id, vec) rows out first: the hyperplane band keys and
+    // both verify sides re-derive per-row dot products from this frame, all
+    // off the single-row-group scan's one-task layout (guide §2.4/§8)
+    lshNearDupPairs(
+      graft.core.Par.fanOut(quantized(spark, dir).filter(col("norm2") > 0)), 0.95)
   }
 
   /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
@@ -531,7 +535,10 @@ object Similarity {
     */
   private def semanticAssignedAndPairs(
       spark: SparkSession, dir: String): Option[(DataFrame, DataFrame)] = {
-    val q = quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2")
+    // fanned for the same reason as the PQ encode passes: the per-row
+    // k x dim cell assignment below otherwise runs in the scan's one task
+    val q = graft.core.Par.fanOut(
+      quantized(spark, dir).filter(col("norm2") > 0).select("vec_id", "q", "norm2"))
     val cents = ivfPqCoarsePinned(spark, dir)
     if (cents.isEmpty) None
     else {
