@@ -269,6 +269,17 @@ object MatViews {
   private val InsertOnlyKinds: Set[String] =
     Set("create", "append", "stream-append", "alter", "replace-spec", "compact")
 
+  /** Version kinds whose commits REMOVE rows only (or touch no rows /
+    * preserve the row multiset) — the mirror of [[InsertOnlyKinds]] used
+    * to prune provably-dead flip-term signs: across a remove-only window
+    * a join match can only DIE, never be born. "delta"/"overwrite"/
+    * "stream-upsert"/"rollback" stay mixed (they can add AND remove);
+    * "rewrite" is multiset-preserving but is excluded here to mirror the
+    * conservatism of the insert-only ledger above.
+    */
+  private val RemoveOnlyKinds: Set[String] =
+    Set("create", "delete", "alter", "replace-spec", "compact")
+
   private def isKnownNonMaintainableAgg(fn: String): Boolean = Set(
     "first", "last", "any_value", "median", "mode",
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
@@ -1251,6 +1262,9 @@ object MatViews {
           def insertOnly(w: (String, Long, Long, Long, Map[Long, String])) =
             ((w._2 + 1) to w._3).forall(v =>
               w._5.get(v).exists(InsertOnlyKinds.contains))
+          def removeOnly(w: (String, Long, Long, Long, Map[Long, String])) =
+            ((w._2 + 1) to w._3).forall(v =>
+              w._5.get(v).exists(RemoveOnlyKinds.contains))
           val driftRecompute =
             st.deltaRefreshes + 1 >= FloatDriftFullEvery &&
               st.sumCols.exists(c => storeSt.schema.fields.find(_.name == c)
@@ -1381,12 +1395,24 @@ object MatViews {
                 // Exact by the per-step recursion:
                 // Δ(J_k ⟕ A) = Δ(J_k) ⟕ A@old + J_k@new ⋈ ΔA
                 //   + [U(J_k@new, A@new) − U(J_k@new, A@old)]  [flips].
+                // ONE signed term per moved dim (formerly a ± term PAIR —
+                // same FROM scanned twice with 3 EXISTS probes each): the
+                // XOR filter keeps exactly the flipping prefix rows and a
+                // CASE on the old-side existence yields the sign (match
+                // DIED → +1, its null-extension row appears; match BORN →
+                // −1, the row leaves). Window-kind monotonicity prunes the
+                // provably-dead sign outright: an insert-only dim window
+                // can only CREATE matches (born ⟺ no old match AND a
+                // matching feed insert), a remove-only one can only KILL
+                // them (died ⟹ a matching feed delete, so the cheap feed
+                // semi-join stays as the selectivity gate). Halves the
+                // union branches and drops 2-4 dim probes per moved dim.
                 def flipTerms: Seq[DeltaTerm] =
                   st.joins.zipWithIndex
                     .filter { case (j, _) =>
                       (j.joinType == "LEFT" || j.joinType == "FULL") &&
                         movedWins.exists(_._1 == j.key) }
-                    .flatMap { case (j, k) =>
+                    .map { case (j, k) =>
                       val ti = k + 1 // j's table index in names2
                       val prefix = chainAt(ti, newPin)
                       val emptyDim =
@@ -1395,18 +1421,28 @@ object MatViews {
                       val suffix = ((ti + 1) until names2.size).map(jdx =>
                         s" ${deltaKw(jdx)} graft.${q(names2(jdx))} VERSION AS OF " +
                           s"${oldPin(names2(jdx))} ON ${st.joins(jdx - 1).condSql}").mkString
-                      def dimAt(pin: Long): String =
-                        s"graft.${q(j.key)} VERSION AS OF $pin AS ${q(j.key)}"
-                      def pred(oldNeg: String, newNeg: String): String =
-                        s"EXISTS (SELECT 1 FROM ${q(chgViews(j.key))} AS ${q(j.key)} WHERE ${j.condSql}) " +
-                          s"AND ${oldNeg}EXISTS (SELECT 1 FROM ${dimAt(oldPin(j.key))} WHERE ${j.condSql}) " +
-                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${dimAt(newPin(j.key))} WHERE ${j.condSql})"
+                      def ex(pin: Long): String =
+                        s"EXISTS (SELECT 1 FROM graft.${q(j.key)} VERSION AS OF " +
+                          s"$pin AS ${q(j.key)} WHERE ${j.condSql})"
+                      val touches =
+                        s"EXISTS (SELECT 1 FROM ${q(chgViews(j.key))} AS ${q(j.key)} WHERE ${j.condSql})"
                       val from = s"$prefix$emptyDim$suffix"
-                      // match DIED → its null-extension row appears (+1);
-                      // match BORN → the null-extension row leaves (−1)
-                      Seq(
-                        DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
-                        DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
+                      val win = movedWins.find(_._1 == j.key).get
+                      if (insertOnly(win))
+                        DeltaTerm(from,
+                          Some(s"$touches AND NOT ${ex(oldPin(j.key))}"),
+                          "CAST(-1 AS BIGINT)")
+                      else if (removeOnly(win))
+                        DeltaTerm(from,
+                          Some(s"$touches AND ${ex(oldPin(j.key))} " +
+                            s"AND NOT ${ex(newPin(j.key))}"),
+                          "CAST(1 AS BIGINT)")
+                      else
+                        DeltaTerm(from,
+                          Some(s"$touches AND (${ex(oldPin(j.key))}) <> " +
+                            s"(${ex(newPin(j.key))})"),
+                          s"CASE WHEN ${ex(oldPin(j.key))} THEN CAST(1 AS BIGINT) " +
+                            "ELSE CAST(-1 AS BIGINT) END")
                     }
                 // RIGHT OUTER anti-delta (RIGHT and FULL steps): U_R
                 // changes from the PREFIX side — dim@OLD rows whose
@@ -1425,12 +1461,25 @@ object MatViews {
                 // recursion (an INNER suffix conditioned on prefix
                 // columns drops these all-NULL-prefix rows — exactly as
                 // the real chain treats a dim null-extension row).
+                // ONE signed term per RIGHT/FULL step (formerly a ± pair —
+                // the dim@OLD scan and BOTH chain-EXISTS probes duplicated
+                // per sign): XOR filter + CASE sign, exactly like the left
+                // flips above. Prefix-chain MONOTONICITY prunes the dead
+                // sign including one chain probe's worth of CASE
+                // duplication: when every step before this one is INNER
+                // and every moved prefix window is insert-only, the chain
+                // can only GAIN rows — a dim row's match can only be BORN
+                // (−1); all remove-only, it can only DIE (+1). An outer
+                // step inside the prefix breaks monotonicity (its
+                // null-extension rows can vanish under inserts when the ON
+                // text reads the nullable side), so the gate requires
+                // all-INNER, not just insert-only windows.
                 def rightFlipTerms: Seq[DeltaTerm] =
                   st.joins.zipWithIndex
                     .filter { case (j, k) =>
                       (j.joinType == "RIGHT" || j.joinType == "FULL") &&
                         movedWins.exists(w => names2.indexOf(w._1) <= k) }
-                    .flatMap { case (j, k) =>
+                    .map { case (j, k) =>
                       val ti = k + 1 // j's table index in names2
                       val emptyPrefix = (0 until ti).map { jdx =>
                         s" LEFT JOIN (SELECT * FROM graft.${q(names2(jdx))} " +
@@ -1443,14 +1492,25 @@ object MatViews {
                       val from =
                         s"graft.${q(j.key)} VERSION AS OF ${oldPin(j.key)} AS ${q(j.key)}" +
                           emptyPrefix + suffix
-                      def pred(oldNeg: String, newNeg: String): String =
-                        s"${oldNeg}EXISTS (SELECT 1 FROM ${chainAt(ti, oldPin)} WHERE ${j.condSql}) " +
-                          s"AND ${newNeg}EXISTS (SELECT 1 FROM ${chainAt(ti, newPin)} WHERE ${j.condSql})"
-                      // match DIED → the dim row's null-extension appears
-                      // (+1); match BORN → it leaves (−1)
-                      Seq(
-                        DeltaTerm(from, Some(pred("", "NOT ")), "CAST(1 AS BIGINT)"),
-                        DeltaTerm(from, Some(pred("NOT ", "")), "CAST(-1 AS BIGINT)"))
+                      def ex(pin: Map[String, Long]): String =
+                        s"EXISTS (SELECT 1 FROM ${chainAt(ti, pin)} WHERE ${j.condSql})"
+                      val prefixMoved =
+                        movedWins.filter(w => names2.indexOf(w._1) <= k)
+                      val prefixInner =
+                        (1 to k).forall(jdx => st.joins(jdx - 1).joinType == "INNER")
+                      if (prefixInner && prefixMoved.forall(insertOnly))
+                        DeltaTerm(from,
+                          Some(s"NOT ${ex(oldPin)} AND ${ex(newPin)}"),
+                          "CAST(-1 AS BIGINT)")
+                      else if (prefixInner && prefixMoved.forall(removeOnly))
+                        DeltaTerm(from,
+                          Some(s"${ex(oldPin)} AND NOT ${ex(newPin)}"),
+                          "CAST(1 AS BIGINT)")
+                      else
+                        DeltaTerm(from,
+                          Some(s"(${ex(oldPin)}) <> (${ex(newPin)})"),
+                          s"CASE WHEN ${ex(oldPin)} THEN CAST(1 AS BIGINT) " +
+                            "ELSE CAST(-1 AS BIGINT) END")
                     }
                 val terms = names2.indices
                   .filter(i => movedWins.exists(_._1 == names2(i)))
