@@ -26,7 +26,11 @@ object Bench {
     "topk_suppliers_per_nation", "window_frames", "sessionize_events",
     "streaming_hourly_complete", "dedup_exact_text", "dedup_minhash_lsh",
     "dedup_simhash", "knn_brute_cosine", "ann_ivf_probe", "text_stats",
-    "json_extract_agg", "multimodal_join", "asof_join_native", "zorder_hist")
+    "json_extract_agg", "multimodal_join", "asof_join_native", "zorder_hist",
+    // fan-out-sensitive additions (never remove/rename entries above): the
+    // low-core probe can only see headline queries, and these two are the
+    // ones whose exchange-parallelism pinning makes core count visible
+    "embedding_gram_matrix", "ann_pq_adc")
 
   private def fmt(v: Double): String = f"$v%.3f"
 

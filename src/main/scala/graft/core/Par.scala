@@ -32,7 +32,10 @@ object Par {
     * is `SPARK_GRAFT_CPUS` in the bench contract, cluster-sized in prod).
     */
   def parallelism(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the RESOLVED numeric value (not the raw conf string): a
+    // platform-managed non-numeric setting like "auto" must degrade to
+    // whatever the session resolves it to, never crash the query
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Round-robin rebalance of a NARROW frame ahead of a row-local expansion
     * (the expansion multiplies bytes/compute by 30-2000x, so this shuffle is

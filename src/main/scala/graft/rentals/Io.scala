@@ -161,9 +161,7 @@ object Io {
     // each hash group still lands whole in exactly one task.
     val sized =
       if (singleFilePerPartition) withYear.coalesce(1)
-      else withYear.repartition(
-        withYear.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        config.partitionKeys.map(col): _*)
+      else graft.core.Par.fanOutBy(withYear, config.partitionKeys.map(col): _*)
     sized.write
       .mode(SaveMode.Overwrite)
       .option("compression", "snappy")
@@ -187,8 +185,13 @@ object Io {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      df.withColumn("year", year(col("month")))
-        .repartition(config.partitionKeys.map(col): _*)
+      // same explicit-count clustering as writeProcessed: an unpinned
+      // repartition(keys) lets AQE coalesce the pre-write exchange to 1-2
+      // tasks that then write ~90 hive dirs sequentially — the exact
+      // pathology the full-write path fixed
+      graft.core.Par.fanOutBy(
+        df.withColumn("year", year(col("month"))),
+        config.partitionKeys.map(col): _*)
         .write
         .mode(SaveMode.Overwrite)
         .option("compression", "snappy")

@@ -24,15 +24,54 @@ object Streams {
     * follows the STATE size (thousands of window keys here), not the batch
     * shuffle default. A child session scopes that setting (and the memory
     * sink's temp view) to the one query without touching the caller's conf.
-    * 4 measured ~10% faster than 8 at gate scale (every trigger commits
-    * every store, so fewer stores = less per-batch commit IO); at real
-    * scale this knob follows state volume upward.
+    * The count is derived, not pinned: [[statePartitions]] over the input
+    * footprint, floored at 4 (measured ~10% faster than 8 at gate scale —
+    * every trigger commits every store, so fewer stores = less per-batch
+    * commit IO) and capped at the parent's configured parallelism. At
+    * 100 TB the byte term dominates and the family runs cluster-wide.
     */
-  private def gateSession(spark: SparkSession): SparkSession = {
+  private def gateSession(spark: SparkSession, dir: String,
+      tables: String*): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val srcs = if (tables.isEmpty) Seq("events") else tables.toSeq
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(spark, dir, srcs, floor = 4).toString)
     s
   }
+
+  /** Scale-adaptive streaming state parallelism: one state store per
+    * shuffle partition is created at query start and committed EVERY
+    * trigger, so the count must follow the state volume — estimated here
+    * from the source tables' on-disk footprint at one partition per
+    * [[stateBytesPerPartition]] — floored at the measured gate-scale
+    * optimum and capped at the parent session's configured parallelism
+    * (`SPARK_GRAFT_CPUS` in the bench contract, cluster-sized in
+    * production). A fixed constant here capped the whole streaming family
+    * at that constant's parallelism regardless of core count or data size.
+    */
+  private[graft] def statePartitions(spark: SparkSession, dir: String,
+      tables: Seq[String], floor: Int): Int = {
+    val parent = spark.sessionState.conf.numShufflePartitions
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else if (f.isFile) f.length()
+      else 0L
+    val bytes = tables.map { t =>
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(t + ".parquet")).map(sizeOf).sum
+    }.sum
+    val byData = (bytes / stateBytesPerPartition).toInt
+    math.min(parent, math.max(floor, byData))
+  }
+
+  /** Input bytes per streaming state partition (64 MB): state keys are a
+    * bounded projection of the input, so its footprint is the available
+    * upper-bound proxy; one store per ~64 MB of source keeps per-trigger
+    * commit counts proportional to data, not to a constant.
+    */
+  private val stateBytesPerPartition: Long = 64L * 1024 * 1024
 
   /** Streaming read of the events parquet (file source; at scale this would
     * be a Kafka/queue source — the transform graph below is source-agnostic).
@@ -150,7 +189,7 @@ object Streams {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM events
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val streamed = readEventsStream(sess, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -181,7 +220,7 @@ object Streams {
       |FROM events, cutoff
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val streamed = hourlyCounts(readEventsStream(sess, dir))
     val table = s"graft_streaming_append_${System.nanoTime()}"
     runAvailableNowToMemory(sess, streamed, table, OutputMode.Append())
@@ -202,7 +241,7 @@ object Streams {
   val streamingDedupExact: graft.core.QueryDef = graft.core.QueryDef(
     "streaming_dedup_exact",
     "SELECT event_id, ts, user_id, event_type FROM events") { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val doubled = readEventsStream(sess, dir)
       .unionByName(readEventsStream(sess, dir))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -229,7 +268,7 @@ object Streams {
       |  CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)
       |    AS total_value_cents
       |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val snapshots = userRunningTotals(sess, readEventsStream(sess, dir)).toDF()
     val table = s"graft_streaming_user_totals_${System.nanoTime()}"
     val emitted = runAvailableNowToMemory(sess, snapshots, table, OutputMode.Update())
@@ -288,7 +327,7 @@ object Streams {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin) {
     (spark, dir) =>
-      val sess = gateSession(spark)
+      val sess = gateSession(spark, dir)
       val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
       val joined = clicks.join(purchases, cond)
         .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
@@ -316,7 +355,7 @@ object Streams {
       |      FROM events WHERE event_type = 'click' GROUP BY 1) c
       |  ON c.user_id = p.user_id
       |WHERE p.event_type = 'purchase'""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val clickProfile = graft.core.Tables.events(sess, dir)
       .filter(col("event_type") === "click")
       .groupBy(col("user_id"))
@@ -368,7 +407,7 @@ object Streams {
       |SELECT s.user_id, s.session_start, s.session_end, s.n_events
       |FROM sessions s, cutoff c
       |WHERE s.session_end <= c.wm""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val streamed = readEventsStream(sess, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -396,7 +435,7 @@ object Streams {
     "streaming_type_counts",
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val snapshots = userTypeCounts(sess, readEventsStream(sess, dir)).toDF()
     val table = s"graft_streaming_type_counts_${System.nanoTime()}"
     val emitted = runAvailableNowToMemory(sess, snapshots, table, OutputMode.Update())
@@ -431,7 +470,7 @@ object Streams {
       |FROM w, cutoff
       |WHERE win_start + INTERVAL 1 HOUR <= wm
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val streamed = readEventsStream(sess, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -579,7 +618,7 @@ object Streams {
   val streamingIncrementalSink: graft.core.QueryDef = graft.core.QueryDef(
     "streaming_incremental_sink",
     "SELECT event_id, ts, user_id, event_type FROM events") { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val base = graft.rentals.Scratch.dir(s"graft_incr_sink_${System.nanoTime()}")
     val events = graft.core.Tables.events(sess, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -615,7 +654,7 @@ object Streams {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM events
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    statefulRestartPhases(gateSession(spark), dir)._2
+    statefulRestartPhases(gateSession(spark, dir), dir)._2
   }
 
   /** Runs the two checkpointed generations of the stateful-restart scenario;
@@ -752,7 +791,7 @@ object Streams {
       |UNION ALL
       |SELECT user_id, click_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
       |FROM un""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
     val joined = clicks.join(purchases, cond, "left_outer")
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))
@@ -804,7 +843,7 @@ object Streams {
       |UNION ALL
       |SELECT p_user_id, CAST(NULL AS TIMESTAMP), purchase_ts, purchase_cents
       |FROM up""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
     val joined = clicks.join(purchases, cond, "full_outer")
       .select(
@@ -838,7 +877,7 @@ object Streams {
       |  (SELECT max(c.click_ts) FROM c
       |   WHERE c.user_id = p.user_id AND c.click_ts <= p.purchase_ts) AS last_click_ts
       |FROM p""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     val clicks = graft.core.Tables.events(sess, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
@@ -925,7 +964,7 @@ object Streams {
       |  CAST(sum(cents) AS BIGINT) AS cents,
       |  CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
       |FROM e GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, dir)
     sess.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -695,7 +695,14 @@ object Corpus {
     // the per-doc pair expansion below multiplies rows by up to C(50,2) =
     // 1225: pin the doc_id exchange to the configured parallelism (groupBy
     // reuses it — one shuffle either way) so AQE's input-byte coalescing
-    // can't serialize the expansion stage (measured: 1.1 s in ONE task)
+    // can't serialize the expansion stage (measured: 1.1 s in ONE task).
+    // Shuffle-byte note (Par's map-side-combining caveat): the exchange
+    // carries raw (doc_id, tok) rows, but they are ALREADY distinct per
+    // doc (array_distinct upstream, ≤50 vocab tokens/doc), so the partial
+    // collect_set this pin forgoes would shuffle the same token bytes
+    // grouped per doc — the delta is doc_id repetition only (~8 B × k per
+    // doc), and repartitioning the post-agg (doc_id, vt) frame instead
+    // would shuffle those same set bytes a SECOND time.
     graft.core.Par.fanOutBy(tok.join(broadcast(vocab), "tok"), col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("tok"))).as("vt"))

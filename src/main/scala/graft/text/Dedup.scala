@@ -192,7 +192,13 @@ object Dedup {
   val streamingLshIngest: QueryDef = QueryDef(
     "streaming_lsh_ingest", exhaustiveNearDupSql) { (spark, dir) =>
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    // state parallelism derived, not pinned: documents footprint / 64 MB,
+    // floored at the measured gate-scale optimum (8) and capped at the
+    // parent's configured parallelism — a constant here capped the ingest
+    // at 8-way state regardless of core count or corpus size
+    sess.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.Streams.statePartitions(
+        spark, dir, Seq("documents"), floor = 8).toString)
     // Injectable state-store provider (`spark.graft.lsh.stateProvider` on
     // the calling session: "hdfs" default | "rocksdb"). At real scale
     // RocksDB is the right provider — state no longer bounded by executor

@@ -747,9 +747,12 @@ object Similarity {
     // rows BEFORE the expansion so it runs at the configured parallelism
     // (guide §2.4/§8 — measured: the whole explode+partial-agg ran in one
     // task off the single-row-group scan)
-    val q = graft.core.Par.fanOut(
-      Tables.embeddings(spark, dir).selectExpr("vec_id", s"$qvec AS q"))
-    val n = q.agg(count(lit(1)).as("n_vecs"))
+    val base = Tables.embeddings(spark, dir).selectExpr("vec_id", s"$qvec AS q")
+    val q = graft.core.Par.fanOut(base)
+    // the row count needs no fan-out (a plain column-pruned count) —
+    // deriving it from the fanned frame carried a second
+    // RoundRobinPartitioning exchange for nothing
+    val n = base.agg(count(lit(1)).as("n_vecs"))
     q.select(explode(expr(
         """flatten(transform(sequence(1, size(q), 1),
           |  i -> transform(sequence(i, size(q), 1),
