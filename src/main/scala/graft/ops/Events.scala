@@ -115,16 +115,29 @@ object Events {
        |  (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions
        |FROM p""".stripMargin) { (spark, dir) =>
     val sessions = sessionsOf(spark, dir)
-    val b = sessions
-      .select(col("session_start").as("ts"), lit(0).as("bound"), lit(1L).as("delta"),
-        col("user_id"), col("session_seq"))
-      .unionByName(sessions
-        .select(col("session_end").as("ts"), lit(1).as("bound"), lit(-1L).as("delta"),
-          col("user_id"), col("session_seq")))
+    // ONE sessionize pass: each session emits its two sweep boundaries via
+    // explode — the previous self-union re-ran the sessionize window once
+    // per leg. The boundary frame is pinned before the range exchange so
+    // the range-partitioner's SAMPLING job reads materialized rows instead
+    // of re-running the sessionize upstream a further time; its blocks are
+    // evicted as soon as the cum table materializes.
+    val (b, trackedB) = graft.core.Pinned.withTrackedRdds(spark) {
+      sessions.select(
+          explode(array(
+            struct(col("session_start").as("ts"), lit(0).as("bound"),
+              lit(1L).as("delta")),
+            struct(col("session_end").as("ts"), lit(1).as("bound"),
+              lit(-1L).as("delta")))).as("e"),
+          col("user_id"), col("session_seq"))
+        .select(col("e.ts").as("ts"), col("e.bound").as("bound"),
+          col("e.delta").as("delta"), col("user_id"), col("session_seq"))
+        .localCheckpoint()
+    }
     val cum = Ranking
       .globalRunningSumBy(b, Seq("ts", "bound", "user_id", "session_seq"), "delta", "cum")
       .select(col("ts"), col("cum"))
       .localCheckpoint()
+    graft.core.Pinned.unpersistRdds(spark, trackedB)
     val stats = cum.agg(
       max(col("cum")).as("peak_concurrency"),
       (count(lit(1)) / 2).cast("long").as("n_sessions"))

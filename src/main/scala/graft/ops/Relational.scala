@@ -962,16 +962,22 @@ object Relational {
          |  ${momentSql.mkString(",\n  ")}
          |  FROM lineitem)
          |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin) { (spark, dir) =>
-      val dec = "decimal(38,0)"
       val q: Map[String, org.apache.spark.sql.Column] = Map(
         "qty" -> round(col("l_quantity")).cast("long"),
         "price_c" -> Num.cents(col("l_extendedprice")),
         "disc_bp" -> round(col("l_discount") * 10000).cast("long"),
         "tax_bp" -> round(col("l_tax") * 10000).cast("long"))
-      val firsts = cols.map { case (n, _) => sum(q(n).cast(dec)).as(s"s_$n") }
+      // moment sums via BigSum: the per-row work is long multiply + long
+      // add (codegen fast path) instead of 128-bit decimal ALU, while the
+      // rollover-to-decimal buffer keeps the exact DECIMAL(38,0) value at
+      // any row count — the products are bounded by the metric DOMAINS
+      // (≤ ~1.1e14 for price²), not by table size, so the long stage is
+      // scale-safe (guide §1.2-2 / VERDICT r16 #7)
+      val firsts = cols.map { case (n, _) =>
+        graft.functions.BigSum.of(q(n)).as(s"s_$n") }
       val seconds = for { i <- cols.indices; j <- cols.indices if i <= j } yield {
         val (a, b) = (cols(i)._1, cols(j)._1)
-        sum((q(a).cast(dec) * q(b).cast(dec))).as(s"s_${a}_$b")
+        graft.functions.BigSum.of(q(a) * q(b)).as(s"s_${a}_$b")
       }
       val m = Tables.lineitem(spark, dir)
         .agg(count(lit(1)).as("n"), (firsts ++ seconds): _*)
