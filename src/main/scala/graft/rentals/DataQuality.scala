@@ -15,12 +15,25 @@ sealed trait Severity { def label: String }
 case object Warn extends Severity { val label = "warn" }
 case object Fail extends Severity { val label = "fail" }
 
-/** `jobs/data_quality.py:24-38`. */
+/** `jobs/data_quality.py:24-38`.
+  *
+  * `fusedAggs`/`fusedEval` are the check's optional SINGLE-PASS form: the
+  * named aggregate inputs it needs (aliases shared across checks are
+  * computed once) and a predicate over their values. When every check in a
+  * gate carries one, [[DataQuality.summarize]] runs the whole gate as ONE
+  * aggregation job instead of one-to-two count jobs per check — the same
+  * fusion [[DataQuality.summarizeFused]] hand-writes for the standard set,
+  * available to any builder-made combination. `checkFn` remains the
+  * semantic ground truth (and the fallback when a custom check joins the
+  * list); DataQualitySpec asserts the two forms agree.
+  */
 final case class DataQualityCheck(
     name: String,
     checkFn: DataFrame => Boolean,
     severity: Severity,
-    description: String)
+    description: String,
+    fusedAggs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+    fusedEval: Option[Map[String, Long] => Boolean] = None)
 
 final case class CheckResult(
     name: String,
@@ -55,7 +68,12 @@ object DataQuality {
         }
       },
       severity = Fail,
-      description = s"Null fraction of `$column` must be <= $threshold")
+      description = s"Null fraction of `$column` must be <= $threshold",
+      fusedAggs = Seq(
+        "dq_total" -> count(lit(1)),
+        s"dq_nulls_$column" -> count(when(col(column).isNull, 1))),
+      fusedEval = Some(m => m("dq_total") == 0L ||
+        m(s"dq_nulls_$column").toDouble / m("dq_total").toDouble <= threshold))
 
   /** Minimum-row-count gate (`row_count_check`, `jobs/data_quality.py:69-87`):
     * passes when `count >= minRows`. Severity: fail.
@@ -65,7 +83,9 @@ object DataQuality {
       name = "row_count",
       checkFn = _.count() >= minRows,
       severity = Fail,
-      description = s"Row count must be >= $minRows")
+      description = s"Row count must be >= $minRows",
+      fusedAggs = Seq("dq_total" -> count(lit(1))),
+      fusedEval = Some(m => m("dq_total") >= minRows))
 
   /** Inclusive-range gate (`range_check`, `jobs/data_quality.py:90-120`):
     * passes when zero rows fall outside `[min, max]` (bounds inclusive; nulls
@@ -77,7 +97,12 @@ object DataQuality {
       name = s"range_$column",
       checkFn = df => df.filter(col(column) < min || col(column) > max).count() == 0L,
       severity = Fail,
-      description = s"All `$column` values must lie in [$min, $max]")
+      description = s"All `$column` values must lie in [$min, $max]",
+      // count(when(cond, 1)) skips null comparisons exactly like the
+      // filter form: a null predicate row is neither < min nor > max
+      fusedAggs = Seq(
+        s"dq_oob_$column" -> count(when(col(column) < min || col(column) > max, 1))),
+      fusedEval = Some(m => m(s"dq_oob_$column") == 0L))
 
   /** Key-uniqueness gate (`uniqueness_check`, `jobs/data_quality.py:123-158`):
     * passes when `total == distinct(keys)` — *exact* distinct, the DQ contract
@@ -92,7 +117,13 @@ object DataQuality {
         total == distinct
       },
       severity = Warn,
-      description = s"(${columns.mkString(", ")}) must be unique")
+      description = s"(${columns.mkString(", ")}) must be unique",
+      fusedAggs = Seq(
+        "dq_total" -> count(lit(1)),
+        s"dq_distinct_${columns.mkString("_")}" ->
+          count_distinct(struct(columns.map(col): _*))),
+      fusedEval = Some(m =>
+        m("dq_total") == m(s"dq_distinct_${columns.mkString("_")}")))
 
   /** The reference pipeline's standard gate set, built from config thresholds
     * (`dags/rental_pipeline_dag.py:137-142` + `config/pipeline.yaml:18-22`).
@@ -171,6 +202,34 @@ object DataQuality {
       df: DataFrame,
       checks: Seq[DataQualityCheck],
       cacheInput: Boolean = true): DataQualitySummary = {
+    // single-pass gate: when every check carries its fused form, the whole
+    // list costs ONE aggregation job (shared inputs like dq_total computed
+    // once) instead of 1-2 count jobs per check — same per-check results,
+    // no input caching needed. Any error (e.g. a typo'd column name) falls
+    // back to the per-check path, which records the offender as failed and
+    // still runs the others, preserving the run-all-then-throw contract.
+    if (checks.nonEmpty && checks.forall(_.fusedEval.isDefined)) {
+      try {
+        val aggs = checks.flatMap(_.fusedAggs).distinctBy(_._1)
+        val row = df.agg(
+          aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*).head()
+        val vals = aggs.map { case (n, _) => n -> row.getAs[Long](n) }.toMap
+        val details = checks.map(c =>
+          CheckResult(c.name, c.fusedEval.get(vals), c.severity, c.description))
+        return DataQualitySummary(
+          total = details.size,
+          passed = details.count(_.passed),
+          failed = details.count(r => !r.passed && r.severity == Fail),
+          warnings = details.count(r => !r.passed && r.severity == Warn),
+          details = details)
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft dq: fused gate threw ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage} — falling back to per-check evaluation")
+      }
+    }
     val target = if (cacheInput) df.persist() else df
     try {
       val details = checks.map { c =>

@@ -328,6 +328,15 @@ object Streams {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin) {
     (spark, dir) =>
       val sess = gateSession(spark, dir)
+      // INNER stream-stream join: every output row emits in the data batch
+      // where its match lands; the trailing NO-DATA micro-batch exists only
+      // to advance the watermark for state EVICTION (and, in outer joins,
+      // null-extended emission) — work a finite AvailableNow inner run never
+      // observes. Skipping it removes one full state-commit round (~16
+      // store commits here), measured 3.1-4.0 → 1.4-1.9 s at sf0.1 with
+      // byte-identical output (183 rows). The outer-join gates MUST keep
+      // their no-data batch: their unmatched rows emit at eviction.
+      sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val (clicks, purchases, cond) = clickPurchaseSides(sess, dir)
       val joined = clicks.join(purchases, cond)
         .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_cents"))

@@ -124,14 +124,21 @@ class PartitionedTableSpec extends SparkSpec {
     val ins = spark.sql(
       "INSERT INTO graft.pt_dist SELECT CAST(id % 5 AS INT), id FROM range(0, 100)")
     val plan = ins.queryExecution.executedPlan.toString
-    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL") && plan.contains("hashpartitioning(k"),
+    // STRICT clustering with a pinned (conf-derived) partition count: a
+    // REPARTITION_BY_NUM hash exchange on the partition expressions. The
+    // earlier non-strict REBALANCE_PARTITIONS_BY_COL shape let AQE's
+    // byte-based coalescing squeeze the exchange to one task, which then
+    // wrote every partition's file serially (r17: dsv2_partitioned_prune's
+    // append was 1 task × 1.16 s for 200 tuple files).
+    assert(plan.contains("REPARTITION_BY_NUM") && plan.contains("hashpartitioning(k"),
       s"partitioned INSERT must cluster rows by the partition expressions:\n$plan")
     // unpartitioned writes stay exchange-free
     drop("pt_flat")
     spark.sql("CREATE TABLE graft.pt_flat (k INT, v BIGINT)")
-    val flat = spark.sql(
+    val flatPlan = spark.sql(
       "INSERT INTO graft.pt_flat SELECT CAST(id % 5 AS INT), id FROM range(0, 100)")
-    assert(!flat.queryExecution.executedPlan.toString.contains("REBALANCE_PARTITIONS_BY_COL"))
+      .queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("REPARTITION_BY_NUM") && !flatPlan.contains("Exchange"))
     drop("pt_dist", "pt_flat")
   }
 
