@@ -151,7 +151,14 @@ object Physical {
     // these dim-sized blocks after its result materializes (sessions share
     // one block manager, so nothing else would reclaim them).
     val dim = hotKeyDim(big).localCheckpoint()
-    big.join(dim, col("k") === col("k2"))
+    // guide §3.1: shuffled-HASH join skips both sides' sorts — the dim side
+    // is distinct keys (hash table per partition stays key-sized), and AQE's
+    // OptimizeSkewedJoin splits SHJ partitions exactly as it splits SMJ, so
+    // the skew mechanism under test is unchanged (isSkewJoin spec-asserted).
+    // An explicit hint because `preferSortMergeJoin=false` alone can never
+    // choose SHJ here: the gate pins autoBroadcastJoinThreshold=-1, which
+    // also disables the planner's canBuildLocalHashMap size test.
+    big.join(dim.hint("SHUFFLE_HASH"), col("k") === col("k2"))
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
   }

@@ -84,11 +84,17 @@ object Roundtrips {
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(count(*) FILTER (WHERE l_suppkey % 2 = 0) AS BIGINT) AS n_rows_v1
       |FROM base GROUP BY 1""".stripMargin) { (spark, dir) =>
-    val base = Tables.lineitem(spark, dir)
-      .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .agg(
-        sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"),
-        count(lit(1)).as("n_items"))
+    // pinned: the two generation writes each consumed this frame, paying
+    // the full lineitem scan + 550k-group aggregate TWICE; one
+    // materialization feeds both filtered writes (blocks evicted after)
+    val (base, trackedBase) = graft.core.Pinned.withTrackedRdds(spark) {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"),
+          count(lit(1)).as("n_items"))
+        .localCheckpoint()
+    }
     val v1Path = graft.rentals.Scratch.dir("graft_schema_drift_v1")
     val v2Path = graft.rentals.Scratch.dir("graft_schema_drift_v2")
     base.filter(col("l_suppkey") % 2 === 0)
@@ -96,6 +102,7 @@ object Roundtrips {
       .write.mode("overwrite").parquet(v1Path)
     base.filter(col("l_suppkey") % 2 === 1)
       .write.mode("overwrite").parquet(v2Path)
+    graft.core.Pinned.unpersistRdds(spark, trackedBase)
     spark.read.option("mergeSchema", "true").parquet(v1Path, v2Path)
       .groupBy(col("l_suppkey"))
       .agg(
