@@ -247,10 +247,13 @@ object Relational {
       |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     val d = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), round(col("l_extendedprice")).cast("long").as("d"))
+    // BigSum keeps the per-row work on the long fast path (d is whole
+    // dollars, domain-bounded ≤ ~1.1e5, so d² ≤ ~1.2e10 per row at any
+    // table size); the rollover buffer preserves the exact decimal value
     d.groupBy(col("l_returnflag"))
       .agg(
-        sum(expr("CAST(d * d AS DECIMAL(38, 0))")).as("ssq"),
-        sum(expr("CAST(d AS DECIMAL(38, 0))")).as("s"),
+        graft.functions.BigSum.of(col("d") * col("d")).as("ssq"),
+        graft.functions.BigSum.of(col("d")).as("s"),
         count(lit(1)).as("n"))
       .select(
         col("l_returnflag"),
